@@ -1,0 +1,421 @@
+"""Scale-tier queries: the LLM-training-data operators (dedup, similarity
+search, text analysis, ML inference, streaming) over documents / embeddings /
+events.
+
+Oracle SQL here is *generated from the same Python constants* as the Spark
+plans (minhash parameters, LSH planes, keyword lists), so both sides of the
+driver's comparison are provably computing the same function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from calp_cva_tracking_pipeline_spark.catalog.common import SQL_MONEY_SUM, T
+from calp_cva_tracking_pipeline_spark.functions.hashing import (
+    MERSENNE_P,
+    minhash_params,
+)
+from calp_cva_tracking_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    simhash,
+)
+from calp_cva_tracking_pipeline_spark.operators.mlstub import classify_flows
+from calp_cva_tracking_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    random_planes,
+)
+from calp_cva_tracking_pipeline_spark.operators.textops import add_text_features
+from calp_cva_tracking_pipeline_spark.streaming.events import (
+    sessionize,
+    windowed_agg,
+)
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect) mirroring functions/hashing.py
+# ---------------------------------------------------------------------------
+
+# 60-bit md5-derived stable hash — the SQL twin of stable_hash64().
+def _sql_hash60(expr: str) -> str:
+    return f"CAST(CAST(('0x' || substring(md5({expr}), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+# k=3 word shingles, distinct — SQL twin of operators.dedup.shingles().
+_SHINGLES = f"""
+list_distinct(list_transform(
+  generate_series(0, greatest(len({_TOKS}) - 3, 0)),
+  i -> array_to_string(list_slice({_TOKS}, i + 1, i + 3), ' ')))
+"""
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+_PARAMS = minhash_params(NUM_HASHES)
+
+_SIG_ELEMS = ",\n    ".join(
+    f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {MERSENNE_P}))"
+    for a, b in _PARAMS
+)
+
+_SIG_CTE = f"""
+tok AS (
+  SELECT doc_id, list_transform({_SHINGLES}, s -> {_sql_hash60('s')} % {MERSENNE_P}) AS hs
+  FROM documents),
+sigs AS (
+  SELECT doc_id, [{_SIG_ELEMS}] AS sig FROM tok),
+banded AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, array_to_string(list_slice(sig, {b * ROWS_PER_BAND + 1}, {(b + 1) * ROWS_PER_BAND}), ',') AS key FROM sigs"
+    for b in range(BANDS)
+  )}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+"""
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def dd_exact_hash(spark, sf_dir):
+    # Exact dedup: survivor = min doc_id per md5(text).
+    d = T(spark, sf_dir, "documents")
+    return dedup_exact(d, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+DD_EXACT_SQL = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents) t
+WHERE rn = 1
+"""
+
+
+def dd_minhash_lsh(spark, sf_dir):
+    # MinHash+LSH candidate pairs (shingle→minhash→band→bucket-join).
+    d = T(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, k=3
+    )
+
+
+DD_MINHASH_SQL = f"""
+WITH {_SIG_CTE}
+SELECT id_a, id_b FROM cand
+"""
+
+
+def dd_jaccard_verify(spark, sf_dir):
+    # Exact n-gram Jaccard over the LSH candidates (verification stage).
+    d = T(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, k=3
+    )
+    out = ngram_jaccard(pairs, d, "doc_id", "text", k=3)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+DD_JACCARD_SQL = f"""
+WITH {_SIG_CTE},
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
+cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT cand.id_a, cand.id_b, COUNT(*) AS i
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.id_a
+  JOIN sh b ON b.doc_id = cand.id_b AND a.s = b.s
+  GROUP BY 1, 2)
+SELECT cand.id_a, cand.id_b,
+       ROUND(COALESCE(i, 0) / (ca.c + cb.c - COALESCE(i, 0)), 6) AS jaccard
+FROM cand
+JOIN cnt ca ON ca.doc_id = cand.id_a
+JOIN cnt cb ON cb.doc_id = cand.id_b
+LEFT JOIN inter ON inter.id_a = cand.id_a AND inter.id_b = cand.id_b
+"""
+
+SIMHASH_BITS = 16
+
+
+def dd_simhash(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return simhash(d, "text", bits=SIMHASH_BITS).select(
+        "doc_id", F.col("__simhash").alias("simhash")
+    )
+
+
+_SIMHASH_BIT_TERMS = " + ".join(
+    f"""CASE WHEN list_sum(list_transform(hs,
+         h -> CASE WHEN (h & {1 << i}) > 0 THEN 1 ELSE -1 END)) > 0
+       THEN {1 << i} ELSE 0 END"""
+    for i in range(SIMHASH_BITS)
+)
+
+DD_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(list_distinct({_TOKS}), w -> {_sql_hash60('w')}) AS hs
+  FROM documents)
+SELECT doc_id, CAST({_SIMHASH_BIT_TERMS} AS BIGINT) AS simhash
+FROM tok
+"""
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+N_QUERIES = 8
+TOP_K = 5
+
+
+def ann_brute_topk(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return brute_force_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding", k=TOP_K
+    )
+
+
+ANN_BRUTE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+               6) AS cosine
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored) t
+WHERE rank <= {TOP_K}
+"""
+
+LSH_PLANES = 6
+_EMB_DIM = 64
+_PLANES = random_planes(LSH_PLANES, dim=_EMB_DIM)
+
+
+def ann_lsh_topk(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return lsh_topk(
+        e,
+        q,
+        "vec_id",
+        "embedding",
+        "vec_id",
+        "embedding",
+        k=TOP_K,
+        n_planes=LSH_PLANES,
+    )
+
+
+def _plane_sql(vec_expr: str) -> str:
+    terms = []
+    for i, plane in enumerate(_PLANES):
+        lits = "[" + ",".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_dot_product({vec_expr}, {lits}) >= 0"
+            f" THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+ANN_LSH_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+         {_plane_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+  FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         {_plane_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+  FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+               6) AS cosine
+  FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored) t
+WHERE rank <= {TOP_K}
+"""
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def tx_features(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return add_text_features(d).select(
+        "doc_id",
+        "n_tokens",
+        "lang_pred",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+        "fingerprint",
+    )
+
+
+_EN_SW_SQL = "('the','a','of','and','to','in','is')"
+_SW_RATIO = (
+    f"len(list_filter({_TOKS}, w -> lower(w) IN {_EN_SW_SQL}))"
+    f" / greatest(len({_TOKS}), 1)"
+)
+_PUNCT = "'[!-/:-@\\[-`{-~]'"
+_PUNCT_RATIO = (
+    f"(length(text) - length(regexp_replace(text, {_PUNCT}, '', 'g')))"
+    f" / greatest(length(text), 1)"
+)
+_NTOK = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END"
+
+TX_FEATURES_SQL = f"""
+SELECT doc_id,
+  CAST({_NTOK} AS INTEGER) AS n_tokens,
+  CASE WHEN {_SW_RATIO} > 0.05 THEN 'en' ELSE 'unk' END AS lang_pred,
+  ROUND({_PUNCT_RATIO}, 6) AS punct_ratio,
+  ROUND({_SW_RATIO}, 6) AS stopword_ratio,
+  ROUND(CAST(
+    (CASE WHEN {_NTOK} >= 10 AND {_NTOK} <= 10000 THEN 0.4 ELSE 0.0 END)
+    + (CASE WHEN {_PUNCT_RATIO} < 0.1 THEN 0.3 ELSE 0.0 END)
+    + (CASE WHEN {_SW_RATIO} > 0.01 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 6)
+    AS quality,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+                 list_transform({_TOKS}, w -> {_sql_hash60('w')})),
+    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+FROM documents
+"""
+
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def tx_bpe_token_count(spark, sf_dir):
+    # BPE-ish regex token counting (words / numbers / residual symbols).
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0)
+        ).alias("bpe_tokens"),
+    )
+
+
+TX_BPE_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS INTEGER)
+         AS bpe_tokens
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# ML inference stub (M1)
+# ---------------------------------------------------------------------------
+
+
+def m1_classifier_stub(spark, sf_dir):
+    # Arrow-batched pandas_udf inference; deterministic stub (mlstub.py)
+    # whose function is reproducible in SQL, verifying the UDF plumbing.
+    d = T(spark, sf_dir, "documents")
+    return classify_flows(d, "text").select(
+        "doc_id", "predicted_class", F.col("predicted_confidence")
+    )
+
+
+M1_SQL = """
+SELECT doc_id,
+       CASE WHEN ((length(text) * 2654435761) % 1000) / 1000.0 >= 0.5
+            THEN 'Full' ELSE 'Partial' END AS predicted_class,
+       ((length(text) * 2654435761) % 1000) / 1000.0 AS predicted_confidence
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# streaming (batch-equivalent logical plans — same functions serve
+# readStream inputs; tests/test_streaming.py drives the streaming path)
+# ---------------------------------------------------------------------------
+
+
+def st_windowed_agg(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    out = windowed_agg(e, "1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+ST_WINDOW_SQL = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       {SQL_MONEY_SUM('value')} AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+SESSION_GAP_MIN = 30
+
+
+def st_sessionize(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    out = sessionize(e, f"{SESSION_GAP_MIN} minutes")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+        "total_value",
+    )
+
+
+ST_SESSION_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+islands AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events,
+       {SQL_MONEY_SUM('value')} AS total_value
+FROM islands GROUP BY user_id, sid
+"""
+
+
+SCALE_QUERIES = {
+    "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
+    "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
+    "dd_jaccard_verify": (dd_jaccard_verify, DD_JACCARD_SQL),
+    "dd_simhash": (dd_simhash, DD_SIMHASH_SQL),
+    "ann_brute_topk": (ann_brute_topk, ANN_BRUTE_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
+    "tx_features": (tx_features, TX_FEATURES_SQL),
+    "tx_bpe_token_count": (tx_bpe_token_count, TX_BPE_SQL),
+    "m1_classifier_stub": (m1_classifier_stub, M1_SQL),
+    "st_windowed_agg": (st_windowed_agg, ST_WINDOW_SQL),
+    "st_sessionize": (st_sessionize, ST_SESSION_SQL),
+}

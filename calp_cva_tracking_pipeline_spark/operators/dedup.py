@@ -1,0 +1,259 @@
+"""Deduplication operators (SURVEY.md §2.3 + LLM-pipeline near-dup family).
+
+Reference dedup is exact (D1 priority dedup, D2-D4 distinct). The engine adds
+the large-corpus near-duplicate family a 100 TB training-data pipeline needs:
+exact-hash, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine. All are
+expressed as DataFrame ops whose only shuffles are the unavoidable
+group-by-key exchanges; candidate generation is always bucketed (LSH bands /
+hamming blocks) so no all-pairs comparison ever materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from calp_cva_tracking_pipeline_spark.functions.hashing import (
+    MERSENNE_P,
+    minhash_params,
+    stable_hash64,
+)
+
+
+def priority_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    priority: Column,
+    tiebreak_cols: list[str],
+) -> DataFrame:
+    """D1 — keep one row per key, preferring the lowest ``priority`` value,
+    breaking ties deterministically on ``tiebreak_cols``.
+
+    Reference semantics: among onBoundary=='shared' rows keep first per id
+    preferring boundary=='incoming' (code/04_fts_curated_flows.R:83-84).
+    Single hash-partition shuffle on the key; at scale the window runs
+    entirely map-side within each key partition.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        priority, *[F.col(c) for c in tiebreak_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content hash: keep the min-id row per distinct text.
+
+    md5 group key instead of raw text so 100 TB of documents shuffles 16-byte
+    digests, not full bodies. Deterministic survivor (min id) unlike
+    dropDuplicates, whose survivor depends on partition order.
+    """
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(text_col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a whitespace-tokenized text column."""
+    toks = F.split(F.trim(text_col), "\\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    )
+    return F.array_distinct(sh)
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, num_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """Add ``__sig`` array<long>: MinHash signature over k-shingles.
+
+    Universal hash family (a*h + b) mod p over md5-derived 60-bit shingle
+    hashes; parameters from the fixed LCG in functions.hashing so signatures
+    are reproducible across engines and runs. Pure narrow computation — the
+    signature is computed in a single projection, no shuffle.
+    """
+    sh = shingles(F.col(text_col), k)
+    h = F.transform(
+        sh, lambda s: stable_hash64(s) % F.lit(MERSENNE_P)
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    h, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE_P)
+                )
+            )
+            for a, b in minhash_params(num_hashes)
+        ]
+    )
+    return df.withColumn("__sig", sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (id_a < id_b, distinct).
+
+    Signature → split into ``bands`` bands → explode (id, band_key) →
+    self-join on band_key. The only shuffle is the band-key exchange; band
+    keys distribute uniformly (they are hashes), so no skew. At 100 TB this
+    is the standard fuzzy-dedup shape: candidates ≪ all-pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig_df = minhash_signature(df, text_col, num_hashes, k).select(
+        F.col(id_col).alias("__id"), "__sig"
+    )
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig_df.select("__id", F.explode(band_cols).alias("b")).select(
+        "__id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Exact k-shingle Jaccard for candidate pairs (verification stage).
+
+    Joins each (id_a, id_b) pair to its shingle sets (two broadcast-able
+    joins when the candidate set is small; bucketed hash joins otherwise)
+    and computes |∩| / |∪| with array intrinsics — JVM-side, no UDF.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh")
+    )
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size(F.array_union("__sh_a", "__sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, text_col: str, bits: int = 16) -> DataFrame:
+    """Add ``__simhash``: per-document SimHash over word hashes.
+
+    Bit i of the fingerprint is the majority vote of bit i across the
+    document's (distinct-token) stable hashes. Narrow projection, no shuffle.
+    16 bits keeps every intermediate in int64 and is enough for blocking;
+    widen per-deployment if needed.
+    """
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), "\\s+"))
+    hs = F.transform(toks, lambda w: stable_hash64(w))
+    bit_sums = [
+        F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << i)) > 0, 1).otherwise(-1),
+        )
+        for i in range(bits)
+    ]
+    fingerprint = None
+    for i, s in enumerate(bit_sums):
+        term = F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return df.withColumn("__simhash", fingerprint.cast("long"))
+
+
+def embedding_near_dup_candidates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup candidates via random-hyperplane (cosine) LSH.
+
+    Documents whose embeddings land in the same sign-pattern bucket are
+    candidate pairs; exact cosine is then computed only within buckets.
+    Deterministic pseudo-random planes from the fixed LCG. One shuffle on
+    the bucket key.
+    """
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+        random_planes,
+    )
+
+    planes = random_planes(n_planes, dim=None, seed=seed, df=df, vec_col=vec_col)
+    sign_bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(x) for x in plane]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i, plane in enumerate(planes)
+    ]
+    bucket = sum(sign_bits[1:], sign_bits[0])
+    tagged = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        bucket.alias("__bucket"),
+    )
+    l, r = tagged.alias("l"), tagged.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.__bucket") == F.col("r.__bucket"))
+        & (F.col("l.__id") < F.col("r.__id")),
+    ).select(
+        F.col("l.__id").alias("id_a"),
+        F.col("r.__id").alias("id_b"),
+        cosine_similarity(F.col("l.__vec"), F.col("r.__vec")).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

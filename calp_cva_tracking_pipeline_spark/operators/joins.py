@@ -1,0 +1,185 @@
+"""Join operators (SURVEY.md §2.4).
+
+Every reference dimension is tiny (≤19k rows — BASELINE.md), so all
+enrichment joins broadcast: the 100 TB fact side is never shuffled for a
+dimension lookup. The fuzzy/substring matchers (J10/J11) — per-row loops in
+the reference — become set-wise cross joins of two *small, pre-aggregated*
+name lists, then deterministic window tie-breaks; the cross join is
+broadcast-nested-loop over ≤ a few thousand names each side, never the fact
+table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from calp_cva_tracking_pipeline_spark.functions.text import regex_quote
+
+
+def broadcast_enrich(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str] | Column,
+    how: str = "left",
+) -> DataFrame:
+    """J2/J3/J9 — dimension enrichment with an explicit broadcast hint."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def join_with_fallback(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    fallback_dim: DataFrame,
+    fallback_keys: list[str],
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """J4 — left join on full key; rows that miss fall back to a coarser
+    dimension (reference: deflator by (iso3, year), else ISO=='DAC' by year —
+    code/04_fts_curated_flows.R:117-118). Two broadcast joins + coalesce;
+    the fact table is read once and never shuffled.
+    """
+    out_col = out_col or value_col
+    primary = dim.select(
+        *keys, F.col(value_col).alias("__primary")
+    )
+    fallback = fallback_dim.select(
+        *fallback_keys, F.col(value_col).alias("__fallback")
+    )
+    return (
+        fact.join(F.broadcast(primary), keys, "left")
+        .join(F.broadcast(fallback), fallback_keys, "left")
+        .withColumn(out_col, F.coalesce("__primary", "__fallback"))
+        .drop("__primary", "__fallback")
+    )
+
+
+def fuzzy_name_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_rel_dist: float = 0.2,
+    exclude_equal: bool = False,
+) -> DataFrame:
+    """J10 — nearest-name join under a relative Levenshtein threshold.
+
+    For each left name: candidates are right names with
+    edit_distance <= max(1, ceil(max_rel_dist * len(left)));
+    the best (min distance, then lexicographic right name) wins.
+    Reference semantics: code/10_global_cva_analysis.R:129-158 (threshold
+    ceil(0.2*nchar), min distance tie-break; lexicographic replaces the
+    loop's first-index tie-break to stay order-independent).
+
+    ``exclude_equal=True`` drops exact-equal pairs before ranking (the
+    reference runs the exact-match stage first and fuzzy-matches only the
+    remainder, code/10:117-129).
+
+    Output: (left_col, matched_name, distance).
+    """
+    l = left.select(F.col(left_col).alias("__l")).distinct()
+    r = right.select(F.col(right_col).alias("__r")).distinct()
+    dist = F.levenshtein(F.col("__l"), F.col("__r"))
+    threshold = F.greatest(
+        F.lit(1), F.ceil(F.length(F.col("__l")) * F.lit(max_rel_dist))
+    )
+    cand = l.crossJoin(F.broadcast(r)).filter(dist <= threshold)
+    if exclude_equal:
+        cand = cand.filter(F.col("__l") != F.col("__r"))
+    w = Window.partitionBy("__l").orderBy(dist.asc(), F.col("__r").asc())
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__l").alias(left_col),
+            F.col("__r").alias("matched_name"),
+            dist.alias("distance"),
+        )
+    )
+
+
+def substring_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    contained: str = "left_in_right",
+) -> DataFrame:
+    """J11 — word-boundary containment match; shortest container wins.
+
+    ``contained='left_in_right'``: left name appears as whole words inside
+    the right name (reference subgrant ⊂ org, code/10:161-176); flip for the
+    second pass (code/10:195-210). Regex metacharacters in the needle are
+    quoted (reference quotemeta, code/10:88-91).
+
+    Output: (left_col, matched_name, match_length).
+    """
+    l = left.select(F.col(left_col).alias("__l")).distinct()
+    r = right.select(F.col(right_col).alias("__r")).distinct()
+    if contained == "left_in_right":
+        needle_name, hay_name = "__l", "__r"
+    else:
+        needle_name, hay_name = "__r", "__l"
+    cand = (
+        l.crossJoin(F.broadcast(r))
+        .withColumn(
+            "__pat",
+            F.concat(F.lit("\\b"), regex_quote(F.col(needle_name)), F.lit("\\b")),
+        )
+        .filter(F.length(F.col(needle_name)) > 0)
+        .filter(F.expr(f"rlike({hay_name}, __pat)"))
+    )
+    w = Window.partitionBy("__l").orderBy(
+        F.length(F.col(hay_name)).asc(), F.col("__r").asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__l").alias(left_col),
+            F.col("__r").alias("matched_name"),
+            F.length(F.col(hay_name)).alias("match_length"),
+        )
+    )
+
+
+def anti_waterfall_union(
+    sources: list[DataFrame], keys: list[str]
+) -> DataFrame:
+    """J14 — priority union: row from source i only if its key is absent
+    from every earlier source (reference FX waterfall OECD→WB→IFS,
+    code/util_exchange_rates.R:62,77). Left-anti joins against the
+    accumulated keys — each anti join is a broadcast when the accumulated
+    key set is dimension-sized.
+    """
+    result = sources[0]
+    for src in sources[1:]:
+        seen = result.select(*keys).distinct()
+        result = result.unionByName(
+            src.join(F.broadcast(seen), keys, "left_anti"),
+            allowMissingColumns=True,
+        )
+    return result
+
+
+def grid_scaffold(
+    keys: DataFrame,
+    key_col: str,
+    start: int,
+    end: int,
+    seq_col: str,
+    values: DataFrame,
+) -> DataFrame:
+    """J15 — dense (key × integer range) grid left-joined to sparse values
+    (reference: iso3 × 1950–2025 FX grid, code/util_exchange_rates.R:30,83).
+    The range is generated with ``sequence`` + explode (no driver loop)."""
+    grid = (
+        keys.select(key_col)
+        .distinct()
+        .withColumn(
+            seq_col, F.explode(F.sequence(F.lit(start), F.lit(end)))
+        )
+    )
+    return grid.join(values, [key_col, seq_col], "left")

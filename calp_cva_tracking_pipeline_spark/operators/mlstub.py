@@ -1,0 +1,100 @@
+"""ML inference surface (SURVEY.md §2.11 M1) as Arrow-batched Pandas UDFs.
+
+The reference shells out to a Python BERT classifier via CSV files
+(classifier_code/flow_inference.py:11-28, invoked between code/08 and
+code/09). Here inference is an in-DAG scalar-iterator pandas_udf: the model
+loads once per executor python worker (not per batch), batches arrive via
+Arrow, and the classifier scales with the cluster instead of being a
+single-process side trip.
+
+torch/transformers are not available in this container, so the real model is
+gated behind an import-try; the default path is a *deterministic* stub whose
+outputs are reproducible in ANSI SQL, which lets the driver's DuckDB oracle
+verify the UDF plumbing end-to-end (schema, batching, null handling).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType
+
+_HF_MODEL = "alex-miller/cva-flow-weighted-classifier2"  # reference model card
+
+
+def _stub_confidence(text: pd.Series) -> pd.Series:
+    # Deterministic pseudo-confidence from text length: ((len*2654435761)
+    # mod 1000)/1000. Matches the SQL oracle expression exactly.
+    return ((text.str.len().fillna(0).astype("int64") * 2654435761) % 1000) / 1000.0
+
+
+@pandas_udf(DoubleType())
+def predict_confidence_stub(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for text in it:
+        yield _stub_confidence(text)
+
+
+@pandas_udf(StringType())
+def predict_class_stub(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for text in it:
+        conf = _stub_confidence(text)
+        yield pd.Series(["Full" if c >= 0.5 else "Partial" for c in conf])
+
+
+def classify_flows(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """M1 — append predicted_class / predicted_confidence.
+
+    Tries the real HF pipeline (torch+transformers present); otherwise the
+    deterministic stub. Output contract matches
+    classifier_code/fts_to_inference_output.csv: predicted_class ∈
+    {Partial, Full}, predicted_confidence ∈ [0,1].
+    """
+    try:  # pragma: no cover - heavy deps absent in this container
+        import torch  # noqa: F401
+        import transformers  # noqa: F401
+
+        return _classify_flows_hf(df, text_col)
+    except ImportError:
+        return df.withColumns(
+            {
+                "predicted_confidence": predict_confidence_stub(F.col(text_col)),
+                "predicted_class": predict_class_stub(F.col(text_col)),
+            }
+        )
+
+
+def _classify_flows_hf(df: DataFrame, text_col: str) -> DataFrame:  # pragma: no cover
+    """Real-model path (requires torch/transformers at deploy time)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("predicted_class", StringType()),
+            StructField("predicted_confidence", DoubleType()),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def infer(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        from transformers import pipeline
+
+        clf = pipeline("text-classification", model=_HF_MODEL, truncation=True)
+        for text in it:
+            out = clf(text.fillna("").tolist(), batch_size=32)
+            yield pd.DataFrame(
+                {
+                    "predicted_class": [o["label"] for o in out],
+                    "predicted_confidence": [o["score"] for o in out],
+                }
+            )
+
+    return (
+        df.withColumn("__pred", infer(F.col(text_col)))
+        .withColumn("predicted_class", F.col("__pred.predicted_class"))
+        .withColumn("predicted_confidence", F.col("__pred.predicted_confidence"))
+        .drop("__pred")
+    )

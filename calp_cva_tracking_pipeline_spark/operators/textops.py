@@ -1,0 +1,88 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting. All JVM-side
+expressions (split/filter/aggregate higher-order functions) — no Python UDFs,
+so they run at scan speed on 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from calp_cva_tracking_pipeline_spark.functions.hashing import stable_hash64
+from calp_cva_tracking_pipeline_spark.functions.text import (
+    ASCII_PUNCT_CLASS,
+    token_count,
+    tokens,
+)
+
+# Minimal function-word lists for the n-gram/stopword language heuristic.
+# Real deployments swap in fastText or CLD3 via mapInPandas (see
+# operators/multimodal.py for the UDF plumbing pattern).
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def stopword_ratio(text: Column, stopwords: list[str]) -> Column:
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda w: F.lower(w).isin(stopwords)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def lang_id_heuristic(text: Column, threshold: float = 0.05) -> Column:
+    """Stopword-ratio language ID: 'en' if English function words exceed
+    ``threshold`` of tokens, else 'unk'. Deterministic, oracle-expressible."""
+    return F.when(
+        stopword_ratio(text, EN_STOPWORDS) > threshold, F.lit("en")
+    ).otherwise(F.lit("unk"))
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, ASCII_PUNCT_CLASS, "")
+    return (F.length(text) - F.length(stripped)).cast("double") / F.greatest(
+        F.length(text), F.lit(1)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality score in [0,1]: length band + low punct +
+    sane stopword ratio. The standard pre-training heuristic-filter shape
+    (cf. C4/Gopher rules); weights are engine policy, not reference parity.
+    """
+    n_tok = token_count(text)
+    length_ok = (n_tok >= 10) & (n_tok <= 10000)
+    sw = stopword_ratio(text, EN_STOPWORDS)
+    score = (
+        F.when(length_ok, 0.4).otherwise(0.0)
+        + F.when(punct_ratio(text) < 0.1, 0.3).otherwise(0.0)
+        + F.when(sw > 0.01, 0.3).otherwise(0.0)
+    )
+    return F.round(score, 6)
+
+
+def document_fingerprint(text: Column, modulus: int = 1_000_000_007) -> Column:
+    """Order-sensitive polynomial rolling hash over word hashes:
+    fp = fold(acc * 31 + h(w)) mod M. Stable across engines (md5-derived
+    word hashes) and sessions; narrow projection."""
+    hs = F.transform(tokens(text), lambda w: stable_hash64(w))
+    return F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % F.lit(modulus),
+    )
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience projection adding the full text-analysis feature set."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "lang_pred": lang_id_heuristic(t),
+            "punct_ratio": F.round(punct_ratio(t), 6),
+            "stopword_ratio": F.round(stopword_ratio(t, EN_STOPWORDS), 6),
+            "quality": quality_score(t),
+            "fingerprint": document_fingerprint(t),
+        }
+    )

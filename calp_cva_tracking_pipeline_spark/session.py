@@ -1,0 +1,91 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[N]`` but every default here is chosen for the
+1000-executor / 100 TB deployment this engine targets:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join strategy).
+- Broadcast threshold raised: every reference dimension table (isos 248 rows,
+  deflators 10k, FX 19k, org-type 20 — BASELINE.md) is far below 64 MB, so
+  dimension joins never shuffle the fact table.
+- ``spark.sql.shuffle.partitions`` defaults to a multiple of local cores and
+  should be ~2-3× total cluster cores in production; AQE coalesces the rest.
+- Arrow enabled so Pandas-UDF operators (ML inference, multimodal decode)
+  move batches, not rows, across the JVM↔Python boundary.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "calp-cva-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's tuned defaults."""
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def normalize_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf this engine relies on to a foreign session.
+
+    The correctness driver constructs its own SparkSession; queries route
+    through this so results are timezone/ANSI-stable regardless of who built
+    the session. Also ships this package to executor Python workers
+    (pandas_udf / mapInPandas closures reference it by module name, and a
+    driver process launched outside the repo root won't propagate its
+    sys.path to workers).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    if getattr(sc, "_calp_pkg_shipped", False):
+        return
+    import calp_cva_tracking_pipeline_spark as pkg
+
+    pkg_dir = Path(pkg.__file__).resolve().parent
+    zpath = (
+        Path(tempfile.gettempdir()) / f"calp_cva_pkg_{pkg.__version__}.zip"
+    )
+    if not zpath.exists():
+        tmp = zpath.with_suffix(f".{os.getpid()}.tmp")
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, f"{pkg_dir.name}/{py.relative_to(pkg_dir)}")
+        os.replace(tmp, zpath)
+    sc.addPyFile(str(zpath))
+    sc._calp_pkg_shipped = True

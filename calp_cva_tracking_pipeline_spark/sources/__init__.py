@@ -1,0 +1,1 @@
+"""Ingestion adapters (SURVEY.md §2.1 S1-S13)."""

@@ -1,0 +1,78 @@
+"""File-format sources/sinks (SURVEY.md S3-S8).
+
+Null-token normalization mirrors the reference's fread na.strings and
+"NULL"-string cleanup (code/03_deflators.R:46, code/04_fts_curated_flows.R:63).
+Facts write as year-partitioned parquet with dynamic partition overwrite —
+the Spark-native analog of the reference's one-CSV-per-year incremental cache
+(code/04_fts_curated_flows.R:44-68).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NULL_TOKENS = ["", "n/a", "--", "NULL", "NA"]
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    null_tokens: list[str] | None = None,
+    **options,
+) -> DataFrame:
+    """S3 — CSV read with explicit schema (preferred) or inference, plus
+    null-token normalization."""
+    reader = spark.read.options(header=True, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    df = reader.csv(path)
+    for tok in null_tokens if null_tokens is not None else NULL_TOKENS:
+        if tok == "":
+            continue
+        df = df.replace(tok, None)
+    return df
+
+
+def read_tsv_utf16(spark: SparkSession, path: str, **options) -> DataFrame:
+    """S7 — tab-delimited UTF-16 with WEO null tokens
+    (reference code/03_deflators.R:46)."""
+    return (
+        spark.read.options(
+            header=True,
+            sep="\t",
+            encoding="UTF-16",
+            nullValue="n/a",
+            **options,
+        )
+        .csv(path)
+        .replace("--", None)
+        .replace("n/a", None)
+    )
+
+
+def read_excel(
+    spark: SparkSession, path: str, sheet: str | int = 0
+) -> DataFrame:
+    """S6 — Excel via pandas (driver-side: survey workbooks are KB-sized
+    dimension inputs, reference code/10_global_cva_analysis.R:30-36).
+    Requires openpyxl at runtime; gate callers with try/except."""
+    import pandas as pd
+
+    pdf = pd.read_excel(path, sheet_name=sheet)
+    pdf.columns = [str(c).strip() for c in pdf.columns]
+    return spark.createDataFrame(pdf)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_col: str = "year", mode: str = "overwrite"
+) -> None:
+    """S4/S5 — year-partitioned parquet sink with dynamic partition overwrite
+    (re-running one year replaces only that partition — the reference's
+    per-year cache semantics, code/04:44-68)."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode(mode).partitionBy(partition_col).parquet(path)

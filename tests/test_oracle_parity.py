@@ -1,0 +1,105 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables (sf0.001 by default), then compares
+row counts and order-insensitive values (columns sorted by name, rows sorted
+by string form, floats rounded to 9 significant-ish decimals).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm_val(v):
+    import decimal
+
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, int):
+        return float(v) if abs(v) < 2**52 else v
+    return v
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_val(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir):
+    q = QUERIES[name]
+    sdf = q(spark, sf_dir)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    if name not in ORACLES:
+        assert len(srows) >= 0  # rows-only check (driver's weaker mode)
+        return
+
+    con = _duck(sf_dir)
+    res = con.execute(ORACLES[name])
+    drows = res.fetchall()
+    dcols = [d[0] for d in res.description]
+
+    assert sorted(scols) == sorted(dcols), (
+        f"{name}: column mismatch spark={sorted(scols)} duck={sorted(dcols)}"
+    )
+    assert len(srows) == len(drows), (
+        f"{name}: row count spark={len(srows)} duck={len(drows)}"
+    )
+    s_norm = _normalize([tuple(r) for r in srows], scols)
+    d_norm = _normalize(drows, dcols)
+    mismatches = [
+        (a, b) for a, b in zip(s_norm, d_norm) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} value mismatches; first 3: {mismatches[:3]}"
+    )
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[0] == "l_returnflag"
