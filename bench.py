@@ -34,6 +34,7 @@ HEADLINE = [
     "x1_equal_split_explode",
     "cc3_amount_cascade",
     "j10_fuzzy_levenshtein",
+    "ep2_cva_by_location",
     "dd_minhash_lsh",
     "ann_brute_topk",
     "tx_features",

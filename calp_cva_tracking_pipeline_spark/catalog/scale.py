@@ -18,6 +18,7 @@ from calp_cva_tracking_pipeline_spark.functions.hashing import (
 )
 from calp_cva_tracking_pipeline_spark.operators.dedup import (
     dedup_exact,
+    embedding_near_dup_candidates,
     minhash_lsh_candidates,
     ngram_jaccard,
     simhash,
@@ -54,6 +55,7 @@ list_distinct(list_transform(
 NUM_HASHES = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
+MAX_BUCKET_DOCS = 64  # duplicate-skew guard: drop band buckets larger than this
 _PARAMS = minhash_params(NUM_HASHES)
 
 _SIG_ELEMS = ",\n    ".join(
@@ -61,17 +63,30 @@ _SIG_ELEMS = ",\n    ".join(
     for a, b in _PARAMS
 )
 
+# docs_dedup mirrors operators.dedup.dedup_exact (pre-collapse of exact
+# duplicates before signatures — the skew guard); bucket_ok mirrors the
+# max_bucket_docs cap.
 _SIG_CTE = f"""
+docs_dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) t
+  WHERE rn = 1),
 tok AS (
   SELECT doc_id, list_transform({_SHINGLES}, s -> {_sql_hash60('s')} % {MERSENNE_P}) AS hs
-  FROM documents),
+  FROM docs_dedup),
 sigs AS (
   SELECT doc_id, [{_SIG_ELEMS}] AS sig FROM tok),
-banded AS (
+banded_all AS (
   {" UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, array_to_string(list_slice(sig, {b * ROWS_PER_BAND + 1}, {(b + 1) * ROWS_PER_BAND}), ',') AS key FROM sigs"
     for b in range(BANDS)
   )}),
+banded AS (
+  SELECT doc_id, band, key FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bn FROM banded_all) t
+  WHERE bn <= {MAX_BUCKET_DOCS}),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
   FROM banded l JOIN banded r
@@ -99,24 +114,21 @@ WHERE rn = 1
 
 
 def dd_minhash_lsh(spark, sf_dir):
-    # MinHash+LSH candidate pairs (shingle→minhash→band→bucket-join).
-    d = T(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(
-        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, k=3
-    )
-
-
-DD_MINHASH_SQL = f"""
-WITH {_SIG_CTE}
-SELECT id_a, id_b FROM cand
-"""
-
-
-def dd_jaccard_verify(spark, sf_dir):
-    # Exact n-gram Jaccard over the LSH candidates (verification stage).
+    # MinHash+LSH near-dup pipeline: exact-dup pre-collapse → shingle →
+    # minhash → band → bucket-join (capped at MAX_BUCKET_DOCS per bucket,
+    # the duplicate-skew guard) → exact n-gram Jaccard verification of each
+    # candidate (merged dd_jaccard_verify — the two stages always run
+    # together in a real dedup pass).
     d = T(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(
-        d, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, k=3
+        d,
+        "doc_id",
+        "text",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        k=3,
+        pre_collapse_exact=True,
+        max_bucket_docs=MAX_BUCKET_DOCS,
     )
     out = ngram_jaccard(pairs, d, "doc_id", "text", k=3)
     return out.select(
@@ -124,7 +136,7 @@ def dd_jaccard_verify(spark, sf_dir):
     )
 
 
-DD_JACCARD_SQL = f"""
+DD_MINHASH_SQL = f"""
 WITH {_SIG_CTE},
 sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
 cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
@@ -203,12 +215,19 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 WHERE rank <= {TOP_K}
 """
 
+# Embedding dimensionality is a declared schema constant shared by the Spark
+# plans AND the SQL oracles (the testdata embeddings table is 64-wide; the
+# first ann query asserts it at run time rather than probing per-plan).
+EMB_DIM = 64
 LSH_PLANES = 6
-_EMB_DIM = 64
-_PLANES = random_planes(LSH_PLANES, dim=_EMB_DIM)
+LSH_TABLES = 2
+LSH_SEED = 42
 
 
 def ann_lsh_topk(spark, sf_dir):
+    # Multi-table OR-amplified hyperplane LSH: a neighbor is a candidate if
+    # it shares a bucket with the query in ANY of LSH_TABLES independent
+    # tables — the production answer to single-table recall cliffs.
     e = T(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < N_QUERIES)
     return lsh_topk(
@@ -218,14 +237,17 @@ def ann_lsh_topk(spark, sf_dir):
         "embedding",
         "vec_id",
         "embedding",
+        dim=EMB_DIM,
         k=TOP_K,
         n_planes=LSH_PLANES,
+        n_tables=LSH_TABLES,
+        seed=LSH_SEED,
     )
 
 
-def _plane_sql(vec_expr: str) -> str:
+def _plane_sql(vec_expr: str, planes: list[list[float]]) -> str:
     terms = []
-    for i, plane in enumerate(_PLANES):
+    for i, plane in enumerate(planes):
         lits = "[" + ",".join(repr(x) for x in plane) + "]::DOUBLE[]"
         terms.append(
             f"CASE WHEN list_dot_product({vec_expr}, {lits}) >= 0"
@@ -234,21 +256,33 @@ def _plane_sql(vec_expr: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+_TABLE_PLANES = [
+    random_planes(LSH_PLANES, dim=EMB_DIM, seed=LSH_SEED + 1000 * t)
+    for t in range(LSH_TABLES)
+]
+_BUCKET_COLS_SQL = ",\n         ".join(
+    f"{_plane_sql('CAST(embedding AS DOUBLE[])', planes)} AS bucket{t}"
+    for t, planes in enumerate(_TABLE_PLANES)
+)
+_BUCKET_MATCH_SQL = " OR ".join(
+    f"c.bucket{t} = q.bucket{t}" for t in range(LSH_TABLES)
+)
+
 ANN_LSH_SQL = f"""
 WITH c AS (
   SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
-         {_plane_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+         {_BUCKET_COLS_SQL}
   FROM embeddings),
 q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
-         {_plane_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+         {_BUCKET_COLS_SQL}
   FROM embeddings WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT query_id, neighbor_id,
          ROUND(list_dot_product(qv, cv) /
                (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
                6) AS cosine
-  FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id)
+  FROM c JOIN q ON ({_BUCKET_MATCH_SQL}) AND query_id <> neighbor_id)
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (
     PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
@@ -256,12 +290,55 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 WHERE rank <= {TOP_K}
 """
 
+# Embedding-cosine near-duplicate candidates (bucketed, threshold-filtered).
+NEARDUP_PLANES = 4
+NEARDUP_THRESHOLD = 0.1
+_NEARDUP_PLANE_LIST = random_planes(NEARDUP_PLANES, dim=EMB_DIM, seed=LSH_SEED)
+
+
+def dd_embed_neardup(spark, sf_dir):
+    # Embedding near-dup: random-hyperplane bucket join + exact cosine
+    # threshold within buckets (operators.dedup.embedding_near_dup_candidates).
+    e = T(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_candidates(
+        e,
+        "vec_id",
+        "embedding",
+        dim=EMB_DIM,
+        threshold=NEARDUP_THRESHOLD,
+        n_planes=NEARDUP_PLANES,
+        seed=LSH_SEED,
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+DD_EMBED_SQL = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         {_plane_sql('CAST(embedding AS DOUBLE[])', _NEARDUP_PLANE_LIST)} AS bucket
+  FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.vec, b.vec) /
+               (sqrt(list_dot_product(a.vec, a.vec)) *
+                sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {NEARDUP_THRESHOLD}
+"""
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
 
 
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
 def tx_features(spark, sf_dir):
+    # Full text-analysis feature set + the BPE-ish regex token count
+    # (merged tx_bpe_token_count) — one scan-speed projection.
     d = T(spark, sf_dir, "documents")
     return add_text_features(d).select(
         "doc_id",
@@ -271,6 +348,9 @@ def tx_features(spark, sf_dir):
         "stopword_ratio",
         "quality",
         "fingerprint",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0)
+        ).alias("bpe_tokens"),
     )
 
 
@@ -300,28 +380,9 @@ SELECT doc_id,
   list_reduce(
     list_prepend(CAST(0 AS BIGINT),
                  list_transform({_TOKS}, w -> {_sql_hash60('w')})),
-    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
-FROM documents
-"""
-
-BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
-
-
-def tx_bpe_token_count(spark, sf_dir):
-    # BPE-ish regex token counting (words / numbers / residual symbols).
-    d = T(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(
-            F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0)
-        ).alias("bpe_tokens"),
-    )
-
-
-TX_BPE_SQL = f"""
-SELECT doc_id,
-       CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS INTEGER)
-         AS bpe_tokens
+    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint,
+  CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS INTEGER)
+    AS bpe_tokens
 FROM documents
 """
 
@@ -389,13 +450,13 @@ def st_sessionize(spark, sf_dir):
 
 ST_SESSION_SQL = f"""
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    >= INTERVAL {SESSION_GAP_MIN} MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM events),
 islands AS (
-  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged)
 SELECT user_id,
@@ -409,12 +470,11 @@ FROM islands GROUP BY user_id, sid
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
-    "dd_jaccard_verify": (dd_jaccard_verify, DD_JACCARD_SQL),
     "dd_simhash": (dd_simhash, DD_SIMHASH_SQL),
+    "dd_embed_neardup": (dd_embed_neardup, DD_EMBED_SQL),
     "ann_brute_topk": (ann_brute_topk, ANN_BRUTE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "tx_features": (tx_features, TX_FEATURES_SQL),
-    "tx_bpe_token_count": (tx_bpe_token_count, TX_BPE_SQL),
     "m1_classifier_stub": (m1_classifier_stub, M1_SQL),
     "st_windowed_agg": (st_windowed_agg, ST_WINDOW_SQL),
     "st_sessionize": (st_sessionize, ST_SESSION_SQL),

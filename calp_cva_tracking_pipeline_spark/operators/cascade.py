@@ -15,7 +15,7 @@ Single-projection, no shuffle, whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -57,6 +57,62 @@ def sector_method_cluster_relevance(
     )
 
 
+# --- CC2: relevance / relevance_method with ML override --------------------
+# Reference: code/08_fts_keyword_searching_cash.R:139-148,175-182. Two output
+# columns driven by one precedence order: CC1 result → project-percentage
+# bands → ML prediction, where ML applies ONLY to rows still 'None' that
+# were sent to inference (keyword_match | project_cva).
+
+
+def relevance_with_ml(
+    cc1_relevance: Column,
+    pct: Column,
+    keyword_match: Column,
+    project_cva: Column,
+    predicted_class: Column,
+) -> tuple[Column, Column]:
+    """Returns (relevance, relevance_method) as two parallel when-chains.
+
+    Rules in application order (later overrides earlier):
+    1. init from CC1; method 'Sector/Method/Cluster' where non-None.
+    2. pct >= 0.75            → Full,    'Project CVA Percentage'
+    3. 0 < pct < 0.75         → Partial, 'Project CVA Percentage'
+    4. on rows STILL None after 1-3 and flagged for inference
+       (keyword_match | project_cva), prediction ∈ {Partial, Full} →
+       relevance = prediction; method 'Keyword + ML' when keyword-flagged
+       else 'Project API + ML' (code/08:175-182).
+    """
+    kw = keyword_match & predicted_class.isin("Partial", "Full")
+    api = (
+        ~keyword_match
+        & project_cva
+        & predicted_class.isin("Partial", "Full")
+    )
+    # rules 2-3 override CC1; rule 4 fires only where 1-3 left None
+    pct_full = pct.isNotNull() & (pct >= 0.75)
+    pct_partial = pct.isNotNull() & (pct > 0) & (pct < 0.75)
+    none_after_3 = (cc1_relevance == "None") & ~pct_full & ~pct_partial
+    relevance = when_cascade(
+        cc1_relevance,
+        [
+            (pct_full, F.lit("Full")),
+            (pct_partial, F.lit("Partial")),
+            (none_after_3 & kw, predicted_class),
+            (none_after_3 & api, predicted_class),
+        ],
+    )
+    method = when_cascade(
+        F.when(cc1_relevance != "None", F.lit("Sector/Method/Cluster")),
+        [
+            (pct_full, F.lit("Project CVA Percentage")),
+            (pct_partial, F.lit("Project CVA Percentage")),
+            (none_after_3 & kw, F.lit("Keyword + ML")),
+            (none_after_3 & api, F.lit("Project API + ML")),
+        ],
+    )
+    return relevance, method
+
+
 # --- CC3: CVA amount cascade ----------------------------------------------
 # Reference: code/09_calculate_cva.R:29-54,84-86. Each later rule fires only
 # where all earlier rules left the amount at 0 — encoded as accumulated
@@ -72,7 +128,14 @@ def cva_amount_cascade(
     common_words: Column,
     manual_accept: Column,
 ) -> tuple[Column, Column]:
-    """Returns (CVAamount, CVAamount_type) columns."""
+    """Returns (CVAamount, CVAamount_type) columns.
+
+    The Partial branch divides by ``cluster_count``; a Partial row with zero
+    clusters yields null (R would produce Inf, which the pipeline's
+    positive-finite filter F7 drops anyway, code/09:89 — null reaches the
+    same fate without tripping ANSI division errors or diverging across
+    engines on Inf handling).
+    """
     r_full = relevance == "Full"
     r_partial = relevance == "Partial"
     taken = r_full | r_partial
@@ -86,7 +149,7 @@ def cva_amount_cascade(
         F.lit(0.0),
         [
             (r_full, amount),
-            (r_partial, amount / cluster_count),
+            (r_partial, F.when(cluster_count > 0, amount / cluster_count)),
             (pct_rule, amount * pct),
             (ml_rule, amount),
             (manual_rule, amount),
@@ -103,6 +166,88 @@ def cva_amount_cascade(
         ],
     )
     return amount_col, type_col
+
+
+# --- CC4: manual-review routing --------------------------------------------
+# Reference: code/09_calculate_cva.R:59-86. Flows the amount cascade left at
+# zero but with mid-band ML confidence are routed to a human review queue,
+# minus ids already reviewed; accepted prior decisions fold back into CC3's
+# last rule, and accepted rows with novel text append to the classifier
+# training set.
+
+
+def manual_review_routing(
+    flows: DataFrame,
+    prior_decisions: DataFrame,
+    id_col: str = "id",
+    amount_col: str = "CVAamount",
+    confidence_col: str = "predicted_confidence",
+    common_words_col: str = "common_words_match",
+) -> DataFrame:
+    """Returns the review queue: rows still at amount 0 whose confidence is
+    in the uncertain band [0.5, ·) excluding the auto-accepted high band
+    (confidence >= 0.8 & common-words), anti-joined against ids already
+    reviewed (code/09:59-71).
+
+    The anti join broadcasts the (small, human-generated) decision table, so
+    the fact side is never shuffled. Fold-back of accepted decisions is
+    CC3's ``manual_accept`` input; training-append is ``training_append``.
+    """
+    uncertain = (
+        (F.col(amount_col) == 0)
+        & (F.col(confidence_col) >= 0.5)
+        & ~((F.col(confidence_col) >= 0.8) & F.col(common_words_col))
+    )
+    queue = flows.filter(uncertain)
+    return queue.join(
+        F.broadcast(prior_decisions.select(id_col)), id_col, "left_anti"
+    )
+
+
+def training_append(
+    existing: DataFrame,
+    accepted: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """CC4's second half — append accepted-review rows whose text is new to
+    the classifier training corpus (code/09:72-86): an anti join on the text
+    key, then unionByName. Returns the rows to append."""
+    return accepted.join(
+        F.broadcast(existing.select(text_col).distinct()),
+        text_col,
+        "left_anti",
+    )
+
+
+# --- CC6: ISO / org-name patch maps ----------------------------------------
+# Reference: WEO WBG→PSE (code/03_deflators.R:57), OECD country-name fixes
+# (code/util_exchange_rates.R:43-48), ~20 manual org matches
+# (code/10_global_cva_analysis.R:226-285).
+
+
+def apply_patch_map(
+    df: DataFrame,
+    key_col: str,
+    patches: list[tuple[str, str]],
+    out_col: str | None = None,
+) -> DataFrame:
+    """Override values via a small (from, to) patch table: broadcast left
+    join + coalesce(patched, original). The patch table is human-curated and
+    tiny, so this is a map-side hash probe — the 100 TB side never moves."""
+    out_col = out_col or key_col
+    spark = df.sparkSession
+    patch_df = spark.createDataFrame(
+        patches, schema="__patch_from string, __patch_to string"
+    )
+    return (
+        df.join(
+            F.broadcast(patch_df),
+            F.col(key_col) == F.col("__patch_from"),
+            "left",
+        )
+        .withColumn(out_col, F.coalesce("__patch_to", key_col))
+        .drop("__patch_from", "__patch_to")
+    )
 
 
 def multi_destination_collapse(

@@ -118,15 +118,34 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
+    pre_collapse_exact: bool = True,
+    max_bucket_docs: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (id_a < id_b, distinct).
 
     Signature → split into ``bands`` bands → explode (id, band_key) →
     self-join on band_key. The only shuffle is the band-key exchange; band
-    keys distribute uniformly (they are hashes), so no skew. At 100 TB this
-    is the standard fuzzy-dedup shape: candidates ≪ all-pairs.
+    keys distribute uniformly (they are hashes), so no *hash* skew. At
+    100 TB this is the standard fuzzy-dedup shape: candidates ≪ all-pairs.
+
+    Two guards against duplicate-mass skew (a web crawl routinely contains
+    thousands of byte-identical documents; without guards they all share
+    every band key and one bucket emits O(n²) pairs):
+
+    - ``pre_collapse_exact`` (default True): exact duplicates are collapsed
+      to their min-id representative BEFORE signatures, so identical texts
+      cost one signature and zero intra-bucket pairs. Candidates are then
+      pairs of *distinct* texts; exact-dup membership is ``dedup_exact``'s
+      output. Measured at sf0.1 this also cuts signature work by the
+      duplicate ratio (~17% of docs are exact dups in the synthetic corpus).
+    - ``max_bucket_docs``: band buckets holding more docs are dropped
+      entirely (deterministic, mirrors in the SQL oracle). A bucket of B
+      docs emits B(B-1)/2 pairs; capping bounds the worst bucket's emission
+      while near-dup pairs keep b-1 other bands to be found in.
     """
     rows_per_band = num_hashes // bands
+    if pre_collapse_exact:
+        df = dedup_exact(df, text_col, id_col)
     sig_df = minhash_signatures(df, id_col, text_col, num_hashes, k)
     band_cols = F.array(
         *[
@@ -146,6 +165,13 @@ def minhash_lsh_candidates(
     banded = sig_df.select("__id", F.explode(band_cols).alias("b")).select(
         "__id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
+    if max_bucket_docs is not None:
+        bucket_w = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("__bn", F.count("*").over(bucket_w))
+            .filter(F.col("__bn") <= max_bucket_docs)
+            .drop("__bn")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -219,6 +245,7 @@ def embedding_near_dup_candidates(
     df: DataFrame,
     id_col: str,
     vec_col: str,
+    dim: int,
     threshold: float = 0.9,
     n_planes: int = 8,
     seed: int = 42,
@@ -227,32 +254,18 @@ def embedding_near_dup_candidates(
 
     Documents whose embeddings land in the same sign-pattern bucket are
     candidate pairs; exact cosine is then computed only within buckets.
-    Deterministic pseudo-random planes from the fixed LCG. One shuffle on
+    Deterministic pseudo-random planes from the fixed LCG; ``dim`` is a
+    declared schema constant (no data probe at plan time). One shuffle on
     the bucket key.
     """
     from calp_cva_tracking_pipeline_spark.operators.similarity import (
         cosine_similarity,
+        plane_bucket,
         random_planes,
     )
 
-    planes = random_planes(n_planes, dim=None, seed=seed, df=df, vec_col=vec_col)
-    sign_bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(x) for x in plane]),
-                    lambda a, b: a.cast("double") * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
-        for i, plane in enumerate(planes)
-    ]
-    bucket = sum(sign_bits[1:], sign_bits[0])
+    planes = random_planes(n_planes, dim=dim, seed=seed)
+    bucket = plane_bucket(F.col(vec_col), planes)
     tagged = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
@@ -266,6 +279,10 @@ def embedding_near_dup_candidates(
     ).select(
         F.col("l.__id").alias("id_a"),
         F.col("r.__id").alias("id_b"),
-        cosine_similarity(F.col("l.__vec"), F.col("r.__vec")).alias("cosine"),
+        # rounded before the threshold test so the boundary decision is
+        # identical across engines (libm dot products differ at 1 ulp)
+        F.round(
+            cosine_similarity(F.col("l.__vec"), F.col("r.__vec")), 6
+        ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)

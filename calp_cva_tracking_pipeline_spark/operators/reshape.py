@@ -14,6 +14,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _qcol(name: str) -> Column:
+    """Column ref that tolerates the reference's dotted column names
+    (e.g. ``destinationObjects_Location.name`` — FIXTURES.md §1)."""
+    return F.col(f"`{name}`") if "." in name else F.col(name)
+
+
 def split_rows_equal(
     df: DataFrame,
     packed_col: str,
@@ -30,11 +36,11 @@ def split_rows_equal(
     parts, amount / (1 + separator count)); applied to usage-year and
     location at code/04_fts_curated_flows.R:87-92.
     """
-    parts = F.transform(F.split(F.col(packed_col), sep), lambda s: F.trim(s))
+    parts = F.transform(F.split(_qcol(packed_col), sep), lambda s: F.trim(s))
     df = df.withColumn("__parts", parts)
     n = F.size(F.col("__parts"))
     for amt in amount_cols:
-        df = df.withColumn(amt, F.col(amt) / n)
+        df = df.withColumn(amt, _qcol(amt) / n)
     return (
         df.withColumn(packed_col, F.explode(F.col("__parts")))
         .drop("__parts")
@@ -83,6 +89,77 @@ def collapse_group_concat(
         for c in concat_cols
     ]
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def collapse_struct_array(
+    df: DataFrame,
+    arr_col: str,
+    fields: list[str],
+    prefix: str = "",
+    sep: str = "; ",
+    drop: bool = True,
+) -> DataFrame:
+    """X5 — collapse an ArrayType(StructType) column into one '; '-joined
+    string column per struct field.
+
+    Reference semantics: the nested ``reportDetails`` list-column becomes
+    prefixed flat columns, each field's values joined with '; '
+    (code/04_fts_curated_flows.R:59-62). Pure ``transform`` + ``array_join``
+    — a narrow projection with no explode and no shuffle, so at 100 TB it
+    runs at scan speed inside whole-stage codegen.
+
+    Null/empty arrays produce null (no values to join), matching R's
+    paste-over-empty-list → NA cleanup at code/04:63.
+    """
+    out = df
+    for f in fields:
+        joined = F.array_join(
+            F.transform(_qcol(arr_col), lambda s: s.getField(f).cast("string")),
+            sep,
+        )
+        out = out.withColumn(
+            f"{prefix}{f}",
+            F.when(
+                _qcol(arr_col).isNull() | (F.size(_qcol(arr_col)) == 0),
+                F.lit(None),
+            ).otherwise(joined),
+        )
+    return out.drop(arr_col) if drop else out
+
+
+def explode_with_fallback(
+    df: DataFrame,
+    arr_col: str,
+    out_cols: dict[str, Column],
+    fallback: dict[str, Column],
+) -> DataFrame:
+    """X6 — one row per array element, with a placeholder row when the array
+    is null/empty.
+
+    Reference semantics: per-project Q&A emission — one long row per
+    (question, answer) pair, and a single fallback row for projects whose
+    JSON is absent or broken (code/06_fetch_projects.R:80-141).
+
+    ``out_cols`` maps output name → expression over ``F.col("__elem")``
+    (the exploded struct); ``fallback`` maps the same names to the
+    placeholder values. Implemented as a single projection: null/empty
+    arrays are first replaced by a one-element sentinel array so a single
+    ``explode`` serves both branches — no union, no second scan of the
+    input, which at 100 TB halves the I/O versus the explode+anti-join
+    alternative.
+    """
+    has_rows = F.col(arr_col).isNotNull() & (F.size(arr_col) > 0)
+    padded = F.when(has_rows, F.col(arr_col)).otherwise(
+        F.array(F.lit(None).cast(df.schema[arr_col].dataType.elementType))
+    )
+    out = df.withColumn("__has", has_rows).withColumn(
+        "__elem", F.explode(padded)
+    )
+    for name, expr in out_cols.items():
+        out = out.withColumn(
+            name, F.when(F.col("__has"), expr).otherwise(fallback[name])
+        )
+    return out.drop("__elem", "__has", arr_col)
 
 
 def fan_out_rows(

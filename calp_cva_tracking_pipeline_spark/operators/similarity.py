@@ -16,20 +16,16 @@ from pyspark.sql import functions as F
 
 
 def random_planes(
-    n_planes: int,
-    dim: int | None,
-    seed: int = 42,
-    df: DataFrame | None = None,
-    vec_col: str | None = None,
+    n_planes: int, dim: int, seed: int = 42
 ) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from a fixed LCG.
 
     Components are in [-1, 1); reproducible across runs/engines without
     numpy's RNG (same reasoning as functions.hashing.minhash_params).
+    ``dim`` is the embedding dimensionality — a declared schema constant,
+    not probed from data (no driver-side action in plan construction).
+    Different ``seed`` values give independent LSH tables.
     """
-    if dim is None:
-        first = df.select(F.size(F.col(vec_col)).alias("n")).first()
-        dim = int(first["n"])
     planes, state = [], seed
     for _ in range(n_planes):
         comps = []
@@ -101,6 +97,21 @@ def brute_force_topk(
     )
 
 
+def plane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id of ``vec`` against ``planes`` (bit i set iff
+    vec · plane_i >= 0). Pure JVM expression."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        for i, plane in enumerate(planes)
+    ]
+    b = bits[0]
+    for t in bits[1:]:
+        b = b + t
+    return b
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -108,52 +119,61 @@ def lsh_topk(
     vec_col: str,
     query_id_col: str,
     query_vec_col: str,
+    dim: int,
     k: int = 5,
     n_planes: int = 6,
+    n_tables: int = 2,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket join, exact cosine within
-    bucket. The scale path — candidate count drops ~2^n_planes-fold; recall
-    is tunable via n_planes (use multiple tables OR fewer planes for higher
-    recall). Same output schema as brute_force_topk.
+    bucket. The scale path — candidate count per table drops
+    ~2^n_planes-fold versus brute force.
+
+    Recall comes from OR-amplification over ``n_tables`` independent hash
+    tables (per-table seed offsets): a neighbor is a candidate if it
+    collides with the query in ANY table. A single table's recall cliffs for
+    neighbors near a hyperplane; with T tables the miss probability decays
+    as (1 - p^b)^T.
+
+    Shape for 100 TB: each table is a broadcast join of the (small) query
+    side against the corpus scan — the corpus is scanned ``n_tables`` times
+    but NEVER shuffled; scoring happens inside the table join, and the
+    per-pair groupBy (pairs colliding in several tables score identically)
+    shuffles only the candidate set, which is ≪ corpus. Same output schema
+    as brute_force_topk.
     """
-    planes = random_planes(n_planes, dim=None, seed=seed, df=corpus, vec_col=vec_col)
-
-    def bucket_of(vec: Column) -> Column:
-        bits = [
-            F.when(
-                dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit(1 << i)
-            ).otherwise(F.lit(0))
-            for i, plane in enumerate(planes)
-        ]
-        b = bits[0]
-        for t in bits[1:]:
-            b = b + t
-        return b
-
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        bucket_of(F.col(vec_col)).alias("__bucket"),
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("__qvec"),
-        bucket_of(F.col(query_vec_col)).alias("__bucket"),
     )
-    scored = (
-        c.join(F.broadcast(q), ["__bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.round(cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6),
+    scored = None
+    for t in range(n_tables):
+        planes = random_planes(n_planes, dim=dim, seed=seed + 1000 * t)
+        ct = c.withColumn("__bucket", plane_bucket(F.col("__cvec"), planes))
+        qt = q.withColumn("__bucket", plane_bucket(F.col("__qvec"), planes))
+        part = (
+            ct.join(F.broadcast(qt), ["__bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6
+                ).alias("cosine"),
+            )
         )
+        scored = part if scored is None else scored.unionByName(part)
+    dedup = scored.groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        dedup.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -27,18 +27,24 @@ def cumulative_product(
 ) -> DataFrame:
     """W1/W4 — per-group cumulative product via exp(sum(log)).
 
-    Values must be positive growth factors (the deflator case); zero/negative
-    inputs yield null rather than a wrong product. ``reverse=True`` gives the
-    reference's back-fill rev(cumprod(...)) (code/03_deflators.R:164-165).
-    Rounded to ``round_to`` dp because libm exp/ln differ at 1-ulp across
-    engines.
+    Values must be positive growth factors (the deflator case). A zero,
+    negative, or null factor poisons the product from that row onward: the
+    output is null wherever the running frame contains a non-positive factor
+    (F.sum would silently *skip* a null log, which would drop the factor from
+    the product — the min-over-frame guard below propagates instead).
+    ``reverse=True`` gives the reference's back-fill rev(cumprod(...))
+    (code/03_deflators.R:164-165). Rounded to ``round_to`` dp because libm
+    exp/ln differ at 1-ulp across engines.
     """
     order = [
         F.col(c).desc() if reverse else F.col(c).asc() for c in order_cols
     ]
     w = _running(Window.partitionBy(*partition_cols).orderBy(*order))
-    safe = F.when(F.col(value_col) > 0, F.log(F.col(value_col)))
-    out = F.exp(F.sum(safe).over(w))
+    v = F.col(value_col)
+    frame_ok = F.min(
+        F.when(v.isNull() | (v <= 0), F.lit(0)).otherwise(F.lit(1))
+    ).over(w)
+    out = F.when(frame_ok == 1, F.exp(F.sum(F.log(v)).over(w)))
     if round_to is not None:
         out = F.round(out, round_to)
     return df.withColumn(out_col, out)

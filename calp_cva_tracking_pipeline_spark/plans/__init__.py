@@ -1,0 +1,22 @@
+"""End-to-end pipeline builders (SURVEY.md §3 entry points).
+
+Each builder composes the ``operators`` kernels into one lazy DataFrame DAG
+mirroring a reference entry point — EP1 curate (scripts 01-05), EP2 classify
+(06-09), EP3 global analysis (10-11) — with no intermediate file handoffs:
+what the reference does as CSV-pause-resume (including the R→Python
+classifier side trip) is a single Catalyst plan here.
+"""
+
+from calp_cva_tracking_pipeline_spark.plans.pipelines import (
+    classify_cva,
+    curate_flows,
+    cva_by_location,
+)
+from calp_cva_tracking_pipeline_spark.plans.schemas import CURATED_FLOWS_SCHEMA
+
+__all__ = [
+    "CURATED_FLOWS_SCHEMA",
+    "classify_cva",
+    "curate_flows",
+    "cva_by_location",
+]

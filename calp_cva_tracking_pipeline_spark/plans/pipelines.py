@@ -1,0 +1,211 @@
+"""EP1/EP2/EP3 — the reference's three entry points as lazy DataFrame DAGs.
+
+The reference runs these as imperative scripts with file handoffs between
+stages and a pause for the external Python classifier (SURVEY.md §3). Here
+each is ONE composable function: Catalyst sees the whole chain, so filters
+push to the scan, dimension joins broadcast, and the classifier is an
+in-DAG pandas_udf instead of a CSV side trip.
+
+Column names follow the reference contract (plans.schemas); every step cites
+the reference lines it re-expresses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from calp_cva_tracking_pipeline_spark.operators.cascade import (
+    cva_amount_cascade,
+    multi_destination_collapse,
+    relevance_with_ml,
+    sector_method_cluster_relevance,
+    when_cascade,
+)
+from calp_cva_tracking_pipeline_spark.operators.dedup import priority_dedup
+from calp_cva_tracking_pipeline_spark.operators.joins import join_with_fallback
+from calp_cva_tracking_pipeline_spark.operators.mlstub import classify_flows
+from calp_cva_tracking_pipeline_spark.operators.reshape import split_rows_equal
+from calp_cva_tracking_pipeline_spark.functions.text import keyword_flag
+
+
+def curate_flows(
+    raw: DataFrame,
+    isos: DataFrame,
+    deflators: DataFrame,
+    dac_deflators: DataFrame,
+    year_col: str = "destinationObjects_UsageYear.name",
+    location_col: str = "destinationObjects_Location.name",
+) -> DataFrame:
+    """EP1 — raw flows → curated flows (code/04_fts_curated_flows.R:70-119).
+
+    outgoing filter (F1) → shared-boundary priority dedup (D1) →
+    equal-split explode by usage-year then location (X1, Σ preserved) →
+    ISO broadcast join (J2) → multi-destination collapse (CC5) →
+    deflator join with DAC fallback (J4) → deflated amount columns (C9).
+
+    ``isos`` must expose (countryname_fts, iso3); ``deflators``
+    (iso3, year, gdp_defl); ``dac_deflators`` (year, gdp_defl).
+    """
+    flows = raw.filter(F.col("boundary") != "outgoing")  # code/04:80
+    shared = flows.filter(F.col("onBoundary") == "shared")
+    rest = flows.filter(
+        F.col("onBoundary").isNull() | (F.col("onBoundary") != "shared")
+    )
+    # incoming preferred over internal per shared id (code/04:83-84)
+    pri = when_cascade(
+        F.lit(2),
+        [(F.col("boundary") == "incoming", F.lit(0)),
+         (F.col("boundary") == "internal", F.lit(1))],
+    )
+    deduped = priority_dedup(shared, ["id"], pri, ["boundary"])
+    flows = rest.unionByName(deduped)
+    # one row per usage-year, then per location; amount split equally
+    # (code/04:87-92 via code/02:8-21)
+    flows = split_rows_equal(flows, year_col, ["amountUSD"])
+    flows = split_rows_equal(flows, location_col, ["amountUSD"])
+    flows = flows.withColumn("year", F.col(f"`{year_col}`").cast("int"))
+    # ISO enrichment (code/04:95-96) — broadcast dimension join
+    iso_dim = isos.select(
+        F.col("countryname_fts").alias(location_col),
+        F.col("iso3").alias("destination_org_iso3"),
+    )
+    flows = flows.join(F.broadcast(iso_dim), [location_col], "left")
+    # CC5 multi-destination collapse (code/04:97-98)
+    name, iso = multi_destination_collapse(
+        F.col(f"`{location_col}`"), F.col("destination_org_iso3")
+    )
+    flows = flows.withColumn("destination_org_country", name).withColumn(
+        "destination_org_iso3", iso
+    )
+    # J4 deflator with DAC fallback (code/04:117-118), then C9 arithmetic
+    flows = join_with_fallback(
+        flows,
+        deflators.select(
+            F.col("iso3").alias("destination_org_iso3"), "year", "gdp_defl"
+        ),
+        ["destination_org_iso3", "year"],
+        dac_deflators.select("year", "gdp_defl"),
+        ["year"],
+        "gdp_defl",
+        out_col="deflator",
+    )
+    return flows.withColumn(
+        "amountUSD_defl", F.col("amountUSD") / F.col("deflator")
+    ).withColumn(
+        "amountUSD_defl_millions", F.col("amountUSD_defl") / 1e6
+    )
+
+
+def classify_cva(
+    flows: DataFrame,
+    projects: DataFrame,
+    decisions: DataFrame,
+    cash_clusters: list[str],
+    keywords: list[str],
+    common_words: list[str],
+    flow_id_col: str = "id",
+    project_key_col: str = "destinationObjects_Project.id",
+    cluster_col: str = "destinationObjects_Cluster.name",
+) -> DataFrame:
+    """EP2 — curated flows → per-flow CVA amounts (scripts 08 → ML → 09).
+
+    J7 project-features left join (string-cast keys, code/08:38,47-48) →
+    all_text concat (C7, code/08:50) → C1 keyword flag (code/08:131) →
+    CC1 relevance (code/08:121-128) → M1 in-DAG classifier
+    (classifier_code/flow_inference.py, no file pause) → CC2
+    relevance/relevance_method (code/08:139-148,175-182) → C4 cluster count
+    (code/09:26-27) → CC3 amount cascade incl. manual fold-back
+    (code/09:29-54,84-86). F9: flows with null amountUSD are dropped up
+    front (the reference's complete-cases guard).
+
+    ``projects`` must expose (project_id, project_text, cva_percentage, cva);
+    ``decisions`` (id, accepted:boolean).
+    """
+    flows = flows.dropna(subset=["amountUSD"])  # F9
+    proj = projects.select(
+        F.col("project_id").cast("string").alias("__pkey"),
+        "project_text",
+        F.col("cva_percentage").alias("project_cva_percentage"),
+        F.col("cva").alias("project_cva"),
+    )
+    out = flows.join(
+        F.broadcast(proj),
+        F.col(f"`{project_key_col}`").cast("string") == F.col("__pkey"),
+        "left",
+    ).drop("__pkey")
+    out = out.withColumn(
+        "all_text",
+        F.concat_ws(" ", F.col("description"), F.col("project_text")),
+    )
+    out = out.withColumn(
+        "keyword_match", keyword_flag(F.col("all_text"), keywords)
+    )
+    cc1 = sector_method_cluster_relevance(
+        F.col("method"), F.col(f"`{cluster_col}`"), cash_clusters
+    )
+    out = out.withColumn("sector_method_cluster_relevance", cc1)
+    out = classify_flows(out, "all_text")  # M1, in-DAG
+    relevance, rel_method = relevance_with_ml(
+        F.col("sector_method_cluster_relevance"),
+        F.col("project_cva_percentage"),
+        F.col("keyword_match"),
+        F.coalesce(F.col("project_cva"), F.lit(False)),
+        F.col("predicted_class"),
+    )
+    out = out.withColumn("relevance", relevance).withColumn(
+        "relevance_method", rel_method
+    )
+    # C4: destinationClusterCount = 1 + ';'-count, 0 when empty (code/09:26-27)
+    cluster = F.col(f"`{cluster_col}`")
+    out = out.withColumn(
+        "destinationClusterCount",
+        F.when(
+            cluster.isNull() | (cluster == ""), F.lit(0)
+        ).otherwise(F.size(F.split(cluster, ";"))),
+    )
+    out = out.withColumn(
+        "common_words_match",
+        keyword_flag(F.col("all_text"), common_words),  # code/09:50
+    )
+    dec = decisions.select(
+        F.col("id").alias(flow_id_col),
+        F.col("accepted").alias("__accepted"),
+    )
+    out = out.join(F.broadcast(dec), [flow_id_col], "left")
+    amount, amount_type = cva_amount_cascade(
+        relevance=F.col("relevance"),
+        amount=F.col("amountUSD"),
+        cluster_count=F.col("destinationClusterCount"),
+        pct=F.col("project_cva_percentage"),
+        confidence=F.col("predicted_confidence"),
+        common_words=F.col("common_words_match"),
+        manual_accept=F.coalesce(F.col("__accepted"), F.lit(False)),
+    )
+    return (
+        out.withColumn("CVAamount", amount)
+        .withColumn("CVAamount_type", amount_type)
+        .drop("__accepted")
+    )
+
+
+def cva_by_location(
+    cva: DataFrame,
+    location_col: str = "destinationObjects_Location.name",
+) -> DataFrame:
+    """EP3 sample-analysis slice — CVA by destination location
+    (code/11_refresh_2024_sample_analysis.R:44-89): positive-finite filter
+    (F7, code/09:89) → per-location sum in millions (A6, code/11:62-67) →
+    deterministic ordering (code/11:86)."""
+    amt = F.col("CVAamount")
+    return (
+        cva.filter((amt > 0) & ~F.isnan(amt) & (amt < float("inf")))
+        .groupBy(F.col(f"`{location_col}`").alias("location"))
+        .agg(
+            F.count("*").alias("n_flows"),
+            F.round(
+                F.sum(amt.cast("decimal(27,6)")).cast("double") / 1e6, 6
+            ).alias("cva_usd_m"),
+        )
+        .orderBy("location")
+    )
