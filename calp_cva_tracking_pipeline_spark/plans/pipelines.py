@@ -32,20 +32,28 @@ from calp_cva_tracking_pipeline_spark.functions.text import keyword_flag
 def curate_flows(
     raw: DataFrame,
     isos: DataFrame,
+    orgs: DataFrame,
     deflators: DataFrame,
     dac_deflators: DataFrame,
     year_col: str = "destinationObjects_UsageYear.name",
     location_col: str = "destinationObjects_Location.name",
+    org_id_col: str = "sourceObjects_Organization.id",
 ) -> DataFrame:
-    """EP1 — raw flows → curated flows (code/04_fts_curated_flows.R:70-119).
+    """EP1 — raw flows → curated flows (code/04_fts_curated_flows.R:78-120).
 
     outgoing filter (F1) → shared-boundary priority dedup (D1) →
-    equal-split explode by usage-year then location (X1, Σ preserved) →
-    ISO broadcast join (J2) → multi-destination collapse (CC5) →
-    deflator join with DAC fallback (J4) → deflated amount columns (C9).
+    year/multiyear derivation → equal-split explode by usage-year then
+    location (X1, Σ preserved) → destination ISO broadcast join (J2) →
+    multi-destination collapse (CC5 — catches residual packed values the
+    '; '-split left intact) → source-org enrichment (J3) → deflator join on
+    (source_org_iso3, year) with DAC fallback (J4, code/04:117-118) →
+    deflated amount columns (C9, code/04:119).
 
-    ``isos`` must expose (countryname_fts, iso3); ``deflators``
-    (iso3, year, gdp_defl); ``dac_deflators`` (year, gdp_defl).
+    Dimension contracts: ``isos`` (countryname_fts, iso3); ``orgs``
+    pre-flattened per FIXTURES.md §5 (sourceObjects_Organization.id,
+    source_org_country, source_org_iso3, FTS_source_orgtype);
+    ``deflators`` (iso3, year, gdp_defl); ``dac_deflators`` (year,
+    gdp_defl).
     """
     flows = raw.filter(F.col("boundary") != "outgoing")  # code/04:80
     shared = flows.filter(F.col("onBoundary") == "shared")
@@ -60,12 +68,15 @@ def curate_flows(
     )
     deduped = priority_dedup(shared, ["id"], pri, ["boundary"])
     flows = rest.unionByName(deduped)
-    # one row per usage-year, then per location; amount split equally
-    # (code/04:87-92 via code/02:8-21)
+    # year + multiyear flags (code/04:86-88), then one row per usage-year
+    # and per location with the amount split equally (code/04:89-92)
+    flows = flows.withColumn(
+        "multiyear", F.col(f"`{year_col}`").contains(";")
+    )
     flows = split_rows_equal(flows, year_col, ["amountUSD"])
     flows = split_rows_equal(flows, location_col, ["amountUSD"])
     flows = flows.withColumn("year", F.col(f"`{year_col}`").cast("int"))
-    # ISO enrichment (code/04:95-96) — broadcast dimension join
+    # destination ISO enrichment (code/04:95-96) — broadcast dimension join
     iso_dim = isos.select(
         F.col("countryname_fts").alias(location_col),
         F.col("iso3").alias("destination_org_iso3"),
@@ -78,13 +89,15 @@ def curate_flows(
     flows = flows.withColumn("destination_org_country", name).withColumn(
         "destination_org_iso3", iso
     )
-    # J4 deflator with DAC fallback (code/04:117-118), then C9 arithmetic
+    # J3 source-org enrichment (code/04:101-106) — broadcast join
+    flows = flows.join(F.broadcast(orgs), [org_id_col], "left")
+    # J4 deflator on SOURCE org iso3 with DAC fallback (code/04:109-118)
     flows = join_with_fallback(
         flows,
         deflators.select(
-            F.col("iso3").alias("destination_org_iso3"), "year", "gdp_defl"
+            F.col("iso3").alias("source_org_iso3"), "year", "gdp_defl"
         ),
-        ["destination_org_iso3", "year"],
+        ["source_org_iso3", "year"],
         dac_deflators.select("year", "gdp_defl"),
         ["year"],
         "gdp_defl",

@@ -22,29 +22,45 @@ def read_csv(
     null_tokens: list[str] | None = None,
     **options,
 ) -> DataFrame:
-    """S3 — CSV read with explicit schema (preferred) or inference, plus
-    null-token normalization."""
-    reader = spark.read.options(header=True, **options)
+    """S3 — CSV read with null-token normalization (fread na.strings).
+
+    With an explicit ``schema`` (preferred — SURVEY §1.3: the engine
+    declares its table contracts), typed columns get parse-time null
+    semantics: the first null token rides the reader's ``nullValue`` and
+    any other token fails the typed parse in PERMISSIVE mode, landing as
+    null — exactly fread's na.strings behavior. String columns are
+    normalized by replacement afterwards. Without a schema, types are
+    inferred and only string-typed columns can carry the replacement
+    (a multi-token null in a numeric column forces that column to string;
+    declare a schema to avoid it).
+    """
+    tokens = null_tokens if null_tokens is not None else NULL_TOKENS
+    tokens = [t for t in tokens if t != ""]
+    reader = spark.read.options(header=True, mode="PERMISSIVE", **options)
+    if tokens:
+        reader = reader.option("nullValue", tokens[0])
     if schema is not None:
         reader = reader.schema(schema)
     else:
         reader = reader.option("inferSchema", True)
     df = reader.csv(path)
-    for tok in null_tokens if null_tokens is not None else NULL_TOKENS:
-        if tok == "":
-            continue
+    for tok in tokens:
         df = df.replace(tok, None)
     return df
 
 
 def read_tsv_utf16(spark: SparkSession, path: str, **options) -> DataFrame:
     """S7 — tab-delimited UTF-16 with WEO null tokens
-    (reference code/03_deflators.R:46)."""
+    (reference code/03_deflators.R:46). ``multiLine`` makes the reader
+    decode whole records in the declared encoding — without it, line
+    splitting happens on raw bytes and every UTF-16 line ends with half a
+    code unit."""
     return (
         spark.read.options(
             header=True,
             sep="\t",
             encoding="UTF-16",
+            multiLine=True,
             nullValue="n/a",
             **options,
         )

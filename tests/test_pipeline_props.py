@@ -1,0 +1,303 @@
+"""Golden-pipeline property tests (SURVEY.md §5, FIXTURES.md invariants).
+
+The driver's DuckDB oracle proves Spark↔SQL agreement; these tests pin the
+REFERENCE semantics themselves on adversarial fixtures the synthetic star
+schema never produces: messy packed strings, precedence collisions,
+non-positive growth factors, regex metacharacters.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from calp_cva_tracking_pipeline_spark.functions.text import regex_quote
+from calp_cva_tracking_pipeline_spark.operators.aggregate import (
+    sum_clamped_percentage,
+)
+from calp_cva_tracking_pipeline_spark.operators.cascade import (
+    apply_patch_map,
+    cva_amount_cascade,
+    manual_review_routing,
+    relevance_with_ml,
+    sector_method_cluster_relevance,
+    training_append,
+    when_cascade,
+)
+from calp_cva_tracking_pipeline_spark.operators.dedup import priority_dedup
+from calp_cva_tracking_pipeline_spark.operators.joins import (
+    anti_waterfall_union,
+    substring_join,
+)
+from calp_cva_tracking_pipeline_spark.operators.reshape import (
+    split_rows_equal,
+)
+from calp_cva_tracking_pipeline_spark.operators.windows import (
+    cumulative_product,
+)
+
+CASH_CLUSTERS = ["Multi-Purpose Cash Assistance (MPCA)", "Basic Needs"]
+
+
+# --- X1: equal-split explode preserves sums ---------------------------------
+
+
+def test_x1_sum_preservation_random_packed(spark):
+    rng = random.Random(42)
+    rows = []
+    for i in range(200):
+        n_parts = rng.randint(1, 6)
+        parts = [f"v{rng.randint(0, 9)}" for _ in range(n_parts)]
+        packed = "; ".join(parts) if rng.random() < 0.5 else ";".join(parts)
+        rows.append((i, packed, rng.uniform(0.01, 1e6)))
+    df = spark.createDataFrame(rows, "id long, packed string, amt double")
+    out = split_rows_equal(df, "packed", ["amt"])
+    # part count == 1 + separator count (code/02:10)
+    counts = {
+        r["id"]: r["n"]
+        for r in out.groupBy("id").agg(F.count("*").alias("n")).collect()
+    }
+    for i, packed, _ in rows:
+        assert counts[i] == 1 + packed.count(";")
+    # Σ amt preserved per source row (floating point)
+    sums = {
+        r["id"]: r["s"]
+        for r in out.groupBy("id").agg(F.sum("amt").alias("s")).collect()
+    }
+    for i, _, amt in rows:
+        assert sums[i] == pytest.approx(amt, rel=1e-9)
+    # parts are trimmed
+    assert not [
+        r for r in out.select("packed").collect() if r["packed"] != r["packed"].strip()
+    ]
+
+
+# --- D1: priority dedup prefers incoming ------------------------------------
+
+
+def test_d1_prefers_incoming(spark):
+    rows = [
+        (1, "internal"), (1, "incoming"),   # both -> keep incoming
+        (2, "internal"), (2, "internal"),   # no incoming -> keep internal
+        (3, "incoming"),
+    ]
+    df = spark.createDataFrame(rows, "id long, boundary string")
+    pri = when_cascade(
+        F.lit(2),
+        [(F.col("boundary") == "incoming", F.lit(0)),
+         (F.col("boundary") == "internal", F.lit(1))],
+    )
+    out = priority_dedup(df, ["id"], pri, ["boundary"])
+    got = {r["id"]: r["boundary"] for r in out.collect()}
+    assert got == {1: "incoming", 2: "internal", 3: "incoming"}
+    assert out.count() == 3  # exactly one row per id
+
+
+# --- A1: clamp at 100 --------------------------------------------------------
+
+
+def test_a1_clamp(spark):
+    df = spark.createDataFrame(
+        [(1, 60.0), (1, 70.0), (2, 30.0)], "pid long, pct double"
+    )
+    out = {
+        r["pid"]: r["cva_percentage"]
+        for r in sum_clamped_percentage(df, "pid", "pct").collect()
+    }
+    assert out[1] == 1.0  # 130 clamped to 100 -> 1.0
+    assert out[2] == pytest.approx(0.3)
+
+
+# --- CC1: Partial overrides Full (precedence table) --------------------------
+
+
+@pytest.mark.parametrize(
+    "method,cluster,expected",
+    [
+        ("Cash transfer programming (CTP)", "", "Full"),
+        ("Traditional aid", "Basic Needs", "Full"),
+        # multi-cluster containing a cash cluster DOWNGRADES Full -> Partial
+        ("Cash transfer programming (CTP)",
+         "Basic Needs; Health", "Partial"),
+        ("Traditional aid", "Health; Basic Needs", "Partial"),
+        ("Traditional aid", "Health", "None"),
+        ("Traditional aid", "", "None"),
+    ],
+)
+def test_cc1_precedence(spark, method, cluster, expected):
+    df = spark.createDataFrame([(method, cluster)], "method string, cluster string")
+    out = df.withColumn(
+        "rel",
+        sector_method_cluster_relevance(
+            F.col("method"), F.col("cluster"), CASH_CLUSTERS
+        ),
+    )
+    assert out.collect()[0]["rel"] == expected
+
+
+# --- CC2: ML fires only on still-None inference rows -------------------------
+
+
+@pytest.mark.parametrize(
+    "cc1,pct,kw,pcva,pred,exp_rel,exp_meth",
+    [
+        ("Full", None, False, False, "Partial", "Full", "Sector/Method/Cluster"),
+        ("None", 0.9, False, False, "Partial", "Full", "Project CVA Percentage"),
+        ("None", 0.5, True, False, "Full", "Partial", "Project CVA Percentage"),
+        ("None", None, True, False, "Full", "Full", "Keyword + ML"),
+        ("None", None, False, True, "Partial", "Partial", "Project API + ML"),
+        ("None", None, False, False, "Full", "None", None),  # not sent to ML
+        ("None", 0.0, True, False, "Full", "Full", "Keyword + ML"),  # pct 0 != sent
+    ],
+)
+def test_cc2_precedence(spark, cc1, pct, kw, pcva, pred, exp_rel, exp_meth):
+    df = spark.createDataFrame(
+        [(cc1, pct, kw, pcva, pred)],
+        "cc1 string, pct double, kw boolean, pcva boolean, pred string",
+    )
+    rel, meth = relevance_with_ml(
+        F.col("cc1"), F.col("pct"), F.col("kw"), F.col("pcva"), F.col("pred")
+    )
+    row = df.withColumn("rel", rel).withColumn("meth", meth).collect()[0]
+    assert (row["rel"], row["meth"]) == (exp_rel, exp_meth)
+
+
+# --- CC3: later rules fire only where amount still 0 -------------------------
+
+
+def test_cc3_order_dependence(spark):
+    rows = [
+        # relevance, amount, clusters, pct, conf, common, manual -> expected
+        ("Full", 100.0, 2, 0.5, 0.9, True, True, 100.0, "Sector, method, cluster"),
+        ("Partial", 100.0, 4, None, 0.0, False, False, 25.0, "Partial cluster"),
+        ("None", 100.0, 1, 0.3, 0.9, True, False, 30.0, "Project CVA percentage"),
+        ("None", 100.0, 1, None, 0.9, True, False, 100.0, "ML high predicted relevance"),
+        ("None", 100.0, 1, None, 0.9, False, True, 100.0, "Manual"),
+        ("None", 100.0, 1, None, 0.2, False, False, 0.0, ""),
+        # Partial with zero clusters -> null amount (R: Inf, dropped by F7)
+        ("Partial", 100.0, 0, None, 0.0, False, False, None, "Partial cluster"),
+    ]
+    df = spark.createDataFrame(
+        [r[:7] for r in rows],
+        "rel string, amt double, nc int, pct double, conf double,"
+        " cw boolean, man boolean",
+    )
+    amount, atype = cva_amount_cascade(
+        F.col("rel"), F.col("amt"), F.col("nc"), F.col("pct"),
+        F.col("conf"), F.col("cw"), F.col("man"),
+    )
+    got = df.withColumn("a", amount).withColumn("t", atype).collect()
+    for row, exp in zip(got, rows):
+        assert row["a"] == (pytest.approx(exp[7]) if exp[7] is not None else None)
+        assert row["t"] == exp[8]
+
+
+# --- CC4: routing band + anti-join + training append -------------------------
+
+
+def test_cc4_routing(spark):
+    flows = spark.createDataFrame(
+        [
+            (1, 0.0, 0.6, False),   # uncertain -> queue
+            (2, 0.0, 0.9, True),    # high band + common words -> auto, no queue
+            (3, 0.0, 0.9, False),   # high conf but no common words -> queue
+            (4, 0.0, 0.4, False),   # below band -> no queue
+            (5, 50.0, 0.6, False),  # already has amount -> no queue
+            (6, 0.0, 0.7, True),    # uncertain but previously reviewed
+        ],
+        "id long, CVAamount double, predicted_confidence double,"
+        " common_words_match boolean",
+    )
+    prior = spark.createDataFrame([(6,)], "id long")
+    queue = manual_review_routing(flows, prior)
+    assert {r["id"] for r in queue.collect()} == {1, 3}
+
+    existing = spark.createDataFrame([("seen text",)], "text string")
+    accepted = spark.createDataFrame(
+        [("seen text",), ("new text",)], "text string"
+    )
+    appended = training_append(existing, accepted)
+    assert [r["text"] for r in appended.collect()] == ["new text"]
+
+
+# --- CC6: patch map overrides only mapped keys -------------------------------
+
+
+def test_cc6_patch_map(spark):
+    df = spark.createDataFrame(
+        [("WBG",), ("FRA",), ("Russia",)], "iso string"
+    )
+    out = apply_patch_map(df, "iso", [("WBG", "PSE"), ("Russia", "RUS")])
+    assert {r["iso"] for r in out.collect()} == {"PSE", "FRA", "RUS"}
+
+
+# --- W1: non-positive factors poison the running product ---------------------
+
+
+def test_w1_nonpositive_guard(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 1.1), (1, 2, 0.0), (1, 3, 1.2), (2, 1, 1.5), (1, 0, -2.0)],
+        "g long, i int, v double",
+    )
+    out = cumulative_product(df, "v", ["g"], ["i"], "cum")
+    got = {(r["g"], r["i"]): r["cum"] for r in out.collect()}
+    # group 1 ordered i=0,1,2,3: factor -2.0 at i=0 poisons everything after
+    assert got[(1, 0)] is None and got[(1, 1)] is None
+    assert got[(1, 2)] is None and got[(1, 3)] is None
+    assert got[(2, 1)] == pytest.approx(1.5)
+
+
+def test_w1_positive_factors_compound(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 2.0), (1, 2, 3.0), (1, 3, 4.0)], "g long, i int, v double"
+    )
+    out = cumulative_product(df, "v", ["g"], ["i"], "cum")
+    got = {r["i"]: r["cum"] for r in out.collect()}
+    assert got == {1: pytest.approx(2.0), 2: pytest.approx(6.0),
+                   3: pytest.approx(24.0)}
+
+
+# --- C6/J11: metacharacter needles are quoted, not interpreted ---------------
+
+
+def test_regex_quote_metachars(spark):
+    df = spark.createDataFrame(
+        [("a+b (x)",), ("[set]",), ("plain",)], "s string"
+    )
+    out = df.select(
+        F.col("s"), regex_quote(F.col("s")).alias("q")
+    ).collect()
+    quoted = {r["s"]: r["q"] for r in out}
+    assert quoted["a+b (x)"] == "a\\+b \\(x\\)"
+    assert quoted["[set]"] == "\\[set\\]"
+    assert quoted["plain"] == "plain"
+
+
+def test_substring_join_metachar_needle(spark):
+    needles = spark.createDataFrame(
+        [("a+b",), ("core",)], "needle string"
+    )
+    hay = spark.createDataFrame(
+        [("contains a+b here",), ("aab would match unquoted",),
+         ("the core value",)],
+        "name string",
+    )
+    out = substring_join(needles, hay, "needle", "name")
+    got = {r["needle"]: r["matched_name"] for r in out.collect()}
+    # 'a+b' must match ONLY the literal text, not the regex a+b (aab)
+    assert got["a+b"] == "contains a+b here"
+    assert got["core"] == "the core value"
+
+
+# --- J14: waterfall keeps first-source rows only -----------------------------
+
+
+def test_j14_waterfall_priority(spark):
+    s1 = spark.createDataFrame([(1, "a1"), (2, "a2")], "k long, v string")
+    s2 = spark.createDataFrame([(2, "b2"), (3, "b3")], "k long, v string")
+    s3 = spark.createDataFrame([(3, "c3"), (4, "c4")], "k long, v string")
+    out = anti_waterfall_union([s1, s2, s3], ["k"])
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: "a1", 2: "a2", 3: "b3", 4: "c4"}

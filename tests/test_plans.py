@@ -1,0 +1,163 @@
+"""EP1/EP2 pipeline tests over FIXTURES.md-shaped synthetic frames.
+
+The catalog's ep2_cva_by_location is driver-oracle-checked; these tests run
+the SAME plans on reference-schema fixtures (dotted column names, packed
+strings, shared-boundary duplicates) and assert the §5 golden invariants.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from calp_cva_tracking_pipeline_spark.plans.pipelines import (
+    classify_cva,
+    curate_flows,
+    cva_by_location,
+)
+
+YEAR_COL = "destinationObjects_UsageYear.name"
+LOC_COL = "destinationObjects_Location.name"
+CLUSTER_COL = "destinationObjects_Cluster.name"
+PROJECT_COL = "destinationObjects_Project.id"
+ORG_COL = "sourceObjects_Organization.id"
+
+
+@pytest.fixture()
+def raw_flows(spark):
+    rows = [
+        # id, amount, boundary, onBoundary, years, locations, src org
+        (1, 300.0, "incoming", "single", "2023", "Kenya", "O1"),
+        (2, 600.0, "incoming", "single", "2023; 2024", "Kenya; Somalia", "O1"),
+        (3, 100.0, "outgoing", "single", "2023", "Kenya", "O1"),   # dropped F1
+        (4, 400.0, "internal", "shared", "2024", "Somalia", "O2"), # D1 loser
+        (4, 400.0, "incoming", "shared", "2024", "Somalia", "O2"), # D1 winner
+        (5, 500.0, "incoming", "single", "2024", "Atlantis", "O9"),  # no dims
+    ]
+    return spark.createDataFrame(
+        rows,
+        f"id long, amountUSD double, boundary string, onBoundary string,"
+        f" `{YEAR_COL}` string, `{LOC_COL}` string, `{ORG_COL}` string",
+    )
+
+
+@pytest.fixture()
+def dims(spark):
+    isos = spark.createDataFrame(
+        [("Kenya", "KEN"), ("Somalia", "SOM")], "countryname_fts string, iso3 string"
+    )
+    orgs = spark.createDataFrame(
+        [("O1", "United States", "USA", "Govt"),
+         ("O2", "Somalia", "SOM", "NGO")],
+        f"`{ORG_COL}` string, source_org_country string,"
+        f" source_org_iso3 string, FTS_source_orgtype string",
+    )
+    deflators = spark.createDataFrame(
+        [("USA", 2023, 0.5), ("SOM", 2024, 2.0)],
+        "iso3 string, year int, gdp_defl double",
+    )
+    dac = spark.createDataFrame(
+        [(2023, 1.0), (2024, 1.25)], "year int, gdp_defl double"
+    )
+    return isos, orgs, deflators, dac
+
+
+def test_ep1_curate_invariants(raw_flows, dims):
+    isos, orgs, deflators, dac = dims
+    out = curate_flows(raw_flows, isos, orgs, deflators, dac).cache()
+    rows = out.collect()
+
+    # F1: outgoing flow 3 gone; D1: exactly one row set for shared id 4,
+    # and it is the incoming one
+    ids = {r["id"] for r in rows}
+    assert 3 not in ids
+    id4 = [r for r in rows if r["id"] == 4]
+    assert {r["boundary"] for r in id4} == {"incoming"}
+    assert len(id4) == 1
+
+    # X1 sum preservation: per-id amounts sum to the (deduped) originals
+    sums = {
+        r["id"]: r["s"]
+        for r in out.groupBy("id").agg(F.sum("amountUSD").alias("s")).collect()
+    }
+    assert sums == {
+        1: pytest.approx(300.0),
+        2: pytest.approx(600.0),
+        4: pytest.approx(400.0),
+        5: pytest.approx(500.0),
+    }
+    # flow 2 exploded to 2 years x 2 locations = 4 rows of 150 each;
+    # multiyear flag set before the explode
+    id2 = [r for r in rows if r["id"] == 2]
+    assert len(id2) == 4
+    for r in id2:
+        assert r["amountUSD"] == pytest.approx(150.0)
+    assert all(r["multiyear"] for r in id2)
+    assert not [r for r in rows if r["id"] == 1][0]["multiyear"]
+
+    # J2: destination iso resolved; unknown location left null
+    by_loc = {(r["id"], r[LOC_COL]): r for r in rows}
+    assert by_loc[(1, "Kenya")]["destination_org_iso3"] == "KEN"
+    assert by_loc[(5, "Atlantis")]["destination_org_iso3"] is None
+
+    # J3: source org enrichment
+    assert by_loc[(1, "Kenya")]["source_org_iso3"] == "USA"
+    assert by_loc[(5, "Atlantis")]["source_org_iso3"] is None
+
+    # J4: deflator by (SOURCE iso3, year) where present, DAC by year else
+    assert by_loc[(1, "Kenya")]["deflator"] == 0.5  # (USA, 2023)
+    assert by_loc[(1, "Kenya")]["amountUSD_defl"] == pytest.approx(600.0)
+    k23 = [r for r in id2 if r[LOC_COL] == "Kenya" and r["year"] == 2023][0]
+    k24 = [r for r in id2 if r[LOC_COL] == "Kenya" and r["year"] == 2024][0]
+    assert k23["deflator"] == 0.5   # (USA, 2023)
+    assert k24["deflator"] == 1.25  # DAC 2024 fallback (no USA 2024 row)
+    id4_row = id4[0]
+    assert id4_row["deflator"] == 2.0  # (SOM, 2024)
+    id5 = [r for r in rows if r["id"] == 5][0]
+    assert id5["deflator"] == 1.25  # org unknown -> DAC by year
+
+
+def test_ep2_classify_and_aggregate(spark):
+    flows = spark.createDataFrame(
+        [
+            # id, amount, method, desc, project, cluster, location
+            (1, 100.0, "Cash transfer programming (CTP)", "x", None, "", "Kenya"),
+            (2, 200.0, "Traditional aid", "no match", "P1", "MPCA", "Kenya"),
+            (3, 300.0, "Traditional aid", "cash grant", None, "", "Somalia"),
+            (4, 400.0, "Traditional aid", "dull", None, "", "Somalia"),
+            (5, None, "Traditional aid", "null amount", None, "", "Kenya"),
+        ],
+        f"id long, amountUSD double, method string, description string,"
+        f" `{PROJECT_COL}` string, `{CLUSTER_COL}` string,"
+        f" `{LOC_COL}` string",
+    )
+    projects = spark.createDataFrame(
+        [("P1", "project text", 0.5, True)],
+        "project_id string, project_text string, cva_percentage double,"
+        " cva boolean",
+    )
+    decisions = spark.createDataFrame([(4, True)], "id long, accepted boolean")
+    out = classify_cva(
+        flows,
+        projects,
+        decisions,
+        cash_clusters=["MPCA"],
+        keywords=["cash", "voucher"],
+        common_words=["cash", "voucher", "cva"],
+    ).cache()
+    rows = {r["id"]: r for r in out.collect()}
+
+    assert 5 not in rows  # F9 dropna on amount
+    assert rows[1]["relevance"] == "Full"  # CC1 method rule
+    assert rows[1]["CVAamount"] == 100.0
+    # id 2: CC1 says Full (exact cash cluster) but the project's 0.5
+    # percentage band OVERRIDES it to Partial (code/08:139-148 rule order)
+    assert rows[2]["relevance"] == "Partial"
+    assert rows[2]["relevance_method"] == "Project CVA Percentage"
+    # id 3: keyword match, ML decides; id 4: manual decision folds back
+    assert rows[3]["keyword_match"] is True
+    assert rows[4]["CVAamount_type"] in ("Manual", "ML high predicted relevance", "")
+
+    agg = cva_by_location(out)
+    got = {r["location"]: r["n_flows"] for r in agg.collect()}
+    assert got.get("Kenya", 0) >= 2

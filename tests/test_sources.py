@@ -1,0 +1,289 @@
+"""Sources-layer tests (SURVEY.md §2.1 S1-S13) — canned fetchers, no network."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from calp_cva_tracking_pipeline_spark.sources.external import (
+    WEO_CONTENT_TYPE,
+    decode_ifs_rates,
+    decode_sdmx_json,
+    fetch_wb_fx,
+    probe_weo_version,
+    weo_vintage_candidates,
+)
+from calp_cva_tracking_pipeline_spark.sources.files import (
+    read_csv,
+    read_tsv_utf16,
+    write_partitioned,
+)
+from calp_cva_tracking_pipeline_spark.sources.rest import (
+    build_flow_url,
+    fetch_entities_distributed,
+    fetch_paginated,
+    paginated_json_df,
+)
+
+# --- S1/S2: paginated REST + URL pushdown -----------------------------------
+
+
+def test_s2_url_pushdown():
+    url = build_flow_url(year=2024, plan_id=7, page_size=500)
+    assert "year=2024" in url and "planid=7" in url and "limit=500" in url
+    assert "emergencyid" not in url  # unset filters stay out of the URL
+
+
+def _canned_pages(base: str):
+    page2 = base + "&page=2"
+    return {
+        base: {
+            "data": {"flows": [{"id": 1, "amountUSD": 10.0}]},
+            "meta": {"nextLink": page2},
+        },
+        page2: {
+            "data": {"flows": [{"id": 2, "amountUSD": 20.0}]},
+            "meta": {},
+        },
+    }
+
+
+def test_s1_pagination_follows_next_link():
+    base = build_flow_url(year=2024)
+    pages = _canned_pages(base)
+    calls: list[str] = []
+
+    def fetcher(url):
+        calls.append(url)
+        return pages[url]
+
+    rows = fetch_paginated(base, fetcher)
+    assert [r["id"] for r in rows] == [1, 2]
+    assert calls == list(pages)  # followed nextLink exactly once
+
+
+def test_s1_paginated_df(spark):
+    base = build_flow_url(year=2024)
+    pages = _canned_pages(base)
+    df = paginated_json_df(spark, base, pages.__getitem__)
+    got = {(r["id"], r["amountUSD"]) for r in df.collect()}
+    assert got == {(1, 10.0), (2, 20.0)}
+
+
+# --- S9: per-entity distributed fetch ----------------------------------------
+
+
+def test_s9_distributed_entity_fetch(spark):
+    ids = spark.createDataFrame([(i,) for i in range(10)], "project_id long")
+    schema = StructType(
+        [
+            StructField("project_id", LongType()),
+            StructField("answer", StringType()),
+        ]
+    )
+
+    def fetcher(url):
+        # derive the response from the URL, proving each id got its own GET
+        pid = int(url.rsplit("/", 1)[1])
+        return {"answer": f"a{pid}"}
+
+    def parse(pid, resp):
+        return [{"project_id": pid, "answer": resp["answer"]}]
+
+    out = fetch_entities_distributed(
+        ids,
+        "project_id",
+        "https://example.invalid/project/{id}",
+        fetcher,
+        schema,
+        parse,
+        partitions=4,
+    )
+    got = {(r["project_id"], r["answer"]) for r in out.collect()}
+    assert got == {(i, f"a{i}") for i in range(10)}
+
+
+# --- S3/S4/S5: CSV round-trip with null tokens; partitioned parquet sink ----
+
+
+def test_s3_s4_csv_roundtrip_null_tokens(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "iso,year,val,note\n"
+        "FRA,2020,1.5,ok\nDEU,2021,n/a,NULL\nITA,2022,--,fine\n"
+    )
+    df = read_csv(
+        spark, str(p), schema="iso string, year int, val double, note string"
+    )
+    rows = {r["iso"]: (r["val"], r["note"]) for r in df.collect()}
+    assert rows["FRA"] == (1.5, "ok")  # typed parse
+    assert rows["DEU"] == (None, None)  # n/a token + NULL string token
+    assert rows["ITA"][0] is None  # '--' fails the double parse -> null
+
+
+def test_s4_s5_partitioned_overwrite(spark, tmp_path):
+    out = str(tmp_path / "facts")
+    df1 = spark.createDataFrame(
+        [(1, 2020, "a"), (2, 2021, "b")], "id long, year int, v string"
+    )
+    write_partitioned(df1, out, "year")
+    # re-write ONE partition; the other must survive (dynamic overwrite)
+    df2 = spark.createDataFrame([(3, 2021, "c")], "id long, year int, v string")
+    write_partitioned(df2, out, "year")
+    got = {
+        (r["id"], r["year"], r["v"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, 2020, "a"), (3, 2021, "c")}
+
+
+# --- S7: UTF-16 TSV with WEO null tokens -------------------------------------
+
+
+def test_s7_tsv_utf16(spark, tmp_path):
+    p = tmp_path / "weo.xls"  # the reference's .xls is really a TSV
+    content = "ISO\t1980\t1981\nFRA\t1,234.5\tn/a\nDEU\t--\t7.5\n"
+    p.write_bytes(content.encode("utf-16"))
+    df = read_tsv_utf16(spark, str(p))
+    rows = {r["ISO"]: (r["1980"], r["1981"]) for r in df.collect()}
+    assert rows["FRA"] == ("1,234.5", None)
+    assert rows["DEU"] == (None, "7.5")
+
+
+# --- S6: Excel source (gated on openpyxl) ------------------------------------
+
+
+def test_s6_excel(spark, tmp_path):
+    pd = pytest.importorskip("pandas")
+    pytest.importorskip("openpyxl")
+    from calp_cva_tracking_pipeline_spark.sources.files import read_excel
+
+    p = tmp_path / "survey.xlsx"
+    pd.DataFrame(
+        {"Organisation ": ["Org A"], "Year": [2024], "PC.USD.m": [1.25]}
+    ).to_excel(p, index=False)
+    df = read_excel(spark, str(p))
+    assert df.columns == ["Organisation", "Year", "PC.USD.m"]  # trimmed
+    assert df.collect()[0]["PC.USD.m"] == 1.25
+
+
+# --- S8: WEO vintage probing --------------------------------------------------
+
+
+def test_s8_vintage_step_order():
+    cands = weo_vintage_candidates(date(2025, 2, 14), max_probes=4)
+    assert [v for v, _ in cands] == ["Feb2025", "Oct2024", "Apr2024", "Oct2023"]
+    # seed inside (Apr, Oct] falls to April of the same year first
+    cands = weo_vintage_candidates(date(2025, 8, 1), max_probes=3)
+    assert [v for v, _ in cands] == ["Aug2025", "Apr2025", "Oct2024"]
+    # month > 10 falls to October of the SAME year
+    cands = weo_vintage_candidates(date(2024, 12, 1), max_probes=2)
+    assert [v for v, _ in cands] == ["Dec2024", "Oct2024"]
+
+
+def test_s8_probe_picks_first_matching_content_type():
+    available = {"Oct2024"}
+
+    def head(url):
+        return (
+            WEO_CONTENT_TYPE
+            if any(v in url for v in available)
+            else "text/html"
+        )
+
+    ver, url = probe_weo_version(date(2025, 2, 14), head)
+    assert ver == "Oct2024" and "2024/October/WEOOct2024all.ashx" in url
+    with pytest.raises(LookupError):
+        probe_weo_version(date(2025, 2, 14), lambda u: "text/html")
+
+
+# --- S11: SDMX-JSON decoder ---------------------------------------------------
+
+
+def test_s11_sdmx_decode():
+    payload = {
+        "dataSets": [
+            {
+                "observations": {
+                    "0:0": [1.5, 0],
+                    "0:1": [2.5, None],
+                    "1:0": [3.5, 1],
+                }
+            }
+        ],
+        "structure": {
+            "dimensions": {
+                "observation": [
+                    {
+                        "name": "Reference area",
+                        "values": [
+                            {"id": "FRA", "name": "France"},
+                            {"id": "DEU", "name": "Germany"},
+                        ],
+                    },
+                    {
+                        "name": "Time period",
+                        "values": [
+                            {"id": "2020", "name": "2020"},
+                            {"id": "2021", "name": "2021"},
+                        ],
+                    },
+                ]
+            },
+            "attributes": {
+                "observation": [
+                    {
+                        "name": "Unit",
+                        "values": [
+                            {"id": "EUR", "name": "Euro"},
+                            {"id": "USD", "name": "US dollar"},
+                        ],
+                    }
+                ]
+            },
+        },
+    }
+    rows = decode_sdmx_json(payload)
+    assert {
+        (r["Reference area"], r["Time period"], r["Unit"], r["value"])
+        for r in rows
+    } == {
+        ("France", "2020", "Euro", 1.5),
+        ("France", "2021", None, 2.5),
+        ("Germany", "2020", "US dollar", 3.5),
+    }
+
+
+# --- S12: WB / IFS FX decoders -------------------------------------------------
+
+
+def test_s12_wb_fx():
+    payload = [
+        {"page": 1},
+        [
+            {"countryiso3code": "FRA", "date": "2020", "value": 0.9},
+            {"countryiso3code": "DEU", "date": "2020", "value": None},
+            {"countryiso3code": "", "date": "2020", "value": 1.0},
+        ],
+    ]
+    rows = fetch_wb_fx(lambda url: payload)
+    assert rows == [{"iso3": "FRA", "year": 2020, "value": 0.9}]
+
+
+def test_s12_ifs_decode():
+    records = [
+        {"ref_area": "FR", "date": "2020", "value": 0.9},
+        {"ref_area": "XX", "date": "2020", "value": 1.0},  # unmappable
+        {"ref_area": "DE", "date": "2021", "value": None},  # null value
+    ]
+    rows = decode_ifs_rates(records, {"FR": "FRA", "DE": "DEU"})
+    assert rows == [{"iso3": "FRA", "year": 2020, "value": 0.9}]

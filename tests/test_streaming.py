@@ -1,0 +1,72 @@
+"""Streaming surface: the batch plan and the readStream plan must agree.
+
+Drives ``stream_events`` (readStream → watermark → windowed agg) with
+``trigger(availableNow=True)`` against a tmpdir parquet stream and asserts
+exact parity with the batch ``windowed_agg`` over the same rows — Structured
+Streaming's core contract (one logical plan, two execution modes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from calp_cva_tracking_pipeline_spark.catalog.common import T
+from calp_cva_tracking_pipeline_spark.streaming.events import (
+    sessionize,
+    stream_events,
+    windowed_agg,
+)
+
+
+def _events_subset(spark, sf_dir, n=2000):
+    # materialize a micro-us timestamp copy (the raw table is TIMESTAMP(NANOS))
+    return T(spark, sf_dir, "events").orderBy("event_id").limit(n)
+
+
+def test_stream_windowed_agg_matches_batch(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "stream_src")
+    events = _events_subset(spark, sf_dir)
+    events.write.parquet(src)
+    static = spark.read.parquet(src)
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in windowed_agg(static).collect()
+    }
+
+    streamed = stream_events(spark, src, static.schema)
+    q = (
+        streamed.writeStream.format("memory")
+        .queryName("windowed_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM windowed_stream").collect()
+    }
+    assert got == batch and len(got) > 0
+
+
+def test_sessionize_batch_properties(spark, sf_dir):
+    events = _events_subset(spark, sf_dir)
+    sessions = sessionize(events, "30 minutes")
+    rows = sessions.collect()
+    assert len(rows) > 0
+    # every event lands in exactly one session
+    assert sum(r["n_events"] for r in rows) == events.count()
+    # sessions per user are disjoint and ordered
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["session_end"])
+        )
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 <= s2  # gap-separated
