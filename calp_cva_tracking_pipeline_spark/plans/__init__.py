@@ -7,6 +7,10 @@ what the reference does as CSV-pause-resume (including the R→Python
 classifier side trip) is a single Catalyst plan here.
 """
 
+from calp_cva_tracking_pipeline_spark.plans.deflators import build_deflators
+from calp_cva_tracking_pipeline_spark.plans.fx import (
+    build_usd_exchange_rates,
+)
 from calp_cva_tracking_pipeline_spark.plans.pipelines import (
     classify_cva,
     curate_flows,
@@ -16,6 +20,8 @@ from calp_cva_tracking_pipeline_spark.plans.schemas import CURATED_FLOWS_SCHEMA
 
 __all__ = [
     "CURATED_FLOWS_SCHEMA",
+    "build_deflators",
+    "build_usd_exchange_rates",
     "classify_cva",
     "curate_flows",
     "cva_by_location",
