@@ -1796,5 +1796,7 @@ COVERAGE = {
     "M2": "out of engine scope (offline training; SURVEY §2.11)",
     "M3": "c2_regexp_extract_cast", "M4": "j10_fuzzy_levenshtein",
     "EP1": "plans.curate_flows (tests/test_plans.py)",
-    "EP2": "ep2_cva_by_location", "EP3": "ep2_cva_by_location (A6 slice)",
+    "EP2": "ep2_cva_by_location",
+    "EP3": "ep2_cva_by_location (A6 slice) + plans.matching"
+    " (tests/test_matching.py) + plans.deflators + plans.fx",
 }

@@ -11,6 +11,10 @@ from calp_cva_tracking_pipeline_spark.plans.deflators import build_deflators
 from calp_cva_tracking_pipeline_spark.plans.fx import (
     build_usd_exchange_rates,
 )
+from calp_cva_tracking_pipeline_spark.plans.matching import (
+    match_org_names,
+    subtract_subgrants,
+)
 from calp_cva_tracking_pipeline_spark.plans.pipelines import (
     classify_cva,
     curate_flows,
@@ -25,4 +29,6 @@ __all__ = [
     "classify_cva",
     "curate_flows",
     "cva_by_location",
+    "match_org_names",
+    "subtract_subgrants",
 ]

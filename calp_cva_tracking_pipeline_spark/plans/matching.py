@@ -1,0 +1,177 @@
+"""EP3 — global analysis matching + double-count removal
+(reference code/10_global_cva_analysis.R:86-324).
+
+The reference matches sub-grant recipient names to survey/FTS organisation
+names through four per-name loops (exact → fuzzy → substring both ways),
+applies ~20 manual overrides, coalesces the stages, then subtracts matched
+sub-grant totals from the primary aggregate with a zero floor. Here the
+four stages are set-wise joins over the two SMALL distinct-name lists
+(hundreds to low thousands of names — BASELINE.md) so every stage is a
+broadcast nested-loop at worst; the 100 TB fact side is never involved
+until the final broadcast-mapped subtraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from calp_cva_tracking_pipeline_spark.functions.text import canonicalize_name
+from calp_cva_tracking_pipeline_spark.operators.joins import (
+    fuzzy_name_join,
+    substring_join,
+)
+
+# Canonicalized tokens treated as "no recipient" (code/10:99-101)
+UNMATCHABLE_NAMES = ["unknown", "not provided potentially sensitive"]
+
+
+def match_org_names(
+    left_names: DataFrame,
+    right_names: DataFrame,
+    manual_overrides: list[tuple[str, str]] | None = None,
+    fuzzy_veto: list[str] | None = None,
+) -> DataFrame:
+    """The 4-stage matcher waterfall → (name, matched_name, match_method).
+
+    ``left_names``/``right_names``: 1-column DataFrames of RAW names; both
+    sides are canonicalized (C5) before matching, unmatchable sentinels
+    dropped. Stages, coalesced in priority order (C12, code/10:293-299):
+
+    1. exact        — equality on canonical names (code/10:117-124)
+    2. fuzzy        — Levenshtein ≤ max(1, ceil(0.2·len)) best match
+                      (code/10:129-158), minus ``fuzzy_veto`` names (the
+                      reference vetoes 'drc', code/10:158)
+    3. substring_a  — left name as whole words inside right (code/10:161-176)
+    4. substring_b  — right name inside left (code/10:191-210)
+    5. manual       — hand-curated (from, to) overrides applied LAST and
+                      unconditionally (code/10:226-285) via the CC6 patch op
+    """
+    lc = left_names.select(
+        canonicalize_name(F.col(left_names.columns[0])).alias("name")
+    ).distinct()
+    lc = lc.filter(
+        F.col("name").isNotNull()
+        & (F.col("name") != "")
+        & ~F.col("name").isin(UNMATCHABLE_NAMES)
+    )
+    rc = right_names.select(
+        canonicalize_name(F.col(right_names.columns[0])).alias("rname")
+    ).distinct()
+    rc = rc.filter(F.col("rname").isNotNull() & (F.col("rname") != ""))
+
+    exact = lc.join(
+        F.broadcast(rc), F.col("name") == F.col("rname"), "left"
+    ).select("name", F.col("rname").alias("exact_match"))
+
+    fuzzy_left = lc
+    if fuzzy_veto:
+        fuzzy_left = lc.filter(~F.col("name").isin(list(fuzzy_veto)))
+    fuzzy = fuzzy_name_join(
+        fuzzy_left, rc, "name", "rname", exclude_equal=True
+    ).select("name", F.col("matched_name").alias("fuzzy_match"))
+
+    sub_a = substring_join(
+        lc, rc, "name", "rname", contained="left_in_right"
+    ).select("name", F.col("matched_name").alias("substring_a_match"))
+    sub_b = substring_join(
+        lc, rc, "name", "rname", contained="right_in_left"
+    ).select("name", F.col("matched_name").alias("substring_b_match"))
+
+    out = (
+        exact.join(F.broadcast(fuzzy), "name", "left")
+        .join(F.broadcast(sub_a), "name", "left")
+        .join(F.broadcast(sub_b), "name", "left")
+        .withColumn(
+            "matched_name",
+            F.coalesce(
+                "exact_match", "fuzzy_match",
+                "substring_a_match", "substring_b_match",
+            ),
+        )
+        .withColumn(
+            "match_method",
+            F.coalesce(
+                F.when(F.col("exact_match").isNotNull(), "exact"),
+                F.when(F.col("fuzzy_match").isNotNull(), "fuzzy"),
+                F.when(F.col("substring_a_match").isNotNull(), "substring_a"),
+                F.when(F.col("substring_b_match").isNotNull(), "substring_b"),
+            ),
+        )
+        .select("name", "matched_name", "match_method")
+    )
+    if manual_overrides:
+        # manual decisions override every automatic stage (code/10:226-285)
+        spark = out.sparkSession
+        ovr = spark.createDataFrame(
+            manual_overrides, "name string, __manual string"
+        )
+        out = (
+            out.join(F.broadcast(ovr), "name", "left")
+            .withColumn(
+                "matched_name", F.coalesce("__manual", "matched_name")
+            )
+            .withColumn(
+                "match_method",
+                F.when(F.col("__manual").isNotNull(), F.lit("manual"))
+                .otherwise(F.col("match_method")),
+            )
+            .drop("__manual")
+        )
+    return out
+
+
+def subtract_subgrants(
+    cva_agg: DataFrame,
+    sub_grants: DataFrame,
+    mapping: DataFrame,
+    pc_tv_estimate: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Double-count removal + org-type rollup (code/10:300-324).
+
+    ``cva_agg``: (clean_org, Year, newMoney, Org_type, PC.USD.m);
+    ``sub_grants``: (recipient_name RAW, Year, amount);
+    ``mapping``: match_org_names output; ``pc_tv_estimate``: (Year,
+    PC_average_used). Returns (cva_agg_undoubled, cva_agg_org_type).
+
+    Sub-grant totals (A4: sum skips nulls) are subtracted from the primary
+    aggregate with a zero floor (J12/C8, code/10:313-315); the org-type
+    rollup applies the PC→TV ratio (A5, code/10:316-319). All joins
+    broadcast the (small) mapped sub-grant aggregate — the primary
+    aggregate is never shuffled.
+    """
+    sg = sub_grants.withColumn(
+        "name", canonicalize_name(F.col("recipient_name"))
+    )
+    sg = sg.join(F.broadcast(mapping), "name", "left").filter(
+        F.col("matched_name").isNotNull()
+    )
+    # sub-grants count as newMoney FALSE (code/10:301)
+    sg_agg = (
+        sg.groupBy(
+            F.col("matched_name").alias("clean_org"),
+            "Year",
+            F.lit("FALSE").alias("newMoney"),
+        )
+        .agg(F.coalesce(F.sum("amount"), F.lit(0.0)).alias("pc_subgrant"))
+    )
+    undoubled = (
+        cva_agg.join(F.broadcast(sg_agg), ["clean_org", "Year", "newMoney"], "left")
+        .withColumn("pc_subgrant", F.coalesce("pc_subgrant", F.lit(0.0)))
+        .withColumn(
+            "PC_USD_m_undoubled",
+            F.greatest(
+                F.lit(0.0), F.col("`PC.USD.m`") - F.col("pc_subgrant")
+            ),
+        )
+    )
+    rollup = (
+        undoubled.groupBy("Year", "Org_type")
+        .agg(F.sum("PC_USD_m_undoubled").alias("PC_USD_m"))
+        .join(F.broadcast(pc_tv_estimate), ["Year"], "left")
+        .withColumn(
+            "TV_USD_m", F.col("PC_USD_m") * F.col("PC_average_used")
+        )
+        .drop("PC_average_used")
+    )
+    return undoubled, rollup

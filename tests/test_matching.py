@@ -1,0 +1,101 @@
+"""EP3 matcher waterfall + double-count removal (code/10:86-324)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from calp_cva_tracking_pipeline_spark.plans.matching import (
+    match_org_names,
+    subtract_subgrants,
+)
+
+
+def test_match_waterfall_stages(spark):
+    subgrants = spark.createDataFrame(
+        [
+            ("World Food Programme",),      # exact (after canonicalize)
+            ("Wrold Food Programme",),      # fuzzy (1 transposition... 2 edits)
+            ("Oxfam",),                     # substring_a: inside 'oxfam gb'
+            ("Save the Children Fund UK",), # substring_b: contains 'save the children'
+            ("wfp",),                       # manual override
+            ("Unknown",),                   # sentinel -> dropped
+            ("Totally Unrelated Org",),     # no match
+        ],
+        "name string",
+    )
+    orgs = spark.createDataFrame(
+        [
+            ("World Food Programme",),
+            ("Oxfam GB",),
+            ("Save the Children",),
+        ],
+        "org string",
+    )
+    out = match_org_names(
+        subgrants,
+        orgs,
+        manual_overrides=[("wfp", "world food programme")],
+    )
+    got = {
+        r["name"]: (r["matched_name"], r["match_method"])
+        for r in out.collect()
+    }
+    assert "unknown" not in got  # sentinel dropped
+    assert got["world food programme"] == ("world food programme", "exact")
+    assert got["wrold food programme"] == ("world food programme", "fuzzy")
+    assert got["oxfam"] == ("oxfam gb", "substring_a")
+    assert got["save the children fund uk"] == (
+        "save the children", "substring_b"
+    )
+    assert got["wfp"] == ("world food programme", "manual")
+    assert got["totally unrelated org"] == (None, None)
+
+
+def test_fuzzy_veto(spark):
+    subgrants = spark.createDataFrame([("drc",)], "name string")
+    orgs = spark.createDataFrame([("nrc",)], "org string")
+    # without the veto, 'drc' would fuzzy-match 'nrc' (distance 1)
+    no_veto = match_org_names(subgrants, orgs)
+    assert no_veto.collect()[0]["matched_name"] == "nrc"
+    vetoed = match_org_names(subgrants, orgs, fuzzy_veto=["drc"])
+    assert vetoed.collect()[0]["matched_name"] is None
+
+
+def test_subtract_subgrants_floor_and_rollup(spark):
+    cva_agg = spark.createDataFrame(
+        [
+            ("org a", 2023, "FALSE", "NGO", 10.0),
+            ("org b", 2023, "FALSE", "NGO", 5.0),
+            ("org c", 2023, "TRUE", "UN", 7.0),   # newMoney TRUE: no subtract
+        ],
+        "clean_org string, Year int, newMoney string, Org_type string,"
+        " `PC.USD.m` double",
+    )
+    sub_grants = spark.createDataFrame(
+        [
+            ("Org A!", 2023, 4.0),
+            ("Org A!", 2023, 2.0),   # sums to 6
+            ("Org B", 2023, 99.0),   # floor clamps 5-99 to 0
+            ("org c", 2023, 1.0),    # maps, but cva row is newMoney TRUE
+        ],
+        "recipient_name string, Year int, amount double",
+    )
+    mapping = spark.createDataFrame(
+        [("org a", "org a"), ("org b", "org b"), ("org c", "org c")],
+        "name string, matched_name string",
+    )
+    pc_tv = spark.createDataFrame(
+        [(2023, 0.5)], "Year int, PC_average_used double"
+    )
+    undoubled, rollup = subtract_subgrants(
+        cva_agg, sub_grants, mapping, pc_tv
+    )
+    u = {r["clean_org"]: r["PC_USD_m_undoubled"] for r in undoubled.collect()}
+    assert u["org a"] == pytest.approx(4.0)   # 10 - 6
+    assert u["org b"] == 0.0                  # floored
+    assert u["org c"] == 7.0                  # newMoney mismatch: untouched
+    r = {(x["Year"], x["Org_type"]): x for x in rollup.collect()}
+    assert r[(2023, "NGO")]["PC_USD_m"] == pytest.approx(4.0)
+    assert r[(2023, "NGO")]["TV_USD_m"] == pytest.approx(2.0)
+    assert r[(2023, "UN")]["TV_USD_m"] == pytest.approx(3.5)
