@@ -291,6 +291,33 @@ def test_substring_join_metachar_needle(spark):
     assert got["core"] == "the core value"
 
 
+# --- LSH skew guards: mass duplicates don't explode the pair count -----------
+
+
+def test_lsh_skew_guard(spark):
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = [(i, "the exact same page content repeated verbatim everywhere")
+            for i in range(500)]
+    docs += [(1000 + i, f"unique document number {i} with its own words here")
+             for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    unguarded = minhash_lsh_candidates(
+        df, "doc_id", "text", pre_collapse_exact=False
+    ).count()
+    assert unguarded >= 500 * 499 // 2  # O(n^2) blow-up from one cluster
+
+    guarded = minhash_lsh_candidates(
+        df, "doc_id", "text", pre_collapse_exact=True, max_bucket_docs=64
+    ).count()
+    # the duplicate cluster collapses to ONE representative -> no intra-
+    # cluster pairs survive; only (rare) cross-text collisions remain
+    assert guarded < 50
+
+
 # --- J14: waterfall keeps first-source rows only -----------------------------
 
 
