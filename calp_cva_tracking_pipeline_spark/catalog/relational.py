@@ -811,24 +811,40 @@ SELECT c_custkey, 'acctbal_x2' AS metric, c_acctbal * 2 AS value FROM customer
 
 
 def x4_group_concat(spark, sf_dir):
-    # X4: per-group sorted '; '-join (nested-object collapse,
-    # code/01:50-72).
+    # X4 FULL form (code/01_fts_get_flows.R:50-72): group nested-object rows
+    # by their type, '; '-collapse each field, then PIVOT one wide row per
+    # flow — here (l_orderkey × l_linestatus) plays (flow × object type).
+    # Pivot values are declared so Catalyst skips the distinct-values job.
     li = T(spark, sf_dir, "lineitem")
-    out = X.collapse_group_concat(
+    flat = X.collapse_group_concat(
         li.select(
             "l_orderkey",
+            "l_linestatus",
             F.concat_ws("-", "l_returnflag", "l_linestatus").alias("flag"),
         ),
-        ["l_orderkey"],
+        ["l_orderkey", "l_linestatus"],
         ["flag"],
     )
-    return out.select("l_orderkey", "flag")
+    return (
+        flat.groupBy("l_orderkey")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.first("flag"))
+        .select(
+            "l_orderkey",
+            F.col("F").alias("flags_f"),
+            F.col("O").alias("flags_o"),
+        )
+    )
 
 
 X4_SQL = """
 SELECT l_orderkey,
-       string_agg(flag, '; ' ORDER BY flag) AS flag
-FROM (SELECT l_orderkey, l_returnflag || '-' || l_linestatus AS flag
+       string_agg(flag, '; ' ORDER BY flag)
+         FILTER (WHERE l_linestatus = 'F') AS flags_f,
+       string_agg(flag, '; ' ORDER BY flag)
+         FILTER (WHERE l_linestatus = 'O') AS flags_o
+FROM (SELECT l_orderkey, l_linestatus,
+             l_returnflag || '-' || l_linestatus AS flag
       FROM lineitem) t
 GROUP BY l_orderkey
 """

@@ -69,6 +69,28 @@ def stream_events(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only until the
+    watermark passes it, so an unbounded stream holds O(keys-per-horizon)
+    state instead of O(stream length) — the streaming twin of
+    operators.dedup.dedup_exact. On a batch DataFrame this degrades to
+    plain dropDuplicates (no watermark semantics), which tests exploit for
+    parity.
+    """
+    keys = key_cols or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
 def sessionize(
     events: DataFrame, gap: str = "30 minutes"
 ) -> DataFrame:

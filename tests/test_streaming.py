@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from calp_cva_tracking_pipeline_spark.catalog.common import T
 from calp_cva_tracking_pipeline_spark.streaming.events import (
+    dedup_stream,
     sessionize,
     stream_events,
     windowed_agg,
@@ -51,6 +52,37 @@ def test_stream_windowed_agg_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM windowed_stream").collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "dup_src")
+    events = _events_subset(spark, sf_dir, n=500)
+    # duplicate every event (a second copy of the same file contents)
+    events.unionByName(events).write.parquet(src)
+    static = spark.read.parquet(src)
+
+    stream = (
+        spark.readStream.schema(static.schema).parquet(src)
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d"
+        " FROM dedup_stream_sink"
+    ).collect()[0]
+    assert got["n"] == got["d"] == 500  # one survivor per event_id
+    # batch path: plain dropDuplicates parity
+    assert dedup_stream(static).count() == 500
 
 
 def test_sessionize_batch_properties(spark, sf_dir):
