@@ -1,0 +1,87 @@
+"""Stratified split / class weights (M2-adjacent) and bucketed co-located
+joins (the pay-the-shuffle-once storage strategy)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from calp_cva_tracking_pipeline_spark.operators.sampling import (
+    class_weights,
+    stratified_split,
+)
+from calp_cva_tracking_pipeline_spark.sources.bucketed import (
+    read_table,
+    write_bucketed,
+)
+
+
+def _labeled(spark, n=4000):
+    return spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 == 0, "Full").otherwise("Partial").alias("label"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"),
+    )
+
+
+def test_stratified_split_deterministic_and_stratified(spark):
+    df = _labeled(spark)
+    train, test = stratified_split(df, "label", 0.8, seed=42, id_col="id")
+    # partition-independent: identical split after a repartition
+    train2, _ = stratified_split(
+        df.repartition(13), "label", 0.8, seed=42, id_col="id"
+    )
+    assert {r["id"] for r in train.collect()} == {
+        r["id"] for r in train2.collect()
+    }
+    # disjoint and complete
+    assert train.count() + test.count() == 4000
+    assert train.join(test, "id").count() == 0
+    # ~80/20 within EACH label
+    for frame, lo, hi in ((train, 0.75, 0.85), (test, 0.15, 0.25)):
+        per_label = {
+            r["label"]: r["n"]
+            for r in frame.groupBy("label").agg(F.count("*").alias("n")).collect()
+        }
+        assert lo < per_label["Full"] / 1000 < hi
+        assert lo < per_label["Partial"] / 3000 < hi
+    # different seed -> different split
+    train3, _ = stratified_split(df, "label", 0.8, seed=7, id_col="id")
+    assert {r["id"] for r in train3.collect()} != {
+        r["id"] for r in train.collect()
+    }
+
+
+def test_class_weights_inverse_frequency(spark):
+    w = {
+        r["label"]: r["weight"]
+        for r in class_weights(_labeled(spark), "label").collect()
+    }
+    assert w["Full"] == pytest.approx(4000 / 1000)
+    assert w["Partial"] == pytest.approx(4000 / 3000)
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+        )
+        right = spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+        )
+        write_bucketed(left, "t_bucket_left", ["k"], 8, sort_cols=["k"])
+        write_bucketed(right, "t_bucket_right", ["k"], 8, sort_cols=["k"])
+        joined = read_table(spark, "t_bucket_left").join(
+            read_table(spark, "t_bucket_right"), "k"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located: no exchange anywhere in the join plan
+        assert "Exchange" not in plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS t_bucket_left")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_right")
