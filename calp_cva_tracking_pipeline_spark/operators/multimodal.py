@@ -48,6 +48,26 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("decode_ok", StringType(), False),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("frame_ms", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("decode_ok", StringType(), False),
+    ]
+)
+
 
 def _decode_image_real(payload: bytes) -> list[float]:  # pragma: no cover
     """Real decode path — requires PIL; raises if unavailable."""
@@ -112,3 +132,100 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, width: int = 224, height: int = 224
+) -> DataFrame:
+    """mapInPandas image resize → RESIZE_SCHEMA (one row per image).
+
+    Real path uses PIL when present; the STUB fake truncates/pads the raw
+    payload to width*height bytes so the Spark-side contract (schema,
+    per-row payload, batch shape) is fully testable without codecs.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # pragma: no cover - codec libs absent in this container
+            from io import BytesIO
+
+            from PIL import Image
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+        target = width * height
+        for pdf in batches:
+            payloads, status = [], []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    payloads.append(None)
+                    status.append("stubbed")
+                    continue
+                if have_pil:  # pragma: no cover
+                    try:
+                        img = Image.open(BytesIO(payload)).resize(
+                            (width, height)
+                        )
+                        buf = BytesIO()
+                        img.save(buf, format="PNG")
+                        payloads.append(buf.getvalue())
+                        status.append("ok")
+                        continue
+                    except Exception:
+                        status.append("error")
+                else:
+                    status.append("stubbed")
+                # STUB: deterministic truncate/cycle-pad to target size
+                raw = bytes(payload)
+                reps = (target // max(len(raw), 1)) + 1
+                payloads.append((raw * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                    "decode_ok": status,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """mapInPandas video frame sampling → FRAME_SCHEMA (row per frame).
+
+    Emits one row per sampled timestamp up to ``max_frames``, bounded by
+    the row's ``duration_ms`` metadata. Real path would invoke ffmpeg per
+    batch (pragma-gated); the STUB fake slices the payload evenly so frame
+    boundaries are deterministic. The fan-out (1 video → N frame rows)
+    happens inside the executor, so downstream repartitioning sees frame
+    granularity — the shape that matters at 100 TB.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_index": [], "frame_ms": [],
+                "payload": [], "decode_ok": [],
+            }
+            for media_id, payload, duration in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                # Arrow hands nullable ints to pandas as float NaN
+                if payload is None or pd.isna(duration) or duration <= 0:
+                    continue
+                n = min(max_frames, max(int(duration // every_ms), 1))
+                raw = bytes(payload)
+                step = max(len(raw) // n, 1)
+                for i in range(n):
+                    out["media_id"].append(media_id)
+                    out["frame_index"].append(i)
+                    out["frame_ms"].append(i * every_ms)
+                    out["payload"].append(raw[i * step:(i + 1) * step])
+                    out["decode_ok"].append("stubbed")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, FRAME_SCHEMA)

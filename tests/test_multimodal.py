@@ -10,9 +10,13 @@ from __future__ import annotations
 
 from calp_cva_tracking_pipeline_spark.operators.multimodal import (
     FEATURE_SCHEMA,
+    FRAME_SCHEMA,
     MEDIA_SCHEMA,
+    RESIZE_SCHEMA,
     _decode_stub,
     extract_features,
+    resize_images,
+    sample_frames,
 )
 
 
@@ -44,3 +48,31 @@ def test_extract_features_partitioned(spark):
     # batch shape: repartitioned input still yields one row per media row
     df = _media_df(spark).repartition(3)
     assert extract_features(df).count() == 3
+
+
+def test_resize_images_stub_contract(spark):
+    out = resize_images(_media_df(spark), width=4, height=4)
+    assert out.schema == RESIZE_SCHEMA
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 3
+    # stubbed payloads are exactly width*height bytes; null stays null
+    assert len(rows[1]["payload"]) == 16
+    assert rows[3]["payload"] is None
+    assert {r["decode_ok"] for r in rows.values()} == {"stubbed"}
+    assert {(r["width"], r["height"]) for r in rows.values()} == {(4, 4)}
+
+
+def test_sample_frames_fanout(spark):
+    out = sample_frames(_media_df(spark), every_ms=500, max_frames=4)
+    assert out.schema == FRAME_SCHEMA
+    rows = out.collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # id 2: duration 1000ms / 500ms -> 2 frames; id 3: null payload skipped;
+    # id 1: null duration skipped
+    assert set(by_media) == {2}
+    frames = sorted(by_media[2], key=lambda r: r["frame_index"])
+    assert [f["frame_ms"] for f in frames] == [0, 500]
+    # deterministic even byte slicing
+    assert frames[0]["payload"] == bytes([7] * 8)
