@@ -38,6 +38,59 @@ def lang_id_heuristic(text: Column, threshold: float = 0.05) -> Column:
     ).otherwise(F.lit("unk"))
 
 
+# Most-frequent character trigrams per language (standard public frequency
+# tables; space-padded entries capture word boundaries). Deliberately tiny —
+# real deployments swap in fastText/CLD3 via the mapInPandas pattern.
+CHAR_TRIGRAM_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "he ", " th", "ing", "and", " an", "nd ", " of", "of ",
+           "ed ", " to", "to ", "er ", " in", "ion"],
+    "fr": ["es ", " de", "de ", "le ", " le", "ent", "nt ", "et ", " et",
+           "la ", " la", "ion", "re ", " co", "que"],
+    "es": [" de", "de ", "os ", " la", "la ", "el ", " el", "as ", "ión",
+           "es ", " en", "en ", "ent", " qu", "que"],
+}
+
+
+def char_trigrams(text: Column) -> Column:
+    """Distinct character trigrams of the lowercased text — pure JVM
+    (sequence + transform + substring), no UDF."""
+    t = F.lower(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(t) - 2, F.lit(1))
+            ),
+            lambda i: t.substr(i, F.lit(3)),
+        )
+    )
+
+
+def lang_id_char_ngram(
+    text: Column,
+    profiles: dict[str, list[str]] | None = None,
+    min_hits: int = 2,
+) -> Column:
+    """Character-n-gram language ID: the language whose trigram profile
+    overlaps the document's trigram set most wins; below ``min_hits``
+    overlap → 'unk'. All array intrinsics — runs at scan speed; ties break
+    by language code order for determinism."""
+    profiles = profiles or CHAR_TRIGRAM_PROFILES
+    grams = char_trigrams(text)
+    scores = {
+        lang: F.size(
+            F.array_intersect(grams, F.array(*[F.lit(g) for g in prof]))
+        )
+        for lang, prof in sorted(profiles.items())
+    }
+    best_score = F.greatest(*scores.values()) if len(scores) > 1 else next(
+        iter(scores.values())
+    )
+    pick = F.lit("unk")
+    for lang in sorted(scores, reverse=True):
+        pick = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pick)
+    return F.when(best_score >= min_hits, pick).otherwise(F.lit("unk"))
+
+
 def punct_ratio(text: Column) -> Column:
     stripped = F.regexp_replace(text, ASCII_PUNCT_CLASS, "")
     return (F.length(text) - F.length(stripped)).cast("double") / F.greatest(

@@ -328,3 +328,32 @@ def test_j14_waterfall_priority(spark):
     out = anti_waterfall_union([s1, s2, s3], ["k"])
     got = {r["k"]: r["v"] for r in out.collect()}
     assert got == {1: "a1", 2: "a2", 3: "b3", 4: "c4"}
+
+
+# --- language ID: char-trigram profiles --------------------------------------
+
+
+def test_lang_id_char_ngram(spark):
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        lang_id_char_ngram,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumped over the lazy dog and ran"),
+            (2, "le gouvernement de la France a annoncé que les mesures"),
+            (3, "el gobierno de España anunció que las medidas económicas"),
+            (4, "zzz qqq xxx"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r["lang"]
+        for r in df.select(
+            "id", lang_id_char_ngram(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert out[1] == "en"
+    assert out[2] == "fr"
+    assert out[3] == "es"
+    assert out[4] == "unk"
