@@ -357,3 +357,40 @@ def test_lang_id_char_ngram(spark):
     assert out[2] == "fr"
     assert out[3] == "es"
     assert out[4] == "unk"
+
+
+# --- X1 under hypothesis: arbitrary packed strings ---------------------------
+
+
+def test_x1_hypothesis_packed_strings(spark):
+    from hypothesis import given, settings, strategies as st
+
+    part = st.text(
+        alphabet="abc XY9", min_size=0, max_size=8
+    ).map(lambda s: s.replace(";", " "))
+    packed_rows = st.lists(
+        st.tuples(st.lists(part, min_size=1, max_size=5),
+                  st.floats(min_value=0.01, max_value=1e9,
+                            allow_nan=False, allow_infinity=False)),
+        min_size=1, max_size=20,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(packed_rows)
+    def run(case):
+        rows = [
+            (i, ";".join(parts), amt)
+            for i, (parts, amt) in enumerate(case)
+        ]
+        df = spark.createDataFrame(rows, "id long, packed string, amt double")
+        out = split_rows_equal(df, "packed", ["amt"]).collect()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r["id"], []).append(r)
+        for i, (parts, amt) in enumerate(case):
+            got = by_id[i]
+            assert len(got) == len(parts)          # count = 1 + separators
+            assert sum(r["amt"] for r in got) == pytest.approx(amt, rel=1e-9)
+            assert [r["packed"] for r in got] == [p.strip() for p in parts]
+
+    run()
