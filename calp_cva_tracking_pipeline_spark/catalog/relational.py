@@ -1292,12 +1292,11 @@ ruled AS (
   SELECT *,
     cc1 = 'None' AND NOT pct_full AND NOT pct_partial AS none_after_3,
     keyword_match AND pred_ok AS kw,
-    NOT keyword_match AND project_cva AND pred_ok AS api
+    project_cva AND pred_ok AS api
   FROM flags),
 final AS (
   SELECT o_totalprice,
-    CASE WHEN none_after_3 AND api THEN predicted_class
-         WHEN none_after_3 AND kw THEN predicted_class
+    CASE WHEN none_after_3 AND (kw OR api) THEN predicted_class
          WHEN pct_partial THEN 'Partial'
          WHEN pct_full THEN 'Full'
          ELSE cc1 END AS relevance,
@@ -1305,7 +1304,7 @@ final AS (
          WHEN none_after_3 AND kw THEN 'Keyword + ML'
          WHEN pct_partial THEN 'Project CVA Percentage'
          WHEN pct_full THEN 'Project CVA Percentage'
-         WHEN cc1 <> 'None' THEN 'Sector/Method/Cluster' END
+         ELSE 'Sector/Method/Cluster' END
       AS relevance_method
   FROM ruled)
 SELECT relevance, relevance_method, COUNT(*) AS n,

@@ -73,21 +73,23 @@ def relevance_with_ml(
 ) -> tuple[Column, Column]:
     """Returns (relevance, relevance_method) as two parallel when-chains.
 
-    Rules in application order (later overrides earlier):
-    1. init from CC1; method 'Sector/Method/Cluster' where non-None.
+    Rules in application order (later overrides earlier), reproducing the
+    reference's sequential assignments EXACTLY — including two quirks:
+    ``relevance_method`` initializes to 'Sector/Method/Cluster' for EVERY
+    row (code/08:140, even rows whose relevance stays 'None'), and a row
+    flagged by BOTH keyword and project gets 'Project API + ML' because
+    that assignment comes later (code/08:175-182).
+
+    1. init: relevance from CC1; method 'Sector/Method/Cluster' always.
     2. pct >= 0.75            → Full,    'Project CVA Percentage'
     3. 0 < pct < 0.75         → Partial, 'Project CVA Percentage'
-    4. on rows STILL None after 1-3 and flagged for inference
-       (keyword_match | project_cva), prediction ∈ {Partial, Full} →
-       relevance = prediction; method 'Keyword + ML' when keyword-flagged
-       else 'Project API + ML' (code/08:175-182).
+    4. on rows STILL None after 1-3, prediction ∈ {Partial, Full}:
+       keyword_match → 'Keyword + ML'; project_cva → 'Project API + ML'
+       (later, so it wins when both flags hold); relevance = prediction.
     """
-    kw = keyword_match & predicted_class.isin("Partial", "Full")
-    api = (
-        ~keyword_match
-        & project_cva
-        & predicted_class.isin("Partial", "Full")
-    )
+    pred_ok = predicted_class.isin("Partial", "Full")
+    kw = keyword_match & pred_ok
+    api = project_cva & pred_ok
     # rules 2-3 override CC1; rule 4 fires only where 1-3 left None
     pct_full = pct.isNotNull() & (pct >= 0.75)
     pct_partial = pct.isNotNull() & (pct > 0) & (pct < 0.75)
@@ -97,12 +99,11 @@ def relevance_with_ml(
         [
             (pct_full, F.lit("Full")),
             (pct_partial, F.lit("Partial")),
-            (none_after_3 & kw, predicted_class),
-            (none_after_3 & api, predicted_class),
+            (none_after_3 & (kw | api), predicted_class),
         ],
     )
     method = when_cascade(
-        F.when(cc1_relevance != "None", F.lit("Sector/Method/Cluster")),
+        F.lit("Sector/Method/Cluster"),
         [
             (pct_full, F.lit("Project CVA Percentage")),
             (pct_partial, F.lit("Project CVA Percentage")),

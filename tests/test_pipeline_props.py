@@ -148,8 +148,11 @@ def test_cc1_precedence(spark, method, cluster, expected):
         ("None", 0.5, True, False, "Full", "Partial", "Project CVA Percentage"),
         ("None", None, True, False, "Full", "Full", "Keyword + ML"),
         ("None", None, False, True, "Partial", "Partial", "Project API + ML"),
-        ("None", None, False, False, "Full", "None", None),  # not sent to ML
+        # not sent to ML: method keeps the unconditional init (code/08:140)
+        ("None", None, False, False, "Full", "None", "Sector/Method/Cluster"),
         ("None", 0.0, True, False, "Full", "Full", "Keyword + ML"),  # pct 0 != sent
+        # BOTH flags: the later sequential assignment wins (code/08:175-182)
+        ("None", None, True, True, "Partial", "Partial", "Project API + ML"),
     ],
 )
 def test_cc2_precedence(spark, cc1, pct, kw, pcva, pred, exp_rel, exp_meth):
