@@ -1512,7 +1512,8 @@ FROM joined WHERE qa IS NULL OR len(qa) = 0
 
 EP2_CASH_CLUSTERS = ["Cash Cluster A"]
 EP2_KEYWORDS = ["cash", "voucher"]
-EP2_COMMON_WORDS = ["cash", "voucher", "cva", "coupon"]
+# the reference's common-words list includes the plural (code/09:50)
+EP2_COMMON_WORDS = ["cash", "voucher", "vouchers", "cva", "coupon"]
 
 
 def ep2_cva_by_location(spark, sf_dir):
@@ -1668,40 +1669,19 @@ feat2 AS (
     CASE WHEN cluster IS NULL OR cluster = '' THEN 0
          ELSE len(string_split(cluster, ';')) END AS n_clusters
   FROM feat),
-cc2 AS (
-  SELECT *,
-    CASE WHEN cc1 = 'None'
-              AND NOT (project_cva_percentage IS NOT NULL
-                       AND project_cva_percentage >= 0.75)
-              AND NOT (project_cva_percentage IS NOT NULL
-                       AND project_cva_percentage > 0
-                       AND project_cva_percentage < 0.75)
-           THEN CASE
-             WHEN NOT keyword_match AND project_cva
-                  AND predicted_class IN ('Partial', 'Full')
-               THEN predicted_class
-             WHEN keyword_match AND predicted_class IN ('Partial', 'Full')
-               THEN predicted_class
-             ELSE cc1 END
-         WHEN project_cva_percentage IS NOT NULL
-              AND project_cva_percentage > 0
-              AND project_cva_percentage < 0.75 THEN 'Partial'
-         WHEN project_cva_percentage IS NOT NULL
-              AND project_cva_percentage >= 0.75 THEN 'Full'
-         ELSE cc1 END AS relevance
-  FROM feat2),
 amounts AS (
+  -- CC3 keys off CC1 (code/09:32-41), not the CC2 ML-augmented relevance
   SELECT *,
     CASE
-      WHEN relevance = 'Full' THEN amountUSD
-      WHEN relevance = 'Partial'
+      WHEN cc1 = 'Full' THEN amountUSD
+      WHEN cc1 = 'Partial'
         THEN CASE WHEN n_clusters > 0 THEN amountUSD / n_clusters END
       WHEN project_cva_percentage IS NOT NULL AND project_cva_percentage > 0
         THEN amountUSD * project_cva_percentage
       WHEN predicted_confidence >= 0.8 AND common_words_match THEN amountUSD
       WHEN id % 97 = 0 THEN amountUSD
       ELSE 0.0 END AS CVAamount
-  FROM cc2)
+  FROM feat2)
 SELECT location, COUNT(*) AS n_flows,
        ROUND(CAST(SUM(CAST(CVAamount AS DECIMAL(27,6))) AS DOUBLE) / 1e6, 6)
          AS cva_usd_m

@@ -131,6 +131,23 @@ def cva_amount_cascade(
 ) -> tuple[Column, Column]:
     """Returns (CVAamount, CVAamount_type) columns.
 
+    ``relevance`` is CC1's sector/method/cluster relevance — the reference
+    indexes ``sector_method_cluster_relevance`` here (code/09:32-41), not
+    CC2's ML-augmented column.
+
+    The reference's later rules guard on the RUNNING amount
+    (``CVAamount == 0``); this chain encodes rule-fired flags instead,
+    with the pct rule requiring ``pct > 0``. The two are amount-equivalent:
+    the only rows where "rule fired" and "amount still 0" diverge are
+    pct == 0 rows (amount*0 == 0, so the reference lets ML/manual rules
+    still fire — and so does this chain, because ``pct > 0`` keeps the pct
+    rule from claiming them) and amountUSD == 0 rows, where every branch
+    assigns 0 anyway. Label-column note: the reference re-evaluates its row
+    index AFTER the amount write (code/09:44-48), which strands the type
+    label on rows whose amount became nonzero; this chain labels at
+    rule-application time — a deliberate, documented divergence visible
+    only in the degenerate cases above.
+
     The Partial branch divides by ``cluster_count``; a Partial row with zero
     clusters yields null (R would produce Inf, which the pipeline's
     positive-finite filter F7 drops anyway, code/09:89 — null reaches the

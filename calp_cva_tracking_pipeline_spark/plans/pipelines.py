@@ -186,8 +186,12 @@ def classify_cva(
         F.col("accepted").alias("__accepted"),
     )
     out = out.join(F.broadcast(dec), [flow_id_col], "left")
+    # CC3 keys off CC1's sector/method/cluster relevance, NOT CC2's
+    # ML-augmented relevance (code/09:32-41 indexes
+    # sector_method_cluster_relevance); CC2's relevance/relevance_method
+    # ride along as output columns (fts_output_CVA.csv contract).
     amount, amount_type = cva_amount_cascade(
-        relevance=F.col("relevance"),
+        relevance=F.col("sector_method_cluster_relevance"),
         amount=F.col("amountUSD"),
         cluster_count=F.col("destinationClusterCount"),
         pct=F.col("project_cva_percentage"),

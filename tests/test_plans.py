@@ -154,6 +154,10 @@ def test_ep2_classify_and_aggregate(spark):
     # percentage band OVERRIDES it to Partial (code/08:139-148 rule order)
     assert rows[2]["relevance"] == "Partial"
     assert rows[2]["relevance_method"] == "Project CVA Percentage"
+    # ...yet the AMOUNT cascade keys off CC1, not CC2 (code/09:32-41):
+    # the exact-cash-cluster Full takes the whole amount
+    assert rows[2]["CVAamount"] == 200.0
+    assert rows[2]["CVAamount_type"] == "Sector, method, cluster"
     # id 3: keyword match, ML decides; id 4: manual decision folds back
     assert rows[3]["keyword_match"] is True
     assert rows[4]["CVAamount_type"] in ("Manual", "ML high predicted relevance", "")
