@@ -20,15 +20,21 @@ from calp_cva_tracking_pipeline_spark.plans.pipelines import (
     curate_flows,
     cva_by_location,
 )
+from calp_cva_tracking_pipeline_spark.plans.projects import (
+    build_project_features,
+    project_text,
+)
 from calp_cva_tracking_pipeline_spark.plans.schemas import CURATED_FLOWS_SCHEMA
 
 __all__ = [
     "CURATED_FLOWS_SCHEMA",
     "build_deflators",
+    "build_project_features",
     "build_usd_exchange_rates",
     "classify_cva",
     "curate_flows",
     "cva_by_location",
     "match_org_names",
+    "project_text",
     "subtract_subgrants",
 ]
