@@ -206,6 +206,100 @@ def classify_cva(
     )
 
 
+def parse_project_qa(project_id: int, payload: dict) -> list[dict]:
+    """X6 parse for one project API payload → long Q&A rows
+    (code/06_fetch_projects.R:60-141). Designed as the ``parse`` callable
+    of sources.rest.fetch_entities_distributed (S9), so thousands of
+    project JSONs decode cluster-wide inside mapInPandas.
+
+    Emits one row per (conditionField definition, field value) pair; the
+    placeholder row ("No field questions"/"No field answers") appears when
+    the project has no field values OR every field references a missing
+    definition — the reference's two fallback branches.
+    """
+    project = (payload or {}).get("data", payload) or {}
+    plans = project.get("plans") or [{}]
+    plan = plans[0]
+    base = {
+        "project_id": project_id,
+        "project_name": project.get("name"),
+        "project_objective": project.get("objective"),
+        "currently_requested_funds": project.get("currentRequestedFunds"),
+        "plan_id": (plan.get("planVersion") or {}).get("id"),
+        "plan_name": (plan.get("planVersion") or {}).get("name"),
+        "global_clusters": " | ".join(
+            c.get("name", "") for c in project.get("globalClusters") or []
+        ),
+        "organisation_ids": " | ".join(
+            str(o.get("id", "")) for o in project.get("organizations") or []
+        ),
+        "organisation_names": " | ".join(
+            o.get("name", "") for o in project.get("organizations") or []
+        ),
+    }
+    defs = {
+        str(d.get("id")): d for d in plan.get("conditionFields") or []
+    }
+    pvp = project.get("projectVersionPlans") or [{}]
+    fields = pvp[0].get("projectVersionFields") or []
+    rows, errors = [], 0
+    for field in fields:
+        d = defs.get(str(field.get("conditionFieldId")))
+        if d is not None and field.get("value") is not None:
+            rows.append(
+                {**base, "question": d.get("name"), "answer": field["value"]}
+            )
+        else:
+            errors += 1
+    if not fields or (fields and errors == len(fields)):
+        rows.append(
+            {
+                **base,
+                "question": "No field questions",
+                "answer": "No field answers",
+            }
+        )
+    return rows
+
+
+def usa_comparison(
+    cva: DataFrame,
+    usa_source_orgs: list[str],
+    year: int = 2024,
+    location_col: str = "destinationObjects_Location.name",
+    source_org_col: str = "sourceObjects_Organization.name",
+) -> DataFrame:
+    """EP3 sample analysis (code/11_refresh_2024_sample_analysis.R:44-89):
+    year + non-pledge filters (F2/F3) → global and USA-source (F4)
+    per-location sums (A6) → full-outer comparison (J13) with zero fill
+    for the USA side only → USA share ratio → alphabetical order.
+
+    Matches the reference's asymmetric fill: a location with USA money but
+    somehow no global rows keeps a null (not zero) global amount, and the
+    ratio divides by it faithfully (null → null share).
+    """
+    base = cva.filter(
+        (F.col("year") == year) & (F.col("status") != "pledge")
+    )
+    loc = F.col(f"`{location_col}`")
+    total = base.groupBy(loc.alias("location")).agg(
+        F.sum("CVAamount").alias("CVAamount")
+    )
+    usa = (
+        base.filter(F.col(f"`{source_org_col}`").isin(usa_source_orgs))
+        .groupBy(loc.alias("location"))
+        .agg(F.sum("CVAamount").alias("CVAamount_USA"))
+    )
+    return (
+        total.join(usa, "location", "full_outer")
+        .fillna(0, subset=["CVAamount_USA"])
+        .withColumn(
+            "CVAamount_USA_pc", F.col("CVAamount_USA") / F.col("CVAamount")
+        )
+        .orderBy("location")
+    )
+
+
 def cva_by_location(
     cva: DataFrame,
     location_col: str = "destinationObjects_Location.name",

@@ -14,6 +14,8 @@ from calp_cva_tracking_pipeline_spark.plans.pipelines import (
     classify_cva,
     curate_flows,
     cva_by_location,
+    parse_project_qa,
+    usa_comparison,
 )
 
 YEAR_COL = "destinationObjects_UsageYear.name"
@@ -165,3 +167,69 @@ def test_ep2_classify_and_aggregate(spark):
     agg = cva_by_location(out)
     got = {r["location"]: r["n_flows"] for r in agg.collect()}
     assert got.get("Kenya", 0) >= 2
+
+
+def test_parse_project_qa_branches():
+    payload = {
+        "data": {
+            "name": "Proj",
+            "objective": "obj",
+            "currentRequestedFunds": 100.0,
+            "globalClusters": [{"name": "Food"}, {"name": "Cash"}],
+            "organizations": [{"id": 1, "name": "Org A"}],
+            "plans": [{
+                "planVersion": {"id": 5, "name": "Plan5"},
+                "conditionFields": [
+                    {"id": 11, "name": "Q-cash-pct"},
+                    {"id": 12, "name": "Q-flag"},
+                ],
+            }],
+            "projectVersionPlans": [{
+                "projectVersionFields": [
+                    {"conditionFieldId": 11, "value": "25%"},
+                    {"conditionFieldId": 99, "value": "orphan"},  # bad def
+                    {"conditionFieldId": 12, "value": None},      # null value
+                ],
+            }],
+        }
+    }
+    rows = parse_project_qa(7, payload)
+    assert len(rows) == 1  # one good field; bad ones skipped, no fallback
+    assert rows[0]["question"] == "Q-cash-pct" and rows[0]["answer"] == "25%"
+    assert rows[0]["global_clusters"] == "Food | Cash"
+    assert rows[0]["plan_name"] == "Plan5"
+
+    # no fields at all -> fallback row
+    empty = {"data": {"name": "P", "plans": [{}],
+                      "projectVersionPlans": [{}]}}
+    rows = parse_project_qa(8, empty)
+    assert [r["question"] for r in rows] == ["No field questions"]
+
+    # fields present but ALL broken -> fallback row too
+    broken = {"data": {"name": "P", "plans": [{"conditionFields": []}],
+                       "projectVersionPlans": [{"projectVersionFields": [
+                           {"conditionFieldId": 1, "value": "x"}]}]}}
+    rows = parse_project_qa(9, broken)
+    assert [r["question"] for r in rows] == ["No field questions"]
+
+
+def test_usa_comparison(spark):
+    cva = spark.createDataFrame(
+        [
+            (2024, "paid", "USAID", "Kenya", 60.0),
+            (2024, "paid", "Other Org", "Kenya", 40.0),
+            (2024, "pledge", "USAID", "Kenya", 999.0),   # pledge dropped
+            (2023, "paid", "USAID", "Kenya", 999.0),     # wrong year
+            (2024, "paid", "Other Org", "Somalia", 50.0),
+        ],
+        "year int, status string, `sourceObjects_Organization.name` string,"
+        " `destinationObjects_Location.name` string, CVAamount double",
+    )
+    out = usa_comparison(cva, ["USAID"], year=2024)
+    rows = {r["location"]: r for r in out.collect()}
+    assert rows["Kenya"]["CVAamount"] == 100.0
+    assert rows["Kenya"]["CVAamount_USA"] == 60.0
+    assert rows["Kenya"]["CVAamount_USA_pc"] == pytest.approx(0.6)
+    assert rows["Somalia"]["CVAamount_USA"] == 0.0
+    assert rows["Somalia"]["CVAamount_USA_pc"] == 0.0
+    assert [r["location"] for r in out.collect()] == ["Kenya", "Somalia"]
