@@ -19,6 +19,8 @@ from calp_cva_tracking_pipeline_spark.plans.pipelines import (
     classify_cva,
     curate_flows,
     cva_by_location,
+    parse_project_qa,
+    usa_comparison,
 )
 from calp_cva_tracking_pipeline_spark.plans.projects import (
     build_project_features,
@@ -35,6 +37,8 @@ __all__ = [
     "curate_flows",
     "cva_by_location",
     "match_org_names",
+    "parse_project_qa",
     "project_text",
     "subtract_subgrants",
+    "usa_comparison",
 ]
