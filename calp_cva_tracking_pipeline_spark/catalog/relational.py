@@ -1654,7 +1654,7 @@ feat2 AS (
     regexp_matches(all_text,
                    '(?i)\\b({'|'.join(EP2_KEYWORDS)})\\b') AS keyword_match,
     CASE WHEN cluster LIKE '%;%'
-              AND ({' OR '.join(f"cluster LIKE '%' || {cl!r} || '%'" for cl in EP2_CASH_CLUSTERS)})
+              AND regexp_matches(cluster, {'|'.join(EP2_CASH_CLUSTERS)!r})
            THEN 'Partial'
          WHEN cluster IN ({','.join(repr(x) for x in EP2_CASH_CLUSTERS)})
            THEN 'Full'

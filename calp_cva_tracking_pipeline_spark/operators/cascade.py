@@ -42,11 +42,17 @@ CASH_METHOD = "Cash transfer programming (CTP)"
 def sector_method_cluster_relevance(
     method: Column, cluster: Column, cash_clusters: list[str]
 ) -> Column:
+    """CC1. The multi-cluster rule reproduces the reference's grepl with
+    the UNESCAPED name alternation (code/08:128): cluster names are treated
+    as regex, so a name containing metacharacters — e.g.
+    'Multi-Purpose Cash Assistance (MPCA)' — matches the parens-stripped
+    text 'Multi-Purpose Cash Assistance MPCA', NOT its own literal
+    spelling. R's TRE and Java's regex agree on this, so rlike is the
+    faithful translation; a quotemeta'd literal-contains would implement
+    the intent but diverge from the code (tests pin the quirk)."""
     exact_cash = cluster.isin(cash_clusters)
     multi = cluster.contains(";")
-    contains_cash = F.lit(False)
-    for c in cash_clusters:
-        contains_cash = contains_cash | cluster.contains(c)
+    contains_cash = cluster.rlike("|".join(cash_clusters))
     return when_cascade(
         F.lit("None"),
         [

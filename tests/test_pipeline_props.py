@@ -124,6 +124,15 @@ def test_a1_clamp(spark):
         ("Traditional aid", "Health; Basic Needs", "Partial"),
         ("Traditional aid", "Health", "None"),
         ("Traditional aid", "", "None"),
+        # the reference's grepl treats names as raw regex (code/08:128):
+        # the '(MPCA)' name matches its parens-stripped text, not its
+        # literal spelling — exact membership still catches the literal
+        ("Traditional aid",
+         "Health; Multi-Purpose Cash Assistance MPCA", "Partial"),
+        ("Traditional aid",
+         "Health; Multi-Purpose Cash Assistance (MPCA)", "None"),
+        ("Traditional aid",
+         "Multi-Purpose Cash Assistance (MPCA)", "Full"),
     ],
 )
 def test_cc1_precedence(spark, method, cluster, expected):
