@@ -10,19 +10,16 @@ results are partitioning-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from calp_cva_tracking_pipeline_spark.catalog.common import (
     SQL_MONEY_AVG,
     SQL_MONEY_SUM,
-    SQL_PRODUCT_SUM,
     T,
 )
 from calp_cva_tracking_pipeline_spark.functions.numeric import (
     money_avg,
     money_sum,
-    product_sum,
 )
 from calp_cva_tracking_pipeline_spark.functions.text import canonicalize_name
 from calp_cva_tracking_pipeline_spark.operators import joins as J

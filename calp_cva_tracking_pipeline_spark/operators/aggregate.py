@@ -7,7 +7,7 @@ through functions.numeric.money_sum for run/engine determinism.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from calp_cva_tracking_pipeline_spark.functions.numeric import money_sum

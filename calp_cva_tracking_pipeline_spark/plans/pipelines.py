@@ -12,7 +12,7 @@ the reference lines it re-expresses.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from calp_cva_tracking_pipeline_spark.operators.cascade import (

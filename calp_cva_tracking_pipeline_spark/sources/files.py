@@ -10,7 +10,6 @@ the Spark-native analog of the reference's one-CSV-per-year incremental cache
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 NULL_TOKENS = ["", "n/a", "--", "NULL", "NA"]
 
