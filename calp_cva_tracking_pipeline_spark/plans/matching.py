@@ -30,6 +30,7 @@ def match_org_names(
     left_names: DataFrame,
     right_names: DataFrame,
     manual_overrides: list[tuple[str, str]] | None = None,
+    manual_pattern_overrides: list[tuple[str, str]] | None = None,
     fuzzy_veto: list[str] | None = None,
 ) -> DataFrame:
     """The 4-stage matcher waterfall → (name, matched_name, match_method).
@@ -45,7 +46,12 @@ def match_org_names(
     3. substring_a  — left name as whole words inside right (code/10:161-176)
     4. substring_b  — right name inside left (code/10:191-210)
     5. manual       — hand-curated (from, to) overrides applied LAST and
-                      unconditionally (code/10:226-285) via the CC6 patch op
+                      unconditionally (code/10:226-285); the reference also
+                      has two regex-keyed rules ('world vision…',
+                      'red (cross|crescent)'), passed as
+                      ``manual_pattern_overrides`` (pattern, to) and applied
+                      in list order after the exact overrides. The curated
+                      lists themselves ship in plans.constants.
     """
     lc = left_names.select(
         canonicalize_name(F.col(left_names.columns[0])).alias("name")
@@ -117,6 +123,14 @@ def match_org_names(
                 .otherwise(F.col("match_method")),
             )
             .drop("__manual")
+        )
+    for pattern, target in manual_pattern_overrides or []:
+        hit = F.col("name").rlike(pattern)
+        out = out.withColumn(
+            "matched_name", F.when(hit, F.lit(target)).otherwise(F.col("matched_name"))
+        ).withColumn(
+            "match_method",
+            F.when(hit, F.lit("manual")).otherwise(F.col("match_method")),
         )
     return out
 

@@ -99,3 +99,59 @@ def test_subtract_subgrants_floor_and_rollup(spark):
     assert r[(2023, "NGO")]["PC_USD_m"] == pytest.approx(4.0)
     assert r[(2023, "NGO")]["TV_USD_m"] == pytest.approx(2.0)
     assert r[(2023, "UN")]["TV_USD_m"] == pytest.approx(3.5)
+
+
+def test_reference_constants_drop_in(spark):
+    """The shipped curated constants drive the matcher end-to-end."""
+    from calp_cva_tracking_pipeline_spark.plans.constants import (
+        FUZZY_VETO,
+        MANUAL_ORG_OVERRIDES,
+        MANUAL_ORG_PATTERN_OVERRIDES,
+    )
+
+    subgrants = spark.createDataFrame(
+        [("WFP",), ("World Vision Malawi",), ("Spanish Red Cross",),
+         ("drc",), ("Dan Church Aid",)],
+        "name string",
+    )
+    orgs = spark.createDataFrame(
+        [("World Food Programme",), ("NRC",)], "org string"
+    )
+    out = match_org_names(
+        subgrants,
+        orgs,
+        manual_overrides=MANUAL_ORG_OVERRIDES,
+        manual_pattern_overrides=MANUAL_ORG_PATTERN_OVERRIDES,
+        fuzzy_veto=FUZZY_VETO,
+    )
+    got = {r["name"]: r["matched_name"] for r in out.collect()}
+    assert got["wfp"] == "world food programme"
+    assert got["world vision malawi"] == "world vision international"
+    assert got["spanish red cross"] == "red cross and red crescent movement"
+    assert got["drc"] == "danish refugee council"  # manual, fuzzy vetoed
+    assert got["dan church aid"] == "dca"
+
+
+def test_reference_cash_terms(spark):
+    from calp_cva_tracking_pipeline_spark.functions.text import keyword_flag
+    from calp_cva_tracking_pipeline_spark.plans.constants import (
+        ALL_CASH_TERMS,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Distribution d'espèces aux familles"),
+         (2, "ESSN programme continuation"),
+         (3, "essn lowercased still matches (code behavior)"),
+         (4, "food basket delivery only")],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r["hit"]
+        for r in df.select(
+            "id", keyword_flag(F.col("text"), ALL_CASH_TERMS).alias("hit")
+        ).collect()
+    }
+    assert out[1] is True    # French 'espèces'
+    assert out[2] is True    # acronym
+    assert out[3] is True    # lowercased acronym matches too (code/08:94,131)
+    assert out[4] is False
