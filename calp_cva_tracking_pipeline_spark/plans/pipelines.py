@@ -276,7 +276,9 @@ def usa_comparison(
 
     Matches the reference's asymmetric fill: a location with USA money but
     somehow no global rows keeps a null (not zero) global amount, and the
-    ratio divides by it faithfully (null → null share).
+    ratio divides by it faithfully (null → null share). A zero global total
+    yields a null share (R would produce NaN/Inf; null avoids ANSI division
+    errors and is dropped the same way downstream).
     """
     base = cva.filter(
         (F.col("year") == year) & (F.col("status") != "pledge")
@@ -294,7 +296,11 @@ def usa_comparison(
         total.join(usa, "location", "full_outer")
         .fillna(0, subset=["CVAamount_USA"])
         .withColumn(
-            "CVAamount_USA_pc", F.col("CVAamount_USA") / F.col("CVAamount")
+            "CVAamount_USA_pc",
+            F.when(
+                F.col("CVAamount") != 0,
+                F.col("CVAamount_USA") / F.col("CVAamount"),
+            ),
         )
         .orderBy("location")
     )

@@ -58,6 +58,29 @@ CURATED_FLOWS_SCHEMA = StructType(
     ]
 )
 
+def conform(df, schema: StructType):
+    """Align a DataFrame to a declared contract: columns selected in schema
+    order, cast to the declared types, missing columns null-filled — the
+    hardened Spark analog of rbindlist(fill=TRUE) at a WRITE boundary
+    (SURVEY §1.3). Extra columns are dropped; the result always has exactly
+    the contract's shape, so downstream readers never see drift.
+    """
+    from pyspark.sql import functions as F
+
+    cols = []
+    present = set(df.columns)
+    for field in schema.fields:
+        if field.name in present:
+            cols.append(
+                F.col(f"`{field.name}`").cast(field.dataType).alias(field.name)
+            )
+        else:
+            cols.append(
+                F.lit(None).cast(field.dataType).alias(field.name)
+            )
+    return df.select(*cols)
+
+
 # Classifier I/O contract (classifier_code/fts_to_inference_output.csv).
 INFERENCE_OUTPUT_SCHEMA = StructType(
     [
