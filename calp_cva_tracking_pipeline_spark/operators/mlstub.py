@@ -77,9 +77,13 @@ def classify_flows(df: DataFrame, text_col: str = "text") -> DataFrame:
     except ImportError:
         return (
             df.withColumn("__pred", predict_stub(F.col(text_col)))
-            .withColumn("predicted_class", F.col("__pred.predicted_class"))
-            .withColumn(
-                "predicted_confidence", F.col("__pred.predicted_confidence")
+            .withColumns(
+                {
+                    "predicted_class": F.col("__pred.predicted_class"),
+                    "predicted_confidence": F.col(
+                        "__pred.predicted_confidence"
+                    ),
+                }
             )
             .drop("__pred")
         )

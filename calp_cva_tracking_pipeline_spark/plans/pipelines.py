@@ -147,17 +147,32 @@ def classify_cva(
         F.col(f"`{project_key_col}`").cast("string") == F.col("__pkey"),
         "left",
     ).drop("__pkey")
+    # column groups are batched into withColumns calls (one analysis pass
+    # per group instead of one per column — measurable py4j/analyzer time
+    # on wide plans); groups are split only where a column consumes one
+    # produced earlier.
     out = out.withColumn(
         "all_text",
         F.concat_ws(" ", F.col("description"), F.col("project_text")),
     )
-    out = out.withColumn(
-        "keyword_match", keyword_flag(F.col("all_text"), keywords)
+    cluster = F.col(f"`{cluster_col}`")
+    out = out.withColumns(
+        {
+            "keyword_match": keyword_flag(F.col("all_text"), keywords),
+            "sector_method_cluster_relevance": (
+                sector_method_cluster_relevance(
+                    F.col("method"), cluster, cash_clusters
+                )
+            ),
+            # C4 (code/09:26-27) + code/09:50
+            "destinationClusterCount": F.when(
+                cluster.isNull() | (cluster == ""), F.lit(0)
+            ).otherwise(F.size(F.split(cluster, ";"))),
+            "common_words_match": keyword_flag(
+                F.col("all_text"), common_words
+            ),
+        }
     )
-    cc1 = sector_method_cluster_relevance(
-        F.col("method"), F.col(f"`{cluster_col}`"), cash_clusters
-    )
-    out = out.withColumn("sector_method_cluster_relevance", cc1)
     out = classify_flows(out, "all_text")  # M1, in-DAG
     relevance, rel_method = relevance_with_ml(
         F.col("sector_method_cluster_relevance"),
@@ -166,20 +181,8 @@ def classify_cva(
         F.coalesce(F.col("project_cva"), F.lit(False)),
         F.col("predicted_class"),
     )
-    out = out.withColumn("relevance", relevance).withColumn(
-        "relevance_method", rel_method
-    )
-    # C4: destinationClusterCount = 1 + ';'-count, 0 when empty (code/09:26-27)
-    cluster = F.col(f"`{cluster_col}`")
-    out = out.withColumn(
-        "destinationClusterCount",
-        F.when(
-            cluster.isNull() | (cluster == ""), F.lit(0)
-        ).otherwise(F.size(F.split(cluster, ";"))),
-    )
-    out = out.withColumn(
-        "common_words_match",
-        keyword_flag(F.col("all_text"), common_words),  # code/09:50
+    out = out.withColumns(
+        {"relevance": relevance, "relevance_method": rel_method}
     )
     dec = decisions.select(
         F.col("id").alias(flow_id_col),
@@ -199,11 +202,9 @@ def classify_cva(
         common_words=F.col("common_words_match"),
         manual_accept=F.coalesce(F.col("__accepted"), F.lit(False)),
     )
-    return (
-        out.withColumn("CVAamount", amount)
-        .withColumn("CVAamount_type", amount_type)
-        .drop("__accepted")
-    )
+    return out.withColumns(
+        {"CVAamount": amount, "CVAamount_type": amount_type}
+    ).drop("__accepted")
 
 
 def parse_project_qa(project_id: int, payload: dict) -> list[dict]:
