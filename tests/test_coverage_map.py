@@ -1,0 +1,59 @@
+"""The COVERAGE map must stay total and truthful: every SURVEY.md §2
+operator id maps to a covering artifact, every referenced catalog query
+exists in the driver-facing catalog, every referenced test file exists,
+and the catalog holds EXACTLY 50 queries (the driver's correctness gate
+covers only the first 50 entries)."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import __spark_entry__ as entrymod
+from calp_cva_tracking_pipeline_spark.catalog.relational import COVERAGE
+
+SURVEY_IDS = (
+    [f"S{i}" for i in range(1, 14)]
+    + [f"F{i}" for i in range(1, 13)]
+    + [f"D{i}" for i in range(1, 5)]
+    + [f"J{i}" for i in range(1, 16)]
+    + [f"A{i}" for i in range(1, 11)]
+    + [f"W{i}" for i in range(1, 6)]
+    + [f"X{i}" for i in range(1, 8)]
+    + [f"SO{i}" for i in range(1, 4)]
+    + [f"C{i}" for i in range(1, 13)]
+    + [f"CC{i}" for i in range(1, 7)]
+    + [f"M{i}" for i in range(1, 5)]
+    + ["EP1", "EP2", "EP3"]
+)
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_every_survey_operator_is_covered():
+    missing = [op for op in SURVEY_IDS if op not in COVERAGE]
+    assert not missing, f"SURVEY §2 ids missing from COVERAGE: {missing}"
+
+
+def test_coverage_references_exist():
+    queries = set(entrymod.queries())
+    for op, ref in COVERAGE.items():
+        if "out of engine scope" in ref:
+            continue
+        tests = re.findall(r"tests/\w+\.py", ref)
+        names = re.findall(r"\b[a-z][a-z0-9]*(?:_[a-z0-9]+)+\b", ref)
+        qhits = [n for n in names if n in queries]
+        plan_hits = re.findall(r"plans\.\w+", ref)
+        assert qhits or tests or plan_hits, f"{op}: dangling reference {ref!r}"
+        for t in tests:
+            assert (REPO / t).exists(), f"{op}: missing test file {t}"
+
+
+def test_catalog_is_exactly_fifty():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) == 50, (
+        "the driver checks only the first 50 queries; adding one means "
+        "merging or retiring another (see COVERAGE)"
+    )
+    assert set(oracles) == set(qs)  # every query carries its SQL twin
