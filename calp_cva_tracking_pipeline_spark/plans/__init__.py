@@ -19,6 +19,7 @@ from calp_cva_tracking_pipeline_spark.plans.pipelines import (
     classify_cva,
     curate_flows,
     cva_by_location,
+    orgs_dimension,
     parse_project_qa,
     usa_comparison,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "curate_flows",
     "cva_by_location",
     "match_org_names",
+    "orgs_dimension",
     "parse_project_qa",
     "project_text",
     "subtract_subgrants",

@@ -110,6 +110,40 @@ def curate_flows(
     )
 
 
+def orgs_dimension(
+    raw_orgs: DataFrame,
+    locations: DataFrame,
+) -> DataFrame:
+    """S10 — the org/location master lists flattened into curate's source-org
+    dimension (code/04_fts_curated_flows.R:101-106).
+
+    ``raw_orgs`` carries the API's nested shape: (id,
+    categories: array<struct<name,...>>, locations: array<struct<id,name,...>>);
+    the reference takes the FIRST element of each nested list (NA-safe) and
+    resolves the location id to iso3 through the locations master
+    (id, iso3). Pure element_at projections + one broadcast join — no
+    explode, no shuffle of the org list.
+    """
+    # try_element_at: empty nested lists yield null (ANSI element_at throws)
+    first_cat = F.try_element_at(F.col("categories"), F.lit(1))
+    first_loc = F.try_element_at(F.col("locations"), F.lit(1))
+    flat = raw_orgs.select(
+        F.col("id").cast("string").alias("sourceObjects_Organization.id"),
+        first_loc.getField("name").alias("source_org_country"),
+        first_loc.getField("id").alias("__loc_id"),
+        first_cat.getField("name").alias("FTS_source_orgtype"),
+    )
+    loc_dim = locations.select(
+        F.col("id").alias("__loc_id"), F.col("iso3").alias("source_org_iso3")
+    )
+    return flat.join(F.broadcast(loc_dim), "__loc_id", "left").select(
+        "`sourceObjects_Organization.id`",
+        "source_org_country",
+        "source_org_iso3",
+        "FTS_source_orgtype",
+    )
+
+
 def classify_cva(
     flows: DataFrame,
     projects: DataFrame,

@@ -233,3 +233,42 @@ def test_usa_comparison(spark):
     assert rows["Somalia"]["CVAamount_USA"] == 0.0
     assert rows["Somalia"]["CVAamount_USA_pc"] == 0.0
     assert [r["location"] for r in out.collect()] == ["Kenya", "Somalia"]
+
+
+def test_orgs_dimension_flatten(spark):
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+    from calp_cva_tracking_pipeline_spark.plans.pipelines import (
+        orgs_dimension,
+    )
+
+    org_schema = StructType([
+        StructField("id", LongType()),
+        StructField("categories", ArrayType(StructType(
+            [StructField("name", StringType())]))),
+        StructField("locations", ArrayType(StructType(
+            [StructField("id", LongType()),
+             StructField("name", StringType())]))),
+    ])
+    raw = spark.createDataFrame(
+        [
+            (1, [{"name": "Govt"}], [{"id": 10, "name": "United States"}]),
+            (2, [], []),                       # empty nested lists -> nulls
+            (3, [{"name": "NGO"}, {"name": "Other"}],
+             [{"id": 99, "name": "Atlantis"}]),  # unknown location id
+        ],
+        org_schema,
+    )
+    locs = spark.createDataFrame(
+        [(10, "USA")], "id long, iso3 string"
+    )
+    out = {r["sourceObjects_Organization.id"]: r
+           for r in orgs_dimension(raw, locs).collect()}
+    assert out["1"]["source_org_country"] == "United States"
+    assert out["1"]["source_org_iso3"] == "USA"
+    assert out["1"]["FTS_source_orgtype"] == "Govt"
+    assert out["2"]["source_org_country"] is None
+    assert out["2"]["source_org_iso3"] is None
+    assert out["3"]["FTS_source_orgtype"] == "NGO"  # FIRST category
+    assert out["3"]["source_org_iso3"] is None      # unmapped location
