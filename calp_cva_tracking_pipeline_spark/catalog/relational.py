@@ -1744,7 +1744,7 @@ COVERAGE = {
     "S3": "tests/test_sources.py", "S4": "tests/test_sources.py",
     "S5": "tests/test_sources.py", "S6": "tests/test_sources.py",
     "S7": "tests/test_sources.py", "S8": "tests/test_sources.py",
-    "S9": "tests/test_sources.py", "S10": "tests/test_sources.py",
+    "S9": "tests/test_sources.py", "S10": "plans.orgs_dimension (tests/test_plans.py)",
     "S11": "tests/test_sources.py", "S12": "tests/test_sources.py",
     "S13": "tests/test_sources.py",
     "F1": "f1_filter_neq", "F2": "f1_filter_neq", "F3": "f3_year_floor_string",
