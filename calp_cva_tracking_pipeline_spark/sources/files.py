@@ -83,11 +83,42 @@ def read_excel(
 
 
 def write_partitioned(
-    df: DataFrame, path: str, partition_col: str = "year", mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    partition_col: str = "year",
+    mode: str = "overwrite",
+    sort_cols: list[str] | None = None,
 ) -> None:
     """S4/S5 — year-partitioned parquet sink with dynamic partition overwrite
     (re-running one year replaces only that partition — the reference's
-    per-year cache semantics, code/04:44-68)."""
+    per-year cache semantics, code/04:44-68). ``sort_cols`` sorts rows
+    within each output file so parquet min/max statistics enable row-group
+    skipping on those columns (the cheap cousin of Z-ordering — worth it
+    for the high-selectivity keys a 100 TB table is filtered by)."""
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
     df.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def cached_table(
+    spark: SparkSession,
+    path: str,
+    build,
+    force: bool = False,
+) -> DataFrame:
+    """Build-or-load materialization — the reference's file-cache policy
+    (recompute only if the file is absent or the refresh is forced,
+    code/04_fts_curated_flows.R:44-68, code/03:25-42,109-114) generalized:
+    ``build()`` returns the DataFrame to persist; subsequent calls read the
+    parquet back instead of re-running the plan (and, for source-backed
+    plans, re-hitting the network)."""
+    import os
+
+    exists = os.path.exists(path) and any(
+        not n.startswith(("_", ".")) for n in os.listdir(path)
+    )
+    if force or not exists:
+        build().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

@@ -76,8 +76,14 @@ def paginated_json_df(
     rows = fetch_paginated(url, fetcher)
     if schema is not None:
         return spark.createDataFrame(rows, schema=schema)
+    # permissive raw-layer parsing (SURVEY §1.3): a malformed record lands
+    # in _corrupt_record instead of failing the batch
     rdd = spark.sparkContext.parallelize([json.dumps(r) for r in rows])
-    return spark.read.json(rdd)
+    return (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(rdd)
+    )
 
 
 def fetch_entities_distributed(

@@ -287,3 +287,44 @@ def test_s12_ifs_decode():
     ]
     rows = decode_ifs_rates(records, {"FR": "FRA", "DE": "DEU"})
     assert rows == [{"iso3": "FRA", "year": 2020, "value": 0.9}]
+
+
+def test_cached_table_build_once(spark, tmp_path):
+    from calp_cva_tracking_pipeline_spark.sources.files import cached_table
+
+    path = str(tmp_path / "cache")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.createDataFrame([(1, "a")], "id long, v string")
+
+    df1 = cached_table(spark, path, build)
+    df2 = cached_table(spark, path, build)          # served from cache
+    assert len(calls) == 1
+    assert df1.collect() == df2.collect()
+
+    def build2():
+        calls.append(1)
+        return spark.createDataFrame([(2, "b")], "id long, v string")
+
+    df3 = cached_table(spark, path, build2, force=True)  # forced rebuild
+    assert len(calls) == 2
+    assert df3.collect()[0]["id"] == 2
+
+
+def test_write_partitioned_sorted_rowgroups(spark, tmp_path):
+    from calp_cva_tracking_pipeline_spark.sources.files import (
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "sorted")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 2).cast("int").alias("year")
+    )
+    write_partitioned(df, out, "year", sort_cols=["id"])
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    # min/max stats let a selective id filter skip row groups; at minimum
+    # the filter is pushed and results are right
+    assert back.filter(F.col("id") == 999).count() == 1
