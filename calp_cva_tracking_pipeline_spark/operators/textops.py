@@ -126,6 +126,24 @@ def document_fingerprint(text: Column, modulus: int = 1_000_000_007) -> Column:
     )
 
 
+def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus health summary for training-data monitoring:
+    doc count, approximate distinct fingerprints (duplication signal),
+    token-count quantiles, mean quality. Sketch-based aggregates
+    (approx_count_distinct = HLL++, percentile_approx = KLL-style) keep
+    this a single scan with O(1) state per partition at 100 TB — the
+    multi-dimension reporting surface SURVEY §2.5 promises beyond the
+    reference."""
+    feats = add_text_features(df, text_col)
+    return feats.agg(
+        F.count("*").alias("n_docs"),
+        F.approx_count_distinct("fingerprint").alias("approx_distinct_docs"),
+        F.percentile_approx("n_tokens", [0.5, 0.95]).alias("token_quantiles"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+        F.round(F.avg("punct_ratio"), 6).alias("mean_punct_ratio"),
+    )
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience projection adding the full text-analysis feature set."""
     t = F.col(text_col)

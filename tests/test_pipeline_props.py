@@ -406,3 +406,24 @@ def test_x1_hypothesis_packed_strings(spark):
             assert [r["packed"] for r in got] == [p.strip() for p in parts]
 
     run()
+
+
+# --- corpus stats: sketch aggregates in one scan -----------------------------
+
+
+def test_corpus_stats(spark, sf_dir):
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        corpus_stats,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    row = corpus_stats(d).collect()[0]
+    n = d.count()
+    assert row["n_docs"] == n
+    # HLL estimate within its error band of the true distinct count
+    true_distinct = d.select("text").distinct().count()
+    assert abs(row["approx_distinct_docs"] - true_distinct) / true_distinct < 0.1
+    p50, p95 = row["token_quantiles"]
+    assert 0 < p50 <= p95
+    assert 0.0 <= row["mean_quality"] <= 1.0
