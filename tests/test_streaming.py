@@ -102,3 +102,68 @@ def test_sessionize_batch_properties(spark, sf_dir):
         spans.sort()
         for (s1, e1), (s2, _) in zip(spans, spans[1:]):
             assert e1 <= s2  # gap-separated
+
+
+def test_stateful_anomaly_stream_matches_batch(spark, sf_dir, tmp_path):
+    from calp_cva_tracking_pipeline_spark.streaming.anomaly import (
+        flag_anomalies_batch,
+        flag_anomalies_stream,
+    )
+
+    src = str(tmp_path / "anom_src")
+    events = _events_subset(spark, sf_dir, n=1000)
+    events.write.parquet(src)
+    static = spark.read.parquet(src)
+
+    batch = {
+        r["event_id"]: (r["zscore"], r["is_anomaly"])
+        for r in flag_anomalies_batch(static, threshold=2.5).collect()
+    }
+
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    q = (
+        flag_anomalies_stream(stream, threshold=2.5)
+        .writeStream.format("memory")
+        .queryName("anomaly_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        r["event_id"]: (r["zscore"], r["is_anomaly"])
+        for r in spark.sql("SELECT * FROM anomaly_sink").collect()
+    }
+    # one verdict per event, identical running-stat scores either mode
+    assert len(got) == 1000
+    assert got == batch
+    # warm-up events carry no score; enough history must exist somewhere
+    assert any(z is not None for z, _ in got.values())
+
+
+def test_stateful_anomaly_flags_outliers(spark):
+    import datetime
+
+    from calp_cva_tracking_pipeline_spark.streaming.anomaly import (
+        flag_anomalies_batch,
+    )
+
+    base = datetime.datetime(2025, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), 1, 100.0 + (i % 3), "x", "p")
+        for i in range(20)
+    ]
+    rows.append((99, base + datetime.timedelta(hours=1), 1, 5000.0, "x", "p"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, value double,"
+        " event_type string, props string",
+    )
+    out = {r["event_id"]: r for r in flag_anomalies_batch(df).collect()}
+    assert out[99]["is_anomaly"] is True
+    assert not any(
+        r["is_anomaly"] for eid, r in out.items() if eid != 99
+    )
