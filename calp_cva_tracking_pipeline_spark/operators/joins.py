@@ -145,6 +145,39 @@ def substring_join(
     )
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    keys: list[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resilient equi-join: the skewed side gets a deterministic salt
+    in [0, salt_buckets); the other side is replicated once per salt value;
+    the join runs on (keys..., salt) so one hot key spreads over
+    ``salt_buckets`` reducers instead of melting a single task.
+
+    Reach for this only when AQE's skew-join splitting can't help — e.g.
+    the hot key's partitions exceed what post-shuffle splitting can
+    rebalance, or stats hide the skew. The salt is a hash of the whole
+    row's key columns plus ``monotonically_increasing_id`` is avoided on
+    purpose: ``F.rand(seed)`` would be partition-order-dependent, so the
+    salt derives from xxhash64 over the key AND a per-row uniquifier the
+    caller already has; with none available, spreading uses the row's
+    other columns. Here we hash all columns, which is deterministic for
+    identical rows (identical rows land together — acceptable: true
+    duplicates joined to the same dimension rows produce identical output
+    regardless of spread).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
+    left = skewed.withColumn("__salt", salt)
+    right = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    out = left.join(right, [*keys, "__salt"], how)
+    return out.drop("__salt")
+
+
 def anti_waterfall_union(
     sources: list[DataFrame], keys: list[str]
 ) -> DataFrame:

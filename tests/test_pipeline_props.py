@@ -427,3 +427,29 @@ def test_corpus_stats(spark, sf_dir):
     p50, p95 = row["token_quantiles"]
     assert 0 < p50 <= p95
     assert 0.0 <= row["mean_quality"] <= 1.0
+
+
+# --- salted join: skew spread without changing results -----------------------
+
+
+def test_salted_join_matches_plain_join(spark):
+    from calp_cva_tracking_pipeline_spark.operators.joins import salted_join
+
+    # one hot key (90% of rows) + a tail
+    left = spark.range(2000).select(
+        F.when(F.col("id") < 1800, F.lit(7)).otherwise(F.col("id") % 50)
+        .alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    right = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim_val")
+    )
+    plain = left.join(right, "k").groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("dim_val").alias("s")
+    )
+    salted = salted_join(left, right, ["k"]).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("dim_val").alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
