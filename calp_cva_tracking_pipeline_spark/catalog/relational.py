@@ -32,6 +32,9 @@ from calp_cva_tracking_pipeline_spark.operators.aggregate import (
 )
 from calp_cva_tracking_pipeline_spark.operators.cascade import when_cascade
 from calp_cva_tracking_pipeline_spark.operators.dedup import priority_dedup
+from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+    spread_small_input,
+)
 
 # ---------------------------------------------------------------------------
 # §2.2 filters / projections
@@ -1519,7 +1522,10 @@ def ep2_cva_by_location(spark, sf_dir):
         cva_by_location,
     )
 
-    o = T(spark, sf_dir, "orders")
+    # orders roots the long narrow map chain (concat/keyword/cascade/UDF all
+    # run pre-shuffle): spread the scan so it isn't single-core off a
+    # one-row-group file (no-op at scale — operators.partitioning)
+    o = spread_small_input(T(spark, sf_dir, "orders"))
     li = T(spark, sf_dir, "lineitem")
     c = T(spark, sf_dir, "customer")
     n = T(spark, sf_dir, "nation")

@@ -18,6 +18,9 @@ from calp_cva_tracking_pipeline_spark.functions.hashing import (
     minhash_params,
     stable_hash64,
 )
+from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+    spread_small_input,
+)
 
 
 def priority_dedup(
@@ -49,8 +52,11 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     md5 group key instead of raw text so 100 TB of documents shuffles 16-byte
     digests, not full bodies. Deterministic survivor (min id) unlike
-    dropDuplicates, whose survivor depends on partition order.
+    dropDuplicates, whose survivor depends on partition order. The input is
+    spread first so the md5 pass parallelizes even off a single-row-group
+    file (no-op at scale — see operators.partitioning).
     """
+    df = spread_small_input(df)
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -92,7 +98,7 @@ def minhash_signatures(
     sf0.1) and holds every shingle in memory per row; the explode form
     streams through codegen with map-side partial MINs, one shuffle on id.
     """
-    sh_rows = df.select(
+    sh_rows = spread_small_input(df).select(
         F.col(id_col).alias("__id"),
         F.explode(shingles(F.col(text_col), k)).alias("__sh"),
     )
@@ -203,7 +209,7 @@ def ngram_jaccard(
     joins when the candidate set is small; bucketed hash joins otherwise)
     and computes |∩| / |∪| with array intrinsics — JVM-side, no UDF.
     """
-    sh = docs.select(
+    sh = spread_small_input(docs).select(
         F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh")
     )
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
@@ -225,10 +231,12 @@ def simhash(df: DataFrame, text_col: str, bits: int = 16) -> DataFrame:
     """Add ``__simhash``: per-document SimHash over word hashes.
 
     Bit i of the fingerprint is the majority vote of bit i across the
-    document's (distinct-token) stable hashes. Narrow projection, no shuffle.
+    document's (distinct-token) stable hashes. Narrow projection; the only
+    exchange is the spread guard on degenerate single-split inputs.
     16 bits keeps every intermediate in int64 and is enough for blocking;
     widen per-deployment if needed.
     """
+    df = spread_small_input(df)
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), "\\s+"))
     hs = F.transform(toks, lambda w: stable_hash64(w))
     bit_sums = [
@@ -272,7 +280,7 @@ def embedding_near_dup_candidates(
 
     planes = random_planes(n_planes, dim=dim, seed=seed)
     bucket = plane_bucket(F.col(vec_col), planes)
-    tagged = df.select(
+    tagged = spread_small_input(df).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
         bucket.alias("__bucket"),

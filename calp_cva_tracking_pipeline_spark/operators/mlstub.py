@@ -69,6 +69,11 @@ def classify_flows(df: DataFrame, text_col: str = "text") -> DataFrame:
     classifier_code/fts_to_inference_output.csv: predicted_class ∈
     {Partial, Full}, predicted_confidence ∈ [0,1].
     """
+    # Inference cost is per-row CPU (with the real model, dominant): callers
+    # should hand this a parallel input — spread the SOURCE scan
+    # (operators.partitioning.spread_small_input) rather than this mid-plan
+    # DataFrame, because probing partition counts after a shuffle/broadcast
+    # chain materializes AQE query stages and re-runs upstream work.
     try:  # pragma: no cover - heavy deps absent in this container
         import torch  # noqa: F401
         import transformers  # noqa: F401

@@ -14,6 +14,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+    spread_small_input,
+)
+
 
 def random_planes(
     n_planes: int, dim: int, seed: int = 42
@@ -77,7 +81,7 @@ def brute_force_topk(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("__qvec"),
     )
-    c = corpus.select(
+    c = spread_small_input(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
     scored = (
@@ -142,7 +146,7 @@ def lsh_topk(
     shuffles only the candidate set, which is ≪ corpus. Same output schema
     as brute_force_topk.
     """
-    c = corpus.select(
+    c = spread_small_input(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
     q = queries.select(

@@ -12,6 +12,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from calp_cva_tracking_pipeline_spark.functions.hashing import stable_hash64
+from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+    spread_small_input,
+)
 from calp_cva_tracking_pipeline_spark.functions.text import (
     ASCII_PUNCT_CLASS,
     token_count,
@@ -145,7 +148,12 @@ def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Convenience projection adding the full text-analysis feature set."""
+    """Convenience projection adding the full text-analysis feature set.
+
+    Spread-guarded: the tokenize/filter/aggregate expressions are per-row
+    CPU, so a single-split input would otherwise serialize on one core
+    (operators.partitioning — no-op at scale)."""
+    df = spread_small_input(df)
     t = F.col(text_col)
     return df.withColumns(
         {

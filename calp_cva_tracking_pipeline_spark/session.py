@@ -41,6 +41,11 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # default minPartitionSize (1m) coalesces small-byte/high-CPU
+        # shuffle stages (md5 shingling, per-row scoring) onto 1-2 cores;
+        # 64k keeps parallelismFirst actually parallel. At scale partitions
+        # are far above either bound, so this only affects the small end.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions", str(shuffle))
@@ -67,6 +72,11 @@ def normalize_session(spark: SparkSession) -> SparkSession:
     sys.path to workers).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # runtime-settable perf conf (see get_spark): keep CPU-heavy small-byte
+    # shuffle stages parallel instead of size-coalesced onto 1-2 cores
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k"
+    )
     _ship_package(spark)
     return spark
 

@@ -453,3 +453,48 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+# --- spread guard: parallelizes scans, never touches wide plans ------------
+
+
+def test_spread_widens_single_split_scan(spark, sf_dir):
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert docs.rdd.getNumPartitions() == 1  # single row group → one split
+    spread = spread_small_input(docs)
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # result-neutral
+    assert spread.count() == docs.count()
+
+
+def test_spread_is_noop_on_wide_plans(spark, sf_dir):
+    # probing .rdd below a shuffle materializes AQE stages (upstream work
+    # would run twice) — the guard must return such plans unchanged
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for wide in (
+        docs.groupBy("lang").count(),
+        docs.join(docs.select("doc_id"), "doc_id"),
+        docs.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("lang")
+                .orderBy("doc_id")
+            ),
+        ),
+        docs.repartition(4),
+    ):
+        assert spread_small_input(wide) is wide
