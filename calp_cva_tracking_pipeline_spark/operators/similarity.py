@@ -1,9 +1,13 @@
 """Similarity search over embedding columns (beyond-reference capability).
 
-Brute-force cosine top-k is the correctness baseline; LSH-bucketed ANN is the
-scale path (candidates per query ≈ corpus/2^planes instead of full corpus).
-Dot products run as JVM higher-order functions (zip_with + aggregate) — no
-Python in the loop, whole-stage codegen applies.
+Three tiers: brute-force cosine top-k is the correctness baseline;
+hyperplane-LSH ANN and IVF (inverted-file cells + nprobe search) are the
+scale paths (candidates per query ≈ corpus/2^planes resp. corpus·nprobe/
+n_centroids instead of full corpus). LSH needs no training and its recall
+is data-independent; IVF exploits cluster structure in real embedding
+distributions for better recall at the same candidate budget. Dot products
+run as JVM higher-order functions (zip_with + aggregate) — no Python in
+the loop, whole-stage codegen applies.
 
 At 100 TB the corpus side is hash-partitioned once and reused across query
 batches; the (small) query set is broadcast so the scan side never shuffles.
@@ -178,6 +182,176 @@ def lsh_topk(
     )
     return (
         dedup.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Sequential-order squared L2 distance of two array columns (no sqrt:
+    monotone for ranking, one libm call fewer to disagree across engines)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    iters: int = 0,
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer → (centroid_id int, __cent vec).
+
+    Init takes the ``n_centroids`` lowest-id corpus vectors (deterministic
+    and oracle-expressible; ids in this engine are synthetic/hashed, so the
+    pick is unclustered). ``iters`` Lloyd refinement passes follow — each is
+    one assign (broadcast centroids) + per-dimension mean (explode →
+    groupBy(cell, pos) → rebuild). Refinement improves cell balance but is
+    float-iteration-order sensitive, so oracle-verified flows pin iters=0;
+    quality-tuned deployments train offline and persist the centroids.
+    """
+    cent = (
+        corpus.select(F.col(id_col).alias("__cid0"), F.col(vec_col).alias("__cent"))
+        .withColumn("__rn", F.row_number().over(Window.orderBy(F.col("__cid0"))))
+        .filter(F.col("__rn") <= n_centroids)
+        .select((F.col("__rn") - 1).alias("centroid_id"), "__cent")
+    )
+    for _ in range(iters):
+        assigned = assign_cells(corpus, cent, id_col, vec_col)
+        cent = (
+            assigned.select(
+                F.col("__cell").alias("centroid_id"),
+                F.posexplode(F.col(vec_col)).alias("__pos", "__val"),
+            )
+            .groupBy("centroid_id", "__pos")
+            .agg(F.avg("__val").alias("__mean"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__mean"))
+                ).alias("__pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("__pm"), lambda s: s["__mean"]).alias(
+                    "__cent"
+                ),
+            )
+        )
+    return cent
+
+
+def assign_cells(
+    corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """IVF index build: corpus + ``__cell`` = nearest centroid id.
+
+    Distances are computed against broadcast centroids and reduced to the
+    argmin as a min-of-struct over (rounded d², centroid_id) — ties break on
+    centroid id, deterministically. Only (id, d², cid) tuples shuffle for
+    the argmin; the corpus vectors shuffle ONCE in the join that attaches
+    the winning cell. At scale this is the one-time index build — persist
+    the result bucketed by ``__cell`` (sources.bucketed.write_bucketed) and
+    every search is exchange-free on the corpus side.
+    """
+    dists = corpus.select(
+        F.col(id_col).alias("__aid"), F.col(vec_col).alias("__avec")
+    ).crossJoin(F.broadcast(centroids))
+    best = (
+        dists.select(
+            "__aid",
+            F.struct(
+                F.round(sq_dist(F.col("__avec"), F.col("__cent")), 6).alias(
+                    "d2"
+                ),
+                F.col("centroid_id").alias("cid"),
+            ).alias("__dc"),
+        )
+        .groupBy("__aid")
+        .agg(F.min("__dc").alias("__dc"))
+        .select("__aid", F.col("__dc.cid").alias("__cell"))
+    )
+    return corpus.join(
+        best, F.col(id_col) == F.col("__aid"), "inner"
+    ).drop("__aid")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) cells — the third ANN tier
+    next to brute force and hyperplane LSH.
+
+    Corpus vectors are binned to their nearest coarse centroid; each query
+    probes its ``nprobe`` nearest cells and scores exact cosine only there —
+    a candidate-set reduction of ~n_centroids/nprobe versus brute force.
+    Recall depends on how well cells capture neighborhood structure:
+    clustered real-world embeddings probe few cells for high recall, while
+    uniform random vectors degrade toward nprobe/n_centroids — measure on
+    deployment data before sizing (tests/test_ivf.py pins both parity and
+    a recall floor vs brute force).
+
+    Shape for 100 TB: centroids broadcast everywhere (a few KB); the cell
+    assignment is the one-time index build (see assign_cells — persist it
+    bucketed by cell); probe lists are query-side-small and broadcast into
+    the cell join, so searches never shuffle the corpus. Same output schema
+    as brute_force_topk.
+    """
+    cent = centroids if centroids is not None else train_centroids(
+        corpus, id_col, vec_col, n_centroids
+    )
+    cells = assign_cells(corpus, cent, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        "__cell",
+    )
+    qd = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qvec"),
+    ).crossJoin(F.broadcast(cent))
+    pw = Window.partitionBy("query_id").orderBy(
+        F.round(sq_dist(F.col("__qvec"), F.col("__cent")), 6),
+        F.col("centroid_id"),
+    )
+    probes = (
+        qd.withColumn("__pr", F.row_number().over(pw))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__qvec", F.col("centroid_id").alias("__cell"))
+    )
+    scored = (
+        cells.join(F.broadcast(probes), ["__cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
