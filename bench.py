@@ -37,6 +37,7 @@ HEADLINE = [
     "ep2_cva_by_location",
     "dd_minhash_lsh",
     "ann_brute_topk",
+    "ann_ivf_topk",
     "tx_features",
     "st_sessionize",
 ]
@@ -53,6 +54,7 @@ def main() -> None:
 
     qs = entrymod.queries()
     qs["flagship_pricing_summary"] = _flagship
+    qs["ann_ivf_topk"] = _ann_ivf
 
     # Steady-state warmup: run the suite once at the smallest SF so plan
     # compilation, whole-stage-codegen JIT, the Python worker pool, and the
@@ -126,6 +128,23 @@ def _flagship(spark, sf_dir):
             money_avg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
+    )
+
+
+def _ann_ivf(spark, sf_dir):
+    # not a driver-catalog entry (50-query cap) but benchmarked alongside
+    # the other two ANN tiers; oracle parity lives in tests/test_ivf.py
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.catalog.scale import N_QUERIES, TOP_K
+    from calp_cva_tracking_pipeline_spark.operators.similarity import ivf_topk
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        n_centroids=16, nprobe=4, k=TOP_K,
     )
 
 
