@@ -1,0 +1,118 @@
+"""Corpus curation — the training-data pipeline composed end-to-end.
+
+The scale-tier operators (text features, exact dedup, MinHash+LSH near-dup)
+exist to be chained into exactly this program: raw documents → quality/
+language gates → exact dedup → verified near-dup removal → shard-balanced
+output. Each stage is one of the already-oracle-verified operators; this
+module contributes the composition and the survivor policy, mirroring how
+plans.pipelines composes the reference's CVA chain (EP1/EP2).
+
+Shape at 100 TB: the gates are scan-speed projections; dedup shuffles
+digests and band keys only; the near-dup drop set is candidate-sized
+(≪ corpus) and broadcast into an anti-join, so the corpus itself is
+never shuffled until the final shard write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from calp_cva_tracking_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_candidates,
+    ngram_jaccard,
+)
+from calp_cva_tracking_pipeline_spark.operators.textops import (
+    add_text_features,
+)
+
+
+def near_dup_drop_set(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    max_bucket_docs: int | None = 64,
+) -> DataFrame:
+    """ids to drop: the HIGHER id of every verified near-dup pair.
+
+    Greedy lower-id-survives policy (the standard large-corpus choice, as
+    in MinHashLSH-based crawl dedup): a doc is dropped if ANY confirmed
+    near-twin has a smaller id. This is deliberately not a transitive
+    closure — in a chain A~B~C without A~C, B and C both drop even though
+    B's own survivor (A) differs from C's (B): one anti-join instead of an
+    iterative connected-components fixpoint, and over-dropping is bounded
+    by chain length, which the Jaccard threshold keeps short. Deployments
+    needing exact components can iterate min-id label propagation over the
+    pair set (candidate-sized, not corpus-sized).
+    """
+    pairs = minhash_lsh_candidates(
+        docs,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        k=k,
+        pre_collapse_exact=True,
+        max_bucket_docs=max_bucket_docs,
+    )
+    verified = ngram_jaccard(pairs, docs, id_col, text_col, k=k).filter(
+        F.round(F.col("jaccard"), 6) >= jaccard_threshold
+    )
+    return verified.select(F.col("id_b").alias(id_col)).distinct()
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    languages: list[str] | None = None,
+    min_tokens: int = 5,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """documents → curated training corpus.
+
+    quality/language/length gates (scan-speed projections, evaluated
+    BEFORE any dedup so the expensive stages see only keepable docs) →
+    exact dedup (min-id survivor) → near-dup removal (LSH candidates,
+    exact-Jaccard verified, lower-id survives). Returns the surviving rows
+    with the text-feature columns attached.
+    """
+    feats = add_text_features(docs, text_col)
+    gated = feats.filter(
+        (F.col("quality") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+    )
+    if languages is not None:
+        gated = gated.filter(F.col("lang_pred").isin(languages))
+    exact = dedup_exact(gated, text_col, id_col)
+    drops = near_dup_drop_set(
+        exact, id_col, text_col, jaccard_threshold=jaccard_threshold
+    )
+    return exact.join(
+        F.broadcast(drops), [id_col], "left_anti"
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    shard_key: str = "doc_id",
+) -> None:
+    """Persist the curated corpus as ``n_shards`` size-balanced parquet
+    shards.
+
+    Hash-repartition on ``shard_key`` (uniform for id/hash keys) so every
+    shard carries ~|corpus|/n_shards rows — training loaders stream shards
+    round-robin and skew would serialize the tail. One shuffle, at write
+    time, exactly once.
+    """
+    df.repartition(n_shards, F.col(shard_key)).write.mode(
+        "overwrite"
+    ).parquet(path)

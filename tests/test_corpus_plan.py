@@ -1,0 +1,92 @@
+"""plans.corpus — the composed training-data curation pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from calp_cva_tracking_pipeline_spark.plans.corpus import (
+    curate_corpus,
+    near_dup_drop_set,
+    write_training_shards,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "to the hills where a river bends through a quiet green valley"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_and_near_dups_drop_lower_id_survives(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1 → collapsed, 1 survives
+        (3, BASE + " extra trailing words here"),  # near-dup of 1
+        (4, "completely different text about ships and harbors and the "
+            "sea with gulls wheeling over the masts at dawn in the port"),
+        (5, "short"),  # fails min_tokens
+    ]
+    out = curate_corpus(
+        _docs(spark, rows), min_quality=0.0, jaccard_threshold=0.5
+    )
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 4]
+
+
+def test_gates_run_before_dedup(spark):
+    # a low-quality near-dup must not drag down its high-quality twin:
+    # doc 11 is gated out, so doc 10 survives even though they'd pair
+    rows = [
+        (10, BASE),
+        (11, BASE + " !!!! ???? ;;;; @@@@ #### $$$$ %%%% ^^^^ &&&& ****"),
+    ]
+    out = curate_corpus(
+        _docs(spark, rows), min_quality=0.75, jaccard_threshold=0.3
+    )
+    ids = sorted(r.doc_id for r in out.collect())
+    assert 10 in ids and 11 not in ids
+
+
+def test_drop_set_is_higher_ids_only(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE + " tail one"),
+        (3, BASE + " tail two"),
+    ]
+    drops = near_dup_drop_set(
+        _docs(spark, rows), "doc_id", "text", jaccard_threshold=0.5
+    )
+    ids = {r.doc_id for r in drops.collect()}
+    assert 1 not in ids
+    assert ids <= {2, 3}
+
+
+def test_feature_columns_attached(spark):
+    out = curate_corpus(
+        _docs(spark, [(1, BASE)]), min_quality=0.0, jaccard_threshold=0.9
+    )
+    for col in ("quality", "lang_pred", "n_tokens", "fingerprint"):
+        assert col in out.columns
+
+
+def test_write_training_shards_balanced(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, n_shards=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    sizes = [
+        r["count"]
+        for r in back.withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .count()
+        .collect()
+    ]
+    # hash-partitioned on a dense id key: no shard more than 2x the mean
+    assert max(sizes) <= 2 * (1000 / 8)
