@@ -177,6 +177,16 @@ def minhash_lsh_candidates(
     banded = sig_df.select("__id", F.explode(band_cols).alias("b")).select(
         "__id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
+    # Pair generation is a per-bucket groupBy + in-array expansion, NOT a
+    # band-key self-join: Spark plans a self-join as two full copies of the
+    # upstream pipeline (scan → shingle → signatures → banding, verified: 0
+    # ReusedExchange in the executed plan), doubling the dominant cost. One
+    # collect-per-bucket computes it once — and shares the (band, key)
+    # exchange with the cap filter, so the whole candidate step is a single
+    # shuffle. The collected id array is bounded by ``max_bucket_docs``
+    # (buckets above the cap are dropped BEFORE collecting); without a cap
+    # it is bounded by the bucket population, which pre-collapse keeps to
+    # distinct texts — set the cap for adversarial corpora.
     if max_bucket_docs is not None:
         bucket_w = Window.partitionBy("band", "key")
         banded = (
@@ -184,18 +194,22 @@ def minhash_lsh_candidates(
             .filter(F.col("__bn") <= max_bucket_docs)
             .drop("__bn")
         )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    buckets = banded.groupBy("band", "key").agg(
+        F.array_sort(F.collect_list("__id")).alias("__ids")
+    )
+    ids = F.col("__ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.__id") < F.col("r.__id")),
-        )
-        .select(
-            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 
