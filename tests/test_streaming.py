@@ -167,3 +167,90 @@ def test_stateful_anomaly_flags_outliers(spark):
     assert not any(
         r["is_anomaly"] for eid, r in out.items() if eid != 99
     )
+
+
+def test_ep2_classification_runs_on_a_stream(spark, tmp_path):
+    """The EP2 classification chain (J7 join → C1/CC1 → M1 pandas_udf →
+    CC2 → CC3) is ONE lazy DAG, so it must run unchanged as a Structured
+    Streaming job: stream-static broadcast joins + in-DAG Arrow inference,
+    append mode, exact parity with the batch run over the same rows."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.relational import (
+        EP2_CASH_CLUSTERS,
+        EP2_COMMON_WORDS,
+        EP2_KEYWORDS,
+    )
+    from calp_cva_tracking_pipeline_spark.plans.pipelines import classify_cva
+
+    flows = spark.range(200).select(
+        F.col("id"),
+        (F.col("id") * 37.5 + 100).alias("amountUSD"),
+        F.when(F.col("id") % 4 == 0, F.lit("Cash transfer programming (CTP)"))
+        .otherwise(F.lit("Traditional aid"))
+        .alias("method"),
+        F.concat(
+            F.lit("flow desc "),
+            F.when(F.col("id") % 7 == 0, F.lit("cash programme"))
+            .otherwise(F.lit("supplies")),
+        ).alias("description"),
+        F.when(F.col("id") % 3 > 0, F.col("id").cast("string")).alias(
+            "destinationObjects_Project.id"
+        ),
+        F.when(F.col("id") % 5 == 0, F.lit("Cash Cluster A; Health"))
+        .otherwise(F.lit("Health"))
+        .alias("destinationObjects_Cluster.name"),
+    )
+    projects = spark.range(0, 200, 2).select(
+        F.col("id").alias("project_id"),
+        F.concat(
+            F.lit("project "),
+            F.when(F.col("id") % 6 == 0, F.lit("voucher scheme"))
+            .otherwise(F.lit("general")),
+        ).alias("project_text"),
+        F.when(F.col("id") % 10 < 8, (F.col("id") % 100) / 100.0).alias(
+            "cva_percentage"
+        ),
+        (F.col("id") % 4 == 0).alias("cva"),
+    )
+    decisions = spark.range(0, 200, 9).select(
+        "id", F.lit(True).alias("accepted")
+    )
+
+    def run(fl):
+        return classify_cva(
+            fl,
+            projects,
+            decisions,
+            cash_clusters=EP2_CASH_CLUSTERS,
+            keywords=EP2_KEYWORDS,
+            common_words=EP2_COMMON_WORDS,
+        ).select(
+            "id", "relevance", "relevance_method", "predicted_class",
+            F.round("CVAamount", 6).alias("CVAamount"), "CVAamount_type",
+        )
+
+    src = str(tmp_path / "flows_src")
+    flows.write.parquet(src)
+    static = spark.read.parquet(src)
+    batch = {r["id"]: tuple(r)[1:] for r in run(static).collect()}
+
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    q = (
+        run(stream)
+        .writeStream.format("memory")
+        .queryName("ep2_stream_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        r["id"]: tuple(r)[1:]
+        for r in spark.sql("SELECT * FROM ep2_stream_sink").collect()
+    }
+    assert got == batch
+    assert len(got) == 200
