@@ -216,8 +216,9 @@ WHERE rank <= {TOP_K}
 """
 
 # Embedding dimensionality is a declared schema constant shared by the Spark
-# plans AND the SQL oracles (the testdata embeddings table is 64-wide; the
-# first ann query asserts it at run time rather than probing per-plan).
+# plans AND the SQL oracles — never probed from data at plan time. That the
+# testdata embeddings table is in fact 64-wide is pinned by
+# tests/test_pipeline_props.py::test_declared_embedding_dim_matches_testdata.
 EMB_DIM = 64
 LSH_PLANES = 6
 LSH_TABLES = 2

@@ -130,9 +130,11 @@ def minhash_lsh_candidates(
     """MinHash+LSH near-dup candidate pairs (id_a < id_b, distinct).
 
     Signature → split into ``bands`` bands → explode (id, band_key) →
-    self-join on band_key. The only shuffle is the band-key exchange; band
-    keys distribute uniformly (they are hashes), so no *hash* skew. At
-    100 TB this is the standard fuzzy-dedup shape: candidates ≪ all-pairs.
+    per-bucket collect + in-array pair expansion (see the inline comment
+    for why NOT a band-key self-join). The only shuffle is the band-key
+    exchange; band keys distribute uniformly (they are hashes), so no
+    *hash* skew. At 100 TB this is the standard fuzzy-dedup shape:
+    candidates ≪ all-pairs.
 
     Two guards against duplicate-mass skew (a web crawl routinely contains
     thousands of byte-identical documents; without guards they all share
@@ -149,11 +151,11 @@ def minhash_lsh_candidates(
       while near-dup pairs keep b-1 other bands to be found in.
 
     Measured effect (local[32]): the driver corpus at sf0.1 is benign
-    (5,000 docs, 0.2% exact dups) — guards cost nothing there (5.1s vs
-    5.3s, 241 vs 256 pairs, the delta being the now-pre-collapsed
-    exact-dup pairs). Under duplicate skew the difference is asymptotic:
-    500 copies of one page is 124,750 intra-bucket pairs unguarded versus
-    0 with pre-collapse (tests/test_pipeline_props.py pins this).
+    (5,000 docs, 0.2% exact dups) — guards cost ~nothing there (241 vs
+    256 pairs, the delta being the now-pre-collapsed exact-dup pairs).
+    Under duplicate skew the difference is asymptotic: 500 copies of one
+    page is 124,750 intra-bucket pairs unguarded versus 0 with
+    pre-collapse (tests/test_pipeline_props.py pins this).
     """
     rows_per_band = num_hashes // bands
     if pre_collapse_exact:

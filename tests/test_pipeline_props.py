@@ -498,3 +498,16 @@ def test_spread_is_noop_on_wide_plans(spark, sf_dir):
         docs.repartition(4),
     ):
         assert spread_small_input(wide) is wide
+
+
+def test_declared_embedding_dim_matches_testdata(spark, sf_dir):
+    # EMB_DIM is a declared schema constant (plans never probe data for
+    # it); this is the one place the declaration meets the actual data
+    from calp_cva_tracking_pipeline_spark.catalog.scale import EMB_DIM
+
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.size("embedding").alias("d"))
+        .first()
+    )
+    assert row["d"] == EMB_DIM
