@@ -79,3 +79,30 @@ def test_m1_is_arrow_batched(spark, sf_dir):
     plan = _executed(S.m1_classifier_stub(spark, sf_dir))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lsh_candidates_single_upstream_pipeline(spark, sf_dir):
+    # the pair step must NOT be a band-key self-join: that plans two full
+    # copies of the scan→shingle→signature pipeline (0 ReusedExchange).
+    # 3 scans = exact-dup pre-collapse + signatures + jaccard-verify side.
+    df = S.dd_minhash_lsh(spark, sf_dir)
+    df.count()  # let AQE finalize
+    plan = _executed(df)
+    assert plan.count("Scan parquet") <= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_probe_join_broadcasts_corpus_never_shuffled(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 8)
+    df = ivf_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        n_centroids=8, nprobe=2, k=5,
+    )
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
