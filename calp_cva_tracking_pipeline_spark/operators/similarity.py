@@ -143,37 +143,69 @@ def lsh_topk(
     neighbors near a hyperplane; with T tables the miss probability decays
     as (1 - p^b)^T.
 
-    Shape for 100 TB: each table is a broadcast join of the (small) query
-    side against the corpus scan — the corpus is scanned ``n_tables`` times
-    but NEVER shuffled; scoring happens inside the table join, and the
-    per-pair groupBy (pairs colliding in several tables score identically)
-    shuffles only the candidate set, which is ≪ corpus. Same output schema
-    as brute_force_topk.
+    Shape for 100 TB: ONE corpus pass — every table's bucket id is computed
+    in a single projection and exploded to (table, bucket) rows, then one
+    broadcast join against the query side's identically-exploded probe set.
+    (A per-table union of joins would plan ``n_tables`` full copies of the
+    corpus scan pipeline — the same 0-ReusedExchange trap as a self-join.)
+    The corpus is never shuffled; the per-pair groupBy (pairs colliding in
+    several tables score identically) shuffles only the candidate set,
+    which is ≪ corpus. Same output schema as brute_force_topk.
     """
-    c = spread_small_input(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("__qvec"),
-    )
-    scored = None
-    for t in range(n_tables):
-        planes = random_planes(n_planes, dim=dim, seed=seed + 1000 * t)
-        ct = c.withColumn("__bucket", plane_bucket(F.col("__cvec"), planes))
-        qt = q.withColumn("__bucket", plane_bucket(F.col("__qvec"), planes))
-        part = (
-            ct.join(F.broadcast(qt), ["__bucket"])
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select(
-                "query_id",
-                "neighbor_id",
-                F.round(
-                    cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6
-                ).alias("cosine"),
-            )
+    tables = [
+        (t, random_planes(n_planes, dim=dim, seed=seed + 1000 * t))
+        for t in range(n_tables)
+    ]
+
+    def _buckets(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    plane_bucket(vec, planes).alias("bkt"),
+                )
+                for t, planes in tables
+            ]
         )
-        scored = part if scored is None else scored.unionByName(part)
+
+    ct = (
+        spread_small_input(corpus)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvec"),
+            F.explode(_buckets(F.col(vec_col))).alias("__tb"),
+        )
+        .select(
+            "neighbor_id",
+            "__cvec",
+            F.col("__tb.tbl").alias("__tbl"),
+            F.col("__tb.bkt").alias("__bkt"),
+        )
+    )
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qvec"),
+            F.explode(_buckets(F.col(query_vec_col))).alias("__tb"),
+        )
+        .select(
+            "query_id",
+            "__qvec",
+            F.col("__tb.tbl").alias("__tbl"),
+            F.col("__tb.bkt").alias("__bkt"),
+        )
+    )
+    scored = (
+        ct.join(F.broadcast(qt), ["__tbl", "__bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6
+            ).alias("cosine"),
+        )
+    )
     dedup = scored.groupBy("query_id", "neighbor_id").agg(
         F.max("cosine").alias("cosine")
     )
