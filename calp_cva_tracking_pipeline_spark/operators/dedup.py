@@ -301,6 +301,12 @@ def embedding_near_dup_candidates(
         F.col(vec_col).alias("__vec"),
         bucket.alias("__bucket"),
     )
+    # Deliberately a bucket self-join, unlike minhash_lsh_candidates'
+    # collect+expand: here the recomputed upstream is just scan + n_planes
+    # dots (cheap), vectors ride the join into an inline cosine, and the
+    # alternative (collect ids, expand pairs, re-join both vector sides)
+    # measured 2.5x slower at sf0.1 — the two vector re-joins cost more
+    # than the duplicated projection.
     l, r = tagged.alias("l"), tagged.alias("r")
     pairs = l.join(
         r,
