@@ -11,6 +11,13 @@ the loop, whole-stage codegen applies.
 
 At 100 TB the corpus side is hash-partitioned once and reused across query
 batches; the (small) query set is broadcast so the scan side never shuffles.
+
+Measured recall@5 vs brute force on the synthetic testdata at sf0.01
+(uniform random 64-d vectors — LSH's worst case, no cluster structure):
+IVF 0.925 at nprobe=2/16 (~1/8 of corpus scored) and 0.950 at nprobe=8;
+multi-table LSH 0.40 at 4 planes x 4 tables (~1/4 of corpus), matching the
+hyperplane collision math p = (1 - theta/pi)^planes OR'd across tables.
+IVF is the default scale tier; LSH remains the no-training fallback.
 """
 
 from __future__ import annotations
