@@ -106,3 +106,25 @@ def test_ivf_probe_join_broadcasts_corpus_never_shuffled(spark, sf_dir):
     plan = _executed(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_catalog_wide_no_cartesian_no_row_python(spark, sf_dir):
+    """Global invariant over ALL 50 catalog queries: no CartesianProduct
+    operator anywhere (BroadcastNestedLoopJoin over tiny broadcast name
+    lists is the sanctioned shape for the matcher queries) and no
+    row-at-a-time BatchEvalPython — any Python in a plan must be the
+    Arrow-batched kind. Catches a regression in any query, not just the
+    ones with dedicated shape tests above."""
+    import __spark_entry__ as entrymod
+
+    bad = {}
+    for name, fn in entrymod.queries().items():
+        plan = _executed(fn(spark, sf_dir))
+        problems = []
+        if "CartesianProduct" in plan:
+            problems.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            problems.append("BatchEvalPython (row-at-a-time Python)")
+        if problems:
+            bad[name] = problems
+    assert not bad, f"plan regressions: {bad}"
