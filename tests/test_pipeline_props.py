@@ -511,3 +511,51 @@ def test_declared_embedding_dim_matches_testdata(spark, sf_dir):
         .first()
     )
     assert row["d"] == EMB_DIM
+
+
+def test_minhash_estimates_true_jaccard(spark):
+    """Statistical contract of the MinHash signature: for documents with a
+    known shingle overlap, the fraction of agreeing signature slots is an
+    unbiased estimate of the true k-shingle Jaccard. With 64 hashes the
+    standard error is ~sqrt(J(1-J)/64) <= 0.063, so a +/-0.2 tolerance per
+    pair is ~3 sigma — deterministic given the fixed hash params and seed
+    (no flakiness: everything is seeded/LCG-derived)."""
+    import itertools
+
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    # deterministic corpus: words drawn from a small vocab with controlled
+    # overlap, duplicated words removed so Python's set Jaccard over
+    # 3-shingles is the exact reference value
+    base = "the quick brown fox jumps over a lazy dog near riverbank".split()
+    docs = {
+        "a": " ".join(base),
+        "b": " ".join(base[:8] + ["swift", "red"]),  # high overlap with a
+        "c": " ".join(base[:4] + ["entirely", "different", "tail", "words"]),
+        "d": " ".join(["unrelated", "tokens", "everywhere", "nothing",
+                       "shared", "at", "all", "here"]),
+    }
+
+    def k3(text):
+        w = text.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    rows = [(i, t) for i, t in docs.items()]
+    df = spark.createDataFrame(rows, ["doc_id", "body"])
+    sig = {
+        r["__id"]: r["__sig"]
+        for r in minhash_signatures(
+            df, "doc_id", "body", num_hashes=64
+        ).collect()
+    }
+
+    for x, y in itertools.combinations(docs, 2):
+        true_j = len(k3(docs[x]) & k3(docs[y])) / len(k3(docs[x]) | k3(docs[y]))
+        est = sum(
+            1 for a, b in zip(sig[x], sig[y]) if a == b
+        ) / 64.0
+        assert abs(est - true_j) <= 0.2, (
+            f"pair ({x},{y}): true J={true_j:.3f} est={est:.3f}"
+        )
