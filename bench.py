@@ -3,13 +3,21 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+  {"metric": "...", "value": <total sec at target sf>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "sf_small": 0.01, "queries_small": {name: sec, ...},
+   "scaling_ratio": {name: sf/sf_small time ratio, ...}}
 
 Each query is timed end-to-end (plan + execute + collect-to-driver count),
 mirroring how the engine would be driven in production. Headliners span the
 engine's main cost classes: scan+agg, broadcast join, window, explode,
 cascade, MinHash dedup, ANN, sessionization, text featurization.
+
+The suite runs at BOTH sf0.01 and the target SF: with 14 queries the sf0.1
+totals are job-floor-dominated, so the per-query scaling ratio (10x data)
+is the signal that plans stay linear — a ratio near 1 means overhead-bound,
+near 10 means linear scan-bound, and >>10 means a plan that degrades
+super-linearly and would not survive the next 100x.
 """
 
 from __future__ import annotations
@@ -54,7 +62,6 @@ def main() -> None:
 
     qs = entrymod.queries()
     qs["flagship_pricing_summary"] = _flagship
-    qs["ann_ivf_topk"] = _ann_ivf
 
     # Steady-state warmup: run the suite once at the smallest SF so plan
     # compilation, whole-stage-codegen JIT, the Python worker pool, and the
@@ -73,23 +80,38 @@ def main() -> None:
             except Exception as exc:  # warmup must never fail the bench
                 print(f"# warmup {name}: {exc}", file=sys.stderr)
 
-    # best-of-2 per query: the second run at the target SF absorbs residual
-    # first-run effects (AQE stage re-planning, broadcast rebuild) so the
-    # reported number is the repeatable one
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        runs = []
-        for _ in range(2):
-            t0 = time.time()
-            n = fn(spark, sf_dir).count()
-            runs.append(time.time() - t0)
-        timings[name] = round(min(runs), 3)
-        print(
-            f"# {name}: {timings[name]}s ({n} rows; runs "
-            f"{[round(r, 2) for r in runs]})",
-            file=sys.stderr,
-        )
+    # best-of-2 per query: the second run absorbs residual first-run
+    # effects (AQE stage re-planning, broadcast rebuild) so the reported
+    # number is the repeatable one
+    def run_suite(run_dir: str, label: str) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = qs[name]
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                n = fn(spark, run_dir).count()
+                runs.append(time.time() - t0)
+            timings[name] = round(min(runs), 3)
+            print(
+                f"# [{label}] {name}: {timings[name]}s ({n} rows; runs "
+                f"{[round(r, 2) for r in runs]})",
+                file=sys.stderr,
+            )
+        return timings
+
+    small_dir = os.environ.get(
+        "SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01"
+    )
+    m2 = re.search(r"sf([0-9.]+)", small_dir)
+    sf_small = float(m2.group(1)) if m2 else -1.0
+    small = run_suite(small_dir, f"sf{sf_small}") if os.path.isdir(small_dir) else {}
+    timings = run_suite(sf_dir, f"sf{sf}")
+    ratios = {
+        name: round(timings[name] / small[name], 2)
+        for name in timings
+        if small.get(name)
+    }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -100,6 +122,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "sf_small": sf_small,
+                "queries_small": small,
+                "scaling_ratio": ratios,
             }
         )
     )
@@ -128,23 +153,6 @@ def _flagship(spark, sf_dir):
             money_avg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-    )
-
-
-def _ann_ivf(spark, sf_dir):
-    # not a driver-catalog entry (50-query cap) but benchmarked alongside
-    # the other two ANN tiers; oracle parity lives in tests/test_ivf.py
-    from pyspark.sql import functions as F
-
-    from calp_cva_tracking_pipeline_spark.catalog.common import T
-    from calp_cva_tracking_pipeline_spark.catalog.scale import N_QUERIES, TOP_K
-    from calp_cva_tracking_pipeline_spark.operators.similarity import ivf_topk
-
-    e = T(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERIES)
-    return ivf_topk(
-        e, q, "vec_id", "embedding", "vec_id", "embedding",
-        n_centroids=16, nprobe=4, k=TOP_K,
     )
 
 

@@ -144,15 +144,9 @@ WHERE rn = 1
 """
 
 
-def d3_distinct_rows(spark, sf_dir):
-    # D3 distinct rows; D2 (distinct values) is this same operator on a
-    # 1-column projection and D4 (dropDuplicates(subset)) the same with a
-    # subset key — one dropDuplicates plan covers all three.
-    li = T(spark, sf_dir, "lineitem")
-    return li.select("l_returnflag", "l_linestatus").dropDuplicates()
-
-
-D3_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+# (d3_distinct_rows retired: D2/D3/D4 distinct semantics are covered by
+# dd_exact_hash's row_number-per-key — see COVERAGE — and the freed catalog
+# slot went to ann_ivf_topk, the default scale ANN tier.)
 
 # ---------------------------------------------------------------------------
 # §2.4 joins
@@ -1161,32 +1155,10 @@ FROM calc GROUP BY CVAamount_type
 """
 
 
-def cc5_multi_collapse(spark, sf_dir):
-    # CC5: '; '-packed multi-value → MULTI sentinel (code/04:97-98).
-    p = _packed_parts(spark, sf_dir)
-    from calp_cva_tracking_pipeline_spark.operators.cascade import (
-        multi_destination_collapse,
-    )
-
-    name, iso = multi_destination_collapse(
-        F.col("tags"), F.col("p_brand")
-    )
-    return (
-        p.withColumn("dest_name", name)
-        .withColumn("dest_code", iso)
-        .groupBy("dest_name", "dest_code")
-        .agg(F.count("*").alias("n"))
-    )
-
-
-CC5_SQL = f"""
-WITH packed AS ({_PACKED_SQL})
-SELECT CASE WHEN tags LIKE '%;%' THEN 'Multi-destination_org_country'
-            ELSE tags END AS dest_name,
-       CASE WHEN tags LIKE '%;%' THEN 'MULTI' ELSE p_brand END AS dest_code,
-       COUNT(*) AS n
-FROM packed GROUP BY 1, 2
-"""
+# (The standalone CC5 query was retired when cc6_patch_collapse absorbed the
+# multi-destination collapse — see cc6's composed pipeline below; the
+# operator itself lives in operators.cascade.multi_destination_collapse and
+# is exercised by cc6 AND plans.curate_flows.)
 
 
 # ---------------------------------------------------------------------------
@@ -1205,7 +1177,7 @@ CC2_KEYWORDS = ["cash", "voucher"]
 def cc2_relevance_ml(spark, sf_dir):
     # CC2: relevance/relevance_method with ML override on rows still 'None'
     # (code/08:139-148,175-182). The prediction comes from the REAL M1
-    # pandas_udf path (deterministic stub), so this query also proves the
+    # pandas_udf path (stub="arrow"), so this query also proves the
     # classifier slots into a cascade in-DAG.
     from calp_cva_tracking_pipeline_spark.operators.cascade import (
         relevance_with_ml,
@@ -1244,7 +1216,7 @@ def cc2_relevance_ml(spark, sf_dir):
     df = df.withColumn(
         "keyword_match", keyword_flag(F.col("description"), CC2_KEYWORDS)
     )
-    df = classify_flows(df, "description")
+    df = classify_flows(df, "description", stub="arrow")
     relevance, method = relevance_with_ml(
         F.col("cc1"),
         F.col("pct"),
@@ -1514,6 +1486,11 @@ EP2_CASH_CLUSTERS = ["Cash Cluster A"]
 EP2_KEYWORDS = ["cash", "voucher"]
 # the reference's common-words list includes the plural (code/09:50)
 EP2_COMMON_WORDS = ["cash", "voucher", "vouchers", "cva", "coupon"]
+# Upper bound of the synthetic manual-decisions dimension, shared by the
+# Spark range AND the oracle predicate so both twins stay equivalent at
+# every scale factor (a human-curated decision table is finite by nature;
+# 20M is far above o_orderkey at any supported SF — sf1 tops out at 6M).
+EP2_DECISIONS_MAX_ID = 20_000_000
 
 
 def ep2_cva_by_location(spark, sf_dir):
@@ -1594,7 +1571,7 @@ def ep2_cva_by_location(spark, sf_dir):
     # decisions are a human-curated dimension in the reference (tiny CSV),
     # NOT fact-derived — synthesize multiples of 97 as a range dimension so
     # the fact table isn't re-scanned just to build the broadcast side
-    decisions = spark.range(0, 20_000_000, 97).select(
+    decisions = spark.range(0, EP2_DECISIONS_MAX_ID, 97).select(
         F.col("id"), F.lit(True).alias("accepted")
     )
     cva = classify_cva(
@@ -1663,9 +1640,11 @@ feat2 AS (
            THEN 'Full'
          WHEN method = 'Cash transfer programming (CTP)' THEN 'Full'
          ELSE 'None' END AS cc1,
-    CASE WHEN {_SQL_STUB_CONF('all_text')} >= 0.5
+    -- ML input is description ONLY (code/08:152-154), though keyword and
+    -- common-words matching run over all_text (code/08:131, code/09:50)
+    CASE WHEN {_SQL_STUB_CONF('description')} >= 0.5
          THEN 'Full' ELSE 'Partial' END AS predicted_class,
-    {_SQL_STUB_CONF('all_text')} AS predicted_confidence,
+    {_SQL_STUB_CONF('description')} AS predicted_confidence,
     regexp_matches(all_text,
                    '(?i)\\b({'|'.join(EP2_COMMON_WORDS)})\\b')
       AS common_words_match,
@@ -1682,7 +1661,7 @@ amounts AS (
       WHEN project_cva_percentage IS NOT NULL AND project_cva_percentage > 0
         THEN amountUSD * project_cva_percentage
       WHEN predicted_confidence >= 0.8 AND common_words_match THEN amountUSD
-      WHEN id % 97 = 0 THEN amountUSD
+      WHEN id % 97 = 0 AND id < {EP2_DECISIONS_MAX_ID} THEN amountUSD
       ELSE 0.0 END AS CVAamount
   FROM feat2)
 SELECT location, COUNT(*) AS n_flows,
@@ -1705,7 +1684,6 @@ RELATIONAL_QUERIES = {
     "f3_year_floor_string": (f3_year_floor_string, F3_SQL),
     "f11_projection_rename": (f11_projection_rename, F11_SQL),
     "d1_priority_dedup": (d1_priority_dedup, D1_SQL),
-    "d3_distinct_rows": (d3_distinct_rows, D3_SQL),
     "j2_broadcast_enrich": (j2_broadcast_enrich, J2_SQL),
     "j4_fallback_join": (j4_fallback_join, J4_SQL),
     "j5_full_outer_fill": (j5_full_outer_fill, J5_SQL),
@@ -1759,8 +1737,13 @@ COVERAGE = {
     "F8": "f1_filter_neq", "F9": "ep2_cva_by_location (dropna)",
     "F10": "c5_canonicalize", "F11": "f11_projection_rename",
     "F12": "f11_projection_rename",
-    "D1": "d1_priority_dedup", "D2": "d3_distinct_rows",
-    "D3": "d3_distinct_rows", "D4": "d3_distinct_rows + dd_exact_hash",
+    # D2/D3/D4 all reduce to dropDuplicates-by-key; dd_exact_hash's
+    # row_number-per-md5(text) pipeline covers the semantics (retired
+    # d3_distinct_rows freed the catalog slot for ann_ivf_topk — the
+    # default scale ANN tier deserved a driver CORRECTNESS row more than a
+    # third distinct variant).
+    "D1": "d1_priority_dedup", "D2": "dd_exact_hash",
+    "D3": "dd_exact_hash", "D4": "dd_exact_hash",
     "J1": "x1_equal_split_explode (explode keeps columns; no re-join needed)",
     "J2": "j2_broadcast_enrich", "J3": "j2_broadcast_enrich",
     "J4": "j4_fallback_join", "J5": "j5_full_outer_fill",

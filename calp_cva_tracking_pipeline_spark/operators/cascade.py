@@ -232,11 +232,24 @@ def training_append(
     existing: DataFrame,
     accepted: DataFrame,
     text_col: str = "text",
+    id_col: str = "id",
 ) -> DataFrame:
-    """CC4's second half — append accepted-review rows whose text is new to
-    the classifier training corpus (code/09:72-86): an anti join on the text
-    key, then unionByName. Returns the rows to append."""
-    return accepted.join(
+    """CC4's second half — append accepted-review rows that are new to the
+    classifier training corpus (code/09:72-86). The reference excludes rows
+    whose id OR text already exists (code/09:79-80: ``!id %in%
+    classifier_data$id`` then ``!text %in% classifier_data$text``) — an
+    accepted row with a known id but altered text must NOT re-enter. Two
+    broadcast anti joins in that order; ``id_col`` applies when both sides
+    carry it (the reference's corpus always does). Returns the rows to
+    append (caller unions them in)."""
+    out = accepted
+    if id_col in accepted.columns and id_col in existing.columns:
+        out = out.join(
+            F.broadcast(existing.select(id_col).distinct()),
+            id_col,
+            "left_anti",
+        )
+    return out.join(
         F.broadcast(existing.select(text_col).distinct()),
         text_col,
         "left_anti",

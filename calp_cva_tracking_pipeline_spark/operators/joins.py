@@ -168,7 +168,19 @@ def salted_join(
     identical rows (identical rows land together — acceptable: true
     duplicates joined to the same dimension rows produce identical output
     regardless of spread).
+
+    Only skewed-side-preserving join types are allowed: the OTHER side is
+    replicated once per salt value, so 'right'/'full'/'right_semi' would
+    emit each unmatched other-side row ``salt_buckets`` times. For those,
+    swap the sides (salt the right side) or use AQE skew handling.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched rows of the "
+            f"replicated side; allowed: {sorted(allowed)}"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
     left = skewed.withColumn("__salt", salt)
     right = other.withColumn(

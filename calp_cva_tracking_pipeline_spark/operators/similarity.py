@@ -248,21 +248,28 @@ def train_centroids(
     n_centroids: int,
     iters: int = 0,
 ) -> DataFrame:
-    """Deterministic IVF coarse quantizer → (centroid_id int, __cent vec).
+    """Deterministic IVF coarse quantizer → (centroid_id long, __cent vec).
 
     Init takes the ``n_centroids`` lowest-id corpus vectors (deterministic
     and oracle-expressible; ids in this engine are synthetic/hashed, so the
-    pick is unclustered). ``iters`` Lloyd refinement passes follow — each is
-    one assign (broadcast centroids) + per-dimension mean (explode →
+    pick is unclustered) via ``orderBy(id).limit(n)`` — Catalyst plans a
+    distributed TakeOrderedAndProject (per-partition top-n, tiny merge), so
+    the init never funnels the corpus through one task. (The previous
+    unpartitioned row_number window was a single-partition global sort — a
+    100 TB-killer for the one-time index build.) The centroid id IS the
+    source vector id: probe ordering and cell joins only need a distinct,
+    deterministically ordered key, and reusing the id keeps the plan free of
+    any global renumbering step. ``iters`` Lloyd refinement passes follow —
+    each is one assign (broadcast centroids) + per-dimension mean (explode →
     groupBy(cell, pos) → rebuild). Refinement improves cell balance but is
     float-iteration-order sensitive, so oracle-verified flows pin iters=0;
     quality-tuned deployments train offline and persist the centroids.
     """
     cent = (
         corpus.select(F.col(id_col).alias("__cid0"), F.col(vec_col).alias("__cent"))
-        .withColumn("__rn", F.row_number().over(Window.orderBy(F.col("__cid0"))))
-        .filter(F.col("__rn") <= n_centroids)
-        .select((F.col("__rn") - 1).alias("centroid_id"), "__cent")
+        .orderBy("__cid0")
+        .limit(n_centroids)
+        .select(F.col("__cid0").cast("long").alias("centroid_id"), "__cent")
     )
     for _ in range(iters):
         assigned = assign_cells(corpus, cent, id_col, vec_col)

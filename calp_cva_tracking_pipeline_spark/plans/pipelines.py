@@ -166,6 +166,12 @@ def classify_cva(
     (code/09:29-54,84-86). F9: flows with null amountUSD are dropped up
     front (the reference's complete-cases guard).
 
+    The classifier input is the DESCRIPTION column, not all_text: the
+    reference builds fts_to_inference.csv from description alone
+    (code/08:152-154, keep = c('id','description') renamed to text), while
+    keyword/common-words matching runs over all_text (code/08:131,
+    code/09:50). tests/test_plans.py pins the distinction.
+
     ``projects`` must expose (project_id, project_text, cva_percentage, cva);
     ``decisions`` (id, accepted:boolean).
     """
@@ -207,7 +213,9 @@ def classify_cva(
             ),
         }
     )
-    out = classify_flows(out, "all_text")  # M1, in-DAG
+    # M1, in-DAG, over description only (code/08:152-154); native-expression
+    # stub when no model is loadable — no Python stage in the benched plan
+    out = classify_flows(out, "description")
     relevance, rel_method = relevance_with_ml(
         F.col("sector_method_cluster_relevance"),
         F.col("project_cva_percentage"),

@@ -49,6 +49,36 @@ def test_coverage_references_exist():
             assert (REPO / t).exists(), f"{op}: missing test file {t}"
 
 
+def test_no_unreferenced_query_definitions():
+    """Every public (spark, sf_dir) query def and every public *_SQL oracle
+    string in the catalog modules must be registered — dead catalog code
+    (like round 2's orphaned cc5_multi_collapse/CC5_SQL) fails here."""
+    import inspect
+
+    import calp_cva_tracking_pipeline_spark.catalog.relational as R
+    import calp_cva_tracking_pipeline_spark.catalog.scale as S
+    from calp_cva_tracking_pipeline_spark.catalog import ALL_QUERIES
+
+    registered_fns = {spec[0] for spec in ALL_QUERIES.values()}
+    registered_sql = {spec[1] for spec in ALL_QUERIES.values()}
+    for mod in (R, S):
+        for name, obj in vars(mod).items():
+            if name.startswith("_"):
+                continue
+            if (
+                inspect.isfunction(obj)
+                and obj.__module__ == mod.__name__
+                and list(inspect.signature(obj).parameters) == ["spark", "sf_dir"]
+            ):
+                assert obj in registered_fns, (
+                    f"unregistered query def {mod.__name__}.{name}"
+                )
+            if isinstance(obj, str) and name.endswith("_SQL"):
+                assert obj in registered_sql, (
+                    f"unregistered oracle SQL {mod.__name__}.{name}"
+                )
+
+
 def test_catalog_is_exactly_fifty():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

@@ -233,6 +233,21 @@ def test_cc4_routing(spark):
     appended = training_append(existing, accepted)
     assert [r["text"] for r in appended.collect()] == ["new text"]
 
+    # the reference's DOUBLE exclusion (code/09:79-80): a known id with
+    # altered text is dropped by the id pass; a new id with known text is
+    # dropped by the text pass; only (new id, new text) survives
+    existing = spark.createDataFrame(
+        [(10, "seen text")], "id long, text string"
+    )
+    accepted = spark.createDataFrame(
+        [(10, "altered text"), (11, "seen text"), (12, "brand new")],
+        "id long, text string",
+    )
+    appended = training_append(existing, accepted)
+    assert [(r["id"], r["text"]) for r in appended.collect()] == [
+        (12, "brand new")
+    ]
+
 
 # --- CC6: patch map overrides only mapped keys -------------------------------
 
@@ -453,6 +468,13 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+    # join types that don't preserve the salted side are rejected: the
+    # other side is replicated per salt value, so 'right'/'full' would
+    # emit each unmatched right row salt_buckets times
+    for bad in ("right", "full", "full_outer", "right_semi"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, ["k"], how=bad)
 
 
 # --- spread guard: parallelizes scans, never touches wide plans ------------

@@ -169,6 +169,47 @@ def test_ep2_classify_and_aggregate(spark):
     assert got.get("Kenya", 0) >= 2
 
 
+def test_ep2_classifier_input_is_description_only(spark):
+    # The reference builds fts_to_inference.csv from description ALONE
+    # (code/08:152-154: keep = c('id','description') renamed to text) while
+    # keyword matching runs over all_text (code/08:131). Two flows with the
+    # same description but different project_text must get identical
+    # predictions; a different-length description must change them.
+    flows = spark.createDataFrame(
+        [
+            (1, 100.0, "Traditional aid", "same desc", "P1", "", "Kenya"),
+            (2, 100.0, "Traditional aid", "same desc", "P2", "", "Kenya"),
+            (3, 100.0, "Traditional aid", "a longer description", None, "", "Kenya"),
+        ],
+        f"id long, amountUSD double, method string, description string,"
+        f" `{PROJECT_COL}` string, `{CLUSTER_COL}` string,"
+        f" `{LOC_COL}` string",
+    )
+    projects = spark.createDataFrame(
+        [("P1", "short", None, False), ("P2", "a very different long project text", None, False)],
+        "project_id string, project_text string, cva_percentage double,"
+        " cva boolean",
+    )
+    decisions = spark.createDataFrame([], "id long, accepted boolean")
+    out = classify_cva(
+        flows, projects, decisions,
+        cash_clusters=["MPCA"], keywords=["cash"], common_words=["cash"],
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    # all_text differs between 1 and 2 (different project_text)…
+    assert rows[1]["all_text"] != rows[2]["all_text"]
+    # …but predictions are identical: the classifier saw only description
+    assert rows[1]["predicted_confidence"] == rows[2]["predicted_confidence"]
+    assert rows[1]["predicted_class"] == rows[2]["predicted_class"]
+    assert rows[3]["predicted_confidence"] != rows[1]["predicted_confidence"]
+
+    # and with no real model loadable, the stub path is a pure JVM
+    # expression — NO Python stage of any kind in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_parse_project_qa_branches():
     payload = {
         "data": {
