@@ -6,7 +6,15 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec at target sf>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>,
    "sf_small": 0.01, "queries_small": {name: sec, ...},
-   "scaling_ratio": {name: sf/sf_small time ratio, ...}}
+   "scaling_ratio": {name: sf/sf_small time ratio, ...},
+   "runs": {name: [sec, sec, sec], ...},
+   "runs_small": {name: [sec, ...], ...}}
+
+The reported per-query number is the MEDIAN of 3 timed runs, and the raw
+per-run arrays are persisted in the JSON so a round-over-round delta can be
+attributed to noise vs regression (round-3 verdict: a best-of-2 harness
+cannot distinguish them — ann_ivf "+22%" and st_sessionize "+34%" were
+unanswerable without run arrays).
 
 Each query is timed end-to-end (plan + execute + collect-to-driver count),
 mirroring how the engine would be driven in production. Headliners span the
@@ -80,33 +88,40 @@ def main() -> None:
             except Exception as exc:  # warmup must never fail the bench
                 print(f"# warmup {name}: {exc}", file=sys.stderr)
 
-    # best-of-2 per query: the second run absorbs residual first-run
-    # effects (AQE stage re-planning, broadcast rebuild) so the reported
-    # number is the repeatable one
-    def run_suite(run_dir: str, label: str) -> dict[str, float]:
+    # median-of-3 per query: the first run absorbs residual cold effects
+    # (AQE stage re-planning, broadcast rebuild) and the median is robust
+    # to a single noisy run; the raw arrays ship in the JSON.
+    def run_suite(
+        run_dir: str, label: str
+    ) -> tuple[dict[str, float], dict[str, list[float]]]:
         timings: dict[str, float] = {}
+        raw: dict[str, list[float]] = {}
         for name in HEADLINE:
             fn = qs[name]
             runs = []
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 n = fn(spark, run_dir).count()
-                runs.append(time.time() - t0)
-            timings[name] = round(min(runs), 3)
+                runs.append(round(time.time() - t0, 3))
+            raw[name] = runs
+            timings[name] = sorted(runs)[1]
             print(
                 f"# [{label}] {name}: {timings[name]}s ({n} rows; runs "
-                f"{[round(r, 2) for r in runs]})",
+                f"{runs})",
                 file=sys.stderr,
             )
-        return timings
+        return timings, raw
 
     small_dir = os.environ.get(
         "SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01"
     )
     m2 = re.search(r"sf([0-9.]+)", small_dir)
     sf_small = float(m2.group(1)) if m2 else -1.0
-    small = run_suite(small_dir, f"sf{sf_small}") if os.path.isdir(small_dir) else {}
-    timings = run_suite(sf_dir, f"sf{sf}")
+    if os.path.isdir(small_dir):
+        small, small_raw = run_suite(small_dir, f"sf{sf_small}")
+    else:
+        small, small_raw = {}, {}
+    timings, raw = run_suite(sf_dir, f"sf{sf}")
     ratios = {
         name: round(timings[name] / small[name], 2)
         for name in timings
@@ -125,6 +140,8 @@ def main() -> None:
                 "sf_small": sf_small,
                 "queries_small": small,
                 "scaling_ratio": ratios,
+                "runs": raw,
+                "runs_small": small_raw,
             }
         )
     )

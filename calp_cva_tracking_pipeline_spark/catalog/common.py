@@ -2,9 +2,21 @@
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
 
 from calp_cva_tracking_pipeline_spark.session import normalize_session
+
+# Resolved-table cache, keyed weakly by SparkSession (a stopped session's
+# entries die with it). A DataFrame is an immutable analyzed plan — reusing
+# it across queries is exactly what a metastore-backed catalog does, and it
+# skips per-call parquet schema inference + file listing, which profiling
+# showed costs ~0.14s PER TABLE READ of pure driver time (ep2 reads 4
+# tables: 0.55s of its 2.35s wall was table resolution).
+_TABLES: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    WeakKeyDictionary()
+)
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -16,15 +28,23 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     lossless).
     """
     normalize_session(spark)
+    cache = _TABLES.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is not None:
+        return df
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
 
-        return df.withColumn(
+        df = raw.withColumn(
             "ts", F.expr("timestamp_micros(CAST(ts AS BIGINT) div 1000)")
         )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    cache[key] = df
+    return df
 
 
 # SQL fragments for the deterministic-float discipline (DuckDB dialect, but

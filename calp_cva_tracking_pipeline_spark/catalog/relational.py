@@ -1166,9 +1166,14 @@ FROM calc GROUP BY CVAamount_type
 # ---------------------------------------------------------------------------
 
 # Deterministic stub-classifier confidence (operators.mlstub): the SQL twin
-# of ((len(text) * 2654435761) % 1000) / 1000.0.
+# of ((len(text) * 2654435761) % 1000) / 1000.0. Null text coalesces to
+# length 0 — both Spark stubs emit confidence 0.0 for null text, so the
+# twin must too (a bare length(NULL) would yield NULL confidence and
+# diverge in any oracle that projects predicted_confidence).
 def _SQL_STUB_CONF(text_expr: str) -> str:
-    return f"((length({text_expr}) * 2654435761) % 1000) / 1000.0"
+    return (
+        f"((coalesce(length({text_expr}), 0) * 2654435761) % 1000) / 1000.0"
+    )
 
 
 CC2_KEYWORDS = ["cash", "voucher"]

@@ -174,12 +174,13 @@ def salted_join(
     emit each unmatched other-side row ``salt_buckets`` times. For those,
     swap the sides (salt the right side) or use AQE skew handling.
     """
-    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
-               "leftsemi", "left_anti", "leftanti"}
-    if how not in allowed:
+    allowed = {"inner", "left", "leftouter", "leftsemi", "semi",
+               "leftanti", "anti"}
+    if how.lower().replace("_", "") not in allowed:
         raise ValueError(
             f"salted_join: how={how!r} would duplicate unmatched rows of the "
-            f"replicated side; allowed: {sorted(allowed)}"
+            f"replicated side; allowed: {sorted(allowed)} (plus underscore "
+            "variants)"
         )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
     left = skewed.withColumn("__salt", salt)

@@ -48,8 +48,10 @@ def stub_confidence_native(text) -> "F.Column":
     """The stub confidence as a NATIVE JVM expression — the same function as
     _stub_confidence, with no Python stage at all. Used when no real model
     is loadable: pipelines then stay whole-stage-codegen end-to-end instead
-    of paying an Arrow round trip for a stand-in (round-2 bench: the Arrow
-    stage was ~1.6s of ep2's 2.7s at sf0.1)."""
+    of paying an Arrow round trip for a stand-in. (Round-3 bench note:
+    swapping ep2's Arrow stub for this moved ep2 only 2.736→2.706s at
+    sf0.1 — its cost is exchange/stage count, not Python; the win here is
+    plan purity, not headline seconds. See SCALE.md.)"""
     return (
         (F.coalesce(F.length(text), F.lit(0)).cast("bigint") * F.lit(2654435761))
         % 1000

@@ -148,6 +148,13 @@ def subtract_subgrants(
     ``mapping``: match_org_names output; ``pc_tv_estimate``: (Year,
     PC_average_used). Returns (cva_agg_undoubled, cva_agg_org_type).
 
+    Output columns carry the reference's EXACT sink headers — the added
+    columns are ``PC.USD.m_subgrant`` / ``PC.USD.m_undoubled``
+    (output/cva_agg.csv) and the rollup is (Year, Org_type, PC.USD.m,
+    TV.USD.m) (output/cva_agg_org_type.csv) — pinned by
+    tests/test_golden_schemas.py so a downstream consumer of the reference
+    CSVs can diff column-for-column.
+
     Sub-grant totals (A4: sum skips nulls) are subtracted from the primary
     aggregate with a zero floor (J12/C8, code/10:313-315); the org-type
     rollup applies the PC→TV ratio (A5, code/10:316-319). All joins
@@ -167,24 +174,32 @@ def subtract_subgrants(
             "Year",
             F.lit("FALSE").alias("newMoney"),
         )
-        .agg(F.coalesce(F.sum("amount"), F.lit(0.0)).alias("pc_subgrant"))
+        .agg(
+            F.coalesce(F.sum("amount"), F.lit(0.0)).alias(
+                "PC.USD.m_subgrant"
+            )
+        )
     )
     undoubled = (
         cva_agg.join(F.broadcast(sg_agg), ["clean_org", "Year", "newMoney"], "left")
-        .withColumn("pc_subgrant", F.coalesce("pc_subgrant", F.lit(0.0)))
         .withColumn(
-            "PC_USD_m_undoubled",
+            "PC.USD.m_subgrant",
+            F.coalesce(F.col("`PC.USD.m_subgrant`"), F.lit(0.0)),
+        )
+        .withColumn(
+            "PC.USD.m_undoubled",
             F.greatest(
-                F.lit(0.0), F.col("`PC.USD.m`") - F.col("pc_subgrant")
+                F.lit(0.0),
+                F.col("`PC.USD.m`") - F.col("`PC.USD.m_subgrant`"),
             ),
         )
     )
     rollup = (
         undoubled.groupBy("Year", "Org_type")
-        .agg(F.sum("PC_USD_m_undoubled").alias("PC_USD_m"))
+        .agg(F.sum(F.col("`PC.USD.m_undoubled`")).alias("PC.USD.m"))
         .join(F.broadcast(pc_tv_estimate), ["Year"], "left")
         .withColumn(
-            "TV_USD_m", F.col("PC_USD_m") * F.col("PC_average_used")
+            "TV.USD.m", F.col("`PC.USD.m`") * F.col("PC_average_used")
         )
         .drop("PC_average_used")
     )

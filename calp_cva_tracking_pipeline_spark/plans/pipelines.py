@@ -322,6 +322,12 @@ def usa_comparison(
     ratio divides by it faithfully (null → null share). A zero global total
     yields a null share (R would produce NaN/Inf; null avoids ANSI division
     errors and is dropped the same way downstream).
+
+    Output columns are the reference sink's exact header
+    (output/fts_cva_USA_analysis.csv): the location keeps its source
+    column name (``destinationObjects_Location.name`` by default), then
+    CVAamount, CVAamount_USA, CVAamount_USA_pc — pinned by
+    tests/test_golden_schemas.py.
     """
     base = cva.filter(
         (F.col("year") == year) & (F.col("status") != "pledge")
@@ -346,6 +352,7 @@ def usa_comparison(
             ),
         )
         .orderBy("location")
+        .withColumnRenamed("location", location_col)
     )
 
 

@@ -71,12 +71,17 @@ def normalize_session(spark: SparkSession) -> SparkSession:
     driver process launched outside the repo root won't propagate its
     sys.path to workers).
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # runtime-settable perf conf (see get_spark): keep CPU-heavy small-byte
-    # shuffle stages parallel instead of size-coalesced onto 1-2 cores
-    spark.conf.set(
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k"
-    )
+    # conf.set is a py4j round trip; normalize once per session (T() calls
+    # this on every table read — the guard keeps that O(1) driver-side)
+    if not getattr(spark, "_calp_normalized", False):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # runtime-settable perf conf (see get_spark): keep CPU-heavy
+        # small-byte shuffle stages parallel instead of size-coalesced
+        # onto 1-2 cores
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k"
+        )
+        spark._calp_normalized = True
     _ship_package(spark)
     return spark
 

@@ -72,14 +72,53 @@ def read_tsv_utf16(spark: SparkSession, path: str, **options) -> DataFrame:
 def read_excel(
     spark: SparkSession, path: str, sheet: str | int = 0
 ) -> DataFrame:
-    """S6 — Excel via pandas (driver-side: survey workbooks are KB-sized
+    """S6 — Excel source (driver-side: survey workbooks are KB-sized
     dimension inputs, reference code/10_global_cva_analysis.R:30-36).
-    Requires openpyxl at runtime; gate callers with try/except."""
-    import pandas as pd
+
+    Prefers pandas+openpyxl when installed; otherwise falls back to the
+    stdlib zip+XML codec (``xlsx_stdlib.read_xlsx``), which covers the
+    SpreadsheetML subset the survey workbook uses — so the engine has no
+    hard Excel dependency."""
+    try:
+        import openpyxl  # noqa: F401
+        import pandas as pd
+    except ImportError:
+        return _read_excel_stdlib(spark, path, sheet)
 
     pdf = pd.read_excel(path, sheet_name=sheet)
     pdf.columns = [str(c).strip() for c in pdf.columns]
     return spark.createDataFrame(pdf)
+
+
+def _read_excel_stdlib(
+    spark: SparkSession, path: str, sheet: str | int = 0
+) -> DataFrame:
+    """openpyxl-free S6 path: stdlib codec → typed Spark rows.
+
+    Columns mixing int and float are widened to float so schema inference
+    over Python rows cannot hit a Long/Double merge conflict (pandas does
+    the same widening on read)."""
+    from .xlsx_stdlib import read_xlsx
+
+    header, rows = read_xlsx(path, sheet)
+    header = [str(c).strip() for c in header]
+    widen = {
+        i
+        for i in range(len(header))
+        if any(type(r[i]) is float for r in rows)
+        and any(type(r[i]) is int for r in rows)
+    }
+    if widen:
+        rows = [
+            [
+                float(v) if i in widen and type(v) is int else v
+                for i, v in enumerate(r)
+            ]
+            for r in rows
+        ]
+    return spark.createDataFrame(
+        [tuple(r) for r in rows], schema=header
+    )
 
 
 def write_partitioned(

@@ -119,8 +119,11 @@ def read_xlsx(path: str, sheet: str | int = 0) -> tuple[list[str], list[list]]:
         grid: list[list] = []
         for row in ET.fromstring(zf.read(target)).iter(f"{_NS}row"):
             cells: list = []
+            next_idx = 0  # writers may legally omit r=; position is implied
             for cell in row.iter(f"{_NS}c"):
-                idx = _col_index(cell.get("r", ""))
+                ref = cell.get("r")
+                idx = _col_index(ref) if ref else next_idx
+                next_idx = idx + 1
                 while len(cells) <= idx:
                     cells.append(None)
                 cells[idx] = _cell_value(cell, shared)
@@ -184,7 +187,11 @@ def write_xlsx(path: str, sheets: dict[str, list[list]]) -> None:
         )
         zf.writestr("_rels/.rels", _ROOT_RELS)
         sheet_tags = "".join(
-            f'<sheet name="{escape(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            '<sheet name="{n}" sheetId="{i}" r:id="rId{i}"/>'.format(
+                # attribute context: double quotes must be escaped too
+                n=escape(name, {'"': "&quot;"}),
+                i=i + 1,
+            )
             for i, name in enumerate(names)
         )
         zf.writestr(

@@ -135,7 +135,7 @@ def test_full_reference_pipeline(spark):
         cva.withColumn("year", F.lit(2024)),
         ["United States Agency for International Development"],
     )
-    c = {r["location"]: r for r in comp.collect()}
+    c = {r[LOC_COL]: r for r in comp.collect()}
     assert c["Kenya"]["CVAamount_USA"] == 1000.0
     assert c["Kenya"]["CVAamount_USA_pc"] == pytest.approx(1.0)
 
@@ -169,6 +169,6 @@ def test_full_reference_pipeline(spark):
     u = {r["clean_org"]: r for r in undoubled.collect()}
     usaid = "united states agency for international development"
     # 0.001m - 0.0004m subgrant = 0.0006m
-    assert u[usaid]["PC_USD_m_undoubled"] == pytest.approx(0.0006)
+    assert u[usaid]["PC.USD.m_undoubled"] == pytest.approx(0.0006)
     r = rollup.collect()[0]
-    assert r["TV_USD_m"] == pytest.approx(0.0003)
+    assert r["TV.USD.m"] == pytest.approx(0.0003)

@@ -91,14 +91,14 @@ def test_subtract_subgrants_floor_and_rollup(spark):
     undoubled, rollup = subtract_subgrants(
         cva_agg, sub_grants, mapping, pc_tv
     )
-    u = {r["clean_org"]: r["PC_USD_m_undoubled"] for r in undoubled.collect()}
+    u = {r["clean_org"]: r["PC.USD.m_undoubled"] for r in undoubled.collect()}
     assert u["org a"] == pytest.approx(4.0)   # 10 - 6
     assert u["org b"] == 0.0                  # floored
     assert u["org c"] == 7.0                  # newMoney mismatch: untouched
     r = {(x["Year"], x["Org_type"]): x for x in rollup.collect()}
-    assert r[(2023, "NGO")]["PC_USD_m"] == pytest.approx(4.0)
-    assert r[(2023, "NGO")]["TV_USD_m"] == pytest.approx(2.0)
-    assert r[(2023, "UN")]["TV_USD_m"] == pytest.approx(3.5)
+    assert r[(2023, "NGO")]["PC.USD.m"] == pytest.approx(4.0)
+    assert r[(2023, "NGO")]["TV.USD.m"] == pytest.approx(2.0)
+    assert r[(2023, "UN")]["TV.USD.m"] == pytest.approx(3.5)
 
 
 def test_reference_constants_drop_in(spark):

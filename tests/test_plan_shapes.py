@@ -50,6 +50,15 @@ def test_ep2_all_joins_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ep2_has_zero_python_stages(spark, sf_dir):
+    # The native-expression stub (classify_cva default stub="native") keeps
+    # ep2 whole-stage-codegen end-to-end; a revert to stub="arrow" would
+    # silently reintroduce an Arrow round trip. Pin the no-Python shape.
+    plan = _executed(R.ep2_cva_by_location(spark, sf_dir))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_matchers_cross_join_only_name_lists(spark, sf_dir):
     # J10/J11 may nested-loop, but only over broadcast (dimension) sides
     for fn in (R.j10_fuzzy_levenshtein, R.j11_substring_join):

@@ -267,13 +267,14 @@ def test_usa_comparison(spark):
         " `destinationObjects_Location.name` string, CVAamount double",
     )
     out = usa_comparison(cva, ["USAID"], year=2024)
-    rows = {r["location"]: r for r in out.collect()}
+    loc_col = "destinationObjects_Location.name"
+    rows = {r[loc_col]: r for r in out.collect()}
     assert rows["Kenya"]["CVAamount"] == 100.0
     assert rows["Kenya"]["CVAamount_USA"] == 60.0
     assert rows["Kenya"]["CVAamount_USA_pc"] == pytest.approx(0.6)
     assert rows["Somalia"]["CVAamount_USA"] == 0.0
     assert rows["Somalia"]["CVAamount_USA_pc"] == 0.0
-    assert [r["location"] for r in out.collect()] == ["Kenya", "Somalia"]
+    assert [r[loc_col] for r in out.collect()] == ["Kenya", "Somalia"]
 
 
 def test_orgs_dimension_flatten(spark):

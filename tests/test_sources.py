@@ -5,6 +5,8 @@ from __future__ import annotations
 from datetime import date
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
@@ -159,21 +161,138 @@ def test_s7_tsv_utf16(spark, tmp_path):
     assert rows["DEU"] == (None, "7.5")
 
 
-# --- S6: Excel source (gated on openpyxl) ------------------------------------
+# --- S6: Excel source (stdlib codec; openpyxl optional) ----------------------
 
 
 def test_s6_excel(spark, tmp_path):
-    pd = pytest.importorskip("pandas")
-    pytest.importorskip("openpyxl")
+    """S6 executes without openpyxl: the fixture is written by the stdlib
+    codec and read back through the public read_excel entry point (which
+    falls back to xlsx_stdlib when openpyxl is absent)."""
     from calp_cva_tracking_pipeline_spark.sources.files import read_excel
+    from calp_cva_tracking_pipeline_spark.sources.xlsx_stdlib import (
+        write_xlsx,
+    )
 
     p = tmp_path / "survey.xlsx"
-    pd.DataFrame(
-        {"Organisation ": ["Org A"], "Year": [2024], "PC.USD.m": [1.25]}
-    ).to_excel(p, index=False)
+    write_xlsx(
+        str(p),
+        {
+            "Survey": [
+                ["Organisation ", "Year", "PC.USD.m"],
+                ["Org A", 2024, 1.25],
+                ["Org B", 2023, 0.5],
+            ]
+        },
+    )
     df = read_excel(spark, str(p))
     assert df.columns == ["Organisation", "Year", "PC.USD.m"]  # trimmed
-    assert df.collect()[0]["PC.USD.m"] == 1.25
+    rows = {r["Organisation"]: (r["Year"], r["PC.USD.m"]) for r in df.collect()}
+    assert rows == {"Org A": (2024, 1.25), "Org B": (2023, 0.5)}
+
+
+def test_s6_excel_sheet_selection(spark, tmp_path):
+    from calp_cva_tracking_pipeline_spark.sources.files import read_excel
+    from calp_cva_tracking_pipeline_spark.sources.xlsx_stdlib import (
+        write_xlsx,
+    )
+
+    p = tmp_path / "multi.xlsx"
+    write_xlsx(
+        str(p),
+        {
+            "First": [["a"], [1]],
+            "Overlap \"quoted\" & more": [["b", "c"], [2, True]],
+        },
+    )
+    # by index
+    assert read_excel(spark, str(p), sheet=0).columns == ["a"]
+    # by name, including a name needing attribute escaping
+    df = read_excel(spark, str(p), sheet='Overlap "quoted" & more')
+    assert df.columns == ["b", "c"]
+    assert df.collect()[0]["c"] is True
+
+
+def test_s6_xlsx_implicit_cell_position(tmp_path):
+    """Cells lacking the optional r= attribute take the next sequential
+    column (some writers legally omit r)."""
+    import zipfile
+
+    from calp_cva_tracking_pipeline_spark.sources.xlsx_stdlib import (
+        read_xlsx,
+        write_xlsx,
+    )
+
+    p = tmp_path / "noref.xlsx"
+    write_xlsx(str(p), {"S": [["x", "y"], ["keep", "me"]]})
+    # strip every r= attribute from the sheet XML
+    with zipfile.ZipFile(p) as zf:
+        parts = {n: zf.read(n) for n in zf.namelist()}
+    sheet = parts["xl/worksheets/sheet1.xml"].decode()
+    import re as _re
+
+    parts["xl/worksheets/sheet1.xml"] = _re.sub(
+        r' r="[A-Z]+\d+"', "", sheet
+    ).encode()
+    p2 = tmp_path / "noref2.xlsx"
+    with zipfile.ZipFile(p2, "w") as zf:
+        for n, data in parts.items():
+            zf.writestr(n, data)
+    header, rows = read_xlsx(str(p2))
+    assert header == ["x", "y"]
+    assert rows == [["keep", "me"]]
+
+
+def _xlsx_roundtrip_normalize(v):
+    # the codec's documented value mapping: integer-valued floats read back
+    # as int; empty strings read back as None (empty inline string)
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
+    if v == "":
+        return None
+    return v
+
+
+@given(
+    rows=st.lists(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.booleans(),
+                st.integers(min_value=-(2**53), max_value=2**53),
+                st.floats(allow_nan=False, allow_infinity=False, width=64),
+                st.text(
+                    alphabet=st.characters(
+                        min_codepoint=32, max_codepoint=0x2FFF
+                    ),
+                    max_size=40,
+                ),
+            ),
+            min_size=3,
+            max_size=3,
+        ).filter(lambda r: any(c is not None for c in r)),
+        min_size=0,
+        max_size=8,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_s6_xlsx_roundtrip_property(rows, tmp_path_factory):
+    """write_xlsx -> read_xlsx identity over all 5 cell types (VERDICT r3 #8):
+    None, bool, int, float, string (incl. XML-special and non-ASCII chars)."""
+    from calp_cva_tracking_pipeline_spark.sources.xlsx_stdlib import (
+        read_xlsx,
+        write_xlsx,
+    )
+
+    tmp = tmp_path_factory.mktemp("xlsx")
+    p = tmp / "prop.xlsx"
+    header = ["c0", "c1", "c2"]
+    write_xlsx(str(p), {"S": [header] + rows})
+    got_header, got_rows = read_xlsx(str(p))
+    assert got_header == header
+    normalized = [[_xlsx_roundtrip_normalize(c) for c in r] for r in rows]
+    # all-None rows (incl. rows of only empty strings) are dropped on read
+    expected = [r for r in normalized if any(c is not None for c in r)]
+    assert got_rows == expected
 
 
 # --- S8: WEO vintage probing --------------------------------------------------
