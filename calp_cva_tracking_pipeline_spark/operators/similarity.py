@@ -331,6 +331,48 @@ def assign_cells(
     ).drop("__aid")
 
 
+def persist_ivf_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    table: str,
+    n_centroids: int = 16,
+    num_buckets: int = 16,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """One-time IVF index build, persisted for exchange-free search.
+
+    Trains (or takes) the coarse centroids, assigns every corpus vector to
+    its cell, and writes the assignment BUCKETED by ``__cell``
+    (sources.bucketed.write_bucketed) as ``table``, with the centroids
+    saved alongside as ``{table}_centroids``. Reloading via
+    ``load_ivf_index`` and passing both to ``ivf_topk(cells=...,
+    centroids=...)`` makes every search a bucketed scan + broadcast probe
+    join: the corpus is never re-assigned and never shuffled — the shape
+    SCALE.md promises for the 100 TB search path, proven by
+    tests/test_ivf.py::test_ivf_persisted_index_search_is_exchange_free.
+    """
+    from calp_cva_tracking_pipeline_spark.sources.bucketed import (
+        write_bucketed,
+    )
+
+    cent = centroids if centroids is not None else train_centroids(
+        corpus, id_col, vec_col, n_centroids
+    )
+    cells = assign_cells(corpus, cent, id_col, vec_col)
+    write_bucketed(cells, table, ["__cell"], num_buckets=num_buckets)
+    cent.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table}_centroids"
+    )
+    return cent
+
+
+def load_ivf_index(spark, table: str) -> tuple[DataFrame, DataFrame]:
+    """(cells, centroids) back from ``persist_ivf_index`` — cells carry
+    their bucket metadata through the catalog read."""
+    return spark.table(table), spark.table(f"{table}_centroids")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -342,6 +384,7 @@ def ivf_topk(
     nprobe: int = 4,
     k: int = 5,
     centroids: DataFrame | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) cells — the third ANN tier
     next to brute force and hyperplane LSH.
@@ -356,15 +399,27 @@ def ivf_topk(
     a recall floor vs brute force).
 
     Shape for 100 TB: centroids broadcast everywhere (a few KB); the cell
-    assignment is the one-time index build (see assign_cells — persist it
-    bucketed by cell); probe lists are query-side-small and broadcast into
-    the cell join, so searches never shuffle the corpus. Same output schema
-    as brute_force_topk.
+    assignment is the one-time index build (see assign_cells /
+    persist_ivf_index — persist it bucketed by cell and pass it back via
+    ``cells``); probe lists are query-side-small and broadcast into the
+    cell join, so searches never shuffle the corpus. Same output schema as
+    brute_force_topk.
+
+    ``cells``: a prebuilt index (corpus columns + ``__cell``, e.g. from
+    load_ivf_index) — requires ``centroids`` from the same build; when
+    given, ``corpus`` is ignored and no assignment runs at search time.
     """
+    if cells is not None and centroids is None:
+        raise ValueError(
+            "ivf_topk: a prebuilt `cells` index requires the `centroids` "
+            "it was built with (load_ivf_index returns both)"
+        )
     cent = centroids if centroids is not None else train_centroids(
         corpus, id_col, vec_col, n_centroids
     )
-    cells = assign_cells(corpus, cent, id_col, vec_col).select(
+    if cells is None:
+        cells = assign_cells(corpus, cent, id_col, vec_col)
+    cells = cells.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         "__cell",

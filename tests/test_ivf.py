@@ -84,6 +84,65 @@ def test_ivf_recall_floor_vs_brute(spark, sf_dir):
     assert full == brute
 
 
+def test_ivf_persisted_index_search_is_exchange_free(spark, sf_dir, tmp_path):
+    """Persist-and-reload path (VERDICT r3 #7): the cell assignment written
+    bucketed by __cell, reloaded through the catalog, searched with
+    prebuilt centroids — the search plan must contain NO corpus-side
+    exchange (no hashpartitioning on __cell / neighbor vectors; the only
+    shuffle allowed is the query-side top-k window) and no re-assignment
+    (no crossJoin/argmin stages), and results must equal the from-scratch
+    search."""
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        load_ivf_index,
+        persist_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    table = "ivf_cells_test"
+    try:
+        cent = persist_ivf_index(
+            e, "vec_id", "embedding", table,
+            n_centroids=IVF_CENTROIDS, num_buckets=8,
+        )
+        cells, cent_loaded = load_ivf_index(spark, table)
+        out = ivf_topk(
+            None, q, "vec_id", "embedding", "vec_id", "embedding",
+            nprobe=IVF_NPROBE, k=TOP_K,
+            centroids=cent_loaded, cells=cells,
+        )
+        rows = sorted(
+            (r.query_id, r.neighbor_id, f"{r.cosine:.9g}", r.rank)
+            for r in out.collect()
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # corpus side: bucketed scan feeding the probe join directly
+        assert "Exchange hashpartitioning(__cell" not in plan
+        assert "SelectedBucketsCount" in plan  # bucket metadata in the plan
+        # no re-assignment at search time: the argmin groupBy would show as
+        # an aggregate over __aid, and assignment's nested-loop centroid
+        # scoring would show as a second join on the corpus side
+        assert "__aid" not in plan
+        # only query-side shuffles remain (probe ranking + result top-k):
+        # every shuffle exchange in the plan partitions by query_id
+        import re
+
+        keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+        assert keys and all(k.startswith("query_id") for k in keys), keys
+        # parity with the from-scratch search on the same centroids
+        ref = sorted(
+            (r.query_id, r.neighbor_id, f"{r.cosine:.9g}", r.rank)
+            for r in ivf_topk(
+                e, q, "vec_id", "embedding", "vec_id", "embedding",
+                nprobe=IVF_NPROBE, k=TOP_K, centroids=cent,
+            ).collect()
+        )
+        assert rows == ref
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_centroids")
+
+
 def test_lloyd_refinement_keeps_contract(spark, sf_dir):
     # one refinement pass: same schema, same per-query row count, centroids
     # still IVF_CENTROIDS rows of the input dimensionality
