@@ -187,18 +187,20 @@ def classify_cva(
         F.col(f"`{project_key_col}`").cast("string") == F.col("__pkey"),
         "left",
     ).drop("__pkey")
-    # column groups are batched into withColumns calls (one analysis pass
-    # per group instead of one per column — measurable py4j/analyzer time
-    # on wide plans); groups are split only where a column consumes one
-    # produced earlier.
-    out = out.withColumn(
-        "all_text",
-        F.concat_ws(" ", F.col("description"), F.col("project_text")),
-    )
+    # Column groups are batched into the FEWEST withColumns calls the
+    # dependency chain allows: every DataFrame method is a full analyzer
+    # pass over the (wide, growing) plan, measured at 15-100ms of driver
+    # time each on this pipeline. all_text is emitted AND inlined into the
+    # two keyword flags (withColumns entries cannot reference siblings;
+    # Catalyst CSEs the duplicate concat), and the CC2 relevance columns
+    # ride in the same pass as the CC3 amounts after the decisions join —
+    # neither consumes the other.
+    all_text = F.concat_ws(" ", F.col("description"), F.col("project_text"))
     cluster = F.col(f"`{cluster_col}`")
     out = out.withColumns(
         {
-            "keyword_match": keyword_flag(F.col("all_text"), keywords),
+            "all_text": all_text,
+            "keyword_match": keyword_flag(all_text, keywords),
             "sector_method_cluster_relevance": (
                 sector_method_cluster_relevance(
                     F.col("method"), cluster, cash_clusters
@@ -208,14 +210,17 @@ def classify_cva(
             "destinationClusterCount": F.when(
                 cluster.isNull() | (cluster == ""), F.lit(0)
             ).otherwise(F.size(F.split(cluster, ";"))),
-            "common_words_match": keyword_flag(
-                F.col("all_text"), common_words
-            ),
+            "common_words_match": keyword_flag(all_text, common_words),
         }
     )
     # M1, in-DAG, over description only (code/08:152-154); native-expression
     # stub when no model is loadable — no Python stage in the benched plan
     out = classify_flows(out, "description")
+    dec = decisions.select(
+        F.col("id").alias(flow_id_col),
+        F.col("accepted").alias("__accepted"),
+    )
+    out = out.join(F.broadcast(dec), [flow_id_col], "left")
     relevance, rel_method = relevance_with_ml(
         F.col("sector_method_cluster_relevance"),
         F.col("project_cva_percentage"),
@@ -223,14 +228,6 @@ def classify_cva(
         F.coalesce(F.col("project_cva"), F.lit(False)),
         F.col("predicted_class"),
     )
-    out = out.withColumns(
-        {"relevance": relevance, "relevance_method": rel_method}
-    )
-    dec = decisions.select(
-        F.col("id").alias(flow_id_col),
-        F.col("accepted").alias("__accepted"),
-    )
-    out = out.join(F.broadcast(dec), [flow_id_col], "left")
     # CC3 keys off CC1's sector/method/cluster relevance, NOT CC2's
     # ML-augmented relevance (code/09:32-41 indexes
     # sector_method_cluster_relevance); CC2's relevance/relevance_method
@@ -245,7 +242,12 @@ def classify_cva(
         manual_accept=F.coalesce(F.col("__accepted"), F.lit(False)),
     )
     return out.withColumns(
-        {"CVAamount": amount, "CVAamount_type": amount_type}
+        {
+            "relevance": relevance,
+            "relevance_method": rel_method,
+            "CVAamount": amount,
+            "CVAamount_type": amount_type,
+        }
     ).drop("__accepted")
 
 
