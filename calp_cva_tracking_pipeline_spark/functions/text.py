@@ -59,3 +59,36 @@ def token_count(col: Column | str) -> Column:
     """Whitespace token count; 0 for empty/blank strings."""
     c = _c(col)
     return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+# GPT-2-style pre-tokenization pattern (the regex BPE tokenizers split on
+# BEFORE byte-pair merging): contractions, letter runs, digit runs,
+# punctuation runs — each optionally absorbing one leading space — then
+# residual whitespace. Java-regex spelling (\p{L}/\p{N} + lookahead); NOT
+# RE2-expressible (the (?!\S) trailing-space term), so BPE counts stay a
+# pytest-verified operator rather than a DuckDB-oracle column.
+BPE_SPLIT_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?\\p{L}+"
+    "| ?\\p{N}+"
+    "| ?[^\\s\\p{L}\\p{N}]+"
+    "|\\s+(?!\\S)"
+    "|\\s+"
+)
+
+
+def bpe_pretokens(col: Column | str) -> Column:
+    """array<string> of BPE pre-tokens (the units a regex-BPE tokenizer
+    would merge within). JVM-side regexp_extract_all — scan speed."""
+    return F.regexp_extract_all(_c(col), F.lit(f"({BPE_SPLIT_PATTERN})"), 1)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Pre-token count — the standard cheap proxy for LLM token budgets
+    (true BPE counts need the merge table; pre-tokens upper-bound ~1-2x).
+    Whitespace-only runs between words count once each, matching the
+    pattern's residual-whitespace terms."""
+    c = _c(col)
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(
+        F.regexp_count(c, F.lit(BPE_SPLIT_PATTERN))
+    )

