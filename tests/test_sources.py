@@ -212,6 +212,26 @@ def test_s6_excel_sheet_selection(spark, tmp_path):
     assert df.collect()[0]["c"] is True
 
 
+def test_s6_excel_mixed_numeric_column_widens(spark, tmp_path):
+    """A column holding both ints and floats must arrive as double (pandas
+    widens on read; the stdlib fallback's schema inference over Python
+    rows would otherwise hit a Long/Double merge conflict)."""
+    from calp_cva_tracking_pipeline_spark.sources.files import read_excel
+    from calp_cva_tracking_pipeline_spark.sources.xlsx_stdlib import (
+        write_xlsx,
+    )
+
+    p = tmp_path / "mixed.xlsx"
+    write_xlsx(
+        str(p),
+        {"S": [["org", "amount"], ["A", 10], ["B", 2.5], ["C", None]]},
+    )
+    df = read_excel(spark, str(p))
+    assert dict(df.dtypes)["amount"] == "double"
+    rows = {r["org"]: r["amount"] for r in df.collect()}
+    assert rows == {"A": 10.0, "B": 2.5, "C": None}
+
+
 def test_s6_xlsx_implicit_cell_position(tmp_path):
     """Cells lacking the optional r= attribute take the next sequential
     column (some writers legally omit r)."""
