@@ -514,9 +514,15 @@ def test_salted_join_matches_plain_join(spark):
     # join types that don't preserve the salted side are rejected: the
     # other side is replicated per salt value, so 'right'/'full' would
     # emit each unmatched right row salt_buckets times
-    for bad in ("right", "full", "full_outer", "right_semi"):
+    for bad in ("right", "full", "full_outer", "right_semi", "RIGHT_OUTER"):
         with pytest.raises(ValueError, match="salted_join"):
             salted_join(left, right, ["k"], how=bad)
+    # ...while every Spark alias of the skew-side-preserving types passes
+    # validation ('semi'/'anti' are accepted Spark spellings too)
+    for ok in ("semi", "anti", "left_semi", "leftanti", "Left_Outer"):
+        salted_join(left, right, ["k"], how=ok)
+    semi_n = salted_join(left, right, ["k"], how="semi").count()
+    assert semi_n == left.join(right, "k", "semi").count()
 
 
 # --- spread guard: parallelizes scans, never touches wide plans ------------
