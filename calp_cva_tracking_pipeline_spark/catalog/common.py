@@ -13,10 +13,24 @@ from calp_cva_tracking_pipeline_spark.session import normalize_session
 # it across queries is exactly what a metastore-backed catalog does, and it
 # skips per-call parquet schema inference + file listing, which profiling
 # showed costs ~0.14s PER TABLE READ of pure driver time (ep2 reads 4
-# tables: 0.55s of its 2.35s wall was table resolution).
+# tables: 0.55s of its 2.35s wall was table resolution). The testdata
+# tables are immutable for a session's lifetime; a pipeline that rewrites
+# a path it reads must call invalidate_tables() (and Spark's own
+# refreshByPath) first.
 _TABLES: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
     WeakKeyDictionary()
 )
+
+
+def invalidate_tables(spark: SparkSession | None = None) -> None:
+    """Drop cached table resolutions — for one session, or all of them.
+
+    Needed only when files under an sf_dir change within a session (the
+    schema or file listing snapshotted at first read would go stale)."""
+    if spark is None:
+        _TABLES.clear()
+    else:
+        _TABLES.pop(spark, None)
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

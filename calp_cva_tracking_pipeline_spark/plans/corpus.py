@@ -81,9 +81,18 @@ def curate_corpus(
     BEFORE any dedup so the expensive stages see only keepable docs) →
     exact dedup (min-id survivor) → near-dup removal (LSH candidates,
     exact-Jaccard verified, lower-id survives). Returns the surviving rows
-    with the text-feature columns attached.
+    with the text-feature columns attached, plus ``n_bpe_tokens`` (the
+    GPT-2-style pre-token count — the budget column training loaders
+    sum when packing sequences; whitespace ``n_tokens`` undercounts
+    punctuation-heavy text).
     """
-    feats = add_text_features(docs, text_col)
+    from calp_cva_tracking_pipeline_spark.functions.text import (
+        bpe_token_count,
+    )
+
+    feats = add_text_features(docs, text_col).withColumn(
+        "n_bpe_tokens", bpe_token_count(F.col(text_col))
+    )
     gated = feats.filter(
         (F.col("quality") >= min_quality)
         & (F.col("n_tokens") >= min_tokens)

@@ -68,8 +68,13 @@ def test_feature_columns_attached(spark):
     out = curate_corpus(
         _docs(spark, [(1, BASE)]), min_quality=0.0, jaccard_threshold=0.9
     )
-    for col in ("quality", "lang_pred", "n_tokens", "fingerprint"):
+    for col in (
+        "quality", "lang_pred", "n_tokens", "fingerprint", "n_bpe_tokens"
+    ):
         assert col in out.columns
+    row = out.collect()[0]
+    # BPE pre-tokens >= whitespace tokens (punctuation splits off)
+    assert row["n_bpe_tokens"] >= row["n_tokens"]
 
 
 def test_write_training_shards_balanced(spark, tmp_path):

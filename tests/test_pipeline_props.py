@@ -525,6 +525,23 @@ def test_salted_join_matches_plain_join(spark):
     assert semi_n == left.join(right, "k", "semi").count()
 
 
+def test_table_cache_resolves_once_and_invalidates(spark, sf_dir):
+    from calp_cva_tracking_pipeline_spark.catalog.common import (
+        _TABLES,
+        T,
+        invalidate_tables,
+    )
+
+    a = T(spark, sf_dir, "orders")
+    b = T(spark, sf_dir, "orders")
+    assert a is b  # same resolved plan object: no re-inference
+    assert T(spark, sf_dir, "lineitem") is not a  # keyed per table
+    invalidate_tables(spark)
+    c = T(spark, sf_dir, "orders")
+    assert c is not a  # cache dropped -> fresh resolution
+    assert c.schema == a.schema
+
+
 # --- spread guard: parallelizes scans, never touches wide plans ------------
 
 
