@@ -1507,24 +1507,40 @@ def ep2_cva_by_location(spark, sf_dir):
     # orders roots the long narrow map chain (concat/keyword/cascade/UDF all
     # run pre-shuffle): spread the scan so it isn't single-core off a
     # one-row-group file (no-op at scale — operators.partitioning)
-    o = spread_small_input(T(spark, sf_dir, "orders"))
+    # light per-row work downstream (regex flags, cascades): size-capped
+    # spread — ~512 KiB/task beats default-parallelism slivers here
+    o = spread_small_input(
+        T(spark, sf_dir, "orders"), bytes_per_task=512 * 1024
+    )
     li = T(spark, sf_dir, "lineitem")
     c = T(spark, sf_dir, "customer")
     n = T(spark, sf_dir, "nation")
-    cluster_name = when_cascade(
-        F.lit("Health"),
-        [
-            (F.col("l_returnflag") == "R", F.lit("Cash Cluster A")),
-            (F.col("l_returnflag") == "A", F.lit("Food Security")),
-        ],
-    )
+    # The cluster-name domain is CLOSED (3 values) and already alphabetical
+    # ("Cash Cluster A" < "Food Security" < "Health"), so the sorted-set
+    # group-concat the oracle computes with list_distinct/list_sort reduces
+    # to three boolean-OR aggregates + a null-skipping concat_ws. That keeps
+    # the aggregation in whole-stage-codegen HashAggregate with fixed-width
+    # 3-boolean partials instead of ObjectHashAggregate shuffling string
+    # sets — at 100 TB the shuffle carries 3 bits/group, not a bag of
+    # strings. (X4-style open-domain group-concat lives in
+    # operators/reshape.py:73; this closed-domain form is the right idiom
+    # whenever the dictionary is known.)
+    rf = F.col("l_returnflag")
     clusters = (
-        li.withColumn("cl", cluster_name)
-        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
         .agg(
-            F.array_join(
-                F.array_sort(F.collect_set("cl")), "; "
-            ).alias("cluster_list")
+            F.max(rf == "R").alias("__has_cash"),
+            F.max(rf == "A").alias("__has_food"),
+            F.max(rf.isNull() | ~rf.isin("R", "A")).alias("__has_health"),
+        )
+        .select(
+            "o_orderkey",
+            F.concat_ws(
+                "; ",
+                F.when(F.col("__has_cash"), F.lit("Cash Cluster A")),
+                F.when(F.col("__has_food"), F.lit("Food Security")),
+                F.when(F.col("__has_health"), F.lit("Health")),
+            ).alias("cluster_list"),
         )
     )
     location = c.join(

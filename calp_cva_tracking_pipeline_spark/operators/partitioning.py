@@ -32,7 +32,9 @@ _WIDE_NODE = re.compile(
 
 
 def spread_small_input(
-    df: DataFrame, min_partitions: int | None = None
+    df: DataFrame,
+    min_partitions: int | None = None,
+    bytes_per_task: int | None = None,
 ) -> DataFrame:
     """Round-robin repartition IFF ``df`` is scan-rooted (scan plus
     projections/filters only) AND has fewer partitions than the session's
@@ -41,6 +43,16 @@ def spread_small_input(
     Non-scan-rooted inputs are returned unchanged — see ``_WIDE_NODE``.
     For a scan-rooted ``df`` the partition count comes from the compiled
     physical plan; no job runs.
+
+    ``bytes_per_task`` caps the spread width by the optimizer's size
+    estimate (``ceil(sizeInBytes / bytes_per_task)``): per-row cost decides
+    the right task size, so CPU-heavy stages (minhash shingling, Arrow
+    inference) omit it and take full parallelism, while light per-row work
+    (regex flags, cascades) passes ~512 KiB so a few-MiB input doesn't
+    fragment into default-parallelism slivers where task scheduling costs
+    more than the work (measured: ep2 at sf0.1 runs 25% faster at 16 tasks
+    than 32). At scale both forms are structural no-ops — a big table
+    already arrives wider than any cap.
 
     Round-robin repartition is deterministic (Spark 2.4+ sorts each input
     partition before distributing so retries are stable), and every engine
@@ -51,6 +63,10 @@ def spread_small_input(
         return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
+    if bytes_per_task:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if est > 0:
+            target = max(2, min(target, -(-est // bytes_per_task)))
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -52,6 +52,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # PySpark 4's per-API-call Python call-site capture costs 2 extra
+        # py4j round trips per DataFrame/Column op (conf.get + origin.set);
+        # a wide plan build (ep2: ~900 ops) spends ~40% of its driver time
+        # there. Engine errors still carry full SQL context without it.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
@@ -81,6 +86,16 @@ def normalize_session(spark: SparkSession) -> SparkSession:
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k"
         )
+        # driver-side plan-build cost: disable PySpark's per-call call-site
+        # capture (see get_spark). The conf is STATIC (settable only at
+        # session build), so for a foreign session flip pyspark's documented
+        # cache of it; perf-only — engine errors keep their SQL context.
+        try:
+            from pyspark.errors import utils as _pyspark_err_utils
+
+            _pyspark_err_utils._enable_debugging_cache = False
+        except (ImportError, AttributeError):  # pragma: no cover
+            pass
         spark._calp_normalized = True
     _ship_package(spark)
     return spark
