@@ -50,6 +50,18 @@ def test_ep2_all_joins_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ep2_cluster_agg_is_codegen_not_object_hash(spark, sf_dir):
+    # The cluster-list group-concat is computed over a CLOSED 3-value
+    # domain as three boolean-OR aggregates (catalog ep2), which keeps the
+    # aggregation in whole-stage-codegen HashAggregate with fixed-width
+    # partials. A revert to collect_set would reintroduce
+    # ObjectHashAggregate shuffling string sets — a much heavier 100 TB
+    # shuffle for the same answer.
+    plan = _executed(R.ep2_cva_by_location(spark, sf_dir))
+    assert "ObjectHashAggregate" not in plan
+    assert "SortAggregate" not in plan
+
+
 def test_ep2_has_zero_python_stages(spark, sf_dir):
     # The native-expression stub (classify_cva default stub="native") keeps
     # ep2 whole-stage-codegen end-to-end; a revert to stub="arrow" would
