@@ -561,6 +561,25 @@ def test_spread_widens_single_split_scan(spark, sf_dir):
     assert spread.count() == docs.count()
 
 
+def test_spread_bytes_per_task_caps_width(spark, sf_dir):
+    # light per-row stages pass bytes_per_task so a few-MiB input is cut
+    # into work-sized tasks, not defaultParallelism slivers; the cap comes
+    # from the optimizer's size estimate and never exceeds the uncapped
+    # target, never goes below 2
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    est = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    full = spark.sparkContext.defaultParallelism
+    capped = spread_small_input(docs, bytes_per_task=est)  # ~1 task of bytes
+    assert capped.rdd.getNumPartitions() == 2  # floor
+    wide = spread_small_input(docs, bytes_per_task=max(1, est // (4 * full)))
+    assert wide.rdd.getNumPartitions() == full  # cap never exceeds target
+    assert capped.count() == docs.count()
+
+
 def test_spread_is_noop_on_wide_plans(spark, sf_dir):
     # probing .rdd below a shuffle materializes AQE stages (upstream work
     # would run twice) — the guard must return such plans unchanged
