@@ -54,6 +54,7 @@ HEADLINE = [
     "dd_minhash_lsh",
     "ann_brute_topk",
     "ann_ivf_topk",
+    "ann_ivf_search",
     "tx_features",
     "st_sessionize",
 ]
@@ -70,6 +71,7 @@ def main() -> None:
 
     qs = entrymod.queries()
     qs["flagship_pricing_summary"] = _flagship
+    qs["ann_ivf_search"] = _ivf_search_prebuilt
 
     # Steady-state warmup: run the suite once at the smallest SF so plan
     # compilation, whole-stage-codegen JIT, the Python worker pool, and the
@@ -144,6 +146,48 @@ def main() -> None:
                 "runs_small": small_raw,
             }
         )
+    )
+
+
+_IVF_INDEX_CACHE: dict[str, tuple] = {}
+
+
+def _ivf_search_prebuilt(spark, sf_dir):
+    """SEARCH-ONLY IVF latency on a prebuilt index — the steady-state
+    number for the 100 TB path, where the index is built once and persisted
+    bucketed by cell (persist_ivf_index). ann_ivf_topk times build+search
+    fused (what a cold ad-hoc query pays); this entry caches the trained
+    centroids + cell assignment per sf_dir outside the timed region
+    (mimicking a bucketed-table reload) and times only probe + cell-local
+    scoring. Same operating point as ann_ivf_topk (catalog/scale.py)."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.catalog.scale import (
+        IVF_CENTROIDS,
+        IVF_NPROBE,
+        N_QUERIES,
+        TOP_K,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        assign_cells,
+        ivf_topk,
+        train_centroids,
+    )
+
+    if sf_dir not in _IVF_INDEX_CACHE:
+        e = T(spark, sf_dir, "embeddings")
+        cent = train_centroids(e, "vec_id", "embedding", IVF_CENTROIDS)
+        cells = assign_cells(e, cent, "vec_id", "embedding").cache()
+        cent = cent.cache()
+        cells.count(), cent.count()  # materialize outside the timed region
+        _IVF_INDEX_CACHE[sf_dir] = (cells, cent)
+    cells, cent = _IVF_INDEX_CACHE[sf_dir]
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        nprobe=IVF_NPROBE, k=TOP_K, centroids=cent, cells=cells,
     )
 
 
