@@ -61,6 +61,77 @@ def test_class_weights_inverse_frequency(spark):
     assert w["Partial"] == pytest.approx(4000 / 3000)
 
 
+def test_class_weights_is_lazy(spark):
+    # composing class_weights must not fire a job (the old implementation
+    # ran an eager df.count() at build time)
+    sc = spark.sparkContext
+    before = len(sc.statusTracker().getJobIdsForGroup(None))
+    df = class_weights(_labeled(spark), "label")
+    after = len(sc.statusTracker().getJobIdsForGroup(None))
+    assert after == before
+    assert set(df.columns) == {"label", "n", "weight"}
+
+
+def test_classification_metrics_per_class(spark):
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        classification_metrics,
+    )
+
+    rows = [
+        # label, pred: Full 3x correct, 1x miss->Partial;
+        # Partial 2x correct, 2x miss->Full; None never predicted
+        ("Full", "Full"), ("Full", "Full"), ("Full", "Full"),
+        ("Full", "Partial"),
+        ("Partial", "Partial"), ("Partial", "Partial"),
+        ("Partial", "Full"), ("Partial", "Full"),
+        ("None", "Full"),
+    ]
+    df = spark.createDataFrame(rows, ["label", "pred"])
+    m = {
+        r["label"]: r.asDict()
+        for r in classification_metrics(df, "label", "pred").collect()
+    }
+    assert set(m) == {"Full", "Partial", "None"}
+    # Full: tp=3, predicted=3+2+1=6, support=4
+    assert m["Full"]["tp"] == 3
+    assert m["Full"]["precision"] == pytest.approx(3 / 6)
+    assert m["Full"]["recall"] == pytest.approx(3 / 4)
+    p, r = 3 / 6, 3 / 4
+    assert m["Full"]["f1"] == pytest.approx(2 * p * r / (p + r))
+    # Partial: tp=2, predicted=3, support=4
+    assert m["Partial"]["precision"] == pytest.approx(2 / 3)
+    assert m["Partial"]["recall"] == pytest.approx(2 / 4)
+    # None: never predicted -> null precision; support=1, tp=0 -> recall 0
+    assert m["None"]["predicted"] == 0
+    assert m["None"]["precision"] is None
+    assert m["None"]["recall"] == pytest.approx(0.0)
+    assert m["None"]["f1"] is None
+    # overall accuracy derives as sum(tp)/sum(support)
+    acc = sum(x["tp"] for x in m.values()) / sum(
+        x["support"] for x in m.values()
+    )
+    assert acc == pytest.approx(5 / 9)
+
+
+def test_classification_metrics_class_never_seen(spark):
+    # a class that appears only in predictions: support=0 -> null recall
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        classification_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [("A", "A"), ("A", "B")], ["label", "pred"]
+    )
+    m = {
+        r["label"]: r.asDict()
+        for r in classification_metrics(df, "label", "pred").collect()
+    }
+    assert m["B"]["support"] == 0
+    assert m["B"]["recall"] is None
+    assert m["B"]["precision"] == pytest.approx(0.0)  # predicted 1, tp 0
+    assert m["B"]["f1"] is None
+
+
 def test_bucketed_join_elides_shuffle(spark, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
