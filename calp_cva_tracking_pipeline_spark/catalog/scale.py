@@ -388,10 +388,15 @@ def dd_embed_neardup(spark, sf_dir):
 
 
 DD_EMBED_SQL = f"""
-WITH v AS (
+WITH uniq AS (
+  -- exact pre-collapse mirror: byte-identical vectors -> min-id
+  -- representative (operators/dedup.py pre_collapse_exact)
+  SELECT MIN(vec_id) AS vec_id, embedding
+  FROM embeddings GROUP BY embedding),
+v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
          {_plane_sql('CAST(embedding AS DOUBLE[])', _NEARDUP_PLANE_LIST)} AS bucket
-  FROM embeddings),
+  FROM uniq),
 scored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          ROUND(list_dot_product(a.vec, b.vec) /

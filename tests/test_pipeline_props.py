@@ -345,6 +345,43 @@ def test_lsh_skew_guard(spark):
     assert guarded < 50
 
 
+def test_embed_neardup_skew_guard(spark):
+    # same hazard, embedding tier: k byte-identical vectors share every
+    # hyperplane bucket and emit k(k-1)/2 pairs each at cosine 1.0 — the
+    # emission itself is quadratic in the duplication factor. The exact
+    # pre-collapse (default on) reduces them to one representative.
+    import random
+
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        embedding_near_dup_candidates,
+    )
+
+    rng = random.Random(7)
+    dup_vec = [rng.uniform(-1, 1) for _ in range(16)]
+    rows = [(i, dup_vec) for i in range(200)]
+    rows += [
+        (1000 + j, [rng.uniform(-1, 1) for _ in range(16)])
+        for j in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    unguarded = embedding_near_dup_candidates(
+        df, "vec_id", "embedding", dim=16, threshold=0.9,
+        pre_collapse_exact=False,
+    ).count()
+    assert unguarded >= 200 * 199 // 2  # quadratic in the duplicate count
+
+    guarded = embedding_near_dup_candidates(
+        df, "vec_id", "embedding", dim=16, threshold=0.9,
+    )
+    assert guarded.count() < 20  # representatives only
+    # the surviving representative is the min id of the duplicate group
+    assert not [
+        r for r in guarded.collect() if 0 < r["id_a"] < 1000
+        or 0 < r["id_b"] < 1000
+    ]
+
+
 # --- J14: waterfall keeps first-source rows only -----------------------------
 
 
