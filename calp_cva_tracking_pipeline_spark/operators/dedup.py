@@ -335,3 +335,89 @@ def embedding_near_dup_candidates(
         ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Exact duplicate-cluster resolution: (node, component) with
+    ``component`` = the minimum node id reachable through the pair graph.
+
+    The transitive-closure companion to ``near_dup_drop_set``'s greedy
+    policy (plans/corpus.py): where greedy drops the higher id of every
+    pair independently, this labels every node with its component's min id
+    so survivor selection is consistent across chains (A~B~C keeps exactly
+    A even though A and C never paired directly).
+
+    Min-label propagation over the PAIR set, which is candidate-sized
+    (post-LSH, post-verification), not corpus-sized — the iteration state
+    is (node, label) plus the symmetrized edge list, both tiny relative to
+    the documents they describe. Each round joins labels across edges and
+    keeps the per-node min; convergence is checked with one count on the
+    changed-label set and the loop is an O(component diameter) fixpoint —
+    near-dup chains are short (the Jaccard/cosine threshold bounds them),
+    so this converges in a handful of rounds where a general graph would
+    want the O(log n) large-star/small-star variant. ``max_iters`` guards
+    the pathological corpus; hitting it raises rather than silently
+    returning partial labels.
+
+    Iterative-by-nature (SURVEY §2 has no counterpart; this is engine
+    scale tier): each round is one shuffle of the label table; previous
+    rounds' cached state is unpersisted as soon as its successor is
+    materialized.
+    """
+    sym = (
+        pairs.select(
+            F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+        )
+        .union(
+            pairs.select(
+                F.col(dst_col).alias("__src"), F.col(src_col).alias("__dst")
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        sym.select(F.col("__src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .cache()
+    )
+    try:
+        for _ in range(max_iters):
+            nbr_min = (
+                sym.join(labels, sym["__dst"] == labels["node"])
+                .groupBy(F.col("__src").alias("node"))
+                .agg(F.min("component").alias("__nbr_min"))
+            )
+            new_labels = (
+                labels.join(nbr_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.col("__nbr_min")
+                    ).alias("component"),
+                )
+                .cache()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "the pair graph has a component of diameter > max_iters — raise "
+            "max_iters or switch survivor policy to the greedy drop set"
+        )
+    finally:
+        sym.unpersist()

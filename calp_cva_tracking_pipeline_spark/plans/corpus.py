@@ -37,18 +37,27 @@ def near_dup_drop_set(
     bands: int = 4,
     k: int = 3,
     max_bucket_docs: int | None = 64,
+    survivor_policy: str = "greedy",
 ) -> DataFrame:
-    """ids to drop: the HIGHER id of every verified near-dup pair.
+    """ids to drop among verified near-dup pairs.
 
-    Greedy lower-id-survives policy (the standard large-corpus choice, as
-    in MinHashLSH-based crawl dedup): a doc is dropped if ANY confirmed
-    near-twin has a smaller id. This is deliberately not a transitive
-    closure — in a chain A~B~C without A~C, B and C both drop even though
-    B's own survivor (A) differs from C's (B): one anti-join instead of an
-    iterative connected-components fixpoint, and over-dropping is bounded
-    by chain length, which the Jaccard threshold keeps short. Deployments
-    needing exact components can iterate min-id label propagation over the
-    pair set (candidate-sized, not corpus-sized).
+    ``survivor_policy="greedy"`` (default; the standard large-corpus
+    choice, as in MinHashLSH-based crawl dedup) drops the HIGHER id of
+    every pair independently: a doc is dropped if ANY confirmed near-twin
+    has a smaller id. Deliberately not a transitive closure — in a chain
+    A~B~C without A~C, B and C both drop even though B's own survivor (A)
+    differs from C's (B): one anti-join instead of an iterative fixpoint,
+    and over-dropping is bounded by chain length, which the Jaccard
+    threshold keeps short.
+
+    ``survivor_policy="components"`` resolves exact clusters first
+    (operators.dedup.connected_components — min-id label propagation over
+    the candidate-sized pair set) and drops every non-minimum member, so
+    each near-dup CLUSTER keeps exactly its min id. Same drop set as
+    greedy on chains (one survivor either way); differs on graphs where
+    greedy's pairwise view and the transitive clustering disagree — pay
+    the O(diameter) iteration only when cluster-consistent labeling
+    matters (e.g. attributing which survivor each drop maps to).
     """
     pairs = minhash_lsh_candidates(
         docs,
@@ -63,6 +72,21 @@ def near_dup_drop_set(
     verified = ngram_jaccard(pairs, docs, id_col, text_col, k=k).filter(
         F.round(F.col("jaccard"), 6) >= jaccard_threshold
     )
+    if survivor_policy == "components":
+        from calp_cva_tracking_pipeline_spark.operators.dedup import (
+            connected_components,
+        )
+
+        comp = connected_components(verified)
+        return (
+            comp.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias(id_col))
+        )
+    if survivor_policy != "greedy":
+        raise ValueError(
+            f"survivor_policy must be 'greedy' or 'components', "
+            f"got {survivor_policy!r}"
+        )
     return verified.select(F.col("id_b").alias(id_col)).distinct()
 
 

@@ -64,6 +64,32 @@ def test_drop_set_is_higher_ids_only(spark):
     assert ids <= {2, 3}
 
 
+def test_drop_set_component_policy(spark):
+    # chain 1~2~3: components policy keeps exactly the cluster min (1)
+    # and drops the rest, with the same outcome as greedy on a chain
+    rows = [
+        (1, BASE),
+        (2, BASE + " tail one"),
+        (3, BASE + " tail one more"),
+        (9, "completely different text about ships and harbors and the "
+            "sea with gulls wheeling over the masts at dawn in the port"),
+    ]
+    drops = near_dup_drop_set(
+        _docs(spark, rows), "doc_id", "text", jaccard_threshold=0.5,
+        survivor_policy="components",
+    )
+    ids = {r.doc_id for r in drops.collect()}
+    assert 1 not in ids and 9 not in ids
+    assert ids <= {2, 3} and len(ids) >= 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="survivor_policy"):
+        near_dup_drop_set(
+            _docs(spark, rows), "doc_id", "text",
+            survivor_policy="transitive-ish",
+        )
+
+
 def test_feature_columns_attached(spark):
     out = curate_corpus(
         _docs(spark, [(1, BASE)]), min_quality=0.0, jaccard_threshold=0.9

@@ -382,6 +382,71 @@ def test_embed_neardup_skew_guard(spark):
     ]
 
 
+def test_connected_components_chain_star_disjoint(spark):
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),          # chain: all -> 1
+            (10, 11), (10, 12), (10, 13),    # star: all -> 10
+            (20, 21),                        # pair: -> 20
+        ],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_vs_greedy_drop(spark):
+    # the documented difference (plans/corpus.py near_dup_drop_set): in a
+    # chain A~B~C with no direct A~C pair, greedy drops B and C (B because
+    # of A, C because of B); components keep exactly one survivor per
+    # cluster — the same outcome here, but consistently labeled, and the
+    # label IS the survivor id.
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    comp = connected_components(pairs)
+    survivors = {
+        r["node"] for r in comp.filter("node = component").collect()
+    }
+    assert survivors == {1}
+    # reverse-ordered edges converge to the same labels (undirected)
+    rev = spark.createDataFrame([(3, 2), (2, 1)], "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(rev).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_connected_components_max_iters_raises(spark):
+    import pytest as _pytest
+
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # a 6-chain needs ~5 propagation rounds; max_iters=2 must raise, not
+    # return partial labels
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=2)
+
+
 # --- J14: waterfall keeps first-source rows only -----------------------------
 
 
