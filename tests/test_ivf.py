@@ -160,3 +160,43 @@ def test_lloyd_refinement_keeps_contract(spark, sf_dir):
     assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
     per_q = out.groupBy("query_id").count().collect()
     assert all(r["count"] <= TOP_K for r in per_q)
+
+
+def test_lsh_multiprobe_recall_floor(spark, sf_dir):
+    # multiprobe widens only the query-side probe list (Hamming-adjacent
+    # sign patterns); at the catalog 4x4 operating point recall@5 on the
+    # uniform worst-case testdata measured 0.40 (no flips) -> 0.90
+    # (1 flip) -> 1.00 (2 flips). Pin a loose floor and monotonicity.
+    from calp_cva_tracking_pipeline_spark.catalog.scale import (
+        EMB_DIM,
+        LSH_PLANES,
+        LSH_SEED,
+        LSH_TABLES,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        lsh_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(
+            e, q, "vec_id", "embedding", "vec_id", "embedding", k=TOP_K
+        ).collect()
+    }
+
+    def recall(flips):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_topk(
+                e, q, "vec_id", "embedding", "vec_id", "embedding",
+                dim=EMB_DIM, k=TOP_K, n_planes=LSH_PLANES,
+                n_tables=LSH_TABLES, seed=LSH_SEED, n_probe_flips=flips,
+            ).collect()
+        }
+        return len(got & brute) / len(brute)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= 0.8
+    assert r1 > r0
