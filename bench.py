@@ -10,11 +10,14 @@ Prints ONE JSON line:
    "runs": {name: [sec, sec, sec], ...},
    "runs_small": {name: [sec, ...], ...}}
 
-The reported per-query number is the MEDIAN of 3 timed runs, and the raw
-per-run arrays are persisted in the JSON so a round-over-round delta can be
-attributed to noise vs regression (round-3 verdict: a best-of-2 harness
-cannot distinguish them — ann_ivf "+22%" and st_sessionize "+34%" were
-unanswerable without run arrays).
+The reported per-query number is the MEDIAN of 3 timed runs taken AFTER one
+untimed warm-up run at the same SF (runs[0] in the persisted array — kept
+visible, excluded from the median), and the raw per-run arrays are persisted
+in the JSON so a round-over-round delta can be attributed to noise vs
+regression (round-3 verdict: a best-of-2 harness cannot distinguish them —
+ann_ivf "+22%" and st_sessionize "+34%" were unanswerable without run
+arrays; round-4 arrays then showed the first timed run +20-50% over the
+median, motivating the explicit warm-up run).
 
 Each query is timed end-to-end (plan + execute + collect-to-driver count),
 mirroring how the engine would be driven in production. Headliners span the
@@ -90,9 +93,14 @@ def main() -> None:
             except Exception as exc:  # warmup must never fail the bench
                 print(f"# warmup {name}: {exc}", file=sys.stderr)
 
-    # median-of-3 per query: the first run absorbs residual cold effects
-    # (AQE stage re-planning, broadcast rebuild) and the median is robust
-    # to a single noisy run; the raw arrays ship in the JSON.
+    # One UNTIMED warm-up run per query at the measured SF, then
+    # median-of-3: run arrays across rounds showed the first timed run
+    # +20-50% over the median (AQE stage re-planning, broadcast rebuild,
+    # residual JIT) even after the small-SF warm-up suite — which left
+    # round-over-round medians hostage to where that residual landed. The
+    # warm-up run is reported in the JSON (runs[0], excluded from the
+    # median) so cold cost stays visible without polluting the
+    # steady-state metric.
     def run_suite(
         run_dir: str, label: str
     ) -> tuple[dict[str, float], dict[str, list[float]]]:
@@ -101,12 +109,12 @@ def main() -> None:
         for name in HEADLINE:
             fn = qs[name]
             runs = []
-            for _ in range(3):
+            for _ in range(4):
                 t0 = time.time()
                 n = fn(spark, run_dir).count()
                 runs.append(round(time.time() - t0, 3))
             raw[name] = runs
-            timings[name] = sorted(runs)[1]
+            timings[name] = sorted(runs[1:])[1]
             print(
                 f"# [{label}] {name}: {timings[name]}s ({n} rows; runs "
                 f"{runs})",
