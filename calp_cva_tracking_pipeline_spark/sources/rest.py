@@ -26,6 +26,54 @@ Fetcher = Callable[[str], dict]
 FTS_BASE = "https://api.hpc.tools/v1/public/fts/flow"
 
 
+def http_json_fetcher(
+    timeout: float = 30.0,
+    retries: int = 3,
+    backoff_s: float = 0.5,
+    user_agent: str = "calp-cva-spark/1.0",
+    sleep=None,
+) -> Fetcher:
+    """Default ``Fetcher``: stdlib urllib GET → parsed JSON dict.
+
+    Retries transient failures (HTTP 5xx, connection/timeout errors) with
+    exponential backoff; client errors (4xx) raise immediately — a bad URL
+    is a bug, not weather. Serializable-by-construction (closes over plain
+    values only) so the same fetcher works driver-side (S1 pagination) and
+    inside executors (S9 ``fetch_entities_distributed``), where each Python
+    worker re-creates its connection state independently.
+
+    The reference's transport is R httr GET with no retry
+    (code/01_fts_get_flows.R:31-46); retry-with-backoff is table stakes for
+    a cluster-wide fan-out where thousands of workers hit one API.
+    """
+    import time as _time
+    import urllib.error
+    import urllib.request
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+
+    def fetch(url: str) -> dict:
+        last: Exception | None = None
+        for attempt in range(retries):
+            try:
+                req = urllib.request.Request(
+                    url, headers={"User-Agent": user_agent}
+                )
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    return json.loads(resp.read().decode("utf-8"))
+            except urllib.error.HTTPError as exc:
+                if exc.code < 500:
+                    raise
+                last = exc
+            except (urllib.error.URLError, TimeoutError, OSError) as exc:
+                last = exc
+            if attempt < retries - 1:
+                do_sleep(backoff_s * (2**attempt))
+        raise last  # type: ignore[misc]
+
+    return fetch
+
+
 def build_flow_url(
     base: str = FTS_BASE,
     year: int | None = None,

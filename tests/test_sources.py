@@ -81,6 +81,73 @@ def test_s1_paginated_df(spark):
     assert got == {(1, 10.0), (2, 20.0)}
 
 
+def test_s1_http_fetcher_against_live_local_server(spark):
+    # end-to-end over a REAL socket: stdlib http.server serving two pages
+    # linked by meta.nextLink, fetched with the default http_json_fetcher
+    import http.server
+    import json as _json
+    import threading
+
+    from calp_cva_tracking_pipeline_spark.sources.rest import (
+        http_json_fetcher,
+    )
+
+    state = {"fail_first": True}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def do_GET(self):
+            if self.path.startswith("/flaky") and state["fail_first"]:
+                state["fail_first"] = False
+                self.send_response(503)
+                self.end_headers()
+                return
+            if self.path.startswith("/missing"):
+                self.send_response(404)
+                self.end_headers()
+                return
+            port = self.server.server_address[1]
+            if self.path.startswith("/page2"):
+                body = {"data": {"flows": [{"id": 2, "amountUSD": 20.0}]},
+                        "meta": {}}
+            else:
+                body = {"data": {"flows": [{"id": 1, "amountUSD": 10.0}]},
+                        "meta": {"nextLink":
+                                 f"http://127.0.0.1:{port}/page2"}}
+            payload = _json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        fetch = http_json_fetcher(timeout=5, retries=3, sleep=lambda s: None)
+        df = paginated_json_df(
+            spark, f"http://127.0.0.1:{port}/page1", fetch
+        )
+        got = {(r["id"], r["amountUSD"]) for r in df.collect()}
+        assert got == {(1, 10.0), (2, 20.0)}
+        # transient 503 is retried to success
+        assert fetch(f"http://127.0.0.1:{port}/flaky?x=1")["data"]
+        # 4xx raises immediately, no retry
+        import urllib.error
+
+        import pytest as _pytest
+
+        with _pytest.raises(urllib.error.HTTPError):
+            fetch(f"http://127.0.0.1:{port}/missing")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 # --- S9: per-entity distributed fetch ----------------------------------------
 
 
