@@ -254,3 +254,47 @@ def test_ep2_classification_runs_on_a_stream(spark, tmp_path):
     }
     assert got == batch
     assert len(got) == 200
+
+
+def test_stream_parquet_sink_checkpoint_resume(spark, sf_dir, tmp_path):
+    """Durable-sink exactly-once: writeStream to parquet with a checkpoint,
+    stop, land MORE source files, restart with the SAME checkpoint — the
+    second run must process only the new files (no re-emission of batch-0
+    rows, no gaps). This is the production deployment shape; the memory-
+    sink tests above cover semantics, this covers recovery."""
+    src = str(tmp_path / "resume_src")
+    sink = str(tmp_path / "resume_sink")
+    ckpt = str(tmp_path / "resume_ckpt")
+
+    events = _events_subset(spark, sf_dir, n=1000).cache()
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    first.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream.select("event_id", "event_type", "value")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    run_once()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first == first.count()
+
+    second.write.mode("append").parquet(src)
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == events.count()  # no duplicates, no gaps
+    assert out.select("event_id").distinct().count() == events.count()
+    events.unpersist()
