@@ -72,47 +72,56 @@ def classification_metrics(
     """Per-class evaluation of a prediction table → one row per class:
     (label, support, predicted, tp, precision, recall, f1).
 
-    The distributed part is ONE aggregation — ``groupBy(label, pred)``
-    confusion counts, shuffling only (label, pred, n) tuples — after which
-    every metric derives from the tiny num_classes² matrix (re-aggregated
-    and full-outer self-joined broadcast-side; a class never predicted
-    keeps null precision, a class never seen keeps null recall, and f1 is
-    null unless both are defined and their sum positive — ANSI-safe, no
-    division by zero). Covers the metric block of the reference trainer
+    ONE scan, ONE shuffle: every row unpivots to an 'actual' record
+    (class = label, carrying the match flag) and a 'predicted' record
+    (class = pred), and a single ``groupBy(class)`` derives support /
+    predicted / tp with map-side partial aggregation — the exploded rows
+    collapse to at most 2·classes entries per partition before the
+    exchange. (The tempting alternative — a (label, pred) confusion
+    matrix re-aggregated per side and self-joined — references its
+    upstream twice, and Spark plans that as TWO full input scans with no
+    exchange reuse; the same trap minhash_lsh_candidates documents for
+    self-joins.) A class never predicted keeps null precision, a class
+    never seen keeps null recall, and f1 is null unless both are defined
+    and their sum positive — ANSI-safe, no division by zero. Covers the
+    metric block of the reference trainer
     (classifier_code/train_flow_classifier_weighted.py:155-159:
     accuracy/F1/precision/recall) as a cluster job over 100 TB of
     predictions; overall accuracy is the one-liner
     ``sum(tp) / sum(support)`` over this output.
     """
-    cm = df.groupBy(
-        F.col(label_col).alias("__l"), F.col(pred_col).alias("__p")
-    ).agg(F.count("*").alias("__n"))
-    actual = cm.groupBy(F.col("__l").alias("__label")).agg(
-        F.sum("__n").alias("support"),
-        F.sum(F.when(F.col("__p") == F.col("__l"), F.col("__n"))
-              .otherwise(F.lit(0))).alias("tp"),
+    rec = F.explode(
+        F.array(
+            F.struct(
+                F.lit("a").alias("role"),
+                F.col(label_col).alias("class"),
+                (F.col(pred_col) == F.col(label_col)).alias("match"),
+            ),
+            F.struct(
+                F.lit("p").alias("role"),
+                F.col(pred_col).alias("class"),
+                F.lit(False).alias("match"),
+            ),
+        )
     )
-    predicted = cm.groupBy(F.col("__p").alias("__pred")).agg(
-        F.sum("__n").alias("predicted")
-    )
-    joined = actual.join(
-        F.broadcast(predicted),
-        actual["__label"] == predicted["__pred"],
-        "full_outer",
-    ).select(
-        F.coalesce(F.col("__label"), F.col("__pred")).alias("label"),
-        F.coalesce(F.col("support"), F.lit(0)).alias("support"),
-        F.coalesce(F.col("predicted"), F.lit(0)).alias("predicted"),
-        F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+    agg = (
+        df.select(rec.alias("__r"))
+        .select("__r.role", "__r.class", "__r.match")
+        .groupBy(F.col("class").alias("label"))
+        .agg(
+            F.count(F.when(F.col("role") == "a", 1)).alias("support"),
+            F.count(F.when(F.col("role") == "p", 1)).alias("predicted"),
+            F.count(
+                F.when((F.col("role") == "a") & F.col("match"), 1)
+            ).alias("tp"),
+        )
     )
     precision = F.when(
         F.col("predicted") > 0, F.col("tp") / F.col("predicted")
     )
     recall = F.when(F.col("support") > 0, F.col("tp") / F.col("support"))
-    joined = joined.withColumns(
-        {"precision": precision, "recall": recall}
-    )
-    return joined.withColumn(
+    agg = agg.withColumns({"precision": precision, "recall": recall})
+    return agg.withColumn(
         "f1",
         F.when(
             F.col("precision").isNotNull()

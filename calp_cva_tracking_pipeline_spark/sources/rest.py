@@ -51,6 +51,7 @@ def http_json_fetcher(
     import urllib.request
 
     do_sleep = sleep if sleep is not None else _time.sleep
+    retries = max(1, retries)  # retries=0 would raise None below
 
     def fetch(url: str) -> dict:
         last: Exception | None = None
