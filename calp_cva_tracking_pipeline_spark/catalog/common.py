@@ -36,10 +36,15 @@ def invalidate_tables(spark: SparkSession | None = None) -> None:
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table (driver-provided sf_dir).
 
-    events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized parquet
-    reader rejects; it is read with nanosAsLong and converted to a proper
-    timestamp (testdata values are exact microseconds, so the narrowing is
-    lossless).
+    events.parquet has shipped with two physical encodings of ``ts`` across
+    testdata generations: TIMESTAMP(NANOS) (which Spark's vectorized parquet
+    reader rejects — read with nanosAsLong and narrowed to micros, lossless
+    for the exact-microsecond testdata values) and plain TIMESTAMP(MICROS)
+    without a UTC flag (which Spark reads as TIMESTAMP_NTZ). Both are
+    normalized to a session-zoned TIMESTAMP column so every downstream query
+    sees one type; the session timezone is pinned to UTC by
+    normalize_session, so the NTZ→TIMESTAMP cast preserves wall-clock values
+    and matches DuckDB's naive read of the same file.
     """
     normalize_session(spark)
     cache = _TABLES.setdefault(spark, {})
@@ -51,10 +56,18 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        df = raw.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts AS BIGINT) div 1000)")
-        )
+        ts_type = raw.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # nanosAsLong kicked in: physical TIMESTAMP(NANOS) read as int64
+            df = raw.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts AS BIGINT) div 1000)")
+            )
+        elif isinstance(ts_type, TimestampNTZType):
+            df = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        else:
+            df = raw
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     cache[key] = df

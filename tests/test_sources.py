@@ -534,3 +534,46 @@ def test_write_partitioned_sorted_rowgroups(spark, tmp_path):
     # min/max stats let a selective id filter skip row groups; at minimum
     # the filter is pushed and results are right
     assert back.filter(F.col("id") == 999).count() == 1
+
+
+def test_events_ts_encodings_normalize(spark, tmp_path):
+    """T() must yield a session-zoned TIMESTAMP ts for every physical
+    encoding the driver's events.parquet has shipped with: TIMESTAMP(NANOS)
+    (read as int64 via nanosAsLong), TIMESTAMP(MICROS) without the UTC flag
+    (Spark: TIMESTAMP_NTZ — the round-4 testdata regeneration that broke 3
+    queries + the whole bench), and UTC-flagged TIMESTAMP(MICROS)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+
+    wall = [
+        datetime.datetime(2024, 1, 1, 12, 0, 0),
+        datetime.datetime(2024, 6, 30, 23, 59, 59, 500000),
+    ]
+    encodings = {
+        "nanos": pa.timestamp("ns"),
+        "micros_ntz": pa.timestamp("us"),
+        "micros_utc": pa.timestamp("us", tz="UTC"),
+    }
+    expect = [v.replace(tzinfo=None) for v in wall]
+    for label, typ in encodings.items():
+        d = tmp_path / label
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(wall, pa.timestamp("us")).cast(typ),
+            }
+        )
+        pq.write_table(tbl, d / "events.parquet")
+        df = T(spark, str(d), "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType), label
+        got = sorted(
+            r["ts"].replace(tzinfo=None)
+            for r in df.select("ts").collect()
+        )
+        assert got == expect, label
