@@ -1,0 +1,221 @@
+"""Temporal join operators: as-of join and interval (range) join.
+
+Neither exists in the reference (its joins are all equi/fuzzy — SURVEY.md
+§2.4); they are engine additions for the time-series side of a large-scale
+pipeline (attach the prevailing FX rate / model version / config epoch to
+each event; tag events with the maintenance window containing them).
+
+Scale design:
+
+- ``asof_join`` never builds a join node at all: both sides are unioned,
+  hash-shuffled ONCE on the join keys, and resolved with a single
+  ``last(..., ignorenulls=True)`` running window — the classic
+  union-and-carry-forward formulation. Cost at 100 TB is one shuffle of
+  (left + right) keyed rows plus a per-key sort; there is no row
+  amplification, no range condition for the optimizer to mis-plan as a
+  nested loop, and skew behaves exactly like any keyed window (salt the
+  key upstream if one entity dominates).
+
+- ``interval_join`` has two physical strategies behind one semantic: a
+  broadcast range join when the interval side is dimension-sized (the
+  common case — calendars, maintenance windows, rate validity periods),
+  and a bucketized equi-join for two big sides: intervals are exploded to
+  the coarse time buckets they overlap, point rows map to exactly ONE
+  bucket, so the equi-join on (keys, bucket) plus a residual range filter
+  returns each true match exactly once — no post-join dedup, no
+  cross-product. Bucket width trades replication of the interval side
+  (len/width copies) against join selectivity; point rows are never
+  replicated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_ASOF = "__asof_payload"
+_SIDE = "__asof_side"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_time: str,
+    right_time: str | None = None,
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """For each left row, attach the nearest right row per key: the latest
+    with ``right_time <= left_time`` (backward, the default) or the
+    earliest with ``right_time >= left_time`` (forward). Left rows with no
+    admissible right row keep nulls (left-outer semantics, row count
+    preserved). Equal timestamps match in both directions.
+
+    ``tolerance`` (a Column literal, e.g. ``F.expr("INTERVAL 1 HOUR")`` or
+    a numeric for numeric time axes) voids matches farther than that from
+    the left timestamp. The matched timestamp is returned as
+    ``<right_time>_matched`` alongside the right payload columns.
+
+    Ordering ties on the right side (duplicate (keys, right_time) rows)
+    are resolved deterministically by taking the lexicographically
+    greatest payload struct — same result on every run and partitioning.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    right_time = right_time or left_time
+    payload = right_cols or [
+        c for c in right.columns if c not in keys and c != right_time
+    ]
+    missing = [c for c in payload if c in left.columns]
+    if missing:
+        raise ValueError(
+            f"right payload columns collide with left: {missing}"
+        )
+    matched_time = f"{right_time}_matched"
+
+    # One struct column carries the whole right row; last(ignorenulls)
+    # then skips LEFT rows (struct null) but carries right rows whose
+    # individual payload fields are null — per-field last() would wrongly
+    # reach past a null field to an older row.
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_time).alias("__t"),
+        F.struct(
+            F.col(right_time).alias(matched_time),
+            *[F.col(c) for c in payload],
+        ).alias(_ASOF),
+    )
+    # Duplicate (keys, time) right rows: keep one deterministic winner
+    # up front — cheaper than widening the window frame, and makes the
+    # result independent of input partitioning.
+    r = r.groupBy(*keys, "__t").agg(F.max(_ASOF).alias(_ASOF))
+    l = left.withColumn("__t", F.col(left_time)).withColumn(
+        _ASOF, F.lit(None).cast(r.schema[_ASOF].dataType)
+    )
+    # At equal timestamps the right row must resolve BEFORE the left row
+    # reading it, in window order: side 0 = right, 1 = left.
+    lhs = l.select(
+        *[F.col(c) for c in left.columns],
+        F.col("__t"),
+        F.lit(1).alias(_SIDE),
+        F.col(_ASOF),
+    )
+    rhs = r.select(
+        *[
+            F.col(k) if k in keys else F.lit(None).alias(k)
+            for k in left.columns
+        ],
+        F.col("__t"),
+        F.lit(0).alias(_SIDE),
+        F.col(_ASOF),
+    )
+    asc = direction == "backward"
+    order = [
+        F.col("__t").asc() if asc else F.col("__t").desc(),
+        F.col(_SIDE).asc(),
+    ]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        lhs.unionByName(rhs)
+        .withColumn(_ASOF, F.last(_ASOF, ignorenulls=True).over(w))
+        .filter(F.col(_SIDE) == 1)
+    )
+    if tolerance is not None:
+        gap = (
+            F.col("__t") - F.col(f"{_ASOF}.{matched_time}")
+            if asc
+            else F.col(f"{_ASOF}.{matched_time}") - F.col("__t")
+        )
+        out = out.withColumn(
+            _ASOF, F.when(gap <= tolerance, F.col(_ASOF))
+        )
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        F.col(f"{_ASOF}.{matched_time}").alias(matched_time),
+        *[F.col(f"{_ASOF}.{c}").alias(c) for c in payload],
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_time: str,
+    start: str,
+    end: str,
+    keys: list[str] | None = None,
+    how: str = "inner",
+    bucket_width: Column | None = None,
+) -> DataFrame:
+    """Join point rows to every interval containing them:
+    ``start <= point_time < end`` (half-open, so adjacent intervals never
+    double-match a boundary point), optionally also equi-matched on
+    ``keys``. ``how`` is ``inner`` or ``left`` (points with no interval).
+
+    Default physical plan broadcasts the interval side — correct whenever
+    intervals are dimension-shaped. For two large sides pass
+    ``bucket_width`` (same units as the time axis: seconds for
+    timestamps): intervals are exploded to each coarse bucket they
+    overlap, points map to exactly one bucket, and the join becomes a
+    shuffled equi-join on (keys, bucket) with the range predicate as a
+    residual filter — each true match appears exactly once because only
+    the interval copy in the point's own bucket can pass the residual.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left: {how}")
+    keys = keys or []
+    dup = [
+        c
+        for c in intervals.columns
+        if c in points.columns and c not in keys
+    ]
+    if dup:
+        raise ValueError(
+            f"interval columns collide with point columns: {dup}"
+        )
+    cond = (F.col(start) <= F.col(point_time)) & (
+        F.col(point_time) < F.col(end)
+    )
+    for k in keys:
+        cond &= points[k].eqNullSafe(intervals[k])
+
+    if bucket_width is None:
+        joined = points.join(F.broadcast(intervals), cond, how)
+        for k in keys:
+            joined = joined.drop(intervals[k])
+        return joined
+
+    time_types = ("timestamp", "timestamp_ntz")
+
+    def to_bucket(df: DataFrame, col: str) -> Column:
+        # unix_micros is exact for timestamp axes; numeric axes divide
+        # directly
+        c = F.col(col)
+        if df.schema[col].dataType.typeName() in time_types:
+            c = F.unix_micros(c) / F.lit(1_000_000.0)
+        return F.floor(c / bucket_width)
+
+    p = points.withColumn("__bucket", to_bucket(points, point_time))
+    i = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                to_bucket(intervals, start),
+                # end is exclusive, but a point in end's bucket can still
+                # precede it — replicate over the full closed bucket range
+                to_bucket(intervals, end),
+            )
+        ),
+    )
+    on = (p["__bucket"] == i["__bucket"]) & cond
+    for k in keys:
+        on &= p[k].eqNullSafe(i[k])
+    joined = p.join(i, on, how).drop(p["__bucket"]).drop(i["__bucket"])
+    for k in keys:
+        joined = joined.drop(i[k])
+    return joined
