@@ -1,0 +1,106 @@
+"""Sequence packing: assign documents to fixed token-budget packs for
+LLM training-example assembly.
+
+Training pipelines concatenate documents up to a context-length budget;
+the engine-side half of that is the ASSIGNMENT (which docs share a pack),
+which must be distributed, deterministic, and high-occupancy. The actual
+byte concatenation happens at dataloader time from the assignment.
+
+Scale shape: docs are hashed to ``num_shards`` independent shards, and
+each shard is packed locally with first-fit-decreasing inside ONE
+``applyInPandas`` group — the only shuffle is the shard hash partition
+(narrow (id, n_tokens) rows, never text), state per group is the open-bin
+residual list, and pack ids are globally unique by construction
+(``shard * 2^32 + local``). Determinism: the shard hash is a fixed
+function of the id and FFD's order is (tokens desc, id asc), so the same
+input yields the same packs under any input partitioning — required for
+resumable training-data builds."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from calp_cva_tracking_pipeline_spark.functions.hashing import stable_hash64
+from calp_cva_tracking_pipeline_spark.functions.text import bpe_token_count
+
+_OUT_SCHEMA = (
+    "id bigint, n_tokens bigint, shard int, pack_id bigint, "
+    "pack_tokens bigint, oversized boolean"
+)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    budget: int,
+    token_col: str | None = None,
+    text_col: str = "text",
+    num_shards: int = 64,
+) -> DataFrame:
+    """(id, n_tokens, shard, pack_id, pack_tokens, oversized): one row per
+    input doc, grouped into packs whose token totals are ≤ ``budget``.
+
+    Token counts come from ``token_col`` if given, else the BPE pre-token
+    proxy over ``text_col``. Docs with n_tokens > budget are each their
+    own single-doc pack, flagged ``oversized=True`` (the dataloader
+    truncates them); empty docs (0 tokens) still receive a pack so no
+    row is ever dropped. ``pack_tokens`` repeats the pack's total on
+    every member row so occupancy is auditable without a self-join.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    tokens: Column = (
+        F.col(token_col)
+        if token_col
+        else bpe_token_count(F.col(text_col))
+    )
+    narrow = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        tokens.cast("bigint").alias("n_tokens"),
+        F.pmod(
+            stable_hash64(F.col(id_col).cast("string")), F.lit(num_shards)
+        )
+        .cast("int")
+        .alias("shard"),
+    )
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        # first-fit-decreasing: sort tokens desc (id asc tie-break), drop
+        # each doc into the first open bin with room; ≤ (1.22·OPT + 1)
+        # bins and deterministic under any arrival order
+        pdf = pdf.sort_values(
+            ["n_tokens", "id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+        base = shard << 32
+        bins: list[int] = []  # residual capacity per open bin
+        assign = []
+        oversized = []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if t > budget:
+                bins.append(-1)  # closed: oversized singleton
+                assign.append(len(bins) - 1)
+                oversized.append(True)
+                continue
+            for b in range(len(bins)):
+                if bins[b] >= t:
+                    bins[b] -= t
+                    assign.append(b)
+                    break
+            else:
+                bins.append(budget - t)
+                assign.append(len(bins) - 1)
+            oversized.append(False)
+        pdf["pack_id"] = [base + a for a in assign]
+        pdf["oversized"] = oversized
+        totals = pdf.groupby("pack_id")["n_tokens"].transform("sum")
+        pdf["pack_tokens"] = totals
+        return pdf[
+            ["id", "n_tokens", "shard", "pack_id", "pack_tokens",
+             "oversized"]
+        ]
+
+    return narrow.groupBy("shard").applyInPandas(pack_shard, _OUT_SCHEMA)
