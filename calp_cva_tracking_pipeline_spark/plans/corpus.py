@@ -98,13 +98,20 @@ def curate_corpus(
     languages: list[str] | None = None,
     min_tokens: int = 5,
     jaccard_threshold: float = 0.8,
+    benchmark: DataFrame | None = None,
+    bench_text_col: str | None = None,
+    decontam_ngram: int = 13,
 ) -> DataFrame:
     """documents → curated training corpus.
 
     quality/language/length gates (scan-speed projections, evaluated
     BEFORE any dedup so the expensive stages see only keepable docs) →
     exact dedup (min-id survivor) → near-dup removal (LSH candidates,
-    exact-Jaccard verified, lower-id survives). Returns the surviving rows
+    exact-Jaccard verified, lower-id survives) → optional benchmark
+    decontamination (pass ``benchmark`` to drop docs sharing any
+    ``decontam_ngram``-gram with the eval set — operators.decontam; last
+    because it must see the FINAL surviving text, and its train-side scan
+    is cheapest on the already-shrunk corpus). Returns the surviving rows
     with the text-feature columns attached, plus ``n_bpe_tokens`` (the
     GPT-2-style pre-token count — the budget column training loaders
     sum when packing sequences; whitespace ``n_tokens`` undercounts
@@ -127,9 +134,21 @@ def curate_corpus(
     drops = near_dup_drop_set(
         exact, id_col, text_col, jaccard_threshold=jaccard_threshold
     )
-    return exact.join(
-        F.broadcast(drops), [id_col], "left_anti"
-    )
+    out = exact.join(F.broadcast(drops), [id_col], "left_anti")
+    if benchmark is not None:
+        from calp_cva_tracking_pipeline_spark.operators.decontam import (
+            decontaminate,
+        )
+
+        out = decontaminate(
+            out,
+            benchmark,
+            id_col,
+            text_col,
+            bench_text_col=bench_text_col,
+            n=decontam_ngram,
+        )
+    return out
 
 
 def write_training_shards(

@@ -121,3 +121,30 @@ def test_write_training_shards_balanced(spark, tmp_path):
     ]
     # hash-partitioned on a dense id key: no shard more than 2x the mean
     assert max(sizes) <= 2 * (1000 / 8)
+
+
+def test_curate_corpus_decontaminates_against_benchmark(spark):
+    span = "one two three four five six seven eight nine ten eleven"
+    docs = _docs(
+        spark,
+        [
+            (1, f"keepable document with plenty of clean words {span}"),
+            (2, "another keepable document with enough distinct words"),
+        ],
+    )
+    bench = spark.createDataFrame([(span,)], "text string")
+    out = curate_corpus(
+        docs,
+        min_quality=0.0,
+        jaccard_threshold=0.99,
+        benchmark=bench,
+        decontam_ngram=11,
+    )
+    assert [r["doc_id"] for r in out.collect()] == [2]
+    # no benchmark → both survive (decontam stage absent, not just inert)
+    assert (
+        curate_corpus(
+            docs, min_quality=0.0, jaccard_threshold=0.99
+        ).count()
+        == 2
+    )
