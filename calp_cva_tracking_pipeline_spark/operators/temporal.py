@@ -64,6 +64,14 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
+    if not keys:
+        # an unkeyed window is one partition holding the full union — a
+        # scale-killer this operator refuses to plan silently
+        raise ValueError(
+            "asof_join requires join keys; for a global (keyless) as-of "
+            "against a dimension-sized right side use "
+            "asof_join_broadcast"
+        )
     right_time = right_time or left_time
     payload = right_cols or [
         c for c in right.columns if c not in keys and c != right_time
@@ -139,6 +147,72 @@ def asof_join(
         *[F.col(c) for c in left.columns],
         F.col(f"{_ASOF}.{matched_time}").alias(matched_time),
         *[F.col(f"{_ASOF}.{c}").alias(c) for c in payload],
+    )
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_time: str | None = None,
+    direction: str = "backward",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyless (global) as-of join for a dimension-sized right side —
+    config epochs, model-version timelines, rate tables.
+
+    The whole right side is collapsed to ONE sorted array of payload
+    structs and broadcast; each left row resolves its match with an array
+    filter + endpoint pick, so the left side is never shuffled and adds no
+    window state. Per-row cost is O(|right|) — use the keyed
+    ``asof_join`` when the right side is fact-sized.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    right_time = right_time or left_time
+    payload = right_cols or [
+        c for c in right.columns if c != right_time
+    ]
+    collide = [c for c in payload if c in left.columns]
+    if collide:
+        raise ValueError(
+            f"right payload columns collide with left: {collide}"
+        )
+    matched_time = f"{right_time}_matched"
+    arr = right.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(right_time).alias(matched_time),
+                    *[F.col(c) for c in payload],
+                )
+            )
+        ).alias("__asof_arr")
+    )
+    t = F.col(left_time)
+    if direction == "backward":
+        # sorted ascending by time (leading struct field) → last <= t
+        pick = F.element_at(
+            F.filter(
+                F.col("__asof_arr"), lambda e: e[matched_time] <= t
+            ),
+            -1,
+        )
+    else:
+        pick = F.element_at(
+            F.filter(
+                F.col("__asof_arr"), lambda e: e[matched_time] >= t
+            ),
+            1,
+        )
+    return (
+        left.join(F.broadcast(arr))
+        .withColumn("__asof_pick", pick)
+        .select(
+            *[F.col(c) for c in left.columns],
+            F.col(f"__asof_pick.{matched_time}").alias(matched_time),
+            *[F.col(f"__asof_pick.{c}").alias(c) for c in payload],
+        )
     )
 
 

@@ -151,6 +151,29 @@ def curate_corpus(
     return out
 
 
+def shuffle_corpus(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Deterministic global shuffle for training order.
+
+    Orders by a seeded hash of the id — the standard trick for a
+    reproducible full-corpus shuffle without materializing random keys:
+    same (corpus, seed) → same order on any cluster/partitioning, and a
+    different seed reshuffles for the next epoch. Global orderBy plans a
+    range exchange + sort; at 100 TB this is the one unavoidable
+    total-order shuffle and it replaces the dataloader-side shuffle
+    buffer (which can't span shards).
+    """
+    from calp_cva_tracking_pipeline_spark.functions.hashing import (
+        stable_hash64,
+    )
+
+    key = stable_hash64(
+        F.concat(F.lit(f"shuffle:{seed}:"), F.col(id_col).cast("string"))
+    )
+    return df.orderBy(key, F.col(id_col))
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -148,3 +148,22 @@ def test_curate_corpus_decontaminates_against_benchmark(spark):
         ).count()
         == 2
     )
+
+
+def test_shuffle_corpus_deterministic_and_seed_sensitive(spark):
+    from calp_cva_tracking_pipeline_spark.plans.corpus import shuffle_corpus
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), F.col("id")).alias("text"),
+    )
+    a1 = [r["doc_id"] for r in shuffle_corpus(df, seed=1).collect()]
+    a2 = [
+        r["doc_id"]
+        for r in shuffle_corpus(df.repartition(7), seed=1).collect()
+    ]
+    b = [r["doc_id"] for r in shuffle_corpus(df, seed=2).collect()]
+    assert a1 == a2  # partitioning-independent
+    assert a1 != b  # seed reshuffles
+    assert sorted(a1) == list(range(500))  # a permutation, nothing lost
+    assert a1 != list(range(500))  # actually shuffled

@@ -222,3 +222,55 @@ def test_interval_join_bucketized_equals_broadcast(spark, sf_dir):
     a = _canon([tuple(r) for r in base.collect()])
     b = _canon([tuple(r) for r in bucketed.collect()])
     assert a == b and len(a) >= points.count()
+
+
+def test_asof_join_rejects_empty_keys(spark):
+    df = spark.createDataFrame([(1, 1)], "k int, t int")
+    with pytest.raises(ValueError, match="asof_join_broadcast"):
+        asof_join(df, df.select("t"), keys=[], left_time="t")
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_broadcast_matches_duckdb_global(spark, sf_dir, direction):
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        asof_join_broadcast,
+    )
+
+    e = T(spark, sf_dir, "events")
+    left = e.select("event_id", "ts").filter(F.col("event_id") < 500)
+    # a global epoch timeline: 7 cut points spread over the data range
+    epochs = (
+        e.filter(F.col("event_id") % 997 == 0)
+        .select(
+            F.col("ts").alias("epoch_ts"),
+            F.col("event_id").alias("epoch_id"),
+        )
+    )
+    got = asof_join_broadcast(
+        left, epochs, left_time="ts", right_time="epoch_ts",
+        direction=direction,
+    )
+    op = ">=" if direction == "backward" else "<="
+    con = _duck_con(sf_dir)
+    want = con.execute(
+        f"""
+        WITH lft AS (SELECT event_id, ts FROM events
+                     WHERE event_id < 500),
+             ep AS (SELECT ts AS epoch_ts, event_id AS epoch_id
+                    FROM events WHERE event_id % 997 = 0)
+        SELECT l.event_id, l.ts, ep.epoch_ts AS epoch_ts_matched,
+               ep.epoch_id
+        FROM lft l ASOF LEFT JOIN ep ON l.ts {op} ep.epoch_ts
+        """
+    ).fetchall()
+    srows = [
+        (
+            r["event_id"],
+            r["ts"],
+            r["epoch_ts_matched"]
+            and r["epoch_ts_matched"].replace(tzinfo=None),
+            r["epoch_id"],
+        )
+        for r in got.collect()
+    ]
+    assert _canon(srows) == _canon([tuple(r) for r in want])
