@@ -130,7 +130,8 @@ def test_ivf_probe_join_broadcasts_corpus_never_shuffled(spark, sf_dir):
 
 
 def test_catalog_wide_no_cartesian_no_row_python(spark, sf_dir):
-    """Global invariant over ALL 50 catalog queries: no CartesianProduct
+    """Global invariant over EVERY catalog query (the 50 driver-gate
+    entries plus the appended extras): no CartesianProduct
     operator anywhere (BroadcastNestedLoopJoin over tiny broadcast name
     lists is the sanctioned shape for the matcher queries) and no
     row-at-a-time BatchEvalPython — any Python in a plan must be the
