@@ -671,6 +671,40 @@ GROUP BY id ORDER BY doc_id
 """
 
 
+def rt_rollup_hierarchy(spark, sf_dir):
+    """Hypertable-style continuous-aggregate cascade: the DAILY grain
+    computed 1min → 1h → 1d (operators.rollup — facts scanned once, each
+    coarser grain re-aggregates the finer one). The oracle aggregates the
+    raw events DIRECTLY at the daily grain, so a hash match proves the
+    cascade is bit-identical to single-shot aggregation — the property
+    that makes serving any grain from the rollup store safe."""
+    from calp_cva_tracking_pipeline_spark.operators.rollup import (
+        rollup_time_hierarchy,
+    )
+
+    e = T(spark, sf_dir, "events")
+    daily = rollup_time_hierarchy(
+        e, grains=("1 minute", "1 hour", "1 day")
+    )["1 day"]
+    return daily.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "total_value",
+        "min_value",
+        "max_value",
+    )
+
+
+RT_ROLLUP_SQL = f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type, COUNT(*) AS n_events,
+       {SQL_MONEY_SUM('value')} AS total_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def pk_sequences(spark, sf_dir):
     """Token-budget sequence packing over documents (FFD within hashed
     shards — operators.packing). The assignment is an algorithm, not a
@@ -700,5 +734,6 @@ SCALE_QUERIES = {
     "tj_asof_join": (tj_asof_join, TJ_ASOF_SQL),
     "tj_interval_join": (tj_interval_join, TJ_INTERVAL_SQL),
     "dd_decontam": (dd_decontam, DD_DECONTAM_SQL),
+    "rt_rollup_hierarchy": (rt_rollup_hierarchy, RT_ROLLUP_SQL),
     "pk_sequences": (pk_sequences, None),
 }

@@ -1,0 +1,117 @@
+"""Multi-resolution time rollups (hypertable-style continuous aggregates).
+
+A metrics store keeps the same series at several grains (1m → 1h → 1d);
+recomputing each grain from raw events rescans the fact table once per
+grain. This operator computes ONLY the finest grain from the facts and
+derives every coarser grain from the previous one — legal because the
+kept aggregates (count, decimal-exact sum, min, max) are all
+re-aggregable, and the decimal money discipline makes the cascade
+bit-identical to a direct aggregation at any grain (each raw value is
+rounded to cents exactly once, at the finest grain; coarser sums
+accumulate exact cent multiples). The catalog oracle pins exactly that
+equivalence: a 1m→1h→1d cascade against DuckDB's direct daily rollup.
+
+Scale shape: one shuffle per grain, but each level's input is the
+previous level's OUTPUT — at 100 TB of events the 1-minute grain is the
+only scan of the facts; the 1-hour level aggregates minutes×keys rows
+(~10⁻³ of the facts), the daily level hours×keys. In a streaming
+deployment the finest grain is the `windowed_agg` watermarked sink and
+the coarser grains run as periodic batch re-aggregations of that sink —
+the classic continuous-aggregate split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from calp_cva_tracking_pipeline_spark.functions.numeric import money_sum
+
+_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def _grain_seconds(grain: str) -> int:
+    parts = grain.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"grain must look like '5 minutes': {grain!r}")
+    n, unit = parts
+    unit = unit.rstrip("s")
+    if unit not in _UNIT_SECONDS or not n.isdigit() or int(n) <= 0:
+        raise ValueError(f"unsupported grain: {grain!r}")
+    return int(n) * _UNIT_SECONDS[unit]
+
+
+def rollup_time_hierarchy(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grains: tuple[str, ...] = ("1 minute", "1 hour", "1 day"),
+    keys: tuple[str, ...] = ("event_type",),
+) -> dict[str, DataFrame]:
+    """{grain: aggregate DataFrame} — each coarser grain derived from the
+    finer one. Every level exposes (window_start, *keys, n_events,
+    total_value, min_value, max_value). Grains must be strictly
+    ascending and each must divide the next (tumbling windows nest only
+    then — a 1-day window is exactly 24 1-hour windows).
+    """
+    secs = [_grain_seconds(g) for g in grains]
+    for a, b in zip(secs, secs[1:]):
+        if b <= a or b % a != 0:
+            raise ValueError(
+                f"grains must ascend and nest (each divides the next): "
+                f"{grains}"
+            )
+    out: dict[str, DataFrame] = {}
+    finest = (
+        events.groupBy(
+            F.window(F.col(ts_col), grains[0]).alias("__w"),
+            *[F.col(k) for k in keys],
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(value_col).alias("total_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            F.col("__w.start").alias("window_start"),
+            *keys,
+            "n_events",
+            "total_value",
+            "min_value",
+            "max_value",
+        )
+    )
+    out[grains[0]] = finest
+    prev = finest
+    for grain in grains[1:]:
+        prev = (
+            prev.groupBy(
+                F.window(F.col("window_start"), grain).alias("__w"),
+                *[F.col(k) for k in keys],
+            )
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                # exact: inputs are exact cent multiples from the level
+                # below, so decimal re-accumulation loses nothing
+                money_sum(F.col("total_value")).alias("total_value"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+            .select(
+                F.col("__w.start").alias("window_start"),
+                *keys,
+                "n_events",
+                "total_value",
+                "min_value",
+                "max_value",
+            )
+        )
+        out[grain] = prev
+    return out

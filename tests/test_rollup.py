@@ -1,0 +1,67 @@
+"""Multi-resolution rollup: cascade ≡ direct aggregation at every grain."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from calp_cva_tracking_pipeline_spark.catalog.common import T
+from calp_cva_tracking_pipeline_spark.functions.numeric import money_sum
+from calp_cva_tracking_pipeline_spark.operators.rollup import (
+    rollup_time_hierarchy,
+)
+
+
+def _direct(events, grain):
+    return (
+        events.groupBy(
+            F.window("ts", grain).alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum("value").alias("total_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("grain", ["1 hour", "1 day"])
+def test_cascade_equals_direct(spark, sf_dir, grain):
+    e = T(spark, sf_dir, "events")
+    cascade = rollup_time_hierarchy(
+        e, grains=("1 minute", "1 hour", "1 day")
+    )[grain]
+    assert _rows(cascade) == _rows(_direct(e, grain))
+
+
+def test_finest_grain_is_the_only_fact_scan(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    daily = rollup_time_hierarchy(
+        e, grains=("1 minute", "1 hour", "1 day")
+    )["1 day"]
+    plan = daily._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1  # facts scanned once
+    assert plan.count("Exchange hashpartitioning") == 3  # one per grain
+
+
+def test_non_nesting_grains_rejected(spark):
+    df = None  # validation happens before any plan is built
+    with pytest.raises(ValueError, match="nest"):
+        rollup_time_hierarchy(df, grains=("1 minute", "90 seconds"))
+    with pytest.raises(ValueError, match="nest"):
+        rollup_time_hierarchy(df, grains=("1 hour", "90 minutes"))
+    with pytest.raises(ValueError, match="grain"):
+        rollup_time_hierarchy(df, grains=("fortnight",))
