@@ -20,11 +20,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from calp_cva_tracking_pipeline_spark.functions.hashing import stable_hash64
-from calp_cva_tracking_pipeline_spark.operators.dedup import shingles
+from calp_cva_tracking_pipeline_spark.operators.dedup import (
+    shingles_from_tokens,
+    word_tokens,
+)
 from calp_cva_tracking_pipeline_spark.operators.partitioning import (
     spread_small_input,
 )
+
+# xxhash64, not the md5-derived stable_hash64: the gram hash is join-
+# internal (both sides hash the same strings in the same session), so it
+# needs no cross-engine reproducibility — and the oracle SQL joins the
+# gram STRINGS directly. xxhash64 is a JVM codegen intrinsic; md5 +
+# substring + conv over ~200 grams/doc was the dominant decontam cost
+# (measured 2.1s → 0.9s at sf0.1 for the catalog query).
+_gram_hash = F.xxhash64
 
 
 def benchmark_ngram_hashes(
@@ -34,11 +44,18 @@ def benchmark_ngram_hashes(
     (single column ``__bench_h``). Texts shorter than ``n`` words
     contribute their whole token sequence as one gram — matching the
     training side's behavior, so short eval items still decontaminate."""
+    # spread-guard the scan (benchmark files are small — often one parquet
+    # row group = ONE partition) and materialize the token array in its
+    # own projection so the shingle lambda does not re-split per index
     return (
-        benchmark.select(
-            F.explode(shingles(F.col(text_col), n)).alias("__g")
+        spread_small_input(benchmark)
+        .select(word_tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.explode(shingles_from_tokens(F.col("__toks"), n)).alias(
+                "__g"
+            )
         )
-        .select(stable_hash64(F.col("__g")).alias("__bench_h"))
+        .select(_gram_hash(F.col("__g")).alias("__bench_h"))
         .distinct()
     )
 
@@ -59,18 +76,26 @@ def contamination_hits(
     )
     if broadcast_benchmark:
         bench = F.broadcast(bench)
-    grams = spread_small_input(train).select(
-        F.col(id_col),
-        # non-distinct explode + countDistinct after the semi join:
-        # array_distinct over a long doc's gram array is O(n²) in Spark's
-        # interpreted higher-order-function path (measured in
-        # operators.dedup.shingles), while countDistinct is a codegen
-        # hash aggregate over the few rows that SURVIVE the semi join
-        F.explode(shingles(F.col(text_col), n)).alias("__g"),
+    # non-distinct explode + countDistinct after the semi join:
+    # array_distinct over a long doc's gram array is O(n²) in Spark's
+    # interpreted higher-order-function path (measured in
+    # operators.dedup.shingles), while countDistinct is a codegen
+    # hash aggregate over the few rows that SURVIVE the semi join
+    grams = (
+        spread_small_input(train)
+        .select(
+            F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+        )
+        .select(
+            id_col,
+            F.explode(shingles_from_tokens(F.col("__toks"), n)).alias(
+                "__g"
+            ),
+        )
     )
     return (
         grams.select(
-            id_col, stable_hash64(F.col("__g")).alias("__h")
+            id_col, _gram_hash(F.col("__g")).alias("__h")
         )
         .join(bench, F.col("__h") == F.col("__bench_h"), "left_semi")
         .groupBy(id_col)

