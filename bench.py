@@ -60,6 +60,12 @@ HEADLINE = [
     "ann_ivf_search",
     "tx_features",
     "st_sessionize",
+    # round 5 additions (suite totals are not comparable to r4 without
+    # subtracting these): temporal as-of join, benchmark decontamination,
+    # continuous-aggregate rollup cascade
+    "tj_asof_join",
+    "dd_decontam",
+    "rt_rollup_hierarchy",
 ]
 
 
