@@ -645,9 +645,12 @@ def dd_decontam(spark, sf_dir):
     bench = d.filter(F.col("doc_id") % 3 == 0).select(
         F.col("text").alias("bench_text")
     )
+    # no orderBy: both the driver compare and the parity suite are
+    # order-insensitive, and a total sort of the hit set is one more
+    # range exchange of pure scheduling floor
     return contamination_hits(
         train, bench, "doc_id", "text", bench_text_col="bench_text", n=5
-    ).orderBy("doc_id")
+    )
 
 
 _DECONTAM_GRAMS = """
@@ -667,7 +670,7 @@ SELECT id AS doc_id,
 FROM ({_DECONTAM_GRAMS.format(id_expr="doc_id", cmp="<>")})
 WHERE g IN (SELECT g FROM ({_DECONTAM_GRAMS.format(id_expr="doc_id",
                                                    cmp="=")}))
-GROUP BY id ORDER BY doc_id
+GROUP BY id
 """
 
 

@@ -170,3 +170,25 @@ def test_pack_sequences_explicit_token_col(spark):
         for ids in packs.values()
     )
     assert sizes == [90, 150, 200, 500]
+
+
+def test_decontam_shuffled_join_matches_broadcast(spark, sf_dir):
+    """broadcast_benchmark=False (the too-big-to-broadcast fallback) must
+    produce the identical hit set via the shuffled semi join."""
+    from calp_cva_tracking_pipeline_spark.catalog.common import T as _T
+
+    docs = _T(spark, sf_dir, "documents").limit(300)
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    bench = docs.filter(F.col("doc_id") % 3 == 0)
+    kw = dict(id_col="doc_id", text_col="text", n=5)
+    a = sorted(
+        tuple(r)
+        for r in contamination_hits(train, bench, **kw).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in contamination_hits(
+            train, bench, broadcast_benchmark=False, **kw
+        ).collect()
+    )
+    assert a == b and len(a) > 0

@@ -274,3 +274,19 @@ def test_asof_broadcast_matches_duckdb_global(spark, sf_dir, direction):
         for r in got.collect()
     ]
     assert _canon(srows) == _canon([tuple(r) for r in want])
+
+
+def test_interval_join_left_keyless_keeps_unmatched_points(spark):
+    points = spark.createDataFrame(
+        [(1, 5), (2, 15), (3, 50)], "pid int, t int"
+    )
+    windows = spark.createDataFrame(
+        [("w1", 0, 10), ("w2", 10, 20)], "win string, s int, e int"
+    )
+    rows = {
+        (r["pid"], r["win"])
+        for r in interval_join(
+            points, windows, point_time="t", start="s", end="e", how="left"
+        ).collect()
+    }
+    assert rows == {(1, "w1"), (2, "w2"), (3, None)}
