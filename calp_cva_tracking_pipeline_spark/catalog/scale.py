@@ -674,6 +674,99 @@ GROUP BY id
 """
 
 
+def tx_pii_redact(spark, sf_dir):
+    """PII scrub pass: deterministic synthetic PII (email / IPv4 / phone
+    built from doc_id) is appended to each document, then
+    operators.textops.pii_redact replaces it with typed placeholders.
+    Returning the placeholder counts + redacted length proves the same
+    spans were caught on both engines (chained regexp_replace
+    intrinsics — scan speed, no UDF)."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        pii_redact,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" call +1 (555) 123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = pii_redact(injected)
+    return d.select(
+        "doc_id",
+        F.regexp_count(red, F.lit("<EMAIL>")).alias("n_email"),
+        F.regexp_count(red, F.lit("<IP>")).alias("n_ip"),
+        F.regexp_count(red, F.lit("<PHONE>")).alias("n_phone"),
+        F.length(red).alias("redacted_len"),
+    )
+
+
+# the same lookaround-free patterns run under DuckDB's RE2; 'g' makes
+# regexp_replace global like Spark's
+TX_PII_SQL = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@example.com from 10.0.0.' || (doc_id % 256) ||
+         ' call +1 (555) 123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         AS t
+  FROM documents),
+red AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}',
+           '<PHONE>', 'g') AS t
+  FROM injected)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '<EMAIL>')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(t, '<IP>')) AS INT) AS n_ip,
+       CAST(len(regexp_extract_all(t, '<PHONE>')) AS INT) AS n_phone,
+       CAST(length(t) AS INT) AS redacted_len
+FROM red
+"""
+
+
+def tx_repetition(spark, sf_dir):
+    """Gopher-style repetition signals: fraction of duplicate lines and
+    duplicate word tokens per document (operators.textops
+    .repetition_stats — pure array intrinsics)."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        repetition_stats,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    dup_lines, dup_words = repetition_stats(F.col("text"))
+    return d.select(
+        "doc_id",
+        dup_lines.alias("dup_line_frac"),
+        dup_words.alias("dup_word_frac"),
+    )
+
+
+TX_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         string_split_regex(trim(text), '\s+') AS toks
+  FROM documents)
+SELECT doc_id,
+       ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+             / greatest(len(lines), 1), 6) AS dup_line_frac,
+       ROUND(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+             / greatest(len(toks), 1), 6) AS dup_word_frac
+FROM t
+"""
+
+
 def rt_rollup_hierarchy(spark, sf_dir):
     """Hypertable-style continuous-aggregate cascade: the DAILY grain
     computed 1min → 1h → 1d (operators.rollup — facts scanned once, each
@@ -738,5 +831,7 @@ SCALE_QUERIES = {
     "tj_interval_join": (tj_interval_join, TJ_INTERVAL_SQL),
     "dd_decontam": (dd_decontam, DD_DECONTAM_SQL),
     "rt_rollup_hierarchy": (rt_rollup_hierarchy, RT_ROLLUP_SQL),
+    "tx_pii_redact": (tx_pii_redact, TX_PII_SQL),
+    "tx_repetition": (tx_repetition, TX_REPETITION_SQL),
     "pk_sequences": (pk_sequences, None),
 }

@@ -117,6 +117,56 @@ def quality_score(text: Column) -> Column:
     return F.round(score, 6)
 
 
+# PII redaction patterns — deliberately lookaround-free so the SAME
+# pattern strings run under Java regex (Spark) and RE2-style engines
+# (DuckDB oracle, ripgrep audits). Order matters: emails first (an
+# address contains digit runs a phone pattern could eat), then IPv4,
+# then phone-shaped digit runs.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (
+        r"\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}",
+        "<PHONE>",
+    ),
+]
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace emails / IPv4 addresses / phone-shaped digit runs with
+    typed placeholder tokens — the standard pre-training scrub pass.
+    Chained ``regexp_replace`` intrinsics: scan speed, no UDF. Patterns
+    are a heuristic floor (a real deployment layers NER on top via the
+    mapInPandas plumbing); placeholders are single tokens so downstream
+    token counts stay sane."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def repetition_stats(text: Column) -> tuple[Column, Column]:
+    """(dup_line_frac, dup_word_frac) — Gopher-style repetition signals:
+    the fraction of lines (split on newline) and of word tokens that are
+    duplicates of an earlier one. Boilerplate-heavy and template-spam
+    pages score high on either; both are pure array intrinsics."""
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    dup_lines = F.round(
+        (n_lines - F.size(F.array_distinct(lines))).cast("double")
+        / F.greatest(n_lines, F.lit(1)),
+        6,
+    )
+    toks = tokens(text)
+    n_toks = F.size(toks)
+    dup_words = F.round(
+        (n_toks - F.size(F.array_distinct(toks))).cast("double")
+        / F.greatest(n_toks, F.lit(1)),
+        6,
+    )
+    return dup_lines, dup_words
+
+
 def document_fingerprint(text: Column, modulus: int = 1_000_000_007) -> Column:
     """Order-sensitive polynomial rolling hash over word hashes:
     fp = fold(acc * 31 + h(w)) mod M. Stable across engines (md5-derived

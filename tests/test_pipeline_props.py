@@ -767,3 +767,43 @@ def test_minhash_estimates_true_jaccard(spark):
         assert abs(est - true_j) <= 0.2, (
             f"pair ({x},{y}): true J={true_j:.3f} est={est:.3f}"
         )
+
+
+def test_pii_redact_planted_spans(spark):
+    from calp_cva_tracking_pipeline_spark.operators.textops import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            ("mail me at jane.doe+spam@sub.example.co.uk thanks",),
+            ("server at 192.168.10.250 went down",),
+            ("call +44 (020) 7946-0958 or 555-123-4567",),
+            ("no pii in this sentence at all",),
+        ],
+        "text string",
+    )
+    got = [r["red"] for r in df.select(
+        pii_redact(F.col("text")).alias("red")
+    ).collect()]
+    assert got[0] == "mail me at <EMAIL> thanks"
+    assert got[1] == "server at <IP> went down"
+    assert "<PHONE>" in got[2] and "0958" not in got[2]
+    assert "4567" not in got[2]
+    assert got[3] == "no pii in this sentence at all"
+
+
+def test_repetition_stats_boilerplate_scores_high(spark):
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        repetition_stats,
+    )
+
+    spam = "\n".join(["click here to win"] * 9 + ["unique closing line"])
+    clean = "every word in this sentence differs from all the others"
+    df = spark.createDataFrame([(1, spam), (2, clean)], "i int, text string")
+    dl, dw = repetition_stats(F.col("text"))
+    rows = {
+        r["i"]: (r["dl"], r["dw"])
+        for r in df.select("i", dl.alias("dl"), dw.alias("dw")).collect()
+    }
+    assert rows[1][0] == 0.8  # 8 of 10 lines are repeats
+    assert rows[1][1] > 0.7  # words heavily repeated too
+    assert rows[2] == (0.0, 0.0)
