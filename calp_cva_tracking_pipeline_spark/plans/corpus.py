@@ -101,9 +101,13 @@ def curate_corpus(
     benchmark: DataFrame | None = None,
     bench_text_col: str | None = None,
     decontam_ngram: int = 13,
+    redact_pii: bool = False,
 ) -> DataFrame:
     """documents → curated training corpus.
 
+    optional PII scrub (``redact_pii=True`` — FIRST, so dedup keys and
+    features see the scrubbed text and two docs differing only in
+    redacted spans collapse as the duplicates they are) →
     quality/language/length gates (scan-speed projections, evaluated
     BEFORE any dedup so the expensive stages see only keepable docs) →
     exact dedup (min-id survivor) → near-dup removal (LSH candidates,
@@ -121,6 +125,12 @@ def curate_corpus(
         bpe_token_count,
     )
 
+    if redact_pii:
+        from calp_cva_tracking_pipeline_spark.operators.textops import (
+            pii_redact,
+        )
+
+        docs = docs.withColumn(text_col, pii_redact(F.col(text_col)))
     feats = add_text_features(docs, text_col).withColumn(
         "n_bpe_tokens", bpe_token_count(F.col(text_col))
     )

@@ -167,3 +167,25 @@ def test_shuffle_corpus_deterministic_and_seed_sensitive(spark):
     assert a1 != b  # seed reshuffles
     assert sorted(a1) == list(range(500))  # a permutation, nothing lost
     assert a1 != list(range(500))  # actually shuffled
+
+
+def test_curate_corpus_pii_scrub_collapses_redacted_twins(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on "
+        "running through the field"
+    )
+    docs = _docs(
+        spark,
+        [
+            (1, f"{base} contact alice@example.com"),
+            (2, f"{base} contact bob@other.org"),  # twin after redaction
+            (3, "a different document with its own distinct words here"),
+        ],
+    )
+    out = curate_corpus(
+        docs, min_quality=0.0, jaccard_threshold=0.99, redact_pii=True
+    )
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    # redacted twins collapse via exact dedup; min id survives
+    assert set(rows) == {1, 3}
+    assert "<EMAIL>" in rows[1] and "alice" not in rows[1]
