@@ -131,3 +131,43 @@ def classification_metrics(
             / (F.col("precision") + F.col("recall")),
         ),
     )
+
+
+def sample_per_key(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    seed: int = 42,
+    id_col: str | None = None,
+) -> DataFrame:
+    """At most ``n`` rows per key, chosen by a seeded hash — the
+    distributed, deterministic replacement for per-group reservoir
+    sampling (balance a source- or language-skewed corpus, cap a
+    dominant class before training).
+
+    Each row's rank depends only on (key, row identity, seed): window
+    row_number over the hash order, so the SAME rows survive under any
+    partitioning or re-run, and a different seed redraws the sample.
+    One keyed exchange + per-group sort; per-group state is O(1) (the
+    running rank), so a 100 TB key group streams — no reservoir buffer.
+    Ties on the hash (hash collisions) break by the hash input column,
+    keeping the order total and the result partition-independent.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive: {n}")
+    from pyspark.sql import Window
+
+    key = F.col(id_col) if id_col else F.xxhash64(*df.columns)
+    h = F.xxhash64(
+        F.col(key_col).cast("string"),
+        key.cast("string"),
+        F.lit(seed),
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        h, key.cast("string")
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= n)
+        .drop("__rank")
+    )

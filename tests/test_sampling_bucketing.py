@@ -156,3 +156,31 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS t_bucket_left")
         spark.sql("DROP TABLE IF EXISTS t_bucket_right")
+
+
+def test_sample_per_key_deterministic_cap(spark):
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        sample_per_key,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("source"),
+    )
+    a = sample_per_key(df, "source", 50, id_col="doc_id")
+    counts = {
+        r["source"]: r["count"]
+        for r in a.groupBy("source").count().collect()
+    }
+    assert counts == {"0": 50, "1": 50, "2": 50}
+    # partition-independent: identical surviving ids on a reshuffled input
+    b = sample_per_key(
+        df.repartition(17), "source", 50, id_col="doc_id"
+    )
+    ids = lambda d: sorted(r["doc_id"] for r in d.collect())
+    assert ids(a) == ids(b)
+    # seed redraws; undersized groups pass through whole
+    c = sample_per_key(df, "source", 50, seed=7, id_col="doc_id")
+    assert ids(a) != ids(c)
+    small = sample_per_key(df.limit(20), "source", 50, id_col="doc_id")
+    assert small.count() == 20
