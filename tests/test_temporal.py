@@ -290,3 +290,68 @@ def test_interval_join_left_keyless_keeps_unmatched_points(spark):
         ).collect()
     }
     assert rows == {(1, "w1"), (2, "w2"), (3, None)}
+
+
+def test_asof_tolerance_timestamp_axis(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 13:00:00")],
+        "k int, t string",
+    ).select("k", F.col("t").cast("timestamp").alias("t"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 5.0)], "k int, t string, r double"
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "r")
+    got = {
+        r["t"].hour: r["r"]
+        for r in asof_join(
+            left,
+            right,
+            keys=["k"],
+            left_time="t",
+            tolerance=F.expr("INTERVAL 1 HOUR"),
+        ).collect()
+    }
+    assert got == {10: 5.0, 13: None}  # 3.5h gap exceeds 1h tolerance
+
+
+def test_asof_property_random_inputs_match_duckdb(spark):
+    """Adversarial generated data: duplicate left timestamps, left rows
+    before any right row, keys on only one side, negative times."""
+    import random
+
+    rng = random.Random(20260813)
+    left_rows = [
+        (rng.randint(0, 4), rng.randint(-50, 50), i)
+        for i in range(120)
+    ]
+    right_rows = [
+        (rng.randint(0, 5), rng.randint(-50, 50))
+        for _ in range(40)
+    ]
+    # unique (k, t) on the right (dedup winner is engine policy; DuckDB's
+    # pick for duplicate right keys is unspecified)
+    right_rows = [
+        (k, t, float(k * 1000 + t)) for (k, t) in {r for r in right_rows}
+    ]
+    left = spark.createDataFrame(left_rows, "k int, t int, lid int")
+    right = spark.createDataFrame(right_rows, "k int, t int, r double")
+    got = sorted(
+        (r["lid"], r["t_matched"], r["r"])
+        for r in asof_join(
+            left, right, keys=["k"], left_time="t"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE l(k int, t int, lid int); "
+        "CREATE TABLE r(k int, t int, rv double)"
+    )
+    con.executemany("INSERT INTO l VALUES (?,?,?)", left_rows)
+    con.executemany("INSERT INTO r VALUES (?,?,?)", right_rows)
+    want = sorted(
+        (lid, tm, rv)
+        for lid, tm, rv in con.execute(
+            "SELECT l.lid, r.t, r.rv FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.t >= r.t"
+        ).fetchall()
+    )
+    assert got == want
