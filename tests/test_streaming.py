@@ -298,3 +298,88 @@ def test_stream_parquet_sink_checkpoint_resume(spark, sf_dir, tmp_path):
     assert out.count() == events.count()  # no duplicates, no gaps
     assert out.select("event_id").distinct().count() == events.count()
     events.unpersist()
+
+
+def test_rollup_finest_grain_streams_then_batch_reaggregates(
+    spark, sf_dir, tmp_path
+):
+    """The continuous-aggregate split the rollup docstring claims: the
+    FINEST grain runs as a watermarked streaming aggregation; coarser
+    grains batch-re-aggregate its sink and must equal the all-batch
+    cascade over the same rows."""
+    from calp_cva_tracking_pipeline_spark.operators.rollup import (
+        rollup_time_hierarchy,
+    )
+
+    src = str(tmp_path / "rollup_src")
+    events = _events_subset(spark, sf_dir)
+    events.write.parquet(src)
+    static = spark.read.parquet(src)
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(src)
+        .withWatermark("ts", "2 hours")
+    )
+    finest_stream = rollup_time_hierarchy(
+        stream, grains=("1 minute",)
+    )["1 minute"]
+    sink = str(tmp_path / "rollup_1m")
+    q = (
+        finest_stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # Append mode emits a window only once it is FINALIZED (older than
+    # the watermark), so the sink holds complete minute windows and the
+    # stream's tail windows are absent — restrict the batch side to the
+    # same closed-window set before rolling both up to daily.
+    def to_daily(minute_df):
+        return (
+            minute_df.groupBy(
+                F.window("window_start", "1 day").alias("w"),
+                "event_type",
+            )
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum(F.col("total_value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+
+    streamed_1m = spark.read.parquet(sink)
+    closed = streamed_1m.select("window_start").distinct()
+    batch_1m = rollup_time_hierarchy(static, grains=("1 minute",))[
+        "1 minute"
+    ].join(closed, ["window_start"], "left_semi")
+    got = sorted(tuple(r) for r in to_daily(streamed_1m).collect())
+    want = sorted(tuple(r) for r in to_daily(batch_1m).collect())
+    assert got == want and len(got) > 0
+    # every emitted minute window carries its COMPLETE batch counts
+    emitted = {
+        (r["window_start"], r["event_type"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in streamed_1m.collect()
+    }
+    full = {
+        (r["window_start"], r["event_type"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in batch_1m.collect()
+    }
+    assert emitted == full
