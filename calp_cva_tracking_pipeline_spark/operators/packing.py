@@ -25,10 +25,13 @@ from pyspark.sql import functions as F
 from calp_cva_tracking_pipeline_spark.functions.hashing import stable_hash64
 from calp_cva_tracking_pipeline_spark.functions.text import bpe_token_count
 
-_OUT_SCHEMA = (
-    "id bigint, n_tokens bigint, shard int, pack_id bigint, "
-    "pack_tokens bigint, oversized boolean"
-)
+def _out_schema(id_type: str) -> str:
+    # the id keeps its source type (string doc ids are common in crawl
+    # corpora; an ANSI cast to bigint would throw on them)
+    return (
+        f"id {id_type}, n_tokens bigint, shard int, pack_id bigint, "
+        "pack_tokens bigint, oversized boolean"
+    )
 
 
 def pack_sequences(
@@ -57,7 +60,7 @@ def pack_sequences(
         else bpe_token_count(F.col(text_col))
     )
     narrow = df.select(
-        F.col(id_col).cast("bigint").alias("id"),
+        F.col(id_col).alias("id"),
         tokens.cast("bigint").alias("n_tokens"),
         F.pmod(
             stable_hash64(F.col(id_col).cast("string")), F.lit(num_shards)
@@ -65,6 +68,7 @@ def pack_sequences(
         .cast("int")
         .alias("shard"),
     )
+    id_type = narrow.schema["id"].dataType.simpleString()
 
     def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         # first-fit-decreasing: sort tokens desc (id asc tie-break), drop
@@ -103,4 +107,6 @@ def pack_sequences(
              "oversized"]
         ]
 
-    return narrow.groupBy("shard").applyInPandas(pack_shard, _OUT_SCHEMA)
+    return narrow.groupBy("shard").applyInPandas(
+        pack_shard, _out_schema(id_type)
+    )

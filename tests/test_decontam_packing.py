@@ -192,3 +192,15 @@ def test_decontam_shuffled_join_matches_broadcast(spark, sf_dir):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_pack_sequences_string_ids(spark):
+    df = spark.createDataFrame(
+        [("doc-a", 100), ("doc-b", 120), ("doc-c", 90)],
+        "doc_id string, toks bigint",
+    )
+    rows = pack_sequences(
+        df, "doc_id", budget=250, token_col="toks", num_shards=2
+    ).collect()
+    assert {r["id"] for r in rows} == {"doc-a", "doc-b", "doc-c"}
+    assert all(r["pack_tokens"] <= 250 for r in rows)
