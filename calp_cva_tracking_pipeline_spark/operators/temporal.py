@@ -95,6 +95,10 @@ def asof_join(
             *[F.col(c) for c in payload],
         ).alias(_ASOF),
     )
+    # A null right timestamp can match nothing — and unfiltered it would
+    # sort ahead of every real row under nulls-first ordering and be
+    # carried into every left row.
+    r = r.filter(F.col("__t").isNotNull())
     # Duplicate (keys, time) right rows: keep one deterministic winner
     # up front — cheaper than widening the window frame, and makes the
     # result independent of input partitioning.
@@ -120,8 +124,14 @@ def asof_join(
         F.col(_ASOF),
     )
     asc = direction == "backward"
+    # nulls FIRST in both directions: a null-time left row then precedes
+    # every (non-null-filtered) right row and carries no match. Spark's
+    # desc() default is nulls-LAST, which would hand null-time left rows
+    # the final carried state instead.
     order = [
-        F.col("__t").asc() if asc else F.col("__t").desc(),
+        F.col("__t").asc_nulls_first()
+        if asc
+        else F.col("__t").desc_nulls_first(),
         F.col(_SIDE).asc(),
     ]
     w = (
@@ -190,20 +200,22 @@ def asof_join_broadcast(
         ).alias("__asof_arr")
     )
     t = F.col(left_time)
+    # try_element_at: a left row with no admissible epoch (or a null
+    # timestamp) filters to an empty array, where ANSI element_at throws
     if direction == "backward":
         # sorted ascending by time (leading struct field) → last <= t
-        pick = F.element_at(
+        pick = F.try_element_at(
             F.filter(
                 F.col("__asof_arr"), lambda e: e[matched_time] <= t
             ),
-            -1,
+            F.lit(-1),
         )
     else:
-        pick = F.element_at(
+        pick = F.try_element_at(
             F.filter(
                 F.col("__asof_arr"), lambda e: e[matched_time] >= t
             ),
-            1,
+            F.lit(1),
         )
     return (
         left.join(F.broadcast(arr))

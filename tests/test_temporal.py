@@ -355,3 +355,49 @@ def test_asof_property_random_inputs_match_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_null_timestamps_never_match(spark, direction):
+    """Null-time left rows match nothing (DuckDB semantics: NULL
+    comparisons are false); null-time right rows are inert."""
+    left = spark.createDataFrame(
+        [(1, None, "a"), (1, 20, "b")], "k int, t int, pl string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 30, 6.0), (1, None, 99.0)],
+        "k int, t int, r double",
+    )
+    got = {
+        r["pl"]: r["r"]
+        for r in asof_join(
+            left, right, keys=["k"], left_time="t", direction=direction
+        ).collect()
+    }
+    expect_b = 5.0 if direction == "backward" else 6.0
+    assert got == {"a": None, "b": expect_b}
+    assert len(got) == 2  # left-outer row count preserved
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_broadcast_no_admissible_epoch(spark, direction):
+    """Empty filtered epoch arrays must yield nulls, not an ANSI
+    element_at error (left rows outside the epoch range + null times)."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        asof_join_broadcast,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 5), (2, 50), (3, None)], "pid int, t int"
+    )
+    right = spark.createDataFrame([(10, 1.0), (20, 2.0)], "t int, r double")
+    got = {
+        r["pid"]: (r["t_matched"], r["r"])
+        for r in asof_join_broadcast(
+            left, right, left_time="t", direction=direction
+        ).collect()
+    }
+    if direction == "backward":
+        assert got == {1: (None, None), 2: (20, 2.0), 3: (None, None)}
+    else:
+        assert got == {1: (10, 1.0), 2: (None, None), 3: (None, None)}
