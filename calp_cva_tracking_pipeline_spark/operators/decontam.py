@@ -55,6 +55,11 @@ def benchmark_ngram_hashes(
                 "__g"
             )
         )
+        # a NULL text shingles to a NULL gram; xxhash64(NULL) is a real
+        # value, so unfiltered null grams would cross-match each other —
+        # while SQL's `g IN (...)` drops them (NULL semantics). Filter on
+        # BOTH sides so the engines agree: null never matches.
+        .filter(F.col("__g").isNotNull())
         .select(_gram_hash(F.col("__g")).alias("__bench_h"))
         .distinct()
     )
@@ -94,9 +99,8 @@ def contamination_hits(
         )
     )
     return (
-        grams.select(
-            id_col, _gram_hash(F.col("__g")).alias("__h")
-        )
+        grams.filter(F.col("__g").isNotNull())  # see benchmark side
+        .select(id_col, _gram_hash(F.col("__g")).alias("__h"))
         .join(bench, F.col("__h") == F.col("__bench_h"), "left_semi")
         .groupBy(id_col)
         .agg(F.countDistinct("__h").alias("contamination_hits"))

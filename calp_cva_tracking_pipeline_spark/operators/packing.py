@@ -61,7 +61,10 @@ def pack_sequences(
     )
     narrow = df.select(
         F.col(id_col).alias("id"),
-        tokens.cast("bigint").alias("n_tokens"),
+        # null text/token counts pack as 0-token docs (they must still be
+        # assigned — "no row is ever dropped"); a null would crash the
+        # pandas FFD loop as NaN
+        F.coalesce(tokens.cast("bigint"), F.lit(0)).alias("n_tokens"),
         F.pmod(
             stable_hash64(F.col(id_col).cast("string")), F.lit(num_shards)
         )

@@ -204,3 +204,19 @@ def test_pack_sequences_string_ids(spark):
     ).collect()
     assert {r["id"] for r in rows} == {"doc-a", "doc-b", "doc-c"}
     assert all(r["pack_tokens"] <= 250 for r in rows)
+
+
+def test_null_texts_never_contaminate_and_still_pack(spark):
+    train = spark.createDataFrame(
+        [(1, None), (2, "real words that shingle fine here")],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(None,), ("other words",)], "text string")
+    flagged = decontaminate(
+        train, bench, "doc_id", "text", n=3, mode="flag"
+    )
+    rows = {r["doc_id"]: r["contamination_hits"] for r in flagged.collect()}
+    assert rows == {1: 0, 2: 0}  # null never matches null
+    packs = pack_sequences(train, "doc_id", budget=100).collect()
+    assert {r["id"] for r in packs} == {1, 2}
+    assert {r["n_tokens"] for r in packs if r["id"] == 1} == {0}
