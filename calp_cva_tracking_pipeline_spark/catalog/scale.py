@@ -767,6 +767,47 @@ FROM t
 """
 
 
+CHUNK_MAX = 64
+CHUNK_OVERLAP = 16
+
+
+def tx_chunk(spark, sf_dir):
+    """Overlapping token-window chunking for the embedding front end
+    (operators.textops.chunk_documents): 64-token windows, 16-token
+    overlap, every doc yields >= 1 chunk."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        chunk_documents,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return chunk_documents(
+        d, "doc_id", max_tokens=CHUNK_MAX, overlap=CHUNK_OVERLAP
+    )
+
+
+_CHUNK_STEP = CHUNK_MAX - CHUNK_OVERLAP
+TX_CHUNK_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(
+           0, greatest((len(toks) - {CHUNK_OVERLAP} - 1)
+                       // {_CHUNK_STEP}, 0))) AS cid
+  FROM t)
+SELECT doc_id,
+       CAST(cid AS INT) AS chunk_id,
+       CAST(len(list_slice(toks, cid * {_CHUNK_STEP} + 1,
+                           cid * {_CHUNK_STEP} + {CHUNK_MAX})) AS INT)
+         AS chunk_tokens,
+       array_to_string(list_slice(toks, cid * {_CHUNK_STEP} + 1,
+                                  cid * {_CHUNK_STEP} + {CHUNK_MAX}), ' ')
+         AS chunk_text
+FROM c
+"""
+
+
 def rt_rollup_hierarchy(spark, sf_dir):
     """Hypertable-style continuous-aggregate cascade: the DAILY grain
     computed 1min → 1h → 1d (operators.rollup — facts scanned once, each
@@ -833,5 +874,6 @@ SCALE_QUERIES = {
     "rt_rollup_hierarchy": (rt_rollup_hierarchy, RT_ROLLUP_SQL),
     "tx_pii_redact": (tx_pii_redact, TX_PII_SQL),
     "tx_repetition": (tx_repetition, TX_REPETITION_SQL),
+    "tx_chunk": (tx_chunk, TX_CHUNK_SQL),
     "pk_sequences": (pk_sequences, None),
 }

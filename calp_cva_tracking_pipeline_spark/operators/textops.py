@@ -167,6 +167,64 @@ def repetition_stats(text: Column) -> tuple[Column, Column]:
     return dup_lines, dup_words
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    embedding-pipeline front end (a doc longer than the encoder's window
+    becomes ceil(n/step) chunks with ``overlap`` tokens of context
+    carried across boundaries).
+
+    Output: (id, chunk_id, chunk_tokens, chunk_text), one row per chunk,
+    chunk_id dense from 0 in document order. Every doc yields ≥1 chunk
+    (an empty doc produces one empty chunk: no row is ever dropped, so a
+    chunk-count audit reconciles against the doc count). Pure array
+    intrinsics over a materialized token array — narrow, scan-speed, no
+    shuffle; the explode multiplies rows ~n/step, the same factor the
+    downstream encoder must process anyway.
+    """
+    if max_tokens <= 0 or overlap < 0 or overlap >= max_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < max_tokens: {overlap}/{max_tokens}"
+        )
+    step = max_tokens - overlap
+    pre = spread_small_input(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    n = F.size(F.col("__toks"))
+    # last start index: a chunk is emitted only if it contributes tokens
+    # BEYOND the carried overlap (start + overlap < n) — otherwise the
+    # tail chunk would be fully contained in its predecessor
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.floor((n - overlap - 1) / F.lit(step)).cast("int"),
+            F.lit(0),
+        ),
+    )
+    chunks = pre.select(
+        id_col,
+        F.posexplode(starts).alias("chunk_id", "__s"),
+        F.col("__toks"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.slice(
+            F.col("__toks"), F.col("__s") * step + 1, max_tokens
+        ).alias("__c"),
+    )
+    return chunks.select(
+        id_col,
+        "chunk_id",
+        F.size("__c").alias("chunk_tokens"),
+        F.array_join("__c", " ").alias("chunk_text"),
+    )
+
+
 def document_fingerprint(text: Column, modulus: int = 1_000_000_007) -> Column:
     """Order-sensitive polynomial rolling hash over word hashes:
     fp = fold(acc * 31 + h(w)) mod M. Stable across engines (md5-derived

@@ -807,3 +807,41 @@ def test_repetition_stats_boilerplate_scores_high(spark):
     assert rows[1][0] == 0.8  # 8 of 10 lines are repeats
     assert rows[1][1] > 0.7  # words heavily repeated too
     assert rows[2] == (0.0, 0.0)
+
+
+def test_chunk_documents_overlap_reconstruction(spark):
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        chunk_documents,
+    )
+
+    words = [f"w{i}" for i in range(25)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, ""), (3, "short doc")],
+        "doc_id bigint, text string",
+    )
+    chunks = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(
+            df, "doc_id", max_tokens=10, overlap=4
+        ).collect()
+    }
+    # doc 1: 25 tokens, step 6 -> starts 0,6,12,18 (a start at 24 would
+    # add nothing beyond the overlap) -> 4 chunks
+    assert (1, 4) not in chunks
+    doc1 = [chunks[(1, i)] for i in range(4)]
+    assert [c[0] for c in doc1] == [10, 10, 10, 7]
+    # consecutive chunks share exactly the 4-token overlap
+    for a, b in zip(doc1, doc1[1:]):
+        assert a[1].split()[-4:] == b[1].split()[:4]
+    # dropping each chunk's leading overlap (after the first) rebuilds
+    # the doc exactly
+    rebuilt = doc1[0][1].split()
+    for c in doc1[1:]:
+        rebuilt += c[1].split()[4:]
+    assert rebuilt == words
+    assert chunks[(2, 0)] == (1, "")  # empty doc still yields one chunk
+    assert chunks[(3, 0)] == (2, "short doc")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", max_tokens=8, overlap=8)
