@@ -189,3 +189,73 @@ def test_curate_corpus_pii_scrub_collapses_redacted_twins(spark):
     # redacted twins collapse via exact dedup; min id survives
     assert set(rows) == {1, 3}
     assert "<EMAIL>" in rows[1] and "alice" not in rows[1]
+
+
+def test_rag_ingest_chunk_embed_retrieve_roundtrip(spark, sf_dir):
+    """End-to-end embedding-pipeline composition: chunk documents →
+    deterministic hash-embedding per chunk (stand-in for the encoder, same
+    mapInPandas seam as mlstub) → brute-force cosine retrieval. A chunk
+    queried against the chunk index must retrieve its own document's
+    neighboring chunks first: consecutive chunks share `overlap` tokens,
+    so under a bag-of-token-hashes embedding they are the most similar
+    vectors in the corpus."""
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        chunk_documents,
+    )
+
+    # per-doc vocabularies: the driver's documents table draws every doc
+    # from one ~25-word pool, so ANY bag-of-tokens embedding is blind
+    # there — build docs whose token sets actually distinguish them
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"d{i}w{j}" for j in range(80)))
+            for i in range(12)
+        ],
+        "doc_id bigint, text string",
+    )
+    chunks = chunk_documents(
+        docs, "doc_id", max_tokens=32, overlap=16
+    ).withColumn(
+        "chunk_key",
+        F.concat_ws("#", F.col("doc_id"), F.col("chunk_id")),
+    )
+    # deterministic bag-of-token-hashes embedding: dim d = count of the
+    # chunk's tokens hashing to bucket d — pure expressions, no encoder
+    dim = 256
+    toks = F.split(F.trim(F.col("chunk_text")), r"\s+")
+    embed = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.size(
+            F.filter(
+                toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim)) == d
+            )
+        ).cast("float"),
+    )
+    embedded = chunks.select(
+        "chunk_key", "doc_id", embed.alias("vec")
+    ).cache()
+    queries = embedded.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("chunk_key").endswith("#1"))
+    )
+    hits = brute_force_topk(
+        embedded, queries, "chunk_key", "vec", "chunk_key", "vec", k=3
+    )
+    by_query: dict = {}
+    for r in hits.collect():
+        by_query.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"])
+        )
+    assert len(by_query) >= 2
+    # a middle chunk has exactly TWO overlap-sharing siblings (the
+    # chunks before and after it; farther chunks share zero tokens), so
+    # ranks 1-2 must both be sibling chunks of the query's own document
+    for qk, ranked in by_query.items():
+        assert len(ranked) == 3
+        top2 = [n for rank, n in sorted(ranked)[:2]]
+        assert all(
+            n.split("#")[0] == qk.split("#")[0] for n in top2
+        ), f"non-sibling in top-2 of {qk}: {sorted(ranked)}"
+    embedded.unpersist()
