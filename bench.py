@@ -2,19 +2,23 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec at target sf>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>,
-   "sf_small": 0.01, "queries_small": {name: sec, ...},
-   "scaling_ratio": {name: sf/sf_small time ratio, ...},
-   "runs": {name: [sec, sec, sec], ...},
-   "runs_small": {name: [sec, ...], ...}}
+Prints ONE COMPACT JSON line as the LAST stdout line:
+  {"metric": "headline_suite_seconds", "value": <total sec at target sf>,
+   "unit": "sec", "queries": {name: median sec, ...}, "sf": <sf>}
+
+Everything else — per-run arrays, the sf0.01 sweep, scaling ratios, the
+DuckDB-proxy self-audit — is written to BENCH_DETAIL.json next to this
+file. Rounds 4-5 packed all of that into the single stdout line, which
+outgrew the driver's ~4KB stdout tail window: the driver captured a
+mid-line fragment and recorded "parsed": null two rounds running, so two
+rounds of real speedups never reached the official record. The stdout
+line must stay well under ~2KB; detail goes to the file.
 
 The reported per-query number is the MEDIAN of 3 timed runs taken AFTER one
 untimed warm-up run at the same SF (runs[0] in the persisted array — kept
 visible, excluded from the median), and the raw per-run arrays are persisted
-in the JSON so a round-over-round delta can be attributed to noise vs
-regression (round-3 verdict: a best-of-2 harness cannot distinguish them —
+in BENCH_DETAIL.json so a round-over-round delta can be attributed to noise
+vs regression (round-3 verdict: a best-of-2 harness cannot distinguish them —
 ann_ivf "+22%" and st_sessionize "+34%" were unanswerable without run
 arrays; round-4 arrays then showed the first timed run +20-50% over the
 median, motivating the explicit warm-up run).
@@ -145,10 +149,13 @@ def main() -> None:
     }
 
     # Self-audit vs the single-process DuckDB proxy (the judge's baseline
-    # methodology): each headline query's oracle SQL timed once, in this
-    # process, over the same parquet. Never fails the bench — the proxy
-    # is context, the Spark timings are the product.
-    proxy, proxy_err = {}, None
+    # methodology): each headline query's oracle SQL over the same parquet,
+    # measured with the SAME protocol as the Spark side — one untimed
+    # warm-up execution, then median-of-3 (round-5 advice: the old
+    # single-cold-run proxy timing biased the published vs_proxy ratio in
+    # Spark's favor). Never fails the bench — the proxy is context, the
+    # Spark timings are the product.
+    proxy, proxy_runs, proxy_err = {}, {}, None
     if os.environ.get("SPARK_GRAFT_BENCH_PROXY", "1") != "0":
         try:
             import duckdb
@@ -167,14 +174,20 @@ def main() -> None:
                 sql = oracles.get(name)
                 if not sql:
                     continue
-                t0 = time.time()
-                con.execute(sql).fetchall()
-                proxy[name] = round(time.time() - t0, 3)
+                runs = []
+                for _ in range(4):
+                    t0 = time.time()
+                    con.execute(sql).fetchall()
+                    runs.append(round(time.time() - t0, 3))
+                proxy_runs[name] = runs
+                proxy[name] = sorted(runs[1:])[1]
         except Exception as exc:  # pragma: no cover
             proxy_err = str(exc)
 
     total = round(sum(timings.values()), 3)
-    out = {
+    # Full detail to a file; the stdout line must stay parseable within the
+    # driver's ~4KB tail window (see module docstring).
+    detail = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
@@ -187,8 +200,10 @@ def main() -> None:
         "runs_small": small_raw,
     }
     if proxy:
-        out["proxy"] = proxy
-        out["vs_proxy"] = {
+        detail["proxy"] = proxy
+        detail["proxy_runs"] = proxy_runs
+        detail["proxy_protocol"] = "warm-up + median-of-3 (same as spark)"
+        detail["vs_proxy"] = {
             n: round(timings[n] / proxy[n], 2)
             for n in proxy
             if timings.get(n) and proxy[n] > 0
@@ -196,10 +211,25 @@ def main() -> None:
         shared_spark = sum(timings[n] for n in proxy if n in timings)
         shared_proxy = sum(proxy.values())
         if shared_proxy > 0:
-            out["vs_proxy_suite"] = round(shared_spark / shared_proxy, 2)
+            detail["vs_proxy_suite"] = round(shared_spark / shared_proxy, 2)
     elif proxy_err:
-        out["proxy_error"] = proxy_err
-    print(json.dumps(out))
+        detail["proxy_error"] = proxy_err
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail, indent=1))
+    print(f"# full detail (runs/scaling/proxy): {detail_path}", file=sys.stderr)
+
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if "vs_proxy_suite" in detail:
+        out["vs_proxy_suite"] = detail["vs_proxy_suite"]
+    line = json.dumps(out)
+    assert len(line) < 2000, f"stdout line {len(line)}B breaches driver window"
+    print(line)
 
 
 _IVF_INDEX_CACHE: dict[str, tuple] = {}

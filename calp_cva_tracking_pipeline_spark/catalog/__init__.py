@@ -5,6 +5,16 @@ ANSI-SQL (DuckDB-dialect-compatible) oracle string that computes the same
 result on the same parquet tables. Names map 1:1 to SURVEY.md §2 operator ids
 (prefix = inventory row) plus the beyond-reference scale operators.
 
+ORDERING CONTRACT: the external driver's correctness gate reads exactly
+the FIRST 50 entries of queries() in dict insertion order
+(RELATIONAL_QUERIES first, then SCALE_QUERIES). Every gated entry must
+carry an oracle twin; entries 51+ are verified by the local parity suite
+(tests/test_oracle_parity.py) instead and may be rows-only when declared
+in tests/test_coverage_map.py::NON_SQL_QUERIES. The exact gate set is
+pinned by tests/test_coverage_map.py::DRIVER_GATE — adding a query means
+consciously choosing gate placement (edit the pinned list) or local-parity
+placement (append after position 50).
+
 Float discipline (why results hash-match bit-for-bit):
 - money/metric sums run through exact DECIMAL accumulation cast back to
   double on BOTH sides (functions.numeric);

@@ -28,7 +28,6 @@ from calp_cva_tracking_pipeline_spark.operators import windows as W
 from calp_cva_tracking_pipeline_spark.operators.aggregate import (
     geometric_growth,
     latest_row_per_group,
-    ratio_of_sums,
 )
 from calp_cva_tracking_pipeline_spark.operators.cascade import when_cascade
 from calp_cva_tracking_pipeline_spark.operators.dedup import priority_dedup
@@ -100,18 +99,10 @@ GROUP BY 1, 2
 """
 
 
-def f11_projection_rename(spark, sf_dir):
-    # F11/F12: column projection + rename + drop (pruned at the scan).
-    s = T(spark, sf_dir, "supplier")
-    return s.select(
-        F.col("s_suppkey").alias("supplier_id"),
-        F.col("s_name").alias("supplier_name"),
-    )
-
-
-F11_SQL = """
-SELECT s_suppkey AS supplier_id, s_name AS supplier_name FROM supplier
-"""
+# (f11_projection_rename retired in round 6: select + alias rename/drop is
+# exercised verbatim inside the gate by a9_latest_per_group's projection and
+# d1_priority_dedup's narrow select — the freed slot went to the temporal/
+# decontam/rollup tier. See COVERAGE["F11"/"F12"].)
 
 # ---------------------------------------------------------------------------
 # §2.3 dedup
@@ -491,20 +482,11 @@ GROUP BY 1, 2
 """
 
 
-def a7_ratio_of_sums(spark, sf_dir):
-    # A7: sum(a)/sum(b) per group (DAC deflator ratio, code/03:122-123).
-    li = T(spark, sf_dir, "lineitem")
-    return ratio_of_sums(
-        li, ["l_returnflag"], "l_extendedprice", "l_quantity", "price_per_unit"
-    )
-
-
-A7_SQL = f"""
-SELECT l_returnflag,
-       {SQL_MONEY_SUM('l_extendedprice')} / {SQL_MONEY_SUM('l_quantity')}
-       AS price_per_unit
-FROM lineitem GROUP BY l_returnflag
-"""
+# (a7_ratio_of_sums retired in round 6: ratio-of-aggregates arithmetic is
+# exercised in-gate by j4_fallback_join's money_avg waterfall (sum/count
+# ratios compared and coalesced) and j12's aggregate subtraction; the
+# operators.aggregate.ratio_of_sums kernel keeps a direct unit test in
+# tests/test_retired_slot_ops.py. See COVERAGE["A7"].)
 
 
 def a8_rollup(spark, sf_dir):
@@ -680,24 +662,11 @@ FROM lineitem
 """
 
 
-def w5_top1_per_group(spark, sf_dir):
-    # W5: deterministic best-row-per-group (code/10:139,173).
-    o = T(spark, sf_dir, "orders")
-    out = W.top1_per_group(
-        o,
-        ["o_custkey"],
-        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
-    )
-    return out.select("o_custkey", "o_orderkey", "o_totalprice")
-
-
-W5_SQL = """
-SELECT o_custkey, o_orderkey, o_totalprice FROM (
-  SELECT *, ROW_NUMBER() OVER (
-    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
-  FROM orders) t
-WHERE rn = 1
-"""
+# (w5_top1_per_group retired in round 6: the row_number/rn=1 deterministic
+# best-row kernel is exercised in-gate by a9_latest_per_group (identical
+# window shape, desc + tie-break) and by j10/j11's match ranking; the
+# operators.windows.top1_per_group API keeps a direct unit test in
+# tests/test_retired_slot_ops.py. See COVERAGE["W5"].)
 
 # ---------------------------------------------------------------------------
 # §2.7 reshape
@@ -762,26 +731,11 @@ SELECT p_partkey, tag, price_split FROM exploded
 """
 
 
-def x2_union_ragged(spark, sf_dir):
-    # X2: rbindlist(fill=TRUE) — union by name, null-filling missing cols.
-    o = T(spark, sf_dir, "orders")
-    a = o.select("o_orderkey", "o_totalprice")
-    b = o.select("o_orderkey", "o_orderstatus")
-    u = X.union_ragged([a, b])
-    return u.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"),
-        money_sum("o_totalprice").alias("sum_total"),
-    )
-
-
-X2_SQL = f"""
-WITH u AS (
-  SELECT o_orderkey, o_totalprice FROM orders
-  UNION ALL BY NAME
-  SELECT o_orderkey, o_orderstatus FROM orders)
-SELECT o_orderstatus, COUNT(*) AS n, {SQL_MONEY_SUM('o_totalprice')} AS sum_total
-FROM u GROUP BY o_orderstatus
-"""
+# (x2_union_ragged retired in round 6: null-filling union-by-name runs
+# in-gate inside j14_anti_waterfall — anti_waterfall_union unions each
+# source with unionByName(allowMissingColumns=True) — and the
+# operators.reshape.union_ragged API keeps a direct unit test in
+# tests/test_retired_slot_ops.py. See COVERAGE["X2"/"SO2"].)
 
 
 def x3_melt(spark, sf_dir):
@@ -843,80 +797,29 @@ FROM (SELECT l_orderkey, l_linestatus,
 GROUP BY l_orderkey
 """
 
-FANOUT_MAPPING = [
-    ("REGION_0", "REGION_0_COPY1"),
-    ("REGION_0", "REGION_0_COPY2"),
-    ("REGION_3", "REGION_3_COPY"),
-]
-
-
-def x7_row_fanout(spark, sf_dir):
-    # X7: duplicate rows for dependent keys via broadcast mapping
-    # (territory fan-out, code/03:131-147).
-    r = T(spark, sf_dir, "region")
-    out = X.fan_out_rows(r, "r_name", FANOUT_MAPPING)
-    return out.select("r_regionkey", "r_name")
-
-
-X7_SQL = f"""
-WITH mapping AS (
-  SELECT * FROM (VALUES
-    {','.join(f"({src!r}, {dst!r})" for src, dst in FANOUT_MAPPING)})
-  AS t(src, dst))
-SELECT r_regionkey, r_name FROM region
-UNION ALL
-SELECT r_regionkey, dst AS r_name
-FROM region JOIN mapping ON r_name = src
-"""
+# (x7_row_fanout retired in round 6: the broadcast-mapping row fan-out is a
+# composition of ops the gate already proves — j2's broadcast dimension join
+# plus j14's unionByName — and the operators.reshape.fan_out_rows API keeps
+# a direct unit test in tests/test_retired_slot_ops.py. See COVERAGE["X7"].)
 
 # ---------------------------------------------------------------------------
 # §2.8 set operations
 # ---------------------------------------------------------------------------
 
-
-def so1_except_all(spark, sf_dir):
-    # SO1: setdiff with multiplicity (reference setdiff, code/07:89).
-    o = T(spark, sf_dir, "orders")
-    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_orderpriority")
-    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_orderpriority")
-    return y95.exceptAll(y96).groupBy("o_orderpriority").agg(
-        F.count("*").alias("n")
-    )
-
-
-SO1_SQL = """
-WITH diff AS (
-  SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1995
-  EXCEPT ALL
-  SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996)
-SELECT o_orderpriority, COUNT(*) AS n FROM diff GROUP BY o_orderpriority
-"""
+# (so1_except_all retired in round 6: per-key setdiff runs in-gate as
+# j14_anti_waterfall's left-anti joins; the multiplicity-preserving
+# exceptAll variant keeps a direct unit test in
+# tests/test_retired_slot_ops.py. See COVERAGE["SO1"].)
 
 
 # ---------------------------------------------------------------------------
 # §2.9 scalar functions
 # ---------------------------------------------------------------------------
 
-KEYWORDS = ["spark", "stream", "vector"]
-
-
-def c1_keyword_flag(spark, sf_dir):
-    # C1: case-insensitive word-boundary alternation (the CVA keyword
-    # regex, code/08:92-131).
-    d = T(spark, sf_dir, "documents")
-    pattern = "(?i)\\b(" + "|".join(KEYWORDS) + ")\\b"
-    return (
-        d.withColumn("keyword_match", F.col("text").rlike(pattern))
-        .groupBy("lang", "keyword_match")
-        .agg(F.count("*").alias("n"))
-    )
-
-
-C1_SQL = f"""
-SELECT lang, regexp_matches(text, '(?i)\\b({'|'.join(KEYWORDS)})\\b')
-       AS keyword_match, COUNT(*) AS n
-FROM documents GROUP BY 1, 2
-"""
+# (c1_keyword_flag retired in round 6: the case-insensitive word-boundary
+# keyword regex — functions.text.keyword_flag — runs in-gate inside
+# cc2_relevance_ml and ep2_cva_by_location on the same documents-style
+# text, and j11 proves \b-wrapped rlike matching. See COVERAGE["C1"].)
 
 
 def c2_regexp_extract_cast(spark, sf_dir):
@@ -1696,14 +1599,17 @@ ORDER BY location
 
 
 # The driver's correctness gate covers the FIRST 50 catalog entries; the
-# catalog is therefore consolidated to exactly 50 queries (40 here + 10 in
-# catalog.scale) such that every SURVEY.md §2 operator id maps to a green
-# row either directly or via the documented merge (see COVERAGE below and
-# each query's comment).
+# catalog is therefore consolidated to exactly 50 gated queries (32 here +
+# 18 in catalog.scale) such that every SURVEY.md §2 operator id maps to a
+# green row either directly or via the documented merge (see COVERAGE below
+# and each query's comment). Round 6 rotated seven trivially-redundant
+# slots (f11, a7, w5, x2, x7, so1, c1 — each covered by a documented merge
+# plus tests/test_retired_slot_ops.py) out of the gate so the round-5
+# judge-verified tier (tj_*, dd_decontam, rt_rollup_hierarchy, tx_pii/
+# repetition/chunk) gets driver CORRECTNESS rows.
 RELATIONAL_QUERIES = {
     "f1_filter_neq": (f1_filter_neq, F1_SQL),
     "f3_year_floor_string": (f3_year_floor_string, F3_SQL),
-    "f11_projection_rename": (f11_projection_rename, F11_SQL),
     "d1_priority_dedup": (d1_priority_dedup, D1_SQL),
     "j2_broadcast_enrich": (j2_broadcast_enrich, J2_SQL),
     "j4_fallback_join": (j4_fallback_join, J4_SQL),
@@ -1715,22 +1621,16 @@ RELATIONAL_QUERIES = {
     "j15_grid_scaffold": (j15_grid_scaffold, J15_SQL),
     "a1_project_features": (a1_project_features, A1_SQL),
     "a3_group_sum_millions": (a3_group_sum_millions, A3_SQL),
-    "a7_ratio_of_sums": (a7_ratio_of_sums, A7_SQL),
     "a8_rollup": (a8_rollup, A8_SQL),
     "a9_latest_per_group": (a9_latest_per_group, A9_SQL),
     "a10_geometric_growth": (a10_geometric_growth, A10_SQL),
     "w1_cumprod": (w1_cumprod, W1_SQL),
     "w2_rebase_anchor": (w2_rebase_anchor, W2_SQL),
-    "w5_top1_per_group": (w5_top1_per_group, W5_SQL),
     "x1_equal_split_explode": (x1_equal_split_explode, X1_SQL),
-    "x2_union_ragged": (x2_union_ragged, X2_SQL),
     "x3_melt": (x3_melt, X3_SQL),
     "x4_group_concat": (x4_group_concat, X4_SQL),
     "x5_struct_collapse": (x5_struct_collapse, X5_SQL),
     "x6_qa_long_fallback": (x6_qa_long_fallback, X6_SQL),
-    "x7_row_fanout": (x7_row_fanout, X7_SQL),
-    "so1_except_all": (so1_except_all, SO1_SQL),
-    "c1_keyword_flag": (c1_keyword_flag, C1_SQL),
     "c2_regexp_extract_cast": (c2_regexp_extract_cast, C2_SQL),
     "c5_canonicalize": (c5_canonicalize, C5_SQL),
     "c12_coalesce_waterfall": (c12_coalesce_waterfall, C12_SQL),
@@ -1756,8 +1656,12 @@ COVERAGE = {
     "F4": "f3_year_floor_string", "F5": "j14_anti_waterfall",
     "F6": "f1_filter_neq", "F7": "f1_filter_neq + ep2_cva_by_location",
     "F8": "f1_filter_neq", "F9": "ep2_cva_by_location (dropna)",
-    "F10": "c5_canonicalize", "F11": "f11_projection_rename",
-    "F12": "f11_projection_rename",
+    "F10": "c5_canonicalize",
+    # F11/F12 projection + rename/drop: a9_latest_per_group projects three
+    # columns with an alias rename and d1_priority_dedup ends in a narrow
+    # select — the retired f11 slot exercised nothing beyond these.
+    "F11": "a9_latest_per_group (select + alias) + d1_priority_dedup",
+    "F12": "a9_latest_per_group (select + alias) + d1_priority_dedup",
     # D2/D3/D4 all reduce to dropDuplicates-by-key; dd_exact_hash's
     # row_number-per-md5(text) pipeline covers the semantics (retired
     # d3_distinct_rows freed the catalog slot for ann_ivf_topk — the
@@ -1776,16 +1680,27 @@ COVERAGE = {
     "A1": "a1_project_features", "A2": "a1_project_features",
     "A3": "a3_group_sum_millions", "A4": "j12_subtract_floor",
     "A5": "a8_rollup", "A6": "a3_group_sum_millions + ep2_cva_by_location",
-    "A7": "a7_ratio_of_sums", "A8": "a8_rollup",
+    "A7": "j4_fallback_join (money_avg ratio-of-aggregates) +"
+    " tests/test_retired_slot_ops.py", "A8": "a8_rollup",
     "A9": "a9_latest_per_group", "A10": "a10_geometric_growth",
     "W1": "w1_cumprod", "W2": "w2_rebase_anchor", "W3": "w2_rebase_anchor",
-    "W4": "w1_cumprod", "W5": "w5_top1_per_group",
-    "X1": "x1_equal_split_explode", "X2": "x2_union_ragged", "X3": "x3_melt",
+    "W4": "w1_cumprod",
+    "W5": "a9_latest_per_group (same row_number kernel) +"
+    " tests/test_retired_slot_ops.py",
+    "X1": "x1_equal_split_explode",
+    "X2": "j14_anti_waterfall (unionByName allowMissingColumns) +"
+    " tests/test_retired_slot_ops.py",
+    "X3": "x3_melt",
     "X4": "x4_group_concat", "X5": "x5_struct_collapse",
-    "X6": "x6_qa_long_fallback", "X7": "x7_row_fanout",
-    "SO1": "so1_except_all", "SO2": "x2_union_ragged",
+    "X6": "x6_qa_long_fallback",
+    "X7": "j2_broadcast_enrich + j14_anti_waterfall (broadcast-map union) +"
+    " tests/test_retired_slot_ops.py",
+    "SO1": "j14_anti_waterfall (left-anti setdiff) +"
+    " tests/test_retired_slot_ops.py (exceptAll multiplicity)",
+    "SO2": "j14_anti_waterfall + tests/test_retired_slot_ops.py",
     "SO3": "f3_year_floor_string",
-    "C1": "c1_keyword_flag", "C2": "c2_regexp_extract_cast",
+    "C1": "cc2_relevance_ml + ep2_cva_by_location (keyword_flag regex)",
+    "C2": "c2_regexp_extract_cast",
     "C3": "c5_canonicalize", "C4": "x1_equal_split_explode + ep2",
     "C5": "c5_canonicalize", "C6": "j11_substring_join (regex_quote)",
     "C7": "x4_group_concat", "C8": "j12_subtract_floor + cc3",

@@ -867,7 +867,10 @@ SCALE_QUERIES = {
     "m1_classifier_stub": (m1_classifier_stub, M1_SQL),
     "st_windowed_agg": (st_windowed_agg, ST_WINDOW_SQL),
     "st_sessionize": (st_sessionize, ST_SESSION_SQL),
-    # entries 51+ — outside the driver's 50-row gate (see section comment)
+    # Round 6: the judge-verified round-5 tier rotated INTO the driver's
+    # 50-row gate (slots freed by retiring seven redundant relational
+    # queries — catalog/relational.py header). Gate set pinned by
+    # tests/test_coverage_map.py::DRIVER_GATE.
     "tj_asof_join": (tj_asof_join, TJ_ASOF_SQL),
     "tj_interval_join": (tj_interval_join, TJ_INTERVAL_SQL),
     "dd_decontam": (dd_decontam, DD_DECONTAM_SQL),
@@ -875,5 +878,6 @@ SCALE_QUERIES = {
     "tx_pii_redact": (tx_pii_redact, TX_PII_SQL),
     "tx_repetition": (tx_repetition, TX_REPETITION_SQL),
     "tx_chunk": (tx_chunk, TX_CHUNK_SQL),
+    # entries 51+ — beyond the gate: rows-only / local-parity verification
     "pk_sequences": (pk_sequences, None),
 }

@@ -85,6 +85,33 @@ def test_no_unreferenced_query_definitions():
 # (rows-only checks; their invariants are pinned by dedicated tests).
 NON_SQL_QUERIES = {"pk_sequences"}
 
+# The exact first-50 set the external driver's correctness gate reads
+# (ordering contract documented in catalog/__init__.py). Round 6 rotated
+# seven trivially-redundant relational slots out (f11, a7, w5, x2, x7,
+# so1, c1 — merges documented in COVERAGE + tests/test_retired_slot_ops.py)
+# so the judge-verified round-5 tier gets driver CORRECTNESS rows. Any
+# future change to this set must be a conscious gate-vs-local-parity
+# placement decision: edit this list in the same commit, never reorder
+# silently.
+DRIVER_GATE = [
+    "f1_filter_neq", "f3_year_floor_string", "d1_priority_dedup",
+    "j2_broadcast_enrich", "j4_fallback_join", "j5_full_outer_fill",
+    "j10_fuzzy_levenshtein", "j11_substring_join", "j12_subtract_floor",
+    "j14_anti_waterfall", "j15_grid_scaffold", "a1_project_features",
+    "a3_group_sum_millions", "a8_rollup", "a9_latest_per_group",
+    "a10_geometric_growth", "w1_cumprod", "w2_rebase_anchor",
+    "x1_equal_split_explode", "x3_melt", "x4_group_concat",
+    "x5_struct_collapse", "x6_qa_long_fallback", "c2_regexp_extract_cast",
+    "c5_canonicalize", "c12_coalesce_waterfall", "cc1_relevance_cascade",
+    "cc2_relevance_ml", "cc3_amount_cascade", "cc4_manual_routing",
+    "cc6_patch_collapse", "ep2_cva_by_location",
+    "dd_exact_hash", "dd_minhash_lsh", "dd_simhash", "dd_embed_neardup",
+    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "tx_features",
+    "m1_classifier_stub", "st_windowed_agg", "st_sessionize",
+    "tj_asof_join", "tj_interval_join", "dd_decontam",
+    "rt_rollup_hierarchy", "tx_pii_redact", "tx_repetition", "tx_chunk",
+]
+
 
 def test_driver_gate_is_first_fifty_fully_oracled():
     """The external driver's correctness gate reads exactly the first 50
@@ -96,11 +123,10 @@ def test_driver_gate_is_first_fifty_fully_oracled():
     oracles = entrymod.oracle_sql()
     assert len(qs) >= 50
     gate = qs[:50]
-    # the gate has ended at st_sessionize since round 3; new entries may
-    # only APPEND past it
-    assert gate[-1] == "st_sessionize", (
-        f"driver-gate prefix changed: 50th entry is {gate[-1]!r} — "
-        "appending new queries is fine, reordering the first 50 is not"
+    assert gate == DRIVER_GATE, (
+        "driver-gate prefix changed — the first 50 queries() entries must "
+        "match DRIVER_GATE exactly (edit the pinned list consciously in "
+        f"the same commit). Diff: {set(gate) ^ set(DRIVER_GATE) or 'order'}"
     )
     missing = [n for n in gate if n not in oracles]
     assert not missing, f"gate queries without oracle twins: {missing}"
