@@ -846,13 +846,70 @@ def pk_sequences(spark, sf_dir):
     """Token-budget sequence packing over documents (FFD within hashed
     shards — operators.packing). The assignment is an algorithm, not a
     relation, so no SQL oracle exists; the driver's rows-only check plus
-    tests/test_decontam_packing.py's invariants cover it."""
+    tests/test_decontam_packing.py's invariants and the oracle-backed
+    pk_pack_audit projection below cover it."""
     from calp_cva_tracking_pipeline_spark.operators.packing import (
         pack_sequences,
     )
 
     d = T(spark, sf_dir, "documents")
     return pack_sequences(d, "doc_id", budget=512, num_shards=16)
+
+
+PK_AUDIT_BUDGET = 200
+
+
+def pk_pack_audit(spark, sf_dir):
+    """Oracle-checkable PROJECTION of the packing result (round-5 verdict:
+    packing failure modes must not hide behind a row count). The FFD
+    assignment itself has no SQL formulation, but three properties of ANY
+    correct assignment are relations over the same input:
+
+      - no row dropped / invented: one output row per document;
+      - token accounting: each doc's n_tokens equals the independently
+        recomputed count (whitespace tokens here, whose DuckDB twin is
+        exact — the default BPE pre-token pattern is not RE2-expressible);
+      - budget discipline: every pack total is <= budget unless the pack
+        is an oversized single-doc pack whose total is exactly the doc.
+
+    The Spark side emits the two invariants as booleans computed FROM the
+    packed output; the oracle recomputes n_tokens from raw text and pins
+    both booleans to true, so a hash match proves them for every row."""
+    from calp_cva_tracking_pipeline_spark.functions.text import token_count
+    from calp_cva_tracking_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    d = T(spark, sf_dir, "documents").withColumn(
+        "n_ws_tokens", token_count(F.col("text"))
+    )
+    packed = pack_sequences(
+        d,
+        "doc_id",
+        budget=PK_AUDIT_BUDGET,
+        token_col="n_ws_tokens",
+        num_shards=16,
+    )
+    return packed.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        (
+            (F.col("pack_tokens") <= PK_AUDIT_BUDGET)
+            | (F.col("oversized") & (F.col("pack_tokens") == F.col("n_tokens")))
+        ).alias("within_budget"),
+        (
+            F.col("oversized") == (F.col("n_tokens") > PK_AUDIT_BUDGET)
+        ).alias("oversized_iff_over"),
+    )
+
+
+PK_AUDIT_SQL = f"""
+SELECT doc_id,
+       CAST({_NTOK} AS INTEGER) AS n_tokens,
+       TRUE AS within_budget,
+       TRUE AS oversized_iff_over
+FROM documents
+"""
 
 
 SCALE_QUERIES = {
@@ -880,4 +937,5 @@ SCALE_QUERIES = {
     "tx_chunk": (tx_chunk, TX_CHUNK_SQL),
     # entries 51+ — beyond the gate: rows-only / local-parity verification
     "pk_sequences": (pk_sequences, None),
+    "pk_pack_audit": (pk_pack_audit, PK_AUDIT_SQL),
 }

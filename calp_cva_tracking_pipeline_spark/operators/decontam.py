@@ -123,7 +123,15 @@ def decontaminate(
 
     ``drop`` anti-joins the contaminated id set — row count only ever
     shrinks. ``flag`` keeps every row and adds ``contamination_hits``
-    (0 for clean rows) and boolean ``contaminated``."""
+    (0 for clean rows) and boolean ``contaminated``.
+
+    Hits are matched on 64-bit xxhash64 gram values, not gram strings, so
+    a hash collision between a train gram and any benchmark gram is a
+    false contamination hit — and in ``drop`` mode that silently removes
+    a clean doc. With ~10^9 distinct grams a side the expected collision
+    count is ~0.05 (birthday bound at 2^64); acceptable for training-data
+    hygiene, but audit with ``mode="flag"`` first when the drop set must
+    be exact."""
     if mode not in ("drop", "flag"):
         raise ValueError(f"mode must be drop|flag: {mode}")
     hits = contamination_hits(

@@ -9,12 +9,22 @@ byte concatenation happens at dataloader time from the assignment.
 Scale shape: docs are hashed to ``num_shards`` independent shards, and
 each shard is packed locally with first-fit-decreasing inside ONE
 ``applyInPandas`` group — the only shuffle is the shard hash partition
-(narrow (id, n_tokens) rows, never text), state per group is the open-bin
-residual list, and pack ids are globally unique by construction
-(``shard * 2^32 + local``). Determinism: the shard hash is a fixed
-function of the id and FFD's order is (tokens desc, id asc), so the same
-input yields the same packs under any input partitioning — required for
-resumable training-data builds."""
+(narrow (id, n_tokens) rows, never text), and pack ids are globally
+unique by construction (``shard * 2^32 + local``). Determinism: the
+shard hash is a fixed function of the id and FFD's order is (tokens
+desc, id asc), so the same input yields the same packs under any input
+partitioning — required for resumable training-data builds.
+
+SIZING ``num_shards``: a whole shard's (id, n_tokens) rows materialize
+as one pandas DataFrame on one executor, and the FFD inner loop is
+O(docs × open_bins) Python per shard — so ``num_shards`` must scale
+with the corpus, not stay at the default. Budget roughly
+``rows_per_shard = corpus_rows / num_shards`` ≤ a few tens of millions
+(~16 bytes/row in pandas plus sort overhead, and keep the Python loop
+minutes-not-hours); at 100 TB / ~10^10 docs that means num_shards in
+the 10^3-10^4 range. Shards are independent, so more shards only adds
+parallelism; the cost is pack-count overhead of at most one partially
+filled bin per shard."""
 
 from __future__ import annotations
 

@@ -152,6 +152,13 @@ def sample_per_key(
     running rank), so a 100 TB key group streams — no reservoir buffer.
     Ties on the hash (hash collisions) break by the hash input column,
     keeping the order total and the result partition-independent.
+
+    PRECONDITION for partition-independence: ``id_col`` values must be
+    unique per key (or, with ``id_col=None``, duplicate FULL rows are the
+    only repeats). Two DISTINCT rows sharing an id get identical
+    (hash, tie-break) ordering keys, so row_number picks an arbitrary
+    survivor that can change across partitionings — dedup the id or pass
+    ``id_col=None`` (whole-row hash) when ids can repeat.
     """
     if n <= 0:
         raise ValueError(f"n must be positive: {n}")
