@@ -127,14 +127,24 @@ def classify_flows(
         )
 
 
-def _classify_flows_hf(df: DataFrame, text_col: str) -> DataFrame:  # pragma: no cover
-    """Real-model path (requires torch/transformers at deploy time)."""
+def _classify_flows_hf(
+    df: DataFrame, text_col: str, model: str = _HF_MODEL
+) -> DataFrame:
+    """Real-model path (requires torch/transformers at deploy time).
+
+    Deploy-time verification: tests/test_ml_real_path.py runs this exact
+    function against a tiny public HF model (overridable via
+    $SPARK_GRAFT_HF_TEST_MODEL) in any environment where torch and
+    transformers import — it skips here, where they don't. Run it once
+    on the target cluster image before shipping the real classifier.
+    Reference: classifier_code/flow_inference.py:11-28.
+    """
 
     @pandas_udf(_PRED_SCHEMA)
     def infer(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         from transformers import pipeline
 
-        clf = pipeline("text-classification", model=_HF_MODEL, truncation=True)
+        clf = pipeline("text-classification", model=model, truncation=True)
         for text in it:
             out = clf(text.fillna("").tolist(), batch_size=32)
             yield pd.DataFrame(
