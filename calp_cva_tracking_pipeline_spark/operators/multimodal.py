@@ -4,10 +4,17 @@ Treats media as opaque ``binary`` payloads with typed metadata, processed via
 Arrow-batched ``mapInPandas`` so decode parallelism follows data partitioning
 (the 100 TB pattern: one partition ≈ one decode batch, executors scale out).
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode kernels are gated behind import-try with a clearly-marked
-deterministic fake; the Spark-side contract — schema, partitioning, UDF
-signature, batch shape — is real and tested (tests/test_multimodal.py).
+Decode paths, in preference order per row (the ``decode_ok`` column
+records which ran — never mix paths within one corpus build):
+
+- ``ok`` — PIL, any format it recognizes (absent in this container);
+- ``ok_stdlib`` — the dependency-free PNG codec (operators.png_stdlib:
+  zlib + struct, 8-bit grey/RGB/RGBA, all five row filters) for payloads
+  carrying a real PNG signature — a REAL decode, golden-pixel-tested in
+  tests/test_multimodal.py without any codec library;
+- ``stubbed`` — deterministic byte-histogram fake for everything else
+  (jpeg/audio/video — ffmpeg-class codecs are not stdlib-expressible);
+- ``error`` — a recognized payload that failed to decode (corrupt).
 """
 
 from __future__ import annotations
@@ -70,13 +77,23 @@ FRAME_SCHEMA = StructType(
 
 
 def _decode_image_real(payload: bytes) -> list[float]:  # pragma: no cover
-    """Real decode path — requires PIL; raises if unavailable."""
+    """PIL decode path — requires PIL; raises if unavailable."""
     from io import BytesIO
 
     from PIL import Image  # noqa: F401
 
     img = Image.open(BytesIO(payload)).convert("L").resize((8, 8))
     return [p / 255.0 for p in img.getdata()]
+
+
+def _decode_image_stdlib(payload: bytes) -> list[float]:
+    """Real PNG decode with zero dependencies (operators.png_stdlib):
+    grey luma + 8×8 box-mean pooling. Raises on non-PNG/unsupported."""
+    from calp_cva_tracking_pipeline_spark.operators.png_stdlib import (
+        grayscale_box_features,
+    )
+
+    return grayscale_box_features(payload, grid=8)
 
 
 def _decode_stub(payload: bytes | None, dim: int = 8) -> list[float]:
@@ -108,6 +125,10 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
             have_pil = True
         except ImportError:
             have_pil = False
+        from calp_cva_tracking_pipeline_spark.operators.png_stdlib import (
+            is_png,
+        )
+
         for pdf in batches:
             feats, status = [], []
             for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
@@ -115,6 +136,15 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     try:  # pragma: no cover
                         feats.append(_decode_image_real(payload))
                         status.append("ok")
+                        continue
+                    except Exception:
+                        feats.append(_decode_stub(payload))
+                        status.append("error")
+                        continue
+                if mtype == "image" and is_png(payload):
+                    try:
+                        feats.append(_decode_image_stdlib(payload))
+                        status.append("ok_stdlib")
                         continue
                     except Exception:
                         feats.append(_decode_stub(payload))
@@ -139,9 +169,12 @@ def resize_images(
 ) -> DataFrame:
     """mapInPandas image resize → RESIZE_SCHEMA (one row per image).
 
-    Real path uses PIL when present; the STUB fake truncates/pads the raw
-    payload to width*height bytes so the Spark-side contract (schema,
-    per-row payload, batch shape) is fully testable without codecs.
+    PIL when present (``ok``); else a REAL nearest-neighbor resize +
+    re-encode through the stdlib PNG codec for PNG payloads
+    (``ok_stdlib`` — byte-deterministic: floor-mapped sampling, filter-0
+    rows, fixed zlib level); else the STUB fake truncates/pads the raw
+    payload to width*height bytes (``stubbed``) so the Spark-side
+    contract stays testable for formats with no stdlib codec.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -153,6 +186,8 @@ def resize_images(
             have_pil = True
         except ImportError:
             have_pil = False
+        from calp_cva_tracking_pipeline_spark.operators import png_stdlib
+
         target = width * height
         for pdf in batches:
             payloads, status = [], []
@@ -170,6 +205,19 @@ def resize_images(
                         img.save(buf, format="PNG")
                         payloads.append(buf.getvalue())
                         status.append("ok")
+                        continue
+                    except Exception:
+                        status.append("error")
+                elif png_stdlib.is_png(payload):
+                    try:
+                        w0, h0, ch, px = png_stdlib.decode_png(payload)
+                        resized = png_stdlib.resize_nearest(
+                            w0, h0, ch, px, width, height
+                        )
+                        payloads.append(
+                            png_stdlib.encode_png(width, height, ch, resized)
+                        )
+                        status.append("ok_stdlib")
                         continue
                     except Exception:
                         status.append("error")

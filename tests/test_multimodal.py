@@ -76,3 +76,191 @@ def test_sample_frames_fanout(spark):
     assert [f["frame_ms"] for f in frames] == [0, 500]
     # deterministic even byte slicing
     assert frames[0]["payload"] == bytes([7] * 8)
+
+
+# ---------------------------------------------------------------------------
+# stdlib PNG codec: REAL decode with zero dependencies (round-6 — T20's
+# image path stops being stub-only). Golden-pixel tests: hand-built
+# filtered streams prove unfiltering, roundtrips prove the encoder, and
+# the Spark-level tests prove the mapInPandas integration end-to-end.
+# ---------------------------------------------------------------------------
+
+import struct
+import zlib
+
+from calp_cva_tracking_pipeline_spark.operators.png_stdlib import (
+    decode_png,
+    encode_png,
+    grayscale_box_features,
+    is_png,
+    resize_nearest,
+    to_grayscale,
+)
+
+
+def _manual_png(width, height, colortype, raw_rows):
+    """Build a PNG from pre-filtered row bytes (filter byte included)."""
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
+    return (
+        sig + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(raw_rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_grey_rgb_rgba():
+    for channels in (1, 2, 3, 4):
+        pixels = bytes(
+            (x * 7 + c * 31) % 256
+            for x in range(6 * 5)
+            for c in range(channels)
+        )
+        blob = encode_png(6, 5, channels, pixels)
+        assert is_png(blob)
+        assert decode_png(blob) == (6, 5, channels, pixels)
+
+
+def test_png_unfilters_all_five_filter_types():
+    # 2x5 RGB image, one row per filter type, hand-filtered from known
+    # pixels so decode must invert Sub/Up/Average/Paeth exactly.
+    pix = [
+        [10, 20, 30, 40, 50, 60],
+        [15, 25, 35, 45, 55, 65],
+        [100, 0, 255, 7, 9, 11],
+        [102, 3, 250, 17, 29, 41],
+        [1, 2, 3, 4, 5, 6],
+    ]
+    bpp = 3
+
+    def prev(y, x):
+        return pix[y - 1][x] if y else 0
+
+    rows = [bytes([0]) + bytes(pix[0])]  # None
+    rows.append(  # Sub
+        bytes([1])
+        + bytes(
+            (pix[1][x] - (pix[1][x - bpp] if x >= bpp else 0)) & 0xFF
+            for x in range(6)
+        )
+    )
+    rows.append(  # Up
+        bytes([2]) + bytes((pix[2][x] - prev(2, x)) & 0xFF for x in range(6))
+    )
+    rows.append(  # Average
+        bytes([3])
+        + bytes(
+            (
+                pix[3][x]
+                - (((pix[3][x - bpp] if x >= bpp else 0) + prev(3, x)) >> 1)
+            )
+            & 0xFF
+            for x in range(6)
+        )
+    )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    rows.append(  # Paeth
+        bytes([4])
+        + bytes(
+            (
+                pix[4][x]
+                - paeth(
+                    pix[4][x - bpp] if x >= bpp else 0,
+                    prev(4, x),
+                    pix[3][x - bpp] if x >= bpp else 0,
+                )
+            )
+            & 0xFF
+            for x in range(6)
+        )
+    )
+    blob = _manual_png(2, 5, 2, rows)
+    w, h, ch, out = decode_png(blob)
+    assert (w, h, ch) == (2, 5, 3)
+    assert out == b"".join(bytes(r) for r in pix)
+
+
+def test_png_rejects_unsupported():
+    import pytest
+
+    pal = _manual_png(1, 1, 3, [bytes([0, 0])])  # palette colortype
+    with pytest.raises(ValueError):
+        decode_png(pal)
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\nnot-chunks")
+    with pytest.raises(ValueError):
+        decode_png(b"GIF89a definitely not png")
+
+
+def test_grayscale_and_resize_kernels():
+    # 2x2 RGB: pure red, green, blue, white
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    grey = to_grayscale(2, 2, 3, px)
+    assert list(grey) == [76, 149, 29, 255]  # integer 299/587/114 luma
+    up = resize_nearest(2, 2, 3, px, 4, 4)
+    # floor mapping: each source pixel becomes a 2x2 block
+    assert up[0:3] == bytes([255, 0, 0]) and up[9:12] == bytes([0, 255, 0])
+    assert len(up) == 4 * 4 * 3
+
+
+def test_box_features_golden():
+    # 8x8 grey gradient: row y has constant value 32*y -> cell mean is
+    # exactly 32*y/255 for the 8x8 grid (one pixel per cell)
+    pixels = bytes(min(32 * y, 255) for y in range(8) for _ in range(8))
+    blob = encode_png(8, 8, 1, pixels)
+    feats = grayscale_box_features(blob, grid=8)
+    assert len(feats) == 64
+    for y in range(8):
+        for x in range(8):
+            assert abs(feats[y * 8 + x] - min(32 * y, 255) / 255.0) < 1e-12
+
+
+def test_extract_features_real_png_path(spark):
+    pixels = bytes((x * 13 + y * 29) % 256 for y in range(16) for x in range(16))
+    blob = encode_png(16, 16, 1, pixels)
+    corrupt = blob[:40] + b"\x00" * 10  # valid signature, broken stream
+    rows = [
+        (10, "image", blob, "image/png", 16, 16, None),
+        (11, "image", corrupt, "image/png", 16, 16, None),
+        (12, "image", bytes(range(64)), "application/octet-stream", None, None, None),
+    ]
+    out = extract_features(spark.createDataFrame(rows, MEDIA_SCHEMA))
+    got = {r["media_id"]: r for r in out.collect()}
+    assert got[10]["decode_ok"] == "ok_stdlib"
+    assert got[10]["feature"] == grayscale_box_features(blob, grid=8)
+    assert got[11]["decode_ok"] == "error"  # recognized but corrupt
+    assert got[12]["decode_ok"] == "stubbed"  # no PNG signature
+
+
+def test_resize_images_real_png_path(spark):
+    pixels = bytes((x * 9 + y * 5 + c) % 256
+                   for y in range(10) for x in range(6) for c in range(3))
+    blob = encode_png(6, 10, 3, pixels)
+    rows = [(20, "image", blob, "image/png", 6, 10, None)]
+    out = resize_images(
+        spark.createDataFrame(rows, MEDIA_SCHEMA), width=3, height=5
+    )
+    r = out.collect()[0]
+    assert r["decode_ok"] == "ok_stdlib"
+    w, h, ch, px = decode_png(bytes(r["payload"]))
+    assert (w, h, ch) == (3, 5, 3)
+    # floor-mapped nearest: out(x,y) = src(2x, 2y)
+    expected = resize_nearest(6, 10, 3, pixels, 3, 5)
+    assert px == expected
+    # byte-determinism of the re-encode
+    r2 = resize_images(
+        spark.createDataFrame(rows, MEDIA_SCHEMA), width=3, height=5
+    ).collect()[0]
+    assert bytes(r2["payload"]) == bytes(r["payload"])
