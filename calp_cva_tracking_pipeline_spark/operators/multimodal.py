@@ -8,12 +8,13 @@ Decode paths, in preference order per row (the ``decode_ok`` column
 records which ran — never mix paths within one corpus build):
 
 - ``ok`` — PIL, any format it recognizes (absent in this container);
-- ``ok_stdlib`` — the dependency-free PNG codec (operators.png_stdlib:
-  zlib + struct, 8-bit grey/RGB/RGBA, all five row filters) for payloads
-  carrying a real PNG signature — a REAL decode, golden-pixel-tested in
+- ``ok_stdlib`` — the dependency-free codecs for payloads carrying a real
+  container signature: PNG (operators.png_stdlib: zlib + struct, 8-bit
+  grey/RGB/RGBA, all five row filters) and WAV PCM (operators.wav_stdlib:
+  RIFF + 8/16-bit integer PCM) — REAL decodes, golden-tested in
   tests/test_multimodal.py without any codec library;
 - ``stubbed`` — deterministic byte-histogram fake for everything else
-  (jpeg/audio/video — ffmpeg-class codecs are not stdlib-expressible);
+  (jpeg/video — ffmpeg-class codecs are not stdlib-expressible);
 - ``error`` — a recognized payload that failed to decode (corrupt).
 """
 
@@ -96,6 +97,19 @@ def _decode_image_stdlib(payload: bytes) -> list[float]:
     return grayscale_box_features(payload, grid=8)
 
 
+def _decode_audio_stdlib(payload: bytes) -> list[float]:
+    """Real WAV PCM decode with zero dependencies (operators.wav_stdlib):
+    mono mix + 8-bin RMS envelope. Raises on non-WAV/unsupported. The
+    8-dim output matches the image path's pooled-grid dimensionality
+    convention (FEATURE_SCHEMA is variable-length; downstream models key
+    on media_type)."""
+    from calp_cva_tracking_pipeline_spark.operators.wav_stdlib import (
+        rms_envelope_features,
+    )
+
+    return rms_envelope_features(payload, bins=8)
+
+
 def _decode_stub(payload: bytes | None, dim: int = 8) -> list[float]:
     """Deterministic fake: byte-histogram features from the raw payload.
 
@@ -128,6 +142,9 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
         from calp_cva_tracking_pipeline_spark.operators.png_stdlib import (
             is_png,
         )
+        from calp_cva_tracking_pipeline_spark.operators.wav_stdlib import (
+            is_wav,
+        )
 
         for pdf in batches:
             feats, status = [], []
@@ -141,9 +158,15 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                         feats.append(_decode_stub(payload))
                         status.append("error")
                         continue
-                if mtype == "image" and is_png(payload):
+                if (mtype == "image" and is_png(payload)) or (
+                    mtype == "audio" and is_wav(payload)
+                ):
                     try:
-                        feats.append(_decode_image_stdlib(payload))
+                        feats.append(
+                            _decode_image_stdlib(payload)
+                            if mtype == "image"
+                            else _decode_audio_stdlib(payload)
+                        )
                         status.append("ok_stdlib")
                         continue
                     except Exception:

@@ -264,3 +264,80 @@ def test_resize_images_real_png_path(spark):
         spark.createDataFrame(rows, MEDIA_SCHEMA), width=3, height=5
     ).collect()[0]
     assert bytes(r2["payload"]) == bytes(r["payload"])
+
+
+# ---------------------------------------------------------------------------
+# stdlib WAV codec: real audio decode (RIFF + integer PCM, struct-only)
+# ---------------------------------------------------------------------------
+
+from calp_cva_tracking_pipeline_spark.operators.wav_stdlib import (
+    decode_wav,
+    encode_wav,
+    is_wav,
+    rms_envelope_features,
+)
+
+
+def test_wav_roundtrip_mono16_stereo8():
+    frames16 = struct.pack("<8h", 0, 1000, -1000, 32767, -32768, 5, -5, 0)
+    blob = encode_wav(16000, 1, 2, frames16)
+    assert is_wav(blob)
+    assert decode_wav(blob) == (16000, 1, 2, frames16)
+    frames8 = bytes([128, 255, 0, 128, 200, 56])  # 3 stereo frames
+    blob8 = encode_wav(8000, 2, 1, frames8)
+    assert decode_wav(blob8) == (8000, 2, 1, frames8)
+
+
+def test_wav_rejects_unsupported():
+    import pytest
+
+    # float PCM (tag 3)
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError):
+        decode_wav(blob)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVEtruncated")
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS definitely not wav")
+
+
+def test_wav_rms_envelope_golden():
+    # 800 samples: first half silence, second half constant 16384
+    # (half full-scale) -> bins 0-3 = 0.0, bins 4-7 = 0.5 exactly
+    frames = struct.pack("<400h", *([0] * 400)) + struct.pack(
+        "<400h", *([16384] * 400)
+    )
+    blob = encode_wav(8000, 1, 2, frames)
+    feats = rms_envelope_features(blob, bins=8)
+    assert feats[:4] == [0.0] * 4
+    for v in feats[4:]:
+        assert abs(v - 0.5) < 1e-9
+
+
+def test_wav_stereo_mono_mix():
+    # L=+2000, R=-2000 per frame -> mono mix 0 -> zero envelope
+    frames = struct.pack("<8h", *([2000, -2000] * 4))
+    feats = rms_envelope_features(encode_wav(8000, 2, 2, frames), bins=2)
+    assert feats == [0.0, 0.0]
+
+
+def test_extract_features_real_wav_path(spark):
+    frames = struct.pack("<64h", *([12000, -12000] * 32))
+    blob = encode_wav(16000, 1, 2, frames)
+    corrupt = blob[:20]  # signature ok, truncated chunks
+    rows = [
+        (30, "audio", blob, "audio/wav", None, None, 4),
+        (31, "audio", corrupt, "audio/wav", None, None, 1),
+        (32, "audio", bytes([7] * 16), "audio/wav", None, None, 1),
+    ]
+    out = extract_features(spark.createDataFrame(rows, MEDIA_SCHEMA))
+    got = {r["media_id"]: r for r in out.collect()}
+    assert got[30]["decode_ok"] == "ok_stdlib"
+    assert got[30]["feature"] == rms_envelope_features(blob, bins=8)
+    assert got[31]["decode_ok"] == "error"
+    assert got[32]["decode_ok"] == "stubbed"  # no RIFF signature
