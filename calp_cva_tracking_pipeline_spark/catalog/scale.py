@@ -11,7 +11,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from calp_cva_tracking_pipeline_spark.catalog.common import SQL_MONEY_SUM, T
+from calp_cva_tracking_pipeline_spark.catalog.common import (
+    SQL_MONEY_AVG,
+    SQL_MONEY_SUM,
+    T,
+)
 from calp_cva_tracking_pipeline_spark.functions.hashing import (
     MERSENNE_P,
     minhash_params,
@@ -911,6 +915,74 @@ SELECT doc_id,
 FROM documents
 """
 
+# ---------------------------------------------------------------------------
+# vocab induction + dataset profiling (round 6 additions)
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_K = 200
+
+
+def tx_vocab(spark, sf_dir):
+    """Corpus token-frequency table (operators.textops.vocab_frequencies):
+    the BPE/vocab-induction front end — top-K lowercased whitespace tokens
+    by total frequency with document frequency, deterministic
+    (tf desc, token asc) cut."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        vocab_frequencies,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return vocab_frequencies(d, "doc_id", top_k=VOCAB_TOP_K)
+
+
+TX_VOCAB_SQL = rf"""
+WITH exploded AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents)
+SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM exploded
+WHERE token <> ''
+GROUP BY token
+ORDER BY tf DESC, token
+LIMIT {VOCAB_TOP_K}
+"""
+
+
+PF_COLS = ["l_discount", "l_extendedprice", "l_quantity"]
+
+
+def pf_profile(spark, sf_dir):
+    """One-scan dataset profile (operators.profiling.profile_columns):
+    per-column n / nulls / min / max / decimal-exact mean / exact median,
+    long format. The oracle pins the exact-median variant; at full corpus
+    scale callers flip exact_median=False for the sketch-based
+    approx_percentile with the identical plan shape."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        profile_columns,
+    )
+
+    li = T(spark, sf_dir, "lineitem")
+    return profile_columns(li, PF_COLS)
+
+
+def _pf_col_sql(c: str) -> str:
+    return f"""
+SELECT '{c}' AS col_name,
+       COUNT({c}) AS n,
+       COUNT(*) - COUNT({c}) AS n_null,
+       ROUND(CAST(MIN({c}) AS DOUBLE), 6) AS min,
+       ROUND(CAST(MAX({c}) AS DOUBLE), 6) AS max,
+       ROUND({SQL_MONEY_AVG(c)}, 6) AS mean,
+       ROUND(CAST(quantile_cont({c}, 0.5) AS DOUBLE), 6) AS p50
+FROM lineitem"""
+
+
+PF_PROFILE_SQL = (
+    "\nUNION ALL\n".join(_pf_col_sql(c) for c in PF_COLS)
+    + "\nORDER BY col_name\n"
+)
+
 
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
@@ -938,4 +1010,6 @@ SCALE_QUERIES = {
     # entries 51+ — beyond the gate: rows-only / local-parity verification
     "pk_sequences": (pk_sequences, None),
     "pk_pack_audit": (pk_pack_audit, PK_AUDIT_SQL),
+    "tx_vocab": (tx_vocab, TX_VOCAB_SQL),
+    "pf_profile": (pf_profile, PF_PROFILE_SQL),
 }

@@ -273,3 +273,47 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": document_fingerprint(t),
         }
     )
+
+
+def vocab_frequencies(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    top_k: int = 200,
+) -> DataFrame:
+    """Corpus token-frequency table → (token, tf, df): the front end of
+    BPE/vocab induction and the standard corpus-health report (a vocab
+    whose head is boilerplate markup flags extraction bugs before any
+    training run).
+
+    Tokens are lowercased whitespace words; ``tf`` is total occurrences,
+    ``df`` the number of distinct documents containing the token. Top
+    ``top_k`` by (tf desc, token asc) — a total order, so the cut is
+    deterministic on both engines.
+
+    Scale shape: explode → groupBy(token) is the canonical map-side-
+    combine aggregation (partial counts before the shuffle); the df
+    count shuffles distinct (token, id) pairs — narrow rows, never text.
+    The final top-k is a TakeOrderedAndProject over the aggregated vocab
+    (vocab cardinality, not corpus cardinality). Null texts explode to
+    zero rows; empty strings are filtered before grouping.
+    """
+    toks = (
+        spread_small_input(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.count_distinct(F.col("__id")).alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(top_k)
+    )

@@ -1,0 +1,75 @@
+"""Edge-case unit tests for the round-6 corpus operators: vocab induction
+(textops.vocab_frequencies) and one-scan profiling
+(profiling.profile_columns). The oracle parity suite proves them against
+DuckDB on real testdata; these pin the hand-computable corners."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from calp_cva_tracking_pipeline_spark.operators.profiling import (
+    profile_columns,
+)
+from calp_cva_tracking_pipeline_spark.operators.textops import (
+    vocab_frequencies,
+)
+
+
+def test_vocab_counts_and_deterministic_cut(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="The cat and the DOG"),
+            Row(doc_id=2, text="the dog runs"),
+            Row(doc_id=3, text=None),  # null text contributes nothing
+            Row(doc_id=4, text="   "),  # blank text contributes nothing
+        ]
+    )
+    rows = vocab_frequencies(df, "doc_id", top_k=3).collect()
+    # tf: the=3, dog=2, others=1; top-3 tie between and/cat broken asc
+    assert [(r.token, r.tf, r.df) for r in rows] == [
+        ("the", 3, 2),
+        ("dog", 2, 2),
+        ("and", 1, 1),
+    ]
+
+
+def test_vocab_df_counts_distinct_docs_not_occurrences(spark):
+    df = spark.createDataFrame([Row(doc_id=7, text="go go go go")])
+    rows = vocab_frequencies(df, "doc_id", top_k=10).collect()
+    assert [(r.token, r.tf, r.df) for r in rows] == [("go", 4, 1)]
+
+
+def test_profile_golden_stats(spark):
+    df = spark.createDataFrame(
+        [
+            Row(a=1.0, b=10.0),
+            Row(a=2.0, b=None),
+            Row(a=3.0, b=30.0),
+            Row(a=4.0, b=None),
+        ]
+    )
+    got = {r.col_name: r for r in profile_columns(df, ["a", "b"]).collect()}
+    assert list(got) == ["a", "b"]
+    assert (got["a"].n, got["a"].n_null) == (4, 0)
+    assert (got["b"].n, got["b"].n_null) == (2, 2)
+    assert (got["a"].min, got["a"].max) == (1.0, 4.0)
+    assert got["a"].mean == 2.5
+    assert got["a"].p50 == 2.5  # exact interpolated median of 1,2,3,4
+    assert got["b"].p50 == 20.0  # nulls excluded from the median
+
+
+def test_profile_approx_variant_same_shape(spark):
+    df = spark.createDataFrame([Row(a=float(i)) for i in range(101)])
+    exact = profile_columns(df, ["a"]).collect()[0]
+    approx = profile_columns(df, ["a"], exact_median=False).collect()[0]
+    assert exact.p50 == 50.0
+    # sketch median must land within the value range and close at this n
+    assert abs(approx.p50 - 50.0) <= 1.0
+    assert exact.n == approx.n == 101
+
+
+def test_profile_rejects_empty_cols(spark):
+    df = spark.createDataFrame([Row(a=1.0)])
+    with pytest.raises(ValueError):
+        profile_columns(df, [])
