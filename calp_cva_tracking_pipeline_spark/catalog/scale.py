@@ -984,6 +984,34 @@ PF_PROFILE_SQL = (
 )
 
 
+def emb_dim_stats(spark, sf_dir):
+    """Per-dimension embedding health stats (operators.linalg.dim_stats):
+    the pre-ANN sanity pass — a dead (std≈0) or exploding dimension flags
+    a bad encoder run before index build. posexplode → groupBy(dim): d
+    groups total, map-side combined."""
+    from calp_cva_tracking_pipeline_spark.operators.linalg import dim_stats
+
+    e = T(spark, sf_dir, "embeddings")
+    return dim_stats(e, "embedding")
+
+
+EMB_DIM_STATS_SQL = """
+WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+idx AS (
+  SELECT vec, unnest(generate_series(1, len(vec))) AS i FROM v)
+SELECT CAST(i - 1 AS INT) AS dim,
+       COUNT(*) AS n,
+       ROUND(AVG(vec[i]), 6) AS mean,
+       ROUND(SQRT(AVG(vec[i] * vec[i]) - AVG(vec[i]) * AVG(vec[i])), 6)
+         AS std,
+       ROUND(MIN(vec[i]), 6) AS min,
+       ROUND(MAX(vec[i]), 6) AS max
+FROM idx
+GROUP BY i
+ORDER BY dim
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -1012,4 +1040,5 @@ SCALE_QUERIES = {
     "pk_pack_audit": (pk_pack_audit, PK_AUDIT_SQL),
     "tx_vocab": (tx_vocab, TX_VOCAB_SQL),
     "pf_profile": (pf_profile, PF_PROFILE_SQL),
+    "emb_dim_stats": (emb_dim_stats, EMB_DIM_STATS_SQL),
 }

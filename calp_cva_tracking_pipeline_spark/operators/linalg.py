@@ -1,0 +1,158 @@
+"""Distributed embedding linear algebra: dimension stats, covariance,
+PCA whitening.
+
+The preprocessing tier ANN search and embedding dedup want in front of
+them: per-dimension health stats (a dead or exploding dimension flags a
+bad encoder run before anything downstream), the corpus covariance, and
+the PCA-whitening transform that makes isotropic-distance methods (IVF
+cells, hyperplane LSH, cosine near-dup) behave on anisotropic encoders.
+
+Scale shape: everything reduces to ONE pass over the corpus producing
+O(d²) accumulators — never O(rows) driver state:
+
+- ``dim_stats``: posexplode → groupBy(dim) — d groups total, map-side
+  combined.
+- ``embedding_covariance``: per-Arrow-batch numpy ``Xᵀ·X`` partials via
+  mapInPandas (one (count, sums, flat d×d) row per batch), then
+  posexplode → groupBy(index) — a d²-row aggregation, so the corpus
+  contributes exactly one narrow partial row per batch to the shuffle.
+- ``pca_whiten``: eigendecomposition of the d×d covariance on the driver
+  (numpy, microseconds for embedding-sized d) → broadcast projection
+  matrix → one vectorized matmul pandas_udf over the corpus.
+
+The d×d driver step is principled: covariance is a sufficient statistic,
+so the driver never sees data volume — the same shape as IVF's
+driver-held centroid count or a broadcast dimension table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dim_stats(df: DataFrame, vec_col: str, round_to: int = 6) -> DataFrame:
+    """→ (dim, n, mean, std, min, max) per embedding dimension, ordered by
+    dim. Population std (divide by n), rounded for cross-engine hashing.
+    Null vectors contribute nothing (posexplode of null yields no rows)."""
+    exploded = df.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "__v")
+    ).select("dim", F.col("__v").cast("double").alias("__v"))
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count("__v").alias("n"),
+            F.round(F.avg("__v"), round_to).alias("mean"),
+            F.round(
+                F.sqrt(F.avg(F.col("__v") * F.col("__v")) - F.avg("__v") * F.avg("__v")),
+                round_to,
+            ).alias("std"),
+            F.round(F.min("__v"), round_to).alias("min"),
+            F.round(F.max("__v"), round_to).alias("max"),
+        )
+        .orderBy("dim")
+    )
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str, dim: int
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """→ (n, mean[d], cov[d,d]) of the corpus embeddings, computed with one
+    distributed pass. Rows with null/mis-sized vectors are skipped.
+
+    This is the package's ONE deliberate driver materialization: the
+    ``collect()`` below fetches exactly d² + d + 1 AGGREGATED values — a
+    sufficient statistic whose size is fixed by the embedding width and
+    independent of corpus size (64-dim → 33 KB whether the corpus is 1k
+    rows or 100 TB). The eigendecomposition that consumes it has no
+    distributed formulation and no business having one at d×d scale; this
+    is the same driver-size class as holding IVF centroid counts or a
+    broadcast dimension, not a corpus funnel."""
+    flat_len = dim * dim
+
+    def partials(batches):
+        for pdf in batches:
+            vecs = [
+                v for v in pdf[vec_col]
+                if v is not None and len(v) == dim
+            ]
+            if not vecs:
+                continue
+            x = np.asarray(vecs, dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(vecs)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "xx": [(x.T @ x).reshape(flat_len).tolist()],
+                }
+            )
+
+    schema = "n long, s array<double>, xx array<double>"
+    part = df.select(vec_col).mapInPandas(partials, schema)
+    # combine partials declaratively: explode both accumulator arrays to
+    # (idx, val) and sum — d + d² groups, one narrow row per batch partial
+    n_total = part.agg(F.sum("n")).collect()[0][0] or 0
+    if n_total == 0:
+        raise ValueError("embedding_covariance: no valid vectors")
+    sums = (
+        part.select(F.posexplode("s").alias("i", "v"))
+        .groupBy("i").agg(F.sum("v").alias("v")).orderBy("i").collect()
+    )
+    xxs = (
+        part.select(F.posexplode("xx").alias("i", "v"))
+        .groupBy("i").agg(F.sum("v").alias("v")).orderBy("i").collect()
+    )
+    mean = np.array([r["v"] for r in sums]) / n_total
+    exx = np.array([r["v"] for r in xxs]).reshape(dim, dim) / n_total
+    cov = exx - np.outer(mean, mean)
+    return int(n_total), mean, cov
+
+
+def pca_whiten(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    k: int | None = None,
+    eps: float = 1e-9,
+    out_col: str | None = None,
+    stats: tuple[int, np.ndarray, np.ndarray] | None = None,
+) -> DataFrame:
+    """Append ``out_col`` (default: replaces ``vec_col``) with the
+    PCA-whitened embedding: y = diag(1/√(λ+eps)) · Eᵀ · (x − μ), keeping
+    the top ``k`` components (default all). After the transform the corpus
+    has identity covariance on the kept components — the precondition that
+    makes Euclidean/cosine structure isotropic for IVF/LSH.
+
+    Eigenvectors' sign is fixed deterministically (largest-|component|
+    entry made positive) so the transform is reproducible across runs —
+    numpy's eigh sign is otherwise arbitrary. Pass precomputed ``stats``
+    (from ``embedding_covariance``) to reuse one corpus pass across many
+    transforms."""
+    k = k or dim
+    out_col = out_col or vec_col
+    n, mean, cov = stats or embedding_covariance(df, vec_col, dim)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:k]
+    lam, e = eigvals[order], eigvecs[:, order]
+    flips = np.sign(e[np.abs(e).argmax(axis=0), np.arange(k)])
+    flips[flips == 0] = 1.0
+    e = e * flips
+    w = (e / np.sqrt(lam + eps)).T  # (k, d): y = W @ (x - mu)
+    w_list = w.tolist()
+    mu_list = mean.tolist()
+
+    @F.pandas_udf("array<double>")
+    def transform(vs: pd.Series) -> pd.Series:
+        wm = np.asarray(w_list)
+        mu = np.asarray(mu_list)
+        out = []
+        for v in vs:
+            if v is None or len(v) != len(mu):
+                out.append(None)
+                continue
+            out.append((wm @ (np.asarray(v, dtype=np.float64) - mu)).tolist())
+        return pd.Series(out)
+
+    return df.withColumn(out_col, transform(F.col(vec_col)))
