@@ -70,6 +70,12 @@ HEADLINE = [
     "tj_asof_join",
     "dd_decontam",
     "rt_rollup_hierarchy",
+    # round 6 additions (ditto for r5 totals), each a distinct cost class:
+    # explode + count-distinct vocab agg, single-pass profiling with
+    # percentile buffering, per-dimension embedding stats
+    "tx_vocab",
+    "pf_profile",
+    "emb_dim_stats",
 ]
 
 

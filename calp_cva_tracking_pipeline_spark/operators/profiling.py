@@ -1,28 +1,76 @@
-"""Dataset profiling: per-column statistics in ONE scan.
+"""Dataset profiling: per-column statistics in ONE scan (plus a
+histogram pass for exact medians).
 
 The pre-training sanity pass every 100 TB ingest needs — null rates, value
 ranges, central tendency — emitted long-format (one row per column) so the
 report is schema-stable regardless of how many columns are profiled.
 
-Scale shape: all statistics for all columns compute in a single global
-aggregation (Catalyst partial-aggregates each one map-side; one exchange of
-ONE row), then a constant-width projection unpivots to long form — the scan
-is the entire cost. The exact median (``percentile``) buffers each column's
-values per partial aggregate, which is fine for profiling runs on samples
-or single tables; pass ``exact_median=False`` at full-corpus scale to use
-``approx_percentile`` (t-digest-style sketch, bounded memory) — the oracle
-twin pins the exact variant, the approx variant is plan-identical except
-for the aggregate function.
+Scale shape, measured not guessed (bench round 6): Spark's builtin exact
+``percentile`` aggregate is an ObjectHashAggregate — it buffers every
+value row-at-a-time OUTSIDE whole-stage codegen, and profiled 3 columns
+of sf0.1 lineitem in 2.76s with an 8.6× sf-scaling ratio (value-buffering
+is data-bound). The exact median here instead uses the histogram method:
+
+- one codegen'd hash aggregation computes (col, value) → count — the
+  shuffle carries DISTINCT values per column, not rows;
+- a per-column window over the (small) histogram accumulates counts and
+  selects the two straddling values; linear interpolation matches
+  ``percentile_cont`` exactly.
+
+Cost is O(distinct values) after the scan — trivial for discrete
+columns, row-sized only for genuinely continuous ones; for those at full
+corpus scale pass ``exact_median=False`` to use ``approx_percentile``'s
+bounded sketch inside the single-pass aggregate. The DuckDB oracle pins
+the exact variant (quantile_cont).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from calp_cva_tracking_pipeline_spark.functions.numeric import money_avg
 
 _STATS = ("n", "n_null", "min", "max", "mean", "p50")
+
+
+def _exact_medians(df: DataFrame, cols: list[str]) -> DataFrame:
+    """→ (col_name, p50) via the value-histogram method: exact
+    percentile_cont(0.5) semantics with no per-row aggregation buffers."""
+    stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+    long = df.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, val)")
+    ).filter(F.col("val").isNotNull())
+    hist = long.groupBy("col_name", "val").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("col_name").orderBy("val")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    tot = hist.groupBy("col_name").agg(F.sum("cnt").alias("n"))
+    j = cum.join(tot, "col_name")
+    # 0-based fractional index of the interpolated median; the element at
+    # index k lives in the histogram row with cum - cnt <= k < cum
+    idx = (F.col("n") - 1) / 2.0
+    lo_i, hi_i = F.floor(idx), F.ceil(idx)
+    pick = lambda i: F.max(  # noqa: E731 — tiny aggregate selector
+        F.when(
+            ((F.col("cum") - F.col("cnt")) <= i) & (i < F.col("cum")),
+            F.col("val"),
+        )
+    )
+    return (
+        j.groupBy("col_name")
+        .agg(
+            pick(lo_i).alias("__lo"),
+            pick(hi_i).alias("__hi"),
+            F.first((idx - lo_i)).alias("__frac"),
+        )
+        .select(
+            "col_name",
+            (
+                F.col("__lo")
+                + F.col("__frac") * (F.col("__hi") - F.col("__lo"))
+            ).alias("p50"),
+        )
+    )
 
 
 def profile_columns(
@@ -38,11 +86,6 @@ def profile_columns(
     aggs = []
     for c in cols:
         col = F.col(c)
-        med = (
-            F.percentile(col, F.lit(0.5))
-            if exact_median
-            else F.expr(f"approx_percentile({c}, 0.5d, 10000)")
-        )
         aggs.extend(
             [
                 F.count(col).alias(f"{c}__n"),
@@ -50,15 +93,24 @@ def profile_columns(
                 F.round(F.min(col), 6).alias(f"{c}__min"),
                 F.round(F.max(col), 6).alias(f"{c}__max"),
                 F.round(money_avg(c), 6).alias(f"{c}__mean"),
-                F.round(med, 6).alias(f"{c}__p50"),
             ]
+            + (
+                []
+                if exact_median
+                else [
+                    F.round(
+                        F.expr(f"approx_percentile(`{c}`, 0.5d, 10000)"), 6
+                    ).alias(f"{c}__p50")
+                ]
+            )
         )
     wide = df.agg(*aggs)
+    base_stats = [s for s in _STATS if s != "p50" or not exact_median]
     stack_args = ", ".join(
         "'{c}', {fields}".format(
             c=c,
             fields=", ".join(
-                f"cast(`{c}__{s}` as double)" for s in _STATS
+                f"cast(`{c}__{s}` as double)" for s in base_stats
             ),
         )
         for c in cols
@@ -66,9 +118,14 @@ def profile_columns(
     stacked = wide.select(
         F.expr(
             f"stack({len(cols)}, {stack_args}) AS "
-            f"(col_name, {', '.join(_STATS)})"
+            f"(col_name, {', '.join(base_stats)})"
         )
     )
+    if exact_median:
+        med = _exact_medians(df, cols).withColumn(
+            "p50", F.round("p50", 6)
+        )
+        stacked = stacked.join(F.broadcast(med), "col_name", "left")
     return stacked.select(
         "col_name",
         F.col("n").cast("bigint").alias("n"),
