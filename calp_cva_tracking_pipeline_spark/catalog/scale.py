@@ -1012,6 +1012,43 @@ ORDER BY dim
 """
 
 
+# recipe over the testdata's source tags: keep all of src0, three
+# quarters of src1, a quarter of src2, drop the rest (default 0.0)
+MIXTURE_FRACTIONS = {"src0": 1.0, "src1": 0.75, "src2": 0.25}
+MIXTURE_SEED = 7
+
+
+def mx_mixture(spark, sf_dir):
+    """Deterministic data-mixture sampling (operators.sampling.
+    mixture_sample): per-source keep fractions as a pure hash function of
+    (doc_id, seed), so the training recipe is reproducible under any
+    partitioning AND oracle-verifiable row-for-row — the md5-derived
+    bucket has an exact DuckDB twin. Sources outside the recipe drop."""
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    out = mixture_sample(
+        d, "source", MIXTURE_FRACTIONS, "doc_id", seed=MIXTURE_SEED
+    )
+    return out.select("doc_id", "source", "lang")
+
+
+_MX_CASE = " ".join(
+    f"WHEN source = '{k}' THEN {int(f * 1_000_000)}"
+    for k, f in MIXTURE_FRACTIONS.items()
+)
+
+MX_MIXTURE_SQL = f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE {_sql_hash60(f"(CAST(doc_id AS VARCHAR) || ':{MIXTURE_SEED}')")}
+      % 1000000
+      < (CASE {_MX_CASE} ELSE 0 END)
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -1041,4 +1078,5 @@ SCALE_QUERIES = {
     "tx_vocab": (tx_vocab, TX_VOCAB_SQL),
     "pf_profile": (pf_profile, PF_PROFILE_SQL),
     "emb_dim_stats": (emb_dim_stats, EMB_DIM_STATS_SQL),
+    "mx_mixture": (mx_mixture, MX_MIXTURE_SQL),
 }

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from calp_cva_tracking_pipeline_spark.functions.hashing import stable_hash64
+
 
 def stratified_split(
     df: DataFrame,
@@ -178,3 +180,47 @@ def sample_per_key(
         .filter(F.col("__rank") <= n)
         .drop("__rank")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic data-mixture sampling: keep each key's rows at its
+    target fraction — the "data recipe" step that turns raw source
+    proportions into a training mixture (upweight curated sources,
+    cap crawl).
+
+    Membership is a pure function of (id, seed): keep iff
+    ``stable_hash64(id || ':' || seed) % 1e6 < fraction * 1e6`` — so the
+    sample is reproducible under any partitioning/re-run, monotone in the
+    fraction (raising 0.2 → 0.3 only ADDS rows — incremental recipe
+    changes don't resample the corpus), and engine-portable: the
+    md5-derived hash has an exact DuckDB twin, so the sample is
+    oracle-verifiable row-for-row (catalog ``mx_mixture``), unlike
+    RNG-based ``sample()`` whose draw depends on partition layout.
+
+    Keys absent from ``fractions`` keep ``default_fraction`` (0.0 = drop
+    unlisted sources, 1.0 = pass through). Fractions are exact in
+    expectation over the hash's uniformity; for million-row sources the
+    realized fraction is within ~0.1% of target.
+
+    Scale shape: one narrow filter projection — no shuffle, no state;
+    the when-chain over sources compiles into the scan filter.
+    """
+    for k, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction out of [0,1] for {k!r}: {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction out of [0,1]: {default_fraction}")
+    frac = F.lit(default_fraction)
+    for k, f in fractions.items():
+        frac = F.when(F.col(key_col) == k, F.lit(f)).otherwise(frac)
+    bucket = stable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    ) % F.lit(1_000_000)
+    return df.filter(bucket < (frac * 1_000_000).cast("long"))

@@ -184,3 +184,73 @@ def test_sample_per_key_deterministic_cap(spark):
     assert ids(a) != ids(c)
     small = sample_per_key(df.limit(20), "source", 50, id_col="doc_id")
     assert small.count() == 20
+
+
+def test_mixture_sample_deterministic_and_monotone(spark):
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "web" if i % 2 else "wiki") for i in range(2000)],
+        "doc_id bigint, source string",
+    )
+    kept = mixture_sample(
+        df, "source", {"web": 0.5, "wiki": 0.2}, "doc_id", seed=3
+    )
+    ids = {r.doc_id for r in kept.collect()}
+    # deterministic under repartitioning: identical survivor set
+    ids2 = {
+        r.doc_id
+        for r in mixture_sample(
+            df.repartition(13), "source", {"web": 0.5, "wiki": 0.2},
+            "doc_id", seed=3,
+        ).collect()
+    }
+    assert ids == ids2
+    # realized fractions near targets (hash uniformity; 1000 rows/source)
+    n_web = sum(1 for i in ids if i % 2)
+    n_wiki = sum(1 for i in ids if not i % 2)
+    assert abs(n_web / 1000 - 0.5) < 0.06
+    assert abs(n_wiki / 1000 - 0.2) < 0.06
+    # monotone: raising a fraction only ADDS rows
+    bigger = {
+        r.doc_id
+        for r in mixture_sample(
+            df, "source", {"web": 0.8, "wiki": 0.2}, "doc_id", seed=3
+        ).collect()
+    }
+    assert ids <= bigger
+    # different seed redraws
+    redraw = {
+        r.doc_id
+        for r in mixture_sample(
+            df, "source", {"web": 0.5, "wiki": 0.2}, "doc_id", seed=4
+        ).collect()
+    }
+    assert redraw != ids
+
+
+def test_mixture_sample_default_fraction_and_validation(spark):
+    import pytest
+
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b")], "doc_id bigint, source string"
+    )
+    # unlisted sources drop by default...
+    assert mixture_sample(df, "source", {"a": 1.0}, "doc_id").count() == 1
+    # ...or pass through with default_fraction=1.0
+    assert (
+        mixture_sample(
+            df, "source", {"a": 1.0}, "doc_id", default_fraction=1.0
+        ).count()
+        == 3
+    )
+    with pytest.raises(ValueError):
+        mixture_sample(df, "source", {"a": 1.5}, "doc_id")
+    with pytest.raises(ValueError):
+        mixture_sample(df, "source", {}, "doc_id", default_fraction=-0.1)
