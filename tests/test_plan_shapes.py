@@ -150,3 +150,41 @@ def test_catalog_wide_no_cartesian_no_row_python(spark, sf_dir):
         if problems:
             bad[name] = problems
     assert not bad, f"plan regressions: {bad}"
+
+
+def test_pf_profile_stats_stay_codegen_not_object_hash(spark, sf_dir):
+    # Round-6 lesson, enforced: the exact median must come from the
+    # value-histogram pass (codegen'd HashAggregates + a windowed running
+    # count), never Spark's builtin exact `percentile` — that aggregate is
+    # an ObjectHashAggregate buffering every value row-at-a-time outside
+    # codegen (measured 2.76s -> 0.63s at sf0.1, scaling ratio 8.6 -> 2.7).
+    plan = _executed(S.pf_profile(spark, sf_dir))
+    assert "ObjectHashAggregate" not in plan
+    assert "percentile(" not in plan
+
+
+def test_vocab_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    # the deterministic cut must plan as TakeOrderedAndProject over the
+    # aggregated vocab (per-partition top-k + tiny merge), never a global
+    # Sort of the vocab followed by a limit
+    plan = _executed(S.tx_vocab(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # scan prunes to the two referenced columns
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_mixture_sample_is_pure_scan_filter(spark, sf_dir):
+    # membership is a hash-threshold filter: no exchange, no window, no
+    # python — the whole operator must live in the scan's stage
+    plan = _executed(S.mx_mixture(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Python" not in plan
+
+
+def test_emb_dim_stats_single_keyed_exchange(spark, sf_dir):
+    # posexplode -> groupBy(dim): exactly one hash exchange (d groups),
+    # partial aggregation before it
+    plan = _executed(S.emb_dim_stats(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan.lower()
