@@ -10,6 +10,7 @@ the Spark-native analog of the reference's one-CSV-per-year incremental cache
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 NULL_TOKENS = ["", "n/a", "--", "NULL", "NA"]
 
@@ -161,3 +162,49 @@ def cached_table(
     if force or not exists:
         build().write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    shard_col: str | None = None,
+    sort_cols: list[str] | None = None,
+    compression: str = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """Training-shard JSONL sink: the interchange format every dataloader
+    speaks (one JSON object per line, gzip-splittable at file granularity
+    — loaders parallelize over shard FILES, so file count IS the read
+    parallelism knob).
+
+    ``shard_col`` routes rows to shards by hash of that column (keeps a
+    pack's members — packing.pack_sequences' ``pack_id`` — in one shard
+    file so the dataloader never joins across files); otherwise rows
+    round-robin via repartition(num_shards). ``sort_cols`` orders rows
+    WITHIN each shard (sortWithinPartitions — no global sort) so packs
+    stream out contiguously. Round-robin yields exactly ``num_shards``
+    files; hash routing yields at most that many (hash collisions can
+    leave a shard slot empty, and empty partitions write no file —
+    irrelevant beyond toy key counts).
+    """
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive: {num_shards}")
+    if shard_col:
+        out = df.repartition(num_shards, F.col(shard_col))
+    else:
+        out = df.repartition(num_shards)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode(mode).option("compression", compression).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSONL reader twin of ``write_training_shards``. Pass the schema
+    whenever it is known: schema inference is a full extra pass over the
+    data (and gzip files decompress twice) — never acceptable at corpus
+    scale."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -577,3 +577,55 @@ def test_events_ts_encodings_normalize(spark, tmp_path):
             for r in df.select("ts").collect()
         )
         assert got == expect, label
+
+
+def test_training_shard_jsonl_roundtrip(spark, tmp_path):
+    from calp_cva_tracking_pipeline_spark.sources.files import (
+        read_jsonl,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 4, f"doc {i}") for i in range(100)],
+        "doc_id bigint, pack_id bigint, text string",
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(
+        df, path, num_shards=4, shard_col="pack_id", sort_cols=["doc_id"]
+    )
+    import glob
+
+    files = glob.glob(f"{path}/part-*.json.gz")
+    # hash routing: at most num_shards files (collisions may empty a slot)
+    assert 1 <= len(files) <= 4
+    back = read_jsonl(
+        spark, path, schema="doc_id bigint, pack_id bigint, text string"
+    )
+    assert back.count() == 100
+    assert {r.doc_id for r in back.collect()} == set(range(100))
+    # shard routing: each pack's rows live in exactly one shard file
+    import gzip
+    import json
+
+    pack_files = {}
+    for fp in files:
+        with gzip.open(fp, "rt") as fh:
+            for line in fh:
+                pack_files.setdefault(json.loads(line)["pack_id"], set()).add(fp)
+    assert all(len(fps) == 1 for fps in pack_files.values())
+    # round-robin (no shard_col) yields exactly num_shards files
+    rr_path = str(tmp_path / "rr")
+    write_training_shards(df, rr_path, num_shards=4)
+    assert len(glob.glob(f"{rr_path}/part-*.json.gz")) == 4
+
+
+def test_training_shards_validation(spark):
+    import pytest
+
+    from calp_cva_tracking_pipeline_spark.sources.files import (
+        write_training_shards,
+    )
+
+    df = spark.range(5)
+    with pytest.raises(ValueError):
+        write_training_shards(df, "/tmp/x", num_shards=0)
