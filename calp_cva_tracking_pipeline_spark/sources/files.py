@@ -164,7 +164,7 @@ def cached_table(
     return spark.read.parquet(path)
 
 
-def write_training_shards(
+def write_jsonl_shards(
     df: DataFrame,
     path: str,
     num_shards: int,
@@ -173,8 +173,9 @@ def write_training_shards(
     compression: str = "gzip",
     mode: str = "overwrite",
 ) -> None:
-    """Training-shard JSONL sink: the interchange format every dataloader
-    speaks (one JSON object per line, gzip-splittable at file granularity
+    """Training-shard JSONL sink (the parquet-shard variant for
+    Spark-native consumers is plans.corpus.write_training_shards): the
+    interchange format every dataloader speaks (one JSON object per line, gzip-splittable at file granularity
     — loaders parallelize over shard FILES, so file count IS the read
     parallelism knob).
 
@@ -200,7 +201,7 @@ def write_training_shards(
 
 
 def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
-    """JSONL reader twin of ``write_training_shards``. Pass the schema
+    """JSONL reader twin of ``write_jsonl_shards``. Pass the schema
     whenever it is known: schema inference is a full extra pass over the
     data (and gzip files decompress twice) — never acceptable at corpus
     scale."""

@@ -582,7 +582,7 @@ def test_events_ts_encodings_normalize(spark, tmp_path):
 def test_training_shard_jsonl_roundtrip(spark, tmp_path):
     from calp_cva_tracking_pipeline_spark.sources.files import (
         read_jsonl,
-        write_training_shards,
+        write_jsonl_shards,
     )
 
     df = spark.createDataFrame(
@@ -590,7 +590,7 @@ def test_training_shard_jsonl_roundtrip(spark, tmp_path):
         "doc_id bigint, pack_id bigint, text string",
     )
     path = str(tmp_path / "shards")
-    write_training_shards(
+    write_jsonl_shards(
         df, path, num_shards=4, shard_col="pack_id", sort_cols=["doc_id"]
     )
     import glob
@@ -615,7 +615,7 @@ def test_training_shard_jsonl_roundtrip(spark, tmp_path):
     assert all(len(fps) == 1 for fps in pack_files.values())
     # round-robin (no shard_col) yields exactly num_shards files
     rr_path = str(tmp_path / "rr")
-    write_training_shards(df, rr_path, num_shards=4)
+    write_jsonl_shards(df, rr_path, num_shards=4)
     assert len(glob.glob(f"{rr_path}/part-*.json.gz")) == 4
 
 
@@ -623,9 +623,9 @@ def test_training_shards_validation(spark):
     import pytest
 
     from calp_cva_tracking_pipeline_spark.sources.files import (
-        write_training_shards,
+        write_jsonl_shards,
     )
 
     df = spark.range(5)
     with pytest.raises(ValueError):
-        write_training_shards(df, "/tmp/x", num_shards=0)
+        write_jsonl_shards(df, "/tmp/x", num_shards=0)
