@@ -259,3 +259,89 @@ def test_rag_ingest_chunk_embed_retrieve_roundtrip(spark, sf_dir):
             n.split("#")[0] == qk.split("#")[0] for n in top2
         ), f"non-sibling in top-2 of {qk}: {sorted(ranked)}"
     embedded.unpersist()
+
+
+def test_full_training_recipe_composition(spark, tmp_path):
+    """The whole round-6 recipe, composed end-to-end: mixture -> curate
+    (gates + dedup + decontam) -> deterministic shuffle -> token-budget
+    packing -> JSONL shard export -> schema-pinned read-back. Asserts the
+    contract at every boundary AND end-to-end determinism under a
+    different input partitioning."""
+    from calp_cva_tracking_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        mixture_sample,
+    )
+    from calp_cva_tracking_pipeline_spark.plans.corpus import shuffle_corpus
+    from calp_cva_tracking_pipeline_spark.sources.files import (
+        read_jsonl,
+        write_jsonl_shards,
+    )
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows = [
+        (
+            i,
+            " ".join(words[(i + j) % len(words)] for j in range(12 + i % 9)),
+            "keep" if i % 3 else "drop_src",
+        )
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    bench = spark.createDataFrame(
+        [(0, rows[1][1])], ["bid", "text"]  # doc 1's text is benchmark
+    )
+
+    def run(df):
+        mixed = mixture_sample(
+            df, "source", {"keep": 0.9}, "doc_id", seed=11
+        )
+        curated = curate_corpus(
+            mixed, min_quality=0.0, min_tokens=5,
+            benchmark=bench, decontam_ngram=5,
+        )
+        packed = pack_sequences(
+            shuffle_corpus(curated, seed=5), "doc_id",
+            budget=64, num_shards=4,
+        )
+        return mixed, curated, packed
+
+    mixed, curated, packed = run(docs)
+    n_mixed, n_curated = mixed.count(), curated.count()
+    assert 0 < n_mixed < 120  # drop_src gone, keep sampled at 0.9
+    assert {r.source for r in mixed.select("source").distinct().collect()} == {"keep"}
+    assert 0 < n_curated < n_mixed  # dedup/decontam removed something
+    # benchmark text never survives curation
+    assert curated.filter(F.col("doc_id") == 1).count() == 0
+    packs = packed.collect()
+    assert len(packs) == n_curated  # packing drops nothing
+    by_pack = {}
+    for r in packs:
+        by_pack.setdefault(r["pack_id"], 0)
+        by_pack[r["pack_id"]] += r["n_tokens"]
+    assert all(
+        t <= 64 or len([x for x in packs if x["pack_id"] == p]) == 1
+        for p, t in by_pack.items()
+    )
+
+    # shard export round-trip: pack members colocated per file
+    path = str(tmp_path / "recipe_shards")
+    write_jsonl_shards(
+        packed, path, num_shards=3, shard_col="pack_id",
+        sort_cols=["pack_id", "id"],
+    )
+    back = read_jsonl(
+        spark, path,
+        schema="id bigint, n_tokens bigint, shard int, pack_id bigint, "
+               "pack_tokens bigint, oversized boolean",
+    )
+    assert back.count() == n_curated
+    assert {r.id for r in back.collect()} == {r["id"] for r in packs}
+
+    # end-to-end determinism: identical assignment from a repartitioned input
+    _, _, packed2 = run(docs.repartition(17))
+    a = sorted(tuple(r) for r in packs)
+    b = sorted(tuple(r) for r in packed2.collect())
+    assert a == b
