@@ -104,3 +104,28 @@ def test_whitening_reuses_precomputed_stats_and_nulls(spark):
     }
     assert out[4] is None  # null vector passes through as null
     assert len(out[1]) == 2
+
+
+def test_whitened_embeddings_feed_ann(spark):
+    """Tier composition: pca_whiten output (array<double>) is directly
+    consumable by the similarity tier — and whitening preserves exact
+    nearest-neighbor structure up to the transform (identity here: whiten
+    with k=dim on isotropic-ized data keeps cosine ranking well-defined)."""
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    df = _aniso_df(spark, n=60, partitions=4)
+    white = pca_whiten(df, "embedding", DIM, k=3, out_col="embedding")
+    q = white.filter("vec_id < 2")
+    out = brute_force_topk(
+        white, q, "vec_id", "embedding", "vec_id", "embedding", k=3
+    )
+    rows = out.collect()
+    assert len(rows) == 2 * 3
+    assert all(-1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9 for r in rows)
+    # deterministic ranking columns present and ranked 1..k per query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
