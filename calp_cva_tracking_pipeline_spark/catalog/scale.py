@@ -1049,6 +1049,47 @@ WHERE {_sql_hash60(f"(CAST(doc_id AS VARCHAR) || ':{MIXTURE_SEED}')")}
 """
 
 
+INCR_SPLIT_ID = 250  # docs below = "already-ingested corpus", rest = new batch
+
+
+def dd_incremental(spark, sf_dir):
+    """Incremental exact dedup (operators.dedup.dedup_incremental): the
+    new batch dedups intra-batch (min-id survivor) then anti-joins the
+    historical corpus's DIGEST STORE — history itself is never rescanned,
+    so each ingest costs O(batch), the property that makes continuous
+    100 TB ingestion affordable."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        content_digest_store,
+        dedup_incremental,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    history = content_digest_store(
+        d.filter(F.col("doc_id") < INCR_SPLIT_ID), "text"
+    )
+    new_batch = d.filter(F.col("doc_id") >= INCR_SPLIT_ID)
+    out = dedup_incremental(new_batch, history, "text", "doc_id")
+    return out.select("doc_id", "lang", "source")
+
+
+# NOT EXISTS (not NOT IN): a null digest must survive like Spark's
+# left_anti (null matches nothing), while NOT IN's null comparison would
+# drop the row.
+DD_INCREMENTAL_SQL = f"""
+WITH hist AS (
+  SELECT DISTINCT md5(text) AS digest FROM documents
+  WHERE doc_id < {INCR_SPLIT_ID} AND text IS NOT NULL),
+batch AS (
+  SELECT doc_id, lang, source, md5(text) AS d FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents WHERE doc_id >= {INCR_SPLIT_ID}) t
+  WHERE rn = 1)
+SELECT doc_id, lang, source FROM batch
+WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.digest = batch.d)
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -1079,4 +1120,5 @@ SCALE_QUERIES = {
     "pf_profile": (pf_profile, PF_PROFILE_SQL),
     "emb_dim_stats": (emb_dim_stats, EMB_DIM_STATS_SQL),
     "mx_mixture": (mx_mixture, MX_MIXTURE_SQL),
+    "dd_incremental": (dd_incremental, DD_INCREMENTAL_SQL),
 }

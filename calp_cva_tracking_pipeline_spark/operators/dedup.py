@@ -457,3 +457,42 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+
+
+def content_digest_store(df: DataFrame, text_col: str) -> DataFrame:
+    """Distinct 16-byte content digests of a corpus — the persisted state
+    incremental ingestion dedups against (single column ``digest``).
+    Persist bucketed on ``digest`` (sources.bucketed) so the per-batch
+    anti join plans shuffle-free on the store side."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"))
+        .filter(F.col("digest").isNotNull())
+        .distinct()
+    )
+
+
+def dedup_incremental(
+    new_batch: DataFrame,
+    history_digests: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact-dedup a NEW ingest batch against an already-deduped corpus
+    WITHOUT rescanning it — the 100 TB ingestion pattern: history
+    participates only through its digest store (content_digest_store),
+    so each incremental batch costs O(batch) scan + a digest join, not
+    O(corpus).
+
+    Intra-batch first (min-id survivor per digest — same semantics as
+    dedup_exact), then a left-anti join against the store on the 16-byte
+    digest. Null texts have a null digest: they survive the anti join
+    (null matches nothing, both here and in the SQL-oracle's NOT EXISTS)
+    and collapse to one min-id row intra-batch. The next store version is
+    ``history_digests ∪ content_digest_store(survivors)``.
+    """
+    batch = dedup_exact(new_batch, text_col, id_col)
+    return batch.join(
+        history_digests.withColumnRenamed("digest", "__hist_digest"),
+        F.md5(F.col(text_col)) == F.col("__hist_digest"),
+        "left_anti",
+    )

@@ -345,3 +345,42 @@ def test_full_training_recipe_composition(spark, tmp_path):
     a = sorted(tuple(r) for r in packs)
     b = sorted(tuple(r) for r in packed2.collect())
     assert a == b
+
+
+def test_incremental_dedup_two_batch_ingest(spark):
+    """Two consecutive ingest batches against an evolving digest store:
+    cross-batch dups drop, intra-batch dups collapse to min id, null
+    texts survive the anti join, and the updated store equals a from-
+    scratch store over the union."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        content_digest_store,
+        dedup_exact,
+        dedup_incremental,
+    )
+
+    b1 = _docs(spark, [(1, "aaa"), (2, "bbb"), (3, "aaa")])
+    corpus1 = dedup_exact(b1, "text", "doc_id")  # {1, 2}
+    store1 = content_digest_store(corpus1, "text")
+
+    b2 = _docs(
+        spark,
+        [
+            (10, "aaa"),   # dup of history -> dropped
+            (11, "ccc"),   # new
+            (12, "ccc"),   # intra-batch dup -> 11 survives
+            (13, None),    # null text survives (matches nothing)
+        ],
+    )
+    survivors = dedup_incremental(b2, store1, "text", "doc_id")
+    assert {r.doc_id for r in survivors.collect()} == {11, 13}
+
+    # store update law: store1 ∪ digests(survivors) == digests(full corpus)
+    store2 = store1.unionByName(
+        content_digest_store(survivors, "text")
+    ).distinct()
+    full = content_digest_store(
+        dedup_exact(b1.unionByName(b2), "text", "doc_id"), "text"
+    )
+    assert {r.digest for r in store2.collect()} == {
+        r.digest for r in full.collect()
+    }
