@@ -1072,6 +1072,71 @@ def dd_incremental(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+def dd_neardup_incr(spark, sf_dir):
+    """Incremental NEAR-dup candidates (operators.dedup.neardup_incremental):
+    the new batch's MinHash band rows probe the historical corpus's
+    persisted LSH band store (lsh_band_store) — O(batch) signature work
+    per ingest, history contributes index rows only. Output: candidate
+    pairs split into vs-history and intra-batch."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        dedup_exact,
+        lsh_band_store,
+        neardup_incremental,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    hist = dedup_exact(
+        d.filter(F.col("doc_id") < INCR_SPLIT_ID), "text", "doc_id"
+    )
+    store = lsh_band_store(hist, "doc_id", "text", NUM_HASHES, BANDS, 3)
+    batch = d.filter(F.col("doc_id") >= INCR_SPLIT_ID)
+    return neardup_incremental(
+        batch, store, "doc_id", "text", NUM_HASHES, BANDS, 3
+    )
+
+
+def _banded_cte(tag: str, where: str) -> str:
+    """Signature + banding CTE chain for a doc_id-filtered slice —
+    mirrors dedup_exact → minhash_signatures → _band_rows."""
+    bands_sql = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, array_to_string(list_slice(sig, "
+        f"{b * ROWS_PER_BAND + 1}, {(b + 1) * ROWS_PER_BAND}), ',') AS key "
+        f"FROM {tag}_sigs"
+        for b in range(BANDS)
+    )
+    return f"""
+{tag}_dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents WHERE {where}) t
+  WHERE rn = 1),
+{tag}_tok AS (
+  SELECT doc_id,
+         list_transform({_SHINGLES}, s -> {_sql_hash60('s')} % {MERSENNE_P})
+           AS hs
+  FROM {tag}_dedup),
+{tag}_sigs AS (SELECT doc_id, [{_SIG_ELEMS}] AS sig FROM {tag}_tok),
+{tag}_banded AS ({bands_sql})"""
+
+
+DD_NEARDUP_INCR_SQL = f"""
+WITH {_banded_cte('hist', f'doc_id < {INCR_SPLIT_ID}')},
+{_banded_cte('new', f'doc_id >= {INCR_SPLIT_ID}')},
+cross_pairs AS (
+  SELECT DISTINCT n.doc_id AS id_a, h.doc_id AS id_b
+  FROM new_banded n JOIN hist_banded h
+    ON n.band = h.band AND n.key = h.key),
+intra_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM new_banded a JOIN new_banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, TRUE AS vs_history FROM cross_pairs
+UNION ALL
+SELECT id_a, id_b, FALSE AS vs_history FROM intra_pairs
+"""
+
+
 # NOT EXISTS (not NOT IN): a null digest must survive like Spark's
 # left_anti (null matches nothing), while NOT IN's null comparison would
 # drop the row.
@@ -1121,4 +1186,5 @@ SCALE_QUERIES = {
     "emb_dim_stats": (emb_dim_stats, EMB_DIM_STATS_SQL),
     "mx_mixture": (mx_mixture, MX_MIXTURE_SQL),
     "dd_incremental": (dd_incremental, DD_INCREMENTAL_SQL),
+    "dd_neardup_incr": (dd_neardup_incr, DD_NEARDUP_INCR_SQL),
 }

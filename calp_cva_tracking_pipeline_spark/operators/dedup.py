@@ -147,6 +147,22 @@ def minhash_signatures(
     return sig.select("__id", F.expr(f"array({sig_array}) AS __sig"))
 
 
+def _band_rows(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(__id, band, key) LSH band rows from a signature table. One parsed
+    expression per band (same tree as the Column-API spelling, far fewer
+    py4j round trips — see minhash_signatures)."""
+    rows_per_band = num_hashes // bands
+    band_structs = ", ".join(
+        f"struct({b} AS band, array_join(transform("
+        f"slice(__sig, {b * rows_per_band + 1}, {rows_per_band}),"
+        " x -> cast(x AS string)), ',') AS key)"
+        for b in range(bands)
+    )
+    return sig_df.select(
+        "__id", F.expr(f"explode(array({band_structs})) AS b")
+    ).select("__id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -187,21 +203,10 @@ def minhash_lsh_candidates(
     page is 124,750 intra-bucket pairs unguarded versus 0 with
     pre-collapse (tests/test_pipeline_props.py pins this).
     """
-    rows_per_band = num_hashes // bands
     if pre_collapse_exact:
         df = dedup_exact(df, text_col, id_col)
     sig_df = minhash_signatures(df, id_col, text_col, num_hashes, k)
-    # one parsed expression per band (same tree as the Column-API spelling,
-    # far fewer py4j round trips — see minhash_signatures)
-    band_structs = ", ".join(
-        f"struct({b} AS band, array_join(transform("
-        f"slice(__sig, {b * rows_per_band + 1}, {rows_per_band}),"
-        " x -> cast(x AS string)), ',') AS key)"
-        for b in range(bands)
-    )
-    banded = sig_df.select(
-        "__id", F.expr(f"explode(array({band_structs})) AS b")
-    ).select("__id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    banded = _band_rows(sig_df, num_hashes, bands)
     # Pair generation is a per-bucket groupBy + in-array expansion, NOT a
     # band-key self-join: Spark plans a self-join as two full copies of the
     # upstream pipeline (scan → shingle → signatures → banding, verified: 0
@@ -496,3 +501,100 @@ def dedup_incremental(
         F.md5(F.col(text_col)) == F.col("__hist_digest"),
         "left_anti",
     )
+
+
+def lsh_band_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """(id, band, key) — the persisted LSH index of an already-deduped
+    corpus, the near-dup counterpart of content_digest_store. Persist
+    bucketed on (band, key) so incremental probes plan shuffle-free on
+    the store side. Built from signatures, so the store holds ~bands
+    narrow rows per doc — never text."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    return _band_rows(sig, num_hashes, bands).select(
+        F.col("__id").alias("id"), "band", "key"
+    )
+
+
+def neardup_incremental(
+    new_batch: DataFrame,
+    band_store: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    pre_collapse_exact: bool = True,
+) -> DataFrame:
+    """Near-dup candidates for a NEW ingest batch against an existing
+    corpus via its LSH band store — O(batch) signature work per ingest,
+    history contributes only index rows (lsh_band_store), never text.
+
+    → (id_a, id_b, vs_history): cross candidates pair a new doc (id_a)
+    with a historical doc (id_b, vs_history=true); intra-batch candidates
+    pair two new docs (id_a < id_b, vs_history=false). Feed the pairs to
+    ngram_jaccard for exact verification, drop confirmed dups, then
+    append the survivors' band rows to the store (union — same update
+    law as the digest store).
+
+    Skew note: the store side is assumed already near-dup-deduped, which
+    bounds bucket populations structurally; the batch side gets the same
+    ``pre_collapse_exact`` guard as the full pipeline. Run the full
+    capped ``minhash_lsh_candidates`` periodically if adversarial
+    duplicate mass can enter faster than verification removes it.
+
+    Plan-shape trade-off, chosen deliberately: the batch's banded rows
+    feed TWO consumers (the store join and the intra-batch buckets), so
+    the batch signature pipeline plans twice — the opposite call from
+    minhash_lsh_candidates' single-pipeline rule, because here the
+    re-planned side is the O(batch) side while the alternative (tagged
+    union + one groupBy) would SHUFFLE THE ENTIRE STORE every ingest.
+    Recompute the small thing, never move the big thing. Intra pairs use
+    the same per-bucket collect+expand as the full pipeline (no
+    self-join); the store join is an equi-join that plans shuffle-free
+    on a (band, key)-bucketed store.
+    """
+    if pre_collapse_exact:
+        new_batch = dedup_exact(new_batch, text_col, id_col)
+    sig = minhash_signatures(new_batch, id_col, text_col, num_hashes, k)
+    nb = _band_rows(sig, num_hashes, bands)
+    cross = (
+        nb.join(
+            band_store.select(
+                F.col("id").alias("__hist_id"), "band", "key"
+            ),
+            ["band", "key"],
+        )
+        .select(
+            F.col("__id").alias("id_a"),
+            F.col("__hist_id").alias("id_b"),
+        )
+        .distinct()
+        .withColumn("vs_history", F.lit(True))
+    )
+    buckets = nb.groupBy("band", "key").agg(
+        F.array_sort(F.collect_list("__id")).alias("__ids")
+    )
+    ids = F.col("__ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    intra = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+        .withColumn("vs_history", F.lit(False))
+    )
+    return cross.unionByName(intra)

@@ -384,3 +384,33 @@ def test_incremental_dedup_two_batch_ingest(spark):
     assert {r.digest for r in store2.collect()} == {
         r.digest for r in full.collect()
     }
+
+
+def test_neardup_incremental_store_probe(spark):
+    """LSH band-store probing: a new doc near-duplicating a historical doc
+    surfaces as a vs_history candidate; two near-dup new docs surface as
+    an intra-batch candidate; unrelated docs surface nowhere."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        lsh_band_store,
+        neardup_incremental,
+    )
+
+    hist = _docs(spark, [(1, BASE), (2, "totally unrelated historical text "
+                                       "about glaciers calving into a grey "
+                                       "arctic sea under a pale sun")])
+    store = lsh_band_store(hist, "doc_id", "text")
+    batch = _docs(
+        spark,
+        [
+            (10, BASE + " trailing extra"),          # near-dup of hist 1
+            (11, "fresh unique content on orchards and bees in spring "
+                 "with blossom drifting over the long wet grass rows"),
+            (12, "fresh unique content on orchards and bees in spring "
+                 "with blossom drifting over the long wet grass rows x"),
+        ],
+    )
+    out = neardup_incremental(batch, store, "doc_id", "text")
+    rows = {(r.id_a, r.id_b, r.vs_history) for r in out.collect()}
+    assert (10, 1, True) in rows
+    assert (11, 12, False) in rows
+    assert not any(r[0] == 11 and r[2] for r in rows)
