@@ -1049,6 +1049,55 @@ WHERE {_sql_hash60(f"(CAST(doc_id AS VARCHAR) || ':{MIXTURE_SEED}')")}
 """
 
 
+BM25_QUERY = ["spark", "stream", "vector", "data"]
+BM25_TOP_K = 10
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def rt_bm25_topk(spark, sf_dir):
+    """Lexical BM25 retrieval (operators.textops.bm25_topk): the sparse
+    half of the RAG stack next to the ANN tier. Deterministic cross-
+    engine cut: ordering on (6-dp-rounded score, doc_id)."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import bm25_topk
+
+    d = T(spark, sf_dir, "documents")
+    return bm25_topk(
+        d, "doc_id", BM25_QUERY, k1=BM25_K1, b=BM25_B, top_k=BM25_TOP_K
+    )
+
+
+_BM25_TERMS = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY)))
+
+RT_BM25_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+    FROM documents) u
+  WHERE t <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+qt AS (SELECT * FROM toks WHERE term IN ({_BM25_TERMS})),
+df_t AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY term),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf * ({BM25_K1} + 1)
+           / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN df_t USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOP_K}
+"""
+
+
 INCR_SPLIT_ID = 250  # docs below = "already-ingested corpus", rest = new batch
 
 
@@ -1187,4 +1236,5 @@ SCALE_QUERIES = {
     "mx_mixture": (mx_mixture, MX_MIXTURE_SQL),
     "dd_incremental": (dd_incremental, DD_INCREMENTAL_SQL),
     "dd_neardup_incr": (dd_neardup_incr, DD_NEARDUP_INCR_SQL),
+    "rt_bm25_topk": (rt_bm25_topk, RT_BM25_SQL),
 }

@@ -317,3 +317,72 @@ def vocab_frequencies(
         .orderBy(F.col("tf").desc(), F.col("token").asc())
         .limit(top_k)
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    query_terms: list[str],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Lexical retrieval: BM25 top-k documents for a term query → (id,
+    score) — the sparse half of a RAG stack next to the ANN tier, and the
+    standard quality baseline any embedding retriever is judged against.
+
+    Okapi BM25: Σ_t ln(1 + (N - df + .5)/(df + .5)) · tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl)), lowercased whitespace terms.
+
+    Scale shape: doc lengths and per-(doc, term) tf are map-side-combined
+    aggregations over the token explode (terms filtered to the query
+    BEFORE the tf shuffle — the exchange carries only query-term rows);
+    df and corpus stats are term-cardinality aggregates broadcast back;
+    the cut is TakeOrderedAndProject. Scores round to 6 dp and the
+    ordering ties break on (rounded score, id) so the top-k CUT is
+    deterministic cross-engine — ordering by the raw float would let a
+    1-ulp sum difference swap documents across the boundary.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: empty query")
+    terms = sorted({t.lower() for t in query_terms})
+    toks = (
+        spread_small_input(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    dl = toks.groupBy("__id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtoks = toks.filter(F.col("term").isin(terms))
+    df_t = qtoks.groupBy("term").agg(
+        F.count_distinct("__id").alias("df")
+    )
+    tf = qtoks.groupBy("__id", "term").agg(F.count("*").alias("tf"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "__id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("__id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    return (
+        scored.select(F.col("__id").alias(id_col), "score")
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(top_k)
+    )

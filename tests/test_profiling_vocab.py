@@ -73,3 +73,39 @@ def test_profile_rejects_empty_cols(spark):
     df = spark.createDataFrame([Row(a=1.0)])
     with pytest.raises(ValueError):
         profile_columns(df, [])
+
+
+def test_bm25_golden_tiny_corpus(spark):
+    """Hand-computed BM25 on a 3-doc corpus: the term-frequency doc wins,
+    a doc without query terms never scores, rarer terms weigh more."""
+    import math
+
+    from calp_cva_tracking_pipeline_spark.operators.textops import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="cat dog cat"),
+            Row(doc_id=2, text="dog fish fish fish"),
+            Row(doc_id=3, text="bird bird bird bird"),
+        ]
+    )
+    out = bm25_topk(docs, "doc_id", ["cat", "dog"], k1=1.2, b=0.75, top_k=3)
+    rows = {r.doc_id: r.score for r in out.collect()}
+    assert 3 not in rows  # no query term -> no score row
+    # doc 1: tf(cat)=2, tf(dog)=1, dl=3; doc 2: tf(dog)=1, dl=4; avgdl=11/3
+    def bm25(tf, dl, df, n=3, k1=1.2, b=0.75, avgdl=11 / 3):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp1 = round(bm25(2, 3, 1) + bm25(1, 3, 2), 6)
+    exp2 = round(bm25(1, 4, 2), 6)
+    assert abs(rows[1] - exp1) < 1e-6
+    assert abs(rows[2] - exp2) < 1e-6
+    assert rows[1] > rows[2]
+
+
+def test_bm25_rejects_empty_query(spark):
+    from calp_cva_tracking_pipeline_spark.operators.textops import bm25_topk
+
+    with pytest.raises(ValueError):
+        bm25_topk(spark.createDataFrame([Row(doc_id=1, text="x")]), "doc_id", [])
