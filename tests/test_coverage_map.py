@@ -161,3 +161,19 @@ def test_scale_tier_table_references_exist():
             assert q in queries, f"§2.13 dangling catalog query {q!r}"
         for t in re.findall(r"test_\w+\.py", line):
             assert (REPO / "tests" / t).exists(), f"§2.13 missing {t}"
+
+
+def test_every_catalog_query_documented_in_survey():
+    """No undocumented queries: every queries() entry must either carry a
+    §2 operator-id prefix (f1_* implements F1 — the mapping SURVEY's
+    inventory + COVERAGE documents) or be named verbatim in SURVEY.md (a
+    §2.13 scale-tier row) — the inverse of
+    test_scale_tier_table_references_exist, so docs and catalog can only
+    move together."""
+    text = (REPO / "SURVEY.md").read_text()
+    missing = [
+        q
+        for q in entrymod.queries()
+        if q not in text and q.split("_")[0].upper() not in COVERAGE
+    ]
+    assert not missing, f"catalog queries absent from SURVEY.md: {missing}"
