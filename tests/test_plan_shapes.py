@@ -188,3 +188,18 @@ def test_emb_dim_stats_single_keyed_exchange(spark, sf_dir):
     plan = _executed(S.emb_dim_stats(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial" in plan.lower()
+
+
+def test_bm25_broadcasts_stats_and_takeordered_cut(spark, sf_dir):
+    # df/corpus stats broadcast back into scoring; the top-k cut is a
+    # TakeOrderedAndProject (per-partition top-k), never a global Sort
+    plan = _executed(S.rt_bm25_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_neardup_incremental_no_cartesian_no_python(spark, sf_dir):
+    plan = _executed(S.dd_neardup_incr(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
