@@ -383,3 +383,54 @@ def test_rollup_finest_grain_streams_then_batch_reaggregates(
         for r in batch_1m.collect()
     }
     assert emitted == full
+
+
+def test_stream_static_broadcast_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static join: an unbounded event stream enriched by a small
+    static dimension must plan the dimension as a broadcast (stateless —
+    no stream-stream join state) and match the batch equivalent."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "enrich_src")
+    events = _events_subset(spark, sf_dir)
+    events.write.parquet(src)
+    static = spark.read.parquet(src)
+    dim = spark.createDataFrame(
+        [(t, f"group_{i % 2}") for i, t in enumerate(
+            sorted(r.event_type for r in
+                   static.select("event_type").distinct().collect())
+        )],
+        "event_type string, type_group string",
+    )
+
+    def enrich(df):
+        return (
+            df.join(F.broadcast(dim), "event_type")
+            .groupBy("type_group")
+            .agg(F.count("*").alias("n"))
+        )
+
+    batch = {r.type_group: r.n for r in enrich(static).collect()}
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(src)
+    )
+    out = enrich(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        r.type_group: r.n
+        for r in spark.sql("SELECT * FROM enriched_stream").collect()
+    }
+    assert got == batch and len(got) > 0
