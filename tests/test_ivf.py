@@ -200,3 +200,43 @@ def test_lsh_multiprobe_recall_floor(spark, sf_dir):
     r0, r1 = recall(0), recall(1)
     assert r1 >= 0.8
     assert r1 > r0
+
+
+def test_ivf_incremental_index_append(spark, sf_dir):
+    """Incremental ingest for the IVF index: a new embedding batch is
+    assigned to the EXISTING centroids (no retrain, no history rescan)
+    and its cells union onto the stored cells — search over the merged
+    index is identical to an index built over the full corpus with the
+    same centroids. This is the O(batch)-per-ingest property the digest/
+    band stores give dedup, for ANN."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        assign_cells,
+        ivf_topk,
+        train_centroids,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") % 2 == 0)
+    new = e.filter(F.col("vec_id") % 2 == 1)
+    cent = train_centroids(old, "vec_id", "embedding", 8)
+
+    full_cells = assign_cells(e, cent, "vec_id", "embedding")
+    merged_cells = assign_cells(old, cent, "vec_id", "embedding").unionByName(
+        assign_cells(new, cent, "vec_id", "embedding")
+    )
+
+    q = e.filter(F.col("vec_id") < 4)
+    a = ivf_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        nprobe=2, k=5, centroids=cent, cells=merged_cells,
+    )
+    b = ivf_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        nprobe=2, k=5, centroids=cent, cells=full_cells,
+    )
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb and len(ra) == 4 * 5
