@@ -83,3 +83,32 @@ def test_full_train_apply_pipeline_deterministic(spark, sf_dir):
     # learned tokenization is never longer than character count + 1/word
     r = next(x for x in out1.collect() if x.bpe_tokens)
     assert len(r.bpe_tokens) >= 1
+
+
+def test_learned_bpe_drives_packing(spark, sf_dir):
+    """Composition: learned-BPE token counts feed pack_sequences'
+    token_col — the real token budget a trained tokenizer implies, not
+    the whitespace proxy."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    d = T(spark, sf_dir, "documents").limit(100)
+    merges = learn_bpe(word_histogram(d), 30)
+    counted = apply_bpe(d, merges).withColumn(
+        "n_bpe", F.size("bpe_tokens")
+    )
+    packs = pack_sequences(
+        counted, "doc_id", budget=400, token_col="n_bpe", num_shards=4
+    ).collect()
+    assert len(packs) == 100  # no row dropped
+    by_pack = {}
+    for r in packs:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for members in by_pack.values():
+        total = sum(m["n_tokens"] for m in members)
+        if not any(m["oversized"] for m in members):
+            assert total <= 400
