@@ -1049,6 +1049,63 @@ WHERE {_sql_hash60(f"(CAST(doc_id AS VARCHAR) || ':{MIXTURE_SEED}')")}
 """
 
 
+MAX_HAMMING = 2
+_SH_NBLOCKS = MAX_HAMMING + 1
+_SH_SIZES = [
+    SIMHASH_BITS // _SH_NBLOCKS + (1 if i < SIMHASH_BITS % _SH_NBLOCKS else 0)
+    for i in range(_SH_NBLOCKS)
+]
+_SH_OFFS = [sum(_SH_SIZES[:i]) for i in range(_SH_NBLOCKS)]
+
+
+def dd_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via hamming-block bucketing
+    (operators.dedup.simhash_candidates): pigeonhole-exact recall within
+    MAX_HAMMING, verification by bit_count(xor) — no token re-scan.
+    SIMHASH_BITS=16 here to keep the oracle's bit-term SQL tractable; a
+    16-bit space over 10⁴+ docs is intentionally collision-dense (tens of
+    thousands of pairs — which also stress-tests the pair expansion).
+    Production corpora run the same operator at bits=64, where hamming≤2
+    pairs are sparse."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        simhash_candidates,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return simhash_candidates(
+        d, "doc_id", "text", bits=SIMHASH_BITS, max_hamming=MAX_HAMMING
+    )
+
+
+_SH_BLOCKS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, sim, {i} AS blk, "
+    f"(sim >> {_SH_OFFS[i]}) & {(1 << _SH_SIZES[i]) - 1} AS val FROM s"
+    for i in range(_SH_NBLOCKS)
+)
+
+DD_SIMHASH_PAIRS_SQL = f"""
+WITH docs_d AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) t
+  WHERE rn = 1),
+tok AS (
+  SELECT doc_id,
+         list_transform(list_distinct({_TOKS}), w -> {_sql_hash60('w')}) AS hs
+  FROM docs_d),
+s AS (SELECT doc_id, CAST({_SIMHASH_BIT_TERMS} AS BIGINT) AS sim FROM tok),
+blocks AS ({_SH_BLOCKS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sim AS sa, b.sim AS sb
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {MAX_HAMMING}
+"""
+
+
 BM25_QUERY = ["spark", "stream", "vector", "data"]
 BM25_TOP_K = 10
 BM25_K1, BM25_B = 1.2, 0.75
@@ -1237,4 +1294,5 @@ SCALE_QUERIES = {
     "dd_incremental": (dd_incremental, DD_INCREMENTAL_SQL),
     "dd_neardup_incr": (dd_neardup_incr, DD_NEARDUP_INCR_SQL),
     "rt_bm25_topk": (rt_bm25_topk, RT_BM25_SQL),
+    "dd_simhash_pairs": (dd_simhash_pairs, DD_SIMHASH_PAIRS_SQL),
 }

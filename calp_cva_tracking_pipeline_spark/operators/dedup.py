@@ -598,3 +598,91 @@ def neardup_incremental(
         .withColumn("vs_history", F.lit(False))
     )
     return cross.unionByName(intra)
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 2,
+    pre_collapse_exact: bool = True,
+    max_bucket_docs: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs (id_a < id_b, hamming) with EXACT recall:
+    by pigeonhole, two signatures within hamming distance d agree exactly
+    on at least one of d+1 bit blocks, so bucketing on (block, value)
+    finds every qualifying pair without an all-pairs pass — the hamming-
+    block counterpart of MinHash banding.
+
+    Candidates verify with bit_count(sig_a XOR sig_b) <= max_hamming
+    (a JVM intrinsic — no token re-scan, unlike MinHash's Jaccard
+    verification). Same skew guards as the LSH path: exact-dup
+    pre-collapse (identical text ⇒ identical signature ⇒ same buckets)
+    and an optional per-bucket cap; pair expansion is the shared
+    per-bucket collect+expand, one exchange, no self-join.
+    """
+    if pre_collapse_exact:
+        df = dedup_exact(df, text_col, id_col)
+    sigs = simhash(df, text_col, bits).select(
+        F.col(id_col).alias("__id"), "__simhash"
+    )
+    nblocks = max_hamming + 1
+    sizes = [
+        bits // nblocks + (1 if i < bits % nblocks else 0)
+        for i in range(nblocks)
+    ]
+    offs = [sum(sizes[:i]) for i in range(nblocks)]
+    block_structs = ", ".join(
+        f"struct({i} AS blk, shiftright(__simhash, {offs[i]}) "
+        f"& {(1 << sizes[i]) - 1} AS val)"
+        for i in range(nblocks)
+    )
+    banded = sigs.select(
+        "__id",
+        "__simhash",
+        F.expr(f"explode(array({block_structs})) AS b"),
+    ).select(
+        "__id", "__simhash",
+        F.col("b.blk").alias("blk"), F.col("b.val").alias("val"),
+    )
+    if max_bucket_docs is not None:
+        bucket_w = Window.partitionBy("blk", "val")
+        banded = (
+            banded.withColumn("__bn", F.count("*").over(bucket_w))
+            .filter(F.col("__bn") <= max_bucket_docs)
+            .drop("__bn")
+        )
+    buckets = banded.groupBy("blk", "val").agg(
+        F.array_sort(
+            F.collect_list(F.struct("__id", "__simhash"))
+        ).alias("__m")
+    )
+    m = F.col("__m")
+    pairs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.size(m)),
+                lambda y: F.struct(
+                    x["__id"].alias("id_a"),
+                    y["__id"].alias("id_b"),
+                    x["__simhash"].alias("sig_a"),
+                    y["__simhash"].alias("sig_b"),
+                ),
+            ),
+        )
+    )
+    out = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return out.select("id_a", "id_b", "hamming")
