@@ -434,3 +434,67 @@ def test_stream_static_broadcast_enrichment(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM enriched_stream").collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_foreachbatch_incremental_dedup_loop(spark, tmp_path):
+    """The continuous-ingest loop, end-to-end on a real stream:
+    foreachBatch runs dedup_incremental against the evolving digest
+    store, appends survivors, and unions the survivors' digests into the
+    store — across micro-batches, every distinct text survives exactly
+    once regardless of how many batches repeat it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        content_digest_store,
+        dedup_incremental,
+    )
+
+    src = str(tmp_path / "ingest_src")
+    store_path = str(tmp_path / "digest_store")
+    out_path = str(tmp_path / "survivors")
+    texts = [f"document body number {i % 7}" for i in range(30)]  # 7 distinct
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    # several source files so availableNow slices multiple micro-batches
+    df.repartition(5).write.parquet(src)
+
+    def process(batch_df, batch_id):
+        s = batch_df.sparkSession
+        if os.path.exists(store_path):
+            store = s.read.parquet(store_path)
+        else:
+            store = s.createDataFrame([], "digest string")
+        survivors = dedup_incremental(
+            batch_df, store, "text", "doc_id"
+        ).cache()
+        survivors.write.mode("append").parquet(out_path)
+        content_digest_store(survivors, "text").write.mode("append").parquet(
+            store_path
+        )
+        survivors.unpersist()
+
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(out_path)
+    got = [r.text for r in out.collect()]
+    assert sorted(set(got)) == sorted(set(texts))  # every text survives
+    assert len(got) == len(set(got))  # ...exactly once, across batches
+    store = spark.read.parquet(store_path)
+    assert store.distinct().count() == 7  # store = distinct corpus digests
