@@ -498,3 +498,61 @@ def test_foreachbatch_incremental_dedup_loop(spark, tmp_path):
     assert len(got) == len(set(got))  # ...exactly once, across batches
     store = spark.read.parquet(store_path)
     assert store.distinct().count() == 7  # store = distinct corpus digests
+
+
+def test_stream_stream_time_bounded_join(spark, sf_dir, tmp_path):
+    """Stream-stream inner join with a time-range condition and
+    watermarks on both sides — state is bounded by the range + watermark
+    (Spark evicts rows older than the join horizon). Results must match
+    the identical batch join."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "ss_src")
+    events = _events_subset(spark, sf_dir).limit(2000)
+    events.write.parquet(src)
+    static = spark.read.parquet(src)
+
+    def pair(left, right):
+        l = left.select(
+            F.col("user_id").alias("uid"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_type").alias("l_type"),
+        )
+        r = right.select(
+            F.col("user_id").alias("uid"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_type").alias("r_type"),
+        )
+        return l.join(
+            r,
+            (l.uid == r.uid)
+            & (r.r_ts > l.l_ts)
+            & (r.r_ts <= l.l_ts + F.expr("INTERVAL 10 MINUTES")),
+        ).select("l_ts", "r_ts", "l_type", "r_type", l.uid.alias("uid"))
+
+    batch = sorted(tuple(r) for r in pair(static, static).collect())
+
+    def stream():
+        return (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(src)
+            .withWatermark("ts", "30 minutes")
+        )
+
+    out = pair(stream(), stream())
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM ss_join").collect()
+    )
+    assert got == batch and len(got) > 0
