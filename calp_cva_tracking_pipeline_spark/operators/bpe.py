@@ -60,7 +60,15 @@ def learn_bpe(
 
     Each word is a symbol sequence (chars + END); each round merges the
     (count-weighted) most frequent adjacent symbol pair, ties broken
-    lexicographically. Returns the ordered merge list."""
+    lexicographically. Returns the ordered merge list.
+
+    COST: this reference loop is O(n_merges × vocab_rows × avg_word_len)
+    — exact and dependency-free, fine for 10³-10⁴ merges over a
+    frequency-truncated histogram (seconds-to-minutes). A production 32k-
+    merge/10⁶-row run wants the standard pair-index optimization
+    (incrementally update only the pairs touched by the last merge, as
+    fastBPE does) — same outputs, same driver-side altitude; the
+    distributed half of this module is unchanged either way."""
     words: list[tuple[list[str], int]] = [
         (list(w) + [END], c) for w, c in histogram
     ]

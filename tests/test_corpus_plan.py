@@ -414,3 +414,25 @@ def test_neardup_incremental_store_probe(spark):
     assert (10, 1, True) in rows
     assert (11, 12, False) in rows
     assert not any(r[0] == 11 and r[2] for r in rows)
+
+
+def test_simhash_candidates_wide_bits(spark):
+    """bits=32 variant (the 'widen per-deployment' path): a token-set-
+    identical pair (different byte strings, so exact pre-collapse keeps
+    both) has hamming 0 and MUST surface; the wide space keeps unrelated
+    docs apart."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        simhash_candidates,
+    )
+
+    rows = [(1, "alpha beta gamma delta epsilon"),
+            (2, "beta gamma alpha epsilon delta"),  # same token SET as 1
+            (3, "completely different words entirely here"),
+            (4, "yet another unrelated document body text")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = simhash_candidates(
+        df, "doc_id", "text", bits=32, max_hamming=2
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in out}
+    assert pairs.get((1, 2)) == 0  # guaranteed: identical distinct-token set
+    assert all(h <= 2 for h in pairs.values())
