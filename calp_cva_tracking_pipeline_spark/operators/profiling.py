@@ -42,22 +42,32 @@ _STATS = ("n", "n_null", "min", "max", "mean", "p50")
 _MEDIAN_BUCKETS = 1024
 
 
-def _exact_medians(df: DataFrame, cols: list[str]) -> DataFrame:
-    """→ (col_name, p50) via the two-phase value-histogram method: exact
-    percentile_cont(0.5) semantics with no per-row aggregation buffers
-    AND no row-sized sort.
+def exact_percentiles(
+    df: DataFrame,
+    cols: list[str],
+    ps: list[float],
+    round_to: int | None = 6,
+) -> DataFrame:
+    """→ (col_name, p, value): exact interpolated percentiles
+    (percentile_cont semantics) for every column × requested fraction,
+    via the two-phase value-histogram method — no per-row aggregation
+    buffers AND no row-sized sort, at any number of percentiles for the
+    price of one histogram.
 
     Phase 1 aggregates (col, value) → count; values then map to one of
     ``_MEDIAN_BUCKETS`` order-aligned range buckets derived from the
-    column's min/max (already computed in the same DAG — the bucket id is
-    a pure projection, no extra pass). Phase 2 runs the running-count
-    window at BUCKET granularity (≤ _MEDIAN_BUCKETS rows per column) to
-    locate the buckets holding the straddling indices, then sorts ONLY
-    within those buckets (~distinct/_MEDIAN_BUCKETS values each). A
-    continuous column's histogram is row-sized, but no single task ever
-    sorts it — the 1000× version of the naive per-column window, which
-    funnels every distinct value through one reducer.
+    column's min/max (computed in the same DAG — the bucket id is a pure
+    projection, no extra pass). Phase 2 runs the running-count window at
+    BUCKET granularity (≤ _MEDIAN_BUCKETS rows per column) to locate,
+    for EVERY requested percentile, the buckets holding its straddling
+    indices, then sorts only within that union of target buckets
+    (~distinct/_MEDIAN_BUCKETS values each). A continuous column's
+    histogram is row-sized, but no single task ever sorts it — the 1000×
+    version of the naive per-column window, which funnels every distinct
+    value through one reducer.
     """
+    if not ps or not all(0.0 <= p <= 1.0 for p in ps):
+        raise ValueError(f"percentiles must be within [0,1]: {ps}")
     stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
     long = df.select(
         F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, val)")
@@ -88,48 +98,65 @@ def _exact_medians(df: DataFrame, cols: list[str]) -> DataFrame:
             wb.rowsBetween(Window.unboundedPreceding, -1)
         ), F.lit(0))
     )
-    # 0-based fractional index of the interpolated median; element k lives
-    # in the bucket with cum_before <= k < cum_before + bcnt, then (after
-    # a within-bucket running count) in the value row with
-    # vcum - cnt <= k < vcum
-    idx = (F.col("n") - 1) / 2.0
-    lo_i, hi_i = F.floor(idx), F.ceil(idx)
-    target = btot.join(F.broadcast(rng.select("col_name", "n")), "col_name").filter(
+    # one row per (column, requested percentile) with its 0-based
+    # fractional index; element k lives in the bucket with
+    # cum_before <= k < cum_before + bcnt, then (after a within-bucket
+    # running count) in the value row with vcum - cnt <= k < vcum
+    tgt = (
+        rng.select(
+            "col_name",
+            "n",
+            F.explode(
+                F.array(*[F.lit(float(p)) for p in sorted(set(ps))])
+            ).alias("p"),
+        )
+        .withColumn("idx", (F.col("n") - 1) * F.col("p"))
+        .withColumn("lo_i", F.floor("idx"))
+        .withColumn("hi_i", F.ceil("idx"))
+    )
+    hit = btot.join(F.broadcast(tgt), "col_name").filter(
         (
-            (F.col("cum_before") <= lo_i)
-            & (lo_i < F.col("cum_before") + F.col("bcnt"))
+            (F.col("cum_before") <= F.col("lo_i"))
+            & (F.col("lo_i") < F.col("cum_before") + F.col("bcnt"))
         )
         | (
-            (F.col("cum_before") <= hi_i)
-            & (hi_i < F.col("cum_before") + F.col("bcnt"))
+            (F.col("cum_before") <= F.col("hi_i"))
+            & (F.col("hi_i") < F.col("cum_before") + F.col("bcnt"))
         )
-    ).select("col_name", "__b", "cum_before")
+    )
+    tbuckets = hit.select("col_name", "__b", "cum_before").distinct()
     wv = Window.partitionBy("col_name", "__b").orderBy("val")
     inb = (
-        hb.join(target, ["col_name", "__b"])
+        hb.join(tbuckets, ["col_name", "__b"])
         .withColumn("vcum", F.col("cum_before") + F.sum("cnt").over(wv))
     )
-    j = inb.join(F.broadcast(rng.select("col_name", "n")), "col_name")
+    j = inb.join(F.broadcast(tgt), "col_name")
     pick = lambda i: F.max(  # noqa: E731 — tiny aggregate selector
         F.when(
             ((F.col("vcum") - F.col("cnt")) <= i) & (i < F.col("vcum")),
             F.col("val"),
         )
     )
+    value = F.col("__lo") + F.col("__frac") * (F.col("__hi") - F.col("__lo"))
+    if round_to is not None:
+        value = F.round(value, round_to)
     return (
-        j.groupBy("col_name")
+        j.groupBy("col_name", "p")
         .agg(
-            pick(lo_i).alias("__lo"),
-            pick(hi_i).alias("__hi"),
-            F.first((idx - lo_i)).alias("__frac"),
+            pick(F.col("lo_i")).alias("__lo"),
+            pick(F.col("hi_i")).alias("__hi"),
+            F.first(F.col("idx") - F.col("lo_i")).alias("__frac"),
         )
-        .select(
-            "col_name",
-            (
-                F.col("__lo")
-                + F.col("__frac") * (F.col("__hi") - F.col("__lo"))
-            ).alias("p50"),
-        )
+        .select("col_name", "p", value.alias("value"))
+        .orderBy("col_name", "p")
+    )
+
+
+def _exact_medians(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(col_name, p50) — the profile_columns median via the general
+    exact_percentiles kernel (unrounded here; profile_columns rounds)."""
+    return exact_percentiles(df, cols, [0.5], round_to=None).select(
+        "col_name", F.col("value").alias("p50")
     )
 
 

@@ -109,3 +109,36 @@ def test_bm25_rejects_empty_query(spark):
 
     with pytest.raises(ValueError):
         bm25_topk(spark.createDataFrame([Row(doc_id=1, text="x")]), "doc_id", [])
+
+
+def test_exact_percentiles_against_numpy(spark):
+    import numpy as np
+
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        exact_percentiles,
+    )
+
+    vals = [((i * 37) % 101) / 3.0 for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    ps = [0.0, 0.25, 0.5, 0.9, 0.95, 1.0]
+    got = {
+        round(r.p, 4): r.value
+        for r in exact_percentiles(df, ["x"], ps, round_to=None).collect()
+    }
+    for p in ps:
+        expected = float(np.percentile(vals, p * 100, method="linear"))
+        assert abs(got[round(p, 4)] - expected) < 1e-9, (p, got[round(p, 4)], expected)
+
+
+def test_exact_percentiles_validation(spark):
+    import pytest as _pytest
+
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        exact_percentiles,
+    )
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with _pytest.raises(ValueError):
+        exact_percentiles(df, ["x"], [1.5])
+    with _pytest.raises(ValueError):
+        exact_percentiles(df, ["x"], [])
