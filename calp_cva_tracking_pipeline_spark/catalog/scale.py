@@ -984,6 +984,43 @@ PF_PROFILE_SQL = (
 )
 
 
+PF_PCTS = [0.25, 0.5, 0.9, 0.99]
+
+
+def pf_percentiles(spark, sf_dir):
+    """Arbitrary exact percentiles at one histogram's price
+    (operators.profiling.exact_percentiles): p25/p50/p90/p99 for the
+    three profiled lineitem measures — the latency-style tail-statistics
+    report, two-phase (bucket prefix sums + target-bucket-only sorting)
+    so no task ever sorts a row-sized histogram."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        exact_percentiles,
+    )
+
+    li = T(spark, sf_dir, "lineitem")
+    return exact_percentiles(li, PF_COLS, PF_PCTS)
+
+
+def _pf_pct_sql(c: str, p: float) -> str:
+    # CAST the p literal: DuckDB types bare 0.25 as DECIMAL, and the
+    # driver's value comparison is type-sensitive (round-6 find — the
+    # local parity suite normalizes Decimal→float and masked this;
+    # drive_entry.py reproduces the driver's stricter behavior)
+    return (
+        f"SELECT '{c}' AS col_name, CAST({p} AS DOUBLE) AS p, "
+        f"ROUND(CAST(quantile_cont({c}, {p}) AS DOUBLE), 6) AS value "
+        f"FROM lineitem WHERE {c} IS NOT NULL"
+    )
+
+
+PF_PERCENTILES_SQL = (
+    "\nUNION ALL\n".join(
+        _pf_pct_sql(c, p) for c in PF_COLS for p in PF_PCTS
+    )
+    + "\nORDER BY col_name, p\n"
+)
+
+
 def emb_dim_stats(spark, sf_dir):
     """Per-dimension embedding health stats (operators.linalg.dim_stats):
     the pre-ANN sanity pass — a dead (std≈0) or exploding dimension flags
@@ -1295,4 +1332,5 @@ SCALE_QUERIES = {
     "dd_neardup_incr": (dd_neardup_incr, DD_NEARDUP_INCR_SQL),
     "rt_bm25_topk": (rt_bm25_topk, RT_BM25_SQL),
     "dd_simhash_pairs": (dd_simhash_pairs, DD_SIMHASH_PAIRS_SQL),
+    "pf_percentiles": (pf_percentiles, PF_PERCENTILES_SQL),
 }
