@@ -1087,9 +1087,19 @@ WHERE {_sql_hash60(f"(CAST(doc_id AS VARCHAR) || ':{MIXTURE_SEED}')")}
 
 
 MAX_HAMMING = 2
+# The PAIR query uses a WIDER signature than dd_simhash's compact 16-bit
+# fingerprint: hamming-block bucketing over b bits puts ~n/2^(b/(d+1))
+# docs in a bucket, and 16 bits over the sf0.1 corpus (5·10⁴ docs) is
+# collision-dense enough that the pair set itself goes quadratic (the
+# sf0.1 parity sweep OOM'd collecting it — round-6 find). 32 bits keeps
+# ~10-bit blocks → bucket populations in the tens at sf0.1 → sparse,
+# genuinely-near pairs at every test SF, and the oracle's bit-term SQL
+# stays tractable.
+SIMHASH_PAIR_BITS = 32
 _SH_NBLOCKS = MAX_HAMMING + 1
 _SH_SIZES = [
-    SIMHASH_BITS // _SH_NBLOCKS + (1 if i < SIMHASH_BITS % _SH_NBLOCKS else 0)
+    SIMHASH_PAIR_BITS // _SH_NBLOCKS
+    + (1 if i < SIMHASH_PAIR_BITS % _SH_NBLOCKS else 0)
     for i in range(_SH_NBLOCKS)
 ]
 _SH_OFFS = [sum(_SH_SIZES[:i]) for i in range(_SH_NBLOCKS)]
@@ -1098,21 +1108,23 @@ _SH_OFFS = [sum(_SH_SIZES[:i]) for i in range(_SH_NBLOCKS)]
 def dd_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs via hamming-block bucketing
     (operators.dedup.simhash_candidates): pigeonhole-exact recall within
-    MAX_HAMMING, verification by bit_count(xor) — no token re-scan.
-    SIMHASH_BITS=16 here to keep the oracle's bit-term SQL tractable; a
-    16-bit space over 10⁴+ docs is intentionally collision-dense (tens of
-    thousands of pairs — which also stress-tests the pair expansion).
-    Production corpora run the same operator at bits=64, where hamming≤2
-    pairs are sparse."""
+    MAX_HAMMING, verification by bit_count(xor) — no token re-scan."""
     from calp_cva_tracking_pipeline_spark.operators.dedup import (
         simhash_candidates,
     )
 
     d = T(spark, sf_dir, "documents")
     return simhash_candidates(
-        d, "doc_id", "text", bits=SIMHASH_BITS, max_hamming=MAX_HAMMING
+        d, "doc_id", "text", bits=SIMHASH_PAIR_BITS, max_hamming=MAX_HAMMING
     )
 
+
+_SH_PAIR_BIT_TERMS = " + ".join(
+    f"""CASE WHEN list_sum(list_transform(hs,
+         h -> CASE WHEN (h & {1 << i}) > 0 THEN 1 ELSE -1 END)) > 0
+       THEN {1 << i} ELSE 0 END"""
+    for i in range(SIMHASH_PAIR_BITS)
+)
 
 _SH_BLOCKS_SQL = " UNION ALL ".join(
     f"SELECT doc_id, sim, {i} AS blk, "
@@ -1131,7 +1143,7 @@ tok AS (
   SELECT doc_id,
          list_transform(list_distinct({_TOKS}), w -> {_sql_hash60('w')}) AS hs
   FROM docs_d),
-s AS (SELECT doc_id, CAST({_SIMHASH_BIT_TERMS} AS BIGINT) AS sim FROM tok),
+s AS (SELECT doc_id, CAST({_SH_PAIR_BIT_TERMS} AS BIGINT) AS sim FROM tok),
 blocks AS ({_SH_BLOCKS_SQL}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
