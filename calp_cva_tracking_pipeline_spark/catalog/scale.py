@@ -1174,8 +1174,10 @@ def rt_bm25_topk(spark, sf_dir):
 
 _BM25_TERMS = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY)))
 
-RT_BM25_SQL = rf"""
-WITH toks AS (
+# Shared CTE chain ending in `scored` (doc_id, 6-dp BM25 score) — used by
+# RT_BM25_SQL and by the hybrid-fusion oracle below, so both verify the
+# SAME scoring function.
+_BM25_SCORED_CTES = rf"""toks AS (
   SELECT doc_id, t AS term FROM (
     SELECT doc_id,
            unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
@@ -1197,10 +1199,90 @@ scored AS (
   JOIN df_t USING (term)
   JOIN dl USING (doc_id)
   CROSS JOIN stats
-  GROUP BY tf.doc_id)
+  GROUP BY tf.doc_id)"""
+
+RT_BM25_SQL = f"""
+WITH {_BM25_SCORED_CTES}
 SELECT doc_id, score FROM scored
 ORDER BY score DESC, doc_id
 LIMIT {BM25_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: RRF fusion of the BM25 pool and a dense cosine pool
+# ---------------------------------------------------------------------------
+
+HYBRID_POOL = 25  # per-retriever candidate pool size
+HYBRID_TOP_K = 10
+HYBRID_QUERY_ID = 0  # embeddings.vec_id whose vector is the dense query
+RRF_K = 60  # the canonical RRF constant (Cormack et al. 2009)
+
+
+def rt_hybrid_rrf(spark, sf_dir):
+    """Hybrid RAG retrieval (operators.retrieval.rrf_fuse): BM25 top-25
+    pool + dense cosine top-25 pool for one query, fused by Reciprocal
+    Rank Fusion. Rank-only fusion needs no score calibration; with two
+    lists the per-doc double sum has ≤2 addends, so it is order-exact
+    cross-engine. Fusion runs on 2×25 rows — the corpus-sized work is
+    entirely inside the two (separately scale-audited) retrievers."""
+    from calp_cva_tracking_pipeline_spark.operators.retrieval import (
+        rrf_fuse,
+        with_rank,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.textops import bm25_topk
+
+    d = T(spark, sf_dir, "documents")
+    e = T(spark, sf_dir, "embeddings")
+    sparse = with_rank(
+        bm25_topk(
+            d, "doc_id", BM25_QUERY, k1=BM25_K1, b=BM25_B,
+            top_k=HYBRID_POOL,
+        ),
+        "doc_id",
+        "score",
+    ).select("doc_id", "rank")
+    q = e.filter(F.col("vec_id") == HYBRID_QUERY_ID)
+    dense = brute_force_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding", k=HYBRID_POOL
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse(
+        [sparse, dense], "doc_id", rrf_k=RRF_K, top_k=HYBRID_TOP_K
+    )
+
+
+RT_HYBRID_SQL = f"""
+WITH {_BM25_SCORED_CTES},
+bm AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (
+      ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+    FROM scored) t
+  WHERE rank <= {HYBRID_POOL}),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       WHERE vec_id = {HYBRID_QUERY_ID}),
+dn0 AS (
+  SELECT vec_id AS doc_id,
+         ROUND(list_dot_product(v, cv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))),
+               6) AS cosine
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings) c
+  CROSS JOIN qv
+  WHERE vec_id <> {HYBRID_QUERY_ID}),
+dn AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (
+      ORDER BY cosine DESC, doc_id) AS INTEGER) AS rank
+    FROM dn0) t
+  WHERE rank <= {HYBRID_POOL}),
+u AS (
+  SELECT doc_id, CAST(1.0 AS DOUBLE) / ({RRF_K} + rank) AS c FROM bm
+  UNION ALL
+  SELECT doc_id, CAST(1.0 AS DOUBLE) / ({RRF_K} + rank) AS c FROM dn)
+SELECT doc_id, ROUND(SUM(c), 6) AS rrf, COUNT(*) AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT {HYBRID_TOP_K}
 """
 
 
@@ -1345,4 +1427,5 @@ SCALE_QUERIES = {
     "rt_bm25_topk": (rt_bm25_topk, RT_BM25_SQL),
     "dd_simhash_pairs": (dd_simhash_pairs, DD_SIMHASH_PAIRS_SQL),
     "pf_percentiles": (pf_percentiles, PF_PERCENTILES_SQL),
+    "rt_hybrid_rrf": (rt_hybrid_rrf, RT_HYBRID_SQL),
 }

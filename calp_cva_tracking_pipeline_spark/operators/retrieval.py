@@ -1,0 +1,86 @@
+"""Hybrid retrieval: rank-fusion of heterogeneous retrievers.
+
+The standard RAG-stack composition: a sparse lexical retriever (BM25,
+``operators.textops.bm25_topk``) and a dense embedding retriever (cosine
+top-k, ``operators.similarity``) each produce a ranked candidate pool; the
+pools are fused by Reciprocal Rank Fusion (Cormack et al., SIGIR 2009):
+
+    rrf(d) = Σ_lists 1 / (K + rank_list(d))
+
+RRF is rank-only — it never compares raw scores across retrievers, so the
+incommensurable BM25/cosine scales need no calibration, and the fused
+ordering is deterministic wherever each input ranking is.
+
+Scale shape: each retriever reduces the corpus to a top-N pool (a
+TakeOrderedAndProject — the only corpus-sized work), so fusion itself runs
+on ``lists × N`` rows: a union of driver-bounded pools, one tiny groupBy.
+At 100 TB the cost is the retrievers (already scale-audited separately);
+fusion adds no corpus-sized shuffle.
+
+Determinism note: contributions ``1/(K + rank)`` are exact double ops on
+integer ranks, identical across engines; with ≤2 lists the per-doc sum has
+at most two addends, so float addition order cannot differ. For wider
+fusions pass the contributions through ``F.round`` per-list before summing
+or sum in micro-units (see ``textops.lm_quality_score`` for the pattern).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_rank(
+    pool: DataFrame,
+    id_col: str,
+    score_col: str,
+    ascending: bool = False,
+) -> DataFrame:
+    """Attach a dense 1-based ``rank`` to a top-N retriever pool.
+
+    Ordering is (score, id) — a total order, so ranks are stable under
+    float jitter provided ``score_col`` is already rounded (both
+    ``bm25_topk`` and ``brute_force_topk`` round to 6 dp).
+
+    The window is partition-less BY DESIGN: it runs on the retriever's
+    top-N output (driver-bounded, N ≲ 10³), never on corpus-sized data —
+    the single-task sort is over N rows regardless of corpus size.
+    """
+    order = (
+        F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    )
+    w = Window.orderBy(order, F.col(id_col).asc())
+    return pool.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_fuse(
+    pools: list[DataFrame],
+    id_col: str,
+    rrf_k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Fuse ranked pools into (id, rrf, n_lists), top ``top_k`` by
+    (rrf desc, id). Each pool must carry ``id_col`` and an integer
+    ``rank`` column (see ``with_rank``).
+    """
+    if not pools:
+        raise ValueError("rrf_fuse: no pools")
+    parts = [
+        p.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(rrf_k) + F.col("rank"))).alias("__c"),
+        )
+        for p in pools
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.round(F.sum("__c"), 6).alias("rrf"),
+            F.count("*").alias("n_lists"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(top_k)
+    )
