@@ -1286,6 +1286,54 @@ LIMIT {HYBRID_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidate sketch + exact verify
+# ---------------------------------------------------------------------------
+
+HH_THRESHOLD = 0.01  # report tokens carrying >= 1% of the token stream
+
+
+def pf_heavy_hitters(spark, sf_dir):
+    """Exact heavy-hitter tokens (operators.sketch.heavy_hitters): per-
+    partition Misra-Gries candidates (bounded memory, no vocab-sized
+    shuffle) then exact verify of candidates only — output identical to
+    the plain GROUP BY/HAVING oracle by the MG superset guarantee. The
+    testdata's ~30 head tokens each carry ~3% of the stream, so the 1%
+    cut is non-trivially exercised at every SF."""
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.sketch import (
+        heavy_hitters,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    toks = (
+        spread_small_input(d)
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    return heavy_hitters(toks, "token", HH_THRESHOLD)
+
+
+PF_HH_SQL = rf"""
+WITH toks AS (
+  SELECT t AS token FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+    FROM documents) u
+  WHERE t <> ''),
+tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT token, cnt, ROUND(CAST(cnt AS DOUBLE) / n, 6) AS frac
+FROM (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token) c
+CROSS JOIN tot
+WHERE CAST(cnt AS DOUBLE) >= CAST({HH_THRESHOLD} AS DOUBLE) * n
+"""
+
+
 INCR_SPLIT_ID = 250  # docs below = "already-ingested corpus", rest = new batch
 
 
@@ -1428,4 +1476,5 @@ SCALE_QUERIES = {
     "dd_simhash_pairs": (dd_simhash_pairs, DD_SIMHASH_PAIRS_SQL),
     "pf_percentiles": (pf_percentiles, PF_PERCENTILES_SQL),
     "rt_hybrid_rrf": (rt_hybrid_rrf, RT_HYBRID_SQL),
+    "pf_heavy_hitters": (pf_heavy_hitters, PF_HH_SQL),
 }
