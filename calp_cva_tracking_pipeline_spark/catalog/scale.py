@@ -1334,6 +1334,62 @@ WHERE CAST(cnt AS DOUBLE) >= CAST({HH_THRESHOLD} AS DOUBLE) * n
 """
 
 
+# ---------------------------------------------------------------------------
+# Bigram-LM quality scoring (perplexity-proxy gate)
+# ---------------------------------------------------------------------------
+
+LM_ALPHA = 0.1
+
+
+def tx_lm_score(spark, sf_dir):
+    """Corpus-trained bigram-LM mean negative log-likelihood per document
+    (operators.textops.lm_quality_score) — the CCNet/Gopher perplexity-
+    proxy quality gate. Per-bigram nll rounds to 6 dp then sums as
+    integer micro-nats, so per-doc aggregation is order-exact
+    cross-engine; only the final mean divides back to double."""
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        lm_quality_score,
+    )
+
+    d = spread_small_input(T(spark, sf_dir, "documents"))
+    return lm_quality_score(d, "doc_id", alpha=LM_ALPHA)
+
+
+TX_LM_SQL = rf"""
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+uni AS (SELECT unnest(toks) AS w FROM tl),
+vocab AS (SELECT COUNT(DISTINCT w) AS V FROM uni),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(toks) - 1),
+           i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+  FROM tl WHERE len(toks) >= 2),
+fl AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bi),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM fl GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM fl GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         CAST(ROUND(ROUND(
+           -ln((c2 + CAST({LM_ALPHA} AS DOUBLE))
+               / (c1 + CAST({LM_ALPHA} AS DOUBLE) * V)), 6)
+           * 1000000, 0) AS BIGINT) AS micro
+  FROM fl JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(micro) AS BIGINT)
+             / (COUNT(*) * CAST(1000000 AS DOUBLE)), 6) AS avg_nll
+FROM scored GROUP BY doc_id
+"""
+
+
 INCR_SPLIT_ID = 250  # docs below = "already-ingested corpus", rest = new batch
 
 
@@ -1477,4 +1533,5 @@ SCALE_QUERIES = {
     "pf_percentiles": (pf_percentiles, PF_PERCENTILES_SQL),
     "rt_hybrid_rrf": (rt_hybrid_rrf, RT_HYBRID_SQL),
     "pf_heavy_hitters": (pf_heavy_hitters, PF_HH_SQL),
+    "tx_lm_score": (tx_lm_score, TX_LM_SQL),
 }

@@ -386,3 +386,83 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(top_k)
     )
+
+
+def lm_quality_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Statistical-LM quality scoring: train an add-α-smoothed bigram
+    model on the corpus itself, then score every document by mean
+    negative log-likelihood → (id, n_bigrams, avg_nll). The classic
+    perplexity-proxy quality gate (CCNet/Gopher-style): boilerplate and
+    head-distribution text scores low, lexical garbage scores high —
+    threshold or bucket ``avg_nll`` to route documents.
+
+    p(w2|w1) = (c(w1,w2) + α) / (c(w1·) + α·V), with c(w1·) the bigram-
+    context count and V the corpus unigram vocabulary. Documents with
+    fewer than 2 tokens have no bigrams and are omitted.
+
+    Scale shape: everything is explode → map-side-combined groupBy (the
+    count tables are vocab-sized, not corpus-sized) plus two shuffle
+    joins of the bigram stream against its count tables on (w1, w2) /
+    (w1) — narrow token-pair rows, never document text; AQE broadcasts
+    the count sides when the vocab is small. Token arrays materialize
+    ONCE per document (posexplode + element_at — never a split() inside
+    a HOF lambda, the interpreted O(words²) trap).
+
+    Determinism: each bigram's nll rounds to 6 dp then scales to integer
+    micro-nats; per-doc aggregation SUMS LONGS (order-independent —
+    float addition order cannot differ cross-engine), and only the final
+    mean divides back to double.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda x: x != "",
+        ).alias("__toks"),
+    )
+    vocab = base.select(F.explode("__toks").alias("w")).agg(
+        F.count_distinct("w").alias("__V")
+    )
+    bi = (
+        base.select(
+            F.col(id_col),
+            "__toks",
+            F.posexplode("__toks").alias("__i", "w1"),
+        )
+        .filter(F.col("__i") < F.size("__toks") - 1)
+        .select(
+            F.col(id_col),
+            "w1",
+            F.element_at("__toks", F.col("__i") + F.lit(2)).alias("w2"),
+        )
+    )
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("__c2"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("__c1"))
+    a = F.lit(float(alpha))
+    nll = -F.log(
+        (F.col("__c2") + a) / (F.col("__c1") + a * F.col("__V"))
+    )
+    micro = F.round(F.round(nll, 6) * 1e6, 0).cast("long")
+    return (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), micro.alias("__micro"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("__micro").alias("__s"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            F.round(
+                F.col("__s") / (F.col("n_bigrams") * F.lit(1e6)), 6
+            ).alias("avg_nll"),
+        )
+    )
