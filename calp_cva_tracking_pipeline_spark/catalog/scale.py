@@ -1390,6 +1390,47 @@ FROM scored GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Oracle-verifiable stratified sampling (portable-hash sample_per_key)
+# ---------------------------------------------------------------------------
+
+STRATA_N = 30  # per-language cap
+STRATA_SEED = 42
+
+
+def mx_strata_sample(spark, sf_dir):
+    """Deterministic per-language document sample (operators.sampling.
+    sample_per_key, portable=True): at most STRATA_N docs per lang chosen
+    by the md5-derived stable_hash64 over key|id|seed — the corpus-
+    balancing cap, verified ROW-FOR-ROW by the oracle because the draw
+    hash has an exact SQL twin. One keyed exchange, O(1) state per group
+    (running rank), any key-group size streams."""
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        sample_per_key,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return sample_per_key(
+        d, "lang", STRATA_N, seed=STRATA_SEED, id_col="doc_id",
+        portable=True,
+    ).select("doc_id", "lang", "source")
+
+
+_STRATA_H = _sql_hash60(
+    f"lang || '|' || CAST(doc_id AS VARCHAR) || '|' || '{STRATA_SEED}'"
+)
+
+MX_STRATA_SQL = f"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {_STRATA_H}, CAST(doc_id AS VARCHAR)) AS rn
+  FROM documents) t
+WHERE rn <= {STRATA_N}
+"""
+
+
 INCR_SPLIT_ID = 250  # docs below = "already-ingested corpus", rest = new batch
 
 
@@ -1534,4 +1575,5 @@ SCALE_QUERIES = {
     "rt_hybrid_rrf": (rt_hybrid_rrf, RT_HYBRID_SQL),
     "pf_heavy_hitters": (pf_heavy_hitters, PF_HH_SQL),
     "tx_lm_score": (tx_lm_score, TX_LM_SQL),
+    "mx_strata_sample": (mx_strata_sample, MX_STRATA_SQL),
 }

@@ -141,6 +141,7 @@ def sample_per_key(
     n: int,
     seed: int = 42,
     id_col: str | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """At most ``n`` rows per key, chosen by a seeded hash — the
     distributed, deterministic replacement for per-group reservoir
@@ -161,17 +162,41 @@ def sample_per_key(
     (hash, tie-break) ordering keys, so row_number picks an arbitrary
     survivor that can change across partitionings — dedup the id or pass
     ``id_col=None`` (whole-row hash) when ids can repeat.
+
+    ``portable=True`` swaps the xxhash64 draw for the md5-derived
+    ``stable_hash64`` over a ``key|id|seed`` serialization — slower per
+    row but reproducible by ANY engine with md5 (the mx_strata_sample
+    oracle verifies the sample row-for-row in DuckDB).
     """
     if n <= 0:
         raise ValueError(f"n must be positive: {n}")
     from pyspark.sql import Window
 
     key = F.col(id_col) if id_col else F.xxhash64(*df.columns)
-    h = F.xxhash64(
-        F.col(key_col).cast("string"),
-        key.cast("string"),
-        F.lit(seed),
-    )
+    if portable:
+        # md5-derived ordering hash with a documented SQL twin
+        # (functions.hashing.stable_hash64) so an external engine can
+        # reproduce — and an oracle can verify — the exact sample.
+        # '|'-joined serialization: keys/ids containing '|' could
+        # collide serializations; fine for numeric/categorical keys.
+        from calp_cva_tracking_pipeline_spark.functions.hashing import (
+            stable_hash64,
+        )
+
+        h = stable_hash64(
+            F.concat_ws(
+                "|",
+                F.col(key_col).cast("string"),
+                key.cast("string"),
+                F.lit(str(seed)),
+            )
+        )
+    else:
+        h = F.xxhash64(
+            F.col(key_col).cast("string"),
+            key.cast("string"),
+            F.lit(seed),
+        )
     w = Window.partitionBy(key_col).orderBy(
         h, key.cast("string")
     )

@@ -254,3 +254,39 @@ def test_mixture_sample_default_fraction_and_validation(spark):
         mixture_sample(df, "source", {"a": 1.5}, "doc_id")
     with pytest.raises(ValueError):
         mixture_sample(df, "source", {}, "doc_id", default_fraction=-0.1)
+
+
+def test_sample_per_key_portable_partition_invariant_and_seeded(spark):
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        sample_per_key,
+    )
+
+    rows = [(f"k{i % 3}", i) for i in range(300)]
+    df = spark.createDataFrame(rows, "k string, id long")
+    a = sorted(
+        map(
+            tuple,
+            sample_per_key(
+                df.repartition(1), "k", 5, id_col="id", portable=True
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            sample_per_key(
+                df.repartition(16), "k", 5, id_col="id", portable=True
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 15
+    # a different seed redraws the sample
+    c = sorted(
+        map(
+            tuple,
+            sample_per_key(
+                df, "k", 5, seed=7, id_col="id", portable=True
+            ).collect(),
+        )
+    )
+    assert c != a
