@@ -405,13 +405,19 @@ def lm_quality_score(
     context count and V the corpus unigram vocabulary. Documents with
     fewer than 2 tokens have no bigrams and are omitted.
 
-    Scale shape: everything is explode → map-side-combined groupBy (the
-    count tables are vocab-sized, not corpus-sized) plus two shuffle
-    joins of the bigram stream against its count tables on (w1, w2) /
-    (w1) — narrow token-pair rows, never document text; AQE broadcasts
-    the count sides when the vocab is small. Token arrays materialize
-    ONCE per document (posexplode + element_at — never a split() inside
-    a HOF lambda, the interpreted O(words²) trap).
+    Scale shape: the corpus is tokenized exactly TWICE (once for the
+    unigram vocabulary, once for the bigram stream) — not once per count
+    table. The bigram stream collapses to per-doc bigram counts behind a
+    single (id, w1, w2) exchange; every downstream consumer (the global
+    c2 table, the c1 context table derived from c2 by summing over w2,
+    and the scoring join) hangs off that one exchange, so Spark plans a
+    ReusedExchange instead of re-tokenizing (the self-join-replans-
+    upstream trap, see dedup.minhash_lsh_candidates). Count tables are
+    vocab-sized; the scoring joins carry narrow token-pair rows, never
+    text; AQE broadcasts the count sides when the vocab is small. Token
+    arrays materialize once per document (posexplode + element_at —
+    never a split() inside a HOF lambda, the interpreted O(words²)
+    trap).
 
     Determinism: each bigram's nll rounds to 6 dp then scales to integer
     micro-nats; per-doc aggregation SUMS LONGS (order-independent —
@@ -441,21 +447,30 @@ def lm_quality_score(
             F.element_at("__toks", F.col("__i") + F.lit(2)).alias("w2"),
         )
     )
-    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("__c2"))
-    c1 = bi.groupBy("w1").agg(F.count("*").alias("__c1"))
+    # per-doc bigram counts: the ONE corpus-sized exchange — c2, c1 and
+    # the scoring join all reuse it.
+    db = bi.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("__tfd"))
+    c2 = db.groupBy("w1", "w2").agg(F.sum("__tfd").alias("__c2"))
+    # context count c(w1·) ≡ Σ_w2 c(w1,w2): derived from the vocab-sized
+    # c2, never from another corpus pass.
+    c1 = c2.groupBy("w1").agg(F.sum("__c2").alias("__c1"))
     a = F.lit(float(alpha))
     nll = -F.log(
         (F.col("__c2") + a) / (F.col("__c1") + a * F.col("__V"))
     )
     micro = F.round(F.round(nll, 6) * 1e6, 0).cast("long")
     return (
-        bi.join(c2, ["w1", "w2"])
+        db.join(c2, ["w1", "w2"])
         .join(c1, ["w1"])
         .crossJoin(F.broadcast(vocab))
-        .select(F.col(id_col), micro.alias("__micro"))
+        .select(
+            F.col(id_col),
+            F.col("__tfd"),
+            (F.col("__tfd") * micro).alias("__micro"),
+        )
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_bigrams"),
+            F.sum("__tfd").alias("n_bigrams"),
             F.sum("__micro").alias("__s"),
         )
         .select(

@@ -203,3 +203,39 @@ def test_neardup_incremental_no_cartesian_no_python(spark, sf_dir):
     plan = _executed(S.dd_neardup_incr(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_lm_score_reuses_bigram_exchange_at_runtime(spark, sf_dir):
+    # lm_quality_score hangs c2 and c1 off the per-doc bigram-count
+    # exchange; AQE must materialize that stage ONCE (2 ReusedQueryStage:
+    # db->c2 and c2->c1), keeping corpus tokenization at 2 passes
+    # (bigrams + vocab), not one per count table. Static planning does
+    # NOT show this reuse — only the post-execution adaptive plan does.
+    df = S.tx_lm_score(spark, sf_dir)
+    df.collect()
+    plan = _executed(df)
+    # spelled ReusedQueryStage or ReusedExchange depending on session
+    # config — count both.
+    reuses = plan.count("ReusedQueryStage") + plan.count("ReusedExchange")
+    assert reuses >= 2, plan[:2000]
+
+
+def test_heavy_hitters_verify_is_broadcast_semi(spark, sf_dir):
+    plan = _executed(S.pf_heavy_hitters(spark, sf_dir))
+    # phase-2 verify must stay a broadcast semi join of the candidate
+    # set; a shuffle-side semi would re-introduce the vocab-sized
+    # exchange the sketch exists to avoid.
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    # one Arrow-batched MG stage, nothing else in Python
+    assert plan.count("MapInPandas") == 1
+
+
+def test_strata_sample_rank_limit_pushes_below_exchange(spark, sf_dir):
+    # WindowGroupLimit Partial before the lang exchange = each task ships
+    # at most STRATA_N rows per stratum, not the whole table.
+    plan = _executed(S.mx_strata_sample(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert plan.index("WindowGroupLimit") < plan.index(
+        "Exchange hashpartitioning(lang"
+    ) or "Partial" in plan.split("WindowGroupLimit")[2]
