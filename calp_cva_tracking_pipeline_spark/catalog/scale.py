@@ -1431,6 +1431,58 @@ WHERE rn <= {STRATA_N}
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact duplicated-passage detection (Lee et al. exact-substring signal)
+# ---------------------------------------------------------------------------
+
+PASSAGE_W = 8  # span length in tokens
+PASSAGE_CAP = 16  # spans shared by more docs = boilerplate, dropped
+
+
+def dd_passage_overlap(spark, sf_dir):
+    """Document pairs sharing >=1 exact 8-token span with the count of
+    distinct shared spans (operators.dedup.passage_overlap_pairs).
+    Span hashes use the md5-derived stable_hash64 on BOTH engines, so
+    parity is hash-exact rather than probabilistic."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        passage_overlap_pairs,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+
+    d = spread_small_input(T(spark, sf_dir, "documents"))
+    return passage_overlap_pairs(
+        d, "doc_id", window=PASSAGE_W,
+        max_docs_per_window=PASSAGE_CAP,
+    )
+
+
+_PASSAGE_H = _sql_hash60(
+    f"array_to_string(list_slice(toks, i, i + {PASSAGE_W} - 1), ' ')"
+)
+
+DD_PASSAGE_SQL = rf"""
+WITH tl AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents),
+sp AS (
+  SELECT DISTINCT doc_id, {_PASSAGE_H} AS h
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {PASSAGE_W} + 1)) AS i
+        FROM tl WHERE len(toks) >= {PASSAGE_W}) t),
+bc AS (
+  SELECT h FROM (SELECT h, COUNT(*) AS c FROM sp GROUP BY h) g
+  WHERE c BETWEEN 2 AND {PASSAGE_CAP}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sp a JOIN sp b USING (h)
+  WHERE a.doc_id < b.doc_id AND h IN (SELECT h FROM bc))
+SELECT id_a, id_b, COUNT(*) AS n_shared
+FROM pairs GROUP BY 1, 2
+"""
+
+
 INCR_SPLIT_ID = 250  # docs below = "already-ingested corpus", rest = new batch
 
 
@@ -1576,4 +1628,5 @@ SCALE_QUERIES = {
     "pf_heavy_hitters": (pf_heavy_hitters, PF_HH_SQL),
     "tx_lm_score": (tx_lm_score, TX_LM_SQL),
     "mx_strata_sample": (mx_strata_sample, MX_STRATA_SQL),
+    "dd_passage_overlap": (dd_passage_overlap, DD_PASSAGE_SQL),
 }

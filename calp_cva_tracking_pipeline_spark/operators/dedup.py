@@ -686,3 +686,82 @@ def simhash_candidates(
         .filter(F.col("hamming") <= max_hamming)
     )
     return out.select("id_a", "id_b", "hamming")
+
+
+def passage_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 8,
+    max_docs_per_window: int = 16,
+) -> DataFrame:
+    """Exact duplicated-passage detection: pairs of documents sharing at
+    least one identical ``window``-token span, with the count of distinct
+    shared spans → (id_a, id_b, n_shared). The exact-substring
+    duplication signal of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") at fixed granularity: near-dup tiers
+    (MinHash/SimHash) rank whole-document similarity, while this catches
+    verbatim PASSAGE reuse — quotes, boilerplate, cross-posted spans —
+    between otherwise-different documents.
+
+    Mechanics: every consecutive ``window``-token span (case-sensitive —
+    it IS exact matching; docs shorter than the window emit nothing)
+    hashes through the md5-derived ``stable_hash64`` — the oracle
+    recomputes the SAME hash, so parity is exact, not probabilistic;
+    hash-shuffled rows are 16 bytes wide regardless of span length.
+    (Swap in xxhash64 for production ingest if md5 throughput ever shows
+    up in a profile; keep stable_hash64 wherever an external engine must
+    reproduce the pairs.) Spans dedupe per document, then a per-span-hash
+    bucket groups sharers: buckets of 1 emit nothing, buckets above
+    ``max_docs_per_window`` are boilerplate (a span in B docs emits
+    B(B-1)/2 pairs — the quadratic-emission guard mirrored from the LSH
+    tiers, and in the SQL oracle) and are dropped whole. Pair expansion
+    is the per-bucket collect + in-array expansion sharing one exchange
+    with the cap filter — never a span-key self-join (a self-join
+    replans the entire tokenize→span→hash upstream twice; 0
+    ReusedExchange, measured on minhash).
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        word_tokens(F.col(text_col)).alias("__toks"),
+    ).filter(F.size("__toks") >= window)
+    idx = F.sequence(F.lit(1), F.size("__toks") - window + 1)
+    spans = base.select(
+        "__id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.array_join(F.slice("__toks", i, window), " "),
+            )
+        ).alias("__span"),
+    )
+    hashed = spans.select(
+        "__id", stable_hash64(F.col("__span")).alias("__h")
+    ).distinct()
+    bucket_w = Window.partitionBy("__h")
+    capped = (
+        hashed.withColumn("__bn", F.count("*").over(bucket_w))
+        .filter(
+            (F.col("__bn") >= 2) & (F.col("__bn") <= max_docs_per_window)
+        )
+        .drop("__bn")
+    )
+    buckets = capped.groupBy("__h").agg(
+        F.array_sort(F.collect_list("__id")).alias("__ids")
+    )
+    ids = F.col("__ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
