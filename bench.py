@@ -76,6 +76,14 @@ HEADLINE = [
     "tx_vocab",
     "pf_profile",
     "emb_dim_stats",
+    # round 6 late additions (ditto for earlier totals), new cost classes:
+    # MG-sketch + broadcast-semi verify, corpus-LM train+score (reused
+    # bigram exchange), span-hash bucketed pair expansion, two-retriever
+    # fusion
+    "pf_heavy_hitters",
+    "tx_lm_score",
+    "dd_passage_overlap",
+    "rt_hybrid_rrf",
 ]
 
 
