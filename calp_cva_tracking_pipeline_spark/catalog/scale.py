@@ -1462,8 +1462,9 @@ _PASSAGE_H = _sql_hash60(
     f"array_to_string(list_slice(toks, i, i + {PASSAGE_W} - 1), ' ')"
 )
 
-DD_PASSAGE_SQL = rf"""
-WITH tl AS (
+# CTE chain ending in `pairs` (id_a < id_b, one row per shared span) —
+# used by DD_PASSAGE_SQL and by the component-resolution oracle below.
+_PASSAGE_PAIR_CTES = rf"""tl AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
   FROM documents),
 sp AS (
@@ -1477,9 +1478,43 @@ bc AS (
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sp a JOIN sp b USING (h)
-  WHERE a.doc_id < b.doc_id AND h IN (SELECT h FROM bc))
+  WHERE a.doc_id < b.doc_id AND h IN (SELECT h FROM bc))"""
+
+DD_PASSAGE_SQL = f"""
+WITH {_PASSAGE_PAIR_CTES}
 SELECT id_a, id_b, COUNT(*) AS n_shared
 FROM pairs GROUP BY 1, 2
+"""
+
+
+def dd_components(spark, sf_dir):
+    """Duplicate-cluster resolution (operators.dedup.connected_components)
+    over the passage-overlap pair graph: (node, component) with component
+    = min reachable doc_id — the transitive-closure survivor labeling
+    (A~B~C keeps exactly A even though A and C never paired). The Spark
+    side iterates min-label propagation over the candidate-sized pair set
+    (one label-table shuffle per round, O(component diameter) rounds);
+    the oracle is the same fixpoint as a recursive CTE — upgrading the
+    iterative operator from pytest-only to oracle-verified."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = dd_passage_overlap(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(edges)
+
+
+DD_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_PASSAGE_PAIR_CTES},
+dedup_pairs AS (SELECT DISTINCT id_a, id_b FROM pairs),
+edges(src, dst) AS (
+  SELECT id_a, id_b FROM dedup_pairs
+  UNION SELECT id_b, id_a FROM dedup_pairs),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node)
+SELECT node, MIN(comp) AS component FROM reach GROUP BY node
 """
 
 
@@ -1629,4 +1664,5 @@ SCALE_QUERIES = {
     "tx_lm_score": (tx_lm_score, TX_LM_SQL),
     "mx_strata_sample": (mx_strata_sample, MX_STRATA_SQL),
     "dd_passage_overlap": (dd_passage_overlap, DD_PASSAGE_SQL),
+    "dd_components": (dd_components, DD_COMPONENTS_SQL),
 }
