@@ -1518,6 +1518,47 @@ SELECT node, MIN(comp) AS component FROM reach GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# Temperature mixture reweighting
+# ---------------------------------------------------------------------------
+
+MIX_TAU = 0.5
+
+
+def mx_temperature(spark, sf_dir):
+    """Per-source temperature-resampling weights (operators.sampling.
+    temperature_weights, τ=0.5 — the XLM-R/mT5 mixture-flattening
+    standard): head sources downweight, tail sources upweight. pow()
+    output rounds to 9 dp and sums as integer parts-per-billion, so the
+    normalization is order-exact cross-engine."""
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        temperature_weights,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return temperature_weights(d, "source", tau=MIX_TAU)
+
+
+MX_TEMP_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS N FROM counts),
+t AS (
+  SELECT source, n_docs,
+         CAST(n_docs AS DOUBLE) / N AS p,
+         CAST(ROUND(ROUND(
+           pow(CAST(n_docs AS DOUBLE) / N, {MIX_TAU}), 9)
+           * 1000000000, 0) AS BIGINT) AS t_ppb
+  FROM counts CROSS JOIN tot),
+den AS (SELECT CAST(SUM(t_ppb) AS BIGINT) AS D FROM t)
+SELECT source, n_docs,
+       ROUND(p, 6) AS share,
+       ROUND(CAST(t_ppb AS DOUBLE) / D, 6) AS temp_share,
+       ROUND((CAST(t_ppb AS DOUBLE) / D) / p, 6) AS sample_weight
+FROM t CROSS JOIN den
+"""
+
+
 INCR_SPLIT_ID = 250  # docs below = "already-ingested corpus", rest = new batch
 
 
@@ -1665,4 +1706,5 @@ SCALE_QUERIES = {
     "mx_strata_sample": (mx_strata_sample, MX_STRATA_SQL),
     "dd_passage_overlap": (dd_passage_overlap, DD_PASSAGE_SQL),
     "dd_components": (dd_components, DD_COMPONENTS_SQL),
+    "mx_temperature": (mx_temperature, MX_TEMP_SQL),
 }

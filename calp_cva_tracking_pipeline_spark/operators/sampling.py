@@ -249,3 +249,49 @@ def mixture_sample(
         F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
     ) % F.lit(1_000_000)
     return df.filter(bucket < (frac * 1_000_000).cast("long"))
+
+
+def temperature_weights(
+    df: DataFrame,
+    key_col: str,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual-training
+    standard, XLM-R/mT5 style): per-key corpus shares p_k = n_k/N are
+    flattened to q_k ∝ p_k^τ, and ``sample_weight`` = q_k/p_k is the
+    per-row multiplier that realizes the new mixture → (key, n_docs,
+    share, temp_share, sample_weight). τ=1 keeps natural proportions,
+    τ=0 is uniform over keys; head sources get weights < 1, tail
+    sources > 1. Feed the weights to ``mixture_sample`` fractions or a
+    loss-weighting column.
+
+    Determinism: p_k is one exact-integer division; p_k^τ (libm pow)
+    rounds to 9 dp then scales to integer parts-per-billion, so the
+    normalizing sum is an ORDER-EXACT integer sum cross-engine; the
+    final shares/weights are single double divisions rounded to 6 dp.
+
+    Scale shape: one map-side-combined count per key (key-cardinality
+    output), one scalar total, and a key-cardinality normalization —
+    nothing corpus-sized past the first aggregation.
+    """
+    counts = df.groupBy(key_col).agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("__N"))
+    p = F.col("n_docs") / F.col("__N")
+    t_ppb = F.round(
+        F.round(F.pow(p, F.lit(float(tau))), 9) * 1e9, 0
+    ).cast("long")
+    with_t = counts.crossJoin(F.broadcast(total)).withColumn(
+        "__t", t_ppb
+    )
+    denom = with_t.agg(F.sum("__t").alias("__D"))
+    q = F.col("__t") / F.col("__D")
+    return (
+        with_t.crossJoin(F.broadcast(denom))
+        .select(
+            key_col,
+            "n_docs",
+            F.round(p, 6).alias("share"),
+            F.round(q, 6).alias("temp_share"),
+            F.round(q / p, 6).alias("sample_weight"),
+        )
+    )

@@ -290,3 +290,34 @@ def test_sample_per_key_portable_partition_invariant_and_seeded(spark):
         )
     )
     assert c != a
+
+
+def test_temperature_weights_flatten_toward_uniform(spark):
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        temperature_weights,
+    )
+
+    rows = [("big",)] * 900 + [("small",)] * 100
+    df = spark.createDataFrame(rows, "source string")
+    out = {
+        r["source"]: r
+        for r in temperature_weights(df, "source", tau=0.5).collect()
+    }
+    assert out["big"]["share"] == 0.9 and out["small"]["share"] == 0.1
+    # tau=0.5: q ∝ sqrt(p) -> 0.75 / 0.25
+    assert abs(out["big"]["temp_share"] - 0.75) < 1e-6
+    assert abs(out["small"]["temp_share"] - 0.25) < 1e-6
+    # head downweights, tail upweights; shares sum to 1
+    assert out["big"]["sample_weight"] < 1 < out["small"]["sample_weight"]
+    # tau=1 keeps natural proportions (weight 1 everywhere)
+    nat = {
+        r["source"]: r["sample_weight"]
+        for r in temperature_weights(df, "source", tau=1.0).collect()
+    }
+    assert nat == {"big": 1.0, "small": 1.0}
+    # tau=0 is uniform over keys
+    uni = {
+        r["source"]: r["temp_share"]
+        for r in temperature_weights(df, "source", tau=0.0).collect()
+    }
+    assert uni == {"big": 0.5, "small": 0.5}
