@@ -1559,6 +1559,75 @@ FROM t CROSS JOIN den
 """
 
 
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: quantile boundaries -> per-doc bucket
+# ---------------------------------------------------------------------------
+
+LEN_BUCKET_PS = [0.25, 0.5, 0.75]
+
+
+def pk_length_buckets(spark, sf_dir):
+    """Per-document length-bucket assignment for padding-efficient
+    batching: bucket boundaries are EXACT corpus quartiles of the token
+    count (operators.profiling.exact_percentiles — the two-phase
+    histogram, no row-sized single-task sort), and each doc lands in
+    bucket = #boundaries strictly below its length (0..3). Batching
+    within a bucket bounds padding waste to the bucket's length spread —
+    the standard seq-len grouping in front of ``pack_sequences``. Two
+    corpus passes (boundary estimation, then assignment against the
+    broadcast 1-row boundary table) — the canonical exact two-pass
+    shape; ties sit in the lower bucket on both engines via strict >."""
+    from calp_cva_tracking_pipeline_spark.functions.text import token_count
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        exact_percentiles,
+    )
+
+    d = spread_small_input(T(spark, sf_dir, "documents"))
+    lens = d.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    qs = exact_percentiles(lens, ["n_tokens"], LEN_BUCKET_PS)
+    b = qs.agg(
+        *[
+            F.min(F.when(F.col("p") == p, F.col("value"))).alias(
+                f"__q{i}"
+            )
+            for i, p in enumerate(LEN_BUCKET_PS)
+        ]
+    )
+    bucket = sum(
+        (F.col("n_tokens") > F.col(f"__q{i}")).cast("int")
+        for i in range(len(LEN_BUCKET_PS))
+    )
+    return lens.crossJoin(F.broadcast(b)).select(
+        "doc_id", "n_tokens", bucket.alias("bucket")
+    )
+
+
+_LB_QS = ", ".join(
+    f"ROUND(CAST(quantile_cont(CAST(n_tokens AS DOUBLE), {p}) AS DOUBLE), 6)"
+    f" AS q{i}"
+    for i, p in enumerate(LEN_BUCKET_PS)
+)
+_LB_SUM = " + ".join(
+    f"CAST(n_tokens > q{i} AS INTEGER)" for i in range(len(LEN_BUCKET_PS))
+)
+
+PK_LENBUCKET_SQL = rf"""
+WITH lens AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents),
+q AS (SELECT {_LB_QS} FROM lens)
+SELECT doc_id, n_tokens, CAST({_LB_SUM} AS INTEGER) AS bucket
+FROM lens CROSS JOIN q
+"""
+
+
 INCR_SPLIT_ID = 250  # docs below = "already-ingested corpus", rest = new batch
 
 
@@ -1707,4 +1776,5 @@ SCALE_QUERIES = {
     "dd_passage_overlap": (dd_passage_overlap, DD_PASSAGE_SQL),
     "dd_components": (dd_components, DD_COMPONENTS_SQL),
     "mx_temperature": (mx_temperature, MX_TEMP_SQL),
+    "pk_length_buckets": (pk_length_buckets, PK_LENBUCKET_SQL),
 }

@@ -220,3 +220,21 @@ def test_null_texts_never_contaminate_and_still_pack(spark):
     packs = pack_sequences(train, "doc_id", budget=100).collect()
     assert {r["id"] for r in packs} == {1, 2}
     assert {r["n_tokens"] for r in packs if r["id"] == 1} == {0}
+
+
+def test_length_buckets_are_balanced_and_ordered(spark):
+    # quartile boundaries split a spread-out length distribution into 4
+    # buckets of ~equal population, and bucket is monotone in length.
+    from calp_cva_tracking_pipeline_spark.catalog.scale import (
+        pk_length_buckets,
+    )
+
+    out = pk_length_buckets(spark, "/root/testdata/sf0.001").collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["n_tokens"])
+    assert set(by_bucket) == {0, 1, 2, 3}
+    sizes = [len(v) for _, v in sorted(by_bucket.items())]
+    assert max(sizes) - min(sizes) <= len(out) // 2  # roughly balanced
+    for b in range(3):
+        assert max(by_bucket[b]) <= min(by_bucket[b + 1])
