@@ -1628,6 +1628,82 @@ FROM lens CROSS JOIN q
 """
 
 
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (ADC over codes)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # centroids per subspace codebook
+_PQ_SUB = EMB_DIM // PQ_M
+
+
+def ann_pq_topk(spark, sf_dir):
+    """PQ/ADC approximate search (operators.similarity.pq_topk): vectors
+    compress to PQ_M codebook codes; queries score code rows through a
+    broadcast exact-distance lookup table. Codebooks use the
+    deterministic lowest-id init (same contract as IVF; Lloyd refinement
+    is the offline quality path). Per-subspace distances round to 6 dp
+    and sum as integer micro-units — order-exact cross-engine."""
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return pq_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        m=PQ_M, k_codebook=PQ_K, k=TOP_K, dim=EMB_DIM,
+    )
+
+
+def _pq_d2(a: str, b: str) -> str:
+    return (
+        f"ROUND(list_sum(list_transform(list_zip({a}, {b}),"
+        f" x -> (x[1] - x[2]) * (x[1] - x[2]))), 6)"
+    )
+
+
+ANN_PQ_SQL = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb0 AS (SELECT CAST(vec_id AS BIGINT) AS centroid_id, v
+        FROM c ORDER BY vec_id LIMIT {PQ_K}),
+mm AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+cb AS (SELECT m, centroid_id,
+              list_slice(v, m * {_PQ_SUB} + 1, m * {_PQ_SUB} + {_PQ_SUB})
+                AS cbv
+       FROM cb0 CROSS JOIN mm),
+sv AS (SELECT vec_id, m,
+              list_slice(v, m * {_PQ_SUB} + 1, m * {_PQ_SUB} + {_PQ_SUB})
+                AS sub
+       FROM c CROSS JOIN mm),
+codes AS (
+  SELECT vec_id, m, centroid_id AS code FROM (
+    SELECT sv.vec_id, sv.m, cb.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.m
+             ORDER BY {_pq_d2('sv.sub', 'cb.cbv')}, cb.centroid_id) AS rn
+    FROM sv JOIN cb ON cb.m = sv.m) t
+  WHERE rn = 1),
+lut AS (
+  SELECT q.vec_id AS query_id, q.m, cb.centroid_id AS code,
+         {_pq_d2('q.sub', 'cb.cbv')} AS d2m
+  FROM (SELECT * FROM sv WHERE vec_id < {N_QUERIES}) q
+  JOIN cb ON cb.m = q.m),
+scored AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id,
+         ROUND(CAST(SUM(CAST(ROUND(d2m * 1000000, 0) AS BIGINT)) AS BIGINT)
+               / CAST(1000000 AS DOUBLE), 6) AS adist
+  FROM codes cd
+  JOIN lut l ON l.m = cd.m AND l.code = cd.code
+  WHERE cd.vec_id <> l.query_id
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, adist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= {TOP_K}
+"""
+
+
 INCR_SPLIT_ID = 250  # docs below = "already-ingested corpus", rest = new batch
 
 
@@ -1777,4 +1853,5 @@ SCALE_QUERIES = {
     "dd_components": (dd_components, DD_COMPONENTS_SQL),
     "mx_temperature": (mx_temperature, MX_TEMP_SQL),
     "pk_length_buckets": (pk_length_buckets, PK_LENBUCKET_SQL),
+    "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),
 }

@@ -500,3 +500,164 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def _explode_subspaces(
+    df: DataFrame, id_alias: str, vec_col: str, m: int, dim: int
+) -> DataFrame:
+    """(id, vec) → (id, m, sub): the vector split into ``m`` contiguous
+    subvectors of dim/m. Pure projection + explode — no shuffle."""
+    sub = dim // m
+    return (
+        df.select(
+            F.col(id_alias),
+            F.explode(F.array(*[F.lit(i) for i in range(m)])).alias("m"),
+            F.col(vec_col).alias("__v"),
+        )
+        .select(
+            id_alias,
+            "m",
+            F.slice(F.col("__v"), F.col("m") * sub + 1, sub).alias("__sub"),
+        )
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic PQ codebooks → (m, centroid_id, __cb): per-subspace
+    centroids taken from the ``k`` lowest-id corpus vectors' subvectors
+    (the same oracle-expressible init as ``train_centroids``; the limit
+    plans as TakeOrderedAndProject, never a global sort). Lloyd
+    refinement per subspace is the quality-tuned offline path — like IVF,
+    oracle-verified flows pin zero iterations."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    base = (
+        corpus.select(
+            F.col(id_col).cast("long").alias("centroid_id"),
+            F.col(vec_col).alias("__bv"),
+        )
+        .orderBy("centroid_id")
+        .limit(k)
+    )
+    return _explode_subspaces(
+        base.withColumnRenamed("__bv", "__cv"), "centroid_id", "__cv", m, dim
+    ).withColumnRenamed("__sub", "__cb")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ encoding → (id, m, code): per subspace, the nearest codebook
+    centroid (rounded-d², centroid-id struct-min — deterministic ties).
+    The corpus never joins itself: subvector rows meet the BROADCAST
+    codebook (m·k rows), and only (id, m, d², cid) tuples reach the
+    argmin shuffle. A 64-dim float vector compresses to m small codes —
+    the memory story that lets a 100 TB corpus's index live in RAM."""
+    rows = _explode_subspaces(
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__ev")),
+        "__id",
+        "__ev",
+        m,
+        dim,
+    )
+    return (
+        rows.join(F.broadcast(codebooks), "m")
+        .select(
+            "__id",
+            "m",
+            F.struct(
+                F.round(sq_dist(F.col("__sub"), F.col("__cb")), 6).alias(
+                    "d2"
+                ),
+                F.col("centroid_id").alias("cid"),
+            ).alias("__dc"),
+        )
+        .groupBy("__id", "m")
+        .agg(F.min("__dc").alias("__dc"))
+        .select("__id", "m", F.col("__dc.cid").alias("code"))
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    m: int = 4,
+    k_codebook: int = 16,
+    k: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search → (query_id, neighbor_id,
+    adist, rank): queries score against CODES, not vectors — per query a
+    broadcast lookup table of exact subvector-to-centroid distances, and
+    each corpus code row sums its m table entries. Approximation error is
+    the quantization residual; ranking is (rounded adist, id), ties
+    deterministic.
+
+    Determinism: per-subspace distances round to 6 dp then sum as
+    integer micro-units (m addends, order-exact cross-engine). Scale
+    shape: the ADC join is corpus-codes × broadcast LUT on (m, code) —
+    one narrow shuffle for the per-pair aggregation, a per-query-key
+    window for the cut; full-corpus ADC is O(n·m) table lookups per
+    query BY DESIGN (production composes PQ inside IVF cells — encode
+    ``assign_cells`` output per cell — so ADC touches only probed
+    cells)."""
+    cb = pq_codebooks(corpus, id_col, vec_col, m, k_codebook, dim)
+    codes = pq_encode(corpus, cb, id_col, vec_col, m, dim)
+    qrows = _explode_subspaces(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qv"),
+        ),
+        "query_id",
+        "__qv",
+        m,
+        dim,
+    )
+    lut = qrows.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        F.col("centroid_id").alias("code"),
+        F.round(sq_dist(F.col("__sub"), F.col("__cb")), 6).alias("__d2m"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("__id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("__id").alias("neighbor_id"),
+            F.round(F.col("__d2m") * 1e6, 0).cast("long").alias("__micro"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(F.sum("__micro") / F.lit(1e6), 6).alias("adist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )
