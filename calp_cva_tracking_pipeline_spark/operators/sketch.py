@@ -98,3 +98,50 @@ def heavy_hitters(
             ).alias("frac"),
         )
     )
+
+
+def mg_merge(
+    store: DataFrame,
+    batch: DataFrame,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Merge an ingest batch into a Misra-Gries count STORE of at most
+    ``k`` counters → the next store version (key, cnt). The streaming
+    twin of ``heavy_hitters``'s phase 1: a continuous pipeline keeps one
+    bounded summary across micro-batches (foreachBatch: read store →
+    mg_merge → overwrite store), and at any point the store's keys are a
+    superset of every key with stream frequency > N/(k+1) — the
+    mergeable-summaries guarantee (Agarwal et al., PODS 2012) composes
+    over arbitrarily many merges, so the loop never rescans history.
+    Per-key undercount is bounded by the total decrement mass ≤ N/(k+1);
+    report ``cnt`` as a lower bound, or verify candidates exactly
+    against raw history where it is retained.
+
+    Scale shape: the batch collapses to its exact (key, cnt) aggregate
+    (map-side combined, batch-cardinality), unions with the ≤k-row
+    store, and the subtract threshold — the (k+1)-th largest merged
+    count — comes from a summary-sized window (driver-bounded: ≤ k +
+    distinct-keys(batch) rows; the single-partition sort is over the
+    SUMMARY, never the stream)."""
+    batch_counts = batch.groupBy(key_col).agg(F.count("*").alias("cnt"))
+    merged = (
+        store.select(key_col, "cnt")
+        .unionByName(batch_counts)
+        .groupBy(key_col)
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col(key_col))
+    ranked = merged.withColumn("__rn", F.row_number().over(w))
+    t = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("__rn") == k + 1, F.col("cnt"))), F.lit(0)
+        ).alias("__t")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(t))
+        .select(key_col, (F.col("cnt") - F.col("__t")).alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )

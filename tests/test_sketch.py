@@ -77,3 +77,34 @@ def test_threshold_validation(spark):
         heavy_hitters(df, "k", 0.0)
     with pytest.raises(ValueError):
         heavy_hitters(df, "k", 1.5)
+
+
+def test_mg_merge_bounded_and_superset(spark):
+    from calp_cva_tracking_pipeline_spark.operators.sketch import mg_merge
+
+    k = 10
+    store = spark.createDataFrame([], "k string, cnt long")
+    # stream: 3 heavy keys (200 each), 300 tail singletons, in 4 batches
+    rows = [(f"h{i % 3}",) for i in range(600)] + [
+        (f"t{i}",) for i in range(300)
+    ]
+    import random
+
+    random.Random(5).shuffle(rows)
+    n = len(rows)
+    chunk = n // 4
+    for b in range(4):
+        batch = spark.createDataFrame(
+            rows[b * chunk:(b + 1) * chunk if b < 3 else n], "k string"
+        )
+        store = spark.createDataFrame(
+            store.collect(), "k string, cnt long"
+        )  # materialize like a parquet store roundtrip
+        store = mg_merge(store, batch, "k", k)
+    final = {r["k"]: r["cnt"] for r in store.collect()}
+    assert len(final) <= k  # bounded summary
+    # every key with freq > n/(k+1) must be present, with undercount
+    # bounded by n/(k+1)
+    for h in ("h0", "h1", "h2"):
+        assert h in final
+        assert 200 - n / (k + 1) <= final[h] <= 200

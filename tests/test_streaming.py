@@ -556,3 +556,68 @@ def test_stream_stream_time_bounded_join(spark, sf_dir, tmp_path):
         tuple(r) for r in spark.sql("SELECT * FROM ss_join").collect()
     )
     assert got == batch and len(got) > 0
+
+
+def test_foreachbatch_streaming_heavy_hitters_store(spark, tmp_path):
+    """Streaming heavy hitters: foreachBatch folds each micro-batch into
+    a persisted Misra-Gries count store (operators.sketch.mg_merge). The
+    store stays <= k rows across the whole run, and its final key set is
+    a superset of every key whose TOTAL stream frequency exceeds
+    N/(k+1) — the mergeable-summaries guarantee surviving parquet
+    roundtrips and micro-batch slicing."""
+    import os
+
+    from calp_cva_tracking_pipeline_spark.operators.sketch import mg_merge
+
+    k = 8
+    src = str(tmp_path / "hh_src")
+    store_path = str(tmp_path / "hh_store")
+    # 2 heavy tokens (~30% each), 200 tail singletons
+    rows = [(i, "heavy_a" if i % 10 < 3 else
+             ("heavy_b" if i % 10 < 6 else f"tail{i}"))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "event_id long, token string")
+    df.repartition(5).write.parquet(src)
+
+    def process(batch_df, batch_id):
+        s = batch_df.sparkSession
+        if os.path.exists(store_path):
+            store = s.read.parquet(store_path)
+        else:
+            store = s.createDataFrame([], "token string, cnt long")
+        nxt = mg_merge(store, batch_df, "token", k).cache()
+        assert nxt.count() <= k
+        nxt.write.mode("overwrite").parquet(store_path + "_tmp")
+        s.read.parquet(store_path + "_tmp").write.mode(
+            "overwrite"
+        ).parquet(store_path)
+        nxt.unpersist()
+
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    final = {
+        r["token"]: r["cnt"]
+        for r in spark.read.parquet(store_path).collect()
+    }
+    assert len(final) <= k
+    n = len(rows)
+    true_counts = {}
+    for _, t in rows:
+        true_counts[t] = true_counts.get(t, 0) + 1
+    for tok, c in true_counts.items():
+        if c > n / (k + 1):
+            assert tok in final, f"missing heavy hitter {tok}"
+            assert final[tok] >= c - n / (k + 1)
+    assert "heavy_a" in final and "heavy_b" in final
