@@ -1704,6 +1704,91 @@ WHERE rank <= {TOP_K}
 """
 
 
+IVFPQ_NPROBE = 4
+
+
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF×PQ composed search (operators.similarity.ivf_pq_topk): coarse
+    cells prune to nprobe probed cells, PQ/ADC scores the survivors in
+    the compressed domain — the Jégou et al. billion-scale shape, with
+    BOTH quantizers on the deterministic lowest-id init so the whole
+    composition is oracle-verified."""
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_pq_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        n_centroids=IVF_CENTROIDS, nprobe=IVFPQ_NPROBE,
+        m=PQ_M, k_codebook=PQ_K, k=TOP_K, dim=EMB_DIM,
+    )
+
+
+ANN_IVFPQ_SQL = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb0 AS (SELECT CAST(vec_id AS BIGINT) AS centroid_id, v
+        FROM c ORDER BY vec_id LIMIT {PQ_K}),
+mm AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+cb AS (SELECT m, centroid_id,
+              list_slice(v, m * {_PQ_SUB} + 1, m * {_PQ_SUB} + {_PQ_SUB})
+                AS cbv
+       FROM cb0 CROSS JOIN mm),
+sv AS (SELECT vec_id, m,
+              list_slice(v, m * {_PQ_SUB} + 1, m * {_PQ_SUB} + {_PQ_SUB})
+                AS sub
+       FROM c CROSS JOIN mm),
+codes AS (
+  SELECT vec_id, m, centroid_id AS code FROM (
+    SELECT sv.vec_id, sv.m, cb.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.m
+             ORDER BY {_pq_d2('sv.sub', 'cb.cbv')}, cb.centroid_id) AS rn
+    FROM sv JOIN cb ON cb.m = sv.m) t
+  WHERE rn = 1),
+cent AS (
+  SELECT CAST(vec_id AS BIGINT) AS centroid_id, v AS cv
+  FROM c ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+assign AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT a.vec_id, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_IVF_D2.format(a='a.v', b='cent.cv')}, cent.centroid_id
+           ) AS rn
+    FROM c a CROSS JOIN cent) t
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, centroid_id AS cell FROM (
+    SELECT q.vec_id AS query_id, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_IVF_D2.format(a='q.v', b='cent.cv')}, cent.centroid_id
+           ) AS pr
+    FROM (SELECT * FROM c WHERE vec_id < {N_QUERIES}) q CROSS JOIN cent) t
+  WHERE pr <= {IVFPQ_NPROBE}),
+lut AS (
+  SELECT q.vec_id AS query_id, q.m, cb.centroid_id AS code,
+         {_pq_d2('q.sub', 'cb.cbv')} AS d2m
+  FROM (SELECT * FROM sv WHERE vec_id < {N_QUERIES}) q
+  JOIN cb ON cb.m = q.m),
+scored AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id,
+         ROUND(CAST(SUM(CAST(ROUND(d2m * 1000000, 0) AS BIGINT)) AS BIGINT)
+               / CAST(1000000 AS DOUBLE), 6) AS adist
+  FROM codes cd
+  JOIN assign a ON a.vec_id = cd.vec_id
+  JOIN probes p ON p.cell = a.cell
+  JOIN lut l ON l.query_id = p.query_id
+            AND l.m = cd.m AND l.code = cd.code
+  WHERE cd.vec_id <> l.query_id
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, adist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= {TOP_K}
+"""
+
+
 INCR_SPLIT_ID = 250  # docs below = "already-ingested corpus", rest = new batch
 
 
@@ -1854,4 +1939,5 @@ SCALE_QUERIES = {
     "mx_temperature": (mx_temperature, MX_TEMP_SQL),
     "pk_length_buckets": (pk_length_buckets, PK_LENBUCKET_SQL),
     "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),
+    "ann_ivfpq_topk": (ann_ivfpq_topk, ANN_IVFPQ_SQL),
 }

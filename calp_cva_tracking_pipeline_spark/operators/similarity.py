@@ -661,3 +661,91 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adist", "rank")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    k_codebook: int = 16,
+    k: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF×PQ composition — the billion-scale ANN shape (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    coarse IVF cells prune the corpus to ``nprobe`` probed cells per
+    query, and scoring inside those cells runs in the COMPRESSED domain
+    (ADC over PQ codes through the broadcast lookup table) → (query_id,
+    neighbor_id, adist, rank). Candidate reduction ~n_centroids/nprobe
+    AND per-candidate cost independent of ``dim`` — multiplying the two
+    tiers' savings.
+
+    Index state per corpus vector: one cell id + m codes; vectors are
+    touched only at build time. Both quantizers use the deterministic
+    lowest-id init (oracle contract; Lloyd/residual refinement is the
+    offline quality path). Scale shape: cells and codes join on id at
+    build; at search the code table joins broadcast probes then the
+    broadcast LUT — the corpus-sized side never shuffles on anything
+    but its one build exchange."""
+    cent = train_centroids(corpus, id_col, vec_col, n_centroids)
+    cells = assign_cells(corpus, cent, id_col, vec_col).select(
+        F.col(id_col).alias("__id"), "__cell"
+    )
+    cb = pq_codebooks(corpus, id_col, vec_col, m, k_codebook, dim)
+    codes = pq_encode(corpus, cb, id_col, vec_col, m, dim)
+    coded = codes.join(cells, "__id")
+    qd = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qvec"),
+    ).crossJoin(F.broadcast(cent))
+    pw = Window.partitionBy("query_id").orderBy(
+        F.round(sq_dist(F.col("__qvec"), F.col("__cent")), 6),
+        F.col("centroid_id"),
+    )
+    probes = (
+        qd.withColumn("__pr", F.row_number().over(pw))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", F.col("centroid_id").alias("__cell"))
+    )
+    qrows = _explode_subspaces(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qv"),
+        ),
+        "query_id",
+        "__qv",
+        m,
+        dim,
+    )
+    lut = qrows.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        F.col("centroid_id").alias("code"),
+        F.round(sq_dist(F.col("__sub"), F.col("__cb")), 6).alias("__d2m"),
+    )
+    scored = (
+        coded.join(F.broadcast(probes), "__cell")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .filter(F.col("__id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("__id").alias("neighbor_id"),
+            F.round(F.col("__d2m") * 1e6, 0).cast("long").alias("__micro"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("__micro") / F.lit(1e6), 6).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )

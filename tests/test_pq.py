@@ -109,3 +109,32 @@ def test_uniform_worst_case_recall_floor(spark, sf_dir):
     hits = sum(len(b[qid] & p.get(qid, set())) for qid in b)
     total = sum(len(v) for v in b.values())
     assert hits / total >= 0.15
+
+
+def test_ivfpq_is_subset_of_pq_candidates(spark, sf_dir):
+    # IVF pruning only removes candidates: every IVF×PQ result pair must
+    # carry the same adist PQ assigns it (same codebooks, same LUT), and
+    # results come only from probed cells.
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["adist"]
+        for r in pq_topk(
+            e, q, "vec_id", "embedding", "vec_id", "embedding",
+            m=4, k_codebook=16, k=500, dim=64,
+        ).collect()
+    }
+    pruned = ivf_pq_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        n_centroids=16, nprobe=4, m=4, k_codebook=16, k=5, dim=64,
+    ).collect()
+    assert len(pruned) > 0
+    for r in pruned:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in full and full[key] == r["adist"]
