@@ -1789,6 +1789,51 @@ WHERE rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (continuous-aggregate refresh)
+# ---------------------------------------------------------------------------
+
+
+def rt_rollup_incr(spark, sf_dir):
+    """Continuous-aggregate maintenance (operators.rollup.
+    rollup_incremental): history events (event_id % 10 < 8) build the
+    daily store, the remaining batch folds in via the touched-window
+    semi/anti merge — and the oracle is the DIRECT daily rollup over ALL
+    events, so the bit-exact maintained-store ≡ full-recompute law is
+    what the driver checks."""
+    from calp_cva_tracking_pipeline_spark.operators.rollup import (
+        rollup_incremental,
+        rollup_time_hierarchy,
+    )
+
+    e = T(spark, sf_dir, "events")
+    hist = e.filter(F.col("event_id") % 10 < 8)
+    batch = e.filter(F.col("event_id") % 10 >= 8)
+    store = rollup_time_hierarchy(
+        hist, grains=("1 day",), keys=("event_type",)
+    )["1 day"]
+    out = rollup_incremental(
+        store, batch, grain="1 day", keys=("event_type",)
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "total_value",
+        "min_value",
+        "max_value",
+    )
+
+
+RT_ROLLUP_INCR_SQL = f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type, COUNT(*) AS n_events,
+       {SQL_MONEY_SUM('value')} AS total_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
 INCR_SPLIT_ID = 250  # docs below = "already-ingested corpus", rest = new batch
 
 
@@ -1940,4 +1985,5 @@ SCALE_QUERIES = {
     "pk_length_buckets": (pk_length_buckets, PK_LENBUCKET_SQL),
     "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),
     "ann_ivfpq_topk": (ann_ivfpq_topk, ANN_IVFPQ_SQL),
+    "rt_rollup_incr": (rt_rollup_incr, RT_ROLLUP_INCR_SQL),
 }

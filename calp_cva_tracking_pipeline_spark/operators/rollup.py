@@ -115,3 +115,68 @@ def rollup_time_hierarchy(
         )
         out[grain] = prev
     return out
+
+
+def rollup_incremental(
+    store: DataFrame,
+    new_facts: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grain: str = "1 day",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Continuous-aggregate MAINTENANCE: fold a new fact batch into a
+    persisted grain aggregate without rescanning history — the
+    ingest-time twin of ``rollup_time_hierarchy`` (which builds the
+    store) and the batch shape of a streaming materialized view refresh.
+
+    Only windows the batch touches are re-aggregated: the batch
+    collapses to its grain aggregate (batch-cardinality), the touched
+    window list broadcasts into a semi/anti split of the store, and the
+    merge re-aggregates ``affected ∪ batch`` only — untouched store rows
+    pass through without a shuffle. Because every kept statistic is
+    re-aggregable and money sums accumulate exact cent multiples
+    (decimal discipline), the maintained store is BIT-IDENTICAL to a
+    full recompute over history ∪ batch — which is exactly what the
+    catalog oracle checks. Ingest cost: O(batch) + O(touched windows),
+    independent of store size; with time-ordered arrivals the touched
+    set is the last few windows.
+    """
+    batch_agg = (
+        new_facts.groupBy(
+            F.window(F.col(ts_col), grain).alias("__w"),
+            *[F.col(k) for k in keys],
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(value_col).alias("total_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            F.col("__w.start").alias("window_start"),
+            *keys,
+            "n_events",
+            "total_value",
+            "min_value",
+            "max_value",
+        )
+    )
+    touched = batch_agg.select("window_start").distinct()
+    affected = store.join(
+        F.broadcast(touched), "window_start", "left_semi"
+    )
+    untouched = store.join(
+        F.broadcast(touched), "window_start", "left_anti"
+    )
+    merged = (
+        affected.unionByName(batch_agg)
+        .groupBy("window_start", *keys)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            money_sum(F.col("total_value")).alias("total_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    return untouched.unionByName(merged)

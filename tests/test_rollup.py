@@ -65,3 +65,56 @@ def test_non_nesting_grains_rejected(spark):
         rollup_time_hierarchy(df, grains=("1 hour", "90 minutes"))
     with pytest.raises(ValueError, match="grain"):
         rollup_time_hierarchy(df, grains=("fortnight",))
+
+
+def test_rollup_incremental_equals_full_recompute(spark, sf_dir):
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.rollup import (
+        rollup_incremental,
+        rollup_time_hierarchy,
+    )
+    from pyspark.sql import functions as F
+
+    e = T(spark, sf_dir, "events")
+    hist = e.filter(F.col("user_id") % 3 != 0)  # a different split than
+    batch = e.filter(F.col("user_id") % 3 == 0)  # the catalog entry's
+    store = rollup_time_hierarchy(
+        hist, grains=("1 hour",), keys=("event_type",)
+    )["1 hour"]
+    maintained = rollup_incremental(
+        store, batch, grain="1 hour", keys=("event_type",)
+    )
+    full = rollup_time_hierarchy(
+        e, grains=("1 hour",), keys=("event_type",)
+    )["1 hour"]
+    m = sorted(map(tuple, maintained.collect()))
+    f = sorted(map(tuple, full.collect()))
+    assert m == f  # bit-identical maintenance law
+
+
+def test_rollup_incremental_untouched_rows_pass_through(spark):
+    from calp_cva_tracking_pipeline_spark.operators.rollup import (
+        rollup_incremental,
+    )
+    import datetime
+
+    store = spark.createDataFrame(
+        [
+            (datetime.datetime(2024, 1, 1), "a", 5, 10.0, 1.0, 4.0),
+            (datetime.datetime(2024, 1, 2), "a", 3, 6.0, 2.0, 2.5),
+        ],
+        "window_start timestamp, event_type string, n_events long, "
+        "total_value double, min_value double, max_value double",
+    )
+    batch = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 2, 7, 30), "a", 4.0)],
+        "ts timestamp, event_type string, value double",
+    )
+    out = {
+        (r["window_start"].day, r["event_type"]): (
+            r["n_events"], r["total_value"], r["min_value"], r["max_value"]
+        )
+        for r in rollup_incremental(store, batch).collect()
+    }
+    assert out[(1, "a")] == (5, 10.0, 1.0, 4.0)  # untouched, unchanged
+    assert out[(2, "a")] == (4, 10.0, 2.0, 4.0)  # merged day
