@@ -1487,6 +1487,38 @@ FROM pairs GROUP BY 1, 2
 """
 
 
+def dd_containment(spark, sf_dir):
+    """Asymmetric passage containment (operators.dedup.
+    passage_containment): shared-span count normalized by EACH side's
+    distinct spans — the quote / subset-document signal symmetric
+    similarity misses (short-in-long pairs score ~1 on the short side,
+    ~0 on Jaccard)."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        passage_containment,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+
+    d = spread_small_input(T(spark, sf_dir, "documents"))
+    return passage_containment(
+        d, "doc_id", window=PASSAGE_W, max_docs_per_window=PASSAGE_CAP
+    )
+
+
+DD_CONTAINMENT_SQL = f"""
+WITH {_PASSAGE_PAIR_CTES},
+agg AS (SELECT id_a, id_b, COUNT(*) AS n_shared FROM pairs GROUP BY 1, 2),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sp GROUP BY doc_id)
+SELECT a.id_a, a.id_b, a.n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / ca.n, 6) AS containment_a,
+       ROUND(CAST(n_shared AS DOUBLE) / cb.n, 6) AS containment_b
+FROM agg a
+JOIN cnt ca ON ca.doc_id = a.id_a
+JOIN cnt cb ON cb.doc_id = a.id_b
+"""
+
+
 def dd_components(spark, sf_dir):
     """Duplicate-cluster resolution (operators.dedup.connected_components)
     over the passage-overlap pair graph: (node, component) with component
@@ -1986,4 +2018,5 @@ SCALE_QUERIES = {
     "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),
     "ann_ivfpq_topk": (ann_ivfpq_topk, ANN_IVFPQ_SQL),
     "rt_rollup_incr": (rt_rollup_incr, RT_ROLLUP_INCR_SQL),
+    "dd_containment": (dd_containment, DD_CONTAINMENT_SQL),
 }

@@ -765,3 +765,74 @@ def passage_overlap_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def passage_containment(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 8,
+    max_docs_per_window: int = 16,
+) -> DataFrame:
+    """Asymmetric containment over shared passages → (id_a, id_b,
+    n_shared, containment_a, containment_b) with containment_x =
+    shared spans / doc x's distinct spans. Symmetric similarity
+    (Jaccard/cosine) scores a short document quoted inside a long one
+    near ZERO — containment of the short side reads ~1 there, which is
+    the quote / subset-document / page-within-crawl signal a dedup
+    policy needs alongside the near-dup tiers (drop the contained doc,
+    keep the container).
+
+    Reuses ``passage_overlap_pairs`` for the (pair, shared-span-count)
+    stage (bucket cap included), then joins per-doc distinct-span counts
+    — a second tokenize pass for a vocab-of-docs-sized count table that
+    joins pairs on doc id (pairs are candidate-sized, the join
+    broadcast-sized relative to the corpus). Divisions are single
+    double ops on exact longs, rounded to 6 dp.
+    """
+    pairs = passage_overlap_pairs(
+        df, id_col, text_col, window, max_docs_per_window
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        word_tokens(F.col(text_col)).alias("__toks"),
+    ).filter(F.size("__toks") >= window)
+    idx = F.sequence(F.lit(1), F.size("__toks") - window + 1)
+    counts = (
+        base.select(
+            "__id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.array_join(
+                        F.slice("__toks", i, window), " "
+                    ),
+                )
+            ).alias("__span"),
+        )
+        .select("__id", stable_hash64(F.col("__span")).alias("__h"))
+        .distinct()
+        .groupBy("__id")
+        .agg(F.count("*").alias("__n"))
+    )
+    ca = counts.select(
+        F.col("__id").alias("id_a"), F.col("__n").alias("__na")
+    )
+    cb = counts.select(
+        F.col("__id").alias("id_b"), F.col("__n").alias("__nb")
+    )
+    return (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("__na"), 6
+            ).alias("containment_a"),
+            F.round(
+                F.col("n_shared").cast("double") / F.col("__nb"), 6
+            ).alias("containment_b"),
+        )
+    )

@@ -53,3 +53,20 @@ def test_boilerplate_cap_drops_bucket(spark):
 def test_case_sensitive_exact_match(spark):
     df = _docs(spark, [(1, "A b c d"), (2, "a b c d")])
     assert passage_overlap_pairs(df, "doc_id", window=4).count() == 0
+
+
+def test_containment_short_doc_quoted_in_long(spark):
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        passage_containment,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(6))  # 6 tokens, W=4 -> 3 spans
+    long_doc = " ".join(f"pre{i}" for i in range(20)) + " " + quote + " " \
+        + " ".join(f"post{i}" for i in range(20))
+    df = _docs(spark, [(1, quote), (2, long_doc)])
+    got = passage_containment(df, "doc_id", window=4).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"], r["n_shared"]) == (1, 2, 3)
+    assert r["containment_a"] == 1.0  # the quote is fully contained
+    assert r["containment_b"] < 0.1  # the container barely overlaps
