@@ -1866,6 +1866,54 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# One-pass curation gate verdict
+# ---------------------------------------------------------------------------
+
+
+def tx_quality_gate(spark, sf_dir):
+    """C4/Gopher-style keep/drop verdict with reasons (operators.textops.
+    quality_gate): one scan-speed projection; the ordered CASE chain
+    makes reason counts stable as thresholds move, so the reason
+    histogram doubles as the curation report."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        quality_gate,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    g = quality_gate(F.col("text"))
+    return d.select(
+        "doc_id", g["keep"].alias("keep"), g["reason"].alias("reason")
+    )
+
+
+TX_GATE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         {_NTOK} AS n_tok,
+         {_PUNCT_RATIO} AS punct,
+         {_SW_RATIO} AS sw,
+         string_split(text, chr(10)) AS lines,
+         {_TOKS} AS toks
+  FROM documents),
+v AS (
+  SELECT doc_id,
+         CASE
+           WHEN n_tok < 10 THEN 'short'
+           WHEN n_tok > 10000 THEN 'long'
+           WHEN punct >= 0.1 THEN 'punct'
+           WHEN sw <= 0.01 THEN 'stopword'
+           WHEN ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                      / greatest(len(lines), 1), 6) >= 0.3
+             OR ROUND(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                      / greatest(len(toks), 1), 6) >= 0.3 THEN 'repetition'
+           ELSE 'ok'
+         END AS reason
+  FROM t)
+SELECT doc_id, reason = 'ok' AS keep, reason FROM v
+"""
+
+
 INCR_SPLIT_ID = 250  # docs below = "already-ingested corpus", rest = new batch
 
 
@@ -2019,4 +2067,5 @@ SCALE_QUERIES = {
     "ann_ivfpq_topk": (ann_ivfpq_topk, ANN_IVFPQ_SQL),
     "rt_rollup_incr": (rt_rollup_incr, RT_ROLLUP_INCR_SQL),
     "dd_containment": (dd_containment, DD_CONTAINMENT_SQL),
+    "tx_quality_gate": (tx_quality_gate, TX_GATE_SQL),
 }

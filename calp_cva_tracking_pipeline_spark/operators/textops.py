@@ -481,3 +481,28 @@ def lm_quality_score(
             ).alias("avg_nll"),
         )
     )
+
+
+def quality_gate(text: Column) -> Column:
+    """Ordered C4/Gopher-style keep/drop verdict → struct(keep boolean,
+    reason string): the first failed rule names the drop reason
+    ('short' | 'long' | 'punct' | 'stopword' | 'repetition'), else
+    'ok'. One scan-speed projection composing the length band, punct
+    ratio, stopword floor and Gopher dup-line/word caps — the gate
+    stage of a curation pipeline as a single auditable column (the
+    reason histogram IS the curation report). Rule order is part of the
+    contract: a doc failing several rules reports the FIRST, so reason
+    counts are stable as thresholds move."""
+    n_tok = token_count(text)
+    dup_lines, dup_words = repetition_stats(text)
+    reason = (
+        F.when(n_tok < 10, "short")
+        .when(n_tok > 10000, "long")
+        .when(punct_ratio(text) >= 0.1, "punct")
+        .when(stopword_ratio(text, EN_STOPWORDS) <= 0.01, "stopword")
+        .when((dup_lines >= 0.3) | (dup_words >= 0.3), "repetition")
+        .otherwise("ok")
+    )
+    return F.struct(
+        (reason == "ok").alias("keep"), reason.alias("reason")
+    )
