@@ -1914,6 +1914,137 @@ SELECT doc_id, reason = 'ok' AS keep, reason FROM v
 """
 
 
+# ---------------------------------------------------------------------------
+# Trending top-k per window (the dashboard/feed query)
+# ---------------------------------------------------------------------------
+
+TREND_TOP_K = 3
+
+
+def rt_trending(spark, sf_dir):
+    """Top-K event types per hour by volume → (hour, event_type,
+    n_events, rank): the trending-feed / ops-dashboard query. One
+    map-side-combined aggregation to hour×type cardinality, then a
+    per-hour rank window — Spark's WindowGroupLimit pushes the K-cut
+    below the exchange, so only K·partitions rows shuffle for the rank.
+    Ordering (count desc, type) is total; ties deterministic."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_format(
+            F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00"
+        ).alias("hour"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("hour").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        hourly.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TREND_TOP_K)
+        .select("hour", "event_type", "n_events", "rank")
+    )
+
+
+RT_TRENDING_SQL = f"""
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT hour, event_type, n_events, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY hour ORDER BY n_events DESC, event_type) AS rank
+  FROM hourly) t
+WHERE rank <= {TREND_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# One-pass exact correlation matrix (sufficient statistics)
+# ---------------------------------------------------------------------------
+
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def pf_corr(spark, sf_dir):
+    """Pairwise Pearson correlations over lineitem's money-grade columns
+    in ONE scan → (col_x, col_y, corr, n): every sufficient statistic
+    (Σx, Σx², Σxy) accumulates as EXACT decimal (the money discipline —
+    2-dp inputs, 4-dp products), so the sums are order-independent and
+    the final corr formula is a fixed chain of double ops on identical
+    inputs cross-engine. The d²-sufficient-statistic shape of
+    operators.linalg covariance, specialized to the relational profile
+    report; a naive corr() over doubles would be partial-sum-order
+    nondeterministic AND need one pass per pair."""
+    from calp_cva_tracking_pipeline_spark.functions.numeric import (
+        money_sum,
+        product_sum,
+    )
+
+    li = T(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("double").alias("n")]
+    for c in CORR_COLS:
+        aggs.append(money_sum(c).alias(f"s_{c}"))
+        aggs.append(
+            product_sum(F.col(c) * F.col(c)).alias(f"ss_{c}")
+        )
+    pairs = [
+        (a, b)
+        for i, a in enumerate(CORR_COLS)
+        for b in CORR_COLS[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(
+            product_sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}")
+        )
+    stats = li.agg(*aggs)
+
+    def corr(a: str, b: str):
+        n = F.col("n")
+        num = n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den = F.sqrt(
+            (n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * (n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        )
+        return F.round(num / den, 6)
+
+    rows = []
+    for a, b in pairs:
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                corr(a, b).alias("corr"),
+                F.col("n").cast("long").alias("n"),
+            )
+        )
+    return stats.select(
+        F.explode(F.array(*rows)).alias("__r")
+    ).select("__r.col_x", "__r.col_y", "__r.corr", "__r.n")
+
+
+def _corr_sql(a: str, b: str) -> str:
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    s = lambda c: f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)"
+    ss = lambda c: f"CAST(SUM(CAST({c} * {c} AS DECIMAL(27,6))) AS DOUBLE)"
+    sp = f"CAST(SUM(CAST({a} * {b} AS DECIMAL(27,6))) AS DOUBLE)"
+    return (
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+        f"ROUND(({n} * {sp} - {s(a)} * {s(b)}) / "
+        f"sqrt(({n} * {ss(a)} - {s(a)} * {s(a)})"
+        f" * ({n} * {ss(b)} - {s(b)} * {s(b)})), 6) AS corr, "
+        f"CAST(COUNT(*) AS BIGINT) AS n FROM lineitem"
+    )
+
+
+PF_CORR_SQL = "\nUNION ALL\n".join(
+    _corr_sql(a, b)
+    for i, a in enumerate(CORR_COLS)
+    for b in CORR_COLS[i + 1:]
+)
+
+
 INCR_SPLIT_ID = 250  # docs below = "already-ingested corpus", rest = new batch
 
 
@@ -2068,4 +2199,6 @@ SCALE_QUERIES = {
     "rt_rollup_incr": (rt_rollup_incr, RT_ROLLUP_INCR_SQL),
     "dd_containment": (dd_containment, DD_CONTAINMENT_SQL),
     "tx_quality_gate": (tx_quality_gate, TX_GATE_SQL),
+    "rt_trending": (rt_trending, RT_TRENDING_SQL),
+    "pf_corr": (pf_corr, PF_CORR_SQL),
 }
