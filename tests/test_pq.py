@@ -138,3 +138,79 @@ def test_ivfpq_is_subset_of_pq_candidates(spark, sf_dir):
     for r in pruned:
         key = (r["query_id"], r["neighbor_id"])
         assert key in full and full[key] == r["adist"]
+
+
+def test_lloyd_refinement_reduces_quantization_distortion(spark):
+    # clustered corpus (the real-embedding regime): 8 well-separated
+    # centers + small noise. Lloyd's guarantee is NON-INCREASING
+    # quantization distortion; on clusters the drop vs the arbitrary
+    # lowest-id init is large. (Recall@5 is deliberately NOT the metric:
+    # once whole clusters quantize to one code, ADC distances tie and
+    # top-5 membership is id-tie-break noise.)
+    import random
+
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        _explode_subspaces,
+        pq_codebooks,
+        sq_dist,
+    )
+
+    rng = random.Random(13)
+    dim, m = 8, 2
+    centers = [
+        [rng.uniform(-10, 10) for _ in range(dim)] for _ in range(8)
+    ]
+    rows = []
+    for i in range(240):
+        c = centers[i % 8]
+        rows.append((i, [x + rng.gauss(0, 0.3) for x in c]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+    def distortion(cb):
+        subs = _explode_subspaces(
+            df.select(
+                F.col("vec_id").alias("__id"),
+                F.col("embedding").alias("__ev"),
+            ),
+            "__id", "__ev", m, dim,
+        )
+        d = (
+            subs.join(F.broadcast(cb), "m")
+            .select(
+                "__id", "m",
+                sq_dist(F.col("__sub"), F.col("__cb")).alias("d2"),
+            )
+            .groupBy("__id", "m")
+            .agg(F.min("d2").alias("d2"))
+            .agg(F.avg("d2").alias("avg"))
+            .collect()[0]["avg"]
+        )
+        return d
+
+    cb0 = pq_codebooks(df, "vec_id", "embedding", m=m, k=16, dim=dim)
+    cb2 = pq_codebooks(
+        df, "vec_id", "embedding", m=m, k=16, dim=dim, iters=2
+    )
+    d0, d2 = distortion(cb0), distortion(cb2)
+    assert d2 < d0 * 0.8  # large drop on clustered data
+    # stability: rebuilding under a different partitioning gives the
+    # same codebook to 9 dp (exact equality is NOT promised — the Lloyd
+    # means are float partial sums, which is why oracle-verified flows
+    # pin iters=0)
+    again = pq_codebooks(
+        df.repartition(7), "vec_id", "embedding", m=m, k=16, dim=dim,
+        iters=2,
+    )
+
+    def canon(cb):
+        return sorted(
+            (r["m"], r["centroid_id"],
+             tuple(round(x, 9) for x in r["__cb"]))
+            for r in cb.collect()
+        )
+
+    assert canon(cb2) == canon(again)
