@@ -2045,6 +2045,82 @@ PF_CORR_SQL = "\nUNION ALL\n".join(
 )
 
 
+PQ_SHORTLIST = 25
+
+
+def ann_pq_rerank(spark, sf_dir):
+    """Two-stage PQ retrieval (operators.similarity.pq_rerank_topk):
+    compressed-domain ADC shortlist, exact-cosine rerank of the
+    shortlist only — exact-quality ranking at O(shortlist) vector
+    fetches per query."""
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        pq_rerank_topk,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return pq_rerank_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        m=PQ_M, k_codebook=PQ_K, shortlist=PQ_SHORTLIST, k=TOP_K,
+        dim=EMB_DIM,
+    )
+
+
+ANN_PQ_RERANK_SQL = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb0 AS (SELECT CAST(vec_id AS BIGINT) AS centroid_id, v
+        FROM c ORDER BY vec_id LIMIT {PQ_K}),
+mm AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+cb AS (SELECT m, centroid_id,
+              list_slice(v, m * {_PQ_SUB} + 1, m * {_PQ_SUB} + {_PQ_SUB})
+                AS cbv
+       FROM cb0 CROSS JOIN mm),
+sv AS (SELECT vec_id, m,
+              list_slice(v, m * {_PQ_SUB} + 1, m * {_PQ_SUB} + {_PQ_SUB})
+                AS sub
+       FROM c CROSS JOIN mm),
+codes AS (
+  SELECT vec_id, m, centroid_id AS code FROM (
+    SELECT sv.vec_id, sv.m, cb.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.m
+             ORDER BY {_pq_d2('sv.sub', 'cb.cbv')}, cb.centroid_id) AS rn
+    FROM sv JOIN cb ON cb.m = sv.m) t
+  WHERE rn = 1),
+lut AS (
+  SELECT q.vec_id AS query_id, q.m, cb.centroid_id AS code,
+         {_pq_d2('q.sub', 'cb.cbv')} AS d2m
+  FROM (SELECT * FROM sv WHERE vec_id < {N_QUERIES}) q
+  JOIN cb ON cb.m = q.m),
+adc AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id,
+         ROUND(CAST(SUM(CAST(ROUND(d2m * 1000000, 0) AS BIGINT)) AS BIGINT)
+               / CAST(1000000 AS DOUBLE), 6) AS adist
+  FROM codes cd
+  JOIN lut l ON l.m = cd.m AND l.code = cd.code
+  WHERE cd.vec_id <> l.query_id
+  GROUP BY 1, 2),
+pool AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+    FROM adc) t
+  WHERE rn <= {PQ_SHORTLIST}),
+rescored AS (
+  SELECT p.query_id, p.neighbor_id,
+         ROUND(list_dot_product(qv.v, cv.v) /
+               (sqrt(list_dot_product(qv.v, qv.v))
+                * sqrt(list_dot_product(cv.v, cv.v))), 6) AS cosine
+  FROM pool p
+  JOIN c qv ON qv.vec_id = p.query_id
+  JOIN c cv ON cv.vec_id = p.neighbor_id)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rescored) t
+WHERE rank <= {TOP_K}
+"""
+
+
 INCR_SPLIT_ID = 250  # docs below = "already-ingested corpus", rest = new batch
 
 
@@ -2201,4 +2277,5 @@ SCALE_QUERIES = {
     "tx_quality_gate": (tx_quality_gate, TX_GATE_SQL),
     "rt_trending": (rt_trending, RT_TRENDING_SQL),
     "pf_corr": (pf_corr, PF_CORR_SQL),
+    "ann_pq_rerank": (ann_pq_rerank, ANN_PQ_RERANK_SQL),
 }

@@ -822,3 +822,64 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adist", "rank")
     )
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    m: int = 4,
+    k_codebook: int = 16,
+    shortlist: int = 25,
+    k: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage retrieval: PQ/ADC builds a ``shortlist`` per query in
+    the compressed domain, then EXACT cosine re-ranks only the shortlist
+    → (query_id, neighbor_id, cosine, rank). The production shape for
+    compressed indexes: stage 1 touches codes only (memory-resident at
+    any corpus size), stage 2 fetches ``shortlist`` full vectors per
+    query — so exact-quality ranking costs O(shortlist), not O(corpus),
+    and recall is bounded only by shortlist membership (measured: see
+    SCALE.md's ANN table — rerank recovers most of the ADC tier's gap
+    to brute force).
+
+    Scale shape: the shortlist (queries × shortlist rows) joins corpus
+    vectors on id — broadcast-sized against the corpus, so the vector
+    fetch is one broadcast join, never a corpus shuffle; queries
+    broadcast as usual.
+    """
+    pool = pq_topk(
+        corpus, queries, id_col, vec_col, query_id_col, query_vec_col,
+        m=m, k_codebook=k_codebook, k=shortlist, dim=dim,
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qvec"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+    )
+    scored = (
+        cv.join(F.broadcast(pool), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -214,3 +214,31 @@ def test_lloyd_refinement_reduces_quantization_distortion(spark):
         )
 
     assert canon(cb2) == canon(again)
+
+
+def test_rerank_cosines_are_exact(spark, sf_dir):
+    # stage-2 scores must equal the brute-force cosine for every pair it
+    # ranks — rerank changes WHICH pairs are scored, never their score.
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        pq_rerank_topk,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(
+            e, q, "vec_id", "embedding", "vec_id", "embedding", k=500
+        ).collect()
+    }
+    rr = pq_rerank_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        m=4, k_codebook=16, shortlist=25, k=5, dim=64,
+    ).collect()
+    assert len(rr) == 4 * 5
+    for r in rr:
+        assert brute[(r["query_id"], r["neighbor_id"])] == r["cosine"]
