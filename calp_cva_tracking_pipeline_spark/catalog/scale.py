@@ -2121,6 +2121,39 @@ WHERE rank <= {TOP_K}
 """
 
 
+def tx_entropy(spark, sf_dir):
+    """Per-document Shannon character entropy (operators.textops.
+    char_entropy) — the compression-proxy quality signal; both tails
+    (uniform-byte garbage, single-char spam) are drop candidates.
+    Integer nano-nat sums keep the per-doc aggregation order-exact."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        char_entropy,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return char_entropy(d, "doc_id")
+
+
+TX_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+counts AS (
+  SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2),
+terms AS (
+  SELECT doc_id, cnt,
+         CAST(ROUND(ROUND(
+           -(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY doc_id))
+           * ln(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY doc_id)),
+           9) * 1000000000, 0) AS BIGINT) AS nano
+  FROM counts)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_chars,
+       ROUND(CAST(SUM(nano) AS BIGINT) / CAST(1000000000 AS DOUBLE), 6)
+         AS entropy
+FROM terms GROUP BY doc_id
+"""
+
+
 INCR_SPLIT_ID = 250  # docs below = "already-ingested corpus", rest = new batch
 
 
@@ -2278,4 +2311,5 @@ SCALE_QUERIES = {
     "rt_trending": (rt_trending, RT_TRENDING_SQL),
     "pf_corr": (pf_corr, PF_CORR_SQL),
     "ann_pq_rerank": (ann_pq_rerank, ANN_PQ_RERANK_SQL),
+    "tx_entropy": (tx_entropy, TX_ENTROPY_SQL),
 }

@@ -506,3 +506,49 @@ def quality_gate(text: Column) -> Column:
     return F.struct(
         (reason == "ok").alias("keep"), reason.alias("reason")
     )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon character entropy → (id, n_chars, entropy)
+    in nats: H = -Σ_c p_c·ln p_c over the raw character distribution.
+    The compression-proxy quality signal — lexical garbage and
+    single-char spam sit at the extremes (high ≈ uniform bytes,
+    near-zero ≈ one repeated character); natural text occupies a stable
+    band, so both tails are drop candidates.
+
+    Scale shape: the char explode is the honest cost of the metric
+    (n_chars rows, narrow), collapsed immediately by a map-side-combined
+    (id, char) count; per-doc totals come from a window over the
+    CHARACTER-CLASS rows (≤ alphabet-size rows per doc, not n_chars).
+    Determinism: each class's -p·ln p rounds to 9 dp then sums as
+    integer nano-nats (order-exact cross-engine); empty/null texts are
+    omitted (no characters → no distribution).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        spread_small_input(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), "")).alias("__c"),
+        )
+        .groupBy(id_col, "__c")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    w = Window.partitionBy(id_col)
+    p = F.col("__cnt") / F.sum("__cnt").over(w)
+    nano = F.round(F.round(-p * F.log(p), 9) * 1e9, 0).cast("long")
+    return (
+        counts.select(
+            F.col(id_col),
+            F.col("__cnt"),
+            nano.alias("__nano"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__cnt").alias("n_chars"),
+            F.round(F.sum("__nano") / F.lit(1e9), 6).alias("entropy"),
+        )
+    )

@@ -27,3 +27,25 @@ def test_quality_gate_reason_ordering(spark):
     assert out[3] == (False, "stopword")
     assert out[4] == (False, "repetition")
     assert out[5] == (True, "ok")
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        char_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_chars"], r["entropy"])
+        for r in char_entropy(df, "doc_id").collect()
+    }
+    assert out[1] == (4, 0.0)  # degenerate distribution
+    assert out[2] == (4, round(math.log(2), 6))  # two equiprobable chars
+    assert out[3] == (4, round(math.log(4), 6))  # uniform over 4
+    # quality-gate direction: uniform > mixed > degenerate
+    assert out[3][1] > out[2][1] > out[1][1]
