@@ -2154,6 +2154,72 @@ FROM terms GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Distribution drift: Population Stability Index between slices
+# ---------------------------------------------------------------------------
+
+
+def pf_psi(spark, sf_dir):
+    """PSI drift monitor (operators.profiling.population_stability):
+    odd- vs even-orderkey slices of lineitem's money-grade columns —
+    statistically identical slices, so psi ≈ 0 is itself the assertion.
+    Per-bucket terms sum as integer nano-units; empty buckets floor at
+    1e-6 before the log."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        population_stability,
+    )
+
+    li = T(spark, sf_dir, "lineitem")
+    return population_stability(
+        li, CORR_COLS, F.col("l_orderkey") % 2
+    )
+
+
+_PSI_UNION = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, CAST({c} AS DOUBLE) AS val,"
+    f" CAST(l_orderkey % 2 AS INTEGER) AS slice FROM lineitem"
+    for c in CORR_COLS
+)
+
+PF_PSI_SQL = f"""
+WITH long AS (
+  SELECT * FROM ({_PSI_UNION}) u WHERE val IS NOT NULL),
+rng AS (SELECT col_name, MIN(val) AS lo, MAX(val) AS hi
+        FROM long GROUP BY 1),
+b AS (
+  SELECT col_name, slice,
+         CASE WHEN hi - lo <= 0 THEN 0
+              ELSE least(CAST(floor((val - lo) / (hi - lo) * 10)
+                         AS INTEGER), 9) END AS bucket
+  FROM long JOIN rng USING (col_name)),
+counts AS (SELECT col_name, bucket, slice, COUNT(*) AS cnt
+           FROM b GROUP BY 1, 2, 3),
+fr AS (
+  SELECT col_name, bucket, slice, cnt,
+         CAST(cnt AS DOUBLE)
+           / SUM(cnt) OVER (PARTITION BY col_name, slice) AS frac
+  FROM counts),
+pb AS (
+  SELECT col_name, bucket,
+         greatest(COALESCE(MAX(CASE WHEN slice = 0 THEN frac END),
+                           CAST(0.0 AS DOUBLE)),
+                  CAST(1e-06 AS DOUBLE)) AS p,
+         greatest(COALESCE(MAX(CASE WHEN slice = 1 THEN frac END),
+                           CAST(0.0 AS DOUBLE)),
+                  CAST(1e-06 AS DOUBLE)) AS q,
+         COALESCE(SUM(CASE WHEN slice = 0 THEN cnt END), 0) AS na,
+         COALESCE(SUM(CASE WHEN slice = 1 THEN cnt END), 0) AS nb
+  FROM fr GROUP BY 1, 2)
+SELECT col_name,
+       ROUND(CAST(SUM(CAST(ROUND(ROUND((p - q) * ln(p / q), 9)
+                           * 1000000000, 0) AS BIGINT)) AS BIGINT)
+             / CAST(1000000000 AS DOUBLE), 6) AS psi,
+       CAST(SUM(na) AS BIGINT) AS n_base,
+       CAST(SUM(nb) AS BIGINT) AS n_cur
+FROM pb GROUP BY 1
+"""
+
+
 INCR_SPLIT_ID = 250  # docs below = "already-ingested corpus", rest = new batch
 
 
@@ -2312,4 +2378,5 @@ SCALE_QUERIES = {
     "pf_corr": (pf_corr, PF_CORR_SQL),
     "ann_pq_rerank": (ann_pq_rerank, ANN_PQ_RERANK_SQL),
     "tx_entropy": (tx_entropy, TX_ENTROPY_SQL),
+    "pf_psi": (pf_psi, PF_PSI_SQL),
 }

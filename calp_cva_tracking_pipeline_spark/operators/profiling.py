@@ -31,7 +31,7 @@ where the naive window funnels every distinct value through one task.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from calp_cva_tracking_pipeline_spark.functions.numeric import money_avg
@@ -222,3 +222,103 @@ def profile_columns(
         "mean",
         "p50",
     ).orderBy("col_name")
+
+
+PSI_BUCKETS = 10
+PSI_FLOOR = 1e-6
+
+
+def population_stability(
+    df: DataFrame,
+    cols: list[str],
+    slice_col: Column,
+    n_buckets: int = PSI_BUCKETS,
+    floor: float = PSI_FLOOR,
+) -> DataFrame:
+    """Population Stability Index between two data slices → (col_name,
+    psi, n_base, n_cur): the standard drift monitor for a feature /
+    training-data distribution. ``slice_col`` must evaluate to 0 (base)
+    or 1 (current); PSI = Σ_buckets (p-q)·ln(p/q) over ``n_buckets``
+    equal-width buckets spanning the GLOBAL min/max of both slices.
+    Rule of thumb: <0.1 stable, 0.1–0.25 drifting, >0.25 broken.
+
+    Proportions are floored at ``floor`` before the log (the standard
+    empty-bucket smoothing — PSI is infinite on a bucket one slice never
+    hits), so psi is defined for disjoint distributions too.
+
+    Scale shape: one stacked scan → per-column global min/max (tiny
+    broadcast) → bucket id as a pure projection → (col, bucket, slice)
+    counts with map-side combine — the shuffle carries ≤ cols·buckets·2
+    rows. Slice totals and per-bucket terms run on that bucket-sized
+    table (windows over ≤ 2·buckets rows per column); per-bucket terms
+    round to 9 dp and sum as integer nano-units, order-exact
+    cross-engine.
+    """
+    stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+    long = df.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, val)"),
+        slice_col.cast("int").alias("slice"),
+    ).filter(F.col("val").isNotNull())
+    rng = long.groupBy("col_name").agg(
+        F.min("val").alias("__lo"), F.max("val").alias("__hi")
+    )
+    span = F.col("__hi") - F.col("__lo")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("val") - F.col("__lo")) / span * n_buckets
+            ).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    counts = (
+        long.join(F.broadcast(rng), "col_name")
+        .select("col_name", "slice", bucket.alias("bucket"))
+        .groupBy("col_name", "bucket", "slice")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot_w = Window.partitionBy("col_name", "slice")
+    frac = F.col("cnt") / F.sum("cnt").over(tot_w)
+    fractions = counts.select(
+        "col_name",
+        "bucket",
+        "slice",
+        frac.alias("frac"),
+        F.col("cnt"),
+    )
+    # one row per (col, bucket) with both slices' floored proportions;
+    # buckets hit by neither slice do not exist and contribute 0 anyway
+    per_bucket = fractions.groupBy("col_name", "bucket").agg(
+        F.greatest(
+            F.coalesce(
+                F.max(F.when(F.col("slice") == 0, F.col("frac"))),
+                F.lit(0.0),
+            ),
+            F.lit(float(floor)),
+        ).alias("p"),
+        F.greatest(
+            F.coalesce(
+                F.max(F.when(F.col("slice") == 1, F.col("frac"))),
+                F.lit(0.0),
+            ),
+            F.lit(float(floor)),
+        ).alias("q"),
+        F.sum(F.when(F.col("slice") == 0, F.col("cnt"))).alias("__na"),
+        F.sum(F.when(F.col("slice") == 1, F.col("cnt"))).alias("__nb"),
+    )
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    nano = F.round(F.round(term, 9) * 1e9, 0).cast("long")
+    return (
+        per_bucket.select(
+            "col_name",
+            nano.alias("__nano"),
+            F.coalesce("__na", F.lit(0)).alias("__na"),
+            F.coalesce("__nb", F.lit(0)).alias("__nb"),
+        )
+        .groupBy("col_name")
+        .agg(
+            F.round(F.sum("__nano") / F.lit(1e9), 6).alias("psi"),
+            F.sum("__na").alias("n_base"),
+            F.sum("__nb").alias("n_cur"),
+        )
+    )

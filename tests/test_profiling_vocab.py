@@ -142,3 +142,31 @@ def test_exact_percentiles_validation(spark):
         exact_percentiles(df, ["x"], [1.5])
     with _pytest.raises(ValueError):
         exact_percentiles(df, ["x"], [])
+
+
+def test_psi_detects_shift_and_stability(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        population_stability,
+    )
+
+    rng = random.Random(21)
+    # stable: both slices draw from the same distribution
+    rows = [(i, rng.gauss(0, 1), rng.gauss(0, 1)) for i in range(4000)]
+    # shifted: slice 1 of col `b` moves by +2 sigma
+    rows = [
+        (i, a, b + (2.0 if i % 2 else 0.0)) for i, (_, a, b) in
+        zip(range(4000), [(r[0], r[1], r[2]) for r in rows])
+    ]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    out = {
+        r["col_name"]: r["psi"]
+        for r in population_stability(
+            df, ["a", "b"], F.col("id") % 2
+        ).collect()
+    }
+    assert out["a"] < 0.1   # same distribution -> stable
+    assert out["b"] > 0.25  # 2-sigma shift -> flagged broken
