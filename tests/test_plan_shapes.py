@@ -239,3 +239,32 @@ def test_strata_sample_rank_limit_pushes_below_exchange(spark, sf_dir):
     assert plan.index("WindowGroupLimit") < plan.index(
         "Exchange hashpartitioning(lang"
     ) or "Partial" in plan.split("WindowGroupLimit")[2]
+
+
+def test_trending_rank_cut_pushes_below_exchange(spark, sf_dir):
+    plan = _executed(S.rt_trending(spark, sf_dir))
+    assert "WindowGroupLimit" in plan  # K-cut before the rank exchange
+
+
+def test_corr_is_single_scan_no_join(spark, sf_dir):
+    # all sufficient statistics in ONE aggregation over ONE scan
+    plan = _executed(S.pf_corr(spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan.replace("BroadcastNestedLoopJoin", "") or (
+        plan.count("FileScan") == 1
+    )
+
+
+def test_ivfpq_corpus_side_never_smj(spark, sf_dir):
+    # probes and LUT broadcast into the code table; the corpus-sized
+    # side must not sort-merge-join anything
+    plan = _executed(S.ann_ivfpq_topk(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # cells/probes/LUT
+
+
+def test_pq_rerank_vector_fetch_is_broadcast(spark, sf_dir):
+    plan = _executed(S.ann_pq_rerank(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
