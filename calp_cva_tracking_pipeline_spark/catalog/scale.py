@@ -2220,6 +2220,75 @@ FROM pb GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Gap filling + LOCF (time_bucket_gapfill idiom)
+# ---------------------------------------------------------------------------
+
+GAPFILL_MIN_VALUE = 180  # sparse slice: high-value events only
+
+
+def rt_gapfill(spark, sf_dir):
+    """Dense hourly grid with last-observation-carried-forward
+    (operators.rollup.gap_fill_locf) over the sparse high-value event
+    series — the hypertable time_bucket_gapfill + locf idiom: every
+    key×slot row exists, imputed rows flagged. Carried values are
+    copied, not recomputed, so parity is exact by construction."""
+    from calp_cva_tracking_pipeline_spark.operators.rollup import (
+        gap_fill_locf,
+        rollup_time_hierarchy,
+    )
+
+    e = T(spark, sf_dir, "events").filter(
+        F.col("value") > GAPFILL_MIN_VALUE
+    )
+    hourly = rollup_time_hierarchy(
+        e, grains=("1 hour",), keys=("event_type",)
+    )["1 hour"]
+    out = gap_fill_locf(
+        hourly,
+        keys=("event_type",),
+        ts_col="window_start",
+        value_cols=("n_events", "total_value"),
+        grain="1 hour",
+    )
+    return out.select(
+        "event_type",
+        F.date_format("window_start", "yyyy-MM-dd HH:00").alias("slot"),
+        "filled",
+        "n_events",
+        "total_value",
+    )
+
+
+RT_GAPFILL_SQL = f"""
+WITH obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS slot,
+         COUNT(*) AS n_events,
+         {SQL_MONEY_SUM('value')} AS total_value
+  FROM events WHERE value > {GAPFILL_MIN_VALUE}
+  GROUP BY 1, 2),
+rng AS (SELECT event_type, MIN(slot) AS lo, MAX(slot) AS hi
+        FROM obs GROUP BY 1),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot
+  FROM rng),
+j AS (
+  SELECT g.event_type, g.slot,
+         o.slot IS NULL AS filled, o.n_events, o.total_value
+  FROM grid g
+  LEFT JOIN obs o ON o.event_type = g.event_type AND o.slot = g.slot)
+SELECT event_type,
+       strftime(slot, '%Y-%m-%d %H:00') AS slot,
+       filled,
+       last_value(n_events IGNORE NULLS) OVER w AS n_events,
+       last_value(total_value IGNORE NULLS) OVER w AS total_value
+FROM j
+WINDOW w AS (PARTITION BY event_type ORDER BY slot
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 INCR_SPLIT_ID = 250  # docs below = "already-ingested corpus", rest = new batch
 
 
@@ -2379,4 +2448,5 @@ SCALE_QUERIES = {
     "ann_pq_rerank": (ann_pq_rerank, ANN_PQ_RERANK_SQL),
     "tx_entropy": (tx_entropy, TX_ENTROPY_SQL),
     "pf_psi": (pf_psi, PF_PSI_SQL),
+    "rt_gapfill": (rt_gapfill, RT_GAPFILL_SQL),
 }

@@ -180,3 +180,68 @@ def rollup_incremental(
         )
     )
     return untouched.unionByName(merged)
+
+
+def gap_fill_locf(
+    series: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str,
+    value_cols: tuple[str, ...],
+    grain: str = "1 hour",
+) -> DataFrame:
+    """Dense-grid gap filling with last-observation-carried-forward —
+    the ``time_bucket_gapfill`` + ``locf`` idiom of hypertable stores:
+    every key gets one row per grain slot between ITS OWN first and last
+    observation; missing slots carry the most recent value, plus a
+    ``filled`` flag so downstream aggregation can discount imputed rows.
+
+    Input must be at-most-one-row-per (keys, slot) — pre-aggregate with
+    ``rollup_time_hierarchy`` first (asserted via the join, which would
+    duplicate grid rows otherwise). Assumes ``ts_col`` is already
+    slot-aligned (a window start).
+
+    Scale shape: the grid generates from each key's (min, max) — a
+    key-cardinality aggregate exploded by ``sequence()``, rows =
+    slots·keys (exactly the output size, nothing transient is bigger);
+    the observation join is a co-partitioned join on (keys, slot); LOCF
+    is one ``last(ignorenulls)`` running window per key — O(1) state,
+    any key length streams. Carried values are copied bytes, not
+    recomputed floats, so parity is exact by construction.
+    """
+    secs = _grain_seconds(grain)
+    kcols = [F.col(k) for k in keys]
+    rng = series.groupBy(*kcols).agg(
+        F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+    )
+    grid = rng.select(
+        *kcols,
+        F.explode(
+            F.sequence(
+                F.col("__lo"),
+                F.col("__hi"),
+                F.expr(f"INTERVAL {secs} SECONDS"),
+            )
+        ).alias(ts_col),
+    )
+    obs = series.select(
+        *kcols, F.col(ts_col), F.lit(False).alias("filled"),
+        *[F.col(c) for c in value_cols],
+    )
+    joined = grid.join(obs, [*keys, ts_col], "left")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*kcols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled_cols = [
+        F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+        for c in value_cols
+    ]
+    return joined.select(
+        *kcols,
+        F.col(ts_col),
+        F.coalesce(F.col("filled"), F.lit(True)).alias("filled"),
+        *filled_cols,
+    )

@@ -118,3 +118,37 @@ def test_rollup_incremental_untouched_rows_pass_through(spark):
     }
     assert out[(1, "a")] == (5, 10.0, 1.0, 4.0)  # untouched, unchanged
     assert out[(2, "a")] == (4, 10.0, 2.0, 4.0)  # merged day
+
+
+def test_gap_fill_locf_semantics(spark):
+    import datetime
+
+    from calp_cva_tracking_pipeline_spark.operators.rollup import (
+        gap_fill_locf,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    series = spark.createDataFrame(
+        [
+            ("a", t0, 5, 1.0),
+            ("a", t0 + datetime.timedelta(hours=3), 7, 2.0),
+            ("b", t0 + datetime.timedelta(hours=1), 9, 3.0),
+        ],
+        "k string, window_start timestamp, n long, v double",
+    )
+    out = gap_fill_locf(
+        series, keys=("k",), ts_col="window_start",
+        value_cols=("n", "v"), grain="1 hour",
+    ).collect()
+    rows = {
+        (r["k"], r["window_start"].hour): (r["filled"], r["n"], r["v"])
+        for r in out
+    }
+    # key a: dense 0..3, gaps 1-2 carry hour-0's values
+    assert rows[("a", 0)] == (False, 5, 1.0)
+    assert rows[("a", 1)] == (True, 5, 1.0)
+    assert rows[("a", 2)] == (True, 5, 1.0)
+    assert rows[("a", 3)] == (False, 7, 2.0)
+    # key b: a single observation spans no gaps — exactly one row
+    assert rows[("b", 1)] == (False, 9, 3.0)
+    assert len(out) == 5
