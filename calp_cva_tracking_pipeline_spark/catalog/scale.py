@@ -25,6 +25,7 @@ from calp_cva_tracking_pipeline_spark.operators.dedup import (
     embedding_near_dup_candidates,
     minhash_lsh_candidates,
     ngram_jaccard,
+    semantic_dedup,
     simhash,
 )
 from calp_cva_tracking_pipeline_spark.operators.mlstub import classify_flows
@@ -2395,6 +2396,55 @@ WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.digest = batch.d)
 """
 
 
+# --- SemDeDup: cluster-based semantic dedup (Abbas et al. 2023) -------------
+# Clusters via the SAME deterministic quantizer as the IVF tier (iters=0,
+# lowest-id init — the cent CTE below is byte-identical to ANN_IVF_SQL's), so
+# a corpus with a persisted IVF index dedups without re-clustering. Threshold
+# is deliberately low for the uniform-random testdata (real embedding spaces
+# cluster; uniform 64-d cosines concentrate near 0 ± 1/8, so 0.2 ≈ the
+# paper's "close within cluster" percentile here).
+SEM_THRESHOLD = 0.2
+
+
+def dd_semantic(spark, sf_dir):
+    # SemDeDup verdict per distinct vector: cell id + keep/drop under the
+    # min-id EXISTS rule (operators.dedup.semantic_dedup docstring).
+    e = T(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, "vec_id", "embedding", n_centroids=IVF_CENTROIDS,
+        threshold=SEM_THRESHOLD,
+    )
+
+
+DD_SEMANTIC_SQL = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT CAST(vec_id AS BIGINT) AS centroid_id, v AS cv
+  FROM c ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+uniq AS (
+  -- exact pre-collapse mirror (min-id representative per distinct vector)
+  SELECT MIN(vec_id) AS vec_id, embedding FROM embeddings GROUP BY embedding),
+u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM uniq),
+assign AS (
+  SELECT vec_id, centroid_id AS cell, v FROM (
+    SELECT a.vec_id, cent.centroid_id, a.v,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_IVF_D2.format(a='a.v', b='cent.cv')}, cent.centroid_id
+           ) AS rn
+    FROM u a CROSS JOIN cent) t
+  WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= {SEM_THRESHOLD})
+SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       (d.vec_id IS NULL) AS keep
+FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -2449,4 +2499,5 @@ SCALE_QUERIES = {
     "tx_entropy": (tx_entropy, TX_ENTROPY_SQL),
     "pf_psi": (pf_psi, PF_PSI_SQL),
     "rt_gapfill": (rt_gapfill, RT_GAPFILL_SQL),
+    "dd_semantic": (dd_semantic, DD_SEMANTIC_SQL),
 }

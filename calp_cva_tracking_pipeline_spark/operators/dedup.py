@@ -836,3 +836,103 @@ def passage_containment(
             ).alias("containment_b"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    threshold: float,
+    centroids: DataFrame | None = None,
+    pre_collapse_exact: bool = True,
+) -> DataFrame:
+    """SemDeDup-style cluster-based semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then drop a
+    document when a same-cluster neighbor is semantically close enough.
+    Returns one verdict row per distinct vector:
+    ``(id, cell bigint, keep boolean)``.
+
+    The cluster step is what makes the paper's method web-scale: exact
+    cosine is computed only WITHIN a cell, so the comparison count is
+    sum(|cell|²) instead of N². This implementation rides the engine's
+    existing deterministic IVF quantizer — ``train_centroids`` (iters=0,
+    lowest-id init: oracle-expressible, no global sort) + ``assign_cells``
+    (broadcast centroids, one corpus shuffle) — so a corpus that already
+    has a persisted IVF index (persist_ivf_index, bucketed by ``__cell``)
+    gets the assignment for free and the within-cell self-join plans
+    shuffle-free on the bucketed store. Pass ``centroids`` to reuse a
+    trained/persisted quantizer; default trains iters=0 on ``df`` itself.
+
+    Survivor rule: a vector is dropped iff a SAME-CELL vector with a
+    SMALLER id has rounded cosine ≥ ``threshold`` — the same min-id
+    discipline as every other dedup tier, chosen over the paper's
+    keep-farthest-from-centroid rule because it is total, float-tie-free
+    and therefore bit-reproducible across engines and partitionings (the
+    paper itself notes the choice of survivor is "largely arbitrary",
+    §3.2). Note the rule uses EXISTS, not connected components: in a
+    chain a~b, b~c (a!~c), both b and c drop — b's own fate does not
+    re-qualify c. Feed the pairs into connected_components for
+    cluster-resolution semantics instead.
+
+    Skew guards, same rationale as embedding_near_dup_candidates:
+    byte-identical vectors pre-collapse to their min-id representative
+    before clustering (k replicas would otherwise emit k(k-1)/2
+    within-cell pairs per duplicated document), and the verdict is per
+    REPRESENTATIVE — non-representative exact copies are the exact
+    tier's (linear) output. At 100 TB, ``n_centroids`` must scale with
+    the corpus so cells stay bounded (the paper uses ~10⁵ clusters for
+    LAION-scale; rows-per-cell ~ N/K is the quadratic term's base) —
+    same operator-parameter discipline as packing's ``num_shards``.
+
+    Engine-added; no reference counterpart (the reference dedups exact
+    rows only — code/05:31-44).
+    """
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        assign_cells,
+        cosine_similarity,
+        train_centroids,
+    )
+
+    base = spread_small_input(df).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    )
+    if pre_collapse_exact:
+        base = base.groupBy("__vec").agg(F.min("__id").alias("__id"))
+    if centroids is None:
+        # Trained on the RAW corpus (not the collapsed reps) so the same
+        # quantizer serves ANN search and this dedup — centroid init only
+        # needs the n lowest ids, which are almost surely reps anyway.
+        centroids = train_centroids(df, id_col, vec_col, n_centroids)
+    assigned = assign_cells(base, centroids, "__id", "__vec").select(
+        "__id", "__vec", "__cell"
+    )
+    # Within-cell bucket self-join with the vectors riding into an inline
+    # cosine — measured faster than collect+expand for vector payloads
+    # (see embedding_near_dup_candidates' plan note).
+    l, r = assigned.alias("l"), assigned.alias("r")
+    dropped = (
+        l.join(
+            r,
+            (F.col("l.__cell") == F.col("r.__cell"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .filter(
+            F.round(
+                cosine_similarity(F.col("l.__vec"), F.col("r.__vec")), 6
+            )
+            >= threshold
+        )
+        .select(F.col("r.__id").alias("__dropped"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped, F.col("__id") == F.col("__dropped"), "left"
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cell").cast("long").alias("cell"),
+            F.col("__dropped").isNull().alias("keep"),
+        )
+    )

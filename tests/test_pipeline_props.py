@@ -845,3 +845,118 @@ def test_chunk_documents_overlap_reconstruction(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, "doc_id", max_tokens=8, overlap=8)
+
+
+def test_semantic_dedup_cells_and_survivors(spark):
+    # Hand-built geometry: two well-separated directions (centroid init =
+    # two lowest ids, one per direction), satellites close to each become
+    # within-cell drops, an orthogonal vector shares cell 0 but clears no
+    # threshold and keeps.
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    def v(*xs):
+        return list(xs) + [0.0] * (4 - len(xs))
+
+    rows = [
+        (0, v(1.0)),          # centroid 0, keeps
+        (1, v(-1.0)),         # centroid 1, keeps
+        (10, v(0.9, 0.1)),    # cell 0, cos≈0.994 vs id 0 -> drop
+        (11, v(0.8, -0.2)),   # cell 0, cos≈0.970 vs id 0 -> drop
+        (20, v(-0.9, 0.05)),  # cell 1, cos≈0.998 vs id 1 -> drop
+        (30, v(0.05, 1.0)),   # cell 0 but near-orthogonal -> keep
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", n_centroids=2, threshold=0.9
+        ).collect()
+    }
+    assert out == {
+        0: (0, True),
+        1: (1, True),
+        10: (0, False),
+        11: (0, False),
+        20: (1, False),
+        30: (0, True),
+    }
+
+    # Deterministic under arbitrary input partitioning.
+    out_rep = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in semantic_dedup(
+            df.repartition(7), "vec_id", "embedding",
+            n_centroids=2, threshold=0.9,
+        ).collect()
+    }
+    assert out_rep == out
+
+    # Passing an externally trained quantizer (the persisted-IVF-index
+    # path) gives the identical verdict.
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        train_centroids,
+    )
+
+    cent = train_centroids(df, "vec_id", "embedding", 2)
+    out_reuse = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", n_centroids=2, threshold=0.9,
+            centroids=cent,
+        ).collect()
+    }
+    assert out_reuse == out
+
+
+def test_semantic_dedup_exists_rule_is_not_transitive_closure(spark):
+    # a~b and b~c but a!~c: b drops (a exists), and c drops because the
+    # smaller-id b is within threshold — b's own drop does NOT requalify c
+    # (EXISTS semantics, documented; connected_components gives closure).
+    import math
+
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    def rot(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    df = spark.createDataFrame(
+        [(0, rot(0)), (1, rot(25)), (2, rot(50))],
+        "vec_id long, embedding array<double>",
+    )
+    # one cell (n_centroids=1) isolates the survivor rule; cos 25 deg ~
+    # 0.906 >= 0.9, cos 50 deg ~ 0.64 < 0.9
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", n_centroids=1, threshold=0.9
+        ).collect()
+    }
+    assert out == {0: True, 1: False, 2: False}
+
+
+def test_semantic_dedup_exact_collapse_guard(spark):
+    # 100 byte-identical vectors produce ONE verdict row (the min-id
+    # representative) — the same duplicate-mass guard as the LSH tiers;
+    # exact copies are the exact tier's output, not quadratic pair fuel.
+    import random
+
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(3)
+    dup = [rng.uniform(-1, 1) for _ in range(8)]
+    rows = [(i, dup) for i in range(100)]
+    rows += [(500 + j, [rng.uniform(-1, 1) for _ in range(8)]) for j in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, "vec_id", "embedding", n_centroids=2, threshold=0.99
+    )
+    ids = [r["vec_id"] for r in out.collect()]
+    assert len(ids) == 11  # 1 representative + 10 distinct
+    assert 0 in ids and not any(0 < i < 500 for i in ids)

@@ -268,3 +268,15 @@ def test_pq_rerank_vector_fetch_is_broadcast(spark, sf_dir):
     plan = _executed(S.ann_pq_rerank(spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_centroids_broadcast_no_cartesian(spark, sf_dir):
+    # SemDeDup plan shape: the quantizer rides broadcast (cell assignment
+    # is a broadcast-nested-loop over K centroids, argmin reduced by
+    # groupBy — never a corpus x corpus cartesian), and the within-cell
+    # pair stage is an equi-join on the cell key.
+    plan = _executed(S.dd_semantic(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    # no Python stages anywhere — cosine + argmin are all JVM expressions
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
