@@ -2221,6 +2221,52 @@ FROM pb GROUP BY 1
 """
 
 
+def pf_ks(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov drift between the same odd-
+    vs even-orderkey slices as pf_psi (operators.profiling.ks_drift) —
+    the bucket-free companion statistic: PSI's fixed buckets can hide a
+    sub-bucket shift, KS is the sup-gap of the empirical CDFs. CDF gaps
+    compare as exact integers (|cumA·nB − cumB·nA|), one division at the
+    end, so the statistic is bit-stable cross-engine."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        ks_drift,
+    )
+
+    li = T(spark, sf_dir, "lineitem")
+    return ks_drift(li, CORR_COLS, F.col("l_orderkey") % 2)
+
+
+# Oracle uses the naive one-window-per-column CDF (semantically identical
+# to the engine's two-phase bucketed decomposition — that split is a plan
+# shape, not a semantics change; same relationship as pf_percentiles'
+# quantile_cont oracle).
+PF_KS_SQL = f"""
+WITH long AS (
+  SELECT * FROM ({_PSI_UNION}) u WHERE val IS NOT NULL),
+hist AS (
+  SELECT col_name, val,
+         SUM(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS cb
+  FROM long GROUP BY 1, 2),
+cum AS (
+  SELECT col_name,
+         SUM(ca) OVER (PARTITION BY col_name ORDER BY val) AS cuma,
+         SUM(cb) OVER (PARTITION BY col_name ORDER BY val) AS cumb,
+         SUM(ca) OVER (PARTITION BY col_name) AS na,
+         SUM(cb) OVER (PARTITION BY col_name) AS nb
+  FROM hist)
+SELECT col_name,
+       CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN
+         ROUND(CAST(MAX(abs(CAST(cuma AS HUGEINT) * nb
+                            - CAST(cumb AS HUGEINT) * na)) AS DOUBLE)
+               / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)), 6)
+       END AS ks,
+       CAST(MAX(na) AS BIGINT) AS n_base,
+       CAST(MAX(nb) AS BIGINT) AS n_cur
+FROM cum GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Gap filling + LOCF (time_bucket_gapfill idiom)
 # ---------------------------------------------------------------------------
@@ -2500,4 +2546,5 @@ SCALE_QUERIES = {
     "pf_psi": (pf_psi, PF_PSI_SQL),
     "rt_gapfill": (rt_gapfill, RT_GAPFILL_SQL),
     "dd_semantic": (dd_semantic, DD_SEMANTIC_SQL),
+    "pf_ks": (pf_ks, PF_KS_SQL),
 }

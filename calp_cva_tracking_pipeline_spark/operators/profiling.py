@@ -322,3 +322,107 @@ def population_stability(
             F.sum("__nb").alias("n_cur"),
         )
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    cols: list[str],
+    slice_col: Column,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between two data slices →
+    (col_name, ks, n_base, n_cur): the exact, bucket-free companion to
+    ``population_stability`` — PSI quantizes into fixed buckets (a shift
+    smaller than a bucket is invisible and the statistic depends on the
+    bucket count), KS is the sup-gap between the two EMPIRICAL CDFs, so
+    it sees any shift and is distribution-free (D·sqrt(n) has a known
+    null law, the classical drift test).
+
+    Exactness: the sup over x of |F_base(x) − F_cur(x)| is attained at an
+    observed value of either slice, evaluated after absorbing that
+    value's ties — so max over the union of distinct values of the
+    post-tie CDF gap IS the classical two-sided D (what scipy's ks_2samp
+    computes). Gaps compare as exact integers — |cumA·nB − cumB·nA| in
+    DECIMAL(38,0), one float division at the very end — so the result is
+    bit-stable across engines and partitionings.
+
+    Scale shape: same two-phase value-histogram discipline as
+    ``exact_percentiles`` — one codegen'd (col, value) → per-slice-count
+    aggregation (the shuffle carries distinct values, not rows), then
+    bucket-granularity prefix sums (≤ _MEDIAN_BUCKETS rows per column)
+    feed within-bucket running windows, so the running CDFs never funnel
+    a column's full histogram through one task. The naive alternative —
+    one window ordered by value partitioned only by column — is exactly
+    the single-reducer sort the percentile kernel's docstring rules out.
+    """
+    stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+    long = df.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, val)"),
+        slice_col.cast("int").alias("slice"),
+    ).filter(F.col("val").isNotNull())
+    hist = long.groupBy("col_name", "val").agg(
+        F.sum(F.when(F.col("slice") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("slice") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    rng = hist.groupBy("col_name").agg(
+        F.min("val").alias("__lo_v"),
+        F.max("val").alias("__hi_v"),
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+    )
+    B = _MEDIAN_BUCKETS
+    span = F.col("__hi_v") - F.col("__lo_v")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("val") - F.col("__lo_v")) / span * B).cast("int"),
+            F.lit(B - 1),
+        )
+    )
+    hb = (
+        hist.join(F.broadcast(rng), "col_name")
+        .withColumn("__b", bucket)
+        .select("col_name", "val", "ca", "cb", "__b", "na", "nb")
+    )
+    btot = hb.groupBy("col_name", "__b").agg(
+        F.sum("ca").alias("bca"), F.sum("cb").alias("bcb")
+    )
+    wb = Window.partitionBy("col_name").orderBy("__b")
+    before = wb.rowsBetween(Window.unboundedPreceding, -1)
+    btot = btot.select(
+        "col_name",
+        "__b",
+        F.coalesce(F.sum("bca").over(before), F.lit(0)).alias("ca_before"),
+        F.coalesce(F.sum("bcb").over(before), F.lit(0)).alias("cb_before"),
+    )
+    wv = Window.partitionBy("col_name", "__b").orderBy("val")
+    cuma = F.col("ca_before") + F.sum("ca").over(wv)
+    cumb = F.col("cb_before") + F.sum("cb").over(wv)
+    dec = "decimal(19,0)"
+    gap = F.abs(
+        cuma.cast(dec) * F.col("nb").cast(dec)
+        - cumb.cast(dec) * F.col("na").cast(dec)
+    )
+    per_value = hb.join(btot, ["col_name", "__b"]).select(
+        "col_name", "na", "nb", gap.alias("__gap")
+    )
+    return (
+        per_value.groupBy("col_name")
+        .agg(
+            F.max("__gap").alias("__g"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .select(
+            "col_name",
+            F.when(
+                (F.col("na") > 0) & (F.col("nb") > 0),
+                F.round(
+                    F.col("__g").cast("double")
+                    / (F.col("na").cast("double") * F.col("nb").cast("double")),
+                    6,
+                ),
+            ).alias("ks"),
+            F.col("na").cast("bigint").alias("n_base"),
+            F.col("nb").cast("bigint").alias("n_cur"),
+        )
+        .orderBy("col_name")
+    )

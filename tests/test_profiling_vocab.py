@@ -170,3 +170,57 @@ def test_psi_detects_shift_and_stability(spark):
     }
     assert out["a"] < 0.1   # same distribution -> stable
     assert out["b"] > 0.25  # 2-sigma shift -> flagged broken
+
+
+def test_ks_drift_matches_numpy_brute_force(spark):
+    # Shifted + same-distribution columns; D checked against the direct
+    # all-values empirical-CDF computation (what scipy.ks_2samp does).
+    import random
+
+    import numpy as np
+
+    from calp_cva_tracking_pipeline_spark.operators.profiling import ks_drift
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(400):
+        sl = i % 2
+        same = rng.gauss(0.0, 1.0)
+        shifted = rng.gauss(0.0, 1.0) + (0.8 if sl else 0.0)
+        ties = float(rng.randint(0, 4))  # heavy ties exercise post-tie CDF
+        rows.append((i, sl, same, shifted, ties))
+    df = spark.createDataFrame(
+        rows, "id long, sl int, same double, shifted double, ties double"
+    )
+    out = {
+        r["col_name"]: (r["ks"], r["n_base"], r["n_cur"])
+        for r in ks_drift(
+            df, ["same", "shifted", "ties"], F.col("sl")
+        ).collect()
+    }
+
+    def brute(colvals):
+        a = np.sort([v for (s, v) in colvals if s == 0])
+        b = np.sort([v for (s, v) in colvals if s == 1])
+        xs = np.union1d(a, b)
+        fa = np.searchsorted(a, xs, side="right") / len(a)
+        fb = np.searchsorted(b, xs, side="right") / len(b)
+        return round(float(np.max(np.abs(fa - fb))), 6)
+
+    for idx, c in ((2, "same"), (3, "shifted"), (4, "ties")):
+        vals = [(r[1], r[idx]) for r in rows]
+        assert out[c] == (brute(vals), 200, 200), c
+    # the shifted column must read as drifted, the identical one as not
+    assert out["shifted"][0] > 0.25 and out["same"][0] < 0.15
+
+
+def test_ks_drift_empty_slice_yields_null(spark):
+    from calp_cva_tracking_pipeline_spark.operators.profiling import ks_drift
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (2, 0, 2.0)], "id long, sl int, x double"
+    )
+    [r] = ks_drift(df, ["x"], F.col("sl")).collect()
+    assert r["ks"] is None and r["n_base"] == 2 and r["n_cur"] == 0
