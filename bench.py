@@ -84,6 +84,11 @@ HEADLINE = [
     "tx_lm_score",
     "dd_passage_overlap",
     "rt_hybrid_rrf",
+    # round 6 final additions (ditto for earlier totals), new cost
+    # classes: within-cell self-join semantic dedup, two-phase CDF
+    # windows for the KS sup-gap
+    "dd_semantic",
+    "pf_ks",
 ]
 
 

@@ -2221,6 +2221,64 @@ FROM pb GROUP BY 1
 """
 
 
+# --- Curriculum ordering (training-recipe layout) ---------------------------
+_CURR_QUALITY = (
+    f"ROUND(CAST("
+    f"(CASE WHEN {_NTOK} >= 10 AND {_NTOK} <= 10000 THEN 0.4 ELSE 0.0 END)"
+    f" + (CASE WHEN {_PUNCT_RATIO} < 0.1 THEN 0.3 ELSE 0.0 END)"
+    f" + (CASE WHEN {_SW_RATIO} > 0.01 THEN 0.3 ELSE 0.0 END)"
+    f" AS DOUBLE), 6)"
+)
+CURRICULUM_BANDS = 4
+CURRICULUM_SEED = 42
+
+
+def mx_curriculum(spark, sf_dir):
+    """Curriculum sort keys over documents (operators.sampling.
+    curriculum_order): band = exact quality-score quartile (0 = lowest
+    quality), draw = portable seeded hash — ordering by (band desc,
+    draw, doc_id) is the high-quality-first curriculum with a
+    deterministic within-band shuffle. Sort keys, not a global rank: a
+    rank column is a single-partition window; orderBy on the keys is a
+    range exchange."""
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        curriculum_order,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        quality_score,
+    )
+
+    d = spread_small_input(T(spark, sf_dir, "documents"))
+    lens = d.select("doc_id", quality_score(F.col("text")).alias("difficulty"))
+    return curriculum_order(
+        lens, "doc_id", "difficulty",
+        n_bands=CURRICULUM_BANDS, seed=CURRICULUM_SEED,
+    )
+
+
+_CURR_QS = ", ".join(
+    f"ROUND(CAST(quantile_cont(difficulty, {i / CURRICULUM_BANDS}) AS DOUBLE),"
+    f" 6) AS q{i - 1}"
+    for i in range(1, CURRICULUM_BANDS)
+)
+_CURR_BAND = " + ".join(
+    f"CAST(difficulty > q{i} AS INTEGER)"
+    for i in range(CURRICULUM_BANDS - 1)
+)
+
+MX_CURRICULUM_SQL = f"""
+WITH lens AS (
+  SELECT doc_id, {_CURR_QUALITY} AS difficulty FROM documents),
+q AS (SELECT {_CURR_QS} FROM lens)
+SELECT doc_id, difficulty, CAST({_CURR_BAND} AS INTEGER) AS band,
+       {_sql_hash60(f"CAST(doc_id AS VARCHAR) || ':{CURRICULUM_SEED}'")} AS draw
+FROM lens CROSS JOIN q
+"""
+
+
 def pf_ks(spark, sf_dir):
     """Exact two-sample Kolmogorov–Smirnov drift between the same odd-
     vs even-orderkey slices as pf_psi (operators.profiling.ks_drift) —
@@ -2547,4 +2605,5 @@ SCALE_QUERIES = {
     "rt_gapfill": (rt_gapfill, RT_GAPFILL_SQL),
     "dd_semantic": (dd_semantic, DD_SEMANTIC_SQL),
     "pf_ks": (pf_ks, PF_KS_SQL),
+    "mx_curriculum": (mx_curriculum, MX_CURRICULUM_SQL),
 }

@@ -295,3 +295,65 @@ def temperature_weights(
             F.round(q / p, 6).alias("sample_weight"),
         )
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    difficulty_col: str,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Curriculum sort keys: ``(… , band int, draw long)`` — band = which
+    of ``n_bands`` exact difficulty quantile-bands the row falls in
+    (0 = easiest), draw = seeded portable hash of the id. Ordering the
+    corpus by ``(band, draw, id)`` yields the standard curriculum-training
+    layout: difficulty bands in sequence, rows deterministically shuffled
+    WITHIN a band (Bengio et al. 2009's staged curriculum; the shuffle
+    keeps within-stage batches i.i.d.). A different seed reshuffles every
+    band without moving rows across bands; descending ``band`` gives the
+    anti-curriculum (hard-first) variant.
+
+    Deliberately emits SORT KEYS, not a global rank column: a global
+    row_number is a single-partition window (the 100 TB-killer the
+    percentile kernel's docstring rules out), while orderBy on the keys
+    is a range exchange — the same total-order discipline as
+    plans.corpus.deterministic_shuffle, which this composes with (band
+    becomes the leading key). Band boundaries are EXACT corpus quantiles
+    via the two-phase histogram (operators.profiling.exact_percentiles),
+    broadcast as one row; ties sit in the lower band via strict > on
+    both engines. The draw is the md5-derived ``stable_hash64(id:seed)``
+    — the same portable-draw discipline as ``mixture_sample``, so the
+    full ordering is reproducible row-for-row by any engine with md5.
+    """
+    if n_bands < 2:
+        raise ValueError(f"n_bands must be >= 2: {n_bands}")
+    from calp_cva_tracking_pipeline_spark.functions.hashing import (
+        stable_hash64,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        exact_percentiles,
+    )
+
+    ps = [i / n_bands for i in range(1, n_bands)]
+    qs = exact_percentiles(df, [difficulty_col], ps)
+    b = qs.agg(
+        *[
+            F.min(F.when(F.col("p") == p, F.col("value"))).alias(f"__q{i}")
+            for i, p in enumerate(ps)
+        ]
+    )
+    band = sum(
+        (F.col(difficulty_col) > F.col(f"__q{i}")).cast("int")
+        for i in range(len(ps))
+    )
+    draw = stable_hash64(
+        F.concat_ws(
+            ":", F.col(id_col).cast("string"), F.lit(str(seed))
+        )
+    )
+    return df.crossJoin(F.broadcast(b)).select(
+        *df.columns,
+        band.alias("band"),
+        draw.alias("draw"),
+    )

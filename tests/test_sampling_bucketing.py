@@ -321,3 +321,49 @@ def test_temperature_weights_flatten_toward_uniform(spark):
         for r in temperature_weights(df, "source", tau=0.0).collect()
     }
     assert uni == {"big": 0.5, "small": 0.5}
+
+
+def test_curriculum_order_bands_and_draw(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    # 400 rows with difficulty = i → exact quartile bands of 100 each
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(400)], "id long, diff double"
+    )
+    out = curriculum_order(df, "id", "diff", n_bands=4, seed=7)
+    rows = out.collect()
+    from collections import Counter
+
+    c = Counter(r["band"] for r in rows)
+    assert c == {0: 100, 1: 100, 2: 100, 3: 100}
+    # band is monotone in difficulty: max difficulty of band b < min of b+1
+    by_band = {}
+    for r in rows:
+        by_band.setdefault(r["band"], []).append(r["diff"])
+    for b in range(3):
+        assert max(by_band[b]) < min(by_band[b + 1])
+
+    # deterministic under repartition
+    out2 = curriculum_order(
+        df.repartition(5), "id", "diff", n_bands=4, seed=7
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, out2))
+
+    # a different seed moves draws but NEVER bands
+    out3 = {
+        r["id"]: (r["band"], r["draw"])
+        for r in curriculum_order(
+            df, "id", "diff", n_bands=4, seed=8
+        ).collect()
+    }
+    base = {r["id"]: (r["band"], r["draw"]) for r in rows}
+    assert all(out3[i][0] == base[i][0] for i in base)
+    assert any(out3[i][1] != base[i][1] for i in base)
+
+    with pytest.raises(ValueError):
+        curriculum_order(df, "id", "diff", n_bands=1)
