@@ -11,22 +11,22 @@ value row-at-a-time OUTSIDE whole-stage codegen, and profiled 3 columns
 of sf0.1 lineitem in 2.76s with an 8.6× sf-scaling ratio (value-buffering
 is data-bound). The exact median here instead uses the histogram method:
 
-- one codegen'd hash aggregation computes (col, value) → count — the
-  shuffle carries DISTINCT values per column, not rows;
+- per-column (min, max, n) and order-aligned range-bucket counts come
+  straight off the pruned raw scan with map-side combine — the
+  exchanges carry ≤ _MEDIAN_BUCKETS rows per column;
 - bucket-granularity prefix sums locate the straddling values, and only
-  the target buckets sort (see _exact_medians) — no task ever sorts a
-  row-sized histogram; linear interpolation matches ``percentile_cont``
-  exactly.
+  the TARGET buckets' rows (a ~1/_MEDIAN_BUCKETS slice each) flow into
+  the (col, value) → count aggregation and its within-bucket sort — no
+  task ever sorts (or even shuffles) a row-sized histogram; linear
+  interpolation matches ``percentile_cont`` exactly.
 
-Cost is O(distinct values) of aggregation after the scan — trivial for
-discrete columns, row-sized (but fully parallel) for genuinely
-continuous ones; at full corpus scale ``exact_median=False`` swaps in
-``approx_percentile``'s bounded sketch inside the single-pass aggregate
-when even the distinct-value aggregation is too much. The DuckDB oracle
-pins the exact variant (quantile_cont). Local cost at sf0.1 is ~equal to
-the naive per-column-window version (~0.8s; the bucket stages are fixed
-overhead at this size) — the two-phase shape is for the 1000× version,
-where the naive window funnels every distinct value through one task.
+Cost is two pruned scans plus target-slice aggregation; at full corpus
+scale ``exact_median=False`` swaps in ``approx_percentile``'s bounded
+sketch inside the single-pass aggregate when a second scan is too much.
+The DuckDB oracle pins the exact variant (quantile_cont). Local cost at
+sf0.1 beats the naive per-column-window version — and the shape is for
+the 1000× version, where the naive window funnels every distinct value
+through one task.
 """
 
 from __future__ import annotations
@@ -54,80 +54,127 @@ def exact_percentiles(
     buffers AND no row-sized sort, at any number of percentiles for the
     price of one histogram.
 
-    Phase 1 aggregates (col, value) → count; values then map to one of
-    ``_MEDIAN_BUCKETS`` order-aligned range buckets derived from the
-    column's min/max (computed in the same DAG — the bucket id is a pure
-    projection, no extra pass). Phase 2 runs the running-count window at
-    BUCKET granularity (≤ _MEDIAN_BUCKETS rows per column) to locate,
-    for EVERY requested percentile, the buckets holding its straddling
-    indices, then sorts only within that union of target buckets
-    (~distinct/_MEDIAN_BUCKETS values each). A continuous column's
-    histogram is row-sized, but no single task ever sorts it — the 1000×
-    version of the naive per-column window, which funnels every distinct
-    value through one reducer.
+    Driver-coordinated two-pass shape (the DuckDB/Presto exact-quantile
+    pattern, with the coordinator state provably bounded):
+
+    - Pass 1 collects per-column (min, max, n) — ≤ |cols| rows — and
+      embeds them as literals in the order-aligned range-bucket
+      projection.
+    - Pass 2 collects per-bucket row counts — ≤ _MEDIAN_BUCKETS·|cols|
+      rows, map-side-combined before the wire — and the driver's prefix
+      scan locates, for EVERY requested percentile, the buckets holding
+      its straddling indices (plain Python over ≤ 1024 ints/column; the
+      same bounded-sufficient-statistic discipline as the BPE merge
+      table and the covariance d² collect).
+    - The final distributed pass aggregates (col, value) → count over
+      ONLY the target buckets' rows (~2·|ps| buckets ≈ a
+      1/_MEDIAN_BUCKETS data fraction each), runs the within-bucket
+      running-count window, and interpolates against the broadcast
+      target indices. A continuous column's full value histogram is
+      row-sized; no version of it is ever shuffled or sorted in one
+      task.
+
+    (Two earlier drafts measured worse: deriving ranges/bucket totals
+    from a first-class histogram DataFrame replans the histogram
+    pipeline once per consumer — Spark exchange reuse does not fire
+    across those subtrees, 4 scans + 4 histogram shuffles at sf0.1;
+    keeping the statistics as broadcast DataFrames instead of collects
+    still leaves 6 scans + 9 exchanges of independently re-planned
+    subtrees. The collects make each statistic a literal, so the final
+    plan is ONE linear pipeline.)
     """
     if not ps or not all(0.0 <= p <= 1.0 for p in ps):
         raise ValueError(f"percentiles must be within [0,1]: {ps}")
+    spark = df.sparkSession
     stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
     long = df.select(
         F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, val)")
     ).filter(F.col("val").isNotNull())
-    hist = long.groupBy("col_name", "val").agg(F.count("*").alias("cnt"))
-    rng = hist.groupBy("col_name").agg(
-        F.min("val").alias("__lo_v"),
-        F.max("val").alias("__hi_v"),
-        F.sum("cnt").alias("n"),
-    )
-    B = _MEDIAN_BUCKETS
-    span = F.col("__hi_v") - F.col("__lo_v")
-    bucket = F.when(span <= 0, F.lit(0)).otherwise(
-        F.least(
-            F.floor((F.col("val") - F.col("__lo_v")) / span * B).cast("int"),
-            F.lit(B - 1),
+    # pass 1: per-column range + count (≤ |cols| rows to the driver)
+    rng = {
+        r["col_name"]: (r["lo"], r["hi"], r["n"])
+        for r in long.groupBy("col_name")
+        .agg(
+            F.min("val").alias("lo"),
+            F.max("val").alias("hi"),
+            F.count("*").alias("n"),
         )
+        .collect()
+    }
+    # columns with zero non-null rows vanish here — and from the output,
+    # matching quantile_cont over an empty relation
+    if not rng:
+        return spark.createDataFrame(
+            [], "col_name string, p double, value double"
+        )
+    B = _MEDIAN_BUCKETS
+
+    def _bucket_expr():
+        e = None
+        for c, (lo, hi, _n) in rng.items():
+            if hi - lo <= 0:
+                be = F.lit(0)
+            else:
+                be = F.least(
+                    F.floor(
+                        (F.col("val") - F.lit(lo)) / F.lit(hi - lo) * B
+                    ).cast("int"),
+                    F.lit(B - 1),
+                )
+            cond = F.col("col_name") == c
+            e = F.when(cond, be) if e is None else e.when(cond, be)
+        return e
+
+    # pass 2: per-bucket counts (≤ B·|cols| rows to the driver)
+    btot_rows = (
+        long.select("col_name", _bucket_expr().alias("__b"))
+        .groupBy("col_name", "__b")
+        .agg(F.count("*").alias("bcnt"))
+        .collect()
     )
-    hb = (
-        hist.join(F.broadcast(rng), "col_name")
-        .withColumn("__b", bucket)
-        .select("col_name", "val", "cnt", "__b")
-    )
-    btot = hb.groupBy("col_name", "__b").agg(F.sum("cnt").alias("bcnt"))
-    wb = Window.partitionBy("col_name").orderBy("__b")
-    btot = btot.withColumn(
-        "cum_before", F.coalesce(F.sum("bcnt").over(
-            wb.rowsBetween(Window.unboundedPreceding, -1)
-        ), F.lit(0))
-    )
-    # one row per (column, requested percentile) with its 0-based
-    # fractional index; element k lives in the bucket with
+    buckets: dict[str, list[tuple[int, int]]] = {}
+    for r in btot_rows:
+        buckets.setdefault(r["col_name"], []).append((r["__b"], r["bcnt"]))
+    # driver prefix scan: element k of a column lives in the bucket with
     # cum_before <= k < cum_before + bcnt, then (after a within-bucket
     # running count) in the value row with vcum - cnt <= k < vcum
-    tgt = (
-        rng.select(
-            "col_name",
-            "n",
-            F.explode(
-                F.array(*[F.lit(float(p)) for p in sorted(set(ps))])
-            ).alias("p"),
-        )
-        .withColumn("idx", (F.col("n") - 1) * F.col("p"))
-        .withColumn("lo_i", F.floor("idx"))
-        .withColumn("hi_i", F.ceil("idx"))
+    import math
+
+    ps_sorted = sorted(set(float(p) for p in ps))
+    tgt_rows = []  # (col_name, p, idx, lo_i, hi_i)
+    tb_rows = []  # (col_name, __b, cum_before)
+    for c, blist in buckets.items():
+        blist.sort()
+        cum = []
+        acc = 0
+        for b, cnt in blist:
+            cum.append((b, acc, cnt))
+            acc += cnt
+        n = rng[c][2]
+        want: dict[int, int] = {}
+        for p in ps_sorted:
+            idx = (n - 1) * p
+            lo_i, hi_i = math.floor(idx), math.ceil(idx)
+            tgt_rows.append((c, p, float(idx), lo_i, hi_i))
+            for k in (lo_i, hi_i):
+                for b, before, cnt in cum:
+                    if before <= k < before + cnt:
+                        want[b] = before
+                        break
+        tb_rows.extend((c, b, before) for b, before in sorted(want.items()))
+    tb = spark.createDataFrame(
+        tb_rows, "col_name string, __b int, cum_before long"
     )
-    hit = btot.join(F.broadcast(tgt), "col_name").filter(
-        (
-            (F.col("cum_before") <= F.col("lo_i"))
-            & (F.col("lo_i") < F.col("cum_before") + F.col("bcnt"))
-        )
-        | (
-            (F.col("cum_before") <= F.col("hi_i"))
-            & (F.col("hi_i") < F.col("cum_before") + F.col("bcnt"))
-        )
+    tgt = spark.createDataFrame(
+        tgt_rows, "col_name string, p double, idx double, lo_i long, hi_i long"
     )
-    tbuckets = hit.select("col_name", "__b", "cum_before").distinct()
+    # final pass: only target-bucket rows aggregate and sort
     wv = Window.partitionBy("col_name", "__b").orderBy("val")
     inb = (
-        hb.join(tbuckets, ["col_name", "__b"])
+        long.select("col_name", "val", _bucket_expr().alias("__b"))
+        .join(F.broadcast(tb), ["col_name", "__b"])
+        .groupBy("col_name", "__b", "cum_before", "val")
+        .agg(F.count("*").alias("cnt"))
         .withColumn("vcum", F.col("cum_before") + F.sum("cnt").over(wv))
     )
     j = inb.join(F.broadcast(tgt), "col_name")
@@ -345,53 +392,100 @@ def ks_drift(
     DECIMAL(38,0), one float division at the very end — so the result is
     bit-stable across engines and partitionings.
 
-    Scale shape: same two-phase value-histogram discipline as
-    ``exact_percentiles`` — one codegen'd (col, value) → per-slice-count
-    aggregation (the shuffle carries distinct values, not rows), then
-    bucket-granularity prefix sums (≤ _MEDIAN_BUCKETS rows per column)
-    feed within-bucket running windows, so the running CDFs never funnel
-    a column's full histogram through one task. The naive alternative —
-    one window ordered by value partitioned only by column — is exactly
-    the single-reducer sort the percentile kernel's docstring rules out.
+    Scale shape: same driver-coordinated discipline as
+    ``exact_percentiles`` — pass 1 collects per-column range + slice
+    totals (≤ |cols| rows) into bucket-projection literals, pass 2
+    collects per-(bucket, slice) counts (≤ _MEDIAN_BUCKETS·|cols| rows,
+    map-side-combined) whose driver prefix scan becomes a broadcast
+    offsets table, and the one genuinely histogram-sized exchange is the
+    final pass's (col, value) → per-slice-count aggregation the sup-gap
+    needs (every distinct value is a candidate argmax — unlike
+    percentiles there is no target-bucket shrink), followed by
+    within-bucket running windows. No column's full histogram ever
+    sorts in one task; the naive alternative — one window ordered by
+    value partitioned only by column — is exactly the single-reducer
+    sort the percentile kernel's docstring rules out.
     """
+    spark = df.sparkSession
     stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
     long = df.select(
         F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, val)"),
         slice_col.cast("int").alias("slice"),
     ).filter(F.col("val").isNotNull())
-    hist = long.groupBy("col_name", "val").agg(
-        F.sum(F.when(F.col("slice") == 0, 1).otherwise(0)).alias("ca"),
-        F.sum(F.when(F.col("slice") == 1, 1).otherwise(0)).alias("cb"),
-    )
-    rng = hist.groupBy("col_name").agg(
-        F.min("val").alias("__lo_v"),
-        F.max("val").alias("__hi_v"),
-        F.sum("ca").alias("na"),
-        F.sum("cb").alias("nb"),
-    )
-    B = _MEDIAN_BUCKETS
-    span = F.col("__hi_v") - F.col("__lo_v")
-    bucket = F.when(span <= 0, F.lit(0)).otherwise(
-        F.least(
-            F.floor((F.col("val") - F.col("__lo_v")) / span * B).cast("int"),
-            F.lit(B - 1),
+    ca_row = F.when(F.col("slice") == 0, 1).otherwise(0)
+    cb_row = F.when(F.col("slice") == 1, 1).otherwise(0)
+    # pass 1: per-column range + per-slice totals (≤ |cols| rows)
+    rng = {
+        r["col_name"]: (r["lo"], r["hi"], r["na"], r["nb"])
+        for r in long.groupBy("col_name")
+        .agg(
+            F.min("val").alias("lo"),
+            F.max("val").alias("hi"),
+            F.sum(ca_row).alias("na"),
+            F.sum(cb_row).alias("nb"),
         )
+        .collect()
+    }
+    if not rng:
+        return spark.createDataFrame(
+            [], "col_name string, ks double, n_base bigint, n_cur bigint"
+        )
+    B = _MEDIAN_BUCKETS
+
+    def _bucket_expr():
+        e = None
+        for c, (lo, hi, _na, _nb) in rng.items():
+            if hi - lo <= 0:
+                be = F.lit(0)
+            else:
+                be = F.least(
+                    F.floor(
+                        (F.col("val") - F.lit(lo)) / F.lit(hi - lo) * B
+                    ).cast("int"),
+                    F.lit(B - 1),
+                )
+            cond = F.col("col_name") == c
+            e = F.when(cond, be) if e is None else e.when(cond, be)
+        return e
+
+    # pass 2: per-(bucket, slice) counts → driver prefix scan → broadcast
+    # offsets table (≤ B·|cols| rows)
+    btot_rows = (
+        long.select("col_name", _bucket_expr().alias("__b"), "slice")
+        .groupBy("col_name", "__b")
+        .agg(F.sum(ca_row).alias("bca"), F.sum(cb_row).alias("bcb"))
+        .collect()
     )
+    buckets: dict[str, list[tuple[int, int, int]]] = {}
+    for r in btot_rows:
+        buckets.setdefault(r["col_name"], []).append(
+            (r["__b"], r["bca"], r["bcb"])
+        )
+    off_rows = []
+    for c, blist in buckets.items():
+        blist.sort()
+        acc_a = acc_b = 0
+        for b, bca, bcb in blist:
+            na, nb = rng[c][2], rng[c][3]
+            off_rows.append((c, b, acc_a, acc_b, na, nb))
+            acc_a += bca
+            acc_b += bcb
+    off = spark.createDataFrame(
+        off_rows,
+        "col_name string, __b int, ca_before long, cb_before long,"
+        " na long, nb long",
+    )
+    # final pass: the one histogram-sized exchange + within-bucket CDFs
     hb = (
-        hist.join(F.broadcast(rng), "col_name")
-        .withColumn("__b", bucket)
-        .select("col_name", "val", "ca", "cb", "__b", "na", "nb")
-    )
-    btot = hb.groupBy("col_name", "__b").agg(
-        F.sum("ca").alias("bca"), F.sum("cb").alias("bcb")
-    )
-    wb = Window.partitionBy("col_name").orderBy("__b")
-    before = wb.rowsBetween(Window.unboundedPreceding, -1)
-    btot = btot.select(
-        "col_name",
-        "__b",
-        F.coalesce(F.sum("bca").over(before), F.lit(0)).alias("ca_before"),
-        F.coalesce(F.sum("bcb").over(before), F.lit(0)).alias("cb_before"),
+        long.select("col_name", "val", "slice", _bucket_expr().alias("__b"))
+        .join(F.broadcast(off), ["col_name", "__b"])
+        .groupBy(
+            "col_name", "__b", "ca_before", "cb_before", "na", "nb", "val"
+        )
+        .agg(
+            F.sum(ca_row).alias("ca"),
+            F.sum(cb_row).alias("cb"),
+        )
     )
     wv = Window.partitionBy("col_name", "__b").orderBy("val")
     cuma = F.col("ca_before") + F.sum("ca").over(wv)
@@ -401,9 +495,7 @@ def ks_drift(
         cuma.cast(dec) * F.col("nb").cast(dec)
         - cumb.cast(dec) * F.col("na").cast(dec)
     )
-    per_value = hb.join(btot, ["col_name", "__b"]).select(
-        "col_name", "na", "nb", gap.alias("__gap")
-    )
+    per_value = hb.select("col_name", "na", "nb", gap.alias("__gap"))
     return (
         per_value.groupBy("col_name")
         .agg(
