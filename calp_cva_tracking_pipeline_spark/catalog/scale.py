@@ -2221,6 +2221,39 @@ FROM pb GROUP BY 1
 """
 
 
+def pf_key_skew(spark, sf_dir):
+    """Key-skew audit of orders.o_custkey (operators.profiling.
+    key_skew_report) — the one-row report behind broadcast/salt/AQE
+    decisions: heaviest key's share, Shannon entropy of the key
+    distribution, and its exponential (effective "as-if-uniform" key
+    count). Per-key entropy terms sum as integer nano-nats."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        key_skew_report,
+    )
+
+    return key_skew_report(T(spark, sf_dir, "orders"), "o_custkey")
+
+
+PF_KEY_SKEW_SQL = """
+WITH counts AS (
+  SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS kt FROM counts),
+ent AS (
+  SELECT ROUND(CAST(SUM(CAST(ROUND(ROUND(
+             -(cnt / CAST(n AS DOUBLE)) * ln(cnt / CAST(n AS DOUBLE)), 9)
+             * 1000000000, 0) AS BIGINT)) AS BIGINT)
+         / CAST(1000000000 AS DOUBLE), 6) AS e,
+         MAX(n) AS n, CAST(MAX(kt) AS BIGINT) AS kt,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt
+  FROM counts CROSS JOIN tot)
+SELECT n AS n_rows, kt AS n_keys, max_cnt AS max_count,
+       ROUND(CAST(max_cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS max_share,
+       e AS entropy_nats, ROUND(exp(e), 6) AS effective_keys
+FROM ent
+"""
+
+
 # --- Curriculum ordering (training-recipe layout) ---------------------------
 _CURR_QUALITY = (
     f"ROUND(CAST("
@@ -2606,4 +2639,5 @@ SCALE_QUERIES = {
     "dd_semantic": (dd_semantic, DD_SEMANTIC_SQL),
     "pf_ks": (pf_ks, PF_KS_SQL),
     "mx_curriculum": (mx_curriculum, MX_CURRICULUM_SQL),
+    "pf_key_skew": (pf_key_skew, PF_KEY_SKEW_SQL),
 }

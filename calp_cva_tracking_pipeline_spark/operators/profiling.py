@@ -518,3 +518,45 @@ def ks_drift(
         )
         .orderBy("col_name")
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row skew audit of a prospective join/aggregation key →
+    (n_rows, n_keys, max_count, max_share, entropy_nats,
+    effective_keys): the numbers behind the broadcast / salt / AQE-skew
+    decision this engine's join strategies depend on. ``max_share`` is
+    the heaviest key's row fraction (the reducer that a plain hash
+    exchange would hand that share of the table); ``entropy_nats`` is
+    the Shannon entropy of the key distribution and ``effective_keys``
+    its exponential — the "as-if-uniform" key count (effective_keys ≪
+    n_keys means a few keys carry the table, so salt or pre-aggregate).
+
+    Scale shape: one map-side-combined groupBy(key) count
+    (key-cardinality exchange), then a single global aggregation of the
+    count table (one accumulator row). Per-key entropy terms round to
+    9 dp and sum as integer nano-nats — order-exact cross-engine, the
+    same discipline as the PSI/char-entropy sums. No sorting, no
+    windows, no row-sized state.
+    """
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count("*").alias("__cnt")
+    )
+    tot = counts.agg(
+        F.sum("__cnt").alias("__n"), F.count("*").alias("__k_total")
+    )
+    p = F.col("__cnt") / F.col("__n")
+    nano = F.round(F.round(-p * F.log(p), 9) * 1e9, 0).cast("long")
+    per_key = counts.crossJoin(F.broadcast(tot)).select(
+        "__cnt", "__n", "__k_total", nano.alias("__nano")
+    )
+    ent = F.round(F.sum("__nano") / F.lit(1e9), 6)
+    return per_key.agg(
+        F.first("__n").alias("n_rows"),
+        F.first("__k_total").alias("n_keys"),
+        F.max("__cnt").alias("max_count"),
+        F.round(
+            F.max("__cnt") / F.first("__n").cast("double"), 6
+        ).alias("max_share"),
+        ent.alias("entropy_nats"),
+        F.round(F.exp(ent), 6).alias("effective_keys"),
+    )

@@ -224,3 +224,33 @@ def test_ks_drift_empty_slice_yields_null(spark):
     )
     [r] = ks_drift(df, ["x"], F.col("sl")).collect()
     assert r["ks"] is None and r["n_base"] == 2 and r["n_cur"] == 0
+
+
+def test_key_skew_report_hand_computed(spark):
+    import math
+
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        key_skew_report,
+    )
+
+    # 6 rows: key a x3, b x2, c x1
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(["a", "a", "a", "b", "b", "c"])],
+        "id long, k string",
+    )
+    [r] = key_skew_report(df, "k").collect()
+    assert (r["n_rows"], r["n_keys"], r["max_count"]) == (6, 3, 3)
+    assert r["max_share"] == 0.5
+    ent = sum(
+        round(1e9 * round(-(c / 6) * math.log(c / 6), 9)) for c in (3, 2, 1)
+    ) / 1e9
+    assert r["entropy_nats"] == round(ent, 6)
+    assert r["effective_keys"] == round(math.exp(round(ent, 6)), 6)
+
+    # uniform keys: entropy = ln(n_keys), effective_keys = n_keys
+    u = spark.createDataFrame(
+        [(i, str(i % 4)) for i in range(400)], "id long, k string"
+    )
+    [ru] = key_skew_report(u, "k").collect()
+    assert ru["max_share"] == 0.25
+    assert abs(ru["effective_keys"] - 4.0) < 1e-4
