@@ -2221,6 +2221,50 @@ FROM pb GROUP BY 1
 """
 
 
+# Hot keys for the salted-join demonstration: literal orderkeys (the
+# diagnostics pipeline — key_skew_report → heavy_hitters — picks these in
+# production; literals keep the oracle free of a second statistics query).
+SALT_HOT_KEYS = [1, 7, 32, 69]
+SALT_N = 8
+
+
+def jx_salted_join(spark, sf_dir):
+    """Skew-safe salted equi-join (operators.joins.salted_join) of
+    lineitem×orders on orderkey, aggregated per order status. The oracle
+    is the PLAIN join — proving the salt is a pure partitioning
+    transformation: same matched pairs, same sums, any hot-key row mass
+    notwithstanding."""
+    from calp_cva_tracking_pipeline_spark.functions.numeric import money_sum
+    from calp_cva_tracking_pipeline_spark.operators.joins import salted_join
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity"
+    )
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderstatus"
+    )
+    j = salted_join(
+        li, o, ["okey"], salt_buckets=SALT_N, hot_keys=SALT_HOT_KEYS
+    )
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            money_sum("l_quantity").alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+JX_SALTED_SQL = f"""
+SELECT o_orderstatus,
+       {SQL_MONEY_SUM('l_quantity')} AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def pf_key_skew(spark, sf_dir):
     """Key-skew audit of orders.o_custkey (operators.profiling.
     key_skew_report) — the one-row report behind broadcast/salt/AQE
@@ -2640,4 +2684,5 @@ SCALE_QUERIES = {
     "pf_ks": (pf_ks, PF_KS_SQL),
     "mx_curriculum": (mx_curriculum, MX_CURRICULUM_SQL),
     "pf_key_skew": (pf_key_skew, PF_KEY_SKEW_SQL),
+    "jx_salted_join": (jx_salted_join, JX_SALTED_SQL),
 }

@@ -151,6 +151,7 @@ def salted_join(
     keys: list[str],
     how: str = "inner",
     salt_buckets: int = 16,
+    hot_keys: list | None = None,
 ) -> DataFrame:
     """Skew-resilient equi-join: the skewed side gets a deterministic salt
     in [0, salt_buckets); the other side is replicated once per salt value;
@@ -173,6 +174,15 @@ def salted_join(
     replicated once per salt value, so 'right'/'full'/'right_semi' would
     emit each unmatched other-side row ``salt_buckets`` times. For those,
     swap the sides (salt the right side) or use AQE skew handling.
+
+    ``hot_keys`` (single-column keys only) targets the salt: ONLY rows
+    whose key is in the list salt/replicate — the cold majority keeps
+    salt 0 and pays no replication. Feed it from the engine's own
+    diagnostics: ``profiling.key_skew_report`` says whether the key is
+    skewed at all, ``sketch.heavy_hitters`` says which keys carry the
+    mass. With hot_keys=None every row salts and the whole other side
+    replicates ``salt_buckets``× — correct, but only worth it when skew
+    is endemic rather than a handful of hot keys.
     """
     allowed = {"inner", "left", "leftouter", "leftsemi", "semi",
                "leftanti", "anti"}
@@ -183,9 +193,22 @@ def salted_join(
             "variants)"
         )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
+    all_salts = F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+    if hot_keys is not None:
+        if len(keys) != 1:
+            raise ValueError(
+                "salted_join: hot_keys targeting needs a single-column key "
+                f"(got {keys})"
+            )
+        hot = F.array(*[F.lit(k) for k in hot_keys])
+        is_hot = F.array_contains(hot, F.col(keys[0]))
+        salt = F.when(is_hot, salt).otherwise(F.lit(0).cast("long"))
+        rsalts = F.when(is_hot, all_salts).otherwise(F.array(F.lit(0)))
+    else:
+        rsalts = all_salts
     left = skewed.withColumn("__salt", salt)
     right = other.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        "__salt", F.explode(rsalts)
     ).withColumn("__salt", F.col("__salt").cast("long"))
     out = left.join(right, [*keys, "__salt"], how)
     return out.drop("__salt")

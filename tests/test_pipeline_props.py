@@ -960,3 +960,42 @@ def test_semantic_dedup_exact_collapse_guard(spark):
     ids = [r["vec_id"] for r in out.collect()]
     assert len(ids) == 11  # 1 representative + 10 distinct
     assert 0 in ids and not any(0 < i < 500 for i in ids)
+
+
+def test_salted_join_equals_plain_join(spark):
+    import pytest
+
+    from calp_cva_tracking_pipeline_spark.operators.joins import salted_join
+
+    # hot key 7 carries half the left side; right has matched and
+    # unmatched rows plus a null-key row on each side
+    left = spark.createDataFrame(
+        [(7, f"l{i}") for i in range(50)]
+        + [(i, f"c{i}") for i in range(10)]
+        + [(None, "lnull")],
+        "k int, lv string",
+    )
+    right = spark.createDataFrame(
+        [(7, "hot_r1"), (7, "hot_r2"), (3, "r3"), (99, "unmatched"),
+         (None, "rnull")],
+        "k int, rv string",
+    )
+    key = lambda r: repr(r)  # noqa: E731 — None-safe sort key
+    for how in ("inner", "left"):
+        plain = sorted(map(tuple, left.join(right, "k", how).collect()),
+                       key=key)
+        salted = sorted(
+            map(
+                tuple,
+                salted_join(
+                    left, right, ["k"], how=how, salt_buckets=4,
+                    hot_keys=[7, 99],
+                ).collect(),
+            ),
+            key=key,
+        )
+        assert salted == plain, how
+
+    # hot-key targeting needs a single-column key
+    with pytest.raises(ValueError, match="single-column"):
+        salted_join(left, right, ["k", "lv"], hot_keys=[7])
