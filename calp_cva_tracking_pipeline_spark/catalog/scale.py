@@ -2221,6 +2221,50 @@ FROM pb GROUP BY 1
 """
 
 
+def pf_profile_by(spark, sf_dir):
+    """Per-source data cards over documents (operators.profiling.
+    profile_columns_by): chars + token count per source — the per-slice
+    quality sheet next to pf_profile's global one. One group-cardinality
+    aggregation; the unpivot runs on aggregated rows only."""
+    from calp_cva_tracking_pipeline_spark.functions.text import token_count
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        profile_columns_by,
+    )
+
+    d = spread_small_input(T(spark, sf_dir, "documents")).select(
+        "source",
+        F.col("n_chars"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return profile_columns_by(d, "source", ["n_chars", "n_tokens"])
+
+
+def _pf_by_stats(col: str) -> str:
+    return (
+        f"CAST(COUNT({col}) AS BIGINT) AS n,"
+        f" CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,"
+        f" ROUND(CAST(MIN({col}) AS DOUBLE), 6) AS min,"
+        f" ROUND(CAST(MAX({col}) AS DOUBLE), 6) AS max,"
+        f" ROUND({SQL_MONEY_AVG(col)}, 6) AS mean"
+    )
+
+
+PF_PROFILE_BY_SQL = f"""
+WITH d AS (
+  SELECT source, n_chars, {_NTOK} AS n_tokens FROM documents)
+SELECT * FROM (
+  SELECT source, 'n_chars' AS col_name, {_pf_by_stats('n_chars')}
+  FROM d GROUP BY source
+  UNION ALL
+  SELECT source, 'n_tokens' AS col_name, {_pf_by_stats('n_tokens')}
+  FROM d GROUP BY source) u
+ORDER BY source, col_name
+"""
+
+
 # Hot keys for the salted-join demonstration: literal orderkeys (the
 # diagnostics pipeline — key_skew_report → heavy_hitters — picks these in
 # production; literals keep the oracle free of a second statistics query).
@@ -2685,4 +2729,5 @@ SCALE_QUERIES = {
     "mx_curriculum": (mx_curriculum, MX_CURRICULUM_SQL),
     "pf_key_skew": (pf_key_skew, PF_KEY_SKEW_SQL),
     "jx_salted_join": (jx_salted_join, JX_SALTED_SQL),
+    "pf_profile_by": (pf_profile_by, PF_PROFILE_BY_SQL),
 }

@@ -560,3 +560,68 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
         ent.alias("entropy_nats"),
         F.round(F.exp(ent), 6).alias("effective_keys"),
     )
+
+
+def profile_columns_by(
+    df: DataFrame, group_col: str, cols: list[str]
+) -> DataFrame:
+    """Per-group data cards → (group, col_name, n, n_null, min, max,
+    mean), one row per (group value × profiled column), ordered — the
+    per-source quality sheet a mixed-corpus ingest publishes next to the
+    global ``profile_columns`` report (mixture decisions need to know
+    WHICH source's length/score distribution moved, not just that the
+    blend did).
+
+    Scale shape: ONE map-side-combined groupBy(group) aggregation
+    computes every column's stats wide (group-cardinality exchange —
+    source/language groups are ≤ 10³ in practice), then an unpivot to
+    the long card format runs on the aggregated rows only. Exact
+    per-group medians are deliberately absent: they would need a
+    (group, col, value) histogram per group; run ``exact_percentiles``
+    on a per-group slice when a card needs one, or approx_percentile
+    inside this aggregation when sketch accuracy suffices (not offered
+    here because sketches are not cross-engine oracle-matchable).
+    mean uses the exact decimal accumulator; floats round to 6 dp.
+    """
+    if not cols:
+        raise ValueError("profile_columns_by: no columns given")
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs.extend(
+            [
+                F.count(col).alias(f"{c}__n"),
+                (F.count(F.lit(1)) - F.count(col)).alias(f"{c}__n_null"),
+                F.round(F.min(col), 6).alias(f"{c}__min"),
+                F.round(F.max(col), 6).alias(f"{c}__max"),
+                F.round(money_avg(c), 6).alias(f"{c}__mean"),
+            ]
+        )
+    wide = df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+    stats = ("n", "n_null", "min", "max", "mean")
+    stack_args = ", ".join(
+        "'{c}', {fields}".format(
+            c=c,
+            fields=", ".join(f"cast(`{c}__{s}` as double)" for s in stats),
+        )
+        for c in cols
+    )
+    return (
+        wide.select(
+            F.col("grp").alias(group_col),
+            F.expr(
+                f"stack({len(cols)}, {stack_args}) AS "
+                f"(col_name, {', '.join(stats)})"
+            ),
+        )
+        .select(
+            group_col,
+            "col_name",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_null").cast("bigint").alias("n_null"),
+            "min",
+            "max",
+            "mean",
+        )
+        .orderBy(group_col, "col_name")
+    )

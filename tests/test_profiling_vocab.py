@@ -254,3 +254,30 @@ def test_key_skew_report_hand_computed(spark):
     [ru] = key_skew_report(u, "k").collect()
     assert ru["max_share"] == 0.25
     assert abs(ru["effective_keys"] - 4.0) < 1e-4
+
+
+def test_profile_columns_by_matches_pandas(spark):
+    import pytest
+
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        profile_columns_by,
+    )
+
+    rows = [
+        ("a", 1.0, 10.0), ("a", 2.0, None), ("a", 3.0, 30.0),
+        ("b", 5.5, 7.25), ("b", None, 9.75),
+    ]
+    df = spark.createDataFrame(rows, "src string, x double, y double")
+    out = {
+        (r["src"], r["col_name"]): (
+            r["n"], r["n_null"], r["min"], r["max"], r["mean"]
+        )
+        for r in profile_columns_by(df, "src", ["x", "y"]).collect()
+    }
+    assert out[("a", "x")] == (3, 0, 1.0, 3.0, 2.0)
+    assert out[("a", "y")] == (2, 1, 10.0, 30.0, 20.0)
+    assert out[("b", "x")] == (1, 1, 5.5, 5.5, 5.5)
+    assert out[("b", "y")] == (2, 0, 7.25, 9.75, 8.5)
+
+    with pytest.raises(ValueError):
+        profile_columns_by(df, "src", [])
