@@ -280,3 +280,51 @@ def test_semantic_dedup_centroids_broadcast_no_cartesian(spark, sf_dir):
     assert "BroadcastExchange" in plan
     # no Python stages anywhere — cosine + argmin are all JVM expressions
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_key_skew_no_window_no_python(spark, sf_dir):
+    # skew audit: groupBy(key) + one global accumulator row — windows or
+    # sorts here would mean the count table is being ranked, not reduced
+    plan = _executed(S.pf_key_skew(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_no_cartesian_replication_is_generate(spark, sf_dir):
+    # hot-key replication happens via explode (Generate), never a
+    # cartesian; the join itself is a keyed equi-join on (key, salt)
+    plan = _executed(S.jx_salted_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_profile_by_single_group_exchange(spark, sf_dir):
+    # per-group cards: ONE group-cardinality hash exchange feeds every
+    # stat; the unpivot adds no shuffle (runs on aggregated rows)
+    df = S.pf_profile_by(spark, sf_dir)
+    df.count()
+    plan = _executed(df)
+    import re
+
+    hashes = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert hashes and all(h.startswith("source") for h in hashes), hashes
+    assert len(hashes) == 1, hashes  # one group exchange feeds every stat
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_curriculum_final_plan_shape(spark, sf_dir):
+    # the percentile kernel's range/bucket statistics were collected to
+    # literals at construction time; what remains in the returned plan is
+    # the boundary interpolation (a window over TARGET-bucket rows only —
+    # ~2·|ps|/1024 of the data) broadcast into a band+draw projection.
+    # No cartesian, no Python, and the boundary aggregate must reach the
+    # projection as a broadcast, never a shuffle join.
+    df = S.mx_curriculum(spark, sf_dir)
+    df.count()
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
