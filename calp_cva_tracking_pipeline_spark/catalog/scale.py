@@ -599,6 +599,65 @@ FROM events l ASOF LEFT JOIN r
 """
 
 
+def tj_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of: each event takes whichever rate epoch is
+    closer in time, exact ties backward (operators.temporal.asof_join
+    direction='nearest' — both carried states over ONE keyed exchange,
+    the second ordering only re-sorts). Oracle = two DuckDB ASOF joins
+    (backward + forward) with the same closer-wins pick."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        asof_join,
+    )
+
+    e = T(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "ts", "value")
+    right = (
+        e.filter(F.col("event_id") % 11 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max(F.col("value") * 2), 6).alias("rate"))
+    )
+    out = asof_join(
+        left, right, keys=["user_id"], left_time="ts", right_time="ts",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts_matched", "yyyy-MM-dd HH:mm:ss").alias(
+            "rate_ts"
+        ),
+        "rate",
+    )
+
+
+TJ_ASOF_NEAREST_SQL = """
+WITH r AS (
+  SELECT user_id, ts, ROUND(MAX(value * 2), 6) AS rate
+  FROM events WHERE event_id % 11 = 0 GROUP BY user_id, ts),
+b AS (
+  SELECT l.event_id, l.user_id, l.ts, r.ts AS bt, r.rate AS brate
+  FROM events l ASOF LEFT JOIN r
+    ON l.user_id = r.user_id AND l.ts >= r.ts),
+f AS (
+  SELECT l.event_id, r.ts AS ft, r.rate AS frate
+  FROM events l ASOF LEFT JOIN r
+    ON l.user_id = r.user_id AND l.ts <= r.ts)
+SELECT b.event_id, b.user_id,
+  strftime(CASE
+    WHEN bt IS NOT NULL AND ft IS NOT NULL THEN
+      CASE WHEN epoch(b.ts) - epoch(bt) <= epoch(ft) - epoch(b.ts)
+           THEN bt ELSE ft END
+    WHEN bt IS NOT NULL THEN bt ELSE ft END,
+    '%Y-%m-%d %H:%M:%S') AS rate_ts,
+  CASE
+    WHEN bt IS NOT NULL AND ft IS NOT NULL THEN
+      CASE WHEN epoch(b.ts) - epoch(bt) <= epoch(ft) - epoch(b.ts)
+           THEN brate ELSE frate END
+    WHEN bt IS NOT NULL THEN brate ELSE frate END AS rate
+FROM b JOIN f USING (event_id)
+"""
+
+
 def tj_interval_join(spark, sf_dir):
     """Interval containment: tag each event with every fixed window
     containing it (w3 overlaps w2 — multi-match rows appear twice).
@@ -2730,4 +2789,5 @@ SCALE_QUERIES = {
     "pf_key_skew": (pf_key_skew, PF_KEY_SKEW_SQL),
     "jx_salted_join": (jx_salted_join, JX_SALTED_SQL),
     "pf_profile_by": (pf_profile_by, PF_PROFILE_BY_SQL),
+    "tj_asof_nearest": (tj_asof_nearest, TJ_ASOF_NEAREST_SQL),
 }

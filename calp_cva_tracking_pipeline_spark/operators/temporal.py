@@ -48,10 +48,13 @@ def asof_join(
     right_cols: list[str] | None = None,
 ) -> DataFrame:
     """For each left row, attach the nearest right row per key: the latest
-    with ``right_time <= left_time`` (backward, the default) or the
-    earliest with ``right_time >= left_time`` (forward). Left rows with no
-    admissible right row keep nulls (left-outer semantics, row count
-    preserved). Equal timestamps match in both directions.
+    with ``right_time <= left_time`` (backward, the default), the
+    earliest with ``right_time >= left_time`` (forward), or whichever of
+    those two is closer in time (nearest; exact ties go backward — the
+    stale-but-seen row beats the not-yet-seen one, and the rule is
+    deterministic). Left rows with no admissible right row keep nulls
+    (left-outer semantics, row count preserved). Equal timestamps match
+    in both directions.
 
     ``tolerance`` (a Column literal, e.g. ``F.expr("INTERVAL 1 HOUR")`` or
     a numeric for numeric time axes) voids matches farther than that from
@@ -62,8 +65,10 @@ def asof_join(
     are resolved deterministically by taking the lexicographically
     greatest payload struct — same result on every run and partitioning.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction}"
+        )
     if not keys:
         # an unkeyed window is one partition holding the full union — a
         # scale-killer this operator refuses to plan silently
@@ -123,36 +128,64 @@ def asof_join(
         F.lit(0).alias(_SIDE),
         F.col(_ASOF),
     )
-    asc = direction == "backward"
     # nulls FIRST in both directions: a null-time left row then precedes
     # every (non-null-filtered) right row and carries no match. Spark's
     # desc() default is nulls-LAST, which would hand null-time left rows
     # the final carried state instead.
-    order = [
-        F.col("__t").asc_nulls_first()
-        if asc
-        else F.col("__t").desc_nulls_first(),
-        F.col(_SIDE).asc(),
-    ]
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = (
-        lhs.unionByName(rhs)
-        .withColumn(_ASOF, F.last(_ASOF, ignorenulls=True).over(w))
-        .filter(F.col(_SIDE) == 1)
-    )
-    if tolerance is not None:
-        gap = (
-            F.col("__t") - F.col(f"{_ASOF}.{matched_time}")
+    def _carried(asc: bool) -> Column:
+        order = [
+            F.col("__t").asc_nulls_first()
             if asc
-            else F.col(f"{_ASOF}.{matched_time}") - F.col("__t")
+            else F.col("__t").desc_nulls_first(),
+            F.col(_SIDE).asc(),
+        ]
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        out = out.withColumn(
-            _ASOF, F.when(gap <= tolerance, F.col(_ASOF))
+        return F.last(_ASOF, ignorenulls=True).over(w)
+
+    u = lhs.unionByName(rhs)
+    if direction != "nearest":
+        asc = direction == "backward"
+        out = u.withColumn(_ASOF, _carried(asc)).filter(F.col(_SIDE) == 1)
+        if tolerance is not None:
+            gap = (
+                F.col("__t") - F.col(f"{_ASOF}.{matched_time}")
+                if asc
+                else F.col(f"{_ASOF}.{matched_time}") - F.col("__t")
+            )
+            out = out.withColumn(
+                _ASOF, F.when(gap <= tolerance, F.col(_ASOF))
+            )
+    else:
+        # nearest: both carried states over the SAME keyed exchange (the
+        # second ordering re-sorts within partitions, it does not
+        # re-shuffle), then a per-row pick of the closer candidate.
+        out = (
+            u.withColumn("__bwd", _carried(True))
+            .withColumn("__fwd", _carried(False))
+            .filter(F.col(_SIDE) == 1)
         )
+        bt = F.col(f"__bwd.{matched_time}")
+        ft = F.col(f"__fwd.{matched_time}")
+        valid_b = F.col("__bwd").isNotNull()
+        valid_f = F.col("__fwd").isNotNull()
+        if tolerance is not None:
+            valid_b = valid_b & ((F.col("__t") - bt) <= tolerance)
+            valid_f = valid_f & ((ft - F.col("__t")) <= tolerance)
+        # gaps compare as doubles (epoch seconds / numeric axis); exact
+        # ties go backward (<=)
+        gb = F.col("__t").cast("double") - bt.cast("double")
+        gf = ft.cast("double") - F.col("__t").cast("double")
+        choice = (
+            F.when(valid_b & valid_f,
+                   F.when(gb <= gf, F.col("__bwd")).otherwise(F.col("__fwd")))
+            .when(valid_b, F.col("__bwd"))
+            .when(valid_f, F.col("__fwd"))
+        )
+        out = out.withColumn(_ASOF, choice).drop("__bwd", "__fwd")
     return out.select(
         *[F.col(c) for c in left.columns],
         F.col(f"{_ASOF}.{matched_time}").alias(matched_time),

@@ -401,3 +401,60 @@ def test_asof_broadcast_no_admissible_epoch(spark, direction):
         assert got == {1: (None, None), 2: (20, 2.0), 3: (None, None)}
     else:
         assert got == {1: (10, 1.0), 2: (None, None), 3: (None, None)}
+
+
+def test_asof_nearest_picks_closer_side_tie_goes_backward(spark):
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 10.0, "a"), ("u", 14.0, "b"), ("u", 25.0, "c"),
+         ("u", 3.0, "d"), ("v", 7.0, "e")],
+        "k string, t double, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u", 8.0, 100.0), ("u", 16.0, 200.0), ("u", 30.0, 300.0)],
+        "k string, t double, rate double",
+    )
+    out = {
+        r["tag"]: (r["t_matched"], r["rate"])
+        for r in asof_join(
+            left, right, ["k"], "t", direction="nearest"
+        ).collect()
+    }
+    assert out["a"] == (8.0, 100.0)    # gap 2 back vs 6 fwd
+    assert out["b"] == (16.0, 200.0)   # gap 6 back vs 2 fwd
+    assert out["c"] == (30.0, 300.0)   # gap 9 back vs 5 fwd
+    assert out["d"] == (8.0, 100.0)    # nothing behind -> forward
+    assert out["e"] == (None, None)    # key v has no right rows
+
+    # exact tie -> backward
+    left_tie = spark.createDataFrame(
+        [("u", 12.0, "mid")], "k string, t double, tag string"
+    )
+    [r] = asof_join(
+        left_tie, right, ["k"], "t", direction="nearest"
+    ).collect()
+    assert (r["t_matched"], r["rate"]) == (8.0, 100.0)
+
+    # tolerance voids the far side: at t=14 backward gap 6 > 3, fwd 2 <= 3
+    [r] = asof_join(
+        left.filter(F.col("tag") == "b"), right, ["k"], "t",
+        direction="nearest", tolerance=F.lit(3.0),
+    ).collect()
+    assert (r["t_matched"], r["rate"]) == (16.0, 200.0)
+    # tolerance voids both
+    [r] = asof_join(
+        left.filter(F.col("tag") == "b"), right, ["k"], "t",
+        direction="nearest", tolerance=F.lit(1.0),
+    ).collect()
+    assert (r["t_matched"], r["rate"]) == (None, None)
+
+    # deterministic under repartition
+    a = sorted(map(tuple, asof_join(
+        left, right, ["k"], "t", direction="nearest").collect()))
+    b = sorted(map(tuple, asof_join(
+        left.repartition(5), right.repartition(3), ["k"], "t",
+        direction="nearest").collect()))
+    assert a == b
