@@ -328,3 +328,17 @@ def test_curriculum_final_plan_shape(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_nearest_no_join_single_window_exchange(spark, sf_dir):
+    # nearest-direction as-of: still NO join node (union-and-carry both
+    # ways); the second carried state re-SORTS the same keyed exchange —
+    # 2 windows, but only the agg + window exchanges exist
+    import re
+
+    df = S.tj_asof_nearest(spark, sf_dir)
+    df.count()
+    plan = _executed(df)
+    assert "Join" not in plan
+    assert plan.count("Window [") == 2
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) <= 2
