@@ -9,6 +9,8 @@ driver's comparison are provably computing the same function.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from calp_cva_tracking_pipeline_spark.catalog.common import (
@@ -2729,6 +2731,170 @@ FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
 """
 
 
+# --- CDC / incremental maintenance (operators/cdc.py) -----------------------
+
+def cdc_scd2(spark, sf_dir):
+    """SCD2 dimension build from the orders changelog (operators.cdc.
+    scd2_history): per customer, consecutive orders with the same
+    (status, priority) collapse into one effective-dated version row,
+    ``[effective_from, effective_to)`` half-open with a null end for the
+    current version. Window-only — the changelog shuffles ONCE on the
+    entity key; change rows are lag-detected and filtered in place, so
+    the lead/row_number pass reuses the same distribution (single
+    hashpartitioning exchange, pinned in tests/test_plan_shapes.py)."""
+    from calp_cva_tracking_pipeline_spark.operators.cdc import scd2_history
+
+    return scd2_history(
+        T(spark, sf_dir, "orders"),
+        keys=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus", "o_orderpriority"],
+        tiebreak_cols=["o_orderkey"],
+    )
+
+
+CDC_SCD2_SQL = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderstatus, o_orderpriority, o_orderdate, o_orderkey,
+         (ROW_NUMBER() OVER w = 1
+          OR o_orderstatus IS DISTINCT FROM LAG(o_orderstatus) OVER w
+          OR o_orderpriority IS DISTINCT FROM LAG(o_orderpriority) OVER w
+         ) AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+ver AS (
+  SELECT o_custkey, o_orderstatus, o_orderpriority,
+         o_orderdate AS effective_from,
+         LEAD(o_orderdate) OVER w2 AS effective_to,
+         CAST(ROW_NUMBER() OVER w2 AS INTEGER) AS version
+  FROM ordered WHERE chg
+  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+SELECT *, (effective_to IS NULL) AS is_current FROM ver
+"""
+
+
+CDC_SPLIT = 2  # even orderkeys are the changeset, odd ones the base
+
+
+def cdc_upsert(spark, sf_dir):
+    """Latest-wins MERGE of a changeset into a snapshot (operators.cdc.
+    apply_changeset — the batch/foreachBatch body of a CDC sink). Base =
+    each customer's latest odd-orderkey order; changeset = the even-
+    orderkey orders, where a change row with status 'F' acts as a
+    DELETE. Union + one keyed window, never a base×changes join — a
+    100 TB base with a 1 GB changeset shuffles each side once."""
+    from calp_cva_tracking_pipeline_spark.operators.aggregate import (
+        latest_row_per_group,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.cdc import (
+        apply_changeset,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    base = latest_row_per_group(
+        o.filter(F.col("o_orderkey") % CDC_SPLIT == 1),
+        ["o_custkey"], "o_orderdate", ["o_orderkey"],
+    )
+    changes = o.filter(F.col("o_orderkey") % CDC_SPLIT == 0).withColumn(
+        "is_deleted", F.col("o_orderstatus") == F.lit("F")
+    )
+    return apply_changeset(
+        base, changes,
+        keys=["o_custkey"],
+        ts_col="o_orderdate",
+        tiebreak_cols=["o_orderkey"],
+        delete_col="is_deleted",
+    )
+
+
+_CDC_COLS = (
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
+    "o_orderpriority"
+)
+
+CDC_UPSERT_SQL = f"""
+WITH base AS (
+  SELECT {_CDC_COLS} FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey) AS rn
+    FROM orders WHERE o_orderkey % {CDC_SPLIT} = 1) t
+  WHERE rn = 1),
+merged AS (
+  SELECT {_CDC_COLS}, del,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC, src DESC) AS rn
+  FROM (
+    SELECT {_CDC_COLS}, FALSE AS del, 0 AS src FROM base
+    UNION ALL
+    SELECT {_CDC_COLS}, (o_orderstatus = 'F') AS del, 1 AS src
+    FROM orders WHERE o_orderkey % {CDC_SPLIT} = 0) u)
+SELECT {_CDC_COLS} FROM merged WHERE rn = 1 AND NOT del
+"""
+
+
+# --- Z-order layout (operators/layout.py) -----------------------------------
+
+ZORDER_BUCKETS = 64  # 8×8 grid over the two normalized key dimensions
+
+
+def lx_zorder(spark, sf_dir):
+    """Z-order layout analysis of lineitem on (l_partkey, l_suppkey)
+    (operators.layout.zorder_layout): Morton-interleave the range-
+    normalized keys, grid-cell by the top z bits, report each cell's row
+    count and per-dimension key envelope — exactly the parquet footer
+    min/max a scan would prune on under this layout. With 64 cells each
+    envelope spans ~1/8 of BOTH key ranges (vs all of one range under a
+    single-column sort); the write path is operators.layout.
+    write_zordered, footer-stat effect measured in tests/test_layout.py
+    and SCALE.md. Bit arithmetic is pure Catalyst (no UDF) and the
+    oracle recomputes z bit-for-bit."""
+    from calp_cva_tracking_pipeline_spark.operators.layout import (
+        zorder_layout,
+    )
+
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        zorder_layout(li, "l_partkey", "l_suppkey", ZORDER_BUCKETS)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("part_lo"),
+            F.max("l_partkey").alias("part_hi"),
+            F.min("l_suppkey").alias("supp_lo"),
+            F.max("l_suppkey").alias("supp_hi"),
+        )
+    )
+
+
+def _lx_zorder_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.layout import zvalue_sql
+
+    shift = 32 - int(math.log2(ZORDER_BUCKETS))
+    pa = ("CASE WHEN pmax > pmin THEN "
+          "((CAST(l_partkey AS BIGINT) - pmin) * 65535) // (pmax - pmin) "
+          "ELSE CAST(0 AS BIGINT) END")
+    sb = ("CASE WHEN smax > smin THEN "
+          "((CAST(l_suppkey AS BIGINT) - smin) * 65535) // (smax - smin) "
+          "ELSE CAST(0 AS BIGINT) END")
+    return f"""
+WITH b AS (
+  SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+         MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+  FROM lineitem),
+z AS (
+  SELECT l_partkey, l_suppkey,
+         {zvalue_sql(f'({pa})', f'({sb})')} AS zv
+  FROM lineitem CROSS JOIN b)
+SELECT (zv >> {shift}) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(l_partkey) AS part_lo, MAX(l_partkey) AS part_hi,
+       MIN(l_suppkey) AS supp_lo, MAX(l_suppkey) AS supp_hi
+FROM z GROUP BY 1
+"""
+
+
+LX_ZORDER_SQL = _lx_zorder_sql()
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -2790,4 +2956,7 @@ SCALE_QUERIES = {
     "jx_salted_join": (jx_salted_join, JX_SALTED_SQL),
     "pf_profile_by": (pf_profile_by, PF_PROFILE_BY_SQL),
     "tj_asof_nearest": (tj_asof_nearest, TJ_ASOF_NEAREST_SQL),
+    "cdc_scd2": (cdc_scd2, CDC_SCD2_SQL),
+    "cdc_upsert": (cdc_upsert, CDC_UPSERT_SQL),
+    "lx_zorder": (lx_zorder, LX_ZORDER_SQL),
 }

@@ -1,0 +1,146 @@
+"""Change-data-capture operators: SCD2 history build and changeset merge.
+
+Neither exists in the reference (its pipelines re-derive full snapshots
+every run — SURVEY.md §2.10 EP1/EP2); they are engine additions for the
+incremental-maintenance side of a large-scale pipeline, the batch
+equivalents of warehouse MERGE INTO / dimension versioning:
+
+- ``scd2_history`` turns an append-only changelog (one row per observed
+  version of an entity) into a type-2 slowly-changing dimension: one row
+  per RUN of consecutive identical attribute values, effective-dated
+  ``[effective_from, effective_to)`` with an open (null) end for the
+  current version.
+- ``apply_changeset`` merges a changeset into a base snapshot with
+  latest-wins upsert + delete semantics — the foreachBatch body of a CDC
+  sink, usable identically in batch backfill and streaming incremental
+  runs (pairs with ``dedup_incremental``'s persisted-state pattern).
+
+Scale design:
+
+- ``scd2_history`` is window-only: the changelog is hash-shuffled ONCE on
+  the entity key, change rows are detected with a null-safe lag compare
+  and filtered IN PLACE (filter preserves the exchange's partitioning,
+  so the second window — lead() for the effective_to horizon and
+  row_number() for the version — reuses the same distribution; the
+  executed plan carries exactly one hashpartitioning exchange, pinned in
+  tests/test_plan_shapes.py). No self-join, no groupBy re-exchange, no
+  row amplification: cost at 100 TB is one shuffle of the changelog plus
+  a per-entity sort, and entity skew behaves like any keyed window.
+- ``apply_changeset`` is union + one keyed window (latest-wins pick),
+  then a delete filter — the merge never joins base against changes, so
+  a 100 TB base with a 1 GB changeset shuffles each side once on the
+  key and nothing else. For repeated small-changeset merges at scale the
+  base side should be a bucketed table on the key so the exchange is
+  metadata-only; the operator takes whatever distribution it is given.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PREV = "__scd2_prev"
+_SRC = "__cdc_src"
+_RN = "__cdc_rn"
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Collapse a changelog into SCD2 version rows.
+
+    ``df`` holds one row per observation: entity ``keys``, observation
+    time ``ts_col``, tracked attributes ``attr_cols``. Consecutive
+    observations (per entity, ordered by ``ts_col`` then
+    ``tiebreak_cols``) with identical attribute values — null-safely
+    compared — belong to one version. Output: ``keys + attr_cols`` plus
+
+    - ``effective_from``: the version's first observation time,
+    - ``effective_to``: the NEXT version's ``effective_from`` (null for
+      the entity's current version — half-open intervals chain exactly),
+    - ``version``: 1-based per entity in time order,
+    - ``is_current``: ``effective_to IS NULL``.
+
+    The (ts, tiebreak) ordering must be a total order within each entity
+    or run boundaries are partition-order-dependent (same contract as
+    every keyed window here — see tests/test_plan_shapes.py's w1 note).
+    """
+    tiebreak_cols = tiebreak_cols or []
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    # Null-safe change detector: first row per entity has lag NULL and
+    # eqNullSafe(NULL-struct) is false there, so it always starts a run.
+    changed = ~attrs.eqNullSafe(F.lag(attrs).over(w))
+    starts = df.withColumn(_PREV, changed).filter(F.col(_PREV)).drop(_PREV)
+    return (
+        starts.withColumn("effective_from", F.col(ts_col))
+        .withColumn("effective_to", F.lead("effective_from").over(w))
+        .withColumn("version", F.row_number().over(w))
+        .withColumn("is_current", F.col("effective_to").isNull())
+        .select(
+            *keys, *attr_cols,
+            "effective_from", "effective_to", "version", "is_current",
+        )
+    )
+
+
+def apply_changeset(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Latest-wins merge of ``changes`` into ``base`` (MERGE INTO shape).
+
+    Both sides share the ``base`` schema (plus an optional boolean
+    ``delete_col`` on ``changes``; absent means pure upsert). Per entity
+    key the row with the greatest (``ts_col``, ``tiebreak_cols``,
+    change-beats-base) wins; a winning change row flagged deleted drops
+    the entity from the snapshot entirely. Ties on the full ordering are
+    broken in favor of the CHANGE side (a same-timestamp correction
+    supersedes the base row it corrects).
+    """
+    tiebreak_cols = tiebreak_cols or []
+    out_cols = base.columns
+    del_flag = (
+        F.coalesce(F.col(delete_col), F.lit(False))
+        if delete_col
+        else F.lit(False)
+    )
+    b = base.select(*out_cols).withColumn("__del", F.lit(False)).withColumn(
+        _SRC, F.lit(0)
+    )
+    c = changes.select(*out_cols, del_flag.alias("__del")).withColumn(
+        _SRC, F.lit(1)
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        *[
+            F.col(c_).desc()
+            for c_ in (ts_col, *tiebreak_cols)
+        ],
+        F.col(_SRC).desc(),
+    )
+    return (
+        b.unionByName(c)
+        .withColumn(_RN, F.row_number().over(w))
+        .filter((F.col(_RN) == 1) & ~F.col("__del"))
+        .select(*out_cols)
+    )
+
+
+def as_of_snapshot(history: DataFrame, at: Column) -> DataFrame:
+    """Point-in-time read of an ``scd2_history`` output: the version rows
+    whose ``[effective_from, effective_to)`` interval contains ``at``.
+    A pure filter — pushes to the scan, prunes partitions when the
+    history is stored partitioned on ``effective_to`` month."""
+    return history.filter(
+        (F.col("effective_from") <= at)
+        & (F.col("effective_to").isNull() | (F.col("effective_to") > at))
+    )

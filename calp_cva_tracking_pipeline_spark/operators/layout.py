@@ -1,0 +1,203 @@
+"""Data-layout operators: Z-order clustering keys, layout-aware writers,
+and a file-size-targeted compaction planner.
+
+No reference counterpart (the reference materializes single CSV/RData
+outputs — SURVEY.md §2.1 S4/S5); these are engine additions for the
+storage side of a 100 TB pipeline, where the dominant cost is not the
+query plan but WHICH parquet row groups a scan can skip:
+
+- ``zvalue`` computes a Morton (Z-order) interleave of two integer key
+  columns entirely with JVM-side bit arithmetic (5 shift/mask rounds per
+  dimension — the classic magic-number spread, no UDF, no loop).
+- ``write_zordered`` lays a table out range-partitioned and sorted by
+  that z-value, so EVERY file's parquet footer min/max is narrow in BOTH
+  dimensions (a 64-file layout is an 8×8 grid over the two keys: a point
+  predicate on either key prunes ~7/8 of the files, vs pruning nothing
+  on the second key under a single-column sort). Measured footer-stat
+  effect pinned in tests/test_layout.py; numbers in SCALE.md.
+- ``compact_parquet`` / ``plan_compaction`` rewrite a many-small-files
+  dataset to ~``target_bytes`` files — the maintenance job that keeps
+  scan parallelism sane after high-frequency incremental appends
+  (pairs with ``apply_changeset``/``dedup_incremental``'s per-batch
+  writes). Sizing reads FILE METADATA only (driver-side listing), never
+  data.
+
+Scale notes: the z-value is a plain deterministic column — computing it
+is scan-local (no exchange); ``repartitionByRange`` on it samples the
+column to pick balanced boundaries, so pathological key skew degrades to
+at-worst the same file-size skew a date-partitioned layout would have.
+Bit-interleave beats Hilbert here: one less locality constant, but
+expressible as pure Catalyst expressions on both engines (the DuckDB
+oracle recomputes z bit-for-bit, so layout assignment is correctness-
+checked, not just claimed).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Part1By1 magic masks: spread the low 16 bits of x onto the even bit
+# positions of a 32-bit lane (Morton encoding building block).
+_SPREAD = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _part1by1(col: Column) -> Column:
+    x = col.bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zvalue(col_a: Column, col_b: Column) -> Column:
+    """32-bit Morton code interleaving the low 16 bits of two integer
+    columns (a's bits on even positions, b's on odd). Monotone locality:
+    rows close in z are close in BOTH a and b. Keys wider than 16 bits
+    should be pre-scaled (``>> (width-16)``) by the caller — layout
+    clustering needs the HIGH bits of each key, and the testdata keys
+    fit 16 bits outright."""
+    a = _part1by1(col_a.cast("bigint"))
+    b = _part1by1(col_b.cast("bigint"))
+    return a.bitwiseOR(F.shiftleft(b, 1))
+
+
+def part1by1_sql(expr: str) -> str:
+    """The DuckDB-dialect twin of ``_part1by1`` (oracle support). The
+    BIGINT cast matters: DuckDB types bare integer columns/literals as
+    32-bit and THROWS on shift overflow where Spark's 64-bit lane is
+    silent."""
+    x = f"((CAST({expr} AS BIGINT)) & 65535)"
+    for shift, mask in _SPREAD:
+        x = f"((({x} | ({x} << {shift}))) & {mask})"
+    return x
+
+
+def zvalue_sql(expr_a: str, expr_b: str) -> str:
+    return f"({part1by1_sql(expr_a)} | ({part1by1_sql(expr_b)} << 1))"
+
+
+def zorder_bucket(z: Column, n_buckets: int, z_bits: int = 32) -> Column:
+    """Static grid cell: the top log2(n_buckets) bits of the z-value.
+    ``write_zordered`` uses repartitionByRange (sampled, balanced)
+    instead; the static grid is the ANALYSIS view of the layout — its
+    per-bucket min/max spans are what footer pruning would see, and they
+    are what the lx_zorder catalog query (and its oracle) report."""
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two: {n_buckets}")
+    return F.shiftright(z, z_bits - int(math.log2(n_buckets)))
+
+
+def with_zvalue(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Adds ``zv``: the 32-bit Morton code over the RANGE-NORMALIZED
+    keys. Normalization — affine-scale each key onto [0, 65535] by its
+    observed min/max — matters: raw keys occupy only the LOW bits of the
+    16-bit lane, so the z top bits (which drive both the grid cells and
+    range partitioning) would be dominated by whichever key happens to
+    be wider, degenerating to a single-column sort (measured: a
+    16-file raw-key layout pruned 0 files on the narrow key). Bounds
+    come from a 4-value aggregate broadcast back over the scan (one tiny
+    exchange, no driver collect); integer ``div`` keeps the scaling
+    bit-exact cross-engine."""
+    a, b = F.col(col_a).cast("bigint"), F.col(col_b).cast("bigint")
+    bounds = df.agg(
+        F.min(a).alias("__amin"), F.max(a).alias("__amax"),
+        F.min(b).alias("__bmin"), F.max(b).alias("__bmax"),
+    )
+
+    def scale(name: str, lo: str, hi: str) -> Column:
+        # integer div ≡ DuckDB // for non-negative operands (oracle twin)
+        return F.expr(
+            f"CASE WHEN {hi} > {lo} THEN "
+            f"((CAST({name} AS BIGINT) - {lo}) * 65535) div ({hi} - {lo}) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "zv",
+            zvalue(
+                scale(col_a, "__amin", "__amax"),
+                scale(col_b, "__bmin", "__bmax"),
+            ),
+        )
+        .drop("__amin", "__amax", "__bmin", "__bmax")
+    )
+
+
+def zorder_layout(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    n_buckets: int,
+) -> DataFrame:
+    """``with_zvalue`` plus ``bucket``: the static top-bits grid cell —
+    the ANALYSIS view of the layout, whose per-cell key envelopes are
+    what footer pruning would see (lx_zorder catalog query + oracle)."""
+    return with_zvalue(df, col_a, col_b).withColumn(
+        "bucket", zorder_bucket(F.col("zv"), n_buckets)
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+) -> None:
+    """Materialize ``df`` as ~``n_files`` parquet files range-partitioned
+    AND sorted by the (a, b) z-value, then drop the helper column. Files
+    get narrow min/max footer stats on both keys, so engine-side filter
+    pushdown (parquet row-group stats) skips most files for a point or
+    range predicate on EITHER key."""
+    (
+        with_zvalue(df, col_a, col_b)
+        .repartitionByRange(n_files, F.col("zv"))
+        .sortWithinPartitions("zv")
+        .drop("zv")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def plan_compaction(
+    spark, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> tuple[DataFrame, int, int]:
+    """Size a compaction rewrite from file metadata only: returns
+    (dataframe, current file count, target file count) where the target
+    is ceil(total_bytes / target_bytes), floor 1. At cluster scale the
+    same arithmetic runs off the object-store listing; file bytes are
+    metadata, so planning a 100 TB compaction touches no data."""
+    df = spark.read.parquet(path)
+    files = [f for f in df.inputFiles() if f.endswith(".parquet")]
+    total = 0
+    for uri in files:
+        local = uri.removeprefix("file:")
+        if os.path.exists(local):
+            total += os.path.getsize(local)
+    n_target = max(1, math.ceil(total / target_bytes))
+    return df, len(files), n_target
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite ``src`` to ``dst`` in ~``target_bytes`` files. Uses
+    round-robin repartition (no shuffle key: compaction must not skew on
+    data values) — layout-preserving compaction of a z-ordered table
+    should re-run ``write_zordered`` instead. Returns the file count."""
+    df, _, n_target = plan_compaction(spark, src, target_bytes)
+    df.repartition(n_target).write.mode("overwrite").parquet(dst)
+    return n_target

@@ -1,0 +1,170 @@
+"""CDC operator tests: SCD2 history build and changeset merge.
+
+Semantics pinned here (invariants the oracle's value-hash can't see on
+its own): interval chaining, run-length collapse, partition-independence,
+delete handling, and the change-beats-base tie rule.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from calp_cva_tracking_pipeline_spark.catalog.common import T
+from calp_cva_tracking_pipeline_spark.operators.cdc import (
+    apply_changeset,
+    as_of_snapshot,
+    scd2_history,
+)
+
+
+def _changelog(spark):
+    rows = [
+        # entity 1: A, A, B, B, A — three runs (A, B, A)
+        (1, dt.datetime(2024, 1, 1), "A"),
+        (1, dt.datetime(2024, 1, 2), "A"),
+        (1, dt.datetime(2024, 1, 3), "B"),
+        (1, dt.datetime(2024, 1, 4), "B"),
+        (1, dt.datetime(2024, 1, 5), "A"),
+        # entity 2: one observation — one open version
+        (2, dt.datetime(2024, 2, 1), "X"),
+        # entity 3: null attr then value then null — null-safe runs
+        (3, dt.datetime(2024, 3, 1), None),
+        (3, dt.datetime(2024, 3, 2), None),
+        (3, dt.datetime(2024, 3, 3), "Y"),
+        (3, dt.datetime(2024, 3, 4), None),
+    ]
+    return spark.createDataFrame(rows, "id bigint, ts timestamp, attr string")
+
+
+def test_scd2_collapses_runs_and_chains_intervals(spark):
+    out = scd2_history(
+        _changelog(spark), ["id"], "ts", ["attr"]
+    ).orderBy("id", "version")
+    rows = [tuple(r) for r in out.collect()]
+    d = dt.datetime
+    assert rows == [
+        (1, "A", d(2024, 1, 1), d(2024, 1, 3), 1, False),
+        (1, "B", d(2024, 1, 3), d(2024, 1, 5), 2, False),
+        (1, "A", d(2024, 1, 5), None, 3, True),
+        (2, "X", d(2024, 2, 1), None, 1, True),
+        (3, None, d(2024, 3, 1), d(2024, 3, 3), 1, False),
+        (3, "Y", d(2024, 3, 3), d(2024, 3, 4), 2, False),
+        (3, None, d(2024, 3, 4), None, 3, True),
+    ]
+
+
+def test_scd2_intervals_partition_time_per_entity(spark, sf_dir):
+    """On real data: per entity exactly one open version; closed versions
+    chain with zero gap/overlap (effective_to == next effective_from)."""
+    h = scd2_history(
+        T(spark, sf_dir, "orders"),
+        ["o_custkey"], "o_orderdate",
+        ["o_orderstatus", "o_orderpriority"], ["o_orderkey"],
+    ).cache()
+    n_entities = h.select("o_custkey").distinct().count()
+    assert h.filter("is_current").count() == n_entities
+    assert h.filter("effective_to IS NULL AND NOT is_current").count() == 0
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("version")
+    gaps = (
+        h.withColumn("nxt", F.lead("effective_from").over(w))
+        .filter(F.col("effective_to").isNotNull())
+        .filter(~(F.col("effective_to") == F.col("nxt")))
+    )
+    assert gaps.count() == 0
+    # consecutive versions always differ in at least one tracked attr
+    same = (
+        h.withColumn("pa", F.lag("o_orderstatus").over(w))
+        .withColumn("pp", F.lag("o_orderpriority").over(w))
+        .filter(
+            F.col("pa").eqNullSafe(F.col("o_orderstatus"))
+            & F.col("pp").eqNullSafe(F.col("o_orderpriority"))
+        )
+    )
+    assert same.count() == 0
+    h.unpersist()
+
+
+def test_scd2_partition_independent(spark):
+    base = scd2_history(_changelog(spark), ["id"], "ts", ["attr"])
+    shuffled = scd2_history(
+        _changelog(spark).repartition(7), ["id"], "ts", ["attr"]
+    )
+    assert sorted(map(tuple, base.collect()), key=repr) == sorted(
+        map(tuple, shuffled.collect()), key=repr
+    )
+
+
+def test_as_of_snapshot_reads_one_version_per_entity(spark):
+    h = scd2_history(_changelog(spark), ["id"], "ts", ["attr"])
+    snap = as_of_snapshot(h, F.lit(dt.datetime(2024, 1, 3, 12)))
+    got = {(r.id, r.attr) for r in snap.collect()}
+    assert got == {(1, "B")}  # entities 2/3 not yet born at that instant
+    snap_now = as_of_snapshot(h, F.lit(dt.datetime(2030, 1, 1)))
+    assert snap_now.count() == 3  # exactly one current row per entity
+
+
+def _merge_fixture(spark):
+    base = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 10.0),
+         (2, dt.datetime(2024, 1, 1), 20.0),
+         (3, dt.datetime(2024, 1, 1), 30.0)],
+        "id bigint, ts timestamp, val double",
+    )
+    changes = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2), 11.0, False),   # update wins (newer)
+         (2, dt.datetime(2024, 1, 2), 0.0, True),     # delete
+         (3, dt.datetime(2023, 12, 1), 99.0, False),  # stale: base wins
+         (4, dt.datetime(2024, 1, 2), 40.0, False)],  # insert
+        "id bigint, ts timestamp, val double, is_deleted boolean",
+    )
+    return base, changes
+
+
+def test_apply_changeset_upsert_delete_insert_stale(spark):
+    base, changes = _merge_fixture(spark)
+    out = apply_changeset(
+        base, changes, ["id"], "ts", delete_col="is_deleted"
+    )
+    got = {(r.id, r.val) for r in out.collect()}
+    assert got == {(1, 11.0), (3, 30.0), (4, 40.0)}
+
+
+def test_apply_changeset_same_ts_change_beats_base(spark):
+    base, _ = _merge_fixture(spark)
+    changes = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 111.0, False)],
+        "id bigint, ts timestamp, val double, is_deleted boolean",
+    )
+    out = apply_changeset(
+        base, changes, ["id"], "ts", delete_col="is_deleted"
+    )
+    assert {(r.id, r.val) for r in out.filter("id = 1").collect()} == {
+        (1, 111.0)
+    }
+
+
+def test_apply_changeset_without_delete_col_is_pure_upsert(spark):
+    base, changes = _merge_fixture(spark)
+    out = apply_changeset(base, changes.drop("is_deleted"), ["id"], "ts")
+    got = {(r.id, r.val) for r in out.collect()}
+    # id 2's "delete" row is just a newer value without the flag
+    assert got == {(1, 11.0), (2, 0.0), (3, 30.0), (4, 40.0)}
+
+
+def test_apply_changeset_idempotent_reapply(spark):
+    """Re-applying the same changeset to the merged snapshot is a no-op —
+    the foreachBatch retry/replay safety property."""
+    base, changes = _merge_fixture(spark)
+    once = apply_changeset(
+        base, changes, ["id"], "ts", delete_col="is_deleted"
+    )
+    twice = apply_changeset(
+        once, changes, ["id"], "ts", delete_col="is_deleted"
+    )
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )

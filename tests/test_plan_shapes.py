@@ -342,3 +342,41 @@ def test_asof_nearest_no_join_single_window_exchange(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Window [") == 2
     assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) <= 2
+
+
+def test_scd2_single_entity_exchange(spark, sf_dir):
+    # SCD2 is window-only: lag change-detect, in-place filter (keeps the
+    # distribution), then lead/version over the SAME keyed exchange —
+    # one hashpartitioning total, no join, no aggregate
+    df = S.cdc_scd2(spark, sf_dir)
+    df.count()
+    plan = _executed(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cdc_upsert_merge_never_joins(spark, sf_dir):
+    # MERGE shape: union + one keyed window picks the winner — no
+    # base×changes join node anywhere; the only exchanges are the base
+    # snapshot's latest-pick window and the merge window over the union
+    df = S.cdc_upsert(spark, sf_dir)
+    df.count()
+    plan = _executed(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Union" in plan
+
+
+def test_lx_zorder_broadcast_bounds_single_group_exchange(spark, sf_dir):
+    # z-value is pure JVM bit arithmetic over the scan; the 1-row bounds
+    # aggregate reaches it as a broadcast (never a shuffle join), and the
+    # only hash exchange is the bucket groupBy (partial agg map-side)
+    df = S.lx_zorder(spark, sf_dir)
+    df.count()
+    plan = _executed(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
