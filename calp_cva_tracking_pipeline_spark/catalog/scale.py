@@ -2895,6 +2895,125 @@ FROM z GROUP BY 1
 LX_ZORDER_SQL = _lx_zorder_sql()
 
 
+# --- Event behavioral analytics (operators/funnel.py) -----------------------
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def ev_funnel(spark, sf_dir):
+    """Ordered funnel conversion over events (operators.funnel.
+    funnel_steps): per user, the earliest view, the earliest click
+    STRICTLY AFTER that view, the earliest purchase strictly after that
+    click, and the completed-step count. One user-keyed exchange; each
+    step is an unordered-frame window over the SAME distribution (no
+    sorts at all) and the per-user collapse rides it exchange-free —
+    pinned in tests/test_plan_shapes.py."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        funnel_steps,
+    )
+
+    return funnel_steps(
+        T(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        FUNNEL_STEPS,
+    )
+
+
+EV_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_view
+  FROM events),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+              OVER (PARTITION BY user_id) AS t_click
+  FROM s1),
+s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts
+                END) OVER (PARTITION BY user_id) AS t_purchase
+  FROM s2)
+SELECT user_id, MIN(t_view) AS t_view, MIN(t_click) AS t_click,
+       MIN(t_purchase) AS t_purchase,
+       (CAST(MIN(t_view) IS NOT NULL AS INTEGER)
+        + CAST(MIN(t_click) IS NOT NULL AS INTEGER)
+        + CAST(MIN(t_purchase) IS NOT NULL AS INTEGER)) AS steps_completed
+FROM s3 GROUP BY user_id
+"""
+
+
+RETENTION_WEEK_SECONDS = 7 * 24 * 3600
+
+
+def ev_retention(spark, sf_dir):
+    """Cohort retention matrix over events (operators.funnel.
+    cohort_retention): cohort = day of the user's first event, week
+    offset = cohort-RELATIVE integer weeks since that first event (exact
+    epoch math — no calendar-truncation artifacts), distinct users per
+    (cohort_day, week_offset) cell. One user-keyed window exchange plus
+    the output-sized count-distinct aggregation."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    return cohort_retention(
+        T(spark, sf_dir, "events"), "user_id", "ts",
+        week_seconds=RETENTION_WEEK_SECONDS,
+    )
+
+
+EV_RETENTION_SQL = f"""
+WITH f AS (
+  SELECT user_id, ts,
+         MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+  FROM events)
+SELECT CAST(first_ts AS DATE) AS cohort_day,
+       ((CAST(floor(epoch(ts)) AS BIGINT)
+         - CAST(floor(epoch(first_ts)) AS BIGINT))
+        // {RETENTION_WEEK_SECONDS}) AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM f GROUP BY 1, 2
+"""
+
+
+def rt_cube(spark, sf_dir):
+    """One-pass cross-dimensional subtotals via CUBE on lineitem
+    (returnflag × linestatus), decimal-exact money sums, grouping_id
+    disambiguating subtotal rows from genuine-null groups. Physical
+    cost: Spark plans CUBE as Expand ×2^d BEFORE the partial aggregate —
+    row amplification the rt_rollup_hierarchy cascade avoids for
+    hierarchical grains. CUBE is the right tool ONLY for low-cardinality
+    cross-dimensional subtotals in one pass (here 4 grouping sets over
+    ≤ 6 base groups); at 100 TB prefer the cascade for anything
+    hierarchy-shaped. The tradeoff is the point of this entry."""
+    from calp_cva_tracking_pipeline_spark.functions.numeric import money_sum
+
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_price"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "gid",
+            "sum_qty", "sum_price", "n_rows",
+        )
+    )
+
+
+RT_CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       {SQL_MONEY_SUM('l_quantity')} AS sum_qty,
+       {SQL_MONEY_SUM('l_extendedprice')} AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -2959,4 +3078,7 @@ SCALE_QUERIES = {
     "cdc_scd2": (cdc_scd2, CDC_SCD2_SQL),
     "cdc_upsert": (cdc_upsert, CDC_UPSERT_SQL),
     "lx_zorder": (lx_zorder, LX_ZORDER_SQL),
+    "ev_funnel": (ev_funnel, EV_FUNNEL_SQL),
+    "ev_retention": (ev_retention, EV_RETENTION_SQL),
+    "rt_cube": (rt_cube, RT_CUBE_SQL),
 }

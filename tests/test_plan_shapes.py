@@ -380,3 +380,41 @@ def test_lx_zorder_broadcast_bounds_single_group_exchange(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_single_user_exchange_no_sort(spark, sf_dir):
+    # each funnel step is an unordered-frame window over the SAME
+    # user-key distribution and the per-user collapse rides it too:
+    # one hashpartitioning exchange, no join; exactly one Sort (Window
+    # exec's partition-key grouping — the later windows and the
+    # aggregate reuse both the distribution and the ordering)
+    df = S.ev_funnel(spark, sf_dir)
+    df.count()
+    plan = _executed(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert plan.count("Sort [") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_retention_two_exchanges(spark, sf_dir):
+    # user-keyed window + the output-sized (cohort, offset) distinct
+    # aggregation (count-distinct plans its own keyed repartition)
+    df = S.ev_retention(spark, sf_dir)
+    df.count()
+    plan = _executed(df)
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Join" not in plan
+
+
+def test_cube_expands_before_partial_agg(spark, sf_dir):
+    # CUBE's physical shape: Expand ×4 feeds the PARTIAL aggregate, so
+    # the shuffle carries group-collapsed rows, not 4× the fact table —
+    # the property that keeps one-pass subtotals viable at all
+    plan = _executed(S.rt_cube(spark, sf_dir))
+    assert "Expand" in plan
+    ex = plan.index("Expand")
+    partial = plan.index("HashAggregate", 0, ex) if "HashAggregate" in plan[:ex] else None
+    # at least one aggregate sits ABOVE Expand (toString prints top-down)
+    assert partial is not None
+    assert "Join" not in plan
