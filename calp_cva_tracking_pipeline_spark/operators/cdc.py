@@ -106,6 +106,17 @@ def apply_changeset(
     the entity from the snapshot entirely. Ties on the full ordering are
     broken in favor of the CHANGE side (a same-timestamp correction
     supersedes the base row it corrects).
+
+    Incremental caveat: applying changesets one batch at a time is
+    equivalent to one big merge ONLY while changes for an entity arrive
+    in non-decreasing (ts, tiebreak) order across batches. A winning
+    delete drops the entity's row entirely, so a LATER batch carrying an
+    OLDER change for that entity would resurrect it (the one-shot merge
+    would not). If the change feed can deliver out of order across
+    batches, persist delete tombstones in the snapshot (keep the row
+    with a ``deleted`` flag and filter on read) instead of physically
+    dropping — same operator, ``delete_col=None`` plus a downstream
+    filter. Pinned by tests/test_cdc.py's stream-vs-oneshot compare.
     """
     tiebreak_cols = tiebreak_cols or []
     out_cols = base.columns

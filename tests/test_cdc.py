@@ -168,3 +168,89 @@ def test_apply_changeset_idempotent_reapply(spark):
     assert sorted(map(tuple, once.collect())) == sorted(
         map(tuple, twice.collect())
     )
+
+
+def test_foreachbatch_cdc_snapshot_maintenance(spark, tmp_path):
+    """The streaming MERGE loop: foreachBatch applies each micro-batch
+    of changes to the persisted snapshot with apply_changeset — the same
+    operator body as the batch path. After the stream drains, the
+    maintained snapshot must equal applying ALL changes in one batch
+    (order-insensitivity of latest-wins merge), with deletes honored."""
+    import os
+
+    src = str(tmp_path / "changes_src")
+    snap_a, snap_b = str(tmp_path / "snap_a"), str(tmp_path / "snap_b")
+    schema = "id bigint, ts timestamp, val double, is_deleted boolean"
+
+    base = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1), float(i)) for i in range(1, 21)],
+        "id bigint, ts timestamp, val double",
+    )
+    # 40 change rows over 25 ids: updates, inserts (21-25), deletes (%7)
+    changes = spark.createDataFrame(
+        [
+            (
+                (i % 25) + 1,
+                dt.datetime(2024, 1, 2) + dt.timedelta(minutes=i),
+                100.0 + i,
+                (i % 25 + 1) % 7 == 0,
+            )
+            for i in range(40)
+        ],
+        schema,
+    )
+    changes.repartition(5).write.parquet(src)
+
+    snap_paths = [snap_a, snap_b]
+    state = {"cur": 0}
+
+    def process(batch_df, batch_id):
+        from calp_cva_tracking_pipeline_spark.operators.cdc import (
+            apply_changeset,
+        )
+
+        s = batch_df.sparkSession
+        cur, nxt = snap_paths[state["cur"]], snap_paths[1 - state["cur"]]
+        snap = (
+            s.read.parquet(cur)
+            if os.path.exists(cur)
+            else base.select("id", "ts", "val")
+        )
+        merged = apply_changeset(
+            snap, batch_df, ["id"], "ts",
+            tiebreak_cols=["val"], delete_col="is_deleted",
+        )
+        merged.write.mode("overwrite").parquet(nxt)
+        state["cur"] = 1 - state["cur"]
+
+    q = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    from calp_cva_tracking_pipeline_spark.operators.cdc import (
+        apply_changeset,
+    )
+
+    streamed = spark.read.parquet(snap_paths[state["cur"]])
+    oneshot = apply_changeset(
+        base.select("id", "ts", "val"), changes, ["id"], "ts",
+        tiebreak_cols=["val"], delete_col="is_deleted",
+    )
+    assert sorted(map(tuple, streamed.collect()), key=repr) == sorted(
+        map(tuple, oneshot.collect()), key=repr
+    )
+    # ids ≡ 0 (mod 7) only ever see delete rows → absent (21 was an
+    # insert-then-never-born); other inserts (22-25) present
+    ids = {r.id for r in streamed.collect()}
+    assert {22, 23, 24, 25} <= ids
+    assert ids.isdisjoint({7, 14, 21})
