@@ -3014,6 +3014,55 @@ GROUP BY CUBE(l_returnflag, l_linestatus)
 """
 
 
+# --- Graph: fixed-iteration PageRank (operators/graph.py) -------------------
+
+PR_PART_OFFSET = 1_000_000  # part node ids live above supplier ids
+PR_ITERS = 3
+
+
+def gr_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (operators.graph.pagerank) over the
+    supplier↔part graph derived from lineitem: supplier→part edges from
+    even orderkeys, part→supplier from odd — cycles plus genuine
+    dangling nodes. Integer nano-unit arithmetic makes the iterative
+    result bit-identical across partitionings AND reproducible by the
+    unrolled SQL recurrence (operators.graph.pagerank_sql): 2 exchanges
+    per iteration (src-keyed join + dst-keyed aggregate), dangling mass
+    folded back via a broadcast one-row aggregate."""
+    from calp_cva_tracking_pipeline_spark.operators.graph import pagerank
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    fwd = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + PR_PART_OFFSET).alias("dst"),
+    )
+    bwd = li.filter(F.col("l_orderkey") % 2 == 1).select(
+        (F.col("l_partkey") + PR_PART_OFFSET).alias("src"),
+        F.col("l_suppkey").alias("dst"),
+    )
+    return pagerank(fwd.union(bwd), n_iter=PR_ITERS)
+
+
+def _gr_pagerank_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        pagerank_sql,
+    )
+
+    edges = (
+        f"SELECT l_suppkey AS src, l_partkey + {PR_PART_OFFSET} AS dst "
+        f"FROM lineitem WHERE l_orderkey % 2 = 0 "
+        f"UNION ALL "
+        f"SELECT l_partkey + {PR_PART_OFFSET} AS src, l_suppkey AS dst "
+        f"FROM lineitem WHERE l_orderkey % 2 = 1"
+    )
+    return pagerank_sql(edges, n_iter=PR_ITERS)
+
+
+GR_PAGERANK_SQL = _gr_pagerank_sql()
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -3081,4 +3130,5 @@ SCALE_QUERIES = {
     "ev_funnel": (ev_funnel, EV_FUNNEL_SQL),
     "ev_retention": (ev_retention, EV_RETENTION_SQL),
     "rt_cube": (rt_cube, RT_CUBE_SQL),
+    "gr_pagerank": (gr_pagerank, GR_PAGERANK_SQL),
 }

@@ -1,0 +1,148 @@
+"""Graph operators: fixed-iteration PageRank over an edge DataFrame.
+
+No reference counterpart (the reference has no graph algorithms); engine
+addition for link-style analyses a corpus pipeline runs at scale —
+ranking crawl hosts by the link graph, weighting documents by citation
+structure, prioritizing dedup-cluster exemplars (the candidate-pair
+graph from ``dedup.py`` IS an edge list this consumes directly).
+
+Scale design:
+
+- Each iteration is one equi-join of the rank vector against the edge
+  list (both keyed on the source node) plus one destination-keyed
+  aggregation — the canonical 2-exchanges-per-iteration shape. At
+  cluster scale, pre-bucketing edges by ``src`` makes the join exchange
+  metadata-only; ranks are always node-count-sized (≪ edges).
+- Dangling mass (rank sitting on nodes with no out-edges) is folded
+  back uniformly each iteration via a ONE-ROW aggregate broadcast into
+  the update expression (crossJoin of a broadcast singleton — the same
+  bounded-statistic pattern as the percentile kernel; nothing large
+  ever reaches the driver, and the plan stays a single lazy DAG).
+- The node count is the only driver-side value (one bounded collect at
+  build time).
+
+Determinism (why an iterative float algorithm can hash-match a SQL
+oracle): ranks live in integer NANO-UNITS (BIGINT). Every step — the
+uniform init, per-edge contribution ``rank div outdeg``, the damping
+``(85 · x) div 100``, the dangling redistribution ``dang div N`` — is
+floor integer arithmetic, and BIGINT SUM is order-independent, so the
+result is bit-identical regardless of partitioning, and the DuckDB
+oracle (same unrolled integer recurrence) reproduces it exactly. The
+systematic floor bias is bounded by n_iter · (N + E) nano-units of lost
+mass — irrelevant at rank scale 1e9 — and buys exact reproducibility,
+the property float PageRank famously lacks across partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_SCALE = 1_000_000_000  # one unit of total rank mass, in nano-units
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank. Returns (node, rank_nano) — integer
+    nano-units per the module contract; rank_nano/1e9 is the usual
+    probability-mass rank. Duplicate edges collapse (unweighted graph);
+    every node appearing as source OR destination is ranked, including
+    pure sinks (dangling nodes, whose mass redistributes uniformly)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # one bounded driver-side statistic; everything else stays lazy
+    n = nodes.count()
+    base = (RANK_SCALE - damping_pct * RANK_SCALE // 100) // n
+
+    ranks = nodes.withColumn("rank", F.lit(RANK_SCALE // n))
+    e_deg = e.join(deg, "src")  # static across iterations
+    for _ in range(n_iter):
+        dangling = (
+            ranks.join(deg, ranks.node == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dang"))
+        )
+        inflow = (
+            e_deg.join(ranks, e_deg.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(inflow, 0)"
+                        f" + (dang div {n}))) div 100"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.col("rank").alias("rank_nano"))
+
+
+def pagerank_sql(
+    edges_cte: str,
+    n_nodes_unknown: bool = True,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+) -> str:
+    """DuckDB oracle twin: the same integer recurrence, unrolled.
+    ``edges_cte`` is a SELECT yielding (src, dst); duplicates are
+    collapsed here, matching the operator."""
+    d = damping_pct
+    s = RANK_SCALE
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_cte}) raw)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1)",
+        "n AS (SELECT COUNT(*) AS cnt FROM nodes)",
+        f"r0 AS (SELECT node, {s} // cnt AS rank FROM nodes CROSS JOIN n)",
+    ]
+    for i in range(1, n_iter + 1):
+        p, c = f"r{i - 1}", f"r{i}"
+        parts.append(
+            f"d{i} AS (SELECT COALESCE(SUM(r.rank), 0) AS dang "
+            f"FROM {p} r LEFT JOIN deg ON r.node = deg.src "
+            f"WHERE deg.src IS NULL)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, "
+            f"SUM(r.rank // deg.outdeg) AS inflow "
+            f"FROM e JOIN {p} r ON e.src = r.node "
+            f"JOIN deg ON deg.src = e.src GROUP BY 1)"
+        )
+        # the damping-complement numerator is a constant; precompute so
+        # DuckDB never types the d*s product as INT32 (it overflows)
+        base_num = s - d * s // 100
+        parts.append(
+            f"{c} AS (SELECT nodes.node, "
+            f"({base_num} // cnt) "
+            f"+ ({d} * (COALESCE(c{i}.inflow, 0) + (d{i}.dang // cnt)))"
+            f" // 100 AS rank "
+            f"FROM nodes CROSS JOIN n CROSS JOIN d{i} "
+            f"LEFT JOIN c{i} ON nodes.node = c{i}.node)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT node, CAST(rank AS BIGINT) AS rank_nano FROM r{n_iter}"
+    )

@@ -1,0 +1,98 @@
+"""PageRank tests: the integer recurrence vs a pure-Python reference,
+structural rank ordering, dangling-mass handling, mass conservation,
+and partition-independence (the property the nano-unit design buys)."""
+
+from __future__ import annotations
+
+import random
+
+from calp_cva_tracking_pipeline_spark.operators.graph import (
+    RANK_SCALE,
+    pagerank,
+)
+
+
+def _py_pagerank(edges, n_iter=3, d=85):
+    """The exact integer recurrence, independently implemented."""
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    n = len(nodes)
+    outdeg: dict = {}
+    for u, _ in e:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    rank = {v: RANK_SCALE // n for v in nodes}
+    base = (RANK_SCALE - d * RANK_SCALE // 100) // n
+    for _ in range(n_iter):
+        dang = sum(r for v, r in rank.items() if v not in outdeg)
+        inflow = {v: 0 for v in nodes}
+        for u, v in e:
+            inflow[v] += rank[u] // outdeg[u]
+        rank = {
+            v: base + (d * (inflow[v] + dang // n)) // 100 for v in nodes
+        }
+    return rank
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    return {
+        r.node: r.rank_nano for r in pagerank(df, **kw).collect()
+    }
+
+
+def test_pagerank_matches_python_reference_random_graph(spark):
+    rng = random.Random(2024)
+    edges = list({
+        (rng.randint(0, 39), rng.randint(0, 39)) for _ in range(150)
+    })
+    assert _run(spark, edges) == _py_pagerank(edges)
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    # star pointing at node 0 → node 0 must dominate
+    edges = [(i, 0) for i in range(1, 10)]
+    ranks = _run(spark, edges)
+    assert ranks[0] == max(ranks.values())
+    assert ranks[0] > 5 * ranks[1]
+
+
+def test_pagerank_all_sinks_stays_uniform(spark):
+    # pure bipartite one-way: sources all have equal structure, sinks too
+    edges = [(i, 100 + i) for i in range(8)]
+    ranks = _run(spark, edges)
+    assert len({ranks[i] for i in range(8)}) == 1
+    assert len({ranks[100 + i] for i in range(8)}) == 1
+    assert ranks[100] > ranks[0]  # sinks receive, sources only emit
+
+
+def test_pagerank_mass_conserved_within_floor_loss(spark):
+    rng = random.Random(7)
+    edges = list({
+        (rng.randint(0, 29), rng.randint(0, 29)) for _ in range(90)
+    })
+    ranks = _run(spark, edges)
+    total = sum(ranks.values())
+    n, e = 30, len(edges)
+    # floor ops lose at most ~1 nano-unit per node/edge/div per iteration
+    assert total <= RANK_SCALE
+    assert total >= RANK_SCALE - 3 * (2 * n + e + 100)
+
+
+def test_pagerank_partition_independent(spark):
+    rng = random.Random(11)
+    edges = list({
+        (rng.randint(0, 49), rng.randint(0, 49)) for _ in range(200)
+    })
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    a = {r.node: r.rank_nano for r in pagerank(df).collect()}
+    b = {
+        r.node: r.rank_nano
+        for r in pagerank(df.repartition(13)).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    once = _run(spark, [(1, 2), (2, 1), (1, 3)])
+    dup = _run(spark, [(1, 2), (1, 2), (2, 1), (1, 3), (1, 3)])
+    assert once == dup

@@ -418,3 +418,15 @@ def test_cube_expands_before_partial_agg(spark, sf_dir):
     # at least one aggregate sits ABOVE Expand (toString prints top-down)
     assert partial is not None
     assert "Join" not in plan
+
+
+def test_pagerank_no_cartesian_no_python(spark, sf_dir):
+    # per iteration: one src-keyed join + one dst-keyed aggregate; the
+    # dangling singleton reaches the update as a broadcast (BNLJ over a
+    # 1-row side), never a shuffle join or cartesian of real data
+    df = S.gr_pagerank(spark, sf_dir)
+    df.count()
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
