@@ -3063,6 +3063,115 @@ def _gr_pagerank_sql() -> str:
 GR_PAGERANK_SQL = _gr_pagerank_sql()
 
 
+# --- HLL approximate distinct (operators/sketch.py) -------------------------
+
+HLL_COLS = ["l_partkey", "l_suppkey", "l_orderkey", "l_returnflag"]
+
+
+def pf_approx_distinct(spark, sf_dir):
+    """Deterministic-HLL distinct estimates next to the exact counts —
+    the self-audit view of operators.sketch.hll_sketch/hll_estimate
+    (Flajolet et al. 2007 over the md5 stable hash, 512 registers,
+    ~4.6% rsd). One unpivot scan feeds the register table; a second
+    feeds the exact counts (audit-only — production uses the sketch
+    precisely to NOT pay the exact count-distinct exchange; the
+    register table is ≤512 rows/col, mergeable by bucket-wise MAX).
+    l_returnflag (3 distinct) exercises the linear-counting small-range
+    branch; the key columns exercise the raw-estimate branch."""
+    from calp_cva_tracking_pipeline_spark.operators.sketch import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    li = T(spark, sf_dir, "lineitem")
+    est = hll_estimate(hll_sketch(li, HLL_COLS))
+    long = li.select(
+        *[F.col(c).cast("string").alias(c) for c in HLL_COLS]
+    ).unpivot([], HLL_COLS, "col_name", "val")
+    exact = long.filter(F.col("val").isNotNull()).groupBy("col_name").agg(
+        F.countDistinct("val").alias("exact_distinct")
+    )
+    return est.join(exact, "col_name").select(
+        "col_name",
+        "exact_distinct",
+        "approx_distinct",
+        F.round(
+            100
+            * F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err_pct"),
+    )
+
+
+def _pf_approx_distinct_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.sketch import hll_sql
+
+    unions = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS val "
+        f"FROM lineitem WHERE {c} IS NOT NULL"
+        for c in HLL_COLS
+    )
+    return f"""
+WITH est AS ({hll_sql('lineitem', HLL_COLS)}),
+exact AS (
+  SELECT col_name, CAST(COUNT(DISTINCT val) AS BIGINT) AS exact_distinct
+  FROM ({unions}) long GROUP BY 1)
+SELECT est.col_name, exact_distinct, approx_distinct,
+       ROUND(100 * abs(approx_distinct - exact_distinct)
+             / exact_distinct, 6) AS rel_err_pct
+FROM est JOIN exact ON est.col_name = exact.col_name
+"""
+
+
+PF_APPROX_DISTINCT_SQL = _pf_approx_distinct_sql()
+
+
+def gr_triangles(spark, sf_dir):
+    """Exact triangle census (operators.graph.triangle_stats) of the
+    part co-occurrence graph — parts are adjacent when some order
+    contains both (per-order fan-out is bounded by lines-per-order, so
+    the pair expansion is safe). Degree-ORIENTED wedge counting bounds
+    every join key's fan-out by O(√E) regardless of hub degree — the
+    skew-proof formulation; orientation is a deterministic total order
+    so the DuckDB oracle reproduces the census exactly."""
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    lp = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return triangle_stats(edges)
+
+
+def _gr_triangles_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        triangle_stats_sql,
+    )
+
+    edges = (
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a "
+        "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+    )
+    return triangle_stats_sql(edges)
+
+
+GR_TRIANGLES_SQL = _gr_triangles_sql()
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -3131,4 +3240,6 @@ SCALE_QUERIES = {
     "ev_retention": (ev_retention, EV_RETENTION_SQL),
     "rt_cube": (rt_cube, RT_CUBE_SQL),
     "gr_pagerank": (gr_pagerank, GR_PAGERANK_SQL),
+    "gr_triangles": (gr_triangles, GR_TRIANGLES_SQL),
+    "pf_approx_distinct": (pf_approx_distinct, PF_APPROX_DISTINCT_SQL),
 }

@@ -99,6 +99,143 @@ def pagerank(
     return ranks.select("node", F.col("rank").alias("rank_nano"))
 
 
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact triangle census of the UNDIRECTED graph behind ``edges``
+    (direction and duplicates ignored; self-loops dropped). One row:
+    n_nodes, n_edges, n_wedges (paths of length 2 = Σ C(deg,2)),
+    n_triangles, global_clustering = 3·triangles / wedges (6 dp).
+
+    Scale design — the textbook skew trap handled the textbook way:
+    counting via an id-oriented wedge join lets one hub node with degree
+    d emit C(d, 2) wedges (a 10⁶-degree hub → 5·10¹¹ rows from one
+    key). Instead edges are oriented by the DEGREE total order (lower
+    (deg, id) → higher), which bounds every node's OUT-degree by
+    O(√E) regardless of hub size [Chiba–Nishizeki / Schank–Wagner
+    degree ordering], so the wedge join emits ≤ E·O(√E) rows worst-case
+    and hub keys stop being hot. Physical shape: two src-keyed
+    equi-joins plus degree aggregation — no cartesian, no Python. The
+    orientation is a deterministic total order, so the DuckDB oracle
+    reproduces the count exactly.
+    """
+    u, v = "__u", "__v"
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias(u),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias(v),
+        )
+        .filter(F.col(u) != F.col(v))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col(u).alias("n"))
+        .union(e.select(F.col(v).alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient each edge from the (deg, id)-smaller endpoint to the larger
+    o = (
+        e.join(deg.withColumnRenamed("n", u).withColumnRenamed("d", "du"), u)
+        .join(deg.withColumnRenamed("n", v).withColumnRenamed("d", "dv"), v)
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col(u) < F.col(v))),
+                F.struct(
+                    F.col(u).alias("s"), F.col(v).alias("t"),
+                    F.col("dv").alias("dt"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col(v).alias("s"), F.col(u).alias("t"),
+                    F.col("du").alias("dt"),
+                )
+            )
+            .alias("edge")
+        )
+        .select("edge.s", "edge.t", "edge.dt")
+    )
+    # wedges from out-adjacency: (a→b, a→c); close with the oriented
+    # (orientation-min(b,c) → max) edge, which is how the third edge is
+    # stored because orientation is a total order and both b, c > a in it
+    o1 = o.select(
+        F.col("s").alias("a"), F.col("t").alias("b"),
+        F.col("dt").alias("db"),
+    )
+    o2 = o.select(
+        F.col("s").alias("a"), F.col("t").alias("c"),
+        F.col("dt").alias("dc"),
+    )
+    wedges = o1.join(o2, "a").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = wedges.join(closing, ["b", "c"], "left_semi").agg(
+        F.count("*").alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.expr("CAST(sum(d) div 2 AS BIGINT)").alias("n_edges"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes", "n_edges", "n_wedges", "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    3 * F.col("n_triangles")
+                    / F.col("n_wedges").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("global_clustering"),
+        )
+    )
+
+
+def triangle_stats_sql(edges_cte: str) -> str:
+    """DuckDB oracle twin of ``triangle_stats`` (same degree
+    orientation, same wedge-close join)."""
+    return f"""
+WITH raw AS ({edges_cte}),
+e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst),
+deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT u AS n FROM e UNION ALL SELECT v FROM e) x GROUP BY 1),
+o AS (
+  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS t,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN dv.d ELSE du.d END AS dt
+  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM o o1 JOIN o o2 ON o1.s = o2.s
+   AND ((o1.dt < o2.dt) OR (o1.dt = o2.dt AND o1.t < o2.t))
+  WHERE EXISTS (SELECT 1 FROM o oc WHERE oc.s = o1.t AND oc.t = o2.t)),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+         CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg)
+SELECT n_nodes, n_edges, n_wedges, CAST(n_triangles AS BIGINT) AS n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN ROUND(3 * n_triangles / CAST(n_wedges AS DOUBLE), 6)
+            ELSE 0.0 END AS global_clustering
+FROM stats CROSS JOIN tri
+"""
+
+
 def pagerank_sql(
     edges_cte: str,
     n_nodes_unknown: bool = True,

@@ -145,3 +145,136 @@ def mg_merge(
         .select(key_col, (F.col("cnt") - F.col("__t")).alias("cnt"))
         .filter(F.col("cnt") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (deterministic, oracle-reproducible)
+# ---------------------------------------------------------------------------
+
+HLL_P = 9                      # 2^9 = 512 buckets → ~4.6% relative error
+HLL_M = 1 << HLL_P
+_HLL_WBITS = 60 - HLL_P        # stable_hash64 yields 60 hash bits
+_HLL_RHO_MAX = _HLL_WBITS + 1  # rho when the whole w suffix is zero
+# alpha_m · m² · 2^(wbits+1): the raw-estimate numerator as ONE double
+# literal so both engines evaluate a single IEEE division
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+_HLL_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_RHO_MAX)
+
+
+def hll_sketch(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Mergeable HyperLogLog register table for each of ``cols`` in ONE
+    scan (unpivot, never one pass per column): rows (col_name, bucket,
+    m) where m is the bucket's max rank-of-first-set-bit. Flajolet et
+    al. 2007 HLL, but over the md5-based ``stable_hash64`` — fully
+    deterministic and recomputable by the DuckDB oracle, unlike the
+    engine-private hash inside ``approx_count_distinct``. The register
+    table IS the persistable/mergeable state: union register tables
+    from any partitioning of the data and ``hll_merge`` (bucket-wise
+    MAX — idempotent, commutative, associative) gives bit-identical
+    registers, the property that makes per-shard sketching at 100 TB
+    embarrassingly parallel. Memory: ≤ 512 rows per column, ever.
+
+    The rank arithmetic is integer/string-exact (msb via the length of
+    the binary representation), never floating log2 — a w at an exact
+    power of two must not round across engines.
+    """
+    from calp_cva_tracking_pipeline_spark.functions.hashing import (
+        stable_hash64,
+    )
+
+    long = df.select(
+        *[F.col(c).cast("string").alias(c) for c in cols]
+    ).unpivot([], cols, "col_name", "val").filter(F.col("val").isNotNull())
+    h = stable_hash64(F.col("val"))
+    w_expr = f"h div {HLL_M}"
+    rho = F.when(
+        F.expr(w_expr) == 0, F.lit(_HLL_RHO_MAX)
+    ).otherwise(F.lit(_HLL_RHO_MAX) - F.length(F.expr(f"bin({w_expr})")))
+    return (
+        long.withColumn("h", h)
+        .withColumn("bucket", F.expr(f"h % {HLL_M}"))
+        .withColumn("rho", rho)
+        .groupBy("col_name", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union register tables from independent shards into one sketch."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("col_name", "bucket").agg(F.max("m").alias("m"))
+
+
+def hll_estimate(sketch: DataFrame) -> DataFrame:
+    """(col_name, approx_distinct) from a register table. Integer-exact
+    register fold: Σ 2^(rho_max − m) accumulates as BIGINT (order-
+    independent, ≤ 2^61), empty buckets contribute 2^rho_max each; ONE
+    double division + the standard small-range linear-counting branch,
+    both mirrored literally in the SQL twin. Rounded to 6 dp."""
+    w = _HLL_RHO_MAX
+    return (
+        sketch.groupBy("col_name")
+        .agg(
+            F.expr(
+                f"CAST(sum(CAST(pow(2, {w} - m) AS BIGINT)) AS BIGINT)"
+            ).alias("ssum"),
+            F.count("*").alias("occ"),
+        )
+        .select(
+            "col_name",
+            F.expr(
+                f"CAST({HLL_M} - occ AS BIGINT)"
+            ).alias("zeros"),
+            F.expr(
+                f"ssum + ({HLL_M} - occ) * CAST(pow(2, {w}) AS BIGINT)"
+            ).alias("total"),
+        )
+        .select(
+            "col_name",
+            F.round(
+                F.when(
+                    (F.lit(_HLL_NUM) / F.col("total") <= 2.5 * HLL_M)
+                    & (F.col("zeros") > 0),
+                    F.lit(float(HLL_M))
+                    * F.log(F.lit(float(HLL_M)) / F.col("zeros")),
+                ).otherwise(F.lit(_HLL_NUM) / F.col("total")),
+                6,
+            ).alias("approx_distinct"),
+        )
+    )
+
+
+def hll_sql(table_expr: str, cols: list[str]) -> str:
+    """DuckDB twin of sketch→estimate over the same columns."""
+    w = _HLL_RHO_MAX
+    unions = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS val "
+        f"FROM {table_expr} WHERE {c} IS NOT NULL"
+        for c in cols
+    )
+    h60 = "CAST(CAST(('0x' || substring(md5(val), 1, 15)) AS UBIGINT) AS BIGINT)"
+    return f"""
+WITH long AS ({unions}),
+hashed AS (
+  SELECT col_name, {h60} AS h FROM long),
+regs AS (
+  -- bin() strips leading zeros in BOTH engines (verified), so
+  -- length(bin(w)) is the exact msb position and rho is integer-exact
+  SELECT col_name, h % {HLL_M} AS bucket,
+         MAX(CASE WHEN h // {HLL_M} = 0 THEN {w}
+             ELSE {w} - length(bin(h // {HLL_M})) END) AS m
+  FROM hashed GROUP BY 1, 2),
+folded AS (
+  SELECT col_name,
+         CAST(SUM(CAST(pow(2, {w} - m) AS BIGINT)) AS BIGINT)
+           + ({HLL_M} - COUNT(*)) * CAST(pow(2, {w}) AS BIGINT) AS total,
+         {HLL_M} - COUNT(*) AS zeros
+  FROM regs GROUP BY 1)
+SELECT col_name,
+       ROUND(CASE WHEN {_HLL_NUM!r} / total <= 2.5 * {HLL_M} AND zeros > 0
+                  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / zeros)
+                  ELSE {_HLL_NUM!r} / total END, 6) AS approx_distinct
+FROM folded
+"""

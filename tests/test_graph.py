@@ -96,3 +96,68 @@ def test_pagerank_duplicate_edges_collapse(spark):
     once = _run(spark, [(1, 2), (2, 1), (1, 3)])
     dup = _run(spark, [(1, 2), (1, 2), (2, 1), (1, 3), (1, 3)])
     assert once == dup
+
+
+# --- triangle census --------------------------------------------------------
+
+from itertools import combinations
+
+from calp_cva_tracking_pipeline_spark.operators.graph import triangle_stats
+
+
+def _py_triangles(edges):
+    adj: dict = {}
+    und = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        und.add((min(a, b), max(a, b)))
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    tri = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    return len(nodes), len(und), wedges, tri
+
+
+def _tri_run(spark, edges):
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    r = triangle_stats(df).first()
+    return r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles
+
+
+def test_triangles_known_graphs(spark):
+    k4 = [(a, b) for a, b in combinations(range(4), 2)]
+    assert _tri_run(spark, k4) == (4, 6, 12, 4)
+    star = [(0, i) for i in range(1, 8)]
+    assert _tri_run(spark, star) == (8, 7, 21, 0)
+    path = [(0, 1), (1, 2), (2, 3)]
+    assert _tri_run(spark, path) == (4, 3, 2, 0)
+
+
+def test_triangles_match_bruteforce_random(spark):
+    rng = random.Random(3131)
+    edges = list({
+        (rng.randint(0, 24), rng.randint(0, 24)) for _ in range(120)
+    })
+    assert _tri_run(spark, edges) == _py_triangles(edges)
+
+
+def test_triangles_direction_and_duplicates_ignored(spark):
+    tri = [(1, 2), (2, 3), (3, 1)]
+    rev = [(2, 1), (3, 2), (1, 3), (2, 1)]
+    assert _tri_run(spark, tri) == _tri_run(spark, tri + rev) == (3, 3, 3, 1)
+
+
+def test_triangles_hub_graph_counts_exactly(spark):
+    # hub 0 connected to all; ring among leaves 1..12: each ring edge
+    # (i, i+1) forms a triangle with the hub
+    hub = [(0, i) for i in range(1, 13)]
+    ring = [(i, i % 12 + 1) for i in range(1, 13)]
+    n, e, w, t = _tri_run(spark, hub + ring)
+    assert (n, e, t) == (13, 24, 12)

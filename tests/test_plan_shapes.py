@@ -430,3 +430,26 @@ def test_pagerank_no_cartesian_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_triangles_equi_joins_only(spark, sf_dir):
+    # the wedge expansion and the closing-edge check must both be hash
+    # equi-joins (degree orientation makes the keys safe); a cartesian
+    # or python stage here would be the classic triangle blowup
+    df = S.gr_triangles(spark, sf_dir)
+    df.count()
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_register_table_stays_tiny_no_python(spark, sf_dir):
+    # sketch side: ONE unpivot scan (Expand), registers ≤ 512/col; the
+    # audit query adds the exact-count scan (documented, audit-only) —
+    # so at most 2 scans of lineitem and zero Python stages
+    df = S.pf_approx_distinct(spark, sf_dir)
+    df.count()
+    plan = _executed(df)
+    assert plan.count("Scan parquet") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
