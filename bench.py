@@ -89,6 +89,13 @@ HEADLINE = [
     # windows for the KS sup-gap
     "dd_semantic",
     "pf_ks",
+    # round 6 fourth-wave additions (ditto), new cost classes: window-
+    # only SCD2 run collapse, pure-bit-arithmetic layout agg, iterative
+    # keyed join/agg (PageRank), degree-oriented wedge self-join
+    "cdc_scd2",
+    "lx_zorder",
+    "gr_pagerank",
+    "gr_triangles",
 ]
 
 

@@ -170,14 +170,21 @@ def triangle_stats(
         F.col("s").alias("a"), F.col("t").alias("c"),
         F.col("dt").alias("dc"),
     )
-    wedges = o1.join(o2, "a").filter(
+    # Both graph-sized joins are explicitly SHUFFLE_HASH: the edge list
+    # is NOT a dimension table, and letting the planner broadcast a
+    # many-MB oriented-edge side (it will, under a generous
+    # autoBroadcastJoinThreshold) turns repeated runs into driver-heap
+    # OOM roulette and would be catastrophic at real edge counts. A
+    # shuffle-hash join keys both sides on the (degree-bounded) wedge
+    # endpoints instead — the scale-correct physical shape.
+    wedges = o1.join(o2.hint("shuffle_hash"), "a").filter(
         (F.col("db") < F.col("dc"))
         | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
     )
     closing = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
-    tri = wedges.join(closing, ["b", "c"], "left_semi").agg(
-        F.count("*").alias("n_triangles")
-    )
+    tri = wedges.join(
+        closing.hint("shuffle_hash"), ["b", "c"], "left_semi"
+    ).agg(F.count("*").alias("n_triangles"))
     stats = deg.agg(
         F.count("*").alias("n_nodes"),
         F.expr("CAST(sum(d) div 2 AS BIGINT)").alias("n_edges"),

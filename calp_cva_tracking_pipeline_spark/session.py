@@ -58,6 +58,12 @@ def get_spark(
         # there. Engine errors still carry full SQL context without it.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
+        # local mode hosts every executor thread inside the driver JVM;
+        # the 1g default heap on a 32-core box makes any ≥64MB broadcast
+        # (the threshold above) an OOM roulette once a few accumulate
+        # before the ContextCleaner runs (observed: repeated triangle-
+        # census runs). Size the single JVM like the machine it's on.
+        .config("spark.driver.memory", "8g")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
     )
