@@ -29,9 +29,11 @@ Scale design:
 - ``apply_changeset`` is union + one keyed window (latest-wins pick),
   then a delete filter — the merge never joins base against changes, so
   a 100 TB base with a 1 GB changeset shuffles each side once on the
-  key and nothing else. For repeated small-changeset merges at scale the
-  base side should be a bucketed table on the key so the exchange is
-  metadata-only; the operator takes whatever distribution it is given.
+  key and nothing else. NOTE: a union erases any distribution the base
+  brought, so bucketing the base does NOT help this formulation; for
+  the repeated-merge maintenance loop over a bucketed snapshot use
+  ``apply_changeset_joined``, which shuffles ONLY the collapsed
+  changeset (base side provably exchange-free — plan-pinned).
 """
 
 from __future__ import annotations
@@ -144,6 +146,80 @@ def apply_changeset(
         .filter((F.col(_RN) == 1) & ~F.col("__del"))
         .select(*out_cols)
     )
+
+
+def apply_changeset_joined(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """``apply_changeset`` restructured for a BUCKETED base snapshot —
+    the repeated-merge maintenance loop at scale.
+
+    PRECONDITION: ``base`` holds at most one row per key (the snapshot
+    invariant the maintenance loop guarantees; ``apply_changeset`` does
+    not require it, this variant does). Semantics are then identical
+    (same latest-wins ordering, same change-beats-base tie rule, same
+    delete handling — equality is test-pinned against the union+window
+    formulation on randomized inputs).
+
+    Why a second formulation: the union+window shape shuffles
+    base+changes TOGETHER every merge — a union erases any distribution
+    the base brought, so storing the base bucketed buys nothing there.
+    Here changes are first collapsed latest-per-key (a window over the
+    SMALL side only), then full-outer joined to the base: when the base
+    is a bucketed table on the key, the planner proves its side's
+    distribution and only the collapsed changeset shuffles
+    (plan-pinned in tests/test_cdc.py — base side exchange-free). A
+    100 TB base absorbs a 1 GB changeset moving ~1 GB, not ~100 TB.
+    """
+    tiebreak_cols = tiebreak_cols or []
+    out_cols = base.columns
+    del_flag = (
+        F.coalesce(F.col(delete_col), F.lit(False))
+        if delete_col
+        else F.lit(False)
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in (ts_col, *tiebreak_cols)]
+    )
+    ch = (
+        changes.select(*out_cols, del_flag.alias("__del"))
+        .withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) == 1)
+        .drop(_RN)
+    )
+    payload = [c for c in out_cols if c not in keys]
+    ch = ch.select(
+        *keys,
+        F.struct(
+            *[F.col(c) for c in payload], F.col("__del")
+        ).alias("__ch"),
+    )
+    ordkey = [ts_col, *tiebreak_cols]
+    base_ord = F.struct(*[F.col(c) for c in ordkey])
+    ch_ord = F.struct(*[F.col(f"__ch.{c}") for c in ordkey])
+    # change wins when base is absent or its ordering key is <= the
+    # change's (ties to the change side — the correction rule)
+    change_wins = F.col("__ch").isNotNull() & (
+        F.col(ts_col).isNull() | (base_ord <= ch_ord)
+    )
+    merged = base.join(ch, keys, "full_outer").select(
+        *keys,
+        *[
+            F.when(change_wins, F.col(f"__ch.{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in payload
+        ],
+        F.when(change_wins, F.col("__ch.__del"))
+        .otherwise(F.lit(False))
+        .alias("__del"),
+    )
+    return merged.filter(~F.col("__del")).select(*out_cols)
 
 
 def as_of_snapshot(history: DataFrame, at: Column) -> DataFrame:

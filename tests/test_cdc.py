@@ -254,3 +254,100 @@ def test_foreachbatch_cdc_snapshot_maintenance(spark, tmp_path):
     ids = {r.id for r in streamed.collect()}
     assert {22, 23, 24, 25} <= ids
     assert ids.isdisjoint({7, 14, 21})
+
+
+def test_apply_changeset_joined_equals_window_formulation(spark):
+    """The joined (bucketed-base) variant must produce exactly the
+    union+window result whenever the base is a proper snapshot (one row
+    per key) — randomized updates/inserts/deletes/stale rows."""
+    import random
+
+    from calp_cva_tracking_pipeline_spark.operators.cdc import (
+        apply_changeset_joined,
+    )
+
+    rng = random.Random(555)
+    base = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=rng.randint(0, 5)),
+             float(i))
+            for i in range(40)
+        ],
+        "id bigint, ts timestamp, val double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (
+                rng.randint(0, 55),
+                dt.datetime(2024, 1, 1) + dt.timedelta(hours=rng.randint(0, 10)),
+                100.0 + j,
+                rng.random() < 0.25,
+            )
+            for j in range(120)
+        ],
+        "id bigint, ts timestamp, val double, is_deleted boolean",
+    )
+    a = apply_changeset(
+        base, changes, ["id"], "ts", ["val"], "is_deleted"
+    )
+    b = apply_changeset_joined(
+        base, changes, ["id"], "ts", ["val"], "is_deleted"
+    )
+    assert sorted(map(tuple, a.collect()), key=repr) == sorted(
+        map(tuple, b.collect()), key=repr
+    )
+
+
+def test_apply_changeset_joined_bucketed_base_shuffles_changes_only(
+    spark, tmp_path
+):
+    """THE claim this variant exists for: with the snapshot stored as a
+    bucketed table on the key, the merge plan shuffles only the
+    changeset — no Exchange sits anywhere above the base table scan."""
+    from calp_cva_tracking_pipeline_spark.operators.cdc import (
+        apply_changeset_joined,
+    )
+    from calp_cva_tracking_pipeline_spark.sources.bucketed import (
+        write_bucketed,
+    )
+
+    base = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1), float(i)) for i in range(2000)],
+        "id bigint, ts timestamp, val double",
+    )
+    write_bucketed(base, "cdc_base_bucketed", ["id"], num_buckets=8)
+    try:
+        snap = spark.table("cdc_base_bucketed")
+        changes = spark.createDataFrame(
+            [
+                (i, dt.datetime(2024, 1, 2), 1000.0 + i, i % 7 == 0)
+                for i in range(0, 3000, 3)
+            ],
+            "id bigint, ts timestamp, val double, is_deleted boolean",
+        )
+        merged = apply_changeset_joined(
+            snap, changes, ["id"], "ts", delete_col="is_deleted"
+        )
+        merged.count()
+        plan = (
+            merged._jdf.queryExecution().executedPlan().toString()
+        )
+        # base side: the scan of the bucketed table must NOT feed an
+        # exchange — split the plan at the table scan and check the
+        # operator chain above it on that branch
+        assert "cdc_base_bucketed" in plan
+        assert "SortMergeJoin" in plan
+        # exactly ONE shuffle in the whole plan: the changes side
+        # (window + join repartition share it); bucketed side contributes
+        # zero
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, plan
+        # and the result is right: updates applied, deletes gone
+        assert merged.filter("id = 3").first().val == 1003.0
+        # in-changeset ids divisible by 7 are deletes (21 from base,
+        # 2100 a deleted insert); id 7 itself is not in the step-3 feed
+        assert merged.filter("id IN (0, 21, 2100)").count() == 0
+        assert merged.filter("id = 7").first().val == 7.0  # untouched
+        assert merged.filter("id = 2001").first().val == 3001.0  # insert
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cdc_base_bucketed")
