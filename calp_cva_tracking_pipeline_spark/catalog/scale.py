@@ -2941,6 +2941,37 @@ FROM s3 GROUP BY user_id
 """
 
 
+def ev_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of the event stream
+    (operators.funnel.transition_matrix): per-user adjacent event-type
+    pairs, counted and row-normalized. One user-keyed exchange; the
+    normalization runs at type-pair cardinality (≤ 25 rows here)."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        transition_matrix,
+    )
+
+    return transition_matrix(
+        T(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        tiebreak_cols=["event_id"],
+    )
+
+
+EV_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events),
+counted AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n_transitions,
+       ROUND(n_transitions / CAST(SUM(n_transitions)
+             OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
+FROM counted
+"""
+
+
 RETENTION_WEEK_SECONDS = 7 * 24 * 3600
 
 
@@ -3242,4 +3273,5 @@ SCALE_QUERIES = {
     "gr_pagerank": (gr_pagerank, GR_PAGERANK_SQL),
     "gr_triangles": (gr_triangles, GR_TRIANGLES_SQL),
     "pf_approx_distinct": (pf_approx_distinct, PF_APPROX_DISTINCT_SQL),
+    "ev_transitions": (ev_transitions, EV_TRANSITIONS_SQL),
 }

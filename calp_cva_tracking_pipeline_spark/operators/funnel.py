@@ -70,6 +70,50 @@ def funnel_steps(
     )
 
 
+def transition_matrix(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each adjacent pair in a user's (ts, tiebreak)-ordered
+    stream, count (from_type → to_type) and row-normalize to transition
+    probabilities (6 dp). Output: (from_type, to_type, n_transitions,
+    prob); rows with no successor (each user's last event) contribute
+    nothing.
+
+    Plan: one user-keyed exchange for the lead window; everything after
+    operates on the TYPE-PAIR cardinality (≤ |types|²), so the group
+    and normalization exchanges are vocabulary-sized regardless of the
+    event volume. The (ts, tiebreak) ordering must be total per user or
+    adjacent pairs are partition-order-dependent."""
+    tiebreak_cols = tiebreak_cols or []
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    pairs = (
+        df.withColumn("__next", F.lead(type_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .select(
+            F.col(type_col).alias("from_type"),
+            F.col("__next").alias("to_type"),
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "prob",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(wrow).cast("double"),
+            6,
+        ),
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     user_col: str,

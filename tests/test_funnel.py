@@ -144,3 +144,50 @@ def test_cohort_retention_week0_counts_every_user(spark, sf_dir):
     )
     assert over.count() == 0
     out.unpersist()
+
+
+def test_transition_matrix_semantics(spark):
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        transition_matrix,
+    )
+
+    rows = [
+        (1, _D(2024, 1, 1, 1), "a"),
+        (1, _D(2024, 1, 1, 2), "b"),
+        (1, _D(2024, 1, 1, 3), "a"),
+        (2, _D(2024, 1, 2, 1), "a"),
+        (2, _D(2024, 1, 2, 2), "b"),
+        (3, _D(2024, 1, 3, 1), "c"),  # lone event: no transition
+    ]
+    out = transition_matrix(
+        spark.createDataFrame(rows, _SCHEMA), "user_id", "ts", "event_type"
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.prob)
+        for r in out.collect()
+    }
+    # a->b twice, b->a once; user boundaries never produce transitions
+    assert got == {
+        ("a", "b"): (2, 1.0),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_transition_matrix_rows_normalize_to_one(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        transition_matrix,
+    )
+
+    out = transition_matrix(
+        T(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        tiebreak_cols=["event_id"],
+    )
+    sums = (
+        out.groupBy("from_type")
+        .agg(F.round(F.sum("prob"), 3).alias("s"))
+        .collect()
+    )
+    assert sums and all(abs(r.s - 1.0) < 0.005 for r in sums)
