@@ -453,3 +453,39 @@ def test_hll_register_table_stays_tiny_no_python(spark, sf_dir):
     assert plan.count("Scan parquet") <= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_applies_to_fact_fact_joins(spark, sf_dir):
+    """Spark's runtime bloom-filter pruning (on by default, gated to
+    >10GB application-side scans) injects a might_contain filter into
+    the FACT scan, built from the join's selective side — at 100 TB this
+    prunes shuffle input for every selective fact×fact join for free,
+    but ONLY if the join is a plain equi-join over scan-rooted sides.
+    Pin that our canonical fact-join shape qualifies by lowering the
+    size gates and checking the filter actually appears."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+
+    gates = {
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in gates}
+    try:
+        for k, v in gates.items():
+            spark.conf.set(k, v)
+        li = T(spark, sf_dir, "lineitem")
+        sel = T(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        j.count()
+        plan = _executed(j)
+        assert "might_contain" in plan, "bloom pruning no longer applies"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
