@@ -64,6 +64,10 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # one bounded driver-side statistic; everything else stays lazy
     n = nodes.count()
+    if n == 0:  # empty graph (e.g. an empty date slice): empty ranking
+        return nodes.select(
+            F.col("node"), F.lit(0).cast("bigint").alias("rank_nano")
+        )
     base = (RANK_SCALE - damping_pct * RANK_SCALE // 100) // n
 
     ranks = nodes.withColumn("rank", F.lit(RANK_SCALE // n))
