@@ -1,0 +1,91 @@
+"""Oracle parity on an ADVERSARIAL unicode corpus.
+
+The generated documents table is ASCII-ish prose, so the standard parity
+sweep never stresses the classic cross-engine text traps: Java regex vs
+DuckDB's RE2 on unicode whitespace and word classes, md5 over non-ASCII
+bytes, length() semantics on astral-plane codepoints, combining marks,
+empty and whitespace-only strings, 500-char single tokens, and regex
+metacharacters appearing as data. This sweep swaps in a corpus made of
+exactly those and requires every text-family query to stay BIT-EXACT
+against its DuckDB oracle — not merely not-crash.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.test_oracle_parity import ORACLES, QUERIES, _duck, _normalize
+
+TEXTS = [
+    "hello world plain ascii text for baseline behavior here",
+    "emoji \U0001F600\U0001F389\U0001F680 inside a sentence with words",
+    "中文文本没有空格的长串需要分词处理测试",
+    "مرحبا بالعالم هذا نص عربي",
+    "tabs\tand\nnewlines\r\nand mixed control whitespace",
+    "regex (meta) [chars] {braces} .dots. *stars* +plus+ |pipe| ^caret$ \\back\\",
+    "a" * 500 + " single long token then normal words follow",
+    "short",
+    "",
+    "   ",
+    "email test@example.com phone 555-123-4567 ssn 123-45-6789",
+    "ümlauts über straße naïve café résumé søster",
+    "combining m̀ár̂k̃s̄ stacked text",
+    "\U0001D52A\U0001D51E\U0001D531\U0001D525 symbols \U00013000 "
+    "hieroglyphs \U0001F3F3️‍\U0001F308 zwj",
+] * 4
+
+TEXT_FAMILY = [
+    "dd_exact_hash", "dd_minhash_lsh", "dd_simhash", "tx_features",
+    "dd_decontam", "tx_pii_redact", "tx_repetition", "tx_chunk",
+    "tx_vocab", "tx_lm_score", "dd_passage_overlap", "pk_length_buckets",
+    "dd_containment", "tx_quality_gate", "tx_entropy", "mx_curriculum",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(spark, sf_dir, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("sf_unicode")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{sf_dir}/{t}.parquet", str(tmp / f"{t}.parquet"))
+    rows = [
+        (
+            i, t, ["en", "fr", "de", "es"][i % 4],
+            ["news", "web", "wiki", "books"][i % 4], len(t),
+        )
+        for i, t in enumerate(TEXTS)
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }),
+        str(tmp / "documents.parquet"),
+    )
+    return str(tmp)
+
+
+@pytest.mark.parametrize("name", TEXT_FAMILY)
+def test_text_query_oracle_exact_on_adversarial_unicode(
+    name, spark, unicode_dir
+):
+    sdf = QUERIES[name](spark, unicode_dir)
+    srows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+    con = _duck(unicode_dir)
+    cur = con.execute(ORACLES[name])
+    ocols = [d[0] for d in cur.description]
+    orows = _normalize(cur.fetchall(), ocols)
+    assert srows == orows, (
+        f"{name}: {len(srows)} spark vs {len(orows)} oracle rows; "
+        f"first diff "
+        f"{next(((a, b) for a, b in zip(srows, orows) if a != b), None)}"
+    )
