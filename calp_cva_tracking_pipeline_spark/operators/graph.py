@@ -210,6 +210,66 @@ def triangle_stats(
     )
 
 
+def triangle_estimate(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    sample_denom: int = 2,
+) -> DataFrame:
+    """DOULION sampled triangle estimate [Tsourakakis et al., KDD'09]:
+    keep each undirected edge independently with probability
+    p = 1/``sample_denom`` and run the exact degree-oriented census on
+    the sample; every surviving triangle survived with probability p³,
+    so ``est_triangles = sample_triangles · denom³`` is unbiased. Cost
+    drops ~p² in wedges (the census bottleneck) — the fast path when
+    the exact census's wedge volume is prohibitive; variance shrinks
+    with triangle count, so at corpus scale even denom 8–16 is tight.
+
+    The coin is the PORTABLE hash of the canonical edge (md5-based
+    ``stable_hash64``), not Bernoulli randomness: the sample — and
+    therefore the estimate — is deterministic, partition-independent,
+    and bit-reproducible by the SQL twin. Output one row:
+    (n_sample_edges, sample_triangles, est_triangles)."""
+    from calp_cva_tracking_pipeline_spark.functions.hashing import (
+        stable_hash64,
+    )
+
+    u = F.least(F.col(src_col), F.col(dst_col))
+    v = F.greatest(F.col(src_col), F.col(dst_col))
+    coin = stable_hash64(
+        F.concat(u.cast("string"), F.lit("|"), v.cast("string"))
+    )
+    sampled = edges.filter(coin % sample_denom == 0)
+    census = triangle_stats(sampled, src_col, dst_col)
+    scale = sample_denom ** 3
+    return census.select(
+        F.col("n_edges").alias("n_sample_edges"),
+        F.col("n_triangles").alias("sample_triangles"),
+        (F.col("n_triangles") * scale).alias("est_triangles"),
+    )
+
+
+def triangle_estimate_sql(edges_cte: str, sample_denom: int = 2) -> str:
+    """DuckDB twin of ``triangle_estimate`` (same portable coin, same
+    census, same scale-up)."""
+    h60 = (
+        "CAST(CAST(('0x' || substring(md5(CAST(least(src, dst) AS VARCHAR)"
+        " || '|' || CAST(greatest(src, dst) AS VARCHAR)), 1, 15)) AS"
+        " UBIGINT) AS BIGINT)"
+    )
+    sampled = (
+        f"SELECT src, dst FROM ({edges_cte}) all_e "
+        f"WHERE {h60} % {sample_denom} = 0"
+    )
+    inner = triangle_stats_sql(sampled)
+    return (
+        f"SELECT n_edges AS n_sample_edges, "
+        f"n_triangles AS sample_triangles, "
+        f"CAST(n_triangles * {sample_denom ** 3} AS BIGINT) "
+        f"AS est_triangles FROM ({inner}) census"
+    )
+
+
 def triangle_stats_sql(edges_cte: str) -> str:
     """DuckDB oracle twin of ``triangle_stats`` (same degree
     orientation, same wedge-close join)."""

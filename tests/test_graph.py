@@ -161,3 +161,28 @@ def test_triangles_hub_graph_counts_exactly(spark):
     ring = [(i, i % 12 + 1) for i in range(1, 13)]
     n, e, w, t = _tri_run(spark, hub + ring)
     assert (n, e, t) == (13, 24, 12)
+
+
+def test_triangle_estimate_unbiased_and_deterministic(spark):
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        triangle_estimate,
+    )
+
+    rng = random.Random(88)
+    edges = list({
+        (rng.randint(0, 59), rng.randint(0, 59)) for _ in range(900)
+    })
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    exact = triangle_stats(df).first().n_triangles
+    est = triangle_estimate(df, sample_denom=2).first()
+    # p=1/2 on a dense random graph: generous 3-sigma-ish band
+    assert exact > 100
+    assert abs(est.est_triangles - exact) / exact < 0.5, (
+        est.est_triangles, exact,
+    )
+    # deterministic portable coin: identical under repartitioning
+    est2 = triangle_estimate(df.repartition(9), sample_denom=2).first()
+    assert tuple(est) == tuple(est2)
+    # sample keeps roughly half the edges
+    n_edges = triangle_stats(df).first().n_edges
+    assert abs(est.n_sample_edges - n_edges / 2) < n_edges * 0.2
