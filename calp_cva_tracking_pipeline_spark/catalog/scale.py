@@ -3203,6 +3203,43 @@ def _gr_triangles_sql() -> str:
 GR_TRIANGLES_SQL = _gr_triangles_sql()
 
 
+WS_K = 200
+WS_SEED = 7
+
+
+def mx_weighted_sample(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sample without replacement
+    (operators.sampling.weighted_sample): 200 documents drawn with
+    probability proportional to quality score (+0.05 floor so no doc is
+    excluded outright). One scan + TakeOrderedAndProject — no global
+    sort; the portable-hash draw makes the sample deterministic and
+    bit-reproducible by the oracle."""
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        quality_score,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", (quality_score(F.col("text")) + F.lit(0.05)).alias("w")
+    )
+    return weighted_sample(d, "doc_id", "w", k=WS_K, seed=WS_SEED)
+
+
+MX_WEIGHTED_SAMPLE_SQL = f"""
+WITH weighted AS (
+  SELECT doc_id,
+         ROUND({_CURR_QUALITY} + 0.05, 9) AS weight,
+         ROUND(ln(({_sql_hash60(f"CAST(doc_id AS VARCHAR) || '#{WS_SEED}'")}
+                   + 1) / CAST({1 << 60} AS DOUBLE))
+               / ({_CURR_QUALITY} + 0.05), 9) AS draw_key
+  FROM documents)
+SELECT doc_id, weight, draw_key FROM weighted
+ORDER BY draw_key DESC, doc_id LIMIT {WS_K}
+"""
+
+
 TRI_SAMPLE_DENOM = 4  # DOULION keep-probability 1/4 → wedge work /16
 
 
@@ -3325,4 +3362,5 @@ SCALE_QUERIES = {
     "pf_approx_distinct": (pf_approx_distinct, PF_APPROX_DISTINCT_SQL),
     "ev_transitions": (ev_transitions, EV_TRANSITIONS_SQL),
     "gr_triangles_est": (gr_triangles_est, GR_TRIANGLES_EST_SQL),
+    "mx_weighted_sample": (mx_weighted_sample, MX_WEIGHTED_SAMPLE_SQL),
 }

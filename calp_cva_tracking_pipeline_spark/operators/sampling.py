@@ -357,3 +357,45 @@ def curriculum_order(
         band.alias("band"),
         draw.alias("draw"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    A-ES one-pass reduction [IPL 2006]: each row draws a uniform u from
+    the PORTABLE hash of (id, seed) and gets the key ln(u)/w — the top-k
+    keys are exactly a weight-proportional without-replacement sample.
+    Heavier rows pull keys toward 0, but every positive-weight row can
+    win: the selection is a true probabilistic sample, not a top-k by
+    weight (``temperature_weights`` + this = the standard corpus
+    subsample recipe).
+
+    Scale/determinism: one scan + TakeOrderedAndProject (per-partition
+    top-k, tiny merge — no global sort, no full shuffle; same plan
+    discipline as tx_vocab, pinned in tests/test_plan_shapes.py). The
+    hash-derived u makes the draw deterministic, partition-independent,
+    seed-redrawable, and bit-reproducible by the SQL oracle; the key is
+    rounded to 9 dp with an id tie-break so cross-engine libm ln noise
+    cannot reorder the cut. Rows with weight ≤ 0 or null never
+    qualify. Returns (id, weight, draw_key) for the k winners.
+    """
+    u = (stable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
+    ) + F.lit(1)) / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / w, 9)
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(id_col),
+            F.round(w, 9).alias("weight"),
+            key.alias("draw_key"),
+        )
+        .orderBy(F.col("draw_key").desc(), F.col(id_col))
+        .limit(k)
+    )

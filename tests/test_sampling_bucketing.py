@@ -367,3 +367,59 @@ def test_curriculum_order_bands_and_draw(spark):
 
     with pytest.raises(ValueError):
         curriculum_order(df, "id", "diff", n_bands=1)
+
+
+def test_weighted_sample_proportionality_and_determinism(spark):
+    """A-ES statistical property: across seeds, a weight-10 item is
+    picked ~10x as often as a weight-1 item; the draw is deterministic
+    per seed and partition-independent; zero/negative weights never
+    appear."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(0, 400).select(
+        F.col("id"),
+        F.when(F.col("id") < 40, 10.0)
+        .when(F.col("id") < 380, 1.0)
+        .otherwise(0.0)
+        .alias("w"),
+    )
+    heavy_hits = light_hits = 0
+    for seed in range(12):
+        got = weighted_sample(df, "id", "w", k=40, seed=seed).collect()
+        assert len(got) == 40
+        ids = {r.id for r in got}
+        assert not ids & set(range(380, 400))  # zero-weight excluded
+        heavy_hits += sum(1 for i in ids if i < 40)
+        light_hits += sum(1 for i in ids if 40 <= i < 380)
+    # expected inclusion ratio heavy:light per item ≈ weight ratio at
+    # small sampling fractions; generous band for 12 trials
+    per_heavy = heavy_hits / 40
+    per_light = light_hits / 340
+    assert 4 < per_heavy / per_light < 25, (per_heavy, per_light)
+
+    a = weighted_sample(df, "id", "w", k=40, seed=3).collect()
+    b = weighted_sample(df.repartition(11), "id", "w", k=40, seed=3)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b.collect()]
+    c = weighted_sample(df, "id", "w", k=40, seed=4).collect()
+    assert {r.id for r in a} != {r.id for r in c}  # seed redraws
+
+
+def test_weighted_sample_is_take_ordered_not_global_sort(spark):
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") % 7 + 1.0).alias("w")
+    )
+    plan = (
+        weighted_sample(df, "id", "w", k=50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
