@@ -3203,6 +3203,49 @@ def _gr_triangles_sql() -> str:
 GR_TRIANGLES_SQL = _gr_triangles_sql()
 
 
+TFIDF_K = 3
+
+
+def tx_keywords(spark, sf_dir):
+    """Per-document top-3 smoothed-TF-IDF keywords (operators.textops.
+    tfidf_keywords) — unsupervised document tagging. Same tokenizer as
+    tx_vocab; the tf×idf join shuffles on token (vocabulary rows, never
+    text; deliberately not a broadcast — web-scale vocabs are GBs),
+    corpus size enters as a broadcast singleton, per-doc cut is a
+    window over (doc, token) rows."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        tfidf_keywords,
+    )
+
+    return tfidf_keywords(
+        T(spark, sf_dir, "documents"), "doc_id", k=TFIDF_K
+    )
+
+
+TX_KEYWORDS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token <> '' GROUP BY 1, 2),
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS dft FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         ROUND(tf.tf * (ln((nd + 1) / CAST(dft + 1 AS DOUBLE)) + 1), 6)
+           AS score
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, token) AS rn
+  FROM scored)
+SELECT doc_id, token, tf, score, CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= {TFIDF_K}
+"""
+
+
 WS_K = 200
 WS_SEED = 7
 
@@ -3363,4 +3406,5 @@ SCALE_QUERIES = {
     "ev_transitions": (ev_transitions, EV_TRANSITIONS_SQL),
     "gr_triangles_est": (gr_triangles_est, GR_TRIANGLES_EST_SQL),
     "mx_weighted_sample": (mx_weighted_sample, MX_WEIGHTED_SAMPLE_SQL),
+    "tx_keywords": (tx_keywords, TX_KEYWORDS_SQL),
 }

@@ -8,7 +8,7 @@ so they run at scan speed on 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from calp_cva_tracking_pipeline_spark.functions.hashing import stable_hash64
@@ -551,4 +551,65 @@ def char_entropy(
             F.sum("__cnt").alias("n_chars"),
             F.round(F.sum("__nano") / F.lit(1e9), 6).alias("entropy"),
         )
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` keywords by smoothed TF-IDF — the standard
+    unsupervised tagger (index summaries, dedup-cluster labels, topic
+    drift probes). Same lowercased-whitespace tokens as
+    ``vocab_frequencies``; idf = ln((N+1)/(df+1)) + 1 (sklearn's
+    smoothing — never negative, never divides by zero), score rounded
+    to 6 dp, deterministic (score desc, token) cut per document.
+
+    Scale shape: explode → (doc, token) map-side-combined counts; the
+    document-frequency table derives from THOSE counts (already
+    distinct doc-token pairs — no second pass over text); the tf×idf
+    join shuffles on token (vocabulary-sized rows; deliberately NOT a
+    broadcast — a web-scale vocab is GBs), the corpus size enters as a
+    broadcast 1-row aggregate, and the per-doc top-k is a window over
+    (doc, token) rows, never text."""
+    toks = (
+        spread_small_input(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("__dft"))
+    n_docs = df.agg(F.count("*").alias("__nd"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "token", "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("__nd") + 1)
+                        / (F.col("__dft") + 1).cast("double")
+                    )
+                    + 1
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "score", "rank")
     )

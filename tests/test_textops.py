@@ -49,3 +49,36 @@ def test_char_entropy_hand_computed(spark):
     assert out[3] == (4, round(math.log(4), 6))  # uniform over 4
     # quality-gate direction: uniform > mixed > degenerate
     assert out[3][1] > out[2][1] > out[1][1]
+
+
+def test_tfidf_keywords_semantics(spark):
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        tfidf_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common rare"),
+            (2, "common shared words here"),
+            (3, "common shared other tokens"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = tfidf_keywords(docs, "doc_id", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.token, r.tf))
+    # doc 1: 'common' appears 3x but is in every doc (low idf); 'rare'
+    # appears once and only here (high idf) — rare must outrank common?
+    # tf=3 * idf(common) vs tf=1 * idf(rare): idf_c = ln(4/4)+1 = 1,
+    # idf_r = ln(4/2)+1 ≈ 1.693 → common 3.0 > rare 1.693: common ranks
+    # first BY DESIGN (smoothed tf-idf, no tf normalization)
+    assert sorted(by_doc[1]) == [(1, "common", 3), (2, "rare", 1)]
+    # every doc gets exactly min(k, n_distinct_tokens) rows, ranks dense
+    assert all(
+        [r[0] for r in sorted(v)] == list(range(1, len(v) + 1))
+        for v in by_doc.values()
+    )
+    # determinism under repartition
+    out2 = tfidf_keywords(docs.repartition(5), "doc_id", k=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
