@@ -3333,6 +3333,325 @@ def _gr_triangles_est_sql() -> str:
 GR_TRIANGLES_EST_SQL = _gr_triangles_est_sql()
 
 
+# --- seventh wave: windowed time analytics, robust stats, sketches, linkage ---
+
+
+def tj_rolling_window(spark, sf_dir):
+    """Trailing 7-day RANGE-frame aggregates per user over the events
+    stream (operators.temporal.rolling_time_window): every event row
+    annotated with its user's event count and decimal-exact value sum
+    over [ts − 7d, ts]. Tie-safe by the RANGE frame itself; one keyed
+    exchange + per-key sort, sliding-frame state only."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        rolling_time_window,
+    )
+
+    e = T(spark, sf_dir, "events")
+    out = rolling_time_window(
+        e,
+        keys=["user_id"],
+        ts_col="ts",
+        aggs={
+            "n_7d": F.count(F.lit(1)),
+            "__sum_dec": F.sum(F.col("value").cast("decimal(18,2)")),
+        },
+        window_spec="7 days",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "n_7d",
+        F.col("__sum_dec").cast("double").alias("sum_7d"),
+    )
+
+
+TJ_ROLLING_SQL = """
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS n_7d,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+def rt_ohlc(spark, sf_dir):
+    """Hourly open/high/low/close candles of event value per event type
+    (operators.rollup.ohlc_downsample): single hash aggregation, open/
+    close resolved by struct min/max with the event id as total
+    tie-break — values copied, never recomputed, so parity is exact."""
+    from calp_cva_tracking_pipeline_spark.operators.rollup import (
+        ohlc_downsample,
+    )
+
+    e = T(spark, sf_dir, "events")
+    out = ohlc_downsample(
+        e,
+        keys=("event_type",),
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+        grain="1 hour",
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:00").alias("bucket"),
+        "open_v",
+        "high_v",
+        "low_v",
+        "close_v",
+        "n_rows",
+    )
+
+
+RT_OHLC_SQL = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+       first(value ORDER BY ts, event_id) AS open_v,
+       MAX(value) AS high_v,
+       MIN(value) AS low_v,
+       last(value ORDER BY ts, event_id) AS close_v,
+       COUNT(*) AS n_rows
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def ev_attribution(spark, sf_dir):
+    """First- and last-touch attribution of purchases to click/view
+    touches within a trailing 7-day window (operators.funnel.
+    touch_attribution): zero joins — one user-keyed exchange, both
+    attribution ends off one RANGE frame via null-skipping struct
+    min/max."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        touch_attribution,
+    )
+
+    e = T(spark, sf_dir, "events")
+    return touch_attribution(
+        e,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        id_col="event_id",
+        touch_types=("click", "view"),
+        conversion_type="purchase",
+        window_spec="7 days",
+    )
+
+
+EV_ATTRIBUTION_SQL = """
+WITH attributed AS (
+  SELECT user_id, ts, event_type, event_id,
+         MIN(CASE WHEN event_type IN ('click', 'view')
+             THEN {'ts': ts, 'id': event_id, 't': event_type} END)
+           OVER w AS first_t,
+         MAX(CASE WHEN event_type IN ('click', 'view')
+             THEN {'ts': ts, 'id': event_id, 't': event_type} END)
+           OVER w AS last_t
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW))
+SELECT event_id AS conversion_id, user_id, ts AS conv_ts,
+       first_t.t AS first_touch_type, first_t.ts AS first_touch_ts,
+       last_t.t AS last_touch_type, last_t.ts AS last_touch_ts
+FROM attributed WHERE event_type = 'purchase'
+"""
+
+
+OUTLIER_Z = 3.5
+
+
+def pf_outliers(spark, sf_dir):
+    """Median/MAD modified-z outlier detection on event values
+    (operators.profiling.robust_outliers): both robust statistics via
+    the two-phase exact-percentile kernel, embedded as literals so the
+    flagging pass is one linear scan."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        robust_outliers,
+    )
+
+    e = T(spark, sf_dir, "events")
+    return robust_outliers(
+        e, value_col="value", id_cols=["event_id"], z_threshold=OUTLIER_Z
+    )
+
+
+PF_OUTLIERS_SQL = f"""
+WITH med AS (SELECT ROUND(quantile_cont(value, 0.5), 6) AS m FROM events),
+mad AS (SELECT ROUND(quantile_cont(ABS(value - m), 0.5), 6) AS d
+        FROM events, med)
+SELECT event_id, value,
+       ROUND(0.6745 * (value - m) / d, 6) AS robust_z
+FROM events, med, mad
+WHERE d > 0 AND ABS(ROUND(0.6745 * (value - m) / d, 6)) > {OUTLIER_Z}
+"""
+
+
+def pf_regression(spark, sf_dir):
+    """Per-returnflag OLS of extendedprice on quantity (operators.
+    profiling.group_ols): closed-form normal-equations fit from six
+    decimal-exact sufficient statistics — one map-side-combined hash
+    aggregation; slope/intercept/r² derived in a fixed double expression
+    order the oracle mirrors literally."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        group_ols,
+    )
+
+    li = T(spark, sf_dir, "lineitem")
+    return group_ols(
+        li,
+        group_cols=["l_returnflag"],
+        x_col="l_quantity",
+        y_col="l_extendedprice",
+    )
+
+
+PF_REGRESSION_SQL = """
+WITH sums AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS syy
+  FROM lineitem GROUP BY 1),
+fit AS (
+  SELECT l_returnflag, n,
+         CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
+              THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope,
+         CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+         CAST(n AS DOUBLE) * sxx - sx * sx AS den_x,
+         CAST(n AS DOUBLE) * syy - sy * sy AS den_y,
+         sx, sy
+  FROM sums)
+SELECT l_returnflag, n,
+       ROUND(slope, 6) AS slope,
+       ROUND((sy - slope * sx) / CAST(n AS DOUBLE), 6) AS intercept,
+       ROUND(CASE WHEN n >= 2 AND den_x > 0 AND den_y > 0
+                  THEN (num / den_x) * num / den_y END, 6) AS r2
+FROM fit
+"""
+
+
+def pf_cms(spark, sf_dir):
+    """Count-Min sketch of the corpus token frequency distribution
+    (operators.sketch.cms_sketch/cms_estimate): 3×16 counter matrix off
+    one map-side-combined aggregation, point-estimates for every
+    distinct token joined against exact counts — est ≥ exact always
+    (one-sided CMS error), both sides recomputable from the salted md5
+    hash family."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import word_tokens
+    from calp_cva_tracking_pipeline_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(word_tokens(F.col("text"))).alias("token")
+    )
+    sk = cms_sketch(toks, "token")
+    probes = toks.select("token").distinct()
+    est = cms_estimate(sk, probes, "token")
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        exact.join(est, "token")
+        .select(
+            "token",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy("token")
+    )
+
+
+def _pf_cms_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.sketch import cms_sql
+
+    toks = f"(SELECT unnest({_TOKS}) AS tok FROM documents) t"
+    return cms_sql(toks, "tok")
+
+
+def mx_group_split(spark, sf_dir):
+    """Leakage-safe train/val/test split of the event stream by USER
+    (operators.sampling.group_split): assignment is a pure portable-hash
+    function of the user id, so no user's events straddle splits —
+    verified here by per-split user/event counts (the disjointness
+    invariant is pinned in tests/test_sampling_bucketing.py)."""
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        group_split,
+    )
+
+    e = T(spark, sf_dir, "events")
+    out = group_split(
+        e, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("split")
+    )
+
+
+MX_GROUP_SPLIT_SQL = """
+WITH assigned AS (
+  SELECT user_id,
+         CASE WHEN CAST(CAST(('0x' || substring(
+                  md5(CAST(user_id AS VARCHAR) || ':42'), 1, 15))
+                  AS UBIGINT) AS BIGINT) % 1000000 < 800000 THEN 'train'
+              WHEN CAST(CAST(('0x' || substring(
+                  md5(CAST(user_id AS VARCHAR) || ':42'), 1, 15))
+                  AS UBIGINT) AS BIGINT) % 1000000 < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM events)
+SELECT split, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM assigned GROUP BY 1 ORDER BY 1
+"""
+
+
+JW_THRESHOLD = 0.8
+
+
+def jx_jaro_join(spark, sf_dir):
+    """Blocked Jaro–Winkler similarity self-join over distinct part
+    names (operators.joins.jaro_winkler_join): first-character blocking,
+    Arrow-batched pandas-UDF kernel per candidate pair, fuzz-verified
+    bit-compatible with DuckDB's jaro_winkler_similarity."""
+    from calp_cva_tracking_pipeline_spark.operators.joins import (
+        jaro_winkler_join,
+    )
+
+    p = T(spark, sf_dir, "part")
+    return jaro_winkler_join(
+        p, p, "p_name", "p_name", threshold=JW_THRESHOLD
+    )
+
+
+JX_JARO_SQL = f"""
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+FROM (SELECT DISTINCT p_name FROM part) a
+JOIN (SELECT DISTINCT p_name FROM part) b
+  ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+ AND a.p_name < b.p_name
+WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+      >= {JW_THRESHOLD}
+"""
+
+
+PF_CMS_SQL = _pf_cms_sql()
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -3407,4 +3726,12 @@ SCALE_QUERIES = {
     "gr_triangles_est": (gr_triangles_est, GR_TRIANGLES_EST_SQL),
     "mx_weighted_sample": (mx_weighted_sample, MX_WEIGHTED_SAMPLE_SQL),
     "tx_keywords": (tx_keywords, TX_KEYWORDS_SQL),
+    "tj_rolling_window": (tj_rolling_window, TJ_ROLLING_SQL),
+    "rt_ohlc": (rt_ohlc, RT_OHLC_SQL),
+    "ev_attribution": (ev_attribution, EV_ATTRIBUTION_SQL),
+    "pf_outliers": (pf_outliers, PF_OUTLIERS_SQL),
+    "pf_regression": (pf_regression, PF_REGRESSION_SQL),
+    "pf_cms": (pf_cms, PF_CMS_SQL),
+    "mx_group_split": (mx_group_split, MX_GROUP_SPLIT_SQL),
+    "jx_jaro_join": (jx_jaro_join, JX_JARO_SQL),
 }

@@ -145,3 +145,87 @@ def cohort_retention(
         .groupBy("cohort_day", "week_offset")
         .agg(F.countDistinct(user_col).alias("n_users"))
     )
+
+
+def touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    touch_types: tuple[str, ...],
+    conversion_type: str,
+    window_spec: str = "7 days",
+) -> DataFrame:
+    """First-touch and last-touch attribution: for every conversion
+    event, the earliest and the latest touch event of the same user
+    inside the trailing attribution window ``[conv_ts - window,
+    conv_ts]`` (unattributed conversions keep NULL touch columns).
+
+    One events stream, ZERO joins: touches and conversions stay in the
+    same keyed stream, and two aggregates over one trailing RANGE frame
+    resolve both ends — ``min``/``max`` of a (ts, id, type) struct that
+    is NULL on non-touch rows (nulls are ignored by min/max, and struct
+    ordering is lexicographic with ts leading, id making it total).
+    Touches sharing the conversion's exact timestamp are inside the
+    closed frame on both engines; RANGE frames are tie-safe (peer rows
+    share one frame), so no ordering tie-break is needed beyond the
+    struct's own id field.
+
+    Scale shape: one hash exchange on the user plus a per-user sort —
+    both attribution ends ride the SAME window frame, so adding
+    first-touch on top of last-touch is free. The frame state holds only
+    the running min/max struct, not the window's rows. Compare the
+    join-based formulation (conversions × touches range join): that one
+    replicates every touch into every covering window — O(rows ×
+    windows) — where this stays O(rows log rows).
+    """
+    amount, unit = window_spec.strip().split()
+    unit_s = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+        "week": 604800, "weeks": 604800,
+    }[unit.lower()]
+    span_us = int(amount) * unit_s * 1_000_000
+
+    touch = F.when(
+        F.col(type_col).isin(*touch_types),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.col(type_col).alias("t"),
+        ),
+    )
+    stream = df.select(
+        user_col,
+        ts_col,
+        type_col,
+        id_col,
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        touch.alias("__touch"),
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("__ts_us")
+        .rangeBetween(-span_us, 0)
+    )
+    attributed = stream.select(
+        user_col,
+        ts_col,
+        type_col,
+        id_col,
+        F.min("__touch").over(w).alias("__first"),
+        F.max("__touch").over(w).alias("__last"),
+    )
+    conv = attributed.filter(F.col(type_col) == conversion_type)
+    return conv.select(
+        F.col(id_col).alias("conversion_id"),
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("conv_ts"),
+        F.col("__first").getField("t").alias("first_touch_type"),
+        F.col("__first").getField("ts").alias("first_touch_ts"),
+        F.col("__last").getField("t").alias("last_touch_type"),
+        F.col("__last").getField("ts").alias("last_touch_ts"),
+    )

@@ -11,6 +11,7 @@ table.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -252,3 +253,119 @@ def grid_scaffold(
         )
     )
     return grid.join(values, [key_col, seq_col], "left")
+
+
+def _jaro_winkler_py(s: str, t: str) -> float:
+    """Classic Jaro–Winkler (Winkler 1990): prefix bonus p=0.1 up to 4
+    chars, applied only above the 0.7 boost threshold. Matches DuckDB's
+    ``jaro_winkler_similarity`` bit-for-bit (fuzz-tested, including its
+    convention that ''≡'' scores 0.0, not 1.0)."""
+    ls, lt = len(s), len(t)
+    if ls == 0 or lt == 0:
+        return 0.0
+    if s == t:
+        return 1.0
+    window = max(ls, lt) // 2 - 1
+    if window < 0:
+        window = 0
+    match_s = [False] * ls
+    match_t = [False] * lt
+    m = 0
+    for i, c in enumerate(s):
+        lo = 0 if i < window else i - window
+        hi = min(lt, i + window + 1)
+        for j in range(lo, hi):
+            if not match_t[j] and t[j] == c:
+                match_s[i] = match_t[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    k = 0
+    trans = 0
+    for i in range(ls):
+        if match_s[i]:
+            while not match_t[k]:
+                k += 1
+            if s[i] != t[k]:
+                trans += 1
+            k += 1
+    trans //= 2
+    j = (m / ls + m / lt + (m - trans) / m) / 3
+    if j > 0.7:
+        pre = 0
+        for a, b in zip(s[:4], t[:4]):
+            if a != b:
+                break
+            pre += 1
+        j += pre * 0.1 * (1 - j)
+    return j
+
+
+def jaro_winkler_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    threshold: float = 0.8,
+    block_chars: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Blocked fuzzy similarity join under Jaro–Winkler — the
+    record-linkage matcher for short name-like strings, where
+    Levenshtein (J10) over-penalizes transpositions and under-rewards
+    shared prefixes.
+
+    Physical shape is the standard blocking design, NOT all-pairs: each
+    side reduces to its DISTINCT names (names repeat heavily in fact
+    data; a million-row fact side with 10³ distinct names contributes
+    10³ rows to matching), pairs form only WITHIN a blocking key — the
+    first ``block_chars`` characters, the classic cheap block for
+    prefix-weighted JW, since a sub-threshold pair differing in char 1
+    is overwhelmingly likely rejected anyway — and the similarity UDF
+    runs per candidate pair, never per row-pair. Swap the blocking
+    expression for soundex/minhash blocks for fuzzier recall; the
+    equi-join on the block key is the scalable part (hash-shuffles or
+    broadcasts like any join), the JW evaluation cost is
+    pairs-per-block-bounded.
+
+    The similarity itself is an Arrow-batched pandas UDF of the classic
+    O(|s|·|t|)-windowed scan — a per-PAIR scalar kernel with no builtin
+    Spark equivalent. Scores round to ``round_to`` (the float-discipline
+    rule for any value crossing a Python/JVM boundary).
+
+    Output: (name_a, name_b, jw) for distinct unordered pairs
+    name_a < name_b with jw ≥ threshold.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if x is None or y is None
+                else round(_jaro_winkler_py(x, y), round_to)
+                for x, y in zip(a, b)
+            ],
+            dtype="float64",
+        )
+
+    l = (
+        left.select(F.col(left_col).alias("name_a"))
+        .filter(F.col("name_a").isNotNull())
+        .distinct()
+        .withColumn("__blk", F.substring("name_a", 1, block_chars))
+    )
+    r = (
+        right.select(F.col(right_col).alias("name_b"))
+        .filter(F.col("name_b").isNotNull())
+        .distinct()
+        .withColumn("__blk", F.substring("name_b", 1, block_chars))
+    )
+    pairs = l.join(r, "__blk").filter(F.col("name_a") < F.col("name_b"))
+    return (
+        pairs.withColumn("jw", jw_udf(F.col("name_a"), F.col("name_b")))
+        .filter(F.col("jw") >= threshold)
+        .select("name_a", "name_b", "jw")
+    )

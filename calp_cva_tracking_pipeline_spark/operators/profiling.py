@@ -625,3 +625,128 @@ def profile_columns_by(
         )
         .orderBy(group_col, "col_name")
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    id_cols: list[str],
+    z_threshold: float = 3.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Median/MAD robust outlier detection (the Iglewicz–Hoberg modified
+    z-score): rows where ``0.6745·(x − median) / MAD`` exceeds the
+    threshold in absolute value. Unlike mean/stddev z-scores, the
+    statistic itself is immune to the outliers it hunts — one wild value
+    can't inflate σ and mask itself.
+
+    Both statistics run through the two-phase exact-percentile kernel
+    (``exact_percentiles``): median of the raw column, then median of
+    the absolute deviations from it. The median is collected (ONE
+    scalar, the same bounded-sufficient-statistic discipline as the
+    kernel's own range/bucket collects) and embedded as a literal so the
+    deviation pass is an ordinary linear plan — never a self-join of the
+    input against its own aggregate. Cost: 2 kernel invocations (each
+    two pruned scans + a target-slice pass) + one final filter scan; at
+    100 TB every driver-held intermediate is ≤ a few KB.
+
+    Determinism: median and MAD are rounded to ``round_to`` before the
+    z arithmetic, the z to the same — both sides of an oracle comparison
+    do float ops in the same order on the same rounded inputs.
+
+    Degenerate guard: MAD = 0 (over half the values identical) would put
+    every other row at ±∞ — those datasets return no rows rather than
+    everything, matching the oracle's ``mad > 0`` predicate.
+    """
+    med_rows = exact_percentiles(
+        df, [value_col], [0.5], round_to=round_to
+    ).collect()
+    if not med_rows:
+        return df.sparkSession.createDataFrame(
+            [],
+            df.select(*id_cols, F.col(value_col).cast("double")).schema.add(
+                "robust_z", "double"
+            ),
+        )
+    med = float(med_rows[0]["value"])
+    dev = df.withColumn(
+        "__dev", F.abs(F.col(value_col).cast("double") - F.lit(med))
+    )
+    mad = float(
+        exact_percentiles(dev, ["__dev"], [0.5], round_to=round_to).collect()[
+            0
+        ]["value"]
+    )
+    if mad <= 0:
+        return df.sparkSession.createDataFrame(
+            [],
+            df.select(*id_cols, F.col(value_col).cast("double")).schema.add(
+                "robust_z", "double"
+            ),
+        )
+    z = F.round(
+        F.lit(0.6745) * (F.col(value_col).cast("double") - F.lit(med)) / F.lit(mad),
+        round_to,
+    )
+    return (
+        df.select(*id_cols, F.col(value_col).cast("double").alias(value_col))
+        .withColumn("robust_z", z)
+        .filter(F.abs(F.col("robust_z")) > z_threshold)
+    )
+
+
+def group_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group closed-form OLS fit (slope, intercept, r², n) from the
+    five sufficient statistics n, Σx, Σy, Σxy, Σx², Σy² — the textbook
+    normal-equations solution, which distributes as ONE hash aggregation
+    with full map-side combine (each partition reduces to 6 numbers per
+    group before the wire; shuffle volume = output groups, not rows).
+
+    Bit-exactness discipline: every Σ accumulates as DECIMAL (exact —
+    addition order can't change the result), the slope/intercept/r²
+    divisions then run in double on those exact sums in a fixed
+    expression order, rounded to ``round_to``. An oracle recomputing the
+    same decimal sums gets bit-identical doubles — this is why the
+    statistics are summed explicitly rather than calling an engine's
+    ``regr_slope`` (whose internal float accumulation is order- and
+    engine-dependent).
+
+    Degenerate groups (n < 2 or zero x-variance) return NULL fit columns
+    rather than ±∞/errors (ANSI-mode division guard).
+    """
+    xd = F.col(x_col).cast("double")
+    yd = F.col(y_col).cast("double")
+    dec = "decimal(38,6)"
+    sums = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd.cast(dec)).alias("sx"),
+        F.sum(yd.cast(dec)).alias("sy"),
+        F.sum((xd * yd).cast(dec)).alias("sxy"),
+        F.sum((xd * xd).cast(dec)).alias("sxx"),
+        F.sum((yd * yd).cast(dec)).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    slope = F.when((F.col("n") >= 2) & (den_x > 0), num / den_x)
+    intercept = (sy - slope * sx) / n
+    r2 = F.when((F.col("n") >= 2) & (den_x > 0) & (den_y > 0), (num / den_x) * num / den_y)
+    return sums.select(
+        *group_cols,
+        "n",
+        F.round(slope, round_to).alias("slope"),
+        F.round(intercept, round_to).alias("intercept"),
+        F.round(r2, round_to).alias("r2"),
+    )

@@ -245,3 +245,48 @@ def gap_fill_locf(
         F.coalesce(F.col("filled"), F.lit(True)).alias("filled"),
         *filled_cols,
     )
+
+
+def ohlc_downsample(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    grain: str = "1 hour",
+) -> DataFrame:
+    """Open/high/low/close downsampling per key × time bucket (the
+    financial-candlestick / hypertable ``first``/``last`` idiom).
+
+    open/close are the value of the earliest/latest row in the bucket —
+    VALUES ARE COPIED, never recomputed, so oracle parity is exact with
+    no float discipline needed. Earliest/latest is made total by the
+    caller-named ``tiebreak_col`` (a unique row id): rows tie on
+    ``ts_col`` ⇒ the smaller/larger tie-break wins, so the result is
+    partition-order independent even on non-unique timestamps.
+
+    Implementation is a single hash aggregation — ``min``/``max`` over a
+    (ts, tiebreak, value) struct resolves open/close because struct
+    ordering is lexicographic and ts leads. One exchange carrying only
+    (keys, bucket, struct) with full map-side combine; no window, no
+    sort, no join. At 100 TB this is the cheapest possible shape: the
+    shuffle volume is the number of OUTPUT buckets, not input rows.
+    """
+    bucket = F.window(F.col(ts_col), grain).start.alias("bucket_start")
+    tagged = df.select(
+        *keys,
+        bucket,
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(tiebreak_col).alias("tb"),
+            F.col(value_col).alias("v"),
+        ).alias("__ohlc"),
+        F.col(value_col).alias("__v"),
+    )
+    return tagged.groupBy(*keys, "bucket_start").agg(
+        F.min("__ohlc").getField("v").alias("open_v"),
+        F.max("__v").alias("high_v"),
+        F.min("__v").alias("low_v"),
+        F.max("__ohlc").getField("v").alias("close_v"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -399,3 +399,54 @@ def weighted_sample(
         .orderBy(F.col("draw_key").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def group_split(
+    df: DataFrame,
+    entity_col: str,
+    splits: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Leakage-safe train/validation/test assignment: the split is a
+    pure function of the ENTITY (user, document source, session), never
+    the row — every row of an entity lands in the same split, so no
+    entity's data straddles train and eval. This is the group-aware
+    split every dedup-aware training pipeline needs: row-level random
+    splits leak near-duplicate rows of one entity across the boundary
+    and inflate eval scores.
+
+    ``splits`` maps name → fraction (must sum to 1). The entity's
+    portable draw ``stable_hash64(entity || ':' || seed) % 1e6`` is cut
+    against the cumulative fraction boundaries, so assignment is
+    reproducible under any partitioning, engine-portable (exact SQL
+    twin), and STABLE UNDER RESIZING in the holdout direction: growing
+    the first-listed split only moves entities forward across one
+    boundary, it never reshuffles entities between untouched splits.
+
+    Scale shape: one narrow projection — no shuffle, no state, no
+    entity table materialized; the assignment column computes inside
+    the scan's codegen stage.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = stable_hash64(
+        F.concat(F.col(entity_col).cast("string"), F.lit(f":{seed}"))
+    ) % F.lit(1_000_000)
+    assign = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        hi = int(round(acc * 1_000_000))
+        assign = (
+            F.when(bucket < hi, F.lit(name))
+            if assign is None
+            else assign.when(bucket < hi, F.lit(name))
+        )
+    assign = (
+        assign.otherwise(F.lit(names[-1]))
+        if assign is not None
+        else F.lit(names[-1])
+    )
+    return df.withColumn("split", assign)

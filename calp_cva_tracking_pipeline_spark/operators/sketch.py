@@ -278,3 +278,134 @@ SELECT col_name,
                   ELSE {_HLL_NUM!r} / total END, 6) AS approx_distinct
 FROM folded
 """
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch: mergeable frequency estimates with a one-sided error
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 3
+CMS_WIDTH = 16
+
+
+def _cms_bucket(r: int, val) -> "F.Column":
+    """Row-r bucket of a string value: stable_hash64('r|' || val) % width.
+    Salting the hash input with the row index gives CMS_DEPTH independent
+    hash functions from the one md5 primitive — recomputable anywhere."""
+    from calp_cva_tracking_pipeline_spark.functions.hashing import (
+        stable_hash64,
+    )
+
+    return stable_hash64(F.concat(F.lit(f"{r}|"), val)) % F.lit(CMS_WIDTH)
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """Count-Min sketch (Cormode–Muthukrishnan 2005) of ``key_col``'s
+    frequency distribution: rows (r, bucket, cnt) — the depth × width
+    counter matrix in long form, ≤ depth·width rows total regardless of
+    input size.
+
+    Each input row increments one bucket per hash row; the whole matrix
+    is ONE hash aggregation with full map-side combine (a task's local
+    matrix is depth·width ints, merged by addition on the wire). The
+    sketch is mergeable by construction — counter matrices from disjoint
+    shards ADD (``cms_merge``), bit-identically to sketching the union —
+    so a 100 TB corpus sketches shard-by-shard with constant memory,
+    the same contract as ``hll_sketch``/``mg_merge`` above.
+
+    Estimates (``cms_estimate``) are one-sided: est ≥ true count always
+    (hash collisions only ever inflate), with P[err > εN] ≤ (1/2)^depth
+    at width = e/ε. Deterministic: the salted md5 hash family is fixed,
+    so sketch AND estimates are exactly recomputable by the SQL oracle.
+    """
+    v = F.col(key_col).cast("string")
+    rows = df.select(
+        F.explode(
+            F.array(*[F.lit(r) for r in range(depth)])
+        ).alias("r"),
+        v.alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    bucket = None
+    for r in range(depth):
+        b = _cms_bucket(r, F.col("__v"))
+        bucket = (
+            F.when(F.col("r") == r, b)
+            if bucket is None
+            else bucket.when(F.col("r") == r, b)
+        )
+    return (
+        rows.withColumn("bucket", bucket)
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Add counter matrices from independent shards (exact merge)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, key_col: str, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """Point-query the sketch for every probe key: est = MIN over hash
+    rows of the key's bucket counter. The probe side fans out to depth
+    rows and equi-joins the (≤ depth·width row) sketch — broadcast, so
+    estimating costs no shuffle of the probe stream at any scale."""
+    v = F.col(key_col).cast("string")
+    fan = probes.select(
+        F.col(key_col),
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+    )
+    bucket = None
+    for r in range(depth):
+        b = _cms_bucket(r, v)
+        bucket = (
+            F.when(F.col("r") == r, b)
+            if bucket is None
+            else bucket.when(F.col("r") == r, b)
+        )
+    fan = fan.withColumn("bucket", bucket)
+    hit = fan.join(F.broadcast(sketch), ["r", "bucket"], "left").fillna(
+        0, subset=["cnt"]
+    )
+    return hit.groupBy(key_col).agg(F.min("cnt").alias("est_n"))
+
+
+def cms_sql(table_expr: str, key_expr: str, depth: int = CMS_DEPTH) -> str:
+    """DuckDB twin of sketch→estimate→compare-with-exact over one key
+    expression (returns key, exact_n, est_n, overcount ordered by key)."""
+    h60 = (
+        lambda e: f"CAST(CAST(('0x' || substring(md5({e}), 1, 15)) "
+        "AS UBIGINT) AS BIGINT)"
+    )
+    rs = ", ".join(str(r) for r in range(depth))
+    return f"""
+WITH vals AS (
+  SELECT CAST({key_expr} AS VARCHAR) AS v FROM {table_expr}
+  WHERE {key_expr} IS NOT NULL),
+fan AS (
+  SELECT v, unnest([{rs}]) AS r FROM vals),
+sk AS (
+  SELECT r, {h60("r || '|' || v")} % {CMS_WIDTH} AS bucket,
+         COUNT(*) AS cnt
+  FROM fan GROUP BY 1, 2),
+probes AS (SELECT DISTINCT v FROM vals),
+pfan AS (
+  SELECT v, unnest([{rs}]) AS r FROM probes),
+est AS (
+  SELECT p.v, MIN(COALESCE(s.cnt, 0)) AS est_n
+  FROM (SELECT v, r, {h60("r || '|' || v")} % {CMS_WIDTH} AS bucket
+        FROM pfan) p
+  LEFT JOIN sk s ON s.r = p.r AND s.bucket = p.bucket
+  GROUP BY 1),
+exact AS (SELECT v, COUNT(*) AS exact_n FROM vals GROUP BY 1)
+SELECT e.v AS token, x.exact_n, e.est_n, e.est_n - x.exact_n AS overcount
+FROM est e JOIN exact x ON x.v = e.v
+ORDER BY token
+"""

@@ -338,3 +338,59 @@ def interval_join(
     for k in keys:
         joined = joined.drop(i[k])
     return joined
+
+
+def rolling_time_window(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    aggs: dict[str, Column],
+    window_spec: str = "7 days",
+) -> DataFrame:
+    """Trailing time-RANGE window aggregates per key (the "7-day rolling
+    sum per user" idiom) — every input row comes back with the aggregate
+    of all rows of the same key whose timestamp lies in
+    ``[ts - window, ts]`` (both ends inclusive, matching ANSI
+    ``RANGE BETWEEN INTERVAL .. PRECEDING AND CURRENT ROW``).
+
+    ``aggs`` maps output column name → aggregate Column over the frame
+    (e.g. ``{"n_7d": F.count(F.lit(1)), "sum_7d": money_sum("value")}``).
+
+    Semantics are tie-safe by construction: a RANGE frame treats rows
+    with equal timestamps as peers sharing one frame, so the result is
+    independent of partition/sort order even when ``ts_col`` is not
+    unique within a key — no tie-break column is needed (unlike every
+    ROWS-frame operator in this package).
+
+    Scale shape: ONE hash exchange on ``keys`` plus a per-key sort — the
+    same cost as any keyed window. The frame is evaluated with Spark's
+    sliding-frame aggregation (each row enters/leaves the running state
+    once), not a per-row rescan, so cost is O(rows) after the sort and
+    the window length never multiplies data volume. Skewed keys behave
+    like any keyed window: salt upstream or split the hot key's history
+    if one entity dominates.
+
+    The RANGE frame needs a numeric ordering key: timestamps are ordered
+    by exact ``unix_micros`` and the window length is converted to
+    microseconds (exact for any whole-second spec).
+    """
+    amount, unit = window_spec.strip().split()
+    unit_s = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+        "week": 604800, "weeks": 604800,
+    }[unit.lower()]
+    span_us = int(amount) * unit_s * 1_000_000
+
+    ordered = df.withColumn("__ts_us", F.unix_micros(F.col(ts_col)))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts_us")
+        .rangeBetween(-span_us, 0)
+    )
+    out = ordered
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(w))
+    return out.drop("__ts_us")
