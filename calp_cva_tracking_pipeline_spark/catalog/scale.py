@@ -3652,6 +3652,190 @@ WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6)
 PF_CMS_SQL = _pf_cms_sql()
 
 
+# --- eighth wave: recurrences, telemetry anomalies, index build, privacy ---
+
+
+def ts_ewma(spark, sf_dir):
+    """Per-user EWMA (α=1/4) over event values via the bit-exact
+    integer-floor recurrence (operators.temporal.ewma_smooth):
+    applyInPandas per user with one-integer state; the DuckDB oracle
+    replays the identical recurrence as a recursive CTE, so every
+    smoothed point is value-checked — the reproducibility contract
+    float EWMA cannot give."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        ewma_smooth,
+    )
+
+    e = T(spark, sf_dir, "events")
+    return ewma_smooth(
+        e,
+        keys=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+        alpha_num=1,
+        alpha_den=4,
+    )
+
+
+TS_EWMA_SQL = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS x6,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+ew AS (
+  SELECT user_id, event_id, rn, x6 AS s FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT q.user_id, q.event_id, q.rn, (q.x6 + 3 * e.s) // 4
+  FROM seq q JOIN ew e ON q.user_id = e.user_id AND q.rn = e.rn + 1)
+SELECT user_id, event_id, CAST(s AS DOUBLE) / 1000000 AS ewma FROM ew
+"""
+
+
+def ev_anomaly(spark, sf_dir):
+    """Trailing 7-day per-user z-score anomaly flags (operators.
+    temporal.rolling_anomaly): integer cent-unit window sums make the
+    sufficient statistics order-independent; mean/var/z derive in one
+    fixed IEEE expression both engines evaluate identically."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        rolling_anomaly,
+    )
+
+    e = T(spark, sf_dir, "events")
+    return rolling_anomaly(
+        e,
+        keys=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        id_col="event_id",
+        window_spec="7 days",
+        z_threshold=3.0,
+        min_points=10,
+    )
+
+
+EV_ANOMALY_SQL = """
+WITH enc AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(ROUND(value * 100) AS BIGINT) AS x
+  FROM events),
+st AS (
+  SELECT user_id, event_id, ts, value, x,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS s1,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS s2
+  FROM enc
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)),
+z AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN n >= 10
+                   AND (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) > 0
+              THEN ROUND(
+                (CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6)
+              END AS z
+  FROM st)
+SELECT user_id, event_id, ts, value, z FROM z WHERE ABS(z) > 3
+"""
+
+
+POSTINGS_M = 5
+
+
+def rt_posting_lists(spark, sf_dir):
+    """Inverted-index build over the corpus (operators.retrieval.
+    posting_lists): token → document frequency + top-5 posting list by
+    (tf desc, doc id) — df and the rank cut ride ONE token-keyed
+    exchange; head tokens contribute m rows, never their whole posting
+    list, to the collapse."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import word_tokens
+    from calp_cva_tracking_pipeline_spark.operators.retrieval import (
+        posting_lists,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(word_tokens(F.col("text"))).alias("token")
+    )
+    return posting_lists(toks, "token", "doc_id", top_m=POSTINGS_M).orderBy(
+        "token"
+    )
+
+
+RT_POSTING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+tf AS (SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT token, COUNT(*) AS df,
+       (list(doc_id ORDER BY tf DESC, doc_id))[1:{POSTINGS_M}] AS postings
+FROM tf GROUP BY token ORDER BY token
+"""
+
+
+def emb_quantize(spark, sf_dir):
+    """Symmetric per-dimension int8 quantization of the embedding
+    corpus (operators.linalg.quantize_int8): max-|x| scales from one
+    d-row aggregation embedded as literals, then a pure scan-side
+    transform — emitted long-form (vec_id, dim, q) for value-level
+    oracle comparison."""
+    from calp_cva_tracking_pipeline_spark.operators.linalg import (
+        quantize_int8,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    q = quantize_int8(e, "embedding", "vec_id")
+    return q.select(
+        "vec_id", F.posexplode("qvec").alias("d", "q")
+    ).select("vec_id", "d", "q")
+
+
+EMB_QUANTIZE_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+idx AS (
+  SELECT vec_id, vec, unnest(generate_series(1, len(vec))) AS i FROM v),
+scales AS (SELECT i, MAX(ABS(vec[i])) AS s FROM idx GROUP BY i)
+SELECT x.vec_id, CAST(x.i - 1 AS INT) AS d,
+       CASE WHEN s.s > 0
+            THEN CAST(ROUND(127.0 * x.vec[x.i] / s.s) AS INT)
+            ELSE 0 END AS q
+FROM idx x JOIN scales s ON s.i = x.i
+"""
+
+
+KANON_K = 6
+
+
+def pf_kanon(spark, sf_dir):
+    """k-anonymity audit of the customer table's quasi-identifiers
+    (operators.profiling.k_anonymity): every (nation, market segment)
+    equivalence class with its population and a risky flag below k=6 —
+    the privacy gate next to tx_pii_redact; one map-side-combined
+    aggregation at QI-class cardinality."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        k_anonymity,
+    )
+
+    c = T(spark, sf_dir, "customer")
+    return k_anonymity(
+        c, ["c_nationkey", "c_mktsegment"], k=KANON_K
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+PF_KANON_SQL = f"""
+SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+       COUNT(*) < {KANON_K} AS risky
+FROM customer GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -3734,4 +3918,9 @@ SCALE_QUERIES = {
     "pf_cms": (pf_cms, PF_CMS_SQL),
     "mx_group_split": (mx_group_split, MX_GROUP_SPLIT_SQL),
     "jx_jaro_join": (jx_jaro_join, JX_JARO_SQL),
+    "ts_ewma": (ts_ewma, TS_EWMA_SQL),
+    "ev_anomaly": (ev_anomaly, EV_ANOMALY_SQL),
+    "rt_posting_lists": (rt_posting_lists, RT_POSTING_SQL),
+    "emb_quantize": (emb_quantize, EMB_QUANTIZE_SQL),
+    "pf_kanon": (pf_kanon, PF_KANON_SQL),
 }

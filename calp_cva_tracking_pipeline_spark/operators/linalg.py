@@ -156,3 +156,51 @@ def pca_whiten(
         return pd.Series(out)
 
     return df.withColumn(out_col, transform(F.col(vec_col)))
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of an embedding column:
+    q[i] = round(127 · x[i] / maxabs[i]) — the storage/bandwidth
+    compression step in front of ANN serving (4× smaller than float32;
+    ADC-style scoring dequantizes per dimension with the same scales).
+
+    The per-dimension max-|x| scales come from one posexplode →
+    groupBy(dim) pass (d output rows, map-side combined) and are
+    embedded as a literal array — the same bounded-sufficient-statistic
+    pattern as the percentile kernel and the covariance collect; the
+    quantization pass is then a single scan-side ``transform`` with no
+    join or shuffle. Dead dimensions (maxabs = 0) quantize to 0 rather
+    than dividing by zero.
+
+    Determinism: float→double widening is exact, 127·x/maxabs is one
+    IEEE-exact expression both engines evaluate identically, and
+    round-half-away-from-zero matches Spark's ROUND and DuckDB's.
+    Output: (id_col, qvec array<int>, scales array<double> broadcast to
+    every row for self-contained dequantization).
+    """
+    x = F.explode(F.col(vec_col))
+    scales = [
+        float(r["s"])
+        for r in df.select(F.posexplode(F.col(vec_col)).alias("d", "v"))
+        .groupBy("d")
+        .agg(F.max(F.abs(F.col("v").cast("double"))).alias("s"))
+        .orderBy("d")
+        .collect()
+    ]
+    lit_scales = F.array(*[F.lit(s) for s in scales])
+    q = F.transform(
+        F.col(vec_col),
+        lambda v, i: F.when(
+            F.element_at(lit_scales, i + 1) > 0,
+            F.round(
+                F.lit(127.0)
+                * v.cast("double")
+                / F.element_at(lit_scales, i + 1)
+            ).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    return df.select(
+        id_col, q.alias("qvec"), lit_scales.alias("scales")
+    )

@@ -750,3 +750,27 @@ def group_ols(
         F.round(intercept, round_to).alias("intercept"),
         F.round(r2, round_to).alias("r2"),
     )
+
+
+def k_anonymity(
+    df: DataFrame, qi_cols: list[str], k: int = 6
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination (Sweeney
+    2002): every equivalence class (distinct QI value combination) with
+    its population and a ``risky`` flag for classes smaller than ``k`` —
+    the privacy gate that runs next to PII redaction before a dataset
+    ships: a row whose QI class has < k members is re-identifiable by
+    linking those attributes to an external register even after direct
+    identifiers are stripped.
+
+    One map-side-combined hash aggregation (shuffle volume = QI-class
+    cardinality, not rows); the dataset's overall anonymity level is
+    ``min(n)`` over the output. Suppression/generalization of the risky
+    classes is the caller's policy decision — the audit reports, it
+    does not mutate.
+    """
+    return (
+        df.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("risky", F.col("n") < k)
+    )

@@ -84,3 +84,54 @@ def rrf_fuse(
         .orderBy(F.col("rrf").desc(), F.col(id_col))
         .limit(top_k)
     )
+
+
+def posting_lists(
+    tokens: DataFrame,
+    token_col: str,
+    doc_col: str,
+    top_m: int = 5,
+) -> DataFrame:
+    """Inverted-index construction: token → document frequency + the
+    top-``m`` posting list (documents ranked by term frequency desc, doc
+    id asc — a total order, so the index build is deterministic). This
+    is the data structure the BM25 retriever queries; materializing it
+    as a table is the "build the index once, serve many queries" side
+    of the lexical stack.
+
+    Two exchanges, both capped:
+    1. (token, doc) term frequencies — map-side combined, shuffle
+       volume = distinct (token, doc) pairs;
+    2. token-keyed window pass computing BOTH the df (count over the
+       unordered full-partition frame) and the tf-rank over the SAME
+       exchange — no second aggregation or join for df.
+    The posting cut keeps ≤ m rows per token into the final collapse,
+    so collect_list is bounded at m — a Zipf head token ("the", 10⁸
+    docs) contributes m rows, not its df, to the output stage. The full
+    (uncut) posting list of a head token is never materialized as an
+    array anywhere.
+    """
+    tf = tokens.groupBy(token_col, doc_col).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    wp = Window.partitionBy(token_col)
+    w = wp.orderBy(F.desc("tf"), F.asc(doc_col))
+    ranked = tf.select(
+        token_col,
+        doc_col,
+        "tf",
+        F.count(F.lit(1)).over(wp).alias("df"),
+        F.row_number().over(w).alias("__rn"),
+    ).filter(F.col("__rn") <= top_m)
+    return (
+        ranked.groupBy(token_col)
+        .agg(
+            F.first("df").alias("df"),
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("__rn", F.col(doc_col)))
+                ),
+                lambda s: s.getField(doc_col),
+            ).alias("postings"),
+        )
+    )

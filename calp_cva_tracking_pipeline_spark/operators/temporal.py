@@ -394,3 +394,144 @@ def rolling_time_window(
     for name, agg in aggs.items():
         out = out.withColumn(name, agg.over(w))
     return out.drop("__ts_us")
+
+
+def ewma_smooth(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average with a BIT-EXACT
+    integer recurrence: s₀ = x₀, sₜ = ⌊(αnum·xₜ + (αden−αnum)·sₜ₋₁) /
+    αden⌋ over values pre-rounded to ``scale`` integer units. The float
+    formulation of EWMA is a sequential recurrence whose result depends
+    on accumulation precision; the integer-floor recurrence (the same
+    discipline as the PageRank nano-unit iteration) makes the smoothed
+    series identical across partitionings, re-runs, and engines — a
+    DuckDB recursive CTE replays it exactly, so the catalog oracle
+    checks every smoothed point.
+
+    Physical shape: the recurrence is inherently serial PER KEY (each
+    state needs its predecessor), so it runs as ``applyInPandas`` over
+    key groups — the state is one integer, keys distribute freely, and
+    the per-group pandas frame holds only that key's history (the same
+    per-entity-stream bound as sessionization; a key with an unbounded
+    history needs time-sliced checkpointing upstream, documented at
+    ``operators/packing.py`` for the analogous shard bound). Rows with
+    NULL values or timestamps are excluded before smoothing (they have
+    no place in a recurrence); the oracle mirrors the exclusion.
+
+    Output: keys + tiebreak + ``ewma`` (double, exact multiple of
+    1/scale). Encoding to integer units happens JVM-side
+    (``round(value·scale)`` — half-away-from-zero in both engines, and
+    .5-exact products cannot arise from data with fewer decimals than
+    the scale); the Python side only ever sees ints.
+    """
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys, tiebreak_col).schema.fields
+    )
+    schema = f"{out_fields}, ewma double"
+    enc = (
+        df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            *keys,
+            tiebreak_col,
+            F.col(ts_col).alias("__ts"),
+            F.round(F.col(value_col).cast("double") * scale)
+            .cast("long")
+            .alias("__x"),
+        )
+    )
+    keep = alpha_den - alpha_num
+
+    def smooth(pdf):
+        pdf = pdf.sort_values(["__ts", tiebreak_col], kind="mergesort")
+        s = None
+        out = []
+        for x in pdf["__x"]:
+            x = int(x)
+            s = x if s is None else (alpha_num * x + keep * s) // alpha_den
+            out.append(s / scale)
+        pdf = pdf[[*keys, tiebreak_col]].copy()
+        pdf["ewma"] = out
+        return pdf
+
+    return enc.groupBy(*keys).applyInPandas(smooth, schema)
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    window_spec: str = "7 days",
+    z_threshold: float = 3.0,
+    min_points: int = 10,
+    cents: int = 100,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection per key: flag rows
+    whose value sits more than ``z_threshold`` sample standard
+    deviations from their OWN key's trailing-window mean — the
+    streaming-telemetry counterpart of the global median/MAD pass
+    (``profiling.robust_outliers``): a value normal for one user can be
+    anomalous for another.
+
+    Exactness: the window aggregates are INTEGER sums of cent-scaled
+    values (n, Σx, Σx² — Σx² stays ≤ 2⁶³ for cent-scaled values up to
+    ~10⁶ over ~10⁷-row windows), so the sufficient statistics are
+    order-independent; mean/variance/z then derive in a fixed double
+    expression order (IEEE division and sqrt are correctly rounded, so
+    even pre-round the z is bit-identical across engines). Windows with
+    fewer than ``min_points`` rows or zero variance are never flagged —
+    a 2-point history is not a distribution.
+
+    One keyed exchange + sort (rides the same RANGE-frame machinery as
+    ``rolling_time_window``); the anomaly filter is a projection on top.
+    """
+    amount, unit = window_spec.strip().split()
+    unit_s = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+        "week": 604800, "weeks": 604800,
+    }[unit.lower()]
+    span_us = int(amount) * unit_s * 1_000_000
+
+    enc = df.withColumn(
+        "__x", F.round(F.col(value_col).cast("double") * cents).cast("long")
+    ).withColumn("__ts_us", F.unix_micros(F.col(ts_col)))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts_us")
+        .rangeBetween(-span_us, 0)
+    )
+    stats = enc.select(
+        *keys,
+        id_col,
+        ts_col,
+        value_col,
+        F.col("__x"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.sum("__x").over(w).alias("__s1"),
+        F.sum(F.col("__x") * F.col("__x")).over(w).alias("__s2"),
+    )
+    nD = F.col("__n").cast("double")
+    s1D = F.col("__s1").cast("double")
+    s2D = F.col("__s2").cast("double")
+    var = (nD * s2D - s1D * s1D) / (nD * (nD - 1))
+    z = (F.col("__x").cast("double") - s1D / nD) / F.sqrt(var)
+    flagged = stats.withColumn(
+        "z",
+        F.when(
+            (F.col("__n") >= min_points) & (var > 0), F.round(z, 6)
+        ),
+    ).filter(F.abs(F.col("z")) > z_threshold)
+    return flagged.select(*keys, id_col, ts_col, value_col, "z")
