@@ -3407,10 +3407,14 @@ def rt_ohlc(spark, sf_dir):
 RT_OHLC_SQL = """
 SELECT event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
-       first(value ORDER BY ts, event_id) AS open_v,
+       -- FILTER mirrors the operator's NULL policy: open/close come from
+       -- the earliest/latest NON-NULL-value row, same as high/low
+       first(value ORDER BY ts, event_id)
+         FILTER (WHERE value IS NOT NULL) AS open_v,
        MAX(value) AS high_v,
        MIN(value) AS low_v,
-       last(value ORDER BY ts, event_id) AS close_v,
+       last(value ORDER BY ts, event_id)
+         FILTER (WHERE value IS NOT NULL) AS close_v,
        COUNT(*) AS n_rows
 FROM events
 GROUP BY 1, 2
@@ -3511,14 +3515,23 @@ PF_REGRESSION_SQL = """
 WITH sums AS (
   SELECT l_returnflag,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
-              AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
-              AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
-              AS DOUBLE) AS syy
+         -- terms are exact decimal(37,12) products of once-rounded 6dp
+         -- inputs — an 18,6 × 19,6 pairing in BOTH engines (Spark keeps
+         -- p1+p2+1=38 lossless; DuckDB needs one operand >18 to widen its
+         -- internal int to 128 bits), mirroring profiling.group_ols
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,6))
+              AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+              AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,6))
+                     * CAST(l_extendedprice AS DECIMAL(19,6))
+              AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,6))
+                     * CAST(l_quantity AS DECIMAL(19,6))
+              AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * CAST(l_extendedprice AS DECIMAL(19,6))
+              AS DECIMAL(38,6))) AS DOUBLE) AS syy
   FROM lineitem GROUP BY 1),
 fit AS (
   SELECT l_returnflag, n,
@@ -3688,7 +3701,13 @@ WITH RECURSIVE seq AS (
 ew AS (
   SELECT user_id, event_id, rn, x6 AS s FROM seq WHERE rn = 1
   UNION ALL
-  SELECT q.user_id, q.event_id, q.rn, (q.x6 + 3 * e.s) // 4
+  -- FLOOR division, spelled out: DuckDB's // truncates toward zero while
+  -- the Python kernel's // floors, so a negative, non-divisible numerator
+  -- would diverge by one unit. Subtracting the always-non-negative
+  -- ((n % 4) + 4) % 4 makes the numerator exactly divisible, after which
+  -- // is floor for every sign.
+  SELECT q.user_id, q.event_id, q.rn,
+         (q.x6 + 3 * e.s - (((q.x6 + 3 * e.s) % 4) + 4) % 4) // 4
   FROM seq q JOIN ew e ON q.user_id = e.user_id AND q.rn = e.rn + 1)
 SELECT user_id, event_id, CAST(s AS DOUBLE) / 1000000 AS ewma FROM ew
 """
@@ -3720,7 +3739,8 @@ EV_ANOMALY_SQL = """
 WITH enc AS (
   SELECT user_id, event_id, ts, value,
          CAST(ROUND(value * 100) AS BIGINT) AS x
-  FROM events),
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL),
 st AS (
   SELECT user_id, event_id, ts, value, x,
          COUNT(*) OVER w AS n,

@@ -180,7 +180,6 @@ def quantize_int8(
     Output: (id_col, qvec array<int>, scales array<double> broadcast to
     every row for self-contained dequantization).
     """
-    x = F.explode(F.col(vec_col))
     scales = [
         float(r["s"])
         for r in df.select(F.posexplode(F.col(vec_col)).alias("d", "v"))

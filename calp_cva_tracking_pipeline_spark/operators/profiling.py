@@ -708,28 +708,38 @@ def group_ols(
     with full map-side combine (each partition reduces to 6 numbers per
     group before the wire; shuffle volume = output groups, not rows).
 
-    Bit-exactness discipline: every Σ accumulates as DECIMAL (exact —
-    addition order can't change the result), the slope/intercept/r²
-    divisions then run in double on those exact sums in a fixed
-    expression order, rounded to ``round_to``. An oracle recomputing the
-    same decimal sums gets bit-identical doubles — this is why the
-    statistics are summed explicitly rather than calling an engine's
-    ``regr_slope`` (whose internal float accumulation is order- and
-    engine-dependent).
+    Bit-exactness discipline: inputs are rounded once to 6 dp
+    (``decimal(18,6)``), every per-row PRODUCT is a decimal×decimal
+    multiply (exact — ``decimal(18,6)²`` fits ``decimal(37,12)`` with no
+    precision loss in either engine, unlike a double product whose ulp
+    can shift the 6th decimal once |x·y| passes ~1e10), every Σ
+    accumulates as DECIMAL (exact — addition order can't change the
+    result), and the slope/intercept/r² divisions then run in double on
+    those exact sums in a fixed expression order, rounded to
+    ``round_to``. An oracle recomputing the same decimal terms and sums
+    gets bit-identical doubles — this is why the statistics are summed
+    explicitly rather than calling an engine's ``regr_slope`` (whose
+    internal float accumulation is order- and engine-dependent).
 
     Degenerate groups (n < 2 or zero x-variance) return NULL fit columns
     rather than ±∞/errors (ANSI-mode division guard).
     """
-    xd = F.col(x_col).cast("double")
-    yd = F.col(y_col).cast("double")
+    # products pair an 18,6 with a 19,6 operand: both engines then produce
+    # an exact decimal(37,12) product (Spark's p1+p2+1=38 stays inside the
+    # cap with no scale loss; DuckDB only widens its internal int to 128
+    # bits when an operand's precision exceeds 18)
+    dx = F.col(x_col).cast("decimal(18,6)")
+    dy = F.col(y_col).cast("decimal(18,6)")
+    dxw = F.col(x_col).cast("decimal(19,6)")
+    dyw = F.col(y_col).cast("decimal(19,6)")
     dec = "decimal(38,6)"
     sums = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(xd.cast(dec)).alias("sx"),
-        F.sum(yd.cast(dec)).alias("sy"),
-        F.sum((xd * yd).cast(dec)).alias("sxy"),
-        F.sum((xd * xd).cast(dec)).alias("sxx"),
-        F.sum((yd * yd).cast(dec)).alias("syy"),
+        F.sum(dx.cast(dec)).alias("sx"),
+        F.sum(dy.cast(dec)).alias("sy"),
+        F.sum((dx * dyw).cast(dec)).alias("sxy"),
+        F.sum((dx * dxw).cast(dec)).alias("sxx"),
+        F.sum((dy * dyw).cast(dec)).alias("syy"),
     )
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")

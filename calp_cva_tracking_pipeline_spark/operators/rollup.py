@@ -258,12 +258,20 @@ def ohlc_downsample(
     """Open/high/low/close downsampling per key × time bucket (the
     financial-candlestick / hypertable ``first``/``last`` idiom).
 
-    open/close are the value of the earliest/latest row in the bucket —
-    VALUES ARE COPIED, never recomputed, so oracle parity is exact with
-    no float discipline needed. Earliest/latest is made total by the
-    caller-named ``tiebreak_col`` (a unique row id): rows tie on
-    ``ts_col`` ⇒ the smaller/larger tie-break wins, so the result is
-    partition-order independent even on non-unique timestamps.
+    open/close are the value of the earliest/latest NON-NULL-value row
+    in the bucket — VALUES ARE COPIED, never recomputed, so oracle
+    parity is exact with no float discipline needed. Earliest/latest is
+    made total by the caller-named ``tiebreak_col`` (a unique row id):
+    rows tie on ``ts_col`` ⇒ the smaller/larger tie-break wins, so the
+    result is partition-order independent even on non-unique timestamps.
+
+    NULL policy (all four candles agree): rows with a NULL value are
+    invisible to open/high/low/close (the struct is built only for
+    non-null values, so struct min/max skips those rows exactly as
+    min/max skip NULL scalars) but still count in ``n_rows``; a bucket
+    of only-NULL values yields NULL candles. Without the guard the
+    struct itself would be non-null and open/close could surface a NULL
+    value the high/low never see.
 
     Implementation is a single hash aggregation — ``min``/``max`` over a
     (ts, tiebreak, value) struct resolves open/close because struct
@@ -276,10 +284,13 @@ def ohlc_downsample(
     tagged = df.select(
         *keys,
         bucket,
-        F.struct(
-            F.col(ts_col).alias("ts"),
-            F.col(tiebreak_col).alias("tb"),
-            F.col(value_col).alias("v"),
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(tiebreak_col).alias("tb"),
+                F.col(value_col).alias("v"),
+            ),
         ).alias("__ohlc"),
         F.col(value_col).alias("__v"),
     )

@@ -488,9 +488,13 @@ def rolling_anomaly(
     ~10⁶ over ~10⁷-row windows), so the sufficient statistics are
     order-independent; mean/variance/z then derive in a fixed double
     expression order (IEEE division and sqrt are correctly rounded, so
-    even pre-round the z is bit-identical across engines). Windows with
-    fewer than ``min_points`` rows or zero variance are never flagged —
-    a 2-point history is not a distribution.
+    even pre-round the z is bit-identical across engines). Rows with a
+    NULL value or timestamp are dropped BEFORE the window (same contract
+    as ``ewma_smooth``) so the window population n counts exactly the
+    rows that feed Σx/Σx² — counting unusable rows would bias the mean
+    downward and the ``min_points`` gate upward. Windows with fewer than
+    ``min_points`` rows or zero variance are never flagged — a 2-point
+    history is not a distribution.
 
     One keyed exchange + sort (rides the same RANGE-frame machinery as
     ``rolling_time_window``); the anomaly filter is a projection on top.
@@ -505,9 +509,14 @@ def rolling_anomaly(
     }[unit.lower()]
     span_us = int(amount) * unit_s * 1_000_000
 
-    enc = df.withColumn(
-        "__x", F.round(F.col(value_col).cast("double") * cents).cast("long")
-    ).withColumn("__ts_us", F.unix_micros(F.col(ts_col)))
+    enc = (
+        df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .withColumn(
+            "__x",
+            F.round(F.col(value_col).cast("double") * cents).cast("long"),
+        )
+        .withColumn("__ts_us", F.unix_micros(F.col(ts_col)))
+    )
     w = (
         Window.partitionBy(*keys)
         .orderBy("__ts_us")
