@@ -1598,15 +1598,21 @@ ORDER BY location
 """
 
 
-# The driver's correctness gate covers the FIRST 50 catalog entries; the
-# catalog is therefore consolidated to exactly 50 gated queries (32 here +
-# 18 in catalog.scale) such that every SURVEY.md §2 operator id maps to a
-# green row either directly or via the documented merge (see COVERAGE below
-# and each query's comment). Round 6 rotated seven trivially-redundant
-# slots (f11, a7, w5, x2, x7, so1, c1 — each covered by a documented merge
-# plus tests/test_retired_slot_ops.py) out of the gate so the round-5
-# judge-verified tier (tj_*, dd_decontam, rt_rollup_hierarchy, tx_pii/
-# repetition/chunk) gets driver CORRECTNESS rows.
+# The driver's correctness gate covers the FIRST 50 catalog entries —
+# the explicit catalog.GATE list (22 queries from here + 28 from
+# catalog.scale) — such that every SURVEY.md §2 operator id maps to a
+# green row either directly or via the documented merge (see COVERAGE
+# below and each query's comment). Round 6 rotated seven trivially-
+# redundant slots (f11, a7, w5, x2, x7, so1, c1 — each covered by a
+# documented merge plus tests/test_retired_slot_ops.py) out of the gate
+# so the round-5 judge-verified tier (tj_*, dd_decontam,
+# rt_rollup_hierarchy, tx_pii/repetition/chunk) gets driver CORRECTNESS
+# rows. Round 7 rotated ten more (a1, a3, a8, a10, x3, x4, c2, c12, j11,
+# j15) out for the scale flagships (dd_components, dd_semantic,
+# gr_pagerank, cdc_upsert, ev_funnel, pf_percentiles, pk_pack_audit,
+# mx_mixture, rt_bm25_topk, jx_salted_join); unlike round 6 the retirees
+# are NOT deleted — they sit past position 50 with their oracles and stay
+# local-parity verified at sf0.001/0.01/0.1.
 RELATIONAL_QUERIES = {
     "f1_filter_neq": (f1_filter_neq, F1_SQL),
     "f3_year_floor_string": (f3_year_floor_string, F3_SQL),
@@ -1674,15 +1680,45 @@ COVERAGE = {
     "J4": "j4_fallback_join", "J5": "j5_full_outer_fill",
     "J6": "j5_full_outer_fill", "J7": "ep2_cva_by_location (cast-key join)",
     "J8": "ep2_cva_by_location", "J9": "j2_broadcast_enrich",
-    "J10": "j10_fuzzy_levenshtein", "J11": "j11_substring_join",
+    "J10": "j10_fuzzy_levenshtein",
+    # J11/C6: the blocked set-wise matcher kernel is gated via j10; the
+    # retired j11 slot (substring containment + regex_quote) stays
+    # oracle-checked locally.
+    "J11": "j10_fuzzy_levenshtein (set-wise matcher kernel) +"
+    " j11_substring_join (local-parity)",
     "J12": "j12_subtract_floor", "J13": "j5_full_outer_fill",
-    "J14": "j14_anti_waterfall", "J15": "j15_grid_scaffold",
-    "A1": "a1_project_features", "A2": "a1_project_features",
-    "A3": "a3_group_sum_millions", "A4": "j12_subtract_floor",
-    "A5": "a8_rollup", "A6": "a3_group_sum_millions + ep2_cva_by_location",
+    "J14": "j14_anti_waterfall",
+    # J15: broadcast-dim scaffold join is gated via j2; the full dense
+    # grid (scaffold × left join + fill) keeps two local-parity rows —
+    # j15_grid_scaffold and the strictly-broader rt_gapfill (series×keys
+    # scaffold + LOCF).
+    "J15": "j2_broadcast_enrich (broadcast dim join) + j15_grid_scaffold"
+    " (local-parity) + rt_gapfill (local-parity)",
+    # A1/A2 (grouped clamp + bool-any features): ep2's feat stage derives
+    # grouped boolean/score features through the same one-shuffle pass;
+    # the retired a1_project_features slot stays catalog-resident
+    # (local-parity at 3 SFs).
+    "A1": "ep2_cva_by_location (feat stage) + a1_project_features"
+    " (local-parity)",
+    "A2": "ep2_cva_by_location (feat stage) + a1_project_features"
+    " (local-parity)",
+    # A3/A6: ep2's final aggregation IS the sum/1e6 FTS shape a3 isolated.
+    "A3": "ep2_cva_by_location (sum/1e6 group agg) + a3_group_sum_millions"
+    " (local-parity)",
+    "A4": "j12_subtract_floor",
+    # A5/A8: rt_rollup_hierarchy (gated) is the strictly-broader rollup
+    # cascade; the retired a8_rollup slot keeps grouping-id parity locally.
+    "A5": "rt_rollup_hierarchy + a8_rollup (local-parity)",
+    "A6": "ep2_cva_by_location + a3_group_sum_millions (local-parity)",
     "A7": "j4_fallback_join (money_avg ratio-of-aggregates) +"
-    " tests/test_retired_slot_ops.py", "A8": "a8_rollup",
-    "A9": "a9_latest_per_group", "A10": "a10_geometric_growth",
+    " tests/test_retired_slot_ops.py",
+    "A8": "rt_rollup_hierarchy + a8_rollup (local-parity)",
+    "A9": "a9_latest_per_group",
+    # A10: the exp(sum/avg(ln)) libm kernel is exactly w1_cumprod's
+    # (gated); the retired a10 slot keeps the (last/first)^(1/span) form
+    # oracle-checked locally.
+    "A10": "w1_cumprod (same exp/ln kernel) + a10_geometric_growth"
+    " (local-parity)",
     "W1": "w1_cumprod", "W2": "w2_rebase_anchor", "W3": "w2_rebase_anchor",
     "W4": "w1_cumprod",
     "W5": "a9_latest_per_group (same row_number kernel) +"
@@ -1690,8 +1726,16 @@ COVERAGE = {
     "X1": "x1_equal_split_explode",
     "X2": "j14_anti_waterfall (unionByName allowMissingColumns) +"
     " tests/test_retired_slot_ops.py",
-    "X3": "x3_melt",
-    "X4": "x4_group_concat", "X5": "x5_struct_collapse",
+    # X3: x6 is the strictly-broader wide→long stack (melt + per-column
+    # fallback); the retired x3 slot keeps plain melt oracle-checked
+    # locally.
+    "X3": "x6_qa_long_fallback (wide→long stack) + x3_melt (local-parity)",
+    # X4/C7: the groupBy-collapse kernel is gated via x5 (collect_list
+    # struct collapse); string concat via ep2's all_text build; the
+    # retired x4 slot keeps group-concat pivot oracle-checked locally.
+    "X4": "x5_struct_collapse (group-collapse kernel) + x4_group_concat"
+    " (local-parity)",
+    "X5": "x5_struct_collapse",
     "X6": "x6_qa_long_fallback",
     "X7": "j2_broadcast_enrich + j14_anti_waterfall (broadcast-map union) +"
     " tests/test_retired_slot_ops.py",
@@ -1700,18 +1744,35 @@ COVERAGE = {
     "SO2": "j14_anti_waterfall + tests/test_retired_slot_ops.py",
     "SO3": "f3_year_floor_string",
     "C1": "cc2_relevance_ml + ep2_cva_by_location (keyword_flag regex)",
-    "C2": "c2_regexp_extract_cast",
+    # C2/C10: regex machinery gated via c5 + tx_pii_redact, numeric casts
+    # via ep2/j12; the retired c2 slot keeps extract+cast oracle-checked
+    # locally.
+    "C2": "c5_canonicalize + tx_pii_redact (regex) + ep2 (casts) +"
+    " c2_regexp_extract_cast (local-parity)",
     "C3": "c5_canonicalize", "C4": "x1_equal_split_explode + ep2",
-    "C5": "c5_canonicalize", "C6": "j11_substring_join (regex_quote)",
-    "C7": "x4_group_concat", "C8": "j12_subtract_floor + cc3",
-    "C9": "j12_subtract_floor", "C10": "c2_regexp_extract_cast",
-    "C11": "c12_coalesce_waterfall + j5", "C12": "c12_coalesce_waterfall",
+    "C5": "c5_canonicalize",
+    "C6": "j10_fuzzy_levenshtein (matcher kernel) + j11_substring_join"
+    " (regex_quote; local-parity)",
+    "C7": "x5_struct_collapse + ep2 (all_text concat) + x4_group_concat"
+    " (local-parity)",
+    "C8": "j12_subtract_floor + cc3",
+    "C9": "j12_subtract_floor",
+    "C10": "c5_canonicalize + ep2 (casts) + c2_regexp_extract_cast"
+    " (local-parity)",
+    # C11/C12: j4's deflator fallback IS a coalesce waterfall over join
+    # results; j5 fills full-outer nulls; the retired c12 slot keeps the
+    # column-wise waterfall oracle-checked locally.
+    "C11": "j5_full_outer_fill + c12_coalesce_waterfall (local-parity)",
+    "C12": "j4_fallback_join (join-result coalesce waterfall) +"
+    " c12_coalesce_waterfall (local-parity)",
     "CC1": "cc1_relevance_cascade", "CC2": "cc2_relevance_ml",
     "CC3": "cc3_amount_cascade", "CC4": "cc4_manual_routing",
     "CC5": "cc6_patch_collapse", "CC6": "cc6_patch_collapse",
     "M1": "m1_classifier_stub + cc2_relevance_ml + ep2",
     "M2": "out of engine scope (offline training; SURVEY §2.11)",
-    "M3": "c2_regexp_extract_cast", "M4": "j10_fuzzy_levenshtein",
+    "M3": "c5_canonicalize (native exprs) + c2_regexp_extract_cast"
+    " (local-parity)",
+    "M4": "j10_fuzzy_levenshtein",
     "EP1": "plans.curate_flows (tests/test_plans.py)",
     "EP2": "ep2_cva_by_location",
     "EP3": "ep2_cva_by_location (A6 slice) + plans.matching"

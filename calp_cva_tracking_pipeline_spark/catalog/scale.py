@@ -3870,7 +3870,10 @@ SCALE_QUERIES = {
     "st_sessionize": (st_sessionize, ST_SESSION_SQL),
     # Round 6: the judge-verified round-5 tier rotated INTO the driver's
     # 50-row gate (slots freed by retiring seven redundant relational
-    # queries — catalog/relational.py header). Gate set pinned by
+    # queries — catalog/relational.py header). Round 7 promoted ten scale
+    # flagships the same way. NOTE: since round 7 the gate order is the
+    # explicit catalog.GATE list, not this dict's insertion order — this
+    # dict is just the definition registry. Gate set pinned by
     # tests/test_coverage_map.py::DRIVER_GATE.
     "tj_asof_join": (tj_asof_join, TJ_ASOF_SQL),
     "tj_interval_join": (tj_interval_join, TJ_INTERVAL_SQL),

@@ -89,27 +89,34 @@ NON_SQL_QUERIES = {"pk_sequences"}
 # (ordering contract documented in catalog/__init__.py). Round 6 rotated
 # seven trivially-redundant relational slots out (f11, a7, w5, x2, x7,
 # so1, c1 — merges documented in COVERAGE + tests/test_retired_slot_ops.py)
-# so the judge-verified round-5 tier gets driver CORRECTNESS rows. Any
-# future change to this set must be a conscious gate-vs-local-parity
-# placement decision: edit this list in the same commit, never reorder
-# silently.
+# so the judge-verified round-5 tier gets driver CORRECTNESS rows.
+# Round 7 rotated ten more redundant relational slots out (a1, a3, a8,
+# a10, x3, x4, c2, c12, j11, j15 — each covered by a documented COVERAGE
+# merge onto a still-gated query AND, unlike round 6's deletions, still
+# catalog-resident past position 50 with its oracle, so each keeps 3-SF
+# local parity verification) so the judge-verified scale flagships
+# (dd_components, dd_semantic, gr_pagerank, cdc_upsert, ev_funnel,
+# pf_percentiles, pk_pack_audit, mx_mixture, rt_bm25_topk,
+# jx_salted_join) get driver CORRECTNESS rows. Any future change to this
+# set must be a conscious gate-vs-local-parity placement decision: edit
+# this list AND catalog.GATE in the same commit, never reorder silently.
 DRIVER_GATE = [
     "f1_filter_neq", "f3_year_floor_string", "d1_priority_dedup",
     "j2_broadcast_enrich", "j4_fallback_join", "j5_full_outer_fill",
-    "j10_fuzzy_levenshtein", "j11_substring_join", "j12_subtract_floor",
-    "j14_anti_waterfall", "j15_grid_scaffold", "a1_project_features",
-    "a3_group_sum_millions", "a8_rollup", "a9_latest_per_group",
-    "a10_geometric_growth", "w1_cumprod", "w2_rebase_anchor",
-    "x1_equal_split_explode", "x3_melt", "x4_group_concat",
-    "x5_struct_collapse", "x6_qa_long_fallback", "c2_regexp_extract_cast",
-    "c5_canonicalize", "c12_coalesce_waterfall", "cc1_relevance_cascade",
-    "cc2_relevance_ml", "cc3_amount_cascade", "cc4_manual_routing",
-    "cc6_patch_collapse", "ep2_cva_by_location",
+    "j10_fuzzy_levenshtein", "j12_subtract_floor", "j14_anti_waterfall",
+    "a9_latest_per_group", "w1_cumprod", "w2_rebase_anchor",
+    "x1_equal_split_explode", "x5_struct_collapse", "x6_qa_long_fallback",
+    "c5_canonicalize", "cc1_relevance_cascade", "cc2_relevance_ml",
+    "cc3_amount_cascade", "cc4_manual_routing", "cc6_patch_collapse",
+    "ep2_cva_by_location",
     "dd_exact_hash", "dd_minhash_lsh", "dd_simhash", "dd_embed_neardup",
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "tx_features",
     "m1_classifier_stub", "st_windowed_agg", "st_sessionize",
     "tj_asof_join", "tj_interval_join", "dd_decontam",
     "rt_rollup_hierarchy", "tx_pii_redact", "tx_repetition", "tx_chunk",
+    "dd_components", "dd_semantic", "gr_pagerank", "cdc_upsert",
+    "ev_funnel", "pf_percentiles", "pk_pack_audit", "mx_mixture",
+    "rt_bm25_topk", "jx_salted_join",
 ]
 
 

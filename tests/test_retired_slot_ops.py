@@ -6,6 +6,14 @@ Each retired SURVEY.md §2 row stays covered two ways: a documented merge
 onto a still-gated query (COVERAGE) AND a hand-computed expectation here,
 so the retirement never weakens the operator's verification below what a
 driver row provided.
+
+The round-7 rotation (a1/a3/a8/a10/x3/x4/c2/c12/j11/j15 out;
+dd_components/dd_semantic/gr_pagerank/cdc_upsert/ev_funnel/
+pf_percentiles/pk_pack_audit/mx_mixture/rt_bm25_topk/jx_salted_join in)
+needs NO new tests here: unlike the round-6 deletions, those ten retirees
+stay catalog-resident past position 50 with their DuckDB oracles, so
+tests/test_oracle_parity.py still value-checks each of them at every SF —
+strictly stronger coverage than a hand-computed expectation.
 """
 
 from __future__ import annotations
