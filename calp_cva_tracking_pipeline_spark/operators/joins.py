@@ -310,6 +310,7 @@ def jaro_winkler_join(
     threshold: float = 0.8,
     block_chars: int = 1,
     round_to: int = 6,
+    max_block_names: int | None = None,
 ) -> DataFrame:
     """Blocked fuzzy similarity join under Jaro–Winkler — the
     record-linkage matcher for short name-like strings, where
@@ -333,6 +334,23 @@ def jaro_winkler_join(
     O(|s|·|t|)-windowed scan — a per-PAIR scalar kernel with no builtin
     Spark equivalent. Scores round to ``round_to`` (the float-discipline
     rule for any value crossing a Python/JVM boundary).
+
+    ``max_block_names`` is the skew guard (the same family as LSH's
+    ``max_bucket_docs``): a block of B distinct names emits O(B²)
+    candidate pairs, so one hot first character over a 10⁷-name corpus
+    would pin a single task on a quadratic block. Blocks whose DISTINCT-
+    name population (counted over the union of both sides, so left and
+    right always agree on every name's final key) exceeds the cap are
+    re-blocked on ``block_chars + 1`` prefix characters — deterministic,
+    mirrored into the catalog oracle, and recall-safe for the
+    prefix-weighted JW regime: a pair scoring ≥ ~0.8 under the Winkler
+    prefix bonus almost always shares its leading characters, so the
+    pairs a widened block forfeits are overwhelmingly sub-threshold.
+    ONE widening level (the cheap, SQL-mirrorable form); a corpus whose
+    (block_chars+1)-prefix blocks are still above the cap needs a larger
+    ``block_chars`` or a different blocking key (soundex/minhash), not a
+    deeper cascade. The hot-prefix set is dimension-sized (≤ distinct
+    prefixes) and broadcast.
 
     Output: (name_a, name_b, jw) for distinct unordered pairs
     name_a < name_b with jw ≥ threshold.
@@ -363,6 +381,32 @@ def jaro_winkler_join(
         .distinct()
         .withColumn("__blk", F.substring("name_b", 1, block_chars))
     )
+    if max_block_names is not None:
+        hot = (
+            l.select(F.col("name_a").alias("__n"))
+            .union(r.select(F.col("name_b").alias("__n")))
+            .distinct()
+            .groupBy(F.substring("__n", 1, block_chars).alias("__blk"))
+            .agg(F.count("*").alias("__bn"))
+            .filter(F.col("__bn") > max_block_names)
+            .select("__blk", F.lit(True).alias("__hot"))
+        )
+
+        def _widen(df, name_col):
+            return (
+                df.join(F.broadcast(hot), "__blk", "left")
+                .withColumn(
+                    "__blk",
+                    F.when(
+                        F.col("__hot"),
+                        F.substring(name_col, 1, block_chars + 1),
+                    ).otherwise(F.col("__blk")),
+                )
+                .drop("__hot")
+            )
+
+        l = _widen(l, "name_a")
+        r = _widen(r, "name_b")
     pairs = l.join(r, "__blk").filter(F.col("name_a") < F.col("name_b"))
     return (
         pairs.withColumn("jw", jw_udf(F.col("name_a"), F.col("name_b")))

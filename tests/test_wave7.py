@@ -405,3 +405,44 @@ def test_jaro_join_blocked_never_cartesian(spark, sf_dir):
     rows = out.collect()
     assert all(r["name_a"] < r["name_b"] for r in rows)
     assert all(r["jw"] >= 0.8 for r in rows)
+
+
+def test_jaro_join_hot_block_cap_bounds_pair_emission(spark):
+    """The max_block_names skew guard: a hot first-char block re-keys on
+    a 2-char prefix, so candidate emission drops from C(B,2) to the sum
+    over sub-blocks — and the capped result is exactly the uncapped
+    result restricted to pairs sharing the widened prefix (determinism:
+    nothing is sampled or dropped by hash)."""
+    names = [
+        f"a{c}name{i:02d}" for c in "wxyz" for i in range(10)
+    ]  # one hot block 'a' (40 names), 4 even 2-char sub-blocks
+    df = spark.createDataFrame([(n,) for n in names], "p_name string")
+
+    # threshold 0 exposes the raw candidate set
+    uncapped = jaro_winkler_join(df, df, "p_name", "p_name", threshold=0.0)
+    capped = jaro_winkler_join(
+        df, df, "p_name", "p_name", threshold=0.0, max_block_names=20
+    )
+    un = {(r.name_a, r.name_b): r.jw for r in uncapped.collect()}
+    cap = {(r.name_a, r.name_b): r.jw for r in capped.collect()}
+    assert len(un) == 40 * 39 // 2  # C(40,2) = 780
+    assert len(cap) == 4 * (10 * 9 // 2)  # 4 sub-blocks × C(10,2) = 180
+    want = {k: v for k, v in un.items() if k[0][:2] == k[1][:2]}
+    assert cap == want
+
+    # under the cap the guard is a no-op
+    small = jaro_winkler_join(
+        df, df, "p_name", "p_name", threshold=0.0, max_block_names=100
+    )
+    assert {(r.name_a, r.name_b): r.jw for r in small.collect()} == un
+
+    # layout-independence of the guarded path
+    cap2 = jaro_winkler_join(
+        df.repartition(7),
+        df.repartition(3),
+        "p_name",
+        "p_name",
+        threshold=0.0,
+        max_block_names=20,
+    )
+    assert {(r.name_a, r.name_b): r.jw for r in cap2.collect()} == cap
