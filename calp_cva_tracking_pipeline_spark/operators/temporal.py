@@ -30,6 +30,7 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -420,11 +421,14 @@ def ewma_smooth(
     state needs its predecessor), so it runs as ``applyInPandas`` over
     key groups — the state is one integer, keys distribute freely, and
     the per-group pandas frame holds only that key's history (the same
-    per-entity-stream bound as sessionization; a key with an unbounded
-    history needs time-sliced checkpointing upstream, documented at
-    ``operators/packing.py`` for the analogous shard bound). Rows with
-    NULL values or timestamps are excluded before smoothing (they have
-    no place in a recurrence); the oracle mirrors the exclusion.
+    per-entity-stream bound as sessionization). A key with an UNBOUNDED
+    history (one entity, 10⁹ events) would pin one task on one giant
+    pandas frame — use ``ewma_smooth_chunked`` for that regime: it
+    slices time into epochs and carries the one-integer state across
+    slices, so no task ever holds more than one epoch of one key.
+    Rows with NULL values or timestamps are excluded before smoothing
+    (they have no place in a recurrence); the oracle mirrors the
+    exclusion.
 
     Output: keys + tiebreak + ``ewma`` (double, exact multiple of
     1/scale). Encoding to integer units happens JVM-side
@@ -463,6 +467,111 @@ def ewma_smooth(
         return pdf
 
     return enc.groupBy(*keys).applyInPandas(smooth, schema)
+
+
+def ewma_smooth_chunked(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    scale: int = 1_000_000,
+    epoch: str = "30 days",
+) -> DataFrame:
+    """``ewma_smooth`` for keys with UNBOUNDED histories: identical
+    integer-floor recurrence, identical output (proven equal row-for-row
+    by ``tests/test_wave8.py``), but time is sliced into ``epoch``-wide
+    chunks and the one-integer per-key state is carried across slices —
+    so no task ever materializes more than one epoch of one key's
+    history, and a single 10⁹-event entity distributes over
+    history/epoch tasks instead of pinning one.
+
+    Physical shape per epoch: filter (partition-prunable when the input
+    is date-partitioned) → broadcast-join the key-sized seed relation →
+    the same ``applyInPandas`` recurrence seeded from the carried state
+    → a key-sized ``max_by`` aggregate producing the next seed. ONLY the
+    seed is ``localCheckpoint``-ed each epoch (key-sized, stays
+    distributed — this is an iterative operator like PageRank, and the
+    checkpoint is what keeps the plan from re-running every earlier
+    epoch once per later epoch; epoch outputs themselves are never
+    materialized — the deterministic kernel recomputes each epoch once
+    at final collection, so nothing row-scaled is ever checkpointed).
+    The driver holds only the list of epoch boundaries —
+    calendar-bounded (time span / epoch), never row- or key-scaled.
+
+    Epochs partition time globally, so per-key slice order is exactly
+    history order and the recurrence composes: s at an epoch boundary is
+    the same integer whether the boundary exists or not — that algebraic
+    fact is WHY chunking is exact, and the equivalence test pins it.
+    """
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys, tiebreak_col).schema.fields
+    )
+    schema = f"{out_fields}, ewma double, __ts timestamp"
+    enc = (
+        df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            *keys,
+            tiebreak_col,
+            F.col(ts_col).alias("__ts"),
+            F.round(F.col(value_col).cast("double") * scale)
+            .cast("long")
+            .alias("__x"),
+            F.window(F.col(ts_col), epoch).start.alias("__epoch"),
+        )
+    )
+    epochs = [
+        r["__epoch"]
+        for r in enc.select("__epoch").distinct().orderBy("__epoch").collect()
+    ]
+    keep = alpha_den - alpha_num
+
+    def smooth(pdf):
+        pdf = pdf.sort_values(["__ts", tiebreak_col], kind="mergesort")
+        seed = pdf["__seed"].iloc[0]
+        s = None if pd.isna(seed) else int(seed)
+        out = []
+        for x in pdf["__x"]:
+            x = int(x)
+            s = x if s is None else (alpha_num * x + keep * s) // alpha_den
+            out.append(s / scale)
+        res = pdf[[*keys, tiebreak_col, "__ts"]].copy()
+        res["ewma"] = out
+        return res[[*keys, tiebreak_col, "ewma", "__ts"]]
+
+    spark = df.sparkSession
+    seed = spark.createDataFrame(
+        [],
+        df.select(*keys).schema.add("__seed", "long"),
+    )
+    parts: list[DataFrame] = []
+    order_struct = ", ".join(["__ts", tiebreak_col])
+    for e in epochs:
+        rows_e = enc.filter(F.col("__epoch") == F.lit(e)).drop("__epoch")
+        seeded = rows_e.join(F.broadcast(seed), keys, "left")
+        out_e = seeded.groupBy(*keys).applyInPandas(smooth, schema)
+        parts.append(out_e.select(*keys, tiebreak_col, "ewma"))
+        new_states = out_e.groupBy(*keys).agg(
+            F.round(
+                F.expr(f"max_by(ewma, struct({order_struct}))") * scale
+            )
+            .cast("long")
+            .alias("__seed")
+        )
+        # keys silent this epoch keep their carried state
+        carried = seed.join(new_states, keys, "left_anti")
+        seed = new_states.unionByName(carried).localCheckpoint(eager=True)
+    if not parts:
+        return df.sparkSession.createDataFrame(
+            [], df.select(*keys, tiebreak_col).schema.add("ewma", "double")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def rolling_anomaly(

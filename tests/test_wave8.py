@@ -206,3 +206,59 @@ def test_k_anonymity_flags_small_classes(spark):
     assert got[("US", "a")] == (10, False)
     assert got[("US", "b")] == (2, True)
     assert got[("FR", "a")] == (1, True)
+
+
+def test_ewma_chunked_equals_oneshot(spark):
+    """ewma_smooth_chunked slices time into epochs and carries the
+    one-integer state across them; the recurrence composes at epoch
+    boundaries, so it must equal the one-shot kernel ROW FOR ROW — on
+    data with negative values, keys silent for whole epochs (their state
+    must carry), ties, and keys that appear mid-stream."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        ewma_smooth_chunked,
+    )
+
+    rng = random.Random(43)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(600):
+        u = rng.randrange(6)
+        # user 3 goes silent between day 3 and day 11 (skips >2 epochs)
+        day = rng.choice([0, 1, 2, 11, 12]) if u == 3 else rng.uniform(0, 14)
+        rows.append(
+            (
+                u,
+                i,
+                t0 + dt.timedelta(days=day, seconds=rng.randrange(86400)),
+                round(rng.uniform(-200, 300), 2),
+            )
+        )
+    # user 5 appears only in the last epoch
+    rows = [r for r in rows if not (r[0] == 5 and r[3] < 250)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, value double"
+    )
+    oneshot = {
+        r.event_id: r.ewma
+        for r in ewma_smooth(df, ["user_id"], "ts", "value", "event_id").collect()
+    }
+    chunked = {
+        r.event_id: r.ewma
+        for r in ewma_smooth_chunked(
+            df, ["user_id"], "ts", "value", "event_id", epoch="2 days"
+        ).collect()
+    }
+    assert chunked == oneshot
+    # layout-independence of the chunked path
+    chunked2 = {
+        r.event_id: r.ewma
+        for r in ewma_smooth_chunked(
+            df.repartition(13, "event_id"),
+            ["user_id"],
+            "ts",
+            "value",
+            "event_id",
+            epoch="2 days",
+        ).collect()
+    }
+    assert chunked2 == oneshot
