@@ -459,6 +459,12 @@ def lm_quality_score(
         (F.col("__c2") + a) / (F.col("__c1") + a * F.col("__V"))
     )
     micro = F.round(F.round(nll, 6) * 1e6, 0).cast("long")
+    # NOTE (round-7 probe, SCALE.md): folding c1 + the nll arithmetic
+    # into a vocab-sized (w1,w2)→nll rate table BEFORE touching db looks
+    # cheaper on paper (one doc-scaled join instead of two) but measured
+    # 60% SLOWER at 8× sf0.1 (3.48s vs 2.14s interleaved A/B) — the rate
+    # subtree adds two vocab-keyed exchanges and breaks the AQE broadcast
+    # shape this chain gets for free. Keep the straight db⋈c2⋈c1 chain.
     return (
         db.join(c2, ["w1", "w2"])
         .join(c1, ["w1"])
