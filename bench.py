@@ -96,6 +96,16 @@ HEADLINE = [
     "lx_zorder",
     "gr_pagerank",
     "gr_triangles",
+    # round 7 additions (suite totals are not comparable to r6 without
+    # subtracting these), the wave-7/8 cost classes: tie-safe RANGE-frame
+    # rolling window, zero-window OHLC hash agg, per-key applyInPandas
+    # integer recurrence, blocked pandas-UDF pair-kernel join (skew cap
+    # live), posting-list build with WindowGroupLimit rank cut
+    "tj_rolling_window",
+    "rt_ohlc",
+    "ts_ewma",
+    "jx_jaro_join",
+    "rt_posting_lists",
 ]
 
 
@@ -244,18 +254,29 @@ def main() -> None:
     detail_path.write_text(json.dumps(detail, indent=1))
     print(f"# full detail (runs/scaling/proxy): {detail_path}", file=sys.stderr)
 
+    print(format_stdout_line(timings, sf, detail.get("vs_proxy_suite")))
+
+
+def format_stdout_line(
+    timings: dict[str, float], sf: float, vs_proxy_suite: float | None = None
+) -> str:
+    """The driver-facing stdout contract: ONE compact JSON line, well
+    under the driver's ~4KB stdout tail window (rounds 4-5 lost their
+    official perf record to an oversized line — see module docstring).
+    Kept as a pure function so tests/test_bench_contract.py can assert
+    the budget against the FULL headline list without running Spark."""
     out = {
         "metric": "headline_suite_seconds",
-        "value": total,
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
     }
-    if "vs_proxy_suite" in detail:
-        out["vs_proxy_suite"] = detail["vs_proxy_suite"]
+    if vs_proxy_suite is not None:
+        out["vs_proxy_suite"] = vs_proxy_suite
     line = json.dumps(out)
     assert len(line) < 2000, f"stdout line {len(line)}B breaches driver window"
-    print(line)
+    return line
 
 
 _IVF_INDEX_CACHE: dict[str, tuple] = {}
