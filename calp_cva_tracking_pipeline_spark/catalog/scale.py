@@ -3878,6 +3878,165 @@ FROM customer GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --- ninth wave: sequence mining, novelty attribution, categorical
+# association, cluster survivorship ---
+
+
+PATHS_MAX_LEN = 8
+PATHS_TOP_K = 20
+
+
+def ev_paths(spark, sf_dir):
+    """Top-20 daily behavioral paths (operators.funnel.session_paths):
+    first-8 event types per (user, day) in (ts, event_id) order, joined
+    with '>', frequency-ranked. The length cap runs as a row_number
+    predicate the optimizer executes as WindowGroupLimit, so a runaway
+    session contributes 8 rows to the collapse, never its history; the
+    collapse rides the window's exchange."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        session_paths,
+    )
+
+    e = T(spark, sf_dir, "events")
+    return session_paths(
+        e,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        id_col="event_id",
+        grain="DAY",
+        max_len=PATHS_MAX_LEN,
+        top_k=PATHS_TOP_K,
+    )
+
+
+EV_PATHS_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, date_trunc('day', ts) AS sess, event_type,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+paths AS (
+  SELECT user_id, sess,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= {PATHS_MAX_LEN} GROUP BY 1, 2)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT {PATHS_TOP_K}
+"""
+
+
+def tx_novelty(spark, sf_dir):
+    """Per-document first-occurrence 3-gram novelty (operators.textops.
+    ngram_novelty): the fraction of a doc's distinct shingles whose
+    corpus-min doc_id is this doc — the freshness signal between exact
+    and near dedup. Shingle-keyed MIN with map-side combine + one
+    deliberately-non-broadcast shingle join (TF-IDF's reasoning)."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        ngram_novelty,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return ngram_novelty(d, "doc_id", "text", k=3)
+
+
+TX_NOVELTY_SQL = f"""
+WITH pairs AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
+firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM pairs GROUP BY 1)
+SELECT p.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS novel_frac
+FROM pairs p JOIN firsts f ON p.s = f.s
+GROUP BY 1
+"""
+
+
+def pf_chi2(spark, sf_dir):
+    """Chi-square independence audit of event mix vs weekday
+    (operators.profiling.chi2_independence): one contingency
+    aggregation, margins broadcast back over cells, per-cell statistic
+    in the expanded integer form (obs·N − rt·ct)²/(N·rt·ct), summed as
+    micro-units. Spark dayofweek is 1-based Sunday; minus 1 equals
+    DuckDB's dayofweek."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        chi2_independence,
+    )
+
+    e = T(spark, sf_dir, "events").select(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    )
+    return chi2_independence(e, "event_type", "dow")
+
+
+PF_CHI2_SQL = """
+WITH src AS (
+  SELECT event_type AS a, CAST(dayofweek(ts) AS INT) AS b FROM events),
+cells AS (SELECT a, b, COUNT(*) AS o FROM src GROUP BY 1, 2),
+ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+               COUNT(DISTINCT {'v': a}) AS ka,
+               COUNT(DISTINCT {'v': b}) AS kb
+        FROM cells),
+contrib AS (
+  SELECT CAST(ROUND(ROUND(
+           CAST(o * n - rt * ct AS DOUBLE)
+             * CAST(o * n - rt * ct AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE)
+                * CAST(ct AS DOUBLE)), 6) * 1e6, 0) AS BIGINT) AS c,
+         n, (ka - 1) * (kb - 1) AS dof
+  FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot)
+SELECT n, dof, ROUND(CAST(SUM(c) AS BIGINT) / 1e6, 6) AS chi2
+FROM contrib GROUP BY 1, 2
+"""
+
+
+def dd_cluster_pick(spark, sf_dir):
+    """Canonical-survivor selection over near-dup clusters (operators.
+    dedup.cluster_representatives over connected_components of the
+    passage-overlap pair graph): every clustered doc labeled with its
+    cluster's best member by (n_chars desc, doc_id asc) — the decision
+    step that turns component labels into keep/drop verdicts. The
+    component table is candidate-sized; the pick is one component-keyed
+    row_number."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    edges = dd_passage_overlap(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(edges)
+    docs = T(spark, sf_dir, "documents")
+    return cluster_representatives(comp, docs, "doc_id", "n_chars")
+
+
+DD_CLUSTER_PICK_SQL = f"""
+WITH RECURSIVE {_PASSAGE_PAIR_CTES},
+dedup_pairs AS (SELECT DISTINCT id_a, id_b FROM pairs),
+edges(src, dst) AS (
+  SELECT id_a, id_b FROM dedup_pairs
+  UNION SELECT id_b, id_a FROM dedup_pairs),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node),
+scored AS (
+  SELECT c.node, c.component, d.n_chars,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.node ASC) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.node),
+reps AS (SELECT component, node AS rep_id FROM scored WHERE rn = 1)
+SELECT c.node, c.component, r.rep_id, c.node = r.rep_id AS keep
+FROM comp c JOIN reps r USING (component)
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -3968,4 +4127,9 @@ SCALE_QUERIES = {
     "rt_posting_lists": (rt_posting_lists, RT_POSTING_SQL),
     "emb_quantize": (emb_quantize, EMB_QUANTIZE_SQL),
     "pf_kanon": (pf_kanon, PF_KANON_SQL),
+    # ninth wave (round 7)
+    "ev_paths": (ev_paths, EV_PATHS_SQL),
+    "tx_novelty": (tx_novelty, TX_NOVELTY_SQL),
+    "pf_chi2": (pf_chi2, PF_CHI2_SQL),
+    "dd_cluster_pick": (dd_cluster_pick, DD_CLUSTER_PICK_SQL),
 }

@@ -936,3 +936,50 @@ def semantic_dedup(
             F.col("__dropped").isNull().alias("keep"),
         )
     )
+
+
+def cluster_representatives(
+    components: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    quality_col: str,
+    node_col: str = "node",
+    comp_col: str = "component",
+) -> DataFrame:
+    """Canonical-document selection over resolved duplicate clusters: for
+    every ``connected_components`` cluster, keep the member with the
+    best (``quality_col`` desc, id asc) and mark the rest as drops — the
+    decision step that turns cluster labels into an actual dedup verdict
+    (min-id survivorship is arbitrary; real pipelines keep the longest /
+    highest-quality copy of a near-dup family).
+
+    One quality lookup join (component table is candidate-sized — only
+    clustered docs appear — joined against the corpus on its id) plus
+    one component-keyed row_number window; the tie-break (quality desc,
+    id asc) is total, so the representative is deterministic across
+    layouts and engines. Output: (id, component, rep_id, keep) for every
+    clustered document.
+    """
+    labeled = components.join(
+        docs.select(
+            F.col(id_col).alias(node_col), F.col(quality_col).alias("__q")
+        ),
+        node_col,
+    )
+    w = Window.partitionBy(comp_col).orderBy(
+        F.col("__q").desc(), F.col(node_col).asc()
+    )
+    reps = (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(comp_col), F.col(node_col).alias("rep_id"))
+    )
+    return (
+        components.join(reps, comp_col)
+        .select(
+            F.col(node_col),
+            F.col(comp_col),
+            "rep_id",
+            (F.col(node_col) == F.col("rep_id")).alias("keep"),
+        )
+    )

@@ -229,3 +229,70 @@ def touch_attribution(
         F.col("__last").getField("t").alias("last_touch_type"),
         F.col("__last").getField("ts").alias("last_touch_ts"),
     )
+
+
+def session_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    grain: str = "DAY",
+    max_len: int = 8,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-K behavioral paths: the frequency-ranked event-type sequences
+    users actually take within a session (here a ``grain`` time bucket)
+    — the sequence-mining staple behind "what do users do after X"
+    product questions and behavioral-cloning dataset curation.
+
+    Each (user, bucket) session contributes ONE path: its first
+    ``max_len`` event types in (ts, id) order joined with ``>``. The
+    length cap is applied as a row_number predicate BELOW the collapse,
+    which Spark executes as WindowGroupLimit — per-partition top-N
+    pushdown, so a runaway session (one bot user, 10⁷ events in a
+    bucket) contributes ``max_len`` rows to the collect, never its whole
+    history (the same bounded-group discipline as the posting-list rank
+    cut, T82). The collapse groupBy shares the window's (user, bucket)
+    hashpartitioning — one session-keyed exchange total; the path-count
+    aggregation is session-sized and the final top-K is a TakeOrdered
+    over path-count rows, never a global sort.
+
+    Ordering is total ((ts, id), id unique), ties on count break on the
+    path string, so the top-K is deterministic across layouts/engines.
+
+    Output: (path, n_sessions), the ``top_k`` most frequent, ordered by
+    (n_sessions desc, path asc).
+    """
+    sess = F.date_trunc(grain, F.col(ts_col)).alias("__sess")
+    w = Window.partitionBy(user_col, "__sess").orderBy(ts_col, id_col)
+    ranked = (
+        df.select(
+            F.col(user_col),
+            sess,
+            F.col(ts_col),
+            F.col(id_col),
+            F.col(type_col).alias("__t"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_len)
+    )
+    paths = (
+        ranked.groupBy(user_col, "__sess")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__rn"), F.col("__t")))
+            ).alias("__seq")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.transform("__seq", lambda s: s["__t"])
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(top_k)
+    )

@@ -784,3 +784,66 @@ def k_anonymity(
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("risky", F.col("n") < k)
     )
+
+
+def chi2_independence(
+    df: DataFrame, col_a: str, col_b: str, round_to: int = 6
+) -> DataFrame:
+    """Pearson chi-square independence audit between two categorical
+    columns — the drift/leakage companion to PSI/KS for CATEGORICAL
+    features (is event mix independent of weekday? is label balance
+    independent of source shard?). One row: n, dof, chi2.
+
+    Everything derives from the contingency table — ONE hash aggregation
+    with full map-side combine (shuffle volume = |A|×|B| cells, never
+    rows); margins, N and the dof come from cell-sized re-aggregations
+    broadcast back over the cells. Per-cell statistic is computed in the
+    algebraically expanded form (obs·N − rt·ct)² / (N·rt·ct) — numerator
+    and denominator are products of EXACT integer counts (fits long for
+    N ≤ ~3·10⁹ per margin product), widened to double in one fixed
+    expression both engines evaluate identically; per-cell contributions
+    round to ``round_to`` and sum as integer micro-units, so the total
+    is addition-order-independent (the same discipline as the bigram-LM
+    micro-nats). NULL category values group as their own class (they are
+    a real category operationally).
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    ra = cells.groupBy("__a").agg(F.sum("__o").alias("__rt"))
+    cb = cells.groupBy("__b").agg(F.sum("__o").alias("__ct"))
+    # struct wrappers make the class counts NULL-safe: a NULL category is
+    # a real class here, and count_distinct skips bare NULLs
+    tot = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.count_distinct(F.struct("__a")).alias("__ka"),
+        F.count_distinct(F.struct("__b")).alias("__kb"),
+    )
+    joined = (
+        cells.join(F.broadcast(ra), "__a")
+        .join(F.broadcast(cb), "__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    num = (
+        F.col("__o") * F.col("__n") - F.col("__rt") * F.col("__ct")
+    ).cast("double")
+    den = (
+        F.col("__n").cast("double")
+        * F.col("__rt").cast("double")
+        * F.col("__ct").cast("double")
+    )
+    contrib_micro = F.round(
+        F.round(num * num / den, round_to) * 1e6, 0
+    ).cast("long")
+    return (
+        joined.select(
+            contrib_micro.alias("__c"),
+            F.col("__n"),
+            ((F.col("__ka") - 1) * (F.col("__kb") - 1)).alias("dof"),
+        )
+        .groupBy("__n", "dof")
+        .agg(
+            F.round(F.sum("__c") / F.lit(1e6), round_to).alias("chi2")
+        )
+        .select(F.col("__n").alias("n"), "dof", "chi2")
+    )

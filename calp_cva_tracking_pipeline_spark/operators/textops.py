@@ -619,3 +619,63 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select("doc_id", "token", "tf", "score", "rank")
     )
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """First-occurrence n-gram novelty: for every document, the fraction
+    of its distinct k-word shingles whose FIRST corpus occurrence (min
+    ``id_col`` — any total order works; ingestion ids make it temporal)
+    is this document. The dataset-curation signal between exact dedup
+    and near-dedup: boilerplate-heavy or templated documents score near
+    0 (everything they say was said before), genuinely new material
+    scores near 1 — threshold ``novel_frac`` to debias a crawl toward
+    fresh content, or trend it over ingestion batches to detect a source
+    going stale.
+
+    Scale shape: distinct (doc, shingle) pairs off one scan (tokens
+    materialized once — never split() inside a HOF lambda); the
+    first-occurrence table is a shingle-keyed MIN aggregation with full
+    map-side combine; attributing pairs back is one shingle-keyed join
+    deliberately NOT broadcast (the shingle table scales with corpus
+    content — same reasoning as TF-IDF's vocab join, T71); the per-doc
+    collapse is doc-sized. Hot shingles ("the end of") spread like any
+    aggregation key — MIN partial-combines, and the join fans a hot
+    shingle's row out to its occurrences, which is output-volume, not
+    skew amplification.
+
+    Output: (id, n_shingles, n_novel, novel_frac 6dp).
+    """
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        shingles_from_tokens,
+        word_tokens,
+    )
+
+    toks = df.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    )
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("__toks"), k))
+        ).alias("__s"),
+    )
+    firsts = pairs.groupBy("__s").agg(F.min(id_col).alias("__first"))
+    novel = (F.col("__first") == F.col(id_col)).cast("int")
+    return (
+        pairs.join(firsts, "__s")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(novel).cast("long").alias("n_novel"),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+            ).alias("novel_frac"),
+        )
+    )
