@@ -4037,6 +4037,127 @@ FROM comp c JOIN reps r USING (component)
 """
 
 
+# --- tenth wave: graph mixing, forensic digit audit, label centroids ---
+
+
+_GR_EDGES_SQL = (
+    "SELECT a.l_partkey AS src, b.l_partkey AS dst "
+    "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a "
+    "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+)
+
+
+def gr_assortativity(spark, sf_dir):
+    """Degree assortativity of the part co-occurrence graph (operators.
+    graph.degree_assortativity): Pearson correlation of endpoint degrees
+    over symmetrized edges from four DECIMAL-exact sufficient statistics
+    — do hub parts co-occur with hub parts? Completes the graph tier's
+    mixing-structure axis next to PageRank (importance) and triangles
+    (closure)."""
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    lp = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return degree_assortativity(edges)
+
+
+def _gr_assortativity_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        assortativity_sql,
+    )
+
+    return assortativity_sql(_GR_EDGES_SQL)
+
+
+GR_ASSORT_SQL = _gr_assortativity_sql()
+
+
+def pf_benford(spark, sf_dir):
+    """Benford first-digit audit of order totals (operators.profiling.
+    benford_audit): digit = first char of the integer cent string (no
+    libm, bit-portable bucketing), 9-row map-side-combined aggregation,
+    expected log10(1+1/d) frequencies embedded as Python-computed
+    literals in BOTH engines."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        benford_audit,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    return benford_audit(o, "o_totalprice")
+
+
+def _pf_benford_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        BENFORD_EXPECTED,
+    )
+
+    exp_list = ", ".join(str(x) for x in BENFORD_EXPECTED)
+    return f"""
+WITH cents AS (
+  SELECT CAST(ABS(ROUND(o_totalprice * 100)) AS BIGINT) AS c FROM orders),
+digits AS (
+  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM cents WHERE c > 0),
+counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+SELECT digit, n,
+       ROUND(CAST(n AS DOUBLE) / t, 6) AS frac,
+       -- CAST: DuckDB types bare list literals DECIMAL, Spark lit() DOUBLE
+       CAST([{exp_list}][digit] AS DOUBLE) AS expected,
+       ROUND(ROUND(CAST(n AS DOUBLE) / t, 6)
+             - CAST([{exp_list}][digit] AS DOUBLE), 6) AS dev
+FROM counts CROSS JOIN tot
+ORDER BY digit
+"""
+
+
+PF_BENFORD_SQL = _pf_benford_sql()
+
+
+def emb_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids, long format (operators.linalg.
+    label_centroids): posexplode → groupBy(label, dim), |labels|·d
+    output rows, full map-side combine — the class-level companion to
+    emb_dim_stats (collapsed/drifting centroids flag encoder or label
+    problems; the table doubles as a nearest-centroid baseline)."""
+    from calp_cva_tracking_pipeline_spark.operators.linalg import (
+        label_centroids,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    return label_centroids(e, "embedding", "label")
+
+
+EMB_CENTROIDS_SQL = """
+WITH v AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+  WHERE embedding IS NOT NULL),
+idx AS (
+  SELECT label, vec, unnest(generate_series(1, len(vec))) AS i FROM v)
+SELECT label, CAST(i - 1 AS INT) AS dim,
+       COUNT(*) AS n,
+       ROUND(AVG(vec[i]), 6) AS mean
+FROM idx
+GROUP BY 1, 2
+ORDER BY label, dim
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -4132,4 +4253,8 @@ SCALE_QUERIES = {
     "tx_novelty": (tx_novelty, TX_NOVELTY_SQL),
     "pf_chi2": (pf_chi2, PF_CHI2_SQL),
     "dd_cluster_pick": (dd_cluster_pick, DD_CLUSTER_PICK_SQL),
+    # tenth wave (round 7)
+    "gr_assortativity": (gr_assortativity, GR_ASSORT_SQL),
+    "pf_benford": (pf_benford, PF_BENFORD_SQL),
+    "emb_label_centroids": (emb_label_centroids, EMB_CENTROIDS_SQL),
 }

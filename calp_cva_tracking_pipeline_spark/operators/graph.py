@@ -354,3 +354,116 @@ def pagerank_sql(
         f"{body}\n"
         f"SELECT node, CAST(rank AS BIGINT) AS rank_nano FROM r{n_iter}"
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_to: int = 6,
+) -> DataFrame:
+    """Degree assortativity coefficient of the undirected graph (Newman
+    2002): the Pearson correlation of endpoint degrees over edges —
+    positive when hubs attach to hubs (social cores), negative when hubs
+    attach to leaves (hub-and-spoke crawls/infrastructure). One row:
+    (n_nodes, n_edges, assortativity).
+
+    Every edge contributes BOTH (deg u, deg v) and (deg v, deg u) — the
+    standard symmetrization, which makes Σx = Σy / Σx² = Σy² so the
+    correlation needs just four sufficient statistics. Degrees are exact
+    integers, the statistics accumulate as DECIMAL(38,0) (order-
+    independent, no long overflow at Σd² ≤ 2E·n²), and the final r
+    derives in one fixed double expression — the same bit-exactness
+    discipline as pf_corr/group_ols. Physical shape: degree aggregation,
+    two degree-attach joins on the symmetrized edge list, one global
+    aggregate; degree-join skew is the wedge-join story without the
+    quadratic expansion (each edge emits exactly two rows). Zero-variance
+    degree distributions (regular graphs) return NULL rather than 0/0.
+    """
+    u, v = "__u", "__v"
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias(u),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias(v),
+        )
+        .filter(F.col(u) != F.col(v))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col(u).alias("n"))
+        .union(e.select(F.col(v).alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    sym = e.select(F.col(u).alias("a"), F.col(v).alias("b")).union(
+        e.select(F.col(v).alias("a"), F.col(u).alias("b"))
+    )
+    xy = (
+        sym.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "x"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "y"), "b")
+        .select("x", "y")
+    )
+    # products multiply as decimal(19,0) (exact, no long overflow at
+    # hub-degree extremes; DuckDB widens to int128 only above p=18)
+    dx = F.col("x").cast("decimal(19,0)")
+    dy = F.col("y").cast("decimal(19,0)")
+    dec = "decimal(38,0)"
+    s = xy.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum((dx * dx).cast(dec)).alias("sxx"),
+        F.sum((dx * dy).cast(dec)).alias("sxy"),
+    )
+    m = F.col("m").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    den = m * sxx - sx * sx
+    r = F.when(den > 0, F.round((m * sxy - sx * sx) / den, round_to))
+    counts = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.expr("CAST(sum(d) div 2 AS BIGINT)").alias("n_edges"),
+    )
+    return counts.crossJoin(F.broadcast(s)).select(
+        "n_nodes", "n_edges", r.alias("assortativity")
+    )
+
+
+def assortativity_sql(edges_cte: str) -> str:
+    """DuckDB oracle twin of ``degree_assortativity`` (same
+    symmetrization, same decimal sufficient statistics, same fixed
+    double expression)."""
+    return f"""
+WITH raw AS ({edges_cte}),
+e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst),
+deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+  GROUP BY 1),
+sym AS (
+  SELECT u AS a, v AS b FROM e
+  UNION ALL SELECT v AS a, u AS b FROM e),
+xy AS (
+  SELECT da.d AS x, db.d AS y
+  FROM sym JOIN deg da ON da.n = sym.a JOIN deg db ON db.n = sym.b),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+              AS DOUBLE) AS sxy
+  FROM xy),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d) // 2 AS BIGINT) AS n_edges
+  FROM deg)
+SELECT n_nodes, n_edges,
+       CASE WHEN CAST(m AS DOUBLE) * sxx - sx * sx > 0
+            THEN ROUND((CAST(m AS DOUBLE) * sxy - sx * sx)
+                       / (CAST(m AS DOUBLE) * sxx - sx * sx), 6)
+       END AS assortativity
+FROM c CROSS JOIN s
+"""

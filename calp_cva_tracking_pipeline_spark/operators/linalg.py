@@ -203,3 +203,31 @@ def quantize_int8(
     return df.select(
         id_col, q.alias("qvec"), lit_scales.alias("scales")
     )
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str, label_col: str, round_to: int = 6
+) -> DataFrame:
+    """Per-label embedding centroids, long-format: (label, dim, n, mean)
+    — the class-level companion to ``dim_stats``: collapsed or drifting
+    label centroids flag an encoder/label problem before any classifier
+    trains on the space, and the centroid table doubles as a
+    nearest-centroid baseline classifier.
+
+    Same physical shape as ``dim_stats`` (posexplode → groupBy, here on
+    (label, dim)): |labels|·d output rows, full map-side combine, no
+    join, no driver materialization. Null vectors contribute nothing;
+    NULL labels form their own group (they are a real data state).
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "__v"),
+    ).select("label", "dim", F.col("__v").cast("double").alias("__v"))
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.count("__v").alias("n"),
+            F.round(F.avg("__v"), round_to).alias("mean"),
+        )
+        .orderBy("label", "dim")
+    )

@@ -847,3 +847,58 @@ def chi2_independence(
         )
         .select(F.col("__n").alias("n"), "dof", "chi2")
     )
+
+
+import math as _math
+
+BENFORD_EXPECTED = [
+    round(_math.log10(1 + 1 / d), 6) for d in range(1, 10)
+]
+
+
+def benford_audit(
+    df: DataFrame, value_col: str, cents: int = 100, round_to: int = 6
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic forensic data-quality audit for amount-like columns
+    (fabricated or unit-confused values drift from log10(1+1/d); a
+    uniform synthetic column fails it loudly, which is itself signal).
+
+    Digit extraction avoids float log10 entirely (log10 of a value near
+    a power of ten can land on either side per engine): values scale to
+    integer ``cents`` units and the digit is the first character of the
+    INTEGER's decimal string — integer→string is unambiguous in every
+    engine, so the bucketing is bit-portable. Zero/null values are
+    excluded (they have no significant digit; negative values audit by
+    magnitude). One map-side-combined 9-row aggregation; expected
+    frequencies are Python-computed literals so no libm runs in either
+    engine. Output: (digit, n, frac, expected, dev) for digits present.
+    """
+    c = F.abs(
+        F.round(F.col(value_col).cast("double") * cents).cast("long")
+    )
+    digits = (
+        df.select(c.alias("__c"))
+        .filter(F.col("__c") > 0)
+        .select(
+            F.substring(F.col("__c").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("__t"))
+    exp_arr = F.array(*[F.lit(x) for x in BENFORD_EXPECTED])
+    frac = F.round(F.col("n") / F.col("__t"), round_to)
+    expected = F.element_at(exp_arr, F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            frac.alias("frac"),
+            expected.alias("expected"),
+            F.round(frac - expected, round_to).alias("dev"),
+        )
+        .orderBy("digit")
+    )
