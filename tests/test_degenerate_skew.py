@@ -50,6 +50,7 @@ def skew_dir(spark, sf_dir, tmp_path_factory):
         pa.table({
             "vec_id": pa.array(list(range(400)), pa.int64()),
             "embedding": pa.array([vec] * 400, pa.list_(pa.float32())),
+            "label": pa.array(["cls0"] * 400, pa.string()),
         }),
         str(tmp / "embeddings.parquet"),
     )
