@@ -4158,6 +4158,74 @@ ORDER BY label, dim
 """
 
 
+RESAMPLE_STEP_US = 3600 * 1_000_000
+
+
+def tj_resample(spark, sf_dir):
+    """Hourly linear-interpolation resampling of event values per type
+    (operators.rollup.resample_interpolate): union-window formulation —
+    one key exchange, forward+backward carry windows, zero joins (the
+    tj_asof_nearest plan family); grid instants coinciding with an
+    observation copy it byte-for-byte (exact=true), interior instants
+    interpolate in one fixed double expression."""
+    from calp_cva_tracking_pipeline_spark.operators.rollup import (
+        resample_interpolate,
+    )
+
+    e = T(spark, sf_dir, "events")
+    return resample_interpolate(
+        e,
+        keys=("event_type",),
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+        grain="1 hour",
+    )
+
+
+TJ_RESAMPLE_SQL = f"""
+WITH obs AS (
+  SELECT event_type, epoch_us(ts) AS t, max_by(value, event_id) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+rngs AS (SELECT event_type, MIN(t) AS lo, MAX(t) AS hi FROM obs GROUP BY 1),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(
+           ((lo + {RESAMPLE_STEP_US - 1}) // {RESAMPLE_STEP_US})
+             * {RESAMPLE_STEP_US},
+           (hi // {RESAMPLE_STEP_US}) * {RESAMPLE_STEP_US},
+           {RESAMPLE_STEP_US})) AS t
+  FROM rngs
+  WHERE ((lo + {RESAMPLE_STEP_US - 1}) // {RESAMPLE_STEP_US})
+          * {RESAMPLE_STEP_US}
+        <= (hi // {RESAMPLE_STEP_US}) * {RESAMPLE_STEP_US}),
+u AS (
+  SELECT event_type, t, 0 AS side, v, t AS ot FROM obs
+  UNION ALL
+  SELECT event_type, t, 1 AS side, NULL AS v, NULL AS ot FROM grid),
+c AS (
+  SELECT event_type, t, side,
+         last_value(v IGNORE NULLS) OVER w1 AS pv,
+         last_value(ot IGNORE NULLS) OVER w1 AS pt,
+         last_value(v IGNORE NULLS) OVER w2 AS nv,
+         last_value(ot IGNORE NULLS) OVER w2 AS nt
+  FROM u
+  WINDOW w1 AS (PARTITION BY event_type ORDER BY t ASC, side ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w2 AS (PARTITION BY event_type ORDER BY t DESC, side ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_type, make_timestamp(t) AS ts,
+       CASE WHEN t = pt THEN pv
+            ELSE ROUND(pv + (nv - pv)
+                       * (CAST(t - pt AS DOUBLE)
+                          / CAST(nt - pt AS DOUBLE)), 6) END AS value,
+       t = pt AS exact
+FROM c
+WHERE side = 1 AND pv IS NOT NULL AND nv IS NOT NULL
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -4257,4 +4325,5 @@ SCALE_QUERIES = {
     "gr_assortativity": (gr_assortativity, GR_ASSORT_SQL),
     "pf_benford": (pf_benford, PF_BENFORD_SQL),
     "emb_label_centroids": (emb_label_centroids, EMB_CENTROIDS_SQL),
+    "tj_resample": (tj_resample, TJ_RESAMPLE_SQL),
 }

@@ -22,7 +22,7 @@ the classic continuous-aggregate split.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from calp_cva_tracking_pipeline_spark.functions.numeric import money_sum
@@ -300,4 +300,119 @@ def ohlc_downsample(
         F.min("__v").alias("low_v"),
         F.max("__ohlc").getField("v").alias("close_v"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    grain: str = "1 hour",
+    round_to: int = 6,
+) -> DataFrame:
+    """Resample an irregular series onto the regular ``grain`` grid with
+    LINEAR interpolation — the numeric companion to ``gap_fill_locf``
+    (LOCF holds a step function; interpolation draws the line), the
+    hypertable ``interpolate()`` idiom and the standard pre-join
+    alignment for sensors sampled on different clocks.
+
+    Semantics: per key, one row per grid instant between that key's
+    first and last observation (interior only — extrapolation is a
+    modeling decision, not a resample). Observations are first collapsed
+    to one value per (key, instant) by last-``tiebreak`` so the input to
+    interpolation is a function of time; a grid instant that coincides
+    with an observation COPIES its value (``exact`` = true, no float
+    path at all), otherwise value = prev + (next−prev)·(t−tp)/(tn−tp)
+    evaluated in one fixed double expression and rounded — the same
+    cross-engine discipline as every libm-adjacent column.
+
+    Physical shape — the union-window formulation (no join, the asof
+    pattern): observations and grid rows union, ONE key exchange, a
+    forward and a backward carry window over the same partitioning (two
+    Sorts, zero Joins — exactly ``tj_asof_nearest``'s plan family). The
+    grid explodes from per-key (min, max) — rows = output size; a
+    single hot key's grid is span/grain rows regardless of its
+    observation count, and the carry windows hold O(1) state.
+    """
+    secs = _grain_seconds(grain)
+    step = secs * 1_000_000
+    kcols = [F.col(k) for k in keys]
+    obs = (
+        df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(*kcols, F.unix_micros(F.col(ts_col)).alias("__t"))
+        .agg(
+            F.expr(f"max_by({value_col}, {tiebreak_col})").alias("__v")
+        )
+    )
+    rng = obs.groupBy(*kcols).agg(
+        F.min("__t").alias("__lo"), F.max("__t").alias("__hi")
+    )
+    lo_g = F.expr(f"((__lo + {step - 1}) div {step}) * {step}")
+    hi_g = F.expr(f"(__hi div {step}) * {step}")
+    grid = (
+        rng.select(*kcols, lo_g.alias("__glo"), hi_g.alias("__ghi"))
+        .filter(F.col("__glo") <= F.col("__ghi"))
+        .select(
+            *kcols,
+            F.explode(
+                F.sequence(F.col("__glo"), F.col("__ghi"), F.lit(step))
+            ).alias("__t"),
+        )
+    )
+    u = obs.select(
+        *kcols,
+        "__t",
+        F.lit(0).alias("__side"),
+        F.col("__v"),
+        F.col("__t").alias("__ot"),
+    ).unionByName(
+        grid.select(
+            *kcols,
+            "__t",
+            F.lit(1).alias("__side"),
+            F.lit(None).cast("double").alias("__v"),
+            F.lit(None).cast("long").alias("__ot"),
+        )
+    )
+    w_fwd = (
+        Window.partitionBy(*kcols)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_bwd = (
+        Window.partitionBy(*kcols)
+        .orderBy(F.col("__t").desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        *kcols,
+        "__t",
+        "__side",
+        F.last("__v", ignorenulls=True).over(w_fwd).alias("__pv"),
+        F.last("__ot", ignorenulls=True).over(w_fwd).alias("__pt"),
+        F.last("__v", ignorenulls=True).over(w_bwd).alias("__nv"),
+        F.last("__ot", ignorenulls=True).over(w_bwd).alias("__nt"),
+    )
+    frac = (F.col("__t") - F.col("__pt")).cast("double") / (
+        F.col("__nt") - F.col("__pt")
+    ).cast("double")
+    value = F.when(F.col("__t") == F.col("__pt"), F.col("__pv")).otherwise(
+        F.round(
+            F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac, round_to
+        )
+    )
+    return (
+        carried.filter(
+            (F.col("__side") == 1)
+            & F.col("__pv").isNotNull()
+            & F.col("__nv").isNotNull()
+        )
+        .select(
+            *kcols,
+            F.timestamp_micros(F.col("__t")).alias(ts_col),
+            value.alias(value_col),
+            (F.col("__t") == F.col("__pt")).alias("exact"),
+        )
     )

@@ -156,3 +156,84 @@ def test_label_centroids_null_label_is_a_group(spark):
         for r in label_centroids(df, "embedding", "label").collect()
     }
     assert out == {None: 2.0, "x": 4.0}
+
+
+# ---------------------------------------------------------------------------
+# resample_interpolate
+# ---------------------------------------------------------------------------
+
+
+def test_resample_interpolate_hand_computed(spark):
+    import datetime as dt
+
+    from calp_cva_tracking_pipeline_spark.operators.rollup import (
+        resample_interpolate,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # key "a": obs at 00:30 (10.0) and 02:30 (30.0) →
+        # grid 01:00 = 15.0, 02:00 = 25.0 (interior linear)
+        ("a", at(30), 10.0, 1),
+        ("a", at(150), 30.0, 2),
+        # key "b": obs exactly ON the grid at 01:00 → copied, exact
+        ("b", at(0), 5.0, 3),
+        ("b", at(60), 7.5, 4),
+        # duplicate instant: larger tiebreak wins (4 then 5 at 01:00)
+        ("b", at(60), 9.5, 5),
+        ("b", at(90), 1.0, 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, value double, event_id bigint"
+    )
+    out = resample_interpolate(
+        df, ("k",), "ts", "value", "event_id", grain="1 hour"
+    )
+    got = {
+        (r.k, r.ts.strftime("%H:%M")): (r.value, r.exact)
+        for r in out.collect()
+    }
+    assert got == {
+        ("a", "01:00"): (15.0, False),
+        ("a", "02:00"): (25.0, False),
+        ("b", "00:00"): (5.0, True),
+        ("b", "01:00"): (9.5, True),  # last-tiebreak value, copied
+    }
+    # zero joins, one exchange family: union + two windows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+    # layout independence
+    got2 = {
+        (r.k, r.ts.strftime("%H:%M")): (r.value, r.exact)
+        for r in resample_interpolate(
+            df.repartition(7), ("k",), "ts", "value", "event_id", "1 hour"
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_resample_interpolate_single_obs_key_yields_nothing_or_exact(spark):
+    import datetime as dt
+
+    from calp_cva_tracking_pipeline_spark.operators.rollup import (
+        resample_interpolate,
+    )
+
+    # one observation NOT on the grid: no interior instants → no rows;
+    # one observation ON the grid: exactly one exact row
+    rows = [
+        ("off", dt.datetime(2024, 1, 1, 0, 30), 1.0, 1),
+        ("on", dt.datetime(2024, 1, 1, 1, 0), 2.0, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, value double, event_id bigint"
+    )
+    out = resample_interpolate(
+        df, ("k",), "ts", "value", "event_id", "1 hour"
+    ).collect()
+    assert [(r.k, r.value, r.exact) for r in out] == [("on", 2.0, True)]
