@@ -2731,6 +2731,58 @@ FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
 """
 
 
+KNN_K = 5
+
+
+def emb_knn_graph(spark, sf_dir):
+    """Approximate k-NN graph over the embedding corpus (operators.
+    similarity.knn_graph): within-IVF-cell cosine top-k per
+    representative vector — the substrate for semantic clustering
+    (components), centrality sampling (PageRank) and redundancy scoring;
+    comparisons bounded by sum(|cell|²) exactly like SemDeDup."""
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        knn_graph,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    return knn_graph(
+        e, "vec_id", "embedding", k=KNN_K, n_centroids=IVF_CENTROIDS
+    )
+
+
+EMB_KNN_SQL = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT CAST(vec_id AS BIGINT) AS centroid_id, v AS cv
+  FROM c ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+uniq AS (
+  SELECT MIN(vec_id) AS vec_id, embedding FROM embeddings GROUP BY embedding),
+u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM uniq),
+assign AS (
+  SELECT vec_id, centroid_id AS cell, v FROM (
+    SELECT a.vec_id, cent.centroid_id, a.v,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_IVF_D2.format(a='a.v', b='cent.cv')}, cent.centroid_id
+           ) AS rn
+    FROM u a CROSS JOIN cent) t
+  WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM assign a JOIN assign b
+    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM pairs)
+SELECT id AS vec_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
 # --- CDC / incremental maintenance (operators/cdc.py) -----------------------
 
 def cdc_scd2(spark, sf_dir):
@@ -4326,4 +4378,5 @@ SCALE_QUERIES = {
     "pf_benford": (pf_benford, PF_BENFORD_SQL),
     "emb_label_centroids": (emb_label_centroids, EMB_CENTROIDS_SQL),
     "tj_resample": (tj_resample, TJ_RESAMPLE_SQL),
+    "emb_knn_graph": (emb_knn_graph, EMB_KNN_SQL),
 }

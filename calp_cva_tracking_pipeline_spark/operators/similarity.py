@@ -883,3 +883,78 @@ def pq_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+    pre_collapse_exact: bool = True,
+) -> DataFrame:
+    """Approximate k-NN graph over an embedding corpus — the
+    all-points-to-all-points sibling of `ivf_topk` (queries ARE the
+    corpus) and the substrate for graph-based curation: feed the edges
+    into `connected_components`/`cluster_representatives` for semantic
+    clustering, into PageRank for centrality-weighted sampling, or use
+    degree as a redundancy score.
+
+    Approximation contract: neighbors are found WITHIN the vector's IVF
+    cell (the nprobe=1 regime — the same cells-bound-the-quadratic
+    design as SemDeDup, whose comparison count is sum(|cell|²), never
+    N²). A node near a cell boundary can miss a cross-cell true
+    neighbor; raise `n_centroids` to shrink cells or post-refine with an
+    NN-descent pass if recall at the boundary matters. Exact duplicates
+    pre-collapse to their min-id representative (a k-replica family
+    would otherwise spend its whole neighbor list on itself — the
+    standard duplicate-mass guard of the embedding tier).
+
+    Determinism: cosine rounds to 6 dp and ranks break ties on neighbor
+    id, so the edge set is identical across layouts/engines (the oracle
+    replays cell assignment, cosine and rank cut verbatim).
+
+    Physical shape: one corpus shuffle for cell assignment (free with a
+    persisted bucketed IVF index — pass `centroids`), the within-cell
+    self-join, then one id-keyed rank-cut exchange bounded by the
+    within-cell pair count. Output: (id, neighbor_id, sim, rank ≤ k).
+    """
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+    from pyspark.sql import Window
+
+    base = spread_small_input(df).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    )
+    if pre_collapse_exact:
+        base = base.groupBy("__vec").agg(F.min("__id").alias("__id"))
+    if centroids is None:
+        centroids = train_centroids(df, id_col, vec_col, n_centroids)
+    assigned = assign_cells(base, centroids, "__id", "__vec").select(
+        "__id", "__vec", "__cell"
+    )
+    l, r = assigned.alias("l"), assigned.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.__cell") == F.col("r.__cell"))
+            & (F.col("l.__id") != F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id"),
+            F.col("r.__id").alias("neighbor_id"),
+            F.round(
+                cosine_similarity(F.col("l.__vec"), F.col("r.__vec")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "neighbor_id", "sim", "rank")
+    )
