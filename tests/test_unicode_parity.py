@@ -43,6 +43,9 @@ TEXT_FAMILY = [
     "dd_decontam", "tx_pii_redact", "tx_repetition", "tx_chunk",
     "tx_vocab", "tx_lm_score", "dd_passage_overlap", "pk_length_buckets",
     "dd_containment", "tx_quality_gate", "tx_entropy", "mx_curriculum",
+    # round 7: first-occurrence shingle novelty shares the tokenizer +
+    # shingle kernel, so it must survive the same adversarial corpus
+    "tx_novelty",
 ]
 
 
