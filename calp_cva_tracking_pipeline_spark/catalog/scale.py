@@ -2783,6 +2783,181 @@ FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+# --- twelfth-wave additions: association mining, quota curation,
+# fixed-bin histogram, behavioral segmentation ---
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def tx_collocations(spark, sf_dir):
+    """Top-50 PMI bigram collocations (operators.textops.
+    pmi_collocations): association mining over exact integer counts, one
+    ln() rounded to 6dp (the lm_score libm discipline), min-count floor
+    against singleton bias, total (pmi desc, w1, w2) order."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        pmi_collocations,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return pmi_collocations(
+        d, "text", min_count=PMI_MIN_COUNT, top_k=PMI_TOP_K
+    )
+
+
+TX_COLLOCATIONS_SQL = rf"""
+WITH fl AS (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(tk) AS w FROM fl) GROUP BY 1),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS T FROM uni),
+bi AS (
+  SELECT tk[g] AS w1, tk[g + 1] AS w2
+  FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS g
+        FROM fl WHERE len(tk) >= 2)),
+c2t AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= {PMI_MIN_COUNT}),
+btot AS (SELECT CAST(SUM(c2) AS BIGINT) AS B FROM c2t)
+SELECT c.w1, c.w2, c.c2 AS n,
+       ROUND(ln(CAST(c.c2 AS DOUBLE) * CAST(T AS DOUBLE) * CAST(T AS DOUBLE)
+                / (CAST(B AS DOUBLE) * CAST(a.c1 AS DOUBLE)
+                   * CAST(b.c1 AS DOUBLE))), 6) AS pmi
+FROM c2t c
+JOIN uni a ON a.w = c.w1
+JOIN uni b ON b.w = c.w2
+CROSS JOIN tot CROSS JOIN btot
+ORDER BY pmi DESC, c.w1, c.w2
+LIMIT {PMI_TOP_K}
+"""
+
+
+QUOTA_PER_SOURCE = 10
+
+
+def mx_domain_quota(spark, sf_dir):
+    """Per-source quota curation (operators.sampling.quota_cap): keep
+    the 10 best documents per source by (n_chars desc, doc_id asc) —
+    the C4-style no-domain-dominates cap; the rank predicate executes
+    as WindowGroupLimit so a mega-source ships its cap per upstream
+    partition, never its population."""
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        quota_cap,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return quota_cap(
+        d,
+        "source",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        QUOTA_PER_SOURCE,
+    )
+
+
+MX_QUOTA_SQL = f"""
+SELECT doc_id, source, n_chars, CAST(rn AS INT) AS rank
+FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents)
+WHERE rn <= {QUOTA_PER_SOURCE}
+"""
+
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 1000.0, 20
+
+
+def pf_histogram(spark, sf_dir):
+    """Fixed-edge equi-width histogram of event values (operators.
+    profiling.fixed_histogram): one map-side-combined aggregation at 20
+    output rows, no driver coordination (the zero-round-trip sibling of
+    the exact-percentile kernel); out-of-range mass clamps to the edge
+    bins so every non-null row is counted."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        fixed_histogram,
+    )
+
+    e = T(spark, sf_dir, "events")
+    return fixed_histogram(e, "value", HIST_LO, HIST_HI, HIST_BINS)
+
+
+_HIST_W = (HIST_HI - HIST_LO) / HIST_BINS
+
+PF_HISTOGRAM_SQL = f"""
+WITH b AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((CAST(value AS DOUBLE) - {HIST_LO})
+                                   / {_HIST_W}) AS INT), 0),
+               {HIST_BINS - 1}) AS bin
+  FROM events WHERE value IS NOT NULL)
+SELECT bin,
+       -- CAST: DuckDB types bare numeric literals DECIMAL
+       ROUND(CAST({HIST_LO} + bin * {_HIST_W} AS DOUBLE), 6) AS bin_lo,
+       ROUND(CAST({HIST_LO} + (bin + 1) * {_HIST_W} AS DOUBLE), 6)
+         AS bin_hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+RFM_R_DAYS = (7, 30, 90)
+RFM_F_COUNTS = (3, 10, 30)
+RFM_M_VALUES = (100.0, 1000.0, 10000.0)
+
+
+def ev_rfm(spark, sf_dir):
+    """Recency/Frequency/Monetary segmentation per user (operators.
+    funnel.rfm_segments): recency anchors on the corpus max timestamp
+    (one-row broadcast — replayable, no wall clock), one user
+    aggregation with the decimal money discipline, caller-fixed
+    ascending band cutoffs."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        rfm_segments,
+    )
+
+    e = T(spark, sf_dir, "events")
+    return rfm_segments(
+        e,
+        user_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        r_days=RFM_R_DAYS,
+        f_counts=RFM_F_COUNTS,
+        m_values=RFM_M_VALUES,
+    )
+
+
+EV_RFM_SQL = f"""
+WITH anchor AS (SELECT MAX(ts) AS a FROM events),
+pu AS (
+  SELECT user_id, MAX(ts) AS last_ts,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS monetary
+  FROM events GROUP BY 1),
+r AS (
+  SELECT user_id, frequency, monetary,
+         CAST(FLOOR(CAST(epoch_us(a) - epoch_us(last_ts) AS DOUBLE)
+                    / 86400000000.0) AS INT) AS recency_days
+  FROM pu CROSS JOIN anchor)
+SELECT user_id, recency_days, frequency, monetary,
+       1 + CAST(recency_days <= {RFM_R_DAYS[2]} AS INT)
+         + CAST(recency_days <= {RFM_R_DAYS[1]} AS INT)
+         + CAST(recency_days <= {RFM_R_DAYS[0]} AS INT) AS r_band,
+       1 + CAST(frequency >= {RFM_F_COUNTS[0]} AS INT)
+         + CAST(frequency >= {RFM_F_COUNTS[1]} AS INT)
+         + CAST(frequency >= {RFM_F_COUNTS[2]} AS INT) AS f_band,
+       1 + CAST(monetary >= {RFM_M_VALUES[0]} AS INT)
+         + CAST(monetary >= {RFM_M_VALUES[1]} AS INT)
+         + CAST(monetary >= {RFM_M_VALUES[2]} AS INT) AS m_band
+FROM r
+"""
+
+
 # --- CDC / incremental maintenance (operators/cdc.py) -----------------------
 
 def cdc_scd2(spark, sf_dir):
@@ -4379,4 +4554,9 @@ SCALE_QUERIES = {
     "emb_label_centroids": (emb_label_centroids, EMB_CENTROIDS_SQL),
     "tj_resample": (tj_resample, TJ_RESAMPLE_SQL),
     "emb_knn_graph": (emb_knn_graph, EMB_KNN_SQL),
+    # twelfth wave (round 7)
+    "tx_collocations": (tx_collocations, TX_COLLOCATIONS_SQL),
+    "mx_domain_quota": (mx_domain_quota, MX_QUOTA_SQL),
+    "pf_histogram": (pf_histogram, PF_HISTOGRAM_SQL),
+    "ev_rfm": (ev_rfm, EV_RFM_SQL),
 }

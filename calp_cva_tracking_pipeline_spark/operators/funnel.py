@@ -296,3 +296,76 @@ def session_paths(
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(top_k)
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    r_days: tuple = (7, 30, 90),
+    f_counts: tuple = (3, 10, 30),
+    m_values: tuple = (100.0, 1000.0, 10000.0),
+) -> DataFrame:
+    """Recency/Frequency/Monetary segmentation — the classic behavioral
+    triage (band 4 = best) used to pick power users, churn risks and
+    whale accounts; in a data-pipeline context it triages SOURCES by
+    contribution recency/volume before sampling weights are assigned.
+
+    Recency anchors on the CORPUS max timestamp (one-row aggregate,
+    broadcast — deterministic and replayable, unlike wall-clock now());
+    frequency/monetary are one map-side-combined user aggregation with
+    the decimal money discipline. Bands come from caller-fixed ascending
+    thresholds (quantile-derived bands belong to the percentile kernel;
+    fixed cutoffs keep this one-pass and streaming-friendly): band =
+    1 + #(thresholds passed), where recency passes by being UNDER the
+    cutoff and frequency/monetary by being OVER it.
+
+    Output: (user, recency_days, frequency, monetary, r_band, f_band,
+    m_band) — one row per user.
+    """
+    anchor = df.agg(F.max(ts_col).alias("__anchor"))
+    per_user = (
+        df.groupBy(user_col)
+        .agg(
+            F.max(ts_col).alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "recency_days",
+            F.floor(
+                (
+                    F.unix_micros(F.col("__anchor"))
+                    - F.unix_micros(F.col("__last"))
+                )
+                / F.lit(86400 * 1_000_000)
+            ).cast("int"),
+        )
+    )
+
+    def band_under(col, cuts):
+        b = F.lit(1)
+        for c in sorted(cuts, reverse=True):
+            b = b + (col <= F.lit(c)).cast("int")
+        return b
+
+    def band_over(col, cuts):
+        b = F.lit(1)
+        for c in sorted(cuts):
+            b = b + (col >= F.lit(c)).cast("int")
+        return b
+
+    return per_user.select(
+        F.col(user_col),
+        "recency_days",
+        "frequency",
+        "monetary",
+        band_under(F.col("recency_days"), r_days).alias("r_band"),
+        band_over(F.col("frequency"), f_counts).alias("f_band"),
+        band_over(F.col("monetary"), m_values).alias("m_band"),
+    )

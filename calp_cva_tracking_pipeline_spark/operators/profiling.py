@@ -902,3 +902,53 @@ def benford_audit(
         )
         .orderBy("digit")
     )
+
+
+def fixed_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 20,
+) -> DataFrame:
+    """Equi-width histogram with CALLER-FIXED edges — the profiling
+    staple when the range is known (amounts, scores, latencies), and the
+    zero-coordination sibling of the exact-percentile kernel: one
+    map-side-combined aggregation at ``bins`` output rows, no driver
+    round-trips, so it composes into dashboards/streaming sinks freely.
+
+    Bin i covers [lo + i·w, lo + (i+1)·w); values below ``lo`` clamp to
+    bin 0, values ≥ ``hi`` clamp to the last bin (the audit must count
+    every non-null row somewhere — out-of-range mass IS the signal);
+    NULLs are excluded. The bin index is one floor over exact double
+    arithmetic both engines evaluate identically. Empty bins are not
+    emitted (count tables stay sparse); downstream grids can left-join a
+    sequence to densify.
+
+    Output: (bin, bin_lo, bin_hi, n) ordered by bin.
+    """
+    if not (hi > lo) or bins <= 0:
+        raise ValueError(f"need hi > lo and bins > 0: {lo}, {hi}, {bins}")
+    w = (hi - lo) / bins
+    idx = F.least(
+        F.greatest(
+            F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(w))
+            .cast("int"),
+            F.lit(0),
+        ),
+        F.lit(bins - 1),
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(w), 6).alias("bin_lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(w), 6).alias(
+                "bin_hi"
+            ),
+            "n",
+        )
+        .orderBy("bin")
+    )

@@ -450,3 +450,32 @@ def group_split(
         else F.lit(names[-1])
     )
     return df.withColumn("split", assign)
+
+
+def quota_cap(
+    df: DataFrame,
+    group_col: str,
+    order_cols,
+    n_per_group: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-group quota sampling: keep the best ``n_per_group`` rows of
+    every group under a caller-supplied total order — the C4-style
+    per-domain cap (no single host may dominate the corpus) and the
+    general "top-N per key" curation primitive.
+
+    The rank predicate sits directly on a row_number window, which the
+    optimizer executes as WindowGroupLimit: a partial top-N runs BELOW
+    the group exchange, so a mega-group (one spam domain with 10⁸ pages)
+    ships ``n_per_group`` rows per upstream partition, never its whole
+    population — the same bounded-group discipline as posting lists and
+    session paths. The order must be total (include a unique id) or the
+    cut is partition-order-dependent.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n_per_group)
+    )

@@ -679,3 +679,84 @@ def ngram_novelty(
             ).alias("novel_frac"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-K bigram collocations by pointwise mutual information —
+    corpus-level association mining (Church & Hanks 1990): which word
+    pairs co-occur far above chance. The vocabulary-building companion
+    to BPE (multi-word expressions worth a single token) and a cheap
+    domain fingerprint for corpus comparison.
+
+    PMI = ln(p(w1,w2) / (p(w1)·p(w2))) computed as
+    ln(c2·T² / (B·c1(w1)·c1(w2))) — one double expression over EXACT
+    integer counts (ln is the only libm call; rounded to 6 dp, the same
+    cross-engine discipline as the bigram-LM nll). ``min_count`` floors
+    the bigram count (PMI is notoriously singleton-biased — a pair seen
+    once between two hapaxes maxes the statistic); ties break on
+    (pmi desc, w1, w2) so the top-K cut is total.
+
+    Scale shape: the same two tokenizations as the bigram LM (unigram
+    counts + bigram counts, both map-side-combined token exchanges);
+    the count-attach joins carry vocabulary rows, never text; the final
+    top-K is a TakeOrdered over the floored bigram table.
+    """
+    base = df.select(
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda x: x != "",
+        ).alias("__toks")
+    )
+    uni = (
+        base.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__c1"))
+    )
+    tot = uni.agg(
+        F.sum("__c1").alias("__T"), F.count(F.lit(1)).alias("__V")
+    )
+    bi = (
+        base.select(
+            "__toks", F.posexplode("__toks").alias("__i", "w1")
+        )
+        .filter(F.col("__i") < F.size("__toks") - 1)
+        .select(
+            "w1",
+            F.element_at("__toks", F.col("__i") + F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__c2"))
+        .filter(F.col("__c2") >= min_count)
+    )
+    btot = bi.agg(F.sum("__c2").alias("__B"))
+    joined = (
+        bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("__c1", "__ca"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("__c1", "__cb"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+    )
+    ratio = (
+        F.col("__c2").cast("double")
+        * F.col("__T").cast("double")
+        * F.col("__T").cast("double")
+        / (
+            F.col("__B").cast("double")
+            * F.col("__ca").cast("double")
+            * F.col("__cb").cast("double")
+        )
+    )
+    return (
+        joined.select(
+            "w1",
+            "w2",
+            F.col("__c2").alias("n"),
+            F.round(F.log(ratio), 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_k)
+    )
