@@ -2958,6 +2958,80 @@ FROM r
 """
 
 
+SLIDING_DAYS = 7
+
+
+def ev_sliding_distinct(spark, sf_dir):
+    """Trailing-7-day distinct active users per day (operators.sketch.
+    sliding_distinct): per-day HLL register tables merged across the
+    window by bucket-wise MAX over a dense day×512 grid — register-scale
+    state forever, one scan, versus a naive per-window count_distinct
+    that re-reads every row window_days times."""
+    from calp_cva_tracking_pipeline_spark.operators.sketch import (
+        sliding_distinct,
+    )
+
+    e = T(spark, sf_dir, "events")
+    return sliding_distinct(
+        e, ts_col="ts", key_col="user_id", window_days=SLIDING_DAYS
+    )
+
+
+def _ev_sliding_distinct_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.sketch import (
+        HLL_M,
+        _HLL_NUM,
+        _HLL_RHO_MAX,
+    )
+
+    w = _HLL_RHO_MAX
+    h60 = (
+        "CAST(CAST(('0x' || substring(md5(val), 1, 15)) AS UBIGINT) "
+        "AS BIGINT)"
+    )
+    return f"""
+WITH src AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(user_id AS VARCHAR) AS val
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+hashed AS (SELECT d, {h60} AS h FROM src),
+regs AS (
+  SELECT d, h % {HLL_M} AS bucket,
+         MAX(CASE WHEN h // {HLL_M} = 0 THEN {w}
+             ELSE {w} - length(bin(h // {HLL_M})) END) AS m
+  FROM hashed GROUP BY 1, 2),
+bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM regs),
+days AS (SELECT unnest(generate_series(lo, hi)) AS d FROM bounds),
+buckets AS (
+  SELECT CAST(unnest(generate_series(0, {HLL_M - 1})) AS BIGINT)
+    AS bucket),
+merged AS (
+  SELECT dy.d, b.bucket, MAX(r.m) AS mm
+  FROM days dy CROSS JOIN buckets b
+  LEFT JOIN regs r ON r.bucket = b.bucket
+                  AND r.d BETWEEN dy.d - {SLIDING_DAYS - 1} AND dy.d
+  GROUP BY 1, 2),
+folded AS (
+  SELECT d,
+         CAST(SUM(CAST(pow(2, {w} - COALESCE(mm, 0)) AS BIGINT))
+              AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN mm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS zeros
+  FROM merged GROUP BY 1)
+SELECT DATE '1970-01-01' + CAST(d AS INT) AS day,
+       ROUND(CASE WHEN {_HLL_NUM!r} / total <= 2.5 * {HLL_M}
+                       AND zeros > 0
+                  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / zeros)
+                  ELSE {_HLL_NUM!r} / total END, 6) AS approx_distinct
+FROM folded
+ORDER BY day
+"""
+
+
+EV_SLIDING_DISTINCT_SQL = _ev_sliding_distinct_sql()
+
+
 # --- CDC / incremental maintenance (operators/cdc.py) -----------------------
 
 def cdc_scd2(spark, sf_dir):
@@ -4559,4 +4633,5 @@ SCALE_QUERIES = {
     "mx_domain_quota": (mx_domain_quota, MX_QUOTA_SQL),
     "pf_histogram": (pf_histogram, PF_HISTOGRAM_SQL),
     "ev_rfm": (ev_rfm, EV_RFM_SQL),
+    "ev_sliding_distinct": (ev_sliding_distinct, EV_SLIDING_DISTINCT_SQL),
 }

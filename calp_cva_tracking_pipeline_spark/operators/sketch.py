@@ -36,7 +36,7 @@ import math
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -409,3 +409,101 @@ SELECT e.v AS token, x.exact_n, e.est_n, e.est_n - x.exact_n AS overcount
 FROM est e JOIN exact x ON x.v = e.v
 ORDER BY token
 """
+
+
+def sliding_distinct(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window distinct-key counts per day — (day,
+    approx_distinct) for "7-day active users" style series — computed
+    the ONLY way that scales: per-day HLL register tables (one scan,
+    map-side combined) merged across the window by bucket-wise MAX (the
+    register algebra), then estimated per day. A naive
+    count_distinct-per-window re-scans every row ``window_days`` times
+    and holds a per-window exact set; this holds ≤ 512 integers per day
+    FOREVER, and the same register table serves every window length
+    after the fact.
+
+    Merge correctness is the HLL property ``hll_sketch`` documents
+    (bucket-wise MAX is idempotent/commutative/associative), so the
+    window merge is a RANGE-frame MAX per bucket over a DENSE day×bucket
+    grid (days are calendar-bounded, buckets = 512 — the grid is
+    register-scale, never data-scale; empty buckets fold in as
+    ``coalesce(m, 0)`` ≡ the 2^rho_max empty-bucket term). Days with no
+    events estimate 0 via the linear-counting branch. Determinism: the
+    md5 ``stable_hash64`` register pipeline and the single-division
+    estimate are the exact ones the DuckDB oracle replays.
+
+    Output: (day date, approx_distinct double), one row per calendar day
+    in the data span, ordered by day.
+    """
+    from calp_cva_tracking_pipeline_spark.functions.hashing import (
+        stable_hash64,
+    )
+
+    w = _HLL_RHO_MAX
+    day = F.datediff(
+        F.to_date(F.col(ts_col)), F.to_date(F.lit("1970-01-01"))
+    )
+    hashed = (
+        df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            day.alias("__d"),
+            stable_hash64(F.col(key_col).cast("string")).alias("h"),
+        )
+    )
+    rho = F.when(F.expr(f"h div {HLL_M}") == 0, F.lit(w)).otherwise(
+        F.lit(w) - F.length(F.expr(f"bin(h div {HLL_M})"))
+    )
+    regs = (
+        hashed.withColumn("bucket", F.expr(f"h % {HLL_M}"))
+        .withColumn("rho", rho)
+        .groupBy("__d", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    bounds = regs.agg(F.min("__d").alias("lo"), F.max("__d").alias("hi"))
+    buckets = df.sparkSession.range(HLL_M).select(
+        F.col("id").alias("bucket")
+    )
+    grid = (
+        bounds.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("__d")
+        )
+        .crossJoin(F.broadcast(buckets))
+    )
+    joined = grid.join(regs, ["__d", "bucket"], "left")
+    wspec = (
+        Window.partitionBy("bucket")
+        .orderBy("__d")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    merged = joined.withColumn("mm", F.max("m").over(wspec))
+    folded = merged.groupBy("__d").agg(
+        F.expr(
+            f"CAST(sum(CAST(pow(2, {w} - coalesce(mm, 0)) AS BIGINT)) "
+            f"AS BIGINT)"
+        ).alias("total"),
+        F.expr(
+            "CAST(sum(CASE WHEN mm IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("zeros"),
+    )
+    return (
+        folded.select(
+            F.date_add(
+                F.to_date(F.lit("1970-01-01")), F.col("__d").cast("int")
+            ).alias("day"),
+            F.round(
+                F.when(
+                    (F.lit(_HLL_NUM) / F.col("total") <= 2.5 * HLL_M)
+                    & (F.col("zeros") > 0),
+                    F.lit(float(HLL_M))
+                    * F.log(F.lit(float(HLL_M)) / F.col("zeros")),
+                ).otherwise(F.lit(_HLL_NUM) / F.col("total")),
+                6,
+            ).alias("approx_distinct"),
+        )
+        .orderBy("day")
+    )

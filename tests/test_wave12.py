@@ -144,3 +144,83 @@ def test_rfm_anchor_is_corpus_max_not_wall_clock(spark):
     )
     out = rfm_segments(df, "user_id", "ts", "value").collect()[0]
     assert out.recency_days == 0  # anchored on corpus max, not now()
+
+
+# ---------------------------------------------------------------------------
+# sliding_distinct
+# ---------------------------------------------------------------------------
+
+
+def test_sliding_distinct_tracks_exact_and_is_layout_independent(spark):
+    import random
+
+    from calp_cva_tracking_pipeline_spark.operators.sketch import (
+        sliding_distinct,
+    )
+
+    rng = random.Random(5)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(6000):
+        d = rng.randrange(20)
+        rows.append(
+            (
+                i,
+                t0 + dt.timedelta(days=d, seconds=rng.randrange(86400)),
+                rng.randrange(50 + 40 * d),  # growing population
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint"
+    )
+    out = {
+        r.day.isoformat(): r.approx_distinct
+        for r in sliding_distinct(df, "ts", "user_id", 7).collect()
+    }
+    assert len(out) == 20  # dense calendar
+
+    # exact trailing-7-day distinct for comparison
+    by_day: dict = {}
+    for _, ts, u in rows:
+        by_day.setdefault(ts.date(), set()).add(u)
+    days = sorted(by_day)
+    for i, d in enumerate(days):
+        exact = len(
+            set().union(
+                *(by_day.get(days[j], set())
+                  for j in range(max(0, i - 6), i + 1))
+            )
+        )
+        est = out[d.isoformat()]
+        # HLL at 512 buckets: ~4.6% relative sigma → 3-sigma band + floor
+        assert abs(est - exact) <= max(0.15 * exact, 12), (d, est, exact)
+
+    out2 = {
+        r.day.isoformat(): r.approx_distinct
+        for r in sliding_distinct(
+            df.repartition(13), "ts", "user_id", 7
+        ).collect()
+    }
+    assert out2 == out  # register pipeline is bit-deterministic
+
+
+def test_sliding_distinct_empty_days_estimate_zero(spark):
+    from calp_cva_tracking_pipeline_spark.operators.sketch import (
+        sliding_distinct,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (1, t0, 1),
+        (2, t0 + dt.timedelta(days=10), 2),  # 9-day silence between
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint"
+    )
+    out = {
+        r.day.isoformat(): r.approx_distinct
+        for r in sliding_distinct(df, "ts", "user_id", 7).collect()
+    }
+    assert len(out) == 11  # dense day grid spans the silence
+    # day 8: window [day2, day8] holds nothing → linear-count 0
+    assert out["2024-03-09"] == 0.0
