@@ -106,6 +106,14 @@ HEADLINE = [
     "ts_ewma",
     "jx_jaro_join",
     "rt_posting_lists",
+    # round 7 wave-9/12 additions (ditto), each a distinct cost class:
+    # session-collapse path mining over a WindowGroupLimit cut, shingle
+    # first-occurrence attribution join, HLL register-grid sliding
+    # window, within-cell kNN self-join + rank cut
+    "ev_paths",
+    "tx_novelty",
+    "ev_sliding_distinct",
+    "emb_knn_graph",
 ]
 
 
