@@ -3032,6 +3032,80 @@ ORDER BY day
 EV_SLIDING_DISTINCT_SQL = _ev_sliding_distinct_sql()
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def emb_kmeans(spark, sf_dir):
+    """Two Lloyd iterations of distributed k-means over the embedding
+    corpus (operators.similarity.train_centroids iters=2), long format
+    (centroid_id, dim, mean): each refinement's per-dimension means
+    accumulate as DECIMAL and round to 6dp before becoming the next
+    centroid coordinate, so the WHOLE iteration chain is bit-exact and
+    the oracle unrolls it as two assignment+mean CTE rounds — the
+    PageRank/EWMA reproducibility discipline applied to the canonical
+    float-iterative ML algorithm."""
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        train_centroids,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    cent = train_centroids(
+        e, "vec_id", "embedding", KMEANS_K, iters=KMEANS_ITERS
+    )
+    return cent.select(
+        "centroid_id",
+        F.posexplode(F.col("__cent")).alias("dim", "mean_v"),
+    ).select(
+        "centroid_id", "dim", F.round(F.col("mean_v"), 6).alias("mean_v")
+    )
+
+
+def _emb_kmeans_sql() -> str:
+    def assign(cent: str, out: str) -> str:
+        return f"""
+{out} AS (
+  SELECT vec_id, cid AS cell, v FROM (
+    SELECT x.vec_id, {cent}.cid, x.v,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY {_IVF_D2.format(a='x.v', b=f'{cent}.cv')}, {cent}.cid
+           ) AS rn
+    FROM c x CROSS JOIN {cent}) t
+  WHERE rn = 1)"""
+
+    def refine(prev_cent: str, assign_t: str, mean_t: str, out: str) -> str:
+        return f"""
+{mean_t} AS (
+  SELECT cell, d,
+         ROUND(CAST(SUM(CAST(v[d] AS DECIMAL(27,9))) AS DOUBLE)
+               / COUNT(*), 6) AS mean
+  FROM (SELECT cell, v, unnest(generate_series(1, len(v))) AS d
+        FROM {assign_t})
+  GROUP BY 1, 2),
+{out} AS (
+  SELECT p.cid, COALESCE(n.nv, p.cv) AS cv
+  FROM {prev_cent} p LEFT JOIN
+    (SELECT cell, list(mean ORDER BY d) AS nv FROM {mean_t} GROUP BY 1) n
+    ON n.cell = p.cid)"""
+
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent0 AS (
+  SELECT CAST(vec_id AS BIGINT) AS cid, v AS cv
+  FROM c ORDER BY vec_id LIMIT {KMEANS_K}),
+{assign('cent0', 'a1')},
+{refine('cent0', 'a1', 'm1', 'cent1')},
+{assign('cent1', 'a2')},
+{refine('cent1', 'a2', 'm2', 'cent2')}
+SELECT cid AS centroid_id, CAST(i - 1 AS INT) AS dim,
+       ROUND(cv[i], 6) AS mean_v
+FROM (SELECT cid, cv, unnest(generate_series(1, len(cv))) AS i FROM cent2)
+"""
+
+
+EMB_KMEANS_SQL = _emb_kmeans_sql()
+
+
 # --- CDC / incremental maintenance (operators/cdc.py) -----------------------
 
 def cdc_scd2(spark, sf_dir):
@@ -4634,4 +4708,5 @@ SCALE_QUERIES = {
     "pf_histogram": (pf_histogram, PF_HISTOGRAM_SQL),
     "ev_rfm": (ev_rfm, EV_RFM_SQL),
     "ev_sliding_distinct": (ev_sliding_distinct, EV_SLIDING_DISTINCT_SQL),
+    "emb_kmeans": (emb_kmeans, EMB_KMEANS_SQL),
 }

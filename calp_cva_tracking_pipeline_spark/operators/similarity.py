@@ -303,11 +303,18 @@ def train_centroids(
     100 TB-killer for the one-time index build.) The centroid id IS the
     source vector id: probe ordering and cell joins only need a distinct,
     deterministically ordered key, and reusing the id keeps the plan free of
-    any global renumbering step. ``iters`` Lloyd refinement passes follow —
-    each is one assign (broadcast centroids) + per-dimension mean (explode →
-    groupBy(cell, pos) → rebuild). Refinement improves cell balance but is
-    float-iteration-order sensitive, so oracle-verified flows pin iters=0;
-    quality-tuned deployments train offline and persist the centroids.
+    any global renumbering step.
+
+    ``iters`` Lloyd refinement passes follow — each is one assign
+    (broadcast centroids) + per-dimension mean + rebuild. Refinement is
+    ORACLE-EXACT since round 7: each per-dimension mean accumulates as
+    DECIMAL (order-independent — addition order cannot change it),
+    divides once in double and rounds to 6 dp before becoming the next
+    centroid coordinate, so every iteration is a deterministic function
+    of the previous one that an unrolled SQL CTE replays bit-for-bit
+    (the PageRank/EWMA integer discipline applied to Lloyd). A cell
+    that loses all members keeps its previous centroid (left join +
+    coalesce) — an iteration must never shrink k.
     """
     cent = (
         corpus.select(F.col(id_col).alias("__cid0"), F.col(vec_col).alias("__cent"))
@@ -317,13 +324,21 @@ def train_centroids(
     )
     for _ in range(iters):
         assigned = assign_cells(corpus, cent, id_col, vec_col)
-        cent = (
+        means = (
             assigned.select(
                 F.col("__cell").alias("centroid_id"),
                 F.posexplode(F.col(vec_col)).alias("__pos", "__val"),
             )
             .groupBy("centroid_id", "__pos")
-            .agg(F.avg("__val").alias("__mean"))
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("__val").cast("double").cast("decimal(27,9)")
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("__mean")
+            )
             .groupBy("centroid_id")
             .agg(
                 F.array_sort(
@@ -333,9 +348,16 @@ def train_centroids(
             .select(
                 "centroid_id",
                 F.transform(F.col("__pm"), lambda s: s["__mean"]).alias(
-                    "__cent"
+                    "__new"
                 ),
             )
+        )
+        cent = cent.join(means, "centroid_id", "left").select(
+            "centroid_id",
+            F.coalesce(
+                F.col("__new"),
+                F.transform(F.col("__cent"), lambda v: v.cast("double")),
+            ).alias("__cent"),
         )
     return cent
 
