@@ -2732,21 +2732,30 @@ FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
 
 
 KNN_K = 5
+KNN_NPROBE = 2
 
 
 def emb_knn_graph(spark, sf_dir):
     """Approximate k-NN graph over the embedding corpus (operators.
-    similarity.knn_graph): within-IVF-cell cosine top-k per
-    representative vector — the substrate for semantic clustering
-    (components), centrality sampling (PageRank) and redundancy scoring;
-    comparisons bounded by sum(|cell|²) exactly like SemDeDup."""
+    similarity.knn_graph, nprobe=2): cosine top-k per representative
+    vector over pairs sharing any of each node's 2 nearest cells —
+    nprobe=2 deterministically recovers cell-boundary neighbors the
+    pure within-cell regime misses; comparisons stay sum(|cell|²)-scale
+    exactly like SemDeDup. The substrate for semantic clustering
+    (components), centrality sampling (PageRank) and redundancy
+    scoring."""
     from calp_cva_tracking_pipeline_spark.operators.similarity import (
         knn_graph,
     )
 
     e = T(spark, sf_dir, "embeddings")
     return knn_graph(
-        e, "vec_id", "embedding", k=KNN_K, n_centroids=IVF_CENTROIDS
+        e,
+        "vec_id",
+        "embedding",
+        k=KNN_K,
+        n_centroids=IVF_CENTROIDS,
+        nprobe=KNN_NPROBE,
     )
 
 
@@ -2759,15 +2768,18 @@ uniq AS (
   SELECT MIN(vec_id) AS vec_id, embedding FROM embeddings GROUP BY embedding),
 u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM uniq),
 assign AS (
+  -- each node meets its {KNN_NPROBE} nearest cells' populations
   SELECT vec_id, centroid_id AS cell, v FROM (
     SELECT a.vec_id, cent.centroid_id, a.v,
            ROW_NUMBER() OVER (PARTITION BY a.vec_id
              ORDER BY {_IVF_D2.format(a='a.v', b='cent.cv')}, cent.centroid_id
            ) AS rn
     FROM u a CROSS JOIN cent) t
-  WHERE rn = 1),
+  WHERE rn <= {KNN_NPROBE}),
 pairs AS (
-  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+  -- DISTINCT: a pair sharing both probed cells appears once per cell
+  -- with the identical sim
+  SELECT DISTINCT a.vec_id AS id, b.vec_id AS neighbor_id,
          ROUND(list_dot_product(a.v, b.v) /
                (sqrt(list_dot_product(a.v, a.v))
                 * sqrt(list_dot_product(b.v, b.v))), 6) AS sim

@@ -913,6 +913,7 @@ def knn_graph(
     vec_col: str,
     k: int = 5,
     n_centroids: int = 16,
+    nprobe: int = 1,
     centroids: DataFrame | None = None,
     pre_collapse_exact: bool = True,
 ) -> DataFrame:
@@ -923,24 +924,32 @@ def knn_graph(
     clustering, into PageRank for centrality-weighted sampling, or use
     degree as a redundancy score.
 
-    Approximation contract: neighbors are found WITHIN the vector's IVF
-    cell (the nprobe=1 regime — the same cells-bound-the-quadratic
-    design as SemDeDup, whose comparison count is sum(|cell|²), never
-    N²). A node near a cell boundary can miss a cross-cell true
-    neighbor; raise `n_centroids` to shrink cells or post-refine with an
-    NN-descent pass if recall at the boundary matters. Exact duplicates
-    pre-collapse to their min-id representative (a k-replica family
-    would otherwise spend its whole neighbor list on itself — the
-    standard duplicate-mass guard of the embedding tier).
+    Approximation contract: candidates are pairs sharing at least one of
+    each node's ``nprobe`` nearest cells (the same cells-bound-the-
+    quadratic design as SemDeDup — comparisons are sum(|cell|²)-scale,
+    never N²). ``nprobe=1`` is the pure within-cell regime; a node near
+    a cell boundary can miss a cross-cell true neighbor there, and
+    ``nprobe=2`` closes exactly that: every node also meets its
+    second-closest cell's population, recovering boundary neighbors
+    DETERMINISTICALLY (unlike a stochastic NN-descent repair, which a
+    cell-partitioned seed graph cannot bootstrap anyway — strictly
+    within-cell edges never cross cells by 2-hop expansion) at ≤
+    nprobe²× the comparison cost. Exact duplicates pre-collapse to
+    their min-id representative (a k-replica family would otherwise
+    spend its whole neighbor list on itself — the standard
+    duplicate-mass guard of the embedding tier).
 
     Determinism: cosine rounds to 6 dp and ranks break ties on neighbor
     id, so the edge set is identical across layouts/engines (the oracle
-    replays cell assignment, cosine and rank cut verbatim).
+    replays multi-cell assignment, cosine and rank cut verbatim); pairs
+    meeting in several shared cells dedup by (id, neighbor) before
+    ranking.
 
     Physical shape: one corpus shuffle for cell assignment (free with a
-    persisted bucketed IVF index — pass `centroids`), the within-cell
-    self-join, then one id-keyed rank-cut exchange bounded by the
-    within-cell pair count. Output: (id, neighbor_id, sim, rank ≤ k).
+    persisted bucketed IVF index — pass `centroids` for nprobe=1), the
+    shared-cell self-join, then one id-keyed rank-cut exchange bounded
+    by the candidate-pair count. Output: (id, neighbor_id, sim,
+    rank ≤ k).
     """
     from calp_cva_tracking_pipeline_spark.operators.partitioning import (
         spread_small_input,
@@ -954,9 +963,28 @@ def knn_graph(
         base = base.groupBy("__vec").agg(F.min("__id").alias("__id"))
     if centroids is None:
         centroids = train_centroids(df, id_col, vec_col, n_centroids)
-    assigned = assign_cells(base, centroids, "__id", "__vec").select(
-        "__id", "__vec", "__cell"
-    )
+    if nprobe <= 1:
+        assigned = assign_cells(base, centroids, "__id", "__vec").select(
+            "__id", "__vec", "__cell"
+        )
+    else:
+        wd = Window.partitionBy("__id").orderBy(
+            F.col("__d2").asc(), F.col("__cell").asc()
+        )
+        assigned = (
+            base.crossJoin(F.broadcast(centroids))
+            .select(
+                "__id",
+                "__vec",
+                F.col("centroid_id").alias("__cell"),
+                F.round(
+                    sq_dist(F.col("__vec"), F.col("__cent")), 6
+                ).alias("__d2"),
+            )
+            .withColumn("__crn", F.row_number().over(wd))
+            .filter(F.col("__crn") <= nprobe)
+            .select("__id", "__vec", "__cell")
+        )
     l, r = assigned.alias("l"), assigned.alias("r")
     pairs = (
         l.join(
@@ -972,6 +1000,12 @@ def knn_graph(
             ).alias("sim"),
         )
     )
+    if nprobe > 1:
+        # a pair sharing several probed cells appears once per shared
+        # cell with the identical sim — collapse before ranking
+        pairs = pairs.groupBy("id", "neighbor_id").agg(
+            F.max("sim").alias("sim")
+        )
     w = Window.partitionBy("id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )

@@ -296,3 +296,45 @@ def test_knn_graph_pre_collapse_and_layout_independent(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_knn_graph_nprobe2_recovers_boundary_neighbor(spark):
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        knn_graph,
+    )
+
+    # centroids = lowest-id vectors 0 ([1,0]) and 1 ([0,1]).
+    # node 5 = [0.72, 0.70]: primary cell 0 (barely), but its TRUE
+    # nearest neighbor is node 6 = [0.68, 0.74] in cell 1.
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (5, [0.72, 0.70]),
+        (6, [0.68, 0.74]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got1 = {
+        (r.vec_id, r.rank): r.neighbor_id
+        for r in knn_graph(
+            df, "vec_id", "embedding", k=1, n_centroids=2, nprobe=1
+        ).collect()
+    }
+    got2 = {
+        (r.vec_id, r.rank): r.neighbor_id
+        for r in knn_graph(
+            df, "vec_id", "embedding", k=1, n_centroids=2, nprobe=2
+        ).collect()
+    }
+    # within-cell only: 5's best neighbor is limited to cell 0 → 0
+    assert got1[(5, 1)] == 0
+    # nprobe=2: 5 also meets cell 1 and finds its true neighbor 6
+    assert got2[(5, 1)] == 6
+    # layout independence of the multi-probe path
+    got2b = {
+        (r.vec_id, r.rank): r.neighbor_id
+        for r in knn_graph(
+            df.repartition(5), "vec_id", "embedding", k=1, n_centroids=2,
+            nprobe=2,
+        ).collect()
+    }
+    assert got2b == got2
