@@ -3118,6 +3118,66 @@ FROM (SELECT cid, cv, unnest(generate_series(1, len(cv))) AS i FROM cent2)
 EMB_KMEANS_SQL = _emb_kmeans_sql()
 
 
+# --- thirteenth wave: semi-structured (JSON) column operators ---
+
+
+def ev_json_stats(spark, sf_dir):
+    """Per-type profile of the promoted props.k JSON field (operators.
+    semistruct.json_field_stats): get_json_object + try_cast at scan
+    speed (ANSI-safe — garbage rows become NULLs and surface in the
+    n − n_parsed gap, never an error), one map-side-combined
+    aggregation, decimal-exact mean."""
+    from calp_cva_tracking_pipeline_spark.operators.semistruct import (
+        json_field_stats,
+    )
+
+    e = T(spark, sf_dir, "events")
+    return json_field_stats(
+        e, "props", "$.k", ["event_type"], "double"
+    ).orderBy("event_type")
+
+
+EV_JSON_STATS_SQL = f"""
+WITH v AS (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+         END AS v
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(v) AS BIGINT) AS n_parsed,
+       MIN(v) AS min_v, MAX(v) AS max_v,
+       {SQL_MONEY_AVG('v')} AS mean_v
+FROM v GROUP BY 1 ORDER BY 1
+"""
+
+
+def ev_json_schema(spark, sf_dir):
+    """Top-level key inventory of the props JSON column (operators.
+    semistruct.json_key_inventory): the schema-inference pass that runs
+    before any field promotion — (key, n, coverage) off one explode +
+    key-cardinality aggregation and a one-row broadcast total."""
+    from calp_cva_tracking_pipeline_spark.operators.semistruct import (
+        json_key_inventory,
+    )
+
+    e = T(spark, sf_dir, "events")
+    return json_key_inventory(e, "props")
+
+
+EV_JSON_SCHEMA_SQL = """
+WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM events),
+k AS (
+  SELECT unnest(json_keys(props)) AS key
+  FROM events WHERE props IS NOT NULL AND json_valid(props))
+SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / tot, 6) AS coverage
+FROM k CROSS JOIN t
+GROUP BY key, tot ORDER BY key
+"""
+
+
 # --- CDC / incremental maintenance (operators/cdc.py) -----------------------
 
 def cdc_scd2(spark, sf_dir):
@@ -4721,4 +4781,7 @@ SCALE_QUERIES = {
     "ev_rfm": (ev_rfm, EV_RFM_SQL),
     "ev_sliding_distinct": (ev_sliding_distinct, EV_SLIDING_DISTINCT_SQL),
     "emb_kmeans": (emb_kmeans, EMB_KMEANS_SQL),
+    # thirteenth wave (round 7)
+    "ev_json_stats": (ev_json_stats, EV_JSON_STATS_SQL),
+    "ev_json_schema": (ev_json_schema, EV_JSON_SCHEMA_SQL),
 }

@@ -1,0 +1,87 @@
+"""Semi-structured (JSON) column operators: field promotion and schema
+inventory at scan speed.
+
+Event pipelines carry a free-form JSON properties column next to the
+typed ones (the ``events.props`` shape); before anything downstream can
+use it, two questions need distributed answers: WHAT keys exist (and how
+consistently), and what a PROMOTED field's values look like. Both run as
+JVM JSON intrinsics (``get_json_object`` / ``json_object_keys``) — no
+Python, no UDF, full scan speed — and both have DuckDB-native twins
+(``json_extract_string`` / ``json_keys``), so the catalog oracle checks
+them value-for-value.
+
+Malformed JSON and missing keys surface as NULL (never an error): at
+100 TB the props column WILL contain garbage rows, and a promotion pass
+that throws on the first one is useless — the parse-failure count is
+part of the report instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from calp_cva_tracking_pipeline_spark.functions.numeric import money_avg
+
+
+def json_field(json_col: Column, path: str, dtype: str = "string") -> Column:
+    """Extract ``path`` (``$.key`` syntax) from a JSON string column and
+    cast — NULL on malformed JSON, missing key, or uncastable value
+    (``try_cast``: ANSI mode makes a plain cast THROW on the first
+    garbage value, which a 100 TB props column will contain)."""
+    return F.get_json_object(json_col, path).try_cast(dtype)
+
+
+def json_field_stats(
+    df: DataFrame,
+    json_col: str,
+    path: str,
+    group_cols: list[str],
+    dtype: str = "double",
+) -> DataFrame:
+    """Per-group profile of a promoted JSON field: row count, parsed
+    count (failures = rows − parsed: malformed JSON, absent key, or
+    cast failure — the promotion-readiness signal), min/max, and a
+    decimal-exact mean rounded to 6 dp. One map-side-combined
+    aggregation at group cardinality."""
+    v = json_field(F.col(json_col), path, dtype)
+    return (
+        df.withColumn("__v", v)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("__v").alias("n_parsed"),
+            F.min("__v").alias("min_v"),
+            F.max("__v").alias("max_v"),
+            money_avg("__v").alias("mean_v"),
+        )
+    )
+
+
+def json_key_inventory(
+    df: DataFrame, json_col: str, total_rows_col: str = "coverage"
+) -> DataFrame:
+    """Top-level key inventory of a JSON column — the schema-inference
+    lite every props column needs before field promotion: (key, n,
+    coverage) where coverage = n / total rows (malformed/null JSON rows
+    count in the denominator; they are exactly the rows a promoted
+    field will be NULL for). One explode + key-cardinality aggregation
+    plus a one-row broadcast total.
+    """
+    total = df.agg(F.count(F.lit(1)).alias("__t"))
+    keys = (
+        df.select(
+            F.explode(F.json_object_keys(F.col(json_col))).alias("key")
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        keys.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("__t"), 6).alias(total_rows_col),
+        )
+        .orderBy("key")
+    )

@@ -289,3 +289,56 @@ def test_lloyd_empty_cells_keep_previous_centroid(spark):
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     cent = train_centroids(df, "vec_id", "embedding", 4, iters=2).collect()
     assert len(cent) == 4  # k never shrinks
+
+
+# ---------------------------------------------------------------------------
+# semistruct: json_field_stats / json_key_inventory
+# ---------------------------------------------------------------------------
+
+
+def test_json_field_stats_garbage_rows_become_nulls_not_errors(spark):
+    from calp_cva_tracking_pipeline_spark.operators.semistruct import (
+        json_field_stats,
+    )
+
+    rows = [
+        ("a", '{"k": 10}'),
+        ("a", '{"k": 30}'),
+        ("a", "not json at all"),       # malformed
+        ("a", '{"other": 1}'),           # key absent
+        ("a", '{"k": "abc"}'),           # uncastable
+        ("a", None),                     # null json
+        ("b", '{"k": 7}'),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, props string")
+    out = {
+        r.event_type: r
+        for r in json_field_stats(
+            df, "props", "$.k", ["event_type"], "double"
+        ).collect()
+    }
+    a = out["a"]
+    assert (a.n, a.n_parsed, a.min_v, a.max_v, a.mean_v) == (
+        6, 2, 10.0, 30.0, 20.0
+    )
+    assert (out["b"].n, out["b"].n_parsed, out["b"].mean_v) == (1, 1, 7.0)
+
+
+def test_json_key_inventory_hand_computed(spark):
+    from calp_cva_tracking_pipeline_spark.operators.semistruct import (
+        json_key_inventory,
+    )
+
+    rows = [
+        ('{"a": 1, "b": 2}',),
+        ('{"a": 3}',),
+        (None,),
+        ('{"c": {"nested": 1}}',),
+    ]
+    df = spark.createDataFrame(rows, "props string")
+    out = {
+        r.key: (r.n, r.coverage)
+        for r in json_key_inventory(df, "props").collect()
+    }
+    # coverage denominates over ALL rows including the null one
+    assert out == {"a": (2, 0.5), "b": (1, 0.25), "c": (1, 0.25)}
