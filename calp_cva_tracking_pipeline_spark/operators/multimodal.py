@@ -10,9 +10,11 @@ records which ran — never mix paths within one corpus build):
 - ``ok`` — PIL, any format it recognizes (absent in this container);
 - ``ok_stdlib`` — the dependency-free codecs for payloads carrying a real
   container signature: PNG (operators.png_stdlib: zlib + struct, 8-bit
-  grey/RGB/RGBA, all five row filters) and WAV PCM (operators.wav_stdlib:
-  RIFF + 8/16-bit integer PCM) — REAL decodes, golden-tested in
-  tests/test_multimodal.py without any codec library;
+  grey/RGB/RGBA, all five row filters), uncompressed 24/32-bpp BMP
+  (operators.bmp_stdlib: struct over the DIB format, bottom-up or
+  top-down) and WAV PCM (operators.wav_stdlib: RIFF + 8/16-bit integer
+  PCM) — REAL decodes, golden-tested in tests/test_multimodal.py
+  without any codec library;
 - ``stubbed`` — deterministic byte-histogram fake for everything else
   (jpeg/video — ffmpeg-class codecs are not stdlib-expressible);
 - ``error`` — a recognized payload that failed to decode (corrupt).
@@ -88,13 +90,24 @@ def _decode_image_real(payload: bytes) -> list[float]:  # pragma: no cover
 
 
 def _decode_image_stdlib(payload: bytes) -> list[float]:
-    """Real PNG decode with zero dependencies (operators.png_stdlib):
-    grey luma + 8×8 box-mean pooling. Raises on non-PNG/unsupported."""
+    """Real image decode with zero dependencies: PNG (operators.
+    png_stdlib) or uncompressed 24/32-bpp BMP (operators.bmp_stdlib),
+    grey luma + 8×8 box-mean pooling either way. Raises on anything
+    else (jpeg/webp are not stdlib-expressible — they stay stubbed)."""
+    from calp_cva_tracking_pipeline_spark.operators.bmp_stdlib import (
+        grayscale_box_features_bmp,
+        is_bmp,
+    )
     from calp_cva_tracking_pipeline_spark.operators.png_stdlib import (
         grayscale_box_features,
+        is_png,
     )
 
-    return grayscale_box_features(payload, grid=8)
+    if is_png(payload):
+        return grayscale_box_features(payload, grid=8)
+    if is_bmp(payload):
+        return grayscale_box_features_bmp(payload, grid=8)
+    raise ValueError("unsupported image format for stdlib decode")
 
 
 def _decode_audio_stdlib(payload: bytes) -> list[float]:
@@ -139,6 +152,9 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
             have_pil = True
         except ImportError:
             have_pil = False
+        from calp_cva_tracking_pipeline_spark.operators.bmp_stdlib import (
+            is_bmp,
+        )
         from calp_cva_tracking_pipeline_spark.operators.png_stdlib import (
             is_png,
         )
@@ -158,9 +174,10 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                         feats.append(_decode_stub(payload))
                         status.append("error")
                         continue
-                if (mtype == "image" and is_png(payload)) or (
-                    mtype == "audio" and is_wav(payload)
-                ):
+                if (
+                    mtype == "image"
+                    and (is_png(payload) or is_bmp(payload))
+                ) or (mtype == "audio" and is_wav(payload)):
                     try:
                         feats.append(
                             _decode_image_stdlib(payload)

@@ -341,3 +341,83 @@ def test_extract_features_real_wav_path(spark):
     assert got[30]["feature"] == rms_envelope_features(blob, bins=8)
     assert got[31]["decode_ok"] == "error"
     assert got[32]["decode_ok"] == "stubbed"  # no RIFF signature
+
+
+# ---------------------------------------------------------------------------
+# BMP stdlib codec (round 7): third real decode path
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_and_golden_features():
+    from calp_cva_tracking_pipeline_spark.operators.bmp_stdlib import (
+        decode_bmp,
+        encode_bmp,
+        grayscale_box_features_bmp,
+        is_bmp,
+    )
+
+    # 4x2 RGB test card
+    rgb = bytes(
+        [
+            255, 0, 0,   0, 255, 0,   0, 0, 255,   255, 255, 255,
+            0, 0, 0,     128, 128, 128,  255, 255, 0,  0, 255, 255,
+        ]
+    )
+    payload = encode_bmp(4, 2, rgb)
+    assert is_bmp(payload)
+    w, h, ch, out = decode_bmp(payload)
+    assert (w, h, ch) == (4, 2, 3)
+    assert out == rgb  # lossless round-trip incl. BGR swap + row padding
+    feats = grayscale_box_features_bmp(payload, grid=2)
+    assert len(feats) == 4 and all(0.0 <= f <= 1.0 for f in feats)
+    # top-left cell covers the red/green corner; bottom-right the cyan
+    lum = lambda r, g, b: (299 * r + 587 * g + 114 * b) // 1000
+    assert feats[0] == (lum(255, 0, 0) + lum(0, 255, 0)) / (255 * 2)
+
+
+def test_bmp_rejects_unsupported_variants():
+    import struct
+
+    import pytest
+
+    from calp_cva_tracking_pipeline_spark.operators.bmp_stdlib import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    good = bytearray(encode_bmp(2, 2, bytes(12)))
+    # flip bpp to 8 (palette) → must raise, never silently mis-decode
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 28, 8)
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad))
+    # RLE compression flag
+    bad2 = bytearray(good)
+    struct.pack_into("<I", bad2, 30, 1)
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad2))
+    # truncated pixel data
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(good[:-3]))
+
+
+def test_bmp_rows_decode_ok_stdlib_through_pipeline(spark):
+    from calp_cva_tracking_pipeline_spark.operators.bmp_stdlib import (
+        encode_bmp,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    payload = encode_bmp(8, 8, bytes(range(0, 192)))
+    rows = [
+        (1, "image", bytearray(payload), "image/bmp", 8, 8, None),
+        (2, "image", bytearray(b"\xff\xd8\xff jpeg-ish"), "image/jpeg",
+         None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_features(df).collect()}
+    assert out[1].decode_ok == "ok_stdlib"  # real BMP decode ran
+    assert len(out[1].feature) == 64
+    assert out[2].decode_ok == "stubbed"    # jpeg stays audited-stub
