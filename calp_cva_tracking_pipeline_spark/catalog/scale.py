@@ -2831,10 +2831,11 @@ bi AS (
   SELECT tk[g] AS w1, tk[g + 1] AS w2
   FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS g
         FROM fl WHERE len(tk) >= 2)),
-c2t AS (
+c2all AS (
   SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
-  FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= {PMI_MIN_COUNT}),
-btot AS (SELECT CAST(SUM(c2) AS BIGINT) AS B FROM c2t)
+  FROM bi GROUP BY 1, 2),
+c2t AS (SELECT * FROM c2all WHERE c2 >= {PMI_MIN_COUNT}),
+btot AS (SELECT CAST(SUM(c2) AS BIGINT) AS B FROM c2all)
 SELECT c.w1, c.w2, c.c2 AS n,
        ROUND(ln(CAST(c.c2 AS DOUBLE) * CAST(T AS DOUBLE) * CAST(T AS DOUBLE)
                 / (CAST(B AS DOUBLE) * CAST(a.c1 AS DOUBLE)
@@ -2905,7 +2906,8 @@ WITH b AS (
   SELECT LEAST(GREATEST(CAST(FLOOR((CAST(value AS DOUBLE) - {HIST_LO})
                                    / {_HIST_W}) AS INT), 0),
                {HIST_BINS - 1}) AS bin
-  FROM events WHERE value IS NOT NULL)
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)))
 SELECT bin,
        -- CAST: DuckDB types bare numeric literals DECIMAL
        ROUND(CAST({HIST_LO} + bin * {_HIST_W} AS DOUBLE), 6) AS bin_lo,
@@ -4636,17 +4638,23 @@ WITH obs AS (
   FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
   GROUP BY 1, 2),
 rngs AS (SELECT event_type, MIN(t) AS lo, MAX(t) AS hi FROM obs GROUP BY 1),
+-- true ceil/floor over SIGNED epoch micros (// truncates toward zero,
+-- which is wrong for pre-1970 timestamps) — mirrors the Spark CASE fix
+bnds AS (
+  SELECT event_type,
+         (CASE WHEN lo % {RESAMPLE_STEP_US} > 0
+               THEN (lo // {RESAMPLE_STEP_US}) + 1
+               ELSE lo // {RESAMPLE_STEP_US} END)
+           * {RESAMPLE_STEP_US} AS glo,
+         (CASE WHEN hi % {RESAMPLE_STEP_US} < 0
+               THEN (hi // {RESAMPLE_STEP_US}) - 1
+               ELSE hi // {RESAMPLE_STEP_US} END)
+           * {RESAMPLE_STEP_US} AS ghi
+  FROM rngs),
 grid AS (
   SELECT event_type,
-         unnest(generate_series(
-           ((lo + {RESAMPLE_STEP_US - 1}) // {RESAMPLE_STEP_US})
-             * {RESAMPLE_STEP_US},
-           (hi // {RESAMPLE_STEP_US}) * {RESAMPLE_STEP_US},
-           {RESAMPLE_STEP_US})) AS t
-  FROM rngs
-  WHERE ((lo + {RESAMPLE_STEP_US - 1}) // {RESAMPLE_STEP_US})
-          * {RESAMPLE_STEP_US}
-        <= (hi // {RESAMPLE_STEP_US}) * {RESAMPLE_STEP_US}),
+         unnest(generate_series(glo, ghi, {RESAMPLE_STEP_US})) AS t
+  FROM bnds WHERE glo <= ghi),
 u AS (
   SELECT event_type, t, 0 AS side, v, t AS ot FROM obs
   UNION ALL

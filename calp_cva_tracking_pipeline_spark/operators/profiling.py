@@ -920,7 +920,7 @@ def fixed_histogram(
     Bin i covers [lo + i·w, lo + (i+1)·w); values below ``lo`` clamp to
     bin 0, values ≥ ``hi`` clamp to the last bin (the audit must count
     every non-null row somewhere — out-of-range mass IS the signal);
-    NULLs are excluded. The bin index is one floor over exact double
+    NULLs and NaNs are excluded. The bin index is one floor over exact double
     arithmetic both engines evaluate identically. Empty bins are not
     emitted (count tables stay sparse); downstream grids can left-join a
     sequence to densify.
@@ -938,8 +938,13 @@ def fixed_histogram(
         ),
         F.lit(bins - 1),
     )
+    # NaN passes isNotNull but has no bin: Spark's non-ANSI double→int
+    # cast would silently dump it into bin 0 while an ANSI engine errors
+    # on the cast — exclude it on both engines alongside NULL.
     return (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(
+            F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))
+        )
         .groupBy(idx.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(

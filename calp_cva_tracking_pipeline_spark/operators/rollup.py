@@ -349,8 +349,20 @@ def resample_interpolate(
     rng = obs.groupBy(*kcols).agg(
         F.min("__t").alias("__lo"), F.max("__t").alias("__hi")
     )
-    lo_g = F.expr(f"((__lo + {step - 1}) div {step}) * {step}")
-    hi_g = F.expr(f"(__hi div {step}) * {step}")
+    # Grid bounds need TRUE ceil/floor over signed epoch micros. `div`
+    # truncates toward zero, so (lo + step-1) div step is only ceil for
+    # lo >= 0 — with pre-1970 timestamps (negative micros) it lands one
+    # step high and drops interior grid instants. Truncation already IS
+    # ceil for a negative numerator with remainder (Spark/DuckDB `%`
+    # follows the dividend sign), so adjust only the other cases.
+    lo_g = F.expr(
+        f"(CASE WHEN __lo % {step} > 0 THEN (__lo div {step}) + 1 "
+        f"ELSE __lo div {step} END) * {step}"
+    )
+    hi_g = F.expr(
+        f"(CASE WHEN __hi % {step} < 0 THEN (__hi div {step}) - 1 "
+        f"ELSE __hi div {step} END) * {step}"
+    )
     grid = (
         rng.select(*kcols, lo_g.alias("__glo"), hi_g.alias("__ghi"))
         .filter(F.col("__glo") <= F.col("__ghi"))

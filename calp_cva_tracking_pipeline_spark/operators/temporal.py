@@ -510,7 +510,7 @@ def ewma_smooth_chunked(
         f"{f.name} {f.dataType.simpleString()}"
         for f in df.select(*keys, tiebreak_col).schema.fields
     )
-    schema = f"{out_fields}, ewma double, __ts timestamp"
+    schema = f"{out_fields}, ewma double, __ts timestamp, __state bigint"
     enc = (
         df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
         .select(
@@ -534,13 +534,19 @@ def ewma_smooth_chunked(
         seed = pdf["__seed"].iloc[0]
         s = None if pd.isna(seed) else int(seed)
         out = []
+        states = []
         for x in pdf["__x"]:
             x = int(x)
             s = x if s is None else (alpha_num * x + keep * s) // alpha_den
             out.append(s / scale)
+            # the RAW integer state rides along so the next epoch seeds
+            # from it directly — round(ewma*scale) on the double output
+            # would silently lose exactness once |s| >= 2^53
+            states.append(s)
         res = pdf[[*keys, tiebreak_col, "__ts"]].copy()
         res["ewma"] = out
-        return res[[*keys, tiebreak_col, "ewma", "__ts"]]
+        res["__state"] = states
+        return res[[*keys, tiebreak_col, "ewma", "__ts", "__state"]]
 
     spark = df.sparkSession
     seed = spark.createDataFrame(
@@ -555,11 +561,9 @@ def ewma_smooth_chunked(
         out_e = seeded.groupBy(*keys).applyInPandas(smooth, schema)
         parts.append(out_e.select(*keys, tiebreak_col, "ewma"))
         new_states = out_e.groupBy(*keys).agg(
-            F.round(
-                F.expr(f"max_by(ewma, struct({order_struct}))") * scale
+            F.expr(f"max_by(__state, struct({order_struct}))").alias(
+                "__seed"
             )
-            .cast("long")
-            .alias("__seed")
         )
         # keys silent this epoch keep their carried state
         carried = seed.join(new_states, keys, "left_anti")

@@ -720,7 +720,7 @@ def pmi_collocations(
     tot = uni.agg(
         F.sum("__c1").alias("__T"), F.count(F.lit(1)).alias("__V")
     )
-    bi = (
+    bi_all = (
         base.select(
             "__toks", F.posexplode("__toks").alias("__i", "w1")
         )
@@ -731,9 +731,13 @@ def pmi_collocations(
         )
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("__c2"))
-        .filter(F.col("__c2") >= min_count)
     )
-    btot = bi.agg(F.sum("__c2").alias("__B"))
+    # B must be the UNFILTERED bigram total: p(w1,w2) = c2/B is a corpus
+    # probability, so the min_count floor (an output filter) must not
+    # shrink its denominator — otherwise every PMI is uniformly inflated
+    # by ln(B_all/B_filtered) vs the Church & Hanks definition.
+    btot = bi_all.agg(F.sum("__c2").alias("__B"))
+    bi = bi_all.filter(F.col("__c2") >= min_count)
     joined = (
         bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("__c1", "__ca"), "w1")
         .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("__c1", "__cb"), "w2")
