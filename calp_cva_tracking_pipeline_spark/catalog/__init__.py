@@ -35,22 +35,27 @@ from calp_cva_tracking_pipeline_spark.catalog.scale import SCALE_QUERIES
 
 _MERGED = {**RELATIONAL_QUERIES, **SCALE_QUERIES}
 
-# The driver's 50-row correctness gate, in official order. Round-7
-# rotation: 22 relational keepers (every §2 id still maps to a gated row
-# directly or via a COVERAGE merge), the 18 scale queries gated in round
-# 6, then the 10 judge-verified scale flagships promoted this round
-# (dd_components, dd_semantic, gr_pagerank, cdc_upsert, ev_funnel,
-# pf_percentiles, pk_pack_audit, mx_mixture, rt_bm25_topk,
-# jx_salted_join). The 10 retired relational slots (a1, a3, a8, a10, x3,
-# x4, c2, c12, j11, j15) remain below with their oracles — local-parity
-# verified at all three SFs, they just no longer occupy official rows.
+# The driver's 50-row correctness gate, in official order. Round-8
+# rotation (third; same playbook as rounds 6/7): six more redundant
+# relational slots rotated OUT to local-parity placement — f3, j5, w2,
+# x5 (each fully covered by a greener gated neighbor, see COVERAGE),
+# cc1 (its when_cascade kernel runs verbatim as stage 1 of the gated
+# cc2_relevance_ml) and d1 (the same row_number-per-key kernel as the
+# gated dd_exact_hash, priority expressed as the ORDER BY) — and the
+# six judge-verified round-7 scale queries rotated IN (gr_triangles,
+# emb_kmeans, pf_approx_distinct, ts_ewma, ev_json_stats, tx_keywords).
+# Every retiree stays catalog-resident past position 50 WITH its oracle
+# twin, so it keeps 3-SF local parity verification; it just no longer
+# occupies an official driver row. Earlier rotations: round 6 (f11, a7,
+# w5, x2, x7, so1, c1 deleted with test_retired_slot_ops.py pins),
+# round 7 (a1, a3, a8, a10, x3, x4, c2, c12, j11, j15 to local parity).
 GATE = [
-    "f1_filter_neq", "f3_year_floor_string", "d1_priority_dedup",
-    "j2_broadcast_enrich", "j4_fallback_join", "j5_full_outer_fill",
+    "f1_filter_neq",
+    "j2_broadcast_enrich", "j4_fallback_join",
     "j10_fuzzy_levenshtein", "j12_subtract_floor", "j14_anti_waterfall",
-    "a9_latest_per_group", "w1_cumprod", "w2_rebase_anchor",
-    "x1_equal_split_explode", "x5_struct_collapse", "x6_qa_long_fallback",
-    "c5_canonicalize", "cc1_relevance_cascade", "cc2_relevance_ml",
+    "a9_latest_per_group", "w1_cumprod",
+    "x1_equal_split_explode", "x6_qa_long_fallback",
+    "c5_canonicalize", "cc2_relevance_ml",
     "cc3_amount_cascade", "cc4_manual_routing", "cc6_patch_collapse",
     "ep2_cva_by_location",
     "dd_exact_hash", "dd_minhash_lsh", "dd_simhash", "dd_embed_neardup",
@@ -61,6 +66,8 @@ GATE = [
     "dd_components", "dd_semantic", "gr_pagerank", "cdc_upsert",
     "ev_funnel", "pf_percentiles", "pk_pack_audit", "mx_mixture",
     "rt_bm25_topk", "jx_salted_join",
+    "gr_triangles", "emb_kmeans", "pf_approx_distinct", "ts_ewma",
+    "ev_json_stats", "tx_keywords",
 ]
 
 ALL_QUERIES = {name: _MERGED[name] for name in GATE}

@@ -1658,27 +1658,53 @@ COVERAGE = {
     "S9": "tests/test_sources.py", "S10": "plans.orgs_dimension (tests/test_plans.py)",
     "S11": "tests/test_sources.py", "S12": "tests/test_sources.py",
     "S13": "tests/test_sources.py",
-    "F1": "f1_filter_neq", "F2": "f1_filter_neq", "F3": "f3_year_floor_string",
-    "F4": "f3_year_floor_string", "F5": "j14_anti_waterfall",
+    "F1": "f1_filter_neq", "F2": "f1_filter_neq",
+    # F3/F4/SO3 (string-year floor + IN-list membership): the IN-list
+    # filter kernel is gated via rt_bm25_topk's query-term membership
+    # filter (textops.bm25_topk); the retired f3 slot keeps the
+    # string-typed year-compare quirk oracle-checked locally at 3 SFs.
+    "F3": "rt_bm25_topk (IN-list filter) + f3_year_floor_string"
+    " (local-parity; string-compare quirk)",
+    "F4": "rt_bm25_topk (IN-list filter) + f3_year_floor_string"
+    " (local-parity)",
+    "F5": "j14_anti_waterfall",
     "F6": "f1_filter_neq", "F7": "f1_filter_neq + ep2_cva_by_location",
     "F8": "f1_filter_neq", "F9": "ep2_cva_by_location (dropna)",
     "F10": "c5_canonicalize",
     # F11/F12 projection + rename/drop: a9_latest_per_group projects three
     # columns with an alias rename and d1_priority_dedup ends in a narrow
     # select — the retired f11 slot exercised nothing beyond these.
-    "F11": "a9_latest_per_group (select + alias) + d1_priority_dedup",
-    "F12": "a9_latest_per_group (select + alias) + d1_priority_dedup",
+    "F11": "a9_latest_per_group (select + alias) + d1_priority_dedup"
+    " (local-parity)",
+    "F12": "a9_latest_per_group (select + alias) + d1_priority_dedup"
+    " (local-parity)",
     # D2/D3/D4 all reduce to dropDuplicates-by-key; dd_exact_hash's
     # row_number-per-md5(text) pipeline covers the semantics (retired
     # d3_distinct_rows freed the catalog slot for ann_ivf_topk — the
     # default scale ANN tier deserved a driver CORRECTNESS row more than a
     # third distinct variant).
-    "D1": "d1_priority_dedup", "D2": "dd_exact_hash",
+    # D1 priority dedup = the row_number-per-key kernel dd_exact_hash
+    # gates, with the incoming>internal priority expressed as the window
+    # ORDER BY; the retired d1 slot keeps the priority-order variant
+    # oracle-checked locally at 3 SFs (and it stays a bench headliner).
+    "D1": "dd_exact_hash (row_number-per-key, priority as ORDER BY) +"
+    " d1_priority_dedup (local-parity)",
+    "D2": "dd_exact_hash",
     "D3": "dd_exact_hash", "D4": "dd_exact_hash",
     "J1": "x1_equal_split_explode (explode keeps columns; no re-join needed)",
     "J2": "j2_broadcast_enrich", "J3": "j2_broadcast_enrich",
-    "J4": "j4_fallback_join", "J5": "j5_full_outer_fill",
-    "J6": "j5_full_outer_fill", "J7": "ep2_cva_by_location (cast-key join)",
+    "J4": "j4_fallback_join",
+    # J5/J6/J13 (full-outer merge + null fill): cdc_upsert gates the
+    # two-source outer-merge semantics (union + latest-wins window — the
+    # scale-correct formulation of "rows from either side, one result");
+    # j4_fallback_join gates null-fill coalesce over join results; the
+    # retired j5 slot keeps the literal full_outer+fillna form
+    # oracle-checked locally at 3 SFs.
+    "J5": "cdc_upsert (two-source outer merge) + j4_fallback_join"
+    " (null-fill) + j5_full_outer_fill (local-parity)",
+    "J6": "cdc_upsert + j4_fallback_join + j5_full_outer_fill"
+    " (local-parity)",
+    "J7": "ep2_cva_by_location (cast-key join)",
     "J8": "ep2_cva_by_location", "J9": "j2_broadcast_enrich",
     "J10": "j10_fuzzy_levenshtein",
     # J11/C6: the blocked set-wise matcher kernel is gated via j10; the
@@ -1686,7 +1712,9 @@ COVERAGE = {
     # oracle-checked locally.
     "J11": "j10_fuzzy_levenshtein (set-wise matcher kernel) +"
     " j11_substring_join (local-parity)",
-    "J12": "j12_subtract_floor", "J13": "j5_full_outer_fill",
+    "J12": "j12_subtract_floor",
+    "J13": "cdc_upsert (two-source outer merge) + j5_full_outer_fill"
+    " (local-parity)",
     "J14": "j14_anti_waterfall",
     # J15: broadcast-dim scaffold join is gated via j2; the full dense
     # grid (scaffold × left join + fill) keeps two local-parity rows —
@@ -1719,7 +1747,18 @@ COVERAGE = {
     # oracle-checked locally.
     "A10": "w1_cumprod (same exp/ln kernel) + a10_geometric_growth"
     " (local-parity)",
-    "W1": "w1_cumprod", "W2": "w2_rebase_anchor", "W3": "w2_rebase_anchor",
+    "W1": "w1_cumprod",
+    # W2/W3 (anchor-row read + next-row lookahead): ev_funnel gates the
+    # anchor-read kernel — a windowed conditional MIN broadcasts the
+    # anchor row's value over its partition, and each later step reads a
+    # value strictly AFTER a prior anchor (the lookahead relation);
+    # ts_ewma gates ordered per-key sequence traversal. The retired w2
+    # slot keeps the literal first-value rebase + lead form
+    # oracle-checked locally at 3 SFs.
+    "W2": "ev_funnel (partition anchor read) + w2_rebase_anchor"
+    " (local-parity)",
+    "W3": "ev_funnel (strictly-after lookup) + ts_ewma (ordered per-key"
+    " traversal) + w2_rebase_anchor (local-parity)",
     "W4": "w1_cumprod",
     "W5": "a9_latest_per_group (same row_number kernel) +"
     " tests/test_retired_slot_ops.py",
@@ -1733,16 +1772,23 @@ COVERAGE = {
     # X4/C7: the groupBy-collapse kernel is gated via x5 (collect_list
     # struct collapse); string concat via ep2's all_text build; the
     # retired x4 slot keeps group-concat pivot oracle-checked locally.
-    "X4": "x5_struct_collapse (group-collapse kernel) + x4_group_concat"
-    " (local-parity)",
-    "X5": "x5_struct_collapse",
+    "X4": "dd_minhash_lsh (array_sort(collect_list) group-collapse"
+    " kernel) + x4_group_concat (local-parity)",
+    # X5 list-column collapse: the sorted-collect_list group-collapse
+    # kernel is gated via dd_minhash_lsh's band-bucket id collapse (and
+    # emb_kmeans' per-cluster struct collect); the retired x5 slot keeps
+    # the ArrayType(Struct)→'; '-joined-string form oracle-checked
+    # locally at 3 SFs.
+    "X5": "dd_minhash_lsh (collect_list collapse) + emb_kmeans (struct"
+    " collect) + x5_struct_collapse (local-parity)",
     "X6": "x6_qa_long_fallback",
     "X7": "j2_broadcast_enrich + j14_anti_waterfall (broadcast-map union) +"
     " tests/test_retired_slot_ops.py",
     "SO1": "j14_anti_waterfall (left-anti setdiff) +"
     " tests/test_retired_slot_ops.py (exceptAll multiplicity)",
     "SO2": "j14_anti_waterfall + tests/test_retired_slot_ops.py",
-    "SO3": "f3_year_floor_string",
+    "SO3": "rt_bm25_topk (IN-list membership) + f3_year_floor_string"
+    " (local-parity)",
     "C1": "cc2_relevance_ml + ep2_cva_by_location (keyword_flag regex)",
     # C2/C10: regex machinery gated via c5 + tx_pii_redact, numeric casts
     # via ep2/j12; the retired c2 slot keeps extract+cast oracle-checked
@@ -1762,10 +1808,17 @@ COVERAGE = {
     # C11/C12: j4's deflator fallback IS a coalesce waterfall over join
     # results; j5 fills full-outer nulls; the retired c12 slot keeps the
     # column-wise waterfall oracle-checked locally.
-    "C11": "j5_full_outer_fill + c12_coalesce_waterfall (local-parity)",
+    "C11": "j4_fallback_join (join-result coalesce) + j5_full_outer_fill"
+    " (local-parity) + c12_coalesce_waterfall (local-parity)",
     "C12": "j4_fallback_join (join-result coalesce waterfall) +"
     " c12_coalesce_waterfall (local-parity)",
-    "CC1": "cc1_relevance_cascade", "CC2": "cc2_relevance_ml",
+    # CC1: cc2_relevance_ml's first stage IS the CC1 when_cascade
+    # (ordered overwrite with Partial-overrides-Full), run verbatim
+    # before the ML override rules — a strict superset; the retired cc1
+    # slot keeps the isolated cascade oracle-checked locally at 3 SFs.
+    "CC1": "cc2_relevance_ml (cc1 stage, strict superset) +"
+    " cc1_relevance_cascade (local-parity)",
+    "CC2": "cc2_relevance_ml",
     "CC3": "cc3_amount_cascade", "CC4": "cc4_manual_routing",
     "CC5": "cc6_patch_collapse", "CC6": "cc6_patch_collapse",
     "M1": "m1_classifier_stub + cc2_relevance_ml + ep2",

@@ -94,19 +94,23 @@ NON_SQL_QUERIES = {"pk_sequences"}
 # a10, x3, x4, c2, c12, j11, j15 — each covered by a documented COVERAGE
 # merge onto a still-gated query AND, unlike round 6's deletions, still
 # catalog-resident past position 50 with its oracle, so each keeps 3-SF
-# local parity verification) so the judge-verified scale flagships
-# (dd_components, dd_semantic, gr_pagerank, cdc_upsert, ev_funnel,
-# pf_percentiles, pk_pack_audit, mx_mixture, rt_bm25_topk,
-# jx_salted_join) get driver CORRECTNESS rows. Any future change to this
+# local parity verification) so the judge-verified scale flagships got
+# driver CORRECTNESS rows. Round 8 repeated the playbook a third time:
+# f3, j5, w2, x5 (VERDICT-blessed as fully covered by greener gated
+# neighbors), cc1 (its when_cascade kernel runs verbatim as cc2's first
+# stage) and d1 (dd_exact_hash's row_number-per-key kernel with priority
+# as the ORDER BY) rotated to local parity; the six judge-verified
+# round-7 scale queries (gr_triangles, emb_kmeans, pf_approx_distinct,
+# ts_ewma, ev_json_stats, tx_keywords) gated. Any future change to this
 # set must be a conscious gate-vs-local-parity placement decision: edit
 # this list AND catalog.GATE in the same commit, never reorder silently.
 DRIVER_GATE = [
-    "f1_filter_neq", "f3_year_floor_string", "d1_priority_dedup",
-    "j2_broadcast_enrich", "j4_fallback_join", "j5_full_outer_fill",
+    "f1_filter_neq",
+    "j2_broadcast_enrich", "j4_fallback_join",
     "j10_fuzzy_levenshtein", "j12_subtract_floor", "j14_anti_waterfall",
-    "a9_latest_per_group", "w1_cumprod", "w2_rebase_anchor",
-    "x1_equal_split_explode", "x5_struct_collapse", "x6_qa_long_fallback",
-    "c5_canonicalize", "cc1_relevance_cascade", "cc2_relevance_ml",
+    "a9_latest_per_group", "w1_cumprod",
+    "x1_equal_split_explode", "x6_qa_long_fallback",
+    "c5_canonicalize", "cc2_relevance_ml",
     "cc3_amount_cascade", "cc4_manual_routing", "cc6_patch_collapse",
     "ep2_cva_by_location",
     "dd_exact_hash", "dd_minhash_lsh", "dd_simhash", "dd_embed_neardup",
@@ -117,6 +121,8 @@ DRIVER_GATE = [
     "dd_components", "dd_semantic", "gr_pagerank", "cdc_upsert",
     "ev_funnel", "pf_percentiles", "pk_pack_audit", "mx_mixture",
     "rt_bm25_topk", "jx_salted_join",
+    "gr_triangles", "emb_kmeans", "pf_approx_distinct", "ts_ewma",
+    "ev_json_stats", "tx_keywords",
 ]
 
 
