@@ -114,6 +114,15 @@ HEADLINE = [
     "tx_novelty",
     "ev_sliding_distinct",
     "emb_knn_graph",
+    # round 8 additions (suite totals are not comparable to r7 without
+    # subtracting these), the four cost classes the r7 verdict flagged
+    # as still-untimed: RANGE-window integer-stat anomaly scan, CMS
+    # register-grid sketch aggregation, iterative decimal-exact Lloyd
+    # refinement, scan-speed JSON field promotion
+    "ev_anomaly",
+    "pf_cms",
+    "emb_kmeans",
+    "ev_json_stats",
 ]
 
 
@@ -242,6 +251,16 @@ def main() -> None:
         "scaling_ratio": ratios,
         "runs": raw,
         "runs_small": small_raw,
+        # per-query spread of the 3 TIMED runs (warm-up runs[0] excluded):
+        # the permanent drift-vs-noise separator the round-7 verdict asked
+        # for — a round-over-round median delta inside the other round's
+        # [min, max] band is noise, outside it is drift worth attributing.
+        "spread": {
+            n: [min(r[1:]), max(r[1:])] for n, r in raw.items()
+        },
+        "spread_small": {
+            n: [min(r[1:]), max(r[1:])] for n, r in small_raw.items()
+        },
     }
     if proxy:
         detail["proxy"] = proxy

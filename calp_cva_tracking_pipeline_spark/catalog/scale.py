@@ -32,6 +32,7 @@ from calp_cva_tracking_pipeline_spark.operators.dedup import (
 )
 from calp_cva_tracking_pipeline_spark.operators.mlstub import classify_flows
 from calp_cva_tracking_pipeline_spark.operators.similarity import (
+    DEFAULT_CELL_SIZE as _DEFAULT_CELL_SIZE,
     brute_force_topk,
     ivf_topk,
     lsh_topk,
@@ -2695,18 +2696,30 @@ SEM_THRESHOLD = 0.2
 def dd_semantic(spark, sf_dir):
     # SemDeDup verdict per distinct vector: cell id + keep/drop under the
     # min-id EXISTS rule (operators.dedup.semantic_dedup docstring).
+    # n_centroids=None → auto K = ceil(N/128) (similarity.
+    # auto_n_centroids all-pairs regime): constant rows-per-cell keeps
+    # the within-cell pair volume LINEAR in corpus size — a fixed cell
+    # count measured 20× time at 8× corpus (SCALE.md); the oracle's cent
+    # CTE derives the same K from the same count.
     e = T(spark, sf_dir, "embeddings")
     return semantic_dedup(
-        e, "vec_id", "embedding", n_centroids=IVF_CENTROIDS,
+        e, "vec_id", "embedding", n_centroids=None,
         threshold=SEM_THRESHOLD,
     )
 
+
+# cent LIMIT = ceil(count/DEFAULT_CELL_SIZE), integer-exact — must mirror
+# similarity.auto_n_centroids(corpus, DEFAULT_CELL_SIZE) verbatim
+_AUTO_K_CENT = (
+    f"(SELECT CAST((COUNT(*) + {_DEFAULT_CELL_SIZE - 1}) "
+    f"// {_DEFAULT_CELL_SIZE} AS BIGINT) FROM embeddings)"
+)
 
 DD_SEMANTIC_SQL = f"""
 WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cent AS (
   SELECT CAST(vec_id AS BIGINT) AS centroid_id, v AS cv
-  FROM c ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+  FROM c ORDER BY vec_id LIMIT {_AUTO_K_CENT}),
 uniq AS (
   -- exact pre-collapse mirror (min-id representative per distinct vector)
   SELECT MIN(vec_id) AS vec_id, embedding FROM embeddings GROUP BY embedding),
@@ -2749,12 +2762,14 @@ def emb_knn_graph(spark, sf_dir):
     )
 
     e = T(spark, sf_dir, "embeddings")
+    # n_centroids=None → auto K = ceil(N/128) — same all-pairs scale
+    # rationale and oracle mirror as dd_semantic above.
     return knn_graph(
         e,
         "vec_id",
         "embedding",
         k=KNN_K,
-        n_centroids=IVF_CENTROIDS,
+        n_centroids=None,
         nprobe=KNN_NPROBE,
     )
 
@@ -2763,7 +2778,7 @@ EMB_KNN_SQL = f"""
 WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cent AS (
   SELECT CAST(vec_id AS BIGINT) AS centroid_id, v AS cv
-  FROM c ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+  FROM c ORDER BY vec_id LIMIT {_AUTO_K_CENT}),
 uniq AS (
   SELECT MIN(vec_id) AS vec_id, embedding FROM embeddings GROUP BY embedding),
 u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM uniq),

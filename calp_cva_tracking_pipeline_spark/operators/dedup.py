@@ -842,7 +842,7 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    n_centroids: int,
+    n_centroids: int | None,
     threshold: float,
     centroids: DataFrame | None = None,
     pre_collapse_exact: bool = True,
@@ -880,10 +880,12 @@ def semantic_dedup(
     before clustering (k replicas would otherwise emit k(k-1)/2
     within-cell pairs per duplicated document), and the verdict is per
     REPRESENTATIVE — non-representative exact copies are the exact
-    tier's (linear) output. At 100 TB, ``n_centroids`` must scale with
-    the corpus so cells stay bounded (the paper uses ~10⁵ clusters for
-    LAION-scale; rows-per-cell ~ N/K is the quadratic term's base) —
-    same operator-parameter discipline as packing's ``num_shards``.
+    tier's (linear) output. ``n_centroids`` must scale with the corpus
+    so cells stay bounded (the paper uses ~10⁵ clusters for LAION-scale;
+    rows-per-cell ~ N/K is the quadratic term's base) — ``None`` (the
+    default) auto-sizes to ceil(sqrt(N)) via
+    ``similarity.auto_n_centroids``, keeping comparisons ~N^1.5; pass an
+    explicit value only for a tuned operating point.
 
     Engine-added; no reference counterpart (the reference dedups exact
     rows only — code/05:31-44).
@@ -900,6 +902,16 @@ def semantic_dedup(
     if pre_collapse_exact:
         base = base.groupBy("__vec").agg(F.min("__id").alias("__id"))
     if centroids is None:
+        if n_centroids is None:
+            # all-pairs regime: constant rows-per-cell, K ∝ N (see
+            # similarity.auto_n_centroids — the √N search rule would
+            # leave the within-cell pair volume growing N^1.5)
+            from calp_cva_tracking_pipeline_spark.operators.similarity import (
+                DEFAULT_CELL_SIZE,
+                auto_n_centroids,
+            )
+
+            n_centroids = auto_n_centroids(df, DEFAULT_CELL_SIZE)
         # Trained on the RAW corpus (not the collapsed reps) so the same
         # quantizer serves ANN search and this dedup — centroid init only
         # needs the n lowest ids, which are almost surely reps anyway.

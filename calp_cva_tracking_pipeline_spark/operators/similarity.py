@@ -22,6 +22,8 @@ IVF is the default scale tier; LSH remains the no-training fallback.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -285,14 +287,60 @@ def sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+# Auto cell-size budget for the ALL-PAIRS family (knn_graph,
+# semantic_dedup): K = ceil(N/128) keeps rows-per-cell constant as the
+# corpus grows, so the within-cell pair volume (sum(|cell|²) ≈ N·128)
+# stays LINEAR in N — the property the 8× probes check. 128 is the
+# measured sweet spot (SCALE.md: 16000 vectors at 128-row cells = 2.0M
+# pairs, ~4s; recall grows with cell size, work grows linearly with it).
+DEFAULT_CELL_SIZE = 128
+
+
+def auto_n_centroids(
+    corpus: DataFrame, target_cell_size: int | None = None
+) -> int:
+    """Corpus-derived coarse-quantizer size, ONE bounded driver statistic
+    (a single long from ``count()``).
+
+    Two regimes, because search and all-pairs scale differently:
+
+    - ``target_cell_size=None`` → ceil(sqrt(N)): the SEARCH-optimal rule
+      (per query, probe ranking costs K and cell scanning costs
+      nprobe·N/K; K=√N minimizes the sum — the standard FAISS sizing,
+      K ∈ [√N, 16√N]). Used by ivf_topk/train_centroids defaults.
+    - ``target_cell_size=c`` → ceil(N/c): the ALL-PAIRS rule — constant
+      rows-per-cell keeps sum(|cell|²) ≈ N·c linear in N. Used by
+      knn_graph/semantic_dedup defaults (DEFAULT_CELL_SIZE); a FIXED
+      n_centroids there is quadratic — measured 20× time at 8× corpus
+      with 16 cells vs 2.3× with corpus-scaled cells (SCALE.md).
+
+    Corpora with a persisted index (persist_ivf_index / explicit
+    ``centroids=``) never pay the count, and callers with domain
+    knowledge still pass an explicit ``n_centroids``.
+    """
+    n = corpus.count()
+    if n <= 0:
+        return 1
+    if target_cell_size and target_cell_size > 0:
+        k = -(-n // target_cell_size)
+    else:
+        k = math.ceil(math.sqrt(n))
+    return max(1, min(int(k), n))
+
+
 def train_centroids(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
-    n_centroids: int,
+    n_centroids: int | None,
     iters: int = 0,
 ) -> DataFrame:
     """Deterministic IVF coarse quantizer → (centroid_id long, __cent vec).
+
+    ``n_centroids=None`` auto-sizes to ceil(sqrt(N)) via
+    ``auto_n_centroids`` — the scale-safe default (fixed cell counts go
+    quadratic; see that docstring). Explicit values remain for tuned
+    operating points (e.g. the documented nprobe/recall tradeoffs).
 
     Init takes the ``n_centroids`` lowest-id corpus vectors (deterministic
     and oracle-expressible; ids in this engine are synthetic/hashed, so the
@@ -316,6 +364,8 @@ def train_centroids(
     that loses all members keeps its previous centroid (left join +
     coalesce) — an iteration must never shrink k.
     """
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(corpus)
     cent = (
         corpus.select(F.col(id_col).alias("__cid0"), F.col(vec_col).alias("__cent"))
         .orderBy("__cid0")
@@ -402,7 +452,7 @@ def persist_ivf_index(
     id_col: str,
     vec_col: str,
     table: str,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     num_buckets: int = 16,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
@@ -446,7 +496,7 @@ def ivf_topk(
     vec_col: str,
     query_id_col: str,
     query_vec_col: str,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     nprobe: int = 4,
     k: int = 5,
     centroids: DataFrame | None = None,
@@ -912,7 +962,7 @@ def knn_graph(
     id_col: str,
     vec_col: str,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     nprobe: int = 1,
     centroids: DataFrame | None = None,
     pre_collapse_exact: bool = True,
@@ -962,6 +1012,10 @@ def knn_graph(
     if pre_collapse_exact:
         base = base.groupBy("__vec").agg(F.min("__id").alias("__id"))
     if centroids is None:
+        if n_centroids is None:
+            # all-pairs regime: constant rows-per-cell, K ∝ N (the √N
+            # search rule would leave sum(|cell|²) growing N^1.5)
+            n_centroids = auto_n_centroids(df, DEFAULT_CELL_SIZE)
         centroids = train_centroids(df, id_col, vec_col, n_centroids)
     if nprobe <= 1:
         assigned = assign_cells(base, centroids, "__id", "__vec").select(

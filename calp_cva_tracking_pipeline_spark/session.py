@@ -58,6 +58,10 @@ def get_spark(
         # there. Engine errors still carry full SQL context without it.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
+        # the console progress bar writes \r-spam to stderr; under the
+        # bench driver that stderr lands in the published artifact's
+        # `tail` field and buries the real output (round-7 verdict)
+        .config("spark.ui.showConsoleProgress", "false")
         # local mode hosts every executor thread inside the driver JVM;
         # the 1g default heap on a 32-core box makes any ≥64MB broadcast
         # (the threshold above) an OOM roulette once a few accumulate

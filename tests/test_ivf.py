@@ -240,3 +240,38 @@ def test_ivf_incremental_index_append(spark, sf_dir):
     ra = sorted(tuple(r) for r in a.collect())
     rb = sorted(tuple(r) for r in b.collect())
     assert ra == rb and len(ra) == 4 * 5
+
+
+def test_auto_n_centroids_two_regimes(spark, sf_dir):
+    """Auto quantizer sizing: √N for search, N/cell for all-pairs — and
+    the all-pairs default actually drives knn_graph/semantic_dedup (the
+    round-7 verdict's quadratic-cell fix)."""
+    import math
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        DEFAULT_CELL_SIZE,
+        auto_n_centroids,
+        knn_graph,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    n = e.count()
+    assert auto_n_centroids(e) == math.ceil(math.sqrt(n))
+    assert auto_n_centroids(e, DEFAULT_CELL_SIZE) == -(-n // DEFAULT_CELL_SIZE)
+    # tiny corpus can never get more centroids than rows
+    two = e.limit(2)
+    assert auto_n_centroids(two) <= 2
+    assert auto_n_centroids(two, 1) == 2
+
+    # the auto default (n_centroids=None) must equal the explicit
+    # all-pairs K — proves the default routes through the N/cell regime,
+    # not the √N search regime
+    k_auto = knn_graph(e, "vec_id", "embedding", k=3, nprobe=2)
+    k_explicit = knn_graph(
+        e, "vec_id", "embedding", k=3,
+        n_centroids=-(-n // DEFAULT_CELL_SIZE), nprobe=2,
+    )
+    assert sorted(map(tuple, k_auto.collect())) == sorted(
+        map(tuple, k_explicit.collect())
+    )
