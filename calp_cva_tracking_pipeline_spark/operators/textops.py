@@ -643,7 +643,19 @@ def ngram_novelty(
     collapse is doc-sized. Hot shingles ("the end of") spread like any
     aggregation key — MIN partial-combines, and the join fans a hot
     shingle's row out to its occurrences, which is output-volume, not
-    skew amplification.
+    skew amplification. Crucially, AQE REUSES the pairs exchange for
+    both the aggregation and the join probe, so shingling (the dominant
+    CPU) runs ONCE.
+
+    Two rewrites were measured and REJECTED (round-8 interleaved A/B at
+    sf0.1, cached corpus, warm median-of-3 — SCALE.md): (a) dissolving
+    the join via doc-local size() + a count over the firsts winners —
+    2.6s vs 1.0s (the two consumers share no exchange, so shingling runs
+    twice and dwarfs the join it saves); (b) a forced repartition("__s")
+    feeding both aggregations join-free — 3.5s (the raw-pair exchange
+    costs more than the join it replaces). The join formulation also
+    scales: 1.39s at 8× data (1.3×; the round-7 probe's 2.5× was
+    scan-inclusive — the plan's own growth is output volume).
 
     Output: (id, n_shingles, n_novel, novel_frac 6dp).
     """
