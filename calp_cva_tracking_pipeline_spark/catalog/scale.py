@@ -4696,6 +4696,95 @@ WHERE side = 1 AND pv IS NOT NULL AND nv IS NOT NULL
 """
 
 
+# --- fourteenth-wave additions (round 8): exact set-similarity join,
+# k-core robust-density census ---
+
+
+JACC_T = 0.5  # exact Jaccard threshold (bimodal corpus: near-dups >> 0.5)
+JACC_TN = round(JACC_T * 1_000_000)
+
+
+def dd_jaccard_join(spark, sf_dir):
+    """Exact prefix-filtered set-similarity self-join (operators.dedup.
+    jaccard_join): EVERY document pair with 3-shingle Jaccard ≥ 0.5,
+    zero false negatives — the deterministic complement to the
+    MinHash-LSH tier. Integer-exact decisions (|∩|·10⁶ ≥ tn·|∪|), so
+    the oracle is the BRUTE-FORCE threshold join: matching it proves the
+    AllPairs prefix filter dropped no qualifying pair."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        jaccard_join,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return jaccard_join(d, "doc_id", "text", threshold=JACC_T, k=3)
+
+
+DD_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents)),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT id_a, id_b, i, ca.n + cb.n - i AS u
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b)
+SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / u, 6) AS jaccard
+FROM j WHERE i * 1000000 >= {JACC_TN} * u
+"""
+
+
+# part-graph degrees run ~40-220 (median ~115): k=60 peels a real but
+# strict subset at every SF (sf0.001: 200→196 nodes; sf0.01: 2000→1996;
+# sf0.1: 20000→19941 — non-empty, non-total, cascade exercised), where
+# k≥80 empties the sf0.001 core and k≥100 empties every SF
+KCORE_K = 60
+KCORE_ITERS = 6
+
+
+def gr_kcore(spark, sf_dir):
+    """Fixed-iteration 60-core of the part co-occurrence graph
+    (operators.graph.kcore): simultaneous peeling, six unrolled rounds,
+    (node, degree) census of the surviving core — the robust-density
+    filter next to triangles (closure) and PageRank (importance). Same
+    edge derivation as gr_triangles."""
+    from calp_cva_tracking_pipeline_spark.operators.graph import kcore
+
+    lp = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return kcore(edges, k=KCORE_K, n_iter=KCORE_ITERS)
+
+
+def _gr_kcore_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.graph import kcore_sql
+
+    edges = (
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a "
+        "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+    )
+    return kcore_sql(edges, k=KCORE_K, n_iter=KCORE_ITERS)
+
+
+GR_KCORE_SQL = _gr_kcore_sql()
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -4807,4 +4896,7 @@ SCALE_QUERIES = {
     # thirteenth wave (round 7)
     "ev_json_stats": (ev_json_stats, EV_JSON_STATS_SQL),
     "ev_json_schema": (ev_json_schema, EV_JSON_SCHEMA_SQL),
+    # fourteenth wave (round 8)
+    "dd_jaccard_join": (dd_jaccard_join, DD_JACCARD_SQL),
+    "gr_kcore": (gr_kcore, GR_KCORE_SQL),
 }

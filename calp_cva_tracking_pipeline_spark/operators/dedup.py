@@ -995,3 +995,108 @@ def cluster_representatives(
             (F.col(node_col) == F.col("rep_id")).alias("keep"),
         )
     )
+
+
+def jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    k: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity self-join: ALL document pairs whose k-shingle
+    Jaccard ≥ ``threshold`` — the deterministic complement to MinHash-LSH
+    (which trades false negatives for speed; this tier guarantees none).
+    The classic AllPairs/PPJoin prefix filter (Bayardo et al. WWW'07,
+    Xiao et al. WWW'08) made Spark-native.
+
+    Why it's not N²: order every document's distinct shingles by GLOBAL
+    frequency ascending (rarest first — the candidate-minimizing order);
+    two sets with J ≥ t MUST share a token inside each one's first
+    n - ceil(t·n) + 1 tokens under any common total order, so only
+    documents sharing a PREFIX token ever pair. Prefix tokens are each
+    document's rarest ~(1-t) fraction, so candidate buckets are small by
+    construction — the filter gets CHEAPER as the threshold rises.
+
+    Integer-exact end to end (no float in any decision): the prefix
+    length uses ceil(t·n) = (tn·n + 10⁶ - 1) div 10⁶ over the
+    millionth-scaled threshold, and the verification predicate is
+    |∩|·10⁶ ≥ tn·|∪| — both engines decide every pair identically, so
+    the DuckDB oracle can be the BRUTE-FORCE threshold join (any
+    shared-shingle pair, exact Jaccard): equality against it proves the
+    prefix filter dropped no qualifying pair.
+
+    Physical shape: one scan → distinct (doc, shingle) pairs; a
+    shingle-keyed frequency aggregation (map-side combined) attached by
+    a shingle-keyed join (NOT broadcast — vocabulary scales with
+    corpus); one doc-keyed window ranks shingles rarest-first; the
+    prefix self-join is bucket-bounded by rare-token frequencies; exact
+    verification joins the two shingle-array sides by id (the
+    ngram_jaccard kernel). Exact duplicates should be collapsed by the
+    exact tier FIRST (standard pipeline order) — a k-replica family
+    qualifies wholesale and emits its k(k-1)/2 pairs as pure output
+    volume.
+
+    Output: (id_a, id_b, jaccard 6dp) with id_a < id_b.
+
+    Engine-added; no reference counterpart (the reference dedups exact
+    rows only — code/05:31-44).
+    """
+    tn = round(threshold * 1_000_000)
+    base = spread_small_input(df).select(
+        F.col(id_col).alias("__id"),
+        word_tokens(F.col(text_col)).alias("__toks"),
+    )
+    sh = base.select(
+        "__id",
+        F.array_distinct(shingles_from_tokens(F.col("__toks"), k)).alias(
+            "__sh"
+        ),
+    ).filter(F.size("__sh") > 0)
+    toks = sh.select("__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__s"))
+    freq = toks.groupBy("__s").agg(F.count(F.lit(1)).alias("__f"))
+    ranked = toks.join(freq, "__s").withColumn(
+        "__r",
+        F.row_number().over(
+            Window.partitionBy("__id").orderBy(
+                F.col("__f").asc(), F.col("__s").asc()
+            )
+        ),
+    )
+    # prefix length p = n - ceil(t*n) + 1, integer-exact (`div`, never
+    # `/` — Spark's / is double division and loses exactness past 2^53)
+    prefix = ranked.filter(
+        F.col("__r")
+        <= F.col("__n")
+        - F.expr(f"(__n * {tn} + 999999) div 1000000")
+        + 1
+    ).select("__id", "__s")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("long")
+    union = F.size(F.array_union("__sh_a", "__sh_b")).cast("long")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumns({"__i": inter, "__u": union})
+        .filter(F.col("__i") * 1_000_000 >= F.lit(tn) * F.col("__u"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__i").cast("double") / F.col("__u").cast("double"), 6
+            ).alias("jaccard"),
+        )
+    )

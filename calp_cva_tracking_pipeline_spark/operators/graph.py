@@ -467,3 +467,102 @@ SELECT n_nodes, n_edges,
        END AS assortativity
 FROM c CROSS JOIN s
 """
+
+
+def kcore(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 3,
+    n_iter: int = 6,
+) -> DataFrame:
+    """Fixed-iteration k-core peeling (Seidman 1983): the maximal
+    subgraph where every node keeps degree ≥ k — the standard robust-
+    density filter (a hub with k spokes dies in one peel; a clique of
+    k+1 survives every peel), used to pick the load-bearing region of a
+    co-occurrence/link graph before expensive per-node work.
+
+    Each of the ``n_iter`` rounds recomputes degrees over the surviving
+    edge set and drops nodes under ``k`` — the SIMULTANEOUS-removal
+    formulation, whose result is order-independent (unlike sequential
+    peeling, which needs a tie order); the fixpoint is the k-core. A
+    fixed ``n_iter`` keeps the whole computation one lazy DAG that both
+    engines replay identically (the PageRank discipline: fixed rounds
+    unroll into SQL CTEs — ``kcore_sql`` is the oracle twin); peeling
+    cascades at the data's degree scale converge in a handful of rounds
+    (every extra round past convergence is a no-op re-aggregation), and
+    an unconverged census is still identical across engines.
+
+    Scale shape per round: one node-keyed degree aggregation over
+    surviving edges (map-side combined — degree partials, never raw
+    edges, cross the wire) and two left-semi joins restricting the edge
+    list (node-keyed; the survivor side is node-sized). Edges
+    canonicalize (least, greatest) + distinct and self-loops drop, so
+    the input may be directed/duplicated. Output: (node, degree) of the
+    surviving core, degree measured over the final surviving edge set.
+
+    Engine-added; no reference counterpart.
+    """
+    u, v = "__u", "__v"
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias(u),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias(v),
+        )
+        .filter(F.col(u) != F.col(v))
+        .distinct()
+    )
+    deg = None
+    for _ in range(n_iter):
+        deg = (
+            e.select(F.explode(F.array(F.col(u), F.col(v))).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        e = e.join(
+            keep, F.col(u) == F.col("node"), "left_semi"
+        ).join(keep, F.col(v) == F.col("node"), "left_semi")
+    final_deg = (
+        e.select(F.explode(F.array(F.col(u), F.col(v))).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return final_deg.orderBy("node")
+
+
+def kcore_sql(edges_cte: str, k: int = 3, n_iter: int = 6) -> str:
+    """DuckDB oracle for ``kcore``: the same fixed peeling unrolled into
+    CTE stages (e0 → d1/s1/e1 → … → final degree census).
+
+    Every CTE is ``AS MATERIALIZED``: DuckDB inlines plain CTEs, and
+    each stage references its predecessor several times (degree union +
+    two restriction joins), so 6 unrolled rounds would re-expand the
+    base scan exponentially (~6⁶ parquet opens — found as a
+    'Too many open files' failure, not just slowness).
+    """
+    parts = [
+        f"WITH e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,"
+        f" greatest(src, dst) AS v FROM ({edges_cte}) WHERE src <> dst)"
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f", d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS c FROM ("
+            f"SELECT u AS node FROM e{i-1} UNION ALL"
+            f" SELECT v FROM e{i-1}) GROUP BY node)"
+        )
+        parts.append(
+            f", s{i} AS MATERIALIZED"
+            f" (SELECT node FROM d{i} WHERE c >= {k})"
+        )
+        parts.append(
+            f", e{i} AS MATERIALIZED (SELECT e.u, e.v FROM e{i-1} e"
+            f" JOIN s{i} a ON e.u = a.node"
+            f" JOIN s{i} b ON e.v = b.node)"
+        )
+    parts.append(
+        f" SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM ("
+        f"SELECT u AS node FROM e{n_iter} UNION ALL"
+        f" SELECT v FROM e{n_iter}) GROUP BY node ORDER BY node"
+    )
+    return "".join(parts)
