@@ -4785,6 +4785,126 @@ def _gr_kcore_sql() -> str:
 GR_KCORE_SQL = _gr_kcore_sql()
 
 
+def cdc_snapshot_diff(spark, sf_dir):
+    """Row-level delta between two snapshot versions (operators.cdc.
+    snapshot_diff): old = orders with orderkey %4 != 0, new = orders
+    with orderkey %5 != 0 and deterministic edits (+100 totalprice at
+    %7, priority rewrite at %11) — classifies each key insert / delete /
+    update with the name-sorted changed-column list, dropping unchanged
+    keys in the same full-outer pass so output is delta-sized."""
+    from calp_cva_tracking_pipeline_spark.operators.cdc import snapshot_diff
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    old = o.filter(F.col("o_orderkey") % 4 != 0)
+    new = o.filter(F.col("o_orderkey") % 5 != 0).withColumns(
+        {
+            "o_totalprice": F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 100
+            ).otherwise(F.col("o_totalprice")),
+            "o_orderpriority": F.when(
+                F.col("o_orderkey") % 11 == 0, F.lit("9-DIFFED")
+            ).otherwise(F.col("o_orderpriority")),
+        }
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+CDC_DIFF_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 4 <> 0),
+n AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 11 = 0 THEN '9-DIFFED'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 5 <> 0),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         list_sort(list_filter([
+           CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                THEN 'o_orderpriority' END,
+           CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                THEN 'o_orderstatus' END,
+           CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                THEN 'o_totalprice' END],
+           x -> x IS NOT NULL)) AS ch
+  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+SELECT o_orderkey,
+       CASE WHEN NOT in_old THEN 'insert'
+            WHEN NOT in_new THEN 'delete'
+            ELSE 'update' END AS change_type,
+       CASE WHEN in_old AND in_new THEN array_to_string(ch, ',')
+            ELSE '' END AS changed_cols
+FROM j
+WHERE (NOT in_old) OR (NOT in_new) OR len(ch) > 0
+"""
+
+
+DQ_DOMAIN = ("O", "F", "P")
+DQ_PRICE_CAP = 400_000.0
+
+
+def pf_dq_checks(spark, sf_dir):
+    """Declarative data-quality gate over orders (operators.profiling.
+    dq_checks): five rules — three expected-clean (positive price,
+    non-null date, status domain), one expected-dirty (price under the
+    400k cap), one uniqueness (orderkey) — all evaluated in ONE
+    map-side-combined scan; output is the per-rule violation ledger."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        dq_checks,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    return dq_checks(
+        o,
+        rules=[
+            ("totalprice_positive", F.col("o_totalprice") <= 0),
+            ("orderdate_not_null", F.col("o_orderdate").isNull()),
+            ("status_in_domain", ~F.col("o_orderstatus").isin(*DQ_DOMAIN)),
+            (
+                "totalprice_under_cap",
+                F.col("o_totalprice") >= DQ_PRICE_CAP,
+            ),
+        ],
+        unique_cols=["o_orderkey"],
+    )
+
+
+_DQ_DOMAIN_SQL = ", ".join(f"'{s}'" for s in DQ_DOMAIN)
+
+PF_DQ_SQL = f"""
+WITH a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_pos,
+    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_null,
+    CAST(SUM(CASE WHEN o_orderstatus NOT IN ({_DQ_DOMAIN_SQL})
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_dom,
+    CAST(SUM(CASE WHEN o_totalprice >= {DQ_PRICE_CAP} THEN 1 ELSE 0 END)
+      AS BIGINT) AS v_cap,
+    CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+      AS v_uniq
+  FROM orders)
+SELECT rule, n AS n_rows, v AS n_violations,
+       ROUND(CASE WHEN n > 0 THEN CAST(v AS DOUBLE) / n ELSE 0.0 END, 6)
+         AS violation_rate
+FROM (
+  SELECT 'o_orderkey_unique' AS rule, n, v_uniq AS v FROM a
+  UNION ALL SELECT 'orderdate_not_null', n, v_null FROM a
+  UNION ALL SELECT 'status_in_domain', n, v_dom FROM a
+  UNION ALL SELECT 'totalprice_positive', n, v_pos FROM a
+  UNION ALL SELECT 'totalprice_under_cap', n, v_cap FROM a)
+ORDER BY rule
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -4899,4 +5019,6 @@ SCALE_QUERIES = {
     # fourteenth wave (round 8)
     "dd_jaccard_join": (dd_jaccard_join, DD_JACCARD_SQL),
     "gr_kcore": (gr_kcore, GR_KCORE_SQL),
+    "cdc_snapshot_diff": (cdc_snapshot_diff, CDC_DIFF_SQL),
+    "pf_dq_checks": (pf_dq_checks, PF_DQ_SQL),
 }

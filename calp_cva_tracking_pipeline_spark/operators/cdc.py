@@ -231,3 +231,85 @@ def as_of_snapshot(history: DataFrame, at: Column) -> DataFrame:
         (F.col("effective_from") <= at)
         & (F.col("effective_to").isNull() | (F.col("effective_to") > at))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot reconciliation: the exact row-level delta between two
+    table versions — the audit half of the CDC tier (``apply_changeset``
+    APPLIES a known changeset; this RECOVERS the changeset when all you
+    kept is the snapshots, e.g. validating a migration, diffing a
+    rebuilt table against production, or bootstrapping CDC onto a
+    pipeline that never emitted one).
+
+    One FULL OUTER join on the key (both sides shuffle once; at scale,
+    snapshots bucketed on the key make it exchange-free) classifying
+    each key as ``insert`` (new only), ``delete`` (old only) or
+    ``update`` (both present, any compare column differing NULL-SAFELY —
+    NULL→value and value→NULL are updates, NULL→NULL is not). Unchanged
+    keys are dropped in the same pass, so output is delta-sized, never
+    snapshot-sized. ``changed_cols`` lists the differing columns
+    (name-sorted, comma-joined — empty for insert/delete) so downstream
+    can route column-level repairs without re-diffing.
+
+    ``compare_cols`` defaults to every shared non-key column. Keys are
+    assumed unique per snapshot (it is a snapshot, not a changelog —
+    run the dedup tier first otherwise).
+
+    Engine-added; no reference counterpart.
+    """
+    if compare_cols is None:
+        shared = set(old.columns) & set(new.columns)
+        compare_cols = sorted(c for c in shared if c not in keys)
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__ko_{k}") == F.col(f"__kn_{k}")
+        cond = c if cond is None else cond & c
+    j = o.join(n, cond, "full_outer")
+    diffs = [
+        F.when(
+            ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+        )
+        for c in compare_cols
+    ]
+    changed = F.array_sort(
+        F.filter(F.array(*diffs), lambda x: x.isNotNull())
+    )
+    change_type = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(F.size(changed) > 0, F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(
+                    F.col(f"__ko_{k}"), F.col(f"__kn_{k}")
+                ).alias(k)
+                for k in keys
+            ],
+            "change_type",
+            F.when(
+                F.col("change_type") == "update",
+                F.array_join(changed, ","),
+            )
+            .otherwise(F.lit(""))
+            .alias("changed_cols"),
+        )
+    )

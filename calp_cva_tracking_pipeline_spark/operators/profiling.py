@@ -957,3 +957,75 @@ def fixed_histogram(
         )
         .orderBy("bin")
     )
+
+
+def dq_checks(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+    unique_cols: list[str] | None = None,
+) -> DataFrame:
+    """Declarative data-quality gate: evaluate every rule in ONE scan and
+    emit a violation ledger — the contract-enforcement half of the
+    profiling tier (``profile_columns`` DESCRIBES a table; this judges it
+    against expectations, the Great-Expectations/dbt-test shape a
+    pipeline runs before publishing).
+
+    ``rules`` are (name, violation_predicate) pairs — predicate TRUE
+    means the row violates (NULL counts as not-violating; write explicit
+    isNull rules for null checks). All predicates evaluate in a single
+    map-side-combined aggregation pass: one scan, one one-row exchange,
+    regardless of rule count. ``unique_cols`` adds a `<col>_unique` rule
+    per column, counting surplus rows as COUNT(col) − COUNT(DISTINCT
+    col) — NULLs are excluded on BOTH sides of that subtraction (and by
+    both engines' COUNT semantics), so pair a `<col>_not_null` rule with
+    it to police nulls.
+
+    Output: (rule, n_rows, n_violations, violation_rate 6dp), one row
+    per rule, ordered by rule name. n_rows repeats the table total so
+    each ledger row is self-contained for alerting thresholds.
+
+    Engine-added; no reference counterpart (the reference validates by
+    manual review routing — CC4).
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    names: list[str] = []
+    for name, cond in rules:
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(
+                f"__v_{name}"
+            )
+        )
+        names.append(name)
+    for c in unique_cols or []:
+        name = f"{c}_unique"
+        aggs.append(
+            (F.count(F.col(c)) - F.count_distinct(F.col(c)))
+            .cast("bigint")
+            .alias(f"__v_{name}")
+        )
+        names.append(name)
+    row = df.agg(*aggs)
+    ledger = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("rule"), F.col(f"__v_{n}").alias("viol")
+            )
+            for n in sorted(names)
+        ]
+    )
+    return (
+        row.select(F.col("__n"), F.explode(ledger).alias("__r"))
+        .select(
+            F.col("__r.rule").alias("rule"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            F.col("__r.viol").alias("n_violations"),
+            F.round(
+                F.when(
+                    F.col("__n") > 0,
+                    F.col("__r.viol").cast("double") / F.col("__n"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("violation_rate"),
+        )
+        .orderBy("rule")
+    )

@@ -112,3 +112,63 @@ def test_kcore_fixed_iterations_converged_on_catalog_graph(spark, sf_dir):
         map(tuple, kcore(edges, k=KCORE_K, n_iter=KCORE_ITERS + 1).collect())
     )
     assert at == plus
+
+
+def test_snapshot_diff_classifies_and_names_columns(spark):
+    from calp_cva_tracking_pipeline_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=1.0),   # unchanged
+            Row(k=2, a="x", b=2.0),   # b updated
+            Row(k=3, a="x", b=None),  # NULL -> value: update
+            Row(k=4, a="x", b=4.0),   # deleted
+            Row(k=5, a=None, b=5.0),  # NULL == NULL: unchanged
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=1.0),
+            Row(k=2, a="y", b=9.0),
+            Row(k=3, a="x", b=3.0),
+            Row(k=5, a=None, b=5.0),
+            Row(k=6, a="new", b=6.0),  # inserted
+        ]
+    )
+    got = {
+        r.k: (r.change_type, r.changed_cols)
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        2: ("update", "a,b"),
+        3: ("update", "b"),
+        4: ("delete", ""),
+        6: ("insert", ""),
+    }
+
+
+def test_dq_checks_single_pass_ledger(spark):
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        dq_checks,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, v=10.0),
+            Row(id=2, v=-1.0),   # violates positive
+            Row(id=2, v=None),   # duplicate id; NULL v not a violation
+            Row(id=3, v=-5.0),   # violates positive
+        ]
+    )
+    got = {
+        r.rule: (r.n_rows, r.n_violations, r.violation_rate)
+        for r in dq_checks(
+            df,
+            rules=[("v_positive", F.col("v") <= 0)],
+            unique_cols=["id"],
+        ).collect()
+    }
+    assert got == {
+        "id_unique": (4, 1, 0.25),      # 4 non-null ids, 3 distinct
+        "v_positive": (4, 2, 0.5),      # NULL v does not violate
+    }
