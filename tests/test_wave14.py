@@ -84,33 +84,37 @@ def test_kcore_canonicalizes_and_ignores_duplicates(spark):
     assert got == {(1, 2), (2, 2), (3, 2)}
 
 
-def test_kcore_fixed_iterations_converged_on_catalog_graph(spark, sf_dir):
+def test_kcore_fixed_iterations_converged_on_catalog_graph(sf_dir):
     """The catalog's 6 rounds must be a true fixpoint on the shipped
     data — one extra round changes nothing (otherwise the published
-    census would be an unconverged artifact of the iteration cap)."""
-    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    census would be an unconverged artifact of the iteration cap).
+    Checked through the DuckDB oracle twin (sub-second, where a
+    double Spark run of the 7-round DAG costs minutes); oracle parity
+    ties the Spark side to this same census at every SF."""
+    import duckdb
+
     from calp_cva_tracking_pipeline_spark.catalog.scale import (
         KCORE_ITERS,
         KCORE_K,
     )
+    from calp_cva_tracking_pipeline_spark.operators.graph import kcore_sql
 
-    lp = (
-        T(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    edges = (
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a "
+        "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
     )
-    a, b = lp.alias("a"), lp.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
     )
-    at = sorted(map(tuple, kcore(edges, k=KCORE_K, n_iter=KCORE_ITERS).collect()))
-    plus = sorted(
-        map(tuple, kcore(edges, k=KCORE_K, n_iter=KCORE_ITERS + 1).collect())
-    )
+    at = con.execute(kcore_sql(edges, k=KCORE_K, n_iter=KCORE_ITERS)).fetchall()
+    plus = con.execute(
+        kcore_sql(edges, k=KCORE_K, n_iter=KCORE_ITERS + 1)
+    ).fetchall()
+    assert len(at) > 0
     assert at == plus
 
 
