@@ -4905,6 +4905,252 @@ ORDER BY rule
 """
 
 
+# --- sixteenth-wave additions (round 8): CUSUM drift, market-basket
+# rules, FK orphan audit, label-propagation communities ---
+
+
+CUSUM_TARGET = 50.0  # events.value mean ~49.6 — drift measured from here
+CUSUM_SLACK = 5.0
+CUSUM_H = 200.0
+
+
+def ts_cusum(spark, sf_dir):
+    """Two-sided CUSUM drift statistics per user (operators.temporal.
+    cusum_detect): the serial-looking max(0, ...) recurrence evaluated
+    via its prefix-sum/running-min CLOSED FORM — two stacked windows
+    over ONE keyed exchange, no pandas kernel (contrast ts_ewma, whose
+    recurrence has no closed form). Integer micro-unit arithmetic end
+    to end; the oracle replays the same two-level window."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        cusum_detect,
+    )
+
+    e = T(spark, sf_dir, "events")
+    return cusum_detect(
+        e,
+        keys=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+        target=CUSUM_TARGET,
+        slack=CUSUM_SLACK,
+        threshold=CUSUM_H,
+    )
+
+
+_CU_T = round(CUSUM_TARGET * 1_000_000)
+_CU_K = round(CUSUM_SLACK * 1_000_000)
+_CU_H = round(CUSUM_H * 1_000_000)
+
+TS_CUSUM_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+p AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(x - {_CU_T} - {_CU_K}) OVER w AS BIGINT) AS pp,
+         CAST(SUM({_CU_T} - x - {_CU_K}) OVER w AS BIGINT) AS pn
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING))
+SELECT user_id, event_id, ts,
+       CAST(pp - LEAST(0, MIN(pp) OVER w) AS DOUBLE) / 1000000
+         AS cusum_pos,
+       CAST(pn - LEAST(0, MIN(pn) OVER w) AS DOUBLE) / 1000000
+         AS cusum_neg,
+       pp - LEAST(0, MIN(pp) OVER w) > {_CU_H} AS alarm_pos,
+       pn - LEAST(0, MIN(pn) OVER w) > {_CU_H} AS alarm_neg
+FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING)
+"""
+
+
+ITEM_MIN = 5  # item frequency floor (a-priori prefilter)
+PAIR_MIN = 3  # pair co-occurrence floor
+
+
+def ev_itemsets(spark, sf_dir):
+    """Pairwise association rules over order baskets (operators.assoc.
+    association_rules): which parts co-purchase, with support /
+    confidence / lift from exact integer counts. The Spark side forms
+    pairs WITHOUT a self-join (sorted collect_list + JVM pair
+    unrolling); the oracle is the naive within-basket self-join, so
+    parity proves the two formulations emit identical rule sets."""
+    from calp_cva_tracking_pipeline_spark.operators.assoc import (
+        association_rules,
+    )
+
+    li = T(spark, sf_dir, "lineitem")
+    return association_rules(
+        li,
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_item_count=ITEM_MIN,
+        min_pair_count=PAIR_MIN,
+    )
+
+
+EV_ITEMSETS_SQL = f"""
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+            FROM lineitem),
+nb AS (SELECT COUNT(DISTINCT b) AS n FROM bi),
+itemn AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi
+          GROUP BY i HAVING COUNT(*) >= {ITEM_MIN}),
+kept AS (SELECT bi.b, bi.i FROM bi JOIN itemn ON bi.i = itemn.i),
+pairs AS (
+  SELECT a.i AS ia, c.i AS ic, CAST(COUNT(*) AS BIGINT) AS pair_n
+  FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= {PAIR_MIN}),
+bothdir AS (
+  SELECT ia AS a, ic AS c, pair_n FROM pairs
+  UNION ALL SELECT ic, ia, pair_n FROM pairs)
+SELECT bd.a AS antecedent, bd.c AS consequent, pair_n,
+       ROUND(CAST(pair_n AS DOUBLE) / nb.n, 6) AS support,
+       ROUND(CAST(pair_n AS DOUBLE) / an.cnt, 6) AS confidence,
+       ROUND(CAST(pair_n AS DOUBLE) * nb.n / (an.cnt * ac.cnt), 6)
+         AS lift
+FROM bothdir bd
+CROSS JOIN nb
+JOIN itemn an ON bd.a = an.i
+JOIN itemn ac ON bd.c = ac.i
+"""
+
+
+def pf_ref_integrity(spark, sf_dir):
+    """FK orphan audit ledger (operators.profiling.ref_integrity):
+    four declared FKs — two against DELIBERATELY restricted parents
+    (orders missing every %3 key, customers missing every %5 key,
+    simulating a partial dimension load) so the orphan columns carry
+    real mass, and two clean (lineitem→part, customer→nation). Join
+    volume is key-cardinality-bounded on every FK."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        ref_integrity,
+    )
+
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    p = T(spark, sf_dir, "part")
+    n = T(spark, sf_dir, "nation")
+    return ref_integrity(
+        [
+            (
+                "lineitem_orders",
+                li,
+                "l_orderkey",
+                o.filter(F.col("o_orderkey") % 3 != 0),
+                "o_orderkey",
+            ),
+            ("lineitem_part", li, "l_partkey", p, "p_partkey"),
+            (
+                "orders_customer",
+                o,
+                "o_custkey",
+                c.filter(F.col("c_custkey") % 5 != 0),
+                "c_custkey",
+            ),
+            ("customer_nation", c, "c_nationkey", n, "n_nationkey"),
+        ]
+    )
+
+
+def _ref_fk_sql(name, child, ck, parent_sql):
+    return f"""
+  SELECT '{name}' AS fk,
+    CAST(SUM(m) AS BIGINT) AS child_rows,
+    CAST(COALESCE(SUM(CASE WHEN a.k IS NULL THEN m END), 0) AS BIGINT)
+      AS null_key_rows,
+    CAST(COUNT(CASE WHEN a.k IS NOT NULL THEN 1 END) AS BIGINT)
+      AS distinct_keys,
+    CAST(COUNT(CASE WHEN a.k IS NOT NULL AND p.k IS NULL THEN 1 END)
+      AS BIGINT) AS orphan_keys,
+    CAST(COALESCE(SUM(CASE WHEN a.k IS NOT NULL AND p.k IS NULL
+                           THEN m END), 0) AS BIGINT) AS orphan_rows
+  FROM (SELECT {ck} AS k, COUNT(*) AS m FROM {child} GROUP BY 1) a
+  LEFT JOIN (SELECT DISTINCT k FROM ({parent_sql})
+             WHERE k IS NOT NULL) p ON a.k = p.k"""
+
+
+PF_REF_SQL = f"""
+WITH ledger AS (
+{_ref_fk_sql("lineitem_orders", "lineitem", "l_orderkey",
+             "SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 <> 0")}
+  UNION ALL
+{_ref_fk_sql("lineitem_part", "lineitem", "l_partkey",
+             "SELECT p_partkey AS k FROM part")}
+  UNION ALL
+{_ref_fk_sql("orders_customer", "orders", "o_custkey",
+             "SELECT c_custkey AS k FROM customer WHERE c_custkey % 5 <> 0")}
+  UNION ALL
+{_ref_fk_sql("customer_nation", "customer", "c_nationkey",
+             "SELECT n_nationkey AS k FROM nation")})
+SELECT fk, child_rows, null_key_rows, distinct_keys, orphan_keys,
+       orphan_rows,
+       ROUND(CASE WHEN child_rows > 0
+                  THEN CAST(orphan_rows AS DOUBLE) / child_rows
+                  ELSE 0.0 END, 6) AS orphan_rate
+FROM ledger ORDER BY fk
+"""
+
+
+LPA_EDGE_MIN = 2  # co-occurrence floor — sparsifies the part graph
+LPA_ITERS = 4
+
+
+def gr_communities(spark, sf_dir):
+    """Fixed-round label-propagation communities (operators.graph.
+    label_propagation) over the part co-occurrence graph, sparsified to
+    pairs co-purchased in ≥2 orders — the community census next to
+    components (reachability), k-core (density) and PageRank
+    (importance). Deterministic smallest-label tie-break; argmax runs
+    inside the vote aggregation (max(struct)) while the oracle uses
+    ROW_NUMBER — parity proves the formulations agree node-for-node."""
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    lp = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= LPA_EDGE_MIN)
+        .select("src", "dst")
+    )
+    return label_propagation(edges, n_iter=LPA_ITERS)
+
+
+def _gr_comm_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        label_propagation_sql,
+    )
+
+    edges = (
+        "SELECT src, dst FROM ("
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS c "
+        "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a "
+        "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        f"GROUP BY 1, 2) WHERE c >= {LPA_EDGE_MIN}"
+    )
+    return label_propagation_sql(edges, n_iter=LPA_ITERS)
+
+
+GR_COMM_SQL = _gr_comm_sql()
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -5021,4 +5267,9 @@ SCALE_QUERIES = {
     "gr_kcore": (gr_kcore, GR_KCORE_SQL),
     "cdc_snapshot_diff": (cdc_snapshot_diff, CDC_DIFF_SQL),
     "pf_dq_checks": (pf_dq_checks, PF_DQ_SQL),
+    # sixteenth wave (round 8)
+    "ts_cusum": (ts_cusum, TS_CUSUM_SQL),
+    "ev_itemsets": (ev_itemsets, EV_ITEMSETS_SQL),
+    "pf_ref_integrity": (pf_ref_integrity, PF_REF_SQL),
+    "gr_communities": (gr_communities, GR_COMM_SQL),
 }

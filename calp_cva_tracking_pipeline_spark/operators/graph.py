@@ -566,3 +566,108 @@ def kcore_sql(edges_cte: str, k: int = 3, n_iter: int = 6) -> str:
         f" SELECT v FROM e{n_iter}) GROUP BY node ORDER BY node"
     )
     return "".join(parts)
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 4,
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (Raghavan 2007):
+    community detection for the co-occurrence graph tier — every node
+    starts as its own label, and each round SIMULTANEOUSLY adopts the
+    most frequent label among its neighbours (ties break to the
+    smallest label, so every round is a deterministic function of the
+    previous labelling — the published algorithm's random tie-break and
+    asynchronous order would make cross-engine parity impossible).
+    Distinct from ``connected_components`` (which merges everything
+    reachable): LPA stops where a node's neighbourhood stops voting for
+    the label, cutting weakly-linked regions apart.
+
+    A fixed ``n_iter`` unrolls the rounds into one lazy DAG that both
+    engines replay identically (the PageRank/k-core discipline;
+    ``label_propagation_sql`` is the oracle twin). Synchronous LPA can
+    oscillate on bipartite-ish regions rather than converge — with
+    fixed rounds the census is still a deterministic, engine-portable
+    labelling, which is the contract here.
+
+    Scale shape per round: one adjacency⋈labels shuffle join on the
+    neighbour key and one (node, label) vote aggregation; the argmax
+    resolves INSIDE the aggregation as ``max(struct(votes, -label))``
+    — map-side combinable, no per-node sort, no window. Adjacency is
+    edge-keyed throughout; labels are node-sized. Edges canonicalize
+    (least, greatest) + distinct with self-loops dropped, so the input
+    may be directed/duplicated. Output: (node, label) for every node
+    with at least one edge.
+
+    Engine-added; no reference counterpart.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("__u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("__v"),
+        )
+        .filter(F.col("__u") != F.col("__v"))
+        .distinct()
+    )
+    adj = e.select(
+        F.col("__u").alias("node"), F.col("__v").alias("nbr")
+    ).union(e.select(F.col("__v").alias("node"), F.col("__u").alias("nbr")))
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(n_iter):
+        votes = (
+            adj.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("lbl")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = votes.groupBy("node").agg(
+            (
+                -F.max(F.struct(F.col("__c"), (-F.col("lbl")).alias("__nl")))[
+                    "__nl"
+                ]
+            ).alias("lbl")
+        )
+    return labels.select(
+        "node", F.col("lbl").cast("bigint").alias("label")
+    ).orderBy("node")
+
+
+def label_propagation_sql(edges_cte: str, n_iter: int = 4) -> str:
+    """DuckDB oracle for ``label_propagation``: the same fixed rounds
+    unrolled into CTE stages, with the argmax written as the obviously-
+    correct ROW_NUMBER form (votes DESC, label ASC) — matching the
+    Spark side's ``max(struct(votes, -label))`` proves the two argmax
+    formulations agree on every node. ``AS MATERIALIZED`` for the same
+    reason as ``kcore_sql`` (each stage is referenced downstream; plain
+    CTEs re-expand the base scan exponentially)."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,"
+        f" greatest(src, dst) AS v FROM ({edges_cte}) WHERE src <> dst)",
+        ", adj AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e0"
+        " UNION ALL SELECT v, u FROM e0)",
+        ", l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM adj)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f", v{i} AS MATERIALIZED (SELECT a.node, l.lbl,"
+            f" COUNT(*) AS c FROM adj a"
+            f" JOIN l{i-1} l ON a.nbr = l.node GROUP BY a.node, l.lbl)"
+        )
+        parts.append(
+            f", l{i} AS MATERIALIZED (SELECT node, lbl FROM ("
+            f"SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node"
+            f" ORDER BY c DESC, lbl ASC) AS rn FROM v{i}) WHERE rn = 1)"
+        )
+    parts.append(
+        f" SELECT node, CAST(lbl AS BIGINT) AS label FROM l{n_iter}"
+        f" ORDER BY node"
+    )
+    return "".join(parts)

@@ -1029,3 +1029,83 @@ def dq_checks(
         )
         .orderBy("rule")
     )
+
+
+def ref_integrity(
+    fks: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit across declared foreign keys: the
+    cross-TABLE sibling of ``dq_checks`` (whose rules see one table at
+    a time). ``fks`` is a list of (name, child_df, child_key, parent_df,
+    parent_key); the ledger reports, per FK, how many child rows carry a
+    NULL key, how many distinct keys the child uses, and how many of
+    those keys (and their rows) have no parent — the orphan mass a
+    snapshot load or late-arriving dimension leaves behind.
+
+    Physical shape per FK: the child collapses to key-cardinality with
+    one map-side-combined groupBy (the NULL-key group rides along and
+    can never match), the parent collapses to its distinct key set, and
+    a single left join + one final aggregation produce every statistic —
+    so the join volume is bounded by KEY CARDINALITY on both sides,
+    never row count, and each table is scanned exactly once per FK.
+    Broadcast fires automatically when the parent key set is dimension-
+    sized; two genuinely huge key sets fall back to a key-partitioned
+    shuffle, which is the correct plan there.
+
+    Output: (fk, child_rows, null_key_rows, distinct_keys, orphan_keys,
+    orphan_rows, orphan_rate 6dp of rows), one row per declared FK,
+    ordered by fk name.
+
+    Engine-added; no reference counterpart (the reference's membership
+    checks — SO3 — are single-table IN-list filters).
+    """
+    rows = []
+    for name, child, ck, parent, pk in fks:
+        keyed = (
+            child.select(F.col(ck).alias("__k"))
+            .groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__m"))
+        )
+        pkeys = (
+            parent.select(F.col(pk).alias("__k"))
+            .filter(F.col("__k").isNotNull())
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        j = keyed.join(pkeys, "__k", "left")
+        orphan = F.col("__k").isNotNull() & F.col("__hit").isNull()
+        rows.append(
+            j.agg(
+                F.lit(name).alias("fk"),
+                F.sum("__m").cast("bigint").alias("child_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__k").isNull(), F.col("__m"))),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("null_key_rows"),
+                F.count(F.when(F.col("__k").isNotNull(), 1))
+                .cast("bigint")
+                .alias("distinct_keys"),
+                F.count(F.when(orphan, 1)).cast("bigint").alias(
+                    "orphan_keys"
+                ),
+                F.coalesce(F.sum(F.when(orphan, F.col("__m"))), F.lit(0))
+                .cast("bigint")
+                .alias("orphan_rows"),
+            ).withColumn(
+                "orphan_rate",
+                F.round(
+                    F.when(
+                        F.col("child_rows") > 0,
+                        F.col("orphan_rows").cast("double")
+                        / F.col("child_rows"),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return out.orderBy("fk")

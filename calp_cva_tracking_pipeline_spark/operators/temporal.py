@@ -657,3 +657,80 @@ def rolling_anomaly(
         ),
     ).filter(F.abs(F.col("z")) > z_threshold)
     return flagged.select(*keys, id_col, ts_col, value_col, "z")
+
+
+def cusum_detect(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    target: float,
+    slack: float,
+    threshold: float,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-sided CUSUM drift detection per key (Page 1954): the classic
+    recurrence S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − target − slack)) looks as
+    serial as EWMA, but it has a CLOSED FORM — with Pₜ the running sum
+    of the increments, S⁺ₜ = Pₜ − min(0, min_{j≤t} Pⱼ) — so unlike
+    ``ewma_smooth`` (which genuinely needs a per-key pandas kernel) it
+    runs entirely as two stacked window projections over ONE keyed
+    exchange: a cumulative sum, then a running min of that sum. No
+    Python, no state, whole-stage codegen end to end; the mirrored
+    S⁻ side reuses the same window. At 100 TB the cost is one shuffle
+    of the event stream plus a per-key sort — identical to any keyed
+    window, with the usual skew remedy (salt a mega-key upstream).
+
+    Exactness: values and the target/slack/threshold parameters are
+    encoded to ``scale`` integer units up front (same half-away-from-
+    zero contract as ``ewma_smooth``), so every running sum, min and
+    comparison is 64-bit integer arithmetic — bit-identical across
+    partitionings, re-runs and engines, and the DuckDB oracle replays
+    it with the same two-level window. Rows with NULL value or
+    timestamp are dropped before the windows (a recurrence has no slot
+    for them; same contract as ``ewma_smooth``/``rolling_anomaly``).
+    Ordering within a key is (ts, tiebreak) and must be total.
+
+    Output: keys + tiebreak + ts + ``cusum_pos``/``cusum_neg`` (doubles,
+    exact multiples of 1/scale) + ``alarm_pos``/``alarm_neg`` booleans
+    (statistic strictly above threshold). Integer sums stay within 2⁶³
+    for micro-scaled |value| ≤ ~9·10⁹ per 10⁶-row key history — the
+    same envelope as the EWMA tier.
+    """
+    t_i = int(round(target * scale))
+    k_i = int(round(slack * scale))
+    h_i = int(round(threshold * scale))
+    enc = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        *keys,
+        tiebreak_col,
+        F.col(ts_col).alias("__ts"),
+        F.round(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .alias("__x"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = enc.select(
+        *keys,
+        tiebreak_col,
+        "__ts",
+        F.sum(F.col("__x") - F.lit(t_i) - F.lit(k_i)).over(w).alias("__pp"),
+        F.sum(F.lit(t_i) - F.col("__x") - F.lit(k_i)).over(w).alias("__pn"),
+    )
+    sp = F.col("__pp") - F.least(F.lit(0).cast("long"), F.min("__pp").over(w))
+    sn = F.col("__pn") - F.least(F.lit(0).cast("long"), F.min("__pn").over(w))
+    return pre.select(
+        *keys,
+        tiebreak_col,
+        F.col("__ts").alias(ts_col),
+        (sp / scale).alias("cusum_pos"),
+        (sn / scale).alias("cusum_neg"),
+        (sp > h_i).alias("alarm_pos"),
+        (sn > h_i).alias("alarm_neg"),
+    )
