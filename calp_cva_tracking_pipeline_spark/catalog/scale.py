@@ -4881,14 +4881,14 @@ _DQ_DOMAIN_SQL = ", ".join(f"'{s}'" for s in DQ_DOMAIN)
 PF_DQ_SQL = f"""
 WITH a AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
-      AS v_pos,
-    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-      AS v_null,
-    CAST(SUM(CASE WHEN o_orderstatus NOT IN ({_DQ_DOMAIN_SQL})
-             THEN 1 ELSE 0 END) AS BIGINT) AS v_dom,
-    CAST(SUM(CASE WHEN o_totalprice >= {DQ_PRICE_CAP} THEN 1 ELSE 0 END)
-      AS BIGINT) AS v_cap,
+    CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0)
+      AS BIGINT) AS v_pos,
+    CAST(COALESCE(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0)
+      AS BIGINT) AS v_null,
+    CAST(COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ({_DQ_DOMAIN_SQL})
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_dom,
+    CAST(COALESCE(SUM(CASE WHEN o_totalprice >= {DQ_PRICE_CAP}
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_cap,
     CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
       AS v_uniq
   FROM orders)
@@ -4967,6 +4967,7 @@ FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 
 ITEM_MIN = 5  # item frequency floor (a-priori prefilter)
 PAIR_MIN = 3  # pair co-occurrence floor
+MAX_BASKET = 1000  # volume guard, mirrored in BOTH engines (advisor r8)
 
 
 def ev_itemsets(spark, sf_dir):
@@ -4987,6 +4988,7 @@ def ev_itemsets(spark, sf_dir):
         item_col="l_partkey",
         min_item_count=ITEM_MIN,
         min_pair_count=PAIR_MIN,
+        max_basket=MAX_BASKET,
     )
 
 
@@ -4996,7 +4998,11 @@ WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
 nb AS (SELECT COUNT(DISTINCT b) AS n FROM bi),
 itemn AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi
           GROUP BY i HAVING COUNT(*) >= {ITEM_MIN}),
-kept AS (SELECT bi.b, bi.i FROM bi JOIN itemn ON bi.i = itemn.i),
+kept0 AS (SELECT bi.b, bi.i FROM bi JOIN itemn ON bi.i = itemn.i),
+kept AS (
+  SELECT b, i FROM kept0
+  WHERE b IN (SELECT b FROM kept0 GROUP BY b
+              HAVING COUNT(*) <= {MAX_BASKET})),
 pairs AS (
   SELECT a.i AS ia, c.i AS ic, CAST(COUNT(*) AS BIGINT) AS pair_n
   FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i

@@ -11,10 +11,15 @@ Scale design:
 
 - **A-priori prefilter before any pair is formed**: an item below the
   support floor cannot appear in a frequent pair, so infrequent items
-  are dropped with one broadcast join BEFORE pair expansion (the same
-  join attaches each survivor's frequency for the later rule math). The
+  are dropped with one join BEFORE pair expansion (the same join
+  attaches each survivor's frequency for the later rule math). The
   frequent-item set is bounded by total_rows / min_item_count members —
-  broadcastable by construction at any corpus size.
+  a bound LINEAR in the corpus, so the join is deliberately left
+  unhinted: AQE broadcasts it when the survivor set is actually small
+  and falls back to a key-partitioned shuffle when a 100 TB corpus
+  makes it dimension-table-sized no more (round-8 advisor finding —
+  the same vocabulary-scales-with-corpus reason jaccard_join refuses
+  to broadcast its shingle frequencies).
 - **Pair expansion without a self-join**: a within-basket self-join
   would plan the (distinct + frequent-filter) upstream TWICE (measured:
   Spark never fires exchange reuse for derived self-joins — SCALE.md);
@@ -77,15 +82,17 @@ def association_rules(
     freq = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__in")).filter(
         F.col("__in") >= min_item_count
     )
-    # Item frequencies ride INTO the baskets here (inner broadcast join),
-    # sit inside the collected structs through pair expansion, and come
+    # Item frequencies ride INTO the baskets here (inner join — no
+    # broadcast hint: the frequent set scales linearly with the corpus,
+    # so AQE picks broadcast only when it is genuinely small), sit
+    # inside the collected structs through pair expansion, and come
     # back out as max() — constants per item — in the pair aggregation:
     # no post-hoc enrichment joins, so the expensive basket pipeline and
     # the pair table are each planned exactly ONCE (Spark re-plans a
     # derived frame per consumer — SCALE.md), and the whole operator
     # touches the input three linear times (basket total, item counts,
     # pair pipeline).
-    kept = bi.join(F.broadcast(freq), "__i").select("__b", "__i", "__in")
+    kept = bi.join(freq, "__i").select("__b", "__i", "__in")
     pairs = (
         kept.groupBy("__b")
         .agg(

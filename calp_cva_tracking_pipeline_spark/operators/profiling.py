@@ -990,10 +990,13 @@ def dq_checks(
     aggs = [F.count(F.lit(1)).alias("__n")]
     names: list[str] = []
     for name, cond in rules:
+        # coalesce: SUM over zero rows is NULL, but the ledger contract
+        # is integer counts — an empty input must read 0 violations,
+        # not unknown (round-8 advisor finding).
         aggs.append(
-            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(
-                f"__v_{name}"
-            )
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias(f"__v_{name}")
         )
         names.append(name)
     for c in unique_cols or []:
