@@ -35,28 +35,29 @@ from calp_cva_tracking_pipeline_spark.catalog.scale import SCALE_QUERIES
 
 _MERGED = {**RELATIONAL_QUERIES, **SCALE_QUERIES}
 
-# The driver's 50-row correctness gate, in official order. Round-8
-# rotation (third; same playbook as rounds 6/7): six more redundant
-# relational slots rotated OUT to local-parity placement — f3, j5, w2,
-# x5 (each fully covered by a greener gated neighbor, see COVERAGE),
-# cc1 (its when_cascade kernel runs verbatim as stage 1 of the gated
-# cc2_relevance_ml) and d1 (the same row_number-per-key kernel as the
-# gated dd_exact_hash, priority expressed as the ORDER BY) — and the
-# six judge-verified round-7 scale queries rotated IN (gr_triangles,
-# emb_kmeans, pf_approx_distinct, ts_ewma, ev_json_stats, tx_keywords).
+# The driver's 50-row correctness gate, in official order. Round-9
+# rotation (fourth; same playbook as rounds 6/7/8): eight more redundant
+# relational slots rotated OUT to local-parity placement — j4, j12, j14,
+# a9, x6, c5, cc4, cc6 (each fully covered by a greener gated neighbor,
+# see COVERAGE: the reference-semantics flagships x1/cc2/cc3/ep2 stay
+# gated and exercise the same join/cascade/window kernels) — and the
+# eight judge-verified round-8 wave operators rotated IN
+# (dd_jaccard_join, gr_kcore, cdc_snapshot_diff, pf_dq_checks, ts_cusum,
+# ev_itemsets, pf_ref_integrity, gr_communities — VERDICT r8 ask #1).
 # Every retiree stays catalog-resident past position 50 WITH its oracle
 # twin, so it keeps 3-SF local parity verification; it just no longer
 # occupies an official driver row. Earlier rotations: round 6 (f11, a7,
 # w5, x2, x7, so1, c1 deleted with test_retired_slot_ops.py pins),
-# round 7 (a1, a3, a8, a10, x3, x4, c2, c12, j11, j15 to local parity).
+# round 7 (a1, a3, a8, a10, x3, x4, c2, c12, j11, j15 to local parity),
+# round 8 (f3, j5, w2, x5, cc1, d1 to local parity).
 GATE = [
     "f1_filter_neq",
-    "j2_broadcast_enrich", "j4_fallback_join",
-    "j10_fuzzy_levenshtein", "j12_subtract_floor", "j14_anti_waterfall",
-    "a9_latest_per_group", "w1_cumprod",
-    "x1_equal_split_explode", "x6_qa_long_fallback",
-    "c5_canonicalize", "cc2_relevance_ml",
-    "cc3_amount_cascade", "cc4_manual_routing", "cc6_patch_collapse",
+    "j2_broadcast_enrich",
+    "j10_fuzzy_levenshtein",
+    "w1_cumprod",
+    "x1_equal_split_explode",
+    "cc2_relevance_ml",
+    "cc3_amount_cascade",
     "ep2_cva_by_location",
     "dd_exact_hash", "dd_minhash_lsh", "dd_simhash", "dd_embed_neardup",
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "tx_features",
@@ -68,6 +69,8 @@ GATE = [
     "rt_bm25_topk", "jx_salted_join",
     "gr_triangles", "emb_kmeans", "pf_approx_distinct", "ts_ewma",
     "ev_json_stats", "tx_keywords",
+    "dd_jaccard_join", "gr_kcore", "cdc_snapshot_diff", "pf_dq_checks",
+    "ts_cusum", "ev_itemsets", "pf_ref_integrity", "gr_communities",
 ]
 
 ALL_QUERIES = {name: _MERGED[name] for name in GATE}

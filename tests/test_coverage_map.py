@@ -104,14 +104,21 @@ NON_SQL_QUERIES = {"pk_sequences"}
 # ts_ewma, ev_json_stats, tx_keywords) gated. Any future change to this
 # set must be a conscious gate-vs-local-parity placement decision: edit
 # this list AND catalog.GATE in the same commit, never reorder silently.
+# Round 9 repeated the playbook a fourth time: j4, j12, j14, a9, x6, c5,
+# cc4, cc6 rotated to local parity (each stays catalog-resident with its
+# oracle; the reference-semantics flagships x1/cc2/cc3/ep2 keep the same
+# join/cascade/window kernels gated) and the eight judge-verified
+# round-8 wave operators gated (dd_jaccard_join, gr_kcore,
+# cdc_snapshot_diff, pf_dq_checks, ts_cusum, ev_itemsets,
+# pf_ref_integrity, gr_communities — VERDICT r8 ask #1).
 DRIVER_GATE = [
     "f1_filter_neq",
-    "j2_broadcast_enrich", "j4_fallback_join",
-    "j10_fuzzy_levenshtein", "j12_subtract_floor", "j14_anti_waterfall",
-    "a9_latest_per_group", "w1_cumprod",
-    "x1_equal_split_explode", "x6_qa_long_fallback",
-    "c5_canonicalize", "cc2_relevance_ml",
-    "cc3_amount_cascade", "cc4_manual_routing", "cc6_patch_collapse",
+    "j2_broadcast_enrich",
+    "j10_fuzzy_levenshtein",
+    "w1_cumprod",
+    "x1_equal_split_explode",
+    "cc2_relevance_ml",
+    "cc3_amount_cascade",
     "ep2_cva_by_location",
     "dd_exact_hash", "dd_minhash_lsh", "dd_simhash", "dd_embed_neardup",
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "tx_features",
@@ -123,6 +130,8 @@ DRIVER_GATE = [
     "rt_bm25_topk", "jx_salted_join",
     "gr_triangles", "emb_kmeans", "pf_approx_distinct", "ts_ewma",
     "ev_json_stats", "tx_keywords",
+    "dd_jaccard_join", "gr_kcore", "cdc_snapshot_diff", "pf_dq_checks",
+    "ts_cusum", "ev_itemsets", "pf_ref_integrity", "gr_communities",
 ]
 
 
