@@ -5157,6 +5157,133 @@ def _gr_comm_sql() -> str:
 GR_COMM_SQL = _gr_comm_sql()
 
 
+# --- seventeenth-wave additions (round 9): perceptual-hash image
+# near-dup — the multimodal pillar's first ANALYSIS operator over the
+# real stdlib codecs (VERDICT r8 ask #2) ---
+
+
+PHASH_W = PHASH_H = 16  # synthesized image dims (8×8 hash grid → 2×2 boxes)
+PHASH_MAXH = 3  # pigeonhole-exact recall with 4 bands of 16 bits
+PHASH_LIGHT_FLIPS = 2  # rank-1 docs: near-dup of the group base image
+PHASH_HEAVY_FLIPS = 24  # rank-2 docs: far from the base image
+
+
+def mm_phash_neardup(spark, sf_dir):
+    """Perceptual-hash (aHash) image near-duplicate pairs
+    (operators.phash.image_phash_pairs) over a deterministic BMP corpus
+    derived from documents: every 3 consecutive doc_ids share a hash-
+    generated 16×16 base image — rank 1 flips 2 pixels (near-dup), rank
+    2 flips 24 (far). Pixel values come from engine-portable md5
+    expressions, the payloads are REAL 24-bpp BMPs
+    (operators.bmp_stdlib.encode_bmp), and the hash pipeline runs the
+    REAL stdlib decode (decode_bmp → integer ITU-R 601 luma → integer
+    box sums); the oracle recomputes the pixel formula directly in SQL
+    and replays bit/band/hamming math — parity proves the encode→decode
+    roundtrip is pixel-identity AND the aHash kernel is integer-exact.
+    Candidate pairing is hamming-block bucketed (pigeonhole-exact within
+    MAXH), never all-pairs."""
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.phash import (
+        image_phash_pairs,
+        synthesize_bmp_payloads,
+    )
+
+    d = spread_small_input(T(spark, sf_dir, "documents").select("doc_id"))
+    base = d.select(
+        "doc_id",
+        F.expr("doc_id DIV 3").alias("grp"),
+        F.expr("doc_id % 3").alias("rnk"),
+    )
+    h60 = (
+        "CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+    )
+    vb = h60.format(
+        s="concat('px|', CAST(grp AS STRING), '|',"
+        " CAST(p % {w} AS STRING), '|', CAST(p DIV {w} AS STRING))".format(
+            w=PHASH_W
+        )
+    )
+    fl = h60.format(
+        s="concat('fl|', CAST(grp AS STRING), '|',"
+        " CAST(rnk AS STRING), '|', CAST(k AS STRING))"
+    )
+    npx = PHASH_W * PHASH_H
+    synth = base.select(
+        "doc_id",
+        F.expr(
+            f"""transform(sequence(0, {npx - 1}), p ->
+                  CAST(IF(rnk > 0 AND array_contains(
+                         transform(sequence(0, IF(rnk = 1,
+                                  {PHASH_LIGHT_FLIPS - 1},
+                                  {PHASH_HEAVY_FLIPS - 1})),
+                           k -> ({fl}) % {npx}),
+                         p),
+                       255 - ({vb}) % 256,
+                       ({vb}) % 256) AS INT))"""
+        ).alias("px"),
+    )
+    imgs = synthesize_bmp_payloads(synth, "doc_id", "px", PHASH_W, PHASH_H)
+    return image_phash_pairs(
+        imgs, "doc_id", "payload", grid=8, max_hamming=PHASH_MAXH
+    )
+
+
+_PH_VB = (
+    f"CAST(CAST(('0x' || substring(md5('px|' || CAST(grp AS VARCHAR) || '|'"
+    f" || CAST(p % {PHASH_W} AS VARCHAR) || '|'"
+    f" || CAST(p // {PHASH_W} AS VARCHAR)), 1, 15)) AS UBIGINT)"
+    f" AS BIGINT) % 256"
+)
+_PH_FL = (
+    "CAST(CAST(('0x' || substring(md5('fl|' || CAST(grp AS VARCHAR) || '|'"
+    " || CAST(rnk AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 15))"
+    f" AS UBIGINT) AS BIGINT) % {PHASH_W * PHASH_H}"
+)
+
+MM_PHASH_SQL = f"""
+WITH p256 AS (SELECT unnest(generate_series(0, {PHASH_W * PHASH_H - 1})) AS p),
+docs0 AS (
+  SELECT doc_id, doc_id // 3 AS grp, doc_id % 3 AS rnk,
+         list_transform(generate_series(0, CASE WHEN rnk = 1
+                THEN {PHASH_LIGHT_FLIPS - 1}
+                ELSE {PHASH_HEAVY_FLIPS - 1} END),
+           k -> {_PH_FL}) AS fpos
+  FROM documents),
+px AS (
+  SELECT doc_id, p,
+         CASE WHEN rnk > 0 AND list_contains(fpos, p)
+              THEN 255 - ({_PH_VB}) ELSE ({_PH_VB}) END AS v
+  FROM docs0 CROSS JOIN p256),
+cells AS (
+  SELECT doc_id, (p // {PHASH_W} // 2) * 8 + (p % {PHASH_W}) // 2 AS cell,
+         CAST(SUM(v) AS BIGINT) AS cs
+  FROM px GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS total
+        FROM cells GROUP BY 1),
+bits AS (
+  SELECT c.doc_id, cell, CASE WHEN cs * 64 > total THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tot t ON c.doc_id = t.doc_id),
+bands AS (
+  SELECT doc_id, cell // 16 AS blk,
+         CAST(SUM(bit * (1 << (cell % 16))) AS BIGINT) AS val
+  FROM bits GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id),
+ham AS (
+  SELECT c.id_a, c.id_b,
+         CAST(SUM(bit_count(xor(x.val, y.val))) AS INT) AS hamming
+  FROM cand c
+  JOIN bands x ON x.doc_id = c.id_a
+  JOIN bands y ON y.doc_id = c.id_b AND y.blk = x.blk
+  GROUP BY 1, 2)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {PHASH_MAXH}
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -5278,4 +5405,6 @@ SCALE_QUERIES = {
     "ev_itemsets": (ev_itemsets, EV_ITEMSETS_SQL),
     "pf_ref_integrity": (pf_ref_integrity, PF_REF_SQL),
     "gr_communities": (gr_communities, GR_COMM_SQL),
+    # seventeenth wave (round 9)
+    "mm_phash_neardup": (mm_phash_neardup, MM_PHASH_SQL),
 }
