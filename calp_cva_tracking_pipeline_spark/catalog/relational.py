@@ -1598,6 +1598,140 @@ ORDER BY location
 """
 
 
+# --- EP3 matcher waterfall, oracle-gated end to end (round 9;
+# VERDICT r8 ask #5: the 4-stage matcher had pytest coverage but no
+# oracle-gated catalog row) ---
+
+# Manual override constants (stage 5; reference code/10:226-285 ships
+# ~20 curated pairs — two representative shapes here: one exact-name
+# override on an injected sub-grantee name, one regex-keyed rule like
+# the reference's 'red (cross|crescent)' pattern).
+EP3_MANUAL_OVERRIDES = [("acme subgrantee", "acme global")]
+EP3_PATTERN_OVERRIDES = [("^hot ", "thermal group")]
+
+
+def ep3_org_match(spark, sf_dir):
+    """EP3 — the full 4-stage org-name matcher waterfall + manual
+    overrides (plans.matching.match_org_names; reference
+    code/10_global_cva_analysis.R:86-299) as one oracle-gated query.
+
+    Left (sub-grant recipient) names derive from part.p_name with a
+    partkey-keyed transform exercising every stage: identity (exact),
+    last-char drop (fuzzy, distance 1), first word (substring_a),
+    suffixed (substring_b), the 'unknown' sentinel (dropped), and an
+    injected 'acme subgrantee' (manual override). Right = the raw
+    p_name org list. The DuckDB oracle replays canonicalization, the
+    levenshtein threshold (IEEE 0.2·len, CAST AS DOUBLE so DuckDB
+    doesn't compute it in exact DECIMAL), word-boundary containment
+    both directions with the shortest-container/lexicographic ranks,
+    the C12 priority coalesce and both override stages. Canonical
+    names are [a-z0-9 ]-only, so the regex_quote stage is the identity
+    on both engines by construction."""
+    from calp_cva_tracking_pipeline_spark.plans.matching import (
+        match_org_names,
+    )
+
+    p = T(spark, sf_dir, "part")
+    left = p.select(
+        F.expr(
+            """CASE p_partkey % 6
+                 WHEN 0 THEN p_name
+                 WHEN 1 THEN substring(p_name, 1, length(p_name) - 1)
+                 WHEN 2 THEN regexp_extract(p_name, '^[^ ]+', 0)
+                 WHEN 3 THEN concat(p_name, ' intl division')
+                 WHEN 4 THEN 'unknown'
+                 ELSE 'acme subgrantee' END"""
+        ).alias("recipient_name")
+    )
+    right = p.select(F.col("p_name").alias("org_name"))
+    return match_org_names(
+        left,
+        right,
+        manual_overrides=EP3_MANUAL_OVERRIDES,
+        manual_pattern_overrides=EP3_PATTERN_OVERRIDES,
+    )
+
+
+def _ep3_canon(expr: str) -> str:
+    return (
+        "TRIM(regexp_replace(regexp_replace(LOWER(" + expr + "),"
+        " '[!-/:-@\\[-`{-~]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+
+
+EP3_MATCH_SQL = f"""
+WITH lraw AS (
+  SELECT CASE p_partkey % 6
+           WHEN 0 THEN p_name
+           WHEN 1 THEN substring(p_name, 1, length(p_name) - 1)
+           WHEN 2 THEN regexp_extract(p_name, '^[^ ]+')
+           WHEN 3 THEN p_name || ' intl division'
+           WHEN 4 THEN 'unknown'
+           ELSE 'acme subgrantee' END AS nm
+  FROM part),
+lc AS (
+  SELECT name FROM (SELECT DISTINCT {_ep3_canon('nm')} AS name FROM lraw)
+  WHERE name IS NOT NULL AND name <> ''
+    AND name NOT IN ('unknown', 'not provided potentially sensitive')),
+rc AS (
+  SELECT rname FROM (
+    SELECT DISTINCT {_ep3_canon('p_name')} AS rname FROM part)
+  WHERE rname IS NOT NULL AND rname <> ''),
+ex AS (
+  SELECT l.name, r.rname AS exact_m
+  FROM lc l LEFT JOIN rc r ON l.name = r.rname),
+fc AS (
+  SELECT l.name, r.rname, levenshtein(l.name, r.rname) AS d
+  FROM lc l CROSS JOIN rc r
+  WHERE l.name <> r.rname
+    AND levenshtein(l.name, r.rname) <= GREATEST(1,
+          CAST(CEIL(LENGTH(l.name) * CAST(0.2 AS DOUBLE)) AS BIGINT))),
+fz AS (
+  SELECT name, rname AS fuzzy_m FROM (
+    SELECT name, rname,
+           ROW_NUMBER() OVER (PARTITION BY name ORDER BY d, rname) AS rn
+    FROM fc) WHERE rn = 1),
+sac AS (
+  SELECT l.name, r.rname FROM lc l CROSS JOIN rc r
+  WHERE LENGTH(l.name) > 0
+    AND regexp_matches(r.rname, '\\b' || l.name || '\\b')),
+sa AS (
+  SELECT name, rname AS sa_m FROM (
+    SELECT name, rname,
+           ROW_NUMBER() OVER (PARTITION BY name
+                              ORDER BY LENGTH(rname), rname) AS rn
+    FROM sac) WHERE rn = 1),
+sbc AS (
+  SELECT l.name, r.rname FROM lc l CROSS JOIN rc r
+  WHERE LENGTH(r.rname) > 0
+    AND regexp_matches(l.name, '\\b' || r.rname || '\\b')),
+sb AS (
+  SELECT name, rname AS sb_m FROM (
+    SELECT name, rname,
+           ROW_NUMBER() OVER (PARTITION BY name
+                              ORDER BY LENGTH(name), rname) AS rn
+    FROM sbc) WHERE rn = 1),
+auto AS (
+  SELECT e.name, e.exact_m, f.fuzzy_m, a.sa_m, b.sb_m
+  FROM ex e
+  LEFT JOIN fz f ON e.name = f.name
+  LEFT JOIN sa a ON e.name = a.name
+  LEFT JOIN sb b ON e.name = b.name)
+SELECT name,
+       CASE WHEN regexp_matches(name, '^hot ') THEN 'thermal group'
+            WHEN name = 'acme subgrantee' THEN 'acme global'
+            ELSE COALESCE(exact_m, fuzzy_m, sa_m, sb_m) END AS matched_name,
+       CASE WHEN regexp_matches(name, '^hot ') THEN 'manual'
+            WHEN name = 'acme subgrantee' THEN 'manual'
+            WHEN exact_m IS NOT NULL THEN 'exact'
+            WHEN fuzzy_m IS NOT NULL THEN 'fuzzy'
+            WHEN sa_m IS NOT NULL THEN 'substring_a'
+            WHEN sb_m IS NOT NULL THEN 'substring_b'
+            ELSE NULL END AS match_method
+FROM auto
+"""
+
+
 # The driver's correctness gate covers the FIRST 50 catalog entries —
 # the explicit catalog.GATE list (22 queries from here + 28 from
 # catalog.scale) — such that every SURVEY.md §2 operator id maps to a
@@ -1646,6 +1780,7 @@ RELATIONAL_QUERIES = {
     "cc4_manual_routing": (cc4_manual_routing, CC4_SQL),
     "cc6_patch_collapse": (cc6_patch_collapse, CC6_SQL),
     "ep2_cva_by_location": (ep2_cva_by_location, EP2_SQL),
+    "ep3_org_match": (ep3_org_match, EP3_MATCH_SQL),
 }
 
 # SURVEY.md §2 operator id → covering catalog query (merges documented at
@@ -1828,6 +1963,7 @@ COVERAGE = {
     "M4": "j10_fuzzy_levenshtein",
     "EP1": "plans.curate_flows (tests/test_plans.py)",
     "EP2": "ep2_cva_by_location",
-    "EP3": "ep2_cva_by_location (A6 slice) + plans.matching"
+    "EP3": "ep3_org_match (4-stage matcher waterfall, oracle-gated) +"
+    " ep2_cva_by_location (A6 slice) + plans.matching"
     " (tests/test_matching.py) + plans.deflators + plans.fx",
 }
