@@ -24,6 +24,18 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+# Bytes of pre-shuffle input one reducer partition should own. The round-8
+# 64× triangle probe (SCALE.md) showed a FIXED spark.sql.shuffle.partitions
+# is the real cluster-ops constraint: at 64× data the per-partition hash
+# build outgrows executor memory unless the partition count scales with the
+# input. 128 MB mirrors files.maxPartitionBytes so scan and shuffle stages
+# size tasks by the same rule.
+TARGET_SHUFFLE_PARTITION_BYTES = 128 * 1024 * 1024
+# Backstop so a mis-estimated plan can't request a million reducers; at
+# 100 TB / 128 MB the true need is ~800k partitions — production clusters
+# should raise this cap alongside executor count (doc: SCALE.md §shuffle).
+MAX_AUTO_SHUFFLE_PARTITIONS = 1 << 17
+
 
 def get_spark(
     app_name: str = "calp-cva-spark",
@@ -74,6 +86,45 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def autoscale_shuffle_partitions(
+    spark: SparkSession,
+    df=None,
+    input_bytes: int | None = None,
+    bytes_per_partition: int = TARGET_SHUFFLE_PARTITION_BYTES,
+) -> int:
+    """Size ``spark.sql.shuffle.partitions`` from the data, not a constant.
+
+    The round-8 64× replication probe turned up the one knob that does NOT
+    take care of itself at scale: AQE *coalesces* oversized partition
+    counts but never *raises* an undersized one, so a session tuned for
+    sf0.1 silently builds 64×-bigger hash tables at 64× data (SCALE.md
+    §shuffle-scaling). This makes the finding engine behavior: pass the
+    DataFrame about to be shuffled (or an explicit byte size) and the
+    session's shuffle parallelism is raised to
+    ``ceil(bytes / bytes_per_partition)`` — never lowered (AQE already
+    handles the downward direction at runtime), and clamped by
+    ``MAX_AUTO_SHUFFLE_PARTITIONS``.
+
+    Size comes from the optimizer's plan statistics (filter/project-aware
+    when CBO stats exist; file-size-derived for raw scans) — a driver-side
+    metadata read, no job runs. Returns the partition count now in effect.
+    """
+    import math
+
+    if input_bytes is None:
+        if df is None:
+            raise ValueError("pass df or input_bytes")
+        input_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    need = max(1, math.ceil(input_bytes / bytes_per_partition))
+    n = min(MAX_AUTO_SHUFFLE_PARTITIONS, max(current, need))
+    if n != current:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n
 
 
 def normalize_session(spark: SparkSession) -> SparkSession:
