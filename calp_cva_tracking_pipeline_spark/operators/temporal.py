@@ -734,3 +734,114 @@ def cusum_detect(
         (sp > h_i).alias("alarm_pos"),
         (sn > h_i).alias("alarm_neg"),
     )
+
+
+def cusum_fold(
+    batch: DataFrame,
+    state: DataFrame | None,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    target: float,
+    slack: float,
+    threshold: float,
+    scale: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """``cusum_detect`` for continuous ingest: fold ONE time-slice of
+    the stream against a key-sized carried state and return
+    ``(batch_output, new_state)`` — the foreachBatch resident for drift
+    alarms (mirrors the T41/T60 incremental pattern; VERDICT r8 ask #7).
+
+    The closed form composes across slices exactly: with Pₜ the global
+    prefix sum and Mₜ the global running min of P, a slice needs only
+    its key's carried ``(S, M)`` pair — P within the slice is S plus the
+    local prefix sum, and the running min is min(M, local running min).
+    Both are 64-bit integer values, so a chunked fold is BIT-IDENTICAL
+    to the one-shot window (pinned by tests/test_streaming.py), the
+    same algebra that makes ``ewma_smooth_chunked`` exact.
+
+    ``state`` columns: keys + ``s_pp s_pn m_pp m_pn`` (long; the last
+    prefix sums and running mins per side). Pass ``None`` (or an empty
+    frame) to start. Keys absent from the batch carry through untouched.
+    Batches must arrive in (ts, tiebreak) order per key — the standard
+    append-stream contract, same as every recurrence fold.
+
+    Physical shape: one keyed window over the slice + a key-sized state
+    join (broadcastable while the key set is dimension-sized; AQE
+    decides) + a key-sized aggregate for the next state. Nothing
+    row-scaled is ever carried between slices.
+    """
+    t_i = int(round(target * scale))
+    k_i = int(round(slack * scale))
+    h_i = int(round(threshold * scale))
+    spark = batch.sparkSession
+    state_schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in batch.select(*keys).schema.fields
+        )
+        + ", s_pp long, s_pn long, m_pp long, m_pn long"
+    )
+    if state is None:
+        state = spark.createDataFrame([], state_schema)
+    enc = batch.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        *keys,
+        tiebreak_col,
+        F.col(ts_col).alias("__ts"),
+        F.round(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .alias("__x"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = enc.select(
+        *keys,
+        tiebreak_col,
+        "__ts",
+        F.sum(F.col("__x") - F.lit(t_i) - F.lit(k_i)).over(w).alias("__lp"),
+        F.sum(F.lit(t_i) - F.col("__x") - F.lit(k_i)).over(w).alias("__ln"),
+        F.min(
+            F.sum(F.col("__x") - F.lit(t_i) - F.lit(k_i)).over(w)
+        ).over(w).alias("__rmp"),
+        F.min(
+            F.sum(F.lit(t_i) - F.col("__x") - F.lit(k_i)).over(w)
+        ).over(w).alias("__rmn"),
+    )
+    j = (
+        loc.join(state, keys, "left")
+        .fillna({"s_pp": 0, "s_pn": 0})
+    )
+    pp = F.col("__lp") + F.col("s_pp")
+    pn = F.col("__ln") + F.col("s_pn")
+    # F.least skips NULLs: an absent m_* (fresh key) leaves the local
+    # running min as the global one.
+    m_run_p = F.least(F.col("m_pp"), F.col("__rmp") + F.col("s_pp"))
+    m_run_n = F.least(F.col("m_pn"), F.col("__rmn") + F.col("s_pn"))
+    zero = F.lit(0).cast("long")
+    sp = pp - F.least(zero, m_run_p)
+    sn = pn - F.least(zero, m_run_n)
+    out = j.select(
+        *keys,
+        tiebreak_col,
+        F.col("__ts").alias(ts_col),
+        (sp / scale).alias("cusum_pos"),
+        (sn / scale).alias("cusum_neg"),
+        (sp > h_i).alias("alarm_pos"),
+        (sn > h_i).alias("alarm_neg"),
+    )
+    ordkey = F.struct("__ts", tiebreak_col)
+    updates = j.groupBy(*keys).agg(
+        F.max_by(pp, ordkey).alias("s_pp"),
+        F.max_by(pn, ordkey).alias("s_pn"),
+        F.least(F.min(F.col("m_pp")), F.min(F.col("__rmp") + F.col("s_pp"))).alias("m_pp"),
+        F.least(F.min(F.col("m_pn")), F.min(F.col("__rmn") + F.col("s_pn"))).alias("m_pn"),
+    )
+    untouched = state.join(updates.select(*keys), keys, "left_anti")
+    new_state = updates.unionByName(untouched)
+    return out, new_state

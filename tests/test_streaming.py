@@ -621,3 +621,199 @@ def test_foreachbatch_streaming_heavy_hitters_store(spark, tmp_path):
             assert tok in final, f"missing heavy hitter {tok}"
             assert final[tok] >= c - n / (k + 1)
     assert "heavy_a" in final and "heavy_b" in final
+
+
+def test_foreachbatch_cusum_fold_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming CUSUM drift alarms: foreachBatch folds each time-slice
+    through cusum_fold with the key-sized carried state; across
+    micro-batches the emitted statistics must be BIT-IDENTICAL to the
+    one-shot cusum_detect window on the full history (the closed form
+    composes across slices — VERDICT r8 ask #7)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.catalog.scale import (
+        CUSUM_H,
+        CUSUM_SLACK,
+        CUSUM_TARGET,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        cusum_detect,
+        cusum_fold,
+    )
+
+    e = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select("user_id", "event_id", "ts", "value")
+    )
+    params = dict(
+        keys=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+        target=CUSUM_TARGET,
+        slack=CUSUM_SLACK,
+        threshold=CUSUM_H,
+    )
+    expected = cusum_detect(e, **params).toPandas()
+
+    # three time-slices written as separate files with ascending mtimes
+    # so the file source delivers them in history order
+    bounds = [r[0] for r in e.selectExpr(
+        "percentile_approx(ts, array(0.33, 0.66), 10000)"
+    ).collect()][0]
+    src = tmp_path / "cusum_src"
+    src.mkdir()
+    slices = [
+        e.filter(F.col("ts") <= bounds[0]),
+        e.filter((F.col("ts") > bounds[0]) & (F.col("ts") <= bounds[1])),
+        e.filter(F.col("ts") > bounds[1]),
+    ]
+    import glob
+    import shutil
+
+    for i, sl in enumerate(slices):
+        tmp_dir = str(tmp_path / f"cusum_tmp_{i}")
+        sl.coalesce(1).write.parquet(tmp_dir)
+        part = glob.glob(f"{tmp_dir}/part-*.parquet")[0]
+        p = str(src / f"slice_{i}.parquet")
+        shutil.copy(part, p)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    state_path = str(tmp_path / "cusum_state")
+    out_path = str(tmp_path / "cusum_out")
+
+    def process(batch_df, batch_id):
+        s = batch_df.sparkSession
+        state = (
+            s.read.parquet(state_path)
+            if os.path.exists(state_path)
+            else None
+        )
+        out, new_state = cusum_fold(batch_df, state, **params)
+        out.write.mode("append").parquet(out_path)
+        # materialize before overwriting the path the plan read from
+        rows = new_state.collect()
+        s.createDataFrame(rows, new_state.schema).write.mode(
+            "overwrite"
+        ).parquet(state_path)
+
+    q = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "cusum_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out_path).toPandas()
+    key = ["user_id", "event_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = expected.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for col in ("cusum_pos", "cusum_neg", "alarm_pos", "alarm_neg"):
+        assert list(got[col]) == list(exp[col]), col
+
+
+def test_foreachbatch_dq_ledger_folds_to_batch_counts(spark, sf_dir, tmp_path):
+    """Streaming DQ publish gate: dq_checks runs per micro-batch and the
+    per-rule ledgers fold additively — summed n_rows/n_violations across
+    batches equal the one-shot ledger on the full table for every
+    predicate rule, and the uniqueness rule folds through a seen-keys
+    store (total rows − store size = one-shot surplus)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.catalog.scale import (
+        DQ_DOMAIN,
+        DQ_PRICE_CAP,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.profiling import dq_checks
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus"
+    )
+    rules = [
+        ("totalprice_positive", F.col("o_totalprice") <= 0),
+        ("totalprice_under_cap", F.col("o_totalprice") >= DQ_PRICE_CAP),
+        ("status_in_domain", ~F.col("o_orderstatus").isin(*DQ_DOMAIN)),
+    ]
+    one_shot = dq_checks(o, rules=rules, unique_cols=["o_orderkey"]).toPandas()
+
+    import glob
+    import shutil
+
+    src = tmp_path / "dq_src"
+    src.mkdir()
+    for i in range(3):
+        tmp_dir = str(tmp_path / f"dq_tmp_{i}")
+        o.filter(F.col("o_orderkey") % 3 == i).coalesce(1).write.parquet(
+            tmp_dir
+        )
+        part = glob.glob(f"{tmp_dir}/part-*.parquet")[0]
+        p = str(src / f"part_{i}.parquet")
+        shutil.copy(part, p)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    ledger_path = str(tmp_path / "dq_ledger")
+    keys_path = str(tmp_path / "dq_keys")
+
+    def process(batch_df, batch_id):
+        s = batch_df.sparkSession
+        dq_checks(batch_df, rules=rules).write.mode("append").parquet(
+            ledger_path
+        )
+        batch_df.select(
+            F.col("o_orderkey").alias("k")
+        ).filter(F.col("k").isNotNull()).write.mode("append").parquet(
+            keys_path
+        )
+
+    q = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "dq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    folded = (
+        spark.read.parquet(ledger_path)
+        .groupBy("rule")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_violations").alias("n_violations"),
+        )
+        .toPandas()
+        .set_index("rule")
+    )
+    exp = one_shot.set_index("rule")
+    for rule, _ in rules:
+        assert folded.loc[rule, "n_rows"] == exp.loc[rule, "n_rows"]
+        assert (
+            folded.loc[rule, "n_violations"]
+            == exp.loc[rule, "n_violations"]
+        ), rule
+    # uniqueness folds through the seen-keys store
+    keys = spark.read.parquet(keys_path)
+    surplus = keys.count() - keys.distinct().count()
+    assert surplus == exp.loc["o_orderkey_unique", "n_violations"]
