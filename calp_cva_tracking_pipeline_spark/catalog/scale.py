@@ -5284,6 +5284,99 @@ SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {PHASH_MAXH}
 """
 
 
+MOTIF_N = 3
+MOTIF_MIN_SUPPORT = 5
+MOTIF_TOP_K = 20
+
+
+def ev_motifs(spark, sf_dir):
+    """Frequent length-3 behavioral motifs (operators.funnel.
+    sequence_motifs): the n-gram extension of the ev_transitions bigram
+    matrix — trigrams form with two stacked leads over ONE user-keyed
+    exchange (no self-joins), count map-side-combined at ≤|types|³
+    cardinality, deterministic (count DESC, motif) top-K cut."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        sequence_motifs,
+    )
+
+    return sequence_motifs(
+        T(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        tiebreak_cols=["event_id"],
+        n=MOTIF_N,
+        min_support=MOTIF_MIN_SUPPORT,
+        top_k=MOTIF_TOP_K,
+    )
+
+
+EV_MOTIFS_SQL = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL),
+g AS (
+  SELECT user_id,
+         event_type AS s0,
+         LEAD(event_type, 1) OVER w AS s1,
+         LEAD(event_type, 2) OVER w AS s2
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+m AS (
+  SELECT user_id, s0 || '>' || s1 || '>' || s2 AS motif
+  FROM g WHERE s0 IS NOT NULL AND s1 IS NOT NULL AND s2 IS NOT NULL)
+SELECT motif,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM m GROUP BY motif
+HAVING COUNT(*) >= {MOTIF_MIN_SUPPORT}
+ORDER BY n_occurrences DESC, motif ASC
+LIMIT {MOTIF_TOP_K}
+"""
+
+
+def pf_gini(spark, sf_dir):
+    """Per-segment Gini concentration of order spend (operators.
+    profiling.gini_by_group): exact sorted-rank identity over integer
+    cent units — one keyed exchange + per-key sort, rank-tie-invariant
+    by algebra (tied values contribute the same coefficient sum under
+    any rank assignment), final division the only float (6 dp)."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        gini_by_group,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    return gini_by_group(
+        o, ["o_orderpriority"], "o_totalprice", cents=100
+    )
+
+
+PF_GINI_SQL = """
+WITH enc AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0),
+ranked AS (
+  SELECT o_orderpriority, x,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY x) AS i
+  FROM enc),
+agg AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(i * x) AS BIGINT) AS sr
+  FROM ranked GROUP BY o_orderpriority)
+SELECT o_orderpriority, n,
+       CASE WHEN s1 > 0 THEN
+         ROUND(CAST(2 * sr - (n + 1) * s1 AS DOUBLE)
+               / CAST(n * s1 AS DOUBLE), 6)
+       END AS gini
+FROM agg
+ORDER BY o_orderpriority
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -5407,4 +5500,6 @@ SCALE_QUERIES = {
     "gr_communities": (gr_communities, GR_COMM_SQL),
     # seventeenth wave (round 9)
     "mm_phash_neardup": (mm_phash_neardup, MM_PHASH_SQL),
+    "ev_motifs": (ev_motifs, EV_MOTIFS_SQL),
+    "pf_gini": (pf_gini, PF_GINI_SQL),
 }

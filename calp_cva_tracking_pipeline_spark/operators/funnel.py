@@ -369,3 +369,66 @@ def rfm_segments(
         band_over(F.col("frequency"), f_counts).alias("f_band"),
         band_over(F.col("monetary"), m_values).alias("m_band"),
     )
+
+
+def sequence_motifs(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_cols: list[str] | None = None,
+    n: int = 3,
+    min_support: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Frequent length-``n`` behavioral motifs: the n-gram extension of
+    ``transition_matrix`` (bigrams) — which ordered event-type runs
+    recur across the stream, the sequential-pattern primitive behind
+    "what do users do right before churning/purchasing".
+
+    Physical shape: ONE user-keyed exchange carries everything — the
+    n-gram forms with ``n-1`` stacked ``lead`` projections over the same
+    (ts, tiebreak) window (no self-joins: an n-way join formulation
+    would shuffle the stream n times), then a motif-keyed map-side-
+    combined count. Output is bounded by ``top_k``, taken with the
+    total (count DESC, motif ASC) order so the cut is deterministic;
+    the count aggregation itself is |event-type|ⁿ-bounded, tiny next
+    to the stream. Rows with NULL user/ts/type drop first (a sequence
+    has no slot for them); windows shorter than ``n`` produce no motif.
+
+    Output: (motif 'a>b>c', n_occurrences, n_users) — occurrences count
+    overlapping n-grams, n_users the distinct users exhibiting each.
+
+    Engine addition (no reference counterpart; reference aggregations
+    are grouped sums — SURVEY §2.5).
+    """
+    tb = tiebreak_cols or []
+    w = Window.partitionBy(user_col).orderBy(ts_col, *tb)
+    base = df.filter(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    grams = base.select(
+        F.col(user_col).alias("__u"),
+        F.concat_ws(">", *steps).alias("motif"),
+        *[s.alias(f"__s{i}") for i, s in enumerate(steps)],
+    ).filter(
+        # concat_ws skips NULLs silently — require every slot explicitly
+        F.expr(
+            " AND ".join(f"__s{i} IS NOT NULL" for i in range(n))
+        )
+    )
+    return (
+        grams.groupBy("motif")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.count_distinct("__u").cast("bigint").alias("n_users"),
+        )
+        .filter(F.col("n_occurrences") >= min_support)
+        .orderBy(F.col("n_occurrences").desc(), F.col("motif").asc())
+        .limit(top_k)
+    )

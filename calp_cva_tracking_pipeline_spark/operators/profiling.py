@@ -1112,3 +1112,65 @@ def ref_integrity(
     for r in rows[1:]:
         out = out.union(r)
     return out.orderBy("fk")
+
+
+def gini_by_group(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    cents: int = 100,
+) -> DataFrame:
+    """Per-group Gini concentration coefficient — the inequality summary
+    of a value distribution (how concentrated spend/tokens/traffic are
+    within each segment), computed by the exact sorted-rank identity
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted values.
+
+    Exactness: values encode to ``cents`` integer units; rank·value
+    products and both sums are 64-bit integer arithmetic (Σ i·x stays
+    under 2⁶³ for cent-scaled values ≤10⁷ over ≤10⁷-row groups), so the
+    only float is the final division, rounded to 6 dp — bit-identical
+    across engines and partitionings. Rank ties (equal values) are
+    assignment-invariant: a tied block contributes Σ(coefficients)·x
+    regardless of which tied row takes which rank, so row_number over
+    a value-only order is total ENOUGH — no tiebreak column needed.
+    Negative values are rejected rows (Gini is defined on non-negative
+    distributions); NULLs drop.
+
+    Physical shape: one keyed exchange + per-key sort (the rank
+    window), then a map-side-combined aggregation to group cardinality.
+    Groups deliver independently, so skew remedies are the usual keyed-
+    window ones (a mega-group is one sort partition — salt upstream if
+    a single key owns the table).
+
+    Output: keys + (n bigint, gini double 6dp); zero-sum or empty
+    groups emit NULL gini (no distribution to summarize).
+
+    Engine addition (profiling tier; no reference counterpart).
+    """
+    enc = df.filter(
+        F.col(value_col).isNotNull() & (F.col(value_col) >= 0)
+    ).select(
+        *keys,
+        F.round(F.col(value_col).cast("double") * cents)
+        .cast("long")
+        .alias("__x"),
+    )
+    w = Window.partitionBy(*keys).orderBy("__x")
+    ranked = enc.withColumn("__i", F.row_number().over(w))
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x").alias("__s1"),
+        F.sum(F.col("__i") * F.col("__x")).alias("__sr"),
+    )
+    num = (
+        F.lit(2) * F.col("__sr")
+        - (F.col("n") + F.lit(1)) * F.col("__s1")
+    ).cast("double")
+    den = (F.col("n") * F.col("__s1")).cast("double")
+    return agg.select(
+        *keys,
+        "n",
+        F.when(
+            F.col("__s1") > 0, F.round(num / den, 6)
+        ).alias("gini"),
+    ).orderBy(*keys)
