@@ -5284,6 +5284,125 @@ SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {PHASH_MAXH}
 """
 
 
+AFP_NS = 256  # synthesized samples per clip
+AFP_BINS = 8
+AFP_LIGHT_FLIPS = 2
+AFP_HEAVY_FLIPS = 64
+
+
+def mm_audio_dedup(spark, sf_dir):
+    """Energy-profile audio exact-dup clusters (operators.phash.
+    audio_fingerprint_groups) over a deterministic WAV corpus derived
+    from documents: every 3 consecutive doc_ids share a hash-generated
+    256-sample 16-bit clip — rank 1 replaces 2 samples (fingerprint
+    robust), rank 2 replaces 64 (profile shifts). Sample values come
+    from engine-portable md5 expressions, payloads are REAL RIFF PCM
+    (operators.wav_stdlib.encode_wav), the pipeline runs the REAL
+    stdlib decode, and the oracle recomputes the sample formula + the
+    integer energy/threshold/fingerprint math in SQL — parity proves
+    the WAV encode→decode roundtrip is sample-identity. No pair
+    expansion: one decode pass + one fingerprint-keyed aggregation."""
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.phash import (
+        audio_fingerprint_groups,
+        synthesize_wav_payloads,
+    )
+
+    d = spread_small_input(T(spark, sf_dir, "documents").select("doc_id"))
+    base = d.select(
+        "doc_id",
+        F.expr("doc_id DIV 3").alias("grp"),
+        F.expr("doc_id % 3").alias("rnk"),
+    )
+    h60 = "CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+    sb = h60.format(
+        s="concat('au|', CAST(grp AS STRING), '|', CAST(p AS STRING))"
+    )
+    sv = h60.format(
+        s="concat('av|', CAST(grp AS STRING), '|',"
+        " CAST(rnk AS STRING), '|', CAST(p AS STRING))"
+    )
+    fl = h60.format(
+        s="concat('ap|', CAST(grp AS STRING), '|',"
+        " CAST(rnk AS STRING), '|', CAST(k AS STRING))"
+    )
+    synth = base.select(
+        "doc_id",
+        F.expr(
+            f"""transform(sequence(0, {AFP_NS - 1}), p ->
+                  CAST(IF(rnk > 0 AND array_contains(
+                         transform(sequence(0, IF(rnk = 1,
+                                  {AFP_LIGHT_FLIPS - 1},
+                                  {AFP_HEAVY_FLIPS - 1})),
+                           k -> ({fl}) % {AFP_NS}),
+                         p),
+                       ({sv}) % 65536 - 32768,
+                       ({sb}) % 65536 - 32768) AS INT))"""
+        ).alias("smp"),
+    )
+    clips = synthesize_wav_payloads(synth, "doc_id", "smp")
+    return audio_fingerprint_groups(
+        clips, "doc_id", "payload", bins=AFP_BINS, min_group=2
+    )
+
+
+def _afp_h60(s: str) -> str:
+    return (
+        "CAST(CAST(('0x' || substring(md5(" + s + "), 1, 15))"
+        " AS UBIGINT) AS BIGINT)"
+    )
+
+
+_AFP_SB = _afp_h60(
+    "'au|' || CAST(grp AS VARCHAR) || '|' || CAST(p AS VARCHAR)"
+)
+_AFP_SV = _afp_h60(
+    "'av|' || CAST(grp AS VARCHAR) || '|' || CAST(rnk AS VARCHAR)"
+    " || '|' || CAST(p AS VARCHAR)"
+)
+_AFP_FL = _afp_h60(
+    "'ap|' || CAST(grp AS VARCHAR) || '|' || CAST(rnk AS VARCHAR)"
+    " || '|' || CAST(k AS VARCHAR)"
+)
+
+MM_AUDIO_SQL = f"""
+WITH pos AS (SELECT unnest(generate_series(0, {AFP_NS - 1})) AS p),
+docs0 AS (
+  SELECT doc_id, doc_id // 3 AS grp, doc_id % 3 AS rnk,
+         list_transform(generate_series(0, CASE WHEN rnk = 1
+                THEN {AFP_LIGHT_FLIPS - 1}
+                ELSE {AFP_HEAVY_FLIPS - 1} END),
+           k -> ({_AFP_FL}) % {AFP_NS}) AS fpos
+  FROM documents),
+smp AS (
+  SELECT doc_id, p,
+         CASE WHEN rnk > 0 AND list_contains(fpos, p)
+              THEN ({_AFP_SV}) % 65536 - 32768
+              ELSE ({_AFP_SB}) % 65536 - 32768 END AS s
+  FROM docs0 CROSS JOIN pos),
+bins AS (
+  SELECT doc_id, p // {AFP_NS // AFP_BINS} AS b,
+         CAST(SUM(s * s) AS BIGINT) AS e
+  FROM smp GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(SUM(e) AS BIGINT) AS total
+        FROM bins GROUP BY 1),
+fp AS (
+  SELECT b.doc_id,
+         CAST(SUM(CASE WHEN e * {AFP_BINS} > total
+                  THEN (1 << b) ELSE 0 END) AS BIGINT) AS fingerprint
+  FROM bins b JOIN tot t ON b.doc_id = t.doc_id
+  GROUP BY b.doc_id)
+SELECT fingerprint,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       MIN(doc_id) AS rep_media
+FROM fp GROUP BY fingerprint
+HAVING COUNT(*) >= 2
+ORDER BY fingerprint
+"""
+
+
 MOTIF_N = 3
 MOTIF_MIN_SUPPORT = 5
 MOTIF_TOP_K = 20
@@ -5502,4 +5621,5 @@ SCALE_QUERIES = {
     "mm_phash_neardup": (mm_phash_neardup, MM_PHASH_SQL),
     "ev_motifs": (ev_motifs, EV_MOTIFS_SQL),
     "pf_gini": (pf_gini, PF_GINI_SQL),
+    "mm_audio_dedup": (mm_audio_dedup, MM_AUDIO_SQL),
 }

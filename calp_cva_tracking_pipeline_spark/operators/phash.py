@@ -273,3 +273,131 @@ def image_phash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --- audio twin: energy-profile fingerprinting over the REAL stdlib
+# WAV codec (operators.wav_stdlib) — the same cross-multiplied
+# mean-threshold quantization as aHash, over time-box energy sums
+# instead of luma boxes. ---
+
+
+def audio_energy_bins(payload: bytes, bins: int = 8) -> list[int]:
+    """Decode one clip via the REAL stdlib WAV path and return ``bins``
+    INTEGER energy sums (Σ sample² per equal time box, floor bounds) of
+    the channel-averaged signal. Sum-of-squares keeps everything in
+    64-bit integers (|s| ≤ 32768 ⇒ s² ≤ 2³⁰; ~2³³ samples per box before
+    overflow) so the downstream threshold bits replay exactly in SQL —
+    the audio counterpart of ``luma_cell_sums``. Raises on non-WAV."""
+    from calp_cva_tracking_pipeline_spark.operators.wav_stdlib import (
+        _mono_samples,
+        decode_wav,
+    )
+
+    _rate, channels, width, frames = decode_wav(bytes(payload))
+    mono = _mono_samples(channels, width, frames)
+    n = len(mono)
+    out = []
+    for b in range(bins):
+        lo, hi = (b * n) // bins, ((b + 1) * n) // bins
+        acc = 0
+        for i in range(lo, hi):
+            acc += mono[i] * mono[i]
+        out.append(acc)
+    return out
+
+
+def audio_energy_frame(
+    df: DataFrame, id_col: str, payload_col: str, bins: int = 8
+) -> DataFrame:
+    """(id, payload) → (id, __cells array<long> len bins, decode_ok) via
+    one Arrow-batched mapInPandas decode pass (same contract and schema
+    as ``image_cell_sums``: failed decodes come back NULL/'error')."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cells, oks = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(mid)
+                try:
+                    cells.append(audio_energy_bins(bytes(payload), bins))
+                    oks.append("ok_stdlib")
+                except Exception:
+                    cells.append(None)
+                    oks.append("error")
+            yield pd.DataFrame(
+                {"__id": ids, "__cells": cells, "decode_ok": oks}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, CELLS_SCHEMA)
+
+
+def audio_fingerprint_groups(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    bins: int = 8,
+    min_group: int = 2,
+) -> DataFrame:
+    """Exact-duplicate audio clusters by energy-profile fingerprint:
+    decode (real stdlib WAV) → ``bins`` integer energy sums → bit i =
+    (energy_i·bins > total) in cross-multiplied integers → fingerprint
+    = Σ bitᵢ·2ⁱ → one map-side-combined groupBy. Robust to sample-level
+    noise that leaves the coarse energy profile intact (the fingerprint
+    quantizes each box against the clip mean), which is exactly what an
+    ingest dedup wants from re-encoded copies.
+
+    Output: (fingerprint bigint, n_media, rep_media = min id) for
+    groups of ≥ ``min_group`` clips, ordered by fingerprint. Linear:
+    one decode pass + one fingerprint-keyed aggregation; no pair
+    expansion at all (contrast image_phash_pairs' hamming join —
+    energy profiles are coarse enough that exact-match grouping is the
+    right recall/volume point for audio exact-dup).
+    """
+    cells = audio_energy_frame(df, id_col, payload_col, bins).filter(
+        F.col("decode_ok") == "ok_stdlib"
+    )
+    fp = (
+        "aggregate(sequence(0, {n}), 0L, (acc, i) -> acc + IF("
+        "__cells[i] * {bins} > __total, shiftleft(1L, i), 0L))"
+    ).format(n=bins - 1, bins=bins)
+    hashed = cells.withColumn(
+        "__total", F.expr("aggregate(__cells, 0L, (acc, x) -> acc + x)")
+    ).select("__id", F.expr(fp).alias("fingerprint"))
+    return (
+        hashed.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.min("__id").alias("rep_media"),
+        )
+        .filter(F.col("n_media") >= min_group)
+        .orderBy("fingerprint")
+    )
+
+
+def synthesize_wav_payloads(
+    df: DataFrame,
+    id_col: str,
+    samples_col: str,
+    rate: int = 8000,
+) -> DataFrame:
+    """(id, int16 sample array) → (doc_id, payload) REAL mono 16-bit WAV
+    bytes via operators.wav_stdlib.encode_wav — the audio twin of
+    ``synthesize_bmp_payloads`` (same deterministic-corpus rationale)."""
+    import struct as _struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from calp_cva_tracking_pipeline_spark.operators.wav_stdlib import (
+            encode_wav,
+        )
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, smp in zip(pdf[id_col], pdf[samples_col]):
+                frames = b"".join(
+                    _struct.pack("<h", int(v)) for v in smp
+                )
+                ids.append(mid)
+                payloads.append(encode_wav(rate, 1, 2, frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col, samples_col).mapInPandas(run, SYNTH_SCHEMA)

@@ -109,3 +109,51 @@ def test_grid_parameter_shapes(spark, grid):
     df = spark.createDataFrame(rows, "id long, payload binary")
     cells = image_cell_sums(df, "id", "payload", grid=grid).collect()[0]
     assert len(cells["__cells"]) == grid * grid
+
+
+# --- audio twin ---
+
+
+def _wav(samples: list[int]) -> bytes:
+    import struct
+
+    from calp_cva_tracking_pipeline_spark.operators.wav_stdlib import (
+        encode_wav,
+    )
+
+    frames = b"".join(struct.pack("<h", s) for s in samples)
+    return encode_wav(8000, 1, 2, frames)
+
+
+def test_audio_energy_bins_integer_exact():
+    from calp_cva_tracking_pipeline_spark.operators.phash import (
+        audio_energy_bins,
+    )
+
+    # 64 samples, 8 bins of 8: constant amplitude 100 -> 8*100^2 per bin
+    assert audio_energy_bins(_wav([100] * 64), bins=8) == [80000] * 8
+    # sign-invariant (energy is sum of squares)
+    assert audio_energy_bins(_wav([-100] * 64), bins=8) == [80000] * 8
+
+
+def test_audio_fingerprint_groups_cluster_and_noise_robust(spark):
+    from calp_cva_tracking_pipeline_spark.operators.phash import (
+        audio_fingerprint_groups,
+    )
+
+    # loud first half, quiet second half -> distinctive profile
+    base = [3000] * 128 + [10] * 128
+    noisy = list(base)
+    noisy[5] = 3100  # sample-level noise, same coarse profile
+    different = [10] * 128 + [3000] * 128  # mirrored profile
+    rows = [
+        (1, _wav(base)),
+        (2, _wav(noisy)),
+        (3, _wav(different)),
+        (4, b"not a wav"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    groups = audio_fingerprint_groups(df, "id", "payload").collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.n_media == 2 and g.rep_media == 1  # {1,2} cluster; 3 apart
