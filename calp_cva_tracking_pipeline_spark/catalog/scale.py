@@ -5284,6 +5284,57 @@ SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {PHASH_MAXH}
 """
 
 
+NSIM_MIN_SHARED = 3
+NSIM_THRESHOLD = 0.08  # co-purchase unions are wide; yields rows at all SFs
+
+
+def gr_neighbor_sim(spark, sf_dir):
+    """Neighborhood-Jaccard link prediction on the part co-occurrence
+    graph (operators.graph.neighbor_similarity): node pairs sharing ≥ 3
+    neighbors with J ≥ 0.3 — wedge expansion via per-center collect +
+    in-array unrolling (one exchange, the triangle-census volume bound),
+    integer-exact keep predicate; oracle = the naive wedge self-join."""
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        neighbor_similarity,
+    )
+
+    lp = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return neighbor_similarity(
+        edges, min_shared=NSIM_MIN_SHARED, threshold=NSIM_THRESHOLD
+    )
+
+
+def _gr_nsim_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        neighbor_similarity_sql,
+    )
+
+    edges = (
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a "
+        "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+    )
+    return neighbor_similarity_sql(
+        edges, min_shared=NSIM_MIN_SHARED, threshold=NSIM_THRESHOLD
+    )
+
+
+GR_NSIM_SQL = _gr_nsim_sql()
+
+
 AFP_NS = 256  # synthesized samples per clip
 AFP_BINS = 8
 AFP_LIGHT_FLIPS = 2
@@ -5622,4 +5673,5 @@ SCALE_QUERIES = {
     "ev_motifs": (ev_motifs, EV_MOTIFS_SQL),
     "pf_gini": (pf_gini, PF_GINI_SQL),
     "mm_audio_dedup": (mm_audio_dedup, MM_AUDIO_SQL),
+    "gr_neighbor_sim": (gr_neighbor_sim, GR_NSIM_SQL),
 }

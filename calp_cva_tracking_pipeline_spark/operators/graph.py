@@ -671,3 +671,128 @@ def label_propagation_sql(edges_cte: str, n_iter: int = 4) -> str:
         f" ORDER BY node"
     )
     return "".join(parts)
+
+
+def neighbor_similarity(
+    edges: DataFrame,
+    min_shared: int = 2,
+    threshold: float = 0.2,
+    max_neighbors: int | None = None,
+) -> DataFrame:
+    """Neighborhood-Jaccard node similarity — the structural
+    link-prediction primitive (Liben-Nowell & Kleinberg 2003): for every
+    node pair sharing ≥ ``min_shared`` neighbors, J = |N(a)∩N(b)| /
+    |N(a)∪N(b)|, kept when J ≥ ``threshold``. Pairs connected by an
+    edge are scored like any other (the inclusive formulation — callers
+    anti-join the edge list when they want MISSING-link candidates
+    only).
+
+    Physical shape: undirected edges dedupe once; shared-neighbor
+    counts come from the wedge expansion — per-center sorted
+    collect_list + in-array pair unrolling (ONE exchange; a derived
+    self-join would replan the adjacency upstream twice — SCALE.md) —
+    whose volume is Σ deg(w)², the SAME wedge bound the triangle census
+    measured linear-in-data at 64× (α=1.05). ``max_neighbors`` drops
+    mega-hub centers (a hub's wedge fan-out is quadratic in its degree
+    and its shared-neighbor signal is near-zero — the stop-word of
+    graphs), the explicit volume-guard pattern of the dedup buckets.
+    Degree attachment is a node-sized join; AQE broadcasts when small.
+
+    Integer-exact decisions: the keep predicate is
+    shared·10⁶ ≥ tn·(deg_a + deg_b − shared) over 64-bit counts; the
+    reported jaccard is one IEEE division rounded to 6 dp.
+
+    Output: (node_a < node_b, shared, jaccard).
+    """
+    tn = int(round(threshold * 1_000_000))
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("s"),
+            F.greatest("src", "dst").alias("d"),
+        )
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("s").alias("w"), F.col("d").alias("n"))
+        .unionByName(e.select(F.col("d").alias("w"), F.col("s").alias("n")))
+        .distinct()
+    )
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    centers = adj
+    if max_neighbors is not None:
+        big = deg.filter(F.col("deg") > max_neighbors).select("w")
+        centers = adj.join(big, "w", "left_anti")
+    buckets = centers.groupBy("w").agg(
+        F.array_sort(F.collect_list("n")).alias("__m")
+    )
+    m = F.col("__m")
+    pairs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.size(m)),
+                lambda y: F.struct(x.alias("na"), y.alias("nb")),
+            ),
+        )
+    )
+    shared = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.na", "p.nb")
+        .groupBy("na", "nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    da = deg.select(F.col("w").alias("na"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("w").alias("nb"), F.col("deg").alias("__db"))
+    un = F.col("__da") + F.col("__db") - F.col("shared")
+    return (
+        shared.join(da, "na")
+        .join(db, "nb")
+        .filter(F.col("shared") * F.lit(1_000_000) >= F.lit(tn) * un)
+        .select(
+            F.col("na").alias("node_a"),
+            F.col("nb").alias("node_b"),
+            "shared",
+            F.round(F.col("shared").cast("double") / un, 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def neighbor_similarity_sql(
+    edges_cte: str,
+    min_shared: int = 2,
+    threshold: float = 0.2,
+    max_neighbors: int | None = None,
+) -> str:
+    """DuckDB oracle twin of ``neighbor_similarity`` (naive wedge
+    self-join formulation — parity proves the in-array expansion emits
+    identical pair counts)."""
+    tn = int(round(threshold * 1_000_000))
+    guard = ""
+    if max_neighbors is not None:
+        guard = f"""
+cap AS (SELECT w FROM deg WHERE deg <= {max_neighbors}),
+cadj AS (SELECT a.* FROM adj a JOIN cap c ON a.w = c.w),"""
+    src = "cadj" if max_neighbors is not None else "adj"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+  FROM ({edges_cte}) WHERE src <> dst),
+adj AS (
+  SELECT s AS w, d AS n FROM e UNION SELECT d, s FROM e),
+deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY w),{guard}
+wp AS (
+  SELECT a.n AS na, b.n AS nb, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM {src} a JOIN {src} b ON a.w = b.w AND a.n < b.n
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared})
+SELECT wp.na AS node_a, wp.nb AS node_b, shared,
+       ROUND(CAST(shared AS DOUBLE)
+             / (da.deg + db.deg - shared), 6) AS jaccard
+FROM wp
+JOIN deg da ON wp.na = da.w
+JOIN deg db ON wp.nb = db.w
+WHERE shared * 1000000 >= {tn} * (da.deg + db.deg - shared)
+"""

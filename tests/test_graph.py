@@ -186,3 +186,35 @@ def test_triangle_estimate_unbiased_and_deterministic(spark):
     # sample keeps roughly half the edges
     n_edges = triangle_stats(df).first().n_edges
     assert abs(est.n_sample_edges - n_edges / 2) < n_edges * 0.2
+
+
+def test_neighbor_similarity_known_graph(spark):
+    """Square 1-2-3-4-1 plus chord hub 5 connected to all: hand-checked
+    Jaccard values, inclusive-pair semantics, and the mega-hub cap."""
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        neighbor_similarity,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (5, 1), (5, 2), (5, 3), (5, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {
+        (r.node_a, r.node_b): (r.shared, r.jaccard)
+        for r in neighbor_similarity(
+            df, min_shared=2, threshold=0.0
+        ).collect()
+    }
+    # N(1)={2,4,5} N(3)={2,4,5}: shared 3, union 3 -> J=1.0
+    assert out[(1, 3)] == (3, 1.0)
+    # N(2)={1,3,5} N(4)={1,3,5}: J=1.0
+    assert out[(2, 4)] == (3, 1.0)
+    # adjacent pair (1,2): N(1)={2,4,5} N(2)={1,3,5} shared={5} -> below min_shared
+    assert (1, 2) not in out
+    # capping out the hub (deg 4) removes its wedges: pairs (1,3)/(2,4)
+    # drop to 2 shared (via the square corners only)
+    capped = {
+        (r.node_a, r.node_b): r.shared
+        for r in neighbor_similarity(
+            df, min_shared=2, threshold=0.0, max_neighbors=3
+        ).collect()
+    }
+    assert capped[(1, 3)] == 2 and capped[(2, 4)] == 2
