@@ -123,6 +123,20 @@ HEADLINE = [
     "pf_cms",
     "emb_kmeans",
     "ev_json_stats",
+    # round 9 additions (suite totals are not comparable to r8 without
+    # subtracting these), the new cost classes: real-codec pandas decode
+    # + hamming-block pair join (image), real-codec decode + fingerprint
+    # hash agg (audio), stacked-lead n-gram window, rank-window integer
+    # Gini, 4-stage broadcast-NL matcher waterfall. gr_neighbor_sim is
+    # deliberately NOT a headliner: its wedge volume is the SAME cost
+    # class gr_triangles already times, and on the dense sf0.1
+    # co-purchase graph both engines pay tens of seconds — a suite-
+    # ballooning duplicate measurement (documented, not hidden).
+    "mm_phash_neardup",
+    "mm_audio_dedup",
+    "ev_motifs",
+    "pf_gini",
+    "ep3_org_match",
 ]
 
 

@@ -5284,6 +5284,100 @@ SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {PHASH_MAXH}
 """
 
 
+def pf_null_patterns(spark, sf_dir):
+    """Missing-data pattern census (operators.profiling.null_patterns)
+    on a deterministically-holed orders projection (the shipped testdata
+    carries no nulls, so nullability derives from modular rules — the
+    same noisy-input device as c5): which column COMBINATIONS go null
+    together, one scan, ≤2³-row exchange."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        null_patterns,
+    )
+
+    o = T(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 3 != 0, F.col("o_totalprice")).alias(
+            "price"
+        ),
+        F.when(F.col("o_orderkey") % 5 != 0, F.col("o_orderdate")).alias(
+            "odate"
+        ),
+        F.when(F.col("o_orderkey") % 15 != 0, F.col("o_orderstatus")).alias(
+            "status"
+        ),
+    )
+    return null_patterns(o, ["price", "odate", "status"])
+
+
+PF_NULLPAT_SQL = """
+WITH holed AS (
+  SELECT CASE WHEN o_orderkey % 3 <> 0 THEN o_totalprice END AS price,
+         CASE WHEN o_orderkey % 5 <> 0 THEN o_orderdate END AS odate,
+         CASE WHEN o_orderkey % 15 <> 0 THEN o_orderstatus END AS status
+  FROM orders),
+m AS (
+  SELECT (CASE WHEN price IS NULL THEN 1 ELSE 0 END)
+       + (CASE WHEN odate IS NULL THEN 2 ELSE 0 END)
+       + (CASE WHEN status IS NULL THEN 4 ELSE 0 END) AS msk
+  FROM holed),
+g AS (SELECT msk, CAST(COUNT(*) AS BIGINT) AS n_rows FROM m GROUP BY msk),
+t AS (SELECT SUM(n_rows) AS total FROM g)
+SELECT (CASE WHEN msk & 1 > 0 THEN '1' ELSE '0' END)
+    || (CASE WHEN msk & 2 > 0 THEN '1' ELSE '0' END)
+    || (CASE WHEN msk & 4 > 0 THEN '1' ELSE '0' END) AS pattern,
+       n_rows,
+       ROUND(CAST(n_rows AS DOUBLE) / total, 6) AS pct
+FROM g CROSS JOIN t
+ORDER BY n_rows DESC, pattern
+"""
+
+
+TAIL_XMIN = 200000.0
+TAIL_MIN_N = 10
+
+
+def pf_tail_index(spark, sf_dir):
+    """Per-priority Hill tail-exponent estimate of order spend
+    (operators.profiling.tail_index): α = 1 + n/Σln(x/xmin) with each
+    log-ratio pinned to integer micro-units BEFORE the sum (the a10
+    libm discipline), so the keyed aggregation is order-independent and
+    engine-exact; one scan, group-cardinality output."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        tail_index,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    return tail_index(
+        o,
+        ["o_orderpriority"],
+        "o_totalprice",
+        xmin=TAIL_XMIN,
+        min_tail=TAIL_MIN_N,
+    )
+
+
+PF_TAIL_SQL = f"""
+WITH enc AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(ln(CAST(o_totalprice AS DOUBLE)
+                       / CAST({TAIL_XMIN} AS DOUBLE))
+                    * 1000000) AS BIGINT) AS l
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_totalprice > {TAIL_XMIN}),
+agg AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_tail,
+         CAST(SUM(l) AS BIGINT) AS s
+  FROM enc GROUP BY o_orderpriority)
+SELECT o_orderpriority, n_tail,
+       CASE WHEN n_tail >= {TAIL_MIN_N} AND s > 0 THEN
+         ROUND(1.0 + CAST(n_tail AS DOUBLE) * 1000000.0
+               / CAST(s AS DOUBLE), 6)
+       END AS alpha
+FROM agg
+ORDER BY o_orderpriority
+"""
+
+
 NSIM_MIN_SHARED = 3
 NSIM_THRESHOLD = 0.08  # co-purchase unions are wide; yields rows at all SFs
 
@@ -5674,4 +5768,6 @@ SCALE_QUERIES = {
     "pf_gini": (pf_gini, PF_GINI_SQL),
     "mm_audio_dedup": (mm_audio_dedup, MM_AUDIO_SQL),
     "gr_neighbor_sim": (gr_neighbor_sim, GR_NSIM_SQL),
+    "pf_null_patterns": (pf_null_patterns, PF_NULLPAT_SQL),
+    "pf_tail_index": (pf_tail_index, PF_TAIL_SQL),
 }

@@ -1174,3 +1174,98 @@ def gini_by_group(
             F.col("__s1") > 0, F.round(num / den, 6)
         ).alias("gini"),
     ).orderBy(*keys)
+
+
+def null_patterns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Missing-data pattern census (the md.pattern of the profiling
+    tier): which COMBINATIONS of columns go null together, counted in
+    ONE scan. Row-level nullness packs into a bitmask (bit i = cols[i]
+    IS NULL) and a single map-side-combined groupBy counts each pattern
+    — the exchange carries ≤ 2^|cols| rows regardless of table size.
+    Joint patterns are what per-column null rates (profile_columns)
+    cannot show: 'phone and email are never null together' is a
+    pattern-level fact.
+
+    Output: (pattern '10…' aligned to cols order — '1' = null, n_rows,
+    pct of table 6dp), ordered by n_rows DESC then pattern for a
+    deterministic cut. Engine addition; no reference counterpart.
+    """
+    mask = None
+    for i, c in enumerate(cols):
+        bit = F.when(F.col(c).isNull(), F.lit(1 << i)).otherwise(F.lit(0))
+        mask = bit if mask is None else mask + bit
+    total_w = Window.partitionBy()
+    out = (
+        df.select(mask.cast("long").alias("__m"))
+        .groupBy("__m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .withColumn("__t", F.sum("n_rows").over(total_w))
+    )
+    pattern = F.concat(
+        *[
+            F.when(
+                (F.col("__m").bitwiseAND(F.lit(1 << i))) > 0, F.lit("1")
+            ).otherwise(F.lit("0"))
+            for i in range(len(cols))
+        ]
+    )
+    return out.select(
+        pattern.alias("pattern"),
+        "n_rows",
+        F.round(F.col("n_rows").cast("double") / F.col("__t"), 6).alias(
+            "pct"
+        ),
+    ).orderBy(F.col("n_rows").desc(), F.col("pattern"))
+
+
+def tail_index(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    xmin: float,
+    min_tail: int = 10,
+) -> DataFrame:
+    """Per-group Hill estimator of the power-law tail exponent,
+    α = 1 + n / Σ ln(xᵢ/xmin) over the tail sample x ≥ xmin — the
+    heavy-tail summary that says whether a key/spend/degree
+    distribution has finite variance at all (α ≤ 3 means plan for
+    whales: skew salting, mega-key caps). Complements pf_key_skew's
+    entropy/max-share with an actual tail LAW estimate.
+
+    Exactness: each log-ratio rounds to integer micro-units
+    (round(ln(x/xmin)·10⁶) — the a10/geometric-mean discipline: libm
+    outputs are 6-dp-pinned BEFORE the order-sensitive sum, so the
+    integer Σ is partition-order-independent and both engines agree
+    bit-for-bit); α is then one IEEE division rounded to 6 dp. Groups
+    with fewer than ``min_tail`` tail points emit NULL alpha (a 3-point
+    tail is not a law); x ≤ xmin rows simply aren't tail sample.
+
+    One scan → one map-side-combined keyed aggregation; output is
+    group-cardinality-sized. Engine addition; no reference counterpart.
+    """
+    enc = df.filter(
+        F.col(value_col).isNotNull() & (F.col(value_col) > xmin)
+    ).select(
+        *keys,
+        F.round(
+            F.log(F.col(value_col).cast("double") / F.lit(float(xmin)))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("__l"),
+    )
+    agg = enc.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.sum("__l").alias("__s"),
+    )
+    alpha = F.lit(1.0) + F.col("n_tail").cast("double") * 1_000_000.0 / F.col(
+        "__s"
+    ).cast("double")
+    return agg.select(
+        *keys,
+        "n_tail",
+        F.when(
+            (F.col("n_tail") >= min_tail) & (F.col("__s") > 0),
+            F.round(alpha, 6),
+        ).alias("alpha"),
+    ).orderBy(*keys)
