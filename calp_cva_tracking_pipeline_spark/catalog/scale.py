@@ -5378,6 +5378,106 @@ ORDER BY o_orderpriority
 """
 
 
+def tj_interval_union(spark, sf_dir):
+    """Per-user busy-time union (operators.temporal.
+    interval_union_length): events become [ts, ts + value minutes)
+    intervals; overlapping spans merge in the two-window sweep (running
+    max of previous ends marks disjoint runs) so covered micros never
+    double-count — all integer arithmetic over ONE user-keyed
+    exchange."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        interval_union_length,
+    )
+
+    e = T(spark, sf_dir, "events").filter(F.col("value") > 0)
+    enc = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s_us"),
+        (
+            F.unix_micros(F.col("ts"))
+            + F.round(F.col("value") * 60000000.0).cast("long")
+        ).alias("e_us"),
+    )
+    return interval_union_length(enc, ["user_id"], "s_us", "e_us")
+
+
+TJ_IVU_SQL = """
+WITH enc AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS s,
+         CAST(epoch_us(ts) AS BIGINT)
+           + CAST(ROUND(value * 60000000.0) AS BIGINT) AS e
+  FROM events
+  WHERE value > 0 AND ts IS NOT NULL AND user_id IS NOT NULL),
+flt AS (SELECT * FROM enc WHERE e > s),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              IS NULL
+           OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS newrun
+  FROM flt),
+runs0 AS (
+  SELECT user_id, s, e,
+         SUM(newrun) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM marked),
+runs AS (
+  SELECT user_id, run, COUNT(*) AS cnt,
+         MIN(s) AS rs, MAX(e) AS re
+  FROM runs0 GROUP BY 1, 2)
+SELECT user_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_intervals,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(SUM(re - rs) AS BIGINT) AS covered
+FROM runs GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+ILV_SOURCES = [f"src{i}" for i in range(20)]
+
+
+def mx_interleave(spark, sf_dir):
+    """Deterministic round-robin training order across document sources
+    (operators.sampling.interleave_sources): position = within-source
+    portable-hash rank · |lanes| + lane — unique interleaved positions
+    from ONE source-keyed window, NO global sort (position is a pure
+    function of lane and rank). Output projected to (doc_id, source,
+    position)."""
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        interleave_sources,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return interleave_sources(d, "source", "doc_id", ILV_SOURCES).select(
+        "doc_id", "source", "position"
+    )
+
+
+_ILV_LANES = " ".join(
+    f"WHEN '{s}' THEN {i}" for i, s in enumerate(ILV_SOURCES)
+)
+
+MX_ILV_SQL = f"""
+WITH lanes AS (
+  SELECT doc_id, source,
+         CASE source {_ILV_LANES} END AS lane,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS UBIGINT) AS BIGINT) AS h
+  FROM documents),
+ranked AS (
+  SELECT doc_id, source, lane,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM lanes WHERE lane IS NOT NULL)
+SELECT doc_id, source,
+       CAST((rn - 1) * {len(ILV_SOURCES)} + lane AS BIGINT) AS position
+FROM ranked
+"""
+
+
 NSIM_MIN_SHARED = 3
 NSIM_THRESHOLD = 0.08  # co-purchase unions are wide; yields rows at all SFs
 
@@ -5770,4 +5870,6 @@ SCALE_QUERIES = {
     "gr_neighbor_sim": (gr_neighbor_sim, GR_NSIM_SQL),
     "pf_null_patterns": (pf_null_patterns, PF_NULLPAT_SQL),
     "pf_tail_index": (pf_tail_index, PF_TAIL_SQL),
+    "tj_interval_union": (tj_interval_union, TJ_IVU_SQL),
+    "mx_interleave": (mx_interleave, MX_ILV_SQL),
 }

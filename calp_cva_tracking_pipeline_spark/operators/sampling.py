@@ -11,7 +11,7 @@ weighted without leaving the cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from calp_cva_tracking_pipeline_spark.functions.hashing import stable_hash64
@@ -478,4 +478,63 @@ def quota_cap(
     return (
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= n_per_group)
+    )
+
+
+def interleave_sources(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    sources: list[str],
+) -> DataFrame:
+    """Deterministic round-robin training order across sources — the
+    fair-interleave layout a mixture recipe wants AFTER sampling picked
+    WHAT to train on: consecutive positions cycle through the declared
+    ``sources`` so no contiguous stretch is single-source (the
+    batch-homogeneity failure mode of sorting by source), without any
+    global sort.
+
+    Every row gets position = rank_within_source · |sources| + lane,
+    where rank is the portable-hash shuffle order WITHIN its source
+    (stable_hash64 of the id — same portable draw as shuffle_corpus)
+    and lane is the source's index in ``sources``. Positions are unique
+    by construction and computable with ONE source-keyed window — the
+    global interleaved order exists WITHOUT a global exchange, because
+    position is a pure function of (lane, within-source rank); a sink
+    that wants physical order sorts by it per output partition
+    (sortWithinPartitions after range-partitioning on position).
+    Sources exhaust independently (unequal sizes leave holes in the
+    position sequence, preserving relative cadence — by design: a
+    dense renumbering would need the global sort this avoids).
+
+    Rows whose source is not in ``sources`` are dropped (declare every
+    lane explicitly — silent lanes would shift every position).
+
+    Output: input columns + ``position`` (bigint). Engine addition.
+    """
+    from calp_cva_tracking_pipeline_spark.functions.hashing import (
+        stable_hash64,
+    )
+
+    lane = None
+    for i, s in enumerate(sources):
+        c = F.when(F.col(source_col) == s, F.lit(i))
+        lane = c if lane is None else lane.when(
+            F.col(source_col) == s, F.lit(i)
+        )
+    w = Window.partitionBy(source_col).orderBy(
+        stable_hash64(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__lane", lane)
+        .filter(F.col("__lane").isNotNull())
+        .withColumn(
+            "position",
+            (
+                (F.row_number().over(w) - F.lit(1))
+                * F.lit(len(sources))
+                + F.col("__lane")
+            ).cast("bigint"),
+        )
+        .drop("__lane")
     )

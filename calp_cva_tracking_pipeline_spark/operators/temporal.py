@@ -845,3 +845,67 @@ def cusum_fold(
     untouched = state.join(updates.select(*keys), keys, "left_anti")
     new_state = updates.unionByName(untouched)
     return out, new_state
+
+
+def interval_union_length(
+    df: DataFrame,
+    keys: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key union length of (possibly overlapping) integer intervals
+    [start, end) — the interval-algebra aggregate behind "how much
+    wall-clock was this machine actually busy" / "how many covered
+    seconds does this entity's timeline span" where naive SUM(end-start)
+    double-counts every overlap.
+
+    Classic sweep as TWO stacked windows over ONE keyed exchange: the
+    running max of previous ends marks where a new disjoint run starts
+    (strictly-greater comparison: back-to-back intervals [a,b),[b,c)
+    merge), a cumulative sum of those markers numbers the runs, and a
+    run-level min/max + key-level sum collapse to group cardinality.
+    All integer arithmetic on the raw (typically unix-micros) bounds —
+    order-independent and engine-exact; zero/negative-length intervals
+    and NULL bounds drop first.
+
+    Output: keys + (n_intervals, n_runs, covered) — covered in the
+    input's integer units. Engine addition; no reference counterpart.
+    """
+    enc = df.filter(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(end_col) > F.col(start_col))
+    ).select(
+        *keys,
+        F.col(start_col).cast("long").alias("__s"),
+        F.col(end_col).cast("long").alias("__e"),
+    )
+    w = Window.partitionBy(*keys).orderBy("__s", "__e")
+    prev_max = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = enc.withColumn(
+        "__new",
+        F.when(
+            prev_max.isNull() | (F.col("__s") > prev_max), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__run",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = marked.groupBy(*keys, "__run").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min("__s").alias("__rs"),
+        F.max("__e").alias("__re"),
+    )
+    return (
+        runs.groupBy(*keys)
+        .agg(
+            F.sum("__cnt").cast("bigint").alias("n_intervals"),
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+            F.sum(F.col("__re") - F.col("__rs"))
+            .cast("bigint")
+            .alias("covered"),
+        )
+        .orderBy(*keys)
+    )
