@@ -489,3 +489,56 @@ def test_runtime_bloom_filter_applies_to_fact_fact_joins(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_phash_single_python_stage_no_cartesian(spark, sf_dir):
+    """Image near-dup: exactly TWO Arrow/Python stages total (synth
+    encode + decode — the only Python in the pipeline) and candidate
+    pairing via the band-bucket aggregation, never a cartesian or a
+    derived self-join."""
+    plan = _executed(S.mm_phash_neardup(spark, sf_dir))
+    assert plan.count("MapInPandas") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_audio_dedup_no_joins_at_all(spark, sf_dir):
+    """Audio fingerprint grouping is join-free: decode + hash agg."""
+    plan = _executed(S.mm_audio_dedup(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("MapInPandas") == 2
+
+
+def test_motifs_single_keyed_exchange(spark, sf_dir):
+    """Trigram motifs: the user-keyed window exchange plus the motif
+    aggregation — no self-joins (an n-way join would shuffle the
+    stream n times)."""
+    plan = _executed(S.ev_motifs(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_gini_one_window_one_agg(spark, sf_dir):
+    plan = _executed(S.pf_gini(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_interval_union_one_keyed_exchange(spark, sf_dir):
+    """The sweep's two stacked windows share ONE keyed sort/exchange."""
+    plan = _executed(S.tj_interval_union(spark, sf_dir))
+    assert "Join" not in plan
+    # both window frames ride the same partitioning: exactly one
+    # hashpartitioning exchange on user_id in the whole plan
+    import re as _re
+
+    assert len(_re.findall(r"hashpartitioning\(user_id", plan)) == 1
+
+
+def test_interleave_no_global_sort(spark, sf_dir):
+    """Interleave positions come from a source-keyed window — the plan
+    must contain NO global (singlePartition / rangepartitioning)
+    exchange."""
+    plan = _executed(S.mx_interleave(spark, sf_dir))
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
