@@ -5478,6 +5478,115 @@ FROM ranked
 """
 
 
+def ev_gaps(spark, sf_dir):
+    """Per-user inter-arrival statistics + Goh–Barabási burstiness
+    (operators.funnel.interarrival_stats): one lag over the keyed
+    window, integer-second gaps (documented resolution — micros would
+    overflow Σg² on one month-long gap), 64-bit moment sums, fixed
+    double expression order for mean/std/CV/B."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        interarrival_stats,
+    )
+
+    return interarrival_stats(
+        T(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        tiebreak_cols=["event_id"],
+        min_events=3,
+    )
+
+
+EV_GAPS_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t, event_id
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+g0 AS (
+  SELECT user_id,
+         t - LAG(t, 1) OVER (PARTITION BY user_id
+                             ORDER BY t, event_id) AS gus
+  FROM e),
+g AS (
+  SELECT user_id,
+         CAST((gus - (gus % 1000000)) / 1000000 AS BIGINT) AS gap
+  FROM g0 WHERE gus IS NOT NULL),
+agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(gap) AS BIGINT) AS s1,
+         CAST(SUM(gap * gap) AS BIGINT) AS s2
+  FROM g GROUP BY user_id),
+d AS (
+  SELECT user_id, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(s1 AS DOUBLE) AS s1d,
+         CAST(s2 AS DOUBLE) AS s2d
+  FROM agg),
+st AS (
+  SELECT user_id, n, s1d / nd AS mean_s,
+         sqrt(GREATEST(CASE WHEN n > 1
+              THEN (nd * s2d - s1d * s1d) / (nd * (nd - 1))
+              ELSE 0.0 END, 0.0)) AS std_s
+  FROM d)
+SELECT user_id, n AS n_gaps,
+       CASE WHEN n >= 2 THEN ROUND(mean_s, 6) END AS mean_gap_s,
+       CASE WHEN n >= 2 THEN ROUND(std_s, 6) END AS std_gap_s,
+       CASE WHEN n >= 2 THEN ROUND(
+         CASE WHEN mean_s > 0 THEN std_s / mean_s ELSE 0.0 END, 6)
+       END AS cv,
+       CASE WHEN n >= 2 THEN ROUND(
+         CASE WHEN std_s + mean_s > 0
+              THEN (std_s - mean_s) / (std_s + mean_s)
+              ELSE 0.0 END, 6)
+       END AS burstiness
+FROM st
+ORDER BY user_id
+"""
+
+
+def tx_sentences(spark, sf_dir):
+    """Per-document sentence-structure profile (operators.textops.
+    sentence_stats) over a deterministically punctuated text (the
+    synthetic corpus carries no terminators, so ' a '/' the ' become
+    sentence breaks — the same derived-input device as c5): segment
+    count, mean and max sentence token length, all JVM-side on one
+    exploded-array projection."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        sentence_stats,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), " (a|the) ", ". "
+        ).alias("ptext"),
+    )
+    return sentence_stats(d, "doc_id", "ptext")
+
+
+TX_SENTENCES_SQL = r"""
+WITH seg AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(
+           regexp_replace(COALESCE(text, ''), ' (a|the) ', '. ', 'g'),
+           '[.!?]+\s*'), s -> trim(s)), s -> s <> '') AS segs
+  FROM documents),
+tok AS (
+  SELECT doc_id,
+         list_transform(segs, s -> len(list_filter(
+           string_split_regex(s, '\s+'), t -> t <> ''))) AS ns
+  FROM seg)
+SELECT doc_id,
+       CAST(len(ns) AS BIGINT) AS n_sentences,
+       CASE WHEN len(ns) > 0 THEN
+         ROUND(CAST(list_sum(ns) AS DOUBLE) / CAST(len(ns) AS DOUBLE), 6)
+       END AS mean_sentence_tokens,
+       CASE WHEN len(ns) > 0 THEN CAST(list_max(ns) AS BIGINT)
+       END AS max_sentence_tokens
+FROM tok
+"""
+
+
 NSIM_MIN_SHARED = 3
 NSIM_THRESHOLD = 0.08  # co-purchase unions are wide; yields rows at all SFs
 
@@ -5872,4 +5981,7 @@ SCALE_QUERIES = {
     "pf_tail_index": (pf_tail_index, PF_TAIL_SQL),
     "tj_interval_union": (tj_interval_union, TJ_IVU_SQL),
     "mx_interleave": (mx_interleave, MX_ILV_SQL),
+    # nineteenth wave (round 9)
+    "ev_gaps": (ev_gaps, EV_GAPS_SQL),
+    "tx_sentences": (tx_sentences, TX_SENTENCES_SQL),
 }

@@ -432,3 +432,77 @@ def sequence_motifs(
         .orderBy(F.col("n_occurrences").desc(), F.col("motif").asc())
         .limit(top_k)
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+    min_events: int = 3,
+) -> DataFrame:
+    """Per-key inter-arrival statistics + burstiness index: gap mean,
+    sample std, coefficient of variation and Goh-Barabási burstiness
+    B = (σ−μ)/(σ+μ) — the temporal-texture summary that separates a
+    steady heartbeat (B→−1) from bursty human/incident behavior (B→1)
+    BEFORE anyone fits session windows or anomaly thresholds to the
+    wrong cadence.
+
+    Exactness: gaps are integer SECONDS (floor of the micros diff —
+    the documented 1 s gap resolution; sub-second cadences are the
+    anomaly tier's RANGE windows' job) from ONE lag over the keyed
+    (ts, tiebreak) window; n, Σg, Σg² aggregate as 64-bit integers —
+    order-independent, and second-resolution keeps Σg² inside 2⁶³ for
+    ~10⁶ gaps of up to ~90 years each (micros would overflow on a
+    single month-long gap squared). mean/std/CV/B then derive in a
+    fixed double expression order rounded to 6 dp. Keys with fewer
+    than ``min_events`` events emit NULL statistics (two gaps make no
+    distribution); zero-variance keys emit CV=0, B=−1 exactly.
+
+    One keyed exchange + map-side-combined aggregation to key
+    cardinality. Output: (user, n_gaps, mean_gap_s, std_gap_s, cv,
+    burstiness). Engine addition.
+    """
+    tb = tiebreak_cols or []
+    w = Window.partitionBy(user_col).orderBy(ts_col, *tb)
+    base = df.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.unix_micros(F.col(ts_col)).alias("__t"),
+        *[F.col(c) for c in tb],
+    )
+    w2 = Window.partitionBy("__u").orderBy("__t", *tb)
+    gap_us = F.col("__t") - F.lag("__t", 1).over(w2)
+    gaps = base.select(
+        "__u", (gap_us - (gap_us % 1_000_000)).alias("__gus")
+    ).filter(F.col("__gus").isNotNull()).select(
+        "__u", (F.col("__gus") / F.lit(1_000_000)).cast("long").alias("__g")
+    )
+    agg = gaps.groupBy("__u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("__g").alias("__s1"),
+        F.sum(F.col("__g") * F.col("__g")).alias("__s2"),
+    )
+    nD = F.col("n_gaps").cast("double")
+    s1D = F.col("__s1").cast("double")
+    s2D = F.col("__s2").cast("double")
+    mean_s = s1D / nD
+    var_s = F.when(
+        F.col("n_gaps") > 1,
+        (nD * s2D - s1D * s1D) / (nD * (nD - 1)),
+    ).otherwise(F.lit(0.0))
+    std_s = F.sqrt(F.greatest(var_s, F.lit(0.0)))
+    enough = F.col("n_gaps") >= min_events - 1
+    cv = F.when(mean_s > 0, std_s / mean_s).otherwise(F.lit(0.0))
+    burst = F.when(
+        (std_s + mean_s) > 0, (std_s - mean_s) / (std_s + mean_s)
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("__u").alias(user_col),
+        "n_gaps",
+        F.when(enough, F.round(mean_s, 6)).alias("mean_gap_s"),
+        F.when(enough, F.round(std_s, 6)).alias("std_gap_s"),
+        F.when(enough, F.round(cv, 6)).alias("cv"),
+        F.when(enough, F.round(burst, 6)).alias("burstiness"),
+    ).orderBy(user_col)

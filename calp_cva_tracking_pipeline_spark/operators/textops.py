@@ -776,3 +776,55 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(top_k)
     )
+
+
+def sentence_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document sentence segmentation statistics: sentence count,
+    mean sentence length in whitespace tokens (6 dp), and the longest
+    sentence's token count — the document-structure profile the
+    chunking tier (``chunk_documents`` splits by token budget) is blind
+    to: a 4000-token doc of 12-token sentences and one of three
+    run-on sentences chunk identically but train very differently.
+
+    Segmentation is the deterministic regex convention shared by both
+    engines: split on one-or-more terminators ([.!?]) plus following
+    whitespace; empty segments (leading/trailing/consecutive
+    terminators) are not sentences. Token counts split the same \\s+
+    way as every text operator here. All per-sentence work happens
+    JVM-side on the exploded segment array in one scan-speed
+    projection + one doc-keyed map-side aggregation.
+
+    Output: (id, n_sentences, mean_sentence_tokens, max_sentence_tokens);
+    docs with NULL/empty text or no terminator content emit n=0 rows
+    with NULL means. Engine addition.
+    """
+    segs = df.select(
+        F.col(id_col),
+        F.expr(
+            f"filter(transform(split(coalesce({text_col}, ''),"
+            " '[.!?]+\\\\s*'), s -> trim(s)), s -> s <> '')"
+        ).alias("__segs"),
+    )
+    toks = segs.select(
+        id_col,
+        F.expr(
+            "transform(__segs, s -> size(filter(split(s, '\\\\s+'),"
+            " t -> t <> '')))"
+        ).alias("__n"),
+    )
+    n = F.size("__n")
+    total = F.expr("aggregate(__n, 0L, (acc, x) -> acc + x)")
+    return toks.select(
+        id_col,
+        n.cast("bigint").alias("n_sentences"),
+        F.when(
+            n > 0, F.round(total.cast("double") / n.cast("double"), 6)
+        ).alias("mean_sentence_tokens"),
+        F.when(n > 0, F.expr("array_max(__n)").cast("bigint")).alias(
+            "max_sentence_tokens"
+        ),
+    )
