@@ -5205,21 +5205,25 @@ def mm_phash_neardup(spark, sf_dir):
             w=PHASH_W
         )
     )
-    fl = h60.format(
-        s="concat('fl|', CAST(grp AS STRING), '|',"
-        " CAST(rnk AS STRING), '|', CAST(k AS STRING))"
-    )
     npx = PHASH_W * PHASH_H
+    # Perturbation = a CONTIGUOUS flipped band (a scratch) starting at
+    # a (grp, rnk)-derived offset: membership is O(1) modular
+    # arithmetic per pixel. (First draft hashed individual flip
+    # positions into an array and tested array_contains per pixel —
+    # 256×24 interpreted scans/doc, and Spark's projection collapse
+    # re-inlines any "materialized" array back into the lambda, so the
+    # membership list CANNOT be hoisted; measured 4× slower. Higher-
+    # order-function lambdas run interpreted — keep per-element work
+    # arithmetic, never collection-valued.)
+    inflip = (
+        f"rnk > 0 AND ((p - ((grp * 37 + rnk * 101) % {npx}) + {npx})"
+        f" % {npx}) < IF(rnk = 1, {PHASH_LIGHT_FLIPS}, {PHASH_HEAVY_FLIPS})"
+    )
     synth = base.select(
         "doc_id",
         F.expr(
             f"""transform(sequence(0, {npx - 1}), p ->
-                  CAST(IF(rnk > 0 AND array_contains(
-                         transform(sequence(0, IF(rnk = 1,
-                                  {PHASH_LIGHT_FLIPS - 1},
-                                  {PHASH_HEAVY_FLIPS - 1})),
-                           k -> ({fl}) % {npx}),
-                         p),
+                  CAST(IF({inflip},
                        255 - ({vb}) % 256,
                        ({vb}) % 256) AS INT))"""
         ).alias("px"),
@@ -5236,24 +5240,21 @@ _PH_VB = (
     f" || CAST(p // {PHASH_W} AS VARCHAR)), 1, 15)) AS UBIGINT)"
     f" AS BIGINT) % 256"
 )
-_PH_FL = (
-    "CAST(CAST(('0x' || substring(md5('fl|' || CAST(grp AS VARCHAR) || '|'"
-    " || CAST(rnk AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 15))"
-    f" AS UBIGINT) AS BIGINT) % {PHASH_W * PHASH_H}"
+_PH_NPX = PHASH_W * PHASH_H
+_PH_INFLIP = (
+    f"rnk > 0 AND ((p - ((grp * 37 + rnk * 101) % {_PH_NPX}) + {_PH_NPX})"
+    f" % {_PH_NPX}) < (CASE WHEN rnk = 1 THEN {PHASH_LIGHT_FLIPS}"
+    f" ELSE {PHASH_HEAVY_FLIPS} END)"
 )
 
 MM_PHASH_SQL = f"""
 WITH p256 AS (SELECT unnest(generate_series(0, {PHASH_W * PHASH_H - 1})) AS p),
 docs0 AS (
-  SELECT doc_id, doc_id // 3 AS grp, doc_id % 3 AS rnk,
-         list_transform(generate_series(0, CASE WHEN rnk = 1
-                THEN {PHASH_LIGHT_FLIPS - 1}
-                ELSE {PHASH_HEAVY_FLIPS - 1} END),
-           k -> {_PH_FL}) AS fpos
+  SELECT doc_id, doc_id // 3 AS grp, doc_id % 3 AS rnk
   FROM documents),
 px AS (
   SELECT doc_id, p,
-         CASE WHEN rnk > 0 AND list_contains(fpos, p)
+         CASE WHEN {_PH_INFLIP}
               THEN 255 - ({_PH_VB}) ELSE ({_PH_VB}) END AS v
   FROM docs0 CROSS JOIN p256),
 cells AS (
@@ -5678,20 +5679,19 @@ def mm_audio_dedup(spark, sf_dir):
         s="concat('av|', CAST(grp AS STRING), '|',"
         " CAST(rnk AS STRING), '|', CAST(p AS STRING))"
     )
-    fl = h60.format(
-        s="concat('ap|', CAST(grp AS STRING), '|',"
-        " CAST(rnk AS STRING), '|', CAST(k AS STRING))"
+    # contiguous replaced range (a dropout), O(1) arithmetic membership
+    # per sample — see mm_phash_neardup on why a hashed-position ARRAY
+    # in the lambda is 4× slower (interpreted HOFs + projection collapse)
+    inflip = (
+        f"rnk > 0 AND ((p - ((grp * 37 + rnk * 101) % {AFP_NS})"
+        f" + {AFP_NS}) % {AFP_NS})"
+        f" < IF(rnk = 1, {AFP_LIGHT_FLIPS}, {AFP_HEAVY_FLIPS})"
     )
     synth = base.select(
         "doc_id",
         F.expr(
             f"""transform(sequence(0, {AFP_NS - 1}), p ->
-                  CAST(IF(rnk > 0 AND array_contains(
-                         transform(sequence(0, IF(rnk = 1,
-                                  {AFP_LIGHT_FLIPS - 1},
-                                  {AFP_HEAVY_FLIPS - 1})),
-                           k -> ({fl}) % {AFP_NS}),
-                         p),
+                  CAST(IF({inflip},
                        ({sv}) % 65536 - 32768,
                        ({sb}) % 65536 - 32768) AS INT))"""
         ).alias("smp"),
@@ -5716,23 +5716,21 @@ _AFP_SV = _afp_h60(
     "'av|' || CAST(grp AS VARCHAR) || '|' || CAST(rnk AS VARCHAR)"
     " || '|' || CAST(p AS VARCHAR)"
 )
-_AFP_FL = _afp_h60(
-    "'ap|' || CAST(grp AS VARCHAR) || '|' || CAST(rnk AS VARCHAR)"
-    " || '|' || CAST(k AS VARCHAR)"
+_AFP_INFLIP = (
+    f"rnk > 0 AND ((p - ((grp * 37 + rnk * 101) % {AFP_NS})"
+    f" + {AFP_NS}) % {AFP_NS})"
+    f" < (CASE WHEN rnk = 1 THEN {AFP_LIGHT_FLIPS}"
+    f" ELSE {AFP_HEAVY_FLIPS} END)"
 )
 
 MM_AUDIO_SQL = f"""
 WITH pos AS (SELECT unnest(generate_series(0, {AFP_NS - 1})) AS p),
 docs0 AS (
-  SELECT doc_id, doc_id // 3 AS grp, doc_id % 3 AS rnk,
-         list_transform(generate_series(0, CASE WHEN rnk = 1
-                THEN {AFP_LIGHT_FLIPS - 1}
-                ELSE {AFP_HEAVY_FLIPS - 1} END),
-           k -> ({_AFP_FL}) % {AFP_NS}) AS fpos
+  SELECT doc_id, doc_id // 3 AS grp, doc_id % 3 AS rnk
   FROM documents),
 smp AS (
   SELECT doc_id, p,
-         CASE WHEN rnk > 0 AND list_contains(fpos, p)
+         CASE WHEN {_AFP_INFLIP}
               THEN ({_AFP_SV}) % 65536 - 32768
               ELSE ({_AFP_SB}) % 65536 - 32768 END AS s
   FROM docs0 CROSS JOIN pos),
