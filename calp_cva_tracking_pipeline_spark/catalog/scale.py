@@ -5588,6 +5588,128 @@ FROM tok
 """
 
 
+AB_CONTROL = "1-URGENT"
+AB_MIN_N = 10
+
+
+def pf_ab_test(spark, sf_dir):
+    """Experiment readout (operators.profiling.ab_test_summary): order
+    priorities as variants vs the '1-URGENT' control — whole-unit
+    integer moments in ONE variant-cardinality aggregate (cent-scaling
+    would overflow Σx² two orders sooner), Welch z + 95% significance
+    in a fixed double expression order."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        ab_test_summary,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    return ab_test_summary(
+        o, "o_orderpriority", "o_totalprice", control=AB_CONTROL,
+        min_n=AB_MIN_N,
+    )
+
+
+PF_AB_SQL = f"""
+WITH enc AS (
+  SELECT o_orderpriority AS variant,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE)) AS BIGINT) AS x
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+agg AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM enc GROUP BY variant),
+st AS (
+  SELECT variant, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         CASE WHEN n > 1 THEN
+           (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+         ELSE 0.0 END AS v
+  FROM agg),
+c AS (SELECT n AS nc, m AS mc, v AS vc FROM st
+      WHERE variant = '{AB_CONTROL}')
+SELECT variant, n, ROUND(m, 6) AS mean,
+       CASE WHEN variant <> '{AB_CONTROL}' AND n >= {AB_MIN_N}
+                 AND nc >= {AB_MIN_N} AND (v / n + vc / nc) > 0
+         THEN ROUND((m - mc) / sqrt(v / n + vc / nc), 6) END AS z,
+       CASE WHEN variant <> '{AB_CONTROL}' AND n >= {AB_MIN_N}
+                 AND nc >= {AB_MIN_N} AND (v / n + vc / nc) > 0
+         THEN abs((m - mc) / sqrt(v / n + vc / nc)) > 1.959964
+       END AS significant
+FROM st CROSS JOIN c
+ORDER BY variant
+"""
+
+
+_CODE_SNIPPET = "def f(x):\n    return x + 1\nimport os\n"
+
+
+def tx_code_detect(spark, sf_dir):
+    """Code-vs-prose routing (operators.textops.code_detect) over a
+    corpus where every 7th document carries an injected code preamble
+    (the synthetic text is pure prose — same derived-input device as
+    tx_sentences): symbol ratio, indented lines and keyword hits as
+    scan-speed JVM expressions, combined into the is_code route flag."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        code_detect,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(_CODE_SNIPPET), F.coalesce("text", F.lit(""))),
+        )
+        .otherwise(F.coalesce("text", F.lit("")))
+        .alias("ptext"),
+    )
+    return code_detect(d, "doc_id", "ptext")
+
+
+_CODE_SNIPPET_SQL = (
+    "'def f(x):' || chr(10) || '    return x + 1' || chr(10)"
+    " || 'import os' || chr(10)"
+)
+_CODE_KW_ALT = "|".join(
+    ["def", "class", "return", "import", "void", "int", "function",
+     "var", "const", "if", "else", "for", "while"]
+)
+
+TX_CODE_SQL = rf"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN {_CODE_SNIPPET_SQL} || COALESCE(text, '')
+              ELSE COALESCE(text, '') END AS t
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         LENGTH(t) AS nc,
+         LENGTH(t) - LENGTH(regexp_replace(t, '[{{}}();=<>\[\]]', '', 'g'))
+           AS nsym,
+         len(list_filter(string_split(t, chr(10)),
+             ln -> regexp_matches(ln, '^(  +|\t)'))) AS indent,
+         len(list_filter(string_split_regex(lower(t), '\s+'),
+             w -> regexp_matches(w, '^({_CODE_KW_ALT})$'))) AS hits
+  FROM p),
+r AS (
+  SELECT doc_id,
+         CASE WHEN nc > 0
+              THEN ROUND(CAST(nsym AS DOUBLE) / CAST(nc AS DOUBLE), 6)
+              ELSE 0.0 END AS symbol_ratio,
+         CAST(indent AS BIGINT) AS indent_lines,
+         CAST(hits AS BIGINT) AS keyword_hits
+  FROM f)
+SELECT doc_id, symbol_ratio, indent_lines, keyword_hits,
+       (symbol_ratio > 0.05
+        OR (keyword_hits >= 2 AND indent_lines >= 1)) AS is_code
+FROM r
+"""
+
+
 NSIM_MIN_SHARED = 3
 NSIM_THRESHOLD = 0.08  # co-purchase unions are wide; yields rows at all SFs
 
@@ -5982,4 +6104,7 @@ SCALE_QUERIES = {
     # nineteenth wave (round 9)
     "ev_gaps": (ev_gaps, EV_GAPS_SQL),
     "tx_sentences": (tx_sentences, TX_SENTENCES_SQL),
+    # twentieth wave (round 9)
+    "pf_ab_test": (pf_ab_test, PF_AB_SQL),
+    "tx_code_detect": (tx_code_detect, TX_CODE_SQL),
 }

@@ -1269,3 +1269,74 @@ def tail_index(
             F.round(alpha, 6),
         ).alias("alpha"),
     ).orderBy(*keys)
+
+
+def ab_test_summary(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    control: str,
+    min_n: int = 10,
+) -> DataFrame:
+    """Experiment readout: per-variant mean vs a declared control with a
+    Welch z statistic and a 95% two-sided significance flag — the
+    decision table an A/B platform prints, computed in ONE scan.
+
+    Exactness: values round to whole integer units up front (documented
+    resolution — unit-scaled squared sums stay inside 2⁶³ for ~10⁷ rows
+    of values ≤ 10⁶; cent-scaling would overflow two orders sooner),
+    n/Σx/Σx² aggregate as 64-bit integers per variant (map-side
+    combined, order-independent), and mean/variance/z derive in a fixed
+    double expression order rounded to 6 dp. The z against control uses
+    Welch's unpooled variance; variants (or a control) with fewer than
+    ``min_n`` observations or zero variance emit NULL z (no inference
+    from a degenerate sample). The control row itself carries NULL z.
+
+    Physical shape: one scan → variant-cardinality aggregate; the
+    control row broadcasts back as a literal-sized cross join. Output:
+    (variant, n, mean, z, significant) ordered by variant.
+    Engine addition; no reference counterpart.
+    """
+    enc = df.filter(
+        F.col(value_col).isNotNull() & F.col(variant_col).isNotNull()
+    ).select(
+        F.col(variant_col).alias("variant"),
+        F.round(F.col(value_col).cast("double"))
+        .cast("long")
+        .alias("__x"),
+    )
+    agg = enc.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x").alias("__s1"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__s2"),
+    )
+    nD = F.col("n").cast("double")
+    s1D = F.col("__s1").cast("double")
+    s2D = F.col("__s2").cast("double")
+    var_ = F.when(
+        F.col("n") > 1, (nD * s2D - s1D * s1D) / (nD * (nD - 1))
+    ).otherwise(F.lit(0.0))
+    stats = agg.select(
+        "variant", "n", (s1D / nD).alias("__m"), var_.alias("__v")
+    )
+    ctrl = stats.filter(F.col("variant") == control).select(
+        F.col("n").alias("__nc"),
+        F.col("__m").alias("__mc"),
+        F.col("__v").alias("__vc"),
+    )
+    j = stats.crossJoin(F.broadcast(ctrl))
+    se2 = F.col("__v") / F.col("n") + F.col("__vc") / F.col("__nc")
+    z = (F.col("__m") - F.col("__mc")) / F.sqrt(se2)
+    usable = (
+        (F.col("variant") != control)
+        & (F.col("n") >= min_n)
+        & (F.col("__nc") >= min_n)
+        & (se2 > 0)
+    )
+    return j.select(
+        "variant",
+        "n",
+        F.round(F.col("__m"), 6).alias("mean"),
+        F.when(usable, F.round(z, 6)).alias("z"),
+        F.when(usable, F.abs(z) > 1.959964).alias("significant"),
+    ).orderBy("variant")

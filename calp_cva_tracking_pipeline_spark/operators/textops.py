@@ -828,3 +828,68 @@ def sentence_stats(
             "max_sentence_tokens"
         ),
     )
+
+
+CODE_KEYWORDS = [
+    "def", "class", "return", "import", "void", "int", "function",
+    "var", "const", "if", "else", "for", "while",
+]
+
+
+def code_detect(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    symbol_threshold: float = 0.05,
+    min_keyword_hits: int = 2,
+) -> DataFrame:
+    """Code-vs-prose heuristic per document — the filter a text-corpus
+    build runs to route source code OUT of the prose mixture (or into a
+    code lane): symbol-character ratio, indented-line count and
+    programming-keyword hits, combined into an ``is_code`` flag. All
+    scan-speed JVM expressions (regexp counts over one projection); the
+    flag is a coarse router, not a classifier — route-then-verify, like
+    the CC4 manual-review pattern.
+
+    is_code = symbol_ratio > ``symbol_threshold`` OR
+    (keyword_hits ≥ ``min_keyword_hits`` AND indent_lines ≥ 1).
+    Ratios round to 6 dp; NULL text scores 0 everywhere, not-code.
+
+    Output: (id, symbol_ratio, indent_lines, keyword_hits, is_code).
+    Engine addition; no reference counterpart.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t)
+    n_sym = n_chars - F.length(
+        F.regexp_replace(t, "[{}();=<>\\[\\]]", "")
+    )
+    indent = F.size(
+        F.filter(
+            F.split(t, "\n"),
+            lambda ln: ln.rlike("^(  +|\\t)"),
+        )
+    )
+    kw = "|".join(CODE_KEYWORDS)
+    hits = F.size(
+        F.filter(
+            F.split(F.lower(t), "\\s+"),
+            lambda w: w.rlike(f"^({kw})$"),
+        )
+    )
+    ratio = F.when(
+        n_chars > 0,
+        F.round(n_sym.cast("double") / n_chars.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        ratio.alias("symbol_ratio"),
+        indent.cast("bigint").alias("indent_lines"),
+        hits.cast("bigint").alias("keyword_hits"),
+        (
+            (ratio > symbol_threshold)
+            | (
+                (hits >= min_keyword_hits)
+                & (indent >= 1)
+            )
+        ).alias("is_code"),
+    )
