@@ -1659,8 +1659,22 @@ def _ep3_canon(expr: str) -> str:
     )
 
 
-EP3_MATCH_SQL = f"""
-WITH lraw AS (
+_EP3_MAP_SELECT = """
+SELECT name,
+       CASE WHEN regexp_matches(name, '^hot ') THEN 'thermal group'
+            WHEN name = 'acme subgrantee' THEN 'acme global'
+            ELSE COALESCE(exact_m, fuzzy_m, sa_m, sb_m) END AS matched_name,
+       CASE WHEN regexp_matches(name, '^hot ') THEN 'manual'
+            WHEN name = 'acme subgrantee' THEN 'manual'
+            WHEN exact_m IS NOT NULL THEN 'exact'
+            WHEN fuzzy_m IS NOT NULL THEN 'fuzzy'
+            WHEN sa_m IS NOT NULL THEN 'substring_a'
+            WHEN sb_m IS NOT NULL THEN 'substring_b'
+            ELSE NULL END AS match_method
+FROM auto
+"""
+
+_EP3_CTES = f"""lraw AS (
   SELECT CASE p_partkey % 6
            WHEN 0 THEN p_name
            WHEN 1 THEN substring(p_name, 1, length(p_name) - 1)
@@ -1716,19 +1730,150 @@ auto AS (
   FROM ex e
   LEFT JOIN fz f ON e.name = f.name
   LEFT JOIN sa a ON e.name = a.name
-  LEFT JOIN sb b ON e.name = b.name)
-SELECT name,
-       CASE WHEN regexp_matches(name, '^hot ') THEN 'thermal group'
-            WHEN name = 'acme subgrantee' THEN 'acme global'
-            ELSE COALESCE(exact_m, fuzzy_m, sa_m, sb_m) END AS matched_name,
-       CASE WHEN regexp_matches(name, '^hot ') THEN 'manual'
-            WHEN name = 'acme subgrantee' THEN 'manual'
-            WHEN exact_m IS NOT NULL THEN 'exact'
-            WHEN fuzzy_m IS NOT NULL THEN 'fuzzy'
-            WHEN sa_m IS NOT NULL THEN 'substring_a'
-            WHEN sb_m IS NOT NULL THEN 'substring_b'
-            ELSE NULL END AS match_method
-FROM auto
+  LEFT JOIN sb b ON e.name = b.name)"""
+
+EP3_MATCH_SQL = f"WITH {_EP3_CTES} {_EP3_MAP_SELECT}"
+
+
+EP3_PCTV = [(2020, 1.5), (2021, 2.0), (2022, 2.5)]  # binary-exact factors
+
+
+def ep3_global_agg(spark, sf_dir):
+    """EP3 end to end — the FULL global-analysis chain as one oracle-
+    gated query (plans.matching.match_org_names + subtract_subgrants;
+    reference code/10_global_cva_analysis.R:86-324): the 4-stage
+    matcher maps sub-grant recipients to orgs, matched sub-grant totals
+    subtract from the primary aggregate with the zero floor, and the
+    org-type rollup applies the PC→TV ratio — returning the reference's
+    cva_agg_org_type sink shape (Year, Org_type, PC.USD.m, TV.USD.m).
+
+    Inputs derive from part: the cva aggregate keys on canonical
+    p_name × (partkey-derived) Year × newMoney with whole-unit integer
+    amounts (double sums of integer-valued terms are order-independent
+    below 2⁵³, and the PC→TV factors are binary-exact halves, so every
+    output value is exact in BOTH engines with no rounding step);
+    sub-grants reuse the matcher's left-name derivation, so every match
+    stage feeds real subtraction mass."""
+    from calp_cva_tracking_pipeline_spark.plans.matching import (
+        match_org_names,
+        subtract_subgrants,
+    )
+
+    p = T(spark, sf_dir, "part")
+    left = p.select(
+        F.expr(
+            """CASE p_partkey % 6
+                 WHEN 0 THEN p_name
+                 WHEN 1 THEN substring(p_name, 1, length(p_name) - 1)
+                 WHEN 2 THEN regexp_extract(p_name, '^[^ ]+', 0)
+                 WHEN 3 THEN concat(p_name, ' intl division')
+                 WHEN 4 THEN 'unknown'
+                 ELSE 'acme subgrantee' END"""
+        ).alias("recipient_name")
+    )
+    right = p.select(F.col("p_name").alias("org_name"))
+    mapping = match_org_names(
+        left,
+        right,
+        manual_overrides=EP3_MANUAL_OVERRIDES,
+        manual_pattern_overrides=EP3_PATTERN_OVERRIDES,
+    )
+    cva_agg = (
+        p.select(
+            canonicalize_name(F.col("p_name")).alias("clean_org"),
+            (F.lit(2020) + F.col("p_partkey") % 3).alias("Year"),
+            F.when(F.col("p_partkey") % 2 == 0, F.lit("TRUE"))
+            .otherwise(F.lit("FALSE"))
+            .alias("newMoney"),
+            F.expr(
+                """CASE length(p_name) % 3 WHEN 0 THEN 'NGO'
+                   WHEN 1 THEN 'UN' ELSE 'RCRC' END"""
+            ).alias("Org_type"),
+            F.round(F.col("p_retailprice").cast("double"))
+            .cast("long")
+            .alias("__pc"),
+        )
+        .groupBy("clean_org", "Year", "newMoney", "Org_type")
+        .agg(F.sum("__pc").cast("double").alias("PC.USD.m"))
+    )
+    sub_grants = p.select(
+        F.expr(
+            """CASE p_partkey % 6
+                 WHEN 0 THEN p_name
+                 WHEN 1 THEN substring(p_name, 1, length(p_name) - 1)
+                 WHEN 2 THEN regexp_extract(p_name, '^[^ ]+', 0)
+                 WHEN 3 THEN concat(p_name, ' intl division')
+                 WHEN 4 THEN 'unknown'
+                 ELSE 'acme subgrantee' END"""
+        ).alias("recipient_name"),
+        (F.lit(2020) + F.col("p_partkey") % 3).alias("Year"),
+        F.round(F.col("p_retailprice").cast("double") / 2)
+        .cast("long")
+        .alias("amount"),
+    )
+    pc_tv = spark.createDataFrame(
+        EP3_PCTV, "Year long, PC_average_used double"
+    )
+    _undoubled, rollup = subtract_subgrants(
+        cva_agg, sub_grants, mapping, pc_tv
+    )
+    return rollup
+
+
+_EP3_PCTV_SQL = " UNION ALL ".join(
+    f"SELECT CAST({y} AS BIGINT) AS yr2, CAST({f} AS DOUBLE) AS pcavg"
+    for y, f in EP3_PCTV
+)
+
+EP3_GLOBAL_SQL = f"""
+WITH {_EP3_CTES},
+mapping AS ({_EP3_MAP_SELECT}),
+sgr AS (
+  SELECT CASE p_partkey % 6
+           WHEN 0 THEN p_name
+           WHEN 1 THEN substring(p_name, 1, length(p_name) - 1)
+           WHEN 2 THEN regexp_extract(p_name, '^[^ ]+')
+           WHEN 3 THEN p_name || ' intl division'
+           WHEN 4 THEN 'unknown'
+           ELSE 'acme subgrantee' END AS recipient_name,
+         2020 + p_partkey % 3 AS yr,
+         CAST(ROUND(CAST(p_retailprice AS DOUBLE) / 2) AS BIGINT)
+           AS amount
+  FROM part),
+sgm AS (
+  SELECT m.matched_name AS clean_org, s.yr,
+         CAST(SUM(s.amount) AS BIGINT) AS sub_amt
+  FROM sgr s JOIN mapping m
+    ON {_ep3_canon('s.recipient_name')} = m.name
+  WHERE m.matched_name IS NOT NULL
+  GROUP BY 1, 2),
+cva AS (
+  SELECT {_ep3_canon('p_name')} AS clean_org,
+         2020 + p_partkey % 3 AS yr,
+         CASE WHEN p_partkey % 2 = 0 THEN 'TRUE' ELSE 'FALSE' END
+           AS nm,
+         CASE LENGTH(p_name) % 3 WHEN 0 THEN 'NGO'
+              WHEN 1 THEN 'UN' ELSE 'RCRC' END AS org_type,
+         CAST(ROUND(CAST(p_retailprice AS DOUBLE)) AS BIGINT) AS pc
+  FROM part),
+cva_agg AS (
+  SELECT clean_org, yr, nm, org_type,
+         CAST(SUM(pc) AS BIGINT) AS pcm
+  FROM cva GROUP BY 1, 2, 3, 4),
+und AS (
+  SELECT c.yr, c.org_type, c.pcm,
+         COALESCE(s.sub_amt, 0) AS sub_amt
+  FROM cva_agg c
+  LEFT JOIN sgm s
+    ON c.clean_org = s.clean_org AND c.yr = s.yr AND c.nm = 'FALSE'),
+agg AS (
+  SELECT yr, org_type,
+         CAST(SUM(GREATEST(0, pcm - sub_amt)) AS BIGINT) AS pc_usd
+  FROM und GROUP BY 1, 2)
+SELECT a.yr AS "Year", a.org_type AS "Org_type",
+       CAST(pc_usd AS DOUBLE) AS "PC.USD.m",
+       CAST(pc_usd AS DOUBLE) * t.pcavg AS "TV.USD.m"
+FROM agg a JOIN ({_EP3_PCTV_SQL}) t ON a.yr = t.yr2
 """
 
 
@@ -1781,6 +1926,7 @@ RELATIONAL_QUERIES = {
     "cc6_patch_collapse": (cc6_patch_collapse, CC6_SQL),
     "ep2_cva_by_location": (ep2_cva_by_location, EP2_SQL),
     "ep3_org_match": (ep3_org_match, EP3_MATCH_SQL),
+    "ep3_global_agg": (ep3_global_agg, EP3_GLOBAL_SQL),
 }
 
 # SURVEY.md §2 operator id → covering catalog query (merges documented at
@@ -1963,7 +2109,8 @@ COVERAGE = {
     "M4": "j10_fuzzy_levenshtein",
     "EP1": "plans.curate_flows (tests/test_plans.py)",
     "EP2": "ep2_cva_by_location",
-    "EP3": "ep3_org_match (4-stage matcher waterfall, oracle-gated) +"
+    "EP3": "ep3_global_agg (full chain: matcher + subtraction + rollup,"
+    " oracle-gated) + ep3_org_match (matcher waterfall) +"
     " ep2_cva_by_location (A6 slice) + plans.matching"
     " (tests/test_matching.py) + plans.deflators + plans.fx",
 }
