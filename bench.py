@@ -137,6 +137,7 @@ HEADLINE = [
     "ev_motifs",
     "pf_gini",
     "ep3_org_match",
+    "ep3_global_agg",
 ]
 
 
