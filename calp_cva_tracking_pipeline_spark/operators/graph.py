@@ -493,13 +493,23 @@ def kcore(
     (every extra round past convergence is a no-op re-aggregation), and
     an unconverged census is still identical across engines.
 
-    Scale shape per round: one node-keyed degree aggregation over
-    surviving edges (map-side combined — degree partials, never raw
-    edges, cross the wire) and two left-semi joins restricting the edge
-    list (node-keyed; the survivor side is node-sized). Edges
-    canonicalize (least, greatest) + distinct and self-loops drop, so
-    the input may be directed/duplicated. Output: (node, degree) of the
-    surviving core, degree measured over the final surviving edge set.
+    Scale shape per round: one node-keyed degree aggregation (map-side
+    combined — degree partials, never raw edges, cross the wire) and
+    two left-semi joins against the SURVIVOR NODE SET. The edge list
+    canonicalizes once and is ``localCheckpoint``-ed, and each round's
+    survivor set (node-sized — the ewma-seed discipline: only bounded
+    state is ever checkpointed) checkpoints too, so every round filters
+    the SAME materialized edges by the latest survivors instead of
+    re-deriving a shrinking edge lineage. Survivor sets decrease
+    monotonically, so filtering the original edges by the latest set
+    equals progressive filtering — same fixpoint, but the physical plan
+    is LINEAR in rounds (the first formulation referenced the evolving
+    edge frame three times per round: 3^n plan copies, 2916 scans at
+    n_iter=6 — found by plan audit in round 9, pinned in
+    tests/test_plan_shapes.py). Edges canonicalize (least, greatest) +
+    distinct and self-loops drop, so the input may be directed /
+    duplicated. Output: (node, degree) of the surviving core, degree
+    measured over the final surviving edge set.
 
     Engine-added; no reference counterpart.
     """
@@ -511,20 +521,32 @@ def kcore(
         )
         .filter(F.col(u) != F.col(v))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    deg = None
+    surv = None
+
+    def _restrict(base):
+        if surv is None:
+            return base
+        return base.join(
+            surv, F.col(u) == F.col("node"), "left_semi"
+        ).join(surv, F.col(v) == F.col("node"), "left_semi")
+
     for _ in range(n_iter):
         deg = (
-            e.select(F.explode(F.array(F.col(u), F.col(v))).alias("node"))
+            _restrict(e)
+            .select(F.explode(F.array(F.col(u), F.col(v))).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("degree"))
         )
-        keep = deg.filter(F.col("degree") >= k).select("node")
-        e = e.join(
-            keep, F.col(u) == F.col("node"), "left_semi"
-        ).join(keep, F.col(v) == F.col("node"), "left_semi")
+        surv = (
+            deg.filter(F.col("degree") >= k)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
     final_deg = (
-        e.select(F.explode(F.array(F.col(u), F.col(v))).alias("node"))
+        _restrict(e)
+        .select(F.explode(F.array(F.col(u), F.col(v))).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )

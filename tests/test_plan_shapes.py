@@ -542,3 +542,18 @@ def test_interleave_no_global_sort(spark, sf_dir):
     plan = _executed(S.mx_interleave(spark, sf_dir))
     assert "rangepartitioning" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_kcore_plan_linear_in_rounds(spark, sf_dir):
+    """The k-core peel must NOT re-derive the shrinking edge lineage —
+    the first formulation referenced the evolving edge frame 3x per
+    round (3^n plan copies: 2916 scans, 728 sort-merge joins at
+    n_iter=6). With the checkpointed-survivor formulation the VISIBLE
+    plan is one round deep; a reappearing scan explosion means the
+    lineage truncation broke."""
+    plan = _executed(S.gr_kcore(spark, sf_dir))
+    assert plan.count("Scan") <= 6
+    assert plan.count("SortMergeJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) + plan.count("ShuffledHashJoin") <= 4
+    assert "CartesianProduct" not in plan
