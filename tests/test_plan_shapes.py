@@ -557,3 +557,35 @@ def test_kcore_plan_linear_in_rounds(spark, sf_dir):
         "BroadcastHashJoin"
     ) + plan.count("ShuffledHashJoin") <= 4
     assert "CartesianProduct" not in plan
+
+
+def test_gated_round8_tier_plan_shapes(spark, sf_dir):
+    """Structural pins for the round-9-gated tier (audited in round 9):
+    no cartesian anywhere; ts_cusum rides ONE keyed exchange; the DQ
+    gate is join-free single-scan; ev_itemsets' only nested-loop join
+    is the bounded one-row n_baskets attach; jaccard's prefix filter
+    never sort-merges."""
+    cusum = _executed(S.ts_cusum(spark, sf_dir))
+    assert "Join" not in cusum
+    import re as _re
+
+    assert len(_re.findall(r"hashpartitioning\(user_id", cusum)) == 1
+
+    dq = _executed(S.pf_dq_checks(spark, sf_dir))
+    assert "Join" not in dq
+
+    diff = _executed(S.cdc_snapshot_diff(spark, sf_dir))
+    assert "CartesianProduct" not in diff
+    assert "BroadcastNestedLoopJoin" not in diff
+
+    items = _executed(S.ev_itemsets(spark, sf_dir))
+    assert "CartesianProduct" not in items
+    assert items.count("BroadcastNestedLoopJoin") <= 1  # one-row attach
+
+    jacc = _executed(S.dd_jaccard_join(spark, sf_dir))
+    assert "CartesianProduct" not in jacc
+    assert "BroadcastNestedLoopJoin" not in jacc
+
+    ref = _executed(S.pf_ref_integrity(spark, sf_dir))
+    assert "CartesianProduct" not in ref
+    assert "BroadcastNestedLoopJoin" not in ref
