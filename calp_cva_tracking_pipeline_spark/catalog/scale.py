@@ -5588,6 +5588,73 @@ FROM tok
 """
 
 
+ACF_LAG = 1
+ACF_MIN_PAIRS = 10
+
+
+def ts_autocorr(spark, sf_dir):
+    """Per-user lag-1 autocorrelation of event values (operators.
+    temporal.autocorrelation): persistence/periodicity check beside the
+    CUSUM drift tier — one keyed lag window, 64-bit integer sufficient
+    statistics, fixed double expression order."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        autocorrelation,
+    )
+
+    return autocorrelation(
+        T(spark, sf_dir, "events"),
+        ["user_id"],
+        "ts",
+        "value",
+        "event_id",
+        lag=ACF_LAG,
+        min_pairs=ACF_MIN_PAIRS,
+    )
+
+
+TS_ACF_SQL = f"""
+WITH enc AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+lagd AS (
+  SELECT user_id, x,
+         LAG(x, {ACF_LAG}) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS xl
+  FROM enc),
+agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS q,
+         CAST(COALESCE(SUM(CASE WHEN xl IS NOT NULL THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS m,
+         CAST(SUM(CASE WHEN xl IS NOT NULL THEN x * xl END) AS BIGINT)
+           AS c,
+         CAST(SUM(CASE WHEN xl IS NOT NULL THEN x END) AS BIGINT) AS sa,
+         CAST(SUM(CASE WHEN xl IS NOT NULL THEN xl END) AS BIGINT) AS sb
+  FROM lagd GROUP BY user_id),
+d AS (
+  SELECT user_id, n, m,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         CAST(q AS DOUBLE) AS qd,
+         CAST(c AS DOUBLE) AS cd,
+         CAST(sa AS DOUBLE) AS sad,
+         CAST(sb AS DOUBLE) AS sbd,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(m AS DOUBLE) AS md
+  FROM agg)
+SELECT user_id, n, CAST({ACF_LAG} AS INT) AS lag,
+       CASE WHEN m >= {ACF_MIN_PAIRS}
+                 AND qd - nd * mean * mean > 0
+         THEN ROUND((cd - mean * sad - mean * sbd + md * mean * mean)
+                    / (qd - nd * mean * mean), 6)
+       END AS acf
+FROM d
+ORDER BY user_id
+"""
+
+
 AB_CONTROL = "1-URGENT"
 AB_MIN_N = 10
 
@@ -6107,4 +6174,5 @@ SCALE_QUERIES = {
     # twentieth wave (round 9)
     "pf_ab_test": (pf_ab_test, PF_AB_SQL),
     "tx_code_detect": (tx_code_detect, TX_CODE_SQL),
+    "ts_autocorr": (ts_autocorr, TS_ACF_SQL),
 }

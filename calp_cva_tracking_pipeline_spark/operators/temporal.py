@@ -909,3 +909,75 @@ def interval_union_length(
         )
         .orderBy(*keys)
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    lag: int = 1,
+    cents: int = 100,
+    min_pairs: int = 10,
+) -> DataFrame:
+    """Per-key lag-``lag`` sample autocorrelation of a value series —
+    the periodicity/persistence summary next to the drift tier (CUSUM
+    answers "did the level shift"; ACF answers "does the series
+    remember itself", the check before anyone fits seasonal windows or
+    assumes independence in an anomaly threshold).
+
+    r_k = Σₜ(xₜ−x̄)(xₜ₋ₖ−x̄) / Σₜ(xₜ−x̄)² with x̄ over the FULL
+    series (the standard sample ACF). Everything reduces to 64-bit
+    integer sufficient statistics off ONE keyed lag window — n, Σx,
+    Σx², pair count, Σxₜxₜ₋ₖ and the two one-sided pair sums — so the
+    keyed aggregation is order-independent; the final expression
+    evaluates in one fixed double order, rounded to 6 dp. Values
+    encode to ``cents`` units (envelope: Σx·x ≤ 2⁶³ holds for
+    cent-scaled |value| ≤ ~10⁵ over ~10⁷-row keys). Keys with fewer
+    than ``min_pairs`` lag pairs or zero variance emit NULL acf.
+
+    One keyed exchange + map-side-combined aggregation to key
+    cardinality. Output: keys + (n, lag, acf).
+    Engine addition; no reference counterpart.
+    """
+    enc = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak_col).alias("__tb"),
+        F.round(F.col(value_col).cast("double") * cents)
+        .cast("long")
+        .alias("__x"),
+    )
+    w = Window.partitionBy(*keys).orderBy("__ts", "__tb")
+    lagged = enc.withColumn("__xl", F.lag("__x", lag).over(w))
+    pair = F.col("__xl").isNotNull()
+    agg = lagged.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__q"),
+        F.sum(F.when(pair, 1).otherwise(0)).cast("bigint").alias("__m"),
+        F.sum(F.when(pair, F.col("__x") * F.col("__xl"))).alias("__c"),
+        F.sum(F.when(pair, F.col("__x"))).alias("__sa"),
+        F.sum(F.when(pair, F.col("__xl"))).alias("__sb"),
+    )
+    nD = F.col("n").cast("double")
+    mean = F.col("__s").cast("double") / nD
+    num = (
+        F.col("__c").cast("double")
+        - mean * F.col("__sa").cast("double")
+        - mean * F.col("__sb").cast("double")
+        + F.col("__m").cast("double") * mean * mean
+    )
+    den = F.col("__q").cast("double") - nD * mean * mean
+    return agg.select(
+        *keys,
+        "n",
+        F.lit(lag).cast("int").alias("lag"),
+        F.when(
+            (F.col("__m") >= min_pairs) & (den > 0),
+            F.round(num / den, 6),
+        ).alias("acf"),
+    ).orderBy(*keys)

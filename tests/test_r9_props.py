@@ -228,3 +228,52 @@ def test_neighbor_similarity_matches_python_reference(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_autocorrelation_matches_python_reference(spark):
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        autocorrelation,
+    )
+
+    rng = random.Random(9906)
+    rows = []
+    series: dict[int, list[int]] = {}
+    eid = 0
+    for u in range(15):
+        n = rng.randint(1, 50)
+        x = 5000
+        for i in range(n):
+            # AR(1)-ish in cents so lag-1 acf is strongly positive
+            x = int(0.8 * x + rng.randint(-500, 500))
+            rows.append((u, eid, _D0 + dt.timedelta(minutes=i), x / 100.0))
+            series.setdefault(u, []).append(x)
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = {
+        r.user_id: r
+        for r in autocorrelation(
+            df, ["user_id"], "ts", "value", "event_id",
+            lag=1, min_pairs=10,
+        ).collect()
+    }
+    for u, xs in series.items():
+        n = len(xs)
+        r = got[u]
+        assert r.n == n
+        m = n - 1
+        if m < 10:
+            assert r.acf is None
+            continue
+        mean = sum(xs) / n
+        den = sum((v - mean) ** 2 for v in xs)
+        num = sum(
+            (xs[i] - mean) * (xs[i - 1] - mean) for i in range(1, n)
+        )
+        if den <= 0:
+            assert r.acf is None
+            continue
+        want = round(num / den, 6)
+        assert math.isclose(r.acf, want, abs_tol=1e-6), (u, r.acf, want)
+        assert r.acf > 0.3  # AR(1) with phi=0.8 must read persistent

@@ -46,6 +46,10 @@ TEXT_FAMILY = [
     # round 7: first-occurrence shingle novelty shares the tokenizer +
     # shingle kernel, so it must survive the same adversarial corpus
     "tx_novelty",
+    # round 9: sentence segmentation (regex terminator convention vs
+    # CJK/emoji/combining marks) and the code router's regex counts
+    "tx_sentences",
+    "tx_code_detect",
 ]
 
 
