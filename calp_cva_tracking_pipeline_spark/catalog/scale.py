@@ -5588,6 +5588,48 @@ FROM tok
 """
 
 
+FRESH_AS_OF = "2024-02-01 00:00:00"
+FRESH_MAX_LAG_S = 26 * 3600
+
+
+def pf_freshness(spark, sf_dir):
+    """Per-segment data-freshness SLA audit (operators.profiling.
+    freshness_audit): last arrival, integer-second lag vs an EXPLICIT
+    as-of instant (never now() — audits replay bit-for-bit) and the
+    stale flag. One scan, group-cardinality exchange."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        freshness_audit,
+    )
+
+    e = T(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("segment"), "ts"
+    )
+    return freshness_audit(
+        e, ["segment"], "ts", FRESH_AS_OF, FRESH_MAX_LAG_S
+    )
+
+
+PF_FRESH_SQL = f"""
+WITH agg AS (
+  SELECT user_id % 10 AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MAX(ts) AS last_ts
+  FROM events GROUP BY 1),
+lagd AS (
+  SELECT segment, n_rows, last_ts,
+         CAST(epoch_us(CAST('{FRESH_AS_OF}' AS TIMESTAMP))
+              - epoch_us(last_ts) AS BIGINT) AS lag_us
+  FROM agg)
+SELECT segment, n_rows, last_ts,
+       CAST((lag_us - (lag_us % 1000000)) / 1000000 AS BIGINT) AS lag_s,
+       COALESCE(
+         CAST((lag_us - (lag_us % 1000000)) / 1000000 AS BIGINT)
+           > {FRESH_MAX_LAG_S}, TRUE) AS stale
+FROM lagd
+ORDER BY segment
+"""
+
+
 ACF_LAG = 1
 ACF_MIN_PAIRS = 10
 
@@ -6175,4 +6217,5 @@ SCALE_QUERIES = {
     "pf_ab_test": (pf_ab_test, PF_AB_SQL),
     "tx_code_detect": (tx_code_detect, TX_CODE_SQL),
     "ts_autocorr": (ts_autocorr, TS_ACF_SQL),
+    "pf_freshness": (pf_freshness, PF_FRESH_SQL),
 }

@@ -1340,3 +1340,45 @@ def ab_test_summary(
         F.when(usable, F.round(z, 6)).alias("z"),
         F.when(usable, F.abs(z) > 1.959964).alias("significant"),
     ).orderBy("variant")
+
+
+def freshness_audit(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    as_of: str,
+    max_lag_seconds: int,
+) -> DataFrame:
+    """Per-group data-freshness SLA audit: when did each segment last
+    receive a row, how far behind the ``as_of`` instant is it, and does
+    that breach the lag budget — the publish-gate sibling of
+    ``dq_checks`` (which judges VALUES; this judges ARRIVAL). ``as_of``
+    is an explicit timestamp string, never now(): audits must be
+    replayable bit-for-bit, and the caller's orchestrator knows the
+    cutoff it is gating.
+
+    One scan → one map-side-combined aggregation to group cardinality;
+    lag is integer seconds (floor of the micros difference). Groups
+    whose every row has a NULL timestamp report NULL last_ts/lag and
+    stale=true (no arrival signal IS a breach — the silent-feed
+    failure mode). Output: keys + (n_rows, last_ts, lag_s, stale),
+    ordered by keys. Engine addition; no reference counterpart.
+    """
+    as_of_us = F.unix_micros(F.to_timestamp(F.lit(as_of)))
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max(F.col(ts_col)).alias("last_ts"),
+    )
+    lag_us = as_of_us - F.unix_micros(F.col("last_ts"))
+    lag_s = (
+        (lag_us - (lag_us % 1_000_000)) / F.lit(1_000_000)
+    ).cast("long")
+    return agg.select(
+        *keys,
+        "n_rows",
+        "last_ts",
+        lag_s.alias("lag_s"),
+        F.coalesce(
+            lag_s > max_lag_seconds, F.lit(True)
+        ).alias("stale"),
+    ).orderBy(*keys)
