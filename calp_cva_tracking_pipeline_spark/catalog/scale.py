@@ -6079,6 +6079,76 @@ ORDER BY o_orderpriority
 """
 
 
+WINNOW_K = 5  # tokens per gram
+WINNOW_W = 4  # grams per winnowing window (guarantee t = W + K - 1 = 8)
+WINNOW_CAP = 16  # fingerprints shared by more docs = boilerplate, dropped
+
+
+def dd_winnow(spark, sf_dir):
+    """Winnowed-fingerprint overlap pairs (operators.dedup.
+    winnow_overlap_pairs, Schleimer et al. SIGMOD 2003): sampled k-gram
+    fingerprints — each window of W gram hashes keeps only its min —
+    with shared-run detection guaranteed at >= W+K-1 tokens. The same
+    guarantee length as dd_passage_overlap's all-spans index at ~2/(W+1)
+    of its fingerprint volume. md5-derived hashes on BOTH engines, so
+    parity is hash-exact."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+
+    d = spread_small_input(T(spark, sf_dir, "documents"))
+    return winnow_overlap_pairs(
+        d,
+        "doc_id",
+        k=WINNOW_K,
+        window=WINNOW_W,
+        max_docs_per_fp=WINNOW_CAP,
+    )
+
+
+_WINNOW_H = _sql_hash60(
+    f"array_to_string(list_slice(toks, i, i + {WINNOW_K} - 1), ' ')"
+)
+
+DD_WINNOW_SQL = rf"""
+WITH tl AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, len(toks) - {WINNOW_K} + 1 AS ng, i, {_WINNOW_H} AS h
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {WINNOW_K} + 1)) AS i
+        FROM tl WHERE len(toks) >= {WINNOW_K}) t),
+fps AS (
+  SELECT DISTINCT doc_id, m AS fp FROM (
+    SELECT doc_id, ng, i,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW
+                        AND {WINNOW_W} - 1 FOLLOWING) AS m
+    FROM g) s
+  WHERE i <= greatest(1, ng - {WINNOW_W} + 1)),
+cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp
+        FROM fps GROUP BY doc_id),
+bc AS (SELECT fp FROM (SELECT fp, COUNT(*) AS c FROM fps GROUP BY fp) b
+       WHERE c BETWEEN 2 AND {WINNOW_CAP}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fps a JOIN fps b USING (fp)
+  WHERE a.doc_id < b.doc_id AND fp IN (SELECT fp FROM bc)),
+agg AS (SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM pairs GROUP BY 1, 2)
+SELECT id_a, id_b, ca.nfp AS n_fp_a, cb.nfp AS n_fp_b, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE)
+             / CAST(least(ca.nfp, cb.nfp) AS DOUBLE), 6) AS overlap
+FROM agg
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -6218,4 +6288,6 @@ SCALE_QUERIES = {
     "tx_code_detect": (tx_code_detect, TX_CODE_SQL),
     "ts_autocorr": (ts_autocorr, TS_ACF_SQL),
     "pf_freshness": (pf_freshness, PF_FRESH_SQL),
+    # twenty-second wave (round 9)
+    "dd_winnow": (dd_winnow, DD_WINNOW_SQL),
 }
