@@ -6149,6 +6149,65 @@ JOIN cnt cb ON cb.doc_id = id_b
 """
 
 
+def pf_kappa(spark, sf_dir):
+    """Cohen's kappa inter-annotator agreement per source (operators.
+    profiling.annotator_agreement): gold = the declared lang collapsed
+    to en/unk, pred = the stopword-heuristic language ID — the label-QA
+    gate before trusting heuristic annotations. One contingency-table
+    groupBy (exchange bounded by label cardinality), marginal join,
+    fixed double expression order."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        annotator_agreement,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        lang_id_heuristic,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        "source",
+        F.when(F.col("lang") == "en", F.lit("en"))
+        .otherwise(F.lit("unk"))
+        .alias("gold"),
+        lang_id_heuristic(F.col("text")).alias("pred"),
+    )
+    return annotator_agreement(d, "gold", "pred", ["source"])
+
+
+PF_KAPPA_SQL = f"""
+WITH lab AS (
+  SELECT source,
+         CASE WHEN lang = 'en' THEN 'en' ELSE 'unk' END AS a,
+         CASE WHEN {_SW_RATIO} > 0.05 THEN 'en' ELSE 'unk' END AS b
+  FROM documents),
+cont AS (
+  SELECT source, a, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lab GROUP BY 1, 2, 3),
+ma AS (SELECT source, a AS lab, CAST(SUM(c) AS BIGINT) AS m
+       FROM cont GROUP BY 1, 2),
+mb AS (SELECT source, b AS lab, CAST(SUM(c) AS BIGINT) AS m
+       FROM cont GROUP BY 1, 2),
+pen AS (
+  SELECT source,
+         SUM(CAST(ma.m AS DOUBLE) * CAST(mb.m AS DOUBLE)) AS pe_num
+  FROM ma JOIN mb USING (source, lab) GROUP BY source),
+tot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree
+  FROM cont GROUP BY source),
+d AS (
+  SELECT source, n,
+         CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         COALESCE(pe_num, 0.0)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+  FROM tot LEFT JOIN pen USING (source))
+SELECT source, n, ROUND(po, 6) AS po, ROUND(pe, 6) AS pe,
+       CASE WHEN pe < 1.0 THEN ROUND((po - pe) / (1.0 - pe), 6)
+       END AS kappa
+FROM d
+ORDER BY source
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -6290,4 +6349,5 @@ SCALE_QUERIES = {
     "pf_freshness": (pf_freshness, PF_FRESH_SQL),
     # twenty-second wave (round 9)
     "dd_winnow": (dd_winnow, DD_WINNOW_SQL),
+    "pf_kappa": (pf_kappa, PF_KAPPA_SQL),
 }

@@ -1382,3 +1382,87 @@ def freshness_audit(
             lag_s > max_lag_seconds, F.lit(True)
         ).alias("stale"),
     ).orderBy(*keys)
+
+
+def annotator_agreement(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement between two label columns
+    — the label-QA gate a training-data pipeline runs before trusting
+    weak/heuristic/model annotations against a reference labeler. Per
+    group (or one global row): n, observed agreement po, chance
+    agreement pe = Σ_c p_a(c)·p_b(c), and κ = (po − pe)/(1 − pe).
+
+    Scale shape: ONE map-side-combined groupBy to the (group × label_a ×
+    label_b) contingency table — exchange volume is label-cardinality-
+    bounded, never row count — then marginals and the κ arithmetic are
+    aggregations OVER the tiny table. Rows where either label is NULL
+    drop (unlabeled, not disagreement). Counts stay integer through the
+    marginal products' SUM; po/pe/κ are doubles with fixed expression
+    order (exact below 2^53 — document resolution at petabyte row
+    counts). Degenerate pe = 1 (both annotators constant and equal)
+    yields NULL κ, the standard undefined case. Output: group_cols +
+    (n, po, pe, kappa), 6 dp, ordered by group. Engine addition; no
+    reference counterpart.
+    """
+    gcols = list(group_cols or [])
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(
+        *gcols,
+        F.col(col_a).alias("__a"),
+        F.col(col_b).alias("__b"),
+    )
+    cont = base.groupBy(*gcols, "__a", "__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    # pe needs Σ_c ma(c)·mb(c) over EVERY label c both annotators use —
+    # including labels with no diagonal contingency cell — so the
+    # marginals join on the label value rather than reading off the
+    # (possibly absent) diagonal cells.
+    ma = cont.groupBy(*gcols, "__a").agg(
+        F.sum("__c").cast("bigint").alias("__ma")
+    ).withColumnRenamed("__a", "__lab")
+    mb = cont.groupBy(*gcols, "__b").agg(
+        F.sum("__c").cast("bigint").alias("__mb")
+    ).withColumnRenamed("__b", "__lab")
+    per_label = (
+        ma.join(mb, [*gcols, "__lab"], "inner")
+        .groupBy(*gcols)
+        .agg(
+            F.sum(
+                F.col("__ma").cast("double") * F.col("__mb").cast("double")
+            ).alias("__pe_num")
+        )
+    )
+    totals = cont.groupBy(*gcols).agg(
+        F.sum("__c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))
+              .otherwise(F.lit(0))).cast("bigint").alias("__agree"),
+    )
+    # LEFT join: a group whose annotators share NO label has an empty
+    # marginal intersection — pe is 0 there, the group must not vanish.
+    j = (
+        totals.join(per_label, gcols, "left")
+        if gcols
+        else totals.join(per_label, F.lit(True), "left")
+    )
+    nd = F.col("n").cast("double")
+    po = F.col("__agree").cast("double") / nd
+    pe = F.coalesce(F.col("__pe_num"), F.lit(0.0)) / (nd * nd)
+    kappa = F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe))
+    return j.select(
+        *gcols,
+        "n",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(kappa, 6).alias("kappa"),
+    ).orderBy(*gcols) if gcols else j.select(
+        "n",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(kappa, 6).alias("kappa"),
+    )

@@ -93,3 +93,38 @@ def test_winnow_volume_strictly_below_all_grams(spark):
         .first()[0]
         == n_fp
     )
+
+
+def test_cohens_kappa_textbook_and_edge_cases(spark):
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        annotator_agreement,
+    )
+
+    # Textbook 2x2: 20 yes/yes, 60 no/no, 10+10 off-diagonal.
+    rows = (
+        [("g", "y", "y")] * 20
+        + [("g", "n", "n")] * 60
+        + [("g", "y", "n")] * 10
+        + [("g", "n", "y")] * 10
+        # pe=1 group: both annotators constant and equal -> kappa NULL
+        + [("const", "y", "y")] * 5
+        # disjoint labels: pe=0 -> kappa == po == 0
+        + [("disj", "l1", "l2")] * 4
+        # NULLs drop, not disagreement
+        + [("g", None, "y"), ("g", "y", None)]
+    )
+    df = spark.createDataFrame(rows, "grp string, a string, b string")
+    out = {
+        r.grp: r
+        for r in annotator_agreement(df, "a", "b", ["grp"]).collect()
+    }
+    g = out["g"]
+    assert g.n == 100 and g.po == 0.8 and g.pe == 0.58
+    assert g.kappa == round((0.8 - 0.58) / 0.42, 6)
+    assert out["const"].n == 5 and out["const"].kappa is None
+    assert out["const"].po == 1.0 and out["const"].pe == 1.0
+    d = out["disj"]
+    assert d.po == 0.0 and d.pe == 0.0 and d.kappa == 0.0
+    # global (ungrouped) path returns one row
+    glob = annotator_agreement(df, "a", "b").collect()
+    assert len(glob) == 1 and glob[0].n == 109
