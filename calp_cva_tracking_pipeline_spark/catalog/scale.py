@@ -6208,6 +6208,78 @@ ORDER BY source
 """
 
 
+KM_CHURN_S = 43_200  # churned if last event > 12h before the as-of instant
+KM_BUCKET_S = 86_400  # survival-curve granularity: days
+
+
+def ev_survival(spark, sf_dir):
+    """Kaplan-Meier user-lifetime survival curve with right censoring
+    (operators.funnel.kaplan_meier): product-limit estimate over day-
+    bucketed activity spans, churn = 12h-silent at the corpus as-of
+    instant. One user-keyed aggregation; the windows run on the bucket-
+    cardinality curve table. exp(sum(ln)) product, 6 dp."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        kaplan_meier,
+    )
+
+    return kaplan_meier(
+        T(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        churn_seconds=KM_CHURN_S,
+        bucket_seconds=KM_BUCKET_S,
+    )
+
+
+_KM_B_US = KM_BUCKET_S * 1_000_000
+
+EV_SURVIVAL_SQL = f"""
+WITH per AS (
+  SELECT user_id, epoch_us(min(ts)) AS f, epoch_us(max(ts)) AS l
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+aso AS (SELECT max(l) AS as_of FROM per),
+lifed AS (
+  SELECT CAST(((l - f) - (l - f) % {_KM_B_US}) / {_KM_B_US} AS BIGINT)
+           * {KM_BUCKET_S} AS t_s,
+         (as_of - l) > {KM_CHURN_S * 1_000_000} AS churned
+  FROM per, aso),
+times AS (
+  SELECT t_s,
+         CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_churned,
+         CAST(SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_censored
+  FROM lifed GROUP BY 1),
+staged AS (
+  SELECT t_s, n_churned, n_censored,
+         CAST(SUM(n_churned + n_censored) OVER ()
+              - COALESCE(SUM(n_churned + n_censored) OVER (
+                  ORDER BY t_s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+  FROM times),
+fct AS (
+  SELECT *, CAST(1.0 AS DOUBLE)
+            - CAST(n_churned AS DOUBLE) / CAST(n_risk AS DOUBLE)
+            AS factor
+  FROM staged),
+curve AS (
+  SELECT t_s, n_risk, n_churned, n_censored,
+         ROUND(CASE WHEN MIN(factor) OVER (
+                 ORDER BY t_s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+         ELSE exp(SUM(ln(factor)) OVER (
+                 ORDER BY t_s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         END, 6) AS survival
+  FROM fct)
+SELECT t_s, n_risk, n_churned, n_censored, survival
+FROM curve WHERE n_churned > 0
+ORDER BY t_s
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -6350,4 +6422,5 @@ SCALE_QUERIES = {
     # twenty-second wave (round 9)
     "dd_winnow": (dd_winnow, DD_WINNOW_SQL),
     "pf_kappa": (pf_kappa, PF_KAPPA_SQL),
+    "ev_survival": (ev_survival, EV_SURVIVAL_SQL),
 }

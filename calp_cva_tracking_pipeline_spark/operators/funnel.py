@@ -506,3 +506,102 @@ def interarrival_stats(
         F.when(enough, F.round(cv, 6)).alias("cv"),
         F.when(enough, F.round(burst, 6)).alias("burstiness"),
     ).orderBy(user_col)
+
+
+def kaplan_meier(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    churn_seconds: int,
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over user activity lifetimes with
+    right censoring — the churn/retention LAW estimate (product-limit)
+    that naive "fraction active after t" readouts bias when users joined
+    at different times. A user's lifetime is their activity span
+    (last - first event); the user is an observed churn if their last
+    event precedes the corpus as-of instant (the global max timestamp —
+    in-query, deterministic) by more than ``churn_seconds``, else they
+    are censored at their current span.
+
+    S(t_i) = Π_{j<=i} (1 - d_j / n_j) over event-time buckets: d_j =
+    churns whose lifetime falls in bucket j, n_j = users still at risk
+    (lifetime >= bucket j, censored included). The product is the
+    engine-portable exp(sum(ln)) of ``windows.cumulative_product``
+    (censor-only buckets contribute factor 1 exactly; an all-die bucket
+    pins S to 0 via the min-factor guard, since ln(0) is engine-
+    dependent), rounded 6 dp.
+
+    Scale shape: the heavy pass is ONE user-keyed aggregation; the curve
+    table the windows run on is bucket-cardinality-sized (lifetimes /
+    ``bucket_seconds`` — day granularity by default, so a single-
+    partition ordered window over it is output-sized by construction,
+    the exact_percentiles discipline). Output: (t_s, n_risk, n_churned,
+    n_censored, survival) for buckets with >= 1 churn, ascending.
+    Engine addition; no reference counterpart.
+    """
+    per = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("__u"),
+            F.unix_micros(F.col(ts_col)).alias("__ts"),
+        )
+        .groupBy("__u")
+        .agg(
+            F.min("__ts").alias("__first"),
+            F.max("__ts").alias("__last"),
+        )
+    )
+    as_of = per.agg(F.max("__last").alias("__as_of"))
+    bucket_us = F.lit(int(bucket_seconds) * 1_000_000)
+    dur = F.col("__last") - F.col("__first")
+    t_s = ((dur - dur % bucket_us) / bucket_us).cast("long") * F.lit(
+        int(bucket_seconds)
+    )
+    lifed = per.crossJoin(F.broadcast(as_of)).select(
+        t_s.alias("t_s"),
+        (
+            (F.col("__as_of") - F.col("__last"))
+            > F.lit(int(churn_seconds) * 1_000_000)
+        ).alias("__churned"),
+    )
+    times = lifed.groupBy("t_s").agg(
+        F.sum(F.when(F.col("__churned"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_churned"),
+        F.sum(F.when(F.col("__churned"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_censored"),
+    )
+    w_all = Window.orderBy("t_s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("t_s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.orderBy("t_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    leavers = F.col("n_churned") + F.col("n_censored")
+    n_risk = (
+        F.sum(leavers).over(w_all)
+        - F.coalesce(F.sum(leavers).over(w_prev), F.lit(0))
+    ).cast("bigint")
+    staged = times.withColumn("n_risk", n_risk).withColumn(
+        "__factor",
+        F.lit(1.0)
+        - F.col("n_churned").cast("double")
+        / F.col("n_risk").cast("double"),
+    )
+    min_factor = F.min("__factor").over(w_run)
+    surv = F.when(min_factor == 0.0, F.lit(0.0)).otherwise(
+        F.exp(F.sum(F.log("__factor")).over(w_run))
+    )
+    return (
+        staged.withColumn("survival", F.round(surv, 6))
+        .filter(F.col("n_churned") > 0)
+        .select(
+            "t_s", "n_risk", "n_churned", "n_censored", "survival"
+        )
+        .orderBy("t_s")
+    )

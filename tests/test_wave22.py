@@ -128,3 +128,36 @@ def test_cohens_kappa_textbook_and_edge_cases(spark):
     # global (ungrouped) path returns one row
     glob = annotator_agreement(df, "a", "b").collect()
     assert len(glob) == 1 and glob[0].n == 109
+
+
+def test_kaplan_meier_hand_curve(spark):
+    import datetime as dt
+
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        kaplan_meier,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, *secs):
+        return [(u, t0 + dt.timedelta(seconds=s)) for s in secs]
+
+    # as_of = max ts = t0+1000 (u5's last). churn window 100s.
+    rows = (
+        ev(1, 0, 10)      # dur 10, silent 990 -> churned
+        + ev(2, 0, 10)    # dur 10 -> churned
+        + ev(3, 0, 20)    # dur 20 -> churned
+        + ev(4, 500, 520)  # dur 20, silent 480 -> churned
+        + ev(5, 900, 1000)  # dur 100, silent 0 -> censored
+    )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = kaplan_meier(
+        df, "user_id", "ts", churn_seconds=100, bucket_seconds=1
+    ).collect()
+    assert [
+        (r.t_s, r.n_risk, r.n_churned, r.n_censored, r.survival)
+        for r in out
+    ] == [
+        (10, 5, 2, 0, 0.6),  # S = 1 - 2/5
+        (20, 3, 2, 0, 0.2),  # S = 0.6 * (1 - 2/3)
+    ]
