@@ -6280,6 +6280,66 @@ ORDER BY t_s
 """
 
 
+def tx_jsd(spark, sf_dir):
+    """Jensen-Shannon divergence of each source's token distribution vs
+    the rest of the corpus (operators.textops.corpus_js_divergence):
+    the open-vocabulary composition-drift audit beside the numeric
+    PSI/KS tier. One explode pass, group×vocab-bounded exchanges,
+    nano-unit-pinned per-token terms, closed-form absent-token mass."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        corpus_js_divergence,
+    )
+
+    return corpus_js_divergence(
+        T(spark, sf_dir, "documents"), "source", "text"
+    )
+
+
+_JSD_LN2 = "0.6931471805599453"
+
+TX_JSD_SQL = rf"""
+WITH toks AS (
+  SELECT source AS g,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents WHERE text IS NOT NULL),
+cnt AS (
+  SELECT g, t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+gcnt AS (SELECT t, CAST(SUM(c) AS BIGINT) AS gt FROM cnt GROUP BY t),
+perg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS tg FROM cnt GROUP BY g),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM cnt),
+terms AS (
+  SELECT cnt.g, cnt.c, gcnt.gt, perg.tg, tot.tt,
+         CAST(cnt.c AS DOUBLE) AS cd,
+         CAST(gcnt.gt - cnt.c AS DOUBLE) AS rd,
+         CAST(perg.tg AS DOUBLE) AS tsd,
+         CAST(tot.tt - perg.tg AS DOUBLE) AS rtd
+  FROM cnt JOIN gcnt USING (t) JOIN perg USING (g), tot),
+pinned AS (
+  SELECT g, gt, c, tg, tt,
+         CAST(ROUND((CASE WHEN rtd > 0 THEN
+             (cd / tsd) * ln(2.0 * cd * rtd / (cd * rtd + rd * tsd))
+             + (CASE WHEN rd > 0 THEN
+                 (rd / rtd) * ln(2.0 * rd * tsd / (cd * rtd + rd * tsd))
+                ELSE 0.0 END)
+           ELSE 0.0 END) * 1e9) AS BIGINT) AS pin
+  FROM terms),
+agg AS (
+  SELECT g, CAST(MAX(tg) AS BIGINT) AS n_tokens,
+         CAST(MAX(tt - tg) AS BIGINT) AS n_rest_tokens,
+         CAST(SUM(pin) AS BIGINT) AS s1,
+         CAST(SUM(gt - c) AS BIGINT) AS rcov
+  FROM pinned GROUP BY g)
+SELECT g AS source, n_tokens, n_rest_tokens,
+       CASE WHEN n_rest_tokens > 0 THEN
+         ROUND((CAST(s1 AS DOUBLE) / 1e9
+                + {_JSD_LN2} * (CAST(n_rest_tokens - rcov AS DOUBLE)
+                                / CAST(n_rest_tokens AS DOUBLE))) / 2.0, 6)
+       END AS jsd
+FROM agg
+ORDER BY source
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -6423,4 +6483,5 @@ SCALE_QUERIES = {
     "dd_winnow": (dd_winnow, DD_WINNOW_SQL),
     "pf_kappa": (pf_kappa, PF_KAPPA_SQL),
     "ev_survival": (ev_survival, EV_SURVIVAL_SQL),
+    "tx_jsd": (tx_jsd, TX_JSD_SQL),
 }

@@ -893,3 +893,89 @@ def code_detect(
             )
         ).alias("is_code"),
     )
+
+
+LN2 = 0.6931471805599453  # shared literal — both engines use the same constant
+
+
+def corpus_js_divergence(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence of each group's token unigram
+    distribution vs the REST of the corpus — the composition-drift audit
+    (which source/shard/day reads "different"?) that PSI/KS cover for
+    numeric columns but not for open-vocabulary text. JSD(P‖Q) =
+    ½Σp·ln(p/m) + ½Σq·ln(q/m), m=(p+q)/2, in nats ∈ [0, ln2].
+
+    Scale shape: ONE tokenize→explode pass → (group × token) counts
+    (map-side combined; exchange bounded by group×vocab, never token
+    occurrences), global token counts derived FROM that table (second
+    small groupBy, no re-scan), totals broadcast. Tokens absent from a
+    group contribute to the rest-side sum in closed form — each such
+    token has p=0 so q·ln(q/m)=q·ln2, and their total mass is
+    1 − Σ_{t∈group} q_t, an integer-exact ratio — so the per-token pass
+    touches only tokens the group actually contains. Per-token terms
+    pin to integer NANO-units before the keyed sum (order-independent,
+    engine-exact; resolution 5e-10·vocab documented), count products
+    evaluate as exact doubles below 2^53. Output: (group, n_tokens,
+    n_rest_tokens, jsd) 6 dp, ordered by group; groups owning the whole
+    corpus (empty rest) emit NULL jsd. Engine addition; no reference
+    counterpart.
+    """
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("__t"),
+    )
+    cnt = toks.groupBy("__g", "__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    glob = cnt.groupBy("__t").agg(F.sum("__c").cast("bigint").alias("__gt"))
+    per_g = cnt.groupBy("__g").agg(F.sum("__c").cast("bigint").alias("__tg"))
+    total = cnt.agg(F.sum("__c").cast("bigint").alias("__tt"))
+    j = (
+        cnt.join(glob, "__t")
+        .join(F.broadcast(per_g), "__g")
+        .crossJoin(F.broadcast(total))
+    )
+    c = F.col("__c").cast("double")
+    r = (F.col("__gt") - F.col("__c")).cast("double")
+    ts_ = F.col("__tg").cast("double")
+    rt = (F.col("__tt") - F.col("__tg")).cast("double")
+    den = c * rt + r * ts_
+    p = c / ts_
+    # rt = 0 (group owns the whole corpus) zeroes every term and the
+    # final jsd is NULL-guarded; ANSI mode makes the guard mandatory —
+    # an unused q = r/0 branch would still throw.
+    contrib = F.when(
+        rt > 0,
+        p * F.log(F.lit(2.0) * c * rt / den)
+        + F.when(
+            r > 0, (r / rt) * F.log(F.lit(2.0) * r * ts_ / den)
+        ).otherwise(F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
+    pinned = F.round(contrib * F.lit(1e9)).cast("bigint")
+    agg = j.groupBy("__g").agg(
+        F.first("__tg").alias("n_tokens"),
+        F.first(F.col("__tt") - F.col("__tg")).alias("n_rest_tokens"),
+        F.sum(pinned).alias("__s1"),
+        F.sum(F.col("__gt") - F.col("__c")).cast("bigint").alias("__rcov"),
+    )
+    miss = (
+        F.col("n_rest_tokens") - F.col("__rcov")
+    ).cast("double") / F.col("n_rest_tokens").cast("double")
+    jsd = F.when(
+        F.col("n_rest_tokens") > 0,
+        (
+            F.col("__s1").cast("double") / F.lit(1e9)
+            + F.lit(LN2) * miss
+        )
+        / F.lit(2.0),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_rest_tokens").cast("bigint").alias("n_rest_tokens"),
+        F.round(jsd, 6).alias("jsd"),
+    ).orderBy(group_col)

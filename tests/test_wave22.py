@@ -161,3 +161,53 @@ def test_kaplan_meier_hand_curve(spark):
         (10, 5, 2, 0, 0.6),  # S = 1 - 2/5
         (20, 3, 2, 0, 0.2),  # S = 0.6 * (1 - 2/3)
     ]
+
+
+def test_js_divergence_reference_and_bounds(spark):
+    import math
+
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        corpus_js_divergence,
+    )
+
+    docs = [
+        ("a", "x x y z"),
+        ("a", "y z w"),
+        ("b", "x y y q"),
+        ("c", "only unique words here"),  # disjoint vs rest -> ln 2
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    out = {r.source: r for r in corpus_js_divergence(df, "source").collect()}
+
+    def ref_jsd(pc, qc):
+        tp, tq = sum(pc.values()), sum(qc.values())
+        s = 0.0
+        for k in set(pc) | set(qc):
+            p, q = pc.get(k, 0) / tp, qc.get(k, 0) / tq
+            m = (p + q) / 2
+            if p:
+                s += p * math.log(p / m)
+            if q:
+                s += q * math.log(q / m)
+        return s / 2
+
+    from collections import Counter
+
+    corpora = {
+        "a": Counter("x x y z y z w".split()),
+        "b": Counter("x y y q".split()),
+        "c": Counter("only unique words here".split()),
+    }
+    for g, pc in corpora.items():
+        rest = Counter()
+        for o, qc in corpora.items():
+            if o != g:
+                rest += qc
+        assert abs(out[g].jsd - ref_jsd(pc, rest)) < 1e-5, g
+    assert abs(out["c"].jsd - math.log(2)) < 1e-5
+    assert out["a"].n_tokens == 7 and out["a"].n_rest_tokens == 8
+
+    # single-group corpus: empty rest -> NULL jsd, group still emitted
+    solo = spark.createDataFrame([("a", "x y")], "source string, text string")
+    r = corpus_js_divergence(solo, "source").collect()
+    assert len(r) == 1 and r[0].jsd is None
