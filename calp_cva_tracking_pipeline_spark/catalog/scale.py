@@ -6340,6 +6340,72 @@ ORDER BY source
 """
 
 
+def ts_seasonal(spark, sf_dir):
+    """Hour-of-day seasonality strength per event type (operators.
+    temporal.seasonal_strength): day-mean detrend, hourly effects on the
+    detrended series, F_s = max(0, 1 − Var(resid)/Var(detrended)) —
+    centi-unit-pinned integer moments, engine-exact."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        seasonal_strength,
+    )
+
+    return seasonal_strength(
+        T(spark, sf_dir, "events"), ["event_type"], "ts", "value"
+    )
+
+
+TS_SEASONAL_SQL = """
+WITH enc AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         EXTRACT(hour FROM ts) AS hr,
+         CAST(ROUND(value) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+dm AS (
+  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS nd,
+         CAST(SUM(x) AS BIGINT) AS sd
+  FROM enc GROUP BY 1, 2),
+detr AS (
+  SELECT e.event_type, hr,
+         CAST(ROUND((CAST(x AS DOUBLE)
+                     - CAST(sd AS DOUBLE) / CAST(nd AS DOUBLE))
+                    * 100.0) AS BIGINT) AS dc
+  FROM enc e JOIN dm USING (event_type, day)),
+he AS (
+  SELECT event_type, hr,
+         CAST(ROUND(CAST(SUM(dc) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS hc
+  FROM detr GROUP BY 1, 2),
+resid AS (
+  SELECT d.event_type, dc, dc - hc AS rc
+  FROM detr d JOIN he USING (event_type, hr)),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dc) AS BIGINT) AS s1d,
+         CAST(SUM(dc * dc) AS BIGINT) AS s2d,
+         CAST(SUM(rc) AS BIGINT) AS s1r,
+         CAST(SUM(rc * rc) AS BIGINT) AS s2r
+  FROM resid GROUP BY 1),
+vars_ AS (
+  SELECT event_type, n,
+         (CAST(n AS DOUBLE) * CAST(s2d AS DOUBLE)
+          - CAST(s1d AS DOUBLE) * CAST(s1d AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS vd,
+         (CAST(n AS DOUBLE) * CAST(s2r AS DOUBLE)
+          - CAST(s1r AS DOUBLE) * CAST(s1r AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS vr
+  FROM agg)
+SELECT event_type, n,
+       ROUND(vd / 1e4, 6) AS var_detrended,
+       ROUND(vr / 1e4, 6) AS var_resid,
+       CASE WHEN n >= 24 AND vd > 0 THEN
+         ROUND(greatest(CAST(0.0 AS DOUBLE),
+                        CAST(1.0 AS DOUBLE) - vr / vd), 6)
+       END AS strength
+FROM vars_
+ORDER BY event_type
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -6484,4 +6550,5 @@ SCALE_QUERIES = {
     "pf_kappa": (pf_kappa, PF_KAPPA_SQL),
     "ev_survival": (ev_survival, EV_SURVIVAL_SQL),
     "tx_jsd": (tx_jsd, TX_JSD_SQL),
+    "ts_seasonal": (ts_seasonal, TS_SEASONAL_SQL),
 }

@@ -981,3 +981,96 @@ def autocorrelation(
             F.round(num / den, 6),
         ).alias("acf"),
     ).orderBy(*keys)
+
+
+def seasonal_strength(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    min_rows: int = 24,
+) -> DataFrame:
+    """Seasonality-strength decomposition per key (the STL strength
+    measure of Wang/Smith/Hyndman, computed moving-average-free): trend
+    = the calendar-day mean, seasonal = the hour-of-day mean of the
+    DETRENDED series, and F_s = max(0, 1 − Var(remainder)/
+    Var(detrended)) ∈ [0,1] — ~0 for seasonality-free noise, →1 when
+    the hour profile explains the day's shape. The "is there a daily
+    rhythm" screen beside the CUSUM/ACF drift tier.
+
+    Exactness: values round to whole units, detrended values pin to
+    CENTI-unit integers after the (IEEE-deterministic) day-mean
+    subtraction, hourly effects pin the same way, so both variances
+    aggregate as 64-bit integer moment sums — order-independent and
+    engine-exact (documented resolution: Σd² stays inside 2⁶³ for
+    ~10⁹ rows of |detrended| ≤ 10⁴ units). Keys with fewer than
+    ``min_rows`` rows or zero detrended variance emit NULL strength.
+
+    Physical shape: one scan → (key×day) mean join (key-partitioned
+    shuffle) → (key×hour) effect join (24·keys rows — broadcastable)
+    → one key-cardinality moment aggregation. Output: keys + (n,
+    var_detrended, var_resid, strength), unit², 6 dp. Engine addition;
+    no reference counterpart.
+    """
+    enc = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *key_cols,
+        F.to_date(F.col(ts_col)).alias("__day"),
+        F.hour(F.col(ts_col)).alias("__hour"),
+        F.round(F.col(value_col).cast("double")).cast("long").alias("__x"),
+    )
+    day_means = enc.groupBy(*key_cols, "__day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nd"),
+        F.sum("__x").cast("bigint").alias("__sd"),
+    )
+    detr = enc.join(day_means, [*key_cols, "__day"]).select(
+        *key_cols,
+        "__hour",
+        F.round(
+            (
+                F.col("__x").cast("double")
+                - F.col("__sd").cast("double") / F.col("__nd").cast("double")
+            )
+            * F.lit(100.0)
+        )
+        .cast("bigint")
+        .alias("__dc"),
+    )
+    hour_eff = detr.groupBy(*key_cols, "__hour").agg(
+        F.round(
+            F.sum("__dc").cast("double") / F.count(F.lit(1)).cast("double")
+        )
+        .cast("bigint")
+        .alias("__hc")
+    )
+    resid = detr.join(F.broadcast(hour_eff), [*key_cols, "__hour"]).select(
+        *key_cols,
+        "__dc",
+        (F.col("__dc") - F.col("__hc")).alias("__rc"),
+    )
+    agg = resid.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__dc").cast("bigint").alias("__s1d"),
+        F.sum(F.col("__dc") * F.col("__dc")).cast("bigint").alias("__s2d"),
+        F.sum("__rc").cast("bigint").alias("__s1r"),
+        F.sum(F.col("__rc") * F.col("__rc")).cast("bigint").alias("__s2r"),
+    )
+    nD = F.col("n").cast("double")
+    var_d = (
+        nD * F.col("__s2d").cast("double")
+        - F.col("__s1d").cast("double") * F.col("__s1d").cast("double")
+    ) / (nD * nD)
+    var_r = (
+        nD * F.col("__s2r").cast("double")
+        - F.col("__s1r").cast("double") * F.col("__s1r").cast("double")
+    ) / (nD * nD)
+    usable = (F.col("n") >= min_rows) & (var_d > 0)
+    strength = F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_d)
+    return agg.select(
+        *key_cols,
+        "n",
+        F.round(var_d / F.lit(1e4), 6).alias("var_detrended"),
+        F.round(var_r / F.lit(1e4), 6).alias("var_resid"),
+        F.when(usable, F.round(strength, 6)).alias("strength"),
+    ).orderBy(*key_cols)

@@ -211,3 +211,40 @@ def test_js_divergence_reference_and_bounds(spark):
     solo = spark.createDataFrame([("a", "x y")], "source string, text string")
     r = corpus_js_divergence(solo, "source").collect()
     assert len(r) == 1 and r[0].jsd is None
+
+
+def test_seasonal_strength_perfect_and_degenerate(spark):
+    import datetime as dt
+
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        seasonal_strength,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    # perfectly hour-periodic over 3 days -> resid 0, strength 1
+    for d in range(3):
+        for h in range(24):
+            rows.append(
+                ("seasonal", t0 + dt.timedelta(days=d, hours=h),
+                 float((h % 12) * 10))
+            )
+    # constant series -> zero detrended variance -> NULL strength
+    for d in range(2):
+        for h in range(24):
+            rows.append(
+                ("flat", t0 + dt.timedelta(days=d, hours=h), 5.0)
+            )
+    # too few rows -> NULL strength
+    for h in range(5):
+        rows.append(("tiny", t0 + dt.timedelta(hours=h), float(h)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {
+        r.k: r
+        for r in seasonal_strength(df, ["k"], "ts", "value").collect()
+    }
+    assert out["seasonal"].strength == 1.0
+    assert out["seasonal"].var_resid == 0.0
+    assert out["seasonal"].var_detrended > 0
+    assert out["flat"].strength is None and out["flat"].var_detrended == 0.0
+    assert out["tiny"].strength is None
