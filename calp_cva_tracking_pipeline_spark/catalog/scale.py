@@ -6406,6 +6406,62 @@ ORDER BY event_type
 """
 
 
+def pf_winsorize(spark, sf_dir):
+    """Winsorized robust stats per order priority (operators.profiling.
+    winsorized_stats): exact order-statistic cuts at ceil(p·n) ranks in
+    pure integer arithmetic, cents-pinned values, clip-then-average —
+    the transform complement of the MAD outlier FLAG tier."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        winsorized_stats,
+    )
+
+    return winsorized_stats(
+        T(spark, sf_dir, "orders"), ["o_orderpriority"], "o_totalprice"
+    )
+
+
+PF_WINSOR_SQL = """
+WITH enc AS (
+  SELECT o_orderpriority AS g,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders WHERE o_totalprice IS NOT NULL),
+ranked AS (
+  SELECT g, x,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM enc),
+cuts AS (
+  SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+         MAX(CASE WHEN rn = greatest(1, (10000 * n + 999999) // 1000000)
+             THEN x END) AS lo,
+         MAX(CASE WHEN rn = greatest(1, (990000 * n + 999999) // 1000000)
+             THEN x END) AS hi,
+         CAST(SUM(x) AS BIGINT) AS s_raw
+  FROM ranked GROUP BY g),
+cl AS (
+  SELECT r.g, c.n, c.lo, c.hi, c.s_raw,
+         least(greatest(x, lo), hi) AS cx,
+         CASE WHEN x < lo OR x > hi THEN 1 ELSE 0 END AS clip
+  FROM ranked r JOIN cuts c USING (g)),
+agg AS (
+  SELECT g, MAX(n) AS n, MAX(lo) AS lo, MAX(hi) AS hi,
+         MAX(s_raw) AS s_raw,
+         CAST(SUM(cx) AS BIGINT) AS s_win,
+         CAST(SUM(clip) AS BIGINT) AS n_clipped
+  FROM cl GROUP BY g)
+SELECT g AS o_orderpriority, n,
+       ROUND(CAST(lo AS DOUBLE) / 100.0, 6) AS lo,
+       ROUND(CAST(hi AS DOUBLE) / 100.0, 6) AS hi,
+       ROUND(CAST(s_raw AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+         AS mean_raw,
+       ROUND(CAST(s_win AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+         AS mean_winsorized,
+       n_clipped
+FROM agg
+ORDER BY o_orderpriority
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -6551,4 +6607,5 @@ SCALE_QUERIES = {
     "ev_survival": (ev_survival, EV_SURVIVAL_SQL),
     "tx_jsd": (tx_jsd, TX_JSD_SQL),
     "ts_seasonal": (ts_seasonal, TS_SEASONAL_SQL),
+    "pf_winsorize": (pf_winsorize, PF_WINSOR_SQL),
 }

@@ -1466,3 +1466,96 @@ def annotator_agreement(
         F.round(pe, 6).alias("pe"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p_lo_ppm: int = 10_000,
+    p_hi_ppm: int = 990_000,
+) -> DataFrame:
+    """Per-group winsorized statistics — the robust-mean cleaning step
+    (clip to the [p_lo, p_hi] order statistics, then average) that a
+    feature pipeline runs before ratios/z-scores meet heavy tails; the
+    transform complement of mad_outliers (which FLAGS, this CLIPS).
+
+    Cut points are exact ORDER STATISTICS at percentile_disc ranks
+    k = ceil(p·n), computed in pure integer arithmetic (probabilities
+    are parts-per-million integers, so the rank never touches IEEE
+    rounding): one per-group ordered window gives row_number + count
+    (duplicate values commute, so no tie-break is needed — the value AT
+    rank k is unique even when row numbers among equal values are not),
+    and the cuts read off via conditional aggregation in the SAME
+    key-partitioned pass — the groupBy keys prefix the window partition
+    key, so no second shuffle. Values pin to integer cents; the
+    winsorized mean is an exact rational down to the final /100
+    division. Output per group: n, lo, hi, mean_raw, mean_winsorized
+    (6 dp), n_clipped, ordered by group. Engine addition; no reference
+    counterpart.
+    """
+    enc = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.round(F.col(value_col).cast("double") * 100)
+        .cast("bigint")
+        .alias("__x"),
+    )
+    w_ord = Window.partitionBy(*group_cols).orderBy("__x")
+    w_all = Window.partitionBy(*group_cols)
+    ranked = enc.withColumn("__rn", F.row_number().over(w_ord)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_all)
+    )
+    # ceil(p·n) in pure BIGINT: (p_ppm·n + 999999) div 1e6 — `div` is
+    # integer division (a double `/` would go inexact past 2^53).
+    k_lo = F.expr(
+        f"greatest(1L, ({int(p_lo_ppm)}L * __n + 999999L) div 1000000L)"
+    )
+    k_hi = F.expr(
+        f"greatest(1L, ({int(p_hi_ppm)}L * __n + 999999L) div 1000000L)"
+    )
+    cuts = ranked.groupBy(*group_cols).agg(
+        F.max("__n").cast("bigint").alias("n"),
+        F.max(F.when(F.col("__rn") == k_lo, F.col("__x"))).alias("__lo"),
+        F.max(F.when(F.col("__rn") == k_hi, F.col("__x"))).alias("__hi"),
+        F.sum("__x").cast("bigint").alias("__s_raw"),
+    )
+    clipped = (
+        ranked.join(F.broadcast(cuts), group_cols)
+        .select(
+            *group_cols,
+            F.col("n"),
+            F.col("__lo"),
+            F.col("__hi"),
+            F.col("__s_raw"),
+            F.least(
+                F.greatest(F.col("__x"), F.col("__lo")), F.col("__hi")
+            ).alias("__cx"),
+            (
+                (F.col("__x") < F.col("__lo"))
+                | (F.col("__x") > F.col("__hi"))
+            ).cast("long").alias("__clip"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.max("n").alias("n"),
+            F.max("__lo").alias("__lo"),
+            F.max("__hi").alias("__hi"),
+            F.max("__s_raw").alias("__s_raw"),
+            F.sum("__cx").cast("bigint").alias("__s_win"),
+            F.sum("__clip").cast("bigint").alias("n_clipped"),
+        )
+    )
+    nD = F.col("n").cast("double")
+    return clipped.select(
+        *group_cols,
+        "n",
+        F.round(F.col("__lo").cast("double") / F.lit(100.0), 6).alias("lo"),
+        F.round(F.col("__hi").cast("double") / F.lit(100.0), 6).alias("hi"),
+        F.round(
+            F.col("__s_raw").cast("double") / nD / F.lit(100.0), 6
+        ).alias("mean_raw"),
+        F.round(
+            F.col("__s_win").cast("double") / nD / F.lit(100.0), 6
+        ).alias("mean_winsorized"),
+        "n_clipped",
+    ).orderBy(*group_cols)

@@ -248,3 +248,36 @@ def test_seasonal_strength_perfect_and_degenerate(spark):
     assert out["seasonal"].var_detrended > 0
     assert out["flat"].strength is None and out["flat"].var_detrended == 0.0
     assert out["tiny"].strength is None
+
+
+def test_winsorized_stats_hand_cuts(spark):
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        winsorized_stats,
+    )
+
+    # 10 values 1..9 plus one huge outlier. p10/p90 in ppm:
+    # k_lo = ceil(0.1*10)=1 -> lo = 1; k_hi = ceil(0.9*10)=9 -> hi = 9.
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, v double"
+    )
+    out = winsorized_stats(
+        df, ["g"], "v", p_lo_ppm=100_000, p_hi_ppm=900_000
+    ).collect()
+    r = out[0]
+    assert (r.n, r.lo, r.hi, r.n_clipped) == (10, 1.0, 9.0, 1)
+    assert r.mean_raw == round(sum(vals) / 10, 6)
+    assert r.mean_winsorized == round(
+        sum(min(max(v, 1.0), 9.0) for v in vals) / 10, 6
+    )
+    # duplicates at the cut commute: ties need no tie-break
+    dup = spark.createDataFrame(
+        [("g", float(v)) for v in [5, 5, 5, 5, 1, 9]],
+        "g string, v double",
+    )
+    r2 = winsorized_stats(
+        dup, ["g"], "v", p_lo_ppm=200_000, p_hi_ppm=800_000
+    ).collect()[0]
+    # n=6: k_lo=ceil(1.2)=2 -> 2nd smallest = 5; k_hi=ceil(4.8)=5 -> 5
+    assert (r2.lo, r2.hi) == (5.0, 5.0)
+    assert r2.mean_winsorized == 5.0 and r2.n_clipped == 2
