@@ -6462,6 +6462,123 @@ ORDER BY o_orderpriority
 """
 
 
+EVAL_N_QUERIES = 64
+EVAL_K = 5
+
+
+def rt_eval_metrics(spark, sf_dir):
+    """MRR / nDCG@5 / precision@5 of the brute-force cosine retriever
+    per query label (operators.retrieval.retrieval_metrics): relevance
+    = same-label membership — the offline eval harness for the ANN
+    tier. Rank-discount weights are plan-time integer literals shared
+    with the oracle; per-query metrics pin to nano-units before the
+    corpus means."""
+    from calp_cva_tracking_pipeline_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < EVAL_N_QUERIES)
+    run = brute_force_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding", k=EVAL_K
+    )
+    qlab = q.select(
+        F.col("vec_id").alias("query_id"), F.col("label")
+    )
+    run_g = run.join(F.broadcast(qlab), "query_id")
+    relevance = qlab.join(
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("__nl"),
+        ),
+        F.col("label") == F.col("__nl"),
+    ).filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id"
+    )
+    return retrieval_metrics(
+        run_g, relevance, ["label"], k=EVAL_K
+    )
+
+
+def _eval_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.retrieval import (
+        dcg_weights_nano,
+    )
+
+    w = dcg_weights_nano(EVAL_K)
+    disc = " ".join(
+        f"WHEN rank = {i} THEN {wi}" for i, wi in w.items()
+    )
+    idcg = " + ".join(
+        f"(CASE WHEN least(COALESCE(nrel, 0), {EVAL_K}) >= {i} "
+        f"THEN CAST({wi} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i, wi in w.items()
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {EVAL_N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, label AS nlabel,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, q.label, neighbor_id, nlabel,
+         ROUND(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv))
+                * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+run AS (
+  SELECT query_id, label, nlabel, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored) t
+  WHERE rank <= {EVAL_K}),
+nrelt AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nrel
+  FROM q JOIN c ON q.label = c.nlabel AND q.query_id <> c.neighbor_id
+  GROUP BY 1),
+perq AS (
+  SELECT label, query_id,
+         COALESCE(MAX(CASE WHEN nlabel = label
+                      THEN 1000000000 // rank END), 0) AS rr,
+         COALESCE(SUM(CASE WHEN nlabel = label
+                      THEN (CASE {disc} END) ELSE 0 END), 0) AS dcg,
+         CAST(SUM(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits
+  FROM run GROUP BY 1, 2),
+scoredq AS (
+  SELECT label, perq.query_id, rr, hits,
+         CASE WHEN ({idcg}) > 0 THEN
+           CAST(ROUND(CAST(dcg AS DOUBLE) / CAST(({idcg}) AS DOUBLE)
+                      * 1e9) AS BIGINT)
+         ELSE 0 END AS ndcg
+  FROM perq LEFT JOIN nrelt ON perq.query_id = nrelt.query_id),
+agg AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+         CAST(SUM(rr) AS BIGINT) AS s_rr,
+         CAST(SUM(ndcg) AS BIGINT) AS s_nd,
+         CAST(SUM(hits) AS BIGINT) AS s_hits
+  FROM scoredq GROUP BY label)
+SELECT label, n_queries,
+       ROUND(CAST(s_rr AS DOUBLE) / CAST(n_queries AS DOUBLE) / 1e9, 6)
+         AS mrr,
+       ROUND(CAST(s_nd AS DOUBLE) / CAST(n_queries AS DOUBLE) / 1e9, 6)
+         AS ndcg,
+       ROUND(CAST(s_hits AS DOUBLE)
+             / (CAST(n_queries AS DOUBLE) * {float(EVAL_K)}), 6)
+         AS precision
+FROM agg
+ORDER BY label
+"""
+
+
+RT_EVAL_SQL = _eval_sql()
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -6608,4 +6725,5 @@ SCALE_QUERIES = {
     "tx_jsd": (tx_jsd, TX_JSD_SQL),
     "ts_seasonal": (ts_seasonal, TS_SEASONAL_SQL),
     "pf_winsorize": (pf_winsorize, PF_WINSOR_SQL),
+    "rt_eval_metrics": (rt_eval_metrics, RT_EVAL_SQL),
 }

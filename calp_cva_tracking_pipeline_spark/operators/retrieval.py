@@ -135,3 +135,126 @@ def posting_lists(
             ).alias("postings"),
         )
     )
+
+
+def dcg_weights_nano(k: int) -> dict[int, int]:
+    """Rank-discount weights round(1e9/log2(i+1)) as integer nano-units —
+    computed once in plan-time Python so Spark plans AND SQL oracles
+    embed the SAME literals (no per-engine libm in the hot path)."""
+    import math
+
+    return {i: int(round(1e9 / math.log2(i + 1))) for i in range(1, k + 1)}
+
+
+def retrieval_metrics(
+    run: DataFrame,
+    relevance: DataFrame,
+    group_cols: list[str] | None = None,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int = 5,
+) -> DataFrame:
+    """Offline retrieval-quality readout — MRR, nDCG@k and precision@k
+    of a ranked ``run`` (query, doc, rank; rank 1-based, ≤ k rows per
+    query) against a ``relevance`` table (query, doc[, n_rel]) — the
+    eval harness for the ANN/BM25/RRF tier: swap an index, re-run one
+    query, compare numbers.
+
+    Determinism: the rank-position discount weights 1/log2(i+1) are
+    computed ONCE in plan-time Python and embedded as integer NANO-unit
+    literals, so neither engine touches libm; per-query RR (1e9/rank —
+    exact), DCG and IDCG are integer sums of those literals; nDCG's one
+    division pins back to nano-units; corpus means then aggregate as
+    64-bit integer sums — order-independent and engine-exact. Queries
+    with NO relevant hit in the run score RR = nDCG = 0 (not dropped:
+    dropping them inflates every mean). ``relevance`` is the FULL ground
+    truth — one row per relevant (query, doc) — so the IDCG truncation
+    min(n_rel, k) derives from its per-query row count; the run defines
+    the evaluated query set. Physical shape: run ⋈ relevance on
+    (query, doc) — rank-bounded
+    volume, k·|queries| — then a query-cardinality aggregate and a
+    group-cardinality one. Output: group_cols + (n_queries, mrr, ndcg,
+    precision), 6 dp. Engine addition; no reference counterpart.
+    """
+    gcols = list(group_cols or [])
+    w_nano = dcg_weights_nano(k)
+    disc = F.create_map(
+        *[
+            c
+            for i, wi in w_nano.items()
+            for c in (F.lit(i), F.lit(wi).cast("bigint"))
+        ]
+    )
+    rel = relevance.select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.lit(1).alias("__rel"),
+    )
+    n_rel = relevance.groupBy(F.col(query_col).alias("__q")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nrel")
+    )
+    r = run.select(
+        *gcols,
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(rank_col).cast("int").alias("__rk"),
+    ).filter(F.col("__rk") <= k)
+    joined = r.join(rel, ["__q", "__d"], "left")
+    hit = F.col("__rel").isNotNull()
+    per_q = joined.groupBy(*gcols, "__q").agg(
+        F.coalesce(
+            F.max(
+                # integer div: a double `/` then cast would TRUNCATE here
+                # while DuckDB's double->int cast ROUNDS — `div` is
+                # floor-exact on both engines.
+                F.when(hit, F.expr("1000000000L div __rk"))
+            ),
+            F.lit(0),
+        ).alias("__rr_nano"),
+        F.coalesce(
+            F.sum(F.when(hit, disc[F.col("__rk")])), F.lit(0)
+        ).cast("bigint").alias("__dcg_nano"),
+        F.sum(hit.cast("int")).cast("bigint").alias("__hits"),
+    )
+    idcg_terms = [
+        F.when(
+            F.least(F.coalesce(F.col("__nrel"), F.lit(0)), F.lit(k)) >= i,
+            F.lit(w_nano[i]).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for i in range(1, k + 1)
+    ]
+    idcg = reduce(lambda a, b: a + b, idcg_terms)
+    scored = per_q.join(n_rel, "__q", "left").withColumn(
+        "__idcg_nano", idcg.cast("bigint")
+    )
+    ndcg_nano = F.when(
+        F.col("__idcg_nano") > 0,
+        F.round(
+            F.col("__dcg_nano").cast("double")
+            / F.col("__idcg_nano").cast("double")
+            * F.lit(1e9)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    final = scored.withColumn("__ndcg_nano", ndcg_nano).groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum("__rr_nano").alias("__s_rr"),
+        F.sum("__ndcg_nano").alias("__s_nd"),
+        F.sum("__hits").alias("__s_hits"),
+    )
+    nq = F.col("n_queries").cast("double")
+    out_cols = [
+        *gcols,
+        "n_queries",
+        F.round(F.col("__s_rr").cast("double") / nq / F.lit(1e9), 6).alias(
+            "mrr"
+        ),
+        F.round(F.col("__s_nd").cast("double") / nq / F.lit(1e9), 6).alias(
+            "ndcg"
+        ),
+        F.round(
+            F.col("__s_hits").cast("double") / (nq * F.lit(float(k))), 6
+        ).alias("precision"),
+    ]
+    out = final.select(*out_cols)
+    return out.orderBy(*gcols) if gcols else out

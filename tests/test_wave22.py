@@ -281,3 +281,28 @@ def test_winsorized_stats_hand_cuts(spark):
     # n=6: k_lo=ceil(1.2)=2 -> 2nd smallest = 5; k_hi=ceil(4.8)=5 -> 5
     assert (r2.lo, r2.hi) == (5.0, 5.0)
     assert r2.mean_winsorized == 5.0 and r2.n_clipped == 2
+
+
+def test_retrieval_metrics_hand_example(spark):
+    from calp_cva_tracking_pipeline_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+
+    run = spark.createDataFrame(
+        [
+            ("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+            ("q2", "d", 1), ("q2", "e", 2), ("q2", "f", 3),
+        ],
+        "query_id string, neighbor_id string, rank int",
+    )
+    relevance = spark.createDataFrame(
+        [("q1", "b"), ("q2", "zzz")],
+        "query_id string, neighbor_id string",
+    )
+    out = retrieval_metrics(run, relevance, k=3).collect()[0]
+    # q1: first relevant at rank 2 -> RR 0.5; nDCG = w2/w1 = 1/log2(3)
+    # q2: no relevant retrieved -> 0s (still counted)
+    assert out.n_queries == 2
+    assert out.mrr == 0.25
+    assert out.ndcg == round(0.630929754 / 2, 6)
+    assert out.precision == round(1 / 6, 6)
