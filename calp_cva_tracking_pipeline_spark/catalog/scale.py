@@ -6178,7 +6178,7 @@ WITH lab AS (
   SELECT source,
          CASE WHEN lang = 'en' THEN 'en' ELSE 'unk' END AS a,
          CASE WHEN {_SW_RATIO} > 0.05 THEN 'en' ELSE 'unk' END AS b
-  FROM documents),
+  FROM documents WHERE source IS NOT NULL),
 cont AS (
   SELECT source, a, b, CAST(COUNT(*) AS BIGINT) AS c
   FROM lab GROUP BY 1, 2, 3),
@@ -6301,7 +6301,7 @@ TX_JSD_SQL = rf"""
 WITH toks AS (
   SELECT source AS g,
          unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
-  FROM documents WHERE text IS NOT NULL),
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
 cnt AS (
   SELECT g, t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
 gcnt AS (SELECT t, CAST(SUM(c) AS BIGINT) AS gt FROM cnt GROUP BY t),
@@ -6359,7 +6359,9 @@ WITH enc AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          EXTRACT(hour FROM ts) AS hr,
          CAST(ROUND(value) AS BIGINT) AS x
-  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND event_type IS NOT NULL),
 dm AS (
   SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS nd,
          CAST(SUM(x) AS BIGINT) AS sd

@@ -1409,8 +1409,13 @@ def annotator_agreement(
     reference counterpart.
     """
     gcols = list(group_cols or [])
+    keys_ok = F.lit(True)
+    for kc in gcols:
+        keys_ok = keys_ok & F.col(kc).isNotNull()
+    # group not-nulls up front: plan-identical branches -> exchange
+    # reuse on the contingency lineage (see corpus_js_divergence).
     base = df.filter(
-        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull() & keys_ok
     ).select(
         *gcols,
         F.col(col_a).alias("__a"),

@@ -1012,8 +1012,13 @@ def seasonal_strength(
     var_detrended, var_resid, strength), unit², 6 dp. Engine addition;
     no reference counterpart.
     """
+    keys_ok = F.lit(True)
+    for kc in key_cols:
+        keys_ok = keys_ok & F.col(kc).isNotNull()
+    # key not-nulls up front so every branch of the shared enc lineage
+    # is plan-identical (exchange reuse; see corpus_js_divergence).
     enc = df.filter(
-        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull() & keys_ok
     ).select(
         *key_cols,
         F.to_date(F.col(ts_col)).alias("__day"),

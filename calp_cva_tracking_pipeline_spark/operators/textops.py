@@ -924,7 +924,12 @@ def corpus_js_divergence(
     corpus (empty rest) emit NULL jsd. Engine addition; no reference
     counterpart.
     """
-    toks = df.select(
+    # NULL group keys drop up front: the downstream join would push an
+    # isnotnull(group) predicate into SOME branches of the shared count
+    # lineage but not others, making the subplans non-identical and
+    # defeating exchange reuse — the tokenize+explode would execute once
+    # per branch instead of once (measured: 2x at 4 consumers).
+    toks = df.filter(F.col(group_col).isNotNull()).select(
         F.col(group_col).alias("__g"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("__t"),
     )
