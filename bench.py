@@ -138,6 +138,18 @@ HEADLINE = [
     "pf_gini",
     "ep3_org_match",
     "ep3_global_agg",
+    # round 9 wave-22 additions (suite totals are not comparable without
+    # subtracting these), new cost classes: winnowed-fingerprint window-
+    # min + bucket pair expansion (the sampled counterpart of
+    # dd_passage_overlap), explode + triple-reused-exchange divergence
+    # aggregation, full per-group sort with order-statistic cuts.
+    # pf_kappa/ev_survival/ts_seasonal/rt_eval_metrics are deliberately
+    # NOT headliners: tiny-cardinality aggregates (<=20 output rows over
+    # already-timed scan/agg shapes) or cost classes ann_brute_topk
+    # already times.
+    "dd_winnow",
+    "tx_jsd",
+    "pf_winsorize",
 ]
 
 

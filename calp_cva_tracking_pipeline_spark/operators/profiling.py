@@ -1424,6 +1424,36 @@ def annotator_agreement(
     cont = base.groupBy(*gcols, "__a", "__b").agg(
         F.count(F.lit(1)).cast("bigint").alias("__c")
     )
+    return kappa_from_contingency(cont, group_cols=gcols)
+
+
+def kappa_from_contingency(
+    cont: DataFrame,
+    group_cols: list[str] | None = None,
+    label_a_col: str = "__a",
+    label_b_col: str = "__b",
+    count_col: str = "__c",
+) -> DataFrame:
+    """Cohen's kappa from a PRE-AGGREGATED contingency ledger (group ×
+    label_a × label_b → count). The streaming-foldable half of
+    ``annotator_agreement``: contingency cells fold ADDITIVELY across
+    micro-batches (append per-batch cells, sum counts per cell), so a
+    foreachBatch ledger + this kernel equals the one-shot readout —
+    the dq_checks/cusum_fold discipline (tests/test_streaming.py).
+    """
+    gcols = list(group_cols or [])
+    # re-collapse duplicate cells so an APPEND ledger (one row per cell
+    # per micro-batch) feeds in directly — the fold is this sum.
+    cont = (
+        cont.select(
+            *gcols,
+            F.col(label_a_col).alias("__a"),
+            F.col(label_b_col).alias("__b"),
+            F.col(count_col).cast("bigint").alias("__c"),
+        )
+        .groupBy(*gcols, "__a", "__b")
+        .agg(F.sum("__c").cast("bigint").alias("__c"))
+    )
     # pe needs Σ_c ma(c)·mb(c) over EVERY label c both annotators use —
     # including labels with no diagonal contingency cell — so the
     # marginals join on the label value rather than reading off the

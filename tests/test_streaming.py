@@ -817,3 +817,94 @@ def test_foreachbatch_dq_ledger_folds_to_batch_counts(spark, sf_dir, tmp_path):
     keys = spark.read.parquet(keys_path)
     surplus = keys.count() - keys.distinct().count()
     assert surplus == exp.loc["o_orderkey_unique", "n_violations"]
+
+
+def test_foreachbatch_kappa_contingency_folds_to_batch(
+    spark, sf_dir, tmp_path
+):
+    """Streaming label-QA: per micro-batch the (group × gold × pred)
+    contingency cells append to a ledger; kappa_from_contingency over
+    the folded ledger equals the one-shot annotator_agreement on the
+    full table — cells fold additively, the kernel is batch-identical."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        annotator_agreement,
+        kappa_from_contingency,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        lang_id_heuristic,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.col("lang") == "en", F.lit("en"))
+        .otherwise(F.lit("unk"))
+        .alias("gold"),
+        lang_id_heuristic(F.col("text")).alias("pred"),
+    )
+    one_shot = (
+        annotator_agreement(d, "gold", "pred", ["source"])
+        .toPandas()
+        .set_index("source")
+    )
+
+    src = tmp_path / "kp_src"
+    src.mkdir()
+    for i in range(3):
+        tmp_dir = str(tmp_path / f"kp_tmp_{i}")
+        d.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            tmp_dir
+        )
+        part = glob.glob(f"{tmp_dir}/part-*.parquet")[0]
+        p = str(src / f"part_{i}.parquet")
+        shutil.copy(part, p)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    ledger_path = str(tmp_path / "kp_ledger")
+
+    def process(batch_df, batch_id):
+        batch_df.filter(
+            F.col("gold").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("source").isNotNull()
+        ).groupBy("source", "gold", "pred").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        ).write.mode("append").parquet(ledger_path)
+
+    q = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "kp_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    folded = (
+        kappa_from_contingency(
+            spark.read.parquet(ledger_path),
+            group_cols=["source"],
+            label_a_col="gold",
+            label_b_col="pred",
+            count_col="c",
+        )
+        .toPandas()
+        .set_index("source")
+    )
+    assert sorted(folded.index) == sorted(one_shot.index)
+    for g in one_shot.index:
+        for col in ("n", "po", "pe", "kappa"):
+            assert folded.loc[g, col] == one_shot.loc[g, col], (g, col)
