@@ -6581,6 +6581,112 @@ ORDER BY label
 RT_EVAL_SQL = _eval_sql()
 
 
+BOOT_B = 32
+BOOT_Z = 1.959964
+
+
+def pf_bootstrap(spark, sf_dir):
+    """Hash-Poisson bootstrap CI for the mean order value per priority
+    (operators.profiling.bootstrap_mean_ci): deterministic replica
+    weights from stable_hash64 against plan-time Poisson(1) inverse-CDF
+    thresholds — error bars in ONE scan + ONE group-cardinality
+    exchange, no row explosion, no RNG state."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        bootstrap_mean_ci,
+    )
+
+    return bootstrap_mean_ci(
+        T(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        "o_orderkey",
+        "o_totalprice",
+        n_replicas=BOOT_B,
+        z=BOOT_Z,
+    )
+
+
+def _bootstrap_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        poisson1_thresholds_60,
+    )
+
+    ths = poisson1_thresholds_60()
+
+    def w(b: int) -> str:
+        h = _sql_hash60(
+            f"CAST(o_orderkey AS VARCHAR) || '|{b}'"
+        )
+        terms = " + ".join(
+            f"(CASE WHEN h{b} >= {t} THEN 1 ELSE 0 END)" for t in ths
+        )
+        return h, terms
+
+    hash_cols = []
+    agg_cols = []
+    for b in range(BOOT_B):
+        h, terms = w(b)
+        hash_cols.append(f"{h} AS h{b}")
+        agg_cols.append(
+            f"CAST(SUM(CAST(({terms}) AS BIGINT) * x) AS BIGINT) AS swx{b},"
+            f" CAST(SUM(CAST(({terms}) AS BIGINT)) AS BIGINT) AS sw{b}"
+        )
+    m_exprs = []
+    zero_checks = []
+    for b in range(BOOT_B):
+        m_exprs.append(
+            f"CASE WHEN sw{b} > 0 THEN CAST(ROUND(CAST(swx{b} AS DOUBLE)"
+            f" / CAST(sw{b} AS DOUBLE) * 1e6) AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END AS m{b}"
+        )
+        zero_checks.append(f"sw{b} <= 0")
+    s1 = " + ".join(
+        f"CAST(m{b} AS DOUBLE)" if b == 0 else f"CAST(m{b} AS DOUBLE)"
+        for b in range(BOOT_B)
+    )
+    s2 = " + ".join(
+        f"CAST(m{b} AS DOUBLE) * CAST(m{b} AS DOUBLE)"
+        for b in range(BOOT_B)
+    )
+    any_zero = " OR ".join(zero_checks)
+    bD = float(BOOT_B)
+    return f"""
+WITH enc AS (
+  SELECT o_orderpriority AS g, o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+         {", ".join(hash_cols)}
+  FROM orders WHERE o_totalprice IS NOT NULL),
+agg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         {", ".join(agg_cols)}
+  FROM enc GROUP BY g),
+means AS (
+  SELECT g, n, sx, ({any_zero}) AS bad, {", ".join(m_exprs)}
+  FROM agg),
+stats AS (
+  SELECT g, n, sx, bad,
+         ({s1}) AS s1, ({s2}) AS s2
+  FROM means),
+fin AS (
+  SELECT g, n, bad,
+         (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS mean_u,
+         sqrt(({bD} * s2 - s1 * s1) / ({bD} * ({bD} - 1.0))) / 1e8
+           AS se_u
+  FROM stats)
+SELECT g AS o_orderpriority, n,
+       ROUND(mean_u, 6) AS mean,
+       CASE WHEN NOT bad THEN ROUND(se_u, 6) END AS se_boot,
+       CASE WHEN NOT bad THEN ROUND(mean_u - {BOOT_Z} * se_u, 6) END
+         AS ci_lo,
+       CASE WHEN NOT bad THEN ROUND(mean_u + {BOOT_Z} * se_u, 6) END
+         AS ci_hi
+FROM fin
+ORDER BY o_orderpriority
+"""
+
+
+PF_BOOT_SQL = _bootstrap_sql()
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -6728,4 +6834,6 @@ SCALE_QUERIES = {
     "ts_seasonal": (ts_seasonal, TS_SEASONAL_SQL),
     "pf_winsorize": (pf_winsorize, PF_WINSOR_SQL),
     "rt_eval_metrics": (rt_eval_metrics, RT_EVAL_SQL),
+    # twenty-third wave (round 9)
+    "pf_bootstrap": (pf_bootstrap, PF_BOOT_SQL),
 }

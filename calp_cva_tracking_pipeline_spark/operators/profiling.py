@@ -1594,3 +1594,134 @@ def winsorized_stats(
         ).alias("mean_winsorized"),
         "n_clipped",
     ).orderBy(*group_cols)
+
+
+def poisson1_thresholds_60(max_k: int = 8) -> list[int]:
+    """Poisson(1) inverse-CDF thresholds scaled to the 60-bit hash range
+    — plan-time Python, embedded as literals in Spark plans AND SQL
+    oracles (the dcg_weights_nano discipline: no runtime libm)."""
+    import math
+
+    out, cdf, p = [], 0.0, math.exp(-1.0)
+    for k in range(max_k):
+        cdf += p
+        out.append(int(cdf * (1 << 60)))
+        p = p / (k + 1)
+    return out
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    value_col: str,
+    n_replicas: int = 32,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Per-group mean with a hash-based Poisson-bootstrap standard error
+    and normal-approximation CI — error bars for any pipeline metric
+    WITHOUT resampling passes. Each replica b reweights every row by a
+    Poisson(1)-distributed integer derived from stable_hash64(id|b)
+    against plan-time inverse-CDF thresholds (the streaming-friendly
+    Poisson bootstrap: deterministic, engine-portable, replayable — no
+    RNG state anywhere).
+
+    Exactness: per-replica (Σw·x, Σw) are 64-bit integer sums on cents
+    (order-independent); replica means pin to micro-cent integers; the
+    across-replica variance is a fixed-order double expression over
+    those exact integers. Scale shape: ONE scan, ONE group-cardinality
+    exchange — the B replicas are 2·B parallel aggregate expressions
+    (map-side combined), never a row explosion; cost is B extra hashes
+    per row (md5 here for oracle parity — swap xxhash64 for production
+    ingest, same note as the LSH tiers). Output per group: n, mean,
+    se_boot, ci_lo, ci_hi (6 dp). Groups where any replica draws zero
+    total weight (microscopic n) emit NULL se/CI. Engine addition; no
+    reference counterpart.
+    """
+    from calp_cva_tracking_pipeline_spark.functions.hashing import (
+        stable_hash64,
+    )
+
+    ths = poisson1_thresholds_60()
+    enc = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.col(id_col).cast("string").alias("__id"),
+        F.round(F.col(value_col).cast("double") * 100)
+        .cast("bigint")
+        .alias("__x"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x").cast("bigint").alias("__sx"),
+    ]
+    for b in range(n_replicas):
+        h = stable_hash64(F.concat(F.col("__id"), F.lit(f"|{b}")))
+        w = sum(
+            [(h >= F.lit(t)).cast("int") for t in ths],
+            F.lit(0),
+        ).cast("bigint")
+        aggs.append(F.sum(w * F.col("__x")).cast("bigint").alias(f"__swx{b}"))
+        aggs.append(F.sum(w).cast("bigint").alias(f"__sw{b}"))
+    agg = enc.groupBy(*group_cols).agg(*aggs)
+    # replica means pinned to micro-cent integers, fixed order b=0..B-1
+    m_cols = []
+    any_zero = F.lit(False)
+    for b in range(n_replicas):
+        sw = F.col(f"__sw{b}")
+        any_zero = any_zero | (sw <= 0)
+        m_cols.append(
+            F.when(
+                sw > 0,
+                F.round(
+                    F.col(f"__swx{b}").cast("double")
+                    / sw.cast("double")
+                    * F.lit(1e6)
+                ).cast("bigint"),
+            ).otherwise(F.lit(0))
+        )
+    # The replica means materialize ONCE into an array column and the
+    # moment sums fold over it with F.aggregate: inlining each CASE mean
+    # three times (s1 + twice in s2) blew whole-stage codegen past the
+    # 64KB method limit at B=32 (ERROR CodeGenerator + interpreted
+    # fallback). The fold itself is interpreted BY DESIGN — it runs on
+    # group-cardinality rows, not the corpus (the wave-21 lambda trap
+    # does not apply at this row count). Fold order is left-to-right
+    # b=0..B-1 on both engines: partial sums of squared micro-cent
+    # means exceed 2^53, so ORDER is part of the contract.
+    staged = agg.select(
+        *group_cols,
+        "n",
+        "__sx",
+        F.array(*m_cols).alias("__ms"),
+        # any_zero must ride along — recomputing it from __sw columns
+        # after this projection would keep those columns alive
+        F.array(
+            *[F.col(f"__sw{b}") for b in range(n_replicas)]
+        ).alias("__sws"),
+    )
+    ms_d = F.transform(F.col("__ms"), lambda m: m.cast("double"))
+    s1 = F.aggregate(
+        ms_d, F.lit(0.0), lambda acc, m: acc + m
+    )
+    s2 = F.aggregate(
+        ms_d, F.lit(0.0), lambda acc, m: acc + m * m
+    )
+    bD = F.lit(float(n_replicas))
+    var_ = (bD * s2 - s1 * s1) / (bD * (bD - 1.0))
+    se_units = F.sqrt(var_) / F.lit(1e8)  # micro-cents -> units
+    mean_units = (
+        F.col("__sx").cast("double") / F.col("n").cast("double")
+    ) / F.lit(100.0)
+    ok = ~F.exists(F.col("__sws"), lambda sw: sw <= 0)
+    return staged.select(
+        *group_cols,
+        "n",
+        F.round(mean_units, 6).alias("mean"),
+        F.when(ok, F.round(se_units, 6)).alias("se_boot"),
+        F.when(ok, F.round(mean_units - F.lit(z) * se_units, 6)).alias(
+            "ci_lo"
+        ),
+        F.when(ok, F.round(mean_units + F.lit(z) * se_units, 6)).alias(
+            "ci_hi"
+        ),
+    ).orderBy(*group_cols)

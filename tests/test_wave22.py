@@ -306,3 +306,33 @@ def test_retrieval_metrics_hand_example(spark):
     assert out.mrr == 0.25
     assert out.ndcg == round(0.630929754 / 2, 6)
     assert out.precision == round(1 / 6, 6)
+
+
+def test_bootstrap_ci_tracks_analytic_se(spark):
+    import math
+
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        bootstrap_mean_ci,
+    )
+
+    # deterministic "uniform" values: i*7919 % 1000, n=2000
+    rows = [("g", i, float((i * 7919) % 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = bootstrap_mean_ci(df, ["g"], "id", "v").collect()[0]
+    vals = [(i * 7919) % 1000 for i in range(2000)]
+    mean = sum(vals) / len(vals)
+    sd = math.sqrt(
+        sum((v - mean) ** 2 for v in vals) / (len(vals) - 1)
+    )
+    analytic_se = sd / math.sqrt(len(vals))
+    assert out.mean == round(mean, 6)
+    assert out.se_boot is not None and out.se_boot > 0
+    # B=32 replicas: the bootstrap SE estimate has ~13% relative noise;
+    # a wide band still catches wrong-by-construction (x10 / /10) bugs
+    assert 0.5 * analytic_se < out.se_boot < 2.0 * analytic_se
+    assert out.ci_lo < out.mean < out.ci_hi
+    # deterministic: same plan, same numbers
+    again = bootstrap_mean_ci(df, ["g"], "id", "v").collect()[0]
+    assert (again.se_boot, again.ci_lo, again.ci_hi) == (
+        out.se_boot, out.ci_lo, out.ci_hi,
+    )
