@@ -6687,6 +6687,52 @@ ORDER BY o_orderpriority
 PF_BOOT_SQL = _bootstrap_sql()
 
 
+OOV_VOCAB = 256
+
+
+def tx_oov(spark, sf_dir):
+    """Per-source OOV rate vs the corpus' own top-256 vocabulary
+    (operators.textops.oov_rate): deterministic (count desc, token asc)
+    vocab cut, broadcast back over the reused count lineage — the
+    tokenizer-coverage audit beside the JSD drift readout."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import oov_rate
+
+    return oov_rate(
+        T(spark, sf_dir, "documents"), "source", "text",
+        vocab_size=OOV_VOCAB,
+    )
+
+
+TX_OOV_SQL = rf"""
+WITH toks AS (
+  SELECT source AS g,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+cnt AS (
+  SELECT g, t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+gcnt AS (SELECT t, CAST(SUM(c) AS BIGINT) AS gt FROM cnt GROUP BY t),
+vocab AS (
+  SELECT t, 1 AS iv FROM (
+    SELECT t, ROW_NUMBER() OVER (ORDER BY gt DESC, t ASC) AS rn
+    FROM gcnt) r
+  WHERE rn <= {OOV_VOCAB}),
+agg AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN iv IS NULL THEN c ELSE 0 END) AS BIGINT)
+           AS n_oov_tokens,
+         CAST(SUM(CASE WHEN iv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_distinct_oov
+  FROM cnt LEFT JOIN vocab USING (t) GROUP BY g)
+SELECT g AS source, n_tokens, n_oov_tokens,
+       CASE WHEN n_tokens > 0 THEN
+         ROUND(CAST(n_oov_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+       END AS oov_rate,
+       n_distinct_oov
+FROM agg
+ORDER BY source
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -6836,4 +6882,5 @@ SCALE_QUERIES = {
     "rt_eval_metrics": (rt_eval_metrics, RT_EVAL_SQL),
     # twenty-third wave (round 9)
     "pf_bootstrap": (pf_bootstrap, PF_BOOT_SQL),
+    "tx_oov": (tx_oov, TX_OOV_SQL),
 }

@@ -984,3 +984,67 @@ def corpus_js_divergence(
         F.col("n_rest_tokens").cast("bigint").alias("n_rest_tokens"),
         F.round(jsd, 6).alias("jsd"),
     ).orderBy(group_col)
+
+
+def oov_rate(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    vocab_size: int = 256,
+) -> DataFrame:
+    """Tokenizer-coverage audit: each group's out-of-vocabulary token
+    rate against the corpus' own top-``vocab_size`` vocabulary — the
+    "which shard will this tokenizer serve worst" readout run before
+    committing a vocab (new sources/languages surface as OOV spikes
+    long before perplexity does).
+
+    The vocabulary is DERIVED, deterministic, and driver-bounded: top-V
+    global tokens by (count desc, token asc) — a total order, so the
+    cut is stable — taken with sort+limit (TakeOrderedAndProject) and
+    broadcast back. One tokenize→explode feeds both the (group × token)
+    counts and, via the reused exchange, the global counts (the
+    corpus_js_divergence lineage discipline — NULL groups drop up
+    front). OOV mass is integer counts end to end; the rate is one
+    exact division, 6 dp. Output per group: (n_tokens, n_oov_tokens,
+    oov_rate, n_distinct_oov), ordered by group. Engine addition; no
+    reference counterpart.
+    """
+    toks = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("__g"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("__t"),
+    )
+    cnt = toks.groupBy("__g", "__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    vocab = (
+        cnt.groupBy("__t")
+        .agg(F.sum("__c").cast("bigint").alias("__gt"))
+        .orderBy(F.col("__gt").desc(), F.col("__t").asc())
+        .limit(int(vocab_size))
+        .select("__t", F.lit(1).alias("__iv"))
+    )
+    j = cnt.join(F.broadcast(vocab), "__t", "left")
+    agg = j.groupBy("__g").agg(
+        F.sum("__c").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("__iv").isNull(), F.col("__c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov_tokens"),
+        F.sum(F.when(F.col("__iv").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_distinct_oov"),
+    )
+    rate = F.when(
+        F.col("n_tokens") > 0,
+        F.round(
+            F.col("n_oov_tokens").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n_tokens",
+        "n_oov_tokens",
+        rate.alias("oov_rate"),
+        "n_distinct_oov",
+    ).orderBy(group_col)

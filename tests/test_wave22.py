@@ -336,3 +336,25 @@ def test_bootstrap_ci_tracks_analytic_se(spark):
     assert (again.se_boot, again.ci_lo, again.ci_hi) == (
         out.se_boot, out.ci_lo, out.ci_hi,
     )
+
+
+def test_oov_rate_hand_vocab_cut(spark):
+    from calp_cva_tracking_pipeline_spark.operators.textops import oov_rate
+
+    # global counts: "x" 5, "y" 3, "z" 2, "q" 1 -> vocab_size=2 keeps
+    # {x, y}; group a = "x x x y z", group b = "x x y y z q"
+    docs = [
+        ("a", "x x x y z"),
+        ("b", "x x y y z q"),
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    out = {r.source: r for r in oov_rate(df, "source", vocab_size=2).collect()}
+    a, b = out["a"], out["b"]
+    assert (a.n_tokens, a.n_oov_tokens, a.n_distinct_oov) == (5, 1, 1)
+    assert a.oov_rate == 0.2
+    assert (b.n_tokens, b.n_oov_tokens, b.n_distinct_oov) == (6, 2, 2)
+    assert b.oov_rate == round(2 / 6, 6)
+    # tie at the cut breaks by token asc: with vocab_size=3 the third
+    # slot goes to "z" (count 2) not "q"
+    out3 = {r.source: r for r in oov_rate(df, "source", vocab_size=3).collect()}
+    assert out3["b"].n_oov_tokens == 1 and out3["b"].n_distinct_oov == 1
