@@ -6733,6 +6733,62 @@ ORDER BY source
 """
 
 
+def emb_confusion(spark, sf_dir):
+    """Nearest-centroid label confusion over the embeddings table
+    (operators.linalg.centroid_confusion): 6-dp centroids, sequential
+    sq_dist fold, (distance, label) argmin — the embedding-separability
+    readout beside the kmeans tier."""
+    from calp_cva_tracking_pipeline_spark.operators.linalg import (
+        centroid_confusion,
+    )
+
+    return centroid_confusion(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label"
+    )
+
+
+_CONF_D2 = (
+    "ROUND(list_sum(list_transform(list_zip(cv, carr),"
+    " x -> (x[1] - x[2]) * (x[1] - x[2]))), 6)"
+)
+
+EMB_CONF_SQL = f"""
+WITH v AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+idx AS (
+  SELECT label, vec, unnest(generate_series(1, len(vec))) AS i FROM v),
+cents AS (
+  SELECT label, CAST(i - 1 AS INT) AS dim, ROUND(AVG(vec[i]), 6) AS mean
+  FROM idx GROUP BY 1, 2),
+carrs AS (
+  SELECT label AS clabel,
+         list_transform(
+           list_sort(list(struct_pack(d := dim, m := mean))),
+           s -> s.m) AS carr
+  FROM cents GROUP BY label),
+rows_ AS (
+  SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+scored AS (
+  SELECT id, label, clabel, {_CONF_D2} AS d
+  FROM rows_ CROSS JOIN carrs),
+m AS (SELECT id, label, MIN(d) AS md FROM scored GROUP BY 1, 2),
+best AS (
+  SELECT s.id, s.label, MIN(clabel) AS assigned_label
+  FROM scored s JOIN m ON s.id = m.id AND s.label = m.label
+  WHERE s.d = m.md GROUP BY 1, 2),
+conf AS (
+  SELECT label, assigned_label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM best GROUP BY 1, 2)
+SELECT label, assigned_label, n,
+       ROUND(CAST(n AS DOUBLE) /
+             CAST(SUM(n) OVER (PARTITION BY label) AS DOUBLE), 6) AS frac
+FROM conf
+ORDER BY label, assigned_label
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -6883,4 +6939,5 @@ SCALE_QUERIES = {
     # twenty-third wave (round 9)
     "pf_bootstrap": (pf_bootstrap, PF_BOOT_SQL),
     "tx_oov": (tx_oov, TX_OOV_SQL),
+    "emb_confusion": (emb_confusion, EMB_CONF_SQL),
 }

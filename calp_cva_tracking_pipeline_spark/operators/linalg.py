@@ -231,3 +231,77 @@ def label_centroids(
         )
         .orderBy("label", "dim")
     )
+
+
+def centroid_confusion(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Nearest-centroid label confusion matrix — the embedding-
+    separability readout: assign every vector to its nearest label
+    centroid (from ``label_centroids``) and cross-tabulate true vs
+    assigned. A clean encoder puts the mass on the diagonal; collapsed
+    or overlapping label clusters surface as off-diagonal cells long
+    before a probe classifier trains.
+
+    Determinism: centroids are the 6-dp-rounded per-dimension means
+    (``label_centroids`` — both engines land identical decimals), the
+    squared-L2 scan is the sequential-order ``sq_dist`` fold rounded to
+    6 dp (the IVF discipline), and the argmin resolves by (distance,
+    label) — a total order. Assignment is the broadcast-scan shape the
+    kmeans tier measured (|labels|·n rows, no shuffle on the corpus
+    side); the confusion table is |labels|² — the windows over it are
+    output-sized. Rows with NULL vector or label drop. Output:
+    (label, assigned_label, n, frac) with frac = n / true-label total,
+    6 dp, ordered. Engine addition; no reference counterpart.
+    """
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        sq_dist,
+    )
+    from pyspark.sql import Window
+
+    cents = label_centroids(df, vec_col, label_col).filter(
+        F.col("label").isNotNull()
+    )
+    carr = cents.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+            lambda s: s.getField("mean"),
+        ).alias("__carr")
+    ).select(F.col("label").alias("__clabel"), "__carr")
+    rows = df.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("__vec"),
+    )
+    scored = rows.crossJoin(F.broadcast(carr)).select(
+        "__id",
+        "label",
+        "__clabel",
+        F.round(sq_dist(F.col("__vec"), F.col("__carr")), 6).alias("__d"),
+    )
+    m = scored.groupBy("__id", "label").agg(F.min("__d").alias("__md"))
+    best = (
+        scored.join(m, ["__id", "label"])
+        .filter(F.col("__d") == F.col("__md"))
+        .groupBy("__id", "label")
+        .agg(F.min("__clabel").alias("assigned_label"))
+    )
+    conf = best.groupBy("label", "assigned_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = Window.partitionBy("label")
+    return conf.select(
+        "label",
+        "assigned_label",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(tot).cast("double"),
+            6,
+        ).alias("frac"),
+    ).orderBy("label", "assigned_label")

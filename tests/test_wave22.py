@@ -358,3 +358,32 @@ def test_oov_rate_hand_vocab_cut(spark):
     # slot goes to "z" (count 2) not "q"
     out3 = {r.source: r for r in oov_rate(df, "source", vocab_size=3).collect()}
     assert out3["b"].n_oov_tokens == 1 and out3["b"].n_distinct_oov == 1
+
+
+def test_centroid_confusion_separable_clusters(spark):
+    from calp_cva_tracking_pipeline_spark.operators.linalg import (
+        centroid_confusion,
+    )
+
+    # two well-separated 2-d clusters + one point nearer the wrong one
+    rows = [
+        (1, [0.0, 0.0], "a"), (2, [0.1, 0.0], "a"), (3, [0.0, 0.1], "a"),
+        (4, [10.0, 10.0], "b"), (5, [10.1, 10.0], "b"),
+        (6, [9.9, 9.9], "a"),  # mislabeled -> assigned b
+        (7, None, "a"), (8, [1.0, 1.0], None),  # dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = {
+        (r.label, r.assigned_label): (r.n, r.frac)
+        for r in centroid_confusion(
+            df, "vec_id", "embedding", "label"
+        ).collect()
+    }
+    # 'a' centroid is dragged by point 6 but stays near origin;
+    # points 1-3 -> a, point 6 -> b, points 4-5 -> b
+    assert out[("a", "a")][0] == 3
+    assert out[("a", "b")][0] == 1
+    assert out[("b", "b")] == (2, 1.0)
+    assert out[("a", "a")][1] == 0.75
