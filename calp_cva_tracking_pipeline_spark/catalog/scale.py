@@ -6789,6 +6789,85 @@ ORDER BY label, assigned_label
 """
 
 
+def pf_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U of each order priority vs the declared control
+    (operators.profiling.mann_whitney): the nonparametric sibling of
+    pf_ab_test — integer U2/tie sums off one value-grid window, tie-
+    corrected normal z, fixed double order."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        mann_whitney,
+    )
+
+    return mann_whitney(
+        T(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_totalprice",
+        control=AB_CONTROL,
+    )
+
+
+PF_MWU_SQL = f"""
+WITH enc AS (
+  SELECT o_orderpriority AS v,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+cells AS (
+  SELECT v, x, CAST(COUNT(*) AS BIGINT) AS c FROM enc GROUP BY 1, 2),
+ctrl AS (
+  SELECT x, c AS cc FROM cells WHERE v = '{AB_CONTROL}'),
+grid0 AS (
+  SELECT x, COALESCE(cc, CAST(0 AS BIGINT)) AS cc
+  FROM (SELECT DISTINCT x FROM cells) g LEFT JOIN ctrl USING (x)),
+grid AS (
+  SELECT x, cc,
+         CAST(COALESCE(SUM(cc) OVER (
+           ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS below
+  FROM grid0),
+j AS (SELECT cells.v, cells.c, grid.cc, grid.below
+      FROM cells JOIN grid USING (x)),
+per_v AS (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * (2 * below + cc)) AS BIGINT) AS u2,
+         CAST(SUM((c + cc) * (c + cc) * (c + cc) - (c + cc)) AS BIGINT)
+           AS t3,
+         CAST(SUM(cc * cc * cc - cc) AS BIGINT) AS t3_shared
+  FROM j GROUP BY v),
+ctl AS (
+  SELECT CAST(SUM(cc) AS BIGINT) AS n_c,
+         CAST(SUM(cc * cc * cc - cc) AS BIGINT) AS t3_all
+  FROM grid),
+fin AS (
+  SELECT v, n, u2, n_c,
+         t3 + (t3_all - t3_shared) AS t3_total
+  FROM per_v, ctl),
+calc AS (
+  SELECT v, n, n_c,
+         CAST(u2 AS DOUBLE) / 2.0 AS u,
+         CAST(n AS DOUBLE) AS nv, CAST(n_c AS DOUBLE) AS ncd,
+         CAST(n AS DOUBLE) + CAST(n_c AS DOUBLE) AS nd,
+         CAST(t3_total AS DOUBLE) AS t3d
+  FROM fin),
+zs AS (
+  SELECT v, n, n_c, u,
+         nv * ncd / 12.0 * ((nd + 1.0)
+           - t3d / (nd * (nd - 1.0))) AS var_,
+         (u - nv * ncd / 2.0) AS num
+  FROM calc)
+SELECT v AS variant, n,
+       CASE WHEN v <> '{AB_CONTROL}' THEN ROUND(u, 6) END AS u,
+       CASE WHEN v <> '{AB_CONTROL}' AND n >= 10 AND n_c >= 10
+                 AND var_ > 0
+            THEN ROUND(num / sqrt(var_), 6) END AS z,
+       CASE WHEN v <> '{AB_CONTROL}' AND n >= 10 AND n_c >= 10
+                 AND var_ > 0
+            THEN abs(num / sqrt(var_)) > 1.959964 END AS significant
+FROM zs
+ORDER BY variant
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -6940,4 +7019,5 @@ SCALE_QUERIES = {
     "pf_bootstrap": (pf_bootstrap, PF_BOOT_SQL),
     "tx_oov": (tx_oov, TX_OOV_SQL),
     "emb_confusion": (emb_confusion, EMB_CONF_SQL),
+    "pf_mannwhitney": (pf_mannwhitney, PF_MWU_SQL),
 }

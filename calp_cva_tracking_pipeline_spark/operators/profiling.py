@@ -1725,3 +1725,127 @@ def bootstrap_mean_ci(
             "ci_hi"
         ),
     ).orderBy(*group_cols)
+
+
+def mann_whitney(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    control: str,
+    min_n: int = 10,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) of every variant against a
+    declared control — the NONPARAMETRIC experiment readout beside
+    ``ab_test_summary``'s Welch z: rank-based, so heavy tails and
+    outliers that poison a mean comparison leave it unmoved.
+
+    Integer-exact machinery: values pin to cents; the pooled-value
+    grid carries per-variant and control counts; U computes from the
+    control's cumulative-below and tie counts at each value —
+    U2 = Σ_x cnt_v(x)·(2·cum_below_c(x) + eq_c(x)), twice U, exactly
+    integral (the ×2 absorbs the half-credit for ties). The normal
+    approximation uses the tie-corrected variance σ² = (n_v·n_c/12)·
+    ((N+1) − Σ(t³−t)/(N(N−1))) with tie sizes from the PAIR's pooled
+    sample — also integer sums — and a fixed double expression order
+    for z. Physical shape: one scan → (variant × value) cells
+    (map-side combined, value-cardinality exchange), one ordered
+    window over the value grid for the control cums (the pf_ks
+    integer-CDF discipline), one variant-cardinality aggregate.
+    Variants or control below ``min_n`` emit NULL z. Output: (variant,
+    n, u, z, significant), ordered by variant; the control row carries
+    NULL u/z. Engine addition; no reference counterpart.
+    """
+    enc = df.filter(
+        F.col(value_col).isNotNull() & F.col(variant_col).isNotNull()
+    ).select(
+        F.col(variant_col).alias("__v"),
+        F.round(F.col(value_col).cast("double") * 100)
+        .cast("bigint")
+        .alias("__x"),
+    )
+    cells = enc.groupBy("__v", "__x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    ctrl = (
+        cells.filter(F.col("__v") == control)
+        .select("__x", F.col("__c").alias("__cc"))
+    )
+    grid = (
+        cells.select("__x")
+        .distinct()
+        .join(ctrl, "__x", "left")
+        .select("__x", F.coalesce("__cc", F.lit(0)).alias("__cc"))
+    )
+    w_below = (
+        Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = grid.withColumn(
+        "__below", F.coalesce(F.sum("__cc").over(w_below), F.lit(0))
+    )
+    j = cells.join(grid, "__x")  # value-cardinality both sides; let AQE
+    # pick the strategy (a forced broadcast would cap the value grid)
+    per_v = j.groupBy("__v").agg(
+        F.sum("__c").cast("bigint").alias("n"),
+        F.sum(
+            F.col("__c")
+            * (F.lit(2) * F.col("__below") + F.col("__cc"))
+        )
+        .cast("bigint")
+        .alias("__u2"),
+        # tie-correction needs Σ(t³−t) over the PAIR's pooled sample:
+        # t_x = cnt_v(x) + cnt_c(x). (t³−t) expands so the sum splits
+        # into per-variant integer sums — no second pass:
+        F.sum(
+            (F.col("__c") + F.col("__cc"))
+            * (F.col("__c") + F.col("__cc"))
+            * (F.col("__c") + F.col("__cc"))
+            - (F.col("__c") + F.col("__cc"))
+        )
+        .cast("bigint")
+        .alias("__t3"),
+    )
+    # control sample size and control-internal tie mass as ONE-ROW
+    # aggregates (cross-joined back — never a driver-side count)
+    ctrl_all = grid.agg(
+        F.sum("__cc").cast("bigint").alias("__n_c"),
+        F.sum(
+            F.col("__cc") * F.col("__cc") * F.col("__cc") - F.col("__cc")
+        ).cast("bigint").alias("__t3_ctrl_all"),
+    )
+    shared_ctrl = j.groupBy("__v").agg(
+        F.sum(
+            F.col("__cc") * F.col("__cc") * F.col("__cc") - F.col("__cc")
+        ).cast("bigint").alias("__t3_ctrl_shared")
+    )
+    per_v = (
+        per_v.join(shared_ctrl, "__v")
+        .crossJoin(F.broadcast(ctrl_all))
+        .withColumn(
+            "__t3_total",
+            F.col("__t3")
+            + (F.col("__t3_ctrl_all") - F.col("__t3_ctrl_shared")),
+        )
+    )
+    nv = F.col("n").cast("double")
+    ncD = F.col("__n_c").cast("double")
+    nD = nv + ncD
+    u = F.col("__u2").cast("double") / F.lit(2.0)
+    mu = nv * ncD / F.lit(2.0)
+    tie_term = F.col("__t3_total").cast("double") / (
+        nD * (nD - F.lit(1.0))
+    )
+    var_ = nv * ncD / F.lit(12.0) * ((nD + F.lit(1.0)) - tie_term)
+    z = (u - mu) / F.sqrt(var_)
+    usable = (
+        (F.col("__v") != control)
+        & (F.col("n") >= min_n)
+        & (F.col("__n_c") >= min_n)
+        & (var_ > 0)
+    )
+    return per_v.select(
+        F.col("__v").alias("variant"),
+        "n",
+        F.when(F.col("__v") != control, F.round(u, 6)).alias("u"),
+        F.when(usable, F.round(z, 6)).alias("z"),
+        F.when(usable, F.abs(z) > 1.959964).alias("significant"),
+    ).orderBy("variant")

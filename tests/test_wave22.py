@@ -387,3 +387,51 @@ def test_centroid_confusion_separable_clusters(spark):
     assert out[("a", "b")][0] == 1
     assert out[("b", "b")] == (2, 1.0)
     assert out[("a", "a")][1] == 0.75
+
+
+def test_mann_whitney_python_reference_with_ties(spark):
+    import math
+
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        mann_whitney,
+    )
+
+    ctrl = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 7.0, 8.0, 9.0, 10.0]
+    var_hi = [4.0, 5.0, 6.0, 6.0, 8.0, 11.0, 12.0, 12.0, 13.0, 14.0]
+    rows = [("c", v) for v in ctrl] + [("hi", v) for v in var_hi]
+    df = spark.createDataFrame(rows, "variant string, value double")
+    out = {
+        r.variant: r
+        for r in mann_whitney(df, "variant", "value", control="c").collect()
+    }
+
+    def ref(xs, ys):
+        u = sum(
+            sum(1.0 for y in ys if y < x) + 0.5 * sum(1 for y in ys if y == x)
+            for x in xs
+        )
+        nv, nc = len(xs), len(ys)
+        nd = nv + nc
+        pooled = xs + ys
+        from collections import Counter
+
+        t3 = sum(t**3 - t for t in Counter(pooled).values())
+        var = nv * nc / 12 * ((nd + 1) - t3 / (nd * (nd - 1)))
+        return u, (u - nv * nc / 2) / math.sqrt(var)
+
+    u_ref, z_ref = ref(var_hi, ctrl)
+    hi = out["hi"]
+    assert hi.u == u_ref
+    assert abs(hi.z - z_ref) < 1e-6
+    assert out["c"].u is None and out["c"].z is None
+    # symmetric sanity: identical distributions -> z ~ 0
+    same = spark.createDataFrame(
+        [("c", float(v)) for v in range(20)]
+        + [("s", float(v)) for v in range(20)],
+        "variant string, value double",
+    )
+    s_row = {
+        r.variant: r
+        for r in mann_whitney(same, "variant", "value", control="c").collect()
+    }["s"]
+    assert s_row.u == 200.0 and s_row.z == 0.0
