@@ -6868,6 +6868,120 @@ ORDER BY variant
 """
 
 
+def emb_cluster_eval(spark, sf_dir):
+    """Purity + NMI of the bit-exact 2-iteration Lloyd clustering vs
+    the reference labels (operators.similarity.cluster_label_eval):
+    the unsupervised half of the embedding eval loop — nano-pinned
+    entropy/MI terms, integer purity, one k×labels contingency."""
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        cluster_label_eval,
+    )
+
+    return cluster_label_eval(
+        T(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        "label",
+        n_clusters=KMEANS_K,
+        iters=KMEANS_ITERS,
+    )
+
+
+def _cluster_eval_sql() -> str:
+    def assign(cent: str, out: str) -> str:
+        return f"""
+{out} AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT x.vec_id, {cent}.cid,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY {_IVF_D2.format(a='x.v', b=f'{cent}.cv')}, {cent}.cid
+           ) AS rn
+    FROM c x CROSS JOIN {cent}) t
+  WHERE rn = 1)"""
+
+    def assign_v(cent: str, out: str) -> str:
+        return f"""
+{out} AS (
+  SELECT vec_id, cid AS cell, v FROM (
+    SELECT x.vec_id, {cent}.cid, x.v,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY {_IVF_D2.format(a='x.v', b=f'{cent}.cv')}, {cent}.cid
+           ) AS rn
+    FROM c x CROSS JOIN {cent}) t
+  WHERE rn = 1)"""
+
+    def refine(prev_cent: str, assign_t: str, mean_t: str, out: str) -> str:
+        return f"""
+{mean_t} AS (
+  SELECT cell, d,
+         ROUND(CAST(SUM(CAST(v[d] AS DECIMAL(27,9))) AS DOUBLE)
+               / COUNT(*), 6) AS mean
+  FROM (SELECT cell, v, unnest(generate_series(1, len(v))) AS d
+        FROM {assign_t})
+  GROUP BY 1, 2),
+{out} AS (
+  SELECT p.cid, COALESCE(n.nv, p.cv) AS cv
+  FROM {prev_cent} p LEFT JOIN
+    (SELECT cell, list(mean ORDER BY d) AS nv FROM {mean_t} GROUP BY 1) n
+    ON n.cell = p.cid)"""
+
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent0 AS (
+  SELECT CAST(vec_id AS BIGINT) AS cid, v AS cv
+  FROM c ORDER BY vec_id LIMIT {KMEANS_K}),
+{assign_v('cent0', 'a1')},
+{refine('cent0', 'a1', 'm1', 'cent1')},
+{assign_v('cent1', 'a2')},
+{refine('cent1', 'a2', 'm2', 'cent2')},
+{assign('cent2', 'a3')},
+cells AS (
+  SELECT a3.cell, e.label, CAST(COUNT(*) AS BIGINT) AS ncl
+  FROM a3 JOIN embeddings e USING (vec_id)
+  WHERE e.label IS NOT NULL
+  GROUP BY 1, 2),
+margc AS (
+  SELECT cell, CAST(SUM(ncl) AS BIGINT) AS nc,
+         CAST(MAX(ncl) AS BIGINT) AS maxl
+  FROM cells GROUP BY cell),
+margl AS (
+  SELECT label, CAST(SUM(ncl) AS BIGINT) AS nl FROM cells GROUP BY label),
+tot AS (SELECT CAST(SUM(ncl) AS BIGINT) AS n FROM cells),
+mi AS (
+  SELECT CAST(SUM(CAST(ROUND(
+    ((CAST(ncl AS DOUBLE) / CAST(n AS DOUBLE))
+     * ln((CAST(n AS DOUBLE) * CAST(ncl AS DOUBLE))
+          / (CAST(nc AS DOUBLE) * CAST(nl AS DOUBLE)))) * 1e9)
+    AS BIGINT)) AS BIGINT) AS mi_nano
+  FROM cells JOIN margc USING (cell) JOIN margl USING (label), tot),
+hc AS (
+  SELECT CAST(SUM(CAST(ROUND(
+    ((CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+     * ln(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))) * -1e9)
+    AS BIGINT)) AS BIGINT) AS hc_nano,
+         CAST(SUM(maxl) AS BIGINT) AS pure,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM margc, tot),
+hl AS (
+  SELECT CAST(SUM(CAST(ROUND(
+    ((CAST(nl AS DOUBLE) / CAST(n AS DOUBLE))
+     * ln(CAST(nl AS DOUBLE) / CAST(n AS DOUBLE))) * -1e9)
+    AS BIGINT)) AS BIGINT) AS hl_nano
+  FROM margl, tot)
+SELECT n, n_cells,
+       ROUND(CAST(pure AS DOUBLE) / CAST(n AS DOUBLE), 6) AS purity,
+       CASE WHEN hc_nano > 0 AND hl_nano > 0 THEN
+         ROUND((CAST(mi_nano AS DOUBLE) / 1e9)
+               / sqrt((CAST(hc_nano AS DOUBLE) / 1e9)
+                      * (CAST(hl_nano AS DOUBLE) / 1e9)), 6)
+       END AS nmi
+FROM tot, mi, hc, hl
+"""
+
+
+EMB_CLUSTER_EVAL_SQL = _cluster_eval_sql()
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -7020,4 +7134,5 @@ SCALE_QUERIES = {
     "tx_oov": (tx_oov, TX_OOV_SQL),
     "emb_confusion": (emb_confusion, EMB_CONF_SQL),
     "pf_mannwhitney": (pf_mannwhitney, PF_MWU_SQL),
+    "emb_cluster_eval": (emb_cluster_eval, EMB_CLUSTER_EVAL_SQL),
 }

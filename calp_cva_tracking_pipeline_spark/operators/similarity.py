@@ -1068,3 +1068,108 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .select(F.col("id").alias(id_col), "neighbor_id", "sim", "rank")
     )
+
+
+def cluster_label_eval(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    n_clusters: int,
+    iters: int = 2,
+) -> DataFrame:
+    """Unsupervised-cluster quality against reference labels: purity and
+    NMI of the Lloyd k-means assignment — the "did clustering find the
+    label structure" readout that closes the embedding eval loop
+    (emb_confusion scores the SUPERVISED centroids; this scores the
+    unsupervised ones).
+
+    Determinism: clustering is the bit-exact decimal-rounded
+    ``train_centroids`` chain; assignment is ``assign_cells``' (rounded
+    d², cid) argmin; purity is pure integer arithmetic; the entropy and
+    mutual-information terms pin to integer NANO-units per contingency
+    cell before their keyed sums (order-independent), and NMI's final
+    sqrt-normalized ratio derives from those exact integers. Physical
+    shape: the kmeans scans + ONE (cluster × label) contingency
+    aggregation — cells bounded by k·|labels|, every marginal derived
+    from the cell table. Output: one row (n, n_cells, purity, nmi);
+    degenerate entropies (single cluster or single label) emit NULL
+    nmi. Engine addition; no reference counterpart.
+    """
+    cents = train_centroids(df, id_col, vec_col, n_clusters, iters=iters)
+    assigned = assign_cells(df, cents, id_col, vec_col)
+    lab = df.filter(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("__lid"), F.col(label_col).alias("__lab")
+    )
+    cells = (
+        assigned.join(lab, assigned[id_col] == lab["__lid"])
+        .groupBy("__cell", "__lab")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__ncl"))
+    )
+    marg_c = cells.groupBy("__cell").agg(
+        F.sum("__ncl").cast("bigint").alias("__nc"),
+        F.max("__ncl").cast("bigint").alias("__maxl"),
+    )
+    marg_l = cells.groupBy("__lab").agg(
+        F.sum("__ncl").cast("bigint").alias("__nl")
+    )
+    tot = cells.agg(F.sum("__ncl").cast("bigint").alias("__n"))
+    j = (
+        cells.join(F.broadcast(marg_c.select("__cell", "__nc")), "__cell")
+        .join(F.broadcast(marg_l), "__lab")
+        .crossJoin(F.broadcast(tot))
+    )
+    nD = F.col("__n").cast("double")
+    ncl = F.col("__ncl").cast("double")
+    nc = F.col("__nc").cast("double")
+    nl = F.col("__nl").cast("double")
+    mi_pin = F.round(
+        (ncl / nD) * F.log(nD * ncl / (nc * nl)) * F.lit(1e9)
+    ).cast("bigint")
+    mi = j.agg(F.sum(mi_pin).alias("__mi_nano"))
+    hc_pin = F.round(
+        (F.col("__nc").cast("double") / F.col("__n").cast("double"))
+        * F.log(
+            F.col("__nc").cast("double") / F.col("__n").cast("double")
+        )
+        * F.lit(-1e9)
+    ).cast("bigint")
+    hl_pin = F.round(
+        (F.col("__nl").cast("double") / F.col("__n").cast("double"))
+        * F.log(
+            F.col("__nl").cast("double") / F.col("__n").cast("double")
+        )
+        * F.lit(-1e9)
+    ).cast("bigint")
+    hc = (
+        marg_c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(hc_pin).alias("__hc_nano"),
+            F.sum("__maxl").cast("bigint").alias("__pure"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        )
+    )
+    hl = marg_l.crossJoin(F.broadcast(tot)).agg(
+        F.sum(hl_pin).alias("__hl_nano")
+    )
+    out = (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+    )
+    mid = F.col("__mi_nano").cast("double") / F.lit(1e9)
+    hcd = F.col("__hc_nano").cast("double") / F.lit(1e9)
+    hld = F.col("__hl_nano").cast("double") / F.lit(1e9)
+    nmi = F.when(
+        (F.col("__hc_nano") > 0) & (F.col("__hl_nano") > 0),
+        mid / F.sqrt(hcd * hld),
+    )
+    return out.select(
+        F.col("__n").alias("n"),
+        "n_cells",
+        F.round(
+            F.col("__pure").cast("double") / F.col("__n").cast("double"),
+            6,
+        ).alias("purity"),
+        F.round(nmi, 6).alias("nmi"),
+    )

@@ -435,3 +435,41 @@ def test_mann_whitney_python_reference_with_ties(spark):
         for r in mann_whitney(same, "variant", "value", control="c").collect()
     }["s"]
     assert s_row.u == 200.0 and s_row.z == 0.0
+
+
+def test_cluster_eval_perfect_and_random(spark):
+    import math
+
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        cluster_label_eval,
+    )
+
+    # two tight, far-apart blobs whose labels match the blobs exactly:
+    # k=2 init takes the two lowest ids (one per blob) -> perfect
+    # clustering -> purity 1, NMI 1
+    rows = []
+    for i in range(10):
+        rows.append((i * 2, [0.0 + i * 0.01, 0.0], "a"))      # even ids blob a
+        rows.append((i * 2 + 1, [50.0, 50.0 + i * 0.01], "b"))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    r = cluster_label_eval(
+        df, "vec_id", "embedding", "label", n_clusters=2, iters=1
+    ).collect()[0]
+    assert r.n == 20 and r.n_cells == 2
+    assert r.purity == 1.0
+    assert abs(r.nmi - 1.0) < 1e-6
+    # labels independent of clusters -> NMI ~ 0 (exactly 0 when the
+    # contingency is perfectly balanced)
+    rows2 = []
+    for i in range(20):
+        blob = [0.0, float(i % 2) * 100.0]
+        rows2.append((i, blob, "x" if i % 4 < 2 else "y"))
+    df2 = spark.createDataFrame(
+        rows2, "vec_id long, embedding array<double>, label string"
+    )
+    r2 = cluster_label_eval(
+        df2, "vec_id", "embedding", "label", n_clusters=2, iters=1
+    ).collect()[0]
+    assert r2.nmi is not None and abs(r2.nmi) < 0.05
