@@ -6982,6 +6982,91 @@ FROM tot, mi, hc, hl
 EMB_CLUSTER_EVAL_SQL = _cluster_eval_sql()
 
 
+RJ_TOP_PER_DAY = 3  # incident windows: each day's top-3 events by value
+RJ_HALF_WIN_US = 1_800_000_000  # ±30 min around the incident event
+RJ_BIN_US = 3_600_000_000  # 1h range-join bins
+
+
+def tj_range_join(spark, sf_dir):
+    """Incident-window × user-day-activity interval overlap join
+    (operators.temporal.interval_overlap_join): bin-bucketed EQUI-join
+    on coarse time bins + exact overlap predicate — the range-join
+    primitive without the cross join. Incidents = each day's top-3
+    events by (value desc, event_id); activity = per-(user, day)
+    [min ts, max ts + 1s) span."""
+    from pyspark.sql import Window
+
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    e = T(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    day_w = Window.partitionBy(F.to_date("ts")).orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    incidents = (
+        e.withColumn("__rn", F.row_number().over(day_w))
+        .filter(F.col("__rn") <= RJ_TOP_PER_DAY)
+        .select(
+            F.col("event_id").alias("incident_id"),
+            (F.unix_micros("ts") - RJ_HALF_WIN_US).alias("s_us"),
+            (F.unix_micros("ts") + RJ_HALF_WIN_US).alias("e_us"),
+        )
+    )
+    activity = (
+        e.groupBy(
+            F.col("user_id"), F.to_date("ts").alias("__day")
+        )
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s_us"),
+            (F.max(F.unix_micros("ts")) + F.lit(1_000_000)).alias("e_us"),
+        )
+        .select(
+            F.concat_ws(
+                "#", F.col("user_id"), F.date_format("__day", "yyyy-MM-dd")
+            ).alias("userday_id"),
+            "s_us",
+            "e_us",
+        )
+    )
+    return interval_overlap_join(
+        activity,
+        incidents,
+        "userday_id",
+        "incident_id",
+        bin_us=RJ_BIN_US,
+    ).orderBy("userday_id", "incident_id")
+
+
+TJ_RANGE_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, ts, value, epoch_us(ts) AS tus,
+         CAST(ts AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+inc AS (
+  SELECT event_id AS incident_id,
+         tus - {RJ_HALF_WIN_US} AS s_us, tus + {RJ_HALF_WIN_US} AS e_us
+  FROM (SELECT event_id, tus,
+               ROW_NUMBER() OVER (PARTITION BY day
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM e) t
+  WHERE rn <= {RJ_TOP_PER_DAY}),
+act AS (
+  SELECT CAST(user_id AS VARCHAR) || '#' || strftime(day, '%Y-%m-%d')
+           AS userday_id,
+         MIN(tus) AS s_us, MAX(tus) + 1000000 AS e_us
+  FROM e GROUP BY user_id, day)
+SELECT a.userday_id, i.incident_id,
+       CAST(least(a.e_us, i.e_us) - greatest(a.s_us, i.s_us) AS BIGINT)
+         AS overlap_us
+FROM act a JOIN inc i
+  ON a.s_us < i.e_us AND i.s_us < a.e_us
+ORDER BY a.userday_id, i.incident_id
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -7135,4 +7220,5 @@ SCALE_QUERIES = {
     "emb_confusion": (emb_confusion, EMB_CONF_SQL),
     "pf_mannwhitney": (pf_mannwhitney, PF_MWU_SQL),
     "emb_cluster_eval": (emb_cluster_eval, EMB_CLUSTER_EVAL_SQL),
+    "tj_range_join": (tj_range_join, TJ_RANGE_SQL),
 }

@@ -1079,3 +1079,72 @@ def seasonal_strength(
         F.round(var_r / F.lit(1e4), 6).alias("var_resid"),
         F.when(usable, F.round(strength, 6)).alias("strength"),
     ).orderBy(*key_cols)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    start_col: str = "s_us",
+    end_col: str = "e_us",
+    bin_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval-overlap range join — pairs (left, right) whose half-open
+    [start, end) micro-second intervals intersect, with the overlap
+    length. THE range-join primitive (downtime × sessions, promotions ×
+    orders, incidents × activity) that a naive formulation turns into a
+    cross join.
+
+    Plan shape: both sides explode to the coarse time bins they span
+    (``sequence(s div bin, (e-1) div bin)``), the join is an EQUI-join
+    on the bin (hash-partitionable, AQE-skew-splittable), a pair that
+    shares several bins dedupes through one distinct, and the exact
+    predicate ``a.s < b.e AND b.s < a.e`` filters bin neighbors that
+    do not truly intersect. Join volume is Σ_bin |L_bin|·|R_bin| —
+    data-proportional when intervals are short relative to ``bin_us``
+    (bins-per-interval = span/bin + 1; size the bin to the MEDIAN span,
+    and split pathological long-lived intervals upstream). Degenerate
+    inputs (end <= start, null bounds) drop. Output: (left_id,
+    right_id, overlap_us), overlap integral-exact. Engine addition; no
+    reference counterpart.
+    """
+    b = F.lit(int(bin_us))
+
+    def binned(df: DataFrame, id_col: str, tag: str) -> DataFrame:
+        s, e = F.col(start_col), F.col(end_col)
+        return (
+            df.filter(
+                s.isNotNull() & e.isNotNull() & (e > s)
+            )
+            .select(
+                F.col(id_col).alias(f"__{tag}id"),
+                s.alias(f"__{tag}s"),
+                e.alias(f"__{tag}e"),
+                F.explode(
+                    F.sequence(
+                        ((s - s % b) / b).cast("bigint"),
+                        (((e - 1) - (e - 1) % b) / b).cast("bigint"),
+                    )
+                ).alias("__bin"),
+            )
+        )
+
+    la = binned(left, left_id, "l")
+    rb = binned(right, right_id, "r")
+    pairs = (
+        la.join(rb, "__bin")
+        .filter(
+            (F.col("__ls") < F.col("__re"))
+            & (F.col("__rs") < F.col("__le"))
+        )
+        .select("__lid", "__rid", "__ls", "__le", "__rs", "__re")
+        .distinct()
+    )
+    return pairs.select(
+        F.col("__lid").alias(left_id),
+        F.col("__rid").alias(right_id),
+        (
+            F.least("__le", "__re") - F.greatest("__ls", "__rs")
+        ).cast("bigint").alias("overlap_us"),
+    )

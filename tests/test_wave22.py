@@ -473,3 +473,39 @@ def test_cluster_eval_perfect_and_random(spark):
         df2, "vec_id", "embedding", "label", n_clusters=2, iters=1
     ).collect()[0]
     assert r2.nmi is not None and abs(r2.nmi) < 0.05
+
+
+def test_interval_overlap_join_bins_and_boundaries(spark):
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    B = 100  # tiny bins to force multi-bin spans
+    left = spark.createDataFrame(
+        [
+            ("L1", 0, 250),     # spans bins 0,1,2
+            ("L2", 500, 600),   # bin 5
+            ("L3", 990, 1000),  # bin 9
+            ("L4", 50, 50),     # degenerate -> dropped
+        ],
+        "lid string, s_us long, e_us long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("R1", 100, 300),   # overlaps L1 on bins 1 and 2 -> ONE row
+            ("R2", 250, 400),   # touches L1 at 250 -> NO overlap
+            ("R3", 590, 1000),  # overlaps L2 (10us) and L3 (10us)
+        ],
+        "rid string, s_us long, e_us long",
+    )
+    out = {
+        (r.lid, r.rid): r.overlap_us
+        for r in interval_overlap_join(
+            left, right, "lid", "rid", bin_us=B
+        ).collect()
+    }
+    assert out == {
+        ("L1", "R1"): 150,
+        ("L2", "R3"): 10,
+        ("L3", "R3"): 10,
+    }
