@@ -7067,6 +7067,55 @@ ORDER BY a.userday_id, i.incident_id
 """
 
 
+def ts_holt(spark, sf_dir):
+    """Per-user Holt level+trend smoothing (operators.temporal.
+    holt_smooth): the bit-exact two-integer recurrence — ewma's
+    discipline extended to trending series; the oracle replays it as a
+    recursive CTE carrying the same (level, trend) integers."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        holt_smooth,
+    )
+
+    return holt_smooth(
+        T(spark, sf_dir, "events"),
+        ["user_id"],
+        "ts",
+        "value",
+        "event_id",
+    )
+
+
+TS_HOLT_SQL = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS x6,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+h AS (
+  SELECT user_id, event_id, rn, x6 AS l, CAST(0 AS BIGINT) AS b
+  FROM seq WHERE rn = 1
+  UNION ALL
+  -- floor division spelled out (// truncates; the kernel floors):
+  -- subtracting the non-negative ((n % d) + d) % d makes the numerator
+  -- exactly divisible, after which // is floor for every sign.
+  SELECT user_id, event_id, rn, nl,
+         ((nl - pl + 7 * pb)
+          - ((((nl - pl + 7 * pb) % 8) + 8) % 8)) // 8 AS b
+  FROM (
+    SELECT q.user_id, q.event_id, q.rn,
+           ((q.x6 + 3 * (e.l + e.b))
+            - ((((q.x6 + 3 * (e.l + e.b)) % 4) + 4) % 4)) // 4 AS nl,
+           e.l AS pl, e.b AS pb
+    FROM seq q JOIN h e ON q.user_id = e.user_id AND q.rn = e.rn + 1) t)
+SELECT user_id, event_id,
+       CAST(l AS DOUBLE) / 1000000 AS level,
+       CAST(b AS DOUBLE) / 1000000 AS trend,
+       CAST(l + b AS DOUBLE) / 1000000 AS forecast
+FROM h
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -7221,4 +7270,5 @@ SCALE_QUERIES = {
     "pf_mannwhitney": (pf_mannwhitney, PF_MWU_SQL),
     "emb_cluster_eval": (emb_cluster_eval, EMB_CLUSTER_EVAL_SQL),
     "tj_range_join": (tj_range_join, TJ_RANGE_SQL),
+    "ts_holt": (ts_holt, TS_HOLT_SQL),
 }

@@ -1148,3 +1148,80 @@ def interval_overlap_join(
             F.least("__le", "__re") - F.greatest("__ls", "__rs")
         ).cast("bigint").alias("overlap_us"),
     )
+
+
+def holt_smooth(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    beta_num: int = 1,
+    beta_den: int = 8,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + trend) with a
+    BIT-EXACT two-integer recurrence — ``ewma_smooth``'s discipline
+    extended to the trending-series case EWMA systematically lags:
+
+        l₀ = x₀, b₀ = 0
+        lₜ = ⌊(αn·xₜ + (αd−αn)·(lₜ₋₁+bₜ₋₁)) / αd⌋
+        bₜ = ⌊(βn·(lₜ−lₜ₋₁) + (βd−βn)·bₜ₋₁) / βd⌋
+
+    over values pre-rounded to ``scale`` integer units; the one-step
+    forecast lₜ+bₜ rides along. Identical across partitionings, re-runs
+    and engines — the oracle replays it as a recursive CTE carrying the
+    same two integers (with the floor-division spelled out, since SQL
+    ``//`` truncates). Serial per key, so it runs as ``applyInPandas``
+    over key groups with two integers of state; for keys with unbounded
+    histories apply the ``ewma_smooth_chunked`` epoch-slicing pattern —
+    the carried state is (l, b) instead of one integer, nothing else
+    changes. NULL values/timestamps are excluded (mirrored in the
+    oracle). Output: keys + tiebreak + (level, trend, forecast), each
+    an exact multiple of 1/scale. Engine addition; no reference
+    counterpart.
+    """
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys, tiebreak_col).schema.fields
+    )
+    schema = f"{out_fields}, level double, trend double, forecast double"
+    enc = (
+        df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            *keys,
+            tiebreak_col,
+            F.col(ts_col).alias("__ts"),
+            F.round(F.col(value_col).cast("double") * scale)
+            .cast("long")
+            .alias("__x"),
+        )
+    )
+    a_keep = alpha_den - alpha_num
+    b_keep = beta_den - beta_num
+
+    def smooth(pdf):
+        pdf = pdf.sort_values(["__ts", tiebreak_col], kind="mergesort")
+        lvl = None
+        trd = 0
+        levels, trends, fcs = [], [], []
+        for x in pdf["__x"]:
+            x = int(x)
+            if lvl is None:
+                lvl, trd = x, 0
+            else:
+                nl = (alpha_num * x + a_keep * (lvl + trd)) // alpha_den
+                trd = (beta_num * (nl - lvl) + b_keep * trd) // beta_den
+                lvl = nl
+            levels.append(lvl / scale)
+            trends.append(trd / scale)
+            fcs.append((lvl + trd) / scale)
+        out = pdf[[*keys, tiebreak_col]].copy()
+        out["level"] = levels
+        out["trend"] = trends
+        out["forecast"] = fcs
+        return out
+
+    return enc.groupBy(*keys).applyInPandas(smooth, schema)
