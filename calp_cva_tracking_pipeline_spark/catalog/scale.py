@@ -7116,6 +7116,80 @@ FROM h
 """
 
 
+SA_Z = 3.0
+SA_MIN_ROWS = 48
+
+
+def ts_seasonal_anomaly(spark, sf_dir):
+    """Seasonally-adjusted anomaly flags per event type (operators.
+    temporal.seasonal_anomaly): residual z after day-mean detrend +
+    hour-effect removal — the rhythm-blind alarm beside ev_anomaly's
+    rolling z. Same centi-unit pinning as ts_seasonal."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        seasonal_anomaly,
+    )
+
+    return seasonal_anomaly(
+        T(spark, sf_dir, "events"),
+        ["event_type"],
+        "event_id",
+        "ts",
+        "value",
+        z_thresh=SA_Z,
+        min_rows=SA_MIN_ROWS,
+    )
+
+
+TS_SA_SQL = f"""
+WITH enc AS (
+  SELECT event_type, event_id, CAST(ts AS DATE) AS day,
+         EXTRACT(hour FROM ts) AS hr,
+         CAST(ROUND(value) AS BIGINT) AS x
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND event_type IS NOT NULL),
+dm AS (
+  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS nd,
+         CAST(SUM(x) AS BIGINT) AS sd
+  FROM enc GROUP BY 1, 2),
+detr AS (
+  SELECT e.event_type, e.event_id, hr,
+         CAST(ROUND((CAST(x AS DOUBLE)
+                     - CAST(sd AS DOUBLE) / CAST(nd AS DOUBLE))
+                    * 100.0) AS BIGINT) AS dc
+  FROM enc e JOIN dm USING (event_type, day)),
+he AS (
+  SELECT event_type, hr,
+         CAST(ROUND(CAST(SUM(dc) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS hc
+  FROM detr GROUP BY 1, 2),
+resid AS (
+  SELECT d.event_type, d.event_id, dc - hc AS rc
+  FROM detr d JOIN he USING (event_type, hr)),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rc) AS BIGINT) AS s1,
+         CAST(SUM(rc * rc) AS BIGINT) AS s2
+  FROM resid GROUP BY 1),
+z AS (
+  SELECT r.event_type, r.event_id, r.rc,
+         (CAST(rc AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS zz
+  FROM resid r JOIN stats s USING (event_type)
+  WHERE n >= {SA_MIN_ROWS}
+    AND (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) > 0)
+SELECT event_type, event_id,
+       ROUND(CAST(rc AS DOUBLE) / 100.0, 6) AS resid,
+       ROUND(zz, 6) AS z
+FROM z WHERE abs(zz) > {SA_Z}
+ORDER BY event_type, event_id
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -7271,4 +7345,5 @@ SCALE_QUERIES = {
     "emb_cluster_eval": (emb_cluster_eval, EMB_CLUSTER_EVAL_SQL),
     "tj_range_join": (tj_range_join, TJ_RANGE_SQL),
     "ts_holt": (ts_holt, TS_HOLT_SQL),
+    "ts_seasonal_anomaly": (ts_seasonal_anomaly, TS_SA_SQL),
 }

@@ -1225,3 +1225,97 @@ def holt_smooth(
         return out
 
     return enc.groupBy(*keys).applyInPandas(smooth, schema)
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    ts_col: str,
+    value_col: str,
+    z_thresh: float = 3.0,
+    min_rows: int = 48,
+) -> DataFrame:
+    """Seasonally-adjusted anomaly flags: z-score of the two-way
+    decomposition RESIDUAL (value − day mean − hour effect) per key —
+    the alarm that a plain rolling z (``rolling_anomaly``) cannot give
+    on rhythmic series, where every evening peak looks anomalous
+    against a flat baseline. Detrend/deseasonalize exactly as
+    ``seasonal_strength`` (same centi-unit integer pinning, same
+    exchange-reusable lineage), then one key-cardinality moment
+    aggregate supplies mean/sd of the residual and rows with
+    |z| > ``z_thresh`` flag. Keys with fewer than ``min_rows`` rows or
+    zero residual variance emit nothing (no inference from degenerate
+    baselines). Output: keys + (id, resid, z) for flagged rows,
+    ordered by keys + id. Engine addition; no reference counterpart.
+    """
+    keys_ok = F.lit(True)
+    for kc in key_cols:
+        keys_ok = keys_ok & F.col(kc).isNotNull()
+    enc = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull() & keys_ok
+    ).select(
+        *key_cols,
+        F.col(id_col).alias("__id"),
+        F.to_date(F.col(ts_col)).alias("__day"),
+        F.hour(F.col(ts_col)).alias("__hour"),
+        F.round(F.col(value_col).cast("double")).cast("long").alias("__x"),
+    )
+    day_means = enc.groupBy(*key_cols, "__day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nd"),
+        F.sum("__x").cast("bigint").alias("__sd"),
+    )
+    detr = enc.join(day_means, [*key_cols, "__day"]).select(
+        *key_cols,
+        "__id",
+        "__hour",
+        F.round(
+            (
+                F.col("__x").cast("double")
+                - F.col("__sd").cast("double") / F.col("__nd").cast("double")
+            )
+            * F.lit(100.0)
+        )
+        .cast("bigint")
+        .alias("__dc"),
+    )
+    hour_eff = detr.groupBy(*key_cols, "__hour").agg(
+        F.round(
+            F.sum("__dc").cast("double") / F.count(F.lit(1)).cast("double")
+        )
+        .cast("bigint")
+        .alias("__hc")
+    )
+    resid = detr.join(F.broadcast(hour_eff), [*key_cols, "__hour"]).select(
+        *key_cols,
+        "__id",
+        (F.col("__dc") - F.col("__hc")).alias("__rc"),
+    )
+    stats = resid.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__rc").cast("bigint").alias("__s1"),
+        F.sum(F.col("__rc") * F.col("__rc")).cast("bigint").alias("__s2"),
+    )
+    nD = F.col("__n").cast("double")
+    mean_ = F.col("__s1").cast("double") / nD
+    var_ = (
+        nD * F.col("__s2").cast("double")
+        - F.col("__s1").cast("double") * F.col("__s1").cast("double")
+    ) / (nD * nD)
+    j = resid.join(F.broadcast(stats), key_cols).filter(
+        (F.col("__n") >= min_rows) & (var_ > 0)
+    )
+    z = (F.col("__rc").cast("double") - mean_) / F.sqrt(var_)
+    return (
+        j.withColumn("__z", z)
+        .filter(F.abs(F.col("__z")) > z_thresh)
+        .select(
+            *key_cols,
+            F.col("__id").alias(id_col),
+            F.round(F.col("__rc").cast("double") / F.lit(100.0), 6).alias(
+                "resid"
+            ),
+            F.round("__z", 6).alias("z"),
+        )
+        .orderBy(*key_cols, id_col)
+    )

@@ -552,3 +552,35 @@ def test_holt_tracks_linear_ramp_and_replays_exactly(spark):
     last = out[59]
     assert last.trend > 5.0
     assert abs(last.forecast - 600.0) < abs(last.level - 600.0)
+
+
+def test_seasonal_anomaly_ignores_rhythm_flags_spike(spark):
+    import datetime as dt
+
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        seasonal_anomaly,
+    )
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    # strong daily rhythm: value = 100 * (hour % 12), 4 days
+    for d in range(4):
+        for h in range(24):
+            v = float(100 * (h % 12))
+            # one true spike buried at day 2, hour 6 (rhythm says 600)
+            if d == 2 and h == 6:
+                v = 5000.0
+            rows.append(("k", eid, t0 + dt.timedelta(days=d, hours=h), v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "k string, event_id long, ts timestamp, value double"
+    )
+    out = seasonal_anomaly(
+        df, ["k"], "event_id", "ts", "value", z_thresh=3.0
+    ).collect()
+    flagged = {r.event_id for r in out}
+    spike_id = 2 * 24 + 6
+    assert spike_id in flagged
+    # the rhythm itself (evening peaks on other days) must NOT flag
+    assert len(flagged) <= 4  # the spike + at most its decomposition echo
