@@ -7190,6 +7190,84 @@ ORDER BY event_type, event_id
 """
 
 
+FUNNEL_TIME_STEPS = ["view", "click", "purchase"]
+
+
+def ev_funnel_time(spark, sf_dir):
+    """Per-hop time-to-convert for the view→click→purchase funnel
+    (operators.funnel.funnel_step_times): strictly-ordered step times,
+    integer-second hop latencies, exact ceil(p·n) percentile cuts —
+    the stall-location readout beside ev_funnel's completion counts."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        funnel_step_times,
+    )
+
+    return funnel_step_times(
+        T(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        FUNNEL_TIME_STEPS,
+    )
+
+
+EV_FUNNEL_TIME_SQL = """
+WITH u1 AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM events GROUP BY 1),
+u2 AS (
+  SELECT e.user_id, t1,
+         MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END) AS t2
+  FROM events e JOIN u1 USING (user_id) GROUP BY 1, 2),
+u3 AS (
+  SELECT e.user_id, t1, t2,
+         MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+           AS t3
+  FROM events e JOIN u2 USING (user_id) GROUP BY 1, 2, 3),
+melted AS (
+  SELECT 1 AS hop, 'view' AS step_from, 'click' AS step_to,
+         CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS entered,
+         CASE WHEN t2 IS NOT NULL THEN
+           CAST(((epoch_us(t2) - epoch_us(t1))
+                 - (epoch_us(t2) - epoch_us(t1)) % 1000000) / 1000000
+             AS BIGINT) END AS gap_s
+  FROM u3
+  UNION ALL
+  SELECT 2, 'click', 'purchase',
+         CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END,
+         CASE WHEN t3 IS NOT NULL THEN
+           CAST(((epoch_us(t3) - epoch_us(t2))
+                 - (epoch_us(t3) - epoch_us(t2)) % 1000000) / 1000000
+             AS BIGINT) END
+  FROM u3),
+entered AS (
+  SELECT hop, step_from, step_to,
+         CAST(SUM(entered) AS BIGINT) AS n_entered,
+         CAST(COUNT(gap_s) AS BIGINT) AS n_converted
+  FROM melted GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT hop, gap_s,
+         ROW_NUMBER() OVER (PARTITION BY hop ORDER BY gap_s) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY hop) AS BIGINT) AS n
+  FROM melted WHERE gap_s IS NOT NULL),
+cuts AS (
+  SELECT hop,
+         MAX(CASE WHEN rn = greatest(1, (500000 * n + 999999) // 1000000)
+             THEN gap_s END) AS p50_s,
+         MAX(CASE WHEN rn = greatest(1, (900000 * n + 999999) // 1000000)
+             THEN gap_s END) AS p90_s
+  FROM ranked GROUP BY hop)
+SELECT e.hop, step_from, step_to, n_entered, n_converted,
+       CASE WHEN n_entered > 0 THEN
+         ROUND(CAST(n_converted AS DOUBLE) / CAST(n_entered AS DOUBLE), 6)
+       END AS rate,
+       p50_s, p90_s
+FROM entered e LEFT JOIN cuts USING (hop)
+ORDER BY e.hop
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -7346,4 +7424,5 @@ SCALE_QUERIES = {
     "tj_range_join": (tj_range_join, TJ_RANGE_SQL),
     "ts_holt": (ts_holt, TS_HOLT_SQL),
     "ts_seasonal_anomaly": (ts_seasonal_anomaly, TS_SA_SQL),
+    "ev_funnel_time": (ev_funnel_time, EV_FUNNEL_TIME_SQL),
 }

@@ -605,3 +605,92 @@ def kaplan_meier(
         )
         .orderBy("t_s")
     )
+
+
+def funnel_step_times(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    pcts_ppm: tuple[int, ...] = (500_000, 900_000),
+) -> DataFrame:
+    """Time-to-convert between consecutive funnel steps: for each hop
+    i→i+1, the converting-user count, conversion rate from the hop's
+    entry population, and exact order-statistic percentiles of the hop
+    latency — the "WHERE does the funnel stall and for HOW LONG"
+    readout ``funnel_steps``' completion counts cannot give.
+
+    Hop latencies come from ``funnel_steps``' strictly-ordered step
+    times (integer seconds, floor of the micros gap); percentiles are
+    the winsorize tier's pure-integer ceil(p·n) ranks over ONE
+    hop-keyed ordered window (hops×users rows after a melt — duplicate
+    latencies commute, no tie-break). Output: one row per hop
+    (hop, step_from, step_to, n_entered, n_converted, rate,
+    p50_s, p90_s), ordered by hop — column names fixed for the default
+    two percentiles. Engine addition; no reference counterpart.
+    """
+    ft = funnel_steps(df, user_col, ts_col, type_col, steps)
+    hops = []
+    for i in range(len(steps) - 1):
+        a, b = f"t_{steps[i]}", f"t_{steps[i+1]}"
+        gap_us = F.unix_micros(F.col(b)) - F.unix_micros(F.col(a))
+        hops.append(
+            ft.select(
+                F.lit(i + 1).alias("hop"),
+                F.lit(steps[i]).alias("step_from"),
+                F.lit(steps[i + 1]).alias("step_to"),
+                F.col(a).isNotNull().cast("int").alias("__entered"),
+                F.when(
+                    F.col(b).isNotNull(),
+                    ((gap_us - gap_us % 1_000_000) / 1_000_000).cast(
+                        "bigint"
+                    ),
+                ).alias("__gap_s"),
+            )
+        )
+    melted = hops[0]
+    for h in hops[1:]:
+        melted = melted.unionByName(h)
+    entered = melted.groupBy("hop", "step_from", "step_to").agg(
+        F.sum("__entered").cast("bigint").alias("n_entered"),
+        F.count("__gap_s").cast("bigint").alias("n_converted"),
+    )
+    conv = melted.filter(F.col("__gap_s").isNotNull())
+    w_ord = Window.partitionBy("hop").orderBy("__gap_s")
+    w_all = Window.partitionBy("hop")
+    ranked = conv.withColumn("__rn", F.row_number().over(w_ord)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_all)
+    )
+    cut_aggs = []
+    for ppm in pcts_ppm:
+        k = F.expr(
+            f"greatest(1L, ({int(ppm)}L * __n + 999999L) div 1000000L)"
+        )
+        cut_aggs.append(
+            F.max(F.when(F.col("__rn") == k, F.col("__gap_s"))).alias(
+                f"p{ppm // 10000}_s"
+            )
+        )
+    cuts = ranked.groupBy("hop").agg(*cut_aggs)
+    rate = F.when(
+        F.col("n_entered") > 0,
+        F.round(
+            F.col("n_converted").cast("double")
+            / F.col("n_entered").cast("double"),
+            6,
+        ),
+    )
+    return (
+        entered.join(cuts, "hop", "left")
+        .select(
+            "hop",
+            "step_from",
+            "step_to",
+            "n_entered",
+            "n_converted",
+            rate.alias("rate"),
+            *[F.col(f"p{p // 10000}_s") for p in pcts_ppm],
+        )
+        .orderBy("hop")
+    )

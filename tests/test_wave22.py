@@ -584,3 +584,39 @@ def test_seasonal_anomaly_ignores_rhythm_flags_spike(spark):
     assert spike_id in flagged
     # the rhythm itself (evening peaks on other days) must NOT flag
     assert len(flagged) <= 4  # the spike + at most its decomposition echo
+
+
+def test_funnel_step_times_hand_latencies(spark):
+    import datetime as dt
+
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        funnel_step_times,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, typ, s):
+        return (u, typ, t0 + dt.timedelta(seconds=s))
+
+    rows = [
+        # u1: full funnel, a->b 10s, b->c 100s
+        ev(1, "a", 0), ev(1, "b", 10), ev(1, "c", 110),
+        # u2: a->b 30s, never c
+        ev(2, "a", 0), ev(2, "b", 30),
+        # u3: only a
+        ev(3, "a", 5),
+        # u4: b before a -> strictly-after means b never counts
+        ev(4, "b", 0), ev(4, "a", 10),
+    ]
+    df = spark.createDataFrame(rows, "u long, t string, ts timestamp")
+    out = {
+        r.hop: r
+        for r in funnel_step_times(df, "u", "ts", "t", ["a", "b", "c"]).collect()
+    }
+    h1 = out[1]
+    assert (h1.n_entered, h1.n_converted) == (4, 2)
+    assert h1.rate == 0.5
+    assert (h1.p50_s, h1.p90_s) == (10, 30)  # ceil(.5*2)=1 -> 10; ceil(.9*2)=2 -> 30
+    h2 = out[2]
+    assert (h2.n_entered, h2.n_converted) == (2, 1)
+    assert (h2.p50_s, h2.p90_s) == (100, 100)
