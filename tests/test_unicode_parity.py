@@ -50,6 +50,12 @@ TEXT_FAMILY = [
     # CJK/emoji/combining marks) and the code router's regex counts
     "tx_sentences",
     "tx_code_detect",
+    # round 9 wave 22/23: winnowed fingerprints, JSD and OOV share the
+    # whitespace tokenizer + md5 gram hashing, so they must survive the
+    # same adversarial corpus (CJK, emoji, combining marks, RTL)
+    "dd_winnow",
+    "tx_jsd",
+    "tx_oov",
 ]
 
 
