@@ -7268,6 +7268,44 @@ ORDER BY e.hop
 """
 
 
+CARD_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+
+
+def pf_cardinalities(spark, sf_dir):
+    """Exact multi-column cardinality inventory over lineitem in ONE
+    Expand-based aggregation (operators.profiling.column_cardinalities)
+    — the join/partition-key sizing pass."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        column_cardinalities,
+    )
+
+    return column_cardinalities(
+        T(spark, sf_dir, "lineitem"), CARD_COLS
+    )
+
+
+_CARD_SELECTS = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM lineitem"""
+    for c in CARD_COLS
+)
+
+PF_CARD_SQL = f"""
+{_CARD_SELECTS}
+ORDER BY "column"
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -7425,4 +7463,5 @@ SCALE_QUERIES = {
     "ts_holt": (ts_holt, TS_HOLT_SQL),
     "ts_seasonal_anomaly": (ts_seasonal_anomaly, TS_SA_SQL),
     "ev_funnel_time": (ev_funnel_time, EV_FUNNEL_TIME_SQL),
+    "pf_cardinalities": (pf_cardinalities, PF_CARD_SQL),
 }

@@ -1849,3 +1849,47 @@ def mann_whitney(
         F.when(usable, F.round(z, 6)).alias("z"),
         F.when(usable, F.abs(z) > 1.959964).alias("significant"),
     ).orderBy("variant")
+
+
+def column_cardinalities(
+    df: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Exact distinct-value counts and null counts for a declared column
+    list in ONE aggregation — the cardinality inventory that sizes
+    dictionary encodings, join strategies and partition keys before any
+    plan commits to them. Spark plans multiple COUNT(DISTINCT) in a
+    single agg via the Expand operator (rows × |cols|, map-side
+    combined) — one scan, one shuffle, no per-column passes. Output:
+    long format (column, n_rows, n_nulls, n_distinct) ordered by
+    column name (distinct counts exclude NULL, per SQL semantics).
+    Engine addition; no reference counterpart.
+    """
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for c in cols:
+        aggs.append(F.countDistinct(F.col(c)).cast("bigint").alias(f"__d_{c}"))
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("int"))
+            .cast("bigint")
+            .alias(f"__z_{c}")
+        )
+    one = df.agg(*aggs)
+    # melt by exploding a struct array off the ONE-ROW aggregate — a
+    # per-column union would let column pruning split the aggregate
+    # into per-column scans (measured: Union of N single-distinct
+    # aggregates, N scans — the opposite of the operator's point)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__z_{c}").alias("n_nulls"),
+                F.col(f"__d_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("__s"))
+        .select("__s.*")
+        .orderBy("column")
+    )

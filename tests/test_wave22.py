@@ -620,3 +620,23 @@ def test_funnel_step_times_hand_latencies(spark):
     h2 = out[2]
     assert (h2.n_entered, h2.n_converted) == (2, 1)
     assert (h2.p50_s, h2.p90_s) == (100, 100)
+
+
+def test_column_cardinalities_single_pass(spark):
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        column_cardinalities,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (3, "b")],
+        "k long, v string",
+    )
+    out = {r.column: r for r in column_cardinalities(df, ["k", "v"]).collect()}
+    assert (out["k"].n_rows, out["k"].n_nulls, out["k"].n_distinct) == (4, 0, 3)
+    assert (out["v"].n_rows, out["v"].n_nulls, out["v"].n_distinct) == (4, 1, 2)
+    # single aggregation: exactly one Expand, no per-column scans
+    plan = (
+        column_cardinalities(df, ["k", "v"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Expand") >= 1
