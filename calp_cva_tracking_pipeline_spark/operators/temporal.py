@@ -1199,32 +1199,130 @@ def holt_smooth(
             .alias("__x"),
         )
     )
-    a_keep = alpha_den - alpha_num
-    b_keep = beta_den - beta_num
-
     def smooth(pdf):
         pdf = pdf.sort_values(["__ts", tiebreak_col], kind="mergesort")
-        lvl = None
-        trd = 0
-        levels, trends, fcs = [], [], []
-        for x in pdf["__x"]:
-            x = int(x)
-            if lvl is None:
-                lvl, trd = x, 0
-            else:
-                nl = (alpha_num * x + a_keep * (lvl + trd)) // alpha_den
-                trd = (beta_num * (nl - lvl) + b_keep * trd) // beta_den
-                lvl = nl
-            levels.append(lvl / scale)
-            trends.append(trd / scale)
-            fcs.append((lvl + trd) / scale)
+        levels, trends, _, _ = _holt_series(
+            pdf["__x"], alpha_num, alpha_den, beta_num, beta_den,
+            None, 0,
+        )
         out = pdf[[*keys, tiebreak_col]].copy()
-        out["level"] = levels
-        out["trend"] = trends
-        out["forecast"] = fcs
+        out["level"] = [v / scale for v in levels]
+        out["trend"] = [v / scale for v in trends]
+        out["forecast"] = [
+            (lv + tr) / scale for lv, tr in zip(levels, trends)
+        ]
         return out
 
     return enc.groupBy(*keys).applyInPandas(smooth, schema)
+
+
+def _holt_series(xs, alpha_num, alpha_den, beta_num, beta_den, lvl, trd):
+    """The integer Holt recurrence over one ordered series, resumable
+    from carried (lvl, trd) state (lvl None = fresh series). Returns
+    (levels, trends, lvl, trd) — all scaled integers."""
+    a_keep = alpha_den - alpha_num
+    b_keep = beta_den - beta_num
+    levels, trends = [], []
+    for x in xs:
+        x = int(x)
+        if lvl is None:
+            lvl, trd = x, 0
+        else:
+            nl = (alpha_num * x + a_keep * (lvl + trd)) // alpha_den
+            trd = (beta_num * (nl - lvl) + b_keep * trd) // beta_den
+            lvl = nl
+        levels.append(lvl)
+        trends.append(trd)
+    return levels, trends, lvl, trd
+
+
+def holt_fold(
+    batch: DataFrame,
+    state: DataFrame | None,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    beta_num: int = 1,
+    beta_den: int = 8,
+    scale: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """``holt_smooth`` for continuous ingest: fold ONE time-slice
+    against a key-sized carried (level, trend) state and return
+    ``(batch_output, new_state)`` — the foreachBatch resident, the
+    cusum_fold contract with two integers of carried state instead of
+    four. Because the recurrence is integer-exact, a chunked fold is
+    BIT-IDENTICAL to the one-shot smoother (pinned in
+    tests/test_streaming.py). ``state`` columns: keys + (l long,
+    b long); pass None to start. Keys absent from the batch carry
+    through untouched. Batches must arrive in (ts, tiebreak) order per
+    key — the standard append-stream contract.
+    """
+    spark = batch.sparkSession
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in batch.select(*keys).schema.fields
+    )
+    state_schema = f"{key_schema}, l long, b long"
+    if state is None:
+        state = spark.createDataFrame([], state_schema)
+    enc = (
+        batch.filter(
+            F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(
+            *keys,
+            tiebreak_col,
+            F.col(ts_col).alias("__ts"),
+            F.round(F.col(value_col).cast("double") * scale)
+            .cast("long")
+            .alias("__x"),
+        )
+        .join(state, keys, "left")
+    )
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in batch.select(*keys, tiebreak_col).schema.fields
+    )
+    schema = (
+        f"{out_fields}, level double, trend double, forecast double,"
+        f" __l long, __b long, __last int"
+    )
+
+    def smooth(pdf):
+        pdf = pdf.sort_values(["__ts", tiebreak_col], kind="mergesort")
+        l0 = pdf["l"].iloc[0]
+        lvl = None if pd.isna(l0) else int(l0)
+        trd = 0 if lvl is None else int(pdf["b"].iloc[0])
+        levels, trends, lvl, trd = _holt_series(
+            pdf["__x"], alpha_num, alpha_den, beta_num, beta_den,
+            lvl, trd,
+        )
+        out = pdf[[*keys, tiebreak_col]].copy()
+        out["level"] = [v / scale for v in levels]
+        out["trend"] = [v / scale for v in trends]
+        out["forecast"] = [
+            (lv + tr) / scale for lv, tr in zip(levels, trends)
+        ]
+        out["__l"] = lvl
+        out["__b"] = trd
+        flags = [0] * len(out)
+        if flags:
+            flags[-1] = 1
+        out["__last"] = flags
+        return out
+
+    res = enc.groupBy(*keys).applyInPandas(smooth, schema)
+    out = res.select(*keys, tiebreak_col, "level", "trend", "forecast")
+    new_from_batch = res.filter(F.col("__last") == 1).select(
+        *keys, F.col("__l").alias("l"), F.col("__b").alias("b")
+    )
+    untouched = state.join(
+        enc.select(*keys).distinct(), keys, "left_anti"
+    )
+    return out, new_from_batch.unionByName(untouched)
 
 
 def seasonal_anomaly(

@@ -908,3 +908,56 @@ def test_foreachbatch_kappa_contingency_folds_to_batch(
     for g in one_shot.index:
         for col in ("n", "po", "pe", "kappa"):
             assert folded.loc[g, col] == one_shot.loc[g, col], (g, col)
+
+
+def test_foreachbatch_holt_fold_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming Holt smoothing: time-slices fold through holt_fold with
+    the two-integer carried state; concatenated slice outputs are
+    BIT-IDENTICAL to the one-shot smoother on the full table."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        holt_fold,
+        holt_smooth,
+    )
+
+    e = T(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    one_shot = (
+        holt_smooth(e, ["user_id"], "ts", "value", "event_id")
+        .orderBy("user_id", "event_id")
+        .collect()
+    )
+
+    # three contiguous time slices (the append-stream contract)
+    cuts = e.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.33)").alias("c1"),
+        F.expr("percentile_approx(unix_micros(ts), 0.66)").alias("c2"),
+    ).first()
+    slices = [
+        e.filter(F.unix_micros("ts") <= cuts.c1),
+        e.filter(
+            (F.unix_micros("ts") > cuts.c1)
+            & (F.unix_micros("ts") <= cuts.c2)
+        ),
+        e.filter(F.unix_micros("ts") > cuts.c2),
+    ]
+    state = None
+    outs = []
+    for sl in slices:
+        out, state = holt_fold(
+            sl, state, ["user_id"], "ts", "value", "event_id"
+        )
+        outs.append(out)
+        state = spark.createDataFrame(
+            state.collect(), state.schema
+        )  # materialize like a checkpoint store would
+    folded = outs[0]
+    for o in outs[1:]:
+        folded = folded.unionByName(o)
+    folded_rows = folded.orderBy("user_id", "event_id").collect()
+    assert len(folded_rows) == len(one_shot)
+    for a, b in zip(folded_rows, one_shot):
+        assert tuple(a) == tuple(b)
