@@ -7306,6 +7306,103 @@ ORDER BY "column"
 """
 
 
+def cdc_pit_lookup(spark, sf_dir):
+    """Point-in-time dimension lookup: each lineitem attaches the
+    customer SCD2 version (operators.cdc.scd2_history) active at its
+    ship date via the union-and-carry-forward as-of join — backward
+    as-of on effective_from equals half-open interval membership
+    because SCD2 versions chain contiguously by construction. The
+    PIT-correctness readout every warehouse needs; aggregated to the
+    (status, priority) mix for a bounded result."""
+    from calp_cva_tracking_pipeline_spark.operators.cdc import scd2_history
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        asof_join,
+    )
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        F.round(F.col("l_quantity")).cast("bigint").alias("__qty"),
+    )
+    ok = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    left = li.join(
+        ok, F.col("l_orderkey") == F.col("o_orderkey")
+    ).drop("o_orderkey")
+    dim = scd2_history(
+        T(spark, sf_dir, "orders"),
+        keys=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus", "o_orderpriority"],
+        tiebreak_cols=["o_orderkey"],
+    ).select(
+        "o_custkey",
+        "effective_from",
+        "version",
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    # version leads the payload: at duplicate (custkey, effective_from)
+    # boundaries the as-of's max-struct tie-break must pick the LATEST
+    # version — the one whose half-open interval is non-empty — to
+    # match interval-membership semantics exactly.
+    pit = asof_join(
+        left,
+        dim,
+        keys=["o_custkey"],
+        left_time="l_shipdate",
+        right_time="effective_from",
+        right_cols=["version", "o_orderstatus", "o_orderpriority"],
+    )
+    return (
+        pit.select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "__qty",
+        )
+        .groupBy("status", "priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__qty").cast("bigint").alias("sum_qty"),
+        )
+        .orderBy("status", "priority")
+    )
+
+
+CDC_PIT_SQL = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderstatus, o_orderpriority, o_orderdate,
+         o_orderkey,
+         (ROW_NUMBER() OVER w = 1
+          OR o_orderstatus IS DISTINCT FROM LAG(o_orderstatus) OVER w
+          OR o_orderpriority IS DISTINCT FROM LAG(o_orderpriority) OVER w)
+           AS is_change
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+vers AS (
+  SELECT o_custkey, o_orderstatus, o_orderpriority,
+         o_orderdate AS effective_from,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey)
+           AS effective_to
+  FROM ordered WHERE is_change),
+li AS (
+  SELECT o.o_custkey, l.l_shipdate,
+         CAST(ROUND(l.l_quantity) AS BIGINT) AS qty
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+pit AS (
+  SELECT li.qty, v.o_orderstatus AS status,
+         v.o_orderpriority AS priority
+  FROM li LEFT JOIN vers v
+    ON li.o_custkey = v.o_custkey
+   AND v.effective_from <= li.l_shipdate
+   AND (v.effective_to IS NULL OR li.l_shipdate < v.effective_to))
+SELECT status, priority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty
+FROM pit GROUP BY 1, 2
+ORDER BY status, priority
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -7464,4 +7561,5 @@ SCALE_QUERIES = {
     "ts_seasonal_anomaly": (ts_seasonal_anomaly, TS_SA_SQL),
     "ev_funnel_time": (ev_funnel_time, EV_FUNNEL_TIME_SQL),
     "pf_cardinalities": (pf_cardinalities, PF_CARD_SQL),
+    "cdc_pit_lookup": (cdc_pit_lookup, CDC_PIT_SQL),
 }

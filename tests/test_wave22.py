@@ -640,3 +640,42 @@ def test_column_cardinalities_single_pass(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Expand") >= 1
+
+
+def test_pit_lookup_semantics_via_asof(spark):
+    import datetime as dt
+
+    from calp_cva_tracking_pipeline_spark.operators.cdc import scd2_history
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        asof_join,
+    )
+
+    d = dt.date
+    # one entity, three versions: A from Jan1, B from Jan10, C from Feb1
+    log = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1), "A", 1),
+            (1, d(2024, 1, 5), "A", 2),   # no change -> same version
+            (1, d(2024, 1, 10), "B", 3),
+            (1, d(2024, 2, 1), "C", 4),
+        ],
+        "k long, ts date, attr string, ob long",
+    )
+    dim = scd2_history(
+        log, ["k"], "ts", ["attr"], tiebreak_cols=["ob"]
+    ).select("k", "effective_from", "version", "attr")
+    probes = spark.createDataFrame(
+        [
+            (1, d(2023, 12, 25)),  # before first version -> null
+            (1, d(2024, 1, 1)),    # boundary day -> A
+            (1, d(2024, 1, 9)),    # -> A
+            (1, d(2024, 1, 10)),   # boundary -> B
+            (1, d(2024, 3, 1)),    # current -> C
+        ],
+        "k long, at date",
+    )
+    out = asof_join(
+        probes, dim, ["k"], "at", "effective_from",
+        right_cols=["version", "attr"],
+    ).orderBy("at").collect()
+    assert [r.attr for r in out] == [None, "A", "A", "B", "C"]
