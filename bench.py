@@ -150,6 +150,14 @@ HEADLINE = [
     "dd_winnow",
     "tx_jsd",
     "pf_winsorize",
+    # round 9 wave-23/25 additions (ditto), new cost classes: B=32
+    # per-row hash-replica aggregation (bootstrap), bin-explode range
+    # join. ts_holt (applyInPandas recurrence — ts_ewma's class),
+    # pf_mannwhitney (value-grid window — pf_ks's class) and the
+    # centroid/kmeans eval pair (emb_kmeans's class) are deliberately
+    # not duplicated.
+    "pf_bootstrap",
+    "tj_range_join",
 ]
 
 
