@@ -7403,6 +7403,100 @@ ORDER BY status, priority
 """
 
 
+LEAK_CAP_EXACT = 64
+
+
+def dd_split_leakage(spark, sf_dir):
+    """Train/eval self-contamination audit over the documents corpus
+    (operators.dedup.split_leakage_audit): exact-md5 and winnowed
+    near-dup pair counts per (split, split) cell of the portable-hash
+    group split — cross cells are the leakage."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        split_leakage_audit,
+    )
+
+    return split_leakage_audit(
+        T(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        splits={"train": 0.8, "val": 0.1, "test": 0.1},
+        k=WINNOW_K,
+        window=WINNOW_W,
+        max_docs_per_fp=WINNOW_CAP,
+        max_docs_per_hash=LEAK_CAP_EXACT,
+    )
+
+
+_LEAK_SPLIT = """CASE WHEN CAST(CAST(('0x' || substring(
+        md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
+        AS UBIGINT) AS BIGINT) % 1000000 < 800000 THEN 'train'
+     WHEN CAST(CAST(('0x' || substring(
+        md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
+        AS UBIGINT) AS BIGINT) % 1000000 < 900000 THEN 'val'
+     ELSE 'test' END"""
+
+DD_LEAK_SQL = rf"""
+WITH assigned AS (
+  SELECT doc_id, {_LEAK_SPLIT} AS split FROM documents),
+hx AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL),
+hbc AS (
+  SELECT h FROM (SELECT h, COUNT(*) AS c FROM hx GROUP BY h) b
+  WHERE c BETWEEN 2 AND {LEAK_CAP_EXACT}),
+ex_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM hx a JOIN hx b USING (h)
+  WHERE a.doc_id < b.doc_id AND h IN (SELECT h FROM hbc)),
+tl AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, len(toks) - {WINNOW_K} + 1 AS ng, i, {_WINNOW_H} AS h
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {WINNOW_K} + 1)) AS i
+        FROM tl WHERE len(toks) >= {WINNOW_K}) t),
+fps AS (
+  SELECT DISTINCT doc_id, m AS fp FROM (
+    SELECT doc_id, ng, i,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW
+                        AND {WINNOW_W} - 1 FOLLOWING) AS m
+    FROM g) s
+  WHERE i <= greatest(1, ng - {WINNOW_W} + 1)),
+wbc AS (SELECT fp FROM (SELECT fp, COUNT(*) AS c FROM fps GROUP BY fp) b
+        WHERE c BETWEEN 2 AND {WINNOW_CAP}),
+near_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fps a JOIN fps b USING (fp)
+  WHERE a.doc_id < b.doc_id AND fp IN (SELECT fp FROM wbc)),
+lab_ex AS (
+  SELECT least(sa.split, sb.split) AS split_a,
+         greatest(sa.split, sb.split) AS split_b,
+         CAST(COUNT(*) AS BIGINT) AS n_exact_pairs
+  FROM ex_pairs p
+  JOIN assigned sa ON sa.doc_id = p.id_a
+  JOIN assigned sb ON sb.doc_id = p.id_b
+  GROUP BY 1, 2),
+lab_near AS (
+  SELECT least(sa.split, sb.split) AS split_a,
+         greatest(sa.split, sb.split) AS split_b,
+         CAST(COUNT(*) AS BIGINT) AS n_near_pairs
+  FROM near_pairs p
+  JOIN assigned sa ON sa.doc_id = p.id_a
+  JOIN assigned sb ON sb.doc_id = p.id_b
+  GROUP BY 1, 2)
+SELECT COALESCE(e.split_a, n.split_a) AS split_a,
+       COALESCE(e.split_b, n.split_b) AS split_b,
+       COALESCE(e.split_a, n.split_a)
+         <> COALESCE(e.split_b, n.split_b) AS cross,
+       COALESCE(n_exact_pairs, CAST(0 AS BIGINT)) AS n_exact_pairs,
+       COALESCE(n_near_pairs, CAST(0 AS BIGINT)) AS n_near_pairs
+FROM lab_ex e FULL OUTER JOIN lab_near n
+  ON e.split_a = n.split_a AND e.split_b = n.split_b
+ORDER BY split_a, split_b
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -7562,4 +7656,6 @@ SCALE_QUERIES = {
     "ev_funnel_time": (ev_funnel_time, EV_FUNNEL_TIME_SQL),
     "pf_cardinalities": (pf_cardinalities, PF_CARD_SQL),
     "cdc_pit_lookup": (cdc_pit_lookup, CDC_PIT_SQL),
+    # twenty-sixth wave (round 9)
+    "dd_split_leakage": (dd_split_leakage, DD_LEAK_SQL),
 }

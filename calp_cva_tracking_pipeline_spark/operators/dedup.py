@@ -1241,3 +1241,117 @@ def winnow_overlap_pairs(
             6,
         ).alias("overlap"),
     )
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    splits: dict[str, float] | None = None,
+    k: int = 5,
+    window: int = 4,
+    max_docs_per_fp: int = 16,
+    max_docs_per_hash: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Train/eval contamination audit: how many EXACT-duplicate and
+    winnowed NEAR-duplicate document pairs land on each (split, split)
+    cell of a leakage-safe ``group_split`` assignment — the check that
+    catches eval inflation BEFORE a model trains (decontam removes
+    known benchmarks; this measures self-contamination across the
+    pipeline's own split). Cross-split rows (split_a ≠ split_b) are the
+    leakage; the diagonal is in-split redundancy for context.
+
+    Exact pairs bucket on the full-text md5 (cap ``max_docs_per_hash``
+    — boilerplate guard, same discipline as every pair tier); near
+    pairs come from ``winnow_overlap_pairs`` (detection guaranteed at
+    >= window+k-1 shared tokens; exact duplicates are near-duplicates
+    too, so n_near >= n_exact cell-wise whenever both fire). Split
+    labels join back by id, pairs normalize to (min, max) split name
+    order, and the two counters full-outer-merge so a cell firing on
+    one signal only still reports. Output: (split_a, split_b, cross,
+    n_exact_pairs, n_near_pairs), ordered. Engine addition; no
+    reference counterpart.
+    """
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        group_split,
+    )
+
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    base = df.select(F.col(id_col).alias("__id"), F.col(text_col))
+    assigned = group_split(base, "__id", splits, seed=seed).select(
+        "__id", F.col("split").alias("__split")
+    )
+    hashed = base.filter(F.col(text_col).isNotNull()).select(
+        "__id", F.md5(F.col(text_col)).alias("__h")
+    )
+    bw = Window.partitionBy("__h")
+    ex_buckets = (
+        hashed.withColumn("__bn", F.count("*").over(bw))
+        .filter(
+            (F.col("__bn") >= 2) & (F.col("__bn") <= max_docs_per_hash)
+        )
+        .groupBy("__h")
+        .agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
+    )
+    ids = F.col("__ids")
+    ex_pairs = (
+        ex_buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ids,
+                        lambda x, i: F.transform(
+                            F.slice(ids, i + 2, F.size(ids)),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    near_pairs = winnow_overlap_pairs(
+        df,
+        id_col,
+        text_col=text_col,
+        k=k,
+        window=window,
+        max_docs_per_fp=max_docs_per_fp,
+    ).select(F.col("id_a"), F.col("id_b"))
+
+    def labeled(pairs: DataFrame, out: str) -> DataFrame:
+        sa = assigned.select(
+            F.col("__id").alias("id_a"), F.col("__split").alias("__sa")
+        )
+        sb = assigned.select(
+            F.col("__id").alias("id_b"), F.col("__split").alias("__sb")
+        )
+        return (
+            pairs.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                F.least("__sa", "__sb").alias("split_a"),
+                F.greatest("__sa", "__sb").alias("split_b"),
+            )
+            .groupBy("split_a", "split_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    ex_cnt = labeled(ex_pairs, "n_exact_pairs")
+    near_cnt = labeled(near_pairs, "n_near_pairs")
+    merged = ex_cnt.join(near_cnt, ["split_a", "split_b"], "full_outer")
+    return merged.select(
+        "split_a",
+        "split_b",
+        (F.col("split_a") != F.col("split_b")).alias("cross"),
+        F.coalesce("n_exact_pairs", F.lit(0)).cast("bigint").alias(
+            "n_exact_pairs"
+        ),
+        F.coalesce("n_near_pairs", F.lit(0)).cast("bigint").alias(
+            "n_near_pairs"
+        ),
+    ).orderBy("split_a", "split_b")

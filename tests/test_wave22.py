@@ -679,3 +679,44 @@ def test_pit_lookup_semantics_via_asof(spark):
         right_cols=["version", "attr"],
     ).orderBy("at").collect()
     assert [r.attr for r in out] == [None, "A", "A", "B", "C"]
+
+
+def test_split_leakage_audit_cross_cells(spark):
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        split_leakage_audit,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        group_split,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    # 12 docs: 0/1 exact dups, 2/3 share an 8-token run, rest unique
+    docs = [
+        (0, "identical text body repeated exactly the same here okay"),
+        (1, "identical text body repeated exactly the same here okay"),
+        (2, "intro words here " + shared + " closing remarks follow"),
+        (3, "different opening " + shared + " and a different tail"),
+    ] + [
+        (i, f"totally unique document number {i} with filler words "
+            f"xx{i} yy{i} zz{i} ww{i} vv{i}")
+        for i in range(4, 12)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = split_leakage_audit(df, "doc_id", "text").collect()
+    total_exact = sum(r.n_exact_pairs for r in out)
+    total_near = sum(r.n_near_pairs for r in out)
+    assert total_exact == 1  # the (0,1) pair
+    assert total_near >= 2   # (0,1) exact pair is also near; plus (2,3)
+    # the pair cells must be consistent with the actual assignment
+    splits = {
+        r["__id"]: r["split"]
+        for r in group_split(
+            df.selectExpr("doc_id as __id", "text"), "__id",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        ).collect()
+    }
+    s0, s1 = sorted([splits[0], splits[1]])
+    ex_cell = {(r.split_a, r.split_b): r.n_exact_pairs for r in out}
+    assert ex_cell.get((s0, s1), 0) == 1
+    for r in out:
+        assert r.cross == (r.split_a != r.split_b)
