@@ -7497,6 +7497,76 @@ ORDER BY split_a, split_b
 """
 
 
+MARKOV_ITERS = 8
+
+
+def ev_markov_stationary(spark, sf_dir):
+    """Long-run stationary distribution of the event-type transition
+    chain (operators.funnel.markov_stationary): nano-pinned power
+    iteration with per-round renormalization — the PageRank discipline
+    on the T68 transition matrix; the oracle unrolls the same rounds."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        markov_stationary,
+    )
+
+    return markov_stationary(
+        T(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        n_iter=MARKOV_ITERS,
+    )
+
+
+def _markov_sql() -> str:
+    rounds = []
+    prev = "pi0"
+    for r in range(1, MARKOV_ITERS + 1):
+        rounds.append(f"""flow{r} AS (
+  SELECT t AS ty,
+         CAST(SUM(CAST(ROUND(CAST(pi AS DOUBLE) * CAST(c AS DOUBLE)
+                             / CAST(rt AS DOUBLE)) AS BIGINT)) AS BIGINT)
+           AS pr
+  FROM trans JOIN {prev} ON trans.f = {prev}.ty GROUP BY t),
+nx{r} AS (
+  SELECT types.ty, COALESCE(pr, CAST(0 AS BIGINT)) AS pr
+  FROM types LEFT JOIN flow{r} USING (ty)),
+pi{r} AS (
+  SELECT ty, CAST(ROUND(CAST(pr AS DOUBLE) * 1e9
+                        / CAST(SUM(pr) OVER () AS DOUBLE)) AS BIGINT)
+           AS pi
+  FROM nx{r})""")
+        prev = f"pi{r}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+pairs AS (
+  SELECT event_type AS f, nxt AS t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+outt AS (SELECT f, CAST(SUM(c) AS BIGINT) AS rt FROM pairs GROUP BY f),
+trans AS (SELECT pairs.f, pairs.t, pairs.c, outt.rt
+          FROM pairs JOIN outt USING (f)),
+types AS (SELECT DISTINCT f AS ty FROM pairs
+          UNION SELECT DISTINCT t FROM pairs),
+kc AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM types),
+pi0 AS (SELECT ty, CAST(1000000000 // k AS BIGINT) AS pi FROM types, kc),
+{chain}
+SELECT pi{MARKOV_ITERS}.ty AS event_type,
+       COALESCE(rt, CAST(0 AS BIGINT)) AS n_out_transitions,
+       ROUND(CAST(pi AS DOUBLE) / 1e9, 6) AS stationary
+FROM pi{MARKOV_ITERS} LEFT JOIN outt ON outt.f = pi{MARKOV_ITERS}.ty
+ORDER BY event_type
+"""
+
+
+EV_MARKOV_SQL = _markov_sql()
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -7658,4 +7728,5 @@ SCALE_QUERIES = {
     "cdc_pit_lookup": (cdc_pit_lookup, CDC_PIT_SQL),
     # twenty-sixth wave (round 9)
     "dd_split_leakage": (dd_split_leakage, DD_LEAK_SQL),
+    "ev_markov_stationary": (ev_markov_stationary, EV_MARKOV_SQL),
 }

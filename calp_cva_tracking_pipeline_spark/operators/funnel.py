@@ -694,3 +694,112 @@ def funnel_step_times(
         )
         .orderBy("hop")
     )
+
+
+def markov_stationary(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    n_iter: int = 8,
+) -> DataFrame:
+    """Stationary distribution of the per-user event-type transition
+    chain — where the behavior system spends its long-run time, the
+    eigenvector summary the raw T68 transition matrix only hints at.
+    Power iteration in integer NANO-units (the PageRank discipline):
+    each round's mass flows π'(j) = Σ_i round(π(i)·c(i,j)/out(i)),
+    then renormalizes to exactly 1e9 total (types with no outbound
+    transitions leak mass; renormalization redistributes it
+    proportionally — the standard dangling-mass fix). Every quantity
+    both engines compute is an exact 64-bit integer or a deterministic
+    IEEE double of exact integers, so the oracle unrolls the SAME
+    ``n_iter`` rounds as CTE stages and matches bit-for-bit.
+
+    Scale shape: ONE user-keyed lag window over the corpus builds the
+    (from, to, count) matrix (type²-bounded); the iteration then runs
+    on that tiny frame — each round references the previous π exactly
+    once (linear lineage, the LPA discipline). Output: (event_type,
+    n_out_transitions, stationary) 6 dp, ordered. Engine addition; no
+    reference counterpart.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.filter(
+            F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
+        )
+        .withColumn("__next", F.lead(type_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("__f"), F.col("__next").alias("__t")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    out_tot = pairs.groupBy("__f").agg(
+        F.sum("__c").cast("bigint").alias("__rt")
+    )
+    trans = pairs.join(out_tot, "__f")
+    types = (
+        pairs.select(F.col("__f").alias("__ty"))
+        .union(pairs.select("__t"))
+        .distinct()
+    )
+    kcnt = types.agg(F.count(F.lit(1)).cast("bigint").alias("__k"))
+    pi = types.crossJoin(F.broadcast(kcnt)).select(
+        "__ty", F.expr("1000000000L div __k").alias("__pi")
+    )
+    for _ in range(n_iter):
+        flowed = (
+            trans.join(pi, trans["__f"] == pi["__ty"])
+            .select(
+                F.col("__t").alias("__ty"),
+                F.round(
+                    F.col("__pi").cast("double")
+                    * F.col("__c").cast("double")
+                    / F.col("__rt").cast("double")
+                )
+                .cast("bigint")
+                .alias("__m"),
+            )
+            .groupBy("__ty")
+            .agg(F.sum("__m").cast("bigint").alias("__pi_raw"))
+        )
+        nxt = types.join(flowed, "__ty", "left").select(
+            "__ty",
+            F.coalesce("__pi_raw", F.lit(0)).cast("bigint").alias(
+                "__pi_raw"
+            ),
+        )
+        # renormalize via ONE unpartitioned window over the type-
+        # cardinality frame: a separate agg + crossJoin references nxt
+        # TWICE per round -> 2^n plan lineage (the kcore lesson; this
+        # exact shape StackOverflowed planning at n_iter=8). The window
+        # is single-partition BY DESIGN — k rows, output-sized.
+        tot_w = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        pi = nxt.select(
+            "__ty",
+            F.round(
+                F.col("__pi_raw").cast("double")
+                * F.lit(1e9)
+                / F.sum("__pi_raw").over(tot_w).cast("double")
+            )
+            .cast("bigint")
+            .alias("__pi"),
+        )
+    return (
+        pi.join(
+            out_tot.withColumnRenamed("__f", "__ty"), "__ty", "left"
+        )
+        .select(
+            F.col("__ty").alias(type_col),
+            F.coalesce("__rt", F.lit(0)).cast("bigint").alias(
+                "n_out_transitions"
+            ),
+            F.round(
+                F.col("__pi").cast("double") / F.lit(1e9), 6
+            ).alias("stationary"),
+        )
+        .orderBy(type_col)
+    )

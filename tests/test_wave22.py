@@ -720,3 +720,34 @@ def test_split_leakage_audit_cross_cells(spark):
     assert ex_cell.get((s0, s1), 0) == 1
     for r in out:
         assert r.cross == (r.split_a != r.split_b)
+
+
+def test_markov_stationary_two_state_chain(spark):
+    import datetime as dt
+
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        markov_stationary,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # one user alternating A->B->A->B... plus extra A->A self-loops:
+    # transitions: A->B x3, A->A x3, B->A x3  =>
+    # P(A->B)=.5, P(A->A)=.5, P(B->A)=1
+    # stationary: pi_A = 2/3, pi_B = 1/3
+    seq = ["A", "A", "A", "A", "B", "A", "B", "A", "B", "A"]
+    rows = [
+        (1, i, t0 + dt.timedelta(minutes=i), s) for i, s in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, t string"
+    )
+    out = {
+        r.t: r
+        for r in markov_stationary(
+            df, "user_id", "ts", "t", "event_id", n_iter=40
+        ).collect()
+    }
+    assert abs(out["A"].stationary - 2 / 3) < 1e-3
+    assert abs(out["B"].stationary - 1 / 3) < 1e-3
+    assert out["A"].n_out_transitions == 6
+    assert out["B"].n_out_transitions == 3
