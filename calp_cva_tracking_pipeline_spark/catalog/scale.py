@@ -7567,6 +7567,83 @@ ORDER BY event_type
 EV_MARKOV_SQL = _markov_sql()
 
 
+NEY_TARGET = 2000
+NEY_SEED = 42
+
+
+def mx_neyman(spark, sf_dir):
+    """Neyman variance-optimal stratified sampling of order values by
+    priority (operators.sampling.neyman_allocation): allocation ∝
+    N_h·S_h pinned to PPM integers, deterministic portable-hash draws —
+    the budgeted sampler that beats proportional allocation at fixed n."""
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    return neyman_allocation(
+        T(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+        n_target=NEY_TARGET,
+        seed=NEY_SEED,
+    )
+
+
+MX_NEYMAN_SQL = f"""
+WITH enc AS (
+  SELECT o_orderpriority AS st, CAST(o_orderkey AS VARCHAR) AS id,
+         CAST(ROUND(o_totalprice) AS BIGINT) AS x
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+mom AS (
+  SELECT st, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM enc GROUP BY st),
+stats AS (
+  SELECT st, n,
+         sqrt(CASE WHEN n > 1 THEN
+           (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+         ELSE 0.0 END) AS sd
+  FROM mom),
+alloc AS (
+  SELECT st, n, sd,
+         CASE WHEN SUM(CAST(n AS DOUBLE) * sd) OVER () > 0 THEN
+           CAST(ROUND(CAST(n AS DOUBLE) * sd
+                      / SUM(CAST(n AS DOUBLE) * sd) OVER () * 1e6)
+             AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS alloc_ppm
+  FROM stats),
+rates AS (
+  SELECT st, n, sd, alloc_ppm,
+         least(CAST(1000000 AS BIGINT),
+               CAST(ROUND({float(NEY_TARGET)}
+                          * CAST(alloc_ppm AS DOUBLE) / 1e6
+                          / CAST(n AS DOUBLE) * 1e6) AS BIGINT))
+           AS rate_ppm
+  FROM alloc),
+sampled AS (
+  SELECT enc.st, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         CAST(SUM(x) AS BIGINT) AS ssum
+  FROM enc JOIN rates ON enc.st = rates.st
+  WHERE CAST(CAST(('0x' || substring(
+          md5(id || '|ney{NEY_SEED}'), 1, 15)) AS UBIGINT) AS BIGINT)
+        % 1000000 < rate_ppm
+  GROUP BY enc.st)
+SELECT r.st AS o_orderpriority, r.n AS N, ROUND(r.sd, 6) AS sd,
+       alloc_ppm, rate_ppm,
+       COALESCE(n_sampled, CAST(0 AS BIGINT)) AS n_sampled,
+       CASE WHEN n_sampled > 0 THEN
+         ROUND(CAST(ssum AS DOUBLE) / CAST(n_sampled AS DOUBLE), 6)
+       END AS mean_sampled
+FROM rates r LEFT JOIN sampled s ON r.st = s.st
+ORDER BY o_orderpriority
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -7729,4 +7806,5 @@ SCALE_QUERIES = {
     # twenty-sixth wave (round 9)
     "dd_split_leakage": (dd_split_leakage, DD_LEAK_SQL),
     "ev_markov_stationary": (ev_markov_stationary, EV_MARKOV_SQL),
+    "mx_neyman": (mx_neyman, MX_NEYMAN_SQL),
 }

@@ -751,3 +751,32 @@ def test_markov_stationary_two_state_chain(spark):
     assert abs(out["B"].stationary - 1 / 3) < 1e-3
     assert out["A"].n_out_transitions == 6
     assert out["B"].n_out_transitions == 3
+
+
+def test_neyman_allocation_favors_high_variance_strata(spark):
+    # stratum "wide": values 0/1000 alternating (huge sd); "narrow":
+    # constant 500 (sd 0). Equal sizes -> ALL budget goes to "wide".
+    rows = [("wide", i, float(1000 * (i % 2))) for i in range(200)] + [
+        ("narrow", 1000 + i, 500.0) for i in range(200)
+    ]
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    df = spark.createDataFrame(rows, "st string, id long, v double")
+    out = {
+        r.st: r
+        for r in neyman_allocation(df, "st", "v", "id", n_target=100).collect()
+    }
+    w, n = out["wide"], out["narrow"]
+    assert w.alloc_ppm == 1_000_000 and n.alloc_ppm == 0
+    assert n.n_sampled == 0 and n.sd == 0.0
+    # wide stratum: rate 100/200 = 50% -> ~half sampled (hash draw)
+    assert w.rate_ppm == 500_000
+    assert 60 < w.n_sampled < 140
+    # determinism
+    again = {
+        r.st: r.n_sampled
+        for r in neyman_allocation(df, "st", "v", "id", n_target=100).collect()
+    }
+    assert again["wide"] == w.n_sampled
