@@ -7644,6 +7644,82 @@ ORDER BY o_orderpriority
 """
 
 
+def pf_null_phi(spark, sf_dir):
+    """Pairwise missingness phi (operators.profiling.null_correlation)
+    over three structurally-gated value views of the event stream: the
+    click- and purchase-gated columns are mutually exclusive (phi < 0
+    by construction), the even-day gate is independent of both — the
+    which-columns-go-missing-TOGETHER readout beside pf_null_patterns'
+    census."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        null_correlation,
+    )
+
+    e = T(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "click", F.col("value")).alias(
+            "v_click"
+        ),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "v_purchase"
+        ),
+        F.when(F.dayofmonth("ts") % 2 == 0, F.col("value")).alias(
+            "v_evenday"
+        ),
+    )
+    return null_correlation(
+        e, ["v_click", "v_evenday", "v_purchase"]
+    )
+
+
+PF_NULL_PHI_SQL = """
+WITH base AS (
+  SELECT CASE WHEN event_type = 'click' THEN value END AS v_click,
+         CASE WHEN event_type = 'purchase' THEN value END AS v_purchase,
+         CASE WHEN EXTRACT(day FROM ts) % 2 = 0 THEN value END
+           AS v_evenday
+  FROM events),
+flags AS (
+  SELECT CASE WHEN v_click IS NULL THEN 1 ELSE 0 END AS f0,
+         CASE WHEN v_evenday IS NULL THEN 1 ELSE 0 END AS f1,
+         CASE WHEN v_purchase IS NULL THEN 1 ELSE 0 END AS f2
+  FROM base),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(f0) AS BIGINT) AS m0,
+         CAST(SUM(f1) AS BIGINT) AS m1,
+         CAST(SUM(f2) AS BIGINT) AS m2,
+         CAST(SUM(f0 * f1) AS BIGINT) AS b01,
+         CAST(SUM(f0 * f2) AS BIGINT) AS b02,
+         CAST(SUM(f1 * f2) AS BIGINT) AS b12
+  FROM flags),
+pairs AS (
+  SELECT 'v_click' AS col_a, 'v_evenday' AS col_b, n,
+         b01 AS n_both_null, m0 AS r1, m1 AS c1 FROM agg
+  UNION ALL
+  SELECT 'v_click', 'v_purchase', n, b02, m0, m2 FROM agg
+  UNION ALL
+  SELECT 'v_evenday', 'v_purchase', n, b12, m1, m2 FROM agg)
+SELECT col_a, col_b, n, n_both_null,
+       CASE WHEN sqrt(CAST(r1 AS DOUBLE)
+                      * (CAST(n AS DOUBLE) - CAST(r1 AS DOUBLE))
+                      * CAST(c1 AS DOUBLE)
+                      * (CAST(n AS DOUBLE) - CAST(c1 AS DOUBLE))) > 0
+       THEN ROUND(
+         (CAST(n_both_null AS DOUBLE)
+            * (CAST(n AS DOUBLE) - CAST(r1 AS DOUBLE)
+               - CAST(c1 AS DOUBLE) + CAST(n_both_null AS DOUBLE))
+          - (CAST(r1 AS DOUBLE) - CAST(n_both_null AS DOUBLE))
+            * (CAST(c1 AS DOUBLE) - CAST(n_both_null AS DOUBLE)))
+         / sqrt(CAST(r1 AS DOUBLE)
+                * (CAST(n AS DOUBLE) - CAST(r1 AS DOUBLE))
+                * CAST(c1 AS DOUBLE)
+                * (CAST(n AS DOUBLE) - CAST(c1 AS DOUBLE))), 6)
+       END AS phi
+FROM pairs
+ORDER BY col_a, col_b
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -7807,4 +7883,6 @@ SCALE_QUERIES = {
     "dd_split_leakage": (dd_split_leakage, DD_LEAK_SQL),
     "ev_markov_stationary": (ev_markov_stationary, EV_MARKOV_SQL),
     "mx_neyman": (mx_neyman, MX_NEYMAN_SQL),
+    # twenty-seventh wave (round 9)
+    "pf_null_phi": (pf_null_phi, PF_NULL_PHI_SQL),
 }

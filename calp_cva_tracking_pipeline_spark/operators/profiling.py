@@ -1893,3 +1893,60 @@ def column_cardinalities(
         .select("__s.*")
         .orderBy("column")
     )
+
+
+def null_correlation(
+    df: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Pairwise missingness association (phi coefficient) between the
+    declared columns — the JOINT-nullability readout ``null_patterns``'
+    census motivates: phi ≈ 1 means two columns go missing TOGETHER
+    (one upstream feed), phi ≈ −1 means exclusively (two alternative
+    sources), phi ≈ 0 means independent gaps. For each ordered pair
+    (a < b by position): the 2×2 contingency of (a null?, b null?) in
+    ONE aggregation pass — |cols|² conditional sums, map-side combined,
+    one one-row exchange — then φ = (n11·n00 − n10·n01)/√(r1·r0·c1·c0)
+    in a fixed double order from exact integer counts. Degenerate
+    margins (a column always or never null) emit NULL phi. Output:
+    (col_a, col_b, n, n_both_null, phi) 6 dp, ordered. Engine
+    addition; no reference counterpart.
+    """
+    flags = [F.col(c).isNull().cast("long").alias(f"__f{i}")
+             for i, c in enumerate(cols)]
+    base = df.select(*flags)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for i in range(len(cols)):
+        aggs.append(F.sum(f"__f{i}").cast("bigint").alias(f"__m{i}"))
+        for j in range(i + 1, len(cols)):
+            aggs.append(
+                F.sum(F.col(f"__f{i}") * F.col(f"__f{j}"))
+                .cast("bigint")
+                .alias(f"__b{i}_{j}")
+            )
+    one = base.agg(*aggs)
+    pair_structs = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            n = F.col("__n").cast("double")
+            n11 = F.col(f"__b{i}_{j}").cast("double")
+            r1 = F.col(f"__m{i}").cast("double")
+            c1 = F.col(f"__m{j}").cast("double")
+            n10 = r1 - n11
+            n01 = c1 - n11
+            n00 = n - r1 - c1 + n11
+            den = F.sqrt(r1 * (n - r1) * c1 * (n - c1))
+            phi = F.when(den > 0, (n11 * n00 - n10 * n01) / den)
+            pair_structs.append(
+                F.struct(
+                    F.lit(cols[i]).alias("col_a"),
+                    F.lit(cols[j]).alias("col_b"),
+                    F.col("__n").alias("n"),
+                    F.col(f"__b{i}_{j}").alias("n_both_null"),
+                    F.round(phi, 6).alias("phi"),
+                )
+            )
+    return (
+        one.select(F.explode(F.array(*pair_structs)).alias("__s"))
+        .select("__s.*")
+        .orderBy("col_a", "col_b")
+    )

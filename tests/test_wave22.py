@@ -780,3 +780,40 @@ def test_neyman_allocation_favors_high_variance_strata(spark):
         for r in neyman_allocation(df, "st", "v", "id", n_target=100).collect()
     }
     assert again["wide"] == w.n_sampled
+
+
+def test_null_correlation_phi_signs(spark):
+    # a and b null together (same rows) -> phi = 1
+    # a and c null exclusively -> phi = -1
+    rows = []
+    for i in range(40):
+        gap = i % 4 == 0
+        rows.append((
+            None if gap else 1.0,           # a: null on gap rows
+            None if gap else 2.0,           # b: same gaps as a -> phi 1
+            3.0 if gap else None,           # c: complement -> phi -1
+            None if i % 5 == 0 else 4.0,    # d: independent of a
+            # (overlap i%20==0 -> 2 rows = exactly the 10*8/40 expected
+            # under independence -> phi 0)
+        ))
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        null_correlation,
+    )
+
+    df = spark.createDataFrame(
+        rows, "a double, b double, c double, d double"
+    )
+    out = {
+        (r.col_a, r.col_b): r
+        for r in null_correlation(df, ["a", "b", "c", "d"]).collect()
+    }
+    assert out[("a", "b")].phi == 1.0
+    assert out[("a", "b")].n_both_null == 10
+    assert out[("a", "c")].phi == -1.0
+    assert abs(out[("a", "d")].phi) < 0.2
+    # degenerate margin: never-null column -> NULL phi
+    df2 = spark.createDataFrame(
+        [(1.0, None), (2.0, 3.0)], "x double, y double"
+    )
+    r2 = null_correlation(df2, ["x", "y"]).collect()[0]
+    assert r2.phi is None
