@@ -7720,6 +7720,62 @@ ORDER BY col_a, col_b
 """
 
 
+M4_BUCKET_S = 86_400
+
+
+def ts_m4(spark, sf_dir):
+    """M4 viz downsampling of per-type event values (operators.
+    temporal.m4_downsample): first/last/min/max rows per day bucket —
+    pixel-lossless rendering at 4/|bucket| of the data (~17x here);
+    deterministic struct-ordered role winners, cents-pinned values."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        m4_downsample,
+    )
+
+    return m4_downsample(
+        T(spark, sf_dir, "events"),
+        ["event_type"],
+        "ts",
+        "value",
+        "event_id",
+        bucket_seconds=M4_BUCKET_S,
+    )
+
+
+TS_M4_SQL = f"""
+WITH enc AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) - epoch_us(ts) % {M4_BUCKET_S * 1_000_000})
+              / {M4_BUCKET_S * 1_000_000} AS BIGINT) AS b,
+         epoch_us(ts) AS t,
+         CAST(ROUND(value * 100) AS BIGINT) AS v,
+         event_id AS i
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+roles AS (
+  SELECT event_type, b,
+         MIN(struct_pack(v := v, t := t, i := i)) AS vmin,
+         MAX(struct_pack(v := v, t := t, i := i)) AS vmax,
+         MIN(struct_pack(t := t, i := i, v := v)) AS tmin,
+         MAX(struct_pack(t := t, i := i, v := v)) AS tmax
+  FROM enc GROUP BY 1, 2),
+pts AS (
+  SELECT event_type, b * {M4_BUCKET_S} AS bucket_s,
+         unnest([
+           struct_pack(t := vmin.t, v := vmin.v, i := vmin.i),
+           struct_pack(t := vmax.t, v := vmax.v, i := vmax.i),
+           struct_pack(t := tmin.t, v := tmin.v, i := tmin.i),
+           struct_pack(t := tmax.t, v := tmax.v, i := tmax.i)
+         ]) AS p
+  FROM roles)
+SELECT DISTINCT event_type, bucket_s,
+       CAST((p.t - p.t % 1000000) / 1000000 AS BIGINT) AS t_s,
+       ROUND(CAST(p.v AS DOUBLE) / 100.0, 6) AS value,
+       p.i AS event_id
+FROM pts
+ORDER BY event_type, bucket_s, t_s, event_id
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -7885,4 +7941,5 @@ SCALE_QUERIES = {
     "mx_neyman": (mx_neyman, MX_NEYMAN_SQL),
     # twenty-seventh wave (round 9)
     "pf_null_phi": (pf_null_phi, PF_NULL_PHI_SQL),
+    "ts_m4": (ts_m4, TS_M4_SQL),
 }

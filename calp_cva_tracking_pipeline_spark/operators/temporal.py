@@ -1417,3 +1417,98 @@ def seasonal_anomaly(
         )
         .orderBy(*key_cols, id_col)
     )
+
+
+def m4_downsample(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per (key,
+    time bucket) keep the FOUR pixel-defining rows — first, last, min
+    and max — which renders bit-identically to the full series on any
+    display whose x-resolution matches the bucket width, at 4/|bucket|
+    of the data. The dashboard/viz feeder for billion-point series.
+
+    One map-side-combined groupBy: each role is a min/max over a
+    struct whose leading field is the role's ordering and whose
+    remaining fields give a TOTAL order ((value, ts, id) for min/max,
+    (ts, id, value) for first/last), so role winners are deterministic
+    under ties on both engines. The four winners then unpivot and
+    dedupe (a row can hold several roles — a bucket's max is often its
+    last). Output: keys + (bucket_s, ts, value, id), distinct rows
+    ascending; value rounds to cents for the cross-engine struct
+    comparison (documented resolution). Engine addition; no reference
+    counterpart.
+    """
+    b_us = int(bucket_seconds) * 1_000_000
+    tus = F.unix_micros(F.col(ts_col))
+    enc = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *key_cols,
+        ((tus - tus % b_us) / F.lit(b_us)).cast("bigint").alias("__b"),
+        tus.alias("__t"),
+        F.round(F.col(value_col).cast("double") * 100)
+        .cast("bigint")
+        .alias("__v"),
+        F.col(id_col).alias("__id"),
+    )
+    v_struct = F.struct(
+        F.col("__v"), F.col("__t"), F.col("__id")
+    )
+    t_struct = F.struct(
+        F.col("__t"), F.col("__id"), F.col("__v")
+    )
+    agg = enc.groupBy(*key_cols, "__b").agg(
+        F.min(v_struct).alias("__vmin"),
+        F.max(v_struct).alias("__vmax"),
+        F.min(t_struct).alias("__tmin"),
+        F.max(t_struct).alias("__tmax"),
+    )
+    pts = F.array(
+        F.struct(
+            F.col("__vmin.__t").alias("t"),
+            F.col("__vmin.__v").alias("v"),
+            F.col("__vmin.__id").alias("i"),
+        ),
+        F.struct(
+            F.col("__vmax.__t").alias("t"),
+            F.col("__vmax.__v").alias("v"),
+            F.col("__vmax.__id").alias("i"),
+        ),
+        F.struct(
+            F.col("__tmin.__t").alias("t"),
+            F.col("__tmin.__v").alias("v"),
+            F.col("__tmin.__id").alias("i"),
+        ),
+        F.struct(
+            F.col("__tmax.__t").alias("t"),
+            F.col("__tmax.__v").alias("v"),
+            F.col("__tmax.__id").alias("i"),
+        ),
+    )
+    return (
+        agg.select(
+            *key_cols,
+            (F.col("__b") * F.lit(int(bucket_seconds))).alias("bucket_s"),
+            F.explode(F.array_distinct(pts)).alias("__p"),
+        )
+        .select(
+            *key_cols,
+            "bucket_s",
+            (
+                (F.col("__p.t") - F.col("__p.t") % 1_000_000)
+                / F.lit(1_000_000)
+            ).cast("bigint").alias("t_s"),
+            F.round(
+                F.col("__p.v").cast("double") / F.lit(100.0), 6
+            ).alias("value"),
+            F.col("__p.i").alias(id_col),
+        )
+        .distinct()
+        .orderBy(*key_cols, "bucket_s", "t_s", id_col)
+    )

@@ -817,3 +817,30 @@ def test_null_correlation_phi_signs(spark):
     )
     r2 = null_correlation(df2, ["x", "y"]).collect()[0]
     assert r2.phi is None
+
+
+def test_m4_downsample_keeps_pixel_extremes(spark):
+    import datetime as dt
+
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        m4_downsample,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # one key, one bucket (100s): first at t=1, last at t=99,
+    # min at t=40 (v=-5), max at t=60 (v=50); filler elsewhere
+    pts = [(1, 10.0), (40, -5.0), (50, 10.0), (60, 50.0), (99, 20.0)]
+    rows = [
+        ("k", i, t0 + dt.timedelta(seconds=s), v)
+        for i, (s, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, event_id long, ts timestamp, value double"
+    )
+    out = m4_downsample(
+        df, ["k"], "ts", "value", "event_id", bucket_seconds=100
+    ).collect()
+    kept = {(r.t_s % 100, r.value) for r in out}
+    assert kept == {(1, 10.0), (40, -5.0), (60, 50.0), (99, 20.0)}
+    # the mid filler point (t=50) is dropped; 4 roles -> 4 rows here
+    assert len(out) == 4
