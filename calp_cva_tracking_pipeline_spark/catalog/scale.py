@@ -7776,6 +7776,91 @@ ORDER BY event_type, bucket_s, t_s, event_id
 """
 
 
+EP_GAP_S = 2 * 86_400
+
+
+def ev_alert_episodes(spark, sf_dir):
+    """Anomaly alarms collapsed to episodes (operators.temporal.
+    alert_episodes over rolling_anomaly flags): gaps-and-islands per
+    user with a 2-day gap budget — the page-once-per-episode readout
+    beside ev_anomaly's row-level flags."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        alert_episodes,
+        rolling_anomaly,
+    )
+
+    flags = rolling_anomaly(
+        T(spark, sf_dir, "events"),
+        keys=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        id_col="event_id",
+        window_spec="7 days",
+        z_threshold=3.0,
+        min_points=10,
+    )
+    return alert_episodes(
+        flags, ["user_id"], "ts", "event_id",
+        max_gap_seconds=EP_GAP_S,
+    )
+
+
+EV_EPISODES_SQL = f"""
+WITH enc AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(ROUND(value * 100) AS BIGINT) AS x
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL),
+st AS (
+  SELECT user_id, event_id, ts, value, x,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS s1,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS s2
+  FROM enc
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)),
+zt AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN n >= 10
+                   AND (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) > 0
+              THEN ROUND(
+                (CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6)
+              END AS z
+  FROM st),
+flags AS (SELECT * FROM zt WHERE ABS(z) > 3),
+marked AS (
+  SELECT user_id, event_id, ts, z,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR CAST((epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                         - (epoch_us(ts) - epoch_us(LAG(ts) OVER w))
+                           % 1000000) / 1000000 AS BIGINT) > {EP_GAP_S}
+              THEN 1 ELSE 0 END AS nw
+  FROM flags
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+islands AS (
+  SELECT user_id, event_id, ts, z,
+         SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS episode
+  FROM marked)
+SELECT user_id, CAST(episode AS BIGINT) AS episode,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))
+             - (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) % 1000000)
+            / 1000000 AS BIGINT) AS duration_s,
+       CAST(COUNT(*) AS BIGINT) AS n_alerts,
+       MAX(ABS(z)) AS peak_abs_z
+FROM islands
+GROUP BY user_id, episode
+ORDER BY user_id, episode
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -7942,4 +8027,5 @@ SCALE_QUERIES = {
     # twenty-seventh wave (round 9)
     "pf_null_phi": (pf_null_phi, PF_NULL_PHI_SQL),
     "ts_m4": (ts_m4, TS_M4_SQL),
+    "ev_alert_episodes": (ev_alert_episodes, EV_EPISODES_SQL),
 }

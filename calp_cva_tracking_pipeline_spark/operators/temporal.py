@@ -1512,3 +1512,60 @@ def m4_downsample(
         .distinct()
         .orderBy(*key_cols, "bucket_s", "t_s", id_col)
     )
+
+
+def alert_episodes(
+    flags: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    id_col: str,
+    z_col: str = "z",
+    max_gap_seconds: int = 86_400,
+) -> DataFrame:
+    """Collapse per-row anomaly FLAGS into alert EPISODES — the
+    alert-fatigue fix: one misbehaving entity fires hundreds of
+    row-level alarms (``rolling_anomaly`` / ``seasonal_anomaly``
+    output), but the on-call pages once per EPISODE. Consecutive
+    flagged rows of a key belong to one episode while their gap stays
+    within ``max_gap_seconds``; a larger gap opens a new one (the
+    gaps-and-islands pattern — sessionization over alarms).
+
+    One keyed window pass: lag gives the gap, the cumulative marker sum
+    numbers islands, one aggregate per episode. Integer-second gaps;
+    peak severity is max(|z|) of already-6-dp z values (exact). Output:
+    keys + (episode, start_ts, end_ts, duration_s, n_alerts,
+    peak_abs_z), ordered. Engine addition; no reference counterpart.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col, id_col)
+    tus = F.unix_micros(F.col(ts_col))
+    gap_s = (
+        (tus - F.lag(tus).over(w))
+        - (tus - F.lag(tus).over(w)) % 1_000_000
+    ) / 1_000_000
+    marked = flags.withColumn(
+        "__new",
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (gap_s.cast("bigint") > max_gap_seconds),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__ep",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    dur = F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+    return (
+        marked.groupBy(*keys, F.col("__ep").alias("episode"))
+        .agg(
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+            ((dur - dur % 1_000_000) / 1_000_000)
+            .cast("bigint")
+            .alias("duration_s"),
+            F.count(F.lit(1)).cast("bigint").alias("n_alerts"),
+            F.max(F.abs(F.col(z_col))).alias("peak_abs_z"),
+        )
+        .orderBy(*keys, "episode")
+    )

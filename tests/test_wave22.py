@@ -844,3 +844,36 @@ def test_m4_downsample_keeps_pixel_extremes(spark):
     assert kept == {(1, 10.0), (40, -5.0), (60, 50.0), (99, 20.0)}
     # the mid filler point (t=50) is dropped; 4 roles -> 4 rows here
     assert len(out) == 4
+
+
+def test_alert_episodes_islands(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        alert_episodes,
+    )
+
+    # flags at t = 0h, 1h, 2h (episode 1), then a 3-day gap, then
+    # t = 74h, 75h (episode 2); second key one lone alarm
+    rows = [
+        (1, 1, t0, 3.5),
+        (1, 2, t0 + dt.timedelta(hours=1), -4.0),
+        (1, 3, t0 + dt.timedelta(hours=2), 3.2),
+        (1, 4, t0 + dt.timedelta(hours=74), 5.0),
+        (1, 5, t0 + dt.timedelta(hours=75), 3.1),
+        (2, 6, t0, 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, event_id long, ts timestamp, z double"
+    )
+    out = alert_episodes(
+        df, ["k"], "ts", "event_id", max_gap_seconds=86_400
+    ).collect()
+    eps = {(r.k, r.episode): r for r in out}
+    assert len(eps) == 3
+    e1 = eps[(1, 1)]
+    assert (e1.n_alerts, e1.duration_s, e1.peak_abs_z) == (3, 7200, 4.0)
+    e2 = eps[(1, 2)]
+    assert (e2.n_alerts, e2.duration_s, e2.peak_abs_z) == (2, 3600, 5.0)
+    assert eps[(2, 1)].n_alerts == 1
