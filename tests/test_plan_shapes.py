@@ -589,3 +589,46 @@ def test_gated_round8_tier_plan_shapes(spark, sf_dir):
     ref = _executed(S.pf_ref_integrity(spark, sf_dir))
     assert "CartesianProduct" not in ref
     assert "BroadcastNestedLoopJoin" not in ref
+
+
+def test_wave22_25_tier_plan_shapes(spark, sf_dir):
+    """Structural pins for the round-9 wave-22..27 tier: the winnow pair
+    machinery never joins (single lineage through the bucket cap);
+    tx_jsd's shared count lineage stays exchange-reusable (the
+    pre-filtered null keys contract — losing it re-executes the
+    tokenize+explode once per derived aggregate); pf_cardinalities is
+    ONE Expand-based aggregation; the range join is equi-only (bins),
+    never a nested loop; the markov iteration stays linear in rounds."""
+    winnow = _executed(S.dd_winnow(spark, sf_dir))
+    assert "Join" not in winnow
+    assert winnow.count("Scan parquet") == 1
+
+    jsd_df = S.tx_jsd(spark, sf_dir)
+    jsd_df.collect()  # AQE final plan carries the ReusedExchange nodes
+    jsd = _executed(jsd_df)
+    assert jsd.count("ReusedExchange") >= 3
+
+    card = _executed(S.pf_cardinalities(spark, sf_dir))
+    assert "Expand" in card and "Join" not in card
+
+    rj = _executed(S.tj_range_join(spark, sf_dir))
+    assert "CartesianProduct" not in rj
+    assert "BroadcastNestedLoopJoin" not in rj
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        markov_stationary,
+    )
+
+    e = T(spark, sf_dir, "events")
+    p4 = _executed(
+        markov_stationary(e, "user_id", "ts", "event_type", "event_id",
+                          n_iter=4)
+    )
+    p8 = _executed(
+        markov_stationary(e, "user_id", "ts", "event_type", "event_id",
+                          n_iter=8)
+    )
+    s4, s8 = p4.count("Scan parquet"), p8.count("Scan parquet")
+    # linear: doubling rounds must not much more than double scans
+    assert s8 <= 2 * s4 + 4, (s4, s8)
