@@ -7861,6 +7861,54 @@ ORDER BY user_id, episode
 """
 
 
+def pf_weighted_quantiles(spark, sf_dir):
+    """Quantity-weighted price quantiles per return flag (operators.
+    profiling.weighted_quantiles): smallest price whose cumulative
+    quantity reaches p·W — pure BIGINT cumulative-weight machinery,
+    tie values commute without a tie-break."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        weighted_quantiles,
+    )
+
+    return weighted_quantiles(
+        T(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_extendedprice",
+        "l_quantity",
+    )
+
+
+PF_WQ_SQL = """
+WITH enc AS (
+  SELECT l_returnflag AS g,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x,
+         CAST(ROUND(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_quantity > 0),
+enc2 AS (SELECT * FROM enc WHERE w > 0),
+ranked AS (
+  SELECT g, x, w,
+         CAST(SUM(w) OVER (PARTITION BY g ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cw,
+         CAST(SUM(w) OVER (PARTITION BY g) AS BIGINT) AS tw
+  FROM enc2)
+SELECT g AS l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(tw) AS BIGINT) AS total_weight,
+       ROUND(CAST(MIN(CASE WHEN cw >=
+           greatest(1, (500000 * tw + 999999) // 1000000)
+         THEN x END) AS DOUBLE) / 100.0, 6) AS p50_weighted,
+       ROUND(CAST(MIN(CASE WHEN cw >=
+           greatest(1, (900000 * tw + 999999) // 1000000)
+         THEN x END) AS DOUBLE) / 100.0, 6) AS p90_weighted
+FROM ranked
+GROUP BY g
+ORDER BY l_returnflag
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -8028,4 +8076,5 @@ SCALE_QUERIES = {
     "pf_null_phi": (pf_null_phi, PF_NULL_PHI_SQL),
     "ts_m4": (ts_m4, TS_M4_SQL),
     "ev_alert_episodes": (ev_alert_episodes, EV_EPISODES_SQL),
+    "pf_weighted_quantiles": (pf_weighted_quantiles, PF_WQ_SQL),
 }

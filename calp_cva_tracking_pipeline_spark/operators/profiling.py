@@ -1950,3 +1950,71 @@ def null_correlation(
         .select("__s.*")
         .orderBy("col_a", "col_b")
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    pcts_ppm: tuple[int, ...] = (500_000, 900_000),
+) -> DataFrame:
+    """Per-group WEIGHTED quantiles — the smallest value whose
+    cumulative weight reaches p·W (weighted percentile_disc): the
+    volume-weighted median/p90 that row-counted quantiles misstate
+    whenever rows carry different mass (revenue per order line, tokens
+    per document, bytes per file).
+
+    Pure integer machinery: weights round to integers up front, ONE
+    per-group ordered window gives the running weight (ties on the
+    value commute — equal values are interchangeable under any
+    within-tie order, so the cut VALUE is deterministic without a
+    tie-break), the cut thresholds are ceil(p_ppm·W / 1e6) in BIGINT
+    (overflow bound W < 2^63/1e6 ≈ 9.2e12 total weight per group,
+    documented), and each quantile reads off as min(value WHERE
+    cum >= k) in the SAME key-partitioned aggregation — no second
+    shuffle. Zero/negative-weight rows drop (they have no mass).
+    Output: group_cols + (n, total_weight, p<..> columns), values in
+    original units 6 dp, ordered. Engine addition; no reference
+    counterpart.
+    """
+    enc = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+    ).select(
+        *group_cols,
+        F.round(F.col(value_col).cast("double") * 100)
+        .cast("bigint")
+        .alias("__x"),
+        F.round(F.col(weight_col).cast("double"))
+        .cast("bigint")
+        .alias("__w"),
+    ).filter(F.col("__w") > 0)
+    w_ord = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    ranked = enc.withColumn("__cw", F.sum("__w").over(w_ord)).withColumn(
+        "__tw", F.sum("__w").over(w_all)
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("__tw").cast("bigint").alias("total_weight"),
+    ]
+    for ppm in pcts_ppm:
+        k = F.expr(
+            f"greatest(1L, ({int(ppm)}L * __tw + 999999L) div 1000000L)"
+        )
+        aggs.append(
+            F.round(
+                F.min(F.when(F.col("__cw") >= k, F.col("__x"))).cast(
+                    "double"
+                )
+                / F.lit(100.0),
+                6,
+            ).alias(f"p{ppm // 10000}_weighted")
+        )
+    return ranked.groupBy(*group_cols).agg(*aggs).orderBy(*group_cols)

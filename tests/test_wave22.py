@@ -877,3 +877,29 @@ def test_alert_episodes_islands(spark):
     e2 = eps[(1, 2)]
     assert (e2.n_alerts, e2.duration_s, e2.peak_abs_z) == (2, 3600, 5.0)
     assert eps[(2, 1)].n_alerts == 1
+
+
+def test_weighted_quantiles_hand_cuts(spark):
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        weighted_quantiles,
+    )
+
+    # values 10/20/30 with weights 1/1/8: W=10; weighted median needs
+    # cum >= 5 -> value 30 (row-counted median would say 20!)
+    rows = [
+        ("g", 10.0, 1.0), ("g", 20.0, 1.0), ("g", 30.0, 8.0),
+        # zero/negative weights drop
+        ("g", 999.0, 0.0), ("g", -999.0, -3.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    r = weighted_quantiles(df, ["g"], "v", "w").collect()[0]
+    assert (r.n, r.total_weight) == (3, 10)
+    assert r.p50_weighted == 30.0
+    assert r.p90_weighted == 30.0
+    # equal-weight case reduces to plain disc quantiles
+    flat = spark.createDataFrame(
+        [("g", float(v), 1.0) for v in range(1, 11)],
+        "g string, v double, w double",
+    )
+    r2 = weighted_quantiles(flat, ["g"], "v", "w").collect()[0]
+    assert r2.p50_weighted == 5.0 and r2.p90_weighted == 9.0
