@@ -7909,6 +7909,65 @@ ORDER BY l_returnflag
 """
 
 
+ZIPF_TOP_N = 200
+
+
+def tx_zipf(spark, sf_dir):
+    """Zipf-law fit of the token rank-frequency curve per language
+    (operators.textops.zipf_fit): micro-pinned log-log OLS over the
+    top-200 ranks — the corpus-law companion to pf_tail_index."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import zipf_fit
+
+    return zipf_fit(
+        T(spark, sf_dir, "documents"), "lang", "text", top_n=ZIPF_TOP_N
+    )
+
+
+TX_ZIPF_SQL = rf"""
+WITH toks AS (
+  SELECT lang AS g,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents WHERE lang IS NOT NULL),
+cnt AS (
+  SELECT g, t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT g, c,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY c DESC, t ASC) AS r
+  FROM cnt QUALIFY r <= {ZIPF_TOP_N}),
+pts AS (
+  SELECT g,
+         CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+  FROM ranked),
+agg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_ranked,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pts GROUP BY g),
+d AS (
+  SELECT g, n_ranked,
+         CAST(n_ranked AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(syy AS DOUBLE) AS syyd
+  FROM agg)
+SELECT g AS lang, n_ranked,
+       CASE WHEN n_ranked >= 3 AND nd * sxxd - sxd * sxd > 0 THEN
+         ROUND((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+       END AS slope,
+       CASE WHEN n_ranked >= 3 AND nd * sxxd - sxd * sxd > 0
+                 AND (nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd) > 0
+       THEN
+         ROUND((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+               / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+       END AS r2
+FROM d
+ORDER BY lang
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -8077,4 +8136,5 @@ SCALE_QUERIES = {
     "ts_m4": (ts_m4, TS_M4_SQL),
     "ev_alert_episodes": (ev_alert_episodes, EV_EPISODES_SQL),
     "pf_weighted_quantiles": (pf_weighted_quantiles, PF_WQ_SQL),
+    "tx_zipf": (tx_zipf, TX_ZIPF_SQL),
 }

@@ -1048,3 +1048,76 @@ def oov_rate(
         rate.alias("oov_rate"),
         "n_distinct_oov",
     ).orderBy(group_col)
+
+
+def zipf_fit(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    top_n: int = 200,
+) -> DataFrame:
+    """Zipf-law fit per group: OLS slope of ln(frequency) on ln(rank)
+    over the top-``top_n`` tokens — natural language sits near slope
+    ≈ −1; templated/boilerplate shards flatten, ID-soup shards steepen.
+    The corpus-LAW companion to pf_tail_index (which fits value tails;
+    this fits the rank law itself).
+
+    Determinism: ranks come from the total (count desc, token asc)
+    order; ln(rank) and ln(count) pin to integer MICRO-units per ranked
+    token BEFORE the OLS sums, so Σx, Σy, Σxy, Σx² aggregate as exact
+    64-bit integers (products of micro-pinned logs stay well inside
+    2^53 — the pinning scale is chosen for that) and the slope/r²
+    derive in a fixed double order. One tokenize→count pass; the
+    rank cut is a per-group window top-N (WindowGroupLimit), so the
+    fit table is group×top_n-bounded. Groups with fewer than 3 ranked
+    tokens emit NULL slope. Output: (group, n_ranked, slope, r2) 6 dp,
+    ordered. Engine addition; no reference counterpart.
+    """
+    toks = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("__g"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("__t"),
+    )
+    cnt = toks.groupBy("__g", "__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    w = Window.partitionBy("__g").orderBy(
+        F.col("__c").desc(), F.col("__t").asc()
+    )
+    ranked = cnt.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= top_n
+    )
+    x = F.round(F.log(F.col("__r").cast("double")) * F.lit(1e6)).cast(
+        "bigint"
+    )
+    y = F.round(F.log(F.col("__c").cast("double")) * F.lit(1e6)).cast(
+        "bigint"
+    )
+    pts = ranked.select("__g", x.alias("__x"), y.alias("__y"))
+    agg = pts.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranked"),
+        F.sum("__x").cast("bigint").alias("__sx"),
+        F.sum("__y").cast("bigint").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("bigint").alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("bigint").alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("bigint").alias("__syy"),
+    )
+    nD = F.col("n_ranked").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    den = nD * sxx - sx * sx
+    slope = (nD * sxy - sx * sy) / den
+    r2_den = (nD * sxx - sx * sx) * (nD * syy - sy * sy)
+    r2 = F.when(
+        r2_den > 0,
+        (nD * sxy - sx * sy) * (nD * sxy - sx * sy) / r2_den,
+    )
+    ok = (F.col("n_ranked") >= 3) & (den > 0)
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n_ranked",
+        F.when(ok, F.round(slope, 6)).alias("slope"),
+        F.when(ok, F.round(r2, 6)).alias("r2"),
+    ).orderBy(group_col)

@@ -56,6 +56,7 @@ TEXT_FAMILY = [
     "dd_winnow",
     "tx_jsd",
     "tx_oov",
+    "tx_zipf",
 ]
 
 

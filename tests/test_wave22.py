@@ -903,3 +903,26 @@ def test_weighted_quantiles_hand_cuts(spark):
     )
     r2 = weighted_quantiles(flat, ["g"], "v", "w").collect()[0]
     assert r2.p50_weighted == 5.0 and r2.p90_weighted == 9.0
+
+
+def test_zipf_fit_recovers_synthetic_exponent(spark):
+    # build a corpus whose token counts follow freq(r) = round(C/r):
+    # the fitted slope must land near -1 with r2 ~ 1
+    rows = []
+    for r in range(1, 101):
+        freq = max(1, round(2000 / r))
+        rows.append(("z", " ".join([f"tok{r:03d}"] * freq)))
+    from calp_cva_tracking_pipeline_spark.operators.textops import zipf_fit
+
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = zipf_fit(df, "lang", top_n=100).collect()[0]
+    assert out.n_ranked == 100
+    assert -1.05 < out.slope < -0.95
+    assert out.r2 > 0.99
+    # uniform-frequency corpus: slope ~ 0
+    flat = spark.createDataFrame(
+        [("u", " ".join(f"w{i}" for i in range(50)))] * 4,
+        "lang string, text string",
+    )
+    f = zipf_fit(flat, "lang", top_n=50).collect()[0]
+    assert abs(f.slope) < 1e-6 and f.r2 is None  # zero y-variance
