@@ -1554,8 +1554,11 @@ def winsorized_stats(
         F.max(F.when(F.col("__rn") == k_hi, F.col("__x"))).alias("__hi"),
         F.sum("__x").cast("bigint").alias("__s_raw"),
     )
+    # no broadcast hint: cuts is GROUP-cardinality and groups scale
+    # with data (the assoc.py round-8 advisor lesson); AQE broadcasts
+    # when it actually fits.
     clipped = (
-        ranked.join(F.broadcast(cuts), group_cols)
+        ranked.join(cuts, group_cols)
         .select(
             *group_cols,
             F.col("n"),

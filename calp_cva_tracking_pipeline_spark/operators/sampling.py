@@ -624,7 +624,9 @@ def neyman_allocation(
             ).cast("bigint"),
         ),
     )
-    drawn = enc.join(F.broadcast(alloc.select("__st", "rate_ppm")), "__st")
+    # no broadcast hint: rates are stratum-cardinality and strata can
+    # scale with data; AQE broadcasts when it fits.
+    drawn = enc.join(alloc.select("__st", "rate_ppm"), "__st")
     sampled = drawn.filter(
         stable_hash64(
             F.concat(F.col("__id"), F.lit(f"|ney{seed}"))

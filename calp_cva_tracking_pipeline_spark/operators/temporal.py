@@ -1049,7 +1049,11 @@ def seasonal_strength(
         .cast("bigint")
         .alias("__hc")
     )
-    resid = detr.join(F.broadcast(hour_eff), [*key_cols, "__hour"]).select(
+    # no broadcast hint: hour_eff is keys x 24 — key-SCALED, so a
+    # forced broadcast becomes a driver OOM at high key cardinality
+    # (the assoc.py round-8 advisor lesson); AQE picks broadcast
+    # whenever it actually fits.
+    resid = detr.join(hour_eff, [*key_cols, "__hour"]).select(
         *key_cols,
         "__dc",
         (F.col("__dc") - F.col("__hc")).alias("__rc"),
@@ -1384,7 +1388,11 @@ def seasonal_anomaly(
         .cast("bigint")
         .alias("__hc")
     )
-    resid = detr.join(F.broadcast(hour_eff), [*key_cols, "__hour"]).select(
+    # no broadcast hint: hour_eff is keys x 24 — key-SCALED, so a
+    # forced broadcast becomes a driver OOM at high key cardinality
+    # (the assoc.py round-8 advisor lesson); AQE picks broadcast
+    # whenever it actually fits.
+    resid = detr.join(hour_eff, [*key_cols, "__hour"]).select(
         *key_cols,
         "__id",
         (F.col("__dc") - F.col("__hc")).alias("__rc"),
@@ -1400,7 +1408,8 @@ def seasonal_anomaly(
         nD * F.col("__s2").cast("double")
         - F.col("__s1").cast("double") * F.col("__s1").cast("double")
     ) / (nD * nD)
-    j = resid.join(F.broadcast(stats), key_cols).filter(
+    # stats is key-cardinality — same no-force-broadcast rule
+    j = resid.join(stats, key_cols).filter(
         (F.col("__n") >= min_rows) & (var_ > 0)
     )
     z = (F.col("__rc").cast("double") - mean_) / F.sqrt(var_)
