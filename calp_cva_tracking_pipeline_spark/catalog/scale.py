@@ -7404,6 +7404,7 @@ ORDER BY status, priority
 
 
 LEAK_CAP_EXACT = 64
+LEAK_SEED = 42
 
 
 def dd_split_leakage(spark, sf_dir):
@@ -7424,14 +7425,15 @@ def dd_split_leakage(spark, sf_dir):
         window=WINNOW_W,
         max_docs_per_fp=WINNOW_CAP,
         max_docs_per_hash=LEAK_CAP_EXACT,
+        seed=LEAK_SEED,
     )
 
 
-_LEAK_SPLIT = """CASE WHEN CAST(CAST(('0x' || substring(
-        md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
+_LEAK_SPLIT = f"""CASE WHEN CAST(CAST(('0x' || substring(
+        md5(CAST(doc_id AS VARCHAR) || ':{LEAK_SEED}'), 1, 15))
         AS UBIGINT) AS BIGINT) % 1000000 < 800000 THEN 'train'
      WHEN CAST(CAST(('0x' || substring(
-        md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
+        md5(CAST(doc_id AS VARCHAR) || ':{LEAK_SEED}'), 1, 15))
         AS UBIGINT) AS BIGINT) % 1000000 < 900000 THEN 'val'
      ELSE 'test' END"""
 

@@ -1474,9 +1474,16 @@ def kappa_from_contingency(
         )
     )
     totals = cont.groupBy(*gcols).agg(
-        F.sum("__c").cast("bigint").alias("n"),
-        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))
-              .otherwise(F.lit(0))).cast("bigint").alias("__agree"),
+        # coalesce: the GLOBAL path over an empty input emits one row
+        # whose sums are NULL — the contract documents integer counts
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__a") == F.col("__b"), F.col("__c"))
+                .otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("__agree"),
     )
     # LEFT join: a group whose annotators share NO label has an empty
     # marginal intersection — pe is 0 there, the group must not vanish.
@@ -1486,8 +1493,13 @@ def kappa_from_contingency(
         else totals.join(per_label, F.lit(True), "left")
     )
     nd = F.col("n").cast("double")
-    po = F.col("__agree").cast("double") / nd
-    pe = F.coalesce(F.col("__pe_num"), F.lit(0.0)) / (nd * nd)
+    # n = 0 only on the GLOBAL path over an empty input (a grouped agg
+    # emits no rows there) — guard the divisions or ANSI throws
+    po = F.when(F.col("n") > 0, F.col("__agree").cast("double") / nd)
+    pe = F.when(
+        F.col("n") > 0,
+        F.coalesce(F.col("__pe_num"), F.lit(0.0)) / (nd * nd),
+    )
     kappa = F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe))
     return j.select(
         *gcols,

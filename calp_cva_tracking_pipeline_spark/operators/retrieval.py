@@ -243,17 +243,26 @@ def retrieval_metrics(
         F.sum("__hits").alias("__s_hits"),
     )
     nq = F.col("n_queries").cast("double")
+    # n_queries = 0 only on the GLOBAL path over an empty run — guard
+    # the divisions or ANSI throws
+    has = F.col("n_queries") > 0
     out_cols = [
         *gcols,
         "n_queries",
-        F.round(F.col("__s_rr").cast("double") / nq / F.lit(1e9), 6).alias(
-            "mrr"
-        ),
-        F.round(F.col("__s_nd").cast("double") / nq / F.lit(1e9), 6).alias(
-            "ndcg"
-        ),
-        F.round(
-            F.col("__s_hits").cast("double") / (nq * F.lit(float(k))), 6
+        F.when(
+            has,
+            F.round(F.col("__s_rr").cast("double") / nq / F.lit(1e9), 6),
+        ).alias("mrr"),
+        F.when(
+            has,
+            F.round(F.col("__s_nd").cast("double") / nq / F.lit(1e9), 6),
+        ).alias("ndcg"),
+        F.when(
+            has,
+            F.round(
+                F.col("__s_hits").cast("double") / (nq * F.lit(float(k))),
+                6,
+            ),
         ).alias("precision"),
     ]
     out = final.select(*out_cols)
