@@ -7970,6 +7970,54 @@ ORDER BY lang
 """
 
 
+def emb_quant_error(spark, sf_dir):
+    """Per-dimension int8 reconstruction-error audit (operators.linalg.
+    quantization_error): MSE + max |err| of the dequantized embeddings
+    vs the originals — the commit gate before serving switches to
+    compressed vectors; max err bounded by scale/254 by construction."""
+    from calp_cva_tracking_pipeline_spark.operators.linalg import (
+        quantization_error,
+    )
+
+    return quantization_error(
+        T(spark, sf_dir, "embeddings"), "embedding", "vec_id"
+    )
+
+
+EMB_QERR_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+idx AS (
+  SELECT vec_id, vec, unnest(generate_series(1, len(vec))) AS i FROM v),
+scales AS (SELECT i, MAX(ABS(vec[i])) AS s FROM idx GROUP BY i),
+qd AS (
+  SELECT x.i, s.s,
+         CASE WHEN s.s > 0
+              THEN CAST(ROUND(127.0 * x.vec[x.i] / s.s) AS INT)
+              ELSE 0 END AS q,
+         x.vec[x.i] AS orig
+  FROM idx x JOIN scales s ON s.i = x.i),
+err AS (
+  SELECT i, s,
+         orig - CAST(q AS DOUBLE) * s / 127.0 AS e
+  FROM qd),
+pinned AS (
+  SELECT i, s,
+         CAST(ROUND(e * e * 1e12) AS BIGINT) AS sq,
+         CAST(ROUND(ABS(e) * 1e9) AS BIGINT) AS ae
+  FROM err)
+SELECT CAST(i - 1 AS INT) AS dim,
+       ROUND(MAX(s), 9) AS scale,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(sq) AS BIGINT)
+             / CAST(COUNT(*) AS DOUBLE) / 1e12, 9) AS mse,
+       ROUND(CAST(MAX(ae) AS BIGINT) / 1e9, 9) AS max_abs_err
+FROM pinned
+GROUP BY i
+ORDER BY dim
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -8139,4 +8187,5 @@ SCALE_QUERIES = {
     "ev_alert_episodes": (ev_alert_episodes, EV_EPISODES_SQL),
     "pf_weighted_quantiles": (pf_weighted_quantiles, PF_WQ_SQL),
     "tx_zipf": (tx_zipf, TX_ZIPF_SQL),
+    "emb_quant_error": (emb_quant_error, EMB_QERR_SQL),
 }

@@ -305,3 +305,67 @@ def centroid_confusion(
             6,
         ).alias("frac"),
     ).orderBy("label", "assigned_label")
+
+
+def quantization_error(
+    df: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """Reconstruction-error audit of the int8 quantizer — the
+    commit-gate before serving switches to compressed vectors: per
+    dimension, the mean squared and max absolute dequantization error
+    plus the dimension's scale. Symmetric int8 bounds the per-value
+    error by scale/254, so max_abs_err exceeding that flags a quantizer
+    bug and the audit doubles as the quantizer's invariant check (the
+    unit test pins it).
+
+    One pass over ``quantize_int8``'s output: posexplode the original
+    next to the dequantized value (q·scale/127 — the exact serving-side
+    ADC arithmetic), error terms pin to integer square-micro units
+    before the dim-keyed sums (order-independent; resolution 1e-12 in
+    the squared error, documented). Output: (dim, scale, n, mse,
+    max_abs_err) 9 dp, ordered by dim. Engine addition; no reference
+    counterpart.
+    """
+    q = quantize_int8(df, vec_col, id_col)
+    orig = df.select(
+        F.col(id_col).alias("__oid"), F.col(vec_col).alias("__ov")
+    )
+    j = q.join(orig, q[id_col] == F.col("__oid"))
+    exploded = j.select(
+        F.posexplode("qvec").alias("dim", "__q"),
+        F.col("__ov"),
+        F.col("scales"),
+    ).select(
+        "dim",
+        (
+            F.element_at(F.col("__ov"), F.col("dim") + 1).cast("double")
+            - F.col("__q").cast("double")
+            * F.element_at(F.col("scales"), F.col("dim") + 1)
+            / F.lit(127.0)
+        ).alias("__err"),
+        F.element_at(F.col("scales"), F.col("dim") + 1).alias("__s"),
+    )
+    pin_sq = F.round(
+        F.col("__err") * F.col("__err") * F.lit(1e12)
+    ).cast("bigint")
+    pin_abs = F.round(F.abs(F.col("__err")) * F.lit(1e9)).cast("bigint")
+    agg = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("__s").alias("__scale"),
+        F.sum(pin_sq).cast("bigint").alias("__sq"),
+        F.max(pin_abs).cast("bigint").alias("__ma"),
+    )
+    return agg.select(
+        "dim",
+        F.round("__scale", 9).alias("scale"),
+        "n",
+        F.round(
+            F.col("__sq").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(1e12),
+            9,
+        ).alias("mse"),
+        F.round(F.col("__ma").cast("double") / F.lit(1e9), 9).alias(
+            "max_abs_err"
+        ),
+    ).orderBy("dim")

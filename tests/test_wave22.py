@@ -926,3 +926,24 @@ def test_zipf_fit_recovers_synthetic_exponent(spark):
     )
     f = zipf_fit(flat, "lang", top_n=50).collect()[0]
     assert abs(f.slope) < 1e-6 and f.r2 is None  # zero y-variance
+
+
+def test_quantization_error_within_theoretical_bound(spark):
+    from calp_cva_tracking_pipeline_spark.operators.linalg import (
+        quantization_error,
+    )
+
+    rows = [
+        (1, [1.0, -2.0, 0.003, 0.0]),
+        (2, [0.5, 1.7, -0.001, 0.0]),
+        (3, [-1.0, 0.2, 0.002, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.dim: r for r in quantization_error(df, "embedding", "vec_id").collect()}
+    assert len(out) == 4
+    for d, r in out.items():
+        # symmetric int8: |err| <= scale/254 (+ pinning resolution)
+        assert r.max_abs_err <= r.scale / 254 + 1e-9, (d, r)
+        assert r.mse <= r.max_abs_err ** 2 + 1e-12
+    # dead dimension: scale 0, exact zeros
+    assert out[3].scale == 0.0 and out[3].mse == 0.0
