@@ -803,3 +803,86 @@ def markov_stationary(
         )
         .orderBy(type_col)
     )
+
+
+def transition_fold(
+    batch: DataFrame,
+    state: DataFrame | None,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Event-type transition counts for continuous ingest: fold ONE
+    time-slice against a key-sized carried state and return
+    ``(batch_transitions, new_state)`` — the foreachBatch resident that
+    keeps ``markov_stationary``'s input matrix live on a stream (the
+    cusum_fold/holt_fold contract; transitions are pure counts, so
+    folded ledgers sum additively into the one-shot matrix —
+    batch ≡ stream pinned in tests/test_streaming.py).
+
+    The carried state is each user's LAST (ts, tiebreak, type): a
+    slice's first event forms a boundary transition from the carried
+    type, within-slice transitions come from the usual lag window, and
+    the new state is the slice's last event per user (absent users
+    carry through untouched). Batches must arrive in (ts, tiebreak)
+    order per key — the standard append-stream contract.
+    """
+    spark = batch.sparkSession
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in batch.select(user_col, ts_col, tiebreak_col).schema.fields
+    )
+    ty_type = batch.schema[type_col].dataType.simpleString()
+    state_schema = f"{key_schema}, __last_type {ty_type}"
+    if state is None:
+        state = spark.createDataFrame([], state_schema)
+    enc = batch.filter(
+        F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
+    ).select(user_col, ts_col, tiebreak_col, type_col)
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    within = (
+        enc.withColumn("__prev", F.lag(type_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            F.col("__prev").alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+    )
+    firsts = (
+        enc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(user_col, F.col(type_col).alias("__first_type"))
+    )
+    boundary = firsts.join(
+        state.select(user_col, "__last_type"), user_col
+    ).select(
+        F.col("__last_type").alias("from_type"),
+        F.col("__first_type").alias("to_type"),
+    )
+    out = (
+        within.unionByName(boundary)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    lasts = (
+        enc.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(user_col).orderBy(
+                    F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            user_col,
+            ts_col,
+            tiebreak_col,
+            F.col(type_col).alias("__last_type"),
+        )
+    )
+    untouched = state.join(
+        enc.select(user_col).distinct(), user_col, "left_anti"
+    )
+    return out, lasts.unionByName(untouched)

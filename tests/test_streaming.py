@@ -961,3 +961,61 @@ def test_foreachbatch_holt_fold_matches_batch(spark, sf_dir, tmp_path):
     assert len(folded_rows) == len(one_shot)
     for a, b in zip(folded_rows, one_shot):
         assert tuple(a) == tuple(b)
+
+
+def test_foreachbatch_transition_fold_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming transition matrix: contiguous time-slices fold through
+    transition_fold with the per-user last-event state; summed slice
+    ledgers equal the one-shot (from, to) counts — including the
+    boundary transitions a naive per-batch lag would drop."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        transition_fold,
+    )
+
+    e = T(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    one_shot = {
+        (r.from_type, r.to_type): r.n
+        for r in (
+            e.filter(F.col("ts").isNotNull())
+            .withColumn("__prev", F.lag("event_type").over(w))
+            .filter(F.col("__prev").isNotNull())
+            .groupBy(
+                F.col("__prev").alias("from_type"),
+                F.col("event_type").alias("to_type"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .collect()
+        )
+    }
+
+    cuts = e.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.33)").alias("c1"),
+        F.expr("percentile_approx(unix_micros(ts), 0.66)").alias("c2"),
+    ).first()
+    slices = [
+        e.filter(F.unix_micros("ts") <= cuts.c1),
+        e.filter(
+            (F.unix_micros("ts") > cuts.c1)
+            & (F.unix_micros("ts") <= cuts.c2)
+        ),
+        e.filter(F.unix_micros("ts") > cuts.c2),
+    ]
+    state = None
+    folded: dict = {}
+    for sl in slices:
+        out, state = transition_fold(
+            sl, state, "user_id", "ts", "event_type", "event_id"
+        )
+        for r in out.collect():
+            k = (r.from_type, r.to_type)
+            folded[k] = folded.get(k, 0) + r.n
+        state = spark.createDataFrame(state.collect(), state.schema)
+    assert folded == one_shot
