@@ -52,7 +52,18 @@ def pagerank(
     nano-units per the module contract; rank_nano/1e9 is the usual
     probability-mass rank. Duplicate edges collapse (unweighted graph);
     every node appearing as source OR destination is ranked, including
-    pure sinks (dangling nodes, whose mass redistributes uniformly)."""
+    pure sinks (dangling nodes, whose mass redistributes uniformly).
+
+    Plan-scale contract: each round references the evolving ``ranks``
+    frame twice (the dangling-mass anti-join aggregate and the inflow
+    join), so without lineage truncation the logical plan DOUBLES per
+    iteration (measured scans 25 → 55 → 115 → 235 for n_iter 2 → 5 —
+    StackOverflow planning territory by n_iter ≈ 10). Fix is the same
+    one ``kcore`` below uses: ``localCheckpoint(eager=False)`` per
+    round cuts the visible plan to one iteration deep while leaving the
+    integer recurrence — and hence ``pagerank_sql`` oracle parity —
+    untouched. Pinned linear-in-rounds by
+    tests/test_plan_shapes.py::test_pagerank_plan_linear_in_rounds."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
@@ -71,8 +82,16 @@ def pagerank(
     base = (RANK_SCALE - damping_pct * RANK_SCALE // 100) // n
 
     ranks = nodes.withColumn("rank", F.lit(RANK_SCALE // n))
-    e_deg = e.join(deg, "src")  # static across iterations
-    for _ in range(n_iter):
+    # static across iterations; checkpointed so every round's visible
+    # plan starts from an RDD scan, not the re-expanded edge lineage
+    e_deg = e.join(deg, "src").localCheckpoint(eager=False)
+    for it in range(n_iter):
+        if it:
+            # truncate lineage BEFORE this round's two references
+            # (dangling aggregate + inflow join) re-expand it; placing
+            # the cut at round start keeps the final round's physical
+            # shape (broadcast dangling fold) visible for plan audits
+            ranks = ranks.localCheckpoint(eager=False)
         dangling = (
             ranks.join(deg, ranks.node == deg.src, "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dang"))
