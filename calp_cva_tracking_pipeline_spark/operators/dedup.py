@@ -1250,7 +1250,7 @@ def split_leakage_audit(
     splits: dict[str, float] | None = None,
     k: int = 5,
     window: int = 4,
-    max_docs_per_fp: int = 16,
+    max_docs_per_fp: int | None = None,
     max_docs_per_hash: int = 64,
     seed: int = 42,
 ) -> DataFrame:
@@ -1265,8 +1265,14 @@ def split_leakage_audit(
     Exact pairs bucket on the full-text md5 (cap ``max_docs_per_hash``
     — boilerplate guard, same discipline as every pair tier); near
     pairs come from ``winnow_overlap_pairs`` (detection guaranteed at
-    >= window+k-1 shared tokens; exact duplicates are near-duplicates
-    too, so n_near >= n_exact cell-wise whenever both fire). Split
+    >= window+k-1 shared tokens). Exact duplicates are near-duplicates
+    too, so n_near >= n_exact cell-wise whenever both fire — but ONLY
+    when the caps are aligned: a near cap tighter than the exact cap
+    drops 17..max_docs_per_hash-sized duplicate floods from the near
+    count while the exact count keeps them, inverting the invariant.
+    ``max_docs_per_fp`` therefore defaults to ``max_docs_per_hash``;
+    callers passing a tighter near cap (boilerplate-heavy corpora)
+    accept the cell-wise invariant only holding below the cap. Split
     labels join back by id, pairs normalize to (min, max) split name
     order, and the two counters full-outer-merge so a cell firing on
     one signal only still reports. Output: (split_a, split_b, cross,
@@ -1278,6 +1284,8 @@ def split_leakage_audit(
     )
 
     splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if max_docs_per_fp is None:
+        max_docs_per_fp = max_docs_per_hash
     base = df.select(F.col(id_col).alias("__id"), F.col(text_col))
     assigned = group_split(base, "__id", splits, seed=seed).select(
         "__id", F.col("split").alias("__split")

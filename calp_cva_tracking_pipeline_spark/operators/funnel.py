@@ -662,6 +662,14 @@ def funnel_step_times(
     ranked = conv.withColumn("__rn", F.row_number().over(w_ord)).withColumn(
         "__n", F.count(F.lit(1)).over(w_all)
     )
+    labels = [f"p{int(ppm) // 10000}_s" for ppm in pcts_ppm]
+    if len(set(labels)) != len(labels):
+        # e.g. 990000 and 995000 both floor to p99_s — silent duplicate
+        # output columns; demand ppm values that map to distinct labels
+        raise ValueError(
+            f"pcts_ppm {list(pcts_ppm)} collide on percentile column "
+            f"labels {labels}; use values that differ in whole percents"
+        )
     cut_aggs = []
     for ppm in pcts_ppm:
         k = F.expr(

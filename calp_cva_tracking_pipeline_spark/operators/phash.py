@@ -194,7 +194,13 @@ def image_phash_pairs(
     same guard contract as simhash_candidates.
     """
     nbits = grid * grid
-    nblocks = max_hamming + 1
+    # pigeonhole needs >= max_hamming+1 bands; the ceil(nbits/63) floor
+    # keeps every band <= 63 bits so shiftleft(1L, i) never reaches the
+    # 64-bit sign bit (grid=16 with 4 bands would pack 64-bit bands and
+    # go negative — harmless for xor/bit_count but it breaks ordering
+    # assumptions on band values). Extra bands only ADD candidates, so
+    # recall within max_hamming stays exact.
+    nblocks = max(max_hamming + 1, -(-nbits // 63))
     sizes = [
         nbits // nblocks + (1 if i < nbits % nblocks else 0)
         for i in range(nblocks)
@@ -203,8 +209,8 @@ def image_phash_pairs(
     cells = image_cell_sums(df, id_col, payload_col, grid).filter(
         F.col("decode_ok") == "ok_stdlib"
     )
-    # bands[b] = Σ_i bit(offs[b]+i) << i — built per band so no value
-    # ever touches the 64-bit sign bit regardless of grid size.
+    # bands[b] = Σ_i bit(offs[b]+i) << i — bands are <= 63 bits by the
+    # nblocks floor above, so no value touches the 64-bit sign bit.
     band_exprs = ", ".join(
         "aggregate(sequence(0, {n}), 0L, (acc, i) -> acc + IF("
         "__cells[{off} + i] * {nbits} > __total, shiftleft(1L, i), 0L))".format(

@@ -298,13 +298,14 @@ def interval_join(
         raise ValueError(
             f"interval columns collide with point columns: {dup}"
         )
-    cond = (F.col(start) <= F.col(point_time)) & (
+    range_cond = (F.col(start) <= F.col(point_time)) & (
         F.col(point_time) < F.col(end)
     )
-    for k in keys:
-        cond &= points[k].eqNullSafe(intervals[k])
 
     if bucket_width is None:
+        cond = range_cond
+        for k in keys:
+            cond &= points[k].eqNullSafe(intervals[k])
         joined = points.join(F.broadcast(intervals), cond, how)
         for k in keys:
             joined = joined.drop(intervals[k])
@@ -332,7 +333,9 @@ def interval_join(
             )
         ),
     )
-    on = (p["__bucket"] == i["__bucket"]) & cond
+    # predicates built once, against the derived frames actually joined
+    # (range columns are unambiguous post-rename, keys qualified on p/i)
+    on = (p["__bucket"] == i["__bucket"]) & range_cond
     for k in keys:
         on &= p[k].eqNullSafe(i[k])
     joined = p.join(i, on, how).drop(p["__bucket"]).drop(i["__bucket"])

@@ -116,6 +116,13 @@ def autoscale_shuffle_partitions(
     if input_bytes is None:
         if df is None:
             raise ValueError("pass df or input_bytes")
+        if not hasattr(df, "_jdf"):
+            # Spark Connect DataFrames carry no JVM handle; plan stats
+            # are unreachable there — demand an explicit size instead
+            raise ValueError(
+                "optimizer plan statistics are unavailable on Spark "
+                "Connect sessions; pass input_bytes explicitly"
+            )
         input_bytes = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
