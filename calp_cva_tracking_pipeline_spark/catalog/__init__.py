@@ -53,22 +53,22 @@ _MERGED = {**RELATIONAL_QUERIES, **SCALE_QUERIES}
 GATE = [
     "f1_filter_neq",
     "j2_broadcast_enrich",
-    "j10_fuzzy_levenshtein",
-    "w1_cumprod",
+    "ep3_org_match",
+    "ep3_global_agg",
     "x1_equal_split_explode",
     "cc2_relevance_ml",
     "cc3_amount_cascade",
     "ep2_cva_by_location",
-    "dd_exact_hash", "dd_minhash_lsh", "dd_simhash", "dd_embed_neardup",
-    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "tx_features",
+    "dd_exact_hash", "dd_minhash_lsh", "dd_winnow", "mm_phash_neardup",
+    "ann_brute_topk", "mm_audio_dedup", "ann_ivf_topk", "tx_features",
     "m1_classifier_stub", "st_windowed_agg", "st_sessionize",
     "tj_asof_join", "tj_interval_join", "dd_decontam",
     "rt_rollup_hierarchy", "tx_pii_redact", "tx_repetition", "tx_chunk",
     "dd_components", "dd_semantic", "gr_pagerank", "cdc_upsert",
-    "ev_funnel", "pf_percentiles", "pk_pack_audit", "mx_mixture",
+    "ev_funnel", "pf_bootstrap", "pk_pack_audit", "ev_markov_stationary",
     "rt_bm25_topk", "jx_salted_join",
     "gr_triangles", "emb_kmeans", "pf_approx_distinct", "ts_ewma",
-    "ev_json_stats", "tx_keywords",
+    "ev_json_stats", "tx_jsd",
     "dd_jaccard_join", "gr_kcore", "cdc_snapshot_diff", "pf_dq_checks",
     "ts_cusum", "ev_itemsets", "pf_ref_integrity", "gr_communities",
 ]

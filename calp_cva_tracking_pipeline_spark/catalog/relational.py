@@ -1987,12 +1987,17 @@ COVERAGE = {
     " (local-parity)",
     "J7": "ep2_cva_by_location (cast-key join)",
     "J8": "ep2_cva_by_location", "J9": "j2_broadcast_enrich",
-    "J10": "j10_fuzzy_levenshtein",
+    # J10/M4: the Levenshtein matcher kernel now gates through the
+    # end-to-end ep3_org_match waterfall (exact -> fuzzy -> substring
+    # both ways — plans/matching.py); the retired j10 slot keeps the
+    # isolated threshold-join form oracle-checked locally at 3 SFs.
+    "J10": "ep3_org_match (matcher waterfall, fuzzy stage) +"
+    " j10_fuzzy_levenshtein (local-parity)",
     # J11/C6: the blocked set-wise matcher kernel is gated via j10; the
     # retired j11 slot (substring containment + regex_quote) stays
     # oracle-checked locally.
-    "J11": "j10_fuzzy_levenshtein (set-wise matcher kernel) +"
-    " j11_substring_join (local-parity)",
+    "J11": "ep3_org_match (substring stages of the matcher waterfall)"
+    " + j11_substring_join (local-parity)",
     "J12": "j12_subtract_floor",
     "J13": "cdc_upsert (two-source outer merge) + j5_full_outer_fill"
     " (local-parity)",
@@ -2026,9 +2031,14 @@ COVERAGE = {
     # A10: the exp(sum/avg(ln)) libm kernel is exactly w1_cumprod's
     # (gated); the retired a10 slot keeps the (last/first)^(1/span) form
     # oracle-checked locally.
-    "A10": "w1_cumprod (same exp/ln kernel) + a10_geometric_growth"
-    " (local-parity)",
-    "W1": "w1_cumprod",
+    "A10": "ts_ewma (keyed cumulative fold) + w1_cumprod (local-parity;"
+    " same exp/ln kernel) + a10_geometric_growth (local-parity)",
+    # W1/W4 (cumulative product fwd/rev): ts_ewma gates the keyed
+    # ordered cumulative-fold machinery (its recurrence is a damped
+    # cumulative product); the retired w1 slot keeps the literal
+    # exp(sum(ln)) prod-window form oracle-checked locally at 3 SFs
+    # and stays a bench headliner.
+    "W1": "ts_ewma (keyed cumulative fold) + w1_cumprod (local-parity)",
     # W2/W3 (anchor-row read + next-row lookahead): ev_funnel gates the
     # anchor-read kernel — a windowed conditional MIN broadcasts the
     # anchor row's value over its partition, and each later step reads a
@@ -2040,7 +2050,7 @@ COVERAGE = {
     " (local-parity)",
     "W3": "ev_funnel (strictly-after lookup) + ts_ewma (ordered per-key"
     " traversal) + w2_rebase_anchor (local-parity)",
-    "W4": "w1_cumprod",
+    "W4": "ts_ewma (keyed cumulative fold) + w1_cumprod (local-parity)",
     "W5": "a9_latest_per_group (same row_number kernel) +"
     " tests/test_retired_slot_ops.py",
     "X1": "x1_equal_split_explode",
@@ -2078,7 +2088,7 @@ COVERAGE = {
     " c2_regexp_extract_cast (local-parity)",
     "C3": "c5_canonicalize", "C4": "x1_equal_split_explode + ep2",
     "C5": "c5_canonicalize",
-    "C6": "j10_fuzzy_levenshtein (matcher kernel) + j11_substring_join"
+    "C6": "ep3_org_match (matcher kernel) + j11_substring_join"
     " (regex_quote; local-parity)",
     "C7": "x5_struct_collapse + ep2 (all_text concat) + x4_group_concat"
     " (local-parity)",
@@ -2106,7 +2116,8 @@ COVERAGE = {
     "M2": "out of engine scope (offline training; SURVEY §2.11)",
     "M3": "c5_canonicalize (native exprs) + c2_regexp_extract_cast"
     " (local-parity)",
-    "M4": "j10_fuzzy_levenshtein",
+    "M4": "ep3_org_match (set-wise matcher waterfall) +"
+    " j10_fuzzy_levenshtein (local-parity)",
     "EP1": "plans.curate_flows (tests/test_plans.py)",
     "EP2": "ep2_cva_by_location",
     "EP3": "ep3_global_agg (full chain: matcher + subtraction + rollup,"

@@ -111,25 +111,38 @@ NON_SQL_QUERIES = {"pk_sequences"}
 # round-8 wave operators gated (dd_jaccard_join, gr_kcore,
 # cdc_snapshot_diff, pf_dq_checks, ts_cusum, ev_itemsets,
 # pf_ref_integrity, gr_communities — VERDICT r8 ask #1).
+# Round 10 ran the FIFTH rotation (VERDICT r9 ask #2): j10 (its matcher
+# waterfall is a strict subset of the now-gated ep3_org_match chain),
+# w1_cumprod (ts_ewma gates the keyed cumulative-fold kernel;
+# a10_geometric_growth keeps the exp/ln form local-parity), dd_simhash
+# + dd_embed_neardup (the gated near-dup tier is minhash-LSH + jaccard
+# prefix-filter + winnow + SemDeDup), ann_lsh_topk (brute + IVF stay
+# gated; LSH's 0.40-recall tradeoff is documented, local-parity),
+# pf_percentiles (pf_bootstrap gates order-statistic machinery),
+# mx_mixture and tx_keywords rotated to local parity; the eight
+# judge-sim-verified round-9 operators gated (mm_phash_neardup,
+# mm_audio_dedup — first multimodal driver rows — ep3_org_match,
+# ep3_global_agg, dd_winnow, pf_bootstrap, tx_jsd,
+# ev_markov_stationary).
 DRIVER_GATE = [
     "f1_filter_neq",
     "j2_broadcast_enrich",
-    "j10_fuzzy_levenshtein",
-    "w1_cumprod",
+    "ep3_org_match",
+    "ep3_global_agg",
     "x1_equal_split_explode",
     "cc2_relevance_ml",
     "cc3_amount_cascade",
     "ep2_cva_by_location",
-    "dd_exact_hash", "dd_minhash_lsh", "dd_simhash", "dd_embed_neardup",
-    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "tx_features",
+    "dd_exact_hash", "dd_minhash_lsh", "dd_winnow", "mm_phash_neardup",
+    "ann_brute_topk", "mm_audio_dedup", "ann_ivf_topk", "tx_features",
     "m1_classifier_stub", "st_windowed_agg", "st_sessionize",
     "tj_asof_join", "tj_interval_join", "dd_decontam",
     "rt_rollup_hierarchy", "tx_pii_redact", "tx_repetition", "tx_chunk",
     "dd_components", "dd_semantic", "gr_pagerank", "cdc_upsert",
-    "ev_funnel", "pf_percentiles", "pk_pack_audit", "mx_mixture",
+    "ev_funnel", "pf_bootstrap", "pk_pack_audit", "ev_markov_stationary",
     "rt_bm25_topk", "jx_salted_join",
     "gr_triangles", "emb_kmeans", "pf_approx_distinct", "ts_ewma",
-    "ev_json_stats", "tx_keywords",
+    "ev_json_stats", "tx_jsd",
     "dd_jaccard_join", "gr_kcore", "cdc_snapshot_diff", "pf_dq_checks",
     "ts_cusum", "ev_itemsets", "pf_ref_integrity", "gr_communities",
 ]
