@@ -16,7 +16,9 @@ line must stay well under ~2KB; detail goes to the file.
 
 The reported per-query number is the MEDIAN of 3 timed runs taken AFTER one
 untimed warm-up run at the same SF (runs[0] in the persisted array — kept
-visible, excluded from the median), and the raw per-run arrays are persisted
+visible, excluded from the median); queries whose warm-up run is >= 2s take
+5 timed runs at the target SF (round-9: gr_triangles' 3-run spread of
+4.3-10.8s swamped suite deltas), and the raw per-run arrays are persisted
 in BENCH_DETAIL.json so a round-over-round delta can be attributed to noise
 vs regression (round-3 verdict: a best-of-2 harness cannot distinguish them —
 ann_ivf "+22%" and st_sessionize "+34%" were unanswerable without run
@@ -199,20 +201,36 @@ def main() -> None:
     # warm-up run is reported in the JSON (runs[0], excluded from the
     # median) so cold cost stays visible without polluting the
     # steady-state metric.
+    # Heavy queries (>= HEAVY_CUTOFF_S on their warm-up run) take 5 timed
+    # runs instead of 3: the round-9 verdict found gr_triangles' timed
+    # runs spreading 4.3-10.8s, which swamped round-over-round suite
+    # deltas — a median-of-5 pulls the published number back inside a
+    # +-20% band of the true median (GC/stage-scheduling noise scales
+    # with query weight, so only the heavy tier pays the extra runs).
+    HEAVY_CUTOFF_S = 2.0
+
     def run_suite(
-        run_dir: str, label: str
+        run_dir: str, label: str, extra_heavy_runs: bool = False
     ) -> tuple[dict[str, float], dict[str, list[float]]]:
         timings: dict[str, float] = {}
         raw: dict[str, list[float]] = {}
         for name in HEADLINE:
             fn = qs[name]
-            runs = []
-            for _ in range(4):
+            t0 = time.time()
+            n = fn(spark, run_dir).count()
+            runs = [round(time.time() - t0, 3)]
+            n_timed = (
+                5
+                if extra_heavy_runs and runs[0] >= HEAVY_CUTOFF_S
+                else 3
+            )
+            for _ in range(n_timed):
                 t0 = time.time()
                 n = fn(spark, run_dir).count()
                 runs.append(round(time.time() - t0, 3))
             raw[name] = runs
-            timings[name] = sorted(runs[1:])[1]
+            timed = sorted(runs[1:])
+            timings[name] = timed[len(timed) // 2]
             print(
                 f"# [{label}] {name}: {timings[name]}s ({n} rows; runs "
                 f"{runs})",
@@ -229,7 +247,7 @@ def main() -> None:
         small, small_raw = run_suite(small_dir, f"sf{sf_small}")
     else:
         small, small_raw = {}, {}
-    timings, raw = run_suite(sf_dir, f"sf{sf}")
+    timings, raw = run_suite(sf_dir, f"sf{sf}", extra_heavy_runs=True)
     ratios = {
         name: round(timings[name] / small[name], 2)
         for name in timings
