@@ -301,14 +301,23 @@ def population_stability(
     round to 9 dp and sum as integer nano-units, order-exact
     cross-engine.
     """
-    stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
-    long = df.select(
-        F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, val)"),
-        slice_col.cast("int").alias("slice"),
-    ).filter(F.col("val").isNotNull())
+    long = _psi_long(df, cols, slice_col)
     rng = long.groupBy("col_name").agg(
         F.min("val").alias("__lo"), F.max("val").alias("__hi")
     )
+    counts = _psi_cells(long, rng, n_buckets)
+    return psi_from_bucket_counts(counts, floor=floor)
+
+
+def _psi_long(df: DataFrame, cols: list[str], slice_col: Column) -> DataFrame:
+    stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+    return df.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, val)"),
+        slice_col.cast("int").alias("slice"),
+    ).filter(F.col("val").isNotNull())
+
+
+def _psi_cells(long: DataFrame, rng: DataFrame, n_buckets: int) -> DataFrame:
     span = F.col("__hi") - F.col("__lo")
     bucket = F.when(span <= 0, F.lit(0)).otherwise(
         F.least(
@@ -318,11 +327,56 @@ def population_stability(
             F.lit(n_buckets - 1),
         )
     )
-    counts = (
+    return (
         long.join(F.broadcast(rng), "col_name")
         .select("col_name", "slice", bucket.alias("bucket"))
         .groupBy("col_name", "bucket", "slice")
         .agg(F.count("*").alias("cnt"))
+    )
+
+
+def psi_bucket_cells(
+    df: DataFrame,
+    cols: list[str],
+    slice_col: Column,
+    ranges: dict[str, tuple[float, float]],
+    n_buckets: int = PSI_BUCKETS,
+) -> DataFrame:
+    """Per-batch (col_name, bucket, slice, cnt) PSI cells under FIXED
+    per-column (lo, hi) ranges — the map half of the streaming PSI
+    resident. Fixed edges are what make the cells fold additively
+    across micro-batches; the batch operator derives edges from the
+    global min/max instead (a pinned reference range is the standard
+    drift-monitor setup — the monitored stream is compared against a
+    KNOWN reference distribution)."""
+    long = _psi_long(df, cols, slice_col)
+    rng = df.sparkSession.createDataFrame(
+        [(c, float(lo), float(hi)) for c, (lo, hi) in ranges.items()],
+        "col_name string, __lo double, __hi double",
+    )
+    return _psi_cells(long, rng, n_buckets)
+
+
+def psi_from_bucket_counts(
+    counts: DataFrame,
+    floor: float = PSI_FLOOR,
+) -> DataFrame:
+    """PSI readout from a PRE-AGGREGATED (col_name, bucket, slice, cnt)
+    ledger — the streaming-foldable half of ``population_stability``:
+    bucket cells fold ADDITIVELY across micro-batches (append per-batch
+    cells, sum counts per cell) provided the bucket edges were fixed up
+    front (``psi_bucket_cells``). foreachBatch ledger + this kernel ≡
+    the one-shot readout — the dq_checks / kappa_from_contingency /
+    cusum_fold discipline (tests/test_streaming.py)."""
+    counts = (
+        counts.select(
+            "col_name",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("slice").cast("int").alias("slice"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+        .groupBy("col_name", "bucket", "slice")
+        .agg(F.sum("cnt").alias("cnt"))
     )
     tot_w = Window.partitionBy("col_name", "slice")
     frac = F.col("cnt") / F.sum("cnt").over(tot_w)
@@ -510,6 +564,84 @@ def ks_drift(
                 F.round(
                     F.col("__g").cast("double")
                     / (F.col("na").cast("double") * F.col("nb").cast("double")),
+                    6,
+                ),
+            ).alias("ks"),
+            F.col("na").cast("bigint").alias("n_base"),
+            F.col("nb").cast("bigint").alias("n_cur"),
+        )
+        .orderBy("col_name")
+    )
+
+
+def ks_from_value_counts(ledger: DataFrame) -> DataFrame:
+    """Exact two-sample KS from a PRE-AGGREGATED (col_name, val, slice,
+    cnt) value ledger — the streaming-foldable half of ``ks_drift``:
+    per-(value, slice) counts fold ADDITIVELY across micro-batches
+    (append per-batch cells, sum counts per cell), so a foreachBatch
+    ledger + this kernel equals the one-shot readout — the
+    kappa_from_contingency / cusum_fold discipline
+    (tests/test_streaming.py).
+
+    The sup-gap math is bit-identical to ``ks_drift``'s: ties absorb by
+    grouping per value first, gaps compare as integer cum-count
+    cross-products in DECIMAL(19,0), one float division at the very
+    end — so the fold result equals the batch result on the same rows.
+
+    Scale note: the readout windows partition by col_name ONLY — fine
+    for a ledger (already value-aggregated, one row per distinct value)
+    but exactly the single-reducer raw-data sort ``ks_drift``'s
+    bucketed passes exist to avoid; use ``ks_drift`` for batch data.
+    Streams over continuous doubles should quantize upstream (e.g.
+    round to 6 dp) to bound the ledger.
+    """
+    led = (
+        ledger.select(
+            "col_name",
+            F.col("val").cast("double").alias("val"),
+            F.col("slice").cast("int").alias("slice"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+        .groupBy("col_name", "val")
+        .agg(
+            F.sum(
+                F.when(F.col("slice") == 0, F.col("cnt")).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col("slice") == 1, F.col("cnt")).otherwise(0)
+            ).alias("cb"),
+        )
+    )
+    wv = Window.partitionBy("col_name").orderBy("val")
+    wall = Window.partitionBy("col_name")
+    cuma = F.sum("ca").over(wv)
+    cumb = F.sum("cb").over(wv)
+    na = F.sum("ca").over(wall)
+    nb = F.sum("cb").over(wall)
+    dec = "decimal(19,0)"
+    gap = F.abs(
+        cuma.cast(dec) * nb.cast(dec) - cumb.cast(dec) * na.cast(dec)
+    )
+    per_value = led.select(
+        "col_name", na.alias("na"), nb.alias("nb"), gap.alias("__gap")
+    )
+    return (
+        per_value.groupBy("col_name")
+        .agg(
+            F.max("__gap").alias("__g"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+        .select(
+            "col_name",
+            F.when(
+                (F.col("na") > 0) & (F.col("nb") > 0),
+                F.round(
+                    F.col("__g").cast("double")
+                    / (
+                        F.col("na").cast("double")
+                        * F.col("nb").cast("double")
+                    ),
                     6,
                 ),
             ).alias("ks"),

@@ -1019,3 +1019,170 @@ def test_foreachbatch_transition_fold_matches_batch(spark, sf_dir, tmp_path):
             folded[k] = folded.get(k, 0) + r.n
         state = spark.createDataFrame(state.collect(), state.schema)
     assert folded == one_shot
+
+
+def _file_stream_batches(spark, tmp_path, df, key_mod_col, n_batches, tag):
+    """Write df as n_batches single-file parquet slices (by key % n) and
+    return a maxFilesPerTrigger=1 streaming reader over them."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / f"{tag}_src"
+    src.mkdir()
+    for i in range(n_batches):
+        tmp_dir = str(tmp_path / f"{tag}_tmp_{i}")
+        df.filter(F.col(key_mod_col) % n_batches == i).coalesce(
+            1
+        ).write.parquet(tmp_dir)
+        part = glob.glob(f"{tmp_dir}/part-*.parquet")[0]
+        p = str(src / f"part_{i}.parquet")
+        shutil.copy(part, p)
+        os.utime(p, (time.time() + i, time.time() + i))
+    return (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+
+def test_foreachbatch_psi_cells_fold_to_batch(spark, sf_dir, tmp_path):
+    """Streaming drift monitor, PSI half: per micro-batch the
+    (col, bucket, slice) cells append to a ledger under FIXED reference
+    bucket edges; psi_from_bucket_counts over the folded ledger equals
+    the one-shot population_stability on the full table — cells fold
+    additively, the readout kernel is shared code (VERDICT r9 ask #6)."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        population_stability,
+        psi_bucket_cells,
+        psi_from_bucket_counts,
+    )
+
+    cols = ["l_extendedprice", "l_discount", "l_quantity"]
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", *cols)
+    slice_col = (F.col("l_orderkey") % 2 == 1).cast("int")
+    one_shot = {
+        r.col_name: r.asDict()
+        for r in population_stability(li, cols, slice_col).collect()
+    }
+
+    # fixed reference edges = the same global min/max the batch op derives
+    ranges = {
+        c: (row["lo"], row["hi"])
+        for c in cols
+        for row in [
+            li.agg(
+                F.min(F.col(c).cast("double")).alias("lo"),
+                F.max(F.col(c).cast("double")).alias("hi"),
+            ).collect()[0]
+        ]
+    }
+
+    ledger_path = str(tmp_path / "psi_ledger")
+
+    def process(batch_df, batch_id):
+        psi_bucket_cells(
+            batch_df,
+            cols,
+            (F.col("l_orderkey") % 2 == 1).cast("int"),
+            ranges,
+        ).write.mode("append").parquet(ledger_path)
+
+    reader = _file_stream_batches(
+        spark, tmp_path, li, "l_orderkey", 3, "psi"
+    )
+    q = (
+        reader.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "psi_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    folded = {
+        r.col_name: r.asDict()
+        for r in psi_from_bucket_counts(
+            spark.read.parquet(ledger_path)
+        ).collect()
+    }
+    assert sorted(folded) == sorted(one_shot)
+    for c in one_shot:
+        for k in ("psi", "n_base", "n_cur"):
+            assert folded[c][k] == one_shot[c][k], (c, k)
+
+
+def test_foreachbatch_ks_value_ledger_folds_to_batch(
+    spark, sf_dir, tmp_path
+):
+    """Streaming drift monitor, KS half: per micro-batch the
+    (col, val, slice) counts append to a ledger; ks_from_value_counts
+    over the folded ledger equals the one-shot ks_drift on the full
+    table — per-value cells fold additively and the sup-gap integer
+    math is identical (VERDICT r9 ask #6)."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        ks_drift,
+        ks_from_value_counts,
+    )
+
+    cols = ["l_discount", "l_tax"]
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", *cols)
+    slice_col = (F.col("l_orderkey") % 2 == 1).cast("int")
+    one_shot = {
+        r.col_name: r.asDict()
+        for r in ks_drift(li, cols, slice_col).collect()
+    }
+
+    ledger_path = str(tmp_path / "ks_ledger")
+    stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+
+    def process(batch_df, batch_id):
+        (
+            batch_df.select(
+                F.expr(
+                    f"stack({len(cols)}, {stack_args}) AS (col_name, val)"
+                ),
+                (F.col("l_orderkey") % 2 == 1).cast("int").alias("slice"),
+            )
+            .filter(F.col("val").isNotNull())
+            .groupBy("col_name", "val", "slice")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .write.mode("append")
+            .parquet(ledger_path)
+        )
+
+    reader = _file_stream_batches(
+        spark, tmp_path, li, "l_orderkey", 3, "ks"
+    )
+    q = (
+        reader.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ks_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    folded = {
+        r.col_name: r.asDict()
+        for r in ks_from_value_counts(
+            spark.read.parquet(ledger_path)
+        ).collect()
+    }
+    assert sorted(folded) == sorted(one_shot)
+    for c in one_shot:
+        for k in ("ks", "n_base", "n_cur"):
+            assert folded[c][k] == one_shot[c][k], (c, k)
