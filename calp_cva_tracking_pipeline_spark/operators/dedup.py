@@ -406,9 +406,14 @@ def connected_components(
     returning partial labels.
 
     Iterative-by-nature (SURVEY §2 has no counterpart; this is engine
-    scale tier): each round is one shuffle of the label table; previous
-    rounds' cached state is unpersisted as soon as its successor is
-    materialized.
+    scale tier): each round is one shuffle of the label table. The
+    per-round label state localCheckpoints (the kcore/pagerank lineage
+    discipline): each round references the evolving labels frame three
+    times (neighbor-min join, left-join update, convergence check), so
+    a cache alone bounds RUNTIME but lets the logical plan triple per
+    round — 189 visible scans by convergence at test sizes, planner
+    death near max_iters. With the checkpoint the visible plan is one
+    round deep (pinned in test_plan_shapes.py).
     """
     sym = (
         pairs.select(
@@ -426,7 +431,7 @@ def connected_components(
         sym.select(F.col("__src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .cache()
+        .localCheckpoint(eager=False)
     )
     try:
         for _ in range(max_iters):
@@ -443,7 +448,7 @@ def connected_components(
                         F.col("component"), F.col("__nbr_min")
                     ).alias("component"),
                 )
-                .cache()
+                .localCheckpoint(eager=False)
             )
             changed = (
                 new_labels.alias("n")
@@ -451,7 +456,6 @@ def connected_components(
                 .filter(F.col("n.component") != F.col("o.component"))
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 return labels

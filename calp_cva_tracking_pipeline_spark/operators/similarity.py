@@ -1105,6 +1105,12 @@ def cluster_label_eval(
         assigned.join(lab, assigned[id_col] == lab["__lid"])
         .groupBy("__cell", "__lab")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__ncl"))
+        # k·|labels|-bounded, but referenced by every marginal below —
+        # and a groupBy-derived frame consumed by multiple subtrees
+        # NEVER fires exchange reuse (measured, SCALE.md), so without
+        # this cut the kmeans+assignment lineage re-plans per marginal
+        # (117 visible scans / 116 joins in the round-10 plan audit)
+        .localCheckpoint(eager=False)
     )
     marg_c = cells.groupBy("__cell").agg(
         F.sum("__ncl").cast("bigint").alias("__nc"),

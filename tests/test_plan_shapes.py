@@ -569,6 +569,26 @@ def test_interleave_no_global_sort(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_components_and_marginal_fanout_plans_bounded(spark, sf_dir):
+    """Round-10 plan-audit catches, pinned: connected_components' label
+    loop referenced its evolving frame 3x per round with only a cache
+    (runtime fine, logical plan tripling per round — 189 visible scans
+    at convergence, planner death near max_iters); cluster_label_eval's
+    k-by-labels cell table fed every marginal subtree and groupBy
+    frames never fire exchange reuse (117 scans / 116 joins). Both now
+    localCheckpoint; the visible plans must stay round-count- and
+    marginal-count-independent."""
+    comp = _executed(S.dd_components(spark, sf_dir))
+    assert comp.count("Scan") <= 4, comp.count("Scan")
+
+    pick = _executed(S.dd_cluster_pick(spark, sf_dir))
+    assert pick.count("Scan") <= 6, pick.count("Scan")
+
+    ce = _executed(S.emb_cluster_eval(spark, sf_dir))
+    assert ce.count("Scan") <= 12, ce.count("Scan")
+    assert ce.count("Join") <= 10, ce.count("Join")
+
+
 def test_kcore_plan_linear_in_rounds(spark, sf_dir):
     """The k-core peel must NOT re-derive the shrinking edge lineage —
     the first formulation referenced the evolving edge frame 3x per
