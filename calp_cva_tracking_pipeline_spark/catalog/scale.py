@@ -5986,6 +5986,181 @@ ORDER BY fingerprint
 """
 
 
+# --- Multimodal quality screens (round 10): per-media stats over the
+# SAME deterministic corpora as the dedup ops, thresholds shared with
+# the oracles --------------------------------------------------------------
+
+IMG_DARK_MAX = 31
+IMG_BRIGHT_MIN = 224
+AU_SILENCE_ABS = 327
+AU_CLIP_ABS = 32704
+AU_RATE = 8000
+
+
+def mm_image_stats(spark, sf_dir):
+    """Per-image luma quality screen (operators.phash.image_pixel_stats)
+    over the SAME deterministic BMP corpus as mm_phash_neardup (grp/rnk
+    perturbed md5-pixel images, REAL bmp encode → REAL stdlib decode).
+    The Python stage emits one bounded integer stat vector per image;
+    mean/contrast/ratios are JVM float projections over those exact
+    integers, and the oracle recomputes the pixel formula + the same
+    aggregation in SQL — parity re-proves the encode→decode roundtrip
+    AND the stat math together."""
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.phash import (
+        image_pixel_stats,
+        synthesize_bmp_payloads,
+    )
+
+    d = spread_small_input(T(spark, sf_dir, "documents").select("doc_id"))
+    base = d.select(
+        "doc_id",
+        F.expr("doc_id DIV 3").alias("grp"),
+        F.expr("doc_id % 3").alias("rnk"),
+    )
+    h60 = "CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+    vb = h60.format(
+        s="concat('px|', CAST(grp AS STRING), '|',"
+        " CAST(p % {w} AS STRING), '|', CAST(p DIV {w} AS STRING))".format(
+            w=PHASH_W
+        )
+    )
+    npx = PHASH_W * PHASH_H
+    inflip = (
+        f"rnk > 0 AND ((p - ((grp * 37 + rnk * 101) % {npx}) + {npx})"
+        f" % {npx}) < IF(rnk = 1, {PHASH_LIGHT_FLIPS}, {PHASH_HEAVY_FLIPS})"
+    )
+    synth = base.select(
+        "doc_id",
+        F.expr(
+            f"""transform(sequence(0, {npx - 1}), p ->
+                  CAST(IF({inflip},
+                       255 - ({vb}) % 256,
+                       ({vb}) % 256) AS INT))"""
+        ).alias("px"),
+    )
+    imgs = synthesize_bmp_payloads(synth, "doc_id", "px", PHASH_W, PHASH_H)
+    return image_pixel_stats(
+        imgs, "doc_id", "payload",
+        dark_max=IMG_DARK_MAX, bright_min=IMG_BRIGHT_MIN,
+    ).orderBy("media_id")
+
+
+MM_IMG_STATS_SQL = f"""
+WITH p256 AS (SELECT unnest(generate_series(0, {PHASH_W * PHASH_H - 1})) AS p),
+docs0 AS (
+  SELECT doc_id, doc_id // 3 AS grp, doc_id % 3 AS rnk
+  FROM documents),
+px AS (
+  SELECT doc_id, p,
+         CASE WHEN {_PH_INFLIP}
+              THEN 255 - ({_PH_VB}) ELSE ({_PH_VB}) END AS v
+  FROM docs0 CROSS JOIN p256),
+st AS (
+  SELECT doc_id, COUNT(*) AS n,
+         SUM(v) AS s, SUM(v * v) AS ss,
+         MIN(v) AS mn, MAX(v) AS mx,
+         SUM(CASE WHEN v <= {IMG_DARK_MAX} THEN 1 ELSE 0 END) AS dark,
+         SUM(CASE WHEN v >= {IMG_BRIGHT_MIN} THEN 1 ELSE 0 END) AS bright
+  FROM px GROUP BY doc_id)
+SELECT doc_id AS media_id,
+       CAST(n AS BIGINT) AS n_px,
+       ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_luma,
+       ROUND(SQRT(GREATEST(
+           CAST(ss AS DOUBLE) / n
+           - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+           0.0)), 6) AS contrast,
+       ROUND(CAST(dark AS DOUBLE) / n, 6) AS dark_ratio,
+       ROUND(CAST(bright AS DOUBLE) / n, 6) AS bright_ratio,
+       CAST(mn AS BIGINT) AS luma_min,
+       CAST(mx AS BIGINT) AS luma_max
+FROM st ORDER BY media_id
+"""
+
+
+def mm_audio_stats(spark, sf_dir):
+    """Per-clip sample quality screen (operators.phash.
+    audio_sample_stats) over the SAME deterministic WAV corpus as
+    mm_audio_dedup (grp/rnk dropout-perturbed md5 samples, REAL RIFF
+    encode → REAL stdlib decode): duration, rms, peak, silence and
+    clipping ratios — the dead-air/clipped-recording curation screen.
+    Integer stat vector per clip from the one Python decode pass; the
+    oracle recomputes the sample formula + the aggregation in SQL."""
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.phash import (
+        audio_sample_stats,
+        synthesize_wav_payloads,
+    )
+
+    d = spread_small_input(T(spark, sf_dir, "documents").select("doc_id"))
+    base = d.select(
+        "doc_id",
+        F.expr("doc_id DIV 3").alias("grp"),
+        F.expr("doc_id % 3").alias("rnk"),
+    )
+    h60 = "CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+    sb = h60.format(
+        s="concat('au|', CAST(grp AS STRING), '|', CAST(p AS STRING))"
+    )
+    sv = h60.format(
+        s="concat('av|', CAST(grp AS STRING), '|',"
+        " CAST(rnk AS STRING), '|', CAST(p AS STRING))"
+    )
+    inflip = (
+        f"rnk > 0 AND ((p - ((grp * 37 + rnk * 101) % {AFP_NS})"
+        f" + {AFP_NS}) % {AFP_NS})"
+        f" < IF(rnk = 1, {AFP_LIGHT_FLIPS}, {AFP_HEAVY_FLIPS})"
+    )
+    synth = base.select(
+        "doc_id",
+        F.expr(
+            f"""transform(sequence(0, {AFP_NS - 1}), p ->
+                  CAST(IF({inflip},
+                       ({sv}) % 65536 - 32768,
+                       ({sb}) % 65536 - 32768) AS INT))"""
+        ).alias("smp"),
+    )
+    clips = synthesize_wav_payloads(synth, "doc_id", "smp", rate=AU_RATE)
+    return audio_sample_stats(
+        clips, "doc_id", "payload",
+        silence_abs=AU_SILENCE_ABS, clip_abs=AU_CLIP_ABS, rate=AU_RATE,
+    ).orderBy("media_id")
+
+
+MM_AUDIO_STATS_SQL = f"""
+WITH pos AS (SELECT unnest(generate_series(0, {AFP_NS - 1})) AS p),
+docs0 AS (
+  SELECT doc_id, doc_id // 3 AS grp, doc_id % 3 AS rnk
+  FROM documents),
+smp AS (
+  SELECT doc_id, p,
+         CASE WHEN {_AFP_INFLIP}
+              THEN ({_AFP_SV}) % 65536 - 32768
+              ELSE ({_AFP_SB}) % 65536 - 32768 END AS s
+  FROM docs0 CROSS JOIN pos),
+st AS (
+  SELECT doc_id, COUNT(*) AS n,
+         SUM(CAST(s AS BIGINT) * s) AS ss,
+         MAX(ABS(s)) AS pk,
+         SUM(CASE WHEN ABS(s) <= {AU_SILENCE_ABS} THEN 1 ELSE 0 END)
+             AS sil,
+         SUM(CASE WHEN ABS(s) >= {AU_CLIP_ABS} THEN 1 ELSE 0 END) AS cl
+  FROM smp GROUP BY doc_id)
+SELECT doc_id AS media_id,
+       CAST(n AS BIGINT) AS n_samples,
+       ROUND(CAST(n AS DOUBLE) / {float(AU_RATE)}, 6) AS duration_s,
+       ROUND(SQRT(CAST(ss AS DOUBLE) / n), 6) AS rms,
+       CAST(pk AS BIGINT) AS peak,
+       ROUND(CAST(sil AS DOUBLE) / n, 6) AS silence_ratio,
+       ROUND(CAST(cl AS DOUBLE) / n, 6) AS clip_ratio
+FROM st ORDER BY media_id
+"""
+
+
 MOTIF_N = 3
 MOTIF_MIN_SUPPORT = 5
 MOTIF_TOP_K = 20
@@ -8188,4 +8363,7 @@ SCALE_QUERIES = {
     "pf_weighted_quantiles": (pf_weighted_quantiles, PF_WQ_SQL),
     "tx_zipf": (tx_zipf, TX_ZIPF_SQL),
     "emb_quant_error": (emb_quant_error, EMB_QERR_SQL),
+    # twenty-eighth wave (round 10)
+    "mm_image_stats": (mm_image_stats, MM_IMG_STATS_SQL),
+    "mm_audio_stats": (mm_audio_stats, MM_AUDIO_STATS_SQL),
 }

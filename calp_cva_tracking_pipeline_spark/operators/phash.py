@@ -380,6 +380,206 @@ def audio_fingerprint_groups(
     )
 
 
+IMG_STATS_SCHEMA = StructType(
+    [
+        StructField("__id", LongType(), False),
+        StructField("n_px", LongType(), True),
+        StructField("luma_sum", LongType(), True),
+        StructField("luma_sumsq", LongType(), True),
+        StructField("luma_min", LongType(), True),
+        StructField("luma_max", LongType(), True),
+        StructField("n_dark", LongType(), True),
+        StructField("n_bright", LongType(), True),
+        StructField("decode_ok", StringType(), False),
+    ]
+)
+
+
+def image_pixel_stats(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    dark_max: int = 31,
+    bright_min: int = 224,
+) -> DataFrame:
+    """Per-image luma statistics over the REAL stdlib decode — the
+    quality-screening analysis op next to the dedup one (black frames,
+    blown-out scans, low-contrast thumbnails are the classic multimodal
+    curation drops): (media_id, n_px, mean_luma, contrast = population
+    std, dark_ratio, bright_ratio, luma_min, luma_max), 6 dp.
+
+    Same discipline as image_phash_pairs: the Python stage is ONE
+    Arrow-batched decode pass emitting a bounded INTEGER stat vector
+    per image (n, Σ, Σ², min, max, #dark ≤ ``dark_max``, #bright ≥
+    ``bright_min``); every derived number is a JVM-side projection over
+    exact integers, so a SQL oracle recomputing the pixel formula
+    replays it bit-for-bit. Undecodable rows surface with NULL stats
+    and decode_ok='error', never silently dropped.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from calp_cva_tracking_pipeline_spark.operators.bmp_stdlib import (
+            decode_bmp,
+            is_bmp,
+        )
+        from calp_cva_tracking_pipeline_spark.operators.png_stdlib import (
+            decode_png,
+            is_png,
+            to_grayscale,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    b = bytes(payload)
+                    if is_png(b):
+                        w, h, ch, px = decode_png(b)
+                    elif is_bmp(b):
+                        w, h, ch, px = decode_bmp(b)
+                    else:
+                        raise ValueError("unsupported image format")
+                    grey = to_grayscale(w, h, ch, px)
+                    s = ss = dark = bright = 0
+                    vmin, vmax = 255, 0
+                    for v in grey:
+                        s += v
+                        ss += v * v
+                        if v <= dark_max:
+                            dark += 1
+                        if v >= bright_min:
+                            bright += 1
+                        if v < vmin:
+                            vmin = v
+                        if v > vmax:
+                            vmax = v
+                    rows.append(
+                        (mid, len(grey), s, ss, vmin, vmax, dark,
+                         bright, "ok_stdlib")
+                    )
+                except Exception:
+                    rows.append(
+                        (mid, None, None, None, None, None, None, None,
+                         "error")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "__id", "n_px", "luma_sum", "luma_sumsq", "luma_min",
+                    "luma_max", "n_dark", "n_bright", "decode_ok",
+                ],
+            )
+
+    stats = df.select(id_col, payload_col).mapInPandas(
+        run, IMG_STATS_SCHEMA
+    )
+    n = F.col("n_px").cast("double")
+    mean = F.col("luma_sum").cast("double") / n
+    var = F.col("luma_sumsq").cast("double") / n - mean * mean
+    return stats.filter(F.col("decode_ok") == "ok_stdlib").select(
+        F.col("__id").alias("media_id"),
+        F.col("n_px"),
+        F.round(mean, 6).alias("mean_luma"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("contrast"),
+        F.round(F.col("n_dark").cast("double") / n, 6).alias("dark_ratio"),
+        F.round(F.col("n_bright").cast("double") / n, 6).alias(
+            "bright_ratio"
+        ),
+        "luma_min",
+        "luma_max",
+    )
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("__id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("sumsq", LongType(), True),
+        StructField("peak", LongType(), True),
+        StructField("n_silence", LongType(), True),
+        StructField("n_clip", LongType(), True),
+        StructField("decode_ok", StringType(), False),
+    ]
+)
+
+
+def audio_sample_stats(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    silence_abs: int = 327,
+    clip_abs: int = 32704,
+    rate: int = 8000,
+) -> DataFrame:
+    """Per-clip sample statistics over the REAL stdlib WAV decode — the
+    audio quality screen (dead-air clips, clipped recordings, silent
+    channels): (media_id, n_samples, duration_s, rms, peak,
+    silence_ratio, clip_ratio), 6 dp.
+
+    One Arrow-batched decode pass emits the bounded INTEGER vector
+    (n, Σs², max|s|, #|s| ≤ ``silence_abs``, #|s| ≥ ``clip_abs``) per
+    clip (|s| ≤ 32768 ⇒ s² ≤ 2³⁰, ~2³³ samples before Σs² overflows
+    int64); rms/ratios are JVM-side float projections over those exact
+    integers, replayable by a SQL oracle that recomputes the sample
+    formula. Undecodable rows carry decode_ok='error'.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from calp_cva_tracking_pipeline_spark.operators.wav_stdlib import (
+            _mono_samples,
+            decode_wav,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    _rate, channels, width, frames = decode_wav(
+                        bytes(payload)
+                    )
+                    mono = _mono_samples(channels, width, frames)
+                    ss = peak = sil = clip = 0
+                    for v in mono:
+                        a = -v if v < 0 else v
+                        ss += v * v
+                        if a > peak:
+                            peak = a
+                        if a <= silence_abs:
+                            sil += 1
+                        if a >= clip_abs:
+                            clip += 1
+                    rows.append(
+                        (mid, len(mono), ss, peak, sil, clip, "ok_stdlib")
+                    )
+                except Exception:
+                    rows.append(
+                        (mid, None, None, None, None, None, "error")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "__id", "n_samples", "sumsq", "peak", "n_silence",
+                    "n_clip", "decode_ok",
+                ],
+            )
+
+    stats = df.select(id_col, payload_col).mapInPandas(
+        run, AUDIO_STATS_SCHEMA
+    )
+    n = F.col("n_samples").cast("double")
+    return stats.filter(F.col("decode_ok") == "ok_stdlib").select(
+        F.col("__id").alias("media_id"),
+        F.col("n_samples"),
+        F.round(n / F.lit(float(rate)), 6).alias("duration_s"),
+        F.round(F.sqrt(F.col("sumsq").cast("double") / n), 6).alias("rms"),
+        F.col("peak"),
+        F.round(F.col("n_silence").cast("double") / n, 6).alias(
+            "silence_ratio"
+        ),
+        F.round(F.col("n_clip").cast("double") / n, 6).alias("clip_ratio"),
+    )
+
+
 def synthesize_wav_payloads(
     df: DataFrame,
     id_col: str,
