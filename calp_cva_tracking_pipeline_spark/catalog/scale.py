@@ -6161,6 +6161,78 @@ FROM st ORDER BY media_id
 """
 
 
+# --- Span-level boilerplate audit (round 10) -------------------------------
+
+BOILER_K = 8
+BOILER_MIN_DOCS = 2
+
+
+def tx_boilerplate_spans(spark, sf_dir):
+    """C4-style boilerplate audit (operators.textops.boilerplate_spans):
+    non-overlapping 8-token spans hashed to md5, GLOBAL document
+    frequency window-attached over the one exploded span exchange (no
+    self-join; chrome is shared across sites, so df is corpus-wide),
+    spans in >= 2 docs flagged; one row per source with
+    instance/distinct/affected counters and the boilerplate mass
+    ratio."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        boilerplate_spans,
+    )
+
+    return boilerplate_spans(
+        T(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        "source",
+        k=BOILER_K,
+        min_docs=BOILER_MIN_DOCS,
+    )
+
+
+TX_BOILER_SQL = rf"""
+WITH tl AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE text IS NOT NULL),
+sp AS (
+  SELECT doc_id, source,
+         md5(array_to_string(
+             toks[i * {BOILER_K} + 1 : i * {BOILER_K} + {BOILER_K}],
+             ' ')) AS sp
+  FROM (SELECT doc_id, source, toks,
+               unnest(generate_series(
+                   0, CAST(len(toks) // {BOILER_K} AS INT) - 1)) AS i
+        FROM tl WHERE len(toks) >= {BOILER_K}) t),
+pds AS (
+  SELECT source, sp, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM sp GROUP BY source, sp, doc_id),
+flagged AS (
+  SELECT *,
+         COUNT(*) OVER (PARTITION BY sp) AS ndocs,
+         ROW_NUMBER() OVER (PARTITION BY source, sp
+                            ORDER BY doc_id) AS rn
+  FROM pds),
+agg AS (
+  SELECT source,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(SUM(c) AS BIGINT) AS n_span_instances,
+         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_distinct_spans,
+         CAST(SUM(CASE WHEN rn = 1 AND ndocs >= {BOILER_MIN_DOCS}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_spans,
+         CAST(SUM(CASE WHEN ndocs >= {BOILER_MIN_DOCS} THEN c ELSE 0 END)
+             AS BIGINT) AS boiler_instances,
+         CAST(COUNT(DISTINCT CASE WHEN ndocs >= {BOILER_MIN_DOCS}
+                  THEN doc_id END) AS BIGINT) AS affected_docs
+  FROM flagged GROUP BY source)
+SELECT source, n_docs, n_span_instances, n_distinct_spans,
+       n_boiler_spans, boiler_instances, affected_docs,
+       CASE WHEN n_span_instances > 0 THEN ROUND(
+           CAST(boiler_instances AS DOUBLE)
+           / CAST(n_span_instances AS DOUBLE), 6) END AS boiler_ratio
+FROM agg ORDER BY source
+"""
+
+
 MOTIF_N = 3
 MOTIF_MIN_SUPPORT = 5
 MOTIF_TOP_K = 20
@@ -8366,4 +8438,5 @@ SCALE_QUERIES = {
     # twenty-eighth wave (round 10)
     "mm_image_stats": (mm_image_stats, MM_IMG_STATS_SQL),
     "mm_audio_stats": (mm_audio_stats, MM_AUDIO_STATS_SQL),
+    "tx_boilerplate_spans": (tx_boilerplate_spans, TX_BOILER_SQL),
 }

@@ -1121,3 +1121,109 @@ def zipf_fit(
         F.when(ok, F.round(slope, 6)).alias("slope"),
         F.when(ok, F.round(r2, 6)).alias("r2"),
     ).orderBy(group_col)
+
+
+def boilerplate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style span-level boilerplate audit: split every document into
+    NON-OVERLAPPING ``k``-token spans, flag spans appearing in ≥
+    ``min_docs`` distinct documents CORPUS-WIDE as boilerplate (the
+    headers/footers/navigation chrome a web-crawl curation pass strips
+    before training — C4 removed repeated three-sentence spans; token
+    spans are the tokenizer-neutral form; chrome is typically shared
+    ACROSS sites, so document frequency is global), and report the
+    boilerplate mass per ``group_col`` (source/domain).
+
+    Output one row per group: (group, n_docs, n_span_instances,
+    n_distinct_spans, n_boiler_spans, boiler_instances, affected_docs,
+    boiler_ratio 6dp). ``n_docs`` counts documents contributing ≥ 1
+    span (docs shorter than ``k`` tokens contribute none); the tail
+    < k tokens of each document is dropped (deterministic, mirrored by
+    the oracle); ``n_distinct_spans``/``n_boiler_spans`` count the
+    spans OCCURRING in the group (a span shared by two groups counts
+    in both).
+
+    Scale shape — single lineage, no self-joins: tokens materialize
+    once (the interpreted-HOF discipline), spans explode to md5 digests
+    (16-byte shuffle keys, never span text), one (span, doc) pre-
+    aggregation with map-side combine, the global span document-
+    frequency rides a window over that same span exchange, the
+    per-group first-occurrence marker one (group, span) window more,
+    and one group-cardinality aggregation reads everything off. A
+    per-span join formulation would reference the exploded corpus
+    twice; groupBy-derived frames never fire exchange reuse (SCALE.md).
+    """
+    toks = (
+        spread_small_input(
+            df.filter(F.col(text_col).isNotNull()).select(
+                F.col(id_col).alias("__id"),
+                F.col(group_col).alias("__grp"),
+                F.col(text_col).alias("__text"),
+            )
+        )
+        .select("__id", "__grp", tokens(F.col("__text")).alias("__toks"))
+        .filter(F.size("__toks") >= k)
+    )
+    spans = toks.select(
+        "__id",
+        "__grp",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, int(size(__toks) div {k}) - 1),"
+                f" i -> md5(array_join(slice(__toks, i * {k} + 1, {k}),"
+                f" ' ')))"
+            )
+        ).alias("__sp"),
+    )
+    # a doc has exactly one group, so (span, doc) determines __grp and
+    # the pre-aggregation leaves one row per (span, doc)
+    pds = spans.groupBy("__sp", "__id", "__grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    w = Window.partitionBy("__sp")  # GLOBAL document frequency
+    wr = Window.partitionBy("__grp", "__sp").orderBy("__id")
+    flagged = pds.withColumn("__ndocs", F.count(F.lit(1)).over(w)).withColumn(
+        "__rn", F.row_number().over(wr)
+    )
+    is_boiler = F.col("__ndocs") >= min_docs
+    first_of_span = F.col("__rn") == 1
+    agg = flagged.groupBy("__grp").agg(
+        F.countDistinct("__id").cast("bigint").alias("n_docs"),
+        F.sum("__c").cast("bigint").alias("n_span_instances"),
+        F.sum(F.when(first_of_span, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_distinct_spans"),
+        F.sum(F.when(first_of_span & is_boiler, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boiler_spans"),
+        F.sum(F.when(is_boiler, F.col("__c")).otherwise(0))
+        .cast("bigint")
+        .alias("boiler_instances"),
+        F.countDistinct(F.when(is_boiler, F.col("__id")))
+        .cast("bigint")
+        .alias("affected_docs"),
+    )
+    ratio = F.when(
+        F.col("n_span_instances") > 0,
+        F.round(
+            F.col("boiler_instances").cast("double")
+            / F.col("n_span_instances").cast("double"),
+            6,
+        ),
+    )
+    return agg.select(
+        F.col("__grp").alias(group_col),
+        "n_docs",
+        "n_span_instances",
+        "n_distinct_spans",
+        "n_boiler_spans",
+        "boiler_instances",
+        "affected_docs",
+        ratio.alias("boiler_ratio"),
+    ).orderBy(group_col)
