@@ -6233,6 +6233,86 @@ FROM agg ORDER BY source
 """
 
 
+# --- Pairwise categorical mutual information (round 10) --------------------
+
+MI_COLS = ["l_returnflag", "l_linestatus", "ship_year"]
+
+
+def pf_mutual_info(spark, sf_dir):
+    """Pairwise categorical MI/NMI (operators.profiling.
+    mutual_info_pairs) over lineitem's flag/status/ship-year columns —
+    the value-dependence screen next to pf_null_phi's missingness one.
+    One explode pass, pair × value-grid cells, nano-nat pinned terms."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        mutual_info_pairs,
+    )
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.year(F.col("l_shipdate")).cast("string").alias("ship_year"),
+    )
+    return mutual_info_pairs(li, MI_COLS)
+
+
+def _pf_mi_sql() -> str:
+    pairs = []
+    names = MI_COLS
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            pairs.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+                f" CAST({a} AS VARCHAR) AS va, CAST({b} AS VARCHAR) AS vb"
+                f" FROM li WHERE {a} IS NOT NULL AND {b} IS NOT NULL"
+            )
+    stacked = " UNION ALL ".join(pairs)
+    return f"""
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(year(l_shipdate) AS VARCHAR) AS ship_year
+  FROM lineitem),
+cells AS (
+  SELECT col_a, col_b, va, vb, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ({stacked}) GROUP BY col_a, col_b, va, vb),
+t AS (
+  SELECT *,
+         SUM(c) OVER (PARTITION BY col_a, col_b) AS n,
+         SUM(c) OVER (PARTITION BY col_a, col_b, va) AS na,
+         SUM(c) OVER (PARTITION BY col_a, col_b, vb) AS nb,
+         ROW_NUMBER() OVER (PARTITION BY col_a, col_b, va
+                            ORDER BY vb) AS rna,
+         ROW_NUMBER() OVER (PARTITION BY col_a, col_b, vb
+                            ORDER BY va) AS rnb
+  FROM cells),
+agg AS (
+  SELECT col_a, col_b,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(ROUND(
+             (CAST(c AS DOUBLE) / n)
+             * LN(CAST(n AS DOUBLE) * c / (CAST(na AS DOUBLE) * nb)),
+             9) * 1e9, 0) AS BIGINT)) AS BIGINT) AS mi_n,
+         CAST(SUM(CASE WHEN rna = 1 THEN CAST(ROUND(ROUND(
+             (CAST(na AS DOUBLE) / n) * LN(CAST(na AS DOUBLE) / n)
+             * -1.0, 9) * 1e9, 0) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS ha_n,
+         CAST(SUM(CASE WHEN rnb = 1 THEN CAST(ROUND(ROUND(
+             (CAST(nb AS DOUBLE) / n) * LN(CAST(nb AS DOUBLE) / n)
+             * -1.0, 9) * 1e9, 0) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS hb_n
+  FROM t GROUP BY col_a, col_b)
+SELECT col_a, col_b, n,
+       ROUND(CAST(GREATEST(mi_n, 0) AS DOUBLE) / 1e9, 6) AS mi_nats,
+       CASE WHEN ha_n > 0 AND hb_n > 0 THEN ROUND(
+           CAST(GREATEST(mi_n, 0) AS DOUBLE)
+           / SQRT(CAST(ha_n AS DOUBLE) * CAST(hb_n AS DOUBLE)), 6)
+       END AS nmi
+FROM agg ORDER BY col_a, col_b
+"""
+
+
+PF_MI_SQL = _pf_mi_sql()
+
+
 MOTIF_N = 3
 MOTIF_MIN_SUPPORT = 5
 MOTIF_TOP_K = 20
@@ -8439,4 +8519,5 @@ SCALE_QUERIES = {
     "mm_image_stats": (mm_image_stats, MM_IMG_STATS_SQL),
     "mm_audio_stats": (mm_audio_stats, MM_AUDIO_STATS_SQL),
     "tx_boilerplate_spans": (tx_boilerplate_spans, TX_BOILER_SQL),
+    "pf_mutual_info": (pf_mutual_info, PF_MI_SQL),
 }

@@ -652,6 +652,91 @@ def ks_from_value_counts(ledger: DataFrame) -> DataFrame:
     )
 
 
+def mutual_info_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise mutual information between low-cardinality categorical
+    columns → (col_a, col_b, n, mi_nats, nmi): the feature-relevance /
+    redundancy screen next to ``null_pattern_phi`` (that one scores
+    MISSINGNESS co-occurrence; this scores VALUE dependence — which
+    metadata columns duplicate each other, which actually carry
+    signal). NMI = MI / √(H_a·H_b), NULL when either marginal entropy
+    is 0 (a constant column carries no information to normalize by).
+
+    One stacked pass: every row emits its C(k,2) column-pair value
+    tuples through a single explode, cells aggregate map-side at
+    pair × |A| × |B| cardinality, the pair total and both marginals
+    ride windows over that cell table (one (pair) exchange), and every
+    MI / entropy term pins to integer NANO-nats per cell before its
+    pair-keyed sum — order-independent and engine-exact. Rows where
+    either column is NULL are excluded per pair (standard contingency
+    practice).
+    """
+    names = [str(c) for c in cols]
+    pair_structs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            pair_structs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col(a).cast("string").alias("va"),
+                    F.col(b).cast("string").alias("vb"),
+                )
+            )
+    cells = (
+        df.select(F.explode(F.array(*pair_structs)).alias("p"))
+        .select("p.col_a", "p.col_b", "p.va", "p.vb")
+        .filter(F.col("va").isNotNull() & F.col("vb").isNotNull())
+        .groupBy("col_a", "col_b", "va", "vb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wp = Window.partitionBy("col_a", "col_b")
+    wa = Window.partitionBy("col_a", "col_b", "va")
+    wb = Window.partitionBy("col_a", "col_b", "vb")
+    wra = Window.partitionBy("col_a", "col_b", "va").orderBy("vb")
+    wrb = Window.partitionBy("col_a", "col_b", "vb").orderBy("va")
+    t = (
+        cells.withColumn("__n", F.sum("c").over(wp))
+        .withColumn("__na", F.sum("c").over(wa))
+        .withColumn("__nb", F.sum("c").over(wb))
+        .withColumn("__rna", F.row_number().over(wra))
+        .withColumn("__rnb", F.row_number().over(wrb))
+    )
+    nD = F.col("__n").cast("double")
+    cD = F.col("c").cast("double")
+    naD = F.col("__na").cast("double")
+    nbD = F.col("__nb").cast("double")
+
+    def nano(term):
+        return F.round(F.round(term, 9) * 1e9, 0).cast("long")
+
+    mi_pin = nano((cD / nD) * F.log(nD * cD / (naD * nbD)))
+    ha_pin = nano((naD / nD) * F.log(naD / nD) * F.lit(-1.0))
+    hb_pin = nano((nbD / nD) * F.log(nbD / nD) * F.lit(-1.0))
+    agg = t.groupBy("col_a", "col_b").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(mi_pin).alias("__mi"),
+        F.sum(F.when(F.col("__rna") == 1, ha_pin)).alias("__ha"),
+        F.sum(F.when(F.col("__rnb") == 1, hb_pin)).alias("__hb"),
+    )
+    mi = F.greatest(F.col("__mi"), F.lit(0)).cast("double") / F.lit(1e9)
+    denom = F.sqrt(
+        F.col("__ha").cast("double") * F.col("__hb").cast("double")
+    )
+    nmi = F.when(
+        (F.col("__ha") > 0) & (F.col("__hb") > 0),
+        F.round(
+            F.greatest(F.col("__mi"), F.lit(0)).cast("double") / denom, 6
+        ),
+    )
+    return agg.select(
+        "col_a",
+        "col_b",
+        "n",
+        F.round(mi, 6).alias("mi_nats"),
+        nmi.alias("nmi"),
+    ).orderBy("col_a", "col_b")
+
+
 def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
     """One-row skew audit of a prospective join/aggregation key →
     (n_rows, n_keys, max_count, max_share, entropy_nats,
