@@ -6313,6 +6313,94 @@ FROM agg ORDER BY col_a, col_b
 PF_MI_SQL = _pf_mi_sql()
 
 
+# --- Deterministic shard shuffle (round 10) --------------------------------
+
+SHARD_N = 16
+SHARD_SEED = 7
+
+
+def mx_shard_shuffle(spark, sf_dir):
+    """Deterministic training-export shuffle (operators.sampling.
+    shard_shuffle): portable-hash shard assignment + within-shard
+    position over documents — one draw projection + the one shard-keyed
+    exchange the physical shard write needs anyway."""
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        shard_shuffle,
+    )
+
+    return shard_shuffle(
+        T(spark, sf_dir, "documents").select("doc_id"),
+        "doc_id",
+        n_shards=SHARD_N,
+        seed=SHARD_SEED,
+    )
+
+
+MX_SHARD_SQL = f"""
+WITH drawn AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substring(md5(
+             CAST(doc_id AS VARCHAR) || ':{SHARD_SEED}'), 1, 15))
+             AS UBIGINT) AS BIGINT) AS h
+  FROM documents)
+SELECT doc_id,
+       CAST(h % {SHARD_N} AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY h % {SHARD_N} ORDER BY h, doc_id) - 1
+           AS BIGINT) AS pos
+FROM drawn
+"""
+
+
+# --- Purged temporal split (round 10) --------------------------------------
+
+TSPLIT_LO = 700000
+TSPLIT_HI = 850000
+TSPLIT_EMBARGO_S = 86400
+
+
+def mx_time_split(spark, sf_dir):
+    """Purged temporal train/val/test audit (operators.sampling.
+    time_split) over the events stream: exact ppm-quantile cut instants
+    (two-phase histogram, driver-bounded), a 1-day embargo horizon
+    after each cut to the audit bucket, per-split row counts and time
+    ranges."""
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        time_split,
+    )
+
+    return time_split(
+        T(spark, sf_dir, "events"),
+        "ts",
+        boundaries_ppm=(TSPLIT_LO, TSPLIT_HI),
+        embargo_s=TSPLIT_EMBARGO_S,
+    )
+
+
+MX_TSPLIT_SQL = f"""
+WITH m AS (
+  SELECT CAST(epoch_us(ts) AS DOUBLE) AS t, ts FROM events
+  WHERE ts IS NOT NULL),
+cuts AS (
+  SELECT ROUND(CAST(quantile_cont(t, {TSPLIT_LO / 1e6}) AS DOUBLE), 6)
+             AS c1,
+         ROUND(CAST(quantile_cont(t, {TSPLIT_HI / 1e6}) AS DOUBLE), 6)
+             AS c2
+  FROM m),
+assigned AS (
+  SELECT CASE WHEN t <= c1 THEN 'train'
+              WHEN t <= c1 + {TSPLIT_EMBARGO_S}.0 * 1e6 THEN 'embargo'
+              WHEN t <= c2 THEN 'val'
+              WHEN t <= c2 + {TSPLIT_EMBARGO_S}.0 * 1e6 THEN 'embargo'
+              ELSE 'test' END AS split,
+         ts
+  FROM m CROSS JOIN cuts)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(ts) AS min_ts, MAX(ts) AS max_ts
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
 MOTIF_N = 3
 MOTIF_MIN_SUPPORT = 5
 MOTIF_TOP_K = 20
@@ -8520,4 +8608,6 @@ SCALE_QUERIES = {
     "mm_audio_stats": (mm_audio_stats, MM_AUDIO_STATS_SQL),
     "tx_boilerplate_spans": (tx_boilerplate_spans, TX_BOILER_SQL),
     "pf_mutual_info": (pf_mutual_info, PF_MI_SQL),
+    "mx_shard_shuffle": (mx_shard_shuffle, MX_SHARD_SQL),
+    "mx_time_split": (mx_time_split, MX_TSPLIT_SQL),
 }

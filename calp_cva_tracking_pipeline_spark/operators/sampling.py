@@ -659,3 +659,113 @@ def neyman_allocation(
         )
         .orderBy(stratum_col)
     )
+
+
+def shard_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training-data
+    export: every training job wants its corpus (a) split into a fixed
+    number of shard files and (b) read back in an order uncorrelated
+    with ingest order (curriculum-free runs assume IID batches; a
+    source-sorted corpus gives each early epoch a distribution skew).
+    Randomized-but-reproducible comes from the portable draw ``h =
+    stable_hash64(id || ':' || seed)``: shard = h % n_shards, position
+    within the shard = rank by (h, id) — the exact write order a
+    sharded export produces and a training loader replays. Changing
+    ``seed`` redraws the permutation; any engine with md5 reproduces
+    it bit-for-bit (exact SQL twin).
+
+    Output: (id, shard, pos), pos 0-based within shard. Scale shape:
+    one narrow projection for the draw (inside the scan's codegen
+    stage) + ONE shard-keyed exchange carrying (id, h) pairs for the
+    rank window — the same shuffle the physical shard write itself
+    needs, so the assignment costs nothing extra at export time. The
+    (h, id) order key is total (ids are unique), so positions are
+    partition-order-independent.
+    """
+    h = stable_hash64(
+        F.concat(
+            F.col(id_col).cast("string"), F.lit(":"), F.lit(str(seed))
+        )
+    )
+    drawn = df.select(
+        F.col(id_col),
+        h.alias("__h"),
+        (h % F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__h"), F.col(id_col)
+    )
+    return drawn.select(
+        id_col,
+        "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    )
+
+
+def time_split(
+    df: DataFrame,
+    ts_col: str,
+    boundaries_ppm: tuple[int, int] = (700000, 850000),
+    embargo_s: int = 86400,
+) -> DataFrame:
+    """Leakage-safe TEMPORAL train/val/test split with purge gaps — the
+    time-axis sibling of ``group_split``: entity hashing stops entity
+    leakage, but models with lagged features / delayed labels also leak
+    ACROSS TIME at a split boundary (a label computed from the day
+    after the train cut peeks into val). The standard remedy (purged
+    splits, Lopez de Prado 2018) drops an ``embargo_s`` horizon after
+    each boundary.
+
+    Cut instants are the exact interpolated ppm-quantiles of the time
+    axis via the two-phase histogram kernel (``exact_percentiles`` —
+    driver-bounded, no row-sized global sort); rows at most
+    ``embargo_s`` after a cut land in the audit bucket 'embargo'
+    rather than silently vanishing. Output: (split, n_rows, min_ts,
+    max_ts) for train / embargo / val / test, ordered by split —
+    the audit readout a pipeline gates on before export (per-row
+    assignment is the same CASE projection, exact SQL twin).
+    """
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        exact_percentiles,
+    )
+
+    lo_ppm, hi_ppm = boundaries_ppm
+    micros = df.select(
+        F.unix_micros(F.col(ts_col)).cast("double").alias("__t")
+    )
+    cut_rows = exact_percentiles(
+        micros, ["__t"], [lo_ppm / 1e6, hi_ppm / 1e6], round_to=6
+    ).collect()
+    spark = df.sparkSession
+    schema = (
+        "split string, n_rows bigint, min_ts timestamp, max_ts timestamp"
+    )
+    if not cut_rows:
+        return spark.createDataFrame([], schema)
+    cuts = {round(r["p"] * 1e6): r["value"] for r in cut_rows}
+    c1, c2 = float(cuts[lo_ppm]), float(cuts[hi_ppm])
+    e = float(embargo_s) * 1e6
+    t = F.unix_micros(F.col(ts_col)).cast("double")
+    split = (
+        F.when(t <= F.lit(c1), F.lit("train"))
+        .when(t <= F.lit(c1 + e), F.lit("embargo"))
+        .when(t <= F.lit(c2), F.lit("val"))
+        .when(t <= F.lit(c2 + e), F.lit("embargo"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(split.alias("split"), F.col(ts_col).alias("__ts"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("__ts").alias("min_ts"),
+            F.max("__ts").alias("max_ts"),
+        )
+        .orderBy("split")
+    )
