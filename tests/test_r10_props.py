@@ -1,0 +1,284 @@
+"""Randomized / reference cross-checks for the round-10 wave (T152-T157):
+each operator against an independent brute-force reference on
+adversarial-ish synthetic inputs — the test_wave22_props.py discipline.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# T156 shard_shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_shard_shuffle_permutation_properties(spark):
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        shard_shuffle,
+    )
+
+    n, shards = 500, 7
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = shard_shuffle(df, "doc_id", n_shards=shards, seed=3).collect()
+    assert len(out) == n
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(shards))
+    for s, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), s
+    # deterministic under repartition
+    out2 = (
+        shard_shuffle(df.repartition(13), "doc_id", n_shards=shards, seed=3)
+        .collect()
+    )
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # a different seed redraws the permutation
+    out3 = shard_shuffle(df, "doc_id", n_shards=shards, seed=4).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, out3))
+    # shards are roughly balanced (md5 uniformity; loose 3x bound)
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) <= 3 * max(1, min(sizes))
+
+
+# ---------------------------------------------------------------------------
+# T157 time_split
+# ---------------------------------------------------------------------------
+
+
+def test_time_split_matches_brute_force(spark):
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        time_split,
+    )
+
+    rng = random.Random(11)
+    base = 1_700_000_000_000_000  # micros
+    ts_us = [base + rng.randrange(0, 90 * 86400 * 1_000_000)
+             for _ in range(400)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ts_us)], "id long, ts_us long"
+    ).select("id", F.timestamp_micros(F.col("ts_us")).alias("ts"))
+    out = {
+        r.split: r.n_rows
+        for r in time_split(
+            df, "ts", boundaries_ppm=(700000, 850000), embargo_s=86400
+        ).collect()
+    }
+
+    # brute force with percentile_cont interpolation (linear), mirroring
+    # exact_percentiles' round-to-6dp contract
+    def qcont(vals, p):
+        v = sorted(vals)
+        k = (len(v) - 1) * p
+        lo, hi = math.floor(k), math.ceil(k)
+        if lo == hi:
+            return float(v[lo])
+        return v[lo] + (k - lo) * (v[hi] - v[lo])
+
+    c1 = round(qcont([float(t) for t in ts_us], 0.7), 6)
+    c2 = round(qcont([float(t) for t in ts_us], 0.85), 6)
+    e = 86400 * 1e6
+    ref: dict[str, int] = {}
+    for t in ts_us:
+        td = float(t)
+        if td <= c1:
+            s = "train"
+        elif td <= c1 + e:
+            s = "embargo"
+        elif td <= c2:
+            s = "val"
+        elif td <= c2 + e:
+            s = "embargo"
+        else:
+            s = "test"
+        ref[s] = ref.get(s, 0) + 1
+    assert out == ref
+    assert sum(out.values()) == 400  # embargo audited, never dropped
+
+
+def test_time_split_empty_input(spark):
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        time_split,
+    )
+
+    df = spark.createDataFrame([], "id long, ts timestamp")
+    assert time_split(df, "ts").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# T154 boilerplate_spans
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_detection_guarantee(spark):
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        boilerplate_spans,
+    )
+
+    k = 4
+    chrome = "home about contact subscribe"  # exactly one k-span
+    rng = random.Random(5)
+    rows = []
+    for i in range(30):
+        body = " ".join(f"u{i}w{j}" for j in range(rng.randrange(4, 20)))
+        # half the docs carry the chrome span at the FRONT (span
+        # boundaries are position-dependent; a fixed prefix aligns)
+        text = f"{chrome} {body}" if i % 2 == 0 else body
+        rows.append((i, "siteA" if i < 15 else "siteB", text))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.source: r
+        for r in boilerplate_spans(
+            df, "doc_id", "text", "source", k=k, min_docs=2
+        ).collect()
+    }
+    # the chrome span must be flagged in BOTH sources (global df)
+    for src in ("siteA", "siteB"):
+        assert out[src].n_boiler_spans >= 1, out[src]
+        assert out[src].affected_docs >= 7, out[src]
+    # a chrome-free corpus reports zero boilerplate
+    clean = spark.createDataFrame(
+        [(i, "s", " ".join(f"c{i}x{j}" for j in range(8)))
+         for i in range(10)],
+        "doc_id long, source string, text string",
+    )
+    row = boilerplate_spans(
+        clean, "doc_id", "text", "source", k=k, min_docs=2
+    ).collect()[0]
+    assert row.n_boiler_spans == 0 and row.boiler_instances == 0
+
+
+# ---------------------------------------------------------------------------
+# T155 mutual_info_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_mutual_info_matches_reference_and_bounds(spark):
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        mutual_info_pairs,
+    )
+
+    rng = random.Random(9)
+    rows = []
+    for _ in range(600):
+        a = rng.choice("xyz")
+        b = a.upper()  # perfect dependence
+        c = rng.choice("pq")  # independent of a
+        rows.append((a, b, c))
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    out = {
+        (r.col_a, r.col_b): r
+        for r in mutual_info_pairs(df, ["a", "b", "c"]).collect()
+    }
+    # perfect dependence: NMI = 1 (MI = H(a) = H(b))
+    assert out[("a", "b")].nmi == pytest.approx(1.0, abs=1e-6)
+    # independence: MI near 0 (sampling noise only)
+    assert out[("a", "c")].mi_nats < 0.02
+
+    # reference MI on the (a, b) pair
+    from collections import Counter
+
+    ca = Counter(r[0] for r in rows)
+    cb = Counter(r[1] for r in rows)
+    cab = Counter((r[0], r[1]) for r in rows)
+    n = len(rows)
+    ref = 0
+    for (va, vb), c in cab.items():
+        term = (c / n) * math.log(n * c / (ca[va] * cb[vb]))
+        ref += int(round(round(term, 9) * 1e9))
+    assert out[("a", "b")].mi_nats == pytest.approx(
+        max(ref, 0) / 1e9, abs=2e-6
+    )
+
+
+# ---------------------------------------------------------------------------
+# T152/T153 media stats vs direct decode reference
+# ---------------------------------------------------------------------------
+
+
+def test_image_stats_match_decoded_reference(spark):
+    from calp_cva_tracking_pipeline_spark.operators.bmp_stdlib import (
+        encode_bmp,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.phash import (
+        image_pixel_stats,
+    )
+
+    rng = random.Random(2)
+    imgs = {}
+    for i in range(6):
+        px = [rng.randrange(0, 256) for _ in range(64)]
+        imgs[i] = px
+    rows = [
+        (i, encode_bmp(8, 8, bytes(b for v in px for b in (v, v, v))))
+        for i, px in imgs.items()
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r.media_id: r
+        for r in image_pixel_stats(df, "doc_id", "payload").collect()
+    }
+    for i, px in imgs.items():
+        n = len(px)
+        mean = sum(px) / n
+        var = sum(v * v for v in px) / n - mean * mean
+        r = out[i]
+        assert r.n_px == n
+        assert r.mean_luma == pytest.approx(round(mean, 6), abs=1e-9)
+        assert r.contrast == pytest.approx(
+            round(math.sqrt(max(var, 0.0)), 6), abs=1e-9
+        )
+        assert r.luma_min == min(px) and r.luma_max == max(px)
+        assert r.dark_ratio == pytest.approx(
+            round(sum(1 for v in px if v <= 31) / n, 6), abs=1e-9
+        )
+
+
+def test_audio_stats_match_decoded_reference(spark):
+    import struct
+
+    from calp_cva_tracking_pipeline_spark.operators.phash import (
+        audio_sample_stats,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.wav_stdlib import (
+        encode_wav,
+    )
+
+    rng = random.Random(4)
+    clips = {}
+    for i in range(5):
+        smp = [rng.randrange(-32768, 32768) for _ in range(200)]
+        if i == 0:
+            smp[:50] = [0] * 50  # dead air
+        if i == 1:
+            smp[:10] = [32767] * 10  # clipping
+        clips[i] = smp
+    rows = [
+        (i, encode_wav(8000, 1, 2,
+                       b"".join(struct.pack("<h", v) for v in smp)))
+        for i, smp in clips.items()
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r.media_id: r
+        for r in audio_sample_stats(df, "doc_id", "payload").collect()
+    }
+    for i, smp in clips.items():
+        n = len(smp)
+        r = out[i]
+        assert r.n_samples == n
+        assert r.rms == pytest.approx(
+            round(math.sqrt(sum(v * v for v in smp) / n), 6), abs=1e-9
+        )
+        assert r.peak == max(abs(v) for v in smp)
+        assert r.silence_ratio == pytest.approx(
+            round(sum(1 for v in smp if abs(v) <= 327) / n, 6), abs=1e-9
+        )
+        assert r.clip_ratio == pytest.approx(
+            round(sum(1 for v in smp if abs(v) >= 32704) / n, 6), abs=1e-9
+        )
