@@ -6401,6 +6401,165 @@ FROM assigned GROUP BY split ORDER BY split
 """
 
 
+# --- Round-10 wave 29: ANOVA, snippets, dedup weights -----------------------
+
+SNIPPET_WINDOW = 12
+
+
+def pf_anova(spark, sf_dir):
+    """One-way ANOVA across order priorities (operators.profiling.
+    anova_oneway): does the priority grouping explain price/quantity
+    variance at all — the k-group gate before pf_ab_test's pairwise
+    Welch drill-down. Whole-unit integer moments, per-group between-sum
+    terms re-pinned to integers before the k-bounded sum."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        anova_oneway,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    return anova_oneway(o, "o_orderpriority", ["o_totalprice"])
+
+
+PF_ANOVA_SQL = """
+WITH long AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE), 0) AS BIGINT) AS x
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+moments AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM long GROUP BY g),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(s1) AS BIGINT) AS S1,
+         CAST(SUM(s2) AS BIGINT) AS S2,
+         CAST(SUM(CAST(ROUND(
+             CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+             / CAST(n AS DOUBLE), 0) AS BIGINT)) AS BIGINT) AS B
+  FROM moments)
+SELECT 'o_totalprice' AS col_name, k, n,
+       CASE WHEN k > 1 AND CAST(n AS DOUBLE) > CAST(k AS DOUBLE)
+                 AND (CAST(S2 AS DOUBLE)
+                      - CAST(S1 AS DOUBLE) * CAST(S1 AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     - (CAST(B AS DOUBLE)
+                        - CAST(S1 AS DOUBLE) * CAST(S1 AS DOUBLE)
+                          / CAST(n AS DOUBLE)) > 0
+       THEN ROUND(
+           ((CAST(B AS DOUBLE)
+             - CAST(S1 AS DOUBLE) * CAST(S1 AS DOUBLE)
+               / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1))
+           / (((CAST(S2 AS DOUBLE)
+                - CAST(S1 AS DOUBLE) * CAST(S1 AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               - (CAST(B AS DOUBLE)
+                  - CAST(S1 AS DOUBLE) * CAST(S1 AS DOUBLE)
+                    / CAST(n AS DOUBLE)))
+              / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+       END AS f_stat,
+       CASE WHEN CAST(S2 AS DOUBLE)
+                 - CAST(S1 AS DOUBLE) * CAST(S1 AS DOUBLE)
+                   / CAST(n AS DOUBLE) > 0
+       THEN ROUND(
+           (CAST(B AS DOUBLE)
+            - CAST(S1 AS DOUBLE) * CAST(S1 AS DOUBLE)
+              / CAST(n AS DOUBLE))
+           / (CAST(S2 AS DOUBLE)
+              - CAST(S1 AS DOUBLE) * CAST(S1 AS DOUBLE)
+                / CAST(n AS DOUBLE)), 6)
+       END AS eta_sq,
+       ROUND(CAST(B AS DOUBLE)
+             - CAST(S1 AS DOUBLE) * CAST(S1 AS DOUBLE)
+               / CAST(n AS DOUBLE), 6) AS ss_between,
+       ROUND((CAST(S2 AS DOUBLE)
+              - CAST(S1 AS DOUBLE) * CAST(S1 AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             - (CAST(B AS DOUBLE)
+                - CAST(S1 AS DOUBLE) * CAST(S1 AS DOUBLE)
+                  / CAST(n AS DOUBLE)), 6) AS ss_within
+FROM agg ORDER BY col_name
+"""
+
+
+def rt_snippet_extract(spark, sf_dir):
+    """Best-window snippet per matching document (operators.retrieval.
+    snippet_extract) for the BM25 demo query — the result-page
+    highlight stage: rolling query-hit count over the one doc-keyed
+    exchange, earliest-max argmax, span re-sliced from the scan-rooted
+    token projection."""
+    from calp_cva_tracking_pipeline_spark.operators.retrieval import (
+        snippet_extract,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return snippet_extract(
+        d, "doc_id", "text", BM25_QUERY, window=SNIPPET_WINDOW
+    )
+
+
+RT_SNIPPET_SQL = rf"""
+WITH tl AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE text IS NOT NULL),
+pos AS (
+  SELECT doc_id, i - 1 AS p,
+         CASE WHEN lower(toks[i]) IN ({_BM25_TERMS}) THEN 1 ELSE 0 END
+             AS q
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks))) AS i
+        FROM tl) t),
+scored AS (
+  SELECT doc_id, p,
+         SUM(q) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW
+                      AND {SNIPPET_WINDOW - 1} FOLLOWING) AS hits
+  FROM pos),
+best AS (
+  SELECT doc_id, p, hits FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY hits DESC, p ASC) AS rn
+    FROM scored) s
+  WHERE rn = 1 AND hits >= 1)
+SELECT t.doc_id,
+       CAST(b.p + 1 AS BIGINT) AS best_pos,
+       CAST(b.hits AS BIGINT) AS hits,
+       array_to_string(
+           t.toks[b.p + 1 : b.p + {SNIPPET_WINDOW}], ' ') AS snippet
+FROM tl t JOIN best b ON t.doc_id = b.doc_id
+ORDER BY t.doc_id
+"""
+
+
+def mx_dedup_weights(spark, sf_dir):
+    """Duplication-aware sampling weights (operators.dedup.
+    dedup_weights): weight_ppm = 1e6 / exact-dup family size per
+    document — the count-once soft alternative to dropping duplicates;
+    one md5-keyed window over one digest exchange."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        dedup_weights,
+    )
+
+    return dedup_weights(
+        T(spark, sf_dir, "documents"), "doc_id", "text"
+    ).orderBy("doc_id")
+
+
+MX_DEDUP_W_SQL = """
+WITH fam AS (
+  SELECT doc_id,
+         CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+             AS family_size
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id, family_size,
+       CAST(ROUND(1e6 / CAST(family_size AS DOUBLE), 0) AS BIGINT)
+           AS weight_ppm
+FROM fam ORDER BY doc_id
+"""
+
+
 MOTIF_N = 3
 MOTIF_MIN_SUPPORT = 5
 MOTIF_TOP_K = 20
@@ -8610,4 +8769,8 @@ SCALE_QUERIES = {
     "pf_mutual_info": (pf_mutual_info, PF_MI_SQL),
     "mx_shard_shuffle": (mx_shard_shuffle, MX_SHARD_SQL),
     "mx_time_split": (mx_time_split, MX_TSPLIT_SQL),
+    # twenty-ninth wave (round 10)
+    "pf_anova": (pf_anova, PF_ANOVA_SQL),
+    "rt_snippet_extract": (rt_snippet_extract, RT_SNIPPET_SQL),
+    "mx_dedup_weights": (mx_dedup_weights, MX_DEDUP_W_SQL),
 }

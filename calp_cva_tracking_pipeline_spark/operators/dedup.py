@@ -1367,3 +1367,35 @@ def split_leakage_audit(
             "n_near_pairs"
         ),
     ).orderBy("split_a", "split_b")
+
+
+def dedup_weights(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Duplication-aware sampling weights: ``weight_ppm =
+    round(1e6 / family_size)`` where family_size is the document's
+    EXACT-duplicate family cardinality (md5 text groups) — the
+    count-once alternative to dropping duplicates (downweighting keeps
+    the corpus' natural content distribution while removing the
+    repeated-gradient bias; the soft form of ``dedup_exact``'s hard
+    survivor pick, and the natural input to ``mixture_sample``'s
+    weighted draw).
+
+    One md5-keyed count window over one 16-byte-digest exchange — no
+    pair expansion, no second scan. NULL-text rows are excluded (they
+    carry no content to weight). Output: (id, family_size, weight_ppm);
+    Σ weight_ppm / 1e6 ≈ the deduplicated corpus size by construction.
+    """
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("family_size"),
+        )
+        .select(
+            id_col,
+            "family_size",
+            F.round(F.lit(1e6) / F.col("family_size").cast("double"), 0)
+            .cast("bigint")
+            .alias("weight_ppm"),
+        )
+    )

@@ -737,6 +737,82 @@ def mutual_info_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
     ).orderBy("col_a", "col_b")
 
 
+def anova_oneway(
+    df: DataFrame, group_col: str, value_cols: list[str]
+) -> DataFrame:
+    """One-way ANOVA across ALL groups per metric → (col_name, k, n,
+    f_stat, eta_sq, ss_between, ss_within): the k-group generalization
+    of ``ab_test_summary``'s pairwise Welch readout — does the grouping
+    explain variance at all, before pairwise drill-down.
+
+    Moment discipline (the pf_ab_test overflow lesson): values round to
+    WHOLE units, per-(col, group) moments (n, Σx, Σx²) aggregate as
+    exact 64-bit integers in ONE stacked map-side-combined pass, and
+    each group's between-sum term (Σx)²/n — too large to square in
+    int64 — rounds back to a whole-unit integer per group BEFORE the
+    k-bounded sum, so every cross-row aggregation is integer-exact and
+    order-independent; the final F/η² are fixed-order double
+    expressions over those integers. Groups or metrics that are NULL
+    drop per standard contingency practice; F is NULL when k < 2,
+    n ≤ k, or SSW = 0 (degenerate designs).
+    """
+    stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in value_cols)
+    long = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("__g"),
+            F.expr(
+                f"stack({len(value_cols)}, {stack_args})"
+                " AS (col_name, val)"
+            ),
+        )
+        .filter(F.col("val").isNotNull())
+        .select(
+            "col_name",
+            "__g",
+            F.round(F.col("val"), 0).cast("long").alias("__x"),
+        )
+    )
+    moments = long.groupBy("col_name", "__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").cast("long").alias("__s1"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__s2"),
+    )
+    s1d = F.col("__s1").cast("double")
+    nd = F.col("__n").cast("double")
+    bterm = F.round(s1d * s1d / nd, 0).cast("long")
+    agg = moments.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__n").cast("bigint").alias("n"),
+        F.sum("__s1").cast("long").alias("__S1"),
+        F.sum("__s2").cast("long").alias("__S2"),
+        F.sum(bterm).cast("long").alias("__B"),
+    )
+    Nd = F.col("n").cast("double")
+    S1d = F.col("__S1").cast("double")
+    grand = S1d * S1d / Nd
+    sst = F.col("__S2").cast("double") - grand
+    ssb = F.col("__B").cast("double") - grand
+    ssw = sst - ssb
+    kd = F.col("k").cast("double")
+    f_ok = (
+        (F.col("k") > 1) & (Nd > kd) & (ssw > 0)
+    )
+    f_stat = F.when(
+        f_ok, F.round((ssb / (kd - 1)) / (ssw / (Nd - kd)), 6)
+    )
+    eta = F.when(sst > 0, F.round(ssb / sst, 6))
+    return agg.select(
+        "col_name",
+        "k",
+        "n",
+        f_stat.alias("f_stat"),
+        eta.alias("eta_sq"),
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+    ).orderBy("col_name")
+
+
 def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
     """One-row skew audit of a prospective join/aggregation key →
     (n_rows, n_keys, max_count, max_share, entropy_nats,

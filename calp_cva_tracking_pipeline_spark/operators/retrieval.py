@@ -267,3 +267,67 @@ def retrieval_metrics(
     ]
     out = final.select(*out_cols)
     return out.orderBy(*gcols) if gcols else out
+
+
+def snippet_extract(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    window: int = 12,
+) -> DataFrame:
+    """Best-window snippet per matching document — the result-page
+    highlight stage after BM25 ranks (every search surface needs it):
+    for each document containing ≥ 1 query term, pick the ``window``-
+    token span with the most query-term hits (earliest span wins ties)
+    and emit it with its hit count.
+
+    Shape: tokens materialize once per document (the interpreted-HOF
+    discipline), positions explode, the per-position forward hit count
+    is a ROWS-frame window over the ONE doc-keyed exchange, the argmax
+    is a row_number over the same keys, and the winning span re-slices
+    from the scan-rooted token projection (a second SCAN of the corpus
+    — cheap, pushdown applies — never a re-execution of derived state;
+    carrying the token array through the explode would shuffle O(len²)
+    bytes per document instead). Matching is case-insensitive exact
+    token equality. Output: (id, best_pos 1-based, hits, snippet).
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.split(F.trim(F.col(text_col)), "\\s+").alias("__toks"),
+    )
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    pos = toks.select(
+        "__id", F.posexplode("__toks").alias("__p", "__tok")
+    ).select(
+        "__id",
+        "__p",
+        F.expr(f"IF(lower(__tok) IN ({term_list}), 1, 0)").alias("__q"),
+    )
+    wf = (
+        Window.partitionBy("__id")
+        .orderBy("__p")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    scored = pos.withColumn("__hits", F.sum("__q").over(wf))
+    wr = Window.partitionBy("__id").orderBy(
+        F.col("__hits").desc(), F.col("__p").asc()
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(wr))
+        .filter((F.col("__rn") == 1) & (F.col("__hits") >= 1))
+        .select("__id", "__p", "__hits")
+    )
+    return (
+        toks.join(best, "__id")
+        .select(
+            F.col("__id").alias(id_col),
+            (F.col("__p") + 1).cast("bigint").alias("best_pos"),
+            F.col("__hits").cast("bigint").alias("hits"),
+            F.expr(
+                f"array_join(slice(__toks, __p + 1, {window}), ' ')"
+            ).alias("snippet"),
+        )
+        .orderBy(id_col)
+    )
