@@ -569,6 +569,46 @@ def test_interleave_no_global_sort(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_round10_wave_plan_shapes(spark, sf_dir):
+    """Structural pins for the round-10 waves: media stats are one scan
+    + the single decode stage (no join, no exchange — per-row decode
+    rides the scan partitioning); boilerplate/MI/ANOVA/shard/split/
+    weights are join-free single-scan pipelines with bounded exchange
+    counts; the snippet extractor's only join is the bounded
+    winner-position re-slice against the scan-rooted token projection
+    (2 scans by design — never a derived-state re-execution)."""
+    import re as _re
+
+    def shape(df):
+        p = _executed(df)
+        return (
+            p.count("Scan parquet"),
+            p.count("Join"),
+            len(_re.findall(r"Exchange hashpartitioning", p)),
+            "CartesianProduct" in p,
+        )
+
+    for q in (S.mm_image_stats, S.mm_audio_stats):
+        scans, joins, _, cart = shape(q(spark, sf_dir))
+        assert scans == 1 and joins == 0 and not cart
+
+    for q, max_ex in (
+        (S.tx_boilerplate_spans, 5),
+        (S.pf_mutual_info, 3),
+        (S.pf_anova, 3),
+        (S.mx_shard_shuffle, 2),
+        (S.mx_time_split, 2),
+        (S.mx_dedup_weights, 2),
+    ):
+        scans, joins, ex, cart = shape(q(spark, sf_dir))
+        assert scans == 1 and joins == 0 and ex <= max_ex and not cart, (
+            q.__name__, scans, joins, ex,
+        )
+
+    scans, joins, _, cart = shape(S.rt_snippet_extract(spark, sf_dir))
+    assert scans == 2 and joins == 1 and not cart
+
+
 def test_components_and_marginal_fanout_plans_bounded(spark, sf_dir):
     """Round-10 plan-audit catches, pinned: connected_components' label
     loop referenced its evolving frame 3x per round with only a cache
