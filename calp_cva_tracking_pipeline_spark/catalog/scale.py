@@ -6560,6 +6560,69 @@ FROM fam ORDER BY doc_id
 """
 
 
+# --- ANN recall eval (round 10): the documented IVF recall tradeoff as a
+# driver-gated measured number, not a docstring claim ------------------------
+
+
+def ann_recall_eval(spark, sf_dir):
+    """Recall@k of the IVF index against exact brute force at the
+    catalog operating point (nprobe={np}, {nc} centroids, k={k}) — the
+    'measure, don't guess' readout for the ANN tier: both retrievers
+    run their production paths, ground truth is the exact ranking, and
+    the one-row answer is the number SCALE.md's recall discussion
+    cites. Left join on (query, neighbor) over two k·|Q|-bounded
+    result sets — the eval costs nothing next to the searches."""
+    brute = ann_brute_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("__n"), F.lit(1).alias("__h")
+    )
+    joined = brute.join(
+        ivf,
+        (brute["query_id"] == ivf["query_id"])
+        & (brute["neighbor_id"] == ivf["__n"]),
+        "left",
+    ).select(F.coalesce(F.col("__h"), F.lit(0)).alias("__hit"))
+    return joined.agg(
+        F.lit(TOP_K).cast("bigint").alias("k"),
+        F.lit(IVF_NPROBE).cast("bigint").alias("nprobe"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(
+                F.coalesce(F.sum("__hit"), F.lit(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ),
+        ).alias("recall_at_k"),
+    )
+
+
+ann_recall_eval.__doc__ = ann_recall_eval.__doc__.format(
+    np=IVF_NPROBE, nc=IVF_CENTROIDS, k=TOP_K
+)
+
+
+ANN_RECALL_SQL = f"""
+WITH b AS ({ANN_BRUTE_SQL}),
+v AS ({ANN_IVF_SQL}),
+h AS (
+  SELECT CASE WHEN v.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM b LEFT JOIN v
+    ON b.query_id = v.query_id AND b.neighbor_id = v.neighbor_id)
+SELECT CAST({TOP_K} AS BIGINT) AS k,
+       CAST({IVF_NPROBE} AS BIGINT) AS nprobe,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_hit,
+       CASE WHEN COUNT(*) > 0 THEN ROUND(
+           CAST(COALESCE(SUM(hit), 0) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE), 6) END AS recall_at_k
+FROM h
+"""
+
+
 MOTIF_N = 3
 MOTIF_MIN_SUPPORT = 5
 MOTIF_TOP_K = 20
@@ -8773,4 +8836,5 @@ SCALE_QUERIES = {
     "pf_anova": (pf_anova, PF_ANOVA_SQL),
     "rt_snippet_extract": (rt_snippet_extract, RT_SNIPPET_SQL),
     "mx_dedup_weights": (mx_dedup_weights, MX_DEDUP_W_SQL),
+    "ann_recall_eval": (ann_recall_eval, ANN_RECALL_SQL),
 }
