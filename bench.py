@@ -160,6 +160,16 @@ HEADLINE = [
     # not duplicated.
     "pf_bootstrap",
     "tj_range_join",
+    # round 10 additions (suite totals are not comparable to r9 without
+    # subtracting these), the two genuinely new cost classes: span
+    # explode + GLOBAL-document-frequency window (boilerplate), and
+    # per-position ROWS rolling hit count + scan-rooted snippet
+    # re-slice join. mm_image_stats/mm_audio_stats (mm_phash's decode
+    # class), pf_mutual_info/pf_anova/mx_* (small aggregates over
+    # already-timed shapes) and ann_recall_eval (a composition of two
+    # timed ANN headliners) are deliberately not duplicated.
+    "tx_boilerplate_spans",
+    "rt_snippet_extract",
 ]
 
 
