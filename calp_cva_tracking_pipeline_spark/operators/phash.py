@@ -567,16 +567,23 @@ def audio_sample_stats(
         run, AUDIO_STATS_SCHEMA
     )
     n = F.col("n_samples").cast("double")
+    # a structurally valid WAV may carry ZERO frames (a truncated
+    # recording): emit it with NULL ratios rather than an ANSI ÷0 throw
+    ok = F.col("n_samples") > 0
     return stats.filter(F.col("decode_ok") == "ok_stdlib").select(
         F.col("__id").alias("media_id"),
         F.col("n_samples"),
         F.round(n / F.lit(float(rate)), 6).alias("duration_s"),
-        F.round(F.sqrt(F.col("sumsq").cast("double") / n), 6).alias("rms"),
+        F.when(ok, F.round(
+            F.sqrt(F.col("sumsq").cast("double") / n), 6
+        )).alias("rms"),
         F.col("peak"),
-        F.round(F.col("n_silence").cast("double") / n, 6).alias(
-            "silence_ratio"
-        ),
-        F.round(F.col("n_clip").cast("double") / n, 6).alias("clip_ratio"),
+        F.when(ok, F.round(
+            F.col("n_silence").cast("double") / n, 6
+        )).alias("silence_ratio"),
+        F.when(ok, F.round(
+            F.col("n_clip").cast("double") / n, 6
+        )).alias("clip_ratio"),
     )
 
 

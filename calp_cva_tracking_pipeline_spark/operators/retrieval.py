@@ -293,6 +293,9 @@ def snippet_extract(
     token equality. Output: (id, best_pos 1-based, hits, snippet).
     """
     terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        # an empty IN () list is a parse error, not an empty result
+        raise ValueError("query_terms must be non-empty")
     toks = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.split(F.trim(F.col(text_col)), "\\s+").alias("__toks"),

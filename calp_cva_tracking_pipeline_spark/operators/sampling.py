@@ -687,6 +687,8 @@ def shard_shuffle(
     (h, id) order key is total (ids are unique), so positions are
     partition-order-independent.
     """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
     h = stable_hash64(
         F.concat(
             F.col(id_col).cast("string"), F.lit(":"), F.lit(str(seed))
@@ -735,6 +737,12 @@ def time_split(
     )
 
     lo_ppm, hi_ppm = boundaries_ppm
+    if not (0 < lo_ppm < hi_ppm < 1_000_000):
+        # unordered boundaries would assign splits silently wrong
+        raise ValueError(
+            f"boundaries_ppm must satisfy 0 < lo < hi < 1e6: "
+            f"{boundaries_ppm}"
+        )
     micros = df.select(
         F.unix_micros(F.col(ts_col)).cast("double").alias("__t")
     )

@@ -282,3 +282,54 @@ def test_audio_stats_match_decoded_reference(spark):
         assert r.clip_ratio == pytest.approx(
             round(sum(1 for v in smp if abs(v) >= 32704) / n, 6), abs=1e-9
         )
+
+
+# ---------------------------------------------------------------------------
+# Advisor-proofing guards (found by self-review before the advisor ran)
+# ---------------------------------------------------------------------------
+
+
+def test_audio_stats_zero_frame_clip_yields_null_ratios(spark):
+    from calp_cva_tracking_pipeline_spark.operators.phash import (
+        audio_sample_stats,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.wav_stdlib import (
+        encode_wav,
+    )
+
+    df = spark.createDataFrame(
+        [(1, encode_wav(8000, 1, 2, b""))], "doc_id long, payload binary"
+    )
+    rows = audio_sample_stats(df, "doc_id", "payload").collect()
+    assert len(rows) == 1 and rows[0].n_samples == 0
+    assert rows[0].rms is None and rows[0].silence_ratio is None
+
+
+def test_shard_shuffle_rejects_nonpositive_shards(spark):
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        shard_shuffle,
+    )
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_shuffle(df, "doc_id", n_shards=0)
+
+
+def test_snippet_extract_rejects_empty_terms(spark):
+    from calp_cva_tracking_pipeline_spark.operators.retrieval import (
+        snippet_extract,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="query_terms"):
+        snippet_extract(df, "doc_id", "text", [])
+
+
+def test_time_split_rejects_unordered_boundaries(spark):
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        time_split,
+    )
+
+    df = spark.createDataFrame([], "id long, ts timestamp")
+    with pytest.raises(ValueError, match="boundaries_ppm"):
+        time_split(df, "ts", boundaries_ppm=(850000, 700000))
