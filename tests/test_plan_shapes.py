@@ -432,14 +432,17 @@ def test_pagerank_no_cartesian_no_python(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_pagerank_plan_linear_in_rounds(spark, sf_dir):
-    """Round-9 judge finding: each pagerank round referenced the
+def test_pagerank_plan_bounded_in_rounds(spark, sf_dir):
+    """Round-9 judge finding: each pagerank round references the
     evolving ranks frame twice (dangling anti-join aggregate + inflow
     join), doubling the plan per iteration — measured scans
     25 → 55 → 115 → 235 for n_iter 2 → 5, StackOverflow planning by
-    n_iter ≈ 10. With kcore's per-round localCheckpoint applied the
-    VISIBLE plan is one round deep: doubling rounds must not much more
-    than double scan count (in practice both are small constants)."""
+    n_iter ≈ 10. A per-round localCheckpoint fixed the plan but cost
+    2× runtime (materialization barriers break AQE fusion); the
+    shipping fix is a PERIODIC cut every 4 rounds: zero cuts (zero
+    overhead) at the catalog's n_iter=3, and at ANY deeper iteration
+    count the visible plan is bounded by one cut window's expansion —
+    it must STOP growing, not merely grow slowly."""
     from calp_cva_tracking_pipeline_spark.catalog.common import T
     from calp_cva_tracking_pipeline_spark.operators.graph import pagerank
 
@@ -449,12 +452,15 @@ def test_pagerank_plan_linear_in_rounds(spark, sf_dir):
         S.F.col("l_suppkey").alias("src"),
         (S.F.col("l_partkey") + S.PR_PART_OFFSET).alias("dst"),
     )
-    p3 = _executed(pagerank(edges, n_iter=3))
-    p6 = _executed(pagerank(edges, n_iter=6))
-    s3, s6 = p3.count("Scan"), p6.count("Scan")
-    assert s6 <= 2 * s3 + 4, (s3, s6)
-    # absolute bound: one round deep, kcore-style
-    assert s6 <= 8, s6
+    s = {
+        n: _executed(pagerank(edges, n_iter=n)).count("Scan")
+        for n in (3, 7, 11)
+    }
+    # the un-cut r9 plan read ~235 scans by n=5 and doubled per round;
+    # the bounded plan stays under one cut window's expansion forever
+    assert max(s.values()) <= 80, s
+    # and growth STOPS: deeper runs are no bigger than the first window
+    assert s[11] <= s[3] + 8, s
 
 
 def test_triangles_equi_joins_only(spark, sf_dir):
