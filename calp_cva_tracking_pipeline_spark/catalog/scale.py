@@ -6623,6 +6623,117 @@ FROM h
 """
 
 
+# --- Round-10 wave 30: embedding outlier screen + token budget fill --------
+
+OUTLIER_FLAG_PPM = 50000  # per-cell top 5% by distance
+TOKBUDGET = 3000  # tokens per source
+
+
+def emb_outlier_screen(spark, sf_dir):
+    """Embedding-space curation screen (operators.similarity.
+    embedding_outliers): squared distance to the assigned IVF-quantizer
+    centroid, per-cell top-5%% ceil-rank flagged as out-of-manifold;
+    per-cell counts + the cut/max distances. Same lowest-id quantizer
+    as the ANN tier, so a persisted index screens without
+    re-clustering."""
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    return embedding_outliers(
+        T(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        n_centroids=IVF_CENTROIDS,
+        flag_ppm=OUTLIER_FLAG_PPM,
+    )
+
+
+EMB_OUTLIER_SQL = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT CAST(vec_id AS BIGINT) AS centroid_id, v AS cv
+  FROM c ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+assign AS (
+  SELECT vec_id, centroid_id AS cell, d2 FROM (
+    SELECT a.vec_id, cent.centroid_id,
+           ROUND({_IVF_D2.format(a='a.v', b='cent.cv')}, 6) AS d2,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_IVF_D2.format(a='a.v', b='cent.cv')},
+                      cent.centroid_id) AS rn
+    FROM c a CROSS JOIN cent) t
+  WHERE rn = 1),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY cell
+                            ORDER BY d2 DESC, vec_id ASC) AS rnk,
+         COUNT(*) OVER (PARTITION BY cell) AS nc
+  FROM assign)
+SELECT cell,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN rnk <= ({OUTLIER_FLAG_PPM} * nc + 999999)
+                // 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       MIN(CASE WHEN rnk <= ({OUTLIER_FLAG_PPM} * nc + 999999) // 1000000
+           THEN d2 END) AS cut_d2,
+       MAX(d2) AS max_d2
+FROM ranked GROUP BY cell ORDER BY cell
+"""
+
+
+def mx_token_budget(spark, sf_dir):
+    """Budgeted quota fill (operators.sampling.token_budget_select):
+    per source, keep the (n_chars desc, doc_id) prefix of documents
+    whose cumulative whitespace-token count fits the {b}-token budget —
+    which documents supply each domain's token quota."""
+    from calp_cva_tracking_pipeline_spark.functions.text import (
+        token_count,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return token_budget_select(
+        d.filter(F.col("text").isNotNull()),
+        "doc_id",
+        "source",
+        token_count(F.col("text")),
+        F.col("n_chars"),
+        budget=TOKBUDGET,
+    )
+
+
+mx_token_budget.__doc__ = mx_token_budget.__doc__.format(b=TOKBUDGET)
+
+
+MX_TOKBUDGET_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS tok,
+         n_chars
+  FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL),
+cum AS (
+  SELECT *,
+         SUM(tok) OVER (PARTITION BY source
+                        ORDER BY n_chars DESC, doc_id ASC
+                        ROWS UNBOUNDED PRECEDING) AS c
+  FROM base)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c <= {TOKBUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(SUM(tok) AS BIGINT) AS tokens_total,
+       CAST(COALESCE(SUM(CASE WHEN c <= {TOKBUDGET} THEN tok END), 0)
+           AS BIGINT) AS tokens_kept,
+       CAST(ROUND(CAST(COALESCE(
+           SUM(CASE WHEN c <= {TOKBUDGET} THEN tok END), 0) AS DOUBLE)
+           * 1e6 / {float(TOKBUDGET)}, 0) AS BIGINT) AS fill_ppm
+FROM cum GROUP BY source ORDER BY source
+"""
+
+
 MOTIF_N = 3
 MOTIF_MIN_SUPPORT = 5
 MOTIF_TOP_K = 20
@@ -8837,4 +8948,7 @@ SCALE_QUERIES = {
     "rt_snippet_extract": (rt_snippet_extract, RT_SNIPPET_SQL),
     "mx_dedup_weights": (mx_dedup_weights, MX_DEDUP_W_SQL),
     "ann_recall_eval": (ann_recall_eval, ANN_RECALL_SQL),
+    # thirtieth wave (round 10)
+    "emb_outlier_screen": (emb_outlier_screen, EMB_OUTLIER_SQL),
+    "mx_token_budget": (mx_token_budget, MX_TOKBUDGET_SQL),
 }

@@ -777,3 +777,58 @@ def time_split(
         )
         .orderBy("split")
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    tokens_col: Column,
+    order_col: Column,
+    budget: int,
+) -> DataFrame:
+    """Budgeted quota fill: within each group, rank documents by
+    (``order_col`` desc, id asc) and keep the prefix whose CUMULATIVE
+    token count fits ``budget`` — the "fill each domain's token quota
+    with its best documents" step of a training-data recipe (the
+    mixture weights say how many tokens each domain gets; this says
+    WHICH documents supply them). The running total is monotone along
+    the rank order, so `cum <= budget` is a true prefix and the
+    selection is deterministic under any partitioning (the rank order
+    is total).
+
+    One group-keyed exchange: rank + running-sum windows share it, the
+    group-cardinality readout aggregates it. Output per group:
+    (group, n_docs, n_kept, tokens_total, tokens_kept, fill_ppm =
+    1e6 · tokens_kept / budget), ordered by group.
+    """
+    w = Window.partitionBy("__grp").orderBy(
+        F.col("__ord").desc(), F.col("__id").asc()
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__grp"),
+        tokens_col.cast("long").alias("__tok"),
+        order_col.alias("__ord"),
+    ).filter(F.col("__tok").isNotNull() & F.col("__grp").isNotNull())
+    cum = base.withColumn("__cum", F.sum("__tok").over(w))
+    keep = F.col("__cum") <= budget
+    return (
+        cum.groupBy(F.col("__grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(keep.cast("long")).cast("bigint").alias("n_kept"),
+            F.sum("__tok").cast("bigint").alias("tokens_total"),
+            F.coalesce(
+                F.sum(F.when(keep, F.col("__tok"))), F.lit(0)
+            ).cast("bigint").alias("tokens_kept"),
+            F.round(
+                F.coalesce(F.sum(F.when(keep, F.col("__tok"))), F.lit(0))
+                .cast("double")
+                * 1e6
+                / F.lit(float(budget)),
+                0,
+            ).cast("bigint").alias("fill_ppm"),
+        )
+        .orderBy(group_col)
+    )

@@ -1179,3 +1179,68 @@ def cluster_label_eval(
         ).alias("purity"),
         F.round(nmi, 6).alias("nmi"),
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int | None = None,
+    flag_ppm: int = 50000,
+) -> DataFrame:
+    """Embedding-space outlier screen: squared distance to the assigned
+    coarse-quantizer centroid per vector, with the per-cell top
+    ``flag_ppm`` fraction (ceil-rank cut, ties broken by id) flagged as
+    out-of-manifold — the embedding-tier curation drop next to the text
+    quality gate (garbled, mislabeled or off-distribution documents
+    land far from every centroid). Per-CELL ranks rather than a global
+    cut: no global sort, and dense regions don't drown sparse ones.
+
+    Same deterministic quantizer as the IVF tier (lowest-id init, so a
+    corpus with a persisted index screens without re-clustering);
+    distances round to 6 dp before the (d2, id) rank so the cut is
+    engine-exact. Output per cell: (cell, n, n_flagged, cut_d2 = the
+    smallest flagged distance, max_d2), ordered by cell.
+    """
+    cents = train_centroids(df, id_col, vec_col, n_centroids)
+    dists = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).crossJoin(F.broadcast(cents))
+    best = (
+        dists.select(
+            "__id",
+            F.struct(
+                F.round(sq_dist(F.col("__v"), F.col("__cent")), 6).alias(
+                    "d2"
+                ),
+                F.col("centroid_id").alias("cid"),
+            ).alias("__dc"),
+        )
+        .groupBy("__id")
+        .agg(F.min("__dc").alias("__dc"))
+        .select(
+            "__id",
+            F.col("__dc.d2").alias("__d2"),
+            F.col("__dc.cid").alias("cell"),
+        )
+    )
+    wr = Window.partitionBy("cell").orderBy(
+        F.col("__d2").desc(), F.col("__id").asc()
+    )
+    wc = Window.partitionBy("cell")
+    ranked = best.withColumn("__rn", F.row_number().over(wr)).withColumn(
+        "__nc", F.count(F.lit(1)).over(wc)
+    )
+    flag = F.col("__rn") <= F.expr(
+        f"({int(flag_ppm)}L * __nc + 999999L) div 1000000L"
+    )
+    return (
+        ranked.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(flag.cast("long")).cast("bigint").alias("n_flagged"),
+            F.min(F.when(flag, F.col("__d2"))).alias("cut_d2"),
+            F.max("__d2").alias("max_d2"),
+        )
+        .orderBy("cell")
+    )
