@@ -614,6 +614,15 @@ def test_round10_wave_plan_shapes(spark, sf_dir):
     scans, joins, _, cart = shape(S.rt_snippet_extract(spark, sf_dir))
     assert scans == 2 and joins == 1 and not cart
 
+    # wave 30: the token-budget fill is a join-free single-scan with
+    # rank + running-sum windows sharing ONE group exchange; the
+    # outlier screen's only join is the broadcast centroid attach
+    scans, joins, ex, cart = shape(S.mx_token_budget(spark, sf_dir))
+    assert scans == 1 and joins == 0 and ex <= 2 and not cart
+    p = _executed(S.emb_outlier_screen(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
 
 def test_components_and_marginal_fanout_plans_bounded(spark, sf_dir):
     """Round-10 plan-audit catches, pinned: connected_components' label

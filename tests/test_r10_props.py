@@ -333,3 +333,78 @@ def test_time_split_rejects_unordered_boundaries(spark):
     df = spark.createDataFrame([], "id long, ts timestamp")
     with pytest.raises(ValueError, match="boundaries_ppm"):
         time_split(df, "ts", boundaries_ppm=(850000, 700000))
+
+
+# ---------------------------------------------------------------------------
+# T162/T163 wave-30 cross-checks
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_outliers_ceil_rule_and_flag_counts(spark):
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_outliers(
+        df, "vec_id", "embedding", n_centroids=4, flag_ppm=100000
+    ).collect()
+    assert sum(r.n for r in out) == 200
+    for r in out:
+        assert r.n_flagged == -(-100000 * r.n // 1000000)  # ceil rule
+        if r.n_flagged:
+            assert r.cut_d2 <= r.max_d2
+    # deterministic under repartition
+    out2 = embedding_outliers(
+        df.repartition(9), "vec_id", "embedding",
+        n_centroids=4, flag_ppm=100000,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_token_budget_prefix_matches_brute_force(spark):
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (i, f"g{i % 3}", rng.randrange(1, 50), rng.randrange(0, 1000))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, grp string, tok long, qual long"
+    )
+    out = {
+        r["grp"]: r
+        for r in token_budget_select(
+            df, "id", "grp", F.col("tok"), F.col("qual"), budget=300
+        ).collect()
+    }
+    ref: dict[str, dict] = {}
+    for g in ("g0", "g1", "g2"):
+        docs = sorted(
+            (r for r in rows if r[1] == g), key=lambda r: (-r[3], r[0])
+        )
+        cum = kept = tkept = 0
+        for r in docs:
+            cum += r[2]
+            if cum <= 300:
+                kept += 1
+                tkept += r[2]
+        ref[g] = {
+            "n_docs": len(docs),
+            "n_kept": kept,
+            "tokens_total": sum(r[2] for r in docs),
+            "tokens_kept": tkept,
+        }
+    for g, exp in ref.items():
+        for k, v in exp.items():
+            assert out[g][k] == v, (g, k, out[g][k], v)
+        assert out[g]["fill_ppm"] == round(
+            exp["tokens_kept"] * 1e6 / 300
+        )
