@@ -57,6 +57,12 @@ TEXT_FAMILY = [
     "tx_jsd",
     "tx_oov",
     "tx_zipf",
+    # round 10: span boilerplate + snippet extraction share the
+    # whitespace tokenizer (+ md5 span hashing / case-folded term
+    # match); dedup weights hash raw text bytes
+    "tx_boilerplate_spans",
+    "rt_snippet_extract",
+    "mx_dedup_weights",
 ]
 
 
