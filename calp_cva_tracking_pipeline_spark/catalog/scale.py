@@ -6734,6 +6734,98 @@ FROM cum GROUP BY source ORDER BY source
 """
 
 
+# --- Round-10 wave 31: normalized dedup + multi-source BFS ------------------
+
+NORM_VARIANT_OFFSET = 1_000_000  # synthetic variant ids live above docs
+BFS_SOURCES_MAX = 20  # suppliers with suppkey < this seed the BFS
+BFS_ITERS = 3
+
+
+def dd_norm_exact(spark, sf_dir):
+    """Normalized-exact duplicate families (operators.dedup.
+    dedup_normalized) over the documents corpus AUGMENTED with
+    deterministic re-encoded copies (every 5th doc gains an UPPERCASED,
+    punctuation-suffixed variant — the same derive-from-testdata
+    discipline as the multimodal corpora, since the raw corpus carries
+    no case/punct variants at sf0.01): families with
+    n_exact_distinct > 1 are exactly the duplicate mass byte-exact
+    dedup misses. One digest groupBy, no pair expansion."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        dedup_normalized,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = d.filter(
+        (F.col("doc_id") % 5 == 0) & F.col("text").isNotNull()
+    ).select(
+        (F.col("doc_id") + NORM_VARIANT_OFFSET).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+    )
+    return dedup_normalized(d.unionByName(variants), "doc_id", "text")
+
+
+_NORM_EXPR = (
+    r"md5(regexp_replace(trim(regexp_replace(regexp_replace("
+    r"lower(text), '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')),"
+    r" '\s+', ' ', 'g'))"
+)
+
+DD_NORM_SQL = rf"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {NORM_VARIANT_OFFSET}, upper(text) || ' !!'
+  FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL),
+base AS (
+  SELECT doc_id, {_NORM_EXPR} AS norm_hash, md5(text) AS raw
+  FROM aug WHERE text IS NOT NULL)
+SELECT norm_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS rep_id,
+       CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_exact_distinct
+FROM base GROUP BY norm_hash
+HAVING COUNT(*) >= 2
+ORDER BY norm_hash
+"""
+
+
+def gr_bfs(spark, sf_dir):
+    """Multi-source BFS layers (operators.graph.bfs_layers) over the
+    supplier↔part co-purchase graph, seeded from the lowest-keyed
+    suppliers: (node, dist <= 3) — the seed-set expansion / blast-radius
+    primitive next to the ranking and cohesion tiers. Node-sized state
+    checkpoints per round (the kcore bounded-state discipline), so the
+    plan is one round deep at any n_iter."""
+    from calp_cva_tracking_pipeline_spark.operators.graph import bfs_layers
+
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + PR_PART_OFFSET).alias("dst"),
+    )
+    sources = li.filter(F.col("l_suppkey") < BFS_SOURCES_MAX).select(
+        F.col("l_suppkey").alias("node")
+    )
+    return bfs_layers(edges, sources, n_iter=BFS_ITERS)
+
+
+def _gr_bfs_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.graph import bfs_sql
+
+    edges = (
+        f"SELECT l_suppkey AS src,"
+        f" l_partkey + {PR_PART_OFFSET} AS dst FROM lineitem"
+    )
+    sources = (
+        f"SELECT l_suppkey AS node FROM lineitem"
+        f" WHERE l_suppkey < {BFS_SOURCES_MAX}"
+    )
+    return bfs_sql(edges, sources, n_iter=BFS_ITERS)
+
+
+GR_BFS_SQL = _gr_bfs_sql()
+
+
 MOTIF_N = 3
 MOTIF_MIN_SUPPORT = 5
 MOTIF_TOP_K = 20
@@ -8951,4 +9043,7 @@ SCALE_QUERIES = {
     # thirtieth wave (round 10)
     "emb_outlier_screen": (emb_outlier_screen, EMB_OUTLIER_SQL),
     "mx_token_budget": (mx_token_budget, MX_TOKBUDGET_SQL),
+    # thirty-first wave (round 10)
+    "dd_norm_exact": (dd_norm_exact, DD_NORM_SQL),
+    "gr_bfs": (gr_bfs, GR_BFS_SQL),
 }

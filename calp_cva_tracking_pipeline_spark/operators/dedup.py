@@ -1399,3 +1399,59 @@ def dedup_weights(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .alias("weight_ppm"),
         )
     )
+
+
+def dedup_normalized(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Normalized-exact duplicate groups — the tier BETWEEN byte-exact
+    md5 dedup and MinHash near-dup: case-fold, strip ASCII punctuation,
+    collapse whitespace, THEN hash. Catches the re-encoded/re-wrapped
+    copies that byte-exact misses (trailing whitespace, smart-quote
+    stripping, case-only edits) without any pair expansion — still one
+    16-byte-digest groupBy.
+
+    Normalization is deliberately ASCII-conservative (lower + ASCII
+    punctuation class + whitespace collapse, all SQL-replayable
+    builtins): aggressive Unicode folding (NFKC, diacritics) belongs to
+    a locale-aware pass and silently merging 'résumé'/'resume' is a
+    curation DECISION, not a default. Output: one row per normalized
+    family with >= 2 members — (norm_hash, n_docs, rep_id = min id,
+    n_exact_distinct = distinct RAW md5s inside the family; a family
+    with n_exact_distinct > 1 is exactly the mass byte-exact dedup
+    missed), ordered by norm_hash.
+    """
+    from calp_cva_tracking_pipeline_spark.functions.text import (
+        ASCII_PUNCT_CLASS,
+    )
+
+    norm = F.regexp_replace(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.lower(F.col(text_col)), ASCII_PUNCT_CLASS, ""
+                ),
+                "\\s+",
+                " ",
+            )
+        ),
+        "\\s+",
+        " ",
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.md5(norm).alias("norm_hash"),
+        F.md5(F.col(text_col)).alias("__raw"),
+    )
+    return (
+        base.groupBy("norm_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("__id").alias("rep_id"),
+            F.countDistinct("__raw").cast("bigint").alias(
+                "n_exact_distinct"
+            ),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("norm_hash")
+    )

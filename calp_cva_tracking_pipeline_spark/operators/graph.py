@@ -847,3 +847,101 @@ JOIN deg da ON wp.na = da.w
 JOIN deg db ON wp.nb = db.w
 WHERE shared * 1000000 >= {tn} * (da.deg + db.deg - shared)
 """
+
+
+def bfs_layers(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    n_iter: int = 4,
+) -> DataFrame:
+    """Multi-source BFS over the UNDIRECTED graph behind ``edges``:
+    (node, dist) = fewest hops from ANY node in ``sources``, up to
+    ``n_iter`` hops (unreached nodes are omitted — the frontier the
+    fixed-iteration budget reached). The reachability/influence-radius
+    primitive next to the ranking (pagerank) and cohesion (k-core)
+    tiers: seed-set expansion, contamination blast-radius, "within k
+    hops of a flagged account".
+
+    Same lineage discipline as ``connected_components``: the symmetric
+    edge list localCheckpoints ONCE; each round is one edge join + a
+    dst-keyed min + a full-outer min-merge with the previous distance
+    table, and the (node, dist) state — referenced twice per round —
+    localCheckpoints per round, so the visible plan is one round deep
+    at any ``n_iter``. Distances are monotone under the min-merge, so
+    round k holds exactly the <= k-hop closure (induction; the oracle
+    unrolls the same recurrence). State is node-sized; the checkpoint
+    is the kcore-blessed bounded-state cut, not the row-scaled one the
+    pagerank lesson warns about.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+        )
+        .union(
+            edges.select(
+                F.col(dst_col).alias("__s"), F.col(src_col).alias("__d")
+            )
+        )
+        .filter(F.col("__s") != F.col("__d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = sources.select(
+        F.col(node_col).alias("node"), F.lit(0).cast("int").alias("dist")
+    ).distinct()
+    for _ in range(n_iter):
+        dist = dist.localCheckpoint(eager=False)
+        reached = (
+            e.join(dist, e["__s"] == dist["node"])
+            .groupBy(F.col("__d").alias("node"))
+            .agg((F.min("dist") + 1).cast("int").alias("__nd"))
+        )
+        dist = (
+            dist.join(reached, "node", "full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("dist"), F.col("__nd")),
+                    F.coalesce(F.col("__nd"), F.col("dist")),
+                ).alias("dist"),
+            )
+        )
+    return dist.orderBy("node")
+
+
+def bfs_sql(
+    edges_cte: str, sources_cte: str, n_iter: int = 4
+) -> str:
+    """DuckDB oracle for ``bfs_layers``: the same min-merge recurrence
+    unrolled into materialized CTE stages (the kcore_sql discipline —
+    each stage references its predecessor twice, so plain CTEs would
+    re-expand exponentially)."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED (SELECT DISTINCT s, d FROM ("
+        f"SELECT src AS s, dst AS d FROM ({edges_cte})"
+        f" UNION ALL SELECT dst, src FROM ({edges_cte})) t"
+        f" WHERE s <> d),"
+        f" d0 AS MATERIALIZED (SELECT DISTINCT node,"
+        f" CAST(0 AS INTEGER) AS dist FROM ({sources_cte}))"
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f", r{i} AS MATERIALIZED ("
+            f"SELECT e.d AS node,"
+            f" CAST(MIN(p.dist) + 1 AS INTEGER) AS nd"
+            f" FROM e0 e JOIN d{i-1} p ON e.s = p.node GROUP BY e.d)"
+        )
+        parts.append(
+            f", d{i} AS MATERIALIZED ("
+            f"SELECT COALESCE(p.node, r.node) AS node,"
+            f" CAST(LEAST(COALESCE(p.dist, r.nd),"
+            f" COALESCE(r.nd, p.dist)) AS INTEGER) AS dist"
+            f" FROM d{i-1} p FULL OUTER JOIN r{i} r ON p.node = r.node)"
+        )
+    parts.append(
+        f" SELECT node, dist FROM d{n_iter} ORDER BY node"
+    )
+    return "".join(parts)
