@@ -623,6 +623,14 @@ def test_round10_wave_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
+    # wave 31: normalized dedup is one digest aggregation over the
+    # augmented union (2 scans, no joins); BFS state checkpoints per
+    # round so the visible plan is one round deep at any n_iter
+    scans, joins, _, cart = shape(S.dd_norm_exact(spark, sf_dir))
+    assert scans == 2 and joins == 0 and not cart
+    bfs = _executed(S.gr_bfs(spark, sf_dir))
+    assert bfs.count("Scan") <= 6 and "CartesianProduct" not in bfs
+
 
 def test_components_and_marginal_fanout_plans_bounded(spark, sf_dir):
     """Round-10 plan-audit catches, pinned: connected_components' label

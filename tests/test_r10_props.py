@@ -408,3 +408,68 @@ def test_token_budget_prefix_matches_brute_force(spark):
         assert out[g]["fill_ppm"] == round(
             exp["tokens_kept"] * 1e6 / 300
         )
+
+
+# ---------------------------------------------------------------------------
+# T164/T165 wave-31 cross-checks
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_normalized_families(spark):
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        dedup_normalized,
+    )
+
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello   world"),          # same family as 1 (norm-equal)
+        (3, "HELLO WORLD."),           # same family
+        (4, "hello worlds"),           # different
+        (5, "hello worlds"),           # byte-exact dup of 4
+        (6, None),                     # excluded
+        (7, "unique text here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        dedup_normalized(df, "doc_id", "text").collect(),
+        key=lambda r: r.rep_id,
+    )
+    assert len(out) == 2
+    fam1, fam2 = out
+    assert (fam1.rep_id, fam1.n_docs, fam1.n_exact_distinct) == (1, 3, 3)
+    assert (fam2.rep_id, fam2.n_docs, fam2.n_exact_distinct) == (4, 2, 1)
+
+
+def test_bfs_layers_match_reference(spark):
+    from calp_cva_tracking_pipeline_spark.operators.graph import bfs_layers
+
+    # path graph 0-1-2-3-4-5 plus a triangle 10-11-12 off node 2
+    e = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5),
+         (2, 10), (10, 11), (11, 12), (12, 10)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    sources = spark.createDataFrame([(0,)], "node long")
+    out = {
+        r.node: r.dist
+        for r in bfs_layers(edges, sources, n_iter=3).collect()
+    }
+    # brute-force BFS reference, capped at 3 hops
+    adj: dict[int, set] = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref, frontier = {0: 0}, {0}
+    for d in (1, 2, 3):
+        frontier = {
+            n for f in frontier for n in adj[f] if n not in ref
+        }
+        for n in frontier:
+            ref[n] = d
+    assert out == ref  # nodes beyond 3 hops (4, 5, 11-via-12?) omitted
+    # determinism under repartition
+    out2 = {
+        r.node: r.dist
+        for r in bfs_layers(
+            edges.repartition(5), sources, n_iter=3
+        ).collect()
+    }
+    assert out2 == ref
