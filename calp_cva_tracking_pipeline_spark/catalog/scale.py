@@ -6826,6 +6826,74 @@ def _gr_bfs_sql() -> str:
 GR_BFS_SQL = _gr_bfs_sql()
 
 
+# --- Round-10 wave 32: classifier eval metrics as a gated row ---------------
+
+
+def ml_class_metrics(spark, sf_dir):
+    """Per-class precision/recall/F1 of the language-ID heuristic
+    against the corpus gold labels (operators.sampling.
+    classification_metrics — the reference trainer's metric block,
+    SURVEY §2.11 M2, as a cluster job): ONE scan, ONE shuffle via the
+    actual/predicted unpivot. Floats round to 6 dp in this projection
+    (the operator returns raw doubles for composition)."""
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        classification_metrics,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        lang_id_heuristic,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", F.lit("en"))
+        .otherwise(F.lit("unk"))
+        .alias("gold"),
+        lang_id_heuristic(F.col("text")).alias("pred"),
+    )
+    m = classification_metrics(d, "gold", "pred")
+    return m.select(
+        "label",
+        F.col("support").cast("bigint").alias("support"),
+        F.col("predicted").cast("bigint").alias("predicted"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    ).orderBy("label")
+
+
+ML_METRICS_SQL = f"""
+WITH lab AS (
+  SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'unk' END AS gold,
+         CASE WHEN {_SW_RATIO} > 0.05 THEN 'en' ELSE 'unk' END AS pred
+  FROM documents),
+rec AS (
+  SELECT gold AS class, 'a' AS role, (pred = gold) AS match FROM lab
+  UNION ALL
+  SELECT pred, 'p', FALSE FROM lab),
+agg AS (
+  SELECT class AS label,
+         CAST(COUNT(CASE WHEN role = 'a' THEN 1 END) AS BIGINT)
+             AS support,
+         CAST(COUNT(CASE WHEN role = 'p' THEN 1 END) AS BIGINT)
+             AS predicted,
+         CAST(COUNT(CASE WHEN role = 'a' AND match THEN 1 END)
+             AS BIGINT) AS tp
+  FROM rec GROUP BY class),
+pr AS (
+  SELECT *,
+         CASE WHEN predicted > 0
+              THEN CAST(tp AS DOUBLE) / predicted END AS p,
+         CASE WHEN support > 0
+              THEN CAST(tp AS DOUBLE) / support END AS r
+  FROM agg)
+SELECT label, support, predicted, tp,
+       ROUND(p, 6) AS precision, ROUND(r, 6) AS recall,
+       CASE WHEN p IS NOT NULL AND r IS NOT NULL AND p + r > 0
+            THEN ROUND(2 * p * r / (p + r), 6) END AS f1
+FROM pr ORDER BY label
+"""
+
+
 MOTIF_N = 3
 MOTIF_MIN_SUPPORT = 5
 MOTIF_TOP_K = 20
@@ -9046,4 +9114,6 @@ SCALE_QUERIES = {
     # thirty-first wave (round 10)
     "dd_norm_exact": (dd_norm_exact, DD_NORM_SQL),
     "gr_bfs": (gr_bfs, GR_BFS_SQL),
+    # thirty-second wave (round 10)
+    "ml_class_metrics": (ml_class_metrics, ML_METRICS_SQL),
 }
