@@ -2113,7 +2113,12 @@ COVERAGE = {
     "CC3": "cc3_amount_cascade", "CC4": "cc4_manual_routing",
     "CC5": "cc6_patch_collapse", "CC6": "cc6_patch_collapse",
     "M1": "m1_classifier_stub + cc2_relevance_ml + ep2",
-    "M2": "out of engine scope (offline training; SURVEY §2.11)",
+    # M2: the GPU fine-tune itself stays out of engine scope, but its
+    # data plane (split/weights) is tested and its metric block is now
+    # an oracle-checked catalog row (round 10).
+    "M2": "ml_class_metrics (trainer metric block, oracle-checked) +"
+    " operators/sampling.py split/weights (tests/test_sampling_bucketing"
+    ".py); GPU fine-tune out of engine scope (SURVEY §2.11)",
     "M3": "c5_canonicalize (native exprs) + c2_regexp_extract_cast"
     " (local-parity)",
     "M4": "ep3_org_match (set-wise matcher waterfall) +"
