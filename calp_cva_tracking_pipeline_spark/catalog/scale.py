@@ -6894,6 +6894,106 @@ FROM pr ORDER BY label
 """
 
 
+# --- Round-10 wave 33: spatial radius join ----------------------------------
+
+GEO_RADIUS_KM = 500.0
+GEO_MAX_LAT = 60.0
+
+
+def _geo_coords(df, id_col: str, tag: str):
+    """Deterministic lat/lon in the ±60° band from engine-portable md5
+    expressions (the derive-from-testdata discipline — the star schema
+    carries no coordinates)."""
+    h60 = "CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+    hlat = h60.format(
+        s=f"concat('{tag}lat|', CAST({id_col} AS STRING))"
+    )
+    hlon = h60.format(
+        s=f"concat('{tag}lon|', CAST({id_col} AS STRING))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(f"({hlat} % 120000000) / 1e6 - 60").alias("lat"),
+        F.expr(f"({hlon} % 360000000) / 1e6 - 180").alias("lon"),
+    )
+
+
+def gx_radius_join(spark, sf_dir):
+    """Grid-bucketed spatial radius join (operators.geo.radius_join):
+    every (supplier, customer) pair within 500 km over deterministic
+    md5-derived coordinates — the 2-D sibling of tj_range_join's bin
+    trick: one cell-keyed equi-join (probes explode ×9 to the 3×3 cell
+    neighborhood), haversine as a residual filter, never a cross
+    join."""
+    from calp_cva_tracking_pipeline_spark.operators.geo import radius_join
+
+    pts = _geo_coords(
+        T(spark, sf_dir, "customer").select("c_custkey"), "c_custkey", "c"
+    )
+    prb = _geo_coords(
+        T(spark, sf_dir, "supplier").select("s_suppkey"), "s_suppkey", "s"
+    )
+    return radius_join(
+        pts,
+        prb,
+        radius_km=GEO_RADIUS_KM,
+        point_cols=("c_custkey", "lat", "lon"),
+        probe_cols=("s_suppkey", "lat", "lon"),
+        max_abs_lat=GEO_MAX_LAT,
+    )
+
+
+def _gx_radius_sql() -> str:
+    import math as _m
+
+    lat_cell = GEO_RADIUS_KM / 111.32
+    lon_cell = GEO_RADIUS_KM / (111.32 * _m.cos(_m.radians(GEO_MAX_LAT)))
+    h60 = (
+        "CAST(CAST(('0x' || substring(md5({s}), 1, 15)) AS UBIGINT)"
+        " AS BIGINT)"
+    )
+    clat = h60.format(s="'clat|' || CAST(c_custkey AS VARCHAR)")
+    clon = h60.format(s="'clon|' || CAST(c_custkey AS VARCHAR)")
+    slat = h60.format(s="'slat|' || CAST(s_suppkey AS VARCHAR)")
+    slon = h60.format(s="'slon|' || CAST(s_suppkey AS VARCHAR)")
+    hav = (
+        "ROUND(2.0 * 6371.0088 * ASIN(SQRT("
+        "SIN(RADIANS(p.lat - q.lat) / 2) * SIN(RADIANS(p.lat - q.lat) / 2)"
+        " + COS(RADIANS(q.lat)) * COS(RADIANS(p.lat))"
+        " * SIN(RADIANS(p.lon - q.lon) / 2)"
+        " * SIN(RADIANS(p.lon - q.lon) / 2))), 6)"
+    )
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         ({clat} % 120000000) / 1e6 - 60 AS lat,
+         ({clon} % 360000000) / 1e6 - 180 AS lon
+  FROM customer),
+prb AS (
+  SELECT s_suppkey,
+         ({slat} % 120000000) / 1e6 - 60 AS lat,
+         ({slon} % 360000000) / 1e6 - 180 AS lon
+  FROM supplier),
+p AS (SELECT *, CAST(FLOOR(lat / {lat_cell!r}) AS BIGINT) AS cy,
+             CAST(FLOOR(lon / {lon_cell!r}) AS BIGINT) AS cx
+      FROM pts WHERE ABS(lat) <= {GEO_MAX_LAT}),
+q AS (SELECT s_suppkey, lat, lon,
+             CAST(FLOOR(lat / {lat_cell!r}) AS BIGINT) + dy AS cy,
+             CAST(FLOOR(lon / {lon_cell!r}) AS BIGINT) + dx AS cx
+      FROM prb, unnest([-1, 0, 1]) AS t1(dy),
+                unnest([-1, 0, 1]) AS t2(dx)
+      WHERE ABS(lat) <= {GEO_MAX_LAT})
+SELECT q.s_suppkey AS probe_id, p.c_custkey AS point_id,
+       {hav} AS dist_km
+FROM q JOIN p USING (cy, cx)
+WHERE {hav} <= {GEO_RADIUS_KM!r}
+ORDER BY probe_id, point_id
+"""
+
+
+GX_RADIUS_SQL = _gx_radius_sql()
+
+
 MOTIF_N = 3
 MOTIF_MIN_SUPPORT = 5
 MOTIF_TOP_K = 20
@@ -9116,4 +9216,6 @@ SCALE_QUERIES = {
     "gr_bfs": (gr_bfs, GR_BFS_SQL),
     # thirty-second wave (round 10)
     "ml_class_metrics": (ml_class_metrics, ML_METRICS_SQL),
+    # thirty-third wave (round 10)
+    "gx_radius_join": (gx_radius_join, GX_RADIUS_SQL),
 }

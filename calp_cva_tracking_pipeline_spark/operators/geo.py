@@ -1,0 +1,146 @@
+"""Spatial operators: grid-bucketed radius join over lat/lon columns.
+
+No reference counterpart (the reference aggregates by named admin
+locations); engine addition for the geo tier a large pipeline needs —
+store-to-customer assignment, sensor-to-site matching, dedup of venue
+records by proximity. The shape is the 2-D sibling of the temporal
+``interval_join``/``tj_range_join`` bin trick: a cross join of points ×
+probes is never materialized; candidates come from an equi-join on grid
+cells, the exact haversine distance is a residual filter.
+
+Scale design:
+
+- **Grid-cell equi-join, 3×3 neighborhood.** Each point maps to ONE
+  (lat_cell, lon_cell); each probe explodes to its cell plus the 8
+  neighbors. Cell sizes are chosen so any true match within ``radius_km``
+  must fall in the neighborhood: lat cells are ``radius / 111.32`` deg
+  (exact — a degree of latitude is constant), lon cells use the WORST
+  CASE latitude the operator accepts (``max_abs_lat``, default 60°), so
+  coverage is conservative everywhere in band and the join stays an
+  equi-join (no per-row trigonometric bucket sizing).
+- **Join volume** is Σ per-cell |points|·|probes| over occupied
+  neighborhoods — data-proportional for any bounded point density, the
+  same argument as the 1-D range join's measured α = 0.38.
+- **Exactness**: the haversine runs in doubles with a FIXED expression
+  order and rounds to 6 dp (sub-meter) before the threshold compare and
+  the output, so a SQL oracle replays the same candidate set and
+  residual verdicts. (A pair landing within one float ulp of the radius
+  boundary could in principle flip between engines; distances are
+  continuous, so the measure of that event is zero — the same libm
+  acceptance every rounded-transcendental operator in this engine
+  documents.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_KM = 6371.0088  # IUGG mean radius
+KM_PER_LAT_DEG = 111.32
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km, fixed expression order (oracle twin
+    spells the identical formula)."""
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.sin(dlon)
+        * F.sin(dlon)
+    )
+    return F.lit(2.0 * EARTH_KM) * F.asin(F.sqrt(a))
+
+
+def radius_join(
+    points: DataFrame,
+    probes: DataFrame,
+    radius_km: float,
+    point_cols: tuple[str, str, str] = ("point_id", "lat", "lon"),
+    probe_cols: tuple[str, str, str] = ("probe_id", "lat", "lon"),
+    max_abs_lat: float = 60.0,
+) -> DataFrame:
+    """All (probe, point) pairs within ``radius_km`` →
+    (probe_id, point_id, dist_km 6dp). Rows with NULL coordinates or
+    |lat| > ``max_abs_lat`` are excluded (the conservative lon-cell
+    sizing only covers the declared band; polar work needs a polar
+    projection, not a silent recall hole).
+
+    One cell-keyed equi-join (probes explode ×9 to the 3×3 cell
+    neighborhood), haversine as the residual filter — no cross join at
+    any scale.
+    """
+    if radius_km <= 0:
+        raise ValueError(f"radius_km must be positive: {radius_km}")
+    if not (0 < max_abs_lat < 90):
+        raise ValueError(f"max_abs_lat must be in (0, 90): {max_abs_lat}")
+    import math as _math
+
+    lat_cell = radius_km / KM_PER_LAT_DEG
+    lon_cell = radius_km / (
+        KM_PER_LAT_DEG * _math.cos(_math.radians(max_abs_lat))
+    )
+
+    pid, plat, plon = point_cols
+    qid, qlat, qlon = probe_cols
+
+    def in_band(lat: Column, lon: Column) -> Column:
+        return (
+            lat.isNotNull()
+            & lon.isNotNull()
+            & (F.abs(lat) <= max_abs_lat)
+        )
+
+    pts = points.filter(
+        in_band(F.col(plat), F.col(plon))
+    ).select(
+        F.col(pid).alias("__pid"),
+        F.col(plat).cast("double").alias("__plat"),
+        F.col(plon).cast("double").alias("__plon"),
+        F.floor(F.col(plat) / lat_cell).cast("long").alias("__cy"),
+        F.floor(F.col(plon) / lon_cell).cast("long").alias("__cx"),
+    )
+    prb = (
+        probes.filter(in_band(F.col(qlat), F.col(qlon)))
+        .select(
+            F.col(qid).alias("__qid"),
+            F.col(qlat).cast("double").alias("__qlat"),
+            F.col(qlon).cast("double").alias("__qlon"),
+            F.floor(F.col(qlat) / lat_cell).cast("long").alias("__cy0"),
+            F.floor(F.col(qlon) / lon_cell).cast("long").alias("__cx0"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "explode(flatten(transform(sequence(-1, 1), dy ->"
+                " transform(sequence(-1, 1), dx ->"
+                " struct(__cy0 + dy AS cy, __cx0 + dx AS cx)))))"
+            ).alias("__c"),
+        )
+        .select(
+            "__qid", "__qlat", "__qlon",
+            F.col("__c.cy").alias("__cy"), F.col("__c.cx").alias("__cx"),
+        )
+    )
+    d = F.round(
+        haversine_km(
+            F.col("__qlat"), F.col("__qlon"),
+            F.col("__plat"), F.col("__plon"),
+        ),
+        6,
+    )
+    return (
+        prb.join(pts, ["__cy", "__cx"])
+        .select(
+            F.col("__qid").alias("probe_id"),
+            F.col("__pid").alias("point_id"),
+            d.alias("dist_km"),
+        )
+        .filter(F.col("dist_km") <= radius_km)
+        .orderBy("probe_id", "point_id")
+    )

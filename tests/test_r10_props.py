@@ -473,3 +473,54 @@ def test_bfs_layers_match_reference(spark):
         ).collect()
     }
     assert out2 == ref
+
+
+# ---------------------------------------------------------------------------
+# T167 radius_join vs brute force (grid coverage must be RECALL-exact)
+# ---------------------------------------------------------------------------
+
+
+def test_radius_join_matches_brute_force(spark):
+    from calp_cva_tracking_pipeline_spark.operators.geo import (
+        haversine_km,
+        radius_join,
+    )
+
+    rng = random.Random(21)
+    pts = [(i, rng.uniform(-60, 60), rng.uniform(-180, 180))
+           for i in range(300)]
+    prb = [(j, rng.uniform(-60, 60), rng.uniform(-180, 180))
+           for j in range(40)]
+    pdf = spark.createDataFrame(pts, "point_id long, lat double, lon double")
+    qdf = spark.createDataFrame(prb, "probe_id long, lat double, lon double")
+    R = 800.0
+    got = {
+        (r.probe_id, r.point_id)
+        for r in radius_join(pdf, qdf, radius_km=R).collect()
+    }
+    # brute force via the SAME haversine expression (cross join)
+    brute = (
+        qdf.withColumnRenamed("lat", "qlat").withColumnRenamed("lon", "qlon")
+        .crossJoin(
+            pdf.withColumnRenamed("lat", "plat")
+            .withColumnRenamed("lon", "plon")
+        )
+        .select(
+            "probe_id", "point_id",
+            F.round(
+                haversine_km(
+                    F.col("qlat"), F.col("qlon"),
+                    F.col("plat"), F.col("plon"),
+                ), 6,
+            ).alias("d"),
+        )
+        .filter(F.col("d") <= R)
+    )
+    ref = {(r.probe_id, r.point_id) for r in brute.collect()}
+    assert got == ref and len(ref) > 0
+    # out-of-band and NULL coordinates are excluded, not wrong
+    bad = spark.createDataFrame(
+        [(900, 75.0, 0.0), (901, None, 5.0)],
+        "probe_id long, lat double, lon double",
+    )
+    assert radius_join(pdf, bad, radius_km=R).count() == 0
