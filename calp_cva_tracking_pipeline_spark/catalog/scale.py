@@ -6994,6 +6994,41 @@ ORDER BY probe_id, point_id
 GX_RADIUS_SQL = _gx_radius_sql()
 
 
+def gx_nearest(spark, sf_dir):
+    """Bounded-radius nearest neighbor per supplier (operators.geo.
+    nearest_point): the spatial as-of join — one probe-keyed argmin
+    window over the radius join's candidate set; suppliers with no
+    customer within 500 km are omitted by contract."""
+    from calp_cva_tracking_pipeline_spark.operators.geo import (
+        nearest_point,
+    )
+
+    pts = _geo_coords(
+        T(spark, sf_dir, "customer").select("c_custkey"), "c_custkey", "c"
+    )
+    prb = _geo_coords(
+        T(spark, sf_dir, "supplier").select("s_suppkey"), "s_suppkey", "s"
+    )
+    return nearest_point(
+        pts,
+        prb,
+        radius_km=GEO_RADIUS_KM,
+        point_cols=("c_custkey", "lat", "lon"),
+        probe_cols=("s_suppkey", "lat", "lon"),
+        max_abs_lat=GEO_MAX_LAT,
+    )
+
+
+GX_NEAREST_SQL = f"""
+WITH cand AS ({GX_RADIUS_SQL})
+SELECT probe_id, point_id, dist_km FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY dist_km ASC, point_id ASC) AS rn
+  FROM cand) t
+WHERE rn = 1 ORDER BY probe_id
+"""
+
+
 MOTIF_N = 3
 MOTIF_MIN_SUPPORT = 5
 MOTIF_TOP_K = 20
@@ -9218,4 +9253,5 @@ SCALE_QUERIES = {
     "ml_class_metrics": (ml_class_metrics, ML_METRICS_SQL),
     # thirty-third wave (round 10)
     "gx_radius_join": (gx_radius_join, GX_RADIUS_SQL),
+    "gx_nearest": (gx_nearest, GX_NEAREST_SQL),
 }

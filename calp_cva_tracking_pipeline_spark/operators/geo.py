@@ -144,3 +144,38 @@ def radius_join(
         .filter(F.col("dist_km") <= radius_km)
         .orderBy("probe_id", "point_id")
     )
+
+
+def nearest_point(
+    points: DataFrame,
+    probes: DataFrame,
+    radius_km: float,
+    point_cols: tuple[str, str, str] = ("point_id", "lat", "lon"),
+    probe_cols: tuple[str, str, str] = ("probe_id", "lat", "lon"),
+    max_abs_lat: float = 60.0,
+) -> DataFrame:
+    """Nearest point per probe WITHIN ``radius_km`` →
+    (probe_id, point_id, dist_km): the spatial as-of join
+    (sensor→nearest site, customer→nearest depot). Bounded-radius by
+    contract — a probe with no point inside the radius is omitted, not
+    matched to something arbitrarily far (the unbounded variant would
+    need expanding-ring search; real assignments always carry a service
+    radius). One probe-keyed argmin window over the radius join's
+    candidate set; ties break on point id, deterministically.
+    """
+    from pyspark.sql import Window
+
+    cand = radius_join(
+        points, probes, radius_km,
+        point_cols=point_cols, probe_cols=probe_cols,
+        max_abs_lat=max_abs_lat,
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("dist_km").asc(), F.col("point_id").asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("probe_id", "point_id", "dist_km")
+        .orderBy("probe_id")
+    )
