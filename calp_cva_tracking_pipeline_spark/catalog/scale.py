@@ -7029,6 +7029,71 @@ WHERE rn = 1 ORDER BY probe_id
 """
 
 
+# --- Round-10 capstone: the one-row dataset card -----------------------------
+
+CARD_SHORT_TOKENS = 20
+
+
+def pf_dataset_card(spark, sf_dir):
+    """One-row dataset card (operators.profiling.dataset_card): corpus
+    size, token mass, exact-dup ppm, language entropy, shortness — the
+    release summary a consumer reads before any per-column drill-down.
+    Two bounded stages; language entropy nano-pinned."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        dataset_card,
+    )
+
+    return dataset_card(
+        T(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        short_tokens=CARD_SHORT_TOKENS,
+    )
+
+
+PF_CARD2_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text, lang, source,
+         CASE WHEN text IS NULL THEN NULL
+              WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+  FROM documents),
+main AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(COALESCE(SUM(tok), 0) AS BIGINT) AS total_tokens,
+         CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS total_chars,
+         CAST(COUNT(text) AS BIGINT) AS n_text,
+         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dig,
+         CAST(COALESCE(SUM(CASE WHEN tok < {CARD_SHORT_TOKENS}
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_short
+  FROM base),
+lc AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM base
+  WHERE lang IS NOT NULL GROUP BY lang),
+ent AS (
+  SELECT CAST(COALESCE(SUM(CAST(ROUND(ROUND(
+             (CAST(c AS DOUBLE) / t) * LN(CAST(c AS DOUBLE) / t)
+             * -1.0, 9) * 1e9, 0) AS BIGINT)), 0) AS BIGINT) AS e
+  FROM (SELECT c, SUM(c) OVER () AS t FROM lc))
+SELECT n_docs, n_sources, n_langs, total_tokens, total_chars,
+       CASE WHEN n_text > 0 THEN CAST(ROUND(
+           (1.0 - CAST(n_dig AS DOUBLE) / CAST(n_text AS DOUBLE)) * 1e6,
+           0) AS BIGINT) END AS exact_dup_ppm,
+       ROUND(CAST(e AS DOUBLE) / 1e9, 6) AS lang_entropy_nats,
+       CASE WHEN n_text > 0 THEN ROUND(
+           CAST(total_tokens AS DOUBLE) / CAST(n_text AS DOUBLE), 6)
+       END AS mean_doc_tokens,
+       CASE WHEN n_text > 0 THEN CAST(ROUND(
+           CAST(n_short AS DOUBLE) * 1e6 / CAST(n_text AS DOUBLE), 0)
+           AS BIGINT) END AS short_doc_ppm
+FROM main CROSS JOIN ent
+"""
+
+
 MOTIF_N = 3
 MOTIF_MIN_SUPPORT = 5
 MOTIF_TOP_K = 20
@@ -9254,4 +9319,5 @@ SCALE_QUERIES = {
     # thirty-third wave (round 10)
     "gx_radius_join": (gx_radius_join, GX_RADIUS_SQL),
     "gx_nearest": (gx_nearest, GX_NEAREST_SQL),
+    "pf_dataset_card": (pf_dataset_card, PF_CARD2_SQL),
 }

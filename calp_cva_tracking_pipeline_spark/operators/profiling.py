@@ -813,6 +813,125 @@ def anova_oneway(
     ).orderBy("col_name")
 
 
+def dataset_card(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    source_col: str,
+    short_tokens: int = 20,
+) -> DataFrame:
+    """One-row dataset card — the summary block every training-data
+    release ships (what a consumer reads before any per-column drill
+    into ``profile_columns``): corpus size, token mass, duplication,
+    language balance, shortness.
+
+    Output: (n_docs, n_sources, n_langs, total_tokens, total_chars,
+    exact_dup_ppm = 1e6·(1 − distinct md5 / docs-with-text),
+    lang_entropy_nats 6dp over the language distribution (nano-pinned
+    terms, order-independent), mean_doc_tokens 6dp, short_doc_ppm =
+    docs under ``short_tokens`` tokens). Two bounded stages: one
+    corpus scan with map-side-combined counters + a distinct-digest
+    aggregate, and a lang-cardinality entropy aggregate broadcast into
+    the final one-row projection. NULL-text docs count in n_docs but
+    carry no tokens and are excluded from the dup ratio (no content to
+    duplicate).
+    """
+    from calp_cva_tracking_pipeline_spark.functions.text import token_count
+
+    toks = F.when(
+        F.col(text_col).isNotNull(), token_count(F.col(text_col))
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__text"),
+        F.col(lang_col).alias("__lang"),
+        F.col(source_col).alias("__source"),
+        toks.alias("__tok"),
+    )
+    main = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("__source").cast("bigint").alias("n_sources"),
+        F.countDistinct("__lang").cast("bigint").alias("n_langs"),
+        F.coalesce(F.sum("__tok"), F.lit(0))
+        .cast("bigint")
+        .alias("total_tokens"),
+        F.coalesce(F.sum(F.length("__text")), F.lit(0))
+        .cast("bigint")
+        .alias("total_chars"),
+        F.count("__text").cast("bigint").alias("__n_text"),
+        F.countDistinct(F.md5("__text")).cast("bigint").alias("__n_dig"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__tok") < short_tokens, 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("__n_short"),
+    )
+    lang_counts = (
+        base.filter(F.col("__lang").isNotNull())
+        .groupBy("__lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    tot_w = Window.partitionBy()
+    frac = F.col("__c").cast("double") / F.sum("__c").over(tot_w).cast(
+        "double"
+    )
+    ent_nano = F.round(
+        F.round(frac * F.log(frac) * F.lit(-1.0), 9) * 1e9, 0
+    ).cast("long")
+    # lang cardinality is tiny (a dimension), so the global window and
+    # the one-row aggregate both operate on a handful of rows
+    entropy = lang_counts.select(ent_nano.alias("__e")).agg(
+        F.coalesce(F.sum("__e"), F.lit(0)).alias("__ent_nano")
+    )
+    j = main.crossJoin(F.broadcast(entropy))
+    dup_ppm = F.when(
+        F.col("__n_text") > 0,
+        F.round(
+            (
+                F.lit(1.0)
+                - F.col("__n_dig").cast("double")
+                / F.col("__n_text").cast("double")
+            )
+            * 1e6,
+            0,
+        ).cast("bigint"),
+    )
+    mean_tok = F.when(
+        F.col("__n_text") > 0,
+        F.round(
+            F.col("total_tokens").cast("double")
+            / F.col("__n_text").cast("double"),
+            6,
+        ),
+    )
+    short_ppm = F.when(
+        F.col("__n_text") > 0,
+        F.round(
+            F.col("__n_short").cast("double")
+            * 1e6
+            / F.col("__n_text").cast("double"),
+            0,
+        ).cast("bigint"),
+    )
+    return j.select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_tokens",
+        "total_chars",
+        dup_ppm.alias("exact_dup_ppm"),
+        F.round(F.col("__ent_nano").cast("double") / 1e9, 6).alias(
+            "lang_entropy_nats"
+        ),
+        mean_tok.alias("mean_doc_tokens"),
+        short_ppm.alias("short_doc_ppm"),
+    )
+
+
 def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
     """One-row skew audit of a prospective join/aggregation key →
     (n_rows, n_keys, max_count, max_share, entropy_nats,
