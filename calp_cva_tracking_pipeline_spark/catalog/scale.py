@@ -7094,6 +7094,100 @@ FROM main CROSS JOIN ent
 """
 
 
+# --- Round-10 video tier: FRSQ scene cuts -----------------------------------
+
+VSEQ_W = VSEQ_H = 8
+VSEQ_FRAMES = 8
+VSEQ_CUT_MILLI = 20000  # 20 luma levels — a hard cut
+
+
+def mm_scene_cuts(spark, sf_dir):
+    """Scene-cut detection over REAL frame-sequence containers
+    (operators.videoseq.scene_cuts): every document becomes an 8-frame
+    FRSQ video of REAL BMP frames with two md5-derived scenes — scene 1
+    is ~128 luma brighter, the cut frame is (doc_id·13) % 6 + 1, and
+    per-frame jitter stays an order of magnitude under the threshold —
+    so each video carries exactly one hard cut for the pipeline to
+    find. The oracle recomputes the frame pixels and the integer
+    milli-luma lag in SQL: parity proves container encode → parse →
+    per-frame decode is pixel-identity AND the temporal math matches.
+    Decode is the only Python stage (one mapInPandas pass emitting one
+    integer stat row per frame)."""
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.videoseq import (
+        scene_cuts,
+        synthesize_frsq_payloads,
+    )
+
+    d = spread_small_input(T(spark, sf_dir, "documents").select("doc_id"))
+    npx = VSEQ_W * VSEQ_H
+    h60 = "CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+    scene = "IF(f >= (doc_id * 13) % 6 + 1, 1, 0)"
+    vs = h60.format(
+        s="concat('vf|', CAST(doc_id AS STRING), '|',"
+        f" CAST({scene} AS STRING),"
+        " '|', CAST(p AS STRING))"
+    )
+    vj = h60.format(
+        s="concat('vj|', CAST(doc_id AS STRING), '|', CAST(f AS STRING),"
+        " '|', CAST(p AS STRING))"
+    )
+    pixel = (
+        f"CAST(({vs}) % 112 + 128 * ({scene}) + ({vj}) % 16 AS INT)"
+    )
+    synth = d.select(
+        "doc_id",
+        F.expr(
+            f"""transform(sequence(0, {VSEQ_FRAMES - 1}), f ->
+                  transform(sequence(0, {npx - 1}), p -> {pixel}))"""
+        ).alias("frames"),
+    )
+    vids = synthesize_frsq_payloads(
+        synth, "doc_id", "frames", VSEQ_W, VSEQ_H
+    )
+    return scene_cuts(
+        vids, "doc_id", "payload", threshold_milli=VSEQ_CUT_MILLI
+    )
+
+
+MM_SCENE_SQL = f"""
+WITH fr AS (SELECT unnest(generate_series(0, {VSEQ_FRAMES - 1})) AS f),
+px AS (SELECT unnest(generate_series(0, {VSEQ_W * VSEQ_H - 1})) AS p),
+cells AS (
+  SELECT doc_id, f, p,
+         CASE WHEN f >= (doc_id * 13) % 6 + 1 THEN 1 ELSE 0 END AS s
+  FROM documents CROSS JOIN fr CROSS JOIN px),
+vals AS (
+  SELECT doc_id, f,
+         CAST(CAST(('0x' || substring(md5('vf|' ||
+             CAST(doc_id AS VARCHAR) || '|' || CAST(s AS VARCHAR) ||
+             '|' || CAST(p AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)
+             % 112
+         + 128 * s
+         + CAST(CAST(('0x' || substring(md5('vj|' ||
+             CAST(doc_id AS VARCHAR) || '|' || CAST(f AS VARCHAR) ||
+             '|' || CAST(p AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)
+             % 16 AS v
+  FROM cells),
+means AS (
+  SELECT doc_id AS media_id, f AS frame_idx,
+         (1000 * CAST(SUM(v) AS BIGINT)) // {VSEQ_W * VSEQ_H}
+             AS mean_milli
+  FROM vals GROUP BY doc_id, f),
+lagged AS (
+  SELECT *, LAG(mean_milli) OVER (PARTITION BY media_id
+                                  ORDER BY frame_idx) AS prev_mean_milli
+  FROM means)
+SELECT media_id, frame_idx, prev_mean_milli, mean_milli
+FROM lagged
+WHERE prev_mean_milli IS NOT NULL
+  AND ABS(mean_milli - prev_mean_milli) >= {VSEQ_CUT_MILLI}
+ORDER BY media_id, frame_idx
+"""
+
+
 MOTIF_N = 3
 MOTIF_MIN_SUPPORT = 5
 MOTIF_TOP_K = 20
@@ -9320,4 +9414,5 @@ SCALE_QUERIES = {
     "gx_radius_join": (gx_radius_join, GX_RADIUS_SQL),
     "gx_nearest": (gx_nearest, GX_NEAREST_SQL),
     "pf_dataset_card": (pf_dataset_card, PF_CARD2_SQL),
+    "mm_scene_cuts": (mm_scene_cuts, MM_SCENE_SQL),
 }

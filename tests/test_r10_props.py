@@ -524,3 +524,52 @@ def test_radius_join_matches_brute_force(spark):
         "probe_id long, lat double, lon double",
     )
     assert radius_join(pdf, bad, radius_km=R).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# FRSQ container + scene cuts
+# ---------------------------------------------------------------------------
+
+
+def test_frsq_roundtrip_and_malformed():
+    from calp_cva_tracking_pipeline_spark.operators.videoseq import (
+        decode_frsq,
+        encode_frsq,
+    )
+
+    frames = [b"abc", b"", b"\x00" * 100]
+    assert decode_frsq(encode_frsq(frames)) == frames
+    assert decode_frsq(encode_frsq([])) == []
+    with pytest.raises(ValueError, match="FRSQ"):
+        decode_frsq(b"NOTF" + b"\x00" * 10)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_frsq(encode_frsq([b"abcdef"])[:-3])
+
+
+def test_scene_cuts_detects_hard_cut_only(spark):
+    from calp_cva_tracking_pipeline_spark.operators.bmp_stdlib import (
+        encode_bmp,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.videoseq import (
+        encode_frsq,
+        scene_cuts,
+    )
+
+    def frame(level):
+        px = bytes((level,) * (4 * 4 * 3))
+        return encode_bmp(4, 4, px)
+
+    # video 1: levels 10,12,11,200,201 -> one cut at frame 3
+    v1 = encode_frsq([frame(v) for v in (10, 12, 11, 200, 201)])
+    # video 2: smooth ramp, no cut
+    v2 = encode_frsq([frame(v) for v in (50, 55, 60, 65)])
+    # video 3: malformed payload -> excluded, not wrong
+    df = spark.createDataFrame(
+        [(1, v1), (2, v2), (3, b"garbage")],
+        "doc_id long, payload binary",
+    )
+    out = scene_cuts(df, "doc_id", "payload", threshold_milli=20000)
+    rows = out.collect()
+    assert [(r.media_id, r.frame_idx) for r in rows] == [(1, 3)]
+    assert rows[0].prev_mean_milli == 11000
+    assert rows[0].mean_milli == 200000
