@@ -7188,6 +7188,117 @@ ORDER BY media_id, frame_idx
 """
 
 
+# --- Round-10 wave 35: lexical diversity + behavioral entropy rate ---------
+
+
+def tx_ttr(spark, sf_dir):
+    """Per-source lexical diversity (operators.textops.
+    lexical_diversity): type-token ratio + hapax share — the
+    repetitiveness readout templated/synthetic text fails first. One
+    tokenize pass, type-level exchange, group readout."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        lexical_diversity,
+    )
+
+    return lexical_diversity(
+        T(spark, sf_dir, "documents"), "text", "source"
+    )
+
+
+TX_TTR_SQL = rf"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+'))
+             AS tok
+  FROM documents WHERE text IS NOT NULL),
+per_type AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE tok <> '' GROUP BY source, tok),
+agg AS (
+  SELECT source,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax_types
+  FROM per_type GROUP BY source)
+SELECT source, n_tokens, n_types,
+       CASE WHEN n_tokens > 0 THEN ROUND(
+           CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+       END AS ttr,
+       hapax_types,
+       CASE WHEN n_types > 0 THEN ROUND(
+           CAST(hapax_types AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+       END AS hapax_ratio
+FROM agg ORDER BY source
+"""
+
+
+def ev_markov_entropy(spark, sf_dir):
+    """Per-state transition entropy of the behavioral Markov chain
+    (one row per from_type: out-degree, transitions, entropy_nats 6dp
+    nano-pinned) — how PREDICTABLE each state's next step is (a
+    near-zero-entropy state is a deterministic funnel edge; a max-
+    entropy state is noise). Rides the ev_transitions bigram exchange:
+    one user-keyed lead window, one (from, to) count, entropy terms
+    pinned per cell before the from-keyed sum."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        transition_matrix,
+    )
+
+    from pyspark.sql import Window
+
+    t = transition_matrix(
+        T(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        tiebreak_cols=["event_id"],
+    )
+    w = Window.partitionBy("from_type")
+    frac = F.col("n_transitions").cast("double") / F.sum(
+        "n_transitions"
+    ).over(w).cast("double")
+    ent_nano = F.round(
+        F.round(frac * F.log(frac) * F.lit(-1.0), 9) * 1e9, 0
+    ).cast("long")
+    return (
+        t.select("from_type", "n_transitions", ent_nano.alias("__e"))
+        .groupBy("from_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("out_degree"),
+            F.sum("n_transitions").cast("bigint").alias("n_transitions"),
+            F.round(
+                F.coalesce(F.sum("__e"), F.lit(0)).cast("double") / 1e9,
+                6,
+            ).alias("entropy_nats"),
+        )
+        .orderBy("from_type")
+    )
+
+
+EV_MARKOV_ENT_SQL = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events),
+counted AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+t AS (
+  SELECT from_type, n,
+         CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type)
+             AS frac
+  FROM counted)
+SELECT from_type,
+       CAST(COUNT(*) AS BIGINT) AS out_degree,
+       CAST(SUM(n) AS BIGINT) AS n_transitions,
+       ROUND(CAST(COALESCE(SUM(CAST(ROUND(ROUND(
+           frac * LN(frac) * -1.0, 9) * 1e9, 0) AS BIGINT)), 0)
+           AS DOUBLE) / 1e9, 6) AS entropy_nats
+FROM t GROUP BY from_type ORDER BY from_type
+"""
+
+
 MOTIF_N = 3
 MOTIF_MIN_SUPPORT = 5
 MOTIF_TOP_K = 20
@@ -9415,4 +9526,7 @@ SCALE_QUERIES = {
     "gx_nearest": (gx_nearest, GX_NEAREST_SQL),
     "pf_dataset_card": (pf_dataset_card, PF_CARD2_SQL),
     "mm_scene_cuts": (mm_scene_cuts, MM_SCENE_SQL),
+    # thirty-fifth wave (round 10)
+    "tx_ttr": (tx_ttr, TX_TTR_SQL),
+    "ev_markov_entropy": (ev_markov_entropy, EV_MARKOV_ENT_SQL),
 }

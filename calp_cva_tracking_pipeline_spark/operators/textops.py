@@ -1227,3 +1227,72 @@ def boilerplate_spans(
         "affected_docs",
         ratio.alias("boiler_ratio"),
     ).orderBy(group_col)
+
+
+def lexical_diversity(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group lexical diversity: type-token ratio and hapax share —
+    the vocabulary-health readout next to the frequency views (tx_vocab
+    ranks tokens, tx_oov scores against a reference, tx_zipf fits the
+    law; this says how REPETITIVE each source's language is — synthetic
+    or templated text collapses TTR long before a human reads it).
+
+    Output per group: (group, n_tokens, n_types, ttr 6dp,
+    hapax_types, hapax_ratio 6dp = hapax_types / n_types). Tokens
+    case-fold (a capitalized sentence-starter is not a new type).
+
+    Shape: one tokenize + explode pass → one (group, token)
+    pre-aggregation with map-side combine (the exchange carries
+    distinct types per group, not token instances) → one
+    group-cardinality readout. Join-free single lineage.
+    """
+    toks = (
+        spread_small_input(
+            df.filter(F.col(text_col).isNotNull()).select(
+                F.col(group_col).alias("__grp"),
+                F.col(text_col).alias("__text"),
+            )
+        )
+        .select(
+            "__grp",
+            F.explode(tokens(F.lower(F.col("__text")))).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+    )
+    per_type = toks.groupBy("__grp", "__tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__tf")
+    )
+    agg = per_type.groupBy(F.col("__grp").alias(group_col)).agg(
+        F.sum("__tf").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("__tf") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax_types"),
+    )
+    ttr = F.when(
+        F.col("n_tokens") > 0,
+        F.round(
+            F.col("n_types").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ),
+    )
+    hapax = F.when(
+        F.col("n_types") > 0,
+        F.round(
+            F.col("hapax_types").cast("double")
+            / F.col("n_types").cast("double"),
+            6,
+        ),
+    )
+    return agg.select(
+        group_col,
+        "n_tokens",
+        "n_types",
+        ttr.alias("ttr"),
+        "hapax_types",
+        hapax.alias("hapax_ratio"),
+    ).orderBy(group_col)
