@@ -7299,6 +7299,103 @@ FROM t GROUP BY from_type ORDER BY from_type
 """
 
 
+# --- Round-10 wave 35b: spatial clustering (operators compose) --------------
+
+
+GEO_CLUSTER_KM = 80.0
+
+
+def gx_spatial_clusters(spark, sf_dir):
+    """Proximity clusters: connected components over the 80 km radius
+    pairs — DBSCAN-without-the-density-gate, and the cross-family
+    composition proof (geo pair generation → dedup's min-label
+    propagation, unchanged): venue/site records within mutual reach
+    collapse to one cluster id. Output (node, component = min customer
+    id reachable through the proximity graph), clustered customers
+    only."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    from calp_cva_tracking_pipeline_spark.operators.geo import radius_join
+
+    pts = _geo_coords(
+        T(spark, sf_dir, "customer").select("c_custkey"), "c_custkey", "c"
+    )
+    # customer↔customer proximity pairs: the radius join with the same
+    # scan-rooted frame on both sides (cheap re-scan, not derived-state
+    # re-execution), each undirected pair kept once. The cluster radius
+    # is deliberately SUBCRITICAL for the corpus density (~0.7 expected
+    # neighbors per disc at sf0.1): continuum percolation above ~4.5
+    # neighbors fuses the whole band into one giant component whose
+    # diameter exceeds any fixed-iteration label-propagation budget —
+    # cluster radii must sit below the percolation threshold or the
+    # right tool is a grid pre-partition, not min-label propagation.
+    pairs = radius_join(
+        pts,
+        pts,
+        radius_km=GEO_CLUSTER_KM,
+        point_cols=("c_custkey", "lat", "lon"),
+        probe_cols=("c_custkey", "lat", "lon"),
+        max_abs_lat=GEO_MAX_LAT,
+    ).filter(F.col("probe_id") < F.col("point_id"))
+    return connected_components(
+        pairs, src_col="probe_id", dst_col="point_id"
+    ).orderBy("node")
+
+
+def _gx_clusters_sql() -> str:
+    import math as _m
+
+    lat_cell = GEO_CLUSTER_KM / 111.32
+    lon_cell = GEO_CLUSTER_KM / (111.32 * _m.cos(_m.radians(GEO_MAX_LAT)))
+    h60 = (
+        "CAST(CAST(('0x' || substring(md5({s}), 1, 15)) AS UBIGINT)"
+        " AS BIGINT)"
+    )
+    clat = h60.format(s="'clat|' || CAST(c_custkey AS VARCHAR)")
+    clon = h60.format(s="'clon|' || CAST(c_custkey AS VARCHAR)")
+    hav = (
+        "ROUND(2.0 * 6371.0088 * ASIN(SQRT("
+        "SIN(RADIANS(p.lat - q.lat) / 2) * SIN(RADIANS(p.lat - q.lat) / 2)"
+        " + COS(RADIANS(q.lat)) * COS(RADIANS(p.lat))"
+        " * SIN(RADIANS(p.lon - q.lon) / 2)"
+        " * SIN(RADIANS(p.lon - q.lon) / 2))), 6)"
+    )
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT c_custkey,
+         ({clat} % 120000000) / 1e6 - 60 AS lat,
+         ({clon} % 360000000) / 1e6 - 180 AS lon
+  FROM customer),
+p AS (SELECT *, CAST(FLOOR(lat / {lat_cell!r}) AS BIGINT) AS cy,
+             CAST(FLOOR(lon / {lon_cell!r}) AS BIGINT) AS cx
+      FROM pts WHERE ABS(lat) <= {GEO_MAX_LAT}),
+q AS (SELECT c_custkey, lat, lon,
+             CAST(FLOOR(lat / {lat_cell!r}) AS BIGINT) + dy AS cy,
+             CAST(FLOOR(lon / {lon_cell!r}) AS BIGINT) + dx AS cx
+      FROM pts, unnest([-1, 0, 1]) AS t1(dy),
+                unnest([-1, 0, 1]) AS t2(dx)
+      WHERE ABS(lat) <= {GEO_MAX_LAT}),
+pairs AS (
+  SELECT DISTINCT q.c_custkey AS id_a, p.c_custkey AS id_b
+  FROM q JOIN p USING (cy, cx)
+  WHERE q.c_custkey < p.c_custkey AND {hav} <= {GEO_CLUSTER_KM!r}),
+edges(src, dst) AS (
+  SELECT id_a, id_b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node)
+SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+ORDER BY node
+"""
+
+
+GX_CLUSTERS_SQL = _gx_clusters_sql()
+
+
 MOTIF_N = 3
 MOTIF_MIN_SUPPORT = 5
 MOTIF_TOP_K = 20
@@ -9529,4 +9626,5 @@ SCALE_QUERIES = {
     # thirty-fifth wave (round 10)
     "tx_ttr": (tx_ttr, TX_TTR_SQL),
     "ev_markov_entropy": (ev_markov_entropy, EV_MARKOV_ENT_SQL),
+    "gx_spatial_clusters": (gx_spatial_clusters, GX_CLUSTERS_SQL),
 }
