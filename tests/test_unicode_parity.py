@@ -63,6 +63,7 @@ TEXT_FAMILY = [
     "tx_boilerplate_spans",
     "rt_snippet_extract",
     "mx_dedup_weights",
+    "tx_ttr",
 ]
 
 
