@@ -573,3 +573,125 @@ def test_scene_cuts_detects_hard_cut_only(spark):
     assert [(r.media_id, r.frame_idx) for r in rows] == [(1, 3)]
     assert rows[0].prev_mean_milli == 11000
     assert rows[0].mean_milli == 200000
+
+
+# ---------------------------------------------------------------------------
+# T171-T173 wave-35 cross-checks
+# ---------------------------------------------------------------------------
+
+
+def test_lexical_diversity_matches_reference(spark):
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        lexical_diversity,
+    )
+
+    rows = [
+        ("a", "the cat The CAT sat"),      # 5 tokens, types {the,cat,sat}
+        ("a", "dog"),                      # +1 token, +1 type
+        ("b", "x x x x"),                  # degenerate: 4 tokens, 1 type
+        ("b", None),                       # excluded
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        r.source: r
+        for r in lexical_diversity(df, "text", "source").collect()
+    }
+    a = out["a"]
+    assert (a.n_tokens, a.n_types) == (6, 4)
+    assert a.ttr == pytest.approx(round(4 / 6, 6), abs=1e-9)
+    assert a.hapax_types == 2  # sat, dog (the=2, cat=2)
+    b = out["b"]
+    assert (b.n_tokens, b.n_types, b.hapax_types) == (4, 1, 0)
+    assert b.ttr == 0.25 and b.hapax_ratio == 0.0
+
+
+def test_markov_entropy_matches_reference(spark):
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.catalog.scale import (
+        ev_markov_entropy,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        transition_matrix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r.from_type: r for r in ev_markov_entropy(spark, sf).collect()
+    }
+    trans = transition_matrix(
+        T(spark, sf, "events"), "user_id", "ts", "event_type",
+        tiebreak_cols=["event_id"],
+    ).collect()
+    by_from: dict[str, list[int]] = {}
+    for r in trans:
+        by_from.setdefault(r.from_type, []).append(r.n_transitions)
+    for ft, counts in by_from.items():
+        tot = sum(counts)
+        ent = sum(
+            int(round(round(-(c / tot) * math.log(c / tot), 9) * 1e9))
+            for c in counts
+        )
+        r = out[ft]
+        assert r.out_degree == len(counts)
+        assert r.n_transitions == tot
+        assert r.entropy_nats == pytest.approx(
+            round(ent / 1e9, 6), abs=1e-9
+        )
+
+
+def test_spatial_clusters_match_brute_force(spark):
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.geo import radius_join
+
+    rng = random.Random(31)
+    pts = [(i, rng.uniform(-50, 50), rng.uniform(-40, 40))
+           for i in range(120)]
+    df = spark.createDataFrame(pts, "point_id long, lat double, lon double")
+    R = 400.0
+    pairs = radius_join(
+        df, df, radius_km=R,
+        point_cols=("point_id", "lat", "lon"),
+        probe_cols=("point_id", "lat", "lon"),
+    ).filter(F.col("probe_id") < F.col("point_id"))
+    got = {
+        r.node: r.component
+        for r in connected_components(
+            pairs, src_col="probe_id", dst_col="point_id"
+        ).collect()
+    }
+    # brute-force union-find over haversine pairs
+    import math as m
+
+    def hav(a, b):
+        la1, lo1 = m.radians(a[1]), m.radians(a[2])
+        la2, lo2 = m.radians(b[1]), m.radians(b[2])
+        x = (m.sin((la2 - la1) / 2) ** 2
+             + m.cos(la1) * m.cos(la2) * m.sin((lo2 - lo1) / 2) ** 2)
+        return 2 * 6371.0088 * m.asin(m.sqrt(x))
+
+    parent = {p[0]: p[0] for p in pts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    linked = set()
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            if round(hav(pts[i], pts[j]), 6) <= R:
+                linked.add(pts[i][0])
+                linked.add(pts[j][0])
+                ra, rb = find(pts[i][0]), find(pts[j][0])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    ref = {
+        n: min(
+            k for k in parent if find(k) == find(n)
+        )
+        for n in linked
+    }
+    assert got == ref
