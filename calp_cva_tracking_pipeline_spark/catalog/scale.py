@@ -7396,6 +7396,78 @@ ORDER BY node
 GX_CLUSTERS_SQL = _gx_clusters_sql()
 
 
+# --- Round-10 wave 35c: epoch plan -------------------------------------------
+
+EPOCH_BUDGET = 200_000
+EPOCH_MAX_MILLI = 3000  # at most 3 passes over any source
+# deliberately skewed mixture with one absent source: src0 oversubscribed
+# (forces the cap + a shortfall), the rest of the mass spread evenly
+EPOCH_WEIGHTS = {"src0": 0.4, **{f"src{i}": 0.6 / 18 for i in range(1, 19)}}
+
+
+def mx_epoch_plan(spark, sf_dir):
+    """Per-source epoch plan (operators.sampling.epoch_plan) for a
+    200k-token mixture: epochs = budget·weight / source_tokens in
+    integer milli-passes, capped at 3 passes (the repeated-epochs
+    memorization ceiling) with the unfilled shortfall surfaced; src19
+    is deliberately absent from the weights (reported at zero target)
+    and src0 deliberately oversubscribed (exercises cap + shortfall)."""
+    from calp_cva_tracking_pipeline_spark.functions.text import (
+        token_count,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        epoch_plan,
+    )
+
+    return epoch_plan(
+        T(spark, sf_dir, "documents").filter(F.col("text").isNotNull()),
+        "source",
+        token_count(F.col("text")),
+        weights=EPOCH_WEIGHTS,
+        budget_tokens=EPOCH_BUDGET,
+        max_epochs_milli=EPOCH_MAX_MILLI,
+    )
+
+
+def _mx_epoch_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {float(v)!r}"
+        for k, v in sorted(EPOCH_WEIGHTS.items())
+    )
+    return rf"""
+WITH agg AS (
+  SELECT source,
+         CAST(COALESCE(SUM(CASE WHEN trim(text) = '' THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END), 0)
+             AS BIGINT) AS source_tokens
+  FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
+  GROUP BY source),
+t AS (
+  SELECT source, source_tokens,
+         CAST(ROUND(CAST((CASE source {cases} ELSE 0.0 END) AS DOUBLE)
+             * {EPOCH_BUDGET}, 0) AS BIGINT) AS target_tokens
+  FROM agg),
+e AS (
+  SELECT *,
+         LEAST(CASE WHEN source_tokens > 0
+                    THEN CAST(FLOOR(CAST(target_tokens AS DOUBLE) * 1000
+                         / source_tokens) AS BIGINT)
+                    ELSE 0 END,
+               {EPOCH_MAX_MILLI}) AS epochs_milli
+  FROM t)
+SELECT source, source_tokens, target_tokens, epochs_milli,
+       (epochs_milli = {EPOCH_MAX_MILLI}) AS capped,
+       CAST(GREATEST(target_tokens
+            - (epochs_milli * source_tokens) // 1000, 0) AS BIGINT)
+           AS shortfall_tokens
+FROM e ORDER BY source
+"""
+
+
+MX_EPOCH_SQL = _mx_epoch_sql()
+
+
 MOTIF_N = 3
 MOTIF_MIN_SUPPORT = 5
 MOTIF_TOP_K = 20
@@ -9627,4 +9699,5 @@ SCALE_QUERIES = {
     "tx_ttr": (tx_ttr, TX_TTR_SQL),
     "ev_markov_entropy": (ev_markov_entropy, EV_MARKOV_ENT_SQL),
     "gx_spatial_clusters": (gx_spatial_clusters, GX_CLUSTERS_SQL),
+    "mx_epoch_plan": (mx_epoch_plan, MX_EPOCH_SQL),
 }

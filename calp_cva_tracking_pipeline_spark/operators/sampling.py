@@ -832,3 +832,79 @@ def token_budget_select(
         )
         .orderBy(group_col)
     )
+
+
+def epoch_plan(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: Column,
+    weights: dict[str, float],
+    budget_tokens: int,
+    max_epochs_milli: int = 10000,
+) -> DataFrame:
+    """Per-source epoch plan for a token-budget mixture — the last
+    planning step of a data recipe: the mixture ``weights`` say what
+    fraction of ``budget_tokens`` each source supplies; this reports
+    how many PASSES over each source that implies (epochs =
+    budget·weight / source_tokens) and caps it at
+    ``max_epochs_milli``/1000 passes (repeating a tiny source dozens of
+    times memorizes it — the D4/Muennighoff repeated-epochs ceiling),
+    surfacing the token shortfall the cap leaves unfilled.
+
+    Epochs are integer MILLI-passes (floor), so the plan — and the
+    shortfall arithmetic — is engine-exact. Output per source:
+    (group, source_tokens, target_tokens, epochs_milli, capped,
+    shortfall_tokens), ordered. Sources absent from ``weights`` get
+    weight 0 (reported, zero target); weights need not sum to 1 (the
+    caller's mixture normalization is their policy).
+
+    One group-cardinality aggregation + a literal weight map — no
+    joins, no driver actions.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive: {budget_tokens}")
+    w_expr = F.lit(0.0)
+    for k in sorted(weights):
+        w_expr = F.when(
+            F.col(group_col) == k, F.lit(float(weights[k]))
+        ).otherwise(w_expr)
+    agg = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.coalesce(F.sum(tokens_col.cast("long")), F.lit(0))
+            .cast("bigint")
+            .alias("source_tokens")
+        )
+    )
+    target = F.round(w_expr * budget_tokens, 0).cast("bigint")
+    t = agg.select(
+        group_col,
+        "source_tokens",
+        target.alias("target_tokens"),
+    )
+    raw_milli = F.when(
+        F.col("source_tokens") > 0,
+        F.floor(
+            F.col("target_tokens") * F.lit(1000)
+            / F.col("source_tokens")
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    epochs = F.least(raw_milli, F.lit(max_epochs_milli))
+    supplied = F.expr("epochs_milli * source_tokens div 1000")
+    return (
+        t.select(
+            group_col,
+            "source_tokens",
+            "target_tokens",
+            epochs.alias("epochs_milli"),
+        )
+        .select(
+            "*",
+            (F.col("epochs_milli") == max_epochs_milli).alias("capped"),
+            F.greatest(
+                F.col("target_tokens") - supplied, F.lit(0)
+            ).cast("bigint").alias("shortfall_tokens"),
+        )
+        .orderBy(group_col)
+    )
