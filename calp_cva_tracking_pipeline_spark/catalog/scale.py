@@ -7468,6 +7468,86 @@ FROM e ORDER BY source
 MX_EPOCH_SQL = _mx_epoch_sql()
 
 
+# --- Round-10 video frame dedup ----------------------------------------------
+
+
+def mm_frame_dedup(spark, sf_dir):
+    """Cross-video duplicate-frame groups (operators.videoseq.
+    frame_dedup_groups) — shared intros/idents are the video tier's
+    boilerplate: every 3 consecutive doc_ids share two md5-derived
+    scenes (pixels keyed by grp = doc_id DIV 3, NO per-frame jitter)
+    but cut at rank-shifted frames, so the same frames recur across a
+    group's videos without whole-video identity. The digest is a
+    DECODE-level identity (md5 of the comma-joined luma values), so
+    the oracle recomputes it from the pixel formula in SQL — parity
+    proves parse → per-frame decode pixel identity a second way."""
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.videoseq import (
+        frame_dedup_groups,
+        synthesize_frsq_payloads,
+    )
+
+    d = spread_small_input(T(spark, sf_dir, "documents").select("doc_id"))
+    npx = VSEQ_W * VSEQ_H
+    h60 = "CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+    scene = (
+        "IF(f >= ((doc_id DIV 3) * 13 + (doc_id % 3) * 7) % 6 + 1, 1, 0)"
+    )
+    vg = h60.format(
+        s="concat('vg|', CAST(doc_id DIV 3 AS STRING), '|',"
+        f" CAST({scene} AS STRING),"
+        " '|', CAST(p AS STRING))"
+    )
+    synth = d.select(
+        "doc_id",
+        F.expr(
+            f"""transform(sequence(0, {VSEQ_FRAMES - 1}), f ->
+                  transform(sequence(0, {npx - 1}), p ->
+                    CAST(({vg}) % 256 AS INT)))"""
+        ).alias("frames"),
+    )
+    vids = synthesize_frsq_payloads(
+        synth, "doc_id", "frames", VSEQ_W, VSEQ_H
+    )
+    return frame_dedup_groups(vids, "doc_id", "payload", min_group=2)
+
+
+MM_FRAME_DEDUP_SQL = f"""
+WITH fr AS (SELECT unnest(generate_series(0, {VSEQ_FRAMES - 1})) AS f),
+px AS (SELECT unnest(generate_series(0, {VSEQ_W * VSEQ_H - 1})) AS p),
+cells AS (
+  SELECT doc_id, f, p,
+         CASE WHEN f >= ((doc_id // 3) * 13 + (doc_id % 3) * 7) % 6 + 1
+              THEN 1 ELSE 0 END AS s
+  FROM documents CROSS JOIN fr CROSS JOIN px),
+vals AS (
+  SELECT doc_id, f, p,
+         CAST(CAST(('0x' || substring(md5('vg|' ||
+             CAST(doc_id // 3 AS VARCHAR) || '|' ||
+             CAST(s AS VARCHAR) || '|' || CAST(p AS VARCHAR)), 1, 15))
+             AS UBIGINT) AS BIGINT) % 256 AS v
+  FROM cells),
+digs AS (
+  SELECT doc_id AS m, f,
+         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY p)) AS digest
+  FROM vals GROUP BY doc_id, f),
+grp AS (
+  SELECT digest AS frame_digest,
+         CAST(COUNT(*) AS BIGINT) AS n_frames,
+         CAST(COUNT(DISTINCT m) AS BIGINT) AS n_videos,
+         MIN(m) AS rep_media
+  FROM digs GROUP BY digest HAVING COUNT(*) >= 2)
+SELECT g.frame_digest, g.n_frames, g.n_videos, g.rep_media,
+       MIN(d.f) AS rep_frame
+FROM grp g JOIN digs d
+  ON d.digest = g.frame_digest AND d.m = g.rep_media
+GROUP BY g.frame_digest, g.n_frames, g.n_videos, g.rep_media
+ORDER BY g.frame_digest
+"""
+
+
 MOTIF_N = 3
 MOTIF_MIN_SUPPORT = 5
 MOTIF_TOP_K = 20
@@ -9700,4 +9780,5 @@ SCALE_QUERIES = {
     "ev_markov_entropy": (ev_markov_entropy, EV_MARKOV_ENT_SQL),
     "gx_spatial_clusters": (gx_spatial_clusters, GX_CLUSTERS_SQL),
     "mx_epoch_plan": (mx_epoch_plan, MX_EPOCH_SQL),
+    "mm_frame_dedup": (mm_frame_dedup, MM_FRAME_DEDUP_SQL),
 }

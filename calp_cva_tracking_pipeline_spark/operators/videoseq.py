@@ -195,3 +195,87 @@ def synthesize_frsq_payloads(
     )
 
     return df.select(id_col, frames_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+def frame_dedup_groups(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    min_group: int = 2,
+) -> DataFrame:
+    """Cross-video duplicate-FRAME groups: parse every FRSQ container,
+    decode every frame (REAL BMP path), digest the decoded pixel array
+    (md5 over the comma-joined luma values — a decode-level identity,
+    so re-encoded byte-different copies of the same frame still match
+    and a SQL oracle can recompute it from the pixel formula), and
+    group frames by digest — the video twin of ``dedup.dedup_exact``
+    (shared intros/outros/station idents across a clip corpus are the
+    video tier's boilerplate).
+
+    One decode pass emitting (media, frame, digest) rows, one
+    16-byte-digest groupBy with map-side combine — no pair expansion.
+    Output per duplicate digest: (frame_digest, n_frames, n_videos,
+    rep_media = min id, rep_frame = its first matching frame index),
+    ordered by digest.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from calp_cva_tracking_pipeline_spark.operators.bmp_stdlib import (
+            decode_bmp,
+        )
+        from calp_cva_tracking_pipeline_spark.operators.png_stdlib import (
+            to_grayscale,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    for i, fb in enumerate(decode_frsq(bytes(payload))):
+                        w, h, ch, px = decode_bmp(fb)
+                        grey = to_grayscale(w, h, ch, px)
+                        dig = hashlib.md5(
+                            ",".join(str(v) for v in grey).encode()
+                        ).hexdigest()
+                        rows.append((mid, i, dig, "ok_stdlib"))
+                except Exception:
+                    rows.append((mid, None, None, "error"))
+            yield pd.DataFrame(
+                rows,
+                columns=["__id", "frame_idx", "digest", "decode_ok"],
+            )
+
+    schema = StructType(
+        [
+            StructField("__id", LongType(), False),
+            StructField("frame_idx", LongType(), True),
+            StructField("digest", StringType(), True),
+            StructField("decode_ok", StringType(), False),
+        ]
+    )
+    frames = (
+        df.select(id_col, payload_col)
+        .mapInPandas(run, schema)
+        .filter(F.col("decode_ok") == "ok_stdlib")
+    )
+    best = F.struct(
+        F.col("__id").alias("m"), F.col("frame_idx").alias("f")
+    )
+    return (
+        frames.groupBy(F.col("digest").alias("frame_digest"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.countDistinct("__id").cast("bigint").alias("n_videos"),
+            F.min(best).alias("__b"),
+        )
+        .filter(F.col("n_frames") >= min_group)
+        .select(
+            "frame_digest",
+            "n_frames",
+            "n_videos",
+            F.col("__b.m").alias("rep_media"),
+            F.col("__b.f").alias("rep_frame"),
+        )
+        .orderBy("frame_digest")
+    )
