@@ -695,3 +695,30 @@ def test_spatial_clusters_match_brute_force(spark):
         for n in linked
     }
     assert got == ref
+
+
+def test_frame_dedup_groups_by_decoded_pixels(spark):
+    from calp_cva_tracking_pipeline_spark.operators.bmp_stdlib import (
+        encode_bmp,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.videoseq import (
+        encode_frsq,
+        frame_dedup_groups,
+    )
+
+    def frame(level):
+        return encode_bmp(4, 4, bytes((level,) * 48))
+
+    shared, unique_a, unique_b = frame(100), frame(7), frame(201)
+    v1 = encode_frsq([shared, unique_a])
+    v2 = encode_frsq([unique_b, shared, shared])
+    v3 = encode_frsq([frame(55)])
+    df = spark.createDataFrame(
+        [(1, v1), (2, v2), (3, v3)], "doc_id long, payload binary"
+    )
+    out = frame_dedup_groups(df, "doc_id", "payload", min_group=2).collect()
+    # exactly one duplicate group: the shared frame, 3 occurrences
+    # across 2 videos, represented by (video 1, frame 0)
+    assert len(out) == 1
+    g = out[0]
+    assert (g.n_frames, g.n_videos, g.rep_media, g.rep_frame) == (3, 2, 1, 0)
