@@ -6979,10 +6979,17 @@ p AS (SELECT *, CAST(FLOOR(lat / {lat_cell!r}) AS BIGINT) AS cy,
       FROM pts WHERE ABS(lat) <= {GEO_MAX_LAT}),
 q AS (SELECT s_suppkey, lat, lon,
              CAST(FLOOR(lat / {lat_cell!r}) AS BIGINT) + dy AS cy,
-             CAST(FLOOR(lon / {lon_cell!r}) AS BIGINT) + dx AS cx
+             CAST(FLOOR(lc / {lon_cell!r}) AS BIGINT) + dx AS cx
       FROM prb, unnest([-1, 0, 1]) AS t1(dy),
-                unnest([-1, 0, 1]) AS t2(dx)
-      WHERE ABS(lat) <= {GEO_MAX_LAT})
+                unnest([-1, 0, 1]) AS t2(dx),
+                unnest([lon,
+                        CASE WHEN lon > 180 - CAST({2.0 * lon_cell!r}
+                                                   AS DOUBLE)
+                             THEN lon - 360 END,
+                        CASE WHEN lon < -180 + CAST({2.0 * lon_cell!r}
+                                                    AS DOUBLE)
+                             THEN lon + 360 END]) AS t3(lc)
+      WHERE ABS(lat) <= {GEO_MAX_LAT} AND lc IS NOT NULL)
 SELECT q.s_suppkey AS probe_id, p.c_custkey AS point_id,
        {hav} AS dist_km
 FROM q JOIN p USING (cy, cx)
@@ -7373,10 +7380,17 @@ p AS (SELECT *, CAST(FLOOR(lat / {lat_cell!r}) AS BIGINT) AS cy,
       FROM pts WHERE ABS(lat) <= {GEO_MAX_LAT}),
 q AS (SELECT c_custkey, lat, lon,
              CAST(FLOOR(lat / {lat_cell!r}) AS BIGINT) + dy AS cy,
-             CAST(FLOOR(lon / {lon_cell!r}) AS BIGINT) + dx AS cx
+             CAST(FLOOR(lc / {lon_cell!r}) AS BIGINT) + dx AS cx
       FROM pts, unnest([-1, 0, 1]) AS t1(dy),
-                unnest([-1, 0, 1]) AS t2(dx)
-      WHERE ABS(lat) <= {GEO_MAX_LAT}),
+                unnest([-1, 0, 1]) AS t2(dx),
+                unnest([lon,
+                        CASE WHEN lon > 180 - CAST({2.0 * lon_cell!r}
+                                                   AS DOUBLE)
+                             THEN lon - 360 END,
+                        CASE WHEN lon < -180 + CAST({2.0 * lon_cell!r}
+                                                    AS DOUBLE)
+                             THEN lon + 360 END]) AS t3(lc)
+      WHERE ABS(lat) <= {GEO_MAX_LAT} AND lc IS NOT NULL),
 pairs AS (
   SELECT DISTINCT q.c_custkey AS id_a, p.c_custkey AS id_b
   FROM q JOIN p USING (cy, cx)
@@ -7531,7 +7545,8 @@ vals AS (
   FROM cells),
 digs AS (
   SELECT doc_id AS m, f,
-         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY p)) AS digest
+         md5('{VSEQ_W}x{VSEQ_H}:'
+             || string_agg(CAST(v AS VARCHAR), ',' ORDER BY p)) AS digest
   FROM vals GROUP BY doc_id, f),
 grp AS (
   SELECT digest AS frame_digest,

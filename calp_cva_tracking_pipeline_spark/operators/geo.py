@@ -69,11 +69,14 @@ def radius_join(
     (probe_id, point_id, dist_km 6dp). Rows with NULL coordinates or
     |lat| > ``max_abs_lat`` are excluded (the conservative lon-cell
     sizing only covers the declared band; polar work needs a polar
-    projection, not a silent recall hole).
+    projection, not a silent recall hole). Pairs straddling the ±180°
+    antimeridian ARE found: probes within the seam margin also bucket
+    under lon∓360°, and haversine itself is wrap-safe (sin²(Δλ/2) is
+    symmetric about 180°), so only the cell key needs the copy.
 
     One cell-keyed equi-join (probes explode ×9 to the 3×3 cell
-    neighborhood), haversine as the residual filter — no cross join at
-    any scale.
+    neighborhood; seam probes ×18), haversine as the residual filter —
+    no cross join at any scale.
     """
     if radius_km <= 0:
         raise ValueError(f"radius_km must be positive: {radius_km}")
@@ -85,6 +88,14 @@ def radius_join(
     lon_cell = radius_km / (
         KM_PER_LAT_DEG * _math.cos(_math.radians(max_abs_lat))
     )
+    if 3.0 * lon_cell >= 360.0:
+        # wrapped cell neighborhoods must stay disjoint from the
+        # originals or seam probes would emit duplicate pairs
+        raise ValueError(
+            f"radius_km {radius_km} too large for the grid scheme at "
+            f"max_abs_lat {max_abs_lat}: 3 lon cells span >= 360 deg"
+        )
+    seam = 2.0 * lon_cell
 
     pid, plat, plon = point_cols
     qid, qlat, qlon = probe_cols
@@ -111,8 +122,31 @@ def radius_join(
             F.col(qid).alias("__qid"),
             F.col(qlat).cast("double").alias("__qlat"),
             F.col(qlon).cast("double").alias("__qlon"),
-            F.floor(F.col(qlat) / lat_cell).cast("long").alias("__cy0"),
-            F.floor(F.col(qlon) / lon_cell).cast("long").alias("__cx0"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.array_compact(
+                    F.array(
+                        F.col("__qlon"),
+                        F.when(
+                            F.col("__qlon") > 180.0 - seam,
+                            F.col("__qlon") - 360.0,
+                        ),
+                        F.when(
+                            F.col("__qlon") < -180.0 + seam,
+                            F.col("__qlon") + 360.0,
+                        ),
+                    )
+                )
+            ).alias("__qlonc"),
+        )
+        .select(
+            "__qid",
+            "__qlat",
+            "__qlon",
+            F.floor(F.col("__qlat") / lat_cell).cast("long").alias("__cy0"),
+            F.floor(F.col("__qlonc") / lon_cell).cast("long").alias("__cx0"),
         )
         .select(
             "*",

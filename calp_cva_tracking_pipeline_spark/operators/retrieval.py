@@ -294,19 +294,21 @@ def snippet_extract(
     """
     terms = sorted({t.lower() for t in query_terms})
     if not terms:
-        # an empty IN () list is a parse error, not an empty result
+        # silently matching nothing would hide a caller bug
         raise ValueError("query_terms must be non-empty")
     toks = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.split(F.trim(F.col(text_col)), "\\s+").alias("__toks"),
     )
-    term_list = ", ".join(f"'{t}'" for t in terms)
+    # Column.isin takes the terms as LITERALS — never interpolated into
+    # SQL text, so quotes/metachars in a query term can't break the
+    # parse or inject expressions
     pos = toks.select(
         "__id", F.posexplode("__toks").alias("__p", "__tok")
     ).select(
         "__id",
         "__p",
-        F.expr(f"IF(lower(__tok) IN ({term_list}), 1, 0)").alias("__q"),
+        F.lower(F.col("__tok")).isin(terms).cast("int").alias("__q"),
     )
     wf = (
         Window.partitionBy("__id")

@@ -753,9 +753,15 @@ def time_split(
     schema = (
         "split string, n_rows bigint, min_ts timestamp, max_ts timestamp"
     )
-    if not cut_rows:
-        return spark.createDataFrame([], schema)
     cuts = {round(r["p"] * 1e6): r["value"] for r in cut_rows}
+    if (
+        not cut_rows
+        or cuts.get(lo_ppm) is None
+        or cuts.get(hi_ppm) is None
+    ):
+        # an all-NULL time axis yields NULL quantile cuts — return the
+        # empty audit frame, same as the zero-row input
+        return spark.createDataFrame([], schema)
     c1, c2 = float(cuts[lo_ppm]), float(cuts[hi_ppm])
     e = float(embargo_s) * 1e6
     t = F.unix_micros(F.col(ts_col)).cast("double")
@@ -883,15 +889,24 @@ def epoch_plan(
         "source_tokens",
         target.alias("target_tokens"),
     )
+    # both products in DECIMAL(38,0) with exact integral `div`: a
+    # bigint target_tokens × 1000 (or epochs_milli × a web-scale
+    # source_tokens) overflows int64 long before the divide, while the
+    # 24-digit decimal products fit with room to spare and `div` on
+    # decimals is exact floor for non-negative operands. The final
+    # values (epochs ≤ cap, shortfall ≤ target_tokens) fit bigint.
     raw_milli = F.when(
         F.col("source_tokens") > 0,
-        F.floor(
-            F.col("target_tokens") * F.lit(1000)
-            / F.col("source_tokens")
-        ).cast("long"),
+        F.expr(
+            "CAST((CAST(target_tokens AS DECIMAL(38, 0)) * 1000)"
+            " div source_tokens AS BIGINT)"
+        ),
     ).otherwise(F.lit(0))
     epochs = F.least(raw_milli, F.lit(max_epochs_milli))
-    supplied = F.expr("epochs_milli * source_tokens div 1000")
+    supplied = F.expr(
+        "(CAST(epochs_milli AS DECIMAL(38, 0)) * source_tokens)"
+        " div 1000"
+    )
     return (
         t.select(
             group_col,

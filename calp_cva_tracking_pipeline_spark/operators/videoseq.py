@@ -212,6 +212,9 @@ def frame_dedup_groups(
     (shared intros/outros/station idents across a clip corpus are the
     video tier's boilerplate).
 
+    The digest input is ``"{w}x{h}:" + joined lumas`` so reshaped
+    frames with the same pixel sequence stay distinct.
+
     One decode pass emitting (media, frame, digest) rows, one
     16-byte-digest groupBy with map-side combine — no pair expansion.
     Output per duplicate digest: (frame_digest, n_frames, n_videos,
@@ -235,8 +238,14 @@ def frame_dedup_groups(
                     for i, fb in enumerate(decode_frsq(bytes(payload))):
                         w, h, ch, px = decode_bmp(fb)
                         grey = to_grayscale(w, h, ch, px)
+                        # dims prefix the digest input: a 2x3 and a 3x2
+                        # frame with the same pixel sequence must NOT
+                        # collide into one duplicate group
                         dig = hashlib.md5(
-                            ",".join(str(v) for v in grey).encode()
+                            (
+                                f"{w}x{h}:"
+                                + ",".join(str(v) for v in grey)
+                            ).encode()
                         ).hexdigest()
                         rows.append((mid, i, dig, "ok_stdlib"))
                 except Exception:
