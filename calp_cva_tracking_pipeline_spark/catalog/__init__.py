@@ -59,18 +59,18 @@ GATE = [
     "cc2_relevance_ml",
     "cc3_amount_cascade",
     "ep2_cva_by_location",
-    "dd_exact_hash", "dd_minhash_lsh", "dd_winnow", "mm_phash_neardup",
+    "dd_norm_exact", "dd_minhash_lsh", "dd_winnow", "mm_phash_neardup",
     "ann_brute_topk", "mm_audio_dedup", "ann_ivf_topk", "tx_features",
     "m1_classifier_stub", "st_windowed_agg", "st_sessionize",
     "tj_asof_join", "tj_interval_join", "dd_decontam",
     "rt_rollup_hierarchy", "tx_pii_redact", "tx_repetition", "tx_chunk",
-    "dd_components", "dd_semantic", "gr_pagerank", "cdc_upsert",
+    "gx_spatial_clusters", "gx_radius_join", "gr_pagerank", "cdc_upsert",
     "ev_funnel", "pf_bootstrap", "pk_pack_audit", "ev_markov_stationary",
     "rt_bm25_topk", "jx_salted_join",
     "gr_triangles", "emb_kmeans", "pf_approx_distinct", "ts_ewma",
-    "ev_json_stats", "tx_jsd",
-    "dd_jaccard_join", "gr_kcore", "cdc_snapshot_diff", "pf_dq_checks",
-    "ts_cusum", "ev_itemsets", "pf_ref_integrity", "gr_communities",
+    "mm_scene_cuts", "tx_jsd",
+    "dd_jaccard_join", "gr_bfs", "ml_class_metrics", "pf_dataset_card",
+    "mm_frame_dedup", "ev_itemsets", "pf_ref_integrity", "gr_communities",
 ]
 
 ALL_QUERIES = {name: _MERGED[name] for name in GATE}

@@ -1959,19 +1959,20 @@ COVERAGE = {
     " (local-parity)",
     "F12": "a9_latest_per_group (select + alias) + d1_priority_dedup"
     " (local-parity)",
-    # D2/D3/D4 all reduce to dropDuplicates-by-key; dd_exact_hash's
-    # row_number-per-md5(text) pipeline covers the semantics (retired
-    # d3_distinct_rows freed the catalog slot for ann_ivf_topk — the
-    # default scale ANN tier deserved a driver CORRECTNESS row more than a
-    # third distinct variant).
-    # D1 priority dedup = the row_number-per-key kernel dd_exact_hash
-    # gates, with the incoming>internal priority expressed as the window
-    # ORDER BY; the retired d1 slot keeps the priority-order variant
-    # oracle-checked locally at 3 SFs (and it stays a bench headliner).
-    "D1": "dd_exact_hash (row_number-per-key, priority as ORDER BY) +"
-    " d1_priority_dedup (local-parity)",
-    "D2": "dd_exact_hash",
-    "D3": "dd_exact_hash", "D4": "dd_exact_hash",
+    # D2/D3/D4 all reduce to dropDuplicates-by-key; the digest-groupBy
+    # kernel is GATED via dd_norm_exact (round 11 — the same
+    # row_number-per-md5 pipeline with text normalization in front, a
+    # strict superset), and dd_exact_hash keeps the plain-digest form
+    # oracle-checked locally at 3 SFs.
+    # D1 priority dedup = the same row_number-per-key kernel with the
+    # incoming>internal priority expressed as the window ORDER BY; the
+    # retired d1 slot keeps the priority-order variant oracle-checked
+    # locally at 3 SFs (and it stays a bench headliner).
+    "D1": "dd_norm_exact (row_number-per-key kernel, gated) +"
+    " dd_exact_hash + d1_priority_dedup (local-parity)",
+    "D2": "dd_norm_exact (gated) + dd_exact_hash (local-parity)",
+    "D3": "dd_norm_exact (gated) + dd_exact_hash (local-parity)",
+    "D4": "dd_norm_exact (gated) + dd_exact_hash (local-parity)",
     "J1": "x1_equal_split_explode (explode keeps columns; no re-join needed)",
     "J2": "j2_broadcast_enrich", "J3": "j2_broadcast_enrich",
     "J4": "j4_fallback_join",

@@ -124,6 +124,26 @@ NON_SQL_QUERIES = {"pk_sequences"}
 # mm_audio_dedup — first multimodal driver rows — ep3_org_match,
 # ep3_global_agg, dd_winnow, pf_bootstrap, tx_jsd,
 # ev_markov_stationary).
+# Round 11 ran the SIXTH rotation (VERDICT r10 ask #1): the eight
+# judge-sim-verified round-10 operators gated — gx_radius_join +
+# gx_spatial_clusters (first geo rows; the clusters row runs the dedup
+# tier's connected_components verbatim on radius pairs), mm_scene_cuts
+# + mm_frame_dedup (first video rows), gr_bfs, dd_norm_exact,
+# ml_class_metrics (M2's metric block), pf_dataset_card. Retired to
+# local parity (each stays catalog-resident with its oracle, 3-SF
+# parity-verified): dd_exact_hash (dd_norm_exact gates the same
+# digest-groupBy kernel with normalization in front — D1-D4 COVERAGE
+# merges updated), dd_components (gx_spatial_clusters gates the
+# identical min-label propagation), dd_semantic (rides the still-gated
+# IVF quantizer; near-dup tier keeps minhash/jaccard/winnow gated),
+# gr_kcore (graph tier keeps pagerank/triangles/communities + the
+# incoming bfs; kcore's checkpoint discipline stays plan-pinned),
+# pf_dq_checks (pf_ref_integrity keeps the rule-ledger family; the dq
+# fold stays batch≡stream-pinned in test_streaming.py), ts_cusum
+# (ts_ewma gates the keyed cumulative fold; cusum fold likewise
+# stream-pinned), ev_json_stats (semistruct parsing keeps 3-SF parity
+# with its schema-inference twin), cdc_snapshot_diff (cdc_upsert keeps
+# the CDC merge kernel gated).
 DRIVER_GATE = [
     "f1_filter_neq",
     "j2_broadcast_enrich",
@@ -133,18 +153,18 @@ DRIVER_GATE = [
     "cc2_relevance_ml",
     "cc3_amount_cascade",
     "ep2_cva_by_location",
-    "dd_exact_hash", "dd_minhash_lsh", "dd_winnow", "mm_phash_neardup",
+    "dd_norm_exact", "dd_minhash_lsh", "dd_winnow", "mm_phash_neardup",
     "ann_brute_topk", "mm_audio_dedup", "ann_ivf_topk", "tx_features",
     "m1_classifier_stub", "st_windowed_agg", "st_sessionize",
     "tj_asof_join", "tj_interval_join", "dd_decontam",
     "rt_rollup_hierarchy", "tx_pii_redact", "tx_repetition", "tx_chunk",
-    "dd_components", "dd_semantic", "gr_pagerank", "cdc_upsert",
+    "gx_spatial_clusters", "gx_radius_join", "gr_pagerank", "cdc_upsert",
     "ev_funnel", "pf_bootstrap", "pk_pack_audit", "ev_markov_stationary",
     "rt_bm25_topk", "jx_salted_join",
     "gr_triangles", "emb_kmeans", "pf_approx_distinct", "ts_ewma",
-    "ev_json_stats", "tx_jsd",
-    "dd_jaccard_join", "gr_kcore", "cdc_snapshot_diff", "pf_dq_checks",
-    "ts_cusum", "ev_itemsets", "pf_ref_integrity", "gr_communities",
+    "mm_scene_cuts", "tx_jsd",
+    "dd_jaccard_join", "gr_bfs", "ml_class_metrics", "pf_dataset_card",
+    "mm_frame_dedup", "ev_itemsets", "pf_ref_integrity", "gr_communities",
 ]
 
 
