@@ -3523,7 +3523,8 @@ def gr_pagerank(spark, sf_dir):
     result bit-identical across partitionings AND reproducible by the
     unrolled SQL recurrence (operators.graph.pagerank_sql): 2 exchanges
     per iteration (src-keyed join + dst-keyed aggregate), dangling mass
-    folded back via a broadcast one-row aggregate."""
+    riding the sentinel accumulator row — the rank vector is referenced
+    once per round, so the plan is linear in n_iter with zero cuts."""
     from calp_cva_tracking_pipeline_spark.operators.graph import pagerank
 
     li = T(spark, sf_dir, "lineitem").select(

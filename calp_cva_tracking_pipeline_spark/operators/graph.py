@@ -8,18 +8,21 @@ graph from ``dedup.py`` IS an edge list this consumes directly).
 
 Scale design:
 
-- Each iteration is one equi-join of the rank vector against the edge
-  list (both keyed on the source node) plus one destination-keyed
-  aggregation — the canonical 2-exchanges-per-iteration shape. At
-  cluster scale, pre-bucketing edges by ``src`` makes the join exchange
-  metadata-only; ranks are always node-count-sized (≪ edges).
-- Dangling mass (rank sitting on nodes with no out-edges) is folded
-  back uniformly each iteration via a ONE-ROW aggregate broadcast into
-  the update expression (crossJoin of a broadcast singleton — the same
-  bounded-statistic pattern as the percentile kernel; nothing large
-  ever reaches the driver, and the plan stays a single lazy DAG).
-- The node count is the only driver-side value (one bounded collect at
-  build time).
+- Each iteration is one null-safe equi-join of the rank vector against
+  the STATIC augmented contribution graph (keyed on the source node)
+  plus one destination-keyed aggregation — the canonical
+  2-exchanges-per-iteration shape, and the evolving frame is referenced
+  exactly ONCE per round, so the logical plan grows linearly in
+  n_iter with no lineage cuts. At cluster scale, pre-bucketing the
+  augmented edges by source makes the join exchange metadata-only;
+  ranks are always node-count-sized (≪ edges).
+- Dangling mass (rank sitting on nodes with no out-edges) rides a
+  SENTINEL row of the rank vector: static (dangling → sentinel,
+  share 1) edges collect it and static (sentinel → node, share N)
+  edges fan it back uniformly — one round lagged, initialized exactly
+  (see ``pagerank``'s docstring).
+- The node and source counts are the only driver-side values (two
+  bounded collects at build time).
 
 Determinism (why an iterative float algorithm can hash-match a SQL
 oracle): ranks live in integer NANO-UNITS (BIGINT). Every step — the
@@ -39,10 +42,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 RANK_SCALE = 1_000_000_000  # one unit of total rank mass, in nano-units
-# lineage-cut cadence for the iterative ranks frame: the plan between
-# cuts grows 2^k (AQE-collapsed at runtime), so the worst visible plan
-# is 2^4 copies of one RDD-rooted round — bounded at any n_iter
-_PR_CKPT_EVERY = 4
 
 
 def pagerank(
@@ -55,81 +54,141 @@ def pagerank(
     """Fixed-iteration PageRank. Returns (node, rank_nano) — integer
     nano-units per the module contract; rank_nano/1e9 is the usual
     probability-mass rank. Duplicate edges collapse (unweighted graph);
-    every node appearing as source OR destination is ranked, including
-    pure sinks (dangling nodes, whose mass redistributes uniformly).
+    edges with a NULL endpoint are dropped (a NULL end is a malformed
+    edge, and NULL is the sentinel key below); every node appearing as
+    source OR destination is ranked, including pure sinks.
 
-    Plan-scale contract: each round references the evolving ``ranks``
-    frame twice (the dangling-mass anti-join aggregate and the inflow
-    join), so without lineage truncation the logical plan DOUBLES per
-    iteration (measured scans 25 → 55 → 115 → 235 for n_iter 2 → 5 —
-    StackOverflow planning territory by n_iter ≈ 10). The duplicate
-    subtrees collapse at RUNTIME via AQE exchange reuse (2 exchanges
-    per iteration, judge-verified), so the defect is planning cost,
-    not execution — and a per-round ``localCheckpoint`` overcorrects:
-    measured 1.8-2.1s → 3.6-4.0s at sf0.1/n_iter=3, because every cut
-    forces a materialization barrier AQE can no longer fuse across.
-    The fix is a PERIODIC cut (every ``_PR_CKPT_EVERY`` rounds): the
-    visible plan is bounded by one cut window's expansion (≤ 2⁴ copies
-    of an RDD-rooted round) at ANY iteration count, while small
-    fixed-iteration runs — the catalog's n_iter=3 — pay zero cuts and
-    keep the fully-fused lazy plan. Values and ``pagerank_sql`` oracle
-    parity are untouched. Pinned plan-BOUNDED-in-rounds by
+    SINGLE-REFERENCE round (round 11; supersedes the r10 periodic
+    lineage cut): dangling mass no longer needs a second aggregate over
+    the evolving rank vector. The vector carries one SENTINEL row
+    (node = NULL) holding the dangling accumulator, and the STATIC
+    contribution graph is augmented with (dangling node → sentinel,
+    share 1) and (sentinel → every node, share N) edges. Each round is
+    then exactly ONE null-safe src-keyed join + ONE dst-keyed aggregate
+    + the node-frame left join — the evolving frame is referenced ONCE,
+    so the logical plan grows LINEARLY in n_iter with ZERO per-round
+    lineage cuts (the r9 plan doubled per round — scans 25 → 55 → 115
+    → 235 for n_iter 2 → 5; the r10 periodic cut bounded it at the
+    price of materialization barriers every 4th round). Only the two
+    static frames (augmented edges, node set) are checkpointed, once.
+
+    Semantics note: routing dangling mass through the sentinel makes it
+    re-enter circulation with a ONE-ROUND LAG (the standard single-pass
+    formulation — the sentinel receives this round's dangling mass
+    while fanning out last round's), initialized exactly (s₀ = the
+    uniform init's dangling sum), so round 1 matches the same-round
+    variant bit-for-bit and graphs with no dangling nodes match at
+    every round. At termination up to one round's dangling mass is in
+    transit in the sentinel (excluded from the output); ``pagerank_sql``
+    unrolls the identical recurrence, so oracle parity is exact. Plan
+    linearity pinned by
     tests/test_plan_shapes.py::test_pagerank_plan_bounded_in_rounds."""
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+    e = (
+        edges.filter(
+            F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+        )
+        .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
     )
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # one bounded driver-side statistic; everything else stays lazy
-    n = nodes.count()
+    # ONE materialization of the expensive shuffles (distinct + degree
+    # agg + join): every static frame below derives from this cached
+    # RDD, so the build phase never re-runs the raw edge pipeline
+    e_deg = e.join(deg, "src").localCheckpoint(eager=False)
+    nodes = (
+        e_deg.select(F.col("src").alias("node"))
+        .union(e_deg.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    srcs = e_deg.select("src").distinct()
+    # the two bounded driver-side statistics, folded into ONE action
+    stats = (
+        nodes.join(srcs, nodes["node"] == srcs["src"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.isnull("src").cast("long")), F.lit(0)
+            ).alias("nd"),
+        )
+        .collect()[0]
+    )
+    n, n_dang = stats["n"], stats["nd"]
     if n == 0:  # empty graph (e.g. an empty date slice): empty ranking
         return nodes.select(
             F.col("node"), F.lit(0).cast("bigint").alias("rank_nano")
         )
     base = (RANK_SCALE - damping_pct * RANK_SCALE // 100) // n
+    init = RANK_SCALE // n
+    ntype = nodes.schema["node"].dataType
+    null_node = F.lit(None).cast(ntype)
 
-    ranks = nodes.withColumn("rank", F.lit(RANK_SCALE // n))
-    # static across iterations; checkpointed so every round's visible
-    # plan starts from an RDD scan, not the re-expanded edge lineage
-    e_deg = e.join(deg, "src").localCheckpoint(eager=False)
-    for it in range(n_iter):
-        if it and it % _PR_CKPT_EVERY == 0:
-            # periodic lineage cut: bounds the doubled-per-round plan
-            # to one cut window's expansion without paying a fusion-
-            # breaking materialization barrier every round (docstring)
-            ranks = ranks.localCheckpoint(eager=False)
-        dangling = (
-            ranks.join(deg, ranks.node == deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dang"))
+    # static across iterations; checkpointed once so every round's
+    # visible plan starts from an RDD scan, not re-expanded edge lineage
+    aug = (
+        e_deg.select(
+            F.col("src").alias("asrc"),
+            F.col("dst").alias("adst"),
+            F.col("outdeg").cast("long").alias("share"),
         )
-        inflow = (
-            e_deg.join(ranks, e_deg.src == ranks.node)
+        .unionByName(
+            nodes.join(srcs, nodes["node"] == srcs["src"], "left_anti")
             .select(
-                F.col("dst").alias("node"),
-                F.expr("rank div outdeg").alias("c"),
+                F.col("node").alias("asrc"),
+                null_node.alias("adst"),
+                F.lit(1).cast("long").alias("share"),
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("inflow"))
         )
+        .unionByName(
+            nodes.select(
+                null_node.alias("asrc"),
+                F.col("node").alias("adst"),
+                F.lit(n).cast("long").alias("share"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes_aug = nodes.unionByName(
+        edges.sparkSession.range(1).select(null_node.alias("node"))
+    ).localCheckpoint(eager=False)
+
+    ranks = nodes_aug.select(
+        "node",
+        F.when(F.col("node").isNull(), F.lit(n_dang * init))
+        .otherwise(F.lit(init))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(n_iter):
+        contrib = ranks.join(
+            aug, ranks["node"].eqNullSafe(aug["asrc"])
+        ).select(
+            F.col("adst").alias("node"),
+            F.expr("rank div share").alias("c"),
+        )
+        g = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
         ranks = (
-            nodes.join(inflow, "node", "left")
-            .crossJoin(F.broadcast(dangling))
+            nodes_aug.join(
+                g, nodes_aug["node"].eqNullSafe(g["node"]), "left"
+            )
             .select(
-                "node",
-                (
+                nodes_aug["node"].alias("node"),
+                F.when(
+                    nodes_aug["node"].isNull(),
+                    F.coalesce(g["inflow"], F.lit(0)),
+                )
+                .otherwise(
                     F.lit(base)
                     + F.expr(
-                        f"({damping_pct} * (coalesce(inflow, 0)"
-                        f" + (dang div {n}))) div 100"
+                        f"({damping_pct} * coalesce(inflow, 0)) div 100"
                     )
-                ).alias("rank"),
+                )
+                .cast("long")
+                .alias("rank"),
             )
         )
-    return ranks.select("node", F.col("rank").alias("rank_nano"))
+    return ranks.filter(F.col("node").isNotNull()).select(
+        "node", F.col("rank").alias("rank_nano")
+    )
 
 
 def triangle_stats(
@@ -342,25 +401,37 @@ def pagerank_sql(
     n_iter: int = 3,
     damping_pct: int = 85,
 ) -> str:
-    """DuckDB oracle twin: the same integer recurrence, unrolled.
-    ``edges_cte`` is a SELECT yielding (src, dst); duplicates are
-    collapsed here, matching the operator."""
+    """DuckDB oracle twin: the same integer recurrence, unrolled — the
+    sentinel-accumulator (one-round-lag dangling) formulation the
+    operator runs. Round i reads the lagged dangling scalar s{i-1}
+    (s0 = the uniform init's dangling sum; s{i} = the dangling sum over
+    r{i-1}) instead of the same-round sum, exactly like the sentinel
+    row. ``edges_cte`` is a SELECT yielding (src, dst); duplicates
+    collapse and NULL-endpoint edges drop here, matching the
+    operator."""
     d = damping_pct
     s = RANK_SCALE
     parts = [
-        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_cte}) raw)",
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_cte}) raw"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL)",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1)",
         "n AS (SELECT COUNT(*) AS cnt FROM nodes)",
         f"r0 AS (SELECT node, {s} // cnt AS rank FROM nodes CROSS JOIN n)",
+        f"s0 AS (SELECT (SELECT COUNT(*) FROM nodes LEFT JOIN deg "
+        f"ON nodes.node = deg.src WHERE deg.src IS NULL)"
+        f" * ({s} // cnt) AS sv FROM n)",
     ]
     for i in range(1, n_iter + 1):
         p, c = f"r{i - 1}", f"r{i}"
-        parts.append(
-            f"d{i} AS (SELECT COALESCE(SUM(r.rank), 0) AS dang "
-            f"FROM {p} r LEFT JOIN deg ON r.node = deg.src "
-            f"WHERE deg.src IS NULL)"
-        )
+        if i > 1:
+            # the lagged accumulator: dangling sum over the PREVIOUS
+            # vector (what the sentinel row holds entering round i)
+            parts.append(
+                f"s{i - 1} AS (SELECT COALESCE(SUM(r.rank), 0) AS sv "
+                f"FROM r{i - 2} r LEFT JOIN deg ON r.node = deg.src "
+                f"WHERE deg.src IS NULL)"
+            )
         parts.append(
             f"c{i} AS (SELECT e.dst AS node, "
             f"SUM(r.rank // deg.outdeg) AS inflow "
@@ -373,9 +444,9 @@ def pagerank_sql(
         parts.append(
             f"{c} AS (SELECT nodes.node, "
             f"({base_num} // cnt) "
-            f"+ ({d} * (COALESCE(c{i}.inflow, 0) + (d{i}.dang // cnt)))"
+            f"+ ({d} * (COALESCE(c{i}.inflow, 0) + (s{i - 1}.sv // cnt)))"
             f" // 100 AS rank "
-            f"FROM nodes CROSS JOIN n CROSS JOIN d{i} "
+            f"FROM nodes CROSS JOIN n CROSS JOIN s{i - 1} "
             f"LEFT JOIN c{i} ON nodes.node = c{i}.node)"
         )
     body = ",\n".join(parts)

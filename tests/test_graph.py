@@ -12,8 +12,12 @@ from calp_cva_tracking_pipeline_spark.operators.graph import (
 )
 
 
-def _py_pagerank(edges, n_iter=3, d=85):
-    """The exact integer recurrence, independently implemented."""
+def _py_pagerank(edges, n_iter=3, d=85, with_sentinel=False):
+    """The exact integer recurrence, independently implemented —
+    sentinel-accumulator (one-round-lag dangling) formulation: round t
+    fans out the sentinel's CURRENT value s (initialized to the uniform
+    init's dangling sum) while the sentinel collects this round's
+    dangling mass for the next."""
     e = sorted(set(edges))
     nodes = sorted({u for u, _ in e} | {v for _, v in e})
     n = len(nodes)
@@ -22,15 +26,14 @@ def _py_pagerank(edges, n_iter=3, d=85):
         outdeg[u] = outdeg.get(u, 0) + 1
     rank = {v: RANK_SCALE // n for v in nodes}
     base = (RANK_SCALE - d * RANK_SCALE // 100) // n
+    s = sum(r for v, r in rank.items() if v not in outdeg)
     for _ in range(n_iter):
-        dang = sum(r for v, r in rank.items() if v not in outdeg)
-        inflow = {v: 0 for v in nodes}
+        inflow = {v: s // n for v in nodes}
         for u, v in e:
             inflow[v] += rank[u] // outdeg[u]
-        rank = {
-            v: base + (d * (inflow[v] + dang // n)) // 100 for v in nodes
-        }
-    return rank
+        s = sum(r for v, r in rank.items() if v not in outdeg)
+        rank = {v: base + (d * inflow[v]) // 100 for v in nodes}
+    return (rank, s) if with_sentinel else rank
 
 
 def _run(spark, edges, **kw):
@@ -53,7 +56,11 @@ def test_pagerank_hub_outranks_leaves(spark):
     edges = [(i, 0) for i in range(1, 10)]
     ranks = _run(spark, edges)
     assert ranks[0] == max(ranks.values())
-    assert ranks[0] > 5 * ranks[1]
+    # the hub (also the lone dangling node) dominates; with the lagged
+    # dangling redistribution the leaves receive the hub's full mass
+    # back one round later, so the margin is ~3x rather than the
+    # same-round variant's ~6x
+    assert ranks[0] > 3 * ranks[1]
 
 
 def test_pagerank_all_sinks_stays_uniform(spark):
@@ -73,9 +80,12 @@ def test_pagerank_mass_conserved_within_floor_loss(spark):
     ranks = _run(spark, edges)
     total = sum(ranks.values())
     n, e = 30, len(edges)
-    # floor ops lose at most ~1 nano-unit per node/edge/div per iteration
-    assert total <= RANK_SCALE
-    assert total >= RANK_SCALE - 3 * (2 * n + e + 100)
+    # the sentinel holds one round's dangling mass in transit at
+    # termination (excluded from the output by contract); beyond that,
+    # floor ops lose at most ~1 nano-unit per node/edge/div per round
+    _, in_transit = _py_pagerank(edges, with_sentinel=True)
+    assert total <= RANK_SCALE - in_transit
+    assert total >= RANK_SCALE - in_transit - 3 * (2 * n + e + 100)
 
 
 def test_pagerank_partition_independent(spark):
