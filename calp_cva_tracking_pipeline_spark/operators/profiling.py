@@ -1219,9 +1219,38 @@ def chi2_independence(
     micro-nats). NULL category values group as their own class (they are
     a real category operationally).
     """
-    cells = df.groupBy(
-        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
-    ).agg(F.count(F.lit(1)).alias("__o"))
+    return chi2_from_cells(
+        chi2_cells(df, col_a, col_b), round_to=round_to
+    )
+
+
+def chi2_cells(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Per-batch (a, b, obs) contingency cells — the map half of the
+    streaming chi-square resident: cells fold ADDITIVELY across
+    micro-batches (append per-batch cells, sum per cell), and
+    ``chi2_from_cells`` over the folded ledger equals the one-shot
+    ``chi2_independence`` — the psi/ks/kappa foreachBatch discipline
+    (tests/test_streaming.py). NULL categories stay real classes."""
+    return df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+
+
+def chi2_from_cells(cells: DataFrame, round_to: int = 6) -> DataFrame:
+    """Chi-square readout from a PRE-AGGREGATED (a, b, obs) contingency
+    ledger — the streaming-foldable half of ``chi2_independence`` (see
+    its docstring for the math). Re-aggregates per cell first so an
+    appended multi-batch ledger and a one-shot table read identically;
+    the re-aggregation rides the cells' (a, b) hash partitioning."""
+    cells = (
+        cells.select(
+            F.col("a").alias("__a"),
+            F.col("b").alias("__b"),
+            F.col("obs").cast("bigint").alias("__o"),
+        )
+        .groupBy("__a", "__b")
+        .agg(F.sum("__o").alias("__o"))
+    )
     ra = cells.groupBy("__a").agg(F.sum("__o").alias("__rt"))
     cb = cells.groupBy("__b").agg(F.sum("__o").alias("__ct"))
     # struct wrappers make the class counts NULL-safe: a NULL category is

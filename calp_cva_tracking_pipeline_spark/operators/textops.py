@@ -924,17 +924,54 @@ def corpus_js_divergence(
     corpus (empty rest) emit NULL jsd. Engine addition; no reference
     counterpart.
     """
+    return jsd_from_token_counts(
+        jsd_token_cells(df, group_col, text_col), group_col
+    )
+
+
+def jsd_token_cells(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-batch (group, token, cnt) unigram cells — the map half of the
+    streaming JSD resident: token counts fold ADDITIVELY across
+    micro-batches (append per-batch cells, sum per cell), and
+    ``jsd_from_token_counts`` over the folded ledger equals the one-shot
+    ``corpus_js_divergence`` — the psi/ks/kappa/cusum foreachBatch
+    discipline (tests/test_streaming.py)."""
     # NULL group keys drop up front: the downstream join would push an
     # isnotnull(group) predicate into SOME branches of the shared count
     # lineage but not others, making the subplans non-identical and
     # defeating exchange reuse — the tokenize+explode would execute once
     # per branch instead of once (measured: 2x at 4 consumers).
-    toks = df.filter(F.col(group_col).isNotNull()).select(
-        F.col(group_col).alias("__g"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("__t"),
+    return (
+        df.filter(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    cnt = toks.groupBy("__g", "__t").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__c")
+
+
+def jsd_from_token_counts(cells: DataFrame, group_col: str) -> DataFrame:
+    """JSD readout from a PRE-AGGREGATED (group, token, cnt) ledger —
+    the streaming-foldable half of ``corpus_js_divergence`` (see its
+    docstring for the math and scale shape). Re-aggregates per cell
+    first, so an appended multi-batch ledger and a one-shot cell table
+    read identically; the re-aggregation rides the cells' existing
+    (group, token) hash partitioning — no extra exchange in the
+    one-shot path."""
+    cnt = (
+        cells.select(
+            F.col(group_col).alias("__g"),
+            F.col("token").alias("__t"),
+            F.col("cnt").cast("bigint").alias("__c"),
+        )
+        .groupBy("__g", "__t")
+        .agg(F.sum("__c").cast("bigint").alias("__c"))
     )
     glob = cnt.groupBy("__t").agg(F.sum("__c").cast("bigint").alias("__gt"))
     per_g = cnt.groupBy("__g").agg(F.sum("__c").cast("bigint").alias("__tg"))

@@ -1186,3 +1186,106 @@ def test_foreachbatch_ks_value_ledger_folds_to_batch(
     for c in one_shot:
         for k in ("ks", "n_base", "n_cur"):
             assert folded[c][k] == one_shot[c][k], (c, k)
+
+
+def test_foreachbatch_jsd_token_cells_fold_to_batch(
+    spark, sf_dir, tmp_path
+):
+    """Streaming composition-drift monitor, JSD half: per micro-batch
+    the (group, token, cnt) unigram cells append to a ledger;
+    jsd_from_token_counts over the folded ledger equals the one-shot
+    corpus_js_divergence on the full corpus — token counts fold
+    additively and the nano-pinned per-token math is shared code
+    (VERDICT r10 ask #3)."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        corpus_js_divergence,
+        jsd_from_token_counts,
+        jsd_token_cells,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    one_shot = {
+        r.source: r.asDict()
+        for r in corpus_js_divergence(docs, "source").collect()
+    }
+
+    ledger_path = str(tmp_path / "jsd_ledger")
+
+    def process(batch_df, batch_id):
+        jsd_token_cells(batch_df, "source").write.mode("append").parquet(
+            ledger_path
+        )
+
+    reader = _file_stream_batches(spark, tmp_path, docs, "doc_id", 3, "jsd")
+    q = (
+        reader.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "jsd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    folded = {
+        r.source: r.asDict()
+        for r in jsd_from_token_counts(
+            spark.read.parquet(ledger_path), "source"
+        )
+        .orderBy("source")
+        .collect()
+    }
+    assert sorted(folded) == sorted(one_shot)
+    for g in one_shot:
+        for k in ("n_tokens", "n_rest_tokens", "jsd"):
+            assert folded[g][k] == one_shot[g][k], (g, k)
+
+
+def test_foreachbatch_chi2_cells_fold_to_batch(spark, sf_dir, tmp_path):
+    """Streaming categorical-drift monitor, chi-square half: per
+    micro-batch the (a, b, obs) contingency cells append to a ledger;
+    chi2_from_cells over the folded ledger equals the one-shot
+    chi2_independence on the full table — contingency cells fold
+    additively, the kappa-ledger shape (VERDICT r10 ask #3)."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        chi2_cells,
+        chi2_from_cells,
+        chi2_independence,
+    )
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id", "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    )
+    one_shot = chi2_independence(e, "event_type", "dow").collect()[0]
+
+    ledger_path = str(tmp_path / "chi2_ledger")
+
+    def process(batch_df, batch_id):
+        chi2_cells(batch_df, "event_type", "dow").write.mode(
+            "append"
+        ).parquet(ledger_path)
+
+    reader = _file_stream_batches(
+        spark, tmp_path, e, "event_id", 3, "chi2"
+    )
+    q = (
+        reader.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "chi2_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    folded = chi2_from_cells(spark.read.parquet(ledger_path)).collect()[0]
+    for k in ("n", "dof", "chi2"):
+        assert folded[k] == one_shot[k], k
