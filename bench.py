@@ -217,36 +217,44 @@ def main() -> None:
     # deltas — a median-of-5 pulls the published number back inside a
     # +-20% band of the true median (GC/stage-scheduling noise scales
     # with query weight, so only the heavy tier pays the extra runs).
+    # Round 11 (VERDICT r10 ask #7): the heavy tier ALSO discards its
+    # FIRST timed round from the median — r10's run arrays showed it
+    # still carrying residual cold cost (gr_triangles 4.89s vs a
+    # 3.31-3.92 warm band, gr_pagerank 3.52 vs ~2.2) even after the
+    # untimed warm-up. It is published separately as "cold" in
+    # BENCH_DETAIL so the cost stays visible, and "spread" covers only
+    # the warm runs the median is drawn from.
     HEAVY_CUTOFF_S = 2.0
 
     def run_suite(
         run_dir: str, label: str, extra_heavy_runs: bool = False
-    ) -> tuple[dict[str, float], dict[str, list[float]]]:
+    ) -> tuple[
+        dict[str, float], dict[str, list[float]], dict[str, float]
+    ]:
         timings: dict[str, float] = {}
         raw: dict[str, list[float]] = {}
+        cold: dict[str, float] = {}
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.time()
             n = fn(spark, run_dir).count()
             runs = [round(time.time() - t0, 3)]
-            n_timed = (
-                5
-                if extra_heavy_runs and runs[0] >= HEAVY_CUTOFF_S
-                else 3
-            )
-            for _ in range(n_timed):
+            heavy = extra_heavy_runs and runs[0] >= HEAVY_CUTOFF_S
+            for _ in range(5 if heavy else 3):
                 t0 = time.time()
                 n = fn(spark, run_dir).count()
                 runs.append(round(time.time() - t0, 3))
             raw[name] = runs
-            timed = sorted(runs[1:])
-            timings[name] = timed[len(timed) // 2]
+            if heavy:
+                cold[name] = runs[1]
+            warm = sorted(runs[2:] if heavy else runs[1:])
+            timings[name] = warm[len(warm) // 2]
             print(
                 f"# [{label}] {name}: {timings[name]}s ({n} rows; runs "
                 f"{runs})",
                 file=sys.stderr,
             )
-        return timings, raw
+        return timings, raw, cold
 
     small_dir = os.environ.get(
         "SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01"
@@ -254,10 +262,10 @@ def main() -> None:
     m2 = re.search(r"sf([0-9.]+)", small_dir)
     sf_small = float(m2.group(1)) if m2 else -1.0
     if os.path.isdir(small_dir):
-        small, small_raw = run_suite(small_dir, f"sf{sf_small}")
+        small, small_raw, _ = run_suite(small_dir, f"sf{sf_small}")
     else:
         small, small_raw = {}, {}
-    timings, raw = run_suite(sf_dir, f"sf{sf}", extra_heavy_runs=True)
+    timings, raw, cold = run_suite(sf_dir, f"sf{sf}", extra_heavy_runs=True)
     ratios = {
         name: round(timings[name] / small[name], 2)
         for name in timings
@@ -314,16 +322,26 @@ def main() -> None:
         "scaling_ratio": ratios,
         "runs": raw,
         "runs_small": small_raw,
-        # per-query spread of the 3 TIMED runs (warm-up runs[0] excluded):
-        # the permanent drift-vs-noise separator the round-7 verdict asked
-        # for — a round-over-round median delta inside the other round's
-        # [min, max] band is noise, outside it is drift worth attributing.
+        # per-query spread of the WARM timed runs (warm-up runs[0]
+        # excluded; for the heavy tier the first timed round — published
+        # in "cold" — is excluded too): the permanent drift-vs-noise
+        # separator the round-7 verdict asked for — a round-over-round
+        # median delta inside the other round's [min, max] band is
+        # noise, outside it is drift worth attributing.
         "spread": {
-            n: [min(r[1:]), max(r[1:])] for n, r in raw.items()
+            n: (
+                [min(r[2:]), max(r[2:])]
+                if n in cold
+                else [min(r[1:]), max(r[1:])]
+            )
+            for n, r in raw.items()
         },
         "spread_small": {
             n: [min(r[1:]), max(r[1:])] for n, r in small_raw.items()
         },
+        # heavy-tier first timed rounds (residual cold cost, excluded
+        # from the medians — VERDICT r10 ask #7)
+        "cold": cold,
     }
     if proxy:
         detail["proxy"] = proxy

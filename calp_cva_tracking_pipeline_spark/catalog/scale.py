@@ -9596,6 +9596,270 @@ ORDER BY dim
 """
 
 
+# --- Round-11 capstone: the full release report ------------------------------
+
+_RELEASE_CARD_METRICS = [
+    "n_docs", "n_sources", "n_langs", "total_tokens", "total_chars",
+    "exact_dup_ppm", "lang_entropy_nats", "mean_doc_tokens",
+    "short_doc_ppm",
+]
+
+
+def pf_release_report(spark, sf_dir):
+    """The full release report (VERDICT r10 ask #5): the four corners of
+    a training-data release — global dataset card, per-source profile,
+    per-source token-distribution divergence (tx_jsd's kernel), and the
+    cross-split contamination cells (dd_split_leakage's kernel) — in
+    ONE long-format frame (section, key_a, key_b, metric, value).
+
+    Shared-lineage shape: the card AND the per-source profile both
+    derive from ONE (source, lang, digest) cell aggregation, so its
+    exchange is planned once and ReusedExchange fires for the other
+    consumers (plan-pinned, the pipelines.py / tx_jsd discipline);
+    divergence and leakage ride the same documents scan through their
+    own kernels (scan reuse — their exchanges are theirs). Card/profile
+    formulas are bit-identical to pf_dataset_card's (the oracle embeds
+    PF_CARD2_SQL verbatim); counts travel as exact doubles < 2^53."""
+    from calp_cva_tracking_pipeline_spark.functions.text import (
+        token_count,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        split_leakage_audit,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        corpus_js_divergence,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    toks = F.when(F.col("text").isNotNull(), token_count(F.col("text")))
+    base = d.select(
+        "source",
+        "lang",
+        F.md5("text").alias("__dig"),
+        toks.alias("__tok"),
+        F.length("text").alias("__chars"),
+    )
+    cells = base.groupBy("source", "lang", "__dig").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.coalesce(F.sum("__tok"), F.lit(0)).cast("bigint").alias("__ts"),
+        F.coalesce(F.sum("__chars"), F.lit(0))
+        .cast("bigint")
+        .alias("__cs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__tok") < CARD_SHORT_TOKENS, 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("__sh"),
+    )
+    n_text = F.sum(
+        F.when(F.col("__dig").isNotNull(), F.col("__n")).otherwise(0)
+    ).cast("bigint")
+    card = cells.agg(
+        F.sum("__n").cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("__ts").cast("bigint").alias("total_tokens"),
+        F.sum("__cs").cast("bigint").alias("total_chars"),
+        n_text.alias("__nt"),
+        F.countDistinct("__dig").cast("bigint").alias("__nd"),
+        F.sum("__sh").cast("bigint").alias("__ns"),
+    )
+    from pyspark.sql import Window
+
+    lang_counts = (
+        cells.filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.sum("__n").cast("bigint").alias("__c"))
+    )
+    tot_w = Window.partitionBy()
+    frac = F.col("__c").cast("double") / F.sum("__c").over(tot_w).cast(
+        "double"
+    )
+    ent_nano = F.round(
+        F.round(frac * F.log(frac) * F.lit(-1.0), 9) * 1e9, 0
+    ).cast("long")
+    entropy = lang_counts.select(ent_nano.alias("__e")).agg(
+        F.coalesce(F.sum("__e"), F.lit(0)).alias("__ent")
+    )
+
+    def _dup_ppm(nt, nd):
+        return F.when(
+            nt > 0,
+            F.round((F.lit(1.0) - nd.cast("double") / nt.cast("double"))
+                    * 1e6, 0),
+        ).cast("double")
+
+    def _ratio(nt, num, dp, scale=1.0):
+        return F.when(
+            nt > 0,
+            F.round(num.cast("double") * scale / nt.cast("double"), dp),
+        ).cast("double")
+
+    card_vals = card.crossJoin(F.broadcast(entropy)).select(
+        F.col("n_docs").cast("double").alias("n_docs"),
+        F.col("n_sources").cast("double").alias("n_sources"),
+        F.col("n_langs").cast("double").alias("n_langs"),
+        F.col("total_tokens").cast("double").alias("total_tokens"),
+        F.col("total_chars").cast("double").alias("total_chars"),
+        _dup_ppm(F.col("__nt"), F.col("__nd")).alias("exact_dup_ppm"),
+        F.round(F.col("__ent").cast("double") / 1e9, 6)
+        .cast("double")
+        .alias("lang_entropy_nats"),
+        _ratio(F.col("__nt"), F.col("total_tokens"), 6).alias(
+            "mean_doc_tokens"
+        ),
+        _ratio(F.col("__nt"), F.col("__ns"), 0, 1e6).alias(
+            "short_doc_ppm"
+        ),
+    )
+    card_stack = ", ".join(
+        f"'{m}', {m}" for m in _RELEASE_CARD_METRICS
+    )
+    card_long = card_vals.select(
+        F.lit("card").alias("section"),
+        F.lit("(all)").alias("key_a"),
+        F.lit(None).cast("string").alias("key_b"),
+        F.expr(
+            f"stack({len(_RELEASE_CARD_METRICS)}, {card_stack})"
+            " AS (metric, value)"
+        ),
+    )
+
+    prof = cells.groupBy("source").agg(
+        F.sum("__n").cast("bigint").alias("__pn"),
+        F.sum("__ts").cast("bigint").alias("__pt"),
+        n_text.alias("__pnt"),
+        F.countDistinct("__dig").cast("bigint").alias("__pnd"),
+        F.sum("__sh").cast("bigint").alias("__pns"),
+    )
+    prof_long = prof.select(
+        "source",
+        F.col("__pn").cast("double").alias("__v1"),
+        F.col("__pt").cast("double").alias("__v2"),
+        _dup_ppm(F.col("__pnt"), F.col("__pnd")).alias("__v3"),
+        _ratio(F.col("__pnt"), F.col("__pt"), 6).alias("__v4"),
+        _ratio(F.col("__pnt"), F.col("__pns"), 0, 1e6).alias("__v5"),
+    ).select(
+        F.lit("profile").alias("section"),
+        F.col("source").alias("key_a"),
+        F.lit(None).cast("string").alias("key_b"),
+        F.expr(
+            "stack(5, 'n_docs', __v1, 'total_tokens', __v2,"
+            " 'exact_dup_ppm', __v3, 'mean_doc_tokens', __v4,"
+            " 'short_doc_ppm', __v5) AS (metric, value)"
+        ),
+    )
+
+    jsd_long = corpus_js_divergence(d, "source", "text").select(
+        F.lit("divergence").alias("section"),
+        F.col("source").alias("key_a"),
+        F.lit(None).cast("string").alias("key_b"),
+        F.lit("jsd").alias("metric"),
+        F.col("jsd").cast("double").alias("value"),
+    )
+    leak_long = split_leakage_audit(
+        d,
+        "doc_id",
+        "text",
+        splits={"train": 0.8, "val": 0.1, "test": 0.1},
+        k=WINNOW_K,
+        window=WINNOW_W,
+        max_docs_per_fp=WINNOW_CAP,
+        max_docs_per_hash=LEAK_CAP_EXACT,
+        seed=LEAK_SEED,
+    ).select(
+        F.lit("leakage").alias("section"),
+        F.col("split_a").alias("key_a"),
+        F.col("split_b").alias("key_b"),
+        F.expr(
+            "stack(2, 'n_exact_pairs', CAST(n_exact_pairs AS DOUBLE),"
+            " 'n_near_pairs', CAST(n_near_pairs AS DOUBLE))"
+            " AS (metric, value)"
+        ),
+    )
+    return (
+        card_long.unionByName(prof_long)
+        .unionByName(jsd_long)
+        .unionByName(leak_long)
+        .orderBy("section", "key_a", "key_b", "metric")
+    )
+
+
+def _release_sql() -> str:
+    card_sel = "\nUNION ALL\n".join(
+        f"SELECT 'card' AS section, '(all)' AS key_a,"
+        f" CAST(NULL AS VARCHAR) AS key_b, '{m}' AS metric,"
+        f" CAST({m} AS DOUBLE) AS value FROM card"
+        for m in _RELEASE_CARD_METRICS
+    )
+    prof_metrics = {
+        "n_docs": "CAST(n_docs AS DOUBLE)",
+        "total_tokens": "CAST(total_tokens AS DOUBLE)",
+        "exact_dup_ppm": (
+            "CASE WHEN n_text > 0 THEN CAST(ROUND((1.0 -"
+            " CAST(n_dig AS DOUBLE) / CAST(n_text AS DOUBLE)) * 1e6, 0)"
+            " AS DOUBLE) END"
+        ),
+        "mean_doc_tokens": (
+            "CASE WHEN n_text > 0 THEN CAST(ROUND("
+            "CAST(total_tokens AS DOUBLE) / CAST(n_text AS DOUBLE), 6)"
+            " AS DOUBLE) END"
+        ),
+        "short_doc_ppm": (
+            "CASE WHEN n_text > 0 THEN CAST(ROUND("
+            "CAST(n_short AS DOUBLE) * 1e6 / CAST(n_text AS DOUBLE), 0)"
+            " AS DOUBLE) END"
+        ),
+    }
+    prof_sel = "\nUNION ALL\n".join(
+        f"SELECT 'profile' AS section, source AS key_a,"
+        f" CAST(NULL AS VARCHAR) AS key_b, '{m}' AS metric,"
+        f" {expr} AS value FROM prof"
+        for m, expr in prof_metrics.items()
+    )
+    return rf"""
+WITH card AS ({PF_CARD2_SQL}),
+prof AS (
+  WITH pb AS (
+    SELECT source, text, md5(text) AS dig,
+           CASE WHEN text IS NULL THEN NULL
+                WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+    FROM documents)
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(tok), 0) AS BIGINT) AS total_tokens,
+         CAST(COUNT(text) AS BIGINT) AS n_text,
+         CAST(COUNT(DISTINCT dig) AS BIGINT) AS n_dig,
+         CAST(COALESCE(SUM(CASE WHEN tok < {CARD_SHORT_TOKENS}
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_short
+  FROM pb GROUP BY source),
+jsd AS ({TX_JSD_SQL}),
+leak AS ({DD_LEAK_SQL})
+{card_sel}
+UNION ALL
+{prof_sel}
+UNION ALL
+SELECT 'divergence', source, CAST(NULL AS VARCHAR), 'jsd',
+       CAST(jsd AS DOUBLE) FROM jsd
+UNION ALL
+SELECT 'leakage', split_a, split_b, 'n_exact_pairs',
+       CAST(n_exact_pairs AS DOUBLE) FROM leak
+UNION ALL
+SELECT 'leakage', split_a, split_b, 'n_near_pairs',
+       CAST(n_near_pairs AS DOUBLE) FROM leak
+ORDER BY section, key_a, key_b, metric
+"""
+
+
+PF_RELEASE_SQL = _release_sql()
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -9797,4 +10061,6 @@ SCALE_QUERIES = {
     "gx_spatial_clusters": (gx_spatial_clusters, GX_CLUSTERS_SQL),
     "mx_epoch_plan": (mx_epoch_plan, MX_EPOCH_SQL),
     "mm_frame_dedup": (mm_frame_dedup, MM_FRAME_DEDUP_SQL),
+    # thirty-sixth wave (round 11)
+    "pf_release_report": (pf_release_report, PF_RELEASE_SQL),
 }

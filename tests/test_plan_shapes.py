@@ -739,3 +739,19 @@ def test_wave22_25_tier_plan_shapes(spark, sf_dir):
     s4, s8 = p4.count("Scan parquet"), p8.count("Scan parquet")
     # linear: doubling rounds must not much more than double scans
     assert s8 <= 2 * s4 + 4, (s4, s8)
+
+
+def test_release_report_shares_cell_exchange(spark, sf_dir):
+    """pf_release_report's card and per-source profile both derive from
+    ONE (source, lang, digest) cell aggregation — the shared exchange
+    must be planned once and reused by the other consumers (the
+    tx_jsd/pipelines.py discipline; VERDICT r10 ask #5). AQE spells the
+    reuse ReusedExchange on the tuned session — assert on the
+    post-action executed plan."""
+    df = S.pf_release_report(spark, sf_dir)
+    df.collect()
+    plan = _executed(df)
+    assert plan.count("ReusedExchange") + plan.count(
+        "ReusedQueryStage"
+    ) >= 2, plan.count("ReusedExchange")
+    assert "CartesianProduct" not in plan
