@@ -9596,6 +9596,309 @@ ORDER BY dim
 """
 
 
+# --- Round-11 wave 37: video-level near-dup ----------------------------------
+
+VNEAR_CAP = 64
+
+
+def mm_video_neardup(spark, sf_dir):
+    """Video-level near-duplicate pairs by shared decoded-frame content
+    (operators.videoseq.video_neardup_pairs): re-cut edits of common
+    footage pair with their frame-set Jaccard even without whole-video
+    identity. Corpus: every 3 consecutive doc_ids share two md5-derived
+    scenes cut at rank-shifted frames, and each video carries
+    doc_id % 3 UNIQUE leading frames — so within-group pairs share 1-2
+    scene digests out of 2-4 distinct frames (varied exact-integer
+    jaccards, non-degenerate operating point), cross-group pairs share
+    nothing. ONE decode pass (shared _frame_digests stage), bucketed
+    pair expansion, never a decode self-join."""
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.videoseq import (
+        synthesize_frsq_payloads,
+        video_neardup_pairs,
+    )
+
+    d = spread_small_input(T(spark, sf_dir, "documents").select("doc_id"))
+    npx = VSEQ_W * VSEQ_H
+    h60 = "CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+    cut = "(((doc_id DIV 3) * 13 + (doc_id % 3) * 7) % 6 + 1)"
+    scene = f"IF(f >= {cut}, 1, 0)"
+    key = (
+        "IF(f < doc_id % 3,"
+        " concat('vu|', CAST(doc_id AS STRING), '|', CAST(f AS STRING),"
+        " '|', CAST(p AS STRING)),"
+        " concat('vg|', CAST(doc_id DIV 3 AS STRING), '|',"
+        f" CAST({scene} AS STRING), '|', CAST(p AS STRING)))"
+    )
+    vh = h60.format(s=key)
+    synth = d.select(
+        "doc_id",
+        F.expr(
+            f"""transform(sequence(0, {VSEQ_FRAMES - 1}), f ->
+                  transform(sequence(0, {npx - 1}), p ->
+                    CAST(({vh}) % 256 AS INT)))"""
+        ).alias("frames"),
+    )
+    vids = synthesize_frsq_payloads(
+        synth, "doc_id", "frames", VSEQ_W, VSEQ_H
+    )
+    return video_neardup_pairs(
+        vids, "doc_id", "payload",
+        min_shared=1, max_videos_per_frame=VNEAR_CAP,
+    )
+
+
+MM_VIDEO_NEARDUP_SQL = f"""
+WITH fr AS (SELECT unnest(generate_series(0, {VSEQ_FRAMES - 1})) AS f),
+px AS (SELECT unnest(generate_series(0, {VSEQ_W * VSEQ_H - 1})) AS p),
+cells AS (
+  SELECT doc_id, f, p,
+         CASE WHEN f >= (((doc_id // 3) * 13 + (doc_id % 3) * 7) % 6 + 1)
+              THEN 1 ELSE 0 END AS s
+  FROM documents CROSS JOIN fr CROSS JOIN px),
+vals AS (
+  SELECT doc_id, f, p,
+         CAST(CAST(('0x' || substring(md5(
+             CASE WHEN f < doc_id % 3
+                  THEN 'vu|' || CAST(doc_id AS VARCHAR) || '|' ||
+                       CAST(f AS VARCHAR) || '|' || CAST(p AS VARCHAR)
+                  ELSE 'vg|' || CAST(doc_id // 3 AS VARCHAR) || '|' ||
+                       CAST(s AS VARCHAR) || '|' || CAST(p AS VARCHAR)
+             END), 1, 15)) AS UBIGINT) AS BIGINT) % 256 AS v
+  FROM cells),
+digs AS (
+  SELECT doc_id AS m, f,
+         md5('{VSEQ_W}x{VSEQ_H}:'
+             || string_agg(CAST(v AS VARCHAR), ',' ORDER BY p)) AS digest
+  FROM vals GROUP BY doc_id, f),
+vf AS (SELECT DISTINCT m, digest FROM digs),
+vc AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS nf FROM vf GROUP BY m),
+buck AS (
+  SELECT digest FROM (
+    SELECT digest, COUNT(*) AS c FROM vf GROUP BY digest) b
+  WHERE c BETWEEN 2 AND {VNEAR_CAP}),
+pairs AS (
+  SELECT a.m AS id_a, b.m AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_frames
+  FROM vf a JOIN vf b USING (digest)
+  WHERE a.m < b.m AND digest IN (SELECT digest FROM buck)
+  GROUP BY 1, 2)
+SELECT id_a, id_b, shared_frames,
+       ca.nf AS n_frames_a, cb.nf AS n_frames_b,
+       CAST(1000000 * shared_frames
+            // (ca.nf + cb.nf - shared_frames) AS BIGINT) AS jaccard_ppm
+FROM pairs JOIN vc ca ON ca.m = id_a JOIN vc cb ON cb.m = id_b
+WHERE shared_frames >= 1
+ORDER BY id_a, id_b
+"""
+
+
+# --- Round-11 wave 37: embedding training-data ops ---------------------------
+
+HARDNEG_K = 3
+
+
+def emb_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (operators.similarity.hard_negatives): per
+    anchor, the 3 most-similar DIFFERENT-label vectors within its
+    nprobe IVF cells — the contrastive-pair construction step (easy
+    random negatives teach nothing). Rides the same deterministic
+    quantizer and probe discipline as ann_ivf_topk; label mismatch is a
+    residual filter before the rank cut."""
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return hard_negatives(
+        e, q, "vec_id", "embedding", "label",
+        "vec_id", "embedding", "label",
+        n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE, k=HARDNEG_K,
+    )
+
+
+EMB_HARDNEG_SQL = f"""
+WITH c AS (SELECT vec_id, label,
+                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT CAST(vec_id AS BIGINT) AS centroid_id, v AS cv
+  FROM c ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+assign AS (
+  SELECT vec_id, label, centroid_id AS cell FROM (
+    SELECT a.vec_id, a.label, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_IVF_D2.format(a='a.v', b='cent.cv')}, cent.centroid_id
+           ) AS rn
+    FROM c a CROSS JOIN cent) t
+  WHERE rn = 1 AND label IS NOT NULL),
+probes AS (
+  SELECT query_id, query_label, centroid_id AS cell FROM (
+    SELECT q.vec_id AS query_id, q.label AS query_label,
+           cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_IVF_D2.format(a='q.v', b='cent.cv')}, cent.centroid_id
+           ) AS pr
+    FROM (SELECT * FROM c
+          WHERE vec_id < {N_QUERIES} AND label IS NOT NULL) q
+    CROSS JOIN cent) t
+  WHERE pr <= {IVF_NPROBE}),
+scored AS (
+  SELECT p.query_id, a.vec_id AS negative_id,
+         p.query_label, a.label AS negative_label,
+         ROUND(list_dot_product(qv.v, av.v) /
+               (sqrt(list_dot_product(qv.v, qv.v))
+                * sqrt(list_dot_product(av.v, av.v))), 6) AS cosine
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.label <> p.query_label
+  JOIN c qv ON qv.vec_id = p.query_id
+  JOIN c av ON av.vec_id = a.vec_id)
+SELECT query_id, negative_id, query_label, negative_label, cosine,
+       CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, negative_id) AS rank
+  FROM scored) t
+WHERE rank <= {HARDNEG_K}
+ORDER BY query_id, rank
+"""
+
+
+def ann_ivf_incr(spark, sf_dir):
+    """Incremental IVF maintenance audit (operators.similarity.
+    ivf_incremental_audit): the base corpus (vec_id % 4 > 0) trains the
+    frozen quantizer; the incoming quarter (vec_id % 4 = 0) assigns to
+    it, and per cell the audit reports growth_ppm plus quantization-
+    error drift — the retrain trigger for a drifting corpus. Dead and
+    newly-hot cells both surface."""
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        ivf_incremental_audit,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    return ivf_incremental_audit(
+        e.filter(F.col("vec_id") % 4 > 0),
+        e.filter(F.col("vec_id") % 4 == 0),
+        "vec_id",
+        "embedding",
+        n_centroids=IVF_CENTROIDS,
+    )
+
+
+ANN_IVF_INCR_SQL = f"""
+WITH cb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id % 4 > 0),
+ci AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings WHERE vec_id % 4 = 0),
+cent AS (
+  SELECT CAST(vec_id AS BIGINT) AS centroid_id, v AS cv
+  FROM cb ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+ab AS (
+  SELECT vec_id, centroid_id AS cell, d2 FROM (
+    SELECT a.vec_id, cent.centroid_id,
+           {_IVF_D2.format(a='a.v', b='cent.cv')} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_IVF_D2.format(a='a.v', b='cent.cv')}, cent.centroid_id
+           ) AS rn
+    FROM cb a CROSS JOIN cent) t WHERE rn = 1),
+ai AS (
+  SELECT vec_id, centroid_id AS cell, d2 FROM (
+    SELECT a.vec_id, cent.centroid_id,
+           {_IVF_D2.format(a='a.v', b='cent.cv')} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_IVF_D2.format(a='a.v', b='cent.cv')}, cent.centroid_id
+           ) AS rn
+    FROM ci a CROSS JOIN cent) t WHERE rn = 1),
+sb AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_base,
+              SUM(CAST(ROUND(d2 * 1e6, 0) AS BIGINT)) AS mb
+       FROM ab GROUP BY cell),
+si AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_new,
+              SUM(CAST(ROUND(d2 * 1e6, 0) AS BIGINT)) AS mi
+       FROM ai GROUP BY cell)
+SELECT cent.centroid_id AS cell,
+       CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+       CASE WHEN n_base > 0 THEN CAST(
+           1000000 * COALESCE(n_new, 0) // n_base AS BIGINT) END
+           AS growth_ppm,
+       CASE WHEN n_base > 0 THEN ROUND(
+           CAST(mb AS DOUBLE) / n_base / 1e6, 6) END AS mean_d2_base,
+       CASE WHEN n_new > 0 THEN ROUND(
+           CAST(mi AS DOUBLE) / n_new / 1e6, 6) END AS mean_d2_new,
+       ROUND((CASE WHEN n_new > 0 THEN ROUND(
+                  CAST(mi AS DOUBLE) / n_new / 1e6, 6) END)
+             - (CASE WHEN n_base > 0 THEN ROUND(
+                  CAST(mb AS DOUBLE) / n_base / 1e6, 6) END), 6)
+           AS d2_drift
+FROM cent LEFT JOIN sb ON sb.cell = cent.centroid_id
+          LEFT JOIN si ON si.cell = cent.centroid_id
+ORDER BY cell
+"""
+
+
+# --- Round-11 wave 37: exact-substring duplicate spans ------------------------
+
+SUBSPAN_K = 8
+SUBSPAN_CAP = 64
+
+
+def dd_substring_spans(spark, sf_dir):
+    """Cross-document duplicate-run spans (operators.dedup.
+    duplicate_run_spans): token spans covered by 8-grams appearing in
+    ≥ 2 documents, merged into maximal per-doc runs — the actionable
+    WHERE-to-cut output of exact-substring dedup (Lee et al. 2022),
+    beside winnow's WHO-overlaps pairs. One gram-hash count + join-back
+    + gaps-and-islands window."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        duplicate_run_spans,
+    )
+
+    return duplicate_run_spans(
+        T(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=SUBSPAN_K,
+        max_docs_per_gram=SUBSPAN_CAP,
+    )
+
+
+DD_SUBSPAN_SQL = rf"""
+WITH tl AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE text IS NOT NULL),
+g AS (
+  SELECT doc_id, i - 1 AS i,
+         {_sql_hash60(
+             f"array_to_string(list_slice(toks, i, i + {SUBSPAN_K} - 1),"
+             " ' ')"
+         )} AS h
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {SUBSPAN_K} + 1)) AS i
+        FROM tl WHERE len(toks) >= {SUBSPAN_K}) t),
+dup AS (
+  SELECT h FROM (
+    SELECT h, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY h) b
+  WHERE nd BETWEEN 2 AND {SUBSPAN_CAP}),
+pos AS (SELECT doc_id, i FROM g WHERE h IN (SELECT h FROM dup)),
+isl AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN prev IS NULL OR i - prev > {SUBSPAN_K}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM (SELECT doc_id, i,
+               LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM pos) t)
+SELECT doc_id,
+       CAST(MIN(i) + 1 AS BIGINT) AS span_start,
+       CAST(MAX(i) + {SUBSPAN_K} AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
 # --- Round-11 capstone: the full release report ------------------------------
 
 _RELEASE_CARD_METRICS = [
@@ -10063,4 +10366,9 @@ SCALE_QUERIES = {
     "mm_frame_dedup": (mm_frame_dedup, MM_FRAME_DEDUP_SQL),
     # thirty-sixth wave (round 11)
     "pf_release_report": (pf_release_report, PF_RELEASE_SQL),
+    # thirty-seventh wave (round 11)
+    "mm_video_neardup": (mm_video_neardup, MM_VIDEO_NEARDUP_SQL),
+    "emb_hard_negatives": (emb_hard_negatives, EMB_HARDNEG_SQL),
+    "ann_ivf_incr": (ann_ivf_incr, ANN_IVF_INCR_SQL),
+    "dd_substring_spans": (dd_substring_spans, DD_SUBSPAN_SQL),
 }

@@ -1455,3 +1455,85 @@ def dedup_normalized(
         .filter(F.col("n_docs") >= 2)
         .orderBy("norm_hash")
     )
+
+
+def duplicate_run_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    max_docs_per_gram: int = 64,
+) -> DataFrame:
+    """Cross-document duplicate-RUN spans — the ACTIONABLE form of
+    exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better": remove repeated substrings, not
+    whole near-dup documents): every token position covered by a
+    k-gram that ALSO appears in at least one other document, merged
+    into maximal per-document runs. Downstream span-removal consumes
+    (doc, span_start, span_end) directly; ``winnow_overlap_pairs``
+    answers WHO overlaps, this answers WHERE to cut.
+
+    Scale shape: tokens materialize once (the interpreted-HOF
+    discipline), k-grams posexplode with md5-derived 60-bit hashes, the
+    cross-doc gram table is ONE hash-keyed distinct-doc count (grams in
+    more than ``max_docs_per_gram`` docs drop as boilerplate — the
+    standard cap, they'd dominate every span), duplicated positions
+    join back on the hash, and runs merge with the gaps-and-islands
+    window over ONE doc-keyed exchange (gram starts within k of each
+    other overlap or touch, so they fuse). Same-doc-only repeats do NOT
+    mark (repetition is T11's job; this is cross-document contamination).
+    Output: (doc_id, span_start, span_end — 1-based inclusive token
+    indexes — n_grams), ordered. Docs shorter than k tokens carry no
+    grams by contract.
+    """
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            word_tokens(F.col(text_col)).alias("__toks"),
+        )
+        .filter(F.size("__toks") >= k)
+    )
+    h60 = (
+        "CAST(conv(substring(md5(array_join("
+        f"slice(__toks, __i + 1, {k}), ' ')), 1, 15), 16, 10) AS BIGINT)"
+    )
+    grams = toks.select(
+        "__id",
+        "__toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("__toks") - k)
+        ).alias("__i"),
+    ).select("__id", "__i", F.expr(h60).alias("__h"))
+    dup = (
+        grams.groupBy("__h")
+        .agg(F.countDistinct("__id").alias("__nd"))
+        .filter(
+            (F.col("__nd") >= 2) & (F.col("__nd") <= max_docs_per_gram)
+        )
+        .select("__h")
+    )
+    pos = grams.join(dup, "__h").select("__id", "__i")
+    w = Window.partitionBy("__id").orderBy("__i")
+    isl = (
+        pos.withColumn("__prev", F.lag("__i").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("__i") - F.col("__prev") > k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__island", F.sum("__new").over(w))
+    )
+    return (
+        isl.groupBy(F.col("__id").alias(id_col), "__island")
+        .agg(
+            (F.min("__i") + 1).cast("bigint").alias("span_start"),
+            (F.max("__i") + k).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_grams")
+        .orderBy(id_col, "span_start")
+    )

@@ -1244,3 +1244,183 @@ def embedding_outliers(
         )
         .orderBy("cell")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    query_label_col: str,
+    n_centroids: int | None = None,
+    nprobe: int = 4,
+    k: int = 1,
+    centroids: DataFrame | None = None,
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor
+    (query), the ``k`` MOST-similar corpus vectors carrying a DIFFERENT
+    label within the anchor's ``nprobe`` IVF cells — the step that turns
+    an embedding corpus into contrastive training pairs (easy random
+    negatives teach nothing; the hardest in-neighborhood negatives carry
+    the gradient — SimCSE/DPR practice). Same probe discipline, shapes
+    and determinism as ``ivf_topk`` (broadcast centroids + probe lists,
+    corpus never shuffled at search time, ties break on id); the label
+    mismatch is a residual filter BEFORE the rank cut, so the k
+    survivors are genuinely the hardest negatives, not post-filtered
+    positives. NULL-label corpus rows are excluded (unlabeled data
+    can't be certified negative). Output: (query_id, negative_id,
+    query_label, negative_label, cosine, rank ≤ k).
+    """
+    if cells is not None and centroids is None:
+        raise ValueError(
+            "hard_negatives: a prebuilt `cells` index requires the "
+            "`centroids` it was built with"
+        )
+    cent = centroids if centroids is not None else train_centroids(
+        corpus, id_col, vec_col, n_centroids
+    )
+    if cells is None:
+        cells = assign_cells(corpus, cent, id_col, vec_col)
+    cells = cells.filter(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col(label_col).alias("negative_label"),
+        "__cell",
+    )
+    qd = queries.filter(F.col(query_label_col).isNotNull()).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qvec"),
+        F.col(query_label_col).alias("query_label"),
+    ).crossJoin(F.broadcast(cent))
+    pw = Window.partitionBy("query_id").orderBy(
+        F.round(sq_dist(F.col("__qvec"), F.col("__cent")), 6),
+        F.col("centroid_id"),
+    )
+    probes = (
+        qd.withColumn("__pr", F.row_number().over(pw))
+        .filter(F.col("__pr") <= nprobe)
+        .select(
+            "query_id",
+            "__qvec",
+            "query_label",
+            F.col("centroid_id").alias("__cell"),
+        )
+    )
+    scored = (
+        cells.join(F.broadcast(probes), ["__cell"])
+        .filter(F.col("negative_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "negative_id",
+            "query_label",
+            "negative_label",
+            F.round(
+                cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "negative_id",
+            "query_label",
+            "negative_label",
+            "cosine",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_incremental_audit(
+    base: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental IVF index maintenance audit: assign an INCOMING
+    vector batch to the FROZEN quantizer trained on ``base`` and report,
+    per cell, the growth and the quantization-error drift — the numbers
+    that decide when a drifting corpus forces a retrain (adding vectors
+    to a stale quantizer silently degrades recall; this is the
+    OPTIMIZE/ANALYZE companion for the ANN tier). No retrain happens
+    here: assignment against broadcast centroids is the only work, so
+    the audit is one scan over each side.
+
+    Per cell: n_base, n_new, growth_ppm = 1e6·n_new div n_base (NULL
+    for previously-empty cells — new mass where the quantizer has no
+    support is itself the strongest retrain signal), mean_d2_base /
+    mean_d2_new (quantization error, 6 dp — d² pins to integer
+    micro-units before the sum, order-independent) and their drift.
+    Cells empty on both sides still report (a dead centroid is also a
+    signal). Output ordered by cell.
+    """
+    cent = centroids if centroids is not None else train_centroids(
+        base, id_col, vec_col, n_centroids
+    )
+
+    def stats(df: DataFrame, n_name: str, m_name: str) -> DataFrame:
+        d = df.select(
+            F.col(id_col).alias("__aid"), F.col(vec_col).alias("__avec")
+        ).crossJoin(F.broadcast(cent))
+        best = (
+            d.select(
+                "__aid",
+                F.struct(
+                    F.round(
+                        sq_dist(F.col("__avec"), F.col("__cent")), 6
+                    ).alias("d2"),
+                    F.col("centroid_id").alias("cid"),
+                ).alias("__dc"),
+            )
+            .groupBy("__aid")
+            .agg(F.min("__dc").alias("__dc"))
+        )
+        return best.groupBy(F.col("__dc.cid").alias("cell")).agg(
+            F.count(F.lit(1)).cast("bigint").alias(n_name),
+            F.sum(
+                F.round(F.col("__dc.d2") * 1e6, 0).cast("long")
+            ).alias(m_name),
+        )
+    b = stats(base, "n_base", "__mb")
+    i = stats(incoming, "n_new", "__mi")
+    mean_b = F.when(
+        F.col("n_base") > 0,
+        F.round(F.col("__mb").cast("double") / F.col("n_base") / 1e6, 6),
+    )
+    mean_i = F.when(
+        F.col("n_new") > 0,
+        F.round(F.col("__mi").cast("double") / F.col("n_new") / 1e6, 6),
+    )
+    growth = F.when(
+        F.col("n_base") > 0,
+        F.expr(
+            "CAST(1000000 * coalesce(n_new, 0) div n_base AS BIGINT)"
+        ),
+    )
+    return (
+        cent.select(F.col("centroid_id").alias("cell"))
+        .join(b, "cell", "left")
+        .join(i, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("n_base", F.lit(0)).cast("bigint").alias("n_base"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            growth.alias("growth_ppm"),
+            mean_b.alias("mean_d2_base"),
+            mean_i.alias("mean_d2_new"),
+            F.round(mean_i - mean_b, 6).alias("d2_drift"),
+        )
+        .orderBy("cell")
+    )

@@ -197,6 +197,62 @@ def synthesize_frsq_payloads(
     return df.select(id_col, frames_col).mapInPandas(run, SYNTH_SCHEMA)
 
 
+def _frame_digests(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """One FRSQ parse + REAL per-frame BMP decode pass emitting
+    (__id, frame_idx, digest, decode_ok='ok_stdlib') rows — the shared
+    decode stage of ``frame_dedup_groups`` and ``video_neardup_pairs``.
+    The digest input is ``"{w}x{h}:" + comma-joined lumas`` (dims
+    prefixed so a 2x3 and a 3x2 frame with the same pixel sequence stay
+    distinct); undecodable containers drop here with their error row
+    filtered (callers count duplicates, not failures)."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from calp_cva_tracking_pipeline_spark.operators.bmp_stdlib import (
+            decode_bmp,
+        )
+        from calp_cva_tracking_pipeline_spark.operators.png_stdlib import (
+            to_grayscale,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    for i, fb in enumerate(decode_frsq(bytes(payload))):
+                        w, h, ch, px = decode_bmp(fb)
+                        grey = to_grayscale(w, h, ch, px)
+                        dig = hashlib.md5(
+                            (
+                                f"{w}x{h}:"
+                                + ",".join(str(v) for v in grey)
+                            ).encode()
+                        ).hexdigest()
+                        rows.append((mid, i, dig, "ok_stdlib"))
+                except Exception:
+                    rows.append((mid, None, None, "error"))
+            yield pd.DataFrame(
+                rows,
+                columns=["__id", "frame_idx", "digest", "decode_ok"],
+            )
+
+    schema = StructType(
+        [
+            StructField("__id", LongType(), False),
+            StructField("frame_idx", LongType(), True),
+            StructField("digest", StringType(), True),
+            StructField("decode_ok", StringType(), False),
+        ]
+    )
+    return (
+        df.select(id_col, payload_col)
+        .mapInPandas(run, schema)
+        .filter(F.col("decode_ok") == "ok_stdlib")
+    )
+
+
 def frame_dedup_groups(
     df: DataFrame,
     id_col: str,
@@ -221,53 +277,7 @@ def frame_dedup_groups(
     rep_media = min id, rep_frame = its first matching frame index),
     ordered by digest.
     """
-    import hashlib
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from calp_cva_tracking_pipeline_spark.operators.bmp_stdlib import (
-            decode_bmp,
-        )
-        from calp_cva_tracking_pipeline_spark.operators.png_stdlib import (
-            to_grayscale,
-        )
-
-        for pdf in batches:
-            rows = []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                try:
-                    for i, fb in enumerate(decode_frsq(bytes(payload))):
-                        w, h, ch, px = decode_bmp(fb)
-                        grey = to_grayscale(w, h, ch, px)
-                        # dims prefix the digest input: a 2x3 and a 3x2
-                        # frame with the same pixel sequence must NOT
-                        # collide into one duplicate group
-                        dig = hashlib.md5(
-                            (
-                                f"{w}x{h}:"
-                                + ",".join(str(v) for v in grey)
-                            ).encode()
-                        ).hexdigest()
-                        rows.append((mid, i, dig, "ok_stdlib"))
-                except Exception:
-                    rows.append((mid, None, None, "error"))
-            yield pd.DataFrame(
-                rows,
-                columns=["__id", "frame_idx", "digest", "decode_ok"],
-            )
-
-    schema = StructType(
-        [
-            StructField("__id", LongType(), False),
-            StructField("frame_idx", LongType(), True),
-            StructField("digest", StringType(), True),
-            StructField("decode_ok", StringType(), False),
-        ]
-    )
-    frames = (
-        df.select(id_col, payload_col)
-        .mapInPandas(run, schema)
-        .filter(F.col("decode_ok") == "ok_stdlib")
-    )
+    frames = _frame_digests(df, id_col, payload_col)
     best = F.struct(
         F.col("__id").alias("m"), F.col("frame_idx").alias("f")
     )
@@ -287,4 +297,96 @@ def frame_dedup_groups(
             F.col("__b.f").alias("rep_frame"),
         )
         .orderBy("frame_digest")
+    )
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    min_shared: int = 1,
+    max_videos_per_frame: int = 64,
+) -> DataFrame:
+    """Video-level NEAR-duplicate pairs by shared decoded-frame content —
+    the clip-dedup step above ``frame_dedup_groups``: two videos that
+    share frames (re-cut edits, clips with common footage, re-encoded
+    copies with inserted idents) pair with their frame-set Jaccard,
+    even when no whole-video byte identity exists. Matching is at the
+    DECODE level (the dims-prefixed pixel digest), so re-encoded
+    byte-different copies of the same frame still count as shared.
+
+    Scale shape: ONE decode pass (shared ``_frame_digests`` stage) →
+    per-video DISTINCT frame digests → digest-bucketed pair expansion
+    via groupBy + collect_list + in-array pairs (NEVER a self-join of
+    the decode-derived frame — that would plan and run the Python
+    decode twice; the minhash-LSH lesson), with digests shared by more
+    than ``max_videos_per_frame`` videos dropped as boilerplate
+    (station idents shared by thousands of clips would explode pairs
+    quadratically). Both per-video sizes and the pair counts aggregate
+    off the SAME distinct exchange (plan-reuse-friendly: decode_ok
+    filtering happens inside the shared stage). Jaccard is an exact
+    integer ppm: 1e6·shared div (n_a + n_b − shared). Output:
+    (id_a, id_b, shared_frames, n_frames_a, n_frames_b, jaccard_ppm)
+    with shared_frames ≥ ``min_shared``, ordered.
+    """
+    vf = (
+        _frame_digests(df, id_col, payload_col)
+        .select("__id", "digest")
+        .distinct()
+    )
+    vc = vf.groupBy(F.col("__id").alias("__v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nf")
+    )
+    bw = Window.partitionBy("digest")
+    buckets = (
+        vf.withColumn("__bn", F.count(F.lit(1)).over(bw))
+        .filter(
+            (F.col("__bn") >= 2)
+            & (F.col("__bn") <= max_videos_per_frame)
+        )
+        .groupBy("digest")
+        .agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
+    )
+    ids = F.col("__ids")
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ids,
+                        lambda x, i: F.transform(
+                            F.slice(ids, i + 2, F.size(ids)),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
+    )
+    ca = vc.select(
+        F.col("__v").alias("id_a"), F.col("__nf").alias("n_frames_a")
+    )
+    cb = vc.select(
+        F.col("__v").alias("id_b"), F.col("__nf").alias("n_frames_b")
+    )
+    return (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_frames",
+            "n_frames_a",
+            "n_frames_b",
+            F.expr(
+                "CAST(1000000 * shared_frames div"
+                " (n_frames_a + n_frames_b - shared_frames) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("id_a", "id_b")
     )
