@@ -9899,6 +9899,153 @@ ORDER BY doc_id, span_start
 """
 
 
+# --- Round-11 wave 38: MMR rerank + l-diversity -------------------------------
+
+MMR_K = 4
+MMR_LAMBDA = 70
+
+
+def rt_mmr(spark, sf_dir):
+    """MMR-diversified rerank of the BM25 pool (operators.retrieval.
+    mmr_rerank): greedy λ·relevance − (1−λ)·max-Jaccard-to-selected over
+    the top-10 candidates — the result-page diversification pass.
+    Integer-exact end to end (micro-unit relevance, floor-micro token
+    Jaccard, integer objective), so the unrolled SQL greedy replays the
+    selection; the pool is page-sized by contract, one Arrow group per
+    query."""
+    from calp_cva_tracking_pipeline_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        bm25_topk,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    cands = bm25_topk(
+        d, "doc_id", BM25_QUERY, k1=BM25_K1, b=BM25_B, top_k=BM25_TOP_K
+    )
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), "\\s+"),
+                lambda x: x != "",
+            )
+        ).alias("__toks"),
+    )
+    c = cands.join(toks, "doc_id").select(
+        F.lit(0).cast("int").alias("query_id"),
+        "doc_id",
+        F.round(F.col("score") * 1e6, 0).cast("bigint").alias(
+            "rel_micro"
+        ),
+        "__toks",
+    )
+    return mmr_rerank(
+        c, "query_id", "doc_id", "rel_micro", "__toks",
+        k=MMR_K, lambda_pct=MMR_LAMBDA,
+    )
+
+
+def _mmr_sql() -> str:
+    lam, mu = MMR_LAMBDA, 100 - MMR_LAMBDA
+    parts = [
+        f"WITH cands0 AS ({RT_BM25_SQL})",
+        "cands AS (SELECT doc_id,"
+        " CAST(ROUND(score * 1e6, 0) AS BIGINT) AS rel FROM cands0)",
+        r"""ct AS (
+  SELECT DISTINCT c.doc_id, t FROM cands c JOIN (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+    FROM documents) u ON u.doc_id = c.doc_id
+  WHERE t <> '')""",
+        "sz AS (SELECT doc_id, COUNT(*) AS sz FROM ct GROUP BY doc_id)",
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db,"
+        " COUNT(*) AS i FROM ct a JOIN ct b USING (t)"
+        " WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)",
+        "sims AS (SELECT da, db,"
+        " 1000000 * i // (x.sz + y.sz - i) AS sm"
+        " FROM inter JOIN sz x ON x.doc_id = da"
+        " JOIN sz y ON y.doc_id = db)",
+        f"sel1 AS (SELECT doc_id, rel, 1 AS mmr_rank,"
+        f" {lam} * rel AS mmr_score"
+        f" FROM cands ORDER BY {lam} * rel DESC, doc_id LIMIT 1)",
+    ]
+    for r in range(2, MMR_K + 1):
+        parts.append(
+            f"sc{r} AS (SELECT c.doc_id, c.rel,"
+            f" {lam} * c.rel - {mu} * COALESCE(MAX(s.sm), 0) AS sc"
+            f" FROM cands c LEFT JOIN sims s ON s.da = c.doc_id"
+            f" AND s.db IN (SELECT doc_id FROM sel{r - 1})"
+            f" WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{r - 1})"
+            f" GROUP BY c.doc_id, c.rel)"
+        )
+        parts.append(
+            f"p{r} AS (SELECT doc_id, rel, {r} AS mmr_rank,"
+            f" sc AS mmr_score"
+            f" FROM sc{r} ORDER BY sc DESC, doc_id LIMIT 1)"
+        )
+        parts.append(
+            f"sel{r} AS (SELECT * FROM sel{r - 1}"
+            f" UNION ALL SELECT * FROM p{r})"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT CAST(0 AS INT) AS query_id, doc_id,"
+        f" CAST(rel AS BIGINT) AS rel_micro,"
+        f" CAST(mmr_rank AS INT) AS mmr_rank,"
+        f" CAST(mmr_score AS BIGINT) AS mmr_score"
+        f" FROM sel{MMR_K} ORDER BY mmr_rank"
+    )
+
+
+RT_MMR_SQL = _mmr_sql()
+
+LDIV_L = 40
+
+
+def pf_ldiversity(spark, sf_dir):
+    """l-diversity privacy audit (operators.profiling.l_diversity) of
+    user identity over (event_type, hour-of-day) equivalence classes —
+    k-anonymity's homogeneity-attack companion: a class is risky when
+    fewer than 40 distinct users populate it, and the class-level user
+    entropy (nano-pinned) grades how concentrated the quasi-identifier
+    is. One cell aggregation + class rollup."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        l_diversity,
+    )
+
+    e = T(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hod"), "user_id"
+    )
+    return l_diversity(
+        e, ["event_type", "hod"], "user_id", l_threshold=LDIV_L
+    )
+
+
+PF_LDIV_SQL = f"""
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hod, user_id,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3),
+e AS (
+  SELECT event_type, hod, c,
+         CAST(ROUND(ROUND(
+             (CAST(c AS DOUBLE) / t) * LN(CAST(c AS DOUBLE) / t)
+             * -1.0, 9) * 1e9, 0) AS BIGINT) AS en
+  FROM (SELECT *, SUM(c) OVER (PARTITION BY event_type, hod) AS t
+        FROM cells) s)
+SELECT event_type, hod,
+       CAST(SUM(c) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+       ROUND(CAST(SUM(en) AS BIGINT) / 1e9, 6) AS entropy_nats,
+       (COUNT(*) < {LDIV_L}) AS risky
+FROM e GROUP BY event_type, hod
+ORDER BY event_type, hod
+"""
+
+
 # --- Round-11 capstone: the full release report ------------------------------
 
 _RELEASE_CARD_METRICS = [
@@ -10371,4 +10518,7 @@ SCALE_QUERIES = {
     "emb_hard_negatives": (emb_hard_negatives, EMB_HARDNEG_SQL),
     "ann_ivf_incr": (ann_ivf_incr, ANN_IVF_INCR_SQL),
     "dd_substring_spans": (dd_substring_spans, DD_SUBSPAN_SQL),
+    # thirty-eighth wave (round 11)
+    "rt_mmr": (rt_mmr, RT_MMR_SQL),
+    "pf_ldiversity": (pf_ldiversity, PF_LDIV_SQL),
 }

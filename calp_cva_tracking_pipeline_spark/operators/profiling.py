@@ -2474,3 +2474,51 @@ def weighted_quantiles(
             ).alias(f"p{ppm // 10000}_weighted")
         )
     return ranked.groupBy(*group_cols).agg(*aggs).orderBy(*group_cols)
+
+
+def l_diversity(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    l_threshold: int = 2,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    blind spot, covered: a QI class can be population-safe (n ≥ k) while
+    its SENSITIVE attribute is near-constant, so membership alone
+    discloses the sensitive value (the homogeneity attack). Per QI
+    equivalence class: population, number of distinct sensitive values,
+    the sensitive-distribution entropy (nats, nano-pinned terms —
+    order-independent, engine-exact) and ``risky`` = fewer than
+    ``l_threshold`` distinct sensitive values. Runs beside
+    ``k_anonymity`` in the pre-release privacy gate.
+
+    Scale shape: ONE (QI..., sensitive) cell aggregation (map-side
+    combined; shuffle = cell cardinality, never rows), then a
+    class-keyed rollup of the cells — entropy terms pin to integer
+    nano-units inside the rollup. NULL sensitive values are a real
+    class operationally (they group; COUNT of cells includes them —
+    the chi2 NULL-category discipline).
+    """
+    cells = df.groupBy(
+        *qi_cols, F.col(sensitive_col).alias("__s")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    cw = Window.partitionBy(*qi_cols)
+    frac = F.col("__c").cast("double") / F.sum("__c").over(cw).cast(
+        "double"
+    )
+    ent_nano = F.round(
+        F.round(frac * F.log(frac) * F.lit(-1.0), 9) * 1e9, 0
+    ).cast("long")
+    return (
+        cells.select(*qi_cols, "__c", ent_nano.alias("__e"))
+        .groupBy(*qi_cols)
+        .agg(
+            F.sum("__c").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sensitive"),
+            F.round(F.sum("__e").cast("double") / 1e9, 6).alias(
+                "entropy_nats"
+            ),
+        )
+        .withColumn("risky", F.col("n_sensitive") < l_threshold)
+        .orderBy(*qi_cols)
+    )

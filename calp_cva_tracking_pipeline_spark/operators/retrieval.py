@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -335,4 +336,89 @@ def snippet_extract(
             ).alias("snippet"),
         )
         .orderBy(id_col)
+    )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    query_col: str,
+    id_col: str,
+    rel_micro_col: str,
+    toks_col: str,
+    k: int = 5,
+    lambda_pct: int = 70,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): per query, greedily select ``k`` results maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-selected — the
+    diversification pass a result page runs over its retrieved pool so
+    near-duplicate hits don't crowd out coverage. The greedy argmax is
+    inherently sequential in k but the POOL is retrieval-page-sized by
+    contract (a rerank of top-N, never the corpus), so each query's
+    selection runs as one Arrow-batched group — the dataloader shape:
+    corpus-sized work happened upstream in BM25/ANN, this stage touches
+    ≤ N rows per query.
+
+    Everything is INTEGER-exact so an unrolled SQL oracle replays the
+    selection bit-for-bit: relevance arrives in micro-units
+    (``rel_micro_col``), pairwise similarity is token-set Jaccard in
+    floor micro-units (1e6·|A∩B| div |A∪B|; empty-set pairs score 0),
+    and the MMR objective is ``lambda_pct·rel − (100−lambda_pct)·
+    max_sim`` with ties broken on ascending id. Output per query:
+    (query, id, rel_micro, mmr_rank 1..k, mmr_score), rank-ordered.
+    """
+    if not (0 <= lambda_pct <= 100):
+        raise ValueError(f"lambda_pct must be in [0, 100]: {lambda_pct}")
+    lam, mu = int(lambda_pct), 100 - int(lambda_pct)
+    qt = candidates.schema[query_col].dataType.simpleString()
+    it = candidates.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{query_col} {qt}, {id_col} {it}, rel_micro bigint, "
+        "mmr_rank int, mmr_score bigint"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        cands = sorted(
+            (
+                (row_id, int(rel), set(toks) if toks is not None else set())
+                for row_id, rel, toks in zip(
+                    pdf[id_col], pdf[rel_micro_col], pdf[toks_col]
+                )
+            ),
+            key=lambda c: c[0],
+        )
+        qval = pdf[query_col].iloc[0]
+
+        def jacc(a: set, b: set) -> int:
+            u = len(a | b)
+            return (1_000_000 * len(a & b)) // u if u else 0
+
+        selected: list[tuple] = []
+        chosen_sets: list[set] = []
+        rows = []
+        for r in range(1, min(k, len(cands)) + 1):
+            best = None
+            for cid, rel, s in cands:
+                if any(cid == c[0] for c in selected):
+                    continue
+                ms = max(
+                    (jacc(s, cs) for cs in chosen_sets), default=0
+                )
+                sc = lam * rel - mu * ms
+                if best is None or sc > best[2]:
+                    best = (cid, rel, sc, s)
+            cid, rel, sc, s = best
+            selected.append((cid,))
+            chosen_sets.append(s)
+            rows.append((qval, cid, rel, r, sc))
+        return pd.DataFrame(
+            rows,
+            columns=[query_col, id_col, "rel_micro", "mmr_rank",
+                     "mmr_score"],
+        )
+
+    return (
+        candidates.groupBy(query_col)
+        .applyInPandas(pick, out_schema)
+        .orderBy(query_col, "mmr_rank")
     )

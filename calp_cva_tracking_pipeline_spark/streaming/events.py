@@ -112,3 +112,58 @@ def sessionize(
             "total_value",
         )
     )
+
+
+def stream_attribution_join(
+    impressions: DataFrame,
+    conversions: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream attribution join over the events shape: every
+    conversion matches same-user impressions at most ``horizon`` before
+    it — the click→purchase attribution primitive, as a genuine
+    STREAM-STREAM inner join (both sides unbounded). The time-range
+    predicate plus per-side watermarks are what bound the join state:
+    an impression can only ever match conversions inside its horizon,
+    so rows older than max(event time) − watermark − horizon evict —
+    state is O(events per horizon window), not O(stream length). On
+    batch DataFrames the same plan degrades to a plain interval join,
+    which the batch≡stream test exploits for parity
+    (tests/test_streaming.py).
+
+    Output: (user_id, imp_event_id, imp_ts, conv_event_id, conv_ts,
+    lag_s — integer seconds).
+    """
+    imp = impressions.select(
+        F.col("user_id").alias("__iu"),
+        F.col("event_id").alias("imp_event_id"),
+        F.col("ts").alias("imp_ts"),
+    )
+    conv = conversions.select(
+        F.col("user_id").alias("__cu"),
+        F.col("event_id").alias("conv_event_id"),
+        F.col("ts").alias("conv_ts"),
+    )
+    if impressions.isStreaming:
+        imp = imp.withWatermark("imp_ts", watermark)
+    if conversions.isStreaming:
+        conv = conv.withWatermark("conv_ts", watermark)
+    cond = (
+        (F.col("__iu") == F.col("__cu"))
+        & (F.col("imp_ts") <= F.col("conv_ts"))
+        & (
+            F.col("conv_ts")
+            <= F.expr(f"imp_ts + INTERVAL {horizon}")
+        )
+    )
+    return imp.join(conv, cond, "inner").select(
+        F.col("__iu").alias("user_id"),
+        "imp_event_id",
+        "imp_ts",
+        "conv_event_id",
+        "conv_ts",
+        (
+            F.unix_timestamp("conv_ts") - F.unix_timestamp("imp_ts")
+        ).cast("bigint").alias("lag_s"),
+    )

@@ -1289,3 +1289,77 @@ def test_foreachbatch_chi2_cells_fold_to_batch(spark, sf_dir, tmp_path):
     folded = chi2_from_cells(spark.read.parquet(ledger_path)).collect()[0]
     for k in ("n", "dof", "chi2"):
         assert folded[k] == one_shot[k], k
+
+
+def test_stream_stream_attribution_join_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """Genuine STREAM-STREAM inner join: same-user impression→conversion
+    attribution within a horizon, both sides unbounded file streams with
+    watermarks. The identical plan on batch frames is the oracle —
+    stream results (availableNow, parquet sink) must match the batch
+    interval join row-for-row."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.streaming.events import (
+        stream_attribution_join,
+    )
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    types = sorted(
+        r.event_type
+        for r in e.select("event_type").distinct().collect()
+        if r.event_type is not None
+    )
+    t_imp, t_conv = types[0], types[-1]
+    imp_b = e.filter(F.col("event_type") == t_imp)
+    conv_b = e.filter(F.col("event_type") == t_conv)
+
+    def key(r):
+        return (r.user_id, r.imp_event_id, r.conv_event_id, r.lag_s)
+
+    batch = sorted(
+        map(key, stream_attribution_join(imp_b, conv_b).collect())
+    )
+    assert batch, "operating point must produce matches"
+
+    # batches must arrive in TIME order: the id-mod splitter interleaves
+    # event times across files, so later files carry rows older than the
+    # already-advanced watermark and the join (correctly) drops them as
+    # late — that tests the eviction contract, not parity. Tercile the
+    # time axis instead (in-order arrival, the production shape).
+    from pyspark.sql import Window
+
+    def time_batches(df, tag):
+        w = Window.orderBy("ts", "event_id")
+        return _file_stream_batches(
+            spark,
+            tmp_path,
+            df.withColumn(
+                "__tb", (F.ntile(3).over(w) - 1).cast("long")
+            ),
+            "__tb",
+            3,
+            tag,
+        )
+
+    imp_s = time_batches(imp_b, "ai").drop("__tb")
+    conv_s = time_batches(conv_b, "ac").drop("__tb")
+    out_path = str(tmp_path / "attr_out")
+    q = (
+        stream_attribution_join(imp_s, conv_s)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "attr_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    got = sorted(map(key, spark.read.parquet(out_path).collect()))
+    assert got == batch
