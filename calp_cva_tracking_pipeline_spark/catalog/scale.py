@@ -10046,6 +10046,212 @@ ORDER BY event_type, hod
 """
 
 
+# --- Round-11 wave 39: MRL eval, lag features, TWAP, DP counts ---------------
+
+MRL_DIMS = [8, 16, 32]
+
+
+def ann_mrl_eval(spark, sf_dir):
+    """Matryoshka truncated-dimension recall eval (operators.similarity.
+    matryoshka_recall): recall@5 of prefix-8/16/32 cosine search vs the
+    full 64-dim ranking — the measurement that decides how small the
+    serving index can go. One brute pass per prefix, integer-ppm
+    recall."""
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return matryoshka_recall(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        prefix_dims=MRL_DIMS, k=TOP_K,
+    )
+
+
+def _mrl_sql() -> str:
+    def topk_cte(name: str, vexpr: str) -> str:
+        return f"""{name} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             ROUND(list_dot_product({vexpr.format(s='q.v')},
+                                    {vexpr.format(s='c.v')}) /
+               (sqrt(list_dot_product({vexpr.format(s='q.v')},
+                                      {vexpr.format(s='q.v')}))
+                * sqrt(list_dot_product({vexpr.format(s='c.v')},
+                                        {vexpr.format(s='c.v')}))), 6)
+               DESC, c.vec_id) AS rank
+    FROM (SELECT * FROM c WHERE vec_id < {N_QUERIES}) q
+    CROSS JOIN c WHERE q.vec_id <> c.vec_id) t
+  WHERE rank <= {TOP_K})"""
+
+    parts = [
+        "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        topk_cte("fullk", "{s}"),
+        "nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT)"
+        " AS n_queries FROM fullk)",
+    ]
+    sels = []
+    for d in MRL_DIMS:
+        parts.append(topk_cte(f"d{d}", f"list_slice({{s}}, 1, {d})"))
+        sels.append(
+            f"SELECT CAST({d} AS INT) AS dims, nq.n_queries, h.hits,"
+            f" CASE WHEN nq.n_queries > 0 THEN CAST(1000000 * h.hits"
+            f" // (nq.n_queries * {TOP_K}) AS BIGINT) END"
+            f" AS recall_ppm"
+            f" FROM (SELECT CAST(COUNT(*) AS BIGINT) AS hits"
+            f" FROM d{d} t JOIN fullk f USING (query_id, neighbor_id)) h"
+            f" CROSS JOIN nq"
+        )
+    body = ",\n".join(parts)
+    u = "\nUNION ALL\n".join(sels)
+    return f"{body}\n{u}\nORDER BY dims"
+
+
+ANN_MRL_SQL = _mrl_sql()
+
+LAG_WINDOW_ROWS = 3
+
+
+def ev_lag_features(spark, sf_dir):
+    """Per-user lagged features (operators.temporal.lag_features):
+    previous value, 3-row rolling mean (cents-pinned), inter-event gap
+    seconds and event index — four windows over ONE user-keyed
+    exchange with a total (ts, event_id) order; the feature-store
+    construction step."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        lag_features,
+    )
+
+    return lag_features(
+        T(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "value",
+        "event_id",
+        window_rows=LAG_WINDOW_ROWS,
+    )
+
+
+EV_LAG_SQL = f"""
+WITH b AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+SELECT user_id, event_id, ts,
+       ROUND(CAST(LAG(c) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id)
+           AS DOUBLE) / 100, 6) AS prev_value,
+       ROUND(CAST(SUM(c) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN {LAG_WINDOW_ROWS - 1} PRECEDING AND CURRENT ROW)
+           AS DOUBLE)
+         / (COUNT(*) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN {LAG_WINDOW_ROWS - 1} PRECEDING AND CURRENT ROW)
+            * 100), 6) AS rolling_mean,
+       CAST(CAST(FLOOR(epoch(ts)) AS BIGINT)
+            - CAST(FLOOR(epoch(LAG(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)))
+              AS BIGINT) AS BIGINT) AS gap_s,
+       CAST(ROW_NUMBER() OVER
+           (PARTITION BY user_id ORDER BY ts, event_id)
+           AS BIGINT) AS event_idx
+FROM b ORDER BY user_id, ts, event_id
+"""
+
+
+def ts_twap(spark, sf_dir):
+    """Duration-weighted mean event value per type (operators.temporal.
+    time_weighted_mean): each observation holds until the next, so the
+    mean integrates over time instead of over-weighting bursts — TWAP.
+    Cents × whole-second durations accumulate as decimal; the last
+    observation per key carries no interval by contract."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        time_weighted_mean,
+    )
+
+    return time_weighted_mean(
+        T(spark, sf_dir, "events"),
+        ["event_type"],
+        "ts",
+        "value",
+        tiebreak_cols=["event_id"],
+    )
+
+
+TS_TWAP_SQL = """
+WITH b AS (
+  SELECT event_type, ts, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE ts IS NOT NULL),
+d AS (
+  SELECT event_type, c,
+         CAST(FLOOR(epoch(LEAD(ts) OVER
+             (PARTITION BY event_type ORDER BY ts, event_id)))
+           AS BIGINT)
+         - CAST(FLOOR(epoch(ts)) AS BIGINT) AS dur
+  FROM b)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(COALESCE(SUM(dur), 0) AS BIGINT) AS total_s,
+       CASE WHEN COALESCE(SUM(dur), 0) > 0 THEN ROUND(
+           CAST(SUM(CAST(c AS HUGEINT) * dur) AS DOUBLE)
+           / SUM(dur) / 100, 6) END AS twap
+FROM d GROUP BY event_type
+ORDER BY event_type
+"""
+
+DP_EPSILON_MILLI = 1000
+DP_SEED = 42
+
+
+def pf_dp_counts(spark, sf_dir):
+    """Differentially-private histogram release (operators.profiling.
+    dp_noisy_counts): Laplace(1/ε) noisy per-(event_type, weekday)
+    counts at ε=1.0 — raw counts deliberately not emitted. The uniform
+    draw is md5-derived (replayable release; production swaps in secure
+    randomness — the documented one-line change), which is what lets
+    the oracle verify the mechanism end to end."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        dp_noisy_counts,
+    )
+
+    e = T(spark, sf_dir, "events").select(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    )
+    return dp_noisy_counts(
+        e, ["event_type", "dow"],
+        epsilon_milli=DP_EPSILON_MILLI, seed=DP_SEED,
+    )
+
+
+PF_DP_SQL = f"""
+WITH counts AS (
+  SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+noised AS (
+  SELECT event_type, dow, n,
+         CAST(CAST(('0x' || substring(md5(
+             COALESCE(CAST(event_type AS VARCHAR), ' ') || '|' ||
+             COALESCE(CAST(dow AS VARCHAR), ' ') || '|' ||
+             'dp:{DP_SEED}'), 1, 15)) AS UBIGINT) AS BIGINT)
+             % 1000000000 / 1e9 AS u
+  FROM counts)
+SELECT event_type, dow,
+       ROUND(n + (-1000.0 / {DP_EPSILON_MILLI})
+           * CASE WHEN u > 0.5 THEN 1.0 WHEN u < 0.5 THEN -1.0
+                  ELSE 0.0 END
+           * LN(GREATEST(1.0 - 2.0 * ABS(u - 0.5), 1e-9)), 6)
+           AS noisy_count,
+       CAST({DP_EPSILON_MILLI} AS INT) AS epsilon_milli
+FROM noised ORDER BY event_type, dow
+"""
+
+
 # --- Round-11 capstone: the full release report ------------------------------
 
 _RELEASE_CARD_METRICS = [
@@ -10521,4 +10727,9 @@ SCALE_QUERIES = {
     # thirty-eighth wave (round 11)
     "rt_mmr": (rt_mmr, RT_MMR_SQL),
     "pf_ldiversity": (pf_ldiversity, PF_LDIV_SQL),
+    # thirty-ninth wave (round 11)
+    "ann_mrl_eval": (ann_mrl_eval, ANN_MRL_SQL),
+    "ev_lag_features": (ev_lag_features, EV_LAG_SQL),
+    "ts_twap": (ts_twap, TS_TWAP_SQL),
+    "pf_dp_counts": (pf_dp_counts, PF_DP_SQL),
 }

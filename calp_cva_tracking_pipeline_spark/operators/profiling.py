@@ -2522,3 +2522,65 @@ def l_diversity(
         .withColumn("risky", F.col("n_sensitive") < l_threshold)
         .orderBy(*qi_cols)
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon_milli: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """epsilon-DP histogram release (Laplace mechanism, Dwork 2006): per
+    group, count + Laplace(1/epsilon) noise -- the noisy-counts release
+    that lets aggregate statistics ship without exposing any
+    individual's membership (a count has sensitivity 1, so the noise
+    scale is b = 1/epsilon; epsilon arrives in milli-units to keep the
+    parameter integer). The raw count is deliberately NOT emitted --
+    publishing it beside the noisy one would defeat the mechanism.
+
+    DETERMINISTIC-NOISE CAVEAT (documented, load-bearing): the uniform
+    draw is md5-derived from (group key, seed) -- replayable, which is
+    what makes the release testable and oracle-verifiable here. A
+    production release MUST swap the hash uniform for secure randomness
+    (one expression); everything else -- the inverse-CDF transform, the
+    tail clamp, the rounding -- is unchanged. Hash-noise also means
+    repeated releases of the same groups reuse the same noise, which is
+    the correct budget discipline anyway (fresh noise per query would
+    spend epsilon per release).
+
+    One map-side-combined count aggregation; the noise is a projection.
+    Output: (groups..., noisy_count 6 dp, epsilon_milli), ordered.
+    """
+    if epsilon_milli <= 0:
+        raise ValueError(
+            f"epsilon_milli must be positive: {epsilon_milli}"
+        )
+    key = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(" "))
+            for c in group_cols
+        ],
+        F.lit(f"dp:{seed}"),
+    )
+    counts = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    h60 = "CAST(conv(substring(md5(__k), 1, 15), 16, 10) AS BIGINT)"
+    u = (F.expr(h60) % F.lit(1_000_000_000)).cast("double") / 1e9
+    a = F.abs(u - 0.5)
+    # clamp the tail so ln never sees 0 (u = 0 is a real hash outcome)
+    lap = (
+        F.lit(-1000.0 / epsilon_milli)
+        * F.signum(u - 0.5)
+        * F.log(F.greatest(1.0 - 2.0 * a, F.lit(1e-9)))
+    )
+    return (
+        counts.withColumn("__k", key)
+        .select(
+            *group_cols,
+            F.round(F.col("__n") + lap, 6).alias("noisy_count"),
+            F.lit(int(epsilon_milli)).cast("int").alias("epsilon_milli"),
+        )
+        .orderBy(*group_cols)
+    )

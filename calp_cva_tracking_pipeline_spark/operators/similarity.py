@@ -1424,3 +1424,74 @@ def ivf_incremental_audit(
         )
         .orderBy("cell")
     )
+
+
+def matryoshka_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    prefix_dims: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """Truncated-dimension retrieval eval (Matryoshka representation
+    learning, Kusupati et al. 2022): recall@k of PREFIX-dimension cosine
+    search against the full-dimension ranking -- the measurement that
+    decides how many dimensions the serving index actually needs (MRL
+    embeddings are trained so prefixes remain usable; this audits
+    whether that holds on YOUR corpus before shrinking the index 4-8x).
+
+    For each d in ``prefix_dims``: exact top-k over vectors truncated to
+    their first d components, intersected with the full-dim top-k
+    (ground truth). recall_ppm = 1e6*sum_q |overlap_q| div (n_queries*k),
+    integer-exact. One brute pass per prefix (a plan-time loop over a
+    handful of dims; each pass is the T6 broadcast shape -- corpus never
+    shuffles), hits joined rank-bounded (k*|queries| rows). Output per
+    d: (dims, n_queries, hits, recall_ppm), ordered by dims.
+    """
+    full = brute_force_topk(
+        corpus, queries, id_col, vec_col, query_id_col, query_vec_col,
+        k=k,
+    ).select("query_id", "neighbor_id")
+    # the denominator is the EVALUATED query count (from the ground
+    # truth), never queries-with-hits — a prefix with zero overlap must
+    # read recall 0, not divide by zero (ANSI) or silently renormalize
+    nq = full.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries")
+    )
+    parts = []
+    for d in sorted(prefix_dims):
+        cd = corpus.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        qd = queries.select(
+            F.col(query_id_col),
+            F.slice(F.col(query_vec_col), 1, d).alias(query_vec_col),
+        )
+        t = brute_force_topk(
+            cd, qd, id_col, vec_col, query_id_col, query_vec_col, k=k
+        ).select("query_id", "neighbor_id")
+        parts.append(
+            t.join(full, ["query_id", "neighbor_id"])
+            .agg(
+                F.lit(d).cast("int").alias("dims"),
+                F.count(F.lit(1)).cast("bigint").alias("hits"),
+            )
+            .crossJoin(F.broadcast(nq))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.select(
+        "dims",
+        "n_queries",
+        "hits",
+        F.when(
+            F.col("n_queries") > 0,
+            F.expr(
+                f"CAST(1000000 * hits div (n_queries * {k}) AS BIGINT)"
+            ),
+        ).alias("recall_ppm"),
+    ).orderBy("dims")

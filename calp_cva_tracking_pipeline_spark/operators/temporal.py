@@ -1581,3 +1581,128 @@ def alert_episodes(
         )
         .orderBy(*keys, "episode")
     )
+
+
+def lag_features(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    id_col: str,
+    window_rows: int = 3,
+) -> DataFrame:
+    """Per-entity lagged feature construction -- the feature-store
+    primitive every event-driven model consumes (fraud, churn, CTR):
+    for each event, the PREVIOUS value, the rolling mean of the last
+    ``window_rows`` values (current included), seconds since the
+    previous event, and the 1-based event index. All four ride ONE
+    key-ordered exchange (four window functions, same partition + the
+    same total order -- a tie in ts breaks on the id column so every
+    column pairing is partition-order-independent, the w1_cumprod
+    lesson). Values pin to integer cents before the rolling sum, so the
+    mean is engine-exact at 6 dp. Output: (key, id, ts, prev_value,
+    rolling_mean, gap_s, event_idx), one row per input event.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    wr = w.rowsBetween(-(window_rows - 1), 0)
+    cents = F.round(F.col(val_col) * 100, 0).cast("long")
+    return (
+        df.filter(
+            F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+        )
+        .select(
+            key_col,
+            id_col,
+            F.col(ts_col),
+            cents.alias("__c"),
+        )
+        .select(
+            key_col,
+            id_col,
+            ts_col,
+            F.round(
+                F.lag("__c").over(w).cast("double") / 100, 6
+            ).alias("prev_value"),
+            F.round(
+                F.sum("__c").over(wr).cast("double")
+                / (F.count(F.lit(1)).over(wr) * 100),
+                6,
+            ).alias("rolling_mean"),
+            (
+                F.unix_timestamp(F.col(ts_col))
+                - F.unix_timestamp(F.lag(ts_col).over(w))
+            ).cast("bigint").alias("gap_s"),
+            F.row_number().over(w).cast("bigint").alias("event_idx"),
+        )
+        .orderBy(key_col, ts_col, id_col)
+    )
+
+
+def time_weighted_mean(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    val_col: str,
+    tiebreak_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Duration-weighted mean per key (TWAP and every sensor/price
+    "average level over time" readout): each observation holds its
+    value until the NEXT observation, so the mean weights values by
+    their holding duration -- the arithmetic mean over-weights bursty
+    sampling; this one integrates over time. The final observation of a
+    key carries no duration and drops from the weighted mean by
+    contract (its holding interval is unknown).
+
+    Integer-exact: durations are whole seconds (lead over ONE keyed
+    exchange), values pin to cents, the value*duration products
+    accumulate as DECIMAL(38,0) (order-independent), one double
+    division at the end. ``tiebreak_cols`` completes the per-key order
+    when timestamps can tie (tied observations get zero duration — but
+    deterministically so under any partitioning); rows with a NULL
+    timestamp drop by contract (no holding interval). Output per key:
+    (keys..., n_obs, total_s, twap), ordered.
+    """
+    order = [F.col(ts_col)] + [
+        F.col(c) for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    cents = F.round(F.col(val_col) * 100, 0).cast("long")
+    t = df.filter(F.col(ts_col).isNotNull()).select(
+        *key_cols,
+        F.col(ts_col),
+        *[F.col(c) for c in (tiebreak_cols or [])],
+        cents.alias("__c"),
+    ).withColumn(
+        "__dur",
+        (
+            F.unix_timestamp(F.lead(ts_col).over(w))
+            - F.unix_timestamp(F.col(ts_col))
+        ).cast("long"),
+    )
+    vd = F.col("__c").cast("decimal(38,0)") * F.col("__dur")
+    return (
+        t.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.coalesce(F.sum("__dur"), F.lit(0))
+            .cast("bigint")
+            .alias("total_s"),
+            F.sum(vd).alias("__svd"),
+        )
+        .select(
+            *key_cols,
+            "n_obs",
+            "total_s",
+            F.when(
+                F.col("total_s") > 0,
+                F.round(
+                    F.col("__svd").cast("double")
+                    / F.col("total_s")
+                    / 100,
+                    round_to,
+                ),
+            ).alias("twap"),
+        )
+        .orderBy(*key_cols)
+    )
