@@ -170,6 +170,17 @@ HEADLINE = [
     # timed ANN headliners) are deliberately not duplicated.
     "tx_boilerplate_spans",
     "rt_snippet_extract",
+    # round 11 additions (suite totals are not comparable to r10 without
+    # subtracting these), the two genuinely new cost classes: the
+    # shared-lineage four-corner release composition (card + per-source
+    # profile off ONE cell exchange + JSD + leakage kernels over the
+    # same scan), and cross-doc gram-hash span merging (count + join-back
+    # + gaps-and-islands). mm_video_neardup (mm_frame_dedup's decode
+    # class), rt_mmr/ann_mrl_eval/pf_ldiversity/ts_twap/ev_lag_features
+    # (small aggregates or already-timed brute/window shapes) are
+    # deliberately not duplicated.
+    "pf_release_report",
+    "dd_substring_spans",
 ]
 
 
