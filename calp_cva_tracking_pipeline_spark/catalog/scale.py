@@ -10252,6 +10252,179 @@ FROM noised ORDER BY event_type, dow
 """
 
 
+# --- Round-11 wave 40: coverage, cohort LTV, Adamic-Adar ----------------------
+
+COVERAGE_EVAL_MOD = 50
+# k=3: the corpus is short-doc word salad over a compact vocabulary, so
+# 3-gram coverage lands mid-range and VARIES per doc (40-100% at sf0.01)
+# where the 8-gram point was binary (0 except exact dups) -- the
+# non-degenerate-operating-point discipline (dd_norm_exact lesson)
+COVERAGE_K = 3
+
+
+def tx_ngram_coverage(spark, sf_dir):
+    """Eval-set n-gram coverage by the training corpus (operators.dedup.
+    ngram_coverage): per held-out doc (doc_id % 50 = 0), the ppm of its
+    3-grams already present in the rest of the corpus — the
+    memorization-vs-generalization audit between decontam and novelty.
+    Corpus grams collapse to one distinct hash set; eval side
+    semi-counts against it."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        ngram_coverage,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return ngram_coverage(
+        d.filter(F.col("doc_id") % COVERAGE_EVAL_MOD != 0),
+        d.filter(F.col("doc_id") % COVERAGE_EVAL_MOD == 0),
+        "doc_id",
+        "text",
+        k=COVERAGE_K,
+    )
+
+
+TX_COVERAGE_SQL = rf"""
+WITH tl AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE text IS NOT NULL),
+g AS (
+  SELECT doc_id,
+         {_sql_hash60(
+             f"array_to_string(list_slice(toks, i, i + {COVERAGE_K} - 1),"
+             " ' ')"
+         )} AS h
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {COVERAGE_K} + 1)) AS i
+        FROM tl WHERE len(toks) >= {COVERAGE_K}) t),
+cg AS (SELECT DISTINCT h FROM g WHERE doc_id % {COVERAGE_EVAL_MOD} <> 0),
+eg AS (SELECT doc_id, h FROM g WHERE doc_id % {COVERAGE_EVAL_MOD} = 0),
+pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+       FROM eg GROUP BY doc_id),
+hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered
+         FROM eg WHERE h IN (SELECT h FROM cg) GROUP BY doc_id)
+SELECT pd.doc_id, n_grams,
+       CAST(COALESCE(n_covered, 0) AS BIGINT) AS n_covered,
+       CAST(1000000 * COALESCE(n_covered, 0) // n_grams AS BIGINT)
+           AS coverage_ppm
+FROM pd LEFT JOIN hits USING (doc_id)
+ORDER BY pd.doc_id
+"""
+
+
+def ev_cohort_value(spark, sf_dir):
+    """Cohort value (LTV) curve (operators.funnel.cohort_value_curve):
+    users cohort by first-event ISO week; per (cohort, age-week) the
+    active users, period value and CUMULATIVE cohort value — the
+    payback readout beside ev_retention's who-comes-back counts.
+    Cents-pinned sums; cumulative window over the cell table."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        cohort_value_curve,
+    )
+
+    return cohort_value_curve(
+        T(spark, sf_dir, "events"), "user_id", "ts", "value"
+    )
+
+
+EV_COHORT_VALUE_SQL = """
+WITH b AS (
+  SELECT user_id AS u, ts,
+         CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT) AS c
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+f AS (SELECT u, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
+      FROM b GROUP BY u),
+cells AS (
+  SELECT cw AS cohort_week,
+         CAST(date_diff('day', cw, CAST(ts AS DATE)) // 7 AS BIGINT)
+             AS age_weeks,
+         CAST(COUNT(DISTINCT b.u) AS BIGINT) AS n_active,
+         SUM(c) AS pc
+  FROM b JOIN f ON f.u = b.u GROUP BY 1, 2)
+SELECT cohort_week, age_weeks, n_active,
+       ROUND(CAST(pc AS DOUBLE) / 100, 6) AS period_value,
+       ROUND(CAST(SUM(pc) OVER (PARTITION BY cohort_week
+                                ORDER BY age_weeks
+                                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / 100, 6) AS cum_value
+FROM cells ORDER BY cohort_week, age_weeks
+"""
+
+AA_MIN_SHARED = 2
+AA_CAP = 64
+
+
+def gr_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (operators.graph.adamic_adar) on the
+    supplier↔part graph: shared RARE neighbors score high, shared hubs
+    low — the degree-weighted refinement of gr_neighbor_sim's Jaccard,
+    riding the same one-exchange wedge machinery with nano-pinned
+    per-center weights attached before the unroll; hub centers capped
+    at 64 neighbors."""
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        adamic_adar,
+    )
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    fwd = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + PR_PART_OFFSET).alias("dst"),
+    )
+    bwd = li.filter(F.col("l_orderkey") % 2 == 1).select(
+        (F.col("l_partkey") + PR_PART_OFFSET).alias("src"),
+        F.col("l_suppkey").alias("dst"),
+    )
+    return adamic_adar(
+        fwd.union(bwd),
+        min_shared=AA_MIN_SHARED,
+        max_neighbors=AA_CAP,
+    )
+
+
+def _gr_aa_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        aa_weights_nano,
+    )
+
+    edges = (
+        f"SELECT l_suppkey AS src, l_partkey + {PR_PART_OFFSET} AS dst "
+        f"FROM lineitem WHERE l_orderkey % 2 = 0 "
+        f"UNION ALL "
+        f"SELECT l_partkey + {PR_PART_OFFSET} AS src, l_suppkey AS dst "
+        f"FROM lineitem WHERE l_orderkey % 2 = 1"
+    )
+    # the SAME plan-time weight literals the Spark side embeds (libm
+    # ROUND(1e9/LN(deg)) diverges by 1 nano across engines)
+    wlist = ", ".join(
+        f"CAST({x} AS BIGINT)" for x in aa_weights_nano(AA_CAP)
+    )
+    return f"""
+WITH e AS (
+  SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+  FROM ({edges}) WHERE src <> dst),
+adj AS (
+  SELECT s AS w, d AS n FROM e UNION SELECT d, s FROM e),
+deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY w),
+wgt AS (SELECT w, ([{wlist}])[CAST(deg AS INT)] AS wn
+        FROM deg WHERE deg <= {AA_CAP}),
+cadj AS (SELECT a.* FROM adj a JOIN wgt ON wgt.w = a.w),
+wp AS (
+  SELECT a.n AS na, b.n AS nb,
+         CAST(COUNT(*) AS BIGINT) AS shared,
+         CAST(SUM(wgt.wn) AS BIGINT) AS aa
+  FROM cadj a JOIN cadj b ON a.w = b.w AND a.n < b.n
+  JOIN wgt ON wgt.w = a.w
+  GROUP BY 1, 2 HAVING COUNT(*) >= {AA_MIN_SHARED} AND SUM(wgt.wn) >= 0)
+SELECT na AS node_a, nb AS node_b, shared,
+       CAST(aa AS BIGINT) AS aa_nano
+FROM wp ORDER BY node_a, node_b
+"""
+
+
+GR_AA_SQL = _gr_aa_sql()
+
+
 # --- Round-11 capstone: the full release report ------------------------------
 
 _RELEASE_CARD_METRICS = [
@@ -10732,4 +10905,8 @@ SCALE_QUERIES = {
     "ev_lag_features": (ev_lag_features, EV_LAG_SQL),
     "ts_twap": (ts_twap, TS_TWAP_SQL),
     "pf_dp_counts": (pf_dp_counts, PF_DP_SQL),
+    # fortieth wave (round 11)
+    "tx_ngram_coverage": (tx_ngram_coverage, TX_COVERAGE_SQL),
+    "ev_cohort_value": (ev_cohort_value, EV_COHORT_VALUE_SQL),
+    "gr_adamic_adar": (gr_adamic_adar, GR_AA_SQL),
 }

@@ -1537,3 +1537,75 @@ def duplicate_run_spans(
         .select(id_col, "span_start", "span_end", "n_grams")
         .orderBy(id_col, "span_start")
     )
+
+
+def ngram_coverage(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Eval-set n-gram coverage by a training corpus -- the audit
+    BETWEEN decontamination and novelty: decontam (T12) finds and
+    removes matches, this QUANTIFIES how much of each eval document's
+    k-gram surface the corpus already covers (high coverage means the
+    benchmark measures memorization, not generalization -- the
+    standard pretrain-eval hygiene number). Per eval doc: total
+    k-grams, k-grams present anywhere in the corpus, coverage ppm.
+
+    Scale shape: corpus grams collapse to ONE distinct 60-bit hash set
+    (map-side combined -- the big side never carries positions); eval
+    grams (small side by contract) left-semi-count against it via one
+    hash equi-join. Same md5-derived gram hash as T180, so the two
+    audits compose. Docs shorter than k tokens report zero grams
+    (coverage NULL, not 0 -- nothing to cover is not full coverage).
+    Output: (id, n_grams, n_covered, coverage_ppm), ordered.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        toks = (
+            df.filter(F.col(text_col).isNotNull())
+            .select(
+                F.col(id_col).alias("__id"),
+                word_tokens(F.col(text_col)).alias("__toks"),
+            )
+            .filter(F.size("__toks") >= k)
+        )
+        h60 = (
+            "CAST(conv(substring(md5(array_join("
+            f"slice(__toks, __i + 1, {k}), ' ')), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        )
+        return toks.select(
+            "__id",
+            "__toks",
+            F.explode(
+                F.sequence(F.lit(0), F.size("__toks") - k)
+            ).alias("__i"),
+        ).select("__id", F.expr(h60).alias("__h"))
+
+    cg = grams(corpus).select("__h").distinct()
+    eg = grams(eval_df)
+    per_doc = eg.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    hits = (
+        eg.join(cg, "__h", "left_semi")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_covered"))
+    )
+    return (
+        per_doc.join(hits, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            F.coalesce("n_covered", F.lit(0))
+            .cast("bigint")
+            .alias("n_covered"),
+            F.expr(
+                "CAST(1000000 * coalesce(n_covered, 0) div n_grams"
+                " AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .orderBy(id_col)
+    )

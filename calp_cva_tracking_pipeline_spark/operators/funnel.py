@@ -894,3 +894,71 @@ def transition_fold(
         enc.select(user_col).distinct(), user_col, "left_anti"
     )
     return out, lasts.unionByName(untouched)
+
+
+def cohort_value_curve(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Cohort value (LTV) curve: users cohort by the ISO week of their
+    FIRST event; per (cohort_week, age_weeks) the curve reports active
+    users, the period's value and the cohort's CUMULATIVE value -- the
+    payback/LTV readout product analytics reads off every retention
+    table (T63 counts who comes back; this weighs what they bring).
+
+    Scale shape: first-event timestamps are one user-keyed aggregate;
+    cohort/age attach as a projection after one user-sized join; the
+    (cohort, age) rollup map-side-combines, and the cumulative sum is
+    a window over the cohort-keyed, age-ordered CELL table (cells <<
+    events). Value pins to integer cents before every sum, so the
+    cumulative column is engine-exact. Output: (cohort_week date,
+    age_weeks, n_active, period_value, cum_value), ordered.
+    """
+    base = events.filter(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.round(F.coalesce(F.col(val_col), F.lit(0.0)) * 100, 0)
+        .cast("long")
+        .alias("__c"),
+    )
+    first = base.groupBy("__u").agg(
+        F.date_trunc("week", F.min("__ts")).cast("date").alias("__cw")
+    )
+    cells = (
+        base.join(first, "__u")
+        .select(
+            "__u",
+            "__c",
+            F.col("__cw"),
+            F.expr(
+                "CAST(datediff(CAST(__ts AS DATE), __cw) div 7"
+                " AS BIGINT)"
+            ).alias("age_weeks"),
+        )
+        .groupBy(F.col("__cw").alias("cohort_week"), "age_weeks")
+        .agg(
+            F.countDistinct("__u").cast("bigint").alias("n_active"),
+            F.sum("__c").cast("bigint").alias("__pc"),
+        )
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_weeks")
+    return (
+        cells.withColumn("__cum", F.sum("__pc").over(w))
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "n_active",
+            F.round(F.col("__pc").cast("double") / 100, 6).alias(
+                "period_value"
+            ),
+            F.round(F.col("__cum").cast("double") / 100, 6).alias(
+                "cum_value"
+            ),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )

@@ -1016,3 +1016,111 @@ def bfs_sql(
         f" SELECT node, dist FROM d{n_iter} ORDER BY node"
     )
     return "".join(parts)
+
+
+def aa_weights_nano(max_deg: int) -> list[int]:
+    """Adamic-Adar degree weights round(1e9/ln(d)) for d = 1..max_deg
+    as integer nano-unit literals, computed ONCE in plan-time Python so
+    Spark plans AND SQL oracles embed the SAME numbers — runtime
+    ``ROUND(1e9/LN(deg))`` diverged by 1 nano between JVM and DuckDB
+    libm on real degrees (caught by sf0.1 parity), and a 1-nano term
+    difference crosses 6-dp rounding boundaries after a 14-term sum.
+    d = 1 gets weight 0 (a degree-1 center produces no pairs)."""
+    import math
+
+    return [0] + [
+        int(round(1e9 / math.log(d))) for d in range(2, max_deg + 1)
+    ]
+
+
+def adamic_adar(
+    edges: DataFrame,
+    min_shared: int = 2,
+    min_score_nano: int = 0,
+    max_neighbors: int = 64,
+) -> DataFrame:
+    """Adamic-Adar link-prediction score: for node pairs sharing
+    neighbors, AA(a,b) = sum over shared neighbors w of 1/ln(deg(w)) --
+    the degree-weighted refinement of neighborhood Jaccard
+    (``neighbor_similarity``): a shared RARE neighbor is strong
+    evidence, a shared hub is weak (Adamic & Adar 2003). Pairs with
+    fewer than ``min_shared`` shared neighbors or score below
+    ``min_score_nano`` drop.
+
+    Physical shape: the SAME wedge machinery as T109 -- per-center
+    sorted collect_list + in-array pair unrolling over ONE exchange
+    (never a derived self-join), with the center's weight attached
+    BEFORE the unroll so each wedge row carries its nano-pinned
+    contribution; the per-pair sum is then a 64-bit integer
+    aggregation, order-independent and engine-exact, and the score
+    ships in integer NANO-units (a rounded float would sit on exact
+    half boundaries where engine rounding modes disagree). Weights are
+    PLAN-TIME literals (``aa_weights_nano`` -- runtime 1e9/ln(deg)
+    diverges by 1 nano across engine libms), which is why the
+    ``max_neighbors`` hub cap is MANDATORY here: it bounds both the
+    quadratic wedge fan-out (the graph stop-word guard) and the
+    literal weight table. Output: (node_a < node_b, shared, aa_nano).
+    """
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("s"),
+            F.greatest("src", "dst").alias("d"),
+        )
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("s").alias("w"), F.col("d").alias("n"))
+        .unionByName(
+            e.select(F.col("d").alias("w"), F.col("s").alias("n"))
+        )
+        .distinct()
+    )
+    deg = adj.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    centers = adj.join(deg, "w").filter(
+        F.col("deg") <= max_neighbors
+    )
+    wtab = F.array(
+        *[F.lit(x).cast("long") for x in aa_weights_nano(max_neighbors)]
+    )
+    w_nano = F.element_at(wtab, F.col("deg").cast("int"))
+    buckets = centers.groupBy("w").agg(
+        F.array_sort(F.collect_list("n")).alias("__m"),
+        F.first(w_nano).alias("__w"),
+    )
+    m = F.col("__m")
+    pairs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.size(m)),
+                lambda y: F.struct(x.alias("na"), y.alias("nb")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"), F.col("__w"))
+        .groupBy(
+            F.col("p.na").alias("node_a"), F.col("p.nb").alias("node_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("shared"),
+            F.sum("__w").cast("bigint").alias("__aa"),
+        )
+        .filter(
+            (F.col("shared") >= min_shared)
+            & (F.col("__aa") >= min_score_nano)
+        )
+        .select(
+            "node_a",
+            "node_b",
+            "shared",
+            # integer nano-units, never a rounded float: 14-term weight
+            # sums land on exact .5 micro boundaries where engine
+            # rounding modes disagree (caught by sf0.1 parity)
+            F.col("__aa").alias("aa_nano"),
+        )
+        .orderBy("node_a", "node_b")
+    )
