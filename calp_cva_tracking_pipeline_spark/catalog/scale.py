@@ -10236,8 +10236,10 @@ WITH counts AS (
 noised AS (
   SELECT event_type, dow, n,
          CAST(CAST(('0x' || substring(md5(
-             COALESCE(CAST(event_type AS VARCHAR), ' ') || '|' ||
-             COALESCE(CAST(dow AS VARCHAR), ' ') || '|' ||
+             COALESCE(CAST(event_type AS VARCHAR), chr(30))
+             || chr(31) ||
+             COALESCE(CAST(dow AS VARCHAR), chr(30))
+             || chr(31) ||
              'dp:{DP_SEED}'), 1, 15)) AS UBIGINT) AS BIGINT)
              % 1000000000 / 1e9 AS u
   FROM counts)

@@ -2555,10 +2555,12 @@ def dp_noisy_counts(
         raise ValueError(
             f"epsilon_milli must be positive: {epsilon_milli}"
         )
+    # ASCII unit separator, not '|': group values containing the
+    # separator must not make two different group tuples share noise
     key = F.concat_ws(
-        "|",
+        "\x1f",
         *[
-            F.coalesce(F.col(c).cast("string"), F.lit(" "))
+            F.coalesce(F.col(c).cast("string"), F.lit("\x1e"))
             for c in group_cols
         ],
         F.lit(f"dp:{seed}"),
