@@ -10427,6 +10427,128 @@ FROM wp ORDER BY node_a, node_b
 GR_AA_SQL = _gr_aa_sql()
 
 
+# --- Round-11 wave 41: schema drift + mixture reweight ------------------------
+
+_DRIFT_LEGACY = '{"legacy_field": 1}'
+_DRIFT_V2 = '{"v2_flag": 1}'
+
+
+def ev_schema_drift(spark, sf_dir):
+    """Producer schema drift on the props JSON column (operators.
+    semistruct.json_schema_drift): old slice = even event_ids with a
+    deterministic minority rewritten to a LEGACY-only shape, new slice
+    = odd ids with a minority on a V2-only shape — so the audit
+    surfaces one removed key, one added key and coverage drift on the
+    common ones (the derive-from-testdata discipline: the raw column
+    alone would exercise only the 'common' branch)."""
+    from calp_cva_tracking_pipeline_spark.operators.semistruct import (
+        json_schema_drift,
+    )
+
+    e = T(spark, sf_dir, "events").select("event_id", "props")
+    old = e.filter(F.col("event_id") % 2 == 0).select(
+        F.when(
+            F.col("event_id") % 11 == 0, F.lit(_DRIFT_LEGACY)
+        ).otherwise(F.col("props")).alias("props")
+    )
+    new = e.filter(F.col("event_id") % 2 == 1).select(
+        F.when(
+            F.col("event_id") % 5 == 0, F.lit(_DRIFT_V2)
+        ).otherwise(F.col("props")).alias("props")
+    )
+    return json_schema_drift(old, new, "props")
+
+
+EV_SCHEMA_DRIFT_SQL = f"""
+WITH o AS (
+  SELECT CASE WHEN event_id % 11 = 0 THEN '{_DRIFT_LEGACY}'
+              ELSE props END AS props
+  FROM events WHERE event_id % 2 = 0),
+nn AS (
+  SELECT CASE WHEN event_id % 5 = 0 THEN '{_DRIFT_V2}'
+              ELSE props END AS props
+  FROM events WHERE event_id % 2 = 1),
+ot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM o),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM nn),
+ok_ AS (SELECT unnest(json_keys(props)) AS key
+        FROM o WHERE props IS NOT NULL AND json_valid(props)),
+nk AS (SELECT unnest(json_keys(props)) AS key
+       FROM nn WHERE props IS NOT NULL AND json_valid(props)),
+oi AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_old,
+              CAST(1000000 * COUNT(*) // tot AS BIGINT) AS cov_old_ppm
+       FROM ok_ CROSS JOIN ot GROUP BY key, tot),
+ni AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_new,
+              CAST(1000000 * COUNT(*) // tot AS BIGINT) AS cov_new_ppm
+       FROM nk CROSS JOIN nt GROUP BY key, tot)
+SELECT COALESCE(oi.key, ni.key) AS key,
+       CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(cov_old_ppm, 0) AS BIGINT) AS cov_old_ppm,
+       CAST(COALESCE(cov_new_ppm, 0) AS BIGINT) AS cov_new_ppm,
+       CAST(COALESCE(cov_new_ppm, 0) - COALESCE(cov_old_ppm, 0)
+            AS BIGINT) AS drift_ppm,
+       CASE WHEN oi.key IS NULL THEN 'added'
+            WHEN ni.key IS NULL THEN 'removed'
+            ELSE 'common' END AS status
+FROM oi FULL OUTER JOIN ni ON oi.key = ni.key
+ORDER BY key
+"""
+
+# deliberately skewed target (src0 oversampled 4x, src19 at 1.6x) with a
+# tight clamp so the over-boost flag fires on src0
+REWEIGHT_TARGET = {
+    "src0": 200_000,
+    **{f"src{i}": 40_000 for i in range(1, 19)},
+    "src19": 80_000,
+}
+REWEIGHT_CLAMP = 3000
+
+
+def mx_reweight(spark, sf_dir):
+    """Mixture-correction importance weights (operators.sampling.
+    mixture_reweight): per source, target_share / empirical_share in
+    exact milli-units (decimal arithmetic — target_ppm × corpus size
+    overflows int64 at web scale), clamped at 3 passes with the
+    over-boost flag surfaced — the DoReMi-style multiplier a sampler
+    consumes next to mx_mixture's draw."""
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        mixture_reweight,
+    )
+
+    return mixture_reweight(
+        T(spark, sf_dir, "documents"),
+        "source",
+        target_ppm=REWEIGHT_TARGET,
+        clamp_max_milli=REWEIGHT_CLAMP,
+    )
+
+
+def _mx_reweight_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(REWEIGHT_TARGET.items())
+    )
+    return f"""
+WITH emp AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM documents WHERE source IS NOT NULL GROUP BY source),
+t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot FROM emp),
+w AS (
+  SELECT source, n_rows,
+         CAST(1000000 * n_rows // tot AS BIGINT) AS emp_ppm,
+         CAST((CASE source {cases} ELSE 0 END) AS BIGINT) AS target_ppm,
+         (CAST((CASE source {cases} ELSE 0 END) AS HUGEINT) * tot)
+             // (1000 * n_rows) AS raw
+  FROM emp CROSS JOIN t)
+SELECT source, n_rows, emp_ppm, target_ppm,
+       CAST(LEAST(raw, {REWEIGHT_CLAMP}) AS BIGINT) AS weight_milli,
+       (raw > {REWEIGHT_CLAMP}) AS clamped
+FROM w ORDER BY source
+"""
+
+
+MX_REWEIGHT_SQL = _mx_reweight_sql()
+
+
 # --- Round-11 capstone: the full release report ------------------------------
 
 _RELEASE_CARD_METRICS = [
@@ -10911,4 +11033,7 @@ SCALE_QUERIES = {
     "tx_ngram_coverage": (tx_ngram_coverage, TX_COVERAGE_SQL),
     "ev_cohort_value": (ev_cohort_value, EV_COHORT_VALUE_SQL),
     "gr_adamic_adar": (gr_adamic_adar, GR_AA_SQL),
+    # forty-first wave (round 11)
+    "ev_schema_drift": (ev_schema_drift, EV_SCHEMA_DRIFT_SQL),
+    "mx_reweight": (mx_reweight, MX_REWEIGHT_SQL),
 }

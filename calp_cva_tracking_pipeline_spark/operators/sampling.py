@@ -923,3 +923,65 @@ def epoch_plan(
         )
         .orderBy(group_col)
     )
+
+
+def mixture_reweight(
+    df: DataFrame,
+    group_col: str,
+    target_ppm: dict[str, int],
+    clamp_max_milli: int = 8000,
+) -> DataFrame:
+    """Importance multipliers correcting an EMPIRICAL mixture toward a
+    TARGET one (the DoReMi-style mixture-correction step a sampler
+    consumes): per group, weight = target_share / empirical_share in
+    integer MILLI-units with exact decimal division, clamped at
+    ``clamp_max_milli`` (an over-boosted tiny domain repeats into
+    memorization -- the epoch_plan ceiling discipline, surfaced by the
+    ``clamped`` flag). Groups absent from ``target_ppm`` get target 0
+    (weight 0 = drop); target shares need not sum to 1e6 (the caller's
+    normalization is their policy).
+
+    One group-cardinality aggregation + a one-row broadcast total; the
+    weight arithmetic runs in DECIMAL(38,0) (target_ppm x total
+    overflows int64 for web-scale corpora). Output per group:
+    (group, n_rows, emp_ppm, target_ppm, weight_milli, clamped),
+    ordered.
+    """
+    t_expr = F.lit(0)
+    for k in sorted(target_ppm):
+        t_expr = F.when(
+            F.col(group_col) == k, F.lit(int(target_ppm[k]))
+        ).otherwise(t_expr)
+    emp = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    total = emp.agg(F.sum("n_rows").cast("bigint").alias("__tot"))
+    raw = F.expr(
+        "CAST((CAST(target_ppm AS DECIMAL(38, 0)) * __tot)"
+        " div (CAST(1000 AS BIGINT) * n_rows) AS BIGINT)"
+    )
+    return (
+        emp.crossJoin(F.broadcast(total))
+        .select(
+            group_col,
+            "n_rows",
+            F.expr("CAST(1000000 * n_rows div __tot AS BIGINT)").alias(
+                "emp_ppm"
+            ),
+            t_expr.cast("bigint").alias("target_ppm"),
+            "__tot",
+        )
+        .select(
+            group_col,
+            "n_rows",
+            "emp_ppm",
+            "target_ppm",
+            F.least(raw, F.lit(int(clamp_max_milli)))
+            .cast("bigint")
+            .alias("weight_milli"),
+            (raw > clamp_max_milli).alias("clamped"),
+        )
+        .orderBy(group_col)
+    )

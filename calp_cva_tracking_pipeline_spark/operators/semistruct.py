@@ -85,3 +85,69 @@ def json_key_inventory(
         )
         .orderBy("key")
     )
+
+
+def json_schema_drift(
+    old_df: DataFrame, new_df: DataFrame, json_col: str
+) -> DataFrame:
+    """Schema drift between two slices of a JSON column -- the alarm
+    that fires BEFORE a promoted field silently goes all-NULL: which
+    top-level keys appeared, which vanished, and how much each key's
+    coverage moved (producers add/rename fields without telling the
+    consumers; this is the consumer's tripwire). Per key:
+    (key, n_old, n_new, cov_old_ppm, cov_new_ppm, drift_ppm, status
+    'added'/'removed'/'common'), coverage in integer ppm of each
+    slice's TOTAL rows (malformed/null JSON counts in the denominator
+    -- those rows are exactly where a promoted field reads NULL).
+
+    Two key-inventory passes (one explode + key-cardinality aggregation
+    each, totals broadcast) and one key-sized full-outer merge --
+    key cardinality is schema-sized, never row-sized.
+    """
+    def inv(df: DataFrame, n_name: str, c_name: str) -> DataFrame:
+        total = df.agg(F.count(F.lit(1)).alias("__t"))
+        return (
+            df.select(
+                F.explode(
+                    F.json_object_keys(F.col(json_col))
+                ).alias("key")
+            )
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(n_name))
+            .crossJoin(F.broadcast(total))
+            .select(
+                "key",
+                n_name,
+                F.expr(
+                    f"CAST(1000000 * {n_name} div __t AS BIGINT)"
+                ).alias(c_name),
+            )
+        )
+
+    o = inv(old_df, "n_old", "cov_old_ppm")
+    n = inv(new_df, "n_new", "cov_new_ppm")
+    status = (
+        F.when(F.col("n_old").isNull(), F.lit("added"))
+        .when(F.col("n_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("common"))
+    )
+    return (
+        o.join(n, "key", "full_outer")
+        .select(
+            "key",
+            F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            F.coalesce("cov_old_ppm", F.lit(0))
+            .cast("bigint")
+            .alias("cov_old_ppm"),
+            F.coalesce("cov_new_ppm", F.lit(0))
+            .cast("bigint")
+            .alias("cov_new_ppm"),
+            (
+                F.coalesce("cov_new_ppm", F.lit(0))
+                - F.coalesce("cov_old_ppm", F.lit(0))
+            ).cast("bigint").alias("drift_ppm"),
+            status.alias("status"),
+        )
+        .orderBy("key")
+    )

@@ -102,3 +102,54 @@ def test_adamic_adar_hand_graph(spark):
     assert wd(3) == int(round(1e9 / math.log(3)))
     # pair (10, 20): shared neighbors {1, 2} (deg 2 each)
     assert out[(10, 20)].aa_nano == 2 * wd(2)
+
+
+def test_json_schema_drift_hand_slices(spark):
+    from calp_cva_tracking_pipeline_spark.operators.semistruct import (
+        json_schema_drift,
+    )
+
+    old = spark.createDataFrame(
+        [('{"a": 1, "gone": 2}',), ('{"a": 3}',), (None,), ("not json",)],
+        "props string",
+    )
+    new = spark.createDataFrame(
+        [('{"a": 1, "fresh": 2}',), ('{"fresh": 1}',)], "props string"
+    )
+    out = {r.key: r for r in json_schema_drift(old, new, "props").collect()}
+    assert set(out) == {"a", "gone", "fresh"}
+    a = out["a"]
+    # coverage denominators include null/malformed rows: 2/4 vs 1/2
+    assert (a.n_old, a.n_new, a.status) == (2, 1, "common")
+    assert (a.cov_old_ppm, a.cov_new_ppm, a.drift_ppm) == (
+        500_000, 500_000, 0,
+    )
+    assert (out["gone"].status, out["gone"].n_new) == ("removed", 0)
+    assert (out["fresh"].status, out["fresh"].cov_new_ppm) == (
+        "added", 1_000_000,
+    )
+
+
+def test_mixture_reweight_hand_mixture(spark):
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        mixture_reweight,
+    )
+
+    rows = [("a",)] * 80 + [("b",)] * 15 + [("c",)] * 5 + [(None,)] * 3
+    df = spark.createDataFrame(rows, "source string")
+    out = {
+        r.source: r
+        for r in mixture_reweight(
+            df,
+            "source",
+            target_ppm={"a": 500_000, "b": 250_000, "c": 250_000},
+            clamp_max_milli=4000,
+        ).collect()
+    }
+    assert set(out) == {"a", "b", "c"}  # null group drops
+    # a: target .5 / emp .8 -> 0.625 -> 625 milli (floor of 50/80)
+    assert out["a"].weight_milli == 500_000 * 100 // (1000 * 80)
+    assert not out["a"].clamped
+    # c: target .25 / emp .05 -> 5.0 -> clamps at 4000
+    assert out["c"].weight_milli == 4000 and out["c"].clamped
+    assert out["b"].emp_ppm == 150_000
