@@ -1069,12 +1069,18 @@ def adamic_adar(
         )
         .distinct()
     )
+    # adjacency is referenced by the degree aggregate AND the center
+    # join (which itself contains deg -> adj again): un-cut, the edge
+    # scan re-expands ~6x in the plan (measured 12 parquet scans at
+    # sf0.01) — one lazy cut of the static frame bounds it, the
+    # pagerank static-frame discipline
     adj = (
         e.select(F.col("s").alias("w"), F.col("d").alias("n"))
         .unionByName(
             e.select(F.col("d").alias("w"), F.col("s").alias("n"))
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = adj.groupBy("w").agg(
         F.count(F.lit(1)).cast("long").alias("deg")

@@ -755,3 +755,37 @@ def test_release_report_shares_cell_exchange(spark, sf_dir):
         "ReusedQueryStage"
     ) >= 2, plan.count("ReusedExchange")
     assert "CartesianProduct" not in plan
+
+
+def test_wave37_41_tier_plan_shapes(spark, sf_dir):
+    """Structural pins for the round-11 tier: the MMR greedy is ONE
+    Arrow group stage (logical plan — the AQE executed plan may print
+    a reused copy); substring spans and coverage stay equi-join-only
+    with bounded scan fan-out; adamic-adar's adjacency cut keeps the
+    fact scan out of the wedge lineage; the lag/TWAP windows ride one
+    keyed exchange each."""
+    mmr = S.rt_mmr(spark, sf_dir)
+    lp = mmr._jdf.queryExecution().optimizedPlan().toString()
+    assert lp.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in _executed(mmr)
+
+    spans = _executed(S.dd_substring_spans(spark, sf_dir))
+    assert spans.count("Scan parquet") <= 4
+    assert "CartesianProduct" not in spans
+
+    cov = _executed(S.tx_ngram_coverage(spark, sf_dir))
+    assert cov.count("Scan parquet") <= 6
+    assert "LeftSemi" in cov  # the corpus-gram membership check
+
+    aa = S.gr_adamic_adar(spark, sf_dir)
+    aa.count()
+    aap = _executed(aa)
+    # the adjacency localCheckpoint keeps the fact scan OUT of the
+    # wedge lineage: only RDD leaves below the pair expansion
+    assert aap.count("Scan parquet") == 0
+    assert "CartesianProduct" not in aap
+
+    for q in (S.ev_lag_features, S.ts_twap):
+        p = _executed(q(spark, sf_dir))
+        assert "CartesianProduct" not in p
+        assert p.count("Scan parquet") == 1, q.__name__

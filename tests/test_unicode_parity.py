@@ -64,6 +64,14 @@ TEXT_FAMILY = [
     "rt_snippet_extract",
     "mx_dedup_weights",
     "tx_ttr",
+    # round 11: substring dup spans + n-gram coverage share the
+    # whitespace tokenizer and md5 gram hashing; the MMR rerank shares
+    # the BM25 tokenizer AND Python-set-vs-SQL token Jaccard; the
+    # release report composes card/profile/jsd/leakage over raw text
+    "dd_substring_spans",
+    "tx_ngram_coverage",
+    "rt_mmr",
+    "pf_release_report",
 ]
 
 
