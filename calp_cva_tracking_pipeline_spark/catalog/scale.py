@@ -10549,6 +10549,109 @@ FROM w ORDER BY source
 MX_REWEIGHT_SQL = _mx_reweight_sql()
 
 
+# --- Round-11 wave 42: query expansion + frequency movers ---------------------
+
+QEXP_TOP_M = 10
+
+
+def rt_query_expansion(spark, sf_dir):
+    """Pseudo-relevance-feedback query expansion (operators.retrieval.
+    query_expansion_terms): terms concentrated in the BM25 top-10 pool
+    but rare in the corpus, scored by the integer-exact
+    1000·tf_pool div df_corpus (libm-free by design — a log-weighted
+    RM3 score would re-open the cross-engine 1-ulp divergence);
+    original query terms excluded."""
+    from calp_cva_tracking_pipeline_spark.operators.retrieval import (
+        query_expansion_terms,
+    )
+
+    return query_expansion_terms(
+        T(spark, sf_dir, "documents"),
+        "doc_id",
+        BM25_QUERY,
+        k1=BM25_K1,
+        b=BM25_B,
+        pool=BM25_TOP_K,
+        top_m=QEXP_TOP_M,
+    )
+
+
+RT_QEXP_SQL = f"""
+WITH {_BM25_SCORED_CTES},
+pool AS (SELECT doc_id FROM scored
+         ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}),
+ptf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS tf_pool
+  FROM toks JOIN pool USING (doc_id)
+  WHERE term NOT IN ({_BM25_TERMS})
+  GROUP BY term),
+dfc AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_corpus
+  FROM toks GROUP BY term)
+SELECT term, tf_pool, df_corpus,
+       CAST(1000 * tf_pool // df_corpus AS BIGINT) AS score_milli
+FROM ptf JOIN dfc USING (term)
+ORDER BY score_milli DESC, term
+LIMIT {QEXP_TOP_M}
+"""
+
+MOVERS_TOP_K = 20
+
+
+def tx_top_movers(spark, sf_dir):
+    """Top token-frequency movers between the even and odd doc halves
+    (operators.profiling.frequency_movers): which words surged or
+    collapsed, in integer ppm share deltas — the categorical
+    what-changed-most readout beside pf_psi/pf_chi2's did-it-change
+    statistics; appearing/vanishing keys are never dropped."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        frequency_movers,
+    )
+
+    toks = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            (F.col("doc_id") % 2).cast("int").alias("sl"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), "\\s+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    return frequency_movers(
+        toks, "term", F.col("sl"), top_k=MOVERS_TOP_K
+    )
+
+
+TX_MOVERS_SQL = rf"""
+WITH tk AS (
+  SELECT CAST(doc_id % 2 AS INT) AS s,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE text IS NOT NULL),
+cells AS (
+  SELECT term, s, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tk WHERE term <> '' GROUP BY 1, 2),
+tot AS (SELECT s, CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY s),
+j AS (
+  SELECT term,
+         CAST(COALESCE(MAX(CASE WHEN s = 0 THEN c END), 0) AS BIGINT)
+             AS n_old,
+         CAST(COALESCE(MAX(CASE WHEN s = 1 THEN c END), 0) AS BIGINT)
+             AS n_new,
+         CAST(COALESCE(MAX(CASE WHEN s = 0
+             THEN 1000000 * c // t END), 0) AS BIGINT) AS ppm_old,
+         CAST(COALESCE(MAX(CASE WHEN s = 1
+             THEN 1000000 * c // t END), 0) AS BIGINT) AS ppm_new
+  FROM cells JOIN tot USING (s) GROUP BY term)
+SELECT term, n_old, n_new, ppm_old, ppm_new,
+       CAST(ppm_new - ppm_old AS BIGINT) AS delta_ppm
+FROM j
+ORDER BY ABS(ppm_new - ppm_old) DESC, term
+LIMIT {MOVERS_TOP_K}
+"""
+
+
 # --- Round-11 capstone: the full release report ------------------------------
 
 _RELEASE_CARD_METRICS = [
@@ -11036,4 +11139,7 @@ SCALE_QUERIES = {
     # forty-first wave (round 11)
     "ev_schema_drift": (ev_schema_drift, EV_SCHEMA_DRIFT_SQL),
     "mx_reweight": (mx_reweight, MX_REWEIGHT_SQL),
+    # forty-second wave (round 11)
+    "rt_query_expansion": (rt_query_expansion, RT_QEXP_SQL),
+    "tx_top_movers": (tx_top_movers, TX_MOVERS_SQL),
 }

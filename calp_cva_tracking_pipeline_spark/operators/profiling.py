@@ -2586,3 +2586,67 @@ def dp_noisy_counts(
         )
         .orderBy(*group_cols)
     )
+
+
+def frequency_movers(
+    df: DataFrame,
+    key_col: str,
+    slice_col: Column,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top frequency movers between two data slices -- the categorical
+    "what CHANGED most" readout beside chi2's "did anything change":
+    per key, its share of each slice in integer ppm and the share
+    delta; the ``top_k`` largest absolute movers survive (ties break
+    on the key -- a total order, so the cut is engine-deterministic).
+    ``slice_col`` evaluates to 0 (old) or 1 (new), the PSI convention.
+    Keys absent from a slice read share 0 there (appearing/vanishing
+    keys are the most interesting movers, never dropped).
+
+    One (key, slice) cell aggregation (map-side combined; shuffle =
+    cell cardinality), slice totals broadcast back, and a
+    TakeOrderedAndProject cut. Output: (key, n_old, n_new, ppm_old,
+    ppm_new, delta_ppm), |delta| descending.
+    """
+    cells = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            slice_col.cast("int").alias("__s"),
+        )
+        .filter(F.col("__k").isNotNull() & F.col("__s").isNotNull())
+        .groupBy("__k", "__s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    totals = cells.groupBy("__s").agg(
+        F.sum("__c").cast("bigint").alias("__t")
+    )
+    j = cells.join(F.broadcast(totals), "__s").select(
+        "__k",
+        F.when(F.col("__s") == 0, F.col("__c")).alias("__co"),
+        F.when(F.col("__s") == 1, F.col("__c")).alias("__cn"),
+        F.when(
+            F.col("__s") == 0,
+            F.expr("CAST(1000000 * __c div __t AS BIGINT)"),
+        ).alias("__po"),
+        F.when(
+            F.col("__s") == 1,
+            F.expr("CAST(1000000 * __c div __t AS BIGINT)"),
+        ).alias("__pn"),
+    )
+    agg = j.groupBy(F.col("__k").alias(key_col)).agg(
+        F.coalesce(F.max("__co"), F.lit(0)).cast("bigint").alias("n_old"),
+        F.coalesce(F.max("__cn"), F.lit(0)).cast("bigint").alias("n_new"),
+        F.coalesce(F.max("__po"), F.lit(0))
+        .cast("bigint")
+        .alias("ppm_old"),
+        F.coalesce(F.max("__pn"), F.lit(0))
+        .cast("bigint")
+        .alias("ppm_new"),
+    )
+    delta = (F.col("ppm_new") - F.col("ppm_old")).cast("bigint")
+    return (
+        agg.select(key_col, "n_old", "n_new", "ppm_old", "ppm_new",
+                   delta.alias("delta_ppm"))
+        .orderBy(F.abs(F.col("delta_ppm")).desc(), F.col(key_col))
+        .limit(top_k)
+    )

@@ -422,3 +422,73 @@ def mmr_rerank(
         .applyInPandas(pick, out_schema)
         .orderBy(query_col, "mmr_rank")
     )
+
+
+def query_expansion_terms(
+    df: DataFrame,
+    id_col: str,
+    query_terms: list[str],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    pool: int = 10,
+    top_m: int = 10,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (the RM3-family step,
+    integer-portable form): retrieve the BM25 top-``pool`` documents,
+    then rank the terms THEY contain by how concentrated-in-the-pool
+    vs spread-in-the-corpus each term is -- score_milli =
+    1000 * tf_pool div df_corpus, an exact integer (libm-free by
+    design: a log-weighted RM3 score would re-open the cross-engine
+    1-ulp divergence the Adamic-Adar weights hit). Original query
+    terms are excluded (they expand nothing); ties break on the term.
+
+    Scale shape: the BM25 retrieval is the corpus-sized work (already
+    the T30 shape); the expansion side tokenizes ONLY the pool docs
+    (semi-join on the pool ids), corpus document frequencies come from
+    one distinct-(doc, term) aggregation, and the cut is a
+    TakeOrderedAndProject. Output: (term, tf_pool, df_corpus,
+    score_milli), top ``top_m``.
+    """
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        bm25_topk,
+    )
+
+    terms = sorted({t.lower() for t in query_terms})
+    top = bm25_topk(
+        df, id_col, query_terms, text_col=text_col, k1=k1, b=b,
+        top_k=pool,
+    ).select(F.col(id_col).alias("__pid"))
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    pool_tf = (
+        toks.join(
+            F.broadcast(top), F.col("__id") == F.col("__pid"), "left_semi"
+        )
+        .filter(~F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf_pool"))
+    )
+    df_corpus = (
+        toks.select("__id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df_corpus"))
+    )
+    return (
+        pool_tf.join(df_corpus, "term")
+        .select(
+            "term",
+            "tf_pool",
+            "df_corpus",
+            F.expr(
+                "CAST(1000 * tf_pool div df_corpus AS BIGINT)"
+            ).alias("score_milli"),
+        )
+        .orderBy(F.col("score_milli").desc(), F.col("term"))
+        .limit(top_m)
+    )

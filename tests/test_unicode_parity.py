@@ -72,6 +72,10 @@ TEXT_FAMILY = [
     "tx_ngram_coverage",
     "rt_mmr",
     "pf_release_report",
+    # round 11 wave 42: PRF expansion + token movers share the BM25 /
+    # whitespace tokenizer
+    "rt_query_expansion",
+    "tx_top_movers",
 ]
 
 
