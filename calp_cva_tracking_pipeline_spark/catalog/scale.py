@@ -10652,6 +10652,124 @@ LIMIT {MOVERS_TOP_K}
 """
 
 
+# --- Round-11 wave 43: interval coverage + centroid drift ---------------------
+
+
+def tj_coverage_gaps(spark, sf_dir):
+    """Shipment-window coverage per supplier (operators.temporal.
+    interval_coverage_gaps): [shipdate, shipdate + floor(quantity)
+    days] intervals (the testdata schema carries no receipt date —
+    floor, not cast: DuckDB CAST(DOUBLE AS INT) rounds where Spark
+    truncates) merge into islands; the audit reports covered seconds,
+    in-window gap mass and the largest outage — the uptime/coverage
+    readout for any validity-interval table. One key-ordered exchange,
+    epoch-second integer arithmetic."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        interval_coverage_gaps,
+    )
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.col("l_shipdate").cast("timestamp").alias("w_start"),
+        F.expr(
+            "CAST(date_add(l_shipdate,"
+            " CAST(floor(l_quantity) AS INT)) AS TIMESTAMP)"
+        ).alias("w_end"),
+    )
+    return interval_coverage_gaps(
+        li, ["l_suppkey"], "w_start", "w_end"
+    )
+
+
+TJ_COVERAGE_SQL = """
+WITH b AS (
+  SELECT l_suppkey,
+         CAST(FLOOR(epoch(CAST(l_shipdate AS TIMESTAMP))) AS BIGINT)
+             AS s,
+         CAST(FLOOR(epoch(CAST(l_shipdate
+             + CAST(FLOOR(l_quantity) AS INT) * INTERVAL 1 DAY
+             AS TIMESTAMP))) AS BIGINT) AS e
+  FROM lineitem
+  WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
+    AND FLOOR(l_quantity) >= 0),
+t AS (
+  SELECT l_suppkey, s, e,
+         MAX(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS pmax
+  FROM b),
+t2 AS (
+  SELECT l_suppkey, s, e,
+         CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nw,
+         CASE WHEN pmax IS NOT NULL AND s > pmax THEN s - pmax
+              ELSE 0 END AS gap
+  FROM t),
+t3 AS (
+  SELECT *, SUM(nw) OVER (PARTITION BY l_suppkey ORDER BY s, e
+                          ROWS UNBOUNDED PRECEDING) AS island
+  FROM t2),
+isl AS (
+  SELECT l_suppkey, island, MIN(s) AS i_s, MAX(e) AS i_e,
+         CAST(COUNT(*) AS BIGINT) AS n, MAX(gap) AS g
+  FROM t3 GROUP BY l_suppkey, island)
+SELECT l_suppkey,
+       CAST(SUM(n) AS BIGINT) AS n_intervals,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(i_e - i_s) AS BIGINT) AS covered_s,
+       CAST(COALESCE(SUM(g), 0) AS BIGINT) AS gap_s,
+       CAST(COALESCE(MAX(g), 0) AS BIGINT) AS max_gap_s
+FROM isl GROUP BY l_suppkey
+ORDER BY l_suppkey
+"""
+
+
+def emb_centroid_drift(spark, sf_dir):
+    """Per-label embedding centroid drift between the even and odd
+    vec_id halves (operators.similarity.centroid_drift): squared L2
+    between decimal-exact 6-dp slice centroids — the embedding-space
+    drift monitor beside the numeric PSI/KS tier (a moved centroid
+    silently degrades every distance-based consumer)."""
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        centroid_drift,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    return centroid_drift(
+        e.filter(F.col("vec_id") % 2 == 0),
+        e.filter(F.col("vec_id") % 2 == 1),
+        "embedding",
+        "label",
+    )
+
+
+EMB_DRIFT_SQL = f"""
+WITH v AS (
+  SELECT CAST(vec_id % 2 AS INT) AS sl, label,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+px AS (SELECT unnest(generate_series(1, {EMB_DIM})) AS i),
+pd AS (
+  SELECT sl, label, i,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(27,9))) AS DOUBLE)
+               / COUNT(*), 6) AS m
+  FROM v CROSS JOIN px GROUP BY 1, 2, 3),
+co AS (SELECT label, MAX(n) AS n_old, list(m ORDER BY i) AS c
+       FROM pd WHERE sl = 0 GROUP BY label),
+cn AS (SELECT label, MAX(n) AS n_new, list(m ORDER BY i) AS c
+       FROM pd WHERE sl = 1 GROUP BY label)
+SELECT COALESCE(co.label, cn.label) AS label,
+       CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+       CASE WHEN co.label IS NOT NULL AND cn.label IS NOT NULL THEN
+         ROUND(list_sum(list_transform(list_zip(co.c, cn.c),
+               x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) END AS d2_drift
+FROM co FULL OUTER JOIN cn ON co.label = cn.label
+ORDER BY label
+"""
+
+
 # --- Round-11 capstone: the full release report ------------------------------
 
 _RELEASE_CARD_METRICS = [
@@ -11142,4 +11260,7 @@ SCALE_QUERIES = {
     # forty-second wave (round 11)
     "rt_query_expansion": (rt_query_expansion, RT_QEXP_SQL),
     "tx_top_movers": (tx_top_movers, TX_MOVERS_SQL),
+    # forty-third wave (round 11)
+    "tj_coverage_gaps": (tj_coverage_gaps, TJ_COVERAGE_SQL),
+    "emb_centroid_drift": (emb_centroid_drift, EMB_DRIFT_SQL),
 }

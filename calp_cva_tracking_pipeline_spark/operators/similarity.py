@@ -1495,3 +1495,79 @@ def matryoshka_recall(
             ),
         ).alias("recall_ppm"),
     ).orderBy("dims")
+
+
+def centroid_drift(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-label embedding centroid drift between two corpus slices --
+    the embedding-space companion of the PSI/KS numeric monitors: when
+    a label's mean vector moves, the upstream encoder or the data
+    under it changed, and every distance-based consumer (ANN, dedup
+    thresholds, classifiers) silently degrades. Per label:
+    (n_old, n_new, d2_drift = squared L2 between the slice centroids,
+    6 dp).
+
+    Determinism discipline (the emb_kmeans combination): per-dimension
+    means accumulate as DECIMAL(27,9) (order-independent), divide once
+    and round to 6 dp; the centroid arrays reassemble in dimension
+    order, and the final d² evaluates via the same fixed-order
+    fold both engines spell identically. Labels present in only one
+    slice report their population with NULL drift (no counterpart).
+    Shape: one (label, dim) aggregation per slice (map-side combined,
+    shuffle = labels × dims), label-sized join.
+    """
+    def cent(df: DataFrame, n_name: str, c_name: str) -> DataFrame:
+        per_dim = (
+            df.filter(
+                F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+            )
+            .select(
+                F.col(label_col).alias("__l"),
+                F.posexplode(F.col(vec_col)).alias("__pos", "__val"),
+            )
+            .groupBy("__l", "__pos")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("__val").cast("double").cast("decimal(27,9)")
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("__m"),
+                F.count(F.lit(1)).cast("bigint").alias("__n"),
+            )
+        )
+        return per_dim.groupBy("__l").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                lambda st: st["__m"],
+            ).alias(c_name),
+            F.max("__n").cast("bigint").alias(n_name),
+        )
+
+    o = cent(old_df, "n_old", "__co")
+    n = cent(new_df, "n_new", "__cn")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__co"), F.col("__cn"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        o.join(n, "__l", "full_outer")
+        .select(
+            F.col("__l").alias(label_col),
+            F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            F.when(
+                F.col("__co").isNotNull() & F.col("__cn").isNotNull(),
+                F.round(d2, 6),
+            ).alias("d2_drift"),
+        )
+        .orderBy(label_col)
+    )

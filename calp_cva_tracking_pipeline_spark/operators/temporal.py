@@ -1706,3 +1706,76 @@ def time_weighted_mean(
         )
         .orderBy(*key_cols)
     )
+
+
+def interval_coverage_gaps(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Interval coverage audit per key -- the uptime/coverage readout
+    for any validity-interval table (sensor feeds, SLA windows, SCD2
+    versions): merge overlapping/touching intervals, then report the
+    covered span, the uncovered gap mass INSIDE the observed window,
+    and the largest single gap. The classic gaps-and-islands merge:
+    an interval starts a new island when its start exceeds the running
+    max end of everything before it -- one key-ordered exchange, two
+    window passes (running max end, island id), then a key rollup.
+
+    Integer-exact: bounds convert to whole epoch seconds before any
+    arithmetic. Malformed intervals (NULL bounds or end < start) drop
+    by contract. Output per key: (keys..., n_intervals, n_islands,
+    covered_s, gap_s, max_gap_s), ordered.
+    """
+    s = F.unix_timestamp(F.col(start_col)).cast("long")
+    e = F.unix_timestamp(F.col(end_col)).cast("long")
+    base = df.filter(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (e >= s)
+    ).select(*key_cols, s.alias("__s"), e.alias("__e"))
+    w = Window.partitionBy(*key_cols).orderBy("__s", "__e")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    t = (
+        base.withColumn("__pmax", F.max("__e").over(wprev))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__pmax").isNull()
+                | (F.col("__s") > F.col("__pmax")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__gap",
+            F.when(
+                (F.col("__new") == 1) & F.col("__pmax").isNotNull(),
+                F.col("__s") - F.col("__pmax"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__island", F.sum("__new").over(w))
+    )
+    islands = t.groupBy(*key_cols, F.col("__island")).agg(
+        F.min("__s").alias("__is"),
+        F.max("__e").alias("__ie"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.max("__gap").alias("__g"),
+    )
+    return (
+        islands.groupBy(*key_cols)
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_intervals"),
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.sum(F.col("__ie") - F.col("__is"))
+            .cast("bigint")
+            .alias("covered_s"),
+            F.coalesce(F.sum("__g"), F.lit(0))
+            .cast("bigint")
+            .alias("gap_s"),
+            F.coalesce(F.max("__g"), F.lit(0))
+            .cast("bigint")
+            .alias("max_gap_s"),
+        )
+        .orderBy(*key_cols)
+    )

@@ -221,3 +221,92 @@ def test_twap_matches_python_integration(spark):
         assert out[k].total_s == total
         if total > 0:
             assert out[k].twap == round(svd / total / 100, 6)
+
+
+def test_interval_coverage_matches_python_merge(spark):
+    import datetime as dt
+
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        interval_coverage_gaps,
+    )
+
+    rng = random.Random(31)
+    rows, per_key = [], {}
+    base = dt.datetime(2024, 1, 1)
+    for k in ("a", "b", "c"):
+        ivs = []
+        for _ in range(rng.randint(1, 15)):
+            s = rng.randint(0, 5000)
+            e = s + rng.randint(0, 800)
+            ivs.append((s, e))
+            rows.append(
+                (k, base + dt.timedelta(seconds=s),
+                 base + dt.timedelta(seconds=e))
+            )
+        per_key[k] = ivs
+    df = spark.createDataFrame(
+        rows, "k string, w_start timestamp, w_end timestamp"
+    )
+    out = {
+        r.k: r
+        for r in interval_coverage_gaps(
+            df, ["k"], "w_start", "w_end"
+        ).collect()
+    }
+    for k, ivs in per_key.items():
+        merged, gaps = [], []
+        for s, e in sorted(ivs):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                if merged:
+                    gaps.append(s - merged[-1][1])
+                merged.append((s, e))
+        r = out[k]
+        assert r.n_intervals == len(ivs)
+        assert r.n_islands == len(merged)
+        assert r.covered_s == sum(e - s for s, e in merged)
+        assert r.gap_s == sum(gaps)
+        assert r.max_gap_s == (max(gaps) if gaps else 0)
+
+
+def test_centroid_drift_matches_python_means(spark):
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        centroid_drift,
+    )
+
+    rng = random.Random(5)
+    dim = 4
+    old = [(i, rng.randint(0, 1), [rng.uniform(-1, 1) for _ in range(dim)])
+           for i in range(30)]
+    new = [(i, rng.choice([0, 1, 2]),
+            [rng.uniform(-1, 1) for _ in range(dim)])
+           for i in range(30)]
+    schema = "vec_id long, label int, v array<double>"
+    out = {
+        r.label: r
+        for r in centroid_drift(
+            spark.createDataFrame(old, schema),
+            spark.createDataFrame(new, schema),
+            "v",
+            "label",
+        ).collect()
+    }
+
+    def cent(rows, lab):
+        vs = [v for _, l, v in rows if l == lab]
+        return (
+            [round(sum(x[d] for x in vs) / len(vs), 6) for d in range(dim)],
+            len(vs),
+        ) if vs else (None, 0)
+
+    for lab in (0, 1, 2):
+        co, n_o = cent(old, lab)
+        cn, n_n = cent(new, lab)
+        r = out[lab]
+        assert (r.n_old, r.n_new) == (n_o, n_n)
+        if co and cn:
+            d2 = sum((a - b) * (a - b) for a, b in zip(co, cn))
+            assert abs(r.d2_drift - round(d2, 6)) <= 2e-6
+        else:
+            assert r.d2_drift is None
