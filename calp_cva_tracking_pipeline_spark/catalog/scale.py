@@ -10353,15 +10353,20 @@ FROM cells ORDER BY cohort_week, age_weeks
 
 AA_MIN_SHARED = 2
 AA_CAP = 64
+AA_TOPK = 5
 
 
 def gr_adamic_adar(spark, sf_dir):
     """Adamic-Adar link prediction (operators.graph.adamic_adar) on the
     supplier↔part graph: shared RARE neighbors score high, shared hubs
     low — the degree-weighted refinement of gr_neighbor_sim's Jaccard,
-    riding the same one-exchange wedge machinery with nano-pinned
-    per-center weights attached before the unroll; hub centers capped
-    at 64 neighbors."""
+    riding the same one-exchange wedge machinery with PLAN-TIME-LITERAL
+    nano weights; hub centers capped at 64 neighbors. Served as the top
+    5 candidates per node (the link-prediction serving shape): on this
+    DENSE co-occurrence graph every supplier pair shares something, so
+    the uncut pair set is Θ(n²) by the semantics — the per-node
+    WindowGroupLimit cut keeps the output linear in nodes without ever
+    materializing the quadratic set globally."""
     from calp_cva_tracking_pipeline_spark.operators.graph import (
         adamic_adar,
     )
@@ -10381,6 +10386,7 @@ def gr_adamic_adar(spark, sf_dir):
         fwd.union(bwd),
         min_shared=AA_MIN_SHARED,
         max_neighbors=AA_CAP,
+        top_k_per_node=AA_TOPK,
     )
 
 
@@ -10418,9 +10424,16 @@ wp AS (
   FROM cadj a JOIN cadj b ON a.w = b.w AND a.n < b.n
   JOIN wgt ON wgt.w = a.w
   GROUP BY 1, 2 HAVING COUNT(*) >= {AA_MIN_SHARED} AND SUM(wgt.wn) >= 0)
-SELECT na AS node_a, nb AS node_b, shared,
-       CAST(aa AS BIGINT) AS aa_nano
-FROM wp ORDER BY node_a, node_b
+SELECT node_a, node_b, shared, aa_nano,
+       CAST(aa_rank AS INTEGER) AS aa_rank
+FROM (
+  SELECT na AS node_a, nb AS node_b, shared,
+         CAST(aa AS BIGINT) AS aa_nano,
+         ROW_NUMBER() OVER (PARTITION BY na
+                            ORDER BY aa DESC, nb) AS aa_rank
+  FROM wp) t
+WHERE aa_rank <= {AA_TOPK}
+ORDER BY node_a, node_b
 """
 
 

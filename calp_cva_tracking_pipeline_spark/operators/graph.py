@@ -1038,6 +1038,7 @@ def adamic_adar(
     min_shared: int = 2,
     min_score_nano: int = 0,
     max_neighbors: int = 64,
+    top_k_per_node: int | None = None,
 ) -> DataFrame:
     """Adamic-Adar link-prediction score: for node pairs sharing
     neighbors, AA(a,b) = sum over shared neighbors w of 1/ln(deg(w)) --
@@ -1059,7 +1060,14 @@ def adamic_adar(
     diverges by 1 nano across engine libms), which is why the
     ``max_neighbors`` hub cap is MANDATORY here: it bounds both the
     quadratic wedge fan-out (the graph stop-word guard) and the
-    literal weight table. Output: (node_a < node_b, shared, aa_nano).
+    literal weight table. ``top_k_per_node`` keeps only the k strongest
+    candidates per node_a (aa desc, node_b — a total order): on DENSE
+    co-occurrence graphs the full pair set is Theta(n^2) BY THE
+    SEMANTICS (every pair shares something), and the serving shape of
+    link prediction is top-k candidates per node anyway — the cut is
+    a WindowGroupLimit, so the quadratic set is ranked per key, never
+    globally materialized. Output: (node_a < node_b, shared, aa_nano
+    [, aa_rank when cut]).
     """
     e = (
         edges.filter(F.col("src") != F.col("dst"))
@@ -1106,7 +1114,7 @@ def adamic_adar(
             ),
         )
     )
-    return (
+    out = (
         buckets.select(F.explode(pairs).alias("p"), F.col("__w"))
         .groupBy(
             F.col("p.na").alias("node_a"), F.col("p.nb").alias("node_b")
@@ -1128,5 +1136,15 @@ def adamic_adar(
             # rounding modes disagree (caught by sf0.1 parity)
             F.col("__aa").alias("aa_nano"),
         )
-        .orderBy("node_a", "node_b")
     )
+    if top_k_per_node is not None:
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("node_a").orderBy(
+            F.col("aa_nano").desc(), F.col("node_b")
+        )
+        out = (
+            out.withColumn("aa_rank", F.row_number().over(w))
+            .filter(F.col("aa_rank") <= top_k_per_node)
+        )
+    return out.orderBy("node_a", "node_b")
