@@ -10212,8 +10212,9 @@ def pf_dp_counts(spark, sf_dir):
     """Differentially-private histogram release (operators.profiling.
     dp_noisy_counts): Laplace(1/ε) noisy per-(event_type, weekday)
     counts at ε=1.0 — raw counts deliberately not emitted. The uniform
-    draw is md5-derived (replayable release; production swaps in secure
-    randomness — the documented one-line change), which is what lets
+    draw here is the md5-derived REPLAYABLE variant (explicit
+    ``deterministic_noise=True`` opt-in — the round-12 advisor fix made
+    non-replayable ``F.rand()`` noise the default), which is what lets
     the oracle verify the mechanism end to end."""
     from calp_cva_tracking_pipeline_spark.operators.profiling import (
         dp_noisy_counts,
@@ -10225,6 +10226,7 @@ def pf_dp_counts(spark, sf_dir):
     return dp_noisy_counts(
         e, ["event_type", "dow"],
         epsilon_milli=DP_EPSILON_MILLI, seed=DP_SEED,
+        deterministic_noise=True,
     )
 
 

@@ -2529,6 +2529,8 @@ def dp_noisy_counts(
     group_cols: list[str],
     epsilon_milli: int = 1000,
     seed: int = 42,
+    *,
+    deterministic_noise: bool = False,
 ) -> DataFrame:
     """epsilon-DP histogram release (Laplace mechanism, Dwork 2006): per
     group, count + Laplace(1/epsilon) noise -- the noisy-counts release
@@ -2538,15 +2540,18 @@ def dp_noisy_counts(
     parameter integer). The raw count is deliberately NOT emitted --
     publishing it beside the noisy one would defeat the mechanism.
 
-    DETERMINISTIC-NOISE CAVEAT (documented, load-bearing): the uniform
-    draw is md5-derived from (group key, seed) -- replayable, which is
-    what makes the release testable and oracle-verifiable here. A
-    production release MUST swap the hash uniform for secure randomness
-    (one expression); everything else -- the inverse-CDF transform, the
-    tail clamp, the rounding -- is unchanged. Hash-noise also means
-    repeated releases of the same groups reuse the same noise, which is
-    the correct budget discipline anyway (fresh noise per query would
-    spend epsilon per release).
+    Noise source (round-12 advisor fix -- the safe path is the DEFAULT):
+    by default the uniform draw is Spark's unseeded ``F.rand()`` -- a
+    fresh, non-replayable draw per release, so the published counts
+    actually hide the raw ones. Passing ``deterministic_noise=True``
+    (explicit opt-in, keyword-only) switches to an md5-derived uniform
+    keyed on (group key, ``seed``): REPLAYABLE BY ANYONE WHO KNOWS THE
+    SEED, hence ZERO actual privacy -- it exists so tests and the DuckDB
+    oracle can verify the mechanism bit-for-bit, and so repeated
+    releases of the same groups reuse the same noise (the correct
+    budget discipline for a fixed release). Everything downstream of
+    the uniform -- the inverse-CDF transform, the tail clamp, the
+    rounding -- is identical on both paths.
 
     One map-side-combined count aggregation; the noise is a projection.
     Output: (groups..., noisy_count 6 dp, epsilon_milli), ordered.
@@ -2568,8 +2573,13 @@ def dp_noisy_counts(
     counts = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("__n")
     )
-    h60 = "CAST(conv(substring(md5(__k), 1, 15), 16, 10) AS BIGINT)"
-    u = (F.expr(h60) % F.lit(1_000_000_000)).cast("double") / 1e9
+    if deterministic_noise:
+        h60 = "CAST(conv(substring(md5(__k), 1, 15), 16, 10) AS BIGINT)"
+        u = (F.expr(h60) % F.lit(1_000_000_000)).cast("double") / 1e9
+    else:
+        # unseeded rand(): Spark picks a fresh random seed per plan, so
+        # the noise cannot be recomputed and subtracted by a consumer
+        u = F.rand()
     a = F.abs(u - 0.5)
     # clamp the tail so ln never sees 0 (u = 0 is a real hash outcome)
     lap = (

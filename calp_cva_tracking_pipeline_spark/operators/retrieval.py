@@ -417,8 +417,16 @@ def mmr_rerank(
                      "mmr_score"],
         )
 
+    # NULL id / rel_micro rows are dropped by contract (sibling-operator
+    # discipline, round-12 advisor fix): a NULL relevance inside the
+    # Arrow worker would otherwise crash the whole query on int(NaN),
+    # and a NULL id has no stable tie-break position. NULL token sets
+    # remain legal (they score as empty sets).
     return (
-        candidates.groupBy(query_col)
+        candidates.filter(
+            F.col(id_col).isNotNull() & F.col(rel_micro_col).isNotNull()
+        )
+        .groupBy(query_col)
         .applyInPandas(pick, out_schema)
         .orderBy(query_col, "mmr_rank")
     )

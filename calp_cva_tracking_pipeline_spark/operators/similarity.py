@@ -1451,6 +1451,8 @@ def matryoshka_recall(
     shuffles), hits joined rank-bounded (k*|queries| rows). Output per
     d: (dims, n_queries, hits, recall_ppm), ordered by dims.
     """
+    if not prefix_dims:
+        raise ValueError("prefix_dims must be non-empty")
     full = brute_force_topk(
         corpus, queries, id_col, vec_col, query_id_col, query_vec_col,
         k=k,
