@@ -2034,7 +2034,8 @@ COVERAGE = {
     # oracle-checked locally.
     "A10": "ts_ewma (keyed cumulative fold) + w1_cumprod (local-parity;"
     " same exp/ln kernel) + a10_geometric_growth (local-parity)",
-    # W1/W4 (cumulative product fwd/rev): ts_ewma gates the keyed
+    # W1/W4 (cumulative product fwd/rev): ts_ewma covers the keyed
+    # (local-parity since the r12 rotation)
     # ordered cumulative-fold machinery (its recurrence is a damped
     # cumulative product); the retired w1 slot keeps the literal
     # exp(sum(ln)) prod-window form oracle-checked locally at 3 SFs
@@ -2044,7 +2045,8 @@ COVERAGE = {
     # anchor-read kernel — a windowed conditional MIN broadcasts the
     # anchor row's value over its partition, and each later step reads a
     # value strictly AFTER a prior anchor (the lookahead relation);
-    # ts_ewma gates ordered per-key sequence traversal. The retired w2
+    # ts_ewma covers ordered per-key sequence traversal (local-parity
+    # since the r12 rotation). The retired w2
     # slot keeps the literal first-value rebase + lead form
     # oracle-checked locally at 3 SFs.
     "W2": "ev_funnel (partition anchor read) + w2_rebase_anchor"
@@ -2082,7 +2084,8 @@ COVERAGE = {
     "SO3": "rt_bm25_topk (IN-list membership) + f3_year_floor_string"
     " (local-parity)",
     "C1": "cc2_relevance_ml + ep2_cva_by_location (keyword_flag regex)",
-    # C2/C10: regex machinery gated via c5 + tx_pii_redact, numeric casts
+    # C2/C10: regex machinery covered via c5 + tx_pii_redact (the
+    # latter local-parity since the r12 rotation), numeric casts
     # via ep2/j12; the retired c2 slot keeps extract+cast oracle-checked
     # locally.
     "C2": "c5_canonicalize + tx_pii_redact (regex) + ep2 (casts) +"

@@ -155,16 +155,20 @@ DRIVER_GATE = [
     "ep2_cva_by_location",
     "dd_norm_exact", "dd_minhash_lsh", "dd_winnow", "mm_phash_neardup",
     "ann_brute_topk", "mm_audio_dedup", "ann_ivf_topk", "tx_features",
-    "m1_classifier_stub", "st_windowed_agg", "st_sessionize",
-    "tj_asof_join", "tj_interval_join", "dd_decontam",
-    "rt_rollup_hierarchy", "tx_pii_redact", "tx_repetition", "tx_chunk",
+    "m1_classifier_stub", "st_sessionize",
+    "tj_asof_join",
+    "rt_rollup_hierarchy",
     "gx_spatial_clusters", "gx_radius_join", "gr_pagerank", "cdc_upsert",
-    "ev_funnel", "pf_bootstrap", "pk_pack_audit", "ev_markov_stationary",
+    "ev_funnel", "pk_pack_audit", "ev_markov_stationary",
     "rt_bm25_topk", "jx_salted_join",
-    "gr_triangles", "emb_kmeans", "pf_approx_distinct", "ts_ewma",
+    "gr_triangles", "emb_kmeans", "pf_approx_distinct",
     "mm_scene_cuts", "tx_jsd",
     "dd_jaccard_join", "gr_bfs", "ml_class_metrics", "pf_dataset_card",
     "mm_frame_dedup", "ev_itemsets", "pf_ref_integrity", "gr_communities",
+    # seventh rotation (round 12) — promoted round-11 sim-green rows
+    "gr_adamic_adar", "dd_substring_spans", "mm_video_neardup",
+    "emb_hard_negatives", "ann_ivf_incr", "rt_mmr", "pf_ldiversity",
+    "ann_mrl_eval",
 ]
 
 
