@@ -181,6 +181,13 @@ HEADLINE = [
     # deliberately not duplicated.
     "pf_release_report",
     "dd_substring_spans",
+    # round 12 addition (suite totals are not comparable to r11 without
+    # subtracting this): the SERVING-path k-NN graph on prebuilt
+    # centroids (VERDICT r11 ask #3) — emb_knn_graph keeps timing the
+    # cold build+search fusion; this times the steady-state reload path
+    # a 100 TB deployment actually runs (same edges, quantizer cached
+    # outside the timed region like ann_ivf_search).
+    "emb_knn_graph_serve",
 ]
 
 
@@ -196,6 +203,7 @@ def main() -> None:
     qs = entrymod.queries()
     qs["flagship_pricing_summary"] = _flagship
     qs["ann_ivf_search"] = _ivf_search_prebuilt
+    qs["emb_knn_graph_serve"] = _knn_graph_serve
 
     # Steady-state warmup: run the suite once at the smallest SF so plan
     # compilation, whole-stage-codegen JIT, the Python worker pool, and the
@@ -242,35 +250,74 @@ def main() -> None:
     # the warm runs the median is drawn from.
     HEAVY_CUTOFF_S = 2.0
 
+    # Round 12 (VERDICT r11 ask #2): the DuckDB proxy runs INTERLEAVED
+    # with each query's Spark runs in this same process, not as a
+    # separate trailing loop. Round 11 showed the suite drifting
+    # 37.95s -> 53.68s with zero code change on most regressed queries —
+    # environment variance the old protocol could not attribute, because
+    # the Spark and proxy measurements were taken minutes apart. With
+    # per-round interleaving, whatever the box is doing (GC pressure,
+    # thermal/cgroup throttling, page-cache state) hits both engines in
+    # the same window, so the per-query RATIO in "interleaved_ratio" is
+    # the round-over-round metric; the absolute times remain published
+    # beside it. The proxy keeps its warm-up + median-of-3 protocol
+    # (its 3 timed runs ride the first 3 Spark rounds; the heavy tier's
+    # extra Spark rounds run after, Spark-only).
     def run_suite(
-        run_dir: str, label: str, extra_heavy_runs: bool = False
+        run_dir: str,
+        label: str,
+        extra_heavy_runs: bool = False,
+        proxy_con=None,
+        oracles: dict[str, str] | None = None,
     ) -> tuple[
-        dict[str, float], dict[str, list[float]], dict[str, float]
+        dict[str, float],
+        dict[str, list[float]],
+        dict[str, float],
+        dict[str, float],
+        dict[str, list[float]],
     ]:
         timings: dict[str, float] = {}
         raw: dict[str, list[float]] = {}
         cold: dict[str, float] = {}
+        proxy: dict[str, float] = {}
+        proxy_runs: dict[str, list[float]] = {}
         for name in HEADLINE:
             fn = qs[name]
+            sql = (oracles or {}).get(name) if proxy_con is not None else None
             t0 = time.time()
             n = fn(spark, run_dir).count()
             runs = [round(time.time() - t0, 3)]
             heavy = extra_heavy_runs and runs[0] >= HEAVY_CUTOFF_S
+            pruns: list[float] = []
+            if sql:
+                # proxy warm-up (excluded from its median, like runs[0])
+                t0 = time.time()
+                proxy_con.execute(sql).fetchall()
+                pruns.append(round(time.time() - t0, 3))
             for _ in range(6 if heavy else 3):
                 t0 = time.time()
                 n = fn(spark, run_dir).count()
                 runs.append(round(time.time() - t0, 3))
+                if sql and len(pruns) < 4:
+                    t0 = time.time()
+                    proxy_con.execute(sql).fetchall()
+                    pruns.append(round(time.time() - t0, 3))
             raw[name] = runs
             if heavy:
                 cold[name] = runs[1]
             warm = sorted(runs[2:] if heavy else runs[1:])
             timings[name] = warm[len(warm) // 2]
+            if sql and len(pruns) == 4:
+                proxy_runs[name] = pruns
+                proxy[name] = sorted(pruns[1:])[1]
             print(
                 f"# [{label}] {name}: {timings[name]}s ({n} rows; runs "
-                f"{runs})",
+                f"{runs}"
+                + (f"; proxy {pruns}" if pruns else "")
+                + ")",
                 file=sys.stderr,
             )
-        return timings, raw, cold
+        return timings, raw, cold, proxy, proxy_runs
 
     small_dir = os.environ.get(
         "SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01"
@@ -278,51 +325,44 @@ def main() -> None:
     m2 = re.search(r"sf([0-9.]+)", small_dir)
     sf_small = float(m2.group(1)) if m2 else -1.0
     if os.path.isdir(small_dir):
-        small, small_raw, _ = run_suite(small_dir, f"sf{sf_small}")
+        small, small_raw, _, _, _ = run_suite(small_dir, f"sf{sf_small}")
     else:
         small, small_raw = {}, {}
-    timings, raw, cold = run_suite(sf_dir, f"sf{sf}", extra_heavy_runs=True)
+
+    # Self-audit vs the single-process DuckDB proxy (the judge's baseline
+    # methodology): each headline query's oracle SQL over the same parquet,
+    # interleaved run-for-run with the Spark side (see run_suite) so the
+    # published ratios survive environment drift. Never fails the bench —
+    # the proxy is context, the Spark timings are the product.
+    proxy_con, proxy_err = None, None
+    if os.environ.get("SPARK_GRAFT_BENCH_PROXY", "1") != "0":
+        try:
+            import duckdb
+
+            proxy_con = duckdb.connect()
+            for t in (
+                "region nation customer supplier part orders lineitem "
+                "events documents embeddings"
+            ).split():
+                proxy_con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')"
+                )
+        except Exception as exc:  # pragma: no cover
+            proxy_err = str(exc)
+
+    timings, raw, cold, proxy, proxy_runs = run_suite(
+        sf_dir,
+        f"sf{sf}",
+        extra_heavy_runs=True,
+        proxy_con=proxy_con,
+        oracles=entrymod.oracle_sql() if proxy_con is not None else None,
+    )
     ratios = {
         name: round(timings[name] / small[name], 2)
         for name in timings
         if small.get(name)
     }
-
-    # Self-audit vs the single-process DuckDB proxy (the judge's baseline
-    # methodology): each headline query's oracle SQL over the same parquet,
-    # measured with the SAME protocol as the Spark side — one untimed
-    # warm-up execution, then median-of-3 (round-5 advice: the old
-    # single-cold-run proxy timing biased the published vs_proxy ratio in
-    # Spark's favor). Never fails the bench — the proxy is context, the
-    # Spark timings are the product.
-    proxy, proxy_runs, proxy_err = {}, {}, None
-    if os.environ.get("SPARK_GRAFT_BENCH_PROXY", "1") != "0":
-        try:
-            import duckdb
-
-            oracles = entrymod.oracle_sql()
-            con = duckdb.connect()
-            for t in (
-                "region nation customer supplier part orders lineitem "
-                "events documents embeddings"
-            ).split():
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')"
-                )
-            for name in HEADLINE:
-                sql = oracles.get(name)
-                if not sql:
-                    continue
-                runs = []
-                for _ in range(4):
-                    t0 = time.time()
-                    con.execute(sql).fetchall()
-                    runs.append(round(time.time() - t0, 3))
-                proxy_runs[name] = runs
-                proxy[name] = sorted(runs[1:])[1]
-        except Exception as exc:  # pragma: no cover
-            proxy_err = str(exc)
 
     total = round(sum(timings.values()), 3)
     # Full detail to a file; the stdout line must stay parseable within the
@@ -371,7 +411,19 @@ def main() -> None:
     if proxy:
         detail["proxy"] = proxy
         detail["proxy_runs"] = proxy_runs
-        detail["proxy_protocol"] = "warm-up + median-of-3 (same as spark)"
+        detail["proxy_protocol"] = (
+            "interleaved per-round with spark (r12): proxy warm-up + "
+            "median-of-3, each timed proxy run taken immediately after "
+            "the same query's spark run in this process"
+        )
+        # THE round-over-round metric (VERDICT r11 ask #2): per-query
+        # spark/proxy ratio from runs taken in the same time window —
+        # environment drift cancels; a ratio move is a plan move.
+        detail["interleaved_ratio"] = {
+            n: round(timings[n] / proxy[n], 3)
+            for n in proxy
+            if timings.get(n) and proxy[n] > 0
+        }
         detail["vs_proxy"] = {
             n: round(timings[n] / proxy[n], 2)
             for n in proxy
@@ -451,6 +503,48 @@ def _ivf_search_prebuilt(spark, sf_dir):
     return ivf_topk(
         e, q, "vec_id", "embedding", "vec_id", "embedding",
         nprobe=IVF_NPROBE, k=TOP_K, centroids=cent, cells=cells,
+    )
+
+
+_KNN_CENTROID_CACHE: dict[str, object] = {}
+
+
+def _knn_graph_serve(spark, sf_dir):
+    """SERVING-PATH k-NN graph on prebuilt centroids — the steady-state
+    number for the 100 TB path (VERDICT r11 ask #3): the IVF quantizer
+    is trained once and persisted (persist_ivf_index makes reloaded
+    searches exchange-free); rebuilding it per query, as emb_knn_graph
+    does, times quantizer training + assignment + the shared-cell
+    self-join fused. This entry caches the trained centroids per sf_dir
+    outside the timed region (mimicking the bucketed-index reload) and
+    times assignment + pair generation + rank cut only. Same operating
+    point and IDENTICAL output to emb_knn_graph (centroid training is
+    deterministic, so the served edges replay the same oracle)."""
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.catalog.scale import (
+        KNN_K,
+        KNN_NPROBE,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        DEFAULT_CELL_SIZE,
+        auto_n_centroids,
+        knn_graph,
+        train_centroids,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    if sf_dir not in _KNN_CENTROID_CACHE:
+        kcent = auto_n_centroids(e, DEFAULT_CELL_SIZE)
+        cent = train_centroids(e, "vec_id", "embedding", kcent).cache()
+        cent.count()  # materialize outside the timed region
+        _KNN_CENTROID_CACHE[sf_dir] = cent
+    return knn_graph(
+        e,
+        "vec_id",
+        "embedding",
+        k=KNN_K,
+        nprobe=KNN_NPROBE,
+        centroids=_KNN_CENTROID_CACHE[sf_dir],
     )
 
 

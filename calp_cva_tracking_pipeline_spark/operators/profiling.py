@@ -2617,15 +2617,52 @@ def frequency_movers(
     cell cardinality), slice totals broadcast back, and a
     TakeOrderedAndProject cut. Output: (key, n_old, n_new, ppm_old,
     ppm_new, delta_ppm), |delta| descending.
+
+    Streaming resident: this is ``frequency_cells`` (the additively
+    foldable map half) + ``frequency_movers_from_cells`` (the readout) —
+    the psi/ks/kappa foreachBatch discipline (tests/test_streaming.py).
     """
-    cells = (
+    return frequency_movers_from_cells(
+        frequency_cells(df, key_col, slice_col), key_col, top_k=top_k
+    )
+
+
+def frequency_cells(
+    df: DataFrame, key_col: str, slice_col: Column
+) -> DataFrame:
+    """Per-batch (key, slice, cnt) cells — the streaming-foldable map
+    half of ``frequency_movers``: cells fold ADDITIVELY across
+    micro-batches (append per-batch cells, sum counts per cell), so a
+    foreachBatch ledger + ``frequency_movers_from_cells`` equals the
+    one-shot readout. NULL keys/slices are dropped here, the batch
+    operator's contract."""
+    return (
         df.select(
-            F.col(key_col).alias("__k"),
-            slice_col.cast("int").alias("__s"),
+            F.col(key_col).alias("key"),
+            slice_col.cast("int").alias("slice"),
         )
-        .filter(F.col("__k").isNotNull() & F.col("__s").isNotNull())
+        .filter(F.col("key").isNotNull() & F.col("slice").isNotNull())
+        .groupBy("key", "slice")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def frequency_movers_from_cells(
+    cells: DataFrame, key_col: str, top_k: int = 20
+) -> DataFrame:
+    """Frequency-movers readout from a PRE-AGGREGATED (key, slice, cnt)
+    ledger — the reduce half of the streaming resident (see
+    ``frequency_cells``). Folds duplicate cells first, so a
+    multi-batch append ledger and a one-shot cells frame read
+    identically."""
+    cells = (
+        cells.select(
+            F.col("key").alias("__k"),
+            F.col("slice").cast("int").alias("__s"),
+            F.col("cnt").cast("bigint").alias("__c"),
+        )
         .groupBy("__k", "__s")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        .agg(F.sum("__c").cast("bigint").alias("__c"))
     )
     totals = cells.groupBy("__s").agg(
         F.sum("__c").cast("bigint").alias("__t")

@@ -151,3 +151,99 @@ def json_schema_drift(
         )
         .orderBy("key")
     )
+
+
+def schema_key_cells(
+    df: DataFrame, json_col: str, slice_col: Column
+) -> DataFrame:
+    """Per-batch (key, slice, cnt) JSON-key inventory cells — the
+    streaming-foldable map half of ``json_schema_drift``: key counts
+    fold ADDITIVELY across micro-batches, so a foreachBatch ledger +
+    ``schema_drift_from_cells`` equals the one-shot drift readout (the
+    psi/ks/kappa fold discipline, tests/test_streaming.py). A NULL-key
+    row per slice carries the batch's TOTAL row count (including
+    malformed/null JSON rows — exactly the denominator the batch
+    operator uses; JSON keys are never NULL, so the sentinel cannot
+    collide). ``slice_col`` evaluates 0 (old) / 1 (new)."""
+    s = slice_col.cast("int")
+    keys = (
+        df.select(
+            F.explode(F.json_object_keys(F.col(json_col))).alias("key"),
+            s.alias("slice"),
+        )
+        .groupBy("key", "slice")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    totals = (
+        df.select(s.alias("slice"))
+        .groupBy("slice")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.lit(None).cast("string").alias("key"), "slice", "cnt"
+        )
+    )
+    return keys.unionByName(totals)
+
+
+def schema_drift_from_cells(cells: DataFrame) -> DataFrame:
+    """Schema-drift readout from a PRE-AGGREGATED (key, slice, cnt)
+    ledger (see ``schema_key_cells``; NULL-key rows are the per-slice
+    row totals). Folds duplicate cells first; coverage ppm uses the
+    same exact integer ``div`` as ``json_schema_drift``, so the folded
+    readout is row-identical to the one-shot operator."""
+    folded = (
+        cells.select(
+            "key",
+            F.col("slice").cast("int").alias("slice"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+        .groupBy("key", "slice")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    totals = folded.filter(F.col("key").isNull()).select(
+        "slice", F.col("cnt").alias("__t")
+    )
+    keyed = folded.filter(F.col("key").isNotNull()).join(
+        F.broadcast(totals), "slice"
+    )
+    inv = keyed.select(
+        "key",
+        "slice",
+        "cnt",
+        F.expr("CAST(1000000 * cnt div __t AS BIGINT)").alias("__cov"),
+    )
+    o = inv.filter(F.col("slice") == 0).select(
+        "key",
+        F.col("cnt").alias("n_old"),
+        F.col("__cov").alias("cov_old_ppm"),
+    )
+    n = inv.filter(F.col("slice") == 1).select(
+        "key",
+        F.col("cnt").alias("n_new"),
+        F.col("__cov").alias("cov_new_ppm"),
+    )
+    status = (
+        F.when(F.col("n_old").isNull(), F.lit("added"))
+        .when(F.col("n_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("common"))
+    )
+    return (
+        o.join(n, "key", "full_outer")
+        .select(
+            "key",
+            F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            F.coalesce("cov_old_ppm", F.lit(0))
+            .cast("bigint")
+            .alias("cov_old_ppm"),
+            F.coalesce("cov_new_ppm", F.lit(0))
+            .cast("bigint")
+            .alias("cov_new_ppm"),
+            (
+                F.coalesce("cov_new_ppm", F.lit(0))
+                - F.coalesce("cov_old_ppm", F.lit(0))
+            ).cast("bigint").alias("drift_ppm"),
+            status.alias("status"),
+        )
+        .orderBy("key")
+    )

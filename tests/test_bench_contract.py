@@ -23,6 +23,7 @@ def test_headline_names_resolve_to_catalog_queries():
     qs = set(entrymod.queries()) | {
         "flagship_pricing_summary",
         "ann_ivf_search",
+        "emb_knn_graph_serve",
     }
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert not missing, f"HEADLINE names without catalog queries: {missing}"

@@ -1363,3 +1363,113 @@ def test_stream_stream_attribution_join_matches_batch(
         q.stop()
     got = sorted(map(key, spark.read.parquet(out_path).collect()))
     assert got == batch
+
+
+def test_foreachbatch_schema_key_cells_fold_to_batch(
+    spark, sf_dir, tmp_path
+):
+    """Streaming schema monitor (VERDICT r11 ask #4): per micro-batch
+    the JSON key-inventory cells (plus the per-slice row-total sentinel)
+    append to a ledger; schema_drift_from_cells over the folded ledger
+    equals the one-shot json_schema_drift on the same slices — key
+    inventories fold additively, the psi/ks/kappa discipline."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.semistruct import (
+        json_schema_drift,
+        schema_drift_from_cells,
+        schema_key_cells,
+    )
+
+    ev = T(spark, sf_dir, "events").select("event_id", "props")
+    slice_expr = (F.col("event_id") % 2 == 1).cast("int")
+    one_shot = [
+        tuple(r)
+        for r in json_schema_drift(
+            ev.filter(F.col("event_id") % 2 == 0),
+            ev.filter(F.col("event_id") % 2 == 1),
+            "props",
+        ).collect()
+    ]
+
+    ledger_path = str(tmp_path / "schema_ledger")
+
+    def process(batch_df, batch_id):
+        schema_key_cells(
+            batch_df, "props", (F.col("event_id") % 2 == 1).cast("int")
+        ).write.mode("append").parquet(ledger_path)
+
+    reader = _file_stream_batches(spark, tmp_path, ev, "event_id", 3, "sk")
+    q = (
+        reader.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "sk_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    folded = [
+        tuple(r)
+        for r in schema_drift_from_cells(
+            spark.read.parquet(ledger_path)
+        ).collect()
+    ]
+    assert folded == one_shot and len(one_shot) > 0
+
+
+def test_foreachbatch_frequency_cells_fold_to_batch(
+    spark, sf_dir, tmp_path
+):
+    """Streaming top-movers monitor (VERDICT r11 ask #4): per
+    micro-batch the (key, slice) cells append to a ledger;
+    frequency_movers_from_cells over the folded ledger equals the
+    one-shot frequency_movers on the full table — cell counts fold
+    additively, broadcast totals derive from the folded cells."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        frequency_cells,
+        frequency_movers,
+        frequency_movers_from_cells,
+    )
+
+    ev = T(spark, sf_dir, "events").select("event_id", "event_type")
+    slice_def = lambda: (F.col("event_id") % 2 == 1).cast("int")  # noqa: E731
+    one_shot = [
+        tuple(r)
+        for r in frequency_movers(
+            ev, "event_type", slice_def(), top_k=10
+        ).collect()
+    ]
+
+    ledger_path = str(tmp_path / "freq_ledger")
+
+    def process(batch_df, batch_id):
+        frequency_cells(batch_df, "event_type", slice_def()).write.mode(
+            "append"
+        ).parquet(ledger_path)
+
+    reader = _file_stream_batches(spark, tmp_path, ev, "event_id", 3, "fq")
+    q = (
+        reader.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "fq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    folded = [
+        tuple(r)
+        for r in frequency_movers_from_cells(
+            spark.read.parquet(ledger_path), "event_type", top_k=10
+        ).collect()
+    ]
+    assert folded == one_shot and len(one_shot) > 0
