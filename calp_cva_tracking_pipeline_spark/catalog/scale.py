@@ -11049,6 +11049,266 @@ ORDER BY section, key_a, key_b, metric
 PF_RELEASE_SQL = _release_sql()
 
 
+# --- Round-12 wave 44: release-grade duplicate census ------------------------
+
+DUP_ALL_LABEL = "<ALL>"
+
+
+def dd_dup_census(spark, sf_dir):
+    """Release-grade duplicate census (VERDICT r11 ask #7): the dedup
+    pillar's four tiers — exact (raw md5), normalized-exact
+    (dedup_normalized's digest), MinHash+LSH candidates (T2's
+    parameters) and winnowed-fingerprint overlap pairs (T125's) —
+    composed into ONE per-source readout plus a global ``<ALL>`` row.
+    Per source: doc/text populations, distinct exact and normalized
+    digests, the implied duplicate-doc masses, and the two near-dup
+    pair counts attributed to SAME-source pairs (cross-source pair mass
+    surfaces only in the ``<ALL>`` row, where per-source attribution
+    would double-count).
+
+    Shared-lineage shape (the pf_release_report discipline): the exact
+    and normalized corners — per-source AND global — all derive from
+    ONE (source, raw, norm) digest-cell aggregation, planned once with
+    ReusedExchange for the second consumer (plan-pinned in
+    tests/test_plan_shapes.py); the two pair tiers ride the same
+    documents scan through their own bucketed kernels (band buckets /
+    fingerprint buckets — never a pair explosion), and their counts
+    join back at source cardinality. Pair tiers run on the
+    exact-collapsed corpus (min-id representative), the dd_minhash_lsh
+    contract."""
+    from calp_cva_tracking_pipeline_spark.functions.text import (
+        ASCII_PUNCT_CLASS,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        winnow_overlap_pairs,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.lower(F.col("text")), ASCII_PUNCT_CLASS, ""
+                ),
+                "\\s+",
+                " ",
+            )
+        ),
+        "\\s+",
+        " ",
+    )
+    cells = (
+        d.select(
+            "source",
+            F.md5(F.col("text")).alias("__raw"),
+            F.md5(norm).alias("__norm"),
+        )
+        .groupBy("source", "__raw", "__norm")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+
+    def corners(grouped):
+        return grouped.agg(
+            F.sum("__n").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("__raw").isNotNull(), F.col("__n")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_text"),
+            F.countDistinct("__raw").cast("bigint").alias(
+                "exact_distinct"
+            ),
+            F.countDistinct("__norm").cast("bigint").alias(
+                "norm_distinct"
+            ),
+        )
+
+    per_src = corners(cells.groupBy("source"))
+    total = corners(cells.groupBy()).withColumn(
+        "source", F.lit(DUP_ALL_LABEL)
+    )
+
+    smap = d.select(F.col("doc_id").alias("__pid"), F.col("source"))
+    cand = minhash_lsh_candidates(
+        d,
+        "doc_id",
+        "text",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        k=3,
+        pre_collapse_exact=True,
+        max_bucket_docs=MAX_BUCKET_DOCS,
+    ).select("id_a", "id_b")
+    wn = winnow_overlap_pairs(
+        spread_small_input(d),
+        "doc_id",
+        k=WINNOW_K,
+        window=WINNOW_W,
+        max_docs_per_fp=WINNOW_CAP,
+    ).select("id_a", "id_b")
+
+    def attributed(pairs, out_name):
+        # ONE (source_a, source_b) cell aggregation per tier, cut from
+        # its pair lineage with a localCheckpoint: the cell frame is
+        # sources²-bounded and consumed TWICE (per-source + global row)
+        # — without the cut each consumer would replan the whole
+        # bucketed pair generation (the dd_cluster_pick lineage lesson;
+        # r12 census plan audit measured 22 scans → 10 with the cut).
+        j = pairs.join(
+            smap.select(
+                F.col("__pid").alias("id_a"), F.col("source").alias("__sa")
+            ),
+            "id_a",
+        ).join(
+            smap.select(
+                F.col("__pid").alias("id_b"), F.col("source").alias("__sb")
+            ),
+            "id_b",
+        )
+        cells_p = (
+            j.groupBy("__sa", "__sb")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+            .localCheckpoint()
+        )
+        same = cells_p.filter(
+            F.col("__sa").eqNullSafe(F.col("__sb"))
+        ).select(F.col("__sa").alias("__src"), F.col("__c").alias(out_name))
+        allr = cells_p.agg(
+            F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias(out_name)
+        )
+        return same, allr
+
+    mh_src, mh_all = attributed(cand, "minhash_pairs")
+    wn_src, wn_all = attributed(wn, "winnow_pairs")
+
+    src_rows = (
+        per_src.join(
+            mh_src,
+            per_src["source"].eqNullSafe(mh_src["__src"]),
+            "left",
+        )
+        .drop("__src")
+        .join(
+            wn_src,
+            per_src["source"].eqNullSafe(wn_src["__src"]),
+            "left",
+        )
+        .drop("__src")
+    )
+    all_row = total.crossJoin(mh_all).crossJoin(wn_all)
+    out_cols = [
+        "source",
+        "n_docs",
+        "n_text",
+        "exact_distinct",
+        (F.col("n_text") - F.col("exact_distinct"))
+        .cast("bigint")
+        .alias("exact_dup_docs"),
+        "norm_distinct",
+        (F.col("n_text") - F.col("norm_distinct"))
+        .cast("bigint")
+        .alias("norm_dup_docs"),
+        F.coalesce("minhash_pairs", F.lit(0))
+        .cast("bigint")
+        .alias("minhash_pairs"),
+        F.coalesce("winnow_pairs", F.lit(0))
+        .cast("bigint")
+        .alias("winnow_pairs"),
+    ]
+    return (
+        src_rows.select(*out_cols)
+        .unionByName(all_row.select(*out_cols))
+        .orderBy(F.asc_nulls_last("source"))
+    )
+
+
+DD_CENSUS_SQL = rf"""
+WITH {_SIG_CTE},
+tl AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, len(toks) - {WINNOW_K} + 1 AS ng, i, {_WINNOW_H} AS h
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {WINNOW_K} + 1)) AS i
+        FROM tl WHERE len(toks) >= {WINNOW_K}) t),
+fps AS (
+  SELECT DISTINCT doc_id, m AS fp FROM (
+    SELECT doc_id, ng, i,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW
+                        AND {WINNOW_W} - 1 FOLLOWING) AS m
+    FROM g) s
+  WHERE i <= greatest(1, ng - {WINNOW_W} + 1)),
+bc AS (SELECT fp FROM (SELECT fp, COUNT(*) AS c FROM fps GROUP BY fp) b
+       WHERE c BETWEEN 2 AND {WINNOW_CAP}),
+wpairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fps a JOIN fps b USING (fp)
+  WHERE a.doc_id < b.doc_id AND fp IN (SELECT fp FROM bc)),
+base AS (
+  SELECT source, md5(text) AS raw, {_NORM_EXPR} AS normh
+  FROM documents),
+cells AS (
+  SELECT source, raw, normh, CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2, 3),
+per_src AS (
+  SELECT source,
+         CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN raw IS NOT NULL THEN n ELSE 0 END) AS BIGINT)
+           AS n_text,
+         CAST(COUNT(DISTINCT raw) AS BIGINT) AS exact_distinct,
+         CAST(COUNT(DISTINCT normh) AS BIGINT) AS norm_distinct
+  FROM cells GROUP BY source),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN raw IS NOT NULL THEN n ELSE 0 END) AS BIGINT)
+           AS n_text,
+         CAST(COUNT(DISTINCT raw) AS BIGINT) AS exact_distinct,
+         CAST(COUNT(DISTINCT normh) AS BIGINT) AS norm_distinct
+  FROM cells),
+mh AS (
+  SELECT sa.source AS src, CAST(COUNT(*) AS BIGINT) AS minhash_pairs
+  FROM cand
+  JOIN documents sa ON sa.doc_id = cand.id_a
+  JOIN documents sb ON sb.doc_id = cand.id_b
+  WHERE sa.source IS NOT DISTINCT FROM sb.source
+  GROUP BY 1),
+mh_all AS (SELECT CAST(COUNT(*) AS BIGINT) AS minhash_pairs FROM cand),
+wn AS (
+  SELECT sa.source AS src, CAST(COUNT(*) AS BIGINT) AS winnow_pairs
+  FROM wpairs
+  JOIN documents sa ON sa.doc_id = wpairs.id_a
+  JOIN documents sb ON sb.doc_id = wpairs.id_b
+  WHERE sa.source IS NOT DISTINCT FROM sb.source
+  GROUP BY 1),
+wn_all AS (SELECT CAST(COUNT(*) AS BIGINT) AS winnow_pairs FROM wpairs)
+SELECT source, n_docs, n_text, exact_distinct,
+       CAST(n_text - exact_distinct AS BIGINT) AS exact_dup_docs,
+       norm_distinct,
+       CAST(n_text - norm_distinct AS BIGINT) AS norm_dup_docs,
+       CAST(COALESCE(mh.minhash_pairs, 0) AS BIGINT) AS minhash_pairs,
+       CAST(COALESCE(wn.winnow_pairs, 0) AS BIGINT) AS winnow_pairs
+FROM per_src
+LEFT JOIN mh ON per_src.source IS NOT DISTINCT FROM mh.src
+LEFT JOIN wn ON per_src.source IS NOT DISTINCT FROM wn.src
+UNION ALL
+SELECT '{DUP_ALL_LABEL}', n_docs, n_text, exact_distinct,
+       CAST(n_text - exact_distinct AS BIGINT),
+       norm_distinct,
+       CAST(n_text - norm_distinct AS BIGINT),
+       mh_all.minhash_pairs, wn_all.winnow_pairs
+FROM tot, mh_all, wn_all
+ORDER BY source NULLS LAST
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -11278,4 +11538,6 @@ SCALE_QUERIES = {
     # forty-third wave (round 11)
     "tj_coverage_gaps": (tj_coverage_gaps, TJ_COVERAGE_SQL),
     "emb_centroid_drift": (emb_centroid_drift, EMB_DRIFT_SQL),
+    # forty-fourth wave (round 12)
+    "dd_dup_census": (dd_dup_census, DD_CENSUS_SQL),
 }

@@ -789,3 +789,22 @@ def test_wave37_41_tier_plan_shapes(spark, sf_dir):
         p = _executed(q(spark, sf_dir))
         assert "CartesianProduct" not in p
         assert p.count("Scan parquet") == 1, q.__name__
+
+
+def test_dup_census_shares_digest_cell_exchange(spark, sf_dir):
+    """dd_dup_census (round 12): the exact/normalized corners — per
+    source AND the global <ALL> row — derive from ONE (source, raw,
+    norm) digest-cell aggregation whose exchange must be planned once
+    (ReusedExchange); the pair tiers' (source_a, source_b) cell frames
+    are checkpoint-cut so each bucketed pair lineage executes exactly
+    once (the dd_cluster_pick discipline — pre-cut this plan re-scanned
+    documents 22 times). No cartesian anywhere."""
+    df = S.dd_dup_census(spark, sf_dir)
+    df.collect()
+    plan = _executed(df)
+    assert plan.count("ReusedExchange") + plan.count(
+        "ReusedQueryStage"
+    ) >= 1, plan
+    assert "CartesianProduct" not in plan
+    # post-checkpoint plan: cells scan + the checkpoint reads only
+    assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")
