@@ -1609,3 +1609,114 @@ def ngram_coverage(
         )
         .orderBy(id_col)
     )
+
+
+def lsh_recall_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_eval_id: int,
+    threshold_micro: int = 500_000,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    max_bucket_docs: int | None = 64,
+) -> DataFrame:
+    """MinHash+LSH candidate RECALL against exact ground truth — the
+    dedup sibling of ann_recall_eval: the banding parameters
+    (num_hashes, bands) fix a probabilistic S-curve, and this measures
+    what they actually deliver on YOUR corpus before a release trusts
+    the near-dup census. On a BOUNDED eval slice (``id < max_eval_id``
+    — a driver constant, so the all-pairs ground truth is plan-time
+    bounded, the eval-operator contract shared with ann_recall_eval):
+    exact k-gram Jaccard over all rep pairs (exact dups pre-collapsed
+    to min-id reps, the same collapse the candidate path applies — a
+    recall denominator the candidates can actually reach), truth =
+    pairs ≥ ``threshold_micro`` (floor micro-units, empty-shingle pairs
+    score 0), candidates = ``minhash_lsh_candidates`` on the same
+    slice with the same parameters.
+
+    Output ONE row: (n_docs, n_true_pairs, n_cand_pairs, n_hit,
+    recall_ppm, precision_ppm) — integer-exact, NULL ppm when its
+    denominator is zero (never a divide-by-zero, never a silent 100%).
+    Every corner is a 1-row global aggregate cross-joined together, so
+    the row shape survives empty inputs on both engines.
+    """
+    sl = df.filter(
+        (F.col(id_col) < max_eval_id) & F.col(text_col).isNotNull()
+    ).select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    reps = (
+        sl.groupBy(F.md5("__t").alias("__dig"), "__t")
+        .agg(F.min("__id").alias("__id"))
+        .select(
+            "__id", shingles(F.col("__t"), k=k, distinct=True).alias("__sh")
+        )
+    )
+    a = reps.select(
+        F.col("__id").alias("id_a"), F.col("__sh").alias("__sha")
+    )
+    b = reps.select(
+        F.col("__id").alias("id_b"), F.col("__sh").alias("__shb")
+    )
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    uni = (
+        F.size("__sha") + F.size("__shb")
+        - F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    )
+    truth = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.when(uni > 0, F.expr("CAST(1000000 AS BIGINT)") * inter)
+            .otherwise(F.lit(0))
+            .alias("__num"),
+            F.when(uni > 0, uni).otherwise(F.lit(1)).alias("__den"),
+        )
+        .filter(
+            F.expr("__num div __den") >= F.lit(int(threshold_micro))
+        )
+        .select("id_a", "id_b")
+    )
+    cand = minhash_lsh_candidates(
+        df.filter(F.col(id_col) < max_eval_id),
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        k=k,
+        pre_collapse_exact=True,
+        max_bucket_docs=max_bucket_docs,
+    ).select("id_a", "id_b")
+    hit = truth.join(cand, ["id_a", "id_b"])
+    n_docs = reps.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    n_true = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs")
+    )
+    n_cand = cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand_pairs")
+    )
+    n_hit = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    return (
+        n_docs.crossJoin(n_true)
+        .crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_docs",
+            "n_true_pairs",
+            "n_cand_pairs",
+            "n_hit",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.expr(
+                    "CAST(1000000 * n_hit div n_true_pairs AS BIGINT)"
+                ),
+            ).alias("recall_ppm"),
+            F.when(
+                F.col("n_cand_pairs") > 0,
+                F.expr(
+                    "CAST(1000000 * n_hit div n_cand_pairs AS BIGINT)"
+                ),
+            ).alias("precision_ppm"),
+        )
+    )

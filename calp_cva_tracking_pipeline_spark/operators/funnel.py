@@ -962,3 +962,71 @@ def cohort_value_curve(
         )
         .orderBy("cohort_week", "age_weeks")
     )
+
+
+def audience_overlap(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Audience overlap between event types — which behaviors share
+    users: per unordered type pair (type_a < type_b) the distinct-user
+    intersection, each side's audience size, and set Jaccard in exact
+    floor micro-units (1e6·|A∩B| div |A∪B|). The segmentation readout
+    that decides whether two surfaces can share a funnel or must be
+    modeled apart.
+
+    Shape: ONE distinct (user, type) projection (the only row-scaled
+    exchange), a user-keyed self-join whose fan-out is bounded by each
+    user's distinct-type count (≤ |types|, a schema-sized constant —
+    never a row-scaled pair explosion), a pair-cell aggregation, and a
+    broadcast join of per-type audience counts. NULL users/types drop
+    by contract. Output: (type_a, type_b, n_a, n_b, n_both,
+    jaccard_micro), ordered.
+    """
+    ut = (
+        df.select(
+            F.col(user_col).alias("__u"), F.col(type_col).alias("__t")
+        )
+        .filter(F.col("__u").isNotNull() & F.col("__t").isNotNull())
+        .distinct()
+    )
+    sizes = ut.groupBy(F.col("__t").alias("__tt")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    both = (
+        a.join(
+            b,
+            (F.col("a.__u") == F.col("b.__u"))
+            & (F.col("a.__t") < F.col("b.__t")),
+        )
+        .groupBy(
+            F.col("a.__t").alias("type_a"), F.col("b.__t").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    return (
+        both.join(
+            F.broadcast(sizes.withColumnRenamed("__n", "n_a")),
+            F.col("type_a") == F.col("__tt"),
+        )
+        .drop("__tt")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("__n", "n_b")),
+            F.col("type_b") == F.col("__tt"),
+        )
+        .drop("__tt")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr(
+                "CAST(1000000 * n_both div (n_a + n_b - n_both)"
+                " AS BIGINT)"
+            ).alias("jaccard_micro"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -1148,3 +1148,56 @@ def adamic_adar(
             .filter(F.col("aa_rank") <= top_k_per_node)
         )
     return out.orderBy("node_a", "node_b")
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Degree-distribution census of an undirected simple graph — the
+    first question asked of any co-occurrence/link graph before running
+    the heavier tiers (triangles, communities, link prediction): how
+    heavy is the tail, and how many nodes live in each octave. Edges
+    arrive directed/duplicated; they normalize to distinct undirected
+    pairs first (self-loops dropped), exactly the adamic_adar/
+    neighbor-similarity edge contract.
+
+    Buckets are log2 OCTAVES computed INTEGER-exactly as
+    ``length(bin(degree))`` = floor(log2 d)+1 — both engines render the
+    same binary string, so the bucket cut is bit-exact (a libm
+    floor(log2(x)) would re-open the 1-ulp divergence the graph tier
+    already banned; the dcg/aa literal-weight lesson). Per bucket:
+    node population, min/max degree, total degree mass. Shape: one
+    edge dedup exchange, one node-degree aggregation (shuffle = nodes),
+    one octave-sized rollup. Output: (bucket, n_nodes, min_degree,
+    max_degree, total_degree), ordered by bucket.
+    """
+    e = (
+        edges.filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .select(
+            F.least(F.col("src"), F.col("dst")).alias("__u"),
+            F.greatest(F.col("src"), F.col("dst")).alias("__v"),
+        )
+        .distinct()
+    )
+    adj = e.select(F.col("__u").alias("__w")).unionAll(
+        e.select(F.col("__v").alias("__w"))
+    )
+    deg = adj.groupBy("__w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__deg")
+    )
+    return (
+        deg.select(
+            F.length(F.bin(F.col("__deg"))).cast("int").alias("bucket"),
+            "__deg",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("__deg").cast("bigint").alias("min_degree"),
+            F.max("__deg").cast("bigint").alias("max_degree"),
+            F.sum("__deg").cast("bigint").alias("total_degree"),
+        )
+        .orderBy("bucket")
+    )

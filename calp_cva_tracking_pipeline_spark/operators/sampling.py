@@ -985,3 +985,71 @@ def mixture_reweight(
         )
         .orderBy(group_col)
     )
+
+
+def split_balance_audit(
+    df: DataFrame,
+    split_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Stratification audit of a train/val/test split: per (split,
+    label) cell, the label's share WITHIN the split vs its share in the
+    whole population, and the delta — both in exact integer ppm. A
+    group-hashed split (group_split) is leakage-safe but NOT
+    stratification-safe: a label concentrated in few entities can land
+    lopsided, and every eval metric computed on the skewed slice
+    silently shifts. This is the post-split gate that catches it
+    (chi2_independence says IF the split correlates with labels; this
+    says WHICH label is over/under-represented WHERE).
+
+    NULL labels are a real category (the psi/chi2 NULL discipline) —
+    they group under the sentinel label '<NULL>'; NULL splits drop by
+    contract (no split = not in the release). ONE (split, label) cell
+    aggregation (map-side combined; shuffle = cells), split and global
+    totals derived from the cells and broadcast back. Output: (split,
+    label, n, split_ppm, global_ppm, delta_ppm), ordered.
+    """
+    cells = (
+        df.filter(F.col(split_col).isNotNull())
+        .select(
+            F.col(split_col).alias("split"),
+            F.coalesce(
+                F.col(label_col).cast("string"), F.lit("<NULL>")
+            ).alias("label"),
+        )
+        .groupBy("split", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    split_tot = cells.groupBy("split").agg(
+        F.sum("n").cast("bigint").alias("__st")
+    )
+    label_tot = cells.groupBy("label").agg(
+        F.sum("n").cast("bigint").alias("__lt")
+    )
+    grand = cells.agg(F.sum("n").cast("bigint").alias("__g"))
+    return (
+        cells.join(F.broadcast(split_tot), "split")
+        .join(F.broadcast(label_tot), "label")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "split",
+            "label",
+            "n",
+            # ppm products in DECIMAL(38,0): 1e6·n overflows int64 past
+            # ~9e12 rows (the epoch-plan overflow lesson)
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n div __st"
+                " AS BIGINT)"
+            ).alias("split_ppm"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * __lt div __g"
+                " AS BIGINT)"
+            ).alias("global_ppm"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n div __st"
+                " - CAST(1000000 AS DECIMAL(38,0)) * __lt div __g"
+                " AS BIGINT)"
+            ).alias("delta_ppm"),
+        )
+        .orderBy("split", "label")
+    )

@@ -1573,3 +1573,76 @@ def centroid_drift(
         )
         .orderBy(label_col)
     )
+
+
+def pair_cosine_hist(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    strides: list[int] = (1, 17, 101),
+) -> DataFrame:
+    """Anisotropy histogram of the embedding space — the distribution
+    of cosines between DETERMINISTIC sample pairs. A healthy embedding
+    space puts unrelated pairs near 0; post-training collapse (all
+    cosines piled high) silently breaks every threshold downstream
+    (dedup cutoffs, ANN pruning, hard-negative mining), and this is the
+    one-scan monitor that catches it.
+
+    Sampling is id-strided, not random: each vector pairs with the
+    vectors ``stride`` ids ahead (one equi-join per stride on
+    ``id + stride``, pairs ≈ strides·N) — deterministic across runs and
+    engines, no RNG to reconcile, and id-adjacency carries no embedding
+    meaning so the sample is unbiased for anisotropy. Cosine pins to
+    exact integer micro-units; buckets are 0.1-wide cosine bands cut by
+    INTEGER division ((micro + 1e6) div 1e5, top edge clamped into the
+    last band) — no float floor at band edges (the engine-exactness
+    rounding discipline). Output per band: (bucket 0..19, cos_lo,
+    n_pairs, mean_cos_micro = floor-div mean), ordered by bucket.
+    """
+    strides = list(strides)
+    if not strides or any(s <= 0 for s in strides):
+        raise ValueError(f"strides must be positive: {strides}")
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    left = base.select(
+        "__id",
+        "__vec",
+        F.explode(
+            F.array(*[F.lit(int(s)) for s in strides])
+        ).alias("__stride"),
+    ).withColumn("__pid", F.col("__id") + F.col("__stride"))
+    pairs = left.join(
+        base.select(
+            F.col("__id").alias("__pid"), F.col("__vec").alias("__pvec")
+        ),
+        "__pid",
+    )
+    cos_micro = F.round(
+        cosine_similarity(F.col("__vec"), F.col("__pvec")) * 1e6, 0
+    ).cast("bigint")
+    bucket = F.least(
+        F.expr("CAST((__cm + 1000000) div 100000 AS INT)"), F.lit(19)
+    )
+    return (
+        pairs.select(cos_micro.alias("__cm"))
+        .select(bucket.alias("bucket"), "__cm")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            # mean over the +1e6-SHIFTED micros: cosine micros can be
+            # negative, where Spark's div (truncate toward zero) and
+            # DuckDB's // (floor) disagree — the shift keeps the
+            # dividend non-negative, where both engines agree exactly
+            F.expr(
+                "CAST(SUM(__cm + 1000000) div COUNT(*) - 1000000"
+                " AS BIGINT)"
+            ).alias("mean_cos_micro"),
+        )
+        .withColumn(
+            "cos_lo",
+            F.round(F.col("bucket") * 0.1 - 1.0, 1),
+        )
+        .select("bucket", "cos_lo", "n_pairs", "mean_cos_micro")
+        .orderBy("bucket")
+    )

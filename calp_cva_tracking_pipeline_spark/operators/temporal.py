@@ -1779,3 +1779,172 @@ def interval_coverage_gaps(
         )
         .orderBy(*key_cols)
     )
+
+
+def drawdown(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Maximum drawdown per key — how far below its running peak a
+    monitored value fell, and when: the standard health readout for any
+    metric series (throughput, balance, score) where "still below the
+    old peak" is the alarm condition. Values pin to integer cents
+    (ROUND(v·100)); the running peak is a cumulative MAX window, the
+    drawdown at each row is peak − value, and the reported max
+    drawdown breaks ties on EARLIEST (ts, id) — a total order, so the
+    row choice is engine-exact.
+
+    NULL ts/value rows drop by contract (a NULL cannot hold a peak).
+    One key-ordered exchange, two window passes (cumulative max +
+    ranked pick), one row per key: (key, n, peak_cents, max_drawdown
+    _cents, drawdown_ts). Keys whose series never dips report 0 with
+    their first row's ts (peak − value = 0 everywhere — the earliest
+    tie wins by the same rule, no special case).
+    """
+    b = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.round(F.col(value_col).cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("__c"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = b.withColumn("__peak", F.max("__c").over(w)).withColumn(
+        "__dd", F.col("__peak") - F.col("__c")
+    )
+    pick = Window.partitionBy("__k").orderBy(
+        F.col("__dd").desc(), F.col("__ts").asc(), F.col("__id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .join(
+            b.groupBy("__k").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.max("__c").cast("bigint").alias("peak_cents"),
+            ),
+            "__k",
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            "n",
+            "peak_cents",
+            F.col("__dd").cast("bigint").alias("max_drawdown_cents"),
+            F.col("__ts").alias("drawdown_ts"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def changepoint_scan(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Single best CUSUM changepoint per key (binary-segmentation step
+    1, Page 1954 lineage): the split position t maximizing
+    |n·S_t − t·S_n| where S_t is the prefix sum of the cents-pinned
+    series — the scaled-integer form of the classic max-CUSUM statistic
+    (the float form t·(n−t)·(mean_L−mean_R) re-opens libm divergence;
+    multiplying through by n keeps every term an exact int64 product of
+    a cents prefix and a row count). The drift monitors (psi/ks/cusum)
+    say IF a series moved; this says WHERE.
+
+    One key-ordered exchange: prefix sums via a cumulative window,
+    totals via the key partition window, argmax via one ranked pick
+    with ties on EARLIEST t (total order). Splits are interior
+    (1 ≤ t < n); single-row keys emit nothing. NULL ts/value rows drop
+    by contract. Output: (key, n, split_pos, split_ts, cusum_cents =
+    the max statistic published per-row as |S_t − (t/n)·S_n| in exact
+    floor cents — int64-safe where the n-scaled argmax form is not,
+    mean_left_cmicro/mean_right_cmicro = exact floor-div micro-cent
+    means), ordered by key.
+    """
+    b = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.round(F.col(value_col).cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("__c"),
+    )
+    wcum = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("__k")
+    scored = (
+        b.withColumn("__t", F.count(F.lit(1)).over(wcum).cast("bigint"))
+        .withColumn("__pre", F.sum("__c").over(wcum).cast("bigint"))
+        .withColumn("__n", F.count(F.lit(1)).over(wall).cast("bigint"))
+        .withColumn("__tot", F.sum("__c").over(wall).cast("bigint"))
+        .filter(F.col("__t") < F.col("__n"))
+        .withColumn(
+            # n·S_t − t·S_n runs in DECIMAL(38,0): at web scale both
+            # products exceed int64 (rows/key ~1e9 × cents ~1e13); the
+            # epoch-plan overflow lesson
+            "__stat",
+            F.expr(
+                "abs(CAST(__n AS DECIMAL(38,0)) * __pre"
+                " - CAST(__t AS DECIMAL(38,0)) * __tot)"
+            ),
+        )
+    )
+    pick = Window.partitionBy("__k").orderBy(
+        F.col("__stat").desc(), F.col("__t").asc()
+    )
+    # floor-div means over +1e6-shifted cents (negative dividends:
+    # Spark div truncates where DuckDB // floors — the shift keeps both
+    # exact and equal; centi-micro = 1e6 * cents div rows), products in
+    # DECIMAL(38,0)
+    # the shift is 1e12 cents/row (covers means to ±1e10 currency —
+    # beyond any real metric — while 1e6·(t·1e12) stays ≪ 1e38)
+    mean_l = F.expr(
+        "CAST(CAST(1000000 AS DECIMAL(38,0))"
+        " * (__pre + CAST(__t AS DECIMAL(38,0)) * 1000000000000)"
+        " div __t - 1000000000000000000 AS BIGINT)"
+    )
+    mean_r = F.expr(
+        "CAST(CAST(1000000 AS DECIMAL(38,0))"
+        " * ((__tot - __pre)"
+        "    + CAST(__n - __t AS DECIMAL(38,0)) * 1000000000000)"
+        " div (__n - __t) - 1000000000000000000 AS BIGINT)"
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__n").alias("n"),
+            F.col("__t").cast("bigint").alias("split_pos"),
+            F.col("__ts").alias("split_ts"),
+            # published per-row: |S_t − (t/n)·S_n| in exact floor cents
+            # — int64-safe (≤ total |cents|) where the raw n-scaled
+            # statistic is not
+            F.expr("CAST(__stat div __n AS BIGINT)").alias(
+                "cusum_cents"
+            ),
+            mean_l.alias("mean_left_cmicro"),
+            mean_r.alias("mean_right_cmicro"),
+        )
+        .orderBy(key_col)
+    )

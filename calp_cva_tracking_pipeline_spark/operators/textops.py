@@ -1333,3 +1333,69 @@ def lexical_diversity(
         "hapax_types",
         hapax.alias("hapax_ratio"),
     ).orderBy(group_col)
+
+
+def format_markers(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Instruction/chat-format audit per group — the pre-training vs
+    post-training routing readout: how much of each source already
+    carries Q&A scaffolding ("Q:"/"A:" lines), chat role tags
+    (USER:/ASSISTANT:/SYSTEM: or <|...|> special tokens), fenced code
+    blocks (```), or markdown headings (# ...). Formatted text leaking
+    into a pre-training mix teaches the base model to emit scaffolding;
+    unformatted text in an SFT mix dilutes the signal — either way the
+    mix needs this census before the split.
+
+    Pure scan-speed JVM regex flags (one boolean per marker family per
+    doc) summed per group; NULL texts count in ``n_docs`` only. Output:
+    (group, n_docs, qa_docs, chat_docs, code_fence_docs, heading_docs,
+    any_marker_docs, any_marker_ppm) with ppm = 1e6·any div n_docs,
+    integer-exact, ordered by group.
+    """
+    qa = F.col(text_col).rlike(r"(?m)^\s*[QA]\s*:")
+    chat = F.col(text_col).rlike(
+        r"(?m)(^\s*(USER|ASSISTANT|SYSTEM)\s*:)|(<\|[a-z_]+\|>)"
+    )
+    fence = F.col(text_col).rlike("```")
+    heading = F.col(text_col).rlike(r"(?m)^#{1,6} ")
+    flags = df.select(
+        F.col(group_col).alias("grp"),
+        qa.cast("int").alias("__qa"),
+        chat.cast("int").alias("__chat"),
+        fence.cast("int").alias("__fence"),
+        heading.cast("int").alias("__head"),
+    ).withColumn(
+        "__any",
+        F.greatest("__qa", "__chat", "__fence", "__head"),
+    )
+    return (
+        flags.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("__qa"), F.lit(0))
+            .cast("bigint")
+            .alias("qa_docs"),
+            F.coalesce(F.sum("__chat"), F.lit(0))
+            .cast("bigint")
+            .alias("chat_docs"),
+            F.coalesce(F.sum("__fence"), F.lit(0))
+            .cast("bigint")
+            .alias("code_fence_docs"),
+            F.coalesce(F.sum("__head"), F.lit(0))
+            .cast("bigint")
+            .alias("heading_docs"),
+            F.coalesce(F.sum("__any"), F.lit(0))
+            .cast("bigint")
+            .alias("any_marker_docs"),
+        )
+        .withColumn(
+            "any_marker_ppm",
+            F.expr(
+                "CAST(1000000 * any_marker_docs div n_docs AS BIGINT)"
+            ),
+        )
+        .orderBy("grp")
+    )
