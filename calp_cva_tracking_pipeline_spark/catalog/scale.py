@@ -11309,6 +11309,439 @@ ORDER BY source NULLS LAST
 """
 
 
+# --- Round-12 wave 45: eval/audit/monitor tier ------------------------------
+
+LSH_EVAL_MAX_ID = 400
+LSH_EVAL_THRESHOLD_MICRO = 400_000
+
+
+def dd_lsh_recall(spark, sf_dir):
+    """MinHash-LSH candidate recall/precision vs exact k-gram Jaccard
+    ground truth (operators.dedup.lsh_recall_eval) on a bounded eval
+    slice — the dedup sibling of ann_recall_eval: the (16 hashes,
+    4 bands) S-curve is measured, not assumed, before a release trusts
+    the near-dup census. The slice is docs 0..199 AUGMENTED with
+    deterministic near-dup variants (every even doc gains a
+    three-token-suffixed copy at id+200 — the dd_norm_exact
+    derive-from-testdata discipline: the raw corpus carries no
+    high-Jaccard pairs inside a bounded slice, and a recall eval whose
+    ground truth is empty measures nothing). Same banding parameters
+    as dd_minhash_lsh."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        lsh_recall_eval,
+    )
+
+    base = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < LSH_EVAL_MAX_ID // 2)
+        .select("doc_id", "text")
+    )
+    variants = base.filter(
+        (F.col("doc_id") % 2 == 0) & F.col("text").isNotNull()
+    ).select(
+        (F.col("doc_id") + LSH_EVAL_MAX_ID // 2).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq0 qq1 qq2")).alias("text"),
+    )
+    return lsh_recall_eval(
+        base.unionByName(variants),
+        "doc_id",
+        "text",
+        max_eval_id=LSH_EVAL_MAX_ID,
+        threshold_micro=LSH_EVAL_THRESHOLD_MICRO,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        k=3,
+        max_bucket_docs=MAX_BUCKET_DOCS,
+    )
+
+
+def _dd_lsh_recall_sql() -> str:
+    sliced = _SIG_CTE.replace(
+        "FROM documents", "FROM eval_docs"
+    )
+    half = LSH_EVAL_MAX_ID // 2
+    return f"""
+WITH eval_docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id < {half} AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + {half}, text || ' qq0 qq1 qq2'
+  FROM documents
+  WHERE doc_id < {half} AND doc_id % 2 = 0 AND text IS NOT NULL),
+{sliced},
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM docs_dedup),
+cntsh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c
+          FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT id_a, id_b FROM inter
+  JOIN cntsh ca ON ca.doc_id = id_a
+  JOIN cntsh cb ON cb.doc_id = id_b
+  WHERE 1000000 * i // (ca.c + cb.c - i) >= {LSH_EVAL_THRESHOLD_MICRO}),
+hit AS (SELECT truth.id_a FROM truth
+        JOIN cand ON cand.id_a = truth.id_a AND cand.id_b = truth.id_b)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM docs_dedup) AS n_docs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand_pairs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+  CASE WHEN (SELECT COUNT(*) FROM truth) > 0 THEN
+    CAST(1000000 * (SELECT COUNT(*) FROM hit)
+         // (SELECT COUNT(*) FROM truth) AS BIGINT) END AS recall_ppm,
+  CASE WHEN (SELECT COUNT(*) FROM cand) > 0 THEN
+    CAST(1000000 * (SELECT COUNT(*) FROM hit)
+         // (SELECT COUNT(*) FROM cand) AS BIGINT) END AS precision_ppm
+"""
+
+
+DD_LSH_RECALL_SQL = _dd_lsh_recall_sql()
+
+
+def tx_format_markers(spark, sf_dir):
+    """Instruction/chat-format census per source (operators.textops.
+    format_markers): Q&A scaffolding, chat role tags / special tokens,
+    fenced code blocks and markdown headings as scan-speed JVM regex
+    flags — the pre-training vs post-training routing readout. The
+    corpus is AUGMENTED in place with deterministic scaffolding (every
+    doc_id ≡ 0..3 mod 11 gains one marker family as a prefix — the
+    derive-from-testdata discipline: the raw synthetic corpus carries
+    zero markers, and an all-zero census exercises none of the four
+    regex families)."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        format_markers,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    injected = (
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("Q: how\nA: so\n"), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 1,
+            F.concat(F.lit("USER: hi\nASSISTANT: ok\n"), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 2,
+            F.concat(F.lit("```\ncode\n```\n"), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 3,
+            F.concat(F.lit("# Title\n"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return format_markers(
+        d.withColumn("text", injected), "source", "text"
+    )
+
+
+TX_FORMAT_SQL = r"""
+WITH aug AS (
+  SELECT source,
+         CASE WHEN doc_id % 11 = 0
+                THEN 'Q: how' || chr(10) || 'A: so' || chr(10) || text
+              WHEN doc_id % 11 = 1
+                THEN 'USER: hi' || chr(10) || 'ASSISTANT: ok'
+                     || chr(10) || text
+              WHEN doc_id % 11 = 2
+                THEN '```' || chr(10) || 'code' || chr(10) || '```'
+                     || chr(10) || text
+              WHEN doc_id % 11 = 3 THEN '# Title' || chr(10) || text
+              ELSE text END AS text
+  FROM documents),
+flags AS (
+  SELECT source AS grp,
+         CASE WHEN regexp_matches(text, '(?m)^\s*[QA]\s*:')
+              THEN 1 ELSE 0 END AS qa,
+         CASE WHEN regexp_matches(text,
+              '(?m)(^\s*(USER|ASSISTANT|SYSTEM)\s*:)|(<\|[a-z_]+\|>)')
+              THEN 1 ELSE 0 END AS chat,
+         CASE WHEN regexp_matches(text, '```') THEN 1 ELSE 0 END
+             AS fence,
+         CASE WHEN regexp_matches(text, '(?m)^#{1,6} ')
+              THEN 1 ELSE 0 END AS head,
+         CASE WHEN text IS NULL THEN NULL ELSE 1 END AS has_text
+  FROM aug),
+agg AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(qa), 0) AS BIGINT) AS qa_docs,
+         CAST(COALESCE(SUM(chat), 0) AS BIGINT) AS chat_docs,
+         CAST(COALESCE(SUM(fence), 0) AS BIGINT) AS code_fence_docs,
+         CAST(COALESCE(SUM(head), 0) AS BIGINT) AS heading_docs,
+         CAST(COALESCE(SUM(GREATEST(qa, chat, fence, head)), 0)
+              AS BIGINT) AS any_marker_docs
+  FROM flags GROUP BY grp)
+SELECT grp, n_docs, qa_docs, chat_docs, code_fence_docs, heading_docs,
+       any_marker_docs,
+       CAST(1000000 * any_marker_docs // n_docs AS BIGINT)
+           AS any_marker_ppm
+FROM agg ORDER BY grp
+"""
+
+
+def ev_audience_overlap(spark, sf_dir):
+    """Event-type audience overlap matrix (operators.funnel.
+    audience_overlap): per unordered type pair the distinct-user
+    intersection and exact floor-micro set Jaccard — which behaviors
+    share users."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        audience_overlap,
+    )
+
+    return audience_overlap(
+        T(spark, sf_dir, "events"), "user_id", "event_type"
+    )
+
+
+EV_AUDIENCE_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id AS u, event_type AS t FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+sz AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY t),
+b AS (
+  SELECT a.t AS type_a, b.t AS type_b, CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+  GROUP BY 1, 2)
+SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+       CAST(1000000 * n_both // (sa.n + sb.n - n_both) AS BIGINT)
+           AS jaccard_micro
+FROM b JOIN sz sa ON sa.t = type_a JOIN sz sb ON sb.t = type_b
+ORDER BY type_a, type_b
+"""
+
+
+def gr_degree_stats(spark, sf_dir):
+    """Degree-distribution octave census of the supplier↔part graph
+    (operators.graph.degree_stats): log2 buckets cut INTEGER-exactly as
+    length(bin(degree)) — the tail-weight readout run before the
+    heavier graph tiers."""
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        degree_stats,
+    )
+
+    li = T(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + PR_PART_OFFSET).alias("dst"),
+    )
+    return degree_stats(edges)
+
+
+GR_DEGREE_SQL = f"""
+WITH e0 AS (
+  SELECT l_suppkey AS src, l_partkey + {PR_PART_OFFSET} AS dst
+  FROM lineitem),
+e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM e0
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+adj AS (SELECT u AS w FROM e UNION ALL SELECT v FROM e),
+deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY w)
+SELECT CAST(length(bin(d)) AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(d) AS BIGINT) AS min_degree,
+       CAST(MAX(d) AS BIGINT) AS max_degree,
+       CAST(SUM(d) AS BIGINT) AS total_degree
+FROM deg GROUP BY 1 ORDER BY 1
+"""
+
+COSHIST_STRIDES = (1, 17, 101)
+
+
+def emb_pair_cosine_hist(spark, sf_dir):
+    """Embedding anisotropy histogram (operators.similarity.
+    pair_cosine_hist): cosine distribution over deterministic
+    id-strided sample pairs in 0.1-wide integer-cut bands — the
+    space-collapse monitor under every similarity threshold."""
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        pair_cosine_hist,
+    )
+
+    return pair_cosine_hist(
+        T(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        strides=COSHIST_STRIDES,
+    )
+
+
+EMB_COSHIST_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+pairs AS (
+  SELECT a.v AS av, b.v AS bv
+  FROM c a
+  JOIN (VALUES {", ".join(f"({s})" for s in COSHIST_STRIDES)})
+       s(stride) ON TRUE
+  JOIN c b ON b.id = a.id + s.stride),
+cm AS (
+  SELECT CAST(ROUND(list_dot_product(av, bv)
+              / (sqrt(list_dot_product(av, av))
+                 * sqrt(list_dot_product(bv, bv))) * 1000000, 0)
+              AS BIGINT) AS m
+  FROM pairs),
+agg AS (
+  SELECT CAST(LEAST((m + 1000000) // 100000, 19) AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(m + 1000000) // COUNT(*) - 1000000 AS BIGINT)
+             AS mean_cos_micro
+  FROM cm GROUP BY 1)
+SELECT bucket,
+       CAST(CAST(bucket AS BIGINT) * 100000 - 1000000 AS BIGINT)
+           AS cos_lo_micro,
+       n_pairs, mean_cos_micro
+FROM agg ORDER BY bucket
+"""
+
+
+def ts_drawdown(spark, sf_dir):
+    """Max drawdown per event type (operators.temporal.drawdown):
+    cents-pinned running peak minus value with an earliest-(ts, id)
+    tie-broken pick — how far below its historical peak each monitored
+    series fell, and when."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        drawdown,
+    )
+
+    return drawdown(
+        T(spark, sf_dir, "events"), "event_type", "ts", "value",
+        "event_id",
+    )
+
+
+TS_DRAWDOWN_SQL = """
+WITH b AS (
+  SELECT event_type AS k, ts, event_id AS id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL),
+s AS (
+  SELECT k, ts, id, c,
+         MAX(c) OVER (PARTITION BY k ORDER BY ts, id
+                      ROWS UNBOUNDED PRECEDING) AS peak
+  FROM b),
+p AS (
+  SELECT k, ts, peak - c AS dd,
+         ROW_NUMBER() OVER (PARTITION BY k
+                            ORDER BY peak - c DESC, ts, id) AS rn
+  FROM s),
+agg AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(c) AS BIGINT) AS peak_cents
+        FROM b GROUP BY k)
+SELECT agg.k AS event_type, n, peak_cents,
+       CAST(dd AS BIGINT) AS max_drawdown_cents, p.ts AS drawdown_ts
+FROM p JOIN agg ON agg.k = p.k
+WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def ts_changepoint(spark, sf_dir):
+    """Best CUSUM changepoint per event type (operators.temporal.
+    changepoint_scan): argmax |n·S_t − t·S_n| over the cents-pinned
+    value series in exact DECIMAL(38,0) arithmetic — WHERE the series
+    moved, beside ts_cusum's did-it-move."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        changepoint_scan,
+    )
+
+    return changepoint_scan(
+        T(spark, sf_dir, "events"), "event_type", "ts", "value",
+        "event_id",
+    )
+
+
+TS_CHANGEPOINT_SQL = """
+WITH b AS (
+  SELECT event_type AS k, ts, event_id AS id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL),
+s AS (
+  SELECT k, ts, id, c,
+         CAST(COUNT(*) OVER w AS BIGINT) AS t,
+         CAST(SUM(c) OVER w AS BIGINT) AS pre,
+         CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+         CAST(SUM(c) OVER (PARTITION BY k) AS BIGINT) AS tot
+  FROM b
+  WINDOW w AS (PARTITION BY k ORDER BY ts, id
+               ROWS UNBOUNDED PRECEDING)),
+scored AS (
+  SELECT k, ts, t, n,
+         abs(CAST(n AS HUGEINT) * pre - CAST(t AS HUGEINT) * tot)
+             AS stat,
+         pre, tot
+  FROM s WHERE t < n),
+p AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                               ORDER BY stat DESC, t) AS rn
+  FROM scored)
+SELECT k AS event_type, n, CAST(t AS BIGINT) AS split_pos,
+       ts AS split_ts,
+       CAST(stat // n AS BIGINT) AS cusum_cents,
+       CAST(CAST(1000000 AS HUGEINT)
+            * (pre + CAST(t AS HUGEINT) * 1000000000000) // t
+            - 1000000000000000000 AS BIGINT) AS mean_left_cmicro,
+       CAST(CAST(1000000 AS HUGEINT)
+            * ((tot - pre) + CAST(n - t AS HUGEINT) * 1000000000000)
+            // (n - t) - 1000000000000000000 AS BIGINT)
+           AS mean_right_cmicro
+FROM p WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def mx_split_balance(spark, sf_dir):
+    """Stratification audit of the leakage-safe user split
+    (operators.sampling.split_balance_audit over group_split's hash
+    assignment): per (split, event_type) the within-split vs global
+    share in exact ppm — which label landed lopsided where."""
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        group_split,
+        split_balance_audit,
+    )
+
+    e = group_split(
+        T(spark, sf_dir, "events"),
+        "user_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return split_balance_audit(e, "split", "event_type")
+
+
+MX_SPLIT_BALANCE_SQL = """
+WITH assigned AS (
+  SELECT CASE WHEN CAST(CAST(('0x' || substring(
+              md5(CAST(user_id AS VARCHAR) || ':42'), 1, 15))
+              AS UBIGINT) AS BIGINT) % 1000000 < 800000 THEN 'train'
+          WHEN CAST(CAST(('0x' || substring(
+              md5(CAST(user_id AS VARCHAR) || ':42'), 1, 15))
+              AS UBIGINT) AS BIGINT) % 1000000 < 900000 THEN 'val'
+          ELSE 'test' END AS split,
+         COALESCE(CAST(event_type AS VARCHAR), '<NULL>') AS label
+  FROM events),
+cells AS (
+  SELECT split, label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM assigned GROUP BY 1, 2),
+st AS (SELECT split, CAST(SUM(n) AS BIGINT) AS s FROM cells GROUP BY 1),
+lt AS (SELECT label, CAST(SUM(n) AS BIGINT) AS l FROM cells GROUP BY 1),
+g AS (SELECT CAST(SUM(n) AS BIGINT) AS gt FROM cells)
+SELECT split, label, n,
+       CAST(CAST(1000000 AS HUGEINT) * n // s AS BIGINT) AS split_ppm,
+       CAST(CAST(1000000 AS HUGEINT) * l // gt AS BIGINT) AS global_ppm,
+       CAST(CAST(1000000 AS HUGEINT) * n // s
+            - CAST(1000000 AS HUGEINT) * l // gt AS BIGINT)
+           AS delta_ppm
+FROM cells JOIN st USING (split) JOIN lt USING (label), g
+ORDER BY split, label
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -11540,4 +11973,13 @@ SCALE_QUERIES = {
     "emb_centroid_drift": (emb_centroid_drift, EMB_DRIFT_SQL),
     # forty-fourth wave (round 12)
     "dd_dup_census": (dd_dup_census, DD_CENSUS_SQL),
+    # forty-fifth wave (round 12)
+    "dd_lsh_recall": (dd_lsh_recall, DD_LSH_RECALL_SQL),
+    "tx_format_markers": (tx_format_markers, TX_FORMAT_SQL),
+    "ev_audience_overlap": (ev_audience_overlap, EV_AUDIENCE_SQL),
+    "gr_degree_stats": (gr_degree_stats, GR_DEGREE_SQL),
+    "emb_pair_cosine_hist": (emb_pair_cosine_hist, EMB_COSHIST_SQL),
+    "ts_drawdown": (ts_drawdown, TS_DRAWDOWN_SQL),
+    "ts_changepoint": (ts_changepoint, TS_CHANGEPOINT_SQL),
+    "mx_split_balance": (mx_split_balance, MX_SPLIT_BALANCE_SQL),
 }

@@ -1596,8 +1596,9 @@ def pair_cosine_hist(
     exact integer micro-units; buckets are 0.1-wide cosine bands cut by
     INTEGER division ((micro + 1e6) div 1e5, top edge clamped into the
     last band) — no float floor at band edges (the engine-exactness
-    rounding discipline). Output per band: (bucket 0..19, cos_lo,
-    n_pairs, mean_cos_micro = floor-div mean), ordered by bucket.
+    rounding discipline). Output per band: (bucket 0..19, cos_lo_micro
+    = the band's integer lower edge, n_pairs, mean_cos_micro =
+    floor-div mean over shifted micros), ordered by bucket.
     """
     strides = list(strides)
     if not strides or any(s <= 0 for s in strides):
@@ -1640,9 +1641,14 @@ def pair_cosine_hist(
             ).alias("mean_cos_micro"),
         )
         .withColumn(
-            "cos_lo",
-            F.round(F.col("bucket") * 0.1 - 1.0, 1),
+            # integer band edge, not a float: 0.1-literal arithmetic
+            # types as DECIMAL in DuckDB and double here — the
+            # engine-exactness decimal-literal pitfall
+            "cos_lo_micro",
+            (F.col("bucket").cast("bigint") * 100000 - 1000000).cast(
+                "bigint"
+            ),
         )
-        .select("bucket", "cos_lo", "n_pairs", "mean_cos_micro")
+        .select("bucket", "cos_lo_micro", "n_pairs", "mean_cos_micro")
         .orderBy("bucket")
     )
