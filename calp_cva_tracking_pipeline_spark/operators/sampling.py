@@ -1009,6 +1009,10 @@ def split_balance_audit(
     totals derived from the cells and broadcast back. Output: (split,
     label, n, split_ppm, global_ppm, delta_ppm), ordered.
     """
+    # the cell frame is (splits × labels)-bounded and consumed FOUR
+    # times (itself + split/label/grand totals) — checkpoint-cut so the
+    # row-scaled aggregation underneath runs once (the dd_cluster_pick
+    # bounded-frame discipline; un-cut this plan re-scans the input 4×)
     cells = (
         df.filter(F.col(split_col).isNotNull())
         .select(
@@ -1019,6 +1023,7 @@ def split_balance_audit(
         )
         .groupBy("split", "label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()
     )
     split_tot = cells.groupBy("split").agg(
         F.sum("n").cast("bigint").alias("__st")

@@ -1821,8 +1821,16 @@ def drawdown(
         .orderBy("__ts", "__id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    scored = b.withColumn("__peak", F.max("__c").over(w)).withColumn(
-        "__dd", F.col("__peak") - F.col("__c")
+    wall = Window.partitionBy("__k")
+    # n and the global peak ride the SAME keyed exchange as the
+    # cumulative window (partition-only frames over an already
+    # key-partitioned sort are free) — a separate groupBy+join would
+    # re-scan and re-shuffle the input for values the window already has
+    scored = (
+        b.withColumn("__peak", F.max("__c").over(w))
+        .withColumn("__dd", F.col("__peak") - F.col("__c"))
+        .withColumn("__n", F.count(F.lit(1)).over(wall).cast("bigint"))
+        .withColumn("__pk", F.max("__c").over(wall).cast("bigint"))
     )
     pick = Window.partitionBy("__k").orderBy(
         F.col("__dd").desc(), F.col("__ts").asc(), F.col("__id").asc()
@@ -1830,17 +1838,10 @@ def drawdown(
     return (
         scored.withColumn("__rn", F.row_number().over(pick))
         .filter(F.col("__rn") == 1)
-        .join(
-            b.groupBy("__k").agg(
-                F.count(F.lit(1)).cast("bigint").alias("n"),
-                F.max("__c").cast("bigint").alias("peak_cents"),
-            ),
-            "__k",
-        )
         .select(
             F.col("__k").alias(key_col),
-            "n",
-            "peak_cents",
+            F.col("__n").alias("n"),
+            F.col("__pk").alias("peak_cents"),
             F.col("__dd").cast("bigint").alias("max_drawdown_cents"),
             F.col("__ts").alias("drawdown_ts"),
         )

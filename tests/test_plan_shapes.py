@@ -808,3 +808,31 @@ def test_dup_census_shares_digest_cell_exchange(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # post-checkpoint plan: cells scan + the checkpoint reads only
     assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")
+
+
+def test_wave45_tier_plan_shapes(spark, sf_dir):
+    """Round-12 wave-45 structural pins: the window tier rides keyed
+    exchanges with no joins back to its own input (drawdown's n/peak
+    derive from partition frames on the SAME exchange — pre-fix the
+    operator re-scanned events through a groupBy+join); the
+    stratification audit's bounded cell frame is checkpoint-cut so its
+    four consumers never replan the row-scaled aggregation; the strided
+    anisotropy pairs and the audience self-join stay equi-joins. No
+    cartesian and no Python stages anywhere in the tier."""
+    for name, max_scans in (
+        ("ts_drawdown", 2),
+        ("ts_changepoint", 2),
+        ("mx_split_balance", 1),
+        ("emb_pair_cosine_hist", 4),
+        ("ev_audience_overlap", 6),
+        ("gr_degree_stats", 4),
+        ("tx_format_markers", 2),
+    ):
+        df = getattr(S, name)(spark, sf_dir)
+        df.collect()
+        p = _executed(df)
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+        assert p.count("Scan parquet") <= max_scans, (
+            name, p.count("Scan parquet"),
+        )
