@@ -11742,6 +11742,266 @@ ORDER BY split, label
 """
 
 
+# --- Round-12 wave 46: frontier/drift/layout tier ----------------------------
+
+FRONTIER_NPROBES = (1, 2, 4)
+FRONTIER_QUERIES = 32
+
+
+def ann_nprobe_frontier(spark, sf_dir):
+    """IVF operating curve (operators.similarity.ivf_recall_frontier):
+    recall@k at nprobe ∈ {1, 2, 4} against exact brute force, the
+    quantizer trained ONCE and frozen across settings — how much recall
+    each extra probed cell buys, measured, so a deployment picks the
+    cheapest nprobe meeting its floor."""
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        ivf_recall_frontier,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    # queries are NON-SEED vectors: ids below IVF_CENTROIDS are the
+    # quantizer seeds, whose own cells trivially contain their
+    # neighborhoods — measuring recall on them reads ~1.0 at every
+    # nprobe and the frontier flattens into noise
+    q = e.filter(
+        (F.col("vec_id") >= IVF_CENTROIDS)
+        & (F.col("vec_id") < IVF_CENTROIDS + FRONTIER_QUERIES)
+    )
+    return ivf_recall_frontier(
+        e,
+        q,
+        "vec_id",
+        "embedding",
+        "vec_id",
+        "embedding",
+        n_centroids=IVF_CENTROIDS,
+        nprobes=list(FRONTIER_NPROBES),
+        k=TOP_K,
+    )
+
+
+def _ann_frontier_sql() -> str:
+    max_np = max(FRONTIER_NPROBES)
+    branches = []
+    for np_ in sorted(FRONTIER_NPROBES):
+        branches.append(f"""
+SELECT {np_} AS nprobe, CAST({TOP_K} AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(SUM(CASE WHEN i.neighbor_id IS NOT NULL
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+       CASE WHEN COUNT(*) > 0 THEN
+         CAST(1000000 * COALESCE(SUM(CASE WHEN i.neighbor_id IS NOT NULL
+                                      THEN 1 ELSE 0 END), 0)
+              // COUNT(*) AS BIGINT) END AS recall_ppm
+FROM brute b LEFT JOIN (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY s.query_id
+             ORDER BY s.cosine DESC, s.neighbor_id) AS rank
+    FROM scored s WHERE s.pr <= {np_}) t
+  WHERE rank <= {TOP_K}) i
+  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id""")
+    u = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT CAST(vec_id AS BIGINT) AS centroid_id, v AS cv
+  FROM c ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+assign AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT a.vec_id, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_IVF_D2.format(a='a.v', b='cent.cv')}, cent.centroid_id
+           ) AS rn
+    FROM c a CROSS JOIN cent) t
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, cell, pr FROM (
+    SELECT q.vec_id AS query_id, cent.centroid_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_IVF_D2.format(a='q.v', b='cent.cv')}, cent.centroid_id
+           ) AS pr
+    FROM (SELECT * FROM c WHERE vec_id >= {IVF_CENTROIDS}
+          AND vec_id < {IVF_CENTROIDS + FRONTIER_QUERIES}) q
+    CROSS JOIN cent) t
+  WHERE pr <= {max_np}),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, p.pr,
+         ROUND(list_dot_product(qv.v, av.v) /
+               (sqrt(list_dot_product(qv.v, qv.v))
+                * sqrt(list_dot_product(av.v, av.v))), 6) AS cosine
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN c qv ON qv.vec_id = p.query_id
+  JOIN c av ON av.vec_id = a.vec_id),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             ROUND(list_dot_product(q.v, a.v) /
+                   (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(a.v, a.v))), 6) DESC,
+             a.vec_id) AS rank
+    FROM (SELECT * FROM c WHERE vec_id >= {IVF_CENTROIDS}
+          AND vec_id < {IVF_CENTROIDS + FRONTIER_QUERIES}) q
+    CROSS JOIN c a WHERE a.vec_id <> q.vec_id) t
+  WHERE rank <= {TOP_K})
+SELECT * FROM ({u}) ORDER BY nprobe
+"""
+
+
+ANN_FRONTIER_SQL = _ann_frontier_sql()
+
+
+def emb_sign_hamming(spark, sf_dir):
+    """Binary-embedding retrieval eval (operators.linalg.
+    sign_hamming_recall): recall@k of sign-bit hamming search vs exact
+    float cosine on the 64-dim corpus — the 32×-compression question
+    answered by measurement."""
+    from calp_cva_tracking_pipeline_spark.operators.linalg import (
+        sign_hamming_recall,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return sign_hamming_recall(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        dim=EMB_DIM, k=TOP_K,
+    )
+
+
+_SIGN_BITS = (
+    "list_reduce(list_transform(v[{lo}:{hi}],"
+    " x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END), (a, b) -> a * 2 + b)"
+)
+
+EMB_SIGN_SQL = f"""
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+codes AS (
+  SELECT vec_id,
+         {_SIGN_BITS.format(lo=1, hi=EMB_DIM // 2)} AS lo,
+         {_SIGN_BITS.format(lo=EMB_DIM // 2 + 1, hi=EMB_DIM)} AS hi
+  FROM c),
+q AS (SELECT * FROM codes WHERE vec_id < {N_QUERIES}),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             bit_count(xor(c2.lo, q.lo)) + bit_count(xor(c2.hi, q.hi)),
+             c2.vec_id) AS rn
+    FROM q CROSS JOIN codes c2 WHERE c2.vec_id <> q.vec_id) t
+  WHERE rn <= {TOP_K}),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qf.vec_id AS query_id, a.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qf.vec_id ORDER BY
+             ROUND(list_dot_product(qf.v, a.v) /
+                   (sqrt(list_dot_product(qf.v, qf.v))
+                    * sqrt(list_dot_product(a.v, a.v))), 6) DESC,
+             a.vec_id) AS rank
+    FROM (SELECT * FROM c WHERE vec_id < {N_QUERIES}) qf
+    CROSS JOIN c a WHERE a.vec_id <> qf.vec_id) t
+  WHERE rank <= {TOP_K})
+SELECT CAST({EMB_DIM} AS INT) AS dims, CAST({TOP_K} AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(SUM(CASE WHEN t.neighbor_id IS NOT NULL
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+       CASE WHEN COUNT(*) > 0 THEN
+         CAST(1000000 * COALESCE(SUM(CASE WHEN t.neighbor_id IS NOT NULL
+                                      THEN 1 ELSE 0 END), 0)
+              // COUNT(*) AS BIGINT) END AS recall_ppm
+FROM brute b LEFT JOIN topk t
+  ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+"""
+
+NULL_DRIFT_COLS = ("user_id", "value", "props")
+
+
+def pf_null_drift(spark, sf_dir):
+    """Weekly null-rate drift per column (operators.profiling.
+    null_rate_drift) over the event stream — the time dimension the
+    one-shot null census lacks: integer-ppm weekly series with the
+    week-over-week delta per column."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        null_rate_drift,
+    )
+
+    return null_rate_drift(
+        T(spark, sf_dir, "events"), "ts", list(NULL_DRIFT_COLS)
+    )
+
+
+PF_NULL_DRIFT_SQL = """
+WITH stacked AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         'user_id' AS col_name,
+         CASE WHEN user_id IS NULL THEN 1 ELSE 0 END AS is_null
+  FROM events
+  UNION ALL
+  SELECT CAST(date_trunc('week', ts) AS DATE), 'value',
+         CASE WHEN value IS NULL THEN 1 ELSE 0 END FROM events
+  UNION ALL
+  SELECT CAST(date_trunc('week', ts) AS DATE), 'props',
+         CASE WHEN props IS NULL THEN 1 ELSE 0 END FROM events),
+cells AS (
+  SELECT week, col_name, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(is_null), 0) AS BIGINT) AS n_null
+  FROM stacked GROUP BY 1, 2),
+ppm AS (
+  SELECT week, col_name, n, n_null,
+         CAST(1000000 * n_null // n AS BIGINT) AS null_ppm
+  FROM cells)
+SELECT week, col_name, n, n_null, null_ppm,
+       null_ppm - LAG(null_ppm) OVER (PARTITION BY col_name
+                                      ORDER BY week NULLS FIRST)
+           AS delta_ppm
+FROM ppm ORDER BY week NULLS FIRST, col_name
+"""
+
+COMPACTION_TARGET_ROWS = 2000
+
+
+def lx_compaction_plan(spark, sf_dir):
+    """Micro-partition compaction plan (operators.layout.
+    compaction_plan): per event type, consecutive DAY cells pack into
+    row-budget bins (exclusive-prefix div target — deterministic,
+    order-preserving) — the work list a small-files compaction job
+    executes at 100 TB."""
+    from calp_cva_tracking_pipeline_spark.operators.layout import (
+        compaction_plan,
+    )
+
+    e = T(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    )
+    return compaction_plan(
+        e, ["event_type"], "day",
+        target_rows=COMPACTION_TARGET_ROWS,
+    )
+
+
+LX_COMPACTION_SQL = f"""
+WITH cells AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS r
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2),
+binned AS (
+  SELECT event_type, day, r,
+         CAST((SUM(r) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) - r)
+              // {COMPACTION_TARGET_ROWS} AS BIGINT) AS bin
+  FROM cells)
+SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(r) AS BIGINT) AS rows,
+       MIN(day) AS first_key, MAX(day) AS last_key
+FROM binned GROUP BY 1, 2 ORDER BY event_type, bin
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -11982,4 +12242,9 @@ SCALE_QUERIES = {
     "ts_drawdown": (ts_drawdown, TS_DRAWDOWN_SQL),
     "ts_changepoint": (ts_changepoint, TS_CHANGEPOINT_SQL),
     "mx_split_balance": (mx_split_balance, MX_SPLIT_BALANCE_SQL),
+    # forty-sixth wave (round 12)
+    "ann_nprobe_frontier": (ann_nprobe_frontier, ANN_FRONTIER_SQL),
+    "emb_sign_hamming": (emb_sign_hamming, EMB_SIGN_SQL),
+    "pf_null_drift": (pf_null_drift, PF_NULL_DRIFT_SQL),
+    "lx_compaction_plan": (lx_compaction_plan, LX_COMPACTION_SQL),
 }

@@ -201,3 +201,61 @@ def compact_parquet(
     df, _, n_target = plan_compaction(spark, src, target_bytes)
     df.repartition(n_target).write.mode("overwrite").parquet(dst)
     return n_target
+
+
+def compaction_plan(
+    df: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    target_rows: int,
+) -> DataFrame:
+    """Compaction planner for small micro-partitions — the layout-tier
+    answer to the small-files problem at 100 TB: given row counts per
+    (partition, ordered sub-partition) cell (e.g. per day within a
+    source), assign consecutive cells to compaction bins by a
+    row-budget greedy rule, bin = EXCLUSIVE-prefix-rows div target —
+    deterministic, order-preserving (compacted files stay
+    range-queryable on ``order_col``), and computed entirely from ONE
+    cell aggregation + one partition-ordered window (shuffle = cells,
+    never rows). An oversized single cell occupies its own bin without
+    splitting (file boundaries cannot split a partition cell).
+
+    Output per (partition, bin): (part_cols..., bin, n_cells, rows,
+    first/last ``order_col``), ordered — the work list a compaction job
+    executes one bin at a time.
+    """
+    from pyspark.sql import Window
+
+    if target_rows <= 0:
+        raise ValueError(f"target_rows must be positive: {target_rows}")
+    cells = (
+        df.filter(F.col(order_col).isNotNull())
+        .groupBy(*part_cols, order_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__r"))
+    )
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = (
+        cells.withColumn(
+            "__pre",
+            (F.sum("__r").over(w) - F.col("__r")).cast("bigint"),
+        )
+        .withColumn(
+            "bin",
+            F.expr(f"CAST(__pre div {int(target_rows)} AS BIGINT)"),
+        )
+        .drop("__pre")
+    )
+    return (
+        binned.groupBy(*part_cols, "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("__r").cast("bigint").alias("rows"),
+            F.min(order_col).alias("first_key"),
+            F.max(order_col).alias("last_key"),
+        )
+        .orderBy(*part_cols, "bin")
+    )

@@ -369,3 +369,100 @@ def quantization_error(
             "max_abs_err"
         ),
     ).orderBy("dim")
+
+
+def sign_hamming_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    dim: int,
+    k: int = 5,
+) -> DataFrame:
+    """Binary-embedding retrieval eval: recall@k of SIGN-quantized
+    hamming search against exact float cosine — the 32×-compression
+    question (1 bit/dim vs float32) answered by measurement before a
+    serving index commits to binary codes. Codes pack each vector's
+    sign bits into two bigint halves by a fixed left fold (acc·2 +
+    (v>0)) — integer-exact, no libm, both engines fold in the same
+    order — and candidate ranking is bit_count(lo⊕lo′) +
+    bit_count(hi⊕hi′) ascending with neighbor-id ties: a rank cut as
+    deterministic as the cosine tier's.
+
+    ``dim`` must be ≤ 128 (two 64-bit halves; the declared-schema
+    constant, never probed from data). Shape: the T6 broadcast-query
+    discipline — codes are a scan-speed projection, the corpus never
+    shuffles, the hamming scan is integer ops at memory bandwidth
+    (the entire point of binary embeddings at 100 TB). Output one row:
+    (dims, k, n_pairs, n_hit, recall_ppm), integer-exact.
+    """
+    if not (0 < dim <= 128):
+        raise ValueError(f"dim must be in 1..128: {dim}")
+    half = (dim + 1) // 2
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    def code(col: str, lo: int, n: int) -> str:
+        return (
+            f"aggregate(transform(slice({col}, {lo}, {n}),"
+            f" x -> CASE WHEN x > 0 THEN 1L ELSE 0L END),"
+            f" 0L, (acc, b) -> acc * 2L + b)"
+        )
+
+    def coded(df: DataFrame, idc: str, vc: str, tag: str) -> DataFrame:
+        return df.filter(
+            F.col(idc).isNotNull() & F.col(vc).isNotNull()
+        ).select(
+            F.col(idc).alias(f"{tag}_id"),
+            F.expr(code(vc, 1, half)).alias(f"{tag}_lo"),
+            F.expr(code(vc, half + 1, dim - half)).alias(f"{tag}_hi"),
+        )
+
+    c = coded(corpus, id_col, vec_col, "c")
+    q = coded(queries, query_id_col, query_vec_col, "q")
+    ham = F.expr("bit_count(c_lo ^ q_lo) + bit_count(c_hi ^ q_hi)")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("__ham").asc(), F.col("c_id").asc()
+    )
+    topk = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", ham.alias("__ham"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("__n"),
+            F.lit(1).alias("__h"),
+        )
+    )
+    brute = brute_force_topk(
+        corpus, queries, id_col, vec_col, query_id_col, query_vec_col,
+        k=k,
+    ).select("query_id", "neighbor_id")
+    joined = brute.join(
+        topk,
+        (brute["query_id"] == topk["query_id"])
+        & (brute["neighbor_id"] == topk["__n"]),
+        "left",
+    ).select(F.coalesce(F.col("__h"), F.lit(0)).alias("__hit"))
+    return joined.agg(
+        F.lit(dim).cast("int").alias("dims"),
+        F.lit(k).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum("__hit"), F.lit(0))
+        .cast("bigint")
+        .alias("n_hit"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.expr(
+                "CAST(1000000 * COALESCE(SUM(__hit), 0)"
+                " div COUNT(*) AS BIGINT)"
+            ),
+        ).alias("recall_ppm"),
+    )

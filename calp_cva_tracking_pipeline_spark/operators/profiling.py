@@ -2697,3 +2697,58 @@ def frequency_movers_from_cells(
         .orderBy(F.abs(F.col("delta_ppm")).desc(), F.col(key_col))
         .limit(top_k)
     )
+
+
+def null_rate_drift(
+    df: DataFrame,
+    ts_col: str,
+    cols: list[str],
+) -> DataFrame:
+    """Null-rate drift per column per ISO week — the TIME dimension the
+    one-shot null census (null_patterns / dq_checks) lacks: a producer
+    change rarely flips a column all-NULL at once, it starts nulling
+    NEW rows, and the weekly ppm series with its week-over-week delta
+    is where that shows first. Rows with NULL timestamps group under a
+    NULL week (a real category — they are themselves a data-quality
+    signal).
+
+    ONE (week, column) cell pass — the per-column null flags stack via
+    an inline explode so the input scans once (not once per column) —
+    then integer ppm and a lag-1 delta over the column-keyed window
+    (previous-week delta is NULL on each column's first week). Output:
+    (week, col_name, n, n_null, null_ppm, delta_ppm), ordered.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    stacked = df.select(
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("week"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).isNull().cast("int").alias("is_null"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("__s"),
+    ).select("week", "__s.col_name", "__s.is_null")
+    cells = stacked.groupBy("week", "col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum("is_null"), F.lit(0))
+        .cast("bigint")
+        .alias("n_null"),
+    )
+    ppm = F.expr("CAST(1000000 * n_null div n AS BIGINT)")
+    w = Window.partitionBy("col_name").orderBy(F.asc_nulls_first("week"))
+    return (
+        cells.withColumn("null_ppm", ppm)
+        .withColumn(
+            "delta_ppm",
+            F.col("null_ppm") - F.lag("null_ppm").over(w),
+        )
+        .select("week", "col_name", "n", "n_null", "null_ppm",
+                "delta_ppm")
+        .orderBy(F.asc_nulls_first("week"), "col_name")
+    )

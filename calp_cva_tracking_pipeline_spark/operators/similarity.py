@@ -1652,3 +1652,93 @@ def pair_cosine_hist(
         .select("bucket", "cos_lo_micro", "n_pairs", "mean_cos_micro")
         .orderBy("bucket")
     )
+
+
+def ivf_recall_frontier(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    n_centroids: int,
+    nprobes: list[int] = (1, 2, 4),
+    k: int = 5,
+) -> DataFrame:
+    """The IVF OPERATING CURVE — recall@k at several nprobe settings in
+    one query: ann_recall_eval measures one operating point; tuning an
+    index needs the frontier (how much recall each extra probed cell
+    buys, so the deployment picks the cheapest nprobe meeting its
+    floor). Ground truth is exact brute-force top-k; the quantizer
+    trains ONCE and every nprobe setting searches the same frozen
+    index (checkpoint-cut: centroids and the cell assignment are
+    consumed once per setting, and re-planning the Lloyd chain per
+    branch would triple the training cost — the dd_cluster_pick
+    bounded-frame discipline; cells are row-scaled but 2 columns wide
+    and read |nprobes| times).
+
+    Output one row per setting: (nprobe, k, n_pairs, n_hit,
+    recall_ppm = 1e6·hits div pairs, integer-exact), nprobe ascending.
+    A plan-time loop over a handful of settings — each branch is the
+    T8 probe shape, the corpus shuffles once at assignment.
+    """
+    nprobes = sorted(set(int(p) for p in nprobes))
+    if not nprobes or nprobes[0] <= 0:
+        raise ValueError(f"nprobes must be positive: {nprobes}")
+    cent = train_centroids(
+        corpus, id_col, vec_col, n_centroids
+    ).localCheckpoint()
+    cells = assign_cells(
+        corpus, cent, id_col, vec_col
+    ).localCheckpoint()
+    brute = brute_force_topk(
+        corpus, queries, id_col, vec_col, query_id_col, query_vec_col,
+        k=k,
+    ).select("query_id", "neighbor_id").localCheckpoint()
+    parts = []
+    for np_ in nprobes:
+        ivf = ivf_topk(
+            corpus,
+            queries,
+            id_col,
+            vec_col,
+            query_id_col,
+            query_vec_col,
+            nprobe=np_,
+            k=k,
+            centroids=cent,
+            cells=cells,
+        ).select(
+            "query_id",
+            F.col("neighbor_id").alias("__n"),
+            F.lit(1).alias("__h"),
+        )
+        joined = brute.join(
+            ivf,
+            (brute["query_id"] == ivf["query_id"])
+            & (brute["neighbor_id"] == ivf["__n"]),
+            "left",
+        ).select(F.coalesce(F.col("__h"), F.lit(0)).alias("__hit"))
+        parts.append(
+            joined.agg(
+                F.lit(np_).cast("int").alias("nprobe"),
+                F.lit(k).cast("bigint").alias("k"),
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.coalesce(F.sum("__hit"), F.lit(0))
+                .cast("bigint")
+                .alias("n_hit"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.select(
+        "nprobe",
+        "k",
+        "n_pairs",
+        "n_hit",
+        F.when(
+            F.col("n_pairs") > 0,
+            F.expr("CAST(1000000 * n_hit div n_pairs AS BIGINT)"),
+        ).alias("recall_ppm"),
+    ).orderBy("nprobe")
