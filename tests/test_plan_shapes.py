@@ -836,3 +836,24 @@ def test_wave45_tier_plan_shapes(spark, sf_dir):
         assert p.count("Scan parquet") <= max_scans, (
             name, p.count("Scan parquet"),
         )
+
+
+def test_wave46_tier_plan_shapes(spark, sf_dir):
+    """Round-12 wave-46 pins: the eval tier's only nested-loop joins
+    are the deliberate broadcast-query brute shapes (the T6
+    discipline); drift and compaction are pure cell aggregations — no
+    cartesian, no Python stages, scan counts bounded."""
+    for name, max_scans in (
+        ("ann_nprobe_frontier", 8),
+        ("emb_sign_hamming", 8),
+        ("pf_null_drift", 2),
+        ("lx_compaction_plan", 2),
+    ):
+        df = getattr(S, name)(spark, sf_dir)
+        df.collect()
+        p = _executed(df)
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+        assert p.count("Scan parquet") <= max_scans, (
+            name, p.count("Scan parquet"),
+        )

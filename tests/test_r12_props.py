@@ -171,3 +171,84 @@ def test_split_balance_null_label_sentinel(spark):
     assert got[("train", "x")].split_ppm == 666666
     assert got[("train", "x")].global_ppm == 750000  # 3 of 4 kept rows
     assert got[("train", "<NULL>")].global_ppm == 250000
+
+
+def test_sign_hamming_known_tiny_case(spark):
+    from calp_cva_tracking_pipeline_spark.operators.linalg import (
+        sign_hamming_recall,
+    )
+
+    # 2-dim space: q=[1,1]; c1=[2,2] (same signs, hamming 0) is also the
+    # cosine top-1; c2=[-1,-1] opposite. Binary search must find c1.
+    corpus = spark.createDataFrame(
+        [(1, [2.0, 2.0]), (2, [-1.0, -1.0]), (10, [1.0, 1.0])],
+        "id long, vec array<double>",
+    )
+    q = corpus.filter("id = 10")
+    r = sign_hamming_recall(
+        corpus, q, "id", "vec", "id", "vec", dim=2, k=1
+    ).collect()[0]
+    assert (r.dims, r.k, r.n_pairs, r.n_hit, r.recall_ppm) == (
+        2, 1, 1, 1, 1_000_000,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sign_hamming_recall(corpus, q, "id", "vec", "id", "vec", dim=0)
+
+
+def test_frontier_rejects_bad_nprobes(spark):
+    import pytest as _pytest
+
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        ivf_recall_frontier,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "id long, vec array<double>"
+    )
+    with _pytest.raises(ValueError):
+        ivf_recall_frontier(
+            df, df, "id", "vec", "id", "vec", 1, nprobes=[0]
+        )
+
+
+def test_compaction_oversized_cell_owns_its_bin(spark):
+    from calp_cva_tracking_pipeline_spark.operators.layout import (
+        compaction_plan,
+    )
+
+    rows = (
+        [("a", "d1")] * 5        # oversized cell (target 3)
+        + [("a", "d2")] * 2
+        + [("a", "d3")] * 2
+        + [("b", "d1")] * 1
+        + [("b", None)] * 3      # NULL order key drops
+    )
+    df = spark.createDataFrame(rows, "p string, o string")
+    got = [
+        tuple(r)
+        for r in compaction_plan(df, ["p"], "o", target_rows=3).collect()
+    ]
+    # a/d1 (5 rows, pre=0) -> bin 0 alone; d2 (pre=5) -> bin 1;
+    # d3 (pre=7) -> bin 2; b/d1 -> bin 0
+    assert got == [
+        ("a", 0, 1, 5, "d1", "d1"),
+        ("a", 1, 1, 2, "d2", "d2"),
+        ("a", 2, 1, 2, "d3", "d3"),
+        ("b", 0, 1, 1, "d1", "d1"),
+    ]
+
+
+def test_null_drift_requires_cols(spark):
+    import pytest as _pytest
+
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        null_rate_drift,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1)], "ts string, v int"
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "v")
+    with _pytest.raises(ValueError):
+        null_rate_drift(df, "ts", [])
