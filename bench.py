@@ -181,13 +181,21 @@ HEADLINE = [
     # deliberately not duplicated.
     "pf_release_report",
     "dd_substring_spans",
-    # round 12 addition (suite totals are not comparable to r11 without
-    # subtracting this): the SERVING-path k-NN graph on prebuilt
-    # centroids (VERDICT r11 ask #3) — emb_knn_graph keeps timing the
-    # cold build+search fusion; this times the steady-state reload path
-    # a 100 TB deployment actually runs (same edges, quantizer cached
-    # outside the timed region like ann_ivf_search).
+    # round 12 additions (suite totals are not comparable to r11 without
+    # subtracting these), three genuinely new cost classes: the
+    # SERVING-path k-NN graph on prebuilt centroids (VERDICT r11 ask #3
+    # — emb_knn_graph keeps timing the cold build+search fusion; this
+    # times the steady-state reload path a 100 TB deployment actually
+    # runs), the four-tier duplicate census (shared digest-cell
+    # exchange + two checkpoint-cut bucketed pair tiers in ONE
+    # composition), and the sign-bit hamming scan (integer bit_count
+    # XOR ranking — the binary-embedding memory-bandwidth class no
+    # float tier times). ann_nprobe_frontier (3× the timed IVF class),
+    # wave-45's window/cell audits (already-timed shapes) and the
+    # bounded lsh-recall eval are deliberately not duplicated.
     "emb_knn_graph_serve",
+    "dd_dup_census",
+    "emb_sign_hamming",
 ]
 
 
