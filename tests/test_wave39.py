@@ -76,8 +76,22 @@ def test_dp_noisy_counts_deterministic_and_noisy(spark):
     df = spark.createDataFrame(
         [(f"g{i % 4}",) for i in range(100)], "g string"
     )
-    a = {r.g: r.noisy_count for r in dp_noisy_counts(df, ["g"]).collect()}
-    b = {r.g: r.noisy_count for r in dp_noisy_counts(df, ["g"]).collect()}
+    # round 12: the replayable hash-noise path is now an EXPLICIT
+    # keyword-only opt-in (the r11 advisor finding — by default the
+    # release draws fresh rand() noise); this test pins the opt-in
+    # path's contract, test_advice_r12.py pins the default's.
+    a = {
+        r.g: r.noisy_count
+        for r in dp_noisy_counts(
+            df, ["g"], deterministic_noise=True
+        ).collect()
+    }
+    b = {
+        r.g: r.noisy_count
+        for r in dp_noisy_counts(
+            df, ["g"], deterministic_noise=True
+        ).collect()
+    }
     assert a == b  # replayable release (documented hash-noise contract)
     # noise is actually applied (raw count is 25 per group) and bounded
     # plausibly for eps=1: P(|lap| > 20) ~ 1e-9 per the distribution
@@ -86,7 +100,9 @@ def test_dp_noisy_counts_deterministic_and_noisy(spark):
     # a different seed redraws the noise
     c = {
         r.g: r.noisy_count
-        for r in dp_noisy_counts(df, ["g"], seed=7).collect()
+        for r in dp_noisy_counts(
+            df, ["g"], seed=7, deterministic_noise=True
+        ).collect()
     }
     assert c != a
 
