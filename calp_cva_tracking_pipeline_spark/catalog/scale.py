@@ -12001,6 +12001,181 @@ SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n_cells,
 FROM binned GROUP BY 1, 2 ORDER BY event_type, bin
 """
 
+EMB_CONTAM_MOD = 25
+# Demo threshold tuned to the synthetic embedding space (max train/eval
+# cosines sit around 0.3-0.5 there) so BOTH flag branches are exercised;
+# a real leakage screen runs at 0.9+.
+EMB_CONTAM_THRESHOLD = 0.42
+
+
+def dd_embed_contam(spark, sf_dir):
+    """Train/eval embedding contamination audit (operators.dedup.
+    embedding_decontam): eval slice = every 25th vec_id, train = the
+    rest; per eval vector the nearest training vector by 6-dp cosine
+    (ties to the lowest train id) and the over-threshold flag. The
+    bounded eval suite is broadcast and the training corpus is scanned
+    once — the argmax folds map-side as max(struct(cosine, -id)), so
+    the exchange carries |eval|·n_partitions rows, never
+    |train|·|eval|."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        embedding_decontam,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    return embedding_decontam(
+        e.filter(F.col("vec_id") % EMB_CONTAM_MOD != 0),
+        e.filter(F.col("vec_id") % EMB_CONTAM_MOD == 0),
+        "vec_id",
+        "embedding",
+        threshold=EMB_CONTAM_THRESHOLD,
+    )
+
+
+DD_EMBED_CONTAM_SQL = f"""
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ev AS (SELECT * FROM c WHERE vec_id % {EMB_CONTAM_MOD} = 0),
+tr AS (SELECT * FROM c WHERE vec_id % {EMB_CONTAM_MOD} <> 0),
+scored AS (
+  SELECT ev.vec_id AS eval_id, tr.vec_id AS train_id,
+         ROUND(list_dot_product(ev.v, tr.v) /
+               (sqrt(list_dot_product(ev.v, ev.v))
+                * sqrt(list_dot_product(tr.v, tr.v))), 6) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY ev.vec_id ORDER BY
+           ROUND(list_dot_product(ev.v, tr.v) /
+                 (sqrt(list_dot_product(ev.v, ev.v))
+                  * sqrt(list_dot_product(tr.v, tr.v))), 6) DESC,
+           tr.vec_id) AS rn
+  FROM ev CROSS JOIN tr)
+SELECT eval_id, train_id, cosine,
+       cosine >= {EMB_CONTAM_THRESHOLD} AS contaminated
+FROM scored WHERE rn = 1 ORDER BY eval_id
+"""
+
+
+def gr_local_clustering(spark, sf_dir):
+    """Local-clustering-coefficient census (operators.graph.
+    local_clustering_census) of the same part co-occurrence graph as
+    gr_triangles — the node-level texture behind its one global
+    coefficient, banded into 0.1-wide histogram cells with exact
+    floor-mean cc_ppm per band. Same degree-oriented O(√E)-bounded
+    wedge join; the closing join is inner so triangles surface once
+    and explode to exactly 3 node rows."""
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        local_clustering_census,
+    )
+
+    lp = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return local_clustering_census(edges)
+
+
+def _gr_local_clustering_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        local_clustering_sql,
+    )
+
+    edges = (
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a "
+        "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+    )
+    return local_clustering_sql(edges)
+
+
+GR_LOCAL_CC_SQL = _gr_local_clustering_sql()
+
+
+def tx_readability(spark, sf_dir):
+    """Per-source Flesch-style readability profile (operators.textops.
+    readability_profile): exact integer-milli words-per-sentence,
+    syllables-per-word (vowel-group heuristic) and reading-ease score
+    over group TOTALS — scan-speed JVM regex counts, one source-keyed
+    aggregation."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        readability_profile,
+    )
+
+    return readability_profile(T(spark, sf_dir, "documents"))
+
+
+TX_READABILITY_SQL = """
+WITH per AS (
+  SELECT source AS grp,
+         len(regexp_extract_all(text, '[A-Za-z0-9'']+')) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+  FROM documents WHERE text IS NOT NULL),
+agg AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS n_words,
+         CAST(SUM(s) AS BIGINT) AS n_sentences,
+         CAST(SUM(y) AS BIGINT) AS n_syllables
+  FROM per WHERE w > 0 GROUP BY 1),
+milli AS (
+  SELECT grp, n_docs, n_words, n_sentences, n_syllables,
+         CAST(1000 * n_words // n_sentences AS BIGINT) AS wps_milli,
+         CAST(1000 * n_syllables // n_words AS BIGINT) AS spw_milli
+  FROM agg)
+SELECT grp AS source, n_docs, n_words, n_sentences, n_syllables,
+       wps_milli, spw_milli,
+       CAST(206835 - (1015 * wps_milli) // 1000
+                   - (84600 * spw_milli) // 1000 AS BIGINT) AS flesch_milli
+FROM milli ORDER BY source NULLS FIRST
+"""
+
+
+def ev_stickiness(spark, sf_dir):
+    """Per-feature monthly DAU/MAU stickiness (operators.funnel.
+    stickiness, segmented by event_type) over the event stream —
+    exact-ppm engagement density off ONE distinct (segment, month, day,
+    user) pass; the which-surface-is-habit-forming comparison."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        stickiness,
+    )
+
+    return stickiness(
+        T(spark, sf_dir, "events"), segment_col="event_type"
+    )
+
+
+EV_STICKINESS_SQL = """
+WITH e AS (
+  SELECT DISTINCT event_type,
+         CAST(date_trunc('month', ts) AS DATE) AS month,
+         CAST(ts AS DATE) AS day, user_id AS u
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+daily AS (
+  SELECT event_type, month, day, CAST(COUNT(*) AS BIGINT) AS dau
+  FROM e GROUP BY 1, 2, 3),
+per AS (
+  SELECT event_type, month, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(dau) AS BIGINT) AS dau_sum
+  FROM daily GROUP BY 1, 2),
+mau AS (
+  SELECT event_type, month, CAST(COUNT(DISTINCT u) AS BIGINT) AS mau
+  FROM e GROUP BY 1, 2)
+SELECT per.event_type AS event_type, per.month AS month,
+       n_days, dau_sum, mau,
+       CAST(1000000 * dau_sum // (n_days * mau) AS BIGINT)
+           AS stickiness_ppm
+FROM per JOIN mau ON (per.event_type IS NOT DISTINCT FROM mau.event_type
+                      AND per.month = mau.month)
+ORDER BY per.event_type NULLS FIRST, per.month
+"""
+
 
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
@@ -12247,4 +12422,9 @@ SCALE_QUERIES = {
     "emb_sign_hamming": (emb_sign_hamming, EMB_SIGN_SQL),
     "pf_null_drift": (pf_null_drift, PF_NULL_DRIFT_SQL),
     "lx_compaction_plan": (lx_compaction_plan, LX_COMPACTION_SQL),
+    # forty-seventh wave (round 12)
+    "dd_embed_contam": (dd_embed_contam, DD_EMBED_CONTAM_SQL),
+    "gr_local_clustering": (gr_local_clustering, GR_LOCAL_CC_SQL),
+    "tx_readability": (tx_readability, TX_READABILITY_SQL),
+    "ev_stickiness": (ev_stickiness, EV_STICKINESS_SQL),
 }

@@ -1720,3 +1720,61 @@ def lsh_recall_eval(
             ).alias("precision_ppm"),
         )
     )
+
+
+def embedding_decontam(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Train/eval contamination audit in EMBEDDING space: for every eval
+    vector, the single most-similar training vector and whether it
+    crosses ``threshold`` cosine — the semantic sibling of the n-gram
+    ``decontaminate`` pass (paraphrased leakage survives token-level
+    screens; cosine against the training corpus catches it). Reports the
+    evidence (nearest id + cosine), not just a verdict, so flagged rows
+    are auditable.
+
+    Scale design: the eval suite is bounded by contract (benchmarks are
+    thousands of rows, the corpus is billions), so the eval side is
+    BROADCAST and the training corpus is scanned exactly once, never
+    shuffled. The per-eval argmax folds as a partial ``max(struct(
+    cosine, -train_id))`` aggregate — map-side combine reduces each
+    partition to |eval| rows, so the exchange carries |eval| ×
+    n_partitions rows, not |train| × |eval|. Ties break to the LOWEST
+    train id (the struct max sees the negated id). Cosines are rounded
+    to 6 dp before comparison so the DuckDB oracle reproduces the argmax
+    exactly.
+    """
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+    )
+
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("__evec")
+    )
+    tr = train.select(
+        F.col(id_col).alias("__tid"), F.col(vec_col).alias("__tvec")
+    )
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        "eval_id",
+        F.struct(
+            F.round(
+                cosine_similarity(F.col("__evec"), F.col("__tvec")), 6
+            ).alias("cosine"),
+            (-F.col("__tid")).alias("neg_id"),
+        ).alias("__best"),
+    )
+    return (
+        scored.groupBy("eval_id")
+        .agg(F.max("__best").alias("b"))
+        .select(
+            "eval_id",
+            (-F.col("b.neg_id")).alias("train_id"),
+            F.col("b.cosine").alias("cosine"),
+            (F.col("b.cosine") >= F.lit(threshold)).alias("contaminated"),
+        )
+        .orderBy("eval_id")
+    )

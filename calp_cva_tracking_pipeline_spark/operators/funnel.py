@@ -1030,3 +1030,72 @@ def audience_overlap(
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def stickiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    segment_col: str | None = None,
+) -> DataFrame:
+    """Monthly DAU/MAU stickiness — the engagement-density readout
+    retention curves miss (a product can retain users who each show up
+    once a month; stickiness says how much of the monthly audience is
+    active on a typical day). Exact integers end-to-end:
+    stickiness_ppm = 1000000 · Σ(daily distinct users) // (n_days ·
+    monthly distinct users), with n_days = days actually observed (not
+    calendar length — a half-instrumented month is not a quiet month).
+    NULL user/ts rows are dropped by contract. With ``segment_col`` the
+    readout is per (segment, month) — per-feature stickiness, the
+    which-surface-is-habit-forming comparison (NULL segments form their
+    own category: unattributed traffic is a finding).
+
+    Scale shape: ONE distinct pass over (segment, month, day, user) —
+    the same exchange then feeds the daily counts and (keyed one level
+    up) the monthly distincts; no per-event window, no second scan of
+    the raw stream.
+    """
+    seg = [segment_col] if segment_col else []
+    e = (
+        events.filter(
+            F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+        )
+        .select(
+            *seg,
+            F.date_trunc("month", F.col(ts_col))
+            .cast("date")
+            .alias("month"),
+            F.col(ts_col).cast("date").alias("day"),
+            F.col(user_col).alias("u"),
+        )
+        .distinct()
+    )
+    daily = e.groupBy(*seg, "month", "day").agg(
+        F.count("*").alias("dau")
+    )
+    per = daily.groupBy(*seg, "month").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("dau_sum"),
+    )
+    mau = e.groupBy(*seg, "month").agg(
+        F.countDistinct("u").cast("bigint").alias("mau")
+    )
+    p, m = per.alias("__p"), mau.alias("__m")
+    cond = F.lit(True)
+    for c in seg + ["month"]:
+        # null-safe: a NULL segment is a real category, not a dropped key
+        cond = cond & F.col(f"__p.{c}").eqNullSafe(F.col(f"__m.{c}"))
+    return (
+        p.join(m, cond)
+        .select(
+            *[F.col(f"__p.{c}") for c in seg],
+            F.col("__p.month").alias("month"),
+            "n_days",
+            "dau_sum",
+            "mau",
+            F.expr(
+                "CAST(1000000 * dau_sum div (n_days * mau) AS BIGINT)"
+            ).alias("stickiness_ppm"),
+        )
+        .orderBy(*seg, "month")
+    )

@@ -1201,3 +1201,153 @@ def degree_stats(edges: DataFrame) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def local_clustering_census(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Local-clustering-coefficient census of the undirected simple
+    graph: per node with degree ≥ 2, cc = 2·tri(n) / (deg·(deg−1)),
+    published as a 0.1-wide band histogram (band = cc_ppm // 100000,
+    0..10) with exact floor-mean cc per band — the node-level texture
+    behind ``triangle_stats``' one global number (a clustered-core +
+    random-periphery graph and a uniform one can share a global
+    coefficient; the census tells them apart). Degree-1 and isolated
+    nodes are excluded by contract (C(deg,2)=0 makes cc undefined).
+
+    Scale shape: the SAME degree-oriented wedge join as
+    ``triangle_stats`` (out-degree bounded by O(√E) [Chiba–Nishizeki]),
+    but the closing join is INNER so each triangle surfaces once as
+    (a,b,c); per-node counts are an explode + one node-keyed aggregate
+    (3 rows per triangle — output-proportional, never quadratic).
+    cc_ppm = 1000000·2·tri // (deg·(deg−1)) in exact int64 (deg is
+    bounded by the node count, so 2·10⁶·C(deg,2) fits comfortably), and
+    band means are floor divisions — bit-identical in the DuckDB twin
+    (``local_clustering_sql``).
+    """
+    u, v = "__u", "__v"
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias(u),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias(v),
+        )
+        .filter(F.col(u) != F.col(v))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col(u).alias("n"))
+        .union(e.select(F.col(v).alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    o = (
+        e.join(deg.withColumnRenamed("n", u).withColumnRenamed("d", "du"), u)
+        .join(deg.withColumnRenamed("n", v).withColumnRenamed("d", "dv"), v)
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col(u) < F.col(v))),
+                F.struct(
+                    F.col(u).alias("s"), F.col(v).alias("t"),
+                    F.col("dv").alias("dt"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col(v).alias("s"), F.col(u).alias("t"),
+                    F.col("du").alias("dt"),
+                )
+            )
+            .alias("edge")
+        )
+        .select("edge.s", "edge.t", "edge.dt")
+    )
+    o1 = o.select(
+        F.col("s").alias("a"), F.col("t").alias("b"),
+        F.col("dt").alias("db"),
+    )
+    o2 = o.select(
+        F.col("s").alias("a"), F.col("t").alias("c"),
+        F.col("dt").alias("dc"),
+    )
+    # Same shuffle-hash discipline as triangle_stats: the edge list is
+    # graph-sized, never a broadcast candidate.
+    wedges = o1.join(o2.hint("shuffle_hash"), "a").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = wedges.join(closing.hint("shuffle_hash"), ["b", "c"]).select(
+        "a", "b", "c"
+    )
+    tri_per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").alias("t"))
+    )
+    per_node = (
+        deg.filter(F.col("d") >= 2)
+        .join(tri_per_node, "n", "left")
+        .select(
+            "n",
+            F.expr(
+                "CAST(1000000 * 2 * coalesce(t, 0) "
+                "div (d * (d - 1)) AS BIGINT)"
+            ).alias("cc_ppm"),
+        )
+    )
+    return (
+        per_node.groupBy(
+            F.expr("CAST(cc_ppm div 100000 AS INT)").alias("band")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.expr(
+                "CAST(sum(cc_ppm) div count(*) AS BIGINT)"
+            ).alias("mean_cc_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
+def local_clustering_sql(edges_cte: str) -> str:
+    """DuckDB oracle twin of ``local_clustering_census`` (same degree
+    orientation, same inner wedge-close join, same floor arithmetic)."""
+    return f"""
+WITH raw AS ({edges_cte}),
+e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst),
+deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT u AS n FROM e UNION ALL SELECT v FROM e) x GROUP BY 1),
+o AS (
+  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS t,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN dv.d ELSE du.d END AS dt
+  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+tri AS (
+  SELECT o1.a, o1.b, oc.t AS c FROM
+    (SELECT s AS a, t AS b, dt AS db FROM o) o1
+    JOIN (SELECT s AS a, t AS c, dt AS dc FROM o) o2 ON o1.a = o2.a
+    JOIN o oc ON oc.s = o1.b AND oc.t = o2.c
+  WHERE (o1.db < o2.dc) OR (o1.db = o2.dc AND o1.b < o2.c)),
+tpn AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS t FROM (
+    SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) x GROUP BY 1),
+per_node AS (
+  SELECT deg.n,
+         CAST(1000000 * 2 * COALESCE(tpn.t, 0)
+              // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_ppm
+  FROM deg LEFT JOIN tpn ON tpn.n = deg.n WHERE deg.d >= 2)
+SELECT CAST(cc_ppm // 100000 AS INT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(cc_ppm) // COUNT(*) AS BIGINT) AS mean_cc_ppm
+FROM per_node GROUP BY 1 ORDER BY band
+"""

@@ -1399,3 +1399,68 @@ def format_markers(
         )
         .orderBy("grp")
     )
+
+
+def readability_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group readability profile — Flesch-style reading-ease signal
+    for corpus routing (children's-book prose and legal boilerplate both
+    pass length filters; reading-ease separates them). Counts are the
+    classic public heuristics: words = ``[A-Za-z0-9']+`` runs, sentences
+    = ``[.!?]+`` runs floored at 1 per doc, syllables ≈ vowel-group runs
+    (``[aeiouy]+`` over the lowercased text) — all scan-speed JVM regex,
+    no tokenizer state. Published in exact integer millis so the DuckDB
+    twin agrees bit-for-bit: wps_milli = 1000·words // sentences over
+    the GROUP totals (not a mean of per-doc ratios — totals are the
+    length-unbiased estimator), spw_milli likewise, and flesch_milli =
+    206835 − 1015·wps_milli//1000 − 84600·spw_milli//1000 (the
+    Flesch 206.835/1.015/84.6 constants in millis). NULL/empty/wordless
+    docs are excluded by contract. One group-keyed aggregation is the
+    only exchange.
+    """
+    t = F.col(text_col)
+    per = (
+        docs.filter(t.isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.regexp_count(t, F.lit(r"[A-Za-z0-9']+")).alias("w"),
+            F.greatest(
+                F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
+            ).alias("s"),
+            F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")).alias("y"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    return (
+        per.groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("n_words"),
+            F.sum("s").cast("bigint").alias("n_sentences"),
+            F.sum("y").cast("bigint").alias("n_syllables"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.expr(
+                "CAST(1000 * n_words div n_sentences AS BIGINT)"
+            ).alias("wps_milli"),
+            F.expr(
+                "CAST(1000 * n_syllables div n_words AS BIGINT)"
+            ).alias("spw_milli"),
+        )
+        .withColumn(
+            "flesch_milli",
+            F.expr(
+                "CAST(206835 - (1015 * wps_milli) div 1000 "
+                "- (84600 * spw_milli) div 1000 AS BIGINT)"
+            ),
+        )
+        .orderBy(group_col)
+    )
