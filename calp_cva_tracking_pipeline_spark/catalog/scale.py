@@ -12177,6 +12177,204 @@ ORDER BY per.event_type NULLS FIRST, per.month
 """
 
 
+THEIL_WINDOW_DAYS = 30
+
+
+def ts_theil_sen(spark, sf_dir):
+    """Per-type Theil–Sen robust trend (operators.temporal.
+    theil_sen_trend) over the event value series — the median pairwise
+    slope a single spike cannot drag. Daily micro-int buckets bound
+    each key to ≤30 points; the C(30,2) slopes are generated inside a
+    collected array (no pair shuffle); slope published as FLOOR-nano
+    per day (IEEE-deterministic in both engines)."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        theil_sen_trend,
+    )
+
+    return theil_sen_trend(
+        T(spark, sf_dir, "events"), "event_type", "ts", "value",
+        window_days=THEIL_WINDOW_DAYS,
+    )
+
+
+TS_THEIL_SQL = f"""
+WITH daily AS (
+  SELECT event_type AS k, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT))
+              // COUNT(*) AS BIGINT) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+recent AS (
+  SELECT k, day, v,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY day DESC) AS rn
+  FROM daily),
+pts AS (
+  SELECT k,
+         list(struct_pack(
+           d := datediff('day', DATE '1970-01-01', day),
+           v := v) ORDER BY day) AS p,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM recent WHERE rn <= {THEIL_WINDOW_DAYS} GROUP BY 1),
+sl AS (
+  SELECT k, n,
+         list_sort(flatten(list_transform(range(1, n::INT), i ->
+           list_transform(range(i + 1, n::INT + 1), j ->
+             (p[j].v - p[i].v)
+             / (1000000.0 * (p[j].d - p[i].d)))))) AS slopes
+  FROM pts WHERE n >= 2)
+SELECT k AS event_type, n AS n_days,
+       CAST(len(slopes) AS BIGINT) AS n_slopes,
+       CAST(FLOOR(slopes[CAST((len(slopes) + 1) // 2 AS INT)]
+                  * 1000000000.0) AS BIGINT) AS slope_nano_per_day
+FROM sl ORDER BY event_type
+"""
+
+CANDIDATE_KEY_COMBOS = [
+    ["event_id"],
+    ["user_id"],
+    ["user_id", "ts"],
+    ["event_type", "user_id", "ts"],
+]
+
+
+def pf_candidate_keys(spark, sf_dir):
+    """Candidate-key uniqueness audit (operators.profiling.
+    candidate_keys) over four declared event-stream combos — exact
+    duplicate-tuple census deciding which columns can anchor joins and
+    CDC merges; each combo reduces map-side to one summary row."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        candidate_keys,
+    )
+
+    return candidate_keys(
+        T(spark, sf_dir, "events"), CANDIDATE_KEY_COMBOS
+    )
+
+
+def _pf_candidate_keys_sql() -> str:
+    parts = []
+    for cols in CANDIDATE_KEY_COMBOS:
+        name = "+".join(cols)
+        keys = ", ".join(cols)
+        parts.append(f"""
+SELECT '{name}' AS combo, n_rows, n_groups,
+       n_rows - n_groups AS dup_rows,
+       CAST(1000000 * n_groups // n_rows AS BIGINT) AS uniqueness_ppm,
+       n_rows = n_groups AS is_key
+FROM (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_groups
+      FROM (SELECT COUNT(*) AS c FROM events GROUP BY {keys}))""")
+    return " UNION ALL ".join(parts) + " ORDER BY combo"
+
+
+PF_CANDIDATE_KEYS_SQL = _pf_candidate_keys_sql()
+
+
+def mx_contrastive_pairs(spark, sf_dir):
+    """Deterministic contrastive triplet sampling (operators.sampling.
+    contrastive_triplets) over the labeled embedding corpus — one
+    (anchor, positive, negative) row per labeled vector, no RNG: label
+    members pair cyclically in id order, negatives come from the
+    cyclic next label at the anchor's position mod that label's size.
+    Two label-keyed windows + one (label, position) equi-join."""
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        contrastive_triplets,
+    )
+
+    return contrastive_triplets(
+        T(spark, sf_dir, "embeddings"), "vec_id", "label"
+    )
+
+
+MX_CONTRASTIVE_SQL = """
+WITH base AS (
+  SELECT vec_id AS anchor_id, label FROM embeddings
+  WHERE label IS NOT NULL),
+m AS (
+  SELECT anchor_id, label,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY anchor_id) - 1
+             AS pos,
+         COALESCE(
+           LEAD(anchor_id) OVER (PARTITION BY label ORDER BY anchor_id),
+           FIRST_VALUE(anchor_id)
+             OVER (PARTITION BY label ORDER BY anchor_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)) AS positive_id,
+         COUNT(*) OVER (PARTITION BY label) AS sz
+  FROM base),
+nxt AS (
+  SELECT label,
+         COALESCE(
+           LEAD(label) OVER (ORDER BY label),
+           FIRST_VALUE(label) OVER (ORDER BY label
+             ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)) AS neg_label
+  FROM (SELECT DISTINCT label FROM base))
+SELECT a.anchor_id, a.positive_id, mem.anchor_id AS negative_id,
+       a.label, nxt.neg_label AS negative_label
+FROM m a
+JOIN nxt ON nxt.label = a.label AND nxt.neg_label <> a.label
+JOIN m mem ON mem.label = nxt.neg_label
+          AND mem.pos = a.pos % mem.sz
+WHERE a.sz >= 2
+ORDER BY a.anchor_id
+"""
+
+
+def lx_clustering_depth(spark, sf_dir):
+    """Layout clustering audit (operators.layout.clustering_depth) of
+    the time-ordered event layout for TWO candidate pruning keys in
+    one readout: per (event_type, day) micro-partition cells, range
+    overlap depth of event_id (write-ordered → expect depth 1: min/max
+    pruning works) vs user_id (random → expect depth ≈ n_cells:
+    pruning is useless, a Z-order job would pay for itself). Cell
+    metadata only — the self-join is metadata×metadata."""
+    from calp_cva_tracking_pipeline_spark.operators.layout import (
+        clustering_depth,
+    )
+
+    e = T(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    out = None
+    for key in ("event_id", "user_id"):
+        cells = e.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        )
+        d = clustering_depth(
+            cells, "event_type", "lo", "hi"
+        ).select(F.lit(key).alias("key_col"), "*")
+        out = d if out is None else out.unionByName(d)
+    return out.orderBy("key_col", "event_type")
+
+
+LX_CLUSTER_DEPTH_SQL = """
+WITH cells AS (
+  SELECT 'event_id' AS key_col, event_type, CAST(ts AS DATE) AS day,
+         MIN(event_id) AS lo, MAX(event_id) AS hi
+  FROM events WHERE ts IS NOT NULL GROUP BY 2, 3
+  UNION ALL
+  SELECT 'user_id', event_type, CAST(ts AS DATE),
+         MIN(user_id), MAX(user_id)
+  FROM events WHERE ts IS NOT NULL GROUP BY 2, 3),
+rng AS (
+  SELECT key_col, event_type, lo, hi, CAST(COUNT(*) AS BIGINT) AS m
+  FROM cells WHERE lo IS NOT NULL AND hi IS NOT NULL
+  GROUP BY 1, 2, 3, 4),
+dep AS (
+  SELECT a.key_col, a.event_type, a.lo, a.hi, a.m,
+         CAST(SUM(b.m) AS BIGINT) AS d
+  FROM rng a JOIN rng b
+    ON a.key_col = b.key_col AND a.event_type = b.event_type
+   AND a.lo <= b.hi AND b.lo <= a.hi
+  GROUP BY 1, 2, 3, 4, 5)
+SELECT key_col, event_type, CAST(SUM(m) AS BIGINT) AS n_cells,
+       CAST(1000 * SUM(m * d) // SUM(m) AS BIGINT) AS avg_depth_milli,
+       CAST(MAX(d) AS BIGINT) AS max_depth
+FROM dep GROUP BY 1, 2 ORDER BY key_col, event_type
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -12427,4 +12625,9 @@ SCALE_QUERIES = {
     "gr_local_clustering": (gr_local_clustering, GR_LOCAL_CC_SQL),
     "tx_readability": (tx_readability, TX_READABILITY_SQL),
     "ev_stickiness": (ev_stickiness, EV_STICKINESS_SQL),
+    # forty-eighth wave (round 12)
+    "ts_theil_sen": (ts_theil_sen, TS_THEIL_SQL),
+    "pf_candidate_keys": (pf_candidate_keys, PF_CANDIDATE_KEYS_SQL),
+    "mx_contrastive_pairs": (mx_contrastive_pairs, MX_CONTRASTIVE_SQL),
+    "lx_clustering_depth": (lx_clustering_depth, LX_CLUSTER_DEPTH_SQL),
 }

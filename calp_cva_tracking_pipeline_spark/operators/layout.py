@@ -259,3 +259,70 @@ def compaction_plan(
         )
         .orderBy(*part_cols, "bin")
     )
+
+
+def clustering_depth(
+    cells: DataFrame,
+    group_col: str,
+    min_col: str,
+    max_col: str,
+) -> DataFrame:
+    """Layout clustering audit over micro-partition METADATA: given one
+    row per storage cell (file / row-group) with its ``[min, max]``
+    range for a candidate pruning key, report per group how badly the
+    cells' ranges overlap — n_cells, avg_depth_milli and max_depth,
+    where a cell's depth = how many cells in its group (itself
+    included) its range overlaps. Depth 1 everywhere = perfectly
+    clustered (every point predicate prunes to one cell); depth ≈
+    n_cells = the key is unclustered and min/max pruning is useless —
+    the measurement that justifies (or retires) a Z-order/compaction
+    job before anyone pays for it.
+
+    Scale shape: the input is CELL metadata (one row per file — ~10⁵
+    rows for 100 TB), not data, so the within-group range self-join is
+    metadata×metadata work bounded by the largest group's cell count;
+    nothing row-scale is ever scanned or shuffled. Cells with NULL
+    bounds (all-NULL key in the cell) are excluded by contract.
+    """
+    # identical ranges carry multiplicity (two files CAN share exact
+    # bounds) — pre-collapse so the self-join stays distinct-range
+    # sized and each physical cell still counts
+    c = (
+        cells.filter(
+            F.col(min_col).isNotNull() & F.col(max_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("__g"),
+            F.col(min_col).alias("__lo"),
+            F.col(max_col).alias("__hi"),
+        )
+        .groupBy("__g", "__lo", "__hi")
+        .agg(F.count("*").alias("__m"))
+    )
+    a, b = c.alias("a"), c.alias("b")
+    depth = (
+        a.join(
+            b,
+            (F.col("a.__g") == F.col("b.__g"))
+            & (F.col("a.__lo") <= F.col("b.__hi"))
+            & (F.col("b.__lo") <= F.col("a.__hi")),
+        )
+        .groupBy(
+            F.col("a.__g").alias("__g"),
+            F.col("a.__lo").alias("__lo"),
+            F.col("a.__hi").alias("__hi"),
+            F.col("a.__m").alias("__m"),
+        )
+        .agg(F.sum(F.col("b.__m")).alias("__d"))
+    )
+    return (
+        depth.groupBy(F.col("__g").alias(group_col))
+        .agg(
+            F.sum("__m").cast("bigint").alias("n_cells"),
+            F.expr(
+                "CAST(1000 * sum(__m * __d) div sum(__m) AS BIGINT)"
+            ).alias("avg_depth_milli"),
+            F.max("__d").cast("bigint").alias("max_depth"),
+        )
+        .orderBy(group_col)
+    )

@@ -2752,3 +2752,48 @@ def null_rate_drift(
                 "delta_ppm")
         .orderBy(F.asc_nulls_first("week"), "col_name")
     )
+
+
+def candidate_keys(
+    df: DataFrame, combos: list[list[str]]
+) -> DataFrame:
+    """Candidate-key / uniqueness audit over declared column combos:
+    per combo the exact duplicate-tuple census (n_rows, n_groups,
+    dup_rows, uniqueness_ppm, is_key) — the schema-governance readout
+    that decides which columns can anchor joins, dedup keys and CDC
+    merge conditions (a "key" that is 99.8% unique silently fans out
+    every downstream join). NULL tuples group together (SQL GROUP BY
+    semantics — a nullable column can still be audited, and the NULL
+    group's mass shows up as duplication).
+
+    Scale shape: one group-by-combo exchange per audited combo, each
+    reduced map-side to its group counts and then to a SINGLE summary
+    row before the union — k combos = k scans + k keyed exchanges of
+    group-cardinality (not row) volume, no row ever leaves its
+    aggregation. Combos are a declared, plan-time-bounded list.
+    """
+    outs = []
+    for cols in combos:
+        name = "+".join(cols)
+        g = df.groupBy(*cols).agg(F.count("*").alias("__c"))
+        outs.append(
+            g.agg(
+                F.sum("__c").cast("bigint").alias("n_rows"),
+                F.count("*").cast("bigint").alias("n_groups"),
+            ).select(
+                F.lit(name).alias("combo"),
+                "n_rows",
+                "n_groups",
+                (F.col("n_rows") - F.col("n_groups"))
+                .cast("bigint")
+                .alias("dup_rows"),
+                F.expr(
+                    "CAST(1000000 * n_groups div n_rows AS BIGINT)"
+                ).alias("uniqueness_ppm"),
+                (F.col("n_rows") == F.col("n_groups")).alias("is_key"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("combo")

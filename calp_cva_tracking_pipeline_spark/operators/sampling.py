@@ -1058,3 +1058,87 @@ def split_balance_audit(
         )
         .orderBy("split", "label")
     )
+
+
+def contrastive_triplets(
+    df: DataFrame, id_col: str, label_col: str
+) -> DataFrame:
+    """Deterministic (anchor, positive, negative) triplet sampling from
+    a labeled corpus — the data plane of metric/contrastive training
+    (triplet loss, SimCSE-style supervised pairs): every labeled row
+    anchors one triplet whose positive shares its label and whose
+    negative provably does not. Fully deterministic (no RNG): the
+    positive is the label's NEXT member in id order (cyclic, so every
+    member of a ≥2 label participates); the negative label is the next
+    label in label order (cyclic), and the negative is that label's
+    member at the anchor's ordinal position modulo the label's size —
+    a fixed bijective-ish assignment both engines reproduce exactly.
+    Single-member labels emit no triplet (no in-label positive exists);
+    single-label corpora emit nothing (no negative label exists);
+    NULL labels are excluded by contract.
+
+    Scale shape: two label-keyed window passes (position + cyclic
+    lead), a broadcast label index (distinct labels are schema-scale),
+    and ONE (label, position)-keyed equi-join for the negatives — no
+    similarity computation, no pair explosion: exactly one output row
+    per anchor.
+    """
+    base = df.filter(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("label"),
+    )
+    w = Window.partitionBy("label").orderBy("anchor_id")
+    wall = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    m = base.select(
+        "anchor_id",
+        "label",
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.coalesce(
+            F.lead("anchor_id", 1).over(w),
+            F.first("anchor_id").over(wall),
+        ).alias("positive_id"),
+        F.count("*").over(wall).alias("sz"),
+    )
+    lw = Window.orderBy("label")
+    lwall = lw.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # cyclic next-label map; the filter empties it on single-label
+    # corpora (labels are distinct, so self-pairs only arise there)
+    nxt = (
+        base.select("label")
+        .distinct()
+        .select(
+            "label",
+            F.coalesce(
+                F.lead("label", 1).over(lw),
+                F.first("label").over(lwall),
+            ).alias("neg_label"),
+        )
+        .filter(F.col("neg_label") != F.col("label"))
+    )
+    anchors = m.filter(F.col("sz") >= 2).join(F.broadcast(nxt), "label")
+    members = m.select(
+        F.col("label").alias("neg_label"),
+        F.col("pos").alias("neg_pos"),
+        F.col("sz").alias("neg_sz"),
+        F.col("anchor_id").alias("negative_id"),
+    )
+    return (
+        anchors.join(
+            members,
+            (anchors["neg_label"] == members["neg_label"])
+            & (members["neg_pos"]
+               == anchors["pos"] % members["neg_sz"]),
+        )
+        .select(
+            "anchor_id",
+            "positive_id",
+            "negative_id",
+            "label",
+            members["neg_label"].alias("negative_label"),
+        )
+        .orderBy("anchor_id")
+    )

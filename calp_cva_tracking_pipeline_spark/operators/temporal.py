@@ -1949,3 +1949,80 @@ def changepoint_scan(
         )
         .orderBy(key_col)
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_days: int = 30,
+) -> DataFrame:
+    """Per-key Theil–Sen robust trend over the last ``window_days``
+    daily buckets: the median of all pairwise (Δvalue/Δday) slopes —
+    the trend estimator a single spike cannot drag (OLS breakdown
+    point 0, Theil–Sen 29%; the right default for alerting on noisy
+    operational series). Published as slope_nano_per_day =
+    FLOOR(median · 10⁹) — IEEE double division/multiply is
+    bit-deterministic across engines and FLOOR never sits on a
+    rounding boundary the way ROUND-half does, so the DuckDB twin
+    reproduces it exactly.
+
+    Scale shape: per-row values pin to micro ints, ONE (key, day)
+    aggregation bounds each key's series to ≤ window_days points, the
+    rank cut keeps the trailing window, and the C(W,2) ≤ 435 pairwise
+    slopes are generated INSIDE a collected array (plan-time-bounded,
+    no pair shuffle, no self-join). Keys with a single daily bucket
+    are excluded by contract; NULL ts/value rows drop.
+    """
+    daily = (
+        df.filter(
+            F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("__k"),
+            F.col(ts_col).cast("date").alias("__day"),
+            F.expr(
+                f"CAST(ROUND({value_col} * 1000000, 0) AS BIGINT)"
+            ).alias("__vm"),
+        )
+        .groupBy("__k", "__day")
+        .agg(
+            F.expr("CAST(sum(__vm) div count(*) AS BIGINT)").alias("__v")
+        )
+    )
+    w = Window.partitionBy("__k").orderBy(F.col("__day").desc())
+    recent = daily.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= window_days
+    )
+    pts = recent.groupBy("__k").agg(
+        F.expr(
+            "array_sort(collect_list(struct("
+            "datediff(__day, DATE'1970-01-01') AS d, __v AS v)))"
+        ).alias("__pts")
+    )
+    return (
+        pts.withColumn("__n", F.size("__pts"))
+        .filter(F.col("__n") >= 2)
+        .withColumn(
+            "__slopes",
+            F.expr(
+                "array_sort(flatten(transform(sequence(1, __n - 1), i ->"
+                " transform(sequence(i + 1, __n), j ->"
+                " (element_at(__pts, j).v - element_at(__pts, i).v)"
+                " / (1000000.0 * (element_at(__pts, j).d"
+                "                 - element_at(__pts, i).d))))))"
+            ),
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__n").cast("bigint").alias("n_days"),
+            F.expr("CAST(size(__slopes) AS BIGINT)").alias("n_slopes"),
+            F.expr(
+                "CAST(FLOOR(element_at(__slopes,"
+                " CAST((size(__slopes) + 1) div 2 AS INT))"
+                " * 1000000000.0) AS BIGINT)"
+            ).alias("slope_nano_per_day"),
+        )
+        .orderBy(key_col)
+    )
