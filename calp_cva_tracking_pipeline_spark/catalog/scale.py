@@ -12375,6 +12375,161 @@ FROM dep GROUP BY 1, 2 ORDER BY key_col, event_type
 """
 
 
+GAP_BUCKET = 1000
+GAP_MIN_MISSING = 5
+
+
+def pf_id_gaps(spark, sf_dir):
+    """Id-sequence gap audit (operators.profiling.sequence_gap_audit)
+    over the click sub-stream — maximal missing-id runs ≥5 between
+    consecutive observed event_ids, the dropped-batch detector. Two-
+    level bucketed shape: per-bucket windows + a metadata-scale bucket
+    summary, never a global sort."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        sequence_gap_audit,
+    )
+
+    return sequence_gap_audit(
+        T(spark, sf_dir, "events").filter(
+            F.col("event_type") == "click"
+        ),
+        "event_id",
+        bucket_size=GAP_BUCKET,
+        min_missing=GAP_MIN_MISSING,
+    )
+
+
+PF_ID_GAPS_SQL = f"""
+WITH ids AS (
+  SELECT DISTINCT event_id AS id FROM events
+  WHERE event_type = 'click' AND event_id IS NOT NULL),
+gaps AS (
+  SELECT LAG(id) OVER (ORDER BY id) + 1 AS gap_start,
+         id - 1 AS gap_end
+  FROM ids)
+SELECT CAST(gap_start AS BIGINT) AS gap_start,
+       CAST(gap_end AS BIGINT) AS gap_end,
+       CAST(gap_end - gap_start + 1 AS BIGINT) AS n_missing
+FROM gaps
+WHERE gap_start IS NOT NULL
+  AND gap_end - gap_start + 1 >= {GAP_MIN_MISSING}
+ORDER BY gap_start
+"""
+
+
+def ev_growth_accounting(spark, sf_dir):
+    """Daily growth accounting (operators.funnel.growth_accounting) —
+    the new/retained/resurrected/churned active-user ledger; one
+    distinct (user, day) pass + one user-keyed window."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        growth_accounting,
+    )
+
+    return growth_accounting(T(spark, sf_dir, "events"))
+
+
+EV_GROWTH_SQL = """
+WITH e AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+flags AS (
+  SELECT u, day,
+         day = FIRST_VALUE(day) OVER (PARTITION BY u ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS isnew,
+         datediff('day', LAG(day) OVER (PARTITION BY u ORDER BY day),
+                  day) AS gap,
+         datediff('day', day,
+                  LEAD(day) OVER (PARTITION BY u ORDER BY day))
+             AS next_gap
+  FROM e),
+active AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active,
+         CAST(COALESCE(SUM(CASE WHEN isnew THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_new,
+         CAST(COALESCE(SUM(CASE WHEN gap = 1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_retained,
+         CAST(COALESCE(SUM(CASE WHEN NOT isnew AND gap > 1
+                            THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_resurrected
+  FROM flags GROUP BY 1),
+churn AS (
+  SELECT day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS n_churned
+  FROM flags WHERE next_gap IS NULL OR next_gap > 1 GROUP BY 1)
+SELECT COALESCE(active.day, churn.day) AS day,
+       COALESCE(n_active, 0) AS n_active,
+       COALESCE(n_new, 0) AS n_new,
+       COALESCE(n_retained, 0) AS n_retained,
+       COALESCE(n_resurrected, 0) AS n_resurrected,
+       COALESCE(n_churned, 0) AS n_churned
+FROM active FULL OUTER JOIN churn ON active.day = churn.day
+ORDER BY 1
+"""
+
+
+def ev_activity_profile(spark, sf_dir):
+    """Hour-of-week activity heatmap (operators.funnel.
+    activity_profile) — load shape per (dow, hour) cell with exact-ppm
+    traffic share; portable (epoch_day+4) mod 7 day-of-week."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        activity_profile,
+    )
+
+    return activity_profile(T(spark, sf_dir, "events"))
+
+
+EV_ACTIVITY_SQL = """
+WITH e AS (
+  SELECT CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               + 4) % 7 AS INT) AS dow,
+         CAST(hour(ts) AS INT) AS hour, user_id AS u
+  FROM events WHERE ts IS NOT NULL),
+cells AS (
+  SELECT dow, hour, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
+  FROM e GROUP BY 1, 2),
+total AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t FROM cells)
+SELECT dow, hour, n_events, n_users,
+       CAST(1000000 * n_events // t AS BIGINT) AS share_ppm
+FROM cells CROSS JOIN total ORDER BY dow, hour
+"""
+
+
+def ev_ooo_audit(spark, sf_dir):
+    """Out-of-order ingestion audit (operators.temporal.
+    out_of_order_audit): per event type, timestamp regressions along
+    the event_id producer order — inversion ppm and worst regression
+    seconds, the watermark-sizing readout."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        out_of_order_audit,
+    )
+
+    return out_of_order_audit(
+        T(spark, sf_dir, "events"), "event_type", "event_id", "ts"
+    )
+
+
+EV_OOO_SQL = """
+WITH pairs AS (
+  SELECT event_type AS k,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+         LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY event_type ORDER BY event_id) AS pt
+  FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL),
+agg AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COALESCE(SUM(CASE WHEN t < pt THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_inversions,
+         CAST(COALESCE(MAX(CASE WHEN t < pt THEN pt - t ELSE 0 END), 0)
+              AS BIGINT) AS max_regression_s
+  FROM pairs WHERE pt IS NOT NULL GROUP BY 1)
+SELECT k AS event_type, n_pairs, n_inversions, max_regression_s,
+       CAST(1000000 * n_inversions // n_pairs AS BIGINT)
+           AS inversion_ppm
+FROM agg ORDER BY event_type
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -12630,4 +12785,9 @@ SCALE_QUERIES = {
     "pf_candidate_keys": (pf_candidate_keys, PF_CANDIDATE_KEYS_SQL),
     "mx_contrastive_pairs": (mx_contrastive_pairs, MX_CONTRASTIVE_SQL),
     "lx_clustering_depth": (lx_clustering_depth, LX_CLUSTER_DEPTH_SQL),
+    # forty-ninth wave (round 12)
+    "pf_id_gaps": (pf_id_gaps, PF_ID_GAPS_SQL),
+    "ev_growth_accounting": (ev_growth_accounting, EV_GROWTH_SQL),
+    "ev_activity_profile": (ev_activity_profile, EV_ACTIVITY_SQL),
+    "ev_ooo_audit": (ev_ooo_audit, EV_OOO_SQL),
 }

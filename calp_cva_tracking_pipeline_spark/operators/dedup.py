@@ -339,7 +339,6 @@ def embedding_near_dup_candidates(
     shuffles anyway).
     """
     from calp_cva_tracking_pipeline_spark.operators.similarity import (
-        cosine_similarity,
         plane_bucket,
         random_planes,
     )
@@ -350,10 +349,19 @@ def embedding_near_dup_candidates(
     )
     if pre_collapse_exact:
         base = base.groupBy("__vec").agg(F.min("__id").alias("__id"))
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        dot,
+        norm,
+    )
+
     tagged = base.select(
         "__id",
         "__vec",
         plane_bucket(F.col("__vec"), planes).alias("__bucket"),
+        # norms fold ONCE per node here, not once per pair below —
+        # interpreted higher-order folds are the pair cost; cosine =
+        # dot/(nl·nr) is the same IEEE expression bit-for-bit
+        norm(F.col("__vec")).alias("__nrm"),
     )
     # Deliberately a bucket self-join, unlike minhash_lsh_candidates'
     # collect+expand: here the recomputed upstream is just scan + n_planes
@@ -372,7 +380,9 @@ def embedding_near_dup_candidates(
         # rounded before the threshold test so the boundary decision is
         # identical across engines (libm dot products differ at 1 ulp)
         F.round(
-            cosine_similarity(F.col("l.__vec"), F.col("r.__vec")), 6
+            dot(F.col("l.__vec"), F.col("r.__vec"))
+            / (F.col("l.__nrm") * F.col("r.__nrm")),
+            6,
         ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
@@ -896,7 +906,6 @@ def semantic_dedup(
     """
     from calp_cva_tracking_pipeline_spark.operators.similarity import (
         assign_cells,
-        cosine_similarity,
         train_centroids,
     )
 
@@ -920,13 +929,20 @@ def semantic_dedup(
         # quantizer serves ANN search and this dedup — centroid init only
         # needs the n lowest ids, which are almost surely reps anyway.
         centroids = train_centroids(df, id_col, vec_col, n_centroids)
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        dot,
+        norm,
+    )
+
     assigned = assign_cells(base, centroids, "__id", "__vec").select(
         "__id", "__vec", "__cell"
     )
     # Within-cell bucket self-join with the vectors riding into an inline
     # cosine — measured faster than collect+expand for vector payloads
-    # (see embedding_near_dup_candidates' plan note).
-    l, r = assigned.alias("l"), assigned.alias("r")
+    # (see embedding_near_dup_candidates' plan note). Norms fold once
+    # per node (not per pair): cosine = dot/(nl·nr), bit-identical.
+    normed = assigned.withColumn("__nrm", norm(F.col("__vec")))
+    l, r = normed.alias("l"), normed.alias("r")
     dropped = (
         l.join(
             r,
@@ -935,7 +951,9 @@ def semantic_dedup(
         )
         .filter(
             F.round(
-                cosine_similarity(F.col("l.__vec"), F.col("r.__vec")), 6
+                dot(F.col("l.__vec"), F.col("r.__vec"))
+                / (F.col("l.__nrm") * F.col("r.__nrm")),
+                6,
             )
             >= threshold
         )

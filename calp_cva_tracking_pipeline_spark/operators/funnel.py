@@ -1099,3 +1099,128 @@ def stickiness(
         )
         .orderBy(*seg, "month")
     )
+
+
+def growth_accounting(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily growth accounting — the canonical new / retained /
+    resurrected / churned decomposition of an active-user count (an
+    "active users grew 3%" headline hides whether acquisition is
+    masking churn; this ledger does not). Per day: n_active, n_new
+    (first-ever day), n_retained (also active the previous calendar
+    day), n_resurrected (active, not new, gap > 1 day), and n_churned
+    = users whose LAST activity was the previous day (attributed to
+    the day they went silent; the trailing day's churn is unknowable
+    until more data arrives and is reported as of the observed
+    horizon). Identity n_active = n_new + n_retained + n_resurrected
+    holds exactly. NULL user/ts rows drop by contract.
+
+    Scale shape: ONE distinct (user, day) pass, one user-keyed window
+    for first-day/lag/lead, then a day-keyed count aggregation —
+    nothing wider than the distinct activity table ever shuffles.
+    """
+    e = (
+        events.filter(
+            F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("u"),
+            F.col(ts_col).cast("date").alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("u").orderBy("day")
+    wall = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    flags = e.select(
+        "u",
+        "day",
+        (F.col("day") == F.first("day").over(wall)).alias("__new"),
+        F.datediff(F.col("day"), F.lag("day", 1).over(w)).alias("__gap"),
+        F.datediff(F.lead("day", 1).over(w), F.col("day")).alias(
+            "__next_gap"
+        ),
+    )
+    active = flags.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("__new"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("__gap") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(~F.col("__new") & (F.col("__gap") > 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    # churn attributed to day d = users active on d-1 with no activity
+    # on d (next_gap > 1 or no later activity at all)
+    churn = (
+        flags.filter(
+            F.col("__next_gap").isNull() | (F.col("__next_gap") > 1)
+        )
+        .select(F.date_add("day", 1).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("n_churned"))
+    )
+    return (
+        active.join(churn, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_active", F.lit(0)).alias("n_active"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+        .orderBy("day")
+    )
+
+
+def activity_profile(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hour-of-week activity heatmap: per (day-of-week, hour) cell the
+    event count, distinct users and exact-ppm share of total traffic —
+    the load-shape readout behind capacity planning and anomaly
+    baselines. Day-of-week computes PORTABLY as (epoch_day + 4) mod 7
+    (1970-01-01 was a Thursday; 0 = Sunday) — never the engine's
+    dayofweek builtin, whose origin differs between engines. One cell
+    aggregation; the global total enters as a broadcast scalar.
+    """
+    e = events.filter(F.col(ts_col).isNotNull()).select(
+        F.expr(
+            f"CAST((datediff(CAST({ts_col} AS DATE), DATE'1970-01-01')"
+            " + 4) % 7 AS INT)"
+        ).alias("dow"),
+        F.hour(F.col(ts_col)).alias("hour"),
+        F.col(user_col).alias("u"),
+    )
+    cells = e.groupBy("dow", "hour").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("u").cast("bigint").alias("n_users"),
+    )
+    total = cells.agg(
+        F.sum("n_events").cast("bigint").alias("__total")
+    )
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            "n_users",
+            F.expr(
+                "CAST(1000000 * n_events div __total AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("dow", "hour")
+    )

@@ -2797,3 +2797,78 @@ def candidate_keys(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("combo")
+
+
+def sequence_gap_audit(
+    df: DataFrame,
+    id_col: str,
+    bucket_size: int = 100_000,
+    min_missing: int = 1,
+) -> DataFrame:
+    """Id-sequence gap audit: every maximal run of MISSING ids between
+    consecutive observed values of ``id_col`` (gap_start, gap_end,
+    n_missing ≥ ``min_missing``) — the ingestion-loss detector for
+    streams whose producer assigns dense sequence numbers (a silent
+    dropped batch shows up as one exact gap range, long before a row
+    count drifts). Duplicated ids collapse first; the audit reports
+    holes, not multiplicity.
+
+    Scale shape — the two-level trick that avoids a GLOBAL sort: ids
+    hash into ``bucket_size`` ranges (id div bucket_size), within-bucket
+    gaps come off per-bucket ordered windows (one keyed exchange), and
+    cross-bucket gaps come off the bucket SUMMARY table (min/max per
+    non-empty bucket — data/bucket_size rows, metadata-scale for any
+    sane bucket size), whose single-partition window is therefore safe.
+    The union is exactly the global consecutive-pair gap set: every
+    consecutive observed pair either shares a bucket or spans two
+    consecutive non-empty bucket summaries.
+    """
+    ids = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("__id"))
+        .distinct()
+        .withColumn(
+            "__b", F.expr(f"CAST(__id div {int(bucket_size)} AS BIGINT)")
+        )
+    )
+    win = Window.partitionBy("__b").orderBy("__id")
+    within = (
+        ids.withColumn("__prev", F.lag("__id", 1).over(win))
+        .filter(
+            F.col("__prev").isNotNull()
+            & (F.col("__id") - F.col("__prev") > 1)
+        )
+        .select(
+            (F.col("__prev") + 1).alias("gap_start"),
+            (F.col("__id") - 1).alias("gap_end"),
+        )
+    )
+    bounds = ids.groupBy("__b").agg(
+        F.min("__id").alias("__lo"), F.max("__id").alias("__hi")
+    )
+    bwin = Window.orderBy("__b")
+    across = (
+        bounds.withColumn("__phi", F.lag("__hi", 1).over(bwin))
+        .filter(
+            F.col("__phi").isNotNull()
+            & (F.col("__lo") - F.col("__phi") > 1)
+        )
+        .select(
+            (F.col("__phi") + 1).alias("gap_start"),
+            (F.col("__lo") - 1).alias("gap_end"),
+        )
+    )
+    return (
+        within.unionByName(across)
+        .withColumn(
+            "n_missing",
+            (F.col("gap_end") - F.col("gap_start") + 1).cast("bigint"),
+        )
+        .filter(F.col("n_missing") >= min_missing)
+        .select(
+            F.col("gap_start").cast("bigint"),
+            F.col("gap_end").cast("bigint"),
+            "n_missing",
+        )
+        .orderBy("gap_start")
+    )

@@ -2026,3 +2026,61 @@ def theil_sen_trend(
         )
         .orderBy(key_col)
     )
+
+
+def out_of_order_audit(
+    df: DataFrame,
+    key_col: str,
+    seq_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Out-of-order ingestion audit: per key, how often the event
+    timestamp REGRESSES along the producer sequence order — adjacent
+    (by ``seq_col``) pairs where ts decreases, the worst regression in
+    integer seconds, and the inversion rate in exact ppm. This is the
+    number that sizes streaming watermarks: a pipeline tuned to
+    "events are roughly ordered" needs to know the actual disorder
+    magnitude, not assume it. Rows with NULL seq/ts drop by contract;
+    adjacency is over the surviving sequence.
+
+    Scale shape: one key-ordered window pass (single keyed exchange),
+    then a key-level aggregate; integer-second epoch arithmetic keeps
+    the DuckDB twin bit-exact.
+    """
+    w = Window.partitionBy("__k").orderBy("__s")
+    pairs = (
+        df.filter(
+            F.col(seq_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("__k"),
+            F.col(seq_col).alias("__s"),
+            F.unix_timestamp(F.col(ts_col)).cast("bigint").alias("__t"),
+        )
+        .withColumn("__pt", F.lag("__t", 1).over(w))
+        .filter(F.col("__pt").isNotNull())
+    )
+    return (
+        pairs.groupBy(F.col("__k").alias(key_col))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("__t") < F.col("__pt"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inversions"),
+            F.max(
+                F.when(
+                    F.col("__t") < F.col("__pt"),
+                    F.col("__pt") - F.col("__t"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("max_regression_s"),
+        )
+        .withColumn(
+            "inversion_ppm",
+            F.expr(
+                "CAST(1000000 * n_inversions div n_pairs AS BIGINT)"
+            ),
+        )
+        .orderBy(key_col)
+    )

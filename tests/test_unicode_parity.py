@@ -76,6 +76,11 @@ TEXT_FAMILY = [
     # whitespace tokenizer
     "rt_query_expansion",
     "tx_top_movers",
+    # round 12: format-marker census is pure regex flags; readability
+    # counts regex word/sentence/vowel runs — both must agree with
+    # DuckDB's RE2 on emoji/CJK/RTL/combining-mark text
+    "tx_format_markers",
+    "tx_readability",
 ]
 
 
