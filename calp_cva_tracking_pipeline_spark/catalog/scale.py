@@ -12530,6 +12530,213 @@ FROM agg ORDER BY event_type
 """
 
 
+FILTER_LABEL = 3
+
+
+def ann_filtered_topk(spark, sf_dir):
+    """Attribute-filtered ANN (operators.similarity.ivf_filtered_topk):
+    top-5 among label-3 corpus vectors from ONE shared full-corpus IVF
+    index — the vector-DB staple (per-tenant / per-language search
+    without per-predicate indexes). Post-filter-in-cell: the predicate
+    prunes inside the probed cells BEFORE the rank cut."""
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        ivf_filtered_topk,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_filtered_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        "label", FILTER_LABEL,
+        n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE, k=TOP_K,
+    )
+
+
+ANN_FILTERED_SQL = f"""
+WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+cent AS (
+  SELECT CAST(vec_id AS BIGINT) AS centroid_id, v AS cv
+  FROM c ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+assign AS (
+  SELECT vec_id, label, centroid_id AS cell FROM (
+    SELECT a.vec_id, a.label, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_IVF_D2.format(a='a.v', b='cent.cv')}, cent.centroid_id
+           ) AS rn
+    FROM c a CROSS JOIN cent) t
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, centroid_id AS cell FROM (
+    SELECT q.vec_id AS query_id, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_IVF_D2.format(a='q.v', b='cent.cv')}, cent.centroid_id
+           ) AS pr
+    FROM (SELECT * FROM c WHERE vec_id < {N_QUERIES}) q CROSS JOIN cent) t
+  WHERE pr <= {IVF_NPROBE}),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qv.v, av.v) /
+               (sqrt(list_dot_product(qv.v, qv.v))
+                * sqrt(list_dot_product(av.v, av.v))), 6) AS cosine
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+               AND a.label = {FILTER_LABEL}
+  JOIN c qv ON qv.vec_id = p.query_id
+  JOIN c av ON av.vec_id = a.vec_id)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= {TOP_K}
+"""
+
+BLOOM_SPLIT_MOD = 4
+
+
+def dd_bloom_prescreen(spark, sf_dir):
+    """Bloom novelty-prescreen audit (operators.dedup.bloom_prescreen):
+    history = 3/4 of the corpus by doc_id, incoming = the rest; the
+    measured fp rate of the broadcast-bit-array fast path that screens
+    provably-novel docs before the exact digest join. Filter sized to
+    the history count by integer bit-length — engine-exact, no libm."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        bloom_prescreen,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") % BLOOM_SPLIT_MOD != 0)
+    # the raw corpus has zero cross-split exact dups (all 500 texts are
+    # unique at sf0.01) — augment incoming with deterministic
+    # "re-crawled" history rows (every doc_id ending in 1) so the
+    # true-duplicate branch is a real operating point, the wave-31
+    # non-degeneracy discipline
+    inc = d.filter(F.col("doc_id") % BLOOM_SPLIT_MOD == 0).unionByName(
+        hist.filter(F.col("doc_id") % 10 == 1)
+    )
+    return bloom_prescreen(hist, inc)
+
+
+DD_BLOOM_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT md5(text) AS dig FROM documents
+  WHERE doc_id % {BLOOM_SPLIT_MOD} <> 0 AND text IS NOT NULL),
+inc AS (
+  SELECT DISTINCT md5(text) AS dig FROM documents
+  WHERE (doc_id % {BLOOM_SPLIT_MOD} = 0
+         OR (doc_id % {BLOOM_SPLIT_MOD} <> 0 AND doc_id % 10 = 1))
+    AND text IS NOT NULL),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_history,
+         CAST(CAST(1 AS BIGINT) << length(bin(8 * COUNT(*)))
+              AS BIGINT) AS m_bits
+  FROM h),
+hpos AS (
+  SELECT DISTINCT pos FROM h CROSS JOIN m,
+  unnest([{", ".join(
+      "CAST(CAST(('0x' || substring(md5(dig || ':" + str(i)
+      + "'), 1, 15)) AS UBIGINT) % m_bits AS BIGINT)"
+      for i in range(3))}]) AS t(pos)),
+ipos AS (
+  SELECT dig, pos FROM inc CROSS JOIN m,
+  unnest([{", ".join(
+      "CAST(CAST(('0x' || substring(md5(dig || ':" + str(i)
+      + "'), 1, 15)) AS UBIGINT) % m_bits AS BIGINT)"
+      for i in range(3))}]) AS t(pos)),
+probe AS (
+  SELECT dig FROM (
+    SELECT i.dig, COUNT(*) AS nhit FROM ipos i
+    WHERE i.pos IN (SELECT pos FROM hpos) GROUP BY 1)
+  WHERE nhit >= 3),
+stats AS (
+  SELECT (SELECT n_history FROM m) AS n_history,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM inc) AS n_incoming,
+         (SELECT m_bits FROM m) AS m_bits,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM hpos) AS n_bits_set,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS bloom_hits,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM inc
+          WHERE dig IN (SELECT dig FROM h)) AS exact_dups,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM probe
+          WHERE dig NOT IN (SELECT dig FROM h)) AS false_positives)
+SELECT n_history, n_incoming, m_bits, n_bits_set,
+       CAST(1000000 * n_bits_set // m_bits AS BIGINT) AS fill_ppm,
+       bloom_hits, exact_dups, false_positives,
+       CASE WHEN n_incoming > exact_dups THEN
+         CAST(1000000 * false_positives
+              // (n_incoming - exact_dups) AS BIGINT) END AS fp_ppm
+FROM stats
+"""
+
+WATERFILL_BUDGET_PPM = 950_000
+
+
+def mx_waterfill(spark, sf_dir):
+    """Water-filling token-budget allocation (operators.sampling.
+    waterfill_allocation) across sources at 95% of corpus supply —
+    max-min-fair: small sources fully taken, large ones truncated at
+    one common level; exact to the single token with deterministic
+    remainder distribution."""
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        waterfill_allocation,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    sup = (
+        d.filter(
+            F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+            .cast("bigint")
+            .alias("tokens")
+        )
+    )
+    return waterfill_allocation(
+        sup, "source", "tokens", budget_ppm=WATERFILL_BUDGET_PPM
+    )
+
+
+MX_WATERFILL_SQL = rf"""
+WITH sup AS (
+  SELECT source AS k,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+              AS BIGINT) AS s
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+  GROUP BY 1),
+ranked AS (
+  SELECT k, s, ROW_NUMBER() OVER (ORDER BY s, k) AS j,
+         SUM(s) OVER (ORDER BY s, k) AS pfx
+  FROM sup),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MAX(pfx) * {WATERFILL_BUDGET_PPM} // 1000000 AS BIGINT)
+             AS budget
+  FROM ranked),
+flagged AS (
+  SELECT r.k, r.s, r.j, r.pfx, t.n, t.budget,
+         r.s * (t.n - r.j + 1) <= t.budget - (r.pfx - r.s) AS fundable
+  FROM ranked r CROSS JOIN tot t),
+cut AS (
+  SELECT CAST(COALESCE(MAX(CASE WHEN fundable THEN j END), 0)
+              AS BIGINT) AS c,
+         CAST(COALESCE(MAX(CASE WHEN fundable THEN pfx END), 0)
+              AS BIGINT) AS pc
+  FROM flagged),
+alloc AS (
+  SELECT f.k, f.s,
+         CASE WHEN f.j <= cut.c THEN f.s
+              ELSE CAST((f.budget - cut.pc) // (f.n - cut.c)
+                   + CASE WHEN f.j - cut.c
+                            <= (f.budget - cut.pc) % (f.n - cut.c)
+                          THEN 1 ELSE 0 END AS BIGINT)
+         END AS alloc
+  FROM flagged f CROSS JOIN cut)
+SELECT k AS source, s AS supply, alloc, alloc >= s AS satisfied
+FROM alloc ORDER BY source
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -12790,4 +12997,8 @@ SCALE_QUERIES = {
     "ev_growth_accounting": (ev_growth_accounting, EV_GROWTH_SQL),
     "ev_activity_profile": (ev_activity_profile, EV_ACTIVITY_SQL),
     "ev_ooo_audit": (ev_ooo_audit, EV_OOO_SQL),
+    # fiftieth wave (round 12)
+    "ann_filtered_topk": (ann_filtered_topk, ANN_FILTERED_SQL),
+    "dd_bloom_prescreen": (dd_bloom_prescreen, DD_BLOOM_SQL),
+    "mx_waterfill": (mx_waterfill, MX_WATERFILL_SQL),
 }

@@ -1796,3 +1796,134 @@ def embedding_decontam(
         )
         .orderBy("eval_id")
     )
+
+
+BLOOM_K_HASHES = 3
+
+
+def bloom_prescreen(
+    history: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    k_hashes: int = BLOOM_K_HASHES,
+) -> DataFrame:
+    """Bloom-filter novelty prescreen audit: size a Bloom filter to the
+    HISTORY digest set (m = 2^bitlen(8·n) bits — ~3–6% target fp at
+    k=3), push the INCOMING batch through it, and measure what the
+    cheap screen would have done against exact membership — bloom hits,
+    true duplicates, FALSE POSITIVES and the realized fp ppm. This is
+    the go/no-go audit for the standard 100 TB dedup fast path (a
+    broadcast bit-array screens out provably-novel documents before the
+    expensive digest join touches state): the fp rate is measured on
+    YOUR corpus, not assumed from the textbook formula. Digest-level
+    (md5 of raw text): duplicate rows collapse first on both sides.
+
+    Engine-exact by construction: bit positions are md5-derived stable
+    hashes of ``digest || ':' || i`` mod m, m derives from the history
+    count by integer bit-length (both engines render bin() identically
+    — no libm log2 at pow2 edges), and membership is exact relational
+    algebra over the position set. Scale shape: the bit set is ≤ m rows
+    (filter metadata, not corpus), built by one distinct over k·n
+    positions; the incoming probe joins on position (bounded by m) and
+    the exact check is one digest semi-join — nothing quadratic.
+    Output: one row (n_history, n_incoming, m_bits, n_bits_set,
+    fill_ppm, bloom_hits, exact_dups, false_positives, fp_ppm — fp over
+    the truly-novel incoming population).
+    """
+    h = (
+        history.filter(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("__dig"))
+        .distinct()
+    )
+    inc = (
+        incoming.filter(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("__dig"))
+        .distinct()
+    )
+    m = h.agg(F.count("*").alias("n_history")).select(
+        "n_history",
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT),"
+            " length(bin(8 * n_history))) AS BIGINT)"
+        ).alias("m_bits"),
+    )
+
+    def positions(df):
+        out = df.crossJoin(F.broadcast(m))
+        pos = [
+            F.expr(
+                f"pmod(CAST(conv(substring(md5(concat(__dig, ':{i}')),"
+                f" 1, 15), 16, 10) AS BIGINT), m_bits)"
+            ).alias(f"__p{i}")
+            for i in range(k_hashes)
+        ]
+        return out.select(
+            "__dig",
+            F.explode(F.array(*pos)).alias("__pos"),
+        )
+
+    bits = positions(h).select("__pos").distinct()
+    probe = (
+        positions(inc)
+        .join(bits, "__pos", "left_semi")
+        .groupBy("__dig")
+        .agg(F.count("*").alias("__nhit"))
+        .filter(F.col("__nhit") >= k_hashes)
+        .select("__dig")
+    )
+    exact = inc.join(h, "__dig", "left_semi")
+    fp = probe.join(h, "__dig", "left_anti")
+    stats = (
+        m.crossJoin(
+            F.broadcast(
+                inc.agg(F.count("*").cast("bigint").alias("n_incoming"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                bits.agg(
+                    F.count("*").cast("bigint").alias("n_bits_set")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                probe.agg(
+                    F.count("*").cast("bigint").alias("bloom_hits")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                exact.agg(
+                    F.count("*").cast("bigint").alias("exact_dups")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                fp.agg(
+                    F.count("*").cast("bigint").alias("false_positives")
+                )
+            )
+        )
+    )
+    return stats.select(
+        F.col("n_history").cast("bigint"),
+        "n_incoming",
+        F.col("m_bits").cast("bigint"),
+        "n_bits_set",
+        F.expr(
+            "CAST(1000000 * n_bits_set div m_bits AS BIGINT)"
+        ).alias("fill_ppm"),
+        "bloom_hits",
+        "exact_dups",
+        "false_positives",
+        F.when(
+            F.col("n_incoming") > F.col("exact_dups"),
+            F.expr(
+                "CAST(1000000 * false_positives"
+                " div (n_incoming - exact_dups) AS BIGINT)"
+            ),
+        ).alias("fp_ppm"),
+    )

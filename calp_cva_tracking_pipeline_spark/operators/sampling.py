@@ -1142,3 +1142,89 @@ def contrastive_triplets(
         )
         .orderBy("anchor_id")
     )
+
+
+def waterfill_allocation(
+    supply: DataFrame,
+    key_col: str,
+    supply_col: str,
+    budget_ppm: int = 950_000,
+) -> DataFrame:
+    """Water-filling token-budget allocation: spread a total budget
+    (``budget_ppm`` of the aggregate supply) across sources by raising
+    one common water level — every source gets min(supply, level), so
+    small sources are fully taken and large ones are truncated at the
+    SAME ceiling (the max-min-fair allocation; a pro-rata split would
+    starve small high-value sources, a uniform split wastes budget on
+    sources that can't absorb it). Exact to the single token: the
+    satisfied set is the maximal sorted prefix fundable at full supply
+    (the water-filling condition s_j·(remaining sources) ≤ remaining
+    budget is monotone along the (supply, key) sort, so the set IS a
+    prefix), the level is an integer floor division of the remaining
+    budget, and the remainder distributes +1 token to the first
+    ``rem`` truncated sources in sort order. Σ alloc = budget exactly;
+    both engines replay the arithmetic bit-for-bit.
+
+    Scale shape: supply is a per-source aggregate (vocabulary-sized —
+    one row per source, not per document), so the sort window and the
+    two broadcast scalars (budget, cut index) are metadata-scale; the
+    row-scale work is only whatever aggregation BUILT the supply table.
+    NULL supplies are excluded by contract. Output: (key, supply,
+    alloc, satisfied) with satisfied = alloc ≥ supply.
+    """
+    s = supply.filter(F.col(supply_col).isNotNull()).select(
+        F.col(key_col).alias("__k"),
+        F.col(supply_col).cast("bigint").alias("__s"),
+    )
+    w = Window.orderBy("__s", "__k")
+    ranked = s.select(
+        "__k",
+        "__s",
+        F.row_number().over(w).alias("__j"),
+        F.sum("__s").over(w).alias("__pfx"),
+    )
+    totals = ranked.agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.max("__pfx").cast("bigint").alias("__total"),
+    ).select(
+        "__n",
+        "__total",
+        F.expr(
+            f"CAST(__total * {int(budget_ppm)} div 1000000 AS BIGINT)"
+        ).alias("__budget"),
+    )
+    flagged = ranked.crossJoin(F.broadcast(totals)).withColumn(
+        "__fundable",
+        F.expr(
+            "__s * (__n - __j + 1) <= __budget - (__pfx - __s)"
+        ),
+    )
+    cut = flagged.agg(
+        F.max(F.when(F.col("__fundable"), F.col("__j")))
+        .alias("__c"),
+        F.max(
+            F.when(F.col("__fundable"), F.col("__pfx"))
+        ).alias("__pc"),
+    ).select(
+        F.coalesce("__c", F.lit(0)).cast("bigint").alias("__c"),
+        F.coalesce("__pc", F.lit(0)).cast("bigint").alias("__pc"),
+    )
+    return (
+        flagged.crossJoin(F.broadcast(cut))
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__s").alias("supply"),
+            F.when(F.col("__j") <= F.col("__c"), F.col("__s"))
+            .otherwise(
+                F.expr(
+                    "CAST((__budget - __pc) div (__n - __c)"
+                    " + (CASE WHEN __j - __c"
+                    "      <= pmod(__budget - __pc, __n - __c)"
+                    "      THEN 1 ELSE 0 END) AS BIGINT)"
+                )
+            )
+            .alias("alloc"),
+        )
+        .withColumn("satisfied", F.col("alloc") >= F.col("supply"))
+        .orderBy(key_col)
+    )

@@ -1769,3 +1769,63 @@ def ivf_recall_frontier(
             F.expr("CAST(1000000 * n_hit div n_pairs AS BIGINT)"),
         ).alias("recall_ppm"),
     ).orderBy("nprobe")
+
+
+def ivf_filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    filter_col: str,
+    filter_value,
+    n_centroids: int | None = None,
+    nprobe: int = 4,
+    k: int = 5,
+    centroids: DataFrame | None = None,
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """Attribute-FILTERED ANN search: top-k among corpus vectors
+    satisfying ``filter_col = filter_value``, served from ONE shared
+    IVF index — the vector-database staple (search only docs in
+    language X / tenant Y / date range Z) where maintaining a separate
+    index per predicate value is a non-starter. This is the
+    post-filter-in-cell strategy: the quantizer and cell assignment
+    come from the FULL corpus (one index build, any predicate), the
+    predicate prunes INSIDE the probed cells before scoring, and the
+    rank cut runs after the filter — so the k survivors are genuinely
+    the filtered top-k of the probed region, never post-filtered ranks.
+    The recall caveat is real and documented: a highly selective filter
+    empties some probed cells, so effective recall decays with
+    selectivity — raise nprobe for selective predicates (the same
+    frontier curve ann_nprobe_frontier measures, conditioned on the
+    filter). NULL filter values never match by contract.
+
+    Physical shape is exactly ``ivf_topk``'s (broadcast centroids +
+    probe lists, corpus never shuffled at search time); the filter is a
+    residual predicate pushed against the cell scan — with a persisted
+    bucketed index it prunes at the scan, before any join.
+    """
+    if cells is not None and centroids is None:
+        raise ValueError(
+            "ivf_filtered_topk: a prebuilt `cells` index requires the "
+            "`centroids` it was built with"
+        )
+    cent = centroids if centroids is not None else train_centroids(
+        corpus, id_col, vec_col, n_centroids
+    )
+    if cells is None:
+        cells = assign_cells(corpus, cent, id_col, vec_col)
+    return ivf_topk(
+        corpus,
+        queries,
+        id_col,
+        vec_col,
+        query_id_col,
+        query_vec_col,
+        nprobe=nprobe,
+        k=k,
+        centroids=cent,
+        cells=cells.filter(F.col(filter_col) == F.lit(filter_value)),
+    )
