@@ -12737,6 +12737,138 @@ FROM alloc ORDER BY source
 """
 
 
+VAD_FRAMES = 16
+
+
+def mm_audio_vad(spark, sf_dir):
+    """Voice-activity segmentation (operators.phash.audio_vad_segments)
+    over a deterministic WAV corpus with REAL md5-gated silence frames
+    (each 16-sample box of a clip is silent iff an md5 draw ≡ 0 mod 3)
+    — REAL RIFF encode → REAL stdlib decode → integer frame energies →
+    cross-multiplied mean threshold → gaps-and-islands segments; the
+    speech/dead-air structure ASR curation extracts before paying the
+    transcription model per audio-second. The oracle replays the sample
+    formula, the threshold and the islands verbatim in SQL."""
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.phash import (
+        audio_vad_segments,
+        synthesize_wav_payloads,
+    )
+
+    d = spread_small_input(T(spark, sf_dir, "documents").select("doc_id"))
+    h60 = "CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+    silent = (
+        h60.format(
+            s="concat('vf|', CAST(doc_id AS STRING), '|',"
+            " CAST(p DIV 16 AS STRING))"
+        )
+        + " % 3 = 0"
+    )
+    val = (
+        h60.format(
+            s="concat('vs|', CAST(doc_id AS STRING), '|',"
+            " CAST(p AS STRING))"
+        )
+        + " % 65536 - 32768"
+    )
+    synth = d.select(
+        "doc_id",
+        F.expr(
+            f"""transform(sequence(0, {AFP_NS - 1}), p ->
+                  CAST(IF({silent}, 0, {val}) AS INT))"""
+        ).alias("smp"),
+    )
+    clips = synthesize_wav_payloads(synth, "doc_id", "smp", rate=AU_RATE)
+    return audio_vad_segments(
+        clips, "doc_id", "payload", frames=VAD_FRAMES
+    )
+
+
+_VAD_SILENT = (
+    _afp_h60(
+        "'vf|' || CAST(doc_id AS VARCHAR) || '|' || CAST(p // 16 AS VARCHAR)"
+    )
+    + " % 3 = 0"
+)
+_VAD_VAL = (
+    _afp_h60("'vs|' || CAST(doc_id AS VARCHAR) || '|' || CAST(p AS VARCHAR)")
+    + " % 65536 - 32768"
+)
+
+MM_AUDIO_VAD_SQL = f"""
+WITH pos AS (SELECT unnest(generate_series(0, {AFP_NS - 1})) AS p),
+smp AS (
+  SELECT doc_id, p,
+         CASE WHEN {_VAD_SILENT} THEN 0 ELSE {_VAD_VAL} END AS s
+  FROM documents CROSS JOIN pos),
+fr AS (
+  SELECT doc_id, p // 16 AS f,
+         SUM(CAST(s AS BIGINT) * s) AS e
+  FROM smp GROUP BY 1, 2),
+tot AS (SELECT doc_id, SUM(e) AS total FROM fr GROUP BY 1),
+act AS (
+  SELECT fr.doc_id, fr.f, fr.e
+  FROM fr JOIN tot ON fr.doc_id = tot.doc_id
+  WHERE fr.e * {VAD_FRAMES} > tot.total),
+isl AS (
+  SELECT doc_id, f,
+         f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS g
+  FROM act)
+SELECT doc_id AS media_id,
+       CAST(MIN(f) AS INT) AS seg_start,
+       CAST(MAX(f) AS INT) AS seg_end,
+       CAST(COUNT(*) AS BIGINT) AS n_frames
+FROM isl GROUP BY doc_id, g ORDER BY media_id, seg_start
+"""
+
+CELL_CAP_ROWS = 48
+
+
+def ann_cell_balance(spark, sf_dir):
+    """IVF balance audit + split plan (operators.similarity.
+    ivf_cell_balance): per cell of the shared 16-centroid quantizer,
+    population, exact-ppm share and the ceil(n/cap) split work list —
+    the OPTIMIZE advisor that keeps sum(|cell|²) search cost from one
+    runaway cell."""
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        ivf_cell_balance,
+    )
+
+    return ivf_cell_balance(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        cell_cap=CELL_CAP_ROWS, n_centroids=IVF_CENTROIDS,
+    )
+
+
+ANN_CELL_BALANCE_SQL = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT CAST(vec_id AS BIGINT) AS centroid_id, v AS cv
+  FROM c ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+assign AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT a.vec_id, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_IVF_D2.format(a='a.v', b='cent.cv')}, cent.centroid_id
+           ) AS rn
+    FROM c a CROSS JOIN cent) t
+  WHERE rn = 1),
+counts AS (
+  SELECT CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM assign GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS t FROM counts)
+SELECT cell, n_vecs,
+       CAST(1000000 * n_vecs // t AS BIGINT) AS share_ppm,
+       n_vecs > {CELL_CAP_ROWS} AS oversized,
+       CAST(CASE WHEN n_vecs > {CELL_CAP_ROWS}
+                 THEN (n_vecs + {CELL_CAP_ROWS} - 1) // {CELL_CAP_ROWS}
+                 ELSE 1 END AS BIGINT) AS split_into
+FROM counts CROSS JOIN tot ORDER BY cell
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -13001,4 +13133,7 @@ SCALE_QUERIES = {
     "ann_filtered_topk": (ann_filtered_topk, ANN_FILTERED_SQL),
     "dd_bloom_prescreen": (dd_bloom_prescreen, DD_BLOOM_SQL),
     "mx_waterfill": (mx_waterfill, MX_WATERFILL_SQL),
+    # fifty-first wave (round 12)
+    "mm_audio_vad": (mm_audio_vad, MM_AUDIO_VAD_SQL),
+    "ann_cell_balance": (ann_cell_balance, ANN_CELL_BALANCE_SQL),
 }

@@ -1196,23 +1196,47 @@ def activity_profile(
     dayofweek builtin, whose origin differs between engines. One cell
     aggregation; the global total enters as a broadcast scalar.
     """
-    e = events.filter(F.col(ts_col).isNotNull()).select(
-        F.expr(
-            f"CAST((datediff(CAST({ts_col} AS DATE), DATE'1970-01-01')"
-            " + 4) % 7 AS INT)"
-        ).alias("dow"),
-        F.hour(F.col(ts_col)).alias("hour"),
-        F.col(user_col).alias("u"),
+    return activity_from_user_cells(
+        activity_user_cells(events, user_col=user_col, ts_col=ts_col)
     )
-    cells = e.groupBy("dow", "hour").agg(
-        F.count("*").cast("bigint").alias("n_events"),
+
+
+def activity_user_cells(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The ADDITIVE ledger grain behind ``activity_profile``: one row
+    per (dow, hour, user) with its event count. Ledgers from disjoint
+    micro-batches fold by union + re-sum (n_events is additive; the
+    user dimension dedupes in the readout) — the streaming-resident
+    form, same shape as the DQ seen-keys store."""
+    return (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.expr(
+                f"CAST((datediff(CAST({ts_col} AS DATE),"
+                " DATE'1970-01-01') + 4) % 7 AS INT)"
+            ).alias("dow"),
+            F.hour(F.col(ts_col)).alias("hour"),
+            F.col(user_col).alias("u"),
+        )
+        .groupBy("dow", "hour", "u")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+
+
+def activity_from_user_cells(cells: DataFrame) -> DataFrame:
+    """Ledger → the ``activity_profile`` readout: (dow, hour) cells
+    with event counts, distinct users (NULL users count events but not
+    users) and exact-ppm traffic share off a broadcast total."""
+    agg = cells.groupBy("dow", "hour").agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
         F.countDistinct("u").cast("bigint").alias("n_users"),
     )
-    total = cells.agg(
-        F.sum("n_events").cast("bigint").alias("__total")
-    )
+    total = agg.agg(F.sum("n_events").cast("bigint").alias("__total"))
     return (
-        cells.crossJoin(F.broadcast(total))
+        agg.crossJoin(F.broadcast(total))
         .select(
             "dow",
             "hour",

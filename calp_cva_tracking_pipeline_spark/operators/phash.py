@@ -39,7 +39,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -614,3 +614,61 @@ def synthesize_wav_payloads(
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return df.select(id_col, samples_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+def audio_vad_segments(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    frames: int = 16,
+) -> DataFrame:
+    """Voice-activity segmentation over the REAL stdlib WAV decode:
+    each clip's channel-averaged signal splits into ``frames`` equal
+    time boxes, a box is ACTIVE when its integer energy (Σ sample²)
+    exceeds the clip-mean box energy in cross-multiplied integers
+    (e·frames > total — the same exact mean-threshold quantization as
+    the energy fingerprint, so the decision replays bit-for-bit in
+    SQL), and consecutive active boxes merge into segments via
+    gaps-and-islands. This is the speech/dead-air structure extractor
+    ASR curation runs before transcription pays per audio-second:
+    per-clip segment spans say what fraction of a clip is worth
+    sending to the expensive model. Clips with flat energy (all boxes
+    equal, e.g. digital silence or constant tone) emit NO segments by
+    the strict inequality — by contract, a clip with no energy
+    contrast has no detectable activity.
+
+    Physical shape: ONE Arrow-batched decode pass (the same
+    ``audio_energy_frame`` kernel as the fingerprint tier — frames
+    integer sums per clip, never raw samples, cross the Python/JVM
+    boundary), then a posexplode to (clip, box, energy) rows and one
+    clip-keyed window for the island grouping — frames·clips rows,
+    linear. Failed decodes drop (decode_ok contract). Output:
+    (media_id, seg_start, seg_end, n_frames) ordered.
+    """
+    cells = audio_energy_frame(df, id_col, payload_col, bins=frames).filter(
+        F.col("decode_ok") == "ok_stdlib"
+    )
+    act = (
+        cells.withColumn(
+            "__total",
+            F.expr("aggregate(__cells, 0L, (acc, x) -> acc + x)"),
+        )
+        .select(
+            "__id",
+            F.posexplode("__cells").alias("f", "e"),
+            "__total",
+        )
+        .filter(F.col("e") * frames > F.col("__total"))
+    )
+    w = Window.partitionBy("__id").orderBy("f")
+    return (
+        act.withColumn("__isl", F.col("f") - F.row_number().over(w))
+        .groupBy(F.col("__id").alias("media_id"), F.col("__isl"))
+        .agg(
+            F.min("f").cast("int").alias("seg_start"),
+            F.max("f").cast("int").alias("seg_end"),
+            F.count("*").cast("bigint").alias("n_frames"),
+        )
+        .drop("__isl")
+        .orderBy("media_id", "seg_start")
+    )

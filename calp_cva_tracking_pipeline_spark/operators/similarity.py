@@ -1829,3 +1829,62 @@ def ivf_filtered_topk(
         centroids=cent,
         cells=cells.filter(F.col(filter_col) == F.lit(filter_value)),
     )
+
+
+def ivf_cell_balance(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_cap: int,
+    n_centroids: int | None = None,
+    centroids: DataFrame | None = None,
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """IVF index balance audit + split plan: per cell, its population,
+    exact-ppm share, and — when it exceeds ``cell_cap`` — how many
+    sub-cells a split must produce (ceil(n/cap) in integer arithmetic).
+    This is the OPTIMIZE advisor for the ANN tier: search cost rides
+    sum(|cell|²), so one runaway cell (skewed corpora produce them;
+    the incremental audit `ivf_incremental_audit` watches them grow)
+    silently owns the latency budget until a rebalance splits it. The
+    split plan is the work list that job executes — metadata out,
+    nothing row-scale shuffled beyond the (possibly prebuilt) cell
+    assignment itself.
+
+    Accepts a prebuilt ``cells`` index (+ its ``centroids``) like
+    `ivf_topk` — on a persisted bucketed index the audit is a
+    metadata-sized aggregation over the index scan, no assignment at
+    all. Output: (cell, n_vecs, share_ppm, oversized, split_into)
+    ordered by cell.
+    """
+    if cells is not None and centroids is None:
+        raise ValueError(
+            "ivf_cell_balance: a prebuilt `cells` index requires the "
+            "`centroids` it was built with"
+        )
+    cent = centroids if centroids is not None else train_centroids(
+        corpus, id_col, vec_col, n_centroids
+    )
+    if cells is None:
+        cells = assign_cells(corpus, cent, id_col, vec_col)
+    counts = cells.groupBy(
+        F.col("__cell").cast("bigint").alias("cell")
+    ).agg(F.count("*").cast("bigint").alias("n_vecs"))
+    total = counts.agg(F.sum("n_vecs").cast("bigint").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "cell",
+            "n_vecs",
+            F.expr(
+                "CAST(1000000 * n_vecs div __t AS BIGINT)"
+            ).alias("share_ppm"),
+            (F.col("n_vecs") > F.lit(int(cell_cap))).alias("oversized"),
+            F.expr(
+                f"CAST(IF(n_vecs > {int(cell_cap)},"
+                f" (n_vecs + {int(cell_cap)} - 1) div {int(cell_cap)},"
+                " 1) AS BIGINT)"
+            ).alias("split_into"),
+        )
+        .orderBy("cell")
+    )

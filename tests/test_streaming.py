@@ -1473,3 +1473,73 @@ def test_foreachbatch_frequency_cells_fold_to_batch(
         ).collect()
     ]
     assert folded == one_shot and len(one_shot) > 0
+
+
+def test_foreachbatch_activity_ledger_folds_to_batch(
+    spark, sf_dir, tmp_path
+):
+    """Streaming activity heatmap: the (dow, hour, user) ledger from
+    time-sliced micro-batches folds by union + re-sum into exactly the
+    one-shot activity_profile readout — batch ≡ stream."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        activity_from_user_cells,
+        activity_profile,
+        activity_user_cells,
+    )
+
+    e = T(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    one_shot = [
+        tuple(r)
+        for r in activity_profile(e).collect()
+    ]
+
+    src = tmp_path / "act_src"
+    src.mkdir()
+    # TIME-ordered slices (the stream_attribution lesson): split by day
+    # bands so each file is a contiguous time slice
+    for i, (lo, hi) in enumerate([(0, 10), (10, 20), (20, 32)]):
+        tmp_dir = str(tmp_path / f"act_tmp_{i}")
+        e.filter(
+            (F.dayofmonth("ts") > lo) & (F.dayofmonth("ts") <= hi)
+            | (F.lit(i) == 2) & F.col("ts").isNull()
+        ).coalesce(1).write.parquet(tmp_dir)
+        part = glob.glob(f"{tmp_dir}/part-*.parquet")[0]
+        p = str(src / f"part_{i}.parquet")
+        shutil.copy(part, p)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    ledger_path = str(tmp_path / "act_ledger")
+
+    def process(batch_df, batch_id):
+        activity_user_cells(batch_df).write.mode("append").parquet(
+            ledger_path
+        )
+
+    q = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "act_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    ledger = (
+        spark.read.parquet(ledger_path)
+        .groupBy("dow", "hour", "u")
+        .agg(F.sum("n_events").cast("bigint").alias("n_events"))
+    )
+    folded = [
+        tuple(r) for r in activity_from_user_cells(ledger).collect()
+    ]
+    assert folded == one_shot
