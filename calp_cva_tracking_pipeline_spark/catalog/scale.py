@@ -12869,6 +12869,230 @@ FROM counts CROSS JOIN tot ORDER BY cell
 """
 
 
+SQUARE_MAX_DEGREE = 128
+
+
+def gr_squares(spark, sf_dir):
+    """Exact 4-cycle census (operators.graph.square_census) of the
+    part co-occurrence graph with the ≤64-degree hub prune applied to
+    NODES (diagonal parity requires a true subgraph) — the
+    locally-bipartite clustering signal triangles miss; co-degrees ride
+    the neighbor_similarity in-array wedge expansion."""
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        square_census,
+    )
+
+    lp = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return square_census(edges, max_degree=SQUARE_MAX_DEGREE)
+
+
+def _gr_squares_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        square_census_sql,
+    )
+
+    edges = (
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a "
+        "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+    )
+    return square_census_sql(edges, max_degree=SQUARE_MAX_DEGREE)
+
+
+GR_SQUARES_SQL = _gr_squares_sql()
+
+BACKTEST_SEASON = 7
+BACKTEST_MA = 3
+
+
+def ts_backtest(spark, sf_dir):
+    """Forecast-baseline backtest (operators.temporal.
+    forecast_backtest): per event type, one-step-ahead naive /
+    seasonal-naive / 3-day-MA errors over the daily micro-int series —
+    the M-competition floor any forecasting model must beat before it
+    ships. One key-ordered window exchange."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        forecast_backtest,
+    )
+
+    return forecast_backtest(
+        T(spark, sf_dir, "events"), "event_type", "ts", "value",
+        season=BACKTEST_SEASON, ma_window=BACKTEST_MA,
+    )
+
+
+TS_BACKTEST_SQL = f"""
+WITH daily AS (
+  SELECT event_type AS k, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT))
+              // COUNT(*) AS BIGINT) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+preds AS (
+  SELECT k, v,
+         LAG(v, 1) OVER w AS naive,
+         LAG(v, {BACKTEST_SEASON}) OVER w AS snaive,
+         CASE WHEN COUNT(v) OVER (w ROWS BETWEEN {BACKTEST_MA} PRECEDING
+                                  AND 1 PRECEDING) >= {BACKTEST_MA}
+              THEN CAST(SUM(v) OVER (w ROWS BETWEEN {BACKTEST_MA}
+                                     PRECEDING AND 1 PRECEDING)
+                        // {BACKTEST_MA} AS BIGINT) END AS ma
+  FROM daily WINDOW w AS (PARTITION BY k ORDER BY day)),
+errs AS (
+  SELECT k, 'naive' AS method, v - naive AS e FROM preds
+  WHERE naive IS NOT NULL
+  UNION ALL
+  SELECT k, 'snaive', v - snaive FROM preds WHERE snaive IS NOT NULL
+  UNION ALL
+  SELECT k, 'ma{BACKTEST_MA}', v - ma FROM preds WHERE ma IS NOT NULL)
+SELECT k AS event_type, method,
+       CAST(COUNT(*) AS BIGINT) AS n_preds,
+       CAST(SUM(ABS(e)) // COUNT(*) AS BIGINT) AS mae_micro,
+       CAST(SUM(e) AS BIGINT) AS sum_err_micro,
+       CAST(MAX(ABS(e)) AS BIGINT) AS worst_abs_micro
+FROM errs GROUP BY 1, 2 ORDER BY event_type, method
+"""
+
+
+def lx_prune_plan(spark, sf_dir):
+    """Partition-pruning simulator (operators.layout.prune_plan): per
+    declared range predicate on event_id (bounds derived lazily from
+    the observed max id — point / narrow / quartile band), how many
+    day-cells min/max pruning skips and what row volume a scan would
+    read — the would-Z-ordering-help number before any scan is paid."""
+    from calp_cva_tracking_pipeline_spark.operators.layout import (
+        prune_plan,
+    )
+
+    e = T(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    cells = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+        F.count("*").alias("r"),
+    )
+    mx = e.agg(F.max("event_id").alias("__mx"))
+    preds = mx.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("p1_point").alias("pred_name"),
+                    F.expr("__mx * 50 div 100").alias("lo"),
+                    F.expr("__mx * 50 div 100").alias("hi"),
+                ),
+                F.struct(
+                    F.lit("p2_narrow").alias("pred_name"),
+                    F.expr("__mx * 25 div 100").alias("lo"),
+                    F.expr("__mx * 25 div 100 + __mx div 100").alias(
+                        "hi"
+                    ),
+                ),
+                F.struct(
+                    F.lit("p3_band").alias("pred_name"),
+                    F.expr("__mx * 50 div 100").alias("lo"),
+                    F.expr("__mx * 75 div 100").alias("hi"),
+                ),
+            )
+        ).alias("__p")
+    ).select("__p.pred_name", "__p.lo", "__p.hi")
+    return prune_plan(cells, preds)
+
+
+LX_PRUNE_SQL = """
+WITH cells AS (
+  SELECT CAST(ts AS DATE) AS day, MIN(event_id) AS clo,
+         MAX(event_id) AS chi, CAST(COUNT(*) AS BIGINT) AS r
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+mx AS (SELECT MAX(event_id) AS m FROM events WHERE ts IS NOT NULL),
+preds AS (
+  SELECT 'p1_point' AS pred_name, m * 50 // 100 AS lo,
+         m * 50 // 100 AS hi FROM mx
+  UNION ALL
+  SELECT 'p2_narrow', m * 25 // 100, m * 25 // 100 + m // 100 FROM mx
+  UNION ALL
+  SELECT 'p3_band', m * 50 // 100, m * 75 // 100 FROM mx),
+agg AS (
+  SELECT pred_name, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(COALESCE(SUM(CASE WHEN clo IS NULL OR chi IS NULL
+                  OR (clo <= hi AND lo <= chi) THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_cells_scanned,
+         CAST(SUM(r) AS BIGINT) AS rows_total,
+         CAST(COALESCE(SUM(CASE WHEN clo IS NULL OR chi IS NULL
+                  OR (clo <= hi AND lo <= chi) THEN r ELSE 0 END), 0)
+              AS BIGINT) AS rows_scanned
+  FROM cells CROSS JOIN preds GROUP BY 1)
+SELECT pred_name, n_cells, n_cells_scanned, rows_total, rows_scanned,
+       CAST(1000000 * rows_scanned // rows_total AS BIGINT)
+           AS scanned_ppm
+FROM agg ORDER BY pred_name
+"""
+
+CHUNK_DEDUP_TOKENS = 16
+
+
+def dd_chunk_dedup(spark, sf_dir):
+    """Chunk-level duplication census (operators.dedup.
+    chunk_dedup_census): non-overlapping 16-token chunks, global md5
+    duplication window-attached over ONE digest exchange, per-source
+    dup mass + cross-source chunk counts — the RAG-prep readout
+    document dedup misses."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        chunk_dedup_census,
+    )
+
+    return chunk_dedup_census(
+        T(spark, sf_dir, "documents"), "doc_id",
+        chunk_tokens=CHUNK_DEDUP_TOKENS,
+    )
+
+
+DD_CHUNK_DEDUP_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE text IS NOT NULL),
+c AS (
+  SELECT doc_id, source, toks,
+         unnest(generate_series(
+           0, greatest((len(toks) - 1) // {CHUNK_DEDUP_TOKENS}, 0)))
+             AS cid
+  FROM t),
+inst AS (
+  SELECT source AS g,
+         md5(array_to_string(
+           list_slice(toks, cid * {CHUNK_DEDUP_TOKENS} + 1,
+                      cid * {CHUNK_DEDUP_TOKENS} + {CHUNK_DEDUP_TOKENS}),
+           ' ')) AS dig
+  FROM c),
+digs AS (
+  SELECT dig, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS ng
+  FROM inst GROUP BY 1),
+flagged AS (
+  SELECT inst.g, digs.n, digs.ng FROM inst JOIN digs USING (dig))
+SELECT g AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS dup_chunks,
+       CAST(COALESCE(SUM(CASE WHEN ng > 1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS cross_group_chunks,
+       CAST(1000000 * COALESCE(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END),
+                               0) // COUNT(*) AS BIGINT) AS dup_ppm
+FROM flagged GROUP BY 1 ORDER BY source
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -13136,4 +13360,9 @@ SCALE_QUERIES = {
     # fifty-first wave (round 12)
     "mm_audio_vad": (mm_audio_vad, MM_AUDIO_VAD_SQL),
     "ann_cell_balance": (ann_cell_balance, ANN_CELL_BALANCE_SQL),
+    # fifty-second wave (round 12)
+    "gr_squares": (gr_squares, GR_SQUARES_SQL),
+    "ts_backtest": (ts_backtest, TS_BACKTEST_SQL),
+    "lx_prune_plan": (lx_prune_plan, LX_PRUNE_SQL),
+    "dd_chunk_dedup": (dd_chunk_dedup, DD_CHUNK_DEDUP_SQL),
 }

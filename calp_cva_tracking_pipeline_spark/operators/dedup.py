@@ -1927,3 +1927,68 @@ def bloom_prescreen(
             ),
         ).alias("fp_ppm"),
     )
+
+
+def chunk_dedup_census(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    group_col: str = "source",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Chunk-level duplication census — the RAG-prep readout document-
+    level dedup misses: retrieval corpora chunk documents before
+    embedding, and two distinct documents sharing a boilerplate chunk
+    put IDENTICAL vectors in the index (wasted embedding spend,
+    degraded retrieval diversity). Per group: chunk instances, chunk
+    instances whose exact digest occurs more than once ANYWHERE in the
+    corpus (global duplication — chrome is shared across sites), chunk
+    instances whose digest spans ≥2 groups, and the dup mass in exact
+    ppm. Chunks are NON-overlapping ``chunk_tokens`` windows (the
+    dedup operating point: overlapping windows would make every
+    neighbor pair a manufactured near-dup) via the same tokenizer as
+    the chunking front end.
+
+    Shape: one explode to chunk rows, ONE md5-digest-keyed exchange
+    for the global (count, group-count) table window-attached back —
+    never a self-join (the boilerplate_spans discipline), then one
+    group aggregate. Output: (group, n_chunks, dup_chunks,
+    cross_group_chunks, dup_ppm).
+    """
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        chunk_documents,
+    )
+
+    chunks = chunk_documents(
+        docs.filter(F.col(text_col).isNotNull()),
+        id_col,
+        text_col=text_col,
+        max_tokens=chunk_tokens,
+        overlap=0,
+    )
+    inst = chunks.join(
+        docs.select(id_col, F.col(group_col).alias("__g")), id_col
+    ).select("__g", F.md5(F.col("chunk_text")).alias("__dig"))
+    wd = Window.partitionBy("__dig")
+    flagged = inst.select(
+        "__g",
+        F.count("*").over(wd).alias("__n"),
+        F.size(F.collect_set("__g").over(wd)).alias("__ng"),
+    )
+    return (
+        flagged.groupBy(F.col("__g").alias(group_col))
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("__n") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_chunks"),
+            F.sum(F.when(F.col("__ng") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cross_group_chunks"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.expr("CAST(1000000 * dup_chunks div n_chunks AS BIGINT)"),
+        )
+        .orderBy(group_col)
+    )

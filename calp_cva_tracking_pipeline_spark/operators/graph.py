@@ -1351,3 +1351,132 @@ SELECT CAST(cc_ppm // 100000 AS INT) AS band,
        CAST(SUM(cc_ppm) // COUNT(*) AS BIGINT) AS mean_cc_ppm
 FROM per_node GROUP BY 1 ORDER BY band
 """
+
+
+def square_census(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Exact 4-cycle (square) census — the bipartite-style clustering
+    signal triangles cannot see (co-purchase and user-item graphs are
+    locally bipartite: triangle-free yet massively 4-cyclic; squares
+    are their community texture). Count = Σ_{u<v} C(codeg(u,v), 2) / 2
+    over node-pair co-degrees — each square is counted once per
+    diagonal pair, and the division is exact because every square
+    contributes to exactly two diagonals of the SAME graph (the halving
+    is integral only on a true subgraph, which is why ``max_degree``
+    prunes hub NODES from the graph before counting, never just wedge
+    centers: a centers-only cap would break diagonal parity and the
+    closed-form would stop being integral).
+
+    Physical shape: co-degrees ride the SAME per-center sorted
+    collect_list + in-array pair expansion as ``neighbor_similarity``
+    (one exchange, wedge volume Σ deg(w)² — measured α≈1 linear at 64×
+    on identical machinery), then one (u,v)-keyed count and one global
+    sum. Output: one row (n_nodes, n_edges, n_codeg_pairs, n_squares).
+    """
+    e = (
+        edges.filter(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("s"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("d"),
+        )
+        .distinct()
+    )
+    if max_degree is not None:
+        adj0 = (
+            e.select(F.col("s").alias("w"))
+            .unionByName(e.select(F.col("d").alias("w")))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        hubs = adj0.filter(F.col("deg") > max_degree).select("w")
+        e = (
+            e.join(hubs.withColumnRenamed("w", "s"), "s", "left_anti")
+            .join(hubs.withColumnRenamed("w", "d"), "d", "left_anti")
+            .select("s", "d")
+        )
+    adj = (
+        e.select(F.col("s").alias("w"), F.col("d").alias("n"))
+        .unionByName(e.select(F.col("d").alias("w"), F.col("s").alias("n")))
+        .distinct()
+    )
+    buckets = adj.groupBy("w").agg(
+        F.array_sort(F.collect_list("n")).alias("__m")
+    )
+    m = F.col("__m")
+    pairs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.size(m)),
+                lambda y: F.struct(x.alias("na"), y.alias("nb")),
+            ),
+        )
+    )
+    codeg = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.na", "p.nb")
+        .groupBy("na", "nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("cd"))
+    )
+    sq = codeg.agg(
+        F.count(F.when(F.col("cd") >= 2, 1))
+        .cast("bigint")
+        .alias("n_codeg_pairs"),
+        F.expr(
+            "CAST(coalesce(sum(cd * (cd - 1) div 2), 0) div 2"
+            " AS BIGINT)"
+        ).alias("n_squares"),
+    )
+    stats = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg")).agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.expr("CAST(sum(deg) div 2 AS BIGINT)").alias("n_edges"),
+    )
+    return stats.crossJoin(F.broadcast(sq)).select(
+        "n_nodes", "n_edges", "n_codeg_pairs", "n_squares"
+    )
+
+
+def square_census_sql(edges_cte: str, max_degree: int | None = None) -> str:
+    """DuckDB oracle twin of ``square_census`` (naive wedge self-join
+    co-degrees on the same hub-pruned subgraph)."""
+    prune = ""
+    if max_degree is not None:
+        prune = f""",
+deg0 AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT s AS n FROM e0 UNION ALL SELECT d FROM e0) x GROUP BY 1),
+hubs AS (SELECT n FROM deg0 WHERE d > {max_degree})"""
+    esrc = "e0" if max_degree is None else (
+        "(SELECT s, d FROM e0 WHERE s NOT IN (SELECT n FROM hubs)"
+        " AND d NOT IN (SELECT n FROM hubs))"
+    )
+    return f"""
+WITH raw AS ({edges_cte}),
+e0 AS (
+  SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d
+  FROM raw WHERE src <> dst){prune},
+e AS (SELECT * FROM {esrc}),
+adj AS (
+  SELECT DISTINCT w, n FROM (
+    SELECT s AS w, d AS n FROM e UNION ALL SELECT d, s FROM e) x),
+codeg AS (
+  SELECT a1.n AS na, a2.n AS nb, COUNT(*) AS cd
+  FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.n < a2.n
+  GROUP BY 1, 2),
+sq AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN cd >= 2 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_codeg_pairs,
+         CAST(COALESCE(SUM(cd * (cd - 1) // 2), 0) // 2 AS BIGINT)
+             AS n_squares
+  FROM codeg),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d) // 2 AS BIGINT) AS n_edges
+  FROM (SELECT w, COUNT(*) AS d FROM adj GROUP BY 1))
+SELECT n_nodes, n_edges, n_codeg_pairs, n_squares
+FROM stats CROSS JOIN sq
+"""

@@ -326,3 +326,60 @@ def clustering_depth(
         )
         .orderBy(group_col)
     )
+
+
+def prune_plan(
+    cells: DataFrame,
+    preds: DataFrame,
+    min_col: str = "lo",
+    max_col: str = "hi",
+    rows_col: str = "r",
+) -> DataFrame:
+    """Partition-pruning simulator over micro-partition METADATA: for
+    each declared range predicate (pred_name, lo, hi) — a tiny
+    broadcast table, possibly derived lazily from data statistics —
+    count which cells survive min/max pruning and what row volume a
+    scan would actually read. This turns "would Z-ordering help?" and
+    "is this predicate selective enough for the layout?" into numbers
+    BEFORE a 100 TB scan is paid for: scanned_ppm ≈ 10⁶ means the
+    layout does nothing for that predicate (see `clustering_depth` for
+    the per-key diagnosis). Cells with NULL bounds are counted as
+    always-scanned (a cell without stats cannot be pruned — the
+    conservative reading real engines use).
+
+    Shape: cells metadata × a predicate list joined with a broadcast
+    (both metadata-scale), one aggregate per predicate. Output:
+    (pred_name, n_cells, n_cells_scanned, rows_total, rows_scanned,
+    scanned_ppm).
+    """
+    c = cells.select(
+        F.col(min_col).alias("__lo"),
+        F.col(max_col).alias("__hi"),
+        F.col(rows_col).cast("bigint").alias("__r"),
+    )
+    hit = (
+        F.col("__lo").isNull()
+        | F.col("__hi").isNull()
+        | ((F.col("__lo") <= F.col("hi")) & (F.col("lo") <= F.col("__hi")))
+    )
+    return (
+        c.crossJoin(F.broadcast(preds))
+        .groupBy("pred_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum(F.when(hit, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cells_scanned"),
+            F.sum("__r").cast("bigint").alias("rows_total"),
+            F.sum(F.when(hit, F.col("__r")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+        )
+        .withColumn(
+            "scanned_ppm",
+            F.expr(
+                "CAST(1000000 * rows_scanned div rows_total AS BIGINT)"
+            ),
+        )
+        .orderBy("pred_name")
+    )

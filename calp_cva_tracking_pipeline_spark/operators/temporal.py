@@ -2084,3 +2084,101 @@ def out_of_order_audit(
         )
         .orderBy(key_col)
     )
+
+
+def forecast_backtest(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    season: int = 7,
+    ma_window: int = 3,
+) -> DataFrame:
+    """Forecast-baseline backtest per key — the M-competition floor
+    every fancy model must beat BEFORE it ships: one-step-ahead errors
+    of naive (yesterday's value), seasonal-naive (value ``season`` days
+    back) and the trailing ``ma_window``-day moving average, over the
+    daily micro-int mean series. A model that cannot beat these three
+    numbers on YOUR data is a liability, and computing them costs one
+    window pass. Errors stay in exact micro ints; MAE uses Σ|e| (so
+    floor-div agrees across engines) and the signed bias ships as the
+    raw exact Σe with n, never a signed floor-division (truncation
+    direction differs across engines on negatives).
+
+    Output: (key, method, n_preds, mae_micro, sum_err_micro,
+    worst_abs_micro), methods present only where their lag exists —
+    keys shorter than the season emit no seasonal-naive row by
+    contract. One key-ordered window exchange; the daily
+    pre-aggregation bounds every series like the Theil–Sen kernel.
+    """
+    daily = (
+        df.filter(
+            F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("__k"),
+            F.col(ts_col).cast("date").alias("__day"),
+            F.expr(
+                f"CAST(ROUND({value_col} * 1000000, 0) AS BIGINT)"
+            ).alias("__vm"),
+        )
+        .groupBy("__k", "__day")
+        .agg(
+            F.expr("CAST(sum(__vm) div count(*) AS BIGINT)").alias("__v")
+        )
+    )
+    w = Window.partitionBy("__k").orderBy("__day")
+    wma = w.rowsBetween(-ma_window, -1)
+    preds = daily.select(
+        "__k",
+        "__v",
+        F.lag("__v", 1).over(w).alias("__naive"),
+        F.lag("__v", season).over(w).alias("__snaive"),
+        F.when(
+            F.count("__v").over(wma) >= ma_window,
+            F.expr(
+                f"CAST(sum(__v) OVER (PARTITION BY __k ORDER BY __day"
+                f" ROWS BETWEEN {ma_window} PRECEDING AND 1 PRECEDING)"
+                f" div {ma_window} AS BIGINT)"
+            ),
+        ).alias("__ma"),
+    )
+    rec = F.explode(
+        F.array(
+            F.struct(
+                F.lit("naive").alias("method"),
+                F.col("__naive").alias("pred"),
+            ),
+            F.struct(
+                F.lit("snaive").alias("method"),
+                F.col("__snaive").alias("pred"),
+            ),
+            F.struct(
+                F.lit(f"ma{ma_window}").alias("method"),
+                F.col("__ma").alias("pred"),
+            ),
+        )
+    )
+    errs = (
+        preds.select("__k", "__v", rec.alias("__r"))
+        .select(
+            "__k",
+            F.col("__r.method").alias("method"),
+            (F.col("__v") - F.col("__r.pred")).alias("__e"),
+        )
+        .filter(F.col("__e").isNotNull())
+    )
+    return (
+        errs.groupBy(F.col("__k").alias(key_col), "method")
+        .agg(
+            F.count("*").cast("bigint").alias("n_preds"),
+            F.expr(
+                "CAST(sum(abs(__e)) div count(*) AS BIGINT)"
+            ).alias("mae_micro"),
+            F.sum("__e").cast("bigint").alias("sum_err_micro"),
+            F.max(F.abs(F.col("__e"))).cast("bigint").alias(
+                "worst_abs_micro"
+            ),
+        )
+        .orderBy(key_col, "method")
+    )
