@@ -13093,6 +13093,157 @@ FROM flagged GROUP BY 1 ORDER BY source
 """
 
 
+TILE_SIZE = 8
+
+
+def mm_tile_dup(spark, sf_dir):
+    """Tile-level duplicate census (operators.phash.
+    image_tile_dup_census) — the watermark/chrome detector: a
+    deterministic BMP corpus where two shared 8×8 stamp variants
+    occupy the top-left tile of 2/3 of the images (doc_id mod 3 picks
+    variant A, B, or none) while every other pixel is per-image
+    unique; REAL encode → REAL stdlib decode → per-tile dims-prefixed
+    md5 luma digests → one (position, digest) exchange. Tile (0,0)
+    shows two giant groups; every other position shows organic
+    content. Oracle replays pixels, digests and the census in SQL."""
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.phash import (
+        image_tile_dup_census,
+        synthesize_bmp_payloads,
+    )
+
+    d = spread_small_input(T(spark, sf_dir, "documents").select("doc_id"))
+    h60 = "CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+    base_v = h60.format(
+        s="concat('tp|', CAST(doc_id AS STRING), '|', CAST(p AS STRING))"
+    )
+    wm_v = h60.format(
+        s=f"concat('wm', CAST(doc_id % 3 AS STRING), '|',"
+        f" CAST(p % {PHASH_W} AS STRING), '|',"
+        f" CAST(p DIV {PHASH_W} AS STRING))"
+    )
+    in_wm = (
+        f"doc_id % 3 < 2 AND p % {PHASH_W} < {TILE_SIZE}"
+        f" AND p DIV {PHASH_W} < {TILE_SIZE}"
+    )
+    synth = d.select(
+        "doc_id",
+        F.expr(
+            f"""transform(sequence(0, {PHASH_W * PHASH_H - 1}), p ->
+                  CAST(IF({in_wm}, ({wm_v}) % 256,
+                       ({base_v}) % 256) AS INT))"""
+        ).alias("px"),
+    )
+    imgs = synthesize_bmp_payloads(synth, "doc_id", "px", PHASH_W, PHASH_H)
+    return image_tile_dup_census(
+        imgs, "doc_id", "payload", tile=TILE_SIZE
+    )
+
+
+_TILE_BASE_V = (
+    "CAST(CAST(('0x' || substring(md5('tp|' || CAST(doc_id AS VARCHAR)"
+    " || '|' || CAST(p AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 256"
+)
+_TILE_WM_V = (
+    f"CAST(CAST(('0x' || substring(md5('wm' || CAST(doc_id % 3 AS VARCHAR)"
+    f" || '|' || CAST(p % {PHASH_W} AS VARCHAR) || '|'"
+    f" || CAST(p // {PHASH_W} AS VARCHAR)), 1, 15)) AS UBIGINT)"
+    f" AS BIGINT) % 256"
+)
+
+MM_TILE_DUP_SQL = f"""
+WITH pos AS (SELECT unnest(generate_series(0, {PHASH_W * PHASH_H - 1}))
+             AS p),
+px AS (
+  SELECT doc_id, p,
+         CASE WHEN doc_id % 3 < 2 AND p % {PHASH_W} < {TILE_SIZE}
+                   AND p // {PHASH_W} < {TILE_SIZE}
+              THEN {_TILE_WM_V} ELSE {_TILE_BASE_V} END AS v
+  FROM documents CROSS JOIN pos),
+tiles AS (
+  SELECT doc_id,
+         CAST((p % {PHASH_W}) // {TILE_SIZE} AS INT) AS tile_x,
+         CAST((p // {PHASH_W}) // {TILE_SIZE} AS INT) AS tile_y,
+         md5('{TILE_SIZE}x{TILE_SIZE}:'
+             || string_agg(CAST(v AS VARCHAR), ','
+                ORDER BY (p // {PHASH_W}) % {TILE_SIZE},
+                         (p % {PHASH_W}) % {TILE_SIZE})) AS digest
+  FROM px GROUP BY 1, 2, 3),
+digs AS (
+  SELECT tile_x, tile_y, digest, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tiles GROUP BY 1, 2, 3),
+groups AS (
+  SELECT tile_x, tile_y,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+         CAST(MAX(n) AS BIGINT) AS max_group
+  FROM digs WHERE n >= 2 GROUP BY 1, 2),
+census AS (
+  SELECT tile_x, tile_y,
+         CAST(SUM(n) AS BIGINT) AS n_images,
+         CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0)
+              AS BIGINT) AS dup_images
+  FROM digs GROUP BY 1, 2)
+SELECT c.tile_x, c.tile_y, c.n_images, c.dup_images,
+       COALESCE(g.n_dup_groups, 0) AS n_dup_groups,
+       COALESCE(g.max_group, 0) AS max_group
+FROM census c LEFT JOIN groups g
+  ON c.tile_x = g.tile_x AND c.tile_y = g.tile_y
+ORDER BY c.tile_y, c.tile_x
+"""
+
+
+def ev_conversion_ci(spark, sf_dir):
+    """Daily view→purchase conversion rate with a 95% Wilson interval
+    (operators.funnel.conversion_rate_series) — the funnel-health
+    series with honest small-n uncertainty; bounds are IEEE doubles
+    over exact counts in ONE canonical operand order both engines
+    replay bit-for-bit."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        conversion_rate_series,
+    )
+
+    return conversion_rate_series(T(spark, sf_dir, "events"))
+
+
+def _ev_conversion_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        WILSON_Z,
+        WILSON_Z2,
+    )
+
+    wilson = (
+        "round(((n_conversions / CAST(n_exposures AS DOUBLE)"
+        " + {z2} / (2.0 * n_exposures)) {sign} {z} * sqrt("
+        "(n_conversions / CAST(n_exposures AS DOUBLE))"
+        " * (1.0 - n_conversions / CAST(n_exposures AS DOUBLE))"
+        " / n_exposures"
+        " + {z2} / (4.0 * n_exposures * n_exposures)))"
+        " / (1.0 + {z2} / n_exposures), 6)"
+    )
+    return f"""
+WITH day AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_exposures,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_conversions
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IN ('view', 'purchase')
+  GROUP BY 1)
+SELECT day, n_exposures, n_conversions,
+       CAST(1000000 * n_conversions // n_exposures AS BIGINT)
+           AS rate_ppm,
+       {wilson.format(z=WILSON_Z, z2=WILSON_Z2, sign='-')} AS wilson_lo,
+       {wilson.format(z=WILSON_Z, z2=WILSON_Z2, sign='+')} AS wilson_hi
+FROM day WHERE n_exposures > 0 ORDER BY day
+"""
+
+
+EV_CONVERSION_SQL = _ev_conversion_sql()
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -13365,4 +13516,7 @@ SCALE_QUERIES = {
     "ts_backtest": (ts_backtest, TS_BACKTEST_SQL),
     "lx_prune_plan": (lx_prune_plan, LX_PRUNE_SQL),
     "dd_chunk_dedup": (dd_chunk_dedup, DD_CHUNK_DEDUP_SQL),
+    # fifty-third wave (round 12)
+    "mm_tile_dup": (mm_tile_dup, MM_TILE_DUP_SQL),
+    "ev_conversion_ci": (ev_conversion_ci, EV_CONVERSION_SQL),
 }

@@ -1248,3 +1248,78 @@ def activity_from_user_cells(cells: DataFrame) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+# Wilson z for 95% two-sided, embedded as a fixed literal so both
+# engines fold the identical double (never compute it from a libm
+# quantile at plan time).
+WILSON_Z = 1.959964
+WILSON_Z2 = WILSON_Z * WILSON_Z
+
+
+def conversion_rate_series(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    exposure_type: str = "view",
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Daily conversion rate with a 95% Wilson score interval — the
+    is-the-funnel-broken-today readout with honest uncertainty: a
+    3-conversion day and a 3,000-conversion day showing the same rate
+    are NOT the same evidence, and the Wilson interval (unlike the
+    textbook normal approximation) stays inside [0,1] and behaves at
+    small n — which daily slices of a funnel always include. The rate
+    is a TRUE proportion: conversions over ALL funnel events that day
+    (exposure + conversion types), so k ≤ n holds by construction even
+    when conversion events are not logged as a subset of exposures.
+    Rows: (day, n_exposures, n_conversions, rate_ppm, wilson_lo,
+    wilson_hi) with n_exposures = the funnel-event denominator; days
+    with zero funnel events are absent by construction.
+
+    Engine-exactness: counts are exact integers; rate_ppm is a floor
+    division; the Wilson bounds are IEEE double arithmetic over those
+    integers with the z constant embedded as a fixed literal and the
+    formula spelled in ONE canonical operand order mirrored by the SQL
+    twin (sqrt is correctly-rounded per IEEE — the same expression
+    tree yields the same bits), rounded to 6 dp at the very end.
+    One day-keyed aggregation is the only exchange.
+    """
+    e = events.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(type_col).isin(exposure_type, conversion_type)
+    ).select(
+        F.col(ts_col).cast("date").alias("day"),
+        (F.col(type_col) == conversion_type).alias("__conv"),
+    )
+    day = e.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_exposures"),
+        F.sum(F.when(F.col("__conv"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_conversions"),
+    ).filter(F.col("n_exposures") > 0)
+    # canonical spelling shared with the SQL twin: p = k/n computed
+    # once, then center/margin/denominator in this exact order
+    expr = (
+        "round(((n_conversions / CAST(n_exposures AS DOUBLE)"
+        " + {z2} / (2.0 * n_exposures)) {sign} {z} * sqrt("
+        "(n_conversions / CAST(n_exposures AS DOUBLE))"
+        " * (1.0 - n_conversions / CAST(n_exposures AS DOUBLE))"
+        " / n_exposures"
+        " + {z2} / (4.0 * n_exposures * n_exposures)))"
+        " / (1.0 + {z2} / n_exposures), 6)"
+    )
+    return day.select(
+        "day",
+        "n_exposures",
+        "n_conversions",
+        F.expr(
+            "CAST(1000000 * n_conversions div n_exposures AS BIGINT)"
+        ).alias("rate_ppm"),
+        F.expr(
+            expr.format(z=WILSON_Z, z2=WILSON_Z2, sign="-")
+        ).alias("wilson_lo"),
+        F.expr(
+            expr.format(z=WILSON_Z, z2=WILSON_Z2, sign="+")
+        ).alias("wilson_hi"),
+    ).orderBy("day")

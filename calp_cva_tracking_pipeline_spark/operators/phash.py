@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -671,4 +672,114 @@ def audio_vad_segments(
         )
         .drop("__isl")
         .orderBy("media_id", "seg_start")
+    )
+
+
+def image_tile_dup_census(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    tile: int = 8,
+) -> DataFrame:
+    """Tile-level duplicate census — the watermark/logo/chrome detector
+    whole-image dedup misses: a shared overlay occupies ONE region of
+    otherwise-distinct images, so per-tile decode-level digests (md5
+    over the tile's luma sequence, dims-prefixed like the frame-dedup
+    convention — re-encoded byte-different copies still match) group
+    exactly where the overlay sits. Per tile position: images decoded,
+    images whose tile digest repeats anywhere at that position, digest
+    groups of ≥2 and the largest group — a position with a giant group
+    is a stamped asset, a position with none is organic content.
+
+    Physical shape: ONE Arrow-batched real-BMP decode pass emitting
+    (image, tile_x, tile_y, digest) rows — (w/tile)·(h/tile) digests
+    per image, never raw pixels, cross the Python/JVM boundary — then
+    one (position, digest)-keyed exchange and a position-level
+    aggregate. Undecodable payloads drop by the decode_ok contract.
+    Output: (tile_x, tile_y, n_images, dup_images, n_dup_groups,
+    max_group).
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from calp_cva_tracking_pipeline_spark.operators.bmp_stdlib import (
+            decode_bmp,
+        )
+        from calp_cva_tracking_pipeline_spark.operators.png_stdlib import (
+            to_grayscale,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, ch, px = decode_bmp(bytes(payload))
+                    grey = to_grayscale(w, h, ch, px)
+                    for ty in range(h // tile):
+                        for tx in range(w // tile):
+                            vals = [
+                                grey[(ty * tile + dy) * w + tx * tile + dx]
+                                for dy in range(tile)
+                                for dx in range(tile)
+                            ]
+                            dig = hashlib.md5(
+                                (
+                                    f"{tile}x{tile}:"
+                                    + ",".join(str(v) for v in vals)
+                                ).encode()
+                            ).hexdigest()
+                            rows.append((mid, tx, ty, dig, "ok_stdlib"))
+                except Exception:
+                    rows.append((mid, None, None, None, "error"))
+            yield pd.DataFrame(
+                rows,
+                columns=["__id", "tile_x", "tile_y", "digest", "decode_ok"],
+            )
+
+    schema = StructType(
+        [
+            StructField("__id", LongType(), False),
+            StructField("tile_x", IntegerType(), True),
+            StructField("tile_y", IntegerType(), True),
+            StructField("digest", StringType(), True),
+            StructField("decode_ok", StringType(), False),
+        ]
+    )
+    tiles = (
+        df.select(id_col, payload_col)
+        .mapInPandas(run, schema)
+        .filter(F.col("decode_ok") == "ok_stdlib")
+    )
+    wd = Window.partitionBy("tile_x", "tile_y", "digest")
+    flagged = tiles.select(
+        "tile_x", "tile_y", F.count("*").over(wd).alias("__n")
+    )
+    groups = (
+        tiles.groupBy("tile_x", "tile_y", "digest")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .groupBy("tile_x", "tile_y")
+        .agg(
+            F.count("*").cast("bigint").alias("n_dup_groups"),
+            F.max("__n").cast("bigint").alias("max_group"),
+        )
+    )
+    return (
+        flagged.groupBy("tile_x", "tile_y")
+        .agg(
+            F.count("*").cast("bigint").alias("n_images"),
+            F.sum(F.when(F.col("__n") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_images"),
+        )
+        .join(groups, ["tile_x", "tile_y"], "left")
+        .select(
+            "tile_x",
+            "tile_y",
+            "n_images",
+            "dup_images",
+            F.coalesce("n_dup_groups", F.lit(0)).alias("n_dup_groups"),
+            F.coalesce("max_group", F.lit(0)).alias("max_group"),
+        )
+        .orderBy("tile_y", "tile_x")
     )
