@@ -13244,6 +13244,124 @@ FROM day WHERE n_exposures > 0 ORDER BY day
 EV_CONVERSION_SQL = _ev_conversion_sql()
 
 
+TUNER_BAND_CONFIGS = (2, 4, 8)
+
+
+def dd_lsh_tuner(spark, sf_dir):
+    """MinHash banding-parameter sweep (operators.dedup.
+    lsh_banding_tuner): the recall/precision/candidate-volume OPERATING
+    CURVE across (2, 4, 8)-band splits of the same 16-hash signature,
+    against exact Jaccard ground truth on the same augmented eval slice
+    as dd_lsh_recall — banding chosen from measurement, not the
+    textbook iid S-curve."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        lsh_banding_tuner,
+    )
+
+    base = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < LSH_EVAL_MAX_ID // 2)
+        .select("doc_id", "text")
+    )
+    variants = base.filter(
+        (F.col("doc_id") % 2 == 0) & F.col("text").isNotNull()
+    ).select(
+        (F.col("doc_id") + LSH_EVAL_MAX_ID // 2).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq0 qq1 qq2")).alias("text"),
+    )
+    return lsh_banding_tuner(
+        base.unionByName(variants),
+        "doc_id",
+        "text",
+        max_eval_id=LSH_EVAL_MAX_ID,
+        threshold_micro=LSH_EVAL_THRESHOLD_MICRO,
+        num_hashes=NUM_HASHES,
+        band_configs=TUNER_BAND_CONFIGS,
+        k=3,
+        max_bucket_docs=MAX_BUCKET_DOCS,
+    )
+
+
+def _dd_lsh_tuner_sql() -> str:
+    half = LSH_EVAL_MAX_ID // 2
+    per_band = []
+    selects = []
+    for nb in TUNER_BAND_CONFIGS:
+        rpb = NUM_HASHES // nb
+        banded_all = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band,"
+            f" array_to_string(list_slice(sig, {b * rpb + 1},"
+            f" {(b + 1) * rpb}), ',') AS key FROM sigs"
+            for b in range(nb)
+        )
+        per_band.append(f"""
+banded_{nb} AS (
+  SELECT doc_id, band, key FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bn
+    FROM ({banded_all})) t
+  WHERE bn <= {MAX_BUCKET_DOCS}),
+cand_{nb} AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded_{nb} l JOIN banded_{nb} r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+hit_{nb} AS (
+  SELECT truth.id_a FROM truth
+  JOIN cand_{nb} c ON c.id_a = truth.id_a AND c.id_b = truth.id_b)""")
+        selects.append(f"""
+SELECT CAST({nb} AS INT) AS bands, CAST({rpb} AS INT) AS rows_per_band,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{nb}) AS n_cand_pairs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit_{nb}) AS n_hit,
+  CASE WHEN (SELECT COUNT(*) FROM truth) > 0 THEN
+    CAST(1000000 * (SELECT COUNT(*) FROM hit_{nb})
+         // (SELECT COUNT(*) FROM truth) AS BIGINT) END AS recall_ppm,
+  CASE WHEN (SELECT COUNT(*) FROM cand_{nb}) > 0 THEN
+    CAST(1000000 * (SELECT COUNT(*) FROM hit_{nb})
+         // (SELECT COUNT(*) FROM cand_{nb}) AS BIGINT) END
+      AS precision_ppm""")
+    return f"""
+WITH eval_docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id < {half} AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + {half}, text || ' qq0 qq1 qq2'
+  FROM documents
+  WHERE doc_id < {half} AND doc_id % 2 = 0 AND text IS NOT NULL),
+docs_dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(text)
+                              ORDER BY doc_id) AS rn
+    FROM eval_docs) t
+  WHERE rn = 1),
+tok AS (
+  SELECT doc_id, list_transform({_SHINGLES},
+             s -> {_sql_hash60('s')} % {MERSENNE_P}) AS hs
+  FROM docs_dedup),
+sigs AS (
+  SELECT doc_id, [{_SIG_ELEMS}] AS sig FROM tok),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM docs_dedup),
+cntsh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c
+          FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT id_a, id_b FROM inter
+  JOIN cntsh ca ON ca.doc_id = id_a
+  JOIN cntsh cb ON cb.doc_id = id_b
+  WHERE 1000000 * i // (ca.c + cb.c - i)
+        >= {LSH_EVAL_THRESHOLD_MICRO}),{",".join(per_band)}
+{" UNION ALL ".join(selects)}
+ORDER BY bands
+"""
+
+
+DD_LSH_TUNER_SQL = _dd_lsh_tuner_sql()
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -13519,4 +13637,6 @@ SCALE_QUERIES = {
     # fifty-third wave (round 12)
     "mm_tile_dup": (mm_tile_dup, MM_TILE_DUP_SQL),
     "ev_conversion_ci": (ev_conversion_ci, EV_CONVERSION_SQL),
+    # fifty-fourth wave (round 12)
+    "dd_lsh_tuner": (dd_lsh_tuner, DD_LSH_TUNER_SQL),
 }

@@ -1992,3 +1992,127 @@ def chunk_dedup_census(
         )
         .orderBy(group_col)
     )
+
+
+def lsh_banding_tuner(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_eval_id: int,
+    threshold_micro: int = 500_000,
+    num_hashes: int = 16,
+    band_configs: tuple[int, ...] = (2, 4, 8),
+    k: int = 3,
+    max_bucket_docs: int | None = 64,
+) -> DataFrame:
+    """MinHash banding-parameter sweep — the OPERATING CURVE behind the
+    single point ``lsh_recall_eval`` measures: for each (bands,
+    rows-per-band) split of the SAME ``num_hashes`` signature, the
+    candidate volume, recall and precision against exact k-gram Jaccard
+    ground truth on the bounded eval slice. More bands with shorter
+    keys slides the S-curve left (higher recall, more candidates);
+    this prints the actual trade so the census picks its banding from
+    MEASUREMENT, not the textbook 1−(1−s^r)^b formula (whose iid
+    assumption real shingle distributions violate). One row per
+    config, ordered by bands.
+
+    The ground-truth pair table is computed ONCE (exact-dup collapsed
+    reps, broadcast all-pairs Jaccard — plan-time bounded by
+    ``max_eval_id``, the shared eval-operator contract); each config
+    re-runs only the banding + bucket join, which is the thing being
+    measured. Output: (bands, rows_per_band, n_true_pairs,
+    n_cand_pairs, n_hit, recall_ppm, precision_ppm), NULL ppm on empty
+    denominators.
+    """
+    for b in band_configs:
+        if num_hashes % b:
+            raise ValueError(
+                f"bands={b} must divide num_hashes={num_hashes}"
+            )
+    sl = df.filter(
+        (F.col(id_col) < max_eval_id) & F.col(text_col).isNotNull()
+    ).select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    reps = (
+        sl.groupBy(F.md5("__t").alias("__dig"), "__t")
+        .agg(F.min("__id").alias("__id"))
+        .select(
+            "__id", shingles(F.col("__t"), k=k, distinct=True).alias("__sh")
+        )
+    )
+    a = reps.select(
+        F.col("__id").alias("id_a"), F.col("__sh").alias("__sha")
+    )
+    b_ = reps.select(
+        F.col("__id").alias("id_b"), F.col("__sh").alias("__shb")
+    )
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    uni = (
+        F.size("__sha") + F.size("__shb")
+        - F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    )
+    truth = (
+        a.join(F.broadcast(b_), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.when(uni > 0, F.expr("CAST(1000000 AS BIGINT)") * inter)
+            .otherwise(F.lit(0))
+            .alias("__num"),
+            F.when(uni > 0, uni).otherwise(F.lit(1)).alias("__den"),
+        )
+        .filter(
+            F.expr("__num div __den") >= F.lit(int(threshold_micro))
+        )
+        .select("id_a", "id_b")
+    )
+    n_true = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs")
+    )
+    out = None
+    for bands in band_configs:
+        cand = minhash_lsh_candidates(
+            df.filter(F.col(id_col) < max_eval_id),
+            id_col,
+            text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            k=k,
+            pre_collapse_exact=True,
+            max_bucket_docs=max_bucket_docs,
+        ).select("id_a", "id_b")
+        hit = truth.join(cand, ["id_a", "id_b"])
+        row = (
+            n_true.crossJoin(
+                cand.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_cand_pairs")
+                )
+            )
+            .crossJoin(
+                hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+            )
+            .select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(num_hashes // bands).cast("int").alias(
+                    "rows_per_band"
+                ),
+                "n_true_pairs",
+                "n_cand_pairs",
+                "n_hit",
+                F.when(
+                    F.col("n_true_pairs") > 0,
+                    F.expr(
+                        "CAST(1000000 * n_hit div n_true_pairs"
+                        " AS BIGINT)"
+                    ),
+                ).alias("recall_ppm"),
+                F.when(
+                    F.col("n_cand_pairs") > 0,
+                    F.expr(
+                        "CAST(1000000 * n_hit div n_cand_pairs"
+                        " AS BIGINT)"
+                    ),
+                ).alias("precision_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("bands")
