@@ -196,6 +196,18 @@ HEADLINE = [
     "emb_knn_graph_serve",
     "dd_dup_census",
     "emb_sign_hamming",
+    # round 12 waves 47-54 additions (ditto), two genuinely new cost
+    # classes: real-WAV decode + posexplode + gaps-and-islands VAD
+    # segmentation (the per-frame Python→JVM boundary no other audio
+    # headliner crosses), and the chunk-explode + global-digest-window
+    # dedup census (chunk-grain row amplification the span auditors
+    # don't time). gr_squares (gr_triangles' wedge class at ~20x the
+    # volume — a suite-ballooning duplicate), the tile/conversion/
+    # stickiness/backtest audits (small aggregates over timed shapes)
+    # and dd_lsh_tuner (3x the timed LSH class on a bounded slice) are
+    # deliberately not duplicated.
+    "mm_audio_vad",
+    "dd_chunk_dedup",
 ]
 
 

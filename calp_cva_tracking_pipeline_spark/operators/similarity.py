@@ -1817,6 +1817,10 @@ def ivf_filtered_topk(
     )
     if cells is None:
         cells = assign_cells(corpus, cent, id_col, vec_col)
+    # string-compare both sides: an int predicate against a string
+    # column must FILTER, not ANSI-throw on a malformed cast (the
+    # degenerate-skew sweep feeds string labels); on a typed column
+    # the string render is bijective so the result is identical
     return ivf_topk(
         corpus,
         queries,
@@ -1827,7 +1831,10 @@ def ivf_filtered_topk(
         nprobe=nprobe,
         k=k,
         centroids=cent,
-        cells=cells.filter(F.col(filter_col) == F.lit(filter_value)),
+        cells=cells.filter(
+            F.col(filter_col).cast("string")
+            == F.lit(filter_value).cast("string")
+        ),
     )
 
 
