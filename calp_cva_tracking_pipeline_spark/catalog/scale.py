@@ -7036,6 +7036,44 @@ SELECT probe_id, point_id, dist_km FROM (
 WHERE rn = 1 ORDER BY probe_id
 """
 
+GX_KNN_K = 3
+
+
+def gx_knn_join(spark, sf_dir):
+    """Spatial k-NN join (operators.geo.knn_points): the 3 nearest
+    customers per supplier within the 500 km service radius —
+    nearest_point generalized past its argmin (dispatch candidates,
+    k-redundant assignment); same grid-cell radius join, one
+    probe-keyed rank cut, sparse neighborhoods return < k rows by
+    contract."""
+    from calp_cva_tracking_pipeline_spark.operators.geo import knn_points
+
+    pts = _geo_coords(
+        T(spark, sf_dir, "customer").select("c_custkey"), "c_custkey", "c"
+    )
+    prb = _geo_coords(
+        T(spark, sf_dir, "supplier").select("s_suppkey"), "s_suppkey", "s"
+    )
+    return knn_points(
+        pts,
+        prb,
+        radius_km=GEO_RADIUS_KM,
+        k=GX_KNN_K,
+        point_cols=("c_custkey", "lat", "lon"),
+        probe_cols=("s_suppkey", "lat", "lon"),
+        max_abs_lat=GEO_MAX_LAT,
+    )
+
+
+GX_KNN_SQL = f"""
+WITH cand AS ({GX_RADIUS_SQL})
+SELECT probe_id, point_id, dist_km, CAST(rn AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY dist_km ASC, point_id ASC) AS rn
+  FROM cand) t
+WHERE rn <= {GX_KNN_K} ORDER BY probe_id, rank
+"""
+
 
 # --- Round-10 capstone: the one-row dataset card -----------------------------
 
@@ -13362,6 +13400,109 @@ ORDER BY bands
 DD_LSH_TUNER_SQL = _dd_lsh_tuner_sql()
 
 
+def mm_video_summary(spark, sf_dir):
+    """Per-video quality-gate summary (operators.videoseq.
+    video_summary) — frame count, hard cuts, duplicate-frame ppm and
+    milli-luma mean off ONE decode pass: the row a curation gate reads
+    before paying encoder/captioning budget. Corpus: 3-video groups
+    share scene pixel content with rank-shifted cut frames ('vv' base
+    + 128·scene shift), and per-frame jitter applies ONLY inside scene
+    1 — so scene-0 frames duplicate within and across a group (dup ppm
+    varies with the cut position), scene-1 frames are distinct, and
+    each video carries exactly one hard cut. Oracle replays pixels,
+    digests, the lag criterion and the aggregates in SQL."""
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.videoseq import (
+        synthesize_frsq_payloads,
+        video_summary,
+    )
+
+    d = spread_small_input(T(spark, sf_dir, "documents").select("doc_id"))
+    npx = VSEQ_W * VSEQ_H
+    h60 = "CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+    scene = (
+        "IF(f >= ((doc_id DIV 3) * 13 + (doc_id % 3) * 7) % 6 + 1, 1, 0)"
+    )
+    vs = h60.format(
+        s="concat('vv|', CAST(doc_id DIV 3 AS STRING), '|',"
+        f" CAST({scene} AS STRING), '|', CAST(p AS STRING))"
+    )
+    vj = h60.format(
+        s="concat('vj|', CAST(doc_id AS STRING), '|', CAST(f AS STRING),"
+        " '|', CAST(p AS STRING))"
+    )
+    pixel = (
+        f"CAST(({vs}) % 112 + 128 * ({scene})"
+        f" + IF(({scene}) = 1, ({vj}) % 16, 0) AS INT)"
+    )
+    synth = d.select(
+        "doc_id",
+        F.expr(
+            f"""transform(sequence(0, {VSEQ_FRAMES - 1}), f ->
+                  transform(sequence(0, {npx - 1}), p -> {pixel}))"""
+        ).alias("frames"),
+    )
+    vids = synthesize_frsq_payloads(
+        synth, "doc_id", "frames", VSEQ_W, VSEQ_H
+    )
+    return video_summary(
+        vids, "doc_id", "payload", threshold_milli=VSEQ_CUT_MILLI
+    )
+
+
+_VSUM_SCENE = (
+    "CASE WHEN f >= ((doc_id // 3) * 13 + (doc_id % 3) * 7) % 6 + 1"
+    " THEN 1 ELSE 0 END"
+)
+_VSUM_VS = (
+    "CAST(CAST(('0x' || substring(md5('vv|' ||"
+    " CAST(doc_id // 3 AS VARCHAR) || '|' || CAST(s AS VARCHAR) || '|'"
+    " || CAST(p AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)"
+)
+_VSUM_VJ = (
+    "CAST(CAST(('0x' || substring(md5('vj|' ||"
+    " CAST(doc_id AS VARCHAR) || '|' || CAST(f AS VARCHAR) || '|'"
+    " || CAST(p AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)"
+)
+
+MM_VIDEO_SUMMARY_SQL = f"""
+WITH fr AS (SELECT unnest(generate_series(0, {VSEQ_FRAMES - 1})) AS f),
+px AS (SELECT unnest(generate_series(0, {VSEQ_W * VSEQ_H - 1})) AS p),
+cells AS (
+  SELECT doc_id, f, p, {_VSUM_SCENE} AS s
+  FROM documents CROSS JOIN fr CROSS JOIN px),
+vals AS (
+  SELECT doc_id, f, p,
+         ({_VSUM_VS}) % 112 + 128 * s
+         + CASE WHEN s = 1 THEN ({_VSUM_VJ}) % 16 ELSE 0 END AS v
+  FROM cells),
+frames AS (
+  SELECT doc_id, f,
+         CAST(SUM(v) AS BIGINT) AS ls,
+         CAST(COUNT(*) AS BIGINT) AS np,
+         md5('{VSEQ_W}x{VSEQ_H}:'
+             || string_agg(CAST(v AS VARCHAR), ',' ORDER BY p)) AS digest
+  FROM vals GROUP BY 1, 2),
+lagged AS (
+  SELECT *, (1000 * ls) // np AS mm,
+         LAG((1000 * ls) // np) OVER (PARTITION BY doc_id ORDER BY f)
+             AS prev
+  FROM frames)
+SELECT doc_id AS media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL
+                AND ABS(mm - prev) >= {VSEQ_CUT_MILLI}
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cuts,
+       CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_distinct_frames,
+       CAST(1000000 * (COUNT(*) - COUNT(DISTINCT digest))
+            // COUNT(*) AS BIGINT) AS dup_frame_ppm,
+       CAST((1000 * SUM(ls)) // SUM(np) AS BIGINT) AS mean_mluma
+FROM lagged GROUP BY 1 ORDER BY media_id
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -13639,4 +13780,7 @@ SCALE_QUERIES = {
     "ev_conversion_ci": (ev_conversion_ci, EV_CONVERSION_SQL),
     # fifty-fourth wave (round 12)
     "dd_lsh_tuner": (dd_lsh_tuner, DD_LSH_TUNER_SQL),
+    # fifty-fifth wave (round 12)
+    "gx_knn_join": (gx_knn_join, GX_KNN_SQL),
+    "mm_video_summary": (mm_video_summary, MM_VIDEO_SUMMARY_SQL),
 }

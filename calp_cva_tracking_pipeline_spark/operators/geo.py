@@ -213,3 +213,42 @@ def nearest_point(
         .select("probe_id", "point_id", "dist_km")
         .orderBy("probe_id")
     )
+
+
+def knn_points(
+    points: DataFrame,
+    probes: DataFrame,
+    radius_km: float,
+    k: int = 3,
+    point_cols: tuple[str, str, str] = ("point_id", "lat", "lon"),
+    probe_cols: tuple[str, str, str] = ("probe_id", "lat", "lon"),
+    max_abs_lat: float = 60.0,
+) -> DataFrame:
+    """k nearest points per probe WITHIN ``radius_km`` → (probe_id,
+    point_id, dist_km, rank ≤ k): the spatial k-NN join (dispatch
+    candidates, k-redundant site assignment, nearest-depots ranking) —
+    `nearest_point` generalized past its argmin. Bounded-radius by the
+    same contract (a probe returns only what its service radius
+    contains — fewer than k rows when the neighborhood is sparse, never
+    an arbitrarily far fill); candidates come off the SAME grid-cell
+    radius join (3×3 neighborhood equi-join, haversine residual — no
+    cross join), and the rank cut is one probe-keyed WindowGroupLimit
+    over the candidate set with (rounded distance, point id) total
+    order, deterministic cross-engine.
+    """
+    from pyspark.sql import Window
+
+    cand = radius_join(
+        points, probes, radius_km,
+        point_cols=point_cols, probe_cols=probe_cols,
+        max_abs_lat=max_abs_lat,
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("dist_km").asc(), F.col("point_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "point_id", "dist_km", "rank")
+        .orderBy("probe_id", "rank")
+    )

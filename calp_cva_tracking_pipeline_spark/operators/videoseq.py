@@ -390,3 +390,129 @@ def video_neardup_pairs(
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def video_summary(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    threshold_milli: int = 20000,
+) -> DataFrame:
+    """Per-video quality-gate summary off ONE decode pass: frame count,
+    hard-cut count (the scene_cuts milli-luma lag criterion), distinct
+    decode-level frame digests, duplicate-frame ppm and the whole-video
+    milli-luma mean — the row a video-curation gate reads before
+    spending encoder/captioning budget on a clip (a 0-cut,
+    90%-duplicate-frame "video" is a slideshow; a near-black mean is a
+    broken capture). Composes the scene-cut and frame-dedup kernels,
+    but decodes ONCE: a combined mapInPandas pass emits per-frame
+    (luma_sum, n_px, digest) rows — the integer stats of the cut
+    criterion and the identity digests together, so the container is
+    parsed and every BMP decoded exactly one time instead of once per
+    readout. All integer/exact: cuts use the 1000·Σluma div n_px lag,
+    dup ppm is a floor division, digests are the dims-prefixed md5
+    convention. Undecodable containers drop by the decode_ok contract.
+    Output: (media_id, n_frames, n_cuts, n_distinct_frames,
+    dup_frame_ppm, mean_mluma), ordered.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from calp_cva_tracking_pipeline_spark.operators.bmp_stdlib import (
+            decode_bmp,
+        )
+        from calp_cva_tracking_pipeline_spark.operators.png_stdlib import (
+            to_grayscale,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    for i, fb in enumerate(decode_frsq(bytes(payload))):
+                        w, h, ch, px = decode_bmp(fb)
+                        grey = to_grayscale(w, h, ch, px)
+                        dig = hashlib.md5(
+                            (
+                                f"{w}x{h}:"
+                                + ",".join(str(v) for v in grey)
+                            ).encode()
+                        ).hexdigest()
+                        rows.append(
+                            (mid, i, sum(grey), len(grey), dig,
+                             "ok_stdlib")
+                        )
+                except Exception:
+                    rows.append((mid, None, None, None, None, "error"))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "__id", "frame_idx", "luma_sum", "n_px", "digest",
+                    "decode_ok",
+                ],
+            )
+
+    schema = StructType(
+        [
+            StructField("__id", LongType(), False),
+            StructField("frame_idx", LongType(), True),
+            StructField("luma_sum", LongType(), True),
+            StructField("n_px", LongType(), True),
+            StructField("digest", StringType(), True),
+            StructField("decode_ok", StringType(), False),
+        ]
+    )
+    frames = (
+        df.select(id_col, payload_col)
+        .mapInPandas(run, schema)
+        .filter(F.col("decode_ok") == "ok_stdlib")
+    )
+    w = Window.partitionBy("__id").orderBy("frame_idx")
+    flagged = frames.select(
+        "__id",
+        "frame_idx",
+        "luma_sum",
+        "n_px",
+        "digest",
+        F.expr("(1000 * luma_sum) div n_px").alias("__mm"),
+    ).withColumn(
+        "__prev",
+        F.lag(F.expr("(1000 * luma_sum) div n_px"), 1).over(w),
+    )
+    return (
+        flagged.groupBy(F.col("__id").alias("media_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_frames"),
+            F.sum(
+                F.when(
+                    F.col("__prev").isNotNull()
+                    & (
+                        F.abs(F.col("__mm") - F.col("__prev"))
+                        >= threshold_milli
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_cuts"),
+            F.countDistinct("digest").cast("bigint").alias(
+                "n_distinct_frames"
+            ),
+            F.sum("luma_sum").alias("__ls"),
+            F.sum("n_px").alias("__np"),
+        )
+        .select(
+            "media_id",
+            "n_frames",
+            "n_cuts",
+            "n_distinct_frames",
+            F.expr(
+                "CAST(1000000 * (n_frames - n_distinct_frames)"
+                " div n_frames AS BIGINT)"
+            ).alias("dup_frame_ppm"),
+            F.expr("CAST((1000 * __ls) div __np AS BIGINT)").alias(
+                "mean_mluma"
+            ),
+        )
+        .orderBy("media_id")
+    )
