@@ -81,6 +81,10 @@ TEXT_FAMILY = [
     # DuckDB's RE2 on emoji/CJK/RTL/combining-mark text
     "tx_format_markers",
     "tx_readability",
+    # round 12 waves 52/54: chunk digests + the banding tuner hash RAW
+    # text bytes through the whitespace tokenizer / shingle path
+    "dd_chunk_dedup",
+    "dd_lsh_tuner",
 ]
 
 
