@@ -12257,13 +12257,15 @@ sl AS (
   SELECT k, n,
          list_sort(flatten(list_transform(range(1, n::INT), i ->
            list_transform(range(i + 1, n::INT + 1), j ->
-             (p[j].v - p[i].v)
-             / (1000000.0 * (p[j].d - p[i].d)))))) AS slopes
+             CAST(p[j].v - p[i].v AS DOUBLE)
+             / (CAST(1000000 AS DOUBLE)
+                * (p[j].d - p[i].d)))))) AS slopes
   FROM pts WHERE n >= 2)
 SELECT k AS event_type, n AS n_days,
        CAST(len(slopes) AS BIGINT) AS n_slopes,
        CAST(FLOOR(slopes[CAST((len(slopes) + 1) // 2 AS INT)]
-                  * 1000000000.0) AS BIGINT) AS slope_nano_per_day
+                  * CAST(1000000000 AS DOUBLE)) AS BIGINT)
+           AS slope_nano_per_day
 FROM sl ORDER BY event_type
 """
 

@@ -2006,11 +2006,18 @@ def theil_sen_trend(
         .filter(F.col("__n") >= 2)
         .withColumn(
             "__slopes",
+            # the divide MUST run in IEEE double: a bare 1000000.0
+            # literal types as DECIMAL in BOTH engines, and
+            # bigint/decimal division follows each engine's own
+            # decimal-scale rounding rules (caught by the pure-double
+            # Python reference in test_r12_wave_props) — CAST AS DOUBLE
+            # pins the bit-deterministic path
             F.expr(
                 "array_sort(flatten(transform(sequence(1, __n - 1), i ->"
                 " transform(sequence(i + 1, __n), j ->"
-                " (element_at(__pts, j).v - element_at(__pts, i).v)"
-                " / (1000000.0 * (element_at(__pts, j).d"
+                " CAST(element_at(__pts, j).v - element_at(__pts, i).v"
+                "      AS DOUBLE)"
+                " / (CAST(1000000 AS DOUBLE) * (element_at(__pts, j).d"
                 "                 - element_at(__pts, i).d))))))"
             ),
         )
@@ -2021,7 +2028,7 @@ def theil_sen_trend(
             F.expr(
                 "CAST(FLOOR(element_at(__slopes,"
                 " CAST((size(__slopes) + 1) div 2 AS INT))"
-                " * 1000000000.0) AS BIGINT)"
+                " * CAST(1000000000 AS DOUBLE)) AS BIGINT)"
             ).alias("slope_nano_per_day"),
         )
         .orderBy(key_col)
