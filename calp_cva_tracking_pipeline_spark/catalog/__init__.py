@@ -59,18 +59,18 @@ GATE = [
     "cc2_relevance_ml",
     "cc3_amount_cascade",
     "ep2_cva_by_location",
-    "dd_norm_exact", "dd_minhash_lsh", "dd_winnow", "mm_phash_neardup",
-    "ann_brute_topk", "mm_audio_dedup", "ann_ivf_topk", "tx_features",
+    "dd_norm_exact", "dd_winnow", "mm_phash_neardup",
+    "tx_features",
     "m1_classifier_stub", "st_sessionize",
     "tj_asof_join",
     "rt_rollup_hierarchy",
-    "gx_spatial_clusters", "gx_radius_join", "gr_pagerank", "cdc_upsert",
+    "gx_spatial_clusters", "gr_pagerank", "cdc_upsert",
     "ev_funnel", "pk_pack_audit", "ev_markov_stationary",
-    "rt_bm25_topk", "jx_salted_join",
+    "rt_bm25_topk",
     "gr_triangles", "emb_kmeans", "pf_approx_distinct",
-    "mm_scene_cuts", "tx_jsd",
+    "mm_scene_cuts",
     "dd_jaccard_join", "gr_bfs", "ml_class_metrics", "pf_dataset_card",
-    "mm_frame_dedup", "ev_itemsets", "pf_ref_integrity", "gr_communities",
+    "ev_itemsets", "pf_ref_integrity", "gr_communities",
     # seventh rotation (round 12): the eight round-11 sim-green
     # operators promoted to driver rows; retirees (tx_chunk,
     # tx_repetition, st_windowed_agg, ts_ewma, tx_pii_redact,
@@ -79,6 +79,29 @@ GATE = [
     "gr_adamic_adar", "dd_substring_spans", "mm_video_neardup",
     "emb_hard_negatives", "ann_ivf_incr", "rt_mmr", "pf_ldiversity",
     "ann_mrl_eval",
+    # eighth rotation (round 13, VERDICT r12 ask #1): the round-12
+    # measured-evidence tier promoted to driver rows. Retired to local
+    # parity (each stays catalog-resident with its oracle, 3-SF
+    # parity-verified): ann_brute_topk (its exact-top-k kernel runs
+    # verbatim as the ground-truth stage inside the now-gated
+    # ann_nprobe_frontier and the still-gated ann_mrl_eval),
+    # mm_frame_dedup (mm_video_summary's combined decode pass computes
+    # the identical per-frame digest census), tx_jsd (the unigram-JSD
+    # kernel rides in pf_release_report's corpus-divergence block and
+    # keeps 3-SF parity), jx_salted_join (salting is a physical-plan
+    # idiom; its logical join is j2's, and the salt-shape stays
+    # plan-pinned in test_plan_shapes.py), gx_radius_join (gx_knn_join
+    # gates the same 3×3 grid-bucket kernel with a rank cut on top;
+    # gx_spatial_clusters keeps radius-pair generation gated),
+    # mm_audio_dedup (mm_audio_vad gates the same WAV decode + frame
+    # energy kernel; the fingerprint stage keeps parity),
+    # ann_ivf_topk (the IVF probe kernel is gated three ways —
+    # ann_filtered_topk, ann_nprobe_frontier, ann_ivf_incr),
+    # dd_minhash_lsh (dd_lsh_tuner gates the same shingle→minhash→band
+    # kernel across THREE band splits; dd_lsh_recall keeps parity).
+    "dd_dup_census", "ann_nprobe_frontier", "dd_lsh_tuner",
+    "ann_filtered_topk", "dd_embed_contam", "mm_video_summary",
+    "mm_audio_vad", "gx_knn_join",
 ]
 
 ALL_QUERIES = {name: _MERGED[name] for name in GATE}

@@ -153,22 +153,30 @@ DRIVER_GATE = [
     "cc2_relevance_ml",
     "cc3_amount_cascade",
     "ep2_cva_by_location",
-    "dd_norm_exact", "dd_minhash_lsh", "dd_winnow", "mm_phash_neardup",
-    "ann_brute_topk", "mm_audio_dedup", "ann_ivf_topk", "tx_features",
+    "dd_norm_exact", "dd_winnow", "mm_phash_neardup",
+    "tx_features",
     "m1_classifier_stub", "st_sessionize",
     "tj_asof_join",
     "rt_rollup_hierarchy",
-    "gx_spatial_clusters", "gx_radius_join", "gr_pagerank", "cdc_upsert",
+    "gx_spatial_clusters", "gr_pagerank", "cdc_upsert",
     "ev_funnel", "pk_pack_audit", "ev_markov_stationary",
-    "rt_bm25_topk", "jx_salted_join",
+    "rt_bm25_topk",
     "gr_triangles", "emb_kmeans", "pf_approx_distinct",
-    "mm_scene_cuts", "tx_jsd",
+    "mm_scene_cuts",
     "dd_jaccard_join", "gr_bfs", "ml_class_metrics", "pf_dataset_card",
-    "mm_frame_dedup", "ev_itemsets", "pf_ref_integrity", "gr_communities",
+    "ev_itemsets", "pf_ref_integrity", "gr_communities",
     # seventh rotation (round 12) — promoted round-11 sim-green rows
     "gr_adamic_adar", "dd_substring_spans", "mm_video_neardup",
     "emb_hard_negatives", "ann_ivf_incr", "rt_mmr", "pf_ldiversity",
     "ann_mrl_eval",
+    # eighth rotation (round 13, VERDICT r12 ask #1) — the round-12
+    # measured-evidence tier gated; retirees ann_brute_topk,
+    # mm_frame_dedup, tx_jsd, jx_salted_join, gx_radius_join,
+    # mm_audio_dedup, ann_ivf_topk, dd_minhash_lsh to local parity
+    # (kernel-coverage rationale in catalog/__init__.py).
+    "dd_dup_census", "ann_nprobe_frontier", "dd_lsh_tuner",
+    "ann_filtered_topk", "dd_embed_contam", "mm_video_summary",
+    "mm_audio_vad", "gx_knn_join",
 ]
 
 
