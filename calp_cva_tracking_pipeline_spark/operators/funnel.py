@@ -1285,6 +1285,27 @@ def conversion_rate_series(
     tree yields the same bits), rounded to 6 dp at the very end.
     One day-keyed aggregation is the only exchange.
     """
+    return conversion_ci_from_cells(
+        conversion_day_cells(
+            events, ts_col, type_col, exposure_type, conversion_type
+        )
+    )
+
+
+def conversion_day_cells(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    exposure_type: str = "view",
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Per-batch (day, n_exposures, n_conversions) funnel counters — the
+    map half of the streaming conversion-CI resident. Both counters are
+    plain sums, so cells fold ADDITIVELY across micro-batches;
+    foreachBatch ledger + ``conversion_ci_from_cells`` ≡ the one-shot
+    ``conversion_rate_series`` — the Wilson bounds recompute from the
+    folded integer counts, never fold themselves
+    (tests/test_streaming.py)."""
     e = events.filter(
         F.col(ts_col).isNotNull()
         & F.col(type_col).isin(exposure_type, conversion_type)
@@ -1292,11 +1313,25 @@ def conversion_rate_series(
         F.col(ts_col).cast("date").alias("day"),
         (F.col(type_col) == conversion_type).alias("__conv"),
     )
-    day = e.groupBy("day").agg(
+    return e.groupBy("day").agg(
         F.count("*").cast("bigint").alias("n_exposures"),
         F.sum(F.when(F.col("__conv"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_conversions"),
+    )
+
+
+def conversion_ci_from_cells(cells: DataFrame) -> DataFrame:
+    """Conversion-CI readout from a PRE-AGGREGATED (day, n_exposures,
+    n_conversions) ledger — the streaming-foldable half of
+    ``conversion_rate_series``: re-collapse the append ledger by
+    summation, then the ppm rate and Wilson bounds as IEEE doubles over
+    the folded EXACT integers (intervals are a nonlinear function of
+    k/n, so the resident folds counters and recomputes bounds — folding
+    per-batch bounds would be wrong)."""
+    day = cells.groupBy("day").agg(
+        F.sum("n_exposures").cast("bigint").alias("n_exposures"),
+        F.sum("n_conversions").cast("bigint").alias("n_conversions"),
     ).filter(F.col("n_exposures") > 0)
     # canonical spelling shared with the SQL twin: p = k/n computed
     # once, then center/margin/denominator in this exact order

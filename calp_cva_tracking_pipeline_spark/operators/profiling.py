@@ -1805,10 +1805,43 @@ def freshness_audit(
     failure mode). Output: keys + (n_rows, last_ts, lag_s, stale),
     ordered by keys. Engine addition; no reference counterpart.
     """
-    as_of_us = F.unix_micros(F.to_timestamp(F.lit(as_of)))
-    agg = df.groupBy(*keys).agg(
+    return freshness_from_cells(
+        freshness_cells(df, keys, ts_col), keys, as_of, max_lag_seconds
+    )
+
+
+def freshness_cells(
+    df: DataFrame, keys: list[str], ts_col: str
+) -> DataFrame:
+    """Per-batch (keys..., n_rows, last_ts) arrival cells — the map half
+    of the streaming freshness resident. n_rows folds by SUM and
+    last_ts by MAX (both associative + commutative), so an appended
+    multi-batch ledger re-collapses to exactly the one-shot cells;
+    foreachBatch ledger + ``freshness_from_cells`` ≡ the one-shot
+    ``freshness_audit`` (tests/test_streaming.py)."""
+    return df.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.max(F.col(ts_col)).alias("last_ts"),
+    )
+
+
+def freshness_from_cells(
+    cells: DataFrame,
+    keys: list[str],
+    as_of: str,
+    max_lag_seconds: int,
+) -> DataFrame:
+    """Freshness readout from a PRE-AGGREGATED (keys..., n_rows,
+    last_ts) ledger — the streaming-foldable half of
+    ``freshness_audit``: re-collapse the append ledger (SUM rows, MAX
+    arrival — a group silent in every later batch keeps its last
+    arrival, which is precisely the staleness signal), then the
+    integer-seconds lag and SLA verdict against the explicit ``as_of``
+    cutoff."""
+    as_of_us = F.unix_micros(F.to_timestamp(F.lit(as_of)))
+    agg = cells.groupBy(*keys).agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.max("last_ts").alias("last_ts"),
     )
     lag_us = as_of_us - F.unix_micros(F.col("last_ts"))
     lag_s = (
@@ -2718,6 +2751,21 @@ def null_rate_drift(
     (previous-week delta is NULL on each column's first week). Output:
     (week, col_name, n, n_null, null_ppm, delta_ppm), ordered.
     """
+    return null_drift_from_cells(null_week_cells(df, ts_col, cols))
+
+
+def null_week_cells(
+    df: DataFrame,
+    ts_col: str,
+    cols: list[str],
+) -> DataFrame:
+    """Per-batch (week, col_name, n, n_null) null-census cells — the map
+    half of the streaming null-drift resident. Counts are plain sums,
+    so cells fold ADDITIVELY across micro-batches (append per-batch
+    cells, re-sum per (week, col_name)); foreachBatch ledger +
+    ``null_drift_from_cells`` ≡ the one-shot ``null_rate_drift`` — the
+    psi_bucket_cells / activity_user_cells discipline
+    (tests/test_streaming.py)."""
     if not cols:
         raise ValueError("cols must be non-empty")
     stacked = df.select(
@@ -2734,11 +2782,25 @@ def null_rate_drift(
             )
         ).alias("__s"),
     ).select("week", "__s.col_name", "__s.is_null")
-    cells = stacked.groupBy("week", "col_name").agg(
+    return stacked.groupBy("week", "col_name").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.coalesce(F.sum("is_null"), F.lit(0))
         .cast("bigint")
         .alias("n_null"),
+    )
+
+
+def null_drift_from_cells(cells: DataFrame) -> DataFrame:
+    """Null-drift readout from a PRE-AGGREGATED (week, col_name, n,
+    n_null) ledger — the streaming-foldable half of
+    ``null_rate_drift``: re-collapse the (possibly multi-batch append)
+    ledger by summation, then the integer-ppm series and its lag-1
+    delta over the column-keyed window. The re-collapse groupBy shares
+    the cells' partitioning keys, so composing the two halves in one
+    batch plan costs no extra exchange."""
+    cells = cells.groupBy("week", "col_name").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("n_null").cast("bigint").alias("n_null"),
     )
     ppm = F.expr("CAST(1000000 * n_null div n AS BIGINT)")
     w = Window.partitionBy("col_name").orderBy(F.asc_nulls_first("week"))
