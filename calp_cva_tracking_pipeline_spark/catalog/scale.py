@@ -11198,6 +11198,13 @@ def dd_dup_census(spark, sf_dir):
         # — without the cut each consumer would replan the whole
         # bucketed pair generation (the dd_cluster_pick lineage lesson;
         # r12 census plan audit measured 22 scans → 10 with the cut).
+        # CLUSTER NOTE (VERDICT r12 watch item): localCheckpoint pins
+        # blocks to live executors — correct in local mode and on
+        # static clusters, but under dynamic allocation a decommission
+        # loses the blocks mid-query. Production spelling there:
+        # spark.sparkContext.setCheckpointDir(<reliable dfs path>) and
+        # .checkpoint() instead — same plan cut, executor-independent
+        # (see README "Operational notes").
         j = pairs.join(
             smap.select(
                 F.col("__pid").alias("id_a"), F.col("source").alias("__sa")
