@@ -75,12 +75,17 @@ _SIG_ELEMS = ",\n    ".join(
 # docs_dedup mirrors operators.dedup.dedup_exact (pre-collapse of exact
 # duplicates before signatures — the skew guard); bucket_ok mirrors the
 # max_bucket_docs cap.
-_SIG_CTE = f"""
+def _sig_cte_over(src: str) -> str:
+    """MinHash banding CTE chain (exact pre-collapse → shingle hashes →
+    signatures → capped band buckets → candidate pairs) over an
+    arbitrary source relation — lets composed oracles (corpus release
+    audit) run the same banding over a GATED sub-corpus."""
+    return f"""
 docs_dedup AS (
   SELECT doc_id, text FROM (
     SELECT doc_id, text,
            ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-    FROM documents) t
+    FROM {src}) t
   WHERE rn = 1),
 tok AS (
   SELECT doc_id, list_transform({_SHINGLES}, s -> {_sql_hash60('s')} % {MERSENNE_P}) AS hs
@@ -101,6 +106,9 @@ cand AS (
   FROM banded l JOIN banded r
     ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
 """
+
+
+_SIG_CTE = _sig_cte_over("documents")
 
 # ---------------------------------------------------------------------------
 # dedup family
@@ -13512,6 +13520,134 @@ FROM lagged GROUP BY 1 ORDER BY media_id
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus release audit — the T18 curation pipeline as an oracle-gated
+# projection (VERDICT r12 ask #5)
+# ---------------------------------------------------------------------------
+
+CORPUS_MIN_QUALITY = 0.5
+CORPUS_MIN_TOKENS = 5
+CORPUS_JACCARD_T = 0.8
+CORPUS_N_SHARDS = 8
+# synthetic audit variants live above docs AND above the norm/LSH tiers'
+# augmentation ranges (norm: +1e6, lsh eval: < LSH_EVAL_MAX_ID)
+CORPUS_DUP_OFFSET = 4_000_000
+CORPUS_JUNK_OFFSET = 8_000_000
+
+
+def corpus_release_audit(spark, sf_dir):
+    """End-to-end audit of the T18 curation recipe (plans.corpus.
+    corpus_release_report): quality/length gates → exact dedup →
+    LSH-candidate + exact-Jaccard-verified greedy near-dup drop, reduced
+    to one row per source with the conservation invariant
+    n_raw = gate + exact + neardup + kept and a portable-hash shard
+    manifest check — the whole pipeline's bookkeeping is
+    SQL-recomputable, so the composition (not just each stage) is
+    oracle-verified. The corpus is AUGMENTED with deterministic
+    exact-copy (every 7th doc) and junk (every 11th doc, 2-token)
+    variants — the dd_norm_exact derive-from-testdata discipline, since
+    the raw corpus has zero gate failures and zero exact dups at
+    sf0.01, which would leave two audit columns degenerate."""
+    from calp_cva_tracking_pipeline_spark.plans.corpus import (
+        corpus_release_report,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    dups = d.filter(
+        (F.col("doc_id") % 7 == 0) & F.col("text").isNotNull()
+    ).select(
+        (F.col("doc_id") + CORPUS_DUP_OFFSET).alias("doc_id"),
+        "source",
+        "text",
+    )
+    junk = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + CORPUS_JUNK_OFFSET).alias("doc_id"),
+        "source",
+        F.lit("x y").alias("text"),
+    )
+    return corpus_release_report(
+        d.unionByName(dups).unionByName(junk),
+        min_quality=CORPUS_MIN_QUALITY,
+        min_tokens=CORPUS_MIN_TOKENS,
+        jaccard_threshold=CORPUS_JACCARD_T,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        max_bucket_docs=MAX_BUCKET_DOCS,
+        n_shards=CORPUS_N_SHARDS,
+    )
+
+
+_CORPUS_QUALITY = f"""
+(CASE WHEN {_NTOK} >= 10 AND {_NTOK} <= 10000 THEN 0.4 ELSE 0.0 END)
+ + (CASE WHEN {_PUNCT_RATIO} < 0.1 THEN 0.3 ELSE 0.0 END)
+ + (CASE WHEN {_SW_RATIO} > 0.01 THEN 0.3 ELSE 0.0 END)
+"""
+
+CORPUS_RELEASE_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CORPUS_DUP_OFFSET}, source, text
+  FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + {CORPUS_JUNK_OFFSET}, source, 'x y'
+  FROM documents WHERE doc_id % 11 = 0),
+base AS (
+  SELECT doc_id, source, text,
+         CAST({_NTOK} AS INTEGER) AS n_tok,
+         (({_CORPUS_QUALITY}) >= {CORPUS_MIN_QUALITY}
+          AND {_NTOK} >= {CORPUS_MIN_TOKENS}) AS gate
+  FROM aug),
+gated AS (SELECT doc_id, text FROM base WHERE gate),
+{_sig_cte_over("gated")},
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM docs_dedup),
+cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT cand.id_a, cand.id_b, COUNT(*) AS i
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.id_a
+  JOIN sh b ON b.doc_id = cand.id_b AND a.s = b.s
+  GROUP BY 1, 2),
+verified AS (
+  SELECT cand.id_a, cand.id_b,
+         ROUND(COALESCE(i, 0) / (ca.c + cb.c - COALESCE(i, 0)), 6)
+             AS jaccard
+  FROM cand
+  JOIN cnt ca ON ca.doc_id = cand.id_a
+  JOIN cnt cb ON cb.doc_id = cand.id_b
+  LEFT JOIN inter ON inter.id_a = cand.id_a AND inter.id_b = cand.id_b),
+drops AS (
+  SELECT DISTINCT id_b AS doc_id FROM verified
+  WHERE jaccard >= {CORPUS_JACCARD_T}),
+lab AS (
+  SELECT b.source, b.n_tok,
+         CASE WHEN NOT b.gate THEN 'gate_drop'
+              WHEN dd.doc_id IS NULL THEN 'exact_drop'
+              WHEN dr.doc_id IS NOT NULL THEN 'neardup_drop'
+              ELSE 'kept' END AS status,
+         {_sql_hash60("('shard:' || CAST(b.doc_id AS VARCHAR))")}
+             % {CORPUS_N_SHARDS} AS shard
+  FROM base b
+  LEFT JOIN docs_dedup dd ON dd.doc_id = b.doc_id
+  LEFT JOIN drops dr ON dr.doc_id = b.doc_id)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(SUM(CASE WHEN status = 'gate_drop' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_gate_drop,
+       CAST(SUM(CASE WHEN status = 'exact_drop' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_drop,
+       CAST(SUM(CASE WHEN status = 'neardup_drop' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_neardup_drop,
+       CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN status = 'kept' THEN n_tok ELSE 0 END)
+            AS BIGINT) AS kept_tokens,
+       CAST(COUNT(DISTINCT CASE WHEN status = 'kept' THEN shard END)
+            AS BIGINT) AS shards_touched
+FROM lab GROUP BY source ORDER BY source
+"""
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -13792,4 +13928,7 @@ SCALE_QUERIES = {
     # fifty-fifth wave (round 12)
     "gx_knn_join": (gx_knn_join, GX_KNN_SQL),
     "mm_video_summary": (mm_video_summary, MM_VIDEO_SUMMARY_SQL),
+    # fifty-sixth wave (round 13): the T18 curation pipeline promoted
+    # from pytest-only to an oracle-verified end-to-end audit row
+    "corpus_release_audit": (corpus_release_audit, CORPUS_RELEASE_SQL),
 }

@@ -161,6 +161,122 @@ def curate_corpus(
     return out
 
 
+def corpus_release_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_docs: int | None = 64,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Per-source release audit of the FULL curation recipe — the
+    oracle-checkable projection of ``curate_corpus`` (the pk_pack_audit
+    trick: the pipeline's invariants as a bounded summary a SQL twin
+    can recompute). Runs the same stages on the same operators —
+    quality/length gates → exact dedup (min-id survivor) → LSH
+    candidates + exact-Jaccard-verified greedy near-dup drop — then
+    labels every document with its terminal status and reduces to one
+    row per source: (source, n_raw, n_gate_drop, n_exact_drop,
+    n_neardup_drop, n_kept, kept_tokens, shards_touched), with
+    n_raw = n_gate_drop + n_exact_drop + n_neardup_drop + n_kept by
+    construction. ``shards_touched`` replays the shard manifest with
+    the PORTABLE hash (stable_hash64 mod n_shards — the
+    oracle-recomputable stand-in for ``write_training_shards``'s
+    hash-repartition; same uniformity contract, engine-checkable).
+
+    Scale shape: one text-feature scan; the gate/status columns are
+    projections; exact-dedup survivorship is one digest window; the
+    near-dup drop set is candidate-sized and broadcast back; the final
+    reduce is one sources-bounded aggregation. The corpus is never
+    shuffled whole — identical to the production recipe's shape.
+    """
+    from calp_cva_tracking_pipeline_spark.functions.hashing import (
+        stable_hash64,
+    )
+
+    feats = add_text_features(docs, text_col)
+    base = feats.select(
+        id_col,
+        source_col,
+        text_col,
+        "n_tokens",
+        (
+            (F.col("quality") >= min_quality)
+            & (F.col("n_tokens") >= min_tokens)
+        ).alias("__gate"),
+    )
+    gated = base.filter(F.col("__gate")).select(
+        id_col, source_col, text_col, "n_tokens"
+    )
+    exact = dedup_exact(gated, text_col, id_col)
+    drops = near_dup_drop_set(
+        exact,
+        id_col,
+        text_col,
+        jaccard_threshold=jaccard_threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        max_bucket_docs=max_bucket_docs,
+    )
+    lab = (
+        base.join(
+            exact.select(F.col(id_col), F.lit(1).alias("__ex")),
+            [id_col],
+            "left",
+        )
+        .join(
+            F.broadcast(drops.withColumn("__dr", F.lit(1))),
+            [id_col],
+            "left",
+        )
+        .select(
+            source_col,
+            "n_tokens",
+            F.when(~F.col("__gate"), F.lit("gate_drop"))
+            .when(F.col("__ex").isNull(), F.lit("exact_drop"))
+            .when(F.col("__dr") == 1, F.lit("neardup_drop"))
+            .otherwise(F.lit("kept"))
+            .alias("__status"),
+            stable_hash64(
+                F.concat(
+                    F.lit("shard:"), F.col(id_col).cast("string")
+                )
+            ).alias("__h"),
+        )
+    )
+    kept = F.col("__status") == "kept"
+    return (
+        lab.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+            F.sum((F.col("__status") == "gate_drop").cast("int"))
+            .cast("bigint")
+            .alias("n_gate_drop"),
+            F.sum((F.col("__status") == "exact_drop").cast("int"))
+            .cast("bigint")
+            .alias("n_exact_drop"),
+            F.sum((F.col("__status") == "neardup_drop").cast("int"))
+            .cast("bigint")
+            .alias("n_neardup_drop"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.countDistinct(
+                F.when(kept, F.col("__h") % n_shards)
+            )
+            .cast("bigint")
+            .alias("shards_touched"),
+        )
+        .orderBy(source_col)
+    )
+
+
 def shuffle_corpus(
     df: DataFrame, id_col: str = "doc_id", seed: int = 42
 ) -> DataFrame:
