@@ -13521,6 +13521,94 @@ FROM lagged GROUP BY 1 ORDER BY media_id
 
 
 # ---------------------------------------------------------------------------
+# unicode-aware normalized dedup (VERDICT r12 ask #6)
+# ---------------------------------------------------------------------------
+
+UNICODE_VARIANT_OFFSET = 2_000_000
+# the deterministic re-encoding applied to every 6th doc: accent the
+# lowercase vowels, then append a smart-quote marker — the crawl-duplicate
+# class (same content, different encoder) the ASCII tier cannot see
+_UVAR_SRC = "aeio"
+_UVAR_DST = "àéîö"
+_UVAR_SUFFIX = "’"
+
+
+def _sql_ufold(expr: str) -> str:
+    """DuckDB twin of functions.text.unicode_fold: the identical 1:1
+    translate map plus the three 1→2 replaces, single quotes doubled
+    for the SQL literal."""
+    from calp_cva_tracking_pipeline_spark.functions.text import (
+        UNICODE_FOLD_DST,
+        UNICODE_FOLD_SRC,
+    )
+
+    src = UNICODE_FOLD_SRC.replace("'", "''")
+    dst = UNICODE_FOLD_DST.replace("'", "''")
+    return (
+        f"replace(replace(replace(translate({expr}, '{src}', '{dst}'),"
+        f" 'ß', 'ss'), 'æ', 'ae'), 'œ', 'oe')"
+    )
+
+
+def dd_norm_unicode(spark, sf_dir):
+    """Unicode-aware normalized dedup (operators.dedup.dedup_normalized
+    with unicode=True — the multilingual tier VERDICT r12 asked for):
+    corpus augmented with deterministic accented/smart-quote re-encoded
+    variants of every 6th doc (the dd_norm_exact derive-from-testdata
+    discipline — the raw corpus carries no diacritic variants), folded
+    via the 1:1 Latin-1/Latin-Ext-A map + ß/æ/œ replaces before the
+    ASCII normalization, so each re-encoding lands in its source's
+    family. Same one-digest-groupBy shape as the ASCII tier."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        dedup_normalized,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = d.filter(
+        (F.col("doc_id") % 6 == 0) & F.col("text").isNotNull()
+    ).select(
+        (F.col("doc_id") + UNICODE_VARIANT_OFFSET).alias("doc_id"),
+        F.concat(
+            F.translate(F.col("text"), _UVAR_SRC, _UVAR_DST),
+            F.lit(" " + _UVAR_SUFFIX),
+        ).alias("text"),
+    )
+    return dedup_normalized(
+        d.unionByName(variants), "doc_id", "text", unicode=True
+    )
+
+
+def _dd_norm_unicode_sql() -> str:
+    folded = _sql_ufold("lower(text)")
+    norm = (
+        r"md5(regexp_replace(trim(regexp_replace(regexp_replace("
+        rf"{folded}, '[!-/:-@\[-`{{-~]', '', 'g'), '\s+', ' ', 'g')),"
+        r" '\s+', ' ', 'g'))"
+    )
+    return rf"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {UNICODE_VARIANT_OFFSET},
+         translate(text, '{_UVAR_SRC}', '{_UVAR_DST}') || ' {_UVAR_SUFFIX}'
+  FROM documents WHERE doc_id % 6 = 0 AND text IS NOT NULL),
+base AS (
+  SELECT doc_id, {norm} AS norm_hash, md5(text) AS raw
+  FROM aug WHERE text IS NOT NULL)
+SELECT norm_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS rep_id,
+       CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_exact_distinct
+FROM base GROUP BY norm_hash
+HAVING COUNT(*) >= 2
+ORDER BY norm_hash
+"""
+
+
+DD_NORM_UNICODE_SQL = _dd_norm_unicode_sql()
+
+
+# ---------------------------------------------------------------------------
 # corpus release audit — the T18 curation pipeline as an oracle-gated
 # projection (VERDICT r12 ask #5)
 # ---------------------------------------------------------------------------
@@ -13931,4 +14019,5 @@ SCALE_QUERIES = {
     # fifty-sixth wave (round 13): the T18 curation pipeline promoted
     # from pytest-only to an oracle-verified end-to-end audit row
     "corpus_release_audit": (corpus_release_audit, CORPUS_RELEASE_SQL),
+    "dd_norm_unicode": (dd_norm_unicode, DD_NORM_UNICODE_SQL),
 }

@@ -28,6 +28,73 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+# Latin-1 / Latin-Extended-A diacritics folded to ASCII base letters, plus
+# common Unicode punctuation/whitespace re-encodings (smart quotes, en/em
+# dashes, NBSP-family spaces, ideographic space) mapped to their ASCII
+# equivalents. 1:1 mappings only — translate() is the one string-mapping
+# builtin Spark and DuckDB interpret identically; the three 1→2 folds
+# (ß→ss, æ→ae, œ→oe) go through replace(). Deliberately NOT full
+# NFKC/ICU: CJK, Cyrillic, Greek, Hangul pass through untouched (folding
+# across scripts is a curation decision); this tier catches the
+# western-European re-encodings — the dominant crawl-duplicate class a
+# byte-exact or ASCII-only pass misses. Input is assumed lowercased first
+# (the mapping covers lowercase letters; Unicode lower() is
+# engine-identical on these ranges, verified by the unicode parity sweep).
+UNICODE_FOLD_SRC = (
+    "\u00e0\u00e1\u00e2\u00e3\u00e4\u00e5"      # a-grave..a-ring
+    "\u00e8\u00e9\u00ea\u00eb"                  # e family
+    "\u00ec\u00ed\u00ee\u00ef"                  # i family
+    "\u00f2\u00f3\u00f4\u00f5\u00f6\u00f8"      # o family (+slash)
+    "\u00f9\u00fa\u00fb\u00fc"                  # u family
+    "\u00fd\u00ff\u00f1\u00e7\u00f0"            # y/n/c/eth
+    "\u0101\u0103\u0105\u0113\u0115\u0117\u0119\u011b"  # latin-ext a/e
+    "\u012b\u012d\u012f\u0131"                  # latin-ext i
+    "\u014d\u014f\u0151\u016b\u016d\u016f\u0171\u0173"  # latin-ext o/u
+    "\u0107\u0109\u010b\u010d\u010f\u0111"      # c/d
+    "\u011d\u011f\u0121\u0123\u0125\u0127"      # g/h
+    "\u0135\u0137\u013a\u013c\u013e\u0142"      # j/k/l
+    "\u0144\u0146\u0148\u0155\u0157\u0159"      # n/r
+    "\u015b\u015d\u015f\u0161\u0163\u0165\u0167"  # s/t
+    "\u0175\u0177\u017a\u017c\u017e"            # w/y/z
+    "\u2018\u2019\u201c\u201d\u2013\u2014"      # smart quotes, dashes
+    "\u00a0\u2009\u202f\u3000"                  # NBSP/thin/narrow/ideographic space
+)
+UNICODE_FOLD_DST = (
+    "aaaaaa"
+    "eeee"
+    "iiii"
+    "oooooo"
+    "uuuu"
+    "yyncd"
+    "aaaeeeee"
+    "iiii"
+    "ooouuuuu"
+    "ccccdd"
+    "gggghh"
+    "jkllll"
+    "nnnrrr"
+    "ssssttt"
+    "wyzzz"
+    "''\"\"--"
+    "    "
+)
+assert len(UNICODE_FOLD_SRC) == len(UNICODE_FOLD_DST)
+
+
+def unicode_fold(col: Column | str) -> Column:
+    """Fold common Unicode re-encodings to ASCII (see mapping above).
+
+    Oracle-SQL twin: ``sql_unicode_fold`` in catalog.scale builds the
+    identical translate/replace chain in DuckDB syntax — both engines
+    apply the same 1:1 character map and the same three 1→2 replaces,
+    so the folded strings are byte-identical.
+    """
+    c = F.translate(_c(col), UNICODE_FOLD_SRC, UNICODE_FOLD_DST)
+    c = F.replace(c, F.lit("ß"), F.lit("ss"))
+    c = F.replace(c, F.lit("æ"), F.lit("ae"))
+    return F.replace(c, F.lit("œ"), F.lit("oe"))
+
+
 def canonicalize_name(col: Column | str) -> Column:
     """lower → punctuation→space → collapse whitespace → trim.
 

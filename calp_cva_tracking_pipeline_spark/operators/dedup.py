@@ -1420,7 +1420,7 @@ def dedup_weights(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def dedup_normalized(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame, id_col: str, text_col: str, unicode: bool = False
 ) -> DataFrame:
     """Normalized-exact duplicate groups — the tier BETWEEN byte-exact
     md5 dedup and MinHash near-dup: case-fold, strip ASCII punctuation,
@@ -1429,26 +1429,38 @@ def dedup_normalized(
     stripping, case-only edits) without any pair expansion — still one
     16-byte-digest groupBy.
 
-    Normalization is deliberately ASCII-conservative (lower + ASCII
-    punctuation class + whitespace collapse, all SQL-replayable
+    Default normalization is deliberately ASCII-conservative (lower +
+    ASCII punctuation class + whitespace collapse, all SQL-replayable
     builtins): aggressive Unicode folding (NFKC, diacritics) belongs to
     a locale-aware pass and silently merging 'résumé'/'resume' is a
-    curation DECISION, not a default. Output: one row per normalized
-    family with >= 2 members — (norm_hash, n_docs, rep_id = min id,
-    n_exact_distinct = distinct RAW md5s inside the family; a family
-    with n_exact_distinct > 1 is exactly the mass byte-exact dedup
-    missed), ordered by norm_hash.
+    curation DECISION, not a default. ``unicode=True`` opts into that
+    decision for multilingual corpora (the norm at 100 TB): after
+    Unicode lower(), fold Latin-1/Latin-Extended-A diacritics to ASCII
+    base letters, smart quotes / en-em dashes to their ASCII forms, and
+    NBSP-family spaces to plain space (functions.text.unicode_fold —
+    one translate + three replaces, all JVM builtins with byte-exact
+    DuckDB twins), so 'Résumé', 'resume' and the NBSP-wrapped copy land
+    in one family. Documented limits: 1:1 map over the western-European
+    ranges plus ß/æ/œ; CJK/Cyrillic/Greek pass through unfolded (no ICU
+    in either engine — cross-script folding stays a locale-aware
+    downstream pass). Output: one row per normalized family with >= 2
+    members — (norm_hash, n_docs, rep_id = min id, n_exact_distinct =
+    distinct RAW md5s inside the family; a family with
+    n_exact_distinct > 1 is exactly the mass byte-exact dedup missed),
+    ordered by norm_hash.
     """
     from calp_cva_tracking_pipeline_spark.functions.text import (
         ASCII_PUNCT_CLASS,
+        unicode_fold,
     )
 
+    lowered = F.lower(F.col(text_col))
+    if unicode:
+        lowered = unicode_fold(lowered)
     norm = F.regexp_replace(
         F.trim(
             F.regexp_replace(
-                F.regexp_replace(
-                    F.lower(F.col(text_col)), ASCII_PUNCT_CLASS, ""
-                ),
+                F.regexp_replace(lowered, ASCII_PUNCT_CLASS, ""),
                 "\\s+",
                 " ",
             )

@@ -85,6 +85,12 @@ TEXT_FAMILY = [
     # text bytes through the whitespace tokenizer / shingle path
     "dd_chunk_dedup",
     "dd_lsh_tuner",
+    # round 13: the unicode fold tier itself (translate map + ß/æ/œ
+    # replaces + Unicode lower) must be BIT-EXACT across engines on the
+    # adversarial corpus — this is the sweep that licenses unicode=True;
+    # the release audit composes gate/dedup/banding over raw text
+    "dd_norm_unicode",
+    "corpus_release_audit",
 ]
 
 
