@@ -13523,6 +13523,110 @@ FROM lagged GROUP BY 1 ORDER BY media_id
 
 
 # ---------------------------------------------------------------------------
+# wave 56: classifier calibration audit + leakage-safe k-fold census
+# ---------------------------------------------------------------------------
+
+CALIB_BINS = 10
+
+
+def pf_calibration(spark, sf_dir):
+    """Reliability-diagram calibration audit (operators.sampling.
+    calibration_audit) of the M1 classifier's confidences against the
+    corpus gold labels — the trust gate before model scores become
+    routing thresholds (the reference's manual-review cut rides the
+    confidence, reference classifier_code/flow_inference.py): per fixed
+    confidence bin, count, share, claimed-vs-empirical ppm and the
+    gap. Integer-ppm arithmetic end-to-end; one bins-bounded
+    aggregation."""
+    from calp_cva_tracking_pipeline_spark.operators.mlstub import (
+        classify_flows,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        calibration_audit,
+    )
+
+    d = classify_flows(
+        T(spark, sf_dir, "documents"), "text", stub="native"
+    ).select(
+        "predicted_confidence",
+        (
+            F.col("predicted_class")
+            == F.when(F.col("lang") == "en", F.lit("Full")).otherwise(
+                F.lit("Partial")
+            )
+        ).alias("correct"),
+    )
+    return calibration_audit(
+        d, "predicted_confidence", "correct", n_bins=CALIB_BINS
+    )
+
+
+_M1_CONF = "(((length(text) * 2654435761) % 1000) / 1000.0)"
+
+PF_CALIBRATION_SQL = f"""
+WITH scored AS (
+  SELECT CAST({_M1_CONF} AS DOUBLE) AS conf,
+         (CASE WHEN {_M1_CONF} >= 0.5 THEN 'Full' ELSE 'Partial' END
+          = CASE WHEN lang = 'en' THEN 'Full' ELSE 'Partial' END)
+             AS correct
+  FROM documents WHERE text IS NOT NULL),
+cells AS (
+  SELECT LEAST(CAST(FLOOR(conf * {CALIB_BINS}) AS INT),
+               {CALIB_BINS - 1}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(conf * 1000000, 0) AS BIGINT)) AS BIGINT)
+             AS sc,
+         CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS sok
+  FROM scored GROUP BY 1)
+SELECT bin, n,
+       CAST((1000000 * n) // (SELECT SUM(n) FROM cells) AS BIGINT)
+           AS share_ppm,
+       CAST(sc // n AS BIGINT) AS mean_conf_ppm,
+       CAST((1000000 * sok) // n AS BIGINT) AS acc_ppm,
+       ABS(CAST(sc // n AS BIGINT)
+           - CAST((1000000 * sok) // n AS BIGINT)) AS gap_ppm
+FROM cells ORDER BY bin
+"""
+
+KFOLD_K = 5
+KFOLD_SEED = 42
+
+
+def mx_kfold(spark, sf_dir):
+    """Leakage-safe k-fold CV census (operators.sampling.kfold_audit):
+    every event of a user lands in one fold (portable group-hash mod k
+    — group_split's cross-validation sibling); the per-fold
+    group/row/share balance sheet validates the plan before k training
+    runs are paid for. NULL users form a NULL fold (unkeyed rows cannot
+    be leakage-assigned)."""
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        kfold_audit,
+    )
+
+    e = T(spark, sf_dir, "events").select("event_id", "user_id")
+    return kfold_audit(e, "user_id", KFOLD_K, seed=KFOLD_SEED)
+
+
+MX_KFOLD_SQL = f"""
+WITH lab AS (
+  SELECT user_id,
+         CAST(({_sql_hash60(
+             f"('fold:{KFOLD_SEED}:{KFOLD_K}:' || CAST(user_id AS VARCHAR))"
+         )} % {KFOLD_K}) AS INT) AS fold
+  FROM events),
+cells AS (
+  SELECT fold,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_groups,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lab GROUP BY fold)
+SELECT fold, n_groups, n_rows,
+       CAST((1000000 * n_rows) // (SELECT SUM(n_rows) FROM cells)
+            AS BIGINT) AS rows_ppm
+FROM cells ORDER BY fold NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
 # unicode-aware normalized dedup (VERDICT r12 ask #6)
 # ---------------------------------------------------------------------------
 
@@ -14022,4 +14126,6 @@ SCALE_QUERIES = {
     # from pytest-only to an oracle-verified end-to-end audit row
     "corpus_release_audit": (corpus_release_audit, CORPUS_RELEASE_SQL),
     "dd_norm_unicode": (dd_norm_unicode, DD_NORM_UNICODE_SQL),
+    "pf_calibration": (pf_calibration, PF_CALIBRATION_SQL),
+    "mx_kfold": (mx_kfold, MX_KFOLD_SQL),
 }

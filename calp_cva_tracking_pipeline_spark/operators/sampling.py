@@ -1228,3 +1228,119 @@ def waterfill_allocation(
         .withColumn("satisfied", F.col("alloc") >= F.col("supply"))
         .orderBy(key_col)
     )
+
+
+def calibration_audit(
+    df: DataFrame,
+    conf_col: str,
+    correct_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram table for classifier confidences — the
+    calibration audit a training pipeline runs before TRUSTING model
+    scores as routing thresholds (the reference routes flows to manual
+    review on a confidence cut, reference classifier_code/
+    flow_inference.py — a mis-calibrated cut silently shifts the
+    review workload): per fixed confidence bin, the sample count, mean
+    claimed confidence vs empirical accuracy (both integer ppm) and the
+    absolute gap — ECE is the share-weighted gap sum, computable from
+    these rows.
+
+    Engine-exactness: confidences scale to integer ppm per row
+    (round half-up, exact for milli-grained stub scores), so the
+    per-bin mean is an integer floor division and the gap is integer
+    subtraction — no float accumulation order anywhere. NULL
+    confidences drop (unscored rows are a coverage question, not a
+    calibration one). One bins-bounded aggregation; the share column's
+    total comes from a window over ≤ n_bins rows. Output: (bin, n,
+    share_ppm, mean_conf_ppm, acc_ppm, gap_ppm), ordered by bin.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2: {n_bins}")
+    base = df.filter(F.col(conf_col).isNotNull()).select(
+        F.least(
+            F.floor(F.col(conf_col) * n_bins).cast("int"),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+        F.round(F.col(conf_col) * 1_000_000, 0).cast("long").alias("__c"),
+        F.col(correct_col).cast("int").alias("__ok"),
+    )
+    cells = base.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__c").alias("__sc"),
+        F.coalesce(F.sum("__ok"), F.lit(0)).alias("__sok"),
+    )
+    w_all = Window.partitionBy()
+    return (
+        cells.select(
+            "bin",
+            "n",
+            F.expr("CAST(__sc div n AS BIGINT)").alias("mean_conf_ppm"),
+            F.expr("CAST(1000000 * __sok div n AS BIGINT)").alias(
+                "acc_ppm"
+            ),
+        )
+        .withColumn("__tot", F.sum("n").over(w_all))
+        .withColumn(
+            "share_ppm",
+            F.expr("CAST((1000000 * n) div __tot AS BIGINT)"),
+        )
+        .select(
+            "bin",
+            "n",
+            "share_ppm",
+            "mean_conf_ppm",
+            "acc_ppm",
+            F.abs(F.col("mean_conf_ppm") - F.col("acc_ppm")).alias(
+                "gap_ppm"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+def kfold_assign(
+    df: DataFrame, group_col: str, k: int, seed: int = 42
+) -> DataFrame:
+    """Append a leakage-safe ``fold`` column: every row of a group lands
+    in the same fold (portable hash of the group key mod k — the
+    cross-validation sibling of ``group_split``'s single train/test
+    cut), deterministic across engines/partitionings, reshuffled by
+    seed. NULL groups get a NULL fold (an unkeyed row cannot be
+    leakage-assigned; callers decide)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    h = stable_hash64(
+        F.concat(
+            F.lit(f"fold:{seed}:{k}:"),
+            F.col(group_col).cast("string"),
+        )
+    )
+    return df.withColumn("fold", (h % k).cast("int"))
+
+
+def kfold_audit(
+    df: DataFrame, group_col: str, k: int, seed: int = 42
+) -> DataFrame:
+    """Per-fold census of the k-fold assignment: (fold, n_groups,
+    n_rows, rows_ppm) — the balance sheet that validates a CV plan
+    before k training runs are paid for (a hash-degenerate or
+    skew-grouped assignment shows up here as a lopsided rows_ppm, and
+    group counts prove no group straddles folds by construction). One
+    group-cardinality aggregation after the fold projection; the ppm
+    denominator is a window over ≤ k+1 rows."""
+    lab = kfold_assign(df, group_col, k, seed=seed)
+    cells = lab.groupBy("fold").agg(
+        F.countDistinct(group_col).cast("bigint").alias("n_groups"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    w_all = Window.partitionBy()
+    return (
+        cells.withColumn("__tot", F.sum("n_rows").over(w_all))
+        .withColumn(
+            "rows_ppm",
+            F.expr("CAST((1000000 * n_rows) div __tot AS BIGINT)"),
+        )
+        .select("fold", "n_groups", "n_rows", "rows_ppm")
+        .orderBy(F.asc_nulls_first("fold"))
+    )
