@@ -2784,8 +2784,11 @@ def emb_knn_graph(spark, sf_dir):
     )
 
 
-EMB_KNN_SQL = f"""
-WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+# shared CTE body: the T93 k-NN graph construction (quantizer seeds →
+# nprobe-cell assignment → within-cell pairs → rank cut) — consumed by
+# EMB_KNN_SQL and by the graph-search frontier's oracle (ann_graph_frontier)
+_KNN_CTE_BODY = f"""
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cent AS (
   SELECT CAST(vec_id AS BIGINT) AS centroid_id, v AS cv
   FROM c ORDER BY vec_id LIMIT {_AUTO_K_CENT}),
@@ -2815,6 +2818,10 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY id
                             ORDER BY sim DESC, neighbor_id) AS rank
   FROM pairs)
+"""
+
+EMB_KNN_SQL = f"""
+WITH {_KNN_CTE_BODY}
 SELECT id AS vec_id, neighbor_id, sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {KNN_K}
 """
@@ -13588,6 +13595,125 @@ SELECT bin, n,
 FROM cells ORDER BY bin
 """
 
+GRAPH_ENTRY_N = 4
+GRAPH_BEAM = 8
+GRAPH_MAX_HOPS = 3
+GRAPH_Q_LO = 64
+GRAPH_Q_HI = 96
+
+
+def ann_graph_frontier(spark, sf_dir):
+    """Graph-ANN serving operating curve (operators.similarity.
+    graph_search_frontier): recall@k after 0/1/2 greedy beam-expansion
+    hops over the T93 k-NN graph vs exact brute force — the HNSW-family
+    serving question answered by measurement, beside the IVF frontier's
+    probe curve. Queries sit past the quantizer-seed band at every SF;
+    per-query state is entry+hops·beam·edge_k, corpus-size-independent."""
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        graph_search_frontier,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(
+        (F.col("vec_id") >= GRAPH_Q_LO) & (F.col("vec_id") < GRAPH_Q_HI)
+    )
+    return graph_search_frontier(
+        e,
+        q,
+        "vec_id",
+        "embedding",
+        "vec_id",
+        "embedding",
+        edge_k=KNN_K,
+        n_centroids=None,
+        nprobe=KNN_NPROBE,
+        entry_n=GRAPH_ENTRY_N,
+        beam=GRAPH_BEAM,
+        max_hops=GRAPH_MAX_HOPS,
+        k=TOP_K,
+    )
+
+
+def _ann_graph_frontier_sql() -> str:
+    cos = (
+        "ROUND(list_dot_product(qq.qv, cv.v) /"
+        " (sqrt(list_dot_product(qq.qv, qq.qv))"
+        " * sqrt(list_dot_product(cv.v, cv.v))), 6)"
+    )
+    ctes = [
+        f"""q AS (
+  SELECT vec_id AS query_id, v AS qv FROM c
+  WHERE vec_id >= {GRAPH_Q_LO} AND vec_id < {GRAPH_Q_HI})""",
+        f"""gedges AS (
+  SELECT id, neighbor_id FROM ranked WHERE rank <= {KNN_K})""",
+        f"""ent AS (
+  SELECT vec_id AS cand_id FROM c ORDER BY vec_id LIMIT {GRAPH_ENTRY_N})""",
+        """cand0 AS (SELECT query_id, cand_id FROM q CROSS JOIN ent)""",
+        f"""brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qq.query_id, cv.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qq.query_id
+             ORDER BY {cos} DESC, cv.vec_id) AS r
+    FROM q qq CROSS JOIN c cv WHERE cv.vec_id <> qq.query_id) t
+  WHERE r <= {TOP_K})""",
+    ]
+    recs = []
+    for h in range(GRAPH_MAX_HOPS + 1):
+        ctes.append(
+            f"""sc{h} AS (
+  SELECT t.query_id, t.cand_id, {cos} AS cos
+  FROM cand{h} t
+  JOIN c cv ON cv.vec_id = t.cand_id
+  JOIN q qq ON qq.query_id = t.query_id
+  WHERE t.cand_id <> t.query_id)"""
+        )
+        ctes.append(
+            f"""top{h} AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cos DESC, cand_id) AS r FROM sc{h}) t
+  WHERE r <= {TOP_K})"""
+        )
+        if h < GRAPH_MAX_HOPS:
+            ctes.append(
+                f"""beam{h} AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cos DESC, cand_id) AS r FROM sc{h}) t
+  WHERE r <= {GRAPH_BEAM})"""
+            )
+            ctes.append(
+                f"""cand{h + 1} AS (
+  SELECT DISTINCT query_id, cand_id FROM (
+    SELECT query_id, cand_id FROM cand{h}
+    UNION ALL
+    SELECT b.query_id, e.neighbor_id AS cand_id
+    FROM beam{h} b JOIN gedges e ON e.id = b.cand_id) t)"""
+            )
+        recs.append(
+            f"""SELECT {h} AS hops, CAST({TOP_K} AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(SUM(CASE WHEN tk.cand_id IS NOT NULL
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+       CAST((1000000 * COALESCE(SUM(CASE WHEN tk.cand_id IS NOT NULL
+                          THEN 1 ELSE 0 END), 0)) // COUNT(*)
+            AS BIGINT) AS recall_ppm,
+       CAST((SELECT COUNT(*) FROM sc{h})
+            // (SELECT COUNT(*) FROM q) AS BIGINT) AS mean_cands
+FROM brute b LEFT JOIN top{h} tk
+  ON tk.query_id = b.query_id AND tk.cand_id = b.neighbor_id"""
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {_KNN_CTE_BODY}, {body}\n"
+        + "\nUNION ALL\n".join(recs)
+        + "\nORDER BY hops"
+    )
+
+
+ANN_GRAPH_FRONTIER_SQL = _ann_graph_frontier_sql()
+
+
 KFOLD_K = 5
 KFOLD_SEED = 42
 
@@ -14128,4 +14254,6 @@ SCALE_QUERIES = {
     "dd_norm_unicode": (dd_norm_unicode, DD_NORM_UNICODE_SQL),
     "pf_calibration": (pf_calibration, PF_CALIBRATION_SQL),
     "mx_kfold": (mx_kfold, MX_KFOLD_SQL),
+    # fifty-seventh wave (round 13): graph-ANN serving frontier
+    "ann_graph_frontier": (ann_graph_frontier, ANN_GRAPH_FRONTIER_SQL),
 }

@@ -1895,3 +1895,162 @@ def ivf_cell_balance(
         )
         .orderBy("cell")
     )
+
+
+def graph_search_frontier(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    edge_k: int = 5,
+    n_centroids: int | None = None,
+    nprobe: int = 2,
+    entry_n: int = 4,
+    beam: int = 8,
+    max_hops: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Graph-based ANN serving OPERATING CURVE — recall@k after 0..H
+    greedy beam-expansion hops over the prebuilt k-NN graph, against
+    exact brute-force ground truth: the HNSW-family serving question
+    (how many hops over a navigable neighbor graph buy how much recall)
+    answered by measurement on the T93 substrate, the way
+    ivf_recall_frontier answers it for probe counts.
+
+    Search contract (fully deterministic, so the SQL twin replays it):
+    entry points are the ``entry_n`` lowest-id corpus vectors (the
+    fixed-entry discipline of HNSW's top layer, minus the stochastic
+    layer assignment); per hop, the candidate set grows by the
+    out-neighbors of the current top-``beam`` candidates (cosine 6 dp
+    desc, id tie-break), and recall@k reads the top-k of the candidate
+    set. Per-query state is bounded by entry_n + hops·beam·edge_k —
+    INDEPENDENT of corpus size; the corpus-scale work is the one-time
+    graph build (T93, measured) plus one vector-fetch join per hop
+    against the bounded candidate list. Self-matches are excluded to
+    match brute ground truth.
+
+    Output one row per hop count: (hops, k, n_pairs, n_hit,
+    recall_ppm, mean_cands = avg distinct candidates scored per query,
+    integer div) — recall_ppm is the quality axis, mean_cands the cost
+    axis of the curve.
+    """
+    if entry_n <= 0 or beam <= 0 or max_hops < 0:
+        raise ValueError(
+            f"entry_n/beam must be positive, max_hops >= 0: "
+            f"{entry_n}/{beam}/{max_hops}"
+        )
+    edges = (
+        knn_graph(
+            corpus,
+            id_col,
+            vec_col,
+            k=edge_k,
+            n_centroids=n_centroids,
+            nprobe=nprobe,
+        )
+        .select(F.col(id_col).alias("__src"), F.col("neighbor_id"))
+        .localCheckpoint()
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qvec"),
+    ).localCheckpoint()
+    brute = (
+        brute_force_topk(
+            corpus, q, id_col, vec_col, "query_id", "__qvec", k=k
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__cvec")
+    )
+    n_queries = q.count()
+
+    entries = (
+        corpus.select(F.col(id_col).alias("cand_id"))
+        .orderBy("cand_id")
+        .limit(entry_n)
+    )
+    # candidate sets are per-query bounded (entry_n + hops*beam*edge_k);
+    # score once per hop against the bounded list, checkpoint-cut so
+    # hop h+1 never replans hop h's expansion
+    def scored(cand):
+        return (
+            cand.join(cvec, "cand_id")
+            .join(F.broadcast(q), "query_id")
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "cand_id",
+                F.round(
+                    cosine_similarity(
+                        F.col("__qvec"), F.col("__cvec")
+                    ),
+                    6,
+                ).alias("__cos"),
+            )
+        )
+
+    cand = (
+        q.select("query_id")
+        .crossJoin(F.broadcast(entries))
+        .localCheckpoint()
+    )
+    parts = []
+    for h in range(max_hops + 1):
+        sc = scored(cand).localCheckpoint()
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("__cos").desc(), F.col("cand_id")
+        )
+        topk = sc.withColumn("__r", F.row_number().over(w)).filter(
+            F.col("__r") <= k
+        )
+        joined = brute.join(
+            topk,
+            (brute["query_id"] == topk["query_id"])
+            & (brute["neighbor_id"] == topk["cand_id"]),
+            "left",
+        ).select(
+            F.when(topk["cand_id"].isNotNull(), 1)
+            .otherwise(0)
+            .alias("__hit")
+        )
+        n_cands = sc.count()
+        parts.append(
+            joined.agg(
+                F.lit(h).cast("int").alias("hops"),
+                F.lit(k).cast("bigint").alias("k"),
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.coalesce(F.sum("__hit"), F.lit(0))
+                .cast("bigint")
+                .alias("n_hit"),
+            ).select(
+                "hops",
+                "k",
+                "n_pairs",
+                "n_hit",
+                F.expr(
+                    "CAST(1000000 * n_hit div n_pairs AS BIGINT)"
+                ).alias("recall_ppm"),
+                F.lit(
+                    n_cands // n_queries if n_queries else 0
+                ).cast("bigint").alias("mean_cands"),
+            )
+        )
+        if h < max_hops:
+            beam_f = sc.withColumn(
+                "__r", F.row_number().over(w)
+            ).filter(F.col("__r") <= beam)
+            nbrs = beam_f.join(
+                edges, beam_f["cand_id"] == edges["__src"]
+            ).select("query_id", F.col("neighbor_id").alias("cand_id"))
+            cand = (
+                cand.unionByName(nbrs).distinct().localCheckpoint()
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("hops")
