@@ -1255,6 +1255,23 @@ def calibration_audit(
     total comes from a window over ≤ n_bins rows. Output: (bin, n,
     share_ppm, mean_conf_ppm, acc_ppm, gap_ppm), ordered by bin.
     """
+    return calibration_from_cells(
+        calibration_cells(df, conf_col, correct_col, n_bins=n_bins)
+    )
+
+
+def calibration_cells(
+    df: DataFrame,
+    conf_col: str,
+    correct_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-batch (bin, n, conf ppm sum, correct count) calibration cells
+    — the map half of the streaming calibration resident. All three
+    counters are plain integer sums under FIXED bin edges, so cells
+    fold ADDITIVELY across micro-batches; foreachBatch ledger +
+    ``calibration_from_cells`` ≡ the one-shot ``calibration_audit``
+    (the psi/conversion-CI discipline, tests/test_streaming.py)."""
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2: {n_bins}")
     base = df.filter(F.col(conf_col).isNotNull()).select(
@@ -1265,10 +1282,23 @@ def calibration_audit(
         F.round(F.col(conf_col) * 1_000_000, 0).cast("long").alias("__c"),
         F.col(correct_col).cast("int").alias("__ok"),
     )
-    cells = base.groupBy("bin").agg(
+    return base.groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("__c").alias("__sc"),
-        F.coalesce(F.sum("__ok"), F.lit(0)).alias("__sok"),
+        F.sum("__c").cast("bigint").alias("sc"),
+        F.coalesce(F.sum("__ok"), F.lit(0)).cast("bigint").alias("sok"),
+    )
+
+
+def calibration_from_cells(cells: DataFrame) -> DataFrame:
+    """Reliability readout from a PRE-AGGREGATED (bin, n, sc, sok)
+    ledger — the streaming-foldable half of ``calibration_audit``:
+    re-collapse the append ledger by summation, then the integer-ppm
+    means/accuracies/gaps (nonlinear in the counters, so the resident
+    folds counters and recomputes the readout)."""
+    cells = cells.groupBy("bin").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sc").cast("bigint").alias("__sc"),
+        F.sum("sok").cast("bigint").alias("__sok"),
     )
     w_all = Window.partitionBy()
     return (

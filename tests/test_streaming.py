@@ -1709,3 +1709,66 @@ def test_foreachbatch_freshness_cells_fold_to_batch(
         ).collect()
     ]
     assert folded == one_shot
+
+
+def test_foreachbatch_calibration_cells_fold_to_batch(
+    spark, sf_dir, tmp_path
+):
+    """Streaming calibration resident: (bin, n, conf-sum, correct-count)
+    cells fold additively under fixed bin edges; the ppm readout
+    recomputes from the folded integers and matches the one-shot
+    calibration_audit bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.mlstub import (
+        classify_flows,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        calibration_audit,
+        calibration_cells,
+        calibration_from_cells,
+    )
+
+    d = classify_flows(
+        T(spark, sf_dir, "documents"), "text", stub="native"
+    ).select(
+        "doc_id",
+        "predicted_confidence",
+        (F.col("lang") == "en").alias("correct"),
+    )
+    one_shot = [
+        tuple(r)
+        for r in calibration_audit(
+            d, "predicted_confidence", "correct"
+        ).collect()
+    ]
+
+    ledger_path = str(tmp_path / "calib_ledger")
+
+    def process(batch_df, batch_id):
+        calibration_cells(
+            batch_df, "predicted_confidence", "correct"
+        ).write.mode("append").parquet(ledger_path)
+
+    reader = _file_stream_batches(
+        spark, tmp_path, d, "doc_id", 3, "calib"
+    )
+    q = (
+        reader.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "calib_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    folded = [
+        tuple(r)
+        for r in calibration_from_cells(
+            spark.read.parquet(ledger_path)
+        ).collect()
+    ]
+    assert folded == one_shot
