@@ -13595,6 +13595,127 @@ SELECT bin, n,
 FROM cells ORDER BY bin
 """
 
+# --- wave 58: sequential testing + partition advisor ---
+
+SPRT_P0 = 0.45
+SPRT_P1 = 0.50
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.2
+_SPRT_W1 = round(1e9 * __import__("math").log(SPRT_P1 / SPRT_P0))
+_SPRT_W0 = round(
+    1e9 * __import__("math").log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))
+)
+_SPRT_UP = round(
+    1e9 * __import__("math").log((1.0 - SPRT_BETA) / SPRT_ALPHA)
+)
+_SPRT_LO = round(
+    1e9 * __import__("math").log(SPRT_BETA / (1.0 - SPRT_ALPHA))
+)
+
+
+def ev_sprt(spark, sf_dir):
+    """Wald SPRT over the daily funnel counters (operators.funnel.
+    sprt_audit): per day the Bernoulli LLR increment for H1 rate=0.50
+    vs H0 rate=0.45, the running total and the boundary verdict — the
+    when-could-we-have-stopped readout beside the fixed-horizon A/B
+    test and the Wilson band. Log terms are plan-time literal nano
+    integers (the aa_weights_nano discipline), so both engines replay
+    the cumulative decision bit-for-bit."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        sprt_audit,
+    )
+
+    return sprt_audit(
+        T(spark, sf_dir, "events"),
+        p0=SPRT_P0,
+        p1=SPRT_P1,
+        alpha=SPRT_ALPHA,
+        beta=SPRT_BETA,
+    )
+
+
+EV_SPRT_SQL = f"""
+WITH day AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IN ('view', 'purchase')
+  GROUP BY 1 HAVING COUNT(*) > 0),
+sc AS (
+  SELECT day, n, k,
+         CAST(k * {_SPRT_W1} + (n - k) * {_SPRT_W0} AS BIGINT)
+             AS llr_nano,
+         CAST(SUM(k * {_SPRT_W1} + (n - k) * {_SPRT_W0})
+              OVER (ORDER BY day) AS BIGINT) AS cum_llr_nano
+  FROM day),
+lat AS (
+  SELECT *,
+         MIN(CASE WHEN cum_llr_nano >= {_SPRT_UP} THEN day END)
+             OVER (ORDER BY day) AS fh,
+         MIN(CASE WHEN cum_llr_nano <= {_SPRT_LO} THEN day END)
+             OVER (ORDER BY day) AS fl
+  FROM sc)
+SELECT day, n, k, llr_nano, cum_llr_nano,
+       CASE WHEN fh IS NOT NULL AND (fl IS NULL OR fh <= fl)
+                THEN 'accept_h1'
+            WHEN fl IS NOT NULL THEN 'accept_h0'
+            ELSE 'continue' END AS verdict
+FROM lat ORDER BY day
+"""
+
+PART_ADVISOR_CANDS = ("l_linestatus", "l_partkey", "l_returnflag",
+                      "l_shipdate")
+PART_MAX_PARTITIONS = 10_000
+PART_MAX_SHARE_PPM = 200_000
+
+
+def lx_partition_advisor(spark, sf_dir):
+    """Partition-column advisor over lineitem (operators.layout.
+    partition_advisor): per declared candidate the partition count,
+    skew share, rows-per-partition and equality-prune ratio with the
+    layout verdict — the review a warehouse runs before a PARTITIONED
+    BY ships (cardinality explosions and one-giant-partition skew are
+    the two classic layout failures)."""
+    from calp_cva_tracking_pipeline_spark.operators.layout import (
+        partition_advisor,
+    )
+
+    return partition_advisor(
+        T(spark, sf_dir, "lineitem"),
+        list(PART_ADVISOR_CANDS),
+        max_partitions=PART_MAX_PARTITIONS,
+        max_share_ppm=PART_MAX_SHARE_PPM,
+    )
+
+
+def _lx_partition_advisor_sql() -> str:
+    branches = []
+    for c in PART_ADVISOR_CANDS:
+        branches.append(f"""
+SELECT '{c}' AS part_col,
+       CAST(COUNT(*) AS BIGINT) AS n_partitions,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST((1000000 * MAX(c)) // SUM(c) AS BIGINT) AS max_share_ppm,
+       CAST(SUM(c) // COUNT(*) AS BIGINT) AS rows_per_part,
+       CAST(1000000 // COUNT(*) AS BIGINT) AS prune_ppm
+FROM (SELECT {c} AS k, COUNT(*) AS c FROM lineitem GROUP BY 1) g""")
+    u = " UNION ALL ".join(branches)
+    return f"""
+SELECT part_col, n_partitions, n_rows, max_share_ppm, rows_per_part,
+       prune_ppm,
+       CASE WHEN n_partitions > {PART_MAX_PARTITIONS}
+                THEN 'too_many_partitions'
+            WHEN max_share_ppm > {PART_MAX_SHARE_PPM} THEN 'skewed'
+            ELSE 'ok' END AS verdict
+FROM ({u}) t ORDER BY part_col
+"""
+
+
+LX_PARTITION_ADVISOR_SQL = _lx_partition_advisor_sql()
+
+
 GRAPH_ENTRY_N = 4
 GRAPH_BEAM = 8
 GRAPH_MAX_HOPS = 3
@@ -14256,4 +14377,8 @@ SCALE_QUERIES = {
     "mx_kfold": (mx_kfold, MX_KFOLD_SQL),
     # fifty-seventh wave (round 13): graph-ANN serving frontier
     "ann_graph_frontier": (ann_graph_frontier, ANN_GRAPH_FRONTIER_SQL),
+    # fifty-eighth wave (round 13): sequential testing + layout advisor
+    "ev_sprt": (ev_sprt, EV_SPRT_SQL),
+    "lx_partition_advisor": (lx_partition_advisor,
+                             LX_PARTITION_ADVISOR_SQL),
 }

@@ -1358,3 +1358,89 @@ def conversion_ci_from_cells(cells: DataFrame) -> DataFrame:
             expr.format(z=WILSON_Z, z2=WILSON_Z2, sign="+")
         ).alias("wilson_hi"),
     ).orderBy("day")
+
+
+def sprt_audit(
+    events: DataFrame,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    exposure_type: str = "view",
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Wald sequential probability ratio test over the daily funnel
+    counters — the when-could-we-have-stopped readout that the
+    fixed-horizon A/B readout (pf_ab_test) and the per-day Wilson band
+    (ev_conversion_ci) cannot give: per day the Bernoulli
+    log-likelihood-ratio increment for H1: rate = p1 vs H0: rate = p0,
+    its running total, and the Wald decision against the
+    ln((1−β)/α) / ln(β/(1−α)) boundaries. An experiment platform runs
+    this daily and stops paying for traffic the day the verdict leaves
+    'continue' — sequential testing with controlled error rates.
+
+    Engine-exactness: the four log terms are PLAN-TIME literal nano
+    integers (the aa_weights_nano discipline — ln() diverges a nano
+    across libms), so the increment k·w₁ + (n−k)·w₀ and its cumulative
+    sum are integer arithmetic both engines replay bit-for-bit. Daily
+    counters fold through the same ``conversion_day_cells`` kernel as
+    the CI resident — the SPRT readout is streaming-resident for free
+    (fold counters, recompute the cumulative verdict). One day-keyed
+    aggregation + one ≤days-sized window. Output: (day, n, k,
+    llr_nano, cum_llr_nano, verdict), day ascending; verdicts after a
+    boundary crossing keep reporting the crossed state (the test is
+    over — later days are bookkeeping).
+    """
+    import math
+
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0 and p0 != p1):
+        raise ValueError(f"need 0 < p0 != p1 < 1: {p0}, {p1}")
+    if not (0.0 < alpha < 1.0 and 0.0 < beta < 1.0):
+        raise ValueError(f"alpha/beta must be in (0,1): {alpha}, {beta}")
+    w1 = round(1e9 * math.log(p1 / p0))
+    w0 = round(1e9 * math.log((1.0 - p1) / (1.0 - p0)))
+    up = round(1e9 * math.log((1.0 - beta) / alpha))
+    lo = round(1e9 * math.log(beta / (1.0 - alpha)))
+    day = conversion_day_cells(
+        events, ts_col, type_col, exposure_type, conversion_type
+    ).filter(F.col("n_exposures") > 0)
+    llr = (
+        F.col("n_conversions") * F.lit(w1)
+        + (F.col("n_exposures") - F.col("n_conversions")) * F.lit(w0)
+    ).cast("long")
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = day.select(
+        "day",
+        F.col("n_exposures").alias("n"),
+        F.col("n_conversions").alias("k"),
+        llr.alias("llr_nano"),
+        F.sum(llr).over(w).cast("long").alias("cum_llr_nano"),
+    )
+    # a crossed boundary latches: the verdict reports the FIRST crossing
+    # (second projection — the latch window reads the materialized cum)
+    w2 = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    first_hi = F.min(
+        F.when(F.col("cum_llr_nano") >= up, F.col("day"))
+    ).over(w2)
+    first_lo = F.min(
+        F.when(F.col("cum_llr_nano") <= lo, F.col("day"))
+    ).over(w2)
+    verdict = (
+        F.when(
+            first_hi.isNotNull()
+            & (first_lo.isNull() | (first_hi <= first_lo)),
+            F.lit("accept_h1"),
+        )
+        .when(first_lo.isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    return scored.select(
+        "day", "n", "k", "llr_nano", "cum_llr_nano",
+        verdict.alias("verdict"),
+    ).orderBy("day")

@@ -383,3 +383,72 @@ def prune_plan(
         )
         .orderBy("pred_name")
     )
+
+
+def partition_advisor(
+    df: DataFrame,
+    candidates: list[str],
+    max_partitions: int = 10_000,
+    max_share_ppm: int = 200_000,
+) -> DataFrame:
+    """Partition-column advisor: for each DECLARED candidate column, the
+    statistics that decide whether `PARTITIONED BY (col)` helps or hurts
+    at warehouse scale — cardinality (too high → small-files explosion;
+    the Hive-style partition count is the first thing a layout review
+    reads), the largest partition's row share (skew: one giant
+    partition serializes every scan that can't prune it), rows per
+    partition, and the equality-predicate prune ratio (1/cardinality of
+    the scan survives a `col = x` filter, the whole point of
+    partitioning). Verdict thresholds are declared knobs:
+    'too_many_partitions' above ``max_partitions``, 'skewed' above
+    ``max_share_ppm``, else 'ok'. NULL forms its own partition (exactly
+    as a table layout would place it).
+
+    Scale shape: one map-side-combined groupBy per candidate reduced to
+    a SINGLE summary row before the union — k candidates = k scans of
+    one column each (column pruning makes each scan that column's
+    bytes), group-cardinality exchanges, nothing row-sized ever moves.
+    Output: (part_col, n_partitions, n_rows, max_share_ppm,
+    rows_per_part, prune_ppm, verdict), one row per candidate, ordered.
+    """
+    if not candidates:
+        raise ValueError("partition_advisor: no candidate columns")
+    outs = []
+    for c in candidates:
+        g = df.groupBy(F.col(c).alias("__k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__c")
+        )
+        outs.append(
+            g.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+                F.sum("__c").cast("bigint").alias("n_rows"),
+                F.max("__c").cast("bigint").alias("__mx"),
+            ).select(
+                F.lit(c).alias("part_col"),
+                "n_partitions",
+                "n_rows",
+                F.expr(
+                    "CAST((1000000 * __mx) div n_rows AS BIGINT)"
+                ).alias("max_share_ppm"),
+                F.expr(
+                    "CAST(n_rows div n_partitions AS BIGINT)"
+                ).alias("rows_per_part"),
+                F.expr(
+                    "CAST(1000000 div n_partitions AS BIGINT)"
+                ).alias("prune_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    verdict = (
+        F.when(
+            F.col("n_partitions") > max_partitions,
+            F.lit("too_many_partitions"),
+        )
+        .when(
+            F.col("max_share_ppm") > max_share_ppm, F.lit("skewed")
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return out.withColumn("verdict", verdict).orderBy("part_col")
