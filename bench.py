@@ -25,10 +25,18 @@ ann_ivf "+22%" and st_sessionize "+34%" were unanswerable without run
 arrays; round-4 arrays then showed the first timed run +20-50% over the
 median, motivating the explicit warm-up run).
 
-Each query is timed end-to-end (plan + execute + collect-to-driver count),
-mirroring how the engine would be driven in production. Headliners span the
-engine's main cost classes: scan+agg, broadcast join, window, explode,
-cascade, MinHash dedup, ANN, sessionization, text featurization.
+Each query is timed end-to-end (plan + execute + NOOP-SINK write — every
+output column computed, rows discarded), mirroring how the engine would be
+driven in production. ROUND-13 METHODOLOGY BREAK: rounds 1-12 timed
+.count(), under which Catalyst prunes aggregate expressions to the grouping
+keys and eliminates joins feeding only pruned value columns — so
+summary-shaped queries timed a SKELETON while the DuckDB proxy paid full
+materialization (flagship_pricing_summary 0.2s under count() vs 1.5s real;
+corpus_release_audit 0.66s vs 3.6s). Per-query numbers and suite totals are
+therefore NOT comparable to r12 and earlier; the proxy side is unchanged,
+so vs_proxy_suite is the honest cross-round metric from here on. Headliners
+span the engine's main cost classes: scan+agg, broadcast join, window,
+explode, cascade, MinHash dedup, ANN, sessionization, text featurization.
 
 The suite runs at BOTH sf0.01 and the target SF: with 14 queries the sf0.1
 totals are job-floor-dominated, so the per-query scaling ratio (10x data)
@@ -208,6 +216,18 @@ HEADLINE = [
     # deliberately not duplicated.
     "mm_audio_vad",
     "dd_chunk_dedup",
+    # round 13 additions (suite totals are not comparable to r12 without
+    # subtracting these), two genuinely new cost classes: the FULL T18
+    # curation composition (gates → exact dedup → banding → Jaccard
+    # verify → per-source reduce in ONE query — no other headliner
+    # times the end-to-end recipe) and the graph-ANN serving frontier
+    # (hop-join beam expansion over the k-NN graph — a bounded-join
+    # serving class beside the build-path headliners). dd_norm_unicode
+    # (the timed digest-groupBy class + a translate), pf_calibration /
+    # mx_kfold / ev_sprt / lx_partition_advisor (small counters over
+    # timed shapes) are deliberately not duplicated.
+    "corpus_release_audit",
+    "ann_graph_frontier",
 ]
 
 
@@ -301,11 +321,27 @@ def main() -> None:
         cold: dict[str, float] = {}
         proxy: dict[str, float] = {}
         proxy_runs: dict[str, list[float]] = {}
+        # Timed action is a NOOP SINK write, not .count(): under count()
+        # Catalyst prunes aggregate expressions to the grouping keys and
+        # eliminates joins feeding only pruned value columns, so
+        # summary-shaped queries (per-source audits, frontier curves)
+        # timed a SKELETON while the DuckDB proxy paid full
+        # materialization (round-13 catch: corpus_release_audit 0.66s
+        # under count() vs 4.8s real). The noop sink executes the full
+        # plan with every output column computed and discards rows —
+        # the standard Spark benchmarking spelling, symmetric with the
+        # proxy's fetchall(). Row counts for the log line come from one
+        # untimed count after the timed runs.
+        def run_full(fn):
+            fn(spark, run_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
         for name in HEADLINE:
             fn = qs[name]
             sql = (oracles or {}).get(name) if proxy_con is not None else None
             t0 = time.time()
-            n = fn(spark, run_dir).count()
+            run_full(fn)
             runs = [round(time.time() - t0, 3)]
             heavy = extra_heavy_runs and runs[0] >= HEAVY_CUTOFF_S
             pruns: list[float] = []
@@ -316,12 +352,13 @@ def main() -> None:
                 pruns.append(round(time.time() - t0, 3))
             for _ in range(6 if heavy else 3):
                 t0 = time.time()
-                n = fn(spark, run_dir).count()
+                run_full(fn)
                 runs.append(round(time.time() - t0, 3))
                 if sql and len(pruns) < 4:
                     t0 = time.time()
                     proxy_con.execute(sql).fetchall()
                     pruns.append(round(time.time() - t0, 3))
+            n = fn(spark, run_dir).count()  # untimed, for the log line
             raw[name] = runs
             if heavy:
                 cold[name] = runs[1]

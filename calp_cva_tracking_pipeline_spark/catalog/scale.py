@@ -13595,6 +13595,153 @@ SELECT bin, n,
 FROM cells ORDER BY bin
 """
 
+# --- wave 59: HITS link analysis + line-level boilerplate census ---
+
+HITS_ITER = 3
+
+
+def gr_hits(spark, sf_dir):
+    """Fixed-iteration HITS hubs/authorities (operators.graph.hits)
+    over the same directed supplier↔part graph as gr_pagerank:
+    endorsement flows hub→authority over distinct edges, rounds run
+    un-normalized over exact decimal(38,0) integers, ONE final L1
+    normalization to nano units — bit-identical across engines via
+    the unrolled SQL recurrence (the pagerank nano discipline)."""
+    from calp_cva_tracking_pipeline_spark.operators.graph import hits
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    fwd = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + PR_PART_OFFSET).alias("dst"),
+    )
+    bwd = li.filter(F.col("l_orderkey") % 2 == 1).select(
+        (F.col("l_partkey") + PR_PART_OFFSET).alias("src"),
+        F.col("l_suppkey").alias("dst"),
+    )
+    return hits(fwd.unionByName(bwd), "src", "dst", n_iter=HITS_ITER)
+
+
+def _gr_hits_sql() -> str:
+    rounds = []
+    prev_h = "h0"
+    for i in range(1, HITS_ITER + 1):
+        rounds.append(
+            f"""a{i} AS (
+  SELECT e.dst AS node, SUM({prev_h}.s) AS s
+  FROM e JOIN {prev_h} ON {prev_h}.node = e.src GROUP BY 1)"""
+        )
+        rounds.append(
+            f"""h{i} AS (
+  SELECT e.src AS node, SUM(a{i}.s) AS s
+  FROM e JOIN a{i} ON a{i}.node = e.dst GROUP BY 1)"""
+        )
+        prev_h = f"h{i}"
+    t = HITS_ITER
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH raw AS (
+  SELECT l_suppkey AS src, l_partkey + {PR_PART_OFFSET} AS dst
+  FROM lineitem WHERE l_orderkey % 2 = 0
+  UNION ALL
+  SELECT l_partkey + {PR_PART_OFFSET} AS src, l_suppkey AS dst
+  FROM lineitem WHERE l_orderkey % 2 = 1),
+e AS (SELECT DISTINCT src, dst FROM raw),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, CAST(1000000000 AS HUGEINT) AS s FROM nodes),
+{rounds_sql},
+hub AS (
+  SELECT n.node, COALESCE(h{t}.s, 0) AS v
+  FROM nodes n LEFT JOIN h{t} ON h{t}.node = n.node),
+auth AS (
+  SELECT n.node, COALESCE(a{t}.s, 0) AS v
+  FROM nodes n LEFT JOIN a{t} ON a{t}.node = n.node)
+SELECT hub.node,
+       CAST((hub.v * 1000000000) // (SELECT SUM(v) FROM hub)
+            AS BIGINT) AS hub_nano,
+       CAST((auth.v * 1000000000) // (SELECT SUM(v) FROM auth)
+            AS BIGINT) AS auth_nano
+FROM hub JOIN auth ON auth.node = hub.node
+ORDER BY hub.node
+"""
+
+
+GR_HITS_SQL = _gr_hits_sql()
+
+LINE_DF_MIN = 10
+_FOOTER_A = "© example corp — all rights reserved"
+_FOOTER_B = "subscribe to our newsletter"
+_FOOTER_C = "home | about | contact"
+
+
+def tx_line_dedup(spark, sf_dir):
+    """Line-level boilerplate census (operators.textops.
+    line_boilerplate_census — the C4 line-dedup rule's measurement):
+    per source, the line mass a df ≥ {LINE_DF_MIN} line filter would
+    remove. Corpus augmented with deterministic footer lines on the
+    mod-3/5/7 docs (the derive-from-testdata discipline — the raw
+    corpus is single-line with zero repeats), so the census is
+    non-degenerate and the footers' df splits across the threshold."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        line_boilerplate_census,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    aug = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\n" + _FOOTER_A)
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("\n" + _FOOTER_B)
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("\n" + _FOOTER_C)
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return line_boilerplate_census(
+        aug, "doc_id", "text", "source", min_df=LINE_DF_MIN
+    )
+
+
+TX_LINE_DEDUP_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || '{_FOOTER_A}' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || '{_FOOTER_B}' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || '{_FOOTER_C}' ELSE '' END AS text
+  FROM documents WHERE text IS NOT NULL),
+lines AS (
+  SELECT doc_id, source, md5(trim(line)) AS lh
+  FROM (SELECT doc_id, source,
+               unnest(string_split(text, chr(10))) AS line FROM aug) t
+  WHERE trim(line) <> ''),
+census AS (
+  SELECT lh, 1 AS boiler FROM (
+    SELECT lh, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1) t
+  WHERE df >= {LINE_DF_MIN}),
+lab AS (
+  SELECT l.source, l.lh, census.boiler
+  FROM lines l LEFT JOIN census ON census.lh = l.lh)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COALESCE(SUM(boiler), 0) AS BIGINT) AS n_boiler_lines,
+       CAST((1000000 * COALESCE(SUM(boiler), 0)) // COUNT(*)
+            AS BIGINT) AS boiler_ppm,
+       CAST(COUNT(DISTINCT CASE WHEN boiler = 1 THEN lh END)
+            AS BIGINT) AS n_distinct_boiler
+FROM lab GROUP BY source ORDER BY source
+"""
+
+
 # --- wave 58: sequential testing + partition advisor ---
 
 SPRT_P0 = 0.45
@@ -14381,4 +14528,7 @@ SCALE_QUERIES = {
     "ev_sprt": (ev_sprt, EV_SPRT_SQL),
     "lx_partition_advisor": (lx_partition_advisor,
                              LX_PARTITION_ADVISOR_SQL),
+    # fifty-ninth wave (round 13): HITS + line-level boilerplate
+    "gr_hits": (gr_hits, GR_HITS_SQL),
+    "tx_line_dedup": (tx_line_dedup, TX_LINE_DEDUP_SQL),
 }

@@ -1480,3 +1480,113 @@ stats AS (
 SELECT n_nodes, n_edges, n_codeg_pairs, n_squares
 FROM stats CROSS JOIN sq
 """
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs & authorities) over a
+    DIRECTED edge set — the link-analysis complement of PageRank:
+    authorities collect endorsement from good hubs (a ← Σ h over
+    in-edges), hubs from pointing at good authorities (h ← Σ a over
+    out-edges). On a curation graph (crawl source → document,
+    citing → cited) the authority score ranks content worth keeping
+    and the hub score ranks feeds worth crawling.
+
+    Engine-exactness (the pagerank nano discipline, adapted): rounds
+    run UN-normalized over exact integer state carried as
+    decimal(38,0) — per-round L1 normalization would reference the
+    evolving frame twice per round (the ev_markov_stationary
+    exponential-planning trap) and per-round floor rounding would
+    compound; unnormalized sums stay exact (bounded by
+    (d_max²)^n_iter · 1e9 — 38 digits hold any realistic graph at 3
+    rounds) and ONE final L1 normalization to integer nano units
+    makes both scores bit-identical across engines/partitionings via
+    the unrolled SQL recurrence. Multi-edges collapse to DISTINCT
+    edges first (endorsement is a link, not a link count — weighted
+    HITS is a different declared operator).
+
+    Plan shape: the distinct edge set is the static frame (checkpoint
+    once); each round is one src-keyed join + dst-keyed aggregate and
+    its mirror — the evolving score frames are referenced ONCE per
+    round, so the plan is linear in n_iter with zero further cuts.
+    Nodes with no in-edges report authority 0 (no out-edges → hub 0);
+    every node of the edge set appears. Output: (node, hub_nano,
+    auth_nano), ordered by node.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1: {n_iter}")
+    e = (
+        edges.select(
+            F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+        )
+        .filter(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+    )
+    one = F.lit(1_000_000_000).cast("decimal(38,0)")
+    h = nodes.select("node", one.alias("score"))
+    for _ in range(n_iter):
+        a = (
+            e.join(h, e["__s"] == h["node"])
+            .groupBy(F.col("__d").alias("node"))
+            .agg(F.sum("score").cast("decimal(38,0)").alias("score"))
+        )
+        h = (
+            e.join(a, e["__d"] == a["node"])
+            .groupBy(F.col("__s").alias("node"))
+            .agg(F.sum("score").cast("decimal(38,0)").alias("score"))
+        )
+    # re-attach zero-score nodes (no out-edges / no in-edges) and take
+    # the single final normalization per vector
+    hub = nodes.join(
+        h.withColumnRenamed("score", "__h"), ["node"], "left"
+    ).select(
+        "node",
+        F.coalesce(F.col("__h"), F.lit(0).cast("decimal(38,0)")).alias(
+            "__h"
+        ),
+    )
+    auth = nodes.join(
+        a.withColumnRenamed("score", "__a"), ["node"], "left"
+    ).select(
+        "node",
+        F.coalesce(F.col("__a"), F.lit(0).cast("decimal(38,0)")).alias(
+            "__a"
+        ),
+    )
+    # node-sized cut before normalization: the total and the division
+    # both consume the frame, and re-planning 2·n_iter join rounds per
+    # consumer is the markov/kcore lineage trap; the totals then ride a
+    # one-row broadcast, never a single-partition global window
+    hub = hub.localCheckpoint()
+    auth = auth.localCheckpoint()
+    hub = hub.crossJoin(
+        F.broadcast(
+            hub.agg(F.sum("__h").cast("decimal(38,0)").alias("__th"))
+        )
+    ).select(
+        "node",
+        F.expr(
+            "CAST((__h * 1000000000) div __th AS BIGINT)"
+        ).alias("hub_nano"),
+    )
+    auth = auth.crossJoin(
+        F.broadcast(
+            auth.agg(F.sum("__a").cast("decimal(38,0)").alias("__ta"))
+        )
+    ).select(
+        "node",
+        F.expr(
+            "CAST((__a * 1000000000) div __ta AS BIGINT)"
+        ).alias("auth_nano"),
+    )
+    return hub.join(auth, ["node"]).orderBy("node")

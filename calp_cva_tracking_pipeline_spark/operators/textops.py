@@ -1464,3 +1464,79 @@ def readability_profile(
         )
         .orderBy(group_col)
     )
+
+
+def line_boilerplate_census(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    source_col: str = "source",
+    min_df: int = 10,
+) -> DataFrame:
+    """C4-style LINE-level boilerplate census — the line-grain sibling
+    of the token-window span auditor (T154): C4's cleaning famously
+    dedups at the line level because nav menus, cookie banners and
+    copyright footers repeat VERBATIM as lines across pages while
+    never forming long shared token windows inside prose. A line
+    (split on \\n, trimmed, empties dropped) is boilerplate when it
+    appears in ≥ ``min_df`` distinct documents; the census reports,
+    per source, the line mass that rule would remove — the
+    measurement a cleaning pass reads before rewriting a corpus.
+
+    Scale shape: one explode to (doc, source, line-md5) — 16-byte
+    digests, never line text, cross the wire — then a digest-keyed
+    census (line-vocab-bounded exchange) whose ≥min_df survivors join
+    back onto the line stream (boilerplate vocab ≤ total_lines/min_df
+    by definition), and one source-bounded reduce. Output: (source,
+    n_lines, n_boiler_lines, boiler_ppm, n_distinct_boiler), ordered
+    by source.
+    """
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2: {min_df}")
+    lines = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(source_col).alias("__src"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("__line"),
+        )
+        .select(
+            "__id",
+            "__src",
+            F.md5(F.trim(F.col("__line"))).alias("__lh"),
+            F.trim(F.col("__line")).alias("__lt"),
+        )
+        .filter(F.col("__lt") != "")
+        .drop("__lt")
+    )
+    census = (
+        lines.groupBy("__lh")
+        .agg(F.countDistinct("__id").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__lh", F.lit(1).alias("__boiler"))
+    )
+    lab = lines.join(census, ["__lh"], "left")
+    return (
+        lab.groupBy(F.col("__src").alias(source_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.coalesce(F.sum("__boiler"), F.lit(0))
+            .cast("bigint")
+            .alias("n_boiler_lines"),
+            F.countDistinct(
+                F.when(F.col("__boiler") == 1, F.col("__lh"))
+            )
+            .cast("bigint")
+            .alias("n_distinct_boiler"),
+        )
+        .select(
+            source_col,
+            "n_lines",
+            "n_boiler_lines",
+            F.expr(
+                "CAST((1000000 * n_boiler_lines) div n_lines AS BIGINT)"
+            ).alias("boiler_ppm"),
+            "n_distinct_boiler",
+        )
+        .orderBy(source_col)
+    )

@@ -91,6 +91,9 @@ TEXT_FAMILY = [
     # the release audit composes gate/dedup/banding over raw text
     "dd_norm_unicode",
     "corpus_release_audit",
+    # round 13 wave 59: line census md5-hashes raw trimmed lines — the
+    # split/trim/md5 path must agree on CJK/emoji/control-whitespace
+    "tx_line_dedup",
 ]
 
 
