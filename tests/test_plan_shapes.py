@@ -864,3 +864,55 @@ def test_wave46_tier_plan_shapes(spark, sf_dir):
         assert p.count("Scan parquet") <= max_scans, (
             name, p.count("Scan parquet"),
         )
+
+
+def test_round13_tier_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-13 tier: no row-at-a-time Python
+    anywhere; the corpus audit's drop set broadcasts; HITS' fixed-
+    iteration plan stays linear (the kcore/markov lineage lesson —
+    score frames referenced once per round); the advisor/SPRT/
+    calibration/kfold rows are pure JVM aggregations."""
+    import re
+
+    for name in (
+        "corpus_release_audit",
+        "dd_norm_unicode",
+        "pf_calibration",
+        "mx_kfold",
+        "ev_sprt",
+        "lx_partition_advisor",
+        "tx_line_dedup",
+        "gr_hits",
+    ):
+        df = S.__dict__[name](spark, sf_dir)
+        df.count()
+        plan = _executed(df)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    # corpus audit: the near-dup drop set joins back as a BROADCAST
+    # (candidate-sized by construction), never a shuffle join of the
+    # corpus against itself outside the banding tier
+    audit = S.corpus_release_audit(spark, sf_dir)
+    audit.count()
+    assert "BroadcastHashJoin" in _executed(audit)
+
+    # HITS: linear plan growth in n_iter — the n_iter=4 plan must not
+    # blow up combinatorially over n_iter=2 (each round adds a bounded
+    # number of scans of the checkpointed edge frame)
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.graph import hits
+
+    li = T(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey")).alias("src"),
+        (F.col("l_partkey") + 10_000_000).alias("dst"),
+    ).limit(500)
+    def n_scans(k):
+        df = hits(li, "src", "dst", n_iter=k)
+        df.count()
+        return _executed(df).count("Scan ExistingRDD")
+    s2, s4 = n_scans(2), n_scans(4)
+    assert s4 <= s2 + 8, (s2, s4)
