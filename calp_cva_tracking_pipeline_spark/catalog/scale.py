@@ -13552,8 +13552,13 @@ def pf_calibration(spark, sf_dir):
         calibration_audit,
     )
 
+    # NULL texts drop BEFORE scoring (advisor r13: the native stub
+    # coalesces NULL length to conf 0.0, which would seat unscorable
+    # rows in bin 0 while the SQL twin's WHERE drops them)
     d = classify_flows(
-        T(spark, sf_dir, "documents"), "text", stub="native"
+        T(spark, sf_dir, "documents").filter(F.col("text").isNotNull()),
+        "text",
+        stub="native",
     ).select(
         "predicted_confidence",
         (
@@ -13748,16 +13753,10 @@ SPRT_P0 = 0.45
 SPRT_P1 = 0.50
 SPRT_ALPHA = 0.05
 SPRT_BETA = 0.2
-_SPRT_W1 = round(1e9 * __import__("math").log(SPRT_P1 / SPRT_P0))
-_SPRT_W0 = round(
-    1e9 * __import__("math").log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))
-)
-_SPRT_UP = round(
-    1e9 * __import__("math").log((1.0 - SPRT_BETA) / SPRT_ALPHA)
-)
-_SPRT_LO = round(
-    1e9 * __import__("math").log(SPRT_BETA / (1.0 - SPRT_ALPHA))
-)
+_SPRT_W1 = round(1e9 * math.log(SPRT_P1 / SPRT_P0))
+_SPRT_W0 = round(1e9 * math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0)))
+_SPRT_UP = round(1e9 * math.log((1.0 - SPRT_BETA) / SPRT_ALPHA))
+_SPRT_LO = round(1e9 * math.log(SPRT_BETA / (1.0 - SPRT_ALPHA)))
 
 
 def ev_sprt(spark, sf_dir):
@@ -14010,7 +14009,8 @@ WITH lab AS (
   FROM events),
 cells AS (
   SELECT fold,
-         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_groups,
+         CAST(COUNT(DISTINCT COALESCE(CAST(user_id AS VARCHAR), chr(1)))
+              AS BIGINT) AS n_groups,
          CAST(COUNT(*) AS BIGINT) AS n_rows
   FROM lab GROUP BY fold)
 SELECT fold, n_groups, n_rows,

@@ -1532,14 +1532,55 @@ def hits(
         .unionByName(e.select(F.col("__d").alias("node")))
         .distinct()
     )
+    # loud overflow guard (one cheap pass over the checkpointed edge
+    # frame): unnormalized scores are bounded by
+    # n · (d_out_max · d_in_max)^n_iter · 1e9; past decimal(38,0) /
+    # HUGEINT range, ANSI engines throw but a non-ANSI Spark session
+    # would return NULL sums that the zero-score reattachment silently
+    # maps to 0 — fail loudly here instead.
+    deg = (
+        e.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.max("__c").alias("do"),
+            F.count(F.lit(1)).alias("ns"),
+        )
+        .crossJoin(
+            e.groupBy("__d")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(F.max("__c").alias("di"))
+        )
+        .collect()
+    )
+    deg = deg[0] if deg else None
+    if deg is not None and deg["do"] is not None:
+        bound = (
+            (deg["do"] * deg["di"]) ** n_iter * (10**9) * max(deg["ns"], 1)
+        )
+        if bound >= 10**38:
+            raise ValueError(
+                "hits(): unnormalized score bound "
+                f"n·(d_out·d_in)^t·1e9 ≈ 1e{len(str(bound)) - 1} exceeds "
+                "decimal(38,0)/HUGEINT range — lower n_iter or pre-cap "
+                "hub degrees (degree cap is the documented contract for "
+                "supercritical graphs, as in gr_adamic_adar)"
+            )
     one = F.lit(1_000_000_000).cast("decimal(38,0)")
     h = nodes.select("node", one.alias("score"))
-    for _ in range(n_iter):
+    a = None
+    for i in range(n_iter):
         a = (
             e.join(h, e["__s"] == h["node"])
             .groupBy(F.col("__d").alias("node"))
             .agg(F.sum("score").cast("decimal(38,0)").alias("score"))
         )
+        if i == n_iter - 1:
+            # cut ONCE at the shared prefix: hub's lineage extends a's
+            # by one round, so cutting a here means the two downstream
+            # checkpoints (hub, auth) never re-execute the 2t-round
+            # prefix twice (round-13 advisor catch — the two consumers
+            # otherwise re-ran the whole iteration independently)
+            a = a.localCheckpoint()
         h = (
             e.join(a, e["__d"] == a["node"])
             .groupBy(F.col("__s").alias("node"))

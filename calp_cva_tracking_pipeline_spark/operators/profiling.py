@@ -121,25 +121,39 @@ def _percentiles_from_long(
         )
     B = _MEDIAN_BUCKETS
 
-    def _bucket_expr():
-        e = None
-        for c, (lo, hi, _n) in rng.items():
-            if hi - lo <= 0:
-                be = F.lit(0)
-            else:
-                be = F.least(
-                    F.floor(
-                        (F.col("val") - F.lit(lo)) / F.lit(hi - lo) * B
-                    ).cast("int"),
-                    F.lit(B - 1),
-                )
-            cond = F.col("col_name") == c
-            e = F.when(cond, be) if e is None else e.when(cond, be)
-        return e
+    # the collected ranges re-enter as a BROADCAST local relation, not a
+    # chained per-key CASE: with the grouped kernel the key count is
+    # groups·cols, and a when-branch per key makes the bucket pass
+    # O(rows·keys) interpreted comparisons with a multi-thousand-node
+    # expression tree (advisor r13); the join is a hash lookup and the
+    # bucket arithmetic is the IDENTICAL IEEE expression ((val−lo)/rng·B,
+    # rng pre-subtracted in Python exactly as the literal spelling was)
+    rng_rel = spark.createDataFrame(
+        [
+            (c, float(lo), float(hi - lo))
+            for c, (lo, hi, _n) in rng.items()
+        ],
+        "col_name string, __lo double, __rng double",
+    )
+
+    def bucketed(frame: DataFrame) -> DataFrame:
+        be = F.when(F.col("__rng") <= 0, F.lit(0)).otherwise(
+            F.least(
+                F.floor(
+                    (F.col("val") - F.col("__lo")) / F.col("__rng") * B
+                ).cast("int"),
+                F.lit(B - 1),
+            )
+        )
+        return (
+            frame.join(F.broadcast(rng_rel), "col_name")
+            .withColumn("__b", be)
+            .drop("__lo", "__rng")
+        )
 
     # pass 2: per-bucket counts (≤ B·|cols| rows to the driver)
     btot_rows = (
-        long.select("col_name", _bucket_expr().alias("__b"))
+        bucketed(long)
         .groupBy("col_name", "__b")
         .agg(F.count("*").alias("bcnt"))
         .collect()
@@ -183,7 +197,7 @@ def _percentiles_from_long(
     # final pass: only target-bucket rows aggregate and sort
     wv = Window.partitionBy("col_name", "__b").orderBy("val")
     inb = (
-        long.select("col_name", "val", _bucket_expr().alias("__b"))
+        bucketed(long.select("col_name", "val"))
         .join(F.broadcast(tb), ["col_name", "__b"])
         .groupBy("col_name", "__b", "cum_before", "val")
         .agg(F.count("*").alias("cnt"))

@@ -1360,8 +1360,16 @@ def kfold_audit(
     group-cardinality aggregation after the fold projection; the ppm
     denominator is a window over ≤ k+1 rows."""
     lab = kfold_assign(df, group_col, k, seed=seed)
+    # the NULL group counts as ONE group (advisor r13: a bare
+    # countDistinct ignores NULLs, so the NULL fold reported n_groups=0
+    # beside nonzero n_rows — an untruthful balance sheet); chr(0) is
+    # the established impossible-in-data sentinel
     cells = lab.groupBy("fold").agg(
-        F.countDistinct(group_col).cast("bigint").alias("n_groups"),
+        F.countDistinct(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("\x00"))
+        )
+        .cast("bigint")
+        .alias("n_groups"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
     w_all = Window.partitionBy()
