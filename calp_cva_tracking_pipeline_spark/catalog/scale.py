@@ -13600,6 +13600,62 @@ SELECT bin, n,
 FROM cells ORDER BY bin
 """
 
+# --- wave 60: personalized PageRank (seed-teleport curation ranking) ---
+
+PPR_SEEDS = (1, 2, 3)  # supplier nodes — the trusted seed set
+PPR_ITER = 3
+
+
+def gr_ppr(spark, sf_dir):
+    """Personalized PageRank (operators.graph.personalized_pagerank)
+    over the gr_pagerank supplier↔part graph with a 3-supplier seed
+    set — the expand-from-trusted-sources ranking a curation pipeline
+    runs ("more like these N good sources"); teleport and dangling
+    mass return to seeds only, same sentinel single-reference kernel
+    and integer nano arithmetic as the uniform variant."""
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    fwd = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + PR_PART_OFFSET).alias("dst"),
+    )
+    bwd = li.filter(F.col("l_orderkey") % 2 == 1).select(
+        (F.col("l_partkey") + PR_PART_OFFSET).alias("src"),
+        F.col("l_suppkey").alias("dst"),
+    )
+    seeds = spark.createDataFrame(
+        [(int(x),) for x in PPR_SEEDS], "node long"
+    )
+    return personalized_pagerank(
+        fwd.unionByName(bwd), seeds, "src", "dst",
+        n_iter=PPR_ITER,
+    )
+
+
+def _gr_ppr_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.graph import ppr_sql
+
+    edges = f"""
+SELECT l_suppkey AS src, l_partkey + {PR_PART_OFFSET} AS dst
+FROM lineitem WHERE l_orderkey % 2 = 0
+UNION ALL
+SELECT l_partkey + {PR_PART_OFFSET} AS src, l_suppkey AS dst
+FROM lineitem WHERE l_orderkey % 2 = 1
+"""
+    seeds = " UNION ALL ".join(
+        f"SELECT {int(x)} AS node" for x in PPR_SEEDS
+    )
+    return ppr_sql(edges, seeds, n_iter=PPR_ITER)
+
+
+GR_PPR_SQL = _gr_ppr_sql()
+
+
 # --- wave 59: HITS link analysis + line-level boilerplate census ---
 
 HITS_ITER = 3
@@ -14531,4 +14587,6 @@ SCALE_QUERIES = {
     # fifty-ninth wave (round 13): HITS + line-level boilerplate
     "gr_hits": (gr_hits, GR_HITS_SQL),
     "tx_line_dedup": (tx_line_dedup, TX_LINE_DEDUP_SQL),
+    # sixtieth wave (round 13): seed-teleport curation ranking
+    "gr_ppr": (gr_ppr, GR_PPR_SQL),
 }

@@ -1631,3 +1631,236 @@ def hits(
         ).alias("auth_nano"),
     )
     return hub.join(auth, ["node"]).orderBy("node")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    n_iter: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PERSONALIZED PageRank: teleport mass returns to
+    the declared seed set instead of the uniform vector — the
+    topic-sensitive ranking a curation pipeline runs to expand from a
+    small trusted set ("more pages like these N good sources") or to
+    score candidate documents by proximity to a seed corpus, the
+    graph-side sibling of embedding hard-negative mining.
+
+    Same sentinel single-reference discipline as ``pagerank`` (shared
+    contract; see that docstring for the one-round-lag dangling
+    semantics): the static graph gains (dangling → sentinel, share 1)
+    and (sentinel → each seed, share |S|) edges, the init vector IS the
+    teleport vector (seeds SCALE//|S|, others 0), and the per-round
+    base term lands on seeds only. Seeds outside the edge set's node
+    universe are ignored (documented: a seed with no edges contributes
+    no mass and receives only teleport); duplicate seed ids collapse.
+    Integer nano arithmetic throughout — ``ppr_sql`` unrolls the
+    identical recurrence. Output: (node, rank_nano) over every graph
+    node, ordered by node.
+    """
+    e = (
+        edges.filter(
+            F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+        )
+        .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    e_deg = e.join(deg, "src").localCheckpoint(eager=False)
+    nodes = (
+        e_deg.select(F.col("src").alias("node"))
+        .union(e_deg.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sd = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .join(nodes, ["node"])
+        .localCheckpoint(eager=False)
+    )
+    srcs = e_deg.select("src").distinct()
+    stats = (
+        nodes.join(
+            sd.select(F.col("node").alias("__sn")),
+            nodes["node"] == F.col("__sn"),
+            "left",
+        )
+        .join(srcs, nodes["node"] == srcs["src"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.col("__sn").isNotNull().cast("long")), F.lit(0)
+            ).alias("m"),
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("__sn").isNotNull() & F.isnull("src")
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("md"),
+        )
+        .collect()[0]
+    )
+    n, m, m_dang = stats["n"], stats["m"], stats["md"]
+    if n == 0 or m == 0:
+        # empty graph or no in-graph seeds: no teleport mass anywhere
+        return nodes.select(
+            "node", F.lit(0).cast("bigint").alias("rank_nano")
+        ).orderBy("node")
+    base = (RANK_SCALE - damping_pct * RANK_SCALE // 100) // m
+    init = RANK_SCALE // m
+    ntype = nodes.schema["node"].dataType
+    null_node = F.lit(None).cast(ntype)
+
+    aug = (
+        e_deg.select(
+            F.col("src").alias("asrc"),
+            F.col("dst").alias("adst"),
+            F.col("outdeg").cast("long").alias("share"),
+        )
+        .unionByName(
+            nodes.join(srcs, nodes["node"] == srcs["src"], "left_anti")
+            .select(
+                F.col("node").alias("asrc"),
+                null_node.alias("adst"),
+                F.lit(1).cast("long").alias("share"),
+            )
+        )
+        .unionByName(
+            sd.select(
+                null_node.alias("asrc"),
+                F.col("node").alias("adst"),
+                F.lit(m).cast("long").alias("share"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes_aug = (
+        nodes.join(
+            sd.select(F.col("node").alias("__sn")),
+            nodes["node"] == F.col("__sn"),
+            "left",
+        )
+        .select("node", F.col("__sn").isNotNull().alias("__seed"))
+        .unionByName(
+            edges.sparkSession.range(1).select(
+                null_node.alias("node"), F.lit(False).alias("__seed")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    ranks = nodes_aug.select(
+        "node",
+        "__seed",
+        F.when(F.col("node").isNull(), F.lit(m_dang * init))
+        .when(F.col("__seed"), F.lit(init))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(n_iter):
+        contrib = ranks.join(
+            aug, ranks["node"].eqNullSafe(aug["asrc"])
+        ).select(
+            F.col("adst").alias("node"),
+            F.expr("rank div share").alias("c"),
+        )
+        g = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            nodes_aug.join(
+                g, nodes_aug["node"].eqNullSafe(g["node"]), "left"
+            )
+            .select(
+                nodes_aug["node"].alias("node"),
+                nodes_aug["__seed"].alias("__seed"),
+                F.when(
+                    nodes_aug["node"].isNull(),
+                    F.coalesce(g["inflow"], F.lit(0)),
+                )
+                .otherwise(
+                    F.when(nodes_aug["__seed"], F.lit(base)).otherwise(
+                        F.lit(0)
+                    )
+                    + F.expr(
+                        f"({damping_pct} * coalesce(inflow, 0)) div 100"
+                    )
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    return (
+        ranks.filter(F.col("node").isNotNull())
+        .select("node", F.col("rank").alias("rank_nano"))
+        .orderBy("node")
+    )
+
+
+def ppr_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+) -> str:
+    """DuckDB oracle twin of ``personalized_pagerank`` — the identical
+    integer recurrence unrolled, seed-teleport form of ``pagerank_sql``
+    (sentinel mass re-enters at seeds only, base term on seeds only,
+    init = the teleport vector)."""
+    d = damping_pct
+    s = RANK_SCALE
+    base_num = s - d * s // 100
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_cte}) raw"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"sd AS (SELECT DISTINCT sn.node FROM ({seeds_cte}) sn"
+        " JOIN nodes ON nodes.node = sn.node)",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1)",
+        "m AS (SELECT COUNT(*) AS cnt FROM sd)",
+        f"r0 AS (SELECT nodes.node, CASE WHEN sd.node IS NOT NULL"
+        f" THEN {s} // cnt ELSE 0 END AS rank"
+        f" FROM nodes CROSS JOIN m LEFT JOIN sd ON sd.node = nodes.node)",
+        "s0 AS (SELECT COALESESCE_PLACEHOLDER AS sv FROM r0)",
+    ]
+    # s0 = dangling mass of the init vector
+    parts[-1] = (
+        "s0 AS (SELECT COALESCE(SUM(r0.rank), 0) AS sv FROM r0"
+        " LEFT JOIN deg ON r0.node = deg.src WHERE deg.src IS NULL)"
+    )
+    for i in range(1, n_iter + 1):
+        p, c = f"r{i - 1}", f"r{i}"
+        if i > 1:
+            parts.append(
+                f"s{i - 1} AS (SELECT COALESCE(SUM(r.rank), 0) AS sv "
+                f"FROM r{i - 2} r LEFT JOIN deg ON r.node = deg.src "
+                f"WHERE deg.src IS NULL)"
+            )
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, "
+            f"SUM(r.rank // deg.outdeg) AS inflow "
+            f"FROM e JOIN {p} r ON e.src = r.node "
+            f"JOIN deg ON deg.src = e.src GROUP BY 1)"
+        )
+        parts.append(
+            f"{c} AS (SELECT nodes.node, "
+            f"(CASE WHEN sd.node IS NOT NULL THEN {base_num} // cnt"
+            f" ELSE 0 END) "
+            f"+ ({d} * (COALESCE(c{i}.inflow, 0)"
+            f" + (CASE WHEN sd.node IS NOT NULL THEN s{i - 1}.sv // cnt"
+            f" ELSE 0 END)))"
+            f" // 100 AS rank "
+            f"FROM nodes CROSS JOIN m CROSS JOIN s{i - 1} "
+            f"LEFT JOIN sd ON sd.node = nodes.node "
+            f"LEFT JOIN c{i} ON nodes.node = c{i}.node)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT node, CAST(rank AS BIGINT) AS rank_nano FROM r{n_iter}"
+        f" ORDER BY node"
+    )

@@ -304,3 +304,42 @@ def test_line_boilerplate_census_matches_python(spark):
             len({t for t in lines if t in boiler}),
         )
     assert got == exp
+
+
+def test_ppr_with_full_seed_set_equals_uniform_pagerank(spark):
+    """personalized_pagerank degenerates EXACTLY to pagerank when the
+    seed set is the whole node universe (teleport uniform, sentinel
+    fans to every node, base everywhere) — bit-for-bit on random
+    digraphs with dangling nodes; and with a proper subset, seeds
+    carry strictly more rank than the graph minimum."""
+    import random
+
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    rng = random.Random(1321)
+    for trial in range(2):
+        edges = {
+            (rng.randrange(12), rng.randrange(12))
+            for _ in range(rng.randint(6, 30))
+        }
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+        all_seeds = spark.createDataFrame(
+            [(v,) for v in nodes], "node long"
+        )
+        pr = {r.node: r.rank_nano for r in pagerank(df).collect()}
+        ppr = {
+            r.node: r.rank_nano
+            for r in personalized_pagerank(df, all_seeds).collect()
+        }
+        assert ppr == pr, f"trial {trial}"
+
+        sub = spark.createDataFrame([(nodes[0],)], "node long")
+        pp = {
+            r.node: r.rank_nano
+            for r in personalized_pagerank(df, sub).collect()
+        }
+        assert pp[nodes[0]] > min(pp.values())
