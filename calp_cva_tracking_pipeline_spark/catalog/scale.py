@@ -13600,6 +13600,65 @@ SELECT bin, n,
 FROM cells ORDER BY bin
 """
 
+# --- wave 60: LTR feature extraction over the BM25 pool ---
+
+LTR_POOL_K = 25
+
+
+def rt_ltr_features(spark, sf_dir):
+    """Learning-to-rank feature table (operators.textops.ltr_features)
+    over the BM25 candidate pool — per pooled (query, doc): the 6-dp
+    BM25 score, doc length, total/max query-term tf, matched-term
+    count, integer-ppm query coverage and matched idf mass; the table a
+    reranker trains on, same tokenizer/scoring text as rt_bm25_topk."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        ltr_features,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return ltr_features(
+        d, "doc_id", BM25_QUERY, k1=BM25_K1, b=BM25_B,
+        pool_k=LTR_POOL_K,
+    )
+
+
+def _rt_ltr_sql() -> str:
+    n_q = len(sorted(set(BM25_QUERY)))
+    return f"""
+WITH {_BM25_SCORED_CTES.replace("scored AS (", "scored0 AS (")},
+feat AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf * ({BM25_K1} + 1)
+           / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+         ), 6) AS bm25,
+         CAST(MAX(dl) AS BIGINT) AS dl,
+         CAST(SUM(tf) AS BIGINT) AS tf_sum,
+         CAST(MAX(tf) AS BIGINT) AS max_tf,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+         ROUND(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))), 6)
+             AS idf_sum
+  FROM tf
+  JOIN df_t USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id),
+pool AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                 AS INTEGER) AS rank
+  FROM feat)
+SELECT doc_id, rank, bm25, dl, tf_sum, max_tf, n_terms_matched,
+       CAST((1000000 * n_terms_matched) // {n_q} AS BIGINT)
+           AS coverage_ppm,
+       idf_sum
+FROM pool WHERE rank <= {LTR_POOL_K} ORDER BY rank
+"""
+
+
+RT_LTR_SQL = _rt_ltr_sql()
+
+
 # --- wave 60: personalized PageRank (seed-teleport curation ranking) ---
 
 PPR_SEEDS = (1, 2, 3)  # supplier nodes — the trusted seed set
@@ -14587,6 +14646,7 @@ SCALE_QUERIES = {
     # fifty-ninth wave (round 13): HITS + line-level boilerplate
     "gr_hits": (gr_hits, GR_HITS_SQL),
     "tx_line_dedup": (tx_line_dedup, TX_LINE_DEDUP_SQL),
-    # sixtieth wave (round 13): seed-teleport curation ranking
+    # sixtieth wave (round 13): seed-teleport curation ranking + LTR
     "gr_ppr": (gr_ppr, GR_PPR_SQL),
+    "rt_ltr_features": (rt_ltr_features, RT_LTR_SQL),
 }

@@ -1540,3 +1540,100 @@ def line_boilerplate_census(
         )
         .orderBy(source_col)
     )
+
+
+def ltr_features(
+    df: DataFrame,
+    id_col: str,
+    query_terms: list[str],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    pool_k: int = 25,
+) -> DataFrame:
+    """Learning-to-rank FEATURE EXTRACTION over the BM25 candidate pool
+    — the table a reranker trains/scoreses on: retrieval stacks don't
+    feed raw text to the ranker, they feed per-(query, doc) features,
+    and this emits the classic lexical set per pooled candidate: the
+    6-dp BM25 score itself, doc length, total and max query-term tf,
+    matched-term count, integer-ppm query coverage, and the matched
+    idf mass (6 dp). Same tokenizer/scoring expressions as
+    ``bm25_topk`` (the oracle shares its CTE text), same deterministic
+    (score desc, id) pool cut.
+
+    Scale shape: identical to the T30 retrieval pass — the tf exchange
+    carries only query-term rows, df/stats broadcast back, the pool
+    cut is rank-bounded; the feature aggregates ride the SAME per-doc
+    groupBy that computes the score, so features are free at the
+    margin. Output: (doc_id, rank, bm25, dl, tf_sum, max_tf,
+    n_terms_matched, coverage_ppm, idf_sum), rank ascending.
+    """
+    if not query_terms:
+        raise ValueError("ltr_features: empty query")
+    terms = sorted({t.lower() for t in query_terms})
+    n_q = len(terms)
+    toks = (
+        spread_small_input(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    dl = toks.groupBy("__id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtoks = toks.filter(F.col("term").isin(terms))
+    df_t = qtoks.groupBy("term").agg(
+        F.count_distinct("__id").alias("df")
+    )
+    tf = qtoks.groupBy("__id", "term").agg(F.count("*").alias("tf"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "__id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("__id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("bm25"),
+            F.max("dl").cast("bigint").alias("dl"),
+            F.sum("tf").cast("bigint").alias("tf_sum"),
+            F.max("tf").cast("bigint").alias("max_tf"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+            F.round(F.sum(idf), 6).alias("idf_sum"),
+        )
+    )
+    # pool cut FIRST via TakeOrderedAndProject (per-partition top-k +
+    # tiny merge — never a global window over every matched doc), then
+    # the rank window runs on pool_k rows only
+    pool = scored.orderBy(F.col("bm25").desc(), F.col("__id")).limit(
+        pool_k
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("__id"))
+    return (
+        pool.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            F.col("__id").alias(id_col),
+            "rank",
+            "bm25",
+            "dl",
+            "tf_sum",
+            "max_tf",
+            "n_terms_matched",
+            F.expr(
+                f"CAST((1000000 * n_terms_matched) div {n_q} AS BIGINT)"
+            ).alias("coverage_ppm"),
+            "idf_sum",
+        )
+        .orderBy("rank")
+    )

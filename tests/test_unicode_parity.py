@@ -94,6 +94,8 @@ TEXT_FAMILY = [
     # round 13 wave 59: line census md5-hashes raw trimmed lines — the
     # split/trim/md5 path must agree on CJK/emoji/control-whitespace
     "tx_line_dedup",
+    # round 13 wave 60: LTR features share the BM25 whitespace tokenizer
+    "rt_ltr_features",
 ]
 
 
