@@ -13600,6 +13600,55 @@ SELECT bin, n,
 FROM cells ORDER BY bin
 """
 
+# --- wave 60: active-learning uncertainty sampling ---
+
+UNCERT_K = 10
+
+
+def mx_uncertainty(spark, sf_dir):
+    """Active-learning labeling queue (operators.sampling.
+    uncertainty_sample): per predicted class the K most uncertain M1
+    scores (binary margin |conf−0.5| ascending, integer ppm, id
+    tie-break) — the reference's low-confidence manual-review routing
+    generalized into a budgeted per-class annotation batch."""
+    from calp_cva_tracking_pipeline_spark.operators.mlstub import (
+        classify_flows,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.sampling import (
+        uncertainty_sample,
+    )
+
+    d = classify_flows(
+        T(spark, sf_dir, "documents").filter(F.col("text").isNotNull()),
+        "text",
+        stub="native",
+    )
+    return uncertainty_sample(
+        d, "doc_id", "predicted_confidence", "predicted_class",
+        per_class_k=UNCERT_K,
+    )
+
+
+MX_UNCERTAINTY_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CASE WHEN {_M1_CONF} >= 0.5 THEN 'Full' ELSE 'Partial' END
+             AS class,
+         CAST({_M1_CONF} AS DOUBLE) AS conf,
+         CAST(ROUND(ABS({_M1_CONF} - 0.5) * 1000000, 0) AS BIGINT)
+             AS uncertainty_ppm
+  FROM documents WHERE text IS NOT NULL),
+ranked AS (
+  SELECT doc_id AS id, class, conf, uncertainty_ppm,
+         CAST(ROW_NUMBER() OVER (PARTITION BY class
+           ORDER BY uncertainty_ppm, doc_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT id, class, conf, uncertainty_ppm, rank
+FROM ranked WHERE rank <= {UNCERT_K}
+ORDER BY class, rank
+"""
+
+
 # --- wave 60: LTR feature extraction over the BM25 pool ---
 
 LTR_POOL_K = 25
@@ -14649,4 +14698,5 @@ SCALE_QUERIES = {
     # sixtieth wave (round 13): seed-teleport curation ranking + LTR
     "gr_ppr": (gr_ppr, GR_PPR_SQL),
     "rt_ltr_features": (rt_ltr_features, RT_LTR_SQL),
+    "mx_uncertainty": (mx_uncertainty, MX_UNCERTAINTY_SQL),
 }

@@ -1382,3 +1382,46 @@ def kfold_audit(
         .select("fold", "n_groups", "n_rows", "rows_ppm")
         .orderBy(F.asc_nulls_first("fold"))
     )
+
+
+def uncertainty_sample(
+    df: DataFrame,
+    id_col: str,
+    conf_col: str,
+    class_col: str,
+    per_class_k: int = 10,
+) -> DataFrame:
+    """Active-learning batch selection: per predicted class, the k rows
+    the model is LEAST sure about (binary margin |conf − 0.5|,
+    ascending) — the labeling queue that buys the most model
+    improvement per annotation dollar, and the reference's
+    manual-review routing (its CC4 cascade sends low-confidence flows
+    to humans) generalized into a budgeted per-class queue so one
+    high-volume class cannot monopolize the annotators.
+
+    Engine-exactness: the margin scales to integer ppm per row (exact
+    for milli-grained stub scores), ranks break ties on id, so the cut
+    is deterministic cross-engine. One class-keyed rank window over
+    rows that survive the NULL-confidence drop; output is
+    classes·k-bounded. Output: (id, class, conf, uncertainty_ppm,
+    rank), ordered by (class, rank).
+    """
+    if per_class_k < 1:
+        raise ValueError(f"per_class_k must be >= 1: {per_class_k}")
+    base = df.filter(F.col(conf_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(class_col).alias("class"),
+        F.col(conf_col).alias("conf"),
+        F.round(F.abs(F.col(conf_col) - 0.5) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("uncertainty_ppm"),
+    )
+    w = Window.partitionBy("class").orderBy(
+        F.col("uncertainty_ppm"), F.col("id")
+    )
+    return (
+        base.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= per_class_k)
+        .select("id", "class", "conf", "uncertainty_ppm", "rank")
+        .orderBy("class", "rank")
+    )

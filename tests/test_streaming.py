@@ -1772,3 +1772,82 @@ def test_foreachbatch_calibration_cells_fold_to_batch(
         ).collect()
     ]
     assert folded == one_shot
+
+
+def test_foreachbatch_sprt_rides_the_conversion_fold(
+    spark, sf_dir, tmp_path
+):
+    """The SPRT docstring's claim, proven: daily counters fold through
+    the SAME conversion_day_cells ledger as the CI resident, and the
+    cumulative Wald verdict recomputed from the folded integers equals
+    the one-shot sprt_audit bit-for-bit."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        conversion_day_cells,
+        sprt_audit,
+    )
+
+    p0, p1, alpha, beta = 0.45, 0.50, 0.05, 0.2
+    e = T(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    one_shot = [tuple(r) for r in sprt_audit(e, p0, p1).collect()]
+
+    ledger_path = str(tmp_path / "sprt_ledger")
+
+    def process(batch_df, batch_id):
+        conversion_day_cells(batch_df).write.mode("append").parquet(
+            ledger_path
+        )
+
+    reader = _file_stream_batches(
+        spark, tmp_path, e, "event_id", 3, "sprt"
+    )
+    q = (
+        reader.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "sprt_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    # fold the ledger, then replay the readout in python from the
+    # folded EXACT integers (the verdict recomputes, never folds)
+    folded = {
+        r.day: (r.n, r.k)
+        for r in spark.read.parquet(ledger_path)
+        .groupBy("day")
+        .agg(
+            F.sum("n_exposures").cast("bigint").alias("n"),
+            F.sum("n_conversions").cast("bigint").alias("k"),
+        )
+        .collect()
+    }
+    w1 = round(1e9 * math.log(p1 / p0))
+    w0 = round(1e9 * math.log((1 - p1) / (1 - p0)))
+    up = round(1e9 * math.log((1 - beta) / alpha))
+    lo = round(1e9 * math.log(beta / (1 - alpha)))
+    cum, out, fh, fl = 0, [], None, None
+    for d in sorted(folded):
+        n, k = folded[d]
+        llr = k * w1 + (n - k) * w0
+        cum += llr
+        if cum >= up and fh is None:
+            fh = d
+        if cum <= lo and fl is None:
+            fl = d
+        if fh is not None and (fl is None or fh <= fl):
+            v = "accept_h1"
+        elif fl is not None:
+            v = "accept_h0"
+        else:
+            v = "continue"
+        out.append((d, n, k, llr, cum, v))
+    assert out == one_shot
