@@ -65,20 +65,18 @@ GATE = [
     "tj_asof_join",
     "rt_rollup_hierarchy",
     "gx_spatial_clusters", "gr_pagerank", "cdc_upsert",
-    "ev_funnel", "pk_pack_audit", "ev_markov_stationary",
+    "ev_funnel", "pk_pack_audit",
     "rt_bm25_topk",
-    "gr_triangles", "emb_kmeans", "pf_approx_distinct",
-    "mm_scene_cuts",
-    "dd_jaccard_join", "gr_bfs", "ml_class_metrics", "pf_dataset_card",
+    "gr_triangles", "pf_approx_distinct",
+    "ml_class_metrics", "pf_dataset_card",
     "ev_itemsets", "pf_ref_integrity", "gr_communities",
     # seventh rotation (round 12): the eight round-11 sim-green
     # operators promoted to driver rows; retirees (tx_chunk,
     # tx_repetition, st_windowed_agg, ts_ewma, tx_pii_redact,
     # tj_interval_join, pf_bootstrap, dd_decontam) stay catalog-resident
     # past position 50 with their oracles, local-parity verified.
-    "gr_adamic_adar", "dd_substring_spans", "mm_video_neardup",
-    "emb_hard_negatives", "ann_ivf_incr", "rt_mmr", "pf_ldiversity",
-    "ann_mrl_eval",
+    "dd_substring_spans", "mm_video_neardup",
+    "emb_hard_negatives", "ann_ivf_incr", "rt_mmr",
     # eighth rotation (round 13, VERDICT r12 ask #1): the round-12
     # measured-evidence tier promoted to driver rows. Retired to local
     # parity (each stays catalog-resident with its oracle, 3-SF
@@ -102,6 +100,30 @@ GATE = [
     "dd_dup_census", "ann_nprobe_frontier", "dd_lsh_tuner",
     "ann_filtered_topk", "dd_embed_contam", "mm_video_summary",
     "mm_audio_vad", "gx_knn_join",
+    # ninth rotation (round 14, VERDICT r13 ask #1): the round-13
+    # judge-sim-verified tier promoted to driver rows. Retired to local
+    # parity (each stays catalog-resident with its oracle, 3-SF
+    # parity-verified): dd_jaccard_join (its shingle→exact-Jaccard
+    # verify kernel runs verbatim as corpus_release_audit's near-dup
+    # verification stage, and dd_dup_census/dd_lsh_tuner keep the
+    # candidate tiers gated), mm_scene_cuts (mm_video_summary gates the
+    # same combined decode + luma-lag cut kernel over the same FRSQ
+    # corpus), gr_adamic_adar (gr_triangles gates the wedge-join
+    # machinery; AA's plan-time weight table keeps 3-SF parity),
+    # gr_bfs (gr_ppr gates seeded frontier diffusion with the same
+    # per-round node-state joins; gr_communities keeps min-label
+    # iteration gated), ev_markov_stationary (integer-nano power
+    # iteration is gr_pagerank's gated kernel, now doubly gated via
+    # gr_hits; ev_sprt keeps the stochastic-process family gated),
+    # pf_ldiversity (the per-cell group-distinct census kernel is
+    # mx_kfold's gated countDistinct-with-sentinel; pf_calibration
+    # gates cell folds), ann_mrl_eval (recall-vs-brute ground truth is
+    # ann_graph_frontier's gated stage; ann_nprobe_frontier gates the
+    # operating curve), emb_kmeans (the deterministic lowest-id-init
+    # Lloyd kernel is the IVF quantizer, gated three ways via
+    # ann_filtered_topk/ann_nprobe_frontier/ann_ivf_incr).
+    "corpus_release_audit", "dd_norm_unicode", "pf_calibration",
+    "mx_kfold", "ann_graph_frontier", "ev_sprt", "gr_hits", "gr_ppr",
 ]
 
 ALL_QUERIES = {name: _MERGED[name] for name in GATE}

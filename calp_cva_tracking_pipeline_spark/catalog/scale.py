@@ -8224,12 +8224,18 @@ def pf_bootstrap(spark, sf_dir):
     weights from stable_hash64 against plan-time Poisson(1) inverse-CDF
     thresholds — error bars in ONE scan + ONE group-cardinality
     exchange, no row explosion, no RNG state."""
+    from calp_cva_tracking_pipeline_spark.operators.partitioning import (
+        spread_small_input,
+    )
     from calp_cva_tracking_pipeline_spark.operators.profiling import (
         bootstrap_mean_ci,
     )
 
+    # the testdata parquet is single-row-group → 1 scan partition; the
+    # per-row replica fan-out is CPU-heavy, so spread to full
+    # parallelism (structural no-op at scale — see spread_small_input)
     return bootstrap_mean_ci(
-        T(spark, sf_dir, "orders"),
+        spread_small_input(T(spark, sf_dir, "orders")),
         ["o_orderpriority"],
         "o_orderkey",
         "o_totalprice",
@@ -8239,29 +8245,36 @@ def pf_bootstrap(spark, sf_dir):
 
 
 def _bootstrap_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.functions.hashing import (
+        MERSENNE_P,
+        minhash_params,
+    )
     from calp_cva_tracking_pipeline_spark.operators.profiling import (
-        poisson1_thresholds_60,
+        BOOT_FAMILY_SEED,
+        poisson1_thresholds_mod_p,
     )
 
-    ths = poisson1_thresholds_60()
+    ths = poisson1_thresholds_mod_p()
+    params = minhash_params(BOOT_B, seed=BOOT_FAMILY_SEED)
 
-    def w(b: int) -> str:
-        h = _sql_hash60(
-            f"CAST(o_orderkey AS VARCHAR) || '|{b}'"
-        )
-        terms = " + ".join(
-            f"(CASE WHEN h{b} >= {t} THEN 1 ELSE 0 END)" for t in ths
-        )
-        return h, terms
+    # ONE md5 per row (native twin: stable_hash_mod_p + the (a,b)
+    # family fan-out — round-13 verdict perf ask); h0 < p and a,b < p
+    # keep every product in BIGINT range
+    _key = "CAST(o_orderkey AS VARCHAR) || '|boot'"
+    h0 = f"({_sql_hash60(_key)} % {MERSENNE_P})"
 
-    hash_cols = []
+    hash_cols = [f"{h0} AS h0"]
     agg_cols = []
-    for b in range(BOOT_B):
-        h, terms = w(b)
-        hash_cols.append(f"{h} AS h{b}")
+    for b, (pa, pb) in enumerate(params):
+        hb = f"(({pa} * h0 + {pb}) % {MERSENNE_P})"
+        # chained CASE mirrors the native early-exit spelling exactly
+        arms = " ".join(
+            f"WHEN {hb} < {t} THEN {k}" for k, t in enumerate(ths)
+        )
+        terms = f"(CASE {arms} ELSE {len(ths)} END)"
         agg_cols.append(
-            f"CAST(SUM(CAST(({terms}) AS BIGINT) * x) AS BIGINT) AS swx{b},"
-            f" CAST(SUM(CAST(({terms}) AS BIGINT)) AS BIGINT) AS sw{b}"
+            f"CAST(SUM(CAST({terms} AS BIGINT) * x) AS BIGINT) AS swx{b},"
+            f" CAST(SUM(CAST({terms} AS BIGINT)) AS BIGINT) AS sw{b}"
         )
     m_exprs = []
     zero_checks = []
@@ -14347,8 +14360,8 @@ WITH aug AS (
 base AS (
   SELECT doc_id, source, text,
          CAST({_NTOK} AS INTEGER) AS n_tok,
-         (({_CORPUS_QUALITY}) >= {CORPUS_MIN_QUALITY}
-          AND {_NTOK} >= {CORPUS_MIN_TOKENS}) AS gate
+         COALESCE((({_CORPUS_QUALITY}) >= {CORPUS_MIN_QUALITY}
+          AND {_NTOK} >= {CORPUS_MIN_TOKENS}), FALSE) AS gate
   FROM aug),
 gated AS (SELECT doc_id, text FROM base WHERE gate),
 {_sig_cte_over("gated")},

@@ -1557,10 +1557,15 @@ def hits(
         bound = (
             (deg["do"] * deg["di"]) ** n_iter * (10**9) * max(deg["ns"], 1)
         )
-        if bound >= 10**38:
+        # the guarded quantity is the FINAL normalization multiply
+        # (score * 1e9 before the div), not the raw score bound — a
+        # bound in [1e29, 1e38) passes the raw check yet overflows
+        # `__h * 1000000000`, silently NULLing on non-ANSI Spark
+        # (round-13 advisor catch)
+        if bound * (10**9) >= 10**38:
             raise ValueError(
-                "hits(): unnormalized score bound "
-                f"n·(d_out·d_in)^t·1e9 ≈ 1e{len(str(bound)) - 1} exceeds "
+                "hits(): normalization bound "
+                f"n·(d_out·d_in)^t·1e18 ≈ 1e{len(str(bound)) + 8} exceeds "
                 "decimal(38,0)/HUGEINT range — lower n_iter or pre-cap "
                 "hub degrees (degree cap is the documented contract for "
                 "supercritical graphs, as in gr_adamic_adar)"
@@ -1822,8 +1827,14 @@ def ppr_sql(
         " JOIN nodes ON nodes.node = sn.node)",
         "deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1)",
         "m AS (SELECT COUNT(*) AS cnt FROM sd)",
+        # NULLIF(cnt, 0): vectorized engines evaluate both CASE arms,
+        # so a seed set disjoint from the graph (cnt=0, sd empty — the
+        # THEN arm is never *selected*) still crashed the bare `// cnt`
+        # with division by zero while the native twin returns all-zero
+        # ranks (its m==0 early-return). NULL-division + COALESCE
+        # mirrors that early-return exactly (round-13 advisor catch).
         f"r0 AS (SELECT nodes.node, CASE WHEN sd.node IS NOT NULL"
-        f" THEN {s} // cnt ELSE 0 END AS rank"
+        f" THEN COALESCE({s} // NULLIF(cnt, 0), 0) ELSE 0 END AS rank"
         f" FROM nodes CROSS JOIN m LEFT JOIN sd ON sd.node = nodes.node)",
         "s0 AS (SELECT COALESESCE_PLACEHOLDER AS sv FROM r0)",
     ]
@@ -1848,10 +1859,12 @@ def ppr_sql(
         )
         parts.append(
             f"{c} AS (SELECT nodes.node, "
-            f"(CASE WHEN sd.node IS NOT NULL THEN {base_num} // cnt"
+            f"(CASE WHEN sd.node IS NOT NULL"
+            f" THEN COALESCE({base_num} // NULLIF(cnt, 0), 0)"
             f" ELSE 0 END) "
             f"+ ({d} * (COALESCE(c{i}.inflow, 0)"
-            f" + (CASE WHEN sd.node IS NOT NULL THEN s{i - 1}.sv // cnt"
+            f" + (CASE WHEN sd.node IS NOT NULL"
+            f" THEN COALESCE(s{i - 1}.sv // NULLIF(cnt, 0), 0)"
             f" ELSE 0 END)))"
             f" // 100 AS rank "
             f"FROM nodes CROSS JOIN m CROSS JOIN s{i - 1} "

@@ -1362,11 +1362,13 @@ def kfold_audit(
     lab = kfold_assign(df, group_col, k, seed=seed)
     # the NULL group counts as ONE group (advisor r13: a bare
     # countDistinct ignores NULLs, so the NULL fold reported n_groups=0
-    # beside nonzero n_rows — an untruthful balance sheet); chr(0) is
-    # the established impossible-in-data sentinel
+    # beside nonzero n_rows — an untruthful balance sheet); chr(1) is
+    # the sentinel on BOTH engines (DuckDB VARCHAR cannot hold NUL, so
+    # the SQL twin uses chr(1) — a native chr(0) would alias a real
+    # '\\x00' key differently across the twins; advisor r13)
     cells = lab.groupBy("fold").agg(
         F.countDistinct(
-            F.coalesce(F.col(group_col).cast("string"), F.lit("\x00"))
+            F.coalesce(F.col(group_col).cast("string"), F.lit("\x01"))
         )
         .cast("bigint")
         .alias("n_groups"),

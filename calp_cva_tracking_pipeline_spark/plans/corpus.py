@@ -205,9 +205,16 @@ def corpus_release_report(
         source_col,
         text_col,
         "n_tokens",
-        (
+        # NULL text ⇒ NULL quality/n_tokens ⇒ NULL gate; coalesce to
+        # FALSE so unscoreable docs report gate_drop rather than
+        # falling through the NOT-gate arm (which skips on NULL) into
+        # exact_drop — both engines misattributed identically before
+        # the coalesce, so parity held but the audit column lied
+        # (round-13 advisor catch; SQL twin coalesces the same way)
+        F.coalesce(
             (F.col("quality") >= min_quality)
-            & (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") >= min_tokens),
+            F.lit(False),
         ).alias("__gate"),
     )
     gated = base.filter(F.col("__gate")).select(

@@ -16,10 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from calp_cva_tracking_pipeline_spark.functions.text import canonicalize_name
-from calp_cva_tracking_pipeline_spark.operators.joins import (
-    fuzzy_name_join,
-    substring_join,
+from calp_cva_tracking_pipeline_spark.functions.text import (
+    canonicalize_name,
+    regex_quote,
 )
 
 # Canonicalized tokens treated as "no recipient" (code/10:99-101)
@@ -65,43 +64,114 @@ def match_org_names(
         canonicalize_name(F.col(right_names.columns[0])).alias("rname")
     ).distinct()
     rc = rc.filter(F.col("rname").isNotNull() & (F.col("rname") != ""))
+    # the four stages each consume BOTH name lists, and Spark replans a
+    # derived frame once per consumer (exchange reuse never fires across
+    # these subtrees — the r14 plan audit read 10 scans / 22 exchanges /
+    # 0 reuse for the EP3 chain): cut the canonical-distinct lineage
+    # ONCE. Both frames are org-universe-sized by the module contract
+    # (hundreds to low thousands of names), so the materialization is
+    # dimension-scale at any corpus size.
+    lc = lc.localCheckpoint(eager=False)
+    rc = rc.localCheckpoint(eager=False)
 
-    exact = lc.join(
-        F.broadcast(rc), F.col("name") == F.col("rname"), "left"
-    ).select("name", F.col("rname").alias("exact_match"))
-
-    fuzzy_left = lc
+    # ALL FOUR stages over ONE pair scan + ONE priority aggregate
+    # (round-14: the stage-per-join spelling planned 4 cross joins,
+    # 3 rank windows and 3 coalesce joins over the SAME pair space —
+    # ~10 sequential broadcast stages; the fused form is pair scan →
+    # grouped pick → one broadcast join back). Per-stage tie-breaks
+    # are bit-identical: struct-min (distance, rname) ≡ the fuzzy
+    # window's (dist asc, rname asc) row_number cut, struct-min
+    # (container_len, rname) ≡ the substring windows'
+    # shortest-container-then-lex cut — see operators.joins.
+    # fuzzy_name_join / substring_join, which remain the standalone
+    # J10/J11 operators with those windows.
+    dist = F.levenshtein(F.col("name"), F.col("rname"))
+    threshold = F.greatest(
+        F.lit(1), F.ceil(F.length(F.col("name")) * F.lit(0.2))
+    )
+    is_exact = F.col("name") == F.col("rname")
+    # cheap short-circuit guard first: levenshtein >= |len(l)-len(r)|,
+    # so the length gap rejects most pairs before the O(n·m) DP runs
+    # (codegen And evaluates lazily)
+    is_fuzzy = (
+        (
+            F.abs(F.length(F.col("name")) - F.length(F.col("rname")))
+            <= threshold
+        )
+        & (F.col("name") != F.col("rname"))
+        & (dist <= threshold)
+    )
     if fuzzy_veto:
-        fuzzy_left = lc.filter(~F.col("name").isin(list(fuzzy_veto)))
-    fuzzy = fuzzy_name_join(
-        fuzzy_left, rc, "name", "rname", exclude_equal=True
-    ).select("name", F.col("matched_name").alias("fuzzy_match"))
-
-    sub_a = substring_join(
-        lc, rc, "name", "rname", contained="left_in_right"
-    ).select("name", F.col("matched_name").alias("substring_a_match"))
-    sub_b = substring_join(
-        lc, rc, "name", "rname", contained="right_in_left"
-    ).select("name", F.col("matched_name").alias("substring_b_match"))
-
+        is_fuzzy = is_fuzzy & ~F.col("name").isin(list(fuzzy_veto))
+    pairs = (
+        lc.crossJoin(F.broadcast(rc))
+        .withColumn(
+            "__pl",
+            F.concat(
+                F.lit("\\b"), regex_quote(F.col("name")), F.lit("\\b")
+            ),
+        )
+        .withColumn(
+            "__pr",
+            F.concat(
+                F.lit("\\b"), regex_quote(F.col("rname")), F.lit("\\b")
+            ),
+        )
+    )
+    # plain-substring containment is NECESSARY for the word-boundary
+    # regex to hit (the pattern is the quoted literal) and evaluates as
+    # a fast memmem — short-circuit it before the per-pair regex
+    is_sub_a = F.col("rname").contains(F.col("name")) & F.expr(
+        "rlike(rname, __pl)"
+    )
+    is_sub_b = F.col("name").contains(F.col("rname")) & F.expr(
+        "rlike(name, __pr)"
+    )
+    picks = pairs.groupBy("name").agg(
+        F.max(F.when(is_exact, F.col("rname"))).alias("exact_match"),
+        F.min(
+            F.when(
+                is_fuzzy,
+                F.struct(dist.alias("d"), F.col("rname").alias("m")),
+            )
+        ).alias("__f"),
+        F.min(
+            F.when(
+                is_sub_a,
+                F.struct(
+                    F.length("rname").alias("d"),
+                    F.col("rname").alias("m"),
+                ),
+            )
+        ).alias("__a"),
+        F.min(
+            F.when(
+                is_sub_b,
+                F.struct(
+                    F.length("name").alias("d"),
+                    F.col("rname").alias("m"),
+                ),
+            )
+        ).alias("__b"),
+    )
     out = (
-        exact.join(F.broadcast(fuzzy), "name", "left")
-        .join(F.broadcast(sub_a), "name", "left")
-        .join(F.broadcast(sub_b), "name", "left")
+        lc.join(F.broadcast(picks), "name", "left")
         .withColumn(
             "matched_name",
             F.coalesce(
-                "exact_match", "fuzzy_match",
-                "substring_a_match", "substring_b_match",
+                F.col("exact_match"),
+                F.col("__f.m"),
+                F.col("__a.m"),
+                F.col("__b.m"),
             ),
         )
         .withColumn(
             "match_method",
             F.coalesce(
                 F.when(F.col("exact_match").isNotNull(), "exact"),
-                F.when(F.col("fuzzy_match").isNotNull(), "fuzzy"),
-                F.when(F.col("substring_a_match").isNotNull(), "substring_a"),
-                F.when(F.col("substring_b_match").isNotNull(), "substring_b"),
+                F.when(F.col("__f").isNotNull(), "fuzzy"),
+                F.when(F.col("__a").isNotNull(), "substring_a"),
+                F.when(F.col("__b").isNotNull(), "substring_b"),
             ),
         )
         .select("name", "matched_name", "match_method")

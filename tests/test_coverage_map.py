@@ -159,16 +159,14 @@ DRIVER_GATE = [
     "tj_asof_join",
     "rt_rollup_hierarchy",
     "gx_spatial_clusters", "gr_pagerank", "cdc_upsert",
-    "ev_funnel", "pk_pack_audit", "ev_markov_stationary",
+    "ev_funnel", "pk_pack_audit",
     "rt_bm25_topk",
-    "gr_triangles", "emb_kmeans", "pf_approx_distinct",
-    "mm_scene_cuts",
-    "dd_jaccard_join", "gr_bfs", "ml_class_metrics", "pf_dataset_card",
+    "gr_triangles", "pf_approx_distinct",
+    "ml_class_metrics", "pf_dataset_card",
     "ev_itemsets", "pf_ref_integrity", "gr_communities",
     # seventh rotation (round 12) — promoted round-11 sim-green rows
-    "gr_adamic_adar", "dd_substring_spans", "mm_video_neardup",
-    "emb_hard_negatives", "ann_ivf_incr", "rt_mmr", "pf_ldiversity",
-    "ann_mrl_eval",
+    "dd_substring_spans", "mm_video_neardup",
+    "emb_hard_negatives", "ann_ivf_incr", "rt_mmr",
     # eighth rotation (round 13, VERDICT r12 ask #1) — the round-12
     # measured-evidence tier gated; retirees ann_brute_topk,
     # mm_frame_dedup, tx_jsd, jx_salted_join, gx_radius_join,
@@ -177,6 +175,13 @@ DRIVER_GATE = [
     "dd_dup_census", "ann_nprobe_frontier", "dd_lsh_tuner",
     "ann_filtered_topk", "dd_embed_contam", "mm_video_summary",
     "mm_audio_vad", "gx_knn_join",
+    # ninth rotation (round 14, VERDICT r13 ask #1) — the round-13
+    # sim-green tier gated; retirees dd_jaccard_join, mm_scene_cuts,
+    # gr_adamic_adar, gr_bfs, ev_markov_stationary, pf_ldiversity,
+    # ann_mrl_eval, emb_kmeans to local parity (kernel-coverage
+    # rationale in catalog/__init__.py).
+    "corpus_release_audit", "dd_norm_unicode", "pf_calibration",
+    "mx_kfold", "ann_graph_frontier", "ev_sprt", "gr_hits", "gr_ppr",
 ]
 
 
