@@ -490,6 +490,11 @@ def main() -> None:
         shared_proxy = sum(proxy.values())
         if shared_proxy > 0:
             detail["vs_proxy_suite"] = round(shared_spark / shared_proxy, 2)
+        # self-gate (VERDICT r13 ask #8): the judge's weak criterion —
+        # warm median >= 2s AND > 2x the interleaved proxy — emitted at
+        # build time so a regression is caught here, not at judge time.
+        # Schema pinned by tests/test_bench_contract.py.
+        detail["perf_weak"] = perf_weak(timings, proxy)
     elif proxy_err:
         detail["proxy_error"] = proxy_err
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
@@ -497,6 +502,33 @@ def main() -> None:
     print(f"# full detail (runs/scaling/proxy): {detail_path}", file=sys.stderr)
 
     print(format_stdout_line(timings, sf, detail.get("vs_proxy_suite")))
+
+
+WEAK_WARM_S = 2.0
+WEAK_RATIO = 2.0
+
+
+def perf_weak(
+    timings: dict[str, float], proxy: dict[str, float]
+) -> list[dict]:
+    """The judge's per-query weak list (warm median >= WEAK_WARM_S AND
+    > WEAK_RATIO x the interleaved proxy), sorted worst-ratio first.
+    Sub-second entries with high ratios are Spark's fixed job overhead
+    at toy scale and deliberately not flagged. Pure function so the
+    contract test exercises it without running Spark."""
+    out = []
+    for name, t in timings.items():
+        p = proxy.get(name)
+        if p and t >= WEAK_WARM_S and t > WEAK_RATIO * p:
+            out.append(
+                {
+                    "query": name,
+                    "warm_s": round(t, 3),
+                    "proxy_s": round(p, 3),
+                    "ratio": round(t / p, 2),
+                }
+            )
+    return sorted(out, key=lambda r: -r["ratio"])
 
 
 def format_stdout_line(

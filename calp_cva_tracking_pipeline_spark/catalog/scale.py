@@ -9909,6 +9909,9 @@ ORDER BY cell
 
 SUBSPAN_K = 8
 SUBSPAN_CAP = 64
+# per-doc gram-emission cap (VERDICT r13 ask #4): shared constant so
+# native and SQL twin truncate pathological docs identically
+SUBSPAN_DOC_CAP = 8192
 
 
 def dd_substring_spans(spark, sf_dir):
@@ -9928,6 +9931,7 @@ def dd_substring_spans(spark, sf_dir):
         "text",
         k=SUBSPAN_K,
         max_docs_per_gram=SUBSPAN_CAP,
+        max_grams_per_doc=SUBSPAN_DOC_CAP,
     )
 
 
@@ -9942,7 +9946,9 @@ g AS (
              " ' ')"
          )} AS h
   FROM (SELECT doc_id, toks,
-               unnest(generate_series(1, len(toks) - {SUBSPAN_K} + 1)) AS i
+               unnest(generate_series(1,
+                 least(len(toks) - {SUBSPAN_K} + 1, {SUBSPAN_DOC_CAP})))
+                 AS i
         FROM tl WHERE len(toks) >= {SUBSPAN_K}) t),
 dup AS (
   SELECT h FROM (
@@ -13851,6 +13857,82 @@ ORDER BY hub.node
 
 GR_HITS_SQL = _gr_hits_sql()
 
+
+def gr_hits_weighted(spark, sf_dir):
+    """WEIGHTED HITS (operators.graph.hits_weighted) over the SAME
+    directed supplier↔part graph as gr_hits, with endorsement strength
+    = link multiplicity: lineitem naturally repeats (supplier, part)
+    pairs across orders, so the collapsed edge weights are the real
+    co-occurrence counts (non-degenerate at every SF). Closes the
+    operator hits()'s docstring declares out of scope — VERDICT r13
+    ask #5."""
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        hits_weighted,
+    )
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    fwd = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + PR_PART_OFFSET).alias("dst"),
+    )
+    bwd = li.filter(F.col("l_orderkey") % 2 == 1).select(
+        (F.col("l_partkey") + PR_PART_OFFSET).alias("src"),
+        F.col("l_suppkey").alias("dst"),
+    )
+    return hits_weighted(
+        fwd.unionByName(bwd), "src", "dst", n_iter=HITS_ITER
+    )
+
+
+def _gr_hits_weighted_sql() -> str:
+    rounds = []
+    prev_h = "h0"
+    for i in range(1, HITS_ITER + 1):
+        rounds.append(
+            f"""a{i} AS (
+  SELECT e.dst AS node, SUM(e.w * {prev_h}.s) AS s
+  FROM e JOIN {prev_h} ON {prev_h}.node = e.src GROUP BY 1)"""
+        )
+        rounds.append(
+            f"""h{i} AS (
+  SELECT e.src AS node, SUM(e.w * a{i}.s) AS s
+  FROM e JOIN a{i} ON a{i}.node = e.dst GROUP BY 1)"""
+        )
+        prev_h = f"h{i}"
+    t = HITS_ITER
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH raw AS (
+  SELECT l_suppkey AS src, l_partkey + {PR_PART_OFFSET} AS dst
+  FROM lineitem WHERE l_orderkey % 2 = 0
+  UNION ALL
+  SELECT l_partkey + {PR_PART_OFFSET} AS src, l_suppkey AS dst
+  FROM lineitem WHERE l_orderkey % 2 = 1),
+e AS (SELECT src, dst, CAST(COUNT(*) AS HUGEINT) AS w
+      FROM raw GROUP BY 1, 2),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, CAST(1000000000 AS HUGEINT) AS s FROM nodes),
+{rounds_sql},
+hub AS (
+  SELECT n.node, COALESCE(h{t}.s, 0) AS v
+  FROM nodes n LEFT JOIN h{t} ON h{t}.node = n.node),
+auth AS (
+  SELECT n.node, COALESCE(a{t}.s, 0) AS v
+  FROM nodes n LEFT JOIN a{t} ON a{t}.node = n.node)
+SELECT hub.node,
+       CAST((hub.v * 1000000000) // (SELECT SUM(v) FROM hub)
+            AS BIGINT) AS hub_nano,
+       CAST((auth.v * 1000000000) // (SELECT SUM(v) FROM auth)
+            AS BIGINT) AS auth_nano
+FROM hub JOIN auth ON auth.node = hub.node
+ORDER BY hub.node
+"""
+
+
+GR_HITS_WEIGHTED_SQL = _gr_hits_weighted_sql()
+
 LINE_DF_MIN = 10
 _FOOTER_A = "© example corp — all rights reserved"
 _FOOTER_B = "subscribe to our newsletter"
@@ -14707,6 +14789,7 @@ SCALE_QUERIES = {
                              LX_PARTITION_ADVISOR_SQL),
     # fifty-ninth wave (round 13): HITS + line-level boilerplate
     "gr_hits": (gr_hits, GR_HITS_SQL),
+    "gr_hits_weighted": (gr_hits_weighted, GR_HITS_WEIGHTED_SQL),
     "tx_line_dedup": (tx_line_dedup, TX_LINE_DEDUP_SQL),
     # sixtieth wave (round 13): seed-teleport curation ranking + LTR
     "gr_ppr": (gr_ppr, GR_PPR_SQL),

