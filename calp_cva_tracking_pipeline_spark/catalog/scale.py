@@ -14495,6 +14495,215 @@ FROM lab GROUP BY source ORDER BY source
 """
 
 
+MAD_K = 3
+
+
+def pf_mad(spark, sf_dir):
+    """Robust per-column profile (operators.profiling.mad_profile):
+    exact median + exact MAD + the |x − med| > k·MAD outlier census
+    for the three profiled lineitem measures — the heavy-tail-proof
+    screen beside pf_profile's mean/percentile card. Both statistics
+    round to 6 dp before the cut on BOTH engines, so borderline points
+    cannot flip on interpolation noise."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        mad_profile,
+    )
+
+    return mad_profile(T(spark, sf_dir, "lineitem"), PF_COLS, k=MAD_K)
+
+
+def _pf_mad_col_sql(c: str) -> str:
+    med = (
+        f"(SELECT ROUND(CAST(quantile_cont({c}, 0.5) AS DOUBLE), 6)"
+        f" FROM lineitem WHERE {c} IS NOT NULL)"
+    )
+    return f"""
+SELECT '{c}' AS col_name,
+       CAST(COUNT({c}) AS BIGINT) AS n,
+       m.mv AS median,
+       d.dv AS mad,
+       CAST(SUM(CASE WHEN {c} IS NOT NULL
+                 AND abs(CAST({c} AS DOUBLE) - m.mv) > {MAD_K} * d.dv
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM lineitem,
+  (SELECT ROUND(CAST(quantile_cont({c}, 0.5) AS DOUBLE), 6) AS mv
+   FROM lineitem WHERE {c} IS NOT NULL) m,
+  (SELECT ROUND(CAST(quantile_cont(
+            abs(CAST({c} AS DOUBLE) - {med}), 0.5) AS DOUBLE), 6) AS dv
+   FROM lineitem WHERE {c} IS NOT NULL) d
+GROUP BY m.mv, d.dv"""
+
+
+def _pf_mad_sql() -> str:
+    return (
+        "\nUNION ALL\n".join(_pf_mad_col_sql(c) for c in PF_COLS)
+        + "\nORDER BY col_name\n"
+    )
+
+
+PF_MAD_SQL = _pf_mad_sql()
+
+
+def tx_script_mix(spark, sf_dir):
+    """Unicode script-mix / homoglyph census (operators.textops.
+    script_mix_census) over an augmented documents corpus — the raw
+    testdata is pure ASCII (degenerate for a script auditor), so three
+    deterministic variant families are injected (the dd_norm_unicode
+    derive-from-testdata discipline): every 5th doc re-encoded with
+    Cyrillic homoglyph vowels (а/е/о for a/e/o — Latin-dominant MIXED
+    text, the spoofing signature), every 7th-not-5th doc suffixed with
+    a Han marker (han-present, rarely mixed), every 11th doc replaced
+    by a Han title (han-dominant)."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        script_mix_census,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    homo = d.filter(
+        (F.col("doc_id") % 5 == 0) & F.col("text").isNotNull()
+    ).select(
+        "doc_id", "source", F.translate("text", "aeo", "аео").alias("text")
+    )
+    hansuf = d.filter(
+        (F.col("doc_id") % 7 == 0)
+        & (F.col("doc_id") % 5 != 0)
+        & F.col("text").isNotNull()
+    ).select(
+        "doc_id",
+        "source",
+        F.concat(F.col("text"), F.lit(" 數據質量審核")).alias("text"),
+    )
+    handoc = d.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        "source",
+        F.concat(F.lit("文档"), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+    )
+    aug = d.unionByName(homo).unionByName(hansuf).unionByName(handoc)
+    return script_mix_census(aug)
+
+
+def _tx_script_mix_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        SCRIPT_MIX_PPM,
+    )
+
+    def cnt(cls: str) -> str:
+        return (
+            "CASE WHEN text IS NULL THEN 0 ELSE CAST(length("
+            f"regexp_replace(text, '[^\\p{{{cls}}}]', '', 'g')) AS BIGINT)"
+            " END"
+        )
+
+    return f"""
+WITH aug AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT source, translate(text, 'aeo', 'аео')
+  FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL
+  UNION ALL
+  SELECT source, text || ' 數據質量審核'
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0
+    AND text IS NOT NULL
+  UNION ALL
+  SELECT source, '文档' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 11 = 0),
+per AS (
+  SELECT source,
+         {cnt("Latin")} AS lat,
+         {cnt("Cyrillic")} AS cyr,
+         {cnt("Han")} AS han
+  FROM aug),
+lab AS (
+  SELECT source,
+         lat + cyr + han AS alls,
+         GREATEST(lat, cyr, han) AS top,
+         CASE WHEN lat + cyr + han = 0 THEN 'none'
+              WHEN lat >= cyr AND lat >= han THEN 'latin'
+              WHEN cyr >= han THEN 'cyrillic'
+              ELSE 'han' END AS dom,
+         cyr
+  FROM per)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN dom = 'latin' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_latin_dom,
+       CAST(SUM(CASE WHEN dom = 'cyrillic' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cyrillic_dom,
+       CAST(SUM(CASE WHEN dom = 'han' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_han_dom,
+       CAST(SUM(CASE WHEN dom = 'none' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_noscript,
+       CAST(SUM(CASE WHEN alls > 0
+                 AND (alls - top) * 1000000 >= {SCRIPT_MIX_PPM} * alls
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+       CAST((1000000 * SUM(CASE WHEN alls > 0
+                 AND (alls - top) * 1000000 >= {SCRIPT_MIX_PPM} * alls
+                 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS mixed_ppm,
+       CAST(SUM(CASE WHEN dom = 'latin' AND cyr > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_homoglyph
+FROM lab GROUP BY source ORDER BY source
+"""
+
+
+TX_SCRIPT_MIX_SQL = _tx_script_mix_sql()
+
+
+def tx_gate_sweep(spark, sf_dir):
+    """Quality-gate operating curve (operators.textops.
+    gate_threshold_sweep): per candidate min_quality threshold, the
+    surviving doc count / ppm / token mass over documents — ONE
+    feature scan reduced to ≤16 (quality, length-ok) cells, then the
+    thresholds×cells reduce on literals (the dd_lsh_tuner
+    operating-curve discipline applied to the T18 gate)."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        gate_threshold_sweep,
+    )
+
+    return gate_threshold_sweep(
+        T(spark, sf_dir, "documents"),
+        "text",
+        min_tokens=CORPUS_MIN_TOKENS,
+    )
+
+
+def _tx_gate_sweep_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        GATE_SWEEP_THRESHOLDS,
+    )
+
+    vals = ", ".join(f"({t!r})" for t in sorted(set(GATE_SWEEP_THRESHOLDS)))
+    return f"""
+WITH cells AS (
+  SELECT COALESCE(CAST(ROUND(({_CORPUS_QUALITY}), 6) AS DOUBLE), -1.0)
+           AS q,
+         CAST(COALESCE({_NTOK}, 0) AS BIGINT) AS nt
+  FROM documents),
+agg AS (
+  SELECT q, (nt >= {CORPUS_MIN_TOKENS}) AS len_ok,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(nt) AS BIGINT) AS tok
+  FROM cells GROUP BY 1, 2),
+ths AS (SELECT CAST(v AS DOUBLE) AS min_quality FROM (VALUES {vals}) t(v)),
+sw AS (
+  SELECT min_quality,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(COALESCE(SUM(CASE WHEN q >= min_quality AND len_ok
+                                THEN n END), 0) AS BIGINT) AS n_kept,
+         CAST(COALESCE(SUM(CASE WHEN q >= min_quality AND len_ok
+                                THEN tok END), 0) AS BIGINT)
+           AS kept_tokens
+  FROM agg CROSS JOIN ths GROUP BY min_quality)
+SELECT min_quality, n_total, n_kept,
+       CAST((1000000 * n_kept) // n_total AS BIGINT) AS kept_ppm,
+       kept_tokens
+FROM sw ORDER BY min_quality
+"""
+
+
+TX_GATE_SWEEP_SQL = _tx_gate_sweep_sql()
+
+
 SCALE_QUERIES = {
     "dd_exact_hash": (dd_exact_hash, DD_EXACT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
@@ -14778,6 +14987,9 @@ SCALE_QUERIES = {
     # fifty-sixth wave (round 13): the T18 curation pipeline promoted
     # from pytest-only to an oracle-verified end-to-end audit row
     "corpus_release_audit": (corpus_release_audit, CORPUS_RELEASE_SQL),
+    "tx_gate_sweep": (tx_gate_sweep, TX_GATE_SWEEP_SQL),
+    "tx_script_mix": (tx_script_mix, TX_SCRIPT_MIX_SQL),
+    "pf_mad": (pf_mad, PF_MAD_SQL),
     "dd_norm_unicode": (dd_norm_unicode, DD_NORM_UNICODE_SQL),
     "pf_calibration": (pf_calibration, PF_CALIBRATION_SQL),
     "mx_kfold": (mx_kfold, MX_KFOLD_SQL),

@@ -3126,3 +3126,82 @@ def sequence_gap_audit(
         )
         .orderBy("gap_start")
     )
+
+
+def mad_profile(
+    df: DataFrame,
+    cols: list[str],
+    k: int = 3,
+) -> DataFrame:
+    """Robust per-column profile: exact median, exact MAD (median
+    absolute deviation) and the |x − med| > k·MAD outlier census — the
+    heavy-tail-proof screen beside the mean/stddev profile (one wild
+    sensor value moves a z-score filter's own yardstick; the MAD
+    yardstick doesn't move). No consistency constant (1.4826) is
+    applied: k multiplies the RAW MAD, keeping the cut integer-free of
+    libm and the contract distribution-free.
+
+    Shape: the two-phase exact-percentile kernel runs twice (values,
+    then absolute deviations about the collected medians — deviations
+    are a scan-time projection, never materialized), then one counting
+    pass with (median, k·MAD) as plan-time literals. Driver state stays
+    the kernel's bounded statistics. Both median and MAD round to 6 dp
+    BEFORE the outlier comparison on BOTH engines, so a borderline
+    point cannot flip on interpolation noise. Output: (col_name, n,
+    median, mad, n_outliers), ordered. Engine addition; no reference
+    counterpart.
+    """
+    if not cols:
+        raise ValueError("mad_profile: no columns given")
+    spark = df.sparkSession
+    med_rows = exact_percentiles(df, cols, [0.5], round_to=6).collect()
+    med = {r["col_name"]: r["value"] for r in med_rows}
+    live = [c for c in cols if med.get(c) is not None]
+    if not live:
+        return spark.createDataFrame(
+            [],
+            "col_name string, n bigint, median double, mad double,"
+            " n_outliers bigint",
+        )
+    dev_args = ", ".join(
+        f"'{c}', abs(cast(`{c}` as double) - cast({med[c]!r} as double))"
+        for c in live
+    )
+    dev_long = df.select(
+        F.expr(f"stack({len(live)}, {dev_args}) AS (col_name, val)")
+    ).filter(F.col("val").isNotNull())
+    mad_rows = _percentiles_from_long(dev_long, [0.5], 6).collect()
+    mad = {r["col_name"]: r["value"] for r in mad_rows}
+    aggs = []
+    for c in live:
+        cut = float(k) * mad[c]
+        aggs.append(F.count(F.col(c)).cast("bigint").alias(f"{c}__n"))
+        aggs.append(
+            F.sum(
+                (
+                    F.abs(
+                        F.col(c).cast("double")
+                        - F.lit(float(med[c]))
+                    )
+                    > F.lit(cut)
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias(f"{c}__o")
+        )
+    row = df.agg(*aggs).collect()[0]
+    out_rows = [
+        (
+            c,
+            row[f"{c}__n"],
+            float(med[c]),
+            float(mad[c]),
+            row[f"{c}__o"] if row[f"{c}__o"] is not None else 0,
+        )
+        for c in live
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "col_name string, n bigint, median double, mad double,"
+        " n_outliers bigint",
+    ).orderBy("col_name")

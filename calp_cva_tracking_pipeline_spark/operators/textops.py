@@ -1637,3 +1637,193 @@ def ltr_features(
         )
         .orderBy("rank")
     )
+
+
+GATE_SWEEP_THRESHOLDS = [0.0, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 1.0]
+
+
+def gate_threshold_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: list[float] | None = None,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """Quality-gate OPERATING CURVE — the dd_lsh_tuner discipline
+    applied to the heuristic filter: per candidate ``min_quality``
+    threshold, how much corpus survives (docs, ppm, token mass). The
+    before-you-commit readout for choosing a gate: a pretraining team
+    picks the threshold off this curve instead of re-running the
+    pipeline per guess. Same quality/length semantics as
+    ``curate_corpus``'s gate (quality_score + min_tokens, NULL text
+    passes no threshold).
+
+    Scale shape: ONE text-feature scan reduced to (quality, length-ok)
+    cells — quality_score takes ≤ 8 distinct values by construction,
+    so the cell table is ≤ 16 rows — then the |thresholds|×cells cross
+    join and the per-threshold reduce run on literals. The corpus is
+    scanned once regardless of how many thresholds are swept.
+
+    Output: (min_quality, n_total, n_kept, kept_ppm, kept_tokens),
+    ordered by min_quality. Engine addition; no reference counterpart.
+    """
+    ths = thresholds if thresholds is not None else GATE_SWEEP_THRESHOLDS
+    if not ths:
+        raise ValueError("gate_threshold_sweep: no thresholds given")
+    t = F.col(text_col)
+    cells = (
+        spread_small_input(df)
+        .select(
+            F.coalesce(quality_score(t), F.lit(-1.0)).alias("__q"),
+            F.coalesce(token_count(t), F.lit(0)).alias("__nt"),
+        )
+        .select(
+            "__q",
+            (F.col("__nt") >= min_tokens).alias("__len_ok"),
+            F.col("__nt"),
+        )
+        .groupBy("__q", "__len_ok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.sum("__nt").cast("bigint").alias("__tok"),
+        )
+    )
+    spark = df.sparkSession
+    ths_df = spark.createDataFrame(
+        [(float(x),) for x in sorted(set(ths))], "min_quality double"
+    )
+    kept = (F.col("__q") >= F.col("min_quality")) & F.col("__len_ok")
+    return (
+        cells.crossJoin(F.broadcast(ths_df))
+        .groupBy("min_quality")
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_total"),
+            F.coalesce(F.sum(F.when(kept, F.col("__n"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("__tok"))), F.lit(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .select(
+            "min_quality",
+            "n_total",
+            "n_kept",
+            F.expr("CAST((1000000 * n_kept) div n_total AS BIGINT)").alias(
+                "kept_ppm"
+            ),
+            "kept_tokens",
+        )
+        .orderBy("min_quality")
+    )
+
+
+SCRIPT_MIX_PPM = 200_000
+
+
+def script_mix_census(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    mix_ppm: int = SCRIPT_MIX_PPM,
+) -> DataFrame:
+    """Per-source Unicode SCRIPT-MIX census — the multilingual-corpus
+    hygiene audit beside lang-id: per document, Latin / Cyrillic / Han
+    letter counts (regex script classes, scan-speed JVM), the dominant
+    script, whether the doc is MIXED (minor-script letters ≥ mix_ppm of
+    all letters — code-switching, encoding damage, or boilerplate
+    stitching), and the HOMOGLYPH flag (Latin-dominant text containing
+    ANY Cyrillic — the classic spoofing/SEO-spam signature: visually
+    identical 'а'/'е' smuggled into ASCII words defeats exact dedup and
+    keyword filters, exactly what dedup_normalized(unicode=True) folds
+    away).
+
+    Engine-exactness: counts are integer regex-class lengths; the mix
+    test is pure integer arithmetic (minor·1e6 ≥ mix_ppm·letters — no
+    float ratio); the script classes are spelled \\p{IsX} (Java) /
+    \\p{X} (RE2) for the SAME Unicode script property, so both engines
+    classify identically. One scan, one sources-bounded aggregation.
+    Output per source: (source, n_docs, n_latin_dom, n_cyrillic_dom,
+    n_han_dom, n_noscript, n_mixed, mixed_ppm, n_homoglyph), ordered.
+    Engine addition; no reference counterpart.
+    """
+    t = F.col(text_col)
+
+    def script_count(cls: str) -> Column:
+        return F.when(t.isNull(), F.lit(0)).otherwise(
+            F.length(F.regexp_replace(t, f"[^\\p{{Is{cls}}}]", ""))
+        ).cast("bigint")
+
+    lat, cyr, han = (
+        script_count("Latin"),
+        script_count("Cyrillic"),
+        script_count("Han"),
+    )
+    base = df.select(
+        F.col(source_col).alias("source"),
+        lat.alias("__lat"),
+        cyr.alias("__cyr"),
+        han.alias("__han"),
+    ).select(
+        "source",
+        "__lat",
+        "__cyr",
+        "__han",
+        (F.col("__lat") + F.col("__cyr") + F.col("__han")).alias("__all"),
+        F.greatest("__lat", "__cyr", "__han").alias("__top"),
+    )
+    dom = (
+        F.when(F.col("__all") == 0, F.lit("none"))
+        .when(
+            (F.col("__lat") >= F.col("__cyr"))
+            & (F.col("__lat") >= F.col("__han")),
+            F.lit("latin"),
+        )
+        .when(F.col("__cyr") >= F.col("__han"), F.lit("cyrillic"))
+        .otherwise(F.lit("han"))
+    )
+    mixed = (F.col("__all") > 0) & (
+        (F.col("__all") - F.col("__top")) * 1_000_000
+        >= F.lit(mix_ppm) * F.col("__all")
+    )
+    lab = base.select(
+        "source",
+        dom.alias("__dom"),
+        mixed.cast("int").alias("__mixed"),
+        ((dom == "latin") & (F.col("__cyr") > 0))
+        .cast("int")
+        .alias("__homo"),
+    )
+    return (
+        lab.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("__dom") == "latin").cast("int"))
+            .cast("bigint")
+            .alias("n_latin_dom"),
+            F.sum((F.col("__dom") == "cyrillic").cast("int"))
+            .cast("bigint")
+            .alias("n_cyrillic_dom"),
+            F.sum((F.col("__dom") == "han").cast("int"))
+            .cast("bigint")
+            .alias("n_han_dom"),
+            F.sum((F.col("__dom") == "none").cast("int"))
+            .cast("bigint")
+            .alias("n_noscript"),
+            F.sum("__mixed").cast("bigint").alias("n_mixed"),
+            F.sum("__homo").cast("bigint").alias("n_homoglyph"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_latin_dom",
+            "n_cyrillic_dom",
+            "n_han_dom",
+            "n_noscript",
+            "n_mixed",
+            F.expr("CAST((1000000 * n_mixed) div n_docs AS BIGINT)").alias(
+                "mixed_ppm"
+            ),
+            "n_homoglyph",
+        )
+        .orderBy("source")
+    )

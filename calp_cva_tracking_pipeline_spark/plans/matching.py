@@ -64,15 +64,18 @@ def match_org_names(
         canonicalize_name(F.col(right_names.columns[0])).alias("rname")
     ).distinct()
     rc = rc.filter(F.col("rname").isNotNull() & (F.col("rname") != ""))
-    # the four stages each consume BOTH name lists, and Spark replans a
-    # derived frame once per consumer (exchange reuse never fires across
-    # these subtrees — the r14 plan audit read 10 scans / 22 exchanges /
-    # 0 reuse for the EP3 chain): cut the canonical-distinct lineage
-    # ONCE. Both frames are org-universe-sized by the module contract
-    # (hundreds to low thousands of names), so the materialization is
-    # dimension-scale at any corpus size.
-    lc = lc.localCheckpoint(eager=False)
-    rc = rc.localCheckpoint(eager=False)
+    # the pair scan and the join-back both consume the name lists, and
+    # Spark replans a derived frame once per consumer (exchange reuse
+    # never fires across these subtrees — the r14 plan audit read 10
+    # scans / 22 exchanges / 0 reuse for the EP3 chain): CACHE the
+    # canonical-distinct frames so execution computes them once. cache()
+    # over localCheckpoint here because checkpointing forces physical
+    # planning at CONSTRUCTION time (~0.3-2s per frame, measured — it
+    # must build the RDD), while cache registration is free and the
+    # frames are org-universe-sized by the module contract (hundreds to
+    # low thousands of names — LRU-evictable dimension state).
+    lc = lc.cache()
+    rc = rc.cache()
 
     # ALL FOUR stages over ONE pair scan + ONE priority aggregate
     # (round-14: the stage-per-join spelling planned 4 cross joins,

@@ -96,6 +96,12 @@ TEXT_FAMILY = [
     "tx_line_dedup",
     # round 13 wave 60: LTR features share the BM25 whitespace tokenizer
     "rt_ltr_features",
+    # round 14: the gate sweep rides quality_score's tokenizer/regex
+    # ratios; the script census IS a unicode operator (Java \p{IsX} vs
+    # RE2 \p{X} script classes must classify the adversarial corpus
+    # identically — this sweep is what licenses that claim)
+    "tx_gate_sweep",
+    "tx_script_mix",
 ]
 
 
