@@ -14495,6 +14495,168 @@ FROM lab GROUP BY source ORDER BY source
 """
 
 
+TEMPLATE_VARIANT_OFFSETS = (64_000_000, 128_000_000)
+
+
+def tx_templates(spark, sf_dir):
+    """Form-letter template census (operators.textops.template_census):
+    digit-masked digest groups over documents AUGMENTED with
+    deterministic template variants — every 6th doc gets TWO copies
+    suffixed with different order/ref numbers (same text, numbers
+    swapped: the receipt-spam class), so the raw corpus's zero
+    template collisions become a real census (the dd_norm_exact
+    derive-from-testdata discipline)."""
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        template_census,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    variants = [
+        d.filter(
+            (F.col("doc_id") % 6 == 0) & F.col("text").isNotNull()
+        ).select(
+            (F.col("doc_id") + off).alias("doc_id"),
+            "source",
+            F.concat(
+                F.col("text"),
+                F.lit(" order "),
+                (F.col("doc_id") * mult).cast("string"),
+                F.lit(" ref "),
+                (F.col("doc_id") + mult).cast("string"),
+            ).alias("text"),
+        )
+        for mult, off in zip((7, 13), TEMPLATE_VARIANT_OFFSETS)
+    ]
+    aug = d.unionByName(variants[0]).unionByName(variants[1])
+    return template_census(aug, "doc_id", "text", "source")
+
+
+TX_TEMPLATES_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + {TEMPLATE_VARIANT_OFFSETS[0]}, source,
+         text || ' order ' || CAST(doc_id * 7 AS VARCHAR)
+              || ' ref ' || CAST(doc_id + 7 AS VARCHAR)
+  FROM documents WHERE doc_id % 6 = 0 AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + {TEMPLATE_VARIANT_OFFSETS[1]}, source,
+         text || ' order ' || CAST(doc_id * 13 AS VARCHAR)
+              || ' ref ' || CAST(doc_id + 13 AS VARCHAR)
+  FROM documents WHERE doc_id % 6 = 0 AND text IS NOT NULL),
+masked AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(regexp_replace(lower(text), '[0-9]+', '0',
+             'g'), '\\s+', ' ', 'g')) AS template_digest
+  FROM aug WHERE text IS NOT NULL)
+SELECT template_digest,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(MIN(doc_id) AS BIGINT) AS exemplar_id
+FROM masked GROUP BY template_digest
+HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, template_digest
+"""
+
+
+FDR_Q_PPM = 50_000
+FDR_VARIANTS = 20
+FDR_EFFECT_VARIANTS = 3
+FDR_CUT_EFFECT = 20.0
+FDR_CUT_NULL = 50.0
+
+
+def pf_fdr(spark, sf_dir):
+    """Benjamini–Hochberg FDR gate (operators.profiling.fdr_bh) over a
+    20-variant conversion-test family derived from events (user_id mod
+    20 — the jx/mx derive-discipline; variants 0-2 get a lowered
+    conversion cut, simulating true effects so both rejection outcomes
+    are exercised). Per variant the p-value is the DISTRIBUTION-FREE
+    Hoeffding bound 2·exp(−2n·d²) against the pooled rate — libm exp
+    rounded to integer ppm on both engines (the 6-dp discipline), then
+    the step-up rule runs in cross-multiplied integer arithmetic."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        fdr_bh,
+    )
+
+    e = T(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    variant = (F.col("user_id") % FDR_VARIANTS).alias("variant")
+    cut = F.when(
+        F.col("user_id") % FDR_VARIANTS < FDR_EFFECT_VARIANTS,
+        F.lit(FDR_CUT_EFFECT),
+    ).otherwise(F.lit(FDR_CUT_NULL))
+    per = (
+        e.select(variant, (F.col("value") > cut).cast("int").alias("c"))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("k"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("k").cast("bigint").alias("kk"),
+    )
+    d = F.col("k").cast("double") / F.col("n").cast("double") - F.col(
+        "kk"
+    ).cast("double") / F.col("nn").cast("double")
+    p_ppm = F.least(
+        F.lit(1_000_000),
+        F.round(
+            F.lit(2.0)
+            * F.exp(F.lit(-2.0) * F.col("n").cast("double") * d * d)
+            * F.lit(1_000_000.0)
+        ).cast("bigint"),
+    )
+    stats = per.crossJoin(F.broadcast(tot)).select(
+        "variant", p_ppm.alias("p_ppm")
+    )
+    return fdr_bh(stats, "variant", "p_ppm", q_ppm=FDR_Q_PPM)
+
+
+PF_FDR_SQL = f"""
+WITH base AS (
+  SELECT user_id % {FDR_VARIANTS} AS variant,
+         CASE WHEN value > (CASE WHEN user_id % {FDR_VARIANTS}
+                                      < {FDR_EFFECT_VARIANTS}
+                            THEN {FDR_CUT_EFFECT} ELSE {FDR_CUT_NULL}
+                            END)
+              THEN 1 ELSE 0 END AS c
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+per AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS k
+  FROM base GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(k) AS BIGINT) AS kk
+        FROM per),
+p AS (
+  SELECT variant,
+         LEAST(1000000, CAST(ROUND(2.0 * exp(
+           -2.0 * CAST(n AS DOUBLE)
+           * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+              - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+           * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+              - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+         ) * 1000000.0) AS BIGINT)) AS p_ppm
+  FROM per CROSS JOIN tot),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p),
+r AS (
+  SELECT variant AS id, p_ppm,
+         CAST(ROW_NUMBER() OVER (ORDER BY p_ppm, variant) AS BIGINT)
+           AS rank
+  FROM p),
+cut AS (
+  SELECT MAX(CASE WHEN p_ppm * (SELECT m FROM m)
+                  <= rank * {FDR_Q_PPM} THEN rank END) AS c
+  FROM r)
+SELECT id, p_ppm, rank,
+       COALESCE(rank <= (SELECT c FROM cut), FALSE) AS rejected
+FROM r ORDER BY rank, id
+"""
+
+
 MAD_K = 3
 
 
@@ -14990,6 +15152,8 @@ SCALE_QUERIES = {
     "tx_gate_sweep": (tx_gate_sweep, TX_GATE_SWEEP_SQL),
     "tx_script_mix": (tx_script_mix, TX_SCRIPT_MIX_SQL),
     "pf_mad": (pf_mad, PF_MAD_SQL),
+    "pf_fdr": (pf_fdr, PF_FDR_SQL),
+    "tx_templates": (tx_templates, TX_TEMPLATES_SQL),
     "dd_norm_unicode": (dd_norm_unicode, DD_NORM_UNICODE_SQL),
     "pf_calibration": (pf_calibration, PF_CALIBRATION_SQL),
     "mx_kfold": (mx_kfold, MX_KFOLD_SQL),

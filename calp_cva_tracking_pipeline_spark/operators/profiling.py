@@ -3205,3 +3205,59 @@ def mad_profile(
         "col_name string, n bigint, median double, mad double,"
         " n_outliers bigint",
     ).orderBy("col_name")
+
+
+def fdr_bh(
+    df: DataFrame,
+    id_col: str,
+    p_ppm_col: str,
+    q_ppm: int = 50_000,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a family of tests — the
+    multiple-comparisons gate a metrics sweep needs before acting: run
+    m tests at α and ~α·m of the "wins" are noise; BH bounds the
+    expected FALSE-DISCOVERY share of the rejected set at q instead.
+    Step-up rule: sort p ascending, find the LARGEST rank i with
+    p_(i) ≤ i·q/m, reject tests 1..i (including any p above its own
+    line but below a later crossing — the step-up subtlety naive
+    per-row thresholding gets wrong).
+
+    Engine-exactness: p-values arrive as integer PPM (the engine's
+    test operators emit integer-ppm statistics), the comparison is the
+    cross-multiplied integer inequality p_ppm·m ≤ rank·q_ppm (no
+    division, no float), ties order by id. Scale shape: one rank
+    window + one running-max window over the SAME m-ordered exchange —
+    m is family-sized (tests, not rows). Output: (id, p_ppm, rank,
+    rejected), ordered by (rank, id). Engine addition; no reference
+    counterpart.
+    """
+    if not 0 < q_ppm < 1_000_000:
+        raise ValueError(f"q_ppm must be in (0, 1e6): {q_ppm}")
+    base = df.filter(F.col(p_ppm_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(p_ppm_col).cast("bigint").alias("p_ppm"),
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy("p_ppm", "id")
+    w_run = Window.partitionBy().orderBy("p_ppm", "id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = base.withColumn("m", F.count(F.lit(1)).over(w_all)).withColumn(
+        "rank", F.row_number().over(w_rank).cast("bigint")
+    )
+    hit = F.when(
+        F.col("p_ppm") * F.col("m") <= F.col("rank") * F.lit(q_ppm),
+        F.col("rank"),
+    )
+    return (
+        ranked.withColumn("__cut", F.max(hit).over(w_run))
+        .select(
+            "id",
+            "p_ppm",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.coalesce(
+                F.col("rank") <= F.col("__cut"), F.lit(False)
+            ).alias("rejected"),
+        )
+        .orderBy("rank", "id")
+    )

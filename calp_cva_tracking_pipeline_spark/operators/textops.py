@@ -1827,3 +1827,51 @@ def script_mix_census(
         )
         .orderBy("source")
     )
+
+
+def template_census(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    source_col: str = "source",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Form-letter / TEMPLATE census: documents that are the same text
+    with only numbers swapped (order confirmations, log lines, receipt
+    spam — the near-dup class that floods a crawl corpus while evading
+    exact dedup and sitting BELOW shingle-Jaccard thresholds when the
+    numbers are dense). The mask canonicalizes case, collapses every
+    digit run to '0' and every whitespace run to one space, then groups
+    by the 16-byte digest of the masked text — dedup_normalized's
+    machinery with a numeric mask instead of a punctuation strip.
+
+    Scale shape: one scan-speed masking projection, one digest-keyed
+    count exchange (16-byte keys, map-side combined), a broadcast-safe
+    min-id exemplar pick inside the same aggregation. Output: one row
+    per template with ≥ min_docs members — (template_digest, n_docs,
+    n_sources, exemplar_id), ordered by (n_docs desc, template_digest)
+    with a deterministic total order. Engine addition; no reference
+    counterpart.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2: {min_docs}")
+    masked = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), "[0-9]+", "0"),
+        "\\s+",
+        " ",
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.col(source_col).alias("__src"),
+        F.md5(masked).alias("template_digest"),
+    )
+    return (
+        base.groupBy("template_digest")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("__src").cast("bigint").alias("n_sources"),
+            F.min("__id").cast("bigint").alias("exemplar_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), "template_digest")
+    )

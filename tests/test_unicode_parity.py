@@ -102,6 +102,9 @@ TEXT_FAMILY = [
     # identically — this sweep is what licenses that claim)
     "tx_gate_sweep",
     "tx_script_mix",
+    # round 14 wave 2: the template mask (lower + digit/whitespace
+    # collapse + md5) hashes raw unicode text
+    "tx_templates",
 ]
 
 

@@ -109,3 +109,54 @@ def test_mad_profile_matches_python_reference(spark):
         1 for v in vals if abs(v - med) > 3 * mad
     )
     assert row.n == len(vals)
+
+
+def test_fdr_bh_step_up_rejects_above_own_line(spark):
+    """The textbook BH subtlety: p=(10000, 20000, 26000) ppm at q=0.05,
+    m=3 — lines are (16666, 33333, 50000); p2=20000 <= 33333 and
+    p3=26000 <= 50000, so ALL THREE reject even though naive per-row
+    thresholding at i=1's line would stop earlier; and a p above every
+    line never rejects."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        fdr_bh,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10_000), (2, 20_000), (3, 26_000), (4, 900_000)],
+        "t long, p long",
+    )
+    rows = {r.id: r.rejected for r in fdr_bh(df, "t", "p").collect()}
+    assert rows == {1: True, 2: True, 3: True, 4: False}
+
+
+def test_fdr_bh_null_family_rejects_nothing(spark):
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        fdr_bh,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 500_000 + i * 1000) for i in range(10)], "t long, p long"
+    )
+    assert not any(
+        r.rejected for r in fdr_bh(df, "t", "p").collect()
+    )
+
+
+def test_template_census_groups_number_swapped_docs(spark):
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        template_census,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "Your order 123 ships on 2024-01-02, ref 99"),
+            (2, "b", "your  order 777 ships on 2025-12-31,  ref 1"),
+            (3, "a", "completely different text"),
+            (4, "a", None),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = template_census(docs, "doc_id").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_docs == 2 and r.n_sources == 2 and r.exemplar_id == 1
