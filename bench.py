@@ -228,6 +228,13 @@ HEADLINE = [
     # timed shapes) are deliberately not duplicated.
     "corpus_release_audit",
     "ann_graph_frontier",
+    # round 14 adds NO headliners by the established not-duplicated
+    # rule: tx_gate_sweep / pf_fdr (small aggregates over timed
+    # scan+agg shapes), tx_script_mix (tx_features' regex-ratio class),
+    # tx_templates (dd_norm_exact's digest-census class), pf_mad
+    # (pf_profile's percentile-kernel class run twice), and
+    # gr_hits_weighted (gr_hits' weighted sibling — same 2-joins/round
+    # class, already timed via gr_pagerank/gr_hits).
 ]
 
 
