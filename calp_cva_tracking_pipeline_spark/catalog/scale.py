@@ -379,6 +379,69 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
 WHERE rank <= {TOP_K}
 """
 
+RANGE_TAU = 0.3
+RANGE_MAX_RESULTS = 100
+
+
+def ann_range_search(spark, sf_dir):
+    """Cosine-threshold RANGE search over the IVF index
+    (operators.similarity.ivf_range_search): every probed neighbor at
+    cosine ≥ τ per query — the serving mode top-k cannot express
+    (radius-bounded RAG retrieval, duplicate-cluster expansion), with
+    the per-query max_results cap that keeps range output bounded by
+    contract. Same index/operating point as ann_ivf_topk."""
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        ivf_range_search,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_range_search(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        threshold=RANGE_TAU,
+        n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
+        max_results=RANGE_MAX_RESULTS,
+    )
+
+
+ANN_RANGE_SQL = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT CAST(vec_id AS BIGINT) AS centroid_id, v AS cv
+  FROM c ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+assign AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT a.vec_id, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_IVF_D2.format(a='a.v', b='cent.cv')}, cent.centroid_id
+           ) AS rn
+    FROM c a CROSS JOIN cent) t
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, centroid_id AS cell FROM (
+    SELECT q.vec_id AS query_id, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_IVF_D2.format(a='q.v', b='cent.cv')}, cent.centroid_id
+           ) AS pr
+    FROM (SELECT * FROM c WHERE vec_id < {N_QUERIES}) q CROSS JOIN cent) t
+  WHERE pr <= {IVF_NPROBE}),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qv.v, av.v) /
+               (sqrt(list_dot_product(qv.v, qv.v))
+                * sqrt(list_dot_product(av.v, av.v))), 6) AS cosine
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN c qv ON qv.vec_id = p.query_id
+  JOIN c av ON av.vec_id = a.vec_id)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored WHERE cosine >= {RANGE_TAU}) t
+WHERE rank <= {RANGE_MAX_RESULTS}
+"""
+
+
 # Embedding-cosine near-duplicate candidates (bucketed, threshold-filtered).
 NEARDUP_PLANES = 4
 NEARDUP_THRESHOLD = 0.1
@@ -15154,6 +15217,7 @@ SCALE_QUERIES = {
     "pf_mad": (pf_mad, PF_MAD_SQL),
     "pf_fdr": (pf_fdr, PF_FDR_SQL),
     "tx_templates": (tx_templates, TX_TEMPLATES_SQL),
+    "ann_range_search": (ann_range_search, ANN_RANGE_SQL),
     "dd_norm_unicode": (dd_norm_unicode, DD_NORM_UNICODE_SQL),
     "pf_calibration": (pf_calibration, PF_CALIBRATION_SQL),
     "mx_kfold": (mx_kfold, MX_KFOLD_SQL),

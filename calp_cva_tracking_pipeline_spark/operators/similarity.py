@@ -2054,3 +2054,88 @@ def graph_search_frontier(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("hops")
+
+
+def ivf_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    threshold: float,
+    n_centroids: int | None = None,
+    nprobe: int = 4,
+    max_results: int = 100,
+    centroids: DataFrame | None = None,
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """RANGE search over the IVF index — "every neighbor at cosine ≥ τ",
+    the similarity-serving mode top-k cannot express (duplicate-cluster
+    expansion, radius-bounded retrieval-augmentation, contamination
+    blast-radius in embedding space): k returns irrelevant tails for
+    isolated queries and truncates dense ones, a threshold answers the
+    actual question. Same probe machinery and operating point as
+    ``ivf_topk`` (recall bounded by the nprobe/n_centroids tradeoff —
+    the MEASURED curve in ann_nprobe_frontier applies verbatim).
+
+    ``max_results`` caps each query's output (ranked cosine desc,
+    neighbor tie-break) — a dense query inside a duplicate cluster can
+    match an unbounded set, and an uncapped range search is an output-
+    volume bomb at corpus scale; the cap makes the per-query result
+    bounded by contract, like the WindowGroupLimit serving tiers.
+    Output: (query_id, neighbor_id, cosine, rank), rank within the
+    thresholded result set. Engine addition; no reference counterpart.
+    """
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(f"cosine threshold outside [-1,1]: {threshold}")
+    if max_results < 1:
+        raise ValueError(f"max_results must be >= 1: {max_results}")
+    if cells is not None and centroids is None:
+        raise ValueError(
+            "ivf_range_search: a prebuilt `cells` index requires the "
+            "`centroids` it was built with"
+        )
+    cent = centroids if centroids is not None else train_centroids(
+        corpus, id_col, vec_col, n_centroids
+    )
+    if cells is None:
+        cells = assign_cells(corpus, cent, id_col, vec_col)
+    cells = cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        "__cell",
+    )
+    qd = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qvec"),
+    ).crossJoin(F.broadcast(cent))
+    pw = Window.partitionBy("query_id").orderBy(
+        F.round(sq_dist(F.col("__qvec"), F.col("__cent")), 6),
+        F.col("centroid_id"),
+    )
+    probes = (
+        qd.withColumn("__pr", F.row_number().over(pw))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__qvec", F.col("centroid_id").alias("__cell"))
+    )
+    scored = (
+        cells.join(F.broadcast(probes), ["__cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max_results)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
