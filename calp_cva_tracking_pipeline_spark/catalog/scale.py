@@ -379,6 +379,72 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
 WHERE rank <= {TOP_K}
 """
 
+DID_SPLIT_TS = "2024-01-16"
+DID_CUT_BASE = 50.0
+DID_CUT_UPLIFT = 30.0
+
+
+def ev_did(spark, sf_dir):
+    """Difference-in-differences readout (operators.funnel.did_audit)
+    per event_type: treatment = user_id parity (the derive
+    discipline), post = the fixed mid-window date, conversion cut
+    LOWERED for the treated-post cell only (a simulated true uplift,
+    so did_ppm separates from the ~0 null groups the parity split
+    produces). All counters integer, rates floor-ppm, DiD a difference
+    of integers — bit-exact cross-engine."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        did_audit,
+    )
+
+    e = T(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    treated = F.col("user_id") % 2 == 0
+    post = F.col("ts") >= F.lit(DID_SPLIT_TS).cast("timestamp")
+    conv = F.col("value") > F.when(
+        treated & post, F.lit(DID_CUT_UPLIFT)
+    ).otherwise(F.lit(DID_CUT_BASE))
+    return did_audit(e, "event_type", treated, post, conv)
+
+
+EV_DID_SQL = f"""
+WITH base AS (
+  SELECT event_type AS grp,
+         (user_id % 2 = 0) AS t,
+         (ts >= TIMESTAMP '{DID_SPLIT_TS} 00:00:00') AS p,
+         CASE WHEN value > (CASE WHEN user_id % 2 = 0
+                                  AND ts >= TIMESTAMP '{DID_SPLIT_TS} 00:00:00'
+                            THEN {DID_CUT_UPLIFT} ELSE {DID_CUT_BASE} END)
+              THEN 1 ELSE 0 END AS c
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+cells AS (
+  SELECT grp,
+         CAST(COALESCE(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_tpre,
+         CAST(COALESCE(SUM(CASE WHEN t AND NOT p THEN c ELSE 0 END), 0) AS BIGINT) AS k_tpre,
+         CAST(COALESCE(SUM(CASE WHEN t AND p THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_tpost,
+         CAST(COALESCE(SUM(CASE WHEN t AND p THEN c ELSE 0 END), 0) AS BIGINT) AS k_tpost,
+         CAST(COALESCE(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cpre,
+         CAST(COALESCE(SUM(CASE WHEN NOT t AND NOT p THEN c ELSE 0 END), 0) AS BIGINT) AS k_cpre,
+         CAST(COALESCE(SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cpost,
+         CAST(COALESCE(SUM(CASE WHEN NOT t AND p THEN c ELSE 0 END), 0) AS BIGINT) AS k_cpost
+  FROM base GROUP BY grp),
+rated AS (
+  SELECT *,
+         CASE WHEN n_tpre > 0 THEN CAST((1000000 * k_tpre) // n_tpre AS BIGINT) END AS rate_tpre_ppm,
+         CASE WHEN n_tpost > 0 THEN CAST((1000000 * k_tpost) // n_tpost AS BIGINT) END AS rate_tpost_ppm,
+         CASE WHEN n_cpre > 0 THEN CAST((1000000 * k_cpre) // n_cpre AS BIGINT) END AS rate_cpre_ppm,
+         CASE WHEN n_cpost > 0 THEN CAST((1000000 * k_cpost) // n_cpost AS BIGINT) END AS rate_cpost_ppm
+  FROM cells)
+SELECT grp AS event_type,
+       n_tpre, k_tpre, n_tpost, k_tpost,
+       n_cpre, k_cpre, n_cpost, k_cpost,
+       rate_tpre_ppm, rate_tpost_ppm, rate_cpre_ppm, rate_cpost_ppm,
+       CAST((rate_tpost_ppm - rate_tpre_ppm)
+            - (rate_cpost_ppm - rate_cpre_ppm) AS BIGINT) AS did_ppm
+FROM rated ORDER BY event_type
+"""
+
+
 RANGE_TAU = 0.3
 RANGE_MAX_RESULTS = 100
 
@@ -13921,6 +13987,54 @@ ORDER BY hub.node
 GR_HITS_SQL = _gr_hits_sql()
 
 
+def gr_reciprocity(spark, sf_dir):
+    """Per-node edge reciprocity (operators.graph.reciprocity) over the
+    directed supplier↔part graph (same derivation as gr_hits — the
+    parity split puts some (s, p) links in BOTH directions, so the
+    census is non-degenerate): of each node's distinct out-edges, the
+    count and floor-ppm share whose reverse edge exists."""
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        reciprocity,
+    )
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    fwd = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + PR_PART_OFFSET).alias("dst"),
+    )
+    bwd = li.filter(F.col("l_orderkey") % 2 == 1).select(
+        (F.col("l_partkey") + PR_PART_OFFSET).alias("src"),
+        F.col("l_suppkey").alias("dst"),
+    )
+    return reciprocity(fwd.unionByName(bwd), "src", "dst")
+
+
+GR_RECIPROCITY_SQL = f"""
+WITH raw AS (
+  SELECT l_suppkey AS src, l_partkey + {PR_PART_OFFSET} AS dst
+  FROM lineitem WHERE l_orderkey % 2 = 0
+  UNION ALL
+  SELECT l_partkey + {PR_PART_OFFSET} AS src, l_suppkey AS dst
+  FROM lineitem WHERE l_orderkey % 2 = 1),
+e AS (SELECT DISTINCT src, dst FROM raw
+      WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+r AS (
+  SELECT e.src, e.dst,
+         CASE WHEN EXISTS (SELECT 1 FROM e b
+                           WHERE b.src = e.dst AND b.dst = e.src)
+              THEN 1 ELSE 0 END AS rec
+  FROM e)
+SELECT src AS node,
+       CAST(COUNT(*) AS BIGINT) AS out_deg,
+       CAST(SUM(rec) AS BIGINT) AS n_recip,
+       CAST((1000000 * SUM(rec)) // COUNT(*) AS BIGINT) AS recip_ppm
+FROM r GROUP BY src ORDER BY node
+"""
+
+
+
 def gr_hits_weighted(spark, sf_dir):
     """WEIGHTED HITS (operators.graph.hits_weighted) over the SAME
     directed supplier↔part graph as gr_hits, with endorsement strength
@@ -15218,6 +15332,8 @@ SCALE_QUERIES = {
     "pf_fdr": (pf_fdr, PF_FDR_SQL),
     "tx_templates": (tx_templates, TX_TEMPLATES_SQL),
     "ann_range_search": (ann_range_search, ANN_RANGE_SQL),
+    "ev_did": (ev_did, EV_DID_SQL),
+    "gr_reciprocity": (gr_reciprocity, GR_RECIPROCITY_SQL),
     "dd_norm_unicode": (dd_norm_unicode, DD_NORM_UNICODE_SQL),
     "pf_calibration": (pf_calibration, PF_CALIBRATION_SQL),
     "mx_kfold": (mx_kfold, MX_KFOLD_SQL),

@@ -21,7 +21,7 @@ sized, cardinality ≤ cohorts × horizon weeks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1444,3 +1444,78 @@ def sprt_audit(
         "day", "n", "k", "llr_nano", "cum_llr_nano",
         verdict.alias("verdict"),
     ).orderBy("day")
+
+
+def did_audit(
+    df: DataFrame,
+    group_col: str,
+    treated_col: Column,
+    post_col: Column,
+    conv_col: Column,
+) -> DataFrame:
+    """Difference-in-differences readout — the quasi-experimental
+    estimate when a rollout could not be randomized (a feature shipped
+    to one cohort on a date): the treated cohort's pre→post rate change
+    MINUS the control cohort's, which nets out whatever moved both
+    cohorts (seasonality, site-wide launches) under the parallel-trends
+    assumption. One grouped integer-counter aggregation; everything
+    after runs on group-cardinality rows.
+
+    Engine-exactness: per (group, treated, post) cell the counters are
+    integer (n, k); rates pin to integer ppm by floor division and the
+    DiD is a difference of those integers — no float anywhere. Cells
+    with n=0 yield NULL rates and a NULL did_ppm (no evidence ≠ zero
+    effect). Output per group: the four cell (n, k) pairs, the four
+    ppm rates, and did_ppm, ordered by group. Engine addition; no
+    reference counterpart.
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        treated_col.cast("boolean").alias("__t"),
+        post_col.cast("boolean").alias("__p"),
+        conv_col.cast("int").alias("__c"),
+    ).filter(F.col("__t").isNotNull() & F.col("__p").isNotNull())
+
+    def cell(t: bool, p: bool, what: str) -> Column:
+        hit = (F.col("__t") == t) & (F.col("__p") == p)
+        if what == "n":
+            agg = F.sum(hit.cast("int"))
+        else:
+            agg = F.sum(F.when(hit, F.col("__c")).otherwise(0))
+        return F.coalesce(agg, F.lit(0)).cast("bigint")
+
+    cells = base.groupBy("grp").agg(
+        *[
+            cell(t, p, w).alias(f"{w}_{'t' if t else 'c'}{'post' if p else 'pre'}")
+            for t in (True, False)
+            for p in (True, False)
+            for w in ("n", "k")
+        ]
+    )
+
+    def rate(tag: str) -> Column:
+        n, k = F.col(f"n_{tag}"), F.col(f"k_{tag}")
+        return F.when(
+            n > 0, F.expr(f"CAST((1000000 * k_{tag}) div n_{tag} AS BIGINT)")
+        ).alias(f"rate_{tag}_ppm")
+
+    rated = cells.select(
+        "grp",
+        *[F.col(c) for c in cells.columns if c != "grp"],
+        rate("tpre"),
+        rate("tpost"),
+        rate("cpre"),
+        rate("cpost"),
+    )
+    did = (
+        (F.col("rate_tpost_ppm") - F.col("rate_tpre_ppm"))
+        - (F.col("rate_cpost_ppm") - F.col("rate_cpre_ppm"))
+    ).cast("bigint")
+    return rated.select(
+        F.col("grp").alias(group_col),
+        "n_tpre", "k_tpre", "n_tpost", "k_tpost",
+        "n_cpre", "k_cpre", "n_cpost", "k_cpost",
+        "rate_tpre_ppm", "rate_tpost_ppm",
+        "rate_cpre_ppm", "rate_cpost_ppm",
+        did.alias("did_ppm"),
+    ).orderBy(group_col)

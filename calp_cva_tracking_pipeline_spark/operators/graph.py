@@ -2060,3 +2060,69 @@ def ppr_sql(
         f"SELECT node, CAST(rank AS BIGINT) AS rank_nano FROM r{n_iter}"
         f" ORDER BY node"
     )
+
+
+def reciprocity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node edge RECIPROCITY census over a directed graph: of each
+    node's distinct out-edges, how many have the reverse edge — the
+    mutual-link share that separates conversational/citation-loop
+    structure from one-way broadcast structure (in a crawl graph, high
+    reciprocity flags link farms; in an interaction graph it measures
+    mutuality). Graph-level reciprocity is the ppm-weighted fold of
+    this census.
+
+    Shape: distinct directed edges (self-loops and NULL endpoints
+    dropped), ONE self-equi-join on the reversed key pair spelled as a
+    left-semi probe (no pair materialization), one src-keyed count
+    aggregation. All counters integer; the share is floor-ppm. Output:
+    (node, out_deg, n_recip, recip_ppm), ordered by node. Engine
+    addition; no reference counterpart.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+        )
+        .filter(
+            F.col("__s").isNotNull()
+            & F.col("__d").isNotNull()
+            & (F.col("__s") != F.col("__d"))
+        )
+        .distinct()
+    )
+    rev = e.select(
+        F.col("__d").alias("__s"), F.col("__s").alias("__d")
+    )
+    recip = e.join(rev, ["__s", "__d"], "left_semi").select(
+        "__s", F.lit(1).alias("__r")
+    )
+    return (
+        e.groupBy(F.col("__s").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("out_deg"))
+        .join(
+            recip.groupBy("__s").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_recip")
+            ),
+            F.col("node") == F.col("__s"),
+            "left",
+        )
+        .select(
+            "node",
+            "out_deg",
+            F.coalesce(F.col("n_recip"), F.lit(0))
+            .cast("bigint")
+            .alias("n_recip"),
+        )
+        .select(
+            "node",
+            "out_deg",
+            "n_recip",
+            F.expr(
+                "CAST((1000000 * n_recip) div out_deg AS BIGINT)"
+            ).alias("recip_ppm"),
+        )
+        .orderBy("node")
+    )

@@ -202,3 +202,70 @@ def test_range_search_contains_thresholded_topk(spark, sf_dir):
         and (r.query_id, r.neighbor_id) not in range_pairs
     ]
     assert not missing, missing
+
+
+def test_did_audit_nets_out_common_trends(spark):
+    """A common shock that moves BOTH cohorts identically must produce
+    did_ppm = 0; adding a treated-post-only uplift must surface exactly
+    in did_ppm."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        did_audit,
+    )
+
+    # 100 rows per cell; pre rates 20%/20%, post rates 60%/60% (common
+    # shock) -> did 0; then treated-post gets +20pp -> did 200000
+    rows = []
+    for t in (True, False):
+        for p in (True, False):
+            base = 60 if p else 20
+            uplift = 20 if (t and p) else 0
+            k = base + uplift
+            rows += [("g", t, p, i < k) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "grp string, t boolean, p boolean, c boolean"
+    )
+    out = did_audit(
+        df, "grp", F.col("t"), F.col("p"), F.col("c")
+    ).collect()[0]
+    assert out.rate_tpre_ppm == out.rate_cpre_ppm == 200_000
+    assert out.rate_cpost_ppm == 600_000
+    assert out.rate_tpost_ppm == 800_000
+    assert out.did_ppm == 200_000
+
+
+def test_did_audit_empty_cell_yields_null(spark):
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        did_audit,
+    )
+
+    df = spark.createDataFrame(
+        [("g", True, True, True), ("g", False, False, False)],
+        "grp string, t boolean, p boolean, c boolean",
+    )
+    out = did_audit(
+        df, "grp", F.col("t"), F.col("p"), F.col("c")
+    ).collect()[0]
+    assert out.n_tpre == 0 and out.rate_tpre_ppm is None
+    assert out.did_ppm is None
+
+
+def test_reciprocity_hand_graph(spark):
+    """1<->2 mutual, 1->3 one-way, duplicate edges collapse, self-loop
+    dropped."""
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        reciprocity,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (1, 3), (3, 3)],
+        "src long, dst long",
+    )
+    rows = {r.node: r for r in reciprocity(e).collect()}
+    assert rows[1].out_deg == 2 and rows[1].n_recip == 1
+    assert rows[1].recip_ppm == 500_000
+    assert rows[2].out_deg == 1 and rows[2].n_recip == 1
+    assert 3 not in rows  # its only out-edge was the dropped self-loop
