@@ -11866,6 +11866,86 @@ def ts_changepoint(spark, sf_dir):
     )
 
 
+def ts_binseg(spark, sf_dir):
+    """Depth-2 binary-segmentation changepoints per event type
+    (operators.temporal.binseg_changepoints): the ts_changepoint
+    argmax, then the same exact-integer CUSUM statistic re-run inside
+    each half off the SAME sorted layout — up to three splits per key,
+    separating moved-once from moved-and-recovered series."""
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        binseg_changepoints,
+    )
+
+    return binseg_changepoints(
+        T(spark, sf_dir, "events"), "event_type", "ts", "value",
+        "event_id",
+    )
+
+
+TS_BINSEG_SQL = """
+WITH b AS (
+  SELECT event_type AS k, ts, event_id AS id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL),
+s AS (
+  SELECT k, ts, id, c,
+         CAST(COUNT(*) OVER w AS BIGINT) AS t,
+         CAST(SUM(c) OVER w AS BIGINT) AS pre,
+         CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+         CAST(SUM(c) OVER (PARTITION BY k) AS BIGINT) AS tot
+  FROM b
+  WINDOW w AS (PARTITION BY k ORDER BY ts, id
+               ROWS UNBOUNDED PRECEDING)),
+l1 AS (
+  SELECT k, t AS t1, ts AS ts1, n,
+         CAST(stat // n AS BIGINT) AS cc1
+  FROM (
+    SELECT *,
+           abs(CAST(n AS HUGEINT) * pre - CAST(t AS HUGEINT) * tot)
+             AS stat,
+           ROW_NUMBER() OVER (PARTITION BY k ORDER BY
+             abs(CAST(n AS HUGEINT) * pre - CAST(t AS HUGEINT) * tot)
+               DESC, t ASC) AS rn
+    FROM s WHERE t < n) x
+  WHERE rn = 1),
+bp AS (
+  SELECT s.k, s.pre AS bpre FROM s JOIN l1 ON l1.k = s.k AND s.t = l1.t1),
+sided AS (
+  SELECT s.k, s.ts, s.t,
+         CASE WHEN s.t <= l1.t1 THEN 'left' ELSE 'right' END AS side,
+         CASE WHEN s.t <= l1.t1 THEN s.t ELSE s.t - l1.t1 END AS lt,
+         CASE WHEN s.t <= l1.t1 THEN s.pre ELSE s.pre - bp.bpre END
+           AS lpre,
+         CASE WHEN s.t <= l1.t1 THEN bp.bpre ELSE s.tot - bp.bpre END
+           AS ltot,
+         CASE WHEN s.t <= l1.t1 THEN l1.t1 ELSE s.n - l1.t1 END AS ln
+  FROM s JOIN l1 ON l1.k = s.k JOIN bp ON bp.k = s.k),
+l2 AS (
+  SELECT k, CAST(2 AS INTEGER) AS level, side AS segment,
+         CAST(ln AS BIGINT) AS n_seg, CAST(t AS BIGINT) AS split_pos,
+         ts AS split_ts, CAST(stat // ln AS BIGINT) AS cusum_cents
+  FROM (
+    SELECT *,
+           abs(CAST(ln AS HUGEINT) * lpre - CAST(lt AS HUGEINT) * ltot)
+             AS stat,
+           ROW_NUMBER() OVER (PARTITION BY k, side ORDER BY
+             abs(CAST(ln AS HUGEINT) * lpre
+                 - CAST(lt AS HUGEINT) * ltot) DESC, t ASC) AS rn
+    FROM sided WHERE lt < ln) x
+  WHERE rn = 1)
+SELECT k AS event_type, CAST(1 AS INTEGER) AS level, 'all' AS segment,
+       CAST(n AS BIGINT) AS n_seg, CAST(t1 AS BIGINT) AS split_pos,
+       ts1 AS split_ts, cc1 AS cusum_cents
+FROM l1
+UNION ALL
+SELECT k, level, segment, n_seg, split_pos, split_ts, cusum_cents
+FROM l2
+ORDER BY event_type, level, segment
+"""
+
+
 TS_CHANGEPOINT_SQL = """
 WITH b AS (
   SELECT event_type AS k, ts, event_id AS id,
@@ -15334,6 +15414,7 @@ SCALE_QUERIES = {
     "ann_range_search": (ann_range_search, ANN_RANGE_SQL),
     "ev_did": (ev_did, EV_DID_SQL),
     "gr_reciprocity": (gr_reciprocity, GR_RECIPROCITY_SQL),
+    "ts_binseg": (ts_binseg, TS_BINSEG_SQL),
     "dd_norm_unicode": (dd_norm_unicode, DD_NORM_UNICODE_SQL),
     "pf_calibration": (pf_calibration, PF_CALIBRATION_SQL),
     "mx_kfold": (mx_kfold, MX_KFOLD_SQL),

@@ -2189,3 +2189,168 @@ def forecast_backtest(
         )
         .orderBy(key_col, "method")
     )
+
+
+def binseg_changepoints(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Depth-2 BINARY SEGMENTATION (Scott & Knott lineage): the
+    ``changepoint_scan`` max-CUSUM split, then the same argmax re-run
+    INSIDE each half — up to three changepoints per key, which is what
+    separates "the metric moved once" from "it moved, recovered, and
+    moved again" (a single-split scan smears multi-shift series into
+    one misplaced split). Depth is fixed at 2 by design: every extra
+    level doubles the segment count, and the standard practice is a
+    shallow scan feeding a human/alert, not full segmentation.
+
+    Same integer discipline as changepoint_scan (cents prefix sums,
+    DECIMAL(38,0) n·S_t − t·S_n argmax, earliest-t ties). Level 2
+    recomputes the statistic WITHIN each side (prefix sums relative to
+    the segment — the level-1 split row closes the left segment), and
+    sides shorter than 2 rows emit nothing. Segments are labeled by
+    breadth-first position: level 1 = 'all', level 2 = 'left'/'right'.
+
+    Plan shape: ONE key-ordered exchange computes the level-1 argmax;
+    the level-1 splits (key-sized) join back on the key, the side
+    label becomes a projection, and level 2 is one (key, side)-keyed
+    window pass over the SAME sorted layout — no per-segment
+    re-scans, no driver loop. Output: (key, level, segment, n_seg,
+    split_pos, split_ts, cusum_cents), split_pos GLOBAL 1-based within
+    the key's series, ordered by (key, level, segment). Engine
+    addition; no reference counterpart.
+    """
+    b = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.round(F.col(value_col).cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("__c"),
+    )
+    wcum = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("__k")
+    rows = (
+        b.withColumn("__t", F.count(F.lit(1)).over(wcum).cast("bigint"))
+        .withColumn("__pre", F.sum("__c").over(wcum).cast("bigint"))
+        .withColumn("__n", F.count(F.lit(1)).over(wall).cast("bigint"))
+        .withColumn("__tot", F.sum("__c").over(wall).cast("bigint"))
+    )
+    stat = F.expr(
+        "abs(CAST(__n AS DECIMAL(38,0)) * __pre"
+        " - CAST(__t AS DECIMAL(38,0)) * __tot)"
+    )
+    pick1 = Window.partitionBy("__k").orderBy(
+        F.col("__stat").desc(), F.col("__t").asc()
+    )
+    lvl1 = (
+        rows.filter(F.col("__t") < F.col("__n"))
+        .withColumn("__stat", stat)
+        .withColumn("__rn", F.row_number().over(pick1))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "__k",
+            F.col("__t").alias("__t1"),
+            F.col("__ts").alias("__ts1"),
+            F.col("__n").alias("__n1"),
+            F.expr("CAST(__stat div __n AS BIGINT)").alias("__cc1"),
+        )
+    )
+    # level 2: side label is a projection off the joined split; the
+    # within-side prefix/total derive from the LEVEL-1 cumulative
+    # columns by subtraction (left closes at t1), so no re-sort beyond
+    # the (key, side) window pass
+    sided = rows.join(lvl1.select("__k", "__t1"), ["__k"]).withColumn(
+        "__side",
+        F.when(F.col("__t") <= F.col("__t1"), F.lit("left")).otherwise(
+            F.lit("right")
+        ),
+    )
+    wside = Window.partitionBy("__k", "__side")
+    # per-side local position/prefix: left is (t, pre) as-is; right
+    # shifts by the boundary (t1, S_t1)
+    bnd_pre = F.max(
+        F.when(F.col("__side") == "left", F.col("__pre"))
+    ).over(Window.partitionBy("__k"))
+    sided = (
+        sided.withColumn(
+            "__bpre",
+            F.coalesce(bnd_pre, F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "__lt",
+            F.when(
+                F.col("__side") == "left", F.col("__t")
+            ).otherwise(F.col("__t") - F.col("__t1")),
+        )
+        .withColumn(
+            "__lpre",
+            F.when(
+                F.col("__side") == "left", F.col("__pre")
+            ).otherwise(F.col("__pre") - F.col("__bpre")),
+        )
+        .withColumn("__ln", F.count(F.lit(1)).over(wside).cast("bigint"))
+        .withColumn(
+            "__ltot",
+            F.when(
+                F.col("__side") == "left", F.col("__bpre")
+            ).otherwise(F.col("__tot") - F.col("__bpre")),
+        )
+    )
+    stat2 = F.expr(
+        "abs(CAST(__ln AS DECIMAL(38,0)) * __lpre"
+        " - CAST(__lt AS DECIMAL(38,0)) * __ltot)"
+    )
+    pick2 = Window.partitionBy("__k", "__side").orderBy(
+        F.col("__stat").desc(), F.col("__t").asc()
+    )
+    lvl2 = (
+        sided.filter(F.col("__lt") < F.col("__ln"))
+        .withColumn("__stat", stat2)
+        .withColumn("__rn", F.row_number().over(pick2))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "__k",
+            F.lit(2).alias("level"),
+            F.col("__side").alias("segment"),
+            F.col("__ln").alias("n_seg"),
+            F.col("__t").alias("split_pos"),
+            F.col("__ts").alias("split_ts"),
+            F.expr("CAST(__stat div __ln AS BIGINT)").alias(
+                "cusum_cents"
+            ),
+        )
+    )
+    out1 = lvl1.select(
+        "__k",
+        F.lit(1).alias("level"),
+        F.lit("all").alias("segment"),
+        F.col("__n1").alias("n_seg"),
+        F.col("__t1").alias("split_pos"),
+        F.col("__ts1").alias("split_ts"),
+        F.col("__cc1").alias("cusum_cents"),
+    )
+    return (
+        out1.unionByName(lvl2)
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("level").cast("int").alias("level"),
+            "segment",
+            F.col("n_seg").cast("bigint").alias("n_seg"),
+            F.col("split_pos").cast("bigint").alias("split_pos"),
+            "split_ts",
+            "cusum_cents",
+        )
+        .orderBy(key_col, "level", "segment")
+    )

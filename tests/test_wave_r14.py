@@ -269,3 +269,36 @@ def test_reciprocity_hand_graph(spark):
     assert rows[1].recip_ppm == 500_000
     assert rows[2].out_deg == 1 and rows[2].n_recip == 1
     assert 3 not in rows  # its only out-edge was the dropped self-loop
+
+
+def test_binseg_finds_both_known_shifts(spark):
+    """Series 0..99 with level 10 -> 50 at position 40 and back to 15
+    at position 70: level 1 must split at the dominant boundary and
+    level 2 must recover the second shift inside the right half."""
+    import datetime
+
+    from calp_cva_tracking_pipeline_spark.operators.temporal import (
+        binseg_changepoints,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(100):
+        v = 10.0 if i < 40 else (50.0 if i < 70 else 15.0)
+        rows.append(("k", t0 + datetime.timedelta(minutes=i), i, v))
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, id long, v double"
+    )
+    out = {
+        (r.level, r.segment): r
+        for r in binseg_changepoints(df, "k", "ts", "v", "id").collect()
+    }
+    l1 = out[(1, "all")]
+    assert l1.split_pos in (40, 70)
+    other = 70 if l1.split_pos == 40 else 40
+    side = "right" if l1.split_pos == 40 else "left"
+    l2 = out[(2, side)]
+    assert l2.split_pos == other, (l1.split_pos, l2.split_pos)
+    # the flat side's best split has a far weaker statistic
+    flat = out[(2, "left" if side == "right" else "right")]
+    assert flat.cusum_cents < l2.cusum_cents
