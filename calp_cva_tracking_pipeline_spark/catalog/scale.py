@@ -416,7 +416,8 @@ WITH base AS (
                                   AND ts >= TIMESTAMP '{DID_SPLIT_TS} 00:00:00'
                             THEN {DID_CUT_UPLIFT} ELSE {DID_CUT_BASE} END)
               THEN 1 ELSE 0 END AS c
-  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL),
 cells AS (
   SELECT grp,
          CAST(COALESCE(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_tpre,

@@ -96,34 +96,29 @@ def _percentiles_from_long(
     long: DataFrame,
     ps: list[float],
     round_to: int | None,
-    rng: dict[str, tuple[float, float, int]] | None = None,
 ) -> DataFrame:
     """The two-phase value-histogram percentile kernel over an arbitrary
     (col_name, val) long frame — shared by ``exact_percentiles`` (key =
     column) and ``grouped_exact_medians`` (key = group × column), so the
     grouped form is the same audited machinery, not a fork. Driver
     state stays ≤ (range rows + _MEDIAN_BUCKETS·bucket counts) per
-    distinct key. A caller that already holds per-key (lo, hi, n) —
-    profile_columns collects them in its stats pass anyway — passes
-    ``rng`` to skip pass 1 entirely (round-14 verdict: pf_profile paid
-    2 extra scans + a redundant driver round-trip for statistics it
-    had already computed)."""
+    distinct key. (A round-14 draft took a precomputed ``rng`` so
+    profile_columns could skip pass 1; that fusion measured WORSE —
+    2.2→3.3s, the decimal-mean job serialized onto the critical path —
+    and was rejected, so the parameter was removed rather than left as
+    an untested branch.)"""
     spark = long.sparkSession
-    if rng is None:
-        # pass 1: per-column range + count (≤ |cols| rows to the driver)
-        rng = {
-            r["col_name"]: (r["lo"], r["hi"], r["n"])
-            for r in long.groupBy("col_name")
-            .agg(
-                F.min("val").alias("lo"),
-                F.max("val").alias("hi"),
-                F.count("*").alias("n"),
-            )
-            .collect()
-        }
-    else:
-        # drop zero-count keys, matching the collected pass-1 shape
-        rng = {c: t for c, t in rng.items() if t[2] > 0}
+    # pass 1: per-column range + count (≤ |cols| rows to the driver)
+    rng = {
+        r["col_name"]: (r["lo"], r["hi"], r["n"])
+        for r in long.groupBy("col_name")
+        .agg(
+            F.min("val").alias("lo"),
+            F.max("val").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
     # columns with zero non-null rows vanish here — and from the output,
     # matching quantile_cont over an empty relation
     if not rng:

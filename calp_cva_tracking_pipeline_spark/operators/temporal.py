@@ -2279,9 +2279,11 @@ def binseg_changepoints(
     )
     wside = Window.partitionBy("__k", "__side")
     # per-side local position/prefix: left is (t, pre) as-is; right
-    # shifts by the boundary (t1, S_t1)
+    # shifts by the boundary (t1, S_t1). The boundary prefix must be
+    # the prefix AT the split row (t == t1), not max(pre) over the
+    # left side — they differ whenever the series has negative values.
     bnd_pre = F.max(
-        F.when(F.col("__side") == "left", F.col("__pre"))
+        F.when(F.col("__t") == F.col("__t1"), F.col("__pre"))
     ).over(Window.partitionBy("__k"))
     sided = (
         sided.withColumn(

@@ -1870,7 +1870,9 @@ def template_census(
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.countDistinct("__src").cast("bigint").alias("n_sources"),
-            F.min("__id").cast("bigint").alias("exemplar_id"),
+            # keep the id's native type: a bigint cast would silently
+            # NULL a string/UUID id column instead of erroring
+            F.min("__id").alias("exemplar_id"),
         )
         .filter(F.col("n_docs") >= min_docs)
         .orderBy(F.desc("n_docs"), "template_digest")

@@ -26,14 +26,25 @@ def _edges(spark):
 
 
 def test_reliable_requires_checkpoint_dir(spark):
+    """Order-independent (ADVICE r14): the sibling identity test sets a
+    checkpoint dir on the shared context, so this test clears the
+    (mutable) SparkContext var for its duration and restores it, rather
+    than asserting a precondition that depends on in-file ordering."""
     from calp_cva_tracking_pipeline_spark.operators import graph as G
 
-    sc = spark.sparkContext
-    assert sc._jsc.sc().getCheckpointDir().isEmpty(), (
-        "test precondition: no checkpoint dir set in the shared session"
+    jsc = spark.sparkContext._jsc.sc()
+    set_dir = getattr(jsc, "checkpointDir_$eq")
+    saved = jsc.getCheckpointDir()
+    none = getattr(
+        getattr(spark.sparkContext._jvm, "scala.None$"), "MODULE$"
     )
-    with pytest.raises(ValueError, match="setCheckpointDir"):
-        G.pagerank(_edges(spark), checkpoint="reliable")
+    set_dir(none)
+    try:
+        assert jsc.getCheckpointDir().isEmpty()
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            G.pagerank(_edges(spark), checkpoint="reliable")
+    finally:
+        set_dir(saved)
 
 
 def test_bad_checkpoint_value_refused(spark):
