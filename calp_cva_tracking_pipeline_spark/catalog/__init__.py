@@ -59,24 +59,24 @@ GATE = [
     "cc2_relevance_ml",
     "cc3_amount_cascade",
     "ep2_cva_by_location",
-    "dd_norm_exact", "dd_winnow", "mm_phash_neardup",
+    "dd_winnow", "mm_phash_neardup",
     "tx_features",
     "m1_classifier_stub", "st_sessionize",
     "tj_asof_join",
     "rt_rollup_hierarchy",
-    "gx_spatial_clusters", "gr_pagerank", "cdc_upsert",
+    "gr_pagerank", "cdc_upsert",
     "ev_funnel", "pk_pack_audit",
     "rt_bm25_topk",
     "gr_triangles", "pf_approx_distinct",
-    "ml_class_metrics", "pf_dataset_card",
-    "ev_itemsets", "pf_ref_integrity", "gr_communities",
+    "ml_class_metrics",
+    "pf_ref_integrity", "gr_communities",
     # seventh rotation (round 12): the eight round-11 sim-green
     # operators promoted to driver rows; retirees (tx_chunk,
     # tx_repetition, st_windowed_agg, ts_ewma, tx_pii_redact,
     # tj_interval_join, pf_bootstrap, dd_decontam) stay catalog-resident
     # past position 50 with their oracles, local-parity verified.
-    "dd_substring_spans", "mm_video_neardup",
-    "emb_hard_negatives", "ann_ivf_incr", "rt_mmr",
+    "dd_substring_spans",
+    "ann_ivf_incr", "rt_mmr",
     # eighth rotation (round 13, VERDICT r12 ask #1): the round-12
     # measured-evidence tier promoted to driver rows. Retired to local
     # parity (each stays catalog-resident with its oracle, 3-SF
@@ -98,7 +98,7 @@ GATE = [
     # dd_minhash_lsh (dd_lsh_tuner gates the same shingle→minhash→band
     # kernel across THREE band splits; dd_lsh_recall keeps parity).
     "dd_dup_census", "ann_nprobe_frontier", "dd_lsh_tuner",
-    "ann_filtered_topk", "dd_embed_contam", "mm_video_summary",
+    "dd_embed_contam", "mm_video_summary",
     "mm_audio_vad", "gx_knn_join",
     # ninth rotation (round 14, VERDICT r13 ask #1): the round-13
     # judge-sim-verified tier promoted to driver rows. Retired to local
@@ -123,7 +123,43 @@ GATE = [
     # Lloyd kernel is the IVF quantizer, gated three ways via
     # ann_filtered_topk/ann_nprobe_frontier/ann_ivf_incr).
     "corpus_release_audit", "dd_norm_unicode", "pf_calibration",
-    "mx_kfold", "ann_graph_frontier", "ev_sprt", "gr_hits", "gr_ppr",
+    "mx_kfold", "ann_graph_frontier", "ev_sprt", "gr_ppr",
+    # tenth rotation (round 15, VERDICT r14 ask #1): the round-14
+    # judge-sim-verified tier promoted to driver rows. Retired to
+    # local parity (each stays catalog-resident past position 50 WITH
+    # its oracle twin, 3-SF parity-verified):
+    # - gr_hits (strictly superseded: gr_hits_weighted runs the
+    #   IDENTICAL decimal(38,0) endorsement rounds + final L1 nano
+    #   normalization, generalized to link multiplicity — unit-weight
+    #   graphs degenerate to plain HITS, property-pinned),
+    # - dd_norm_exact (dd_norm_unicode gates the same normalized-
+    #   digest groupBy survivor kernel with the unicode fold tier on
+    #   top; the 44-query unicode sweep exercises both spellings),
+    # - mm_video_neardup (mm_video_summary gates the same combined
+    #   FRSQ decode + per-frame digest kernel over the same corpus;
+    #   mm_phash_neardup keeps the phash near-dup banding gated),
+    # - gx_spatial_clusters (gx_knn_join gates the 3x3 grid-bucket
+    #   radius kernel; gr_communities gates iterative min-label
+    #   propagation — the two stages the clusters row composes),
+    # - ann_filtered_topk (the IVF probe kernel stays gated FOUR ways:
+    #   ann_nprobe_frontier, ann_ivf_incr, ann_graph_frontier, and the
+    #   incoming ann_range_search; its predicate-filter stage is the
+    #   relational IN-list kernel gated via rt_bm25_topk),
+    # - pf_dataset_card (its percentile block is pf_mad's now-gated
+    #   two-phase order-statistic kernel run twice; its counter cells
+    #   are pf_calibration's gated additive folds; pf_approx_distinct
+    #   keeps the HLL census gated),
+    # - ev_itemsets (its within-basket pair self-join is the
+    #   pair/wedge machinery gr_triangles gates and the incoming
+    #   gr_reciprocity gates in reversed-pair form; its integer
+    #   support-ratio arithmetic is ev_did's gated counter-cell
+    #   division),
+    # - emb_hard_negatives (its brute cosine top-k kernel runs
+    #   verbatim as ann_graph_frontier's gated ground-truth stage;
+    #   rt_mmr keeps greedy rank-selection over the same cosine
+    #   kernel gated).
+    "gr_hits_weighted", "ann_range_search", "ev_did",
+    "gr_reciprocity", "ts_binseg", "pf_mad", "pf_fdr", "tx_templates",
 ]
 
 ALL_QUERIES = {name: _MERGED[name] for name in GATE}

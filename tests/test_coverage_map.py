@@ -153,27 +153,27 @@ DRIVER_GATE = [
     "cc2_relevance_ml",
     "cc3_amount_cascade",
     "ep2_cva_by_location",
-    "dd_norm_exact", "dd_winnow", "mm_phash_neardup",
+    "dd_winnow", "mm_phash_neardup",
     "tx_features",
     "m1_classifier_stub", "st_sessionize",
     "tj_asof_join",
     "rt_rollup_hierarchy",
-    "gx_spatial_clusters", "gr_pagerank", "cdc_upsert",
+    "gr_pagerank", "cdc_upsert",
     "ev_funnel", "pk_pack_audit",
     "rt_bm25_topk",
     "gr_triangles", "pf_approx_distinct",
-    "ml_class_metrics", "pf_dataset_card",
-    "ev_itemsets", "pf_ref_integrity", "gr_communities",
+    "ml_class_metrics",
+    "pf_ref_integrity", "gr_communities",
     # seventh rotation (round 12) — promoted round-11 sim-green rows
-    "dd_substring_spans", "mm_video_neardup",
-    "emb_hard_negatives", "ann_ivf_incr", "rt_mmr",
+    "dd_substring_spans",
+    "ann_ivf_incr", "rt_mmr",
     # eighth rotation (round 13, VERDICT r12 ask #1) — the round-12
     # measured-evidence tier gated; retirees ann_brute_topk,
     # mm_frame_dedup, tx_jsd, jx_salted_join, gx_radius_join,
     # mm_audio_dedup, ann_ivf_topk, dd_minhash_lsh to local parity
     # (kernel-coverage rationale in catalog/__init__.py).
     "dd_dup_census", "ann_nprobe_frontier", "dd_lsh_tuner",
-    "ann_filtered_topk", "dd_embed_contam", "mm_video_summary",
+    "dd_embed_contam", "mm_video_summary",
     "mm_audio_vad", "gx_knn_join",
     # ninth rotation (round 14, VERDICT r13 ask #1) — the round-13
     # sim-green tier gated; retirees dd_jaccard_join, mm_scene_cuts,
@@ -181,7 +181,15 @@ DRIVER_GATE = [
     # ann_mrl_eval, emb_kmeans to local parity (kernel-coverage
     # rationale in catalog/__init__.py).
     "corpus_release_audit", "dd_norm_unicode", "pf_calibration",
-    "mx_kfold", "ann_graph_frontier", "ev_sprt", "gr_hits", "gr_ppr",
+    "mx_kfold", "ann_graph_frontier", "ev_sprt", "gr_ppr",
+    # tenth rotation (round 15, VERDICT r14 ask #1) — the round-14
+    # sim-green tier gated; retirees gr_hits (superseded by the
+    # weighted generalization), dd_norm_exact, mm_video_neardup,
+    # gx_spatial_clusters, ann_filtered_topk, pf_dataset_card,
+    # ev_itemsets, emb_hard_negatives to local parity
+    # (kernel-coverage rationale in catalog/__init__.py).
+    "gr_hits_weighted", "ann_range_search", "ev_did",
+    "gr_reciprocity", "ts_binseg", "pf_mad", "pf_fdr", "tx_templates",
 ]
 
 
