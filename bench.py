@@ -514,6 +514,25 @@ def main() -> None:
 WEAK_WARM_S = 2.0
 WEAK_RATIO = 2.0
 
+# Documented floors (VERDICT r14 ask #4): queries whose weak-list entry
+# is an ACCEPTED cost with a written-down scale argument, not an open
+# defect. They still appear in perf_weak (the number is honest) but
+# carry the floor so the list separates "fix me" from "priced in".
+FLOOR_ANNOTATIONS = {
+    "gr_pagerank": (
+        "fixed-point floor: 2 exchanges x n_iter by construction "
+        "(graph.py pagerank docstring); per-iteration cost amortizes "
+        "at scale where the exchanges carry real volume, while the "
+        "proxy replays the unrolled recurrence as one vectorized CTE"
+    ),
+    "emb_knn_graph": (
+        "declared SemDeDup bound: within-IVF-cell self-join costs "
+        "sum(cell^2); linear at 100 TB under the DEFAULT_CELL_SIZE "
+        "cell-sizing contract (SCALE.md); the proxy pays the same "
+        "pair volume without Spark's exchange/task floor"
+    ),
+}
+
 
 def perf_weak(
     timings: dict[str, float], proxy: dict[str, float]
@@ -521,20 +540,22 @@ def perf_weak(
     """The judge's per-query weak list (warm median >= WEAK_WARM_S AND
     > WEAK_RATIO x the interleaved proxy), sorted worst-ratio first.
     Sub-second entries with high ratios are Spark's fixed job overhead
-    at toy scale and deliberately not flagged. Pure function so the
-    contract test exercises it without running Spark."""
+    at toy scale and deliberately not flagged. Entries in
+    FLOOR_ANNOTATIONS carry their documented-floor rationale. Pure
+    function so the contract test exercises it without running Spark."""
     out = []
     for name, t in timings.items():
         p = proxy.get(name)
         if p and t >= WEAK_WARM_S and t > WEAK_RATIO * p:
-            out.append(
-                {
-                    "query": name,
-                    "warm_s": round(t, 3),
-                    "proxy_s": round(p, 3),
-                    "ratio": round(t / p, 2),
-                }
-            )
+            row = {
+                "query": name,
+                "warm_s": round(t, 3),
+                "proxy_s": round(p, 3),
+                "ratio": round(t / p, 2),
+            }
+            if name in FLOOR_ANNOTATIONS:
+                row["floor"] = FLOOR_ANNOTATIONS[name]
+            out.append(row)
     return sorted(out, key=lambda r: -r["ratio"])
 
 

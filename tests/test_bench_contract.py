@@ -72,3 +72,14 @@ def test_perf_weak_schema_and_criterion():
     assert [w["query"] for w in weak] == ["worst", "slow_and_weak"]
     assert set(weak[0]) == {"query", "warm_s", "proxy_s", "ratio"}
     assert weak[0]["ratio"] == 6.0
+
+
+def test_perf_weak_floor_annotations():
+    """Documented-floor queries stay ON the weak list (the count is
+    honest) but carry their written-down rationale; annotation keys
+    must be real headliners so a rename can't silently orphan one."""
+    for name in bench.FLOOR_ANNOTATIONS:
+        assert name in bench.HEADLINE, name
+    weak = bench.perf_weak({"gr_pagerank": 3.0}, {"gr_pagerank": 1.0})
+    assert weak[0]["floor"].startswith("fixed-point floor")
+    assert set(weak[0]) == {"query", "warm_s", "proxy_s", "ratio", "floor"}
