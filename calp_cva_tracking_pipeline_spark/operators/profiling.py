@@ -574,44 +574,67 @@ def ks_drift(
     bit-stable across engines and partitionings.
 
     Scale shape: same driver-coordinated discipline as
-    ``exact_percentiles`` — pass 1 collects per-column range + slice
-    totals (≤ |cols| rows) into bucket-projection literals, pass 2
-    collects per-(bucket, slice) counts (≤ _MEDIAN_BUCKETS·|cols| rows,
-    map-side-combined) whose driver prefix scan becomes a broadcast
-    offsets table, and the one genuinely histogram-sized exchange is the
-    final pass's (col, value) → per-slice-count aggregation the sup-gap
-    needs (every distinct value is a candidate argmax — unlike
-    percentiles there is no target-bucket shrink), followed by
-    within-bucket running windows. No column's full histogram ever
-    sorts in one task; the naive alternative — one window ordered by
-    value partitioned only by column — is exactly the single-reducer
-    sort the percentile kernel's docstring rules out.
+    ``exact_percentiles``, with pass 1 STACK-FREE since round 15 (the
+    r13 fuse-the-passes ask): a wide aggregate — 5 expressions per
+    column over the raw rows, no |cols|× stacked row blow-up —
+    collects range + slice totals into bucket-projection literals, so
+    only passes 2 and 3 pay the stack. Pass 2 collects per-(bucket,
+    slice) counts (≤ _MEDIAN_BUCKETS·|cols| rows, map-side-combined)
+    whose driver prefix scan becomes a broadcast offsets table, and
+    the one genuinely histogram-sized exchange is the final pass's
+    (col, value) → per-slice-count aggregation the sup-gap needs
+    (every distinct value is a candidate argmax — unlike percentiles
+    there is no target-bucket shrink), followed by within-bucket
+    running windows. (An eager-localCheckpoint variant sharing ONE
+    stacked pass between pass 2 and the final measured SLOWER
+    interleaved at sf0.1 — 2.8s vs 2.6s — the materialization barrier
+    plus block IO outweigh the saved scan, and checkpoint blocks die
+    with their executor; measured and rejected, do not re-try.) No
+    column's full histogram ever sorts in one task; the naive
+    alternative — one window ordered by value partitioned only by
+    column — is exactly the single-reducer sort the percentile
+    kernel's docstring rules out.
     """
     spark = df.sparkSession
-    stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
-    long = df.select(
-        F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, val)"),
-        slice_col.cast("int").alias("slice"),
-    ).filter(F.col("val").isNotNull())
-    ca_row = F.when(F.col("slice") == 0, 1).otherwise(0)
-    cb_row = F.when(F.col("slice") == 1, 1).otherwise(0)
-    # pass 1: per-column range + per-slice totals (≤ |cols| rows)
+    # pass 1: stack-free per-column range + per-slice totals (1 row)
+    s_int = slice_col.cast("int")
+    wide_aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        wide_aggs += [
+            F.min(v).alias(f"__lo_{c}"),
+            F.max(v).alias(f"__hi_{c}"),
+            F.sum(
+                F.when(v.isNotNull() & (s_int == 0), 1).otherwise(0)
+            ).alias(f"__na_{c}"),
+            F.sum(
+                F.when(v.isNotNull() & (s_int == 1), 1).otherwise(0)
+            ).alias(f"__nb_{c}"),
+            F.count(v).alias(f"__n_{c}"),
+        ]
+    wrow = df.agg(*wide_aggs).collect()[0]
     rng = {
-        r["col_name"]: (r["lo"], r["hi"], r["na"], r["nb"])
-        for r in long.groupBy("col_name")
-        .agg(
-            F.min("val").alias("lo"),
-            F.max("val").alias("hi"),
-            F.sum(ca_row).alias("na"),
-            F.sum(cb_row).alias("nb"),
+        c: (
+            wrow[f"__lo_{c}"],
+            wrow[f"__hi_{c}"],
+            wrow[f"__na_{c}"],
+            wrow[f"__nb_{c}"],
         )
-        .collect()
+        for c in cols
+        if wrow[f"__n_{c}"] > 0
     }
     if not rng:
         return spark.createDataFrame(
             [], "col_name string, ks double, n_base bigint, n_cur bigint"
         )
     B = _MEDIAN_BUCKETS
+    stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+    long = df.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, val)"),
+        s_int.alias("slice"),
+    ).filter(F.col("val").isNotNull())
+    ca_row = F.when(F.col("slice") == 0, 1).otherwise(0)
+    cb_row = F.when(F.col("slice") == 1, 1).otherwise(0)
 
     def _bucket_expr():
         e = None
@@ -629,8 +652,8 @@ def ks_drift(
             e = F.when(cond, be) if e is None else e.when(cond, be)
         return e
 
-    # pass 2: per-(bucket, slice) counts → driver prefix scan → broadcast
-    # offsets table (≤ B·|cols| rows)
+    # pass 2: per-(bucket, slice) counts → driver prefix scan →
+    # broadcast offsets table (≤ B·|cols| rows)
     btot_rows = (
         long.select("col_name", _bucket_expr().alias("__b"), "slice")
         .groupBy("col_name", "__b")
@@ -656,13 +679,15 @@ def ks_drift(
         "col_name string, __b int, ca_before long, cb_before long,"
         " na long, nb long",
     )
-    # final pass: the one histogram-sized exchange + within-bucket CDFs.
-    # The offsets join lands AFTER the value-grain aggregation (r14):
-    # joined before, every pre-shuffle row carried the 4 offset longs
-    # through the exchange; post-agg the join touches only
+    # final pass: the one histogram-sized exchange + within-bucket
+    # CDFs. The offsets join lands AFTER the value-grain aggregation
+    # (r14): joined before, every pre-shuffle row carried the 4 offset
+    # longs through the exchange; post-agg the join touches only
     # distinct-value rows.
     hb = (
-        long.select("col_name", "val", "slice", _bucket_expr().alias("__b"))
+        long.select(
+            "col_name", "val", "slice", _bucket_expr().alias("__b")
+        )
         .groupBy("col_name", "__b", "val")
         .agg(
             F.sum(ca_row).alias("ca"),
