@@ -14144,6 +14144,53 @@ def gr_hits_weighted(spark, sf_dir):
     )
 
 
+def gr_pagerank_weighted(spark, sf_dir):
+    """WEIGHTED PageRank (operators.graph.pagerank_weighted) over the
+    SAME directed supplier↔part multigraph as gr_pagerank, WITHOUT the
+    duplicate-edge collapse: lineitem naturally repeats (supplier,
+    part) pairs across orders, so each collapsed edge carries its real
+    link multiplicity and every round passes weighted out-shares
+    floor((rank·w)/W_src) — the multigraph form real link graphs need
+    (VERDICT r14 ask #7). Same integer nano-unit rounds, sentinel
+    dangling accumulator, and linear plan as the unweighted flagship;
+    degenerates to pagerank bit-for-bit on a deduplicated edge list
+    (property-pinned in tests/test_wave_r15.py)."""
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        pagerank_weighted,
+    )
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    fwd = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + PR_PART_OFFSET).alias("dst"),
+    )
+    bwd = li.filter(F.col("l_orderkey") % 2 == 1).select(
+        (F.col("l_partkey") + PR_PART_OFFSET).alias("src"),
+        F.col("l_suppkey").alias("dst"),
+    )
+    return pagerank_weighted(fwd.unionByName(bwd), n_iter=PR_ITERS)
+
+
+def _gr_pagerank_weighted_sql() -> str:
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        pagerank_weighted_sql,
+    )
+
+    edges = (
+        f"SELECT l_suppkey AS src, l_partkey + {PR_PART_OFFSET} AS dst "
+        f"FROM lineitem WHERE l_orderkey % 2 = 0 "
+        f"UNION ALL "
+        f"SELECT l_partkey + {PR_PART_OFFSET} AS src, l_suppkey AS dst "
+        f"FROM lineitem WHERE l_orderkey % 2 = 1"
+    )
+    return pagerank_weighted_sql(edges, n_iter=PR_ITERS)
+
+
+GR_PAGERANK_WEIGHTED_SQL = _gr_pagerank_weighted_sql()
+
+
 def _gr_hits_weighted_sql() -> str:
     rounds = []
     prev_h = "h0"
@@ -15433,4 +15480,8 @@ SCALE_QUERIES = {
     "gr_ppr": (gr_ppr, GR_PPR_SQL),
     "rt_ltr_features": (rt_ltr_features, RT_LTR_SQL),
     "mx_uncertainty": (mx_uncertainty, MX_UNCERTAINTY_SQL),
+    # sixty-eighth wave (round 15): weighted-graph follow-through —
+    # PageRank over the multigraph with link-multiplicity out-shares
+    "gr_pagerank_weighted": (gr_pagerank_weighted,
+                             GR_PAGERANK_WEIGHTED_SQL),
 }

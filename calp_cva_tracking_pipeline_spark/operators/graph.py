@@ -224,6 +224,204 @@ def pagerank(
     )
 
 
+def pagerank_weighted(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """WEIGHTED fixed-iteration PageRank — the multigraph form
+    ``pagerank``'s duplicate-collapse declares out of its own scope
+    (VERDICT r14 ask #7: real link graphs are multigraphs). Parallel
+    (src, dst) edges collapse to one edge of integer weight
+    w = multiplicity, and each round's contribution is the weighted
+    out-share floor((rank·w) / W_src) with W_src = Σ out-weights —
+    a page linked five times passes five shares of its rank. With no
+    duplicate edges every w = 1 and W = outdeg, so the recurrence
+    degenerates to ``pagerank`` BIT-FOR-BIT (property-pinned).
+
+    Same engine-exactness + plan contract as ``pagerank`` (see that
+    docstring): integer nano-unit state, the sentinel-row dangling
+    accumulator with one-round lag, one null-safe src-keyed join + one
+    dst-keyed aggregate per round, evolving frame referenced ONCE —
+    plan linear in n_iter with zero per-round cuts; only the static
+    frames are checkpointed. The contribution product runs in
+    DECIMAL(38,0) (rank ≤ total mass ~1e9 × arbitrary integer weight
+    cannot overflow a 38-digit product), truncating division matches
+    DuckDB's ``//`` on the non-negative operands. Output:
+    (node, rank_nano). Oracle: ``pagerank_weighted_sql``.
+    """
+    e = (
+        edges.filter(
+            F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+        )
+        .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("__w"))
+    )
+    deg = e.groupBy("src").agg(F.sum("__w").cast("long").alias("wout"))
+    e_deg = _cut(e.join(deg, "src"), checkpoint, eager=False)
+    nodes = (
+        e_deg.select(F.col("src").alias("node"))
+        .union(e_deg.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    srcs = e_deg.select("src").distinct()
+    stats = (
+        nodes.join(srcs, nodes["node"] == srcs["src"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.isnull("src").cast("long")), F.lit(0)
+            ).alias("nd"),
+        )
+        .collect()[0]
+    )
+    n, n_dang = stats["n"], stats["nd"]
+    if n == 0:
+        return nodes.select(
+            F.col("node"), F.lit(0).cast("bigint").alias("rank_nano")
+        )
+    base = (RANK_SCALE - damping_pct * RANK_SCALE // 100) // n
+    init = RANK_SCALE // n
+    ntype = nodes.schema["node"].dataType
+    null_node = F.lit(None).cast(ntype)
+
+    aug = (
+        e_deg.select(
+            F.col("src").alias("asrc"),
+            F.col("dst").alias("adst"),
+            F.col("__w").cast("long").alias("__aw"),
+            F.col("wout").cast("long").alias("__awt"),
+        )
+        .unionByName(
+            nodes.join(srcs, nodes["node"] == srcs["src"], "left_anti")
+            .select(
+                F.col("node").alias("asrc"),
+                null_node.alias("adst"),
+                F.lit(1).cast("long").alias("__aw"),
+                F.lit(1).cast("long").alias("__awt"),
+            )
+        )
+        .unionByName(
+            nodes.select(
+                null_node.alias("asrc"),
+                F.col("node").alias("adst"),
+                F.lit(1).cast("long").alias("__aw"),
+                F.lit(n).cast("long").alias("__awt"),
+            )
+        )
+    )
+    aug = _cut(aug, checkpoint, eager=False)
+    nodes_aug = _cut(
+        nodes.unionByName(
+            edges.sparkSession.range(1).select(null_node.alias("node"))
+        ),
+        checkpoint,
+        eager=False,
+    )
+
+    ranks = nodes_aug.select(
+        "node",
+        F.when(F.col("node").isNull(), F.lit(n_dang * init))
+        .otherwise(F.lit(init))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(n_iter):
+        contrib = ranks.join(
+            aug, ranks["node"].eqNullSafe(aug["asrc"])
+        ).select(
+            F.col("adst").alias("node"),
+            F.expr(
+                "CAST((CAST(rank AS DECIMAL(38,0)) * __aw) div __awt"
+                " AS BIGINT)"
+            ).alias("c"),
+        )
+        g = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            nodes_aug.join(
+                g, nodes_aug["node"].eqNullSafe(g["node"]), "left"
+            )
+            .select(
+                nodes_aug["node"].alias("node"),
+                F.when(
+                    nodes_aug["node"].isNull(),
+                    F.coalesce(g["inflow"], F.lit(0)),
+                )
+                .otherwise(
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(inflow, 0)) div 100"
+                    )
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    return ranks.filter(F.col("node").isNotNull()).select(
+        "node", F.col("rank").alias("rank_nano")
+    )
+
+
+def pagerank_weighted_sql(
+    edges_cte: str,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+) -> str:
+    """DuckDB oracle twin of ``pagerank_weighted``: the identical
+    integer recurrence with weighted out-shares, unrolled — weights are
+    link multiplicities aggregated from the raw (possibly duplicated)
+    ``edges_cte`` rows, and each round's contribution is
+    ``(rank·w) // W_src`` in HUGEINT. Dangling mass rides the same
+    lagged scalar as ``pagerank_sql``."""
+    d = damping_pct
+    s = RANK_SCALE
+    parts = [
+        f"WITH e AS (SELECT src, dst, CAST(COUNT(*) AS HUGEINT) AS w"
+        f" FROM ({edges_cte}) raw"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL GROUP BY 1, 2)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, SUM(w) AS wout FROM e GROUP BY 1)",
+        "n AS (SELECT COUNT(*) AS cnt FROM nodes)",
+        f"r0 AS (SELECT node, {s} // cnt AS rank FROM nodes CROSS JOIN n)",
+        f"s0 AS (SELECT (SELECT COUNT(*) FROM nodes LEFT JOIN deg "
+        f"ON nodes.node = deg.src WHERE deg.src IS NULL)"
+        f" * ({s} // cnt) AS sv FROM n)",
+    ]
+    for i in range(1, n_iter + 1):
+        p, c = f"r{i - 1}", f"r{i}"
+        if i > 1:
+            parts.append(
+                f"s{i - 1} AS (SELECT COALESCE(SUM(r.rank), 0) AS sv "
+                f"FROM r{i - 2} r LEFT JOIN deg ON r.node = deg.src "
+                f"WHERE deg.src IS NULL)"
+            )
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, "
+            f"SUM((CAST(r.rank AS HUGEINT) * e.w) // deg.wout)"
+            f" AS inflow "
+            f"FROM e JOIN {p} r ON e.src = r.node "
+            f"JOIN deg ON deg.src = e.src GROUP BY 1)"
+        )
+        base_num = s - d * s // 100
+        parts.append(
+            f"{c} AS (SELECT nodes.node, "
+            f"({base_num} // cnt) "
+            f"+ ({d} * (COALESCE(c{i}.inflow, 0) + (s{i - 1}.sv // cnt)))"
+            f" // 100 AS rank "
+            f"FROM nodes CROSS JOIN n CROSS JOIN s{i - 1} "
+            f"LEFT JOIN c{i} ON nodes.node = c{i}.node)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT node, CAST(rank AS BIGINT) AS rank_nano FROM r{n_iter}"
+    )
+
+
 def triangle_stats(
     edges: DataFrame,
     src_col: str = "src",
