@@ -14879,9 +14879,13 @@ def pf_fdr(spark, sf_dir):
     are exercised). Per variant the p-value is the DISTRIBUTION-FREE
     Hoeffding bound 2·exp(−2n·d²) against the pooled rate — libm exp
     rounded to integer ppm on both engines (the 6-dp discipline), then
-    the step-up rule runs in cross-multiplied integer arithmetic."""
+    the step-up rule runs in cross-multiplied integer arithmetic.
+    Since round 15 the row COMPOSES the streaming resident's halves
+    (fdr_family_cells → fdr_from_family_cells), so the gated query and
+    the foreachBatch fold share one kernel by construction."""
     from calp_cva_tracking_pipeline_spark.operators.profiling import (
-        fdr_bh,
+        fdr_family_cells,
+        fdr_from_family_cells,
     )
 
     e = T(spark, sf_dir, "events").filter(
@@ -14892,33 +14896,14 @@ def pf_fdr(spark, sf_dir):
         F.col("user_id") % FDR_VARIANTS < FDR_EFFECT_VARIANTS,
         F.lit(FDR_CUT_EFFECT),
     ).otherwise(F.lit(FDR_CUT_NULL))
-    per = (
-        e.select(variant, (F.col("value") > cut).cast("int").alias("c"))
-        .groupBy("variant")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("c").cast("bigint").alias("k"),
-        )
+    base = e.select(
+        variant, (F.col("value") > cut).cast("int").alias("c")
     )
-    tot = per.agg(
-        F.sum("n").cast("bigint").alias("nn"),
-        F.sum("k").cast("bigint").alias("kk"),
+    return fdr_from_family_cells(
+        fdr_family_cells(base, "variant", "c"),
+        "variant",
+        q_ppm=FDR_Q_PPM,
     )
-    d = F.col("k").cast("double") / F.col("n").cast("double") - F.col(
-        "kk"
-    ).cast("double") / F.col("nn").cast("double")
-    p_ppm = F.least(
-        F.lit(1_000_000),
-        F.round(
-            F.lit(2.0)
-            * F.exp(F.lit(-2.0) * F.col("n").cast("double") * d * d)
-            * F.lit(1_000_000.0)
-        ).cast("bigint"),
-    )
-    stats = per.crossJoin(F.broadcast(tot)).select(
-        "variant", p_ppm.alias("p_ppm")
-    )
-    return fdr_bh(stats, "variant", "p_ppm", q_ppm=FDR_Q_PPM)
 
 
 PF_FDR_SQL = f"""

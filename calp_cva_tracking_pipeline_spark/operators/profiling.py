@@ -3227,6 +3227,58 @@ def mad_profile(
     ).orderBy("col_name")
 
 
+def fdr_family_cells(
+    df: DataFrame, group_col: str, conv_col: str
+) -> DataFrame:
+    """Per-batch (group, n, k) conversion counters for the streaming
+    FDR resident — plain integer sums, so cells fold ADDITIVELY across
+    micro-batches (the calibration/conversion-CI discipline);
+    foreachBatch ledger + ``fdr_from_family_cells`` ≡ the one-shot
+    family test, batch≡stream pinned in tests/test_streaming.py."""
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum(F.col(conv_col).cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+
+
+def fdr_from_family_cells(
+    cells: DataFrame, group_col: str, q_ppm: int = 50_000
+) -> DataFrame:
+    """Benjamini–Hochberg readout from a PRE-AGGREGATED (group, n, k)
+    ledger: re-collapse the append ledger by summation, recompute the
+    distribution-free Hoeffding p-value 2·exp(−2n·d²) against the
+    pooled rate (integer-ppm, the pf_fdr spelling — nonlinear in the
+    counters, so the resident folds counters and recomputes), then run
+    the cross-multiplied step-up rule. The one-shot catalog row
+    composes these same two halves, so batch ≡ one-shot is definitional
+    rather than coincidental."""
+    per = cells.groupBy(group_col).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("k"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("k").cast("bigint").alias("kk"),
+    )
+    d = F.col("k").cast("double") / F.col("n").cast("double") - F.col(
+        "kk"
+    ).cast("double") / F.col("nn").cast("double")
+    p_ppm = F.least(
+        F.lit(1_000_000),
+        F.round(
+            F.lit(2.0)
+            * F.exp(F.lit(-2.0) * F.col("n").cast("double") * d * d)
+            * F.lit(1_000_000.0)
+        ).cast("bigint"),
+    )
+    stats = per.crossJoin(F.broadcast(tot)).select(
+        group_col, p_ppm.alias("p_ppm")
+    )
+    return fdr_bh(stats, group_col, "p_ppm", q_ppm=q_ppm)
+
+
 def fdr_bh(
     df: DataFrame,
     id_col: str,

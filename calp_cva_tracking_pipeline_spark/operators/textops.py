@@ -1855,24 +1855,65 @@ def template_census(
     """
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2: {min_docs}")
+    return template_census_from_cells(
+        template_cells(df, id_col, text_col, source_col),
+        min_docs=min_docs,
+    )
+
+
+def template_cells(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-batch (template_digest, source, n, min_id) cells — the map
+    half of the streaming template-census resident. The digest is a
+    pure per-row function of the text (no cross-batch state), counts
+    fold additively and min_id by min, so a foreachBatch ledger +
+    ``template_census_from_cells`` ≡ the one-shot ``template_census``
+    (which composes these same halves); batch≡stream pinned in
+    tests/test_streaming.py."""
     masked = F.regexp_replace(
         F.regexp_replace(F.lower(F.col(text_col)), "[0-9]+", "0"),
         "\\s+",
         " ",
     )
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("__id"),
-        F.col(source_col).alias("__src"),
-        F.md5(masked).alias("template_digest"),
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(source_col).alias("__src"),
+            F.md5(masked).alias("template_digest"),
+        )
+        .groupBy("template_digest", "__src")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("__id").alias("min_id"),
+        )
+    )
+
+
+def template_census_from_cells(
+    cells: DataFrame, min_docs: int = 2
+) -> DataFrame:
+    """Template-census readout from a PRE-AGGREGATED (digest, source,
+    n, min_id) ledger: re-collapse the append ledger (counts sum,
+    min_id by min), then per digest n_docs = Σn, n_sources = the
+    non-null distinct sources (the (digest, source) grain makes that a
+    plain count), exemplar = global min id — keeping the id column's
+    NATIVE type (a bigint cast silently NULLed string ids; ADVICE
+    r14)."""
+    folded = cells.groupBy("template_digest", "__src").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.min("min_id").alias("min_id"),
     )
     return (
-        base.groupBy("template_digest")
+        folded.groupBy("template_digest")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.countDistinct("__src").cast("bigint").alias("n_sources"),
-            # keep the id's native type: a bigint cast would silently
-            # NULL a string/UUID id column instead of erroring
-            F.min("__id").alias("exemplar_id"),
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count("__src").cast("bigint").alias("n_sources"),
+            F.min("min_id").alias("exemplar_id"),
         )
         .filter(F.col("n_docs") >= min_docs)
         .orderBy(F.desc("n_docs"), "template_digest")

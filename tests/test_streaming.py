@@ -1967,3 +1967,143 @@ def test_foreachbatch_release_audit_folds_to_one_shot(
         ).collect()
     ]
     assert folded == one_shot
+
+
+def test_foreachbatch_fdr_family_cells_fold_to_batch(
+    spark, sf_dir, tmp_path
+):
+    """Streaming FDR resident (VERDICT r14 ask #6): per-variant (n, k)
+    conversion counters fold additively; the Hoeffding-p + step-up
+    readout recomputed from the folded integers matches the one-shot
+    gated pf_fdr bit-for-bit (which composes the same two halves)."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.catalog.scale import (
+        FDR_CUT_EFFECT,
+        FDR_CUT_NULL,
+        FDR_EFFECT_VARIANTS,
+        FDR_Q_PPM,
+        FDR_VARIANTS,
+        pf_fdr,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        fdr_family_cells,
+        fdr_from_family_cells,
+    )
+
+    one_shot = [tuple(r) for r in pf_fdr(spark, sf_dir).collect()]
+    assert one_shot, "empty family would make this pin vacuous"
+
+    e = T(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    cut = F.when(
+        F.col("user_id") % FDR_VARIANTS < FDR_EFFECT_VARIANTS,
+        F.lit(FDR_CUT_EFFECT),
+    ).otherwise(F.lit(FDR_CUT_NULL))
+    base = e.select(
+        "user_id",
+        (F.col("user_id") % FDR_VARIANTS).alias("variant"),
+        (F.col("value") > cut).cast("int").alias("c"),
+    )
+
+    ledger = str(tmp_path / "fdr_ledger")
+
+    def process(batch_df, batch_id):
+        fdr_family_cells(batch_df, "variant", "c").write.mode(
+            "append"
+        ).parquet(ledger)
+
+    reader = _file_stream_batches(
+        spark, tmp_path, base, "user_id", 3, "fdr"
+    )
+    q = (
+        reader.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "fdr_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    folded = [
+        tuple(r)
+        for r in fdr_from_family_cells(
+            spark.read.parquet(ledger), "variant", q_ppm=FDR_Q_PPM
+        ).collect()
+    ]
+    assert folded == one_shot
+
+
+def test_foreachbatch_template_cells_fold_to_batch(
+    spark, sf_dir, tmp_path
+):
+    """Streaming template-census resident (VERDICT r14 ask #6): the
+    digest is a pure per-row text function, (digest, source) cells fold
+    by sum/min, and the re-collapsed census matches the one-shot gated
+    tx_templates bit-for-bit over the SAME augmented corpus."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.catalog.scale import (
+        TEMPLATE_VARIANT_OFFSETS,
+        tx_templates,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.textops import (
+        template_cells,
+        template_census_from_cells,
+    )
+
+    one_shot = [tuple(r) for r in tx_templates(spark, sf_dir).collect()]
+    assert one_shot, "unaugmented corpus would make this pin vacuous"
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    variants = [
+        d.filter(
+            (F.col("doc_id") % 6 == 0) & F.col("text").isNotNull()
+        ).select(
+            (F.col("doc_id") + off).alias("doc_id"),
+            "source",
+            F.concat(
+                F.col("text"),
+                F.lit(" order "),
+                (F.col("doc_id") * mult).cast("string"),
+                F.lit(" ref "),
+                (F.col("doc_id") + mult).cast("string"),
+            ).alias("text"),
+        )
+        for mult, off in zip((7, 13), TEMPLATE_VARIANT_OFFSETS)
+    ]
+    aug = d.unionByName(variants[0]).unionByName(variants[1])
+
+    ledger = str(tmp_path / "tpl_ledger")
+
+    def process(batch_df, batch_id):
+        template_cells(batch_df, "doc_id", "text", "source").write.mode(
+            "append"
+        ).parquet(ledger)
+
+    reader = _file_stream_batches(
+        spark, tmp_path, aug, "doc_id", 3, "tpl"
+    )
+    q = (
+        reader.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "tpl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    folded = [
+        tuple(r)
+        for r in template_census_from_cells(
+            spark.read.parquet(ledger)
+        ).collect()
+    ]
+    assert folded == one_shot
