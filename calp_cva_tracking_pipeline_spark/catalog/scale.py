@@ -14950,6 +14950,51 @@ FROM r ORDER BY rank, id
 MAD_K = 3
 
 
+def pf_mad_by(spark, sf_dir):
+    """PER-GROUP robust MAD outlier census (operators.profiling.
+    mad_profile_by) — event value anomalies per event_type with each
+    segment's own median/MAD yardstick (a global cut would let the
+    purchase tail mask click outliers). The grouped two-phase
+    percentile kernel runs twice; medians/MADs round to 6 dp before
+    the k·MAD cut on both engines (the pf_mad discipline), counters
+    and ppm integer."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        mad_profile_by,
+    )
+
+    e = T(spark, sf_dir, "events")
+    return mad_profile_by(e, "event_type", "value", k=MAD_K)
+
+
+PF_MAD_BY_SQL = f"""
+WITH b AS (
+  SELECT CAST(event_type AS VARCHAR) AS g, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL),
+med AS (
+  SELECT g, ROUND(CAST(quantile_cont(v, 0.5) AS DOUBLE), 6) AS med
+  FROM b GROUP BY 1),
+dev AS (
+  SELECT b.g, b.v, med.med, abs(b.v - med.med) AS dv
+  FROM b JOIN med ON b.g IS NOT DISTINCT FROM med.g),
+mad AS (
+  SELECT g, ROUND(CAST(quantile_cont(dv, 0.5) AS DOUBLE), 6) AS mad
+  FROM dev GROUP BY 1)
+SELECT d.g AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       d.med AS median,
+       mad.mad AS mad,
+       CAST(SUM(CASE WHEN abs(d.v - d.med) > {MAD_K} * mad.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST((1000000 * SUM(CASE WHEN abs(d.v - d.med)
+                                     > {MAD_K} * mad.mad
+                           THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS outlier_ppm
+FROM dev d JOIN mad ON d.g IS NOT DISTINCT FROM mad.g
+GROUP BY d.g, d.med, mad.mad
+ORDER BY event_type
+"""
+
+
 def pf_mad(spark, sf_dir):
     """Robust per-column profile (operators.profiling.mad_profile):
     exact median + exact MAD + the |x − med| > k·MAD outlier census

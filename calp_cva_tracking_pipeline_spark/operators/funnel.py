@@ -1519,3 +1519,110 @@ def did_audit(
         "rate_cpre_ppm", "rate_cpost_ppm",
         did.alias("did_ppm"),
     ).orderBy(group_col)
+
+
+def cuped_audit(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+    treated_col: Column,
+    pre_col: Column,
+    value_col: Column,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM
+    2013) per group: the treated-vs-control difference of means after
+    regressing out each unit's PRE-period covariate — the standard
+    lever that cuts an A/B test's required sample by the squared
+    pre/post correlation. ``pre_col`` marks pre-period rows,
+    ``value_col`` is the per-row metric; per (group, unit) the pre sum
+    x and post sum y accumulate in integer CENTS, and by linearity the
+    adjusted effect needs only cell means:
+    Δ_cuped = (ȳ_t − ȳ_c) − θ·(x̄_t − x̄_c), θ = cov(x, y)/var(x)
+    pooled within the group — no per-unit adjusted column, no second
+    pass.
+
+    Engine-exactness (the pf_corr/assortativity discipline): unit
+    sums are exact cents; the pooled moments Σx, Σy, Σxy, Σx²
+    accumulate as DECIMAL(38,0) (order-independent); θ derives in one
+    fixed double expression and ROUNDS to 6 dp before entering the
+    effect (so both engines use the identical rounded θ); effects are
+    cents-scale doubles rounded to 6 dp. Zero pre-variance → NULL θ
+    and NULL adjusted effect (no covariate signal ≠ zero effect);
+    a group missing either arm → NULL effects. Physical shape: one
+    (group, unit)-keyed exchange + one group-bounded moment
+    aggregation. Output: (group, n_t, n_c, theta, raw_effect_cents,
+    cuped_effect_cents), ordered by group. Engine addition; no
+    reference counterpart.
+    """
+    unit = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(unit_col).alias("__u"),
+            treated_col.cast("boolean").alias("__t"),
+            F.when(
+                pre_col,
+                F.round(value_col.cast("double") * 100, 0).cast("bigint"),
+            )
+            .otherwise(F.lit(0))
+            .alias("__xc"),
+            F.when(
+                ~pre_col,
+                F.round(value_col.cast("double") * 100, 0).cast("bigint"),
+            )
+            .otherwise(F.lit(0))
+            .alias("__yc"),
+        )
+        .filter(F.col("__t").isNotNull() & F.col("__u").isNotNull())
+        .groupBy("grp", "__u", "__t")
+        .agg(
+            F.sum("__xc").cast("bigint").alias("x"),
+            F.sum("__yc").cast("bigint").alias("y"),
+        )
+    )
+    dec = "decimal(38,0)"
+    mom = unit.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr(f"CAST(x AS {dec})")).cast(dec).alias("sx"),
+        F.sum(F.expr(f"CAST(y AS {dec})")).cast(dec).alias("sy"),
+        F.sum(F.expr(f"CAST(x AS {dec}) * y")).cast(dec).alias("sxy"),
+        F.sum(F.expr(f"CAST(x AS {dec}) * x")).cast(dec).alias("sxx"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_t"),
+        F.sum(F.when(F.col("__t"), F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sx_t"),
+        F.sum(F.when(F.col("__t"), F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy_t"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n.cast(dec) * F.col("sxy") - sx * sy).cast("double")
+    den = (n.cast(dec) * F.col("sxx") - sx * sx).cast("double")
+    theta = F.when(den > 0, F.round(num / den, 6))
+    n_c = (n - F.col("n_t")).alias("n_c")
+    both = (F.col("n_t") > 0) & (n > F.col("n_t"))
+    mt = F.col("sy_t").cast("double") / F.col("n_t").cast("double")
+    mc = (sy.cast("double") - F.col("sy_t").cast("double")) / (
+        n - F.col("n_t")
+    ).cast("double")
+    xt = F.col("sx_t").cast("double") / F.col("n_t").cast("double")
+    xc = (sx.cast("double") - F.col("sx_t").cast("double")) / (
+        n - F.col("n_t")
+    ).cast("double")
+    raw = F.when(both, F.round(mt - mc, 6))
+    return (
+        mom.withColumn("theta", theta)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_t"),
+            n_c,
+            F.col("theta"),
+            raw.alias("raw_effect_cents"),
+            F.when(
+                both & F.col("theta").isNotNull(),
+                F.round((mt - mc) - F.col("theta") * (xt - xc), 6),
+            ).alias("cuped_effect_cents"),
+        )
+        .orderBy(group_col)
+    )

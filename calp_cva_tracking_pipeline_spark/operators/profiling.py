@@ -3227,6 +3227,103 @@ def mad_profile(
     ).orderBy("col_name")
 
 
+def mad_profile_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """PER-GROUP robust MAD outlier census — ``mad_profile``'s exact
+    median/MAD/|x−med| > k·MAD screen lifted to grouped form (one row
+    per group): the per-segment anomaly audit a metrics pipeline runs
+    where a single global yardstick would let one segment's heavy tail
+    mask another's outliers. Group keys compare AS STRINGS (the
+    grouped-percentile kernel's contract); NULL groups are a real
+    category (SQL GROUP BY semantics, null-safe joins end to end).
+
+    Shape: the grouped two-phase percentile kernel runs twice (values,
+    then absolute deviations about the per-group medians), with the
+    group-bounded (med, cut) table re-entering as a BROADCAST literal
+    relation both times — driver state stays ≤ groups·bucket rows, no
+    per-group sort of row data. Median and MAD round to 6 dp BEFORE
+    the cut on both engines (the mad_profile discipline). Output:
+    (group, n, median, mad, n_outliers, outlier_ppm), ordered by
+    group. Engine addition; no reference counterpart.
+    """
+    spark = df.sparkSession
+    gs = F.col(group_col).cast("string")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        gs.alias("__g"), F.col(value_col).cast("double").alias("__v")
+    )
+    med_rows = grouped_exact_medians(
+        df, group_col, [value_col], round_to=6
+    ).collect()
+    med = {r[group_col]: r["median"] for r in med_rows}
+    if not med:
+        return spark.createDataFrame(
+            [],
+            f"{group_col} string, n bigint, median double, mad double,"
+            " n_outliers bigint, outlier_ppm bigint",
+        )
+    med_f = spark.createDataFrame(
+        [(g, float(m)) for g, m in med.items()],
+        "__g string, __med double",
+    )
+    dev_long = (
+        base.join(
+            F.broadcast(med_f),
+            base["__g"].eqNullSafe(med_f["__g"]),
+        )
+        .select(
+            F.concat(
+                F.coalesce(base["__g"], F.lit(_GRP_NULL)),
+                F.lit(_GRP_SEP),
+                F.lit(value_col),
+            ).alias("col_name"),
+            F.abs(F.col("__v") - F.col("__med")).alias("val"),
+        )
+    )
+    mad_rows = _percentiles_from_long(dev_long, [0.5], 6).collect()
+    mad = {}
+    for r in mad_rows:
+        g = r["col_name"].split(_GRP_SEP, 1)[0]
+        mad[None if g == _GRP_NULL else g] = r["value"]
+    cut_f = spark.createDataFrame(
+        [
+            (g, float(med[g]), float(mad[g]), float(k) * float(mad[g]))
+            for g in med
+            if mad.get(g) is not None
+        ],
+        "__g string, __med double, __mad double, __cut double",
+    )
+    return (
+        base.join(
+            F.broadcast(cut_f), base["__g"].eqNullSafe(cut_f["__g"])
+        )
+        .groupBy(base["__g"], "__med", "__mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                (F.abs(F.col("__v") - F.col("__med")) > F.col("__cut"))
+                .cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n",
+            F.col("__med").alias("median"),
+            F.col("__mad").alias("mad"),
+            "n_outliers",
+            F.expr("CAST((1000000 * n_outliers) div n AS BIGINT)").alias(
+                "outlier_ppm"
+            ),
+        )
+        .orderBy(group_col)
+    )
+
+
 def fdr_family_cells(
     df: DataFrame, group_col: str, conv_col: str
 ) -> DataFrame:
