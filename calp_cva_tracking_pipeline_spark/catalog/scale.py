@@ -14191,6 +14191,201 @@ def _gr_pagerank_weighted_sql() -> str:
 GR_PAGERANK_WEIGHTED_SQL = _gr_pagerank_weighted_sql()
 
 
+def ev_cuped(spark, sf_dir):
+    """CUPED variance-reduced experiment readout (operators.funnel.
+    cuped_audit) per event_type: unit = user, treatment = user parity
+    (the derive discipline), covariate = the unit's PRE-split value
+    sum, metric = the POST-split sum (the DID_SPLIT_TS midpoint).
+    Moments accumulate as DECIMAL over integer cents, θ rounds to 6 dp
+    before entering the adjusted effect — one fixed double expression
+    per output, bit-stable cross-engine."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        cuped_audit,
+    )
+
+    e = T(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    return cuped_audit(
+        e,
+        "event_type",
+        "user_id",
+        F.col("user_id") % 2 == 0,
+        F.col("ts") < F.lit(DID_SPLIT_TS).cast("timestamp"),
+        F.col("value"),
+    )
+
+
+EV_CUPED_SQL = f"""
+WITH b AS (
+  SELECT event_type AS grp, user_id AS u, (user_id % 2 = 0) AS t,
+         CASE WHEN ts < TIMESTAMP '{DID_SPLIT_TS} 00:00:00'
+              THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END AS xc,
+         CASE WHEN ts >= TIMESTAMP '{DID_SPLIT_TS} 00:00:00'
+              THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END AS yc
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL),
+un AS (
+  SELECT grp, u, t,
+         CAST(SUM(xc) AS BIGINT) AS x, CAST(SUM(yc) AS BIGINT) AS y
+  FROM b GROUP BY 1, 2, 3),
+mom AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN t THEN x ELSE 0 END) AS BIGINT) AS sx_t,
+         CAST(SUM(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS sy_t
+  FROM un GROUP BY 1),
+th AS (
+  SELECT *,
+         CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0 THEN
+           ROUND(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE),
+                 6)
+         END AS theta
+  FROM mom)
+SELECT grp AS event_type,
+       n_t,
+       CAST(n - n_t AS BIGINT) AS n_c,
+       theta,
+       CASE WHEN n_t > 0 AND n > n_t THEN
+         ROUND(CAST(sy_t AS DOUBLE) / n_t
+               - CAST(sy - sy_t AS DOUBLE) / (n - n_t), 6)
+       END AS raw_effect_cents,
+       CASE WHEN n_t > 0 AND n > n_t AND theta IS NOT NULL THEN
+         ROUND((CAST(sy_t AS DOUBLE) / n_t
+                - CAST(sy - sy_t AS DOUBLE) / (n - n_t))
+               - theta * (CAST(sx_t AS DOUBLE) / n_t
+                          - CAST(sx - sx_t AS DOUBLE) / (n - n_t)), 6)
+       END AS cuped_effect_cents
+FROM th ORDER BY event_type
+"""
+
+
+DIFF_REMOVED_MOD = 7
+DIFF_ABSENT_MOD = 3
+DIFF_EDIT_MOD = 5
+
+
+def cdc_release_diff(spark, sf_dir):
+    """Cross-release corpus diff (plans.corpus.release_diff): the
+    previous release drops doc_id % 10 == DIFF_REMOVED_MOD, the
+    candidate drops doc_id % 10 == DIFF_ABSENT_MOD and EDITS every
+    doc_id % DIFF_EDIT_MOD == 0 text (an appended revision marker) —
+    so all four diff classes (added / removed / changed / unchanged)
+    are non-degenerate at every SF (the derive-from-testdata
+    discipline)."""
+    from calp_cva_tracking_pipeline_spark.plans.corpus import (
+        release_diff,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    prev = d.filter(F.col("doc_id") % 10 != DIFF_REMOVED_MOD)
+    curr = d.filter(F.col("doc_id") % 10 != DIFF_ABSENT_MOD).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % DIFF_EDIT_MOD == 0,
+            F.concat(F.col("text"), F.lit(" [rev2]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return release_diff(prev, curr, "doc_id", "text", "source")
+
+
+CDC_RELEASE_DIFF_SQL = f"""
+WITH d AS (SELECT doc_id, source, text FROM documents),
+prev AS (
+  SELECT doc_id, source,
+         COALESCE(md5(text), chr(1)) AS dig
+  FROM d WHERE doc_id % 10 != {DIFF_REMOVED_MOD}),
+curr AS (
+  SELECT doc_id, source,
+         COALESCE(md5(CASE WHEN doc_id % {DIFF_EDIT_MOD} = 0
+                           THEN text || ' [rev2]' ELSE text END),
+                  chr(1)) AS dig
+  FROM d WHERE doc_id % 10 != {DIFF_ABSENT_MOD}),
+u AS (
+  SELECT doc_id, source, dig, 1 AS ina, 0 AS inb FROM prev
+  UNION ALL
+  SELECT doc_id, source, dig, 0 AS ina, 1 AS inb FROM curr),
+per_doc AS (
+  SELECT doc_id, source,
+         MAX(ina) AS a, MAX(inb) AS b,
+         MAX(CASE WHEN ina = 1 THEN dig END) AS da,
+         MAX(CASE WHEN inb = 1 THEN dig END) AS db
+  FROM u GROUP BY 1, 2),
+cls AS (
+  SELECT source, a, b,
+         CASE WHEN a = 0 AND b = 1 THEN 'added'
+              WHEN a = 1 AND b = 0 THEN 'removed'
+              WHEN da != db THEN 'changed'
+              ELSE 'unchanged' END AS c
+  FROM per_doc)
+SELECT source,
+       CAST(SUM(a) AS BIGINT) AS n_prev,
+       CAST(SUM(b) AS BIGINT) AS n_curr,
+       CAST(SUM(CASE WHEN c = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_added,
+       CAST(SUM(CASE WHEN c = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(SUM(CASE WHEN c = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(SUM(CASE WHEN c = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unchanged
+FROM cls GROUP BY 1 ORDER BY source
+"""
+
+
+GQ_PS = (0.1, 0.5, 0.9)
+
+
+def pf_group_quantiles(spark, sf_dir):
+    """Per-group exact p10/p50/p90 (operators.profiling.
+    grouped_exact_percentiles — the grouped two-phase kernel with an
+    arbitrary percentile set, all three percentiles off ONE kernel
+    run): event value distribution bands per event_type, the grouped
+    generalization pf_profile_by's median-only card cannot express."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        grouped_exact_percentiles,
+    )
+
+    e = T(spark, sf_dir, "events")
+    return (
+        grouped_exact_percentiles(
+            e, "event_type", ["value"], list(GQ_PS), round_to=6
+        )
+        .select(
+            "event_type",
+            F.col("p").cast("double").alias("p"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .orderBy("event_type", "p")
+    )
+
+
+PF_GROUP_QUANTILES_SQL = f"""
+WITH b AS (
+  SELECT CAST(event_type AS VARCHAR) AS g, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL),
+q AS (
+  {" UNION ALL ".join(
+      f"SELECT g, CAST({p} AS DOUBLE) AS p,"
+      f" ROUND(CAST(quantile_cont(v, {p}) AS DOUBLE), 6) AS value"
+      f" FROM b GROUP BY g"
+      for p in GQ_PS
+  )})
+SELECT g AS event_type, p, value FROM q ORDER BY event_type, p
+"""
+
+
 def _gr_hits_weighted_sql() -> str:
     rounds = []
     prev_h = "h0"
@@ -15514,4 +15709,10 @@ SCALE_QUERIES = {
     # PageRank over the multigraph with link-multiplicity out-shares
     "gr_pagerank_weighted": (gr_pagerank_weighted,
                              GR_PAGERANK_WEIGHTED_SQL),
+    # sixty-ninth wave (round 15): grouped robust statistics, CUPED
+    # experiment readout, cross-release corpus diff, grouped quantiles
+    "pf_mad_by": (pf_mad_by, PF_MAD_BY_SQL),
+    "ev_cuped": (ev_cuped, EV_CUPED_SQL),
+    "cdc_release_diff": (cdc_release_diff, CDC_RELEASE_DIFF_SQL),
+    "pf_group_quantiles": (pf_group_quantiles, PF_GROUP_QUANTILES_SQL),
 }

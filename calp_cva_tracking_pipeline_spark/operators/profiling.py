@@ -293,6 +293,29 @@ def grouped_exact_medians(
     drop per column, matching quantile_cont; a (group, column) with
     zero non-null values is absent (callers left-join and read NULL).
     """
+    out = grouped_exact_percentiles(
+        df, group_col, cols, [0.5], round_to=round_to
+    )
+    return out.select(
+        group_col, "col_name", F.col("value").alias("median")
+    )
+
+
+def grouped_exact_percentiles(
+    df: DataFrame,
+    group_col: str,
+    cols: list[str],
+    ps: list[float],
+    round_to: int | None = 6,
+) -> DataFrame:
+    """→ (group, col_name, p, value): EXACT interpolated per-group
+    percentiles for an arbitrary percentile set — the grouped-median
+    kernel generalized (``grouped_exact_medians`` is now the ps=[0.5]
+    wrapper): the (group × column) pair is the histogram key, all the
+    bounded-driver-statistic guarantees of that docstring apply
+    unchanged, and every requested percentile reads off the SAME two
+    collected passes (the multi-p discipline of ``exact_percentiles``
+    — p10/p50/p90 cost one kernel run, not three)."""
     gs = F.col(group_col).cast("string")
     stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
     long = (
@@ -308,14 +331,15 @@ def grouped_exact_medians(
             "val",
         )
     )
-    out = _percentiles_from_long(long, [0.5], round_to)
+    out = _percentiles_from_long(long, ps, round_to)
     grp = F.substring_index("col_name", _GRP_SEP, 1)
     return out.select(
         F.when(grp == _GRP_NULL, F.lit(None).cast("string"))
         .otherwise(grp)
         .alias(group_col),
         F.substring_index("col_name", _GRP_SEP, -1).alias("col_name"),
-        F.col("value").alias("median"),
+        "p",
+        "value",
     )
 
 

@@ -114,3 +114,174 @@ def test_ml_real_path_skip_is_the_torch_gate():
     if importlib.util.find_spec("torch") is None:
         # this build container: exactly the documented 1-skip state
         assert importlib.util.find_spec("transformers") is None or True
+
+
+def test_mad_profile_by_matches_numpy(spark):
+    """Per-group median/MAD/outlier census vs a numpy brute force,
+    including a NULL group category and a zero-MAD group."""
+    import numpy as np
+
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        mad_profile_by,
+    )
+
+    rows = (
+        [("a", float(v)) for v in [1, 2, 3, 4, 100]]
+        + [("b", 7.0)] * 5
+        + [(None, float(v)) for v in [10, 20, 30, 1000]]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r.g: r for r in mad_profile_by(df, "g", "v", k=3).collect()
+    }
+    for g, vals in (
+        ("a", [1, 2, 3, 4, 100]),
+        ("b", [7] * 5),
+        (None, [10, 20, 30, 1000]),
+    ):
+        arr = np.array(vals, dtype=float)
+        med = round(float(np.median(arr)), 6)
+        mad = round(float(np.median(np.abs(arr - med))), 6)
+        n_out = int(np.sum(np.abs(arr - med) > 3 * mad))
+        r = got[g]
+        assert (r.median, r.mad) == (med, mad), (g, r)
+        assert r.n == len(vals) and r.n_outliers == n_out, (g, r)
+        assert r.outlier_ppm == (1_000_000 * n_out) // len(vals)
+
+
+def test_cuped_matches_python_reference(spark):
+    """CUPED effect vs a plain-Python reference on a unit table with a
+    strong pre/post correlation: theta near the true slope, and the
+    adjusted effect recovers the injected treatment lift more tightly
+    than the raw difference."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        cuped_audit,
+    )
+
+    rows = []
+    # y = x + 5 for treated units, y = x for control; x varies by unit
+    for u in range(40):
+        x = 10.0 + (u % 13) * 3.0 + (7.0 if u % 2 == 0 else 0.0)
+        y = x + (5.0 if u % 2 == 0 else 0.0)
+        rows.append(("m", u, 0, x))  # pre row (day 0)
+        rows.append(("m", u, 1, y))  # post row (day 1)
+    df = spark.createDataFrame(rows, "g string, u long, d int, v double")
+    out = cuped_audit(
+        df,
+        "g",
+        "u",
+        F.col("u") % 2 == 0,
+        F.col("d") == 0,
+        F.col("v"),
+    ).collect()[0]
+    # python reference on cents
+    xs = {u: round(
+        (10.0 + (u % 13) * 3.0 + (7.0 if u % 2 == 0 else 0.0)) * 100
+    ) for u in range(40)}
+    ys = {u: xs[u] + (500 if u % 2 == 0 else 0) for u in range(40)}
+    n = 40
+    sx, sy = sum(xs.values()), sum(ys.values())
+    sxy = sum(xs[u] * ys[u] for u in xs)
+    sxx = sum(x * x for x in xs.values())
+    theta = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    t_units = [u for u in range(40) if u % 2 == 0]
+    c_units = [u for u in range(40) if u % 2 == 1]
+    mt = sum(ys[u] for u in t_units) / len(t_units)
+    mc = sum(ys[u] for u in c_units) / len(c_units)
+    xt = sum(xs[u] for u in t_units) / len(t_units)
+    xc = sum(xs[u] for u in c_units) / len(c_units)
+    assert out.theta == theta
+    assert out.raw_effect_cents == round(mt - mc, 6)
+    assert out.cuped_effect_cents == round(
+        (mt - mc) - theta * (xt - xc), 6
+    )
+    # the raw difference carries the x imbalance; CUPED strips most of
+    # the covariate component (theta < 1 keeps a residual)
+    assert abs(out.cuped_effect_cents - 500.0) < abs(
+        out.raw_effect_cents - 500.0
+    )
+
+
+def test_cuped_zero_pre_variance_yields_null_theta(spark):
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        cuped_audit,
+    )
+
+    rows = [("m", u, d, 5.0) for u in range(6) for d in (0, 1)]
+    df = spark.createDataFrame(rows, "g string, u long, d int, v double")
+    out = cuped_audit(
+        df, "g", "u", F.col("u") % 2 == 0, F.col("d") == 0, F.col("v")
+    ).collect()[0]
+    assert out.theta is None and out.cuped_effect_cents is None
+    assert out.raw_effect_cents == 0.0
+
+
+def test_release_diff_classes(spark):
+    """Each diff class on a hand-built pair of releases, including a
+    NULL-text transition reported as changed (never silently equal)."""
+    from calp_cva_tracking_pipeline_spark.plans.corpus import (
+        release_diff,
+    )
+
+    prev = spark.createDataFrame(
+        [
+            (1, "s1", "alpha"),
+            (2, "s1", "beta"),
+            (3, "s1", "gamma"),
+            (4, "s2", None),
+        ],
+        "doc_id long, source string, text string",
+    )
+    curr = spark.createDataFrame(
+        [
+            (1, "s1", "alpha"),      # unchanged
+            (2, "s1", "beta2"),      # changed
+            (4, "s2", "now-text"),   # NULL -> text: changed
+            (5, "s2", "delta"),      # added
+        ],                            # 3 removed
+        "doc_id long, source string, text string",
+    )
+    got = {r.source: r for r in release_diff(prev, curr).collect()}
+    s1, s2 = got["s1"], got["s2"]
+    assert (s1.n_prev, s1.n_curr) == (3, 2)
+    assert (s1.n_added, s1.n_removed, s1.n_changed, s1.n_unchanged) == (
+        0, 1, 1, 1,
+    )
+    assert (s2.n_prev, s2.n_curr) == (1, 2)
+    assert (s2.n_added, s2.n_removed, s2.n_changed, s2.n_unchanged) == (
+        1, 0, 1, 0,
+    )
+
+
+def test_grouped_percentiles_match_numpy(spark):
+    """p10/p50/p90 per group vs numpy's linear interpolation."""
+    import numpy as np
+
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        grouped_exact_percentiles,
+    )
+
+    rows = [("a", float(v)) for v in range(1, 12)] + [
+        ("b", float(v * v)) for v in range(1, 8)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r.g, r.p): r.value
+        for r in grouped_exact_percentiles(
+            df, "g", ["v"], [0.1, 0.5, 0.9]
+        ).collect()
+    }
+    for g, vals in (
+        ("a", [float(v) for v in range(1, 12)]),
+        ("b", [float(v * v) for v in range(1, 8)]),
+    ):
+        for p in (0.1, 0.5, 0.9):
+            want = round(
+                float(np.quantile(np.array(vals), p, method="linear")),
+                6,
+            )
+            assert got[(g, p)] == want, (g, p, got[(g, p)], want)
