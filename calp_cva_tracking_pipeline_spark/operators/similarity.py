@@ -404,6 +404,9 @@ def train_centroids(
     state = [
         (int(r["centroid_id"]), [float(x) for x in r["__cent"]])
         for r in cent.collect()
+        # a NULL vector cannot serve as a centroid (null-burst inputs:
+        # the lazy form produced NULL distances that never won a tie)
+        if r["__cent"] is not None
     ]
     if not state:
         # empty corpus: zero centroids in, zero out (the old lazy loop
