@@ -235,6 +235,12 @@ HEADLINE = [
     # (pf_profile's percentile-kernel class run twice), and
     # gr_hits_weighted (gr_hits' weighted sibling — same 2-joins/round
     # class, already timed via gr_pagerank/gr_hits).
+    # round 15 likewise adds NO headliners: gr_pagerank_weighted
+    # (gr_pagerank's 2-exchanges/round class with a weight column),
+    # pf_mad_by / pf_group_quantiles (the grouped percentile kernel —
+    # pf_profile's class over grouped keys), ev_cuped (two keyed
+    # aggregations of bounded moments), cdc_release_diff (the digest
+    # union+groupBy class dd_norm_exact/dd_dup_census already time).
 ]
 
 
@@ -530,6 +536,23 @@ FLOOR_ANNOTATIONS = {
         "sum(cell^2); linear at 100 TB under the DEFAULT_CELL_SIZE "
         "cell-sizing contract (SCALE.md); the proxy pays the same "
         "pair volume without Spark's exchange/task floor"
+    ),
+    "pf_ks": (
+        "exact value-grain sup statistic: every distinct value is a "
+        "candidate argmax, so the floor is the one histogram-sized "
+        "exchange + within-bucket ordered windows over ~1.2M value "
+        "rows; the range pass went stack-free r15 (~8%) and the "
+        "single-stacked-pass checkpoint fusion measured SLOWER "
+        "(ks_drift docstring); residual gap is the exact contract vs "
+        "the proxy's single-process vectorized window"
+    ),
+    "pf_release_report": (
+        "sum of four corner kernels off one scan, each individually "
+        "sub-weak (sf0.1 attribution: winnow leakage ~1.5s after the "
+        "r15 compiled gram stage [-45% on the pair kernel], jsd ~0.6s, "
+        "exact pairs + split joins ~0.5s, card/profile ~0.3s off one "
+        "shared ReusedExchange); corners probe sub-linearly "
+        "(alpha 0.37/0.48 class, SCALE.md)"
     ),
 }
 
