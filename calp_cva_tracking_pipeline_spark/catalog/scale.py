@@ -14344,7 +14344,216 @@ FROM cls GROUP BY 1 ORDER BY source
 """
 
 
+SEM_INCR_TAU = 0.8
+
+
+def dd_semdedup_incr(spark, sf_dir):
+    """Incremental SemDeDup (operators.dedup.semdedup_incremental):
+    the persisted admitted-member store = vec_id % 3 != 0 assigned on
+    the shared IVF quantizer; the ingest batch = vec_id % 3 == 0, with
+    injected duplicates so both drop classes are non-degenerate on the
+    uniform-random corpus (cosine pairs concentrate near 0): every
+    % 15 == 0 batch row carries the STORE vector vec_id+1 (a store
+    dup), every % 21 == 0 (not % 15, and whose +3 partner keeps its
+    raw vector) carries the raw vector of batch row vec_id+3 (a
+    smaller-id within-batch dup). One broadcast assignment + two
+    cell-keyed joins; verdicts admitted/store_dup/batch_dup."""
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        semdedup_incremental,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        assign_cells,
+        train_centroids,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    raw = e.select("vec_id", "embedding")
+    cent = train_centroids(e, "vec_id", "embedding", IVF_CENTROIDS)
+    members = assign_cells(
+        raw.filter(F.col("vec_id") % 3 != 0), cent, "vec_id", "embedding"
+    ).select(
+        F.col("__cell").alias("cell"),
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+    )
+    p1 = raw.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").alias("__e1"),
+    )
+    p3 = raw.select(
+        (F.col("vec_id") - 3).alias("vec_id"),
+        F.col("embedding").alias("__e3"),
+    )
+    v = F.col("vec_id")
+    batch = (
+        raw.filter(v % 3 == 0)
+        .join(p1, "vec_id", "left")
+        .join(p3, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(
+                (v % 15 == 0) & F.col("__e1").isNotNull(), F.col("__e1")
+            )
+            .when(
+                (v % 21 == 0)
+                & (v % 15 != 0)
+                & ((v + 3) % 15 != 0)
+                & F.col("__e3").isNotNull(),
+                F.col("__e3"),
+            )
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+    )
+    return semdedup_incremental(
+        batch, members, cent, "vec_id", "embedding",
+        threshold=SEM_INCR_TAU,
+    )
+
+
+def _dd_semdedup_incr_sql() -> str:
+    d2 = _IVF_D2.format(a="x.v", b="cent.cv")
+    cos = (
+        "ROUND(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+cent AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS cv
+         FROM c ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+sa AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT x.vec_id, x.v, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY {d2}, cent.cid) AS rn
+    FROM c x CROSS JOIN cent WHERE x.vec_id % 3 != 0) t
+  WHERE rn = 1),
+b0 AS (
+  SELECT b.vec_id,
+         CASE WHEN b.vec_id % 15 = 0 AND e1.v IS NOT NULL THEN e1.v
+              WHEN b.vec_id % 21 = 0 AND b.vec_id % 15 != 0
+                   AND (b.vec_id + 3) % 15 != 0
+                   AND e3.v IS NOT NULL THEN e3.v
+              ELSE b.v END AS v
+  FROM c b LEFT JOIN c e1 ON e1.vec_id = b.vec_id + 1
+           LEFT JOIN c e3 ON e3.vec_id = b.vec_id + 3
+  WHERE b.vec_id % 3 = 0),
+ba AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT x.vec_id, x.v, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY {d2}, cent.cid) AS rn
+    FROM b0 x CROSS JOIN cent) t
+  WHERE rn = 1),
+sd AS (
+  SELECT DISTINCT ba.vec_id FROM ba JOIN sa ON sa.cell = ba.cell
+  WHERE {cos.format(a="ba.v", b="sa.v")} >= {SEM_INCR_TAU}),
+bd AS (
+  SELECT DISTINCT r.vec_id FROM ba r JOIN ba l
+    ON l.cell = r.cell AND l.vec_id < r.vec_id
+  WHERE {cos.format(a="l.v", b="r.v")} >= {SEM_INCR_TAU})
+SELECT ba.vec_id,
+       CAST(ba.cell AS BIGINT) AS cell,
+       CASE WHEN sd.vec_id IS NOT NULL THEN 'store_dup'
+            WHEN bd.vec_id IS NOT NULL THEN 'batch_dup'
+            ELSE 'admitted' END AS verdict
+FROM ba LEFT JOIN sd ON sd.vec_id = ba.vec_id
+        LEFT JOIN bd ON bd.vec_id = ba.vec_id
+ORDER BY ba.vec_id
+"""
+
+
+DD_SEMDEDUP_INCR_SQL = _dd_semdedup_incr_sql()
+
+
 GQ_PS = (0.1, 0.5, 0.9)
+
+
+def ev_qte(spark, sf_dir):
+    """Quantile treatment effects (QTE) per event_type: the per-
+    quantile treated-minus-control value gap — the distributional
+    readout a mean effect (ev_did/ev_cuped) cannot express (a
+    treatment that moves only the tail shows a flat mean and a loud
+    p90 gap). Composes grouped_exact_percentiles over the
+    (event_type × arm) composite key (chr(30) separator — chr(31) is
+    the kernel's own group sentinel), then one bounded pivot; both
+    arms' quantiles round to 6 dp before the difference (so a
+    borderline gap cannot flip on interpolation noise), and the gap
+    rounds again."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        grouped_exact_percentiles,
+    )
+
+    e = T(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    arm = F.when(
+        F.col("user_id") % 2 == 0, F.lit("t")
+    ).otherwise(F.lit("c"))
+    keyed = e.select(
+        F.concat_ws(chr(30), F.col("event_type"), arm).alias("__ga"),
+        F.col("value"),
+    )
+    q = grouped_exact_percentiles(
+        keyed, "__ga", ["value"], list(GQ_PS), round_to=6
+    )
+    split = q.select(
+        F.substring_index("__ga", chr(30), 1).alias("event_type"),
+        F.substring_index("__ga", chr(30), -1).alias("__arm"),
+        F.col("p").cast("double").alias("p"),
+        "value",
+    )
+    return (
+        split.groupBy("event_type", "p")
+        .agg(
+            F.max(F.when(F.col("__arm") == "t", F.col("value"))).alias(
+                "q_treated"
+            ),
+            F.max(F.when(F.col("__arm") == "c", F.col("value"))).alias(
+                "q_control"
+            ),
+        )
+        .select(
+            "event_type",
+            "p",
+            "q_treated",
+            "q_control",
+            F.round(
+                F.col("q_treated") - F.col("q_control"), 6
+            ).alias("qte"),
+        )
+        .orderBy("event_type", "p")
+    )
+
+
+def _ev_qte_sql() -> str:
+    per_p = " UNION ALL ".join(
+        f"SELECT event_type, CAST({p} AS DOUBLE) AS p,"
+        f" ROUND(CAST(quantile_cont(v, {p})"
+        f"   FILTER (WHERE t) AS DOUBLE), 6) AS q_treated,"
+        f" ROUND(CAST(quantile_cont(v, {p})"
+        f"   FILTER (WHERE NOT t) AS DOUBLE), 6) AS q_control"
+        f" FROM b GROUP BY event_type"
+        for p in GQ_PS
+    )
+    return f"""
+WITH b AS (
+  SELECT event_type, (user_id % 2 = 0) AS t, CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL),
+q AS ({per_p})
+SELECT event_type, p, q_treated, q_control,
+       ROUND(q_treated - q_control, 6) AS qte
+FROM q ORDER BY event_type, p
+"""
+
+
+EV_QTE_SQL = _ev_qte_sql()
 
 
 def pf_group_quantiles(spark, sf_dir):
@@ -15715,4 +15924,8 @@ SCALE_QUERIES = {
     "ev_cuped": (ev_cuped, EV_CUPED_SQL),
     "cdc_release_diff": (cdc_release_diff, CDC_RELEASE_DIFF_SQL),
     "pf_group_quantiles": (pf_group_quantiles, PF_GROUP_QUANTILES_SQL),
+    # seventieth wave (round 15): distributional experiment readout +
+    # the incremental-family closer in embedding space
+    "ev_qte": (ev_qte, EV_QTE_SQL),
+    "dd_semdedup_incr": (dd_semdedup_incr, DD_SEMDEDUP_INCR_SQL),
 }

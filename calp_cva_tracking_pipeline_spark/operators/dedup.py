@@ -2142,3 +2142,99 @@ def lsh_banding_tuner(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("bands")
+
+
+def semdedup_incremental(
+    batch: DataFrame,
+    members: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """INCREMENTAL SemDeDup — the embedding-space sibling of
+    ``dedup_incremental``/``near_dup_incremental`` that completes the
+    incremental family: a new ingest batch is screened against the
+    PERSISTED admitted-member store (``members``: (cell, id, vec),
+    bucketed by cell at rest) without ever re-scoring the store against
+    itself. Verdicts per batch row:
+
+    - ``store_dup``: some same-cell store member matches at
+      round(cosine, 6) ≥ threshold — the row duplicates content the
+      corpus already admitted;
+    - ``batch_dup``: not a store dup, but a SMALLER-ID same-cell batch
+      peer matches — ``semantic_dedup``'s EXISTS discipline (one hop,
+      no transitive closure: the peer's own fate does not re-qualify
+      the row — the documented divergence bound shared with the
+      band-store resident);
+    - ``admitted``: neither — append (cell, id, vec) to the store.
+
+    Scale shape: ONE broadcast-centroid assignment of the batch (the
+    IVF map-side argmin; the store is NEVER re-assigned), one
+    cell-keyed join batch×store and one batch×batch — both bounded by
+    the SemDeDup Σcell² contract under the auto_n_centroids cell-
+    sizing rule, with norms folded once per row, never per pair.
+    Output: (id, cell, verdict), ordered by id. Engine addition; no
+    reference counterpart.
+    """
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        assign_cells,
+        dot,
+        norm,
+    )
+
+    b = assign_cells(
+        batch.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+        ),
+        centroids,
+        "__id",
+        "__vec",
+    ).select(
+        "__id", "__vec", "__cell", norm(F.col("__vec")).alias("__nrm")
+    )
+    m = members.select(
+        F.col("cell").alias("__mcell"),
+        F.col("id").alias("__mid"),
+        F.col("vec").alias("__mvec"),
+    ).withColumn("__mnrm", norm(F.col("__mvec")))
+    cos_ms = F.round(
+        dot(F.col("__vec"), F.col("__mvec"))
+        / (F.col("__nrm") * F.col("__mnrm")),
+        6,
+    )
+    store_dropped = (
+        b.join(m, F.col("__cell") == F.col("__mcell"))
+        .filter(cos_ms >= threshold)
+        .select(F.col("__id").alias("__sd"))
+        .distinct()
+    )
+    l, r = b.alias("l"), b.alias("r")
+    cos_bb = F.round(
+        dot(F.col("l.__vec"), F.col("r.__vec"))
+        / (F.col("l.__nrm") * F.col("r.__nrm")),
+        6,
+    )
+    batch_dropped = (
+        l.join(
+            r,
+            (F.col("l.__cell") == F.col("r.__cell"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .filter(cos_bb >= threshold)
+        .select(F.col("r.__id").alias("__bd"))
+        .distinct()
+    )
+    return (
+        b.join(store_dropped, F.col("__id") == F.col("__sd"), "left")
+        .join(batch_dropped, F.col("__id") == F.col("__bd"), "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cell").cast("long").alias("cell"),
+            F.when(F.col("__sd").isNotNull(), F.lit("store_dup"))
+            .when(F.col("__bd").isNotNull(), F.lit("batch_dup"))
+            .otherwise(F.lit("admitted"))
+            .alias("verdict"),
+        )
+        .orderBy(id_col)
+    )

@@ -285,3 +285,84 @@ def test_grouped_percentiles_match_numpy(spark):
                 6,
             )
             assert got[(g, p)] == want, (g, p, got[(g, p)], want)
+
+
+def test_semdedup_incremental_verdicts(spark):
+    """Hand-built store/batch/centroids: a batch row matching a store
+    member is store_dup, a row matching a smaller-id batch peer is
+    batch_dup (one hop — the peer's own fate does not re-qualify it),
+    an unmatched row is admitted; matches only fire within a cell."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        semdedup_incremental,
+    )
+
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, __cent array<double>",
+    )
+    members = spark.createDataFrame(
+        [(0, 100, [0.9, 0.1])],
+        "cell long, id long, vec array<double>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, [0.9, 0.1]),    # cosine 1.0 vs store member -> store_dup
+            (2, [0.1, 0.95]),   # cell 1, no match -> admitted
+            (3, [0.1, 0.95]),   # same vec as 2, larger id -> batch_dup
+            (4, [-0.8, 0.1]),   # cell? far from both, no match
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.verdict
+        for r in semdedup_incremental(
+            batch, members, cent, "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    assert got[1] == "store_dup"
+    assert got[2] == "admitted"
+    assert got[3] == "batch_dup"
+    assert got[4] == "admitted"
+
+
+def test_qte_matches_numpy_per_arm(spark):
+    """QTE per (group, p) vs numpy per-arm quantiles on a frame where
+    the treatment moves only the upper tail."""
+    import numpy as np
+
+    import calp_cva_tracking_pipeline_spark.catalog.scale as S
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        grouped_exact_percentiles,
+    )
+    # exercise the composite-key path exactly as the catalog row does:
+    # build a tiny events-like frame and reuse the catalog derivation
+    from pyspark.sql import functions as F
+
+    rows = []
+    for u in range(40):
+        base = float(u % 10)
+        v = base + (10.0 if u % 2 == 0 and base >= 8 else 0.0)
+        rows.append(("m", u, v))
+    df = spark.createDataFrame(rows, "g string, u long, v double")
+    arm = F.when(F.col("u") % 2 == 0, F.lit("t")).otherwise(F.lit("c"))
+    keyed = df.select(
+        F.concat_ws(chr(30), F.col("g"), arm).alias("__ga"), F.col("v")
+    )
+    q = grouped_exact_percentiles(keyed, "__ga", ["v"], [0.1, 0.9])
+    got = {
+        (r["__ga"], r.p): r.value for r in q.collect()
+    }
+    t_vals = [
+        float(u % 10) + (10.0 if (u % 10) >= 8 else 0.0)
+        for u in range(0, 40, 2)
+    ]
+    c_vals = [float(u % 10) for u in range(1, 40, 2)]
+    for p in (0.1, 0.9):
+        assert got[("m" + chr(30) + "t", p)] == round(
+            float(np.quantile(np.array(t_vals), p, method="linear")), 6
+        )
+        assert got[("m" + chr(30) + "c", p)] == round(
+            float(np.quantile(np.array(c_vals), p, method="linear")), 6
+        )
