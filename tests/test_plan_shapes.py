@@ -953,3 +953,52 @@ def test_span_gram_table_single_explode(spark, sf_dir):
     plan = _executed(df)
     n_gen = plan.count("Generate explode")
     assert n_gen <= 1, f"gram explode runs {n_gen} times again"
+
+
+def test_winnow_fingerprints_compiled_window_stage(spark, sf_dir):
+    """Round-15 winnow rework: grams come from lead()+concat_ws over
+    exploded token rows and the minima from an ordered ROWS frame over
+    the SAME (id, pos) sort — the executed plan must show exactly ONE
+    keyed exchange, at most two Sorts (the shared window sort + any
+    AQE re-sort), zero joins, and NO interpreted higher-order gram
+    builder (no transform/aggregate lambda over the token array in the
+    scan projection)."""
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    df = winnow_fingerprints(
+        T(spark, sf_dir, "documents"), "doc_id", text_col="text",
+        k=5, window=4,
+    )
+    df.write.format("noop").mode("overwrite").save()
+    plan = _executed(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+    assert "lambdafunction" not in plan.lower(), (
+        "interpreted higher-order gram builder returned"
+    )
+
+
+def test_kmeans_result_is_literal_local_relation(spark, sf_dir):
+    """Round-15 Lloyd rework: train_centroids(iters>0) keeps centroid
+    state driver-resident, so the RETURNED frame is a literal local
+    relation — its executed plan must contain no Exchange, no Join and
+    no parquet scan (all distributed work ran as bounded construction
+    jobs: one map-side argmin + one (cell, dim) mean exchange per
+    round)."""
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        train_centroids,
+    )
+
+    cent = train_centroids(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", 8,
+        iters=2,
+    )
+    cent.count()
+    plan = _executed(cent)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan
+    assert "Scan parquet" not in plan
