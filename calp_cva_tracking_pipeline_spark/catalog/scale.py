@@ -14344,6 +14344,175 @@ FROM cls GROUP BY 1 ORDER BY source
 """
 
 
+MDE_Z_ALPHA = 1.959964  # two-sided 5%
+MDE_Z_BETA = 0.841621  # 80% power
+
+
+def ev_power_mde(spark, sf_dir):
+    """Minimum detectable effect per event_type — the experiment-
+    DESIGN readout that closes the testing family (did/cuped/sprt/fdr
+    analyze a finished experiment; this sizes the next one): given the
+    two arms' realized sample sizes and the pooled conversion rate,
+    the two-proportion normal-approximation MDE at 5% two-sided /
+    80% power, MDE = (z_a+z_b)·sqrt(p(1−p)(1/n_t+1/n_c)).
+
+    Engine-exactness: counters are integers off ONE group-bounded
+    aggregation; the rate pins to floor-ppm; the MDE derives in one
+    fixed double expression from those integers with the z sum as a
+    plan-time literal, rounded to integer ppm — bit-stable
+    cross-engine. Arms with zero units yield NULL mde (no design from
+    no data). Output: (event_type, n_t, n_c, k, rate_ppm, mde_ppm),
+    ordered. Engine addition; no reference counterpart."""
+    e = T(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    conv = (F.col("value") > F.lit(DID_CUT_BASE)).cast("int")
+    treated = (F.col("user_id") % 2 == 0).cast("int")
+    agg = e.groupBy("event_type").agg(
+        F.sum(treated).cast("bigint").alias("n_t"),
+        F.sum(1 - treated).cast("bigint").alias("n_c"),
+        F.sum(conv).cast("bigint").alias("k"),
+    )
+    n = F.col("n_t") + F.col("n_c")
+    p = F.col("k").cast("double") / n.cast("double")
+    z = MDE_Z_ALPHA + MDE_Z_BETA
+    mde = F.lit(z) * F.sqrt(
+        p
+        * (F.lit(1.0) - p)
+        * (
+            F.lit(1.0) / F.col("n_t").cast("double")
+            + F.lit(1.0) / F.col("n_c").cast("double")
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n_t",
+        "n_c",
+        "k",
+        F.expr("CAST((1000000 * k) div (n_t + n_c) AS BIGINT)").alias(
+            "rate_ppm"
+        ),
+        F.when(
+            (F.col("n_t") > 0) & (F.col("n_c") > 0),
+            F.round(mde * 1e6, 0).cast("bigint"),
+        ).alias("mde_ppm"),
+    ).orderBy("event_type")
+
+
+EV_POWER_MDE_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+         CASE WHEN value > {DID_CUT_BASE} THEN 1 ELSE 0 END AS c
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+a AS (
+  SELECT event_type,
+         CAST(SUM(t) AS BIGINT) AS n_t,
+         CAST(SUM(1 - t) AS BIGINT) AS n_c,
+         CAST(SUM(c) AS BIGINT) AS k
+  FROM b GROUP BY 1)
+SELECT event_type, n_t, n_c, k,
+       CAST((1000000 * k) // (n_t + n_c) AS BIGINT) AS rate_ppm,
+       CASE WHEN n_t > 0 AND n_c > 0 THEN
+         CAST(ROUND({MDE_Z_ALPHA + MDE_Z_BETA!r} * sqrt(
+           (CAST(k AS DOUBLE) / (n_t + n_c))
+           * (1.0 - CAST(k AS DOUBLE) / (n_t + n_c))
+           * (1.0 / n_t + 1.0 / n_c)) * 1e6, 0) AS BIGINT)
+       END AS mde_ppm
+FROM a ORDER BY event_type
+"""
+
+
+DRIFT_SAME_MICRO = 999_999
+DRIFT_TAU_MICRO = 990_000
+
+
+def emb_version_drift(spark, sf_dir):
+    """Embedding VERSION drift audit — the re-embedding migration gate
+    (swap the encoder, re-embed the corpus, and assert how much of the
+    space actually moved before re-tuning ANN/dedup thresholds): the
+    paired cosine between each id's old and new vector, reduced to a
+    one-row census. Version 2 derives deterministically (every
+    % 7 == 0 vector reversed — an uncorrelated rotation-like drift —
+    and every % 13 == 0 (not % 7) negated — the anti-aligned extreme),
+    so all bands are non-degenerate. No join: both versions are
+    per-row projections of one scan; cosines round to 6 dp and enter
+    the census as integer MICRO units, so counts and the mean are
+    bit-exact. Output: (n, n_same, n_drifted, mean_cos_micro).
+    Engine addition; no reference counterpart."""
+    from calp_cva_tracking_pipeline_spark.operators.similarity import (
+        dot,
+        norm,
+    )
+
+    e = T(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    v = F.col("vec_id")
+    v2 = (
+        F.when(v % 7 == 0, F.reverse(F.col("embedding")))
+        .when(
+            (v % 13 == 0) & (v % 7 != 0),
+            F.transform(F.col("embedding"), lambda x: -x),
+        )
+        .otherwise(F.col("embedding"))
+    )
+    paired = e.select(
+        F.round(
+            dot(F.col("embedding"), v2)
+            / (norm(F.col("embedding")) * norm(v2)),
+            6,
+        ).alias("__cos")
+    ).select(
+        F.round(F.col("__cos") * 1e6, 0).cast("bigint").alias("__cm")
+    )
+    return paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("__cm") >= DRIFT_SAME_MICRO).cast("int"))
+        .cast("bigint")
+        .alias("n_same"),
+        F.sum((F.col("__cm") < DRIFT_TAU_MICRO).cast("int"))
+        .cast("bigint")
+        .alias("n_drifted"),
+        # shift by +1e6 so the dividend is non-negative (cm >= -1e6):
+        # Spark's div truncates toward zero while DuckDB's // floors,
+        # and they only agree on non-negative operands
+        (
+            F.expr(
+                "CAST(SUM(__cm + 1000000) div COUNT(*) AS BIGINT)"
+            )
+            - F.lit(1_000_000)
+        ).alias("mean_cos_micro"),
+    )
+
+
+EMB_VERSION_DRIFT_SQL = f"""
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE embedding IS NOT NULL),
+p AS (
+  SELECT vec_id, v,
+         CASE WHEN vec_id % 7 = 0 THEN list_reverse(v)
+              WHEN vec_id % 13 = 0 THEN list_transform(v, x -> -x)
+              ELSE v END AS v2
+  FROM c),
+s AS (
+  SELECT CAST(ROUND(ROUND(list_dot_product(v, v2)
+           / (sqrt(list_dot_product(v, v))
+              * sqrt(list_dot_product(v2, v2))), 6) * 1e6, 0)
+         AS BIGINT) AS cm
+  FROM p)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN cm >= {DRIFT_SAME_MICRO} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_same,
+       CAST(SUM(CASE WHEN cm < {DRIFT_TAU_MICRO} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_drifted,
+       CAST(SUM(cm + 1000000) // COUNT(*) - 1000000 AS BIGINT)
+         AS mean_cos_micro
+FROM s
+"""
+
+
 SEM_INCR_TAU = 0.8
 
 
@@ -15928,4 +16097,8 @@ SCALE_QUERIES = {
     # the incremental-family closer in embedding space
     "ev_qte": (ev_qte, EV_QTE_SQL),
     "dd_semdedup_incr": (dd_semdedup_incr, DD_SEMDEDUP_INCR_SQL),
+    # seventy-first wave (round 15): experiment sizing + the
+    # re-embedding migration gate
+    "ev_power_mde": (ev_power_mde, EV_POWER_MDE_SQL),
+    "emb_version_drift": (emb_version_drift, EMB_VERSION_DRIFT_SQL),
 }
