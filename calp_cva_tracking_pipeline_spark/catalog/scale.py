@@ -14363,40 +14363,22 @@ def ev_power_mde(spark, sf_dir):
     cross-engine. Arms with zero units yield NULL mde (no design from
     no data). Output: (event_type, n_t, n_c, k, rate_ppm, mde_ppm),
     ordered. Engine addition; no reference counterpart."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        mde_family_cells,
+        mde_from_family_cells,
+    )
+
     e = T(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & F.col("user_id").isNotNull()
     )
-    conv = (F.col("value") > F.lit(DID_CUT_BASE)).cast("int")
-    treated = (F.col("user_id") % 2 == 0).cast("int")
-    agg = e.groupBy("event_type").agg(
-        F.sum(treated).cast("bigint").alias("n_t"),
-        F.sum(1 - treated).cast("bigint").alias("n_c"),
-        F.sum(conv).cast("bigint").alias("k"),
-    )
-    n = F.col("n_t") + F.col("n_c")
-    p = F.col("k").cast("double") / n.cast("double")
-    z = MDE_Z_ALPHA + MDE_Z_BETA
-    mde = F.lit(z) * F.sqrt(
-        p
-        * (F.lit(1.0) - p)
-        * (
-            F.lit(1.0) / F.col("n_t").cast("double")
-            + F.lit(1.0) / F.col("n_c").cast("double")
-        )
-    )
-    return agg.select(
+    base = e.select(
         "event_type",
-        "n_t",
-        "n_c",
-        "k",
-        F.expr("CAST((1000000 * k) div (n_t + n_c) AS BIGINT)").alias(
-            "rate_ppm"
-        ),
-        F.when(
-            (F.col("n_t") > 0) & (F.col("n_c") > 0),
-            F.round(mde * 1e6, 0).cast("bigint"),
-        ).alias("mde_ppm"),
-    ).orderBy("event_type")
+        (F.col("user_id") % 2 == 0).alias("t"),
+        (F.col("value") > F.lit(DID_CUT_BASE)).cast("int").alias("c"),
+    )
+    return mde_from_family_cells(
+        mde_family_cells(base, "event_type", "t", "c"), "event_type"
+    )
 
 
 EV_POWER_MDE_SQL = f"""

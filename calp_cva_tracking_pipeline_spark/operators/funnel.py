@@ -1626,3 +1626,66 @@ def cuped_audit(
         )
         .orderBy(group_col)
     )
+
+
+def mde_family_cells(
+    df: DataFrame, group_col: str, treated_col: str, conv_col: str
+) -> DataFrame:
+    """Per-batch (group, n_t, n_c, k) counters for the streaming MDE
+    resident — plain integer sums, additively foldable across
+    micro-batches (the fdr/calibration cell discipline); foreachBatch
+    ledger + ``mde_from_family_cells`` ≡ the one-shot sizing readout,
+    batch≡stream pinned in tests/test_streaming.py."""
+    t = F.col(treated_col).cast("boolean")
+    return df.groupBy(group_col).agg(
+        F.sum(t.cast("int")).cast("bigint").alias("n_t"),
+        F.sum((~t).cast("int")).cast("bigint").alias("n_c"),
+        F.coalesce(F.sum(F.col(conv_col).cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+
+
+def mde_from_family_cells(
+    cells: DataFrame,
+    group_col: str,
+    z_alpha: float = 1.959964,
+    z_beta: float = 0.841621,
+) -> DataFrame:
+    """Minimum-detectable-effect readout from a PRE-AGGREGATED
+    (group, n_t, n_c, k) ledger: re-collapse by summation, then the
+    two-proportion normal-approximation MDE at the given z points —
+    MDE = (z_a+z_b)·sqrt(p(1−p)(1/n_t+1/n_c)) with p the pooled
+    floor-ppm-pinned rate, derived in ONE fixed double expression from
+    the folded integers and rounded to integer ppm (nonlinear in the
+    counters, so the resident folds counters and recomputes). Arms
+    with zero units yield NULL mde. The one-shot catalog row composes
+    these same halves."""
+    agg = cells.groupBy(group_col).agg(
+        F.sum("n_t").cast("bigint").alias("n_t"),
+        F.sum("n_c").cast("bigint").alias("n_c"),
+        F.sum("k").cast("bigint").alias("k"),
+    )
+    n = F.col("n_t") + F.col("n_c")
+    p = F.col("k").cast("double") / n.cast("double")
+    mde = F.lit(z_alpha + z_beta) * F.sqrt(
+        p
+        * (F.lit(1.0) - p)
+        * (
+            F.lit(1.0) / F.col("n_t").cast("double")
+            + F.lit(1.0) / F.col("n_c").cast("double")
+        )
+    )
+    return agg.select(
+        group_col,
+        "n_t",
+        "n_c",
+        "k",
+        F.expr("CAST((1000000 * k) div (n_t + n_c) AS BIGINT)").alias(
+            "rate_ppm"
+        ),
+        F.when(
+            (F.col("n_t") > 0) & (F.col("n_c") > 0),
+            F.round(mde * 1e6, 0).cast("bigint"),
+        ).alias("mde_ppm"),
+    ).orderBy(group_col)

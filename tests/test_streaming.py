@@ -2107,3 +2107,64 @@ def test_foreachbatch_template_cells_fold_to_batch(
         ).collect()
     ]
     assert folded == one_shot
+
+
+def test_foreachbatch_mde_family_cells_fold_to_batch(
+    spark, sf_dir, tmp_path
+):
+    """Streaming MDE resident: per-group (n_t, n_c, k) counters fold
+    additively; the sizing readout recomputed from the folded integers
+    matches the one-shot gateable ev_power_mde bit-for-bit (which
+    composes the same two halves)."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.catalog.common import T
+    from calp_cva_tracking_pipeline_spark.catalog.scale import (
+        DID_CUT_BASE,
+        ev_power_mde,
+    )
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        mde_family_cells,
+        mde_from_family_cells,
+    )
+
+    one_shot = [tuple(r) for r in ev_power_mde(spark, sf_dir).collect()]
+    assert one_shot
+
+    e = T(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    base = e.select(
+        "user_id",
+        "event_type",
+        (F.col("user_id") % 2 == 0).alias("t"),
+        (F.col("value") > F.lit(DID_CUT_BASE)).cast("int").alias("c"),
+    )
+    ledger = str(tmp_path / "mde_ledger")
+
+    def process(batch_df, batch_id):
+        mde_family_cells(batch_df, "event_type", "t", "c").write.mode(
+            "append"
+        ).parquet(ledger)
+
+    reader = _file_stream_batches(
+        spark, tmp_path, base, "user_id", 3, "mde"
+    )
+    q = (
+        reader.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "mde_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    folded = [
+        tuple(r)
+        for r in mde_from_family_cells(
+            spark.read.parquet(ledger), "event_type"
+        ).collect()
+    ]
+    assert folded == one_shot
