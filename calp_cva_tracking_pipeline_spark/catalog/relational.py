@@ -1960,19 +1960,23 @@ COVERAGE = {
     "F12": "a9_latest_per_group (select + alias) + d1_priority_dedup"
     " (local-parity)",
     # D2/D3/D4 all reduce to dropDuplicates-by-key; the digest-groupBy
-    # kernel is GATED via dd_norm_exact (round 11 — the same
-    # row_number-per-md5 pipeline with text normalization in front, a
-    # strict superset), and dd_exact_hash keeps the plain-digest form
-    # oracle-checked locally at 3 SFs.
+    # kernel is GATED via dd_norm_unicode (round 15 — the tenth
+    # rotation retired dd_norm_exact to local parity; the unicode row
+    # runs the SAME normalized-digest survivor kernel with the fold
+    # tier on top), and dd_norm_exact/dd_exact_hash keep the plain
+    # forms oracle-checked locally at 3 SFs.
     # D1 priority dedup = the same row_number-per-key kernel with the
     # incoming>internal priority expressed as the window ORDER BY; the
     # retired d1 slot keeps the priority-order variant oracle-checked
     # locally at 3 SFs (and it stays a bench headliner).
-    "D1": "dd_norm_exact (row_number-per-key kernel, gated) +"
-    " dd_exact_hash + d1_priority_dedup (local-parity)",
-    "D2": "dd_norm_exact (gated) + dd_exact_hash (local-parity)",
-    "D3": "dd_norm_exact (gated) + dd_exact_hash (local-parity)",
-    "D4": "dd_norm_exact (gated) + dd_exact_hash (local-parity)",
+    "D1": "dd_norm_unicode (row_number-per-key kernel, gated) +"
+    " dd_norm_exact + dd_exact_hash + d1_priority_dedup (local-parity)",
+    "D2": "dd_norm_unicode (gated) + dd_norm_exact + dd_exact_hash"
+    " (local-parity)",
+    "D3": "dd_norm_unicode (gated) + dd_norm_exact + dd_exact_hash"
+    " (local-parity)",
+    "D4": "dd_norm_unicode (gated) + dd_norm_exact + dd_exact_hash"
+    " (local-parity)",
     "J1": "x1_equal_split_explode (explode keeps columns; no re-join needed)",
     "J2": "j2_broadcast_enrich", "J3": "j2_broadcast_enrich",
     "J4": "j4_fallback_join",
