@@ -14344,6 +14344,114 @@ FROM cls GROUP BY 1 ORDER BY source
 """
 
 
+def pf_psi_by(spark, sf_dir):
+    """PER-GROUP PSI drift (operators.profiling.population_stability_by)
+    — event value distributions per event_type between user-parity
+    slices, each segment bucketed on its OWN min/max band: the
+    per-segment monitor a global PSI hides (one event type drifting
+    inside a stable aggregate). Same nano-unit per-bucket terms and
+    1e-6 floor as pf_psi."""
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        population_stability_by,
+    )
+
+    e = T(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return population_stability_by(
+        e, "event_type", ["value"], F.col("user_id") % 2
+    )
+
+
+PF_PSI_BY_SQL = """
+WITH long AS (
+  SELECT CAST(event_type AS VARCHAR) AS g, 'value' AS col_name,
+         CAST(value AS DOUBLE) AS val,
+         CAST(user_id % 2 AS INTEGER) AS slice
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+rng AS (SELECT g, col_name, MIN(val) AS lo, MAX(val) AS hi
+        FROM long GROUP BY 1, 2),
+b AS (
+  SELECT long.g, long.col_name, slice,
+         CASE WHEN hi - lo <= 0 THEN 0
+              ELSE least(CAST(floor((val - lo) / (hi - lo) * 10)
+                         AS INTEGER), 9) END AS bucket
+  FROM long JOIN rng ON rng.g IS NOT DISTINCT FROM long.g
+                     AND rng.col_name = long.col_name),
+counts AS (SELECT g, col_name, bucket, slice, COUNT(*) AS cnt
+           FROM b GROUP BY 1, 2, 3, 4),
+fr AS (
+  SELECT g, col_name, bucket, slice, cnt,
+         CAST(cnt AS DOUBLE)
+           / SUM(cnt) OVER (PARTITION BY g, col_name, slice) AS frac
+  FROM counts),
+pb AS (
+  SELECT g, col_name, bucket,
+         greatest(COALESCE(MAX(CASE WHEN slice = 0 THEN frac END),
+                           CAST(0.0 AS DOUBLE)),
+                  CAST(1e-06 AS DOUBLE)) AS p,
+         greatest(COALESCE(MAX(CASE WHEN slice = 1 THEN frac END),
+                           CAST(0.0 AS DOUBLE)),
+                  CAST(1e-06 AS DOUBLE)) AS q,
+         COALESCE(SUM(CASE WHEN slice = 0 THEN cnt END), 0) AS na,
+         COALESCE(SUM(CASE WHEN slice = 1 THEN cnt END), 0) AS nb
+  FROM fr GROUP BY 1, 2, 3)
+SELECT g AS event_type, col_name,
+       ROUND(CAST(SUM(CAST(ROUND(ROUND((p - q) * ln(p / q), 9)
+                           * 1000000000, 0) AS BIGINT)) AS BIGINT)
+             / CAST(1000000000 AS DOUBLE), 6) AS psi,
+       CAST(SUM(na) AS BIGINT) AS n_base,
+       CAST(SUM(nb) AS BIGINT) AS n_cur
+FROM pb GROUP BY 1, 2 ORDER BY event_type, col_name
+"""
+
+
+def ev_srm(spark, sf_dir):
+    """Sample-ratio-mismatch gate (operators.funnel.srm_audit) per
+    event_type over DISTINCT users with the parity-derived arm. One
+    event type ('error') gets a derived assignment bug — a third of
+    its control users filtered out — so the alarm fires there and
+    stays quiet elsewhere at sf ≥ 0.01 (at sf0.001 the 12-unit group
+    is correctly UNDER-POWERED: χ² = 1.33 < 3.84 — the statistic
+    refusing to alarm on noise is itself the semantics). Fully
+    integer: χ²_nano = (1e9·(n_t−n_c)²) div n vs the nano-pinned χ²₁
+    95% critical value, no libm anywhere."""
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        srm_audit,
+    )
+
+    e = T(spark, sf_dir, "events").filter(
+        ~(
+            (F.col("event_type") == "error")
+            & (F.col("user_id") % 2 == 1)
+            & (F.col("user_id") % 3 == 1)
+        )
+    )
+    return srm_audit(
+        e, "event_type", "user_id", F.col("user_id") % 2 == 0
+    )
+
+
+EV_SRM_SQL = """
+WITH u AS (
+  SELECT DISTINCT event_type AS grp, user_id,
+         (user_id % 2 = 0) AS t
+  FROM events
+  WHERE user_id IS NOT NULL
+    AND NOT (event_type = 'error' AND user_id % 2 = 1
+             AND user_id % 3 = 1)),
+a AS (
+  SELECT grp,
+         CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_c
+  FROM u GROUP BY 1)
+SELECT grp AS event_type, n_t, n_c,
+       CAST((CAST(1000000000 AS HUGEINT) * (n_t - n_c) * (n_t - n_c))
+            // (n_t + n_c) AS BIGINT) AS chi2_nano,
+       (CAST((CAST(1000000000 AS HUGEINT) * (n_t - n_c) * (n_t - n_c))
+             // (n_t + n_c) AS BIGINT) > 3841458821) AS srm
+FROM a ORDER BY event_type
+"""
+
+
 MDE_Z_ALPHA = 1.959964  # two-sided 5%
 MDE_Z_BETA = 0.841621  # 80% power
 
@@ -16083,4 +16191,8 @@ SCALE_QUERIES = {
     # re-embedding migration gate
     "ev_power_mde": (ev_power_mde, EV_POWER_MDE_SQL),
     "emb_version_drift": (emb_version_drift, EMB_VERSION_DRIFT_SQL),
+    # seventy-second wave (round 15): per-segment drift + the
+    # assignment-integrity gate
+    "pf_psi_by": (pf_psi_by, PF_PSI_BY_SQL),
+    "ev_srm": (ev_srm, EV_SRM_SQL),
 }

@@ -1689,3 +1689,63 @@ def mde_from_family_cells(
             F.round(mde * 1e6, 0).cast("bigint"),
         ).alias("mde_ppm"),
     ).orderBy(group_col)
+
+
+# χ²(1 df) critical value at 95%, nano-pinned — the standard SRM alarm
+# line (Fabijan et al., "Diagnosing Sample Ratio Mismatch", KDD 2019
+# uses far stricter p-cuts in production; the threshold is a parameter)
+SRM_CRIT_NANO = 3_841_458_821
+
+
+def srm_audit(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+    treated_col: Column,
+    crit_nano: int = SRM_CRIT_NANO,
+) -> DataFrame:
+    """Sample-ratio-mismatch check per group — the FIRST gate an
+    experiment platform runs before reading any metric: if the
+    realized unit split deviates from the intended 50/50 beyond chance,
+    the assignment machinery is broken and every downstream readout
+    (did/cuped/sprt/mde) is invalid. One-degree chi-square against the
+    even split: χ² = (n_t − n_c)²/n, computed ENTIRELY in integers —
+    χ²_nano = (10⁹·d²) div n over DECIMAL(38,0) — and compared to the
+    nano-pinned critical value, so the verdict is bit-stable
+    cross-engine with no libm anywhere.
+
+    Units dedupe per (group, unit, arm); a unit assigned to both arms
+    within a group (a genuine assignment bug) contributes to both
+    counters — which inflates χ² and flags, the correct failure
+    direction. Output: (group, n_t, n_c, chi2_nano, srm), ordered by
+    group. Engine addition; no reference counterpart."""
+    units = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(unit_col).alias("__u"),
+            treated_col.cast("boolean").alias("__t"),
+        )
+        .filter(F.col("__u").isNotNull() & F.col("__t").isNotNull())
+        .distinct()
+    )
+    agg = units.groupBy("grp").agg(
+        F.sum(F.col("__t").cast("int")).cast("bigint").alias("n_t"),
+        F.sum((~F.col("__t")).cast("int")).cast("bigint").alias("n_c"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_t",
+        "n_c",
+        F.expr(
+            "CAST((CAST(1000000000 AS DECIMAL(38,0))"
+            " * (n_t - n_c) * (n_t - n_c)) div (n_t + n_c) AS BIGINT)"
+        ).alias("chi2_nano"),
+        (
+            F.expr(
+                "CAST((CAST(1000000000 AS DECIMAL(38,0))"
+                " * (n_t - n_c) * (n_t - n_c)) div (n_t + n_c)"
+                " AS BIGINT)"
+            )
+            > F.lit(crit_nano)
+        ).alias("srm"),
+    ).orderBy(group_col)

@@ -460,6 +460,64 @@ def population_stability(
     return psi_from_bucket_counts(counts, floor=floor)
 
 
+def population_stability_by(
+    df: DataFrame,
+    group_col: str,
+    cols: list[str],
+    slice_col: Column,
+    n_buckets: int = PSI_BUCKETS,
+    floor: float = PSI_FLOOR,
+) -> DataFrame:
+    """PER-GROUP PSI — ``population_stability`` lifted to grouped form
+    (the grouped-percentile kernel's sentinel-key discipline): each
+    (group × column) pair becomes the histogram key, bucket edges span
+    THAT group's own global min/max, and the per-bucket nano-unit
+    terms sum per (group, column). The per-segment drift monitor a
+    global PSI hides (one segment drifting inside a stable aggregate).
+    Group keys compare AS STRINGS; NULL groups are a real category.
+    Output: (group, col_name, psi, n_base, n_cur), ordered. Engine
+    addition; no reference counterpart."""
+    gs = F.col(group_col).cast("string")
+    keyed = df.withColumn(
+        "__psi_g", F.coalesce(gs, F.lit(_GRP_NULL))
+    )
+    # _psi_long's stack drops extra columns — build the long frame with
+    # the group key carried through
+    stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+    long = (
+        keyed.select(
+            "__psi_g",
+            F.expr(
+                f"stack({len(cols)}, {stack_args}) AS (col_name, val)"
+            ),
+            slice_col.cast("int").alias("slice"),
+        )
+        .filter(F.col("val").isNotNull())
+        .select(
+            F.concat(
+                F.col("__psi_g"), F.lit(_GRP_SEP), F.col("col_name")
+            ).alias("col_name"),
+            "val",
+            "slice",
+        )
+    )
+    rng = long.groupBy("col_name").agg(
+        F.min("val").alias("__lo"), F.max("val").alias("__hi")
+    )
+    counts = _psi_cells(long, rng, n_buckets)
+    out = psi_from_bucket_counts(counts, floor=floor)
+    grp = F.substring_index("col_name", _GRP_SEP, 1)
+    return out.select(
+        F.when(grp == _GRP_NULL, F.lit(None).cast("string"))
+        .otherwise(grp)
+        .alias(group_col),
+        F.substring_index("col_name", _GRP_SEP, -1).alias("col_name"),
+        "psi",
+        "n_base",
+        "n_cur",
+    ).orderBy(group_col, "col_name")
+
+
 def _psi_long(df: DataFrame, cols: list[str], slice_col: Column) -> DataFrame:
     stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
     return df.select(

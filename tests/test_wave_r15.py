@@ -366,3 +366,68 @@ def test_qte_matches_numpy_per_arm(spark):
         assert got[("m" + chr(30) + "c", p)] == round(
             float(np.quantile(np.array(c_vals), p, method="linear")), 6
         )
+
+
+def test_srm_audit_integer_chi2_and_dedup(spark):
+    """chi2_nano is the exact integer (1e9*d^2) div n over DISTINCT
+    (group, unit, arm) rows; a balanced group stays quiet, a 2:1 group
+    with enough units alarms, and duplicate event rows don't double-
+    count units."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.operators.funnel import (
+        srm_audit,
+    )
+
+    rows = []
+    for u in range(200):
+        rows.append(("ok", u))
+        rows.append(("ok", u))  # duplicate event row: must not double
+        if not (u % 2 == 1 and u % 3 == 1):
+            rows.append(("bad", u))
+    df = spark.createDataFrame(rows, "g string, u long")
+    got = {
+        r.g: r
+        for r in srm_audit(
+            df, "g", "u", F.col("u") % 2 == 0
+        ).collect()
+    }
+    ok = got["ok"]
+    assert (ok.n_t, ok.n_c) == (100, 100)
+    assert ok.chi2_nano == 0 and not ok.srm
+    bad = got["bad"]
+    d = bad.n_t - bad.n_c
+    n = bad.n_t + bad.n_c
+    assert bad.chi2_nano == (10**9 * d * d) // n
+    assert bad.srm
+
+
+def test_grouped_psi_matches_per_group_global_psi(spark):
+    """population_stability_by on one group must equal
+    population_stability run on that group's slice alone (same edges,
+    same nano terms) — the lift adds keys, not semantics."""
+    from pyspark.sql import functions as F
+
+    from calp_cva_tracking_pipeline_spark.operators.profiling import (
+        population_stability,
+        population_stability_by,
+    )
+
+    rows = [
+        ("a", u, float((u * 7) % 50)) for u in range(200)
+    ] + [
+        ("b", u, float((u * u) % 90) + (5.0 if u % 2 == 0 else 0.0))
+        for u in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, u long, v double")
+    grouped = {
+        r.g: (r.psi, r.n_base, r.n_cur)
+        for r in population_stability_by(
+            df, "g", ["v"], F.col("u") % 2
+        ).collect()
+    }
+    for g in ("a", "b"):
+        solo = population_stability(
+            df.filter(F.col("g") == g), ["v"], F.col("u") % 2
+        ).collect()[0]
+        assert grouped[g] == (solo.psi, solo.n_base, solo.n_cur), g
