@@ -1793,20 +1793,27 @@ def embedding_decontam(
     exactly.
     """
     from calp_cva_tracking_pipeline_spark.operators.similarity import (
-        cosine_similarity,
+        dot,
+        norm,
     )
 
+    # norms fold once per eval row / train row instead of once per
+    # (train x eval) pair (the r12 knn_graph pattern; bit-identical:
+    # cosine = dot/(ne*nt) is the same IEEE expression — identical
+    # sqrt folds, unchanged multiplication order)
     ev = eval_df.select(
         F.col(id_col).alias("eval_id"), F.col(vec_col).alias("__evec")
-    )
+    ).withColumn("__enrm", norm(F.col("__evec")))
     tr = train.select(
         F.col(id_col).alias("__tid"), F.col(vec_col).alias("__tvec")
-    )
+    ).withColumn("__tnrm", norm(F.col("__tvec")))
     scored = tr.crossJoin(F.broadcast(ev)).select(
         "eval_id",
         F.struct(
             F.round(
-                cosine_similarity(F.col("__evec"), F.col("__tvec")), 6
+                dot(F.col("__evec"), F.col("__tvec"))
+                / (F.col("__enrm") * F.col("__tnrm")),
+                6,
             ).alias("cosine"),
             (-F.col("__tid")).alias("neg_id"),
         ).alias("__best"),

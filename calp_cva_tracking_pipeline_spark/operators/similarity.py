@@ -90,18 +90,28 @@ def brute_force_topk(
     is (rounded cosine desc, id) so ranks are stable under float jitter.
     Returns (query_id, neighbor_id, cosine, rank).
     """
+    # norms fold ONCE per query row / corpus row instead of once per
+    # pair (the r12 knn_graph rewrite applied to the brute kernel —
+    # higher-order folds run interpreted, so per-pair work was 3 folds
+    # where 1 suffices). Bit-identical: cosine = dot/(nq*nc) is the
+    # same IEEE expression — the sqrt folds produce identical doubles
+    # and the multiplication order is unchanged.
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("__qvec"),
-    )
+    ).withColumn("__qnrm", norm(F.col("__qvec")))
     c = spread_small_input(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-    )
+    ).withColumn("__cnrm", norm(F.col("__cvec")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            F.round(cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6),
+            F.round(
+                dot(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qnrm") * F.col("__cnrm")),
+                6,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -194,6 +204,8 @@ def lsh_topk(
             ]
         )
 
+    # norms fold once per (row, table) entry instead of once per pair
+    # (the r12 knn_graph pattern; bit-identical — see brute_force_topk)
     ct = (
         spread_small_input(corpus)
         .select(
@@ -207,6 +219,7 @@ def lsh_topk(
             F.col("__tb.tbl").alias("__tbl"),
             F.col("__tb.bkt").alias("__bkt"),
         )
+        .withColumn("__cnrm", norm(F.col("__cvec")))
     )
     # multiprobe: the query side additionally probes every bucket whose
     # sign pattern differs in <= n_probe_flips bits (XOR masks); corpus
@@ -247,6 +260,7 @@ def lsh_topk(
             F.col("__tb.tbl").alias("__tbl"),
             F.col("__tb.bkt").alias("__bkt"),
         )
+        .withColumn("__qnrm", norm(F.col("__qvec")))
     )
     scored = (
         ct.join(F.broadcast(qt), ["__tbl", "__bkt"])
@@ -255,7 +269,9 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6
+                dot(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qnrm") * F.col("__cnrm")),
+                6,
             ).alias("cosine"),
         )
     )
@@ -631,11 +647,14 @@ def ivf_topk(
     )
     if cells is None:
         cells = assign_cells(corpus, cent, id_col, vec_col)
+    # norms fold once per corpus row / query row instead of once per
+    # (probe-cell x corpus-row) pair (the r12 knn_graph pattern;
+    # bit-identical — see brute_force_topk)
     cells = cells.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         "__cell",
-    )
+    ).withColumn("__cnrm", norm(F.col("__cvec")))
     qd = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("__qvec"),
@@ -648,6 +667,7 @@ def ivf_topk(
         qd.withColumn("__pr", F.row_number().over(pw))
         .filter(F.col("__pr") <= nprobe)
         .select("query_id", "__qvec", F.col("centroid_id").alias("__cell"))
+        .withColumn("__qnrm", norm(F.col("__qvec")))
     )
     scored = (
         cells.join(F.broadcast(probes), ["__cell"])
@@ -656,7 +676,9 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6
+                dot(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qnrm") * F.col("__cnrm")),
+                6,
             ).alias("cosine"),
         )
     )
@@ -1024,14 +1046,16 @@ def pq_rerank_topk(
         corpus, queries, id_col, vec_col, query_id_col, query_vec_col,
         m=m, k_codebook=k_codebook, k=shortlist, dim=dim,
     ).select("query_id", "neighbor_id")
+    # norms fold once per side row instead of once per shortlist pair
+    # (the r12 knn_graph pattern; bit-identical — see brute_force_topk)
     qv = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("__qvec"),
-    )
+    ).withColumn("__qnrm", norm(F.col("__qvec")))
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
-    )
+    ).withColumn("__cnrm", norm(F.col("__cvec")))
     scored = (
         cv.join(F.broadcast(pool), "neighbor_id")
         .join(F.broadcast(qv), "query_id")
@@ -1039,7 +1063,9 @@ def pq_rerank_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6
+                dot(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qnrm") * F.col("__cnrm")),
+                6,
             ).alias("cosine"),
         )
     )
@@ -1432,9 +1458,13 @@ def hard_negatives(
             "query_label",
             F.col("centroid_id").alias("__cell"),
         )
+        .withColumn("__qnrm", norm(F.col("__qvec")))
     )
+    # norms fold once per side row instead of once per probe pair
+    # (the r12 knn_graph pattern; bit-identical — see brute_force_topk)
     scored = (
-        cells.join(F.broadcast(probes), ["__cell"])
+        cells.withColumn("__cnrm", norm(F.col("__cvec")))
+        .join(F.broadcast(probes), ["__cell"])
         .filter(F.col("negative_label") != F.col("query_label"))
         .select(
             "query_id",
@@ -1442,7 +1472,9 @@ def hard_negatives(
             "query_label",
             "negative_label",
             F.round(
-                cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6
+                dot(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qnrm") * F.col("__cnrm")),
+                6,
             ).alias("cosine"),
         )
     )
@@ -1726,24 +1758,34 @@ def pair_cosine_hist(
     strides = list(strides)
     if not strides or any(s <= 0 for s in strides):
         raise ValueError(f"strides must be positive: {strides}")
+    # norms fold once per node row instead of once per strided pair
+    # (the r12 knn_graph pattern; bit-identical — see brute_force_topk)
     base = df.filter(
         F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
-    ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    ).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).withColumn("__nrm", norm(F.col("__vec")))
     left = base.select(
         "__id",
         "__vec",
+        "__nrm",
         F.explode(
             F.array(*[F.lit(int(s)) for s in strides])
         ).alias("__stride"),
     ).withColumn("__pid", F.col("__id") + F.col("__stride"))
     pairs = left.join(
         base.select(
-            F.col("__id").alias("__pid"), F.col("__vec").alias("__pvec")
+            F.col("__id").alias("__pid"),
+            F.col("__vec").alias("__pvec"),
+            F.col("__nrm").alias("__pnrm"),
         ),
         "__pid",
     )
     cos_micro = F.round(
-        cosine_similarity(F.col("__vec"), F.col("__pvec")) * 1e6, 0
+        dot(F.col("__vec"), F.col("__pvec"))
+        / (F.col("__nrm") * F.col("__pnrm"))
+        * 1e6,
+        0,
     ).cast("bigint")
     bucket = F.least(
         F.expr("CAST((__cm + 1000000) div 100000 AS INT)"), F.lit(19)
@@ -2049,10 +2091,14 @@ def graph_search_frontier(
         .select(F.col(id_col).alias("__src"), F.col("neighbor_id"))
         .localCheckpoint()
     )
+    # query frame is dim-sized and static: cache() dedups execution at
+    # zero construction cost, where an eager localCheckpoint paid a
+    # separate materialization job + physical planning up front (the
+    # r14 ep3 lesson — cut only the expensive reused subtrees)
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("__qvec"),
-    ).localCheckpoint()
+    ).withColumn("__qnrm", norm(F.col("__qvec"))).cache()
     brute = (
         brute_force_topk(
             corpus, q, id_col, vec_col, "query_id", "__qvec", k=k
@@ -2060,10 +2106,20 @@ def graph_search_frontier(
         .select("query_id", "neighbor_id")
         .localCheckpoint()
     )
+    # corpus-side norm folds once per fetched vector row, not once per
+    # (query x candidate) pair (the r12 knn_graph pattern)
     cvec = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__cvec")
+    ).withColumn("__cnrm", norm(F.col("__cvec")))
+    # n_queries enters the plan as a 1-row aggregate over the cached
+    # query frame instead of a driver-side count(): the r15 job audit
+    # read 4 count jobs (q + one per hop) in the build phase — folding
+    # them into the final plan computes the same integers during the
+    # one output job (the per-hop candidate counts aggregate over the
+    # ALREADY-CHECKPOINTED scored frames, so no work is duplicated).
+    n_queries_df = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nq")
     )
-    n_queries = q.count()
 
     entries = (
         corpus.select(F.col(id_col).alias("cand_id"))
@@ -2082,19 +2138,17 @@ def graph_search_frontier(
                 "query_id",
                 "cand_id",
                 F.round(
-                    cosine_similarity(
-                        F.col("__qvec"), F.col("__cvec")
-                    ),
+                    dot(F.col("__qvec"), F.col("__cvec"))
+                    / (F.col("__qnrm") * F.col("__cnrm")),
                     6,
                 ).alias("__cos"),
             )
         )
 
-    cand = (
-        q.select("query_id")
-        .crossJoin(F.broadcast(entries))
-        .localCheckpoint()
-    )
+    # the seed candidate frame is queries x entry_n rows off the cached
+    # q — trivially replanned; its former eager localCheckpoint paid a
+    # whole job to save nothing (r15 job audit)
+    cand = q.select("query_id").crossJoin(F.broadcast(entries))
     parts = []
     for h in range(max_hops + 1):
         sc = scored(cand).localCheckpoint()
@@ -2114,7 +2168,9 @@ def graph_search_frontier(
             .otherwise(0)
             .alias("__hit")
         )
-        n_cands = sc.count()
+        n_cands_df = sc.agg(
+            F.count(F.lit(1)).cast("bigint").alias("__ncands")
+        )
         parts.append(
             joined.agg(
                 F.lit(h).cast("int").alias("hops"),
@@ -2123,7 +2179,10 @@ def graph_search_frontier(
                 F.coalesce(F.sum("__hit"), F.lit(0))
                 .cast("bigint")
                 .alias("n_hit"),
-            ).select(
+            )
+            .crossJoin(F.broadcast(n_cands_df))
+            .crossJoin(F.broadcast(n_queries_df))
+            .select(
                 "hops",
                 "k",
                 "n_pairs",
@@ -2131,9 +2190,13 @@ def graph_search_frontier(
                 F.expr(
                     "CAST(1000000 * n_hit div n_pairs AS BIGINT)"
                 ).alias("recall_ppm"),
-                F.lit(
-                    n_cands // n_queries if n_queries else 0
-                ).cast("bigint").alias("mean_cands"),
+                F.when(
+                    F.col("__nq") > 0,
+                    F.expr("CAST(__ncands div __nq AS BIGINT)"),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("mean_cands"),
             )
         )
         if h < max_hops:
@@ -2197,11 +2260,14 @@ def ivf_range_search(
     )
     if cells is None:
         cells = assign_cells(corpus, cent, id_col, vec_col)
+    # norms fold once per corpus row / query row instead of once per
+    # probe pair (the r12 knn_graph pattern; bit-identical — see
+    # brute_force_topk)
     cells = cells.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         "__cell",
-    )
+    ).withColumn("__cnrm", norm(F.col("__cvec")))
     qd = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("__qvec"),
@@ -2214,6 +2280,7 @@ def ivf_range_search(
         qd.withColumn("__pr", F.row_number().over(pw))
         .filter(F.col("__pr") <= nprobe)
         .select("query_id", "__qvec", F.col("centroid_id").alias("__cell"))
+        .withColumn("__qnrm", norm(F.col("__qvec")))
     )
     scored = (
         cells.join(F.broadcast(probes), ["__cell"])
@@ -2222,7 +2289,9 @@ def ivf_range_search(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6
+                dot(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qnrm") * F.col("__cnrm")),
+                6,
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(float(threshold)))
