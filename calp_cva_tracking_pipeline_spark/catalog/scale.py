@@ -11279,7 +11279,22 @@ def dd_dup_census(spark, sf_dir):
     fingerprint buckets — never a pair explosion), and their counts
     join back at source cardinality. Pair tiers run on the
     exact-collapsed corpus (min-id representative), the dd_minhash_lsh
-    contract."""
+    contract.
+
+    r15 restructure (guide §2.4/§2.6): each pair tier's (source, is_all)
+    attribution is ONE aggregation consumed by ONE left join — every
+    pair emits its same-source bucket (when source_a <=> source_b) plus
+    the <ALL> bucket through a 2-element explode, so the per-source rows
+    and the global row read DIFFERENT keys of the SAME count table (the
+    is_all flag keeps a real source literally named "<ALL>" collision-
+    free). This replaces two EAGER localCheckpoint cuts that serialized
+    the MinHash tier, the winnow tier and the final readout into three
+    back-to-back jobs at construction time; fully lazy, all three
+    kernels now run as parallel stages of the one timed job
+    (interleaved A/B at sf0.1: 4.41s → 2.83s, rows identical). The
+    sources²-bounded cell frames this removes were the only checkpoint
+    consumers, so no lineage is ever replanned twice at runtime — AQE
+    exchange reuse covers the shared digest-cell subtree as before."""
     from calp_cva_tracking_pipeline_spark.functions.text import (
         ASCII_PUNCT_CLASS,
     )
@@ -11333,10 +11348,15 @@ def dd_dup_census(spark, sf_dir):
             ),
         )
 
-    per_src = corners(cells.groupBy("source"))
-    total = corners(cells.groupBy()).withColumn(
-        "source", F.lit(DUP_ALL_LABEL)
+    per_src = corners(cells.groupBy("source")).withColumn(
+        "__all", F.lit(False)
     )
+    total = (
+        corners(cells.groupBy())
+        .withColumn("source", F.lit(DUP_ALL_LABEL))
+        .withColumn("__all", F.lit(True))
+    )
+    rows = per_src.unionByName(total)
 
     smap = d.select(F.col("doc_id").alias("__pid"), F.col("source"))
     cand = minhash_lsh_candidates(
@@ -11358,19 +11378,14 @@ def dd_dup_census(spark, sf_dir):
     ).select("id_a", "id_b")
 
     def attributed(pairs, out_name):
-        # ONE (source_a, source_b) cell aggregation per tier, cut from
-        # its pair lineage with a localCheckpoint: the cell frame is
-        # sources²-bounded and consumed TWICE (per-source + global row)
-        # — without the cut each consumer would replan the whole
-        # bucketed pair generation (the dd_cluster_pick lineage lesson;
-        # r12 census plan audit measured 22 scans → 10 with the cut).
-        # CLUSTER NOTE (VERDICT r12 watch item): localCheckpoint pins
-        # blocks to live executors — correct in local mode and on
-        # static clusters, but under dynamic allocation a decommission
-        # loses the blocks mid-query. Production spelling there:
-        # spark.sparkContext.setCheckpointDir(<reliable dfs path>) and
-        # .checkpoint() instead — same plan cut, executor-independent
-        # (see README "Operational notes").
+        # ONE (src, is_all) count table per tier, consumed by ONE left
+        # join: every pair emits the <ALL> bucket, plus its same-source
+        # bucket when source_a <=> source_b (2-element explode). Fully
+        # lazy — no localCheckpoint barrier, so both pair kernels and
+        # the digest corners overlap as stages of the one final job
+        # (r15 A/B: 4.41s → 2.83s at sf0.1). The is_all flag keeps a
+        # real source literally named "<ALL>" from aliasing the global
+        # row's key.
         j = pairs.join(
             smap.select(
                 F.col("__pid").alias("id_a"), F.col("source").alias("__sa")
@@ -11382,37 +11397,44 @@ def dd_dup_census(spark, sf_dir):
             ),
             "id_b",
         )
-        cells_p = (
-            j.groupBy("__sa", "__sb")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
-            .localCheckpoint()
+        allb = F.struct(
+            F.lit(DUP_ALL_LABEL).alias("__src"), F.lit(True).alias("__ia")
         )
-        same = cells_p.filter(
-            F.col("__sa").eqNullSafe(F.col("__sb"))
-        ).select(F.col("__sa").alias("__src"), F.col("__c").alias(out_name))
-        allr = cells_p.agg(
-            F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias(out_name)
+        sameb = F.struct(
+            F.col("__sa").alias("__src"), F.lit(False).alias("__ia")
         )
-        return same, allr
+        return (
+            j.select(
+                F.explode(
+                    F.when(
+                        F.col("__sa").eqNullSafe(F.col("__sb")),
+                        F.array(sameb, allb),
+                    ).otherwise(F.array(allb))
+                ).alias("__e")
+            )
+            .groupBy("__e.__src", "__e.__ia")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out_name))
+        )
 
-    mh_src, mh_all = attributed(cand, "minhash_pairs")
-    wn_src, wn_all = attributed(wn, "winnow_pairs")
+    mh = attributed(cand, "minhash_pairs")
+    wn_c = attributed(wn, "winnow_pairs")
 
-    src_rows = (
-        per_src.join(
-            mh_src,
-            per_src["source"].eqNullSafe(mh_src["__src"]),
+    joined = (
+        rows.join(
+            mh,
+            F.col("source").eqNullSafe(mh["__src"])
+            & (rows["__all"] == mh["__ia"]),
             "left",
         )
-        .drop("__src")
+        .drop("__src", "__ia")
         .join(
-            wn_src,
-            per_src["source"].eqNullSafe(wn_src["__src"]),
+            wn_c,
+            F.col("source").eqNullSafe(wn_c["__src"])
+            & (rows["__all"] == wn_c["__ia"]),
             "left",
         )
-        .drop("__src")
+        .drop("__src", "__ia")
     )
-    all_row = total.crossJoin(mh_all).crossJoin(wn_all)
     out_cols = [
         "source",
         "n_docs",
@@ -11432,11 +11454,7 @@ def dd_dup_census(spark, sf_dir):
         .cast("bigint")
         .alias("winnow_pairs"),
     ]
-    return (
-        src_rows.select(*out_cols)
-        .unionByName(all_row.select(*out_cols))
-        .orderBy(F.asc_nulls_last("source"))
-    )
+    return joined.select(*out_cols).orderBy(F.asc_nulls_last("source"))
 
 
 DD_CENSUS_SQL = rf"""

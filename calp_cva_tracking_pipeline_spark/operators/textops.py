@@ -405,24 +405,33 @@ def lm_quality_score(
     context count and V the corpus unigram vocabulary. Documents with
     fewer than 2 tokens have no bigrams and are omitted.
 
-    Scale shape: the corpus is tokenized exactly TWICE (once for the
-    unigram vocabulary, once for the bigram stream) — not once per count
-    table. The bigram stream collapses to per-doc bigram counts behind a
-    single (id, w1, w2) exchange; every downstream consumer (the global
-    c2 table, the c1 context table derived from c2 by summing over w2,
-    and the scoring join) hangs off that one exchange, so Spark plans a
-    ReusedExchange instead of re-tokenizing (the self-join-replans-
-    upstream trap, see dedup.minhash_lsh_candidates). Count tables are
-    vocab-sized; the scoring joins carry narrow token-pair rows, never
-    text; AQE broadcasts the count sides when the vocab is small. Token
-    arrays materialize once per document (posexplode + element_at —
-    never a split() inside a HOF lambda, the interpreted O(words²)
-    trap).
+    Scale shape: the corpus is tokenized exactly ONCE. The posexplode
+    keeps doc-final tokens as (w1, w2=NULL) rows instead of filtering
+    them out, so the unigram vocabulary V is COUNT(DISTINCT w1) over the
+    vocab-sized pair-count table — every corpus token appears as w1 at
+    its own position, which removes the separate corpus-wide vocabulary
+    pass the pre-r15 form paid (r15 A/B: 1.58s → 1.24s at sf0.1). The
+    pair stream collapses to per-doc pair counts behind a single
+    (id, w1, w2) exchange; every downstream consumer (the global c2
+    table, the c1 context table derived from c2 by summing over w2, the
+    vocabulary count, and the scoring join) hangs off that one exchange,
+    so Spark plans a ReusedExchange instead of re-tokenizing (the
+    self-join-replans-upstream trap, see dedup.minhash_lsh_candidates).
+    Count tables are vocab-sized; the scoring joins carry narrow
+    token-pair rows, never text; AQE broadcasts the count sides when the
+    vocab is small. Token arrays materialize once per document
+    (posexplode + element_at — never a split() inside a HOF lambda, the
+    interpreted O(words²) trap).
 
     Determinism: each bigram's nll rounds to 6 dp then scales to integer
     micro-nats; per-doc aggregation SUMS LONGS (order-independent —
     float addition order cannot differ cross-engine), and only the final
-    mean divides back to double.
+    mean divides back to double. The NULL-w2 rows change no count: c2/c1
+    and the scoring join filter them out, and V counts distinct w1 only.
+    (A vocab-sized (w1,w2)→nll rate table broadcast-joined to db instead
+    of the 3-join chain measured SLOWER both pre-r15 [3.48s vs 2.14s,
+    round-7 probe] and on this one-pass layout [1.38s vs 1.18s, r15] —
+    the rate subtree breaks the AQE broadcast shape; keep db⋈c2⋈c1.)
     """
     base = df.select(
         F.col(id_col),
@@ -431,26 +440,25 @@ def lm_quality_score(
             lambda x: x != "",
         ).alias("__toks"),
     )
-    vocab = base.select(F.explode("__toks").alias("w")).agg(
-        F.count_distinct("w").alias("__V")
+    ex = base.select(
+        F.col(id_col), "__toks", F.posexplode("__toks").alias("__i", "w1")
+    ).select(
+        F.col(id_col),
+        "w1",
+        F.when(
+            F.col("__i") < F.size("__toks") - 1,
+            F.element_at("__toks", F.col("__i") + F.lit(2)),
+        ).alias("w2"),
     )
-    bi = (
-        base.select(
-            F.col(id_col),
-            "__toks",
-            F.posexplode("__toks").alias("__i", "w1"),
-        )
-        .filter(F.col("__i") < F.size("__toks") - 1)
-        .select(
-            F.col(id_col),
-            "w1",
-            F.element_at("__toks", F.col("__i") + F.lit(2)).alias("w2"),
-        )
-    )
-    # per-doc bigram counts: the ONE corpus-sized exchange — c2, c1 and
-    # the scoring join all reuse it.
-    db = bi.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("__tfd"))
-    c2 = db.groupBy("w1", "w2").agg(F.sum("__tfd").alias("__c2"))
+    # per-doc pair counts (incl. the NULL-w2 doc-final rows): the ONE
+    # corpus-sized exchange — c2, c1, V and the scoring join all reuse it.
+    dbp = ex.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("__tfd"))
+    c2p = dbp.groupBy("w1", "w2").agg(F.sum("__tfd").alias("__c2"))
+    # corpus unigram vocabulary: every token is some row's w1, so V is a
+    # distinct count over the VOCAB-sized c2p — no extra corpus pass.
+    vocab = c2p.agg(F.count_distinct("w1").alias("__V"))
+    db = dbp.filter(F.col("w2").isNotNull())
+    c2 = c2p.filter(F.col("w2").isNotNull())
     # context count c(w1·) ≡ Σ_w2 c(w1,w2): derived from the vocab-sized
     # c2, never from another corpus pass.
     c1 = c2.groupBy("w1").agg(F.sum("__c2").alias("__c1"))
@@ -459,12 +467,6 @@ def lm_quality_score(
         (F.col("__c2") + a) / (F.col("__c1") + a * F.col("__V"))
     )
     micro = F.round(F.round(nll, 6) * 1e6, 0).cast("long")
-    # NOTE (round-7 probe, SCALE.md): folding c1 + the nll arithmetic
-    # into a vocab-sized (w1,w2)→nll rate table BEFORE touching db looks
-    # cheaper on paper (one doc-scaled join instead of two) but measured
-    # 60% SLOWER at 8× sf0.1 (3.48s vs 2.14s interleaved A/B) — the rate
-    # subtree adds two vocab-keyed exchanges and breaks the AQE broadcast
-    # shape this chain gets for free. Keep the straight db⋈c2⋈c1 chain.
     return (
         db.join(c2, ["w1", "w2"])
         .join(c1, ["w1"])

@@ -206,11 +206,12 @@ def test_neardup_incremental_no_cartesian_no_python(spark, sf_dir):
 
 
 def test_lm_score_reuses_bigram_exchange_at_runtime(spark, sf_dir):
-    # lm_quality_score hangs c2 and c1 off the per-doc bigram-count
-    # exchange; AQE must materialize that stage ONCE (2 ReusedQueryStage:
-    # db->c2 and c2->c1), keeping corpus tokenization at 2 passes
-    # (bigrams + vocab), not one per count table. Static planning does
-    # NOT show this reuse — only the post-execution adaptive plan does.
+    # lm_quality_score hangs c2, c1 AND the vocabulary count off the
+    # per-doc pair-count exchange; AQE must materialize that stage ONCE
+    # (>=2 ReusedQueryStage: dbp reused by the scoring probe, c2p reused
+    # by c1/V), keeping corpus tokenization at ONE pass (r15), not one
+    # per count table. Static planning does NOT show this reuse — only
+    # the post-execution adaptive plan does.
     df = S.tx_lm_score(spark, sf_dir)
     df.collect()
     plan = _executed(df)
@@ -799,13 +800,16 @@ def test_wave37_41_tier_plan_shapes(spark, sf_dir):
 
 
 def test_dup_census_shares_digest_cell_exchange(spark, sf_dir):
-    """dd_dup_census (round 12): the exact/normalized corners — per
-    source AND the global <ALL> row — derive from ONE (source, raw,
-    norm) digest-cell aggregation whose exchange must be planned once
-    (ReusedExchange); the pair tiers' (source_a, source_b) cell frames
-    are checkpoint-cut so each bucketed pair lineage executes exactly
-    once (the dd_cluster_pick discipline — pre-cut this plan re-scanned
-    documents 22 times). No cartesian anywhere."""
+    """dd_dup_census (round 12, restructured r15): the exact/normalized
+    corners — per source AND the global <ALL> row — derive from ONE
+    (source, raw, norm) digest-cell aggregation whose exchange must be
+    planned once (ReusedExchange); each pair tier's (src, is_all)
+    attribution is ONE lazy aggregation consumed by ONE left join (the
+    2-element explode replaced the r12 eager localCheckpoint cuts that
+    serialized the tiers into back-to-back jobs — 4.41s → 2.83s at
+    sf0.1). No cartesian anywhere, no checkpoint RDD scans, and the
+    static plan stays bounded (each kernel planned once; the narrow
+    (doc_id, source) smap re-scans are column-pruned)."""
     df = S.dd_dup_census(spark, sf_dir)
     df.collect()
     plan = _executed(df)
@@ -813,8 +817,9 @@ def test_dup_census_shares_digest_cell_exchange(spark, sf_dir):
         "ReusedQueryStage"
     ) >= 1, plan
     assert "CartesianProduct" not in plan
-    # post-checkpoint plan: cells scan + the checkpoint reads only
-    assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")
+    # fully lazy: the r12 localCheckpoint barriers are gone
+    assert "Scan ExistingRDD" not in plan, plan
+    assert plan.count("Scan parquet") <= 14, plan.count("Scan parquet")
 
 
 def test_wave45_tier_plan_shapes(spark, sf_dir):
