@@ -443,6 +443,17 @@ def triangle_stats(
     equi-joins plus degree aggregation — no cartesian, no Python. The
     orientation is a deterministic total order, so the DuckDB oracle
     reproduces the count exactly.
+
+    r15: the canonical edge list, the degree table and the oriented
+    edge list each feed 2-3 downstream consumers; without a lineage cut
+    Catalyst re-plans the whole build subtree per consumer (the
+    round-15 before-plan held 244 Exchange/Scan nodes and zero
+    ReusedExchange — the edge construction ran up to 9x). Lazy
+    ``localCheckpoint(eager=False)`` on each shared frame materializes
+    it once inside the single output job and reuses the stored
+    partitions everywhere (the kcore/pagerank duplicate-subtree
+    lesson; eager=False so construction stays inside the timed job
+    rather than serialized driver-side jobs).
     """
     u, v = "__u", "__v"
     e = (
@@ -452,12 +463,14 @@ def triangle_stats(
         )
         .filter(F.col(u) != F.col(v))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col(u).alias("n"))
         .union(e.select(F.col(v).alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
     )
     # orient each edge from the (deg, id)-smaller endpoint to the larger
     o = (
@@ -481,6 +494,7 @@ def triangle_stats(
             .alias("edge")
         )
         .select("edge.s", "edge.t", "edge.dt")
+        .localCheckpoint(eager=False)
     )
     # wedges from out-adjacency: (a→b, a→c); close with the oriented
     # (orientation-min(b,c) → max) edge, which is how the third edge is

@@ -2113,10 +2113,17 @@ def graph_search_frontier(
         .localCheckpoint(eager=False)
     )
     # corpus-side norm folds once per fetched vector row, not once per
-    # (query x candidate) pair (the r12 knn_graph pattern)
-    cvec = corpus.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__cvec")
-    ).withColumn("__cnrm", norm(F.col("__cvec")))
+    # (query x candidate) pair (the r12 knn_graph pattern). Checkpointed
+    # (lazy) because every hop's vector fetch re-reads it: without the
+    # cut each hop re-scans the embeddings parquet and re-folds the
+    # norms (r15 plan audit: 8 corpus FileScans in one frontier plan).
+    cvec = (
+        corpus.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__cvec")
+        )
+        .withColumn("__cnrm", norm(F.col("__cvec")))
+        .localCheckpoint(eager=False)
+    )
     # n_queries enters the plan as a 1-row aggregate over the cached
     # query frame instead of a driver-side count(): the r15 job audit
     # read 4 count jobs (q + one per hop) in the build phase — folding
@@ -2136,8 +2143,14 @@ def graph_search_frontier(
     # score once per hop against the bounded list, checkpoint-cut so
     # hop h+1 never replans hop h's expansion
     def scored(cand):
+        # the candidate list is the bounded side (nq x (entry_n +
+        # h*beam*edge_k) rows — the same dimension contract under which
+        # q itself is broadcast below); broadcasting it makes the
+        # corpus-sized vector fetch a streamed BroadcastHashJoin
+        # instead of a per-hop SortMergeJoin that shuffles the corpus
+        # by cand_id (r15 plan audit: 12 SMJs across the 3 hops)
         return (
-            cand.join(cvec, "cand_id")
+            cvec.join(F.broadcast(cand), "cand_id")
             .join(F.broadcast(q), "query_id")
             .filter(F.col("cand_id") != F.col("query_id"))
             .select(

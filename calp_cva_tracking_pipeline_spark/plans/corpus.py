@@ -200,6 +200,12 @@ def corpus_release_report(
     )
 
     feats = add_text_features(docs, text_col)
+    # base and exact each feed several consumers (gate path, status
+    # labeling, the LSH candidate pass, the Jaccard verify's two
+    # text-fetch joins); without lineage cuts Catalyst re-plans the
+    # regex-heavy feature scan per consumer (r15 plan audit: 11
+    # documents.parquet scans in one audit plan). Lazy localCheckpoints
+    # materialize each once inside the single output job.
     base = feats.select(
         id_col,
         source_col,
@@ -216,11 +222,13 @@ def corpus_release_report(
             & (F.col("n_tokens") >= min_tokens),
             F.lit(False),
         ).alias("__gate"),
-    )
+    ).localCheckpoint(eager=False)
     gated = base.filter(F.col("__gate")).select(
         id_col, source_col, text_col, "n_tokens"
     )
-    exact = dedup_exact(gated, text_col, id_col)
+    exact = dedup_exact(gated, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     drops = near_dup_drop_set(
         exact,
         id_col,
