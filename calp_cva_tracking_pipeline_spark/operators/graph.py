@@ -470,8 +470,11 @@ def triangle_stats(
         .union(e.select(F.col(v).alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
-        .localCheckpoint(eager=False)
     )
+    # deg is NOT cut: it is node-sized, derives from the already-cut e
+    # (one cheap exchange to replan), and its three consumers each sit
+    # behind other cuts — the r15 A/B read the extra materialization
+    # barrier as a net loss.
     # orient each edge from the (deg, id)-smaller endpoint to the larger
     o = (
         e.join(deg.withColumnRenamed("n", u).withColumnRenamed("d", "du"), u)
@@ -482,46 +485,55 @@ def triangle_stats(
                 | ((F.col("du") == F.col("dv")) & (F.col(u) < F.col(v))),
                 F.struct(
                     F.col(u).alias("s"), F.col(v).alias("t"),
-                    F.col("dv").alias("dt"),
                 ),
             )
             .otherwise(
                 F.struct(
                     F.col(v).alias("s"), F.col(u).alias("t"),
-                    F.col("du").alias("dt"),
                 )
             )
             .alias("edge")
         )
-        .select("edge.s", "edge.t", "edge.dt")
+        .select("edge.s", "edge.t")
         .localCheckpoint(eager=False)
     )
-    # wedges from out-adjacency: (a→b, a→c); close with the oriented
-    # (orientation-min(b,c) → max) edge, which is how the third edge is
-    # stored because orientation is a total order and both b, c > a in it
-    o1 = o.select(
-        F.col("s").alias("a"), F.col("t").alias("b"),
-        F.col("dt").alias("db"),
+    # Close triangles EDGE-centrically (r15, guide §2.3 "shuffle fewer
+    # bytes"): every triangle {a,b,c} with orientation a→b, a→c, b→c
+    # is witnessed exactly once, at the a→b edge between its two
+    # orientation-smallest vertices (c ∈ N⁺(a)∩N⁺(b); the other two
+    # edges can't witness it — the would-be common endpoint is only an
+    # IN-neighbor of one side). So n_triangles = Σ_edges
+    # |N⁺(s) ∩ N⁺(t)|. The previous wedge-join spelling materialized
+    # and shuffled Σ outdeg² wedge ROWS (41M at sf0.1 for 1.2M edges)
+    # through an exchange + left-semi probe; attaching the two
+    # out-adjacency ARRAYS to each edge moves the same multiset of
+    # endpoint ids as array payloads on 25-35x fewer rows, and the
+    # per-row array_intersect is a native hash-set expression bounded
+    # by the same O(√E) degree-orientation guarantee. Both graph-sized
+    # joins stay explicitly SHUFFLE_HASH: an adjacency table is NOT a
+    # dimension table, and a planner broadcast of a many-MB side would
+    # be driver-heap roulette at real edge counts.
+    adj = (
+        o.groupBy("s")
+        .agg(F.collect_list("t").alias("__ts"))
+        .localCheckpoint(eager=False)
     )
-    o2 = o.select(
-        F.col("s").alias("a"), F.col("t").alias("c"),
-        F.col("dt").alias("dc"),
+    tri = (
+        o.select("s", "t")
+        .join(adj.hint("shuffle_hash"), "s")
+        .select("t", F.col("__ts").alias("__ss"))
+        .join(
+            adj.withColumnRenamed("s", "t").hint("shuffle_hash"), "t"
+        )
+        .select(
+            F.size(F.array_intersect("__ss", "__ts")).alias("__c")
+        )
+        .agg(
+            F.coalesce(F.sum("__c"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles")
+        )
     )
-    # Both graph-sized joins are explicitly SHUFFLE_HASH: the edge list
-    # is NOT a dimension table, and letting the planner broadcast a
-    # many-MB oriented-edge side (it will, under a generous
-    # autoBroadcastJoinThreshold) turns repeated runs into driver-heap
-    # OOM roulette and would be catastrophic at real edge counts. A
-    # shuffle-hash join keys both sides on the (degree-bounded) wedge
-    # endpoints instead — the scale-correct physical shape.
-    wedges = o1.join(o2.hint("shuffle_hash"), "a").filter(
-        (F.col("db") < F.col("dc"))
-        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
-    )
-    closing = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
-    tri = wedges.join(
-        closing.hint("shuffle_hash"), ["b", "c"], "left_semi"
-    ).agg(F.count("*").alias("n_triangles"))
     stats = deg.agg(
         F.count("*").alias("n_nodes"),
         F.expr("CAST(sum(d) div 2 AS BIGINT)").alias("n_edges"),
