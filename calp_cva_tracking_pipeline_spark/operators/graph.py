@@ -1482,11 +1482,15 @@ def local_clustering_census(
     coefficient; the census tells them apart). Degree-1 and isolated
     nodes are excluded by contract (C(deg,2)=0 makes cc undefined).
 
-    Scale shape: the SAME degree-oriented wedge join as
-    ``triangle_stats`` (out-degree bounded by O(√E) [Chiba–Nishizeki]),
-    but the closing join is INNER so each triangle surfaces once as
-    (a,b,c); per-node counts are an explode + one node-keyed aggregate
-    (3 rows per triangle — output-proportional, never quadratic).
+    Scale shape: the SAME degree orientation as ``triangle_stats``
+    (out-degree bounded by O(√E) [Chiba–Nishizeki]), closed
+    EDGE-centrically (r15, the triangle_stats restructure): each
+    oriented edge (s,t) carries both endpoints' out-adjacency arrays
+    and every common out-neighbor c ∈ N⁺(s)∩N⁺(t) witnesses one
+    triangle {s,t,c} — per-node counts are |∩| credited to s and t
+    plus an explode of the intersection itself (3 credits per
+    triangle, output-proportional), never the Σ outdeg² wedge-row
+    materialization the wedge-join spelling shuffled.
     cc_ppm = 1000000·2·tri // (deg·(deg−1)) in exact int64 (deg is
     bounded by the node count, so 2·10⁶·C(deg,2) fits comfortably), and
     band means are floor divisions — bit-identical in the DuckDB twin
@@ -1500,6 +1504,7 @@ def local_clustering_census(
         )
         .filter(F.col(u) != F.col(v))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col(u).alias("n"))
@@ -1516,41 +1521,69 @@ def local_clustering_census(
                 | ((F.col("du") == F.col("dv")) & (F.col(u) < F.col(v))),
                 F.struct(
                     F.col(u).alias("s"), F.col(v).alias("t"),
-                    F.col("dv").alias("dt"),
                 ),
             )
             .otherwise(
                 F.struct(
                     F.col(v).alias("s"), F.col(u).alias("t"),
-                    F.col("du").alias("dt"),
                 )
             )
             .alias("edge")
         )
-        .select("edge.s", "edge.t", "edge.dt")
+        .select("edge.s", "edge.t")
+        .localCheckpoint(eager=False)
     )
-    o1 = o.select(
-        F.col("s").alias("a"), F.col("t").alias("b"),
-        F.col("dt").alias("db"),
+    # Same shuffle-hash discipline as triangle_stats: the adjacency
+    # table is graph-sized, never a broadcast candidate. Each edge row
+    # credits s and t with |N⁺(s)∩N⁺(t)| triangles and each common
+    # out-neighbor with one — the same 3 credits per triangle the
+    # wedge-join spelling produced by exploding (a,b,c) rows, without
+    # ever materializing Σ outdeg² wedges through an exchange.
+    adj = (
+        o.groupBy("s")
+        .agg(F.collect_list("t").alias("__ts"))
+        .localCheckpoint(eager=False)
     )
-    o2 = o.select(
-        F.col("s").alias("a"), F.col("t").alias("c"),
-        F.col("dt").alias("dc"),
+    inter = (
+        o.select("s", "t")
+        .join(adj.hint("shuffle_hash"), "s")
+        .select("s", "t", F.col("__ts").alias("__ss"))
+        .join(
+            adj.withColumnRenamed("s", "t").hint("shuffle_hash"), "t"
+        )
+        .select(
+            "s", "t",
+            F.array_intersect("__ss", "__ts").alias("__i"),
+        )
+        .filter(F.size("__i") > 0)
     )
-    # Same shuffle-hash discipline as triangle_stats: the edge list is
-    # graph-sized, never a broadcast candidate.
-    wedges = o1.join(o2.hint("shuffle_hash"), "a").filter(
-        (F.col("db") < F.col("dc"))
-        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    # one explode emits every credit row — (s, |∩|), (t, |∩|) and one
+    # (c, 1) per common neighbor — so the join chain above is planned
+    # exactly once (three union branches would replan it 3x)
+    credits = inter.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("s").alias("n"),
+                        F.size("__i").alias("__c"),
+                    ),
+                    F.struct(
+                        F.col("t").alias("n"),
+                        F.size("__i").alias("__c"),
+                    ),
+                ),
+                F.transform(
+                    "__i",
+                    lambda x: F.struct(
+                        x.alias("n"), F.lit(1).alias("__c")
+                    ),
+                ),
+            )
+        ).alias("cr")
     )
-    closing = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
-    tri = wedges.join(closing.hint("shuffle_hash"), ["b", "c"]).select(
-        "a", "b", "c"
-    )
-    tri_per_node = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("n"))
-        .groupBy("n")
-        .agg(F.count("*").alias("t"))
+    tri_per_node = credits.groupBy(F.col("cr.n").alias("n")).agg(
+        F.sum("cr.__c").alias("t")
     )
     per_node = (
         deg.filter(F.col("d") >= 2)
