@@ -934,8 +934,16 @@ def semantic_dedup(
         norm,
     )
 
-    assigned = assign_cells(base, centroids, "__id", "__vec").select(
-        "__id", "__vec", "__cell"
+    # r15: `assigned` feeds three consumers (both sides of the
+    # within-cell self-join below + the final verdict join) and a
+    # self-join of a derived DataFrame plans two full copies of its
+    # upstream with zero exchange reuse — one lazy cut materializes
+    # the assign_cells subtree (centroid crossJoin + argmin + corpus
+    # join) once inside the output job (the knn_graph restructure).
+    assigned = (
+        assign_cells(base, centroids, "__id", "__vec")
+        .select("__id", "__vec", "__cell")
+        .localCheckpoint(eager=False)
     )
     # Within-cell bucket self-join with the vectors riding into an inline
     # cosine — measured faster than collect+expand for vector payloads

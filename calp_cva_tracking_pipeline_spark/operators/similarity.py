@@ -1170,7 +1170,16 @@ def knn_graph(
     # self-join keeps only id< pairs, folds ONE dot per undirected
     # pair (dot(a,b) ≡ dot(b,a): same index order, commutative
     # multiplies), and explodes to both directions afterwards.
-    assigned = assigned.withColumn("__nrm", norm(F.col("__vec")))
+    # r15: the cell-assignment subtree (pre-collapse groupBy, centroid
+    # crossJoin + argmin/window, norm fold) feeds BOTH sides of the
+    # shared-cell self-join, and a self-join of a derived DataFrame
+    # plans two full copies of its upstream with zero exchange reuse
+    # (the documented minhash_lsh_candidates lesson). One lazy cut
+    # materializes the assignment once inside the output job: the
+    # before-plan held 8 corpus scans / 24 exchanges / 0 reuse.
+    assigned = assigned.withColumn(
+        "__nrm", norm(F.col("__vec"))
+    ).localCheckpoint(eager=False)
     l, r = assigned.alias("l"), assigned.alias("r")
     half = (
         l.join(
