@@ -2186,8 +2186,13 @@ def graph_search_frontier(
         topk = sc.withColumn("__r", F.row_number().over(w)).filter(
             F.col("__r") <= k
         )
+        # both sides of the recall join are bounded by contract (nq·k
+        # rows each); the planner still SMJ'd them — 2 exchanges + 2
+        # sorts of tiny frames per hop (r15 executed-plan audit).
+        # Broadcasting the served side makes each a streamed
+        # BroadcastHashJoin off the already-cut brute frame.
         joined = brute.join(
-            topk,
+            F.broadcast(topk),
             (brute["query_id"] == topk["query_id"])
             & (brute["neighbor_id"] == topk["cand_id"]),
             "left",
