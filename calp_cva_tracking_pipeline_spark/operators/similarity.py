@@ -2239,9 +2239,16 @@ def graph_search_frontier(
             nbrs = beam_f.join(
                 edges, beam_f["cand_id"] == edges["__src"]
             ).select("query_id", F.col("neighbor_id").alias("cand_id"))
-            cand = (
-                cand.unionByName(nbrs).distinct().localCheckpoint(eager=False)
-            )
+            # no cut here (r15 second pass): sc's per-hop cut already
+            # bounds the lineage — cand_{h+1} is a union of the prior
+            # cand and a projection off the CHECKPOINTED sc, so depth
+            # grows linearly in hops and the expansion replans cheaply.
+            # Each dropped lazy cut saves its driver-side physical
+            # planning at construction (the r14 eager-checkpoint
+            # lesson applies to lazy cuts too: planning happens at
+            # construction either way — measured ~4s of the frontier's
+            # wall time was construction, dominated by the ~10 cuts).
+            cand = cand.unionByName(nbrs).distinct()
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
