@@ -742,6 +742,14 @@ def markov_stationary(
             F.col(type_col).alias("__f"), F.col("__next").alias("__t")
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        # r15: pairs is the ONE corpus-scale subtree here (user-keyed
+        # lag window + groupBy) and it feeds out_tot, trans and types —
+        # and through them EVERY iteration's flowed/nxt join. Without a
+        # cut each of the n_iter rounds re-planned and re-executed the
+        # corpus window ~4x (r15 executed-plan audit at sf0.1: 37
+        # parquet scans / 128 exchanges, ~7s exec). One lazy cut
+        # materializes it once; everything downstream is type²-bounded.
+        .localCheckpoint(eager=False)
     )
     out_tot = pairs.groupBy("__f").agg(
         F.sum("__c").cast("bigint").alias("__rt")
