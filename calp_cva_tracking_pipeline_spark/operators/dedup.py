@@ -1697,12 +1697,19 @@ def lsh_recall_eval(
     sl = df.filter(
         (F.col(id_col) < max_eval_id) & F.col(text_col).isNotNull()
     ).select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    # r15: reps feeds both pair sides and the doc count, truth feeds
+    # the hit join and its own count, cand likewise — un-cut, the
+    # shingle projection, the all-pairs Jaccard and the full LSH
+    # candidate pipeline each re-executed per consumer (14 fact scans
+    # in the executed plan, 5.4s at sf0.1). One lazy cut per shared
+    # frame; all three are bounded by the eval-slice contract.
     reps = (
         sl.groupBy(F.md5("__t").alias("__dig"), "__t")
         .agg(F.min("__id").alias("__id"))
         .select(
             "__id", shingles(F.col("__t"), k=k, distinct=True).alias("__sh")
         )
+        .localCheckpoint(eager=False)
     )
     a = reps.select(
         F.col("__id").alias("id_a"), F.col("__sh").alias("__sha")
@@ -1729,6 +1736,7 @@ def lsh_recall_eval(
             F.expr("__num div __den") >= F.lit(int(threshold_micro))
         )
         .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     cand = minhash_lsh_candidates(
         df.filter(F.col(id_col) < max_eval_id),
@@ -1739,7 +1747,7 @@ def lsh_recall_eval(
         k=k,
         pre_collapse_exact=True,
         max_bucket_docs=max_bucket_docs,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
     hit = truth.join(cand, ["id_a", "id_b"])
     n_docs = reps.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     n_true = truth.agg(
@@ -2073,12 +2081,19 @@ def lsh_banding_tuner(
     sl = df.filter(
         (F.col(id_col) < max_eval_id) & F.col(text_col).isNotNull()
     ).select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    # r15: the docstring's "computed ONCE" contract is now enforced by
+    # lazy cuts — un-cut, truth re-executed its broadcast all-pairs
+    # Jaccard once per consumer (n_true + one hit join per config) and
+    # each config's candidate pipeline ran twice (count + hit): 36
+    # fact scans in the executed plan, 5.8s at sf0.1. All cut frames
+    # are bounded by the eval-slice contract.
     reps = (
         sl.groupBy(F.md5("__t").alias("__dig"), "__t")
         .agg(F.min("__id").alias("__id"))
         .select(
             "__id", shingles(F.col("__t"), k=k, distinct=True).alias("__sh")
         )
+        .localCheckpoint(eager=False)
     )
     a = reps.select(
         F.col("__id").alias("id_a"), F.col("__sh").alias("__sha")
@@ -2105,6 +2120,7 @@ def lsh_banding_tuner(
             F.expr("__num div __den") >= F.lit(int(threshold_micro))
         )
         .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     n_true = truth.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_true_pairs")
@@ -2120,7 +2136,7 @@ def lsh_banding_tuner(
             k=k,
             pre_collapse_exact=True,
             max_bucket_docs=max_bucket_docs,
-        ).select("id_a", "id_b")
+        ).select("id_a", "id_b").localCheckpoint(eager=False)
         hit = truth.join(cand, ["id_a", "id_b"])
         row = (
             n_true.crossJoin(

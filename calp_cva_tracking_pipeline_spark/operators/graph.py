@@ -738,6 +738,11 @@ def degree_assortativity(
     degree distributions (regular graphs) return NULL rather than 0/0.
     """
     u, v = "__u", "__v"
+    # r15: e feeds four references (deg's union twice, sym's union
+    # twice) and an un-cut canonical-edge build re-executed the whole
+    # upstream edge construction per reference (executed-plan audit:
+    # 8 fact scans, 8.2s at sf0.1). One lazy cut, the triangle_stats
+    # discipline; deg stays un-cut (node-sized, behind e's cut).
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias(u),
@@ -745,6 +750,7 @@ def degree_assortativity(
         )
         .filter(F.col(u) != F.col(v))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col(u).alias("n"))
@@ -1099,10 +1105,15 @@ def neighbor_similarity(
         )
         .distinct()
     )
+    # r15: adj feeds deg (referenced three ways below) and the wedge
+    # buckets; un-cut, every consumer re-executed the union+distinct
+    # and the whole upstream edge build (12 fact scans in the executed
+    # plan). One lazy cut; deg stays un-cut behind it (node-sized).
     adj = (
         e.select(F.col("s").alias("w"), F.col("d").alias("n"))
         .unionByName(e.select(F.col("d").alias("w"), F.col("s").alias("n")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = adj.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     centers = adj
@@ -1675,6 +1686,12 @@ def square_census(
     on identical machinery), then one (u,v)-keyed count and one global
     sum. Output: one row (n_nodes, n_edges, n_codeg_pairs, n_squares).
     """
+    # r15: the canonical edge frame feeds the degree screen (twice),
+    # the hub anti-joins and the adjacency union (twice) — un-cut, the
+    # whole upstream edge build re-executed per reference (20 fact
+    # scans in the executed plan, 7.3s at sf0.1). Cut it once, and cut
+    # the symmetrized adjacency once below (its two consumers each
+    # re-ran the union+distinct exchange).
     e = (
         edges.filter(F.col(src_col) != F.col(dst_col))
         .select(
@@ -1682,6 +1699,7 @@ def square_census(
             F.greatest(F.col(src_col), F.col(dst_col)).alias("d"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     if max_degree is not None:
         adj0 = (
@@ -1696,6 +1714,10 @@ def square_census(
             .join(hubs.withColumnRenamed("w", "d"), "d", "left_anti")
             .select("s", "d")
         )
+    # adj deliberately NOT cut: storing a second edge-sized RDD on top
+    # of e's checkpoint tipped a 1 GiB-heap session into executor OOM
+    # at sf0.1 (r15 measured); its two consumers replan the
+    # union+distinct off e's cut instead — one cheap exchange each.
     adj = (
         e.select(F.col("s").alias("w"), F.col("d").alias("n"))
         .unionByName(e.select(F.col("d").alias("w"), F.col("s").alias("n")))
