@@ -2361,6 +2361,10 @@ def reciprocity(
     (node, out_deg, n_recip, recip_ppm), ordered by node. Engine
     addition; no reference counterpart.
     """
+    # r15: e feeds the reversed copy, the left-semi probe and the
+    # out-degree aggregation — un-cut, the distinct edge build (and
+    # its whole upstream) re-executed 4x (8 fact scans in the executed
+    # plan). One lazy cut, the static-frame discipline.
     e = (
         edges.select(
             F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
@@ -2371,6 +2375,7 @@ def reciprocity(
             & (F.col("__s") != F.col("__d"))
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     rev = e.select(
         F.col("__d").alias("__s"), F.col("__s").alias("__d")

@@ -2546,9 +2546,14 @@ def mann_whitney(
         .cast("bigint")
         .alias("__x"),
     )
+    # r15: cells feeds ctrl, the value grid and the scoring join —
+    # un-cut, the corpus scan + (variant x value) aggregation
+    # re-executed per reference (8 fact scans in the executed plan).
+    # One lazy cut on the value-cardinality-bounded cell table; the
+    # bounded grid/join frames downstream replan cheaply off it.
     cells = enc.groupBy("__v", "__x").agg(
         F.count(F.lit(1)).cast("bigint").alias("__c")
-    )
+    ).localCheckpoint(eager=False)
     ctrl = (
         cells.filter(F.col("__v") == control)
         .select("__x", F.col("__c").alias("__cc"))
