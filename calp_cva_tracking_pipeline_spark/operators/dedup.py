@@ -1077,12 +1077,28 @@ def jaccard_join(
         F.col(id_col).alias("__id"),
         word_tokens(F.col(text_col)).alias("__toks"),
     )
+    # the shingle-array frame feeds THREE consumers (the token explode
+    # and both verification sides) and the tokenize + shingle build is
+    # the expensive corpus subtree — without a cut Catalyst replans it
+    # per consumer (r15 static plan: 6 documents scans / 15 exchanges).
+    # One lazy localCheckpoint stores the arrays once inside the output
+    # job (the round-15 shared-subtree discipline).
+    #
+    # The size() guard sits ABOVE the cut: filtering on a column built
+    # by an interpreted higher-order transform invites Catalyst to push
+    # the predicate through the projection AND below the round-robin
+    # spread — the full shingle expression then evaluates TWICE per
+    # row, once single-threaded on the unspread scan partition (r15
+    # measured: 0.20s -> 3.0s, a 15x blow-up at sf0.1; the guide §4.4
+    # duplicate-evaluation trap, hit by an interpreted expression
+    # instead of a UDF). The RDD boundary blocks pushdown outright, so
+    # the guard evaluates once, on the materialized column.
     sh = base.select(
         "__id",
         F.array_distinct(shingles_from_tokens(F.col("__toks"), k)).alias(
             "__sh"
         ),
-    ).filter(F.size("__sh") > 0)
+    ).localCheckpoint(eager=False).filter(F.size("__sh") > 0)
     toks = sh.select("__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__s"))
     freq = toks.groupBy("__s").agg(F.count(F.lit(1)).alias("__f"))
     ranked = toks.join(freq, "__s").withColumn(
@@ -1095,12 +1111,21 @@ def jaccard_join(
     )
     # prefix length p = n - ceil(t*n) + 1, integer-exact (`div`, never
     # `/` — Spark's / is double division and loses exactness past 2^53)
-    prefix = ranked.filter(
-        F.col("__r")
-        <= F.col("__n")
-        - F.expr(f"(__n * {tn} + 999999) div 1000000")
-        + 1
-    ).select("__id", "__s")
+    # the prefix frame self-joins below: a self-join of a derived frame
+    # replans its whole upstream (explode + frequency exchange + rank
+    # window) once PER SIDE with zero exchange reuse. The frame is the
+    # rarest-(1-t) fraction of gram rows — smaller than toks — so one
+    # lazy cut stores it once and both join sides stream off the RDD.
+    prefix = (
+        ranked.filter(
+            F.col("__r")
+            <= F.col("__n")
+            - F.expr(f"(__n * {tn} + 999999) div 1000000")
+            + 1
+        )
+        .select("__id", "__s")
+        .localCheckpoint(eager=False)
+    )
     cand = (
         prefix.alias("a")
         .join(
@@ -1319,8 +1344,15 @@ def split_leakage_audit(
     if max_docs_per_fp is None:
         max_docs_per_fp = max_docs_per_hash
     base = df.select(F.col(id_col).alias("__id"), F.col(text_col))
-    assigned = group_split(base, "__id", splits, seed=seed).select(
-        "__id", F.col("split").alias("__split")
+    # the split-assignment frame labels BOTH endpoints of BOTH pair
+    # tiers (4 consumers via labeled() below) — without a cut each
+    # consumer replans the scan + hash-assignment subtree (r15 static
+    # plan: 6 source scans). The frame is 2 narrow columns per doc;
+    # one lazy localCheckpoint stores it once inside the output job.
+    assigned = (
+        group_split(base, "__id", splits, seed=seed)
+        .select("__id", F.col("split").alias("__split"))
+        .localCheckpoint(eager=False)
     )
     hashed = base.filter(F.col(text_col).isNotNull()).select(
         "__id", F.md5(F.col(text_col)).alias("__h")
@@ -1879,15 +1911,24 @@ def bloom_prescreen(
     fill_ppm, bloom_hits, exact_dups, false_positives, fp_ppm — fp over
     the truly-novel incoming population).
     """
+    # the two digest frames feed 4 resp. 3 consumers each (bit build,
+    # membership count, exact semi-join, fp anti-join / probe, exact,
+    # incoming count) — without cuts every consumer replans the
+    # corpus scan + md5 + distinct exchange (r15 static plan: 20
+    # source scans for ONE audit row). Lazy cuts store each digest set
+    # once (16-byte rows); the downstream frames are m-bounded filter
+    # metadata chaining off the cut RDDs.
     h = (
         history.filter(F.col(text_col).isNotNull())
         .select(F.md5(F.col(text_col)).alias("__dig"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     inc = (
         incoming.filter(F.col(text_col).isNotNull())
         .select(F.md5(F.col(text_col)).alias("__dig"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     m = h.agg(F.count("*").alias("n_history")).select(
         "n_history",
@@ -1911,7 +1952,13 @@ def bloom_prescreen(
             F.explode(F.array(*pos)).alias("__pos"),
         )
 
-    bits = positions(h).select("__pos").distinct()
+    # bits feeds the probe semi-join AND the fill census; probe feeds
+    # the hit count AND the fp anti-join — each replan re-runs a k·n
+    # position explode + distinct off the digest RDDs. Both outputs
+    # are m-bounded (bit positions / hit digests): cut once.
+    bits = (
+        positions(h).select("__pos").distinct().localCheckpoint(eager=False)
+    )
     probe = (
         positions(inc)
         .join(bits, "__pos", "left_semi")
@@ -1919,6 +1966,7 @@ def bloom_prescreen(
         .agg(F.count("*").alias("__nhit"))
         .filter(F.col("__nhit") >= k_hashes)
         .select("__dig")
+        .localCheckpoint(eager=False)
     )
     exact = inc.join(h, "__dig", "left_semi")
     fp = probe.join(h, "__dig", "left_anti")
@@ -2214,15 +2262,26 @@ def semdedup_incremental(
         norm,
     )
 
-    b = assign_cells(
-        batch.select(
-            F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
-        ),
-        centroids,
-        "__id",
-        "__vec",
-    ).select(
-        "__id", "__vec", "__cell", norm(F.col("__vec")).alias("__nrm")
+    # the assigned-batch frame feeds FOUR consumers (store probe, both
+    # sides of the batch self-join, and the final verdict join) — a
+    # self-join of a derived frame replans the centroid-crossJoin argmin
+    # assignment per consumer with zero exchange reuse (the documented
+    # emb_knn_graph/dd_semantic cell-assignment lesson, 4ff56e2; this
+    # r15-wave operator had missed the cut — static plan read 31 source
+    # scans). One lazy localCheckpoint stores the assigned batch once.
+    b = (
+        assign_cells(
+            batch.select(
+                F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+            ),
+            centroids,
+            "__id",
+            "__vec",
+        )
+        .select(
+            "__id", "__vec", "__cell", norm(F.col("__vec")).alias("__nrm")
+        )
+        .localCheckpoint(eager=False)
     )
     m = members.select(
         F.col("cell").alias("__mcell"),

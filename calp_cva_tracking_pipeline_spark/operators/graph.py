@@ -1566,11 +1566,20 @@ def local_clustering_census(
             "s", "t",
             F.array_intersect("__ss", "__ts").alias("__i"),
         )
-        .filter(F.size("__i") > 0)
     )
     # one explode emits every credit row — (s, |∩|), (t, |∩|) and one
     # (c, 1) per common neighbor — so the join chain above is planned
-    # exactly once (three union branches would replan it 3x)
+    # exactly once (three union branches would replan it 3x).
+    # Empty intersections are dropped AFTER the explode (__c > 0), not
+    # by a filter on size(__i) before it: a pre-explode filter on the
+    # projected intersect column gets pushed through the projection and
+    # re-evaluates array_intersect per edge row (filter + project — the
+    # guide §4.4 duplicate-evaluation trap, r15). Equivalence: an empty
+    # __i emits only its two zero-credit endpoint structs, which add 0
+    # to the per-node sums, and a node whose rows are ALL dropped falls
+    # out of tri_per_node — absorbed by the left join + coalesce(t, 0)
+    # below. Output is bit-identical either way; post-explode the
+    # predicate reads a materialized struct field, never the intersect.
     credits = inter.select(
         F.explode(
             F.concat(
@@ -1592,7 +1601,7 @@ def local_clustering_census(
                 ),
             )
         ).alias("cr")
-    )
+    ).filter(F.col("cr.__c") > 0)
     tri_per_node = credits.groupBy(F.col("cr.n").alias("n")).agg(
         F.sum("cr.__c").alias("t")
     )

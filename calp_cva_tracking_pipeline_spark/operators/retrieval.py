@@ -187,12 +187,18 @@ def retrieval_metrics(
             for c in (F.lit(i), F.lit(wi).cast("bigint"))
         ]
     )
+    # relevance feeds the hit join AND the per-query IDCG count — the
+    # ground-truth table can be an expensive derived frame (e.g. a
+    # label self-join of the corpus), and without a cut each consumer
+    # replans it (r15 static-plan audit). One lazy localCheckpoint on
+    # the projected pairs; the count derives from the cut RDD (same
+    # rows — relevance is one row per relevant (query, doc)).
     rel = relevance.select(
         F.col(query_col).alias("__q"),
         F.col(doc_col).alias("__d"),
         F.lit(1).alias("__rel"),
-    )
-    n_rel = relevance.groupBy(F.col(query_col).alias("__q")).agg(
+    ).localCheckpoint(eager=False)
+    n_rel = rel.groupBy("__q").agg(
         F.count(F.lit(1)).cast("bigint").alias("__nrel")
     )
     r = run.select(

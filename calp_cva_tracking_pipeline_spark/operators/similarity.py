@@ -884,8 +884,15 @@ def pq_topk(
     query BY DESIGN (production composes PQ inside IVF cells — encode
     ``assign_cells`` output per cell — so ADC touches only probed
     cells)."""
+    # a codebook trained here feeds BOTH the corpus encode and the query
+    # LUT — without a cut each consumer replans the corpus-scale
+    # subspace-training aggregation (r15 static-plan audit). The frame
+    # is m·k rows: cut once, broadcast cheaply to both. A caller-passed
+    # codebook is left alone (the caller owns its lineage).
     cb = (codebooks if codebooks is not None else
-          pq_codebooks(corpus, id_col, vec_col, m, k_codebook, dim))
+          pq_codebooks(
+              corpus, id_col, vec_col, m, k_codebook, dim
+          ).localCheckpoint(eager=False))
     codes = pq_encode(corpus, cb, id_col, vec_col, m, dim)
     qrows = _explode_subspaces(
         queries.select(
@@ -960,7 +967,10 @@ def ivf_pq_topk(
     cells = assign_cells(corpus, cent, id_col, vec_col).select(
         F.col(id_col).alias("__id"), "__cell"
     )
-    cb = pq_codebooks(corpus, id_col, vec_col, m, k_codebook, dim)
+    # same 2-consumer codebook cut as pq_topk (encode + LUT)
+    cb = pq_codebooks(
+        corpus, id_col, vec_col, m, k_codebook, dim
+    ).localCheckpoint(eager=False)
     codes = pq_encode(corpus, cb, id_col, vec_col, m, dim)
     coded = codes.join(cells, "__id")
     qd = queries.select(
@@ -1617,10 +1627,19 @@ def matryoshka_recall(
     """
     if not prefix_dims:
         raise ValueError("prefix_dims must be non-empty")
-    full = brute_force_topk(
-        corpus, queries, id_col, vec_col, query_id_col, query_vec_col,
-        k=k,
-    ).select("query_id", "neighbor_id")
+    # the full-dim ground truth feeds the denominator aggregate AND one
+    # hit join per prefix (len(prefix_dims) + 1 consumers) — without a
+    # cut each consumer replans the whole brute pass (r15 static plan:
+    # 18 corpus scans for 3 prefixes). The frame is nq·k rows by
+    # contract: cut once, every consumer streams off the RDD.
+    full = (
+        brute_force_topk(
+            corpus, queries, id_col, vec_col, query_id_col, query_vec_col,
+            k=k,
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     # the denominator is the EVALUATED query count (from the ground
     # truth), never queries-with-hits — a prefix with zero overlap must
     # read recall 0, not divide by zero (ANSI) or silently renormalize

@@ -1370,19 +1370,29 @@ def seasonal_anomaly(
         F.count(F.lit(1)).cast("bigint").alias("__nd"),
         F.sum("__x").cast("bigint").alias("__sd"),
     )
-    detr = enc.join(day_means, [*key_cols, "__day"]).select(
-        *key_cols,
-        "__id",
-        "__hour",
-        F.round(
-            (
-                F.col("__x").cast("double")
-                - F.col("__sd").cast("double") / F.col("__nd").cast("double")
+    # detr feeds the hour-effect aggregate AND the residual join, and
+    # resid (below) feeds the moment aggregate AND the flag join — each
+    # level doubles the replanned upstream, so the fact table scanned
+    # 2^3 = 8x in the static plan (r15 audit). Two lazy cuts on the
+    # narrow centi-int frames make each level plan once.
+    detr = (
+        enc.join(day_means, [*key_cols, "__day"])
+        .select(
+            *key_cols,
+            "__id",
+            "__hour",
+            F.round(
+                (
+                    F.col("__x").cast("double")
+                    - F.col("__sd").cast("double")
+                    / F.col("__nd").cast("double")
+                )
+                * F.lit(100.0)
             )
-            * F.lit(100.0)
+            .cast("bigint")
+            .alias("__dc"),
         )
-        .cast("bigint")
-        .alias("__dc"),
+        .localCheckpoint(eager=False)
     )
     hour_eff = detr.groupBy(*key_cols, "__hour").agg(
         F.round(
@@ -1395,10 +1405,14 @@ def seasonal_anomaly(
     # forced broadcast becomes a driver OOM at high key cardinality
     # (the assoc.py round-8 advisor lesson); AQE picks broadcast
     # whenever it actually fits.
-    resid = detr.join(hour_eff, [*key_cols, "__hour"]).select(
-        *key_cols,
-        "__id",
-        (F.col("__dc") - F.col("__hc")).alias("__rc"),
+    resid = (
+        detr.join(hour_eff, [*key_cols, "__hour"])
+        .select(
+            *key_cols,
+            "__id",
+            (F.col("__dc") - F.col("__hc")).alias("__rc"),
+        )
+        .localCheckpoint(eager=False)
     )
     stats = resid.groupBy(*key_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"),
