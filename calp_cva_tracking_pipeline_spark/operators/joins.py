@@ -226,7 +226,17 @@ def anti_waterfall_union(
     """
     result = sources[0]
     for src in sources[1:]:
-        seen = result.select(*keys).distinct()
+        # the accumulated-keys frame replans the ENTIRE waterfall built
+        # so far, and source i's subtree re-enters every later step's
+        # key set — plan growth is exponential in the source count
+        # (r15 static-plan audit: 7 scans for 3 sources). The lazy cut
+        # on the keys-only, dimension-sized frame bounds each step to
+        # one distinct over the prior RDD — growth linear.
+        seen = (
+            result.select(*keys)
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
         result = result.unionByName(
             src.join(F.broadcast(seen), keys, "left_anti"),
             allowMissingColumns=True,
