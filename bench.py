@@ -587,6 +587,23 @@ FLOOR_ANNOTATIONS = {
         "that parallelizes linearly at scale; the proxy computes the "
         "identical replica arithmetic vectorized single-process"
     ),
+    "pf_profile": (
+        "two-phase bounded-statistics kernel (exact percentiles "
+        "without a row-scale sort: per-column ranges then 1024-bucket "
+        "histogram + within-bucket order statistics — exchanges are "
+        "histogram-bounded); BOTH candidate fusions measured SLOWER "
+        "twice (r14/r15, profile_columns docstring) and the 30-40x "
+        "ratio is a tiny-proxy artifact: DuckDB's single-process exact "
+        "percentile answers in ~60ms at sf0.1"
+    ),
+    "emb_kmeans": (
+        "driver-resident Lloyd (the MLlib shape, r15 rework — A/B in "
+        "variant_notes): one (cell,dim) exchange per refinement round "
+        "+ k*d-row collects, oracle-exact decimal 6dp means; the "
+        "per-round exchange is fixed-point cost that amortizes at "
+        "scale where it carries real volume, while the proxy replays "
+        "the unrolled rounds as one vectorized CTE"
+    ),
 }
 
 
