@@ -1007,3 +1007,78 @@ def test_kmeans_result_is_literal_local_relation(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan
     assert "Scan parquet" not in plan
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_jaccard_join_guard_not_pushed_into_shingle_build(spark, sf_dir):
+    """Round-15 optimization pin: the size(__sh) > 0 guard must sit
+    ABOVE the kernel's lineage cut. When it filtered the projected
+    shingle column directly, Catalyst pushed the predicate through the
+    projection and below the round-robin spread, so the interpreted
+    shingle transform evaluated TWICE per row — once single-threaded on
+    the unspread scan partition (measured 15x on the subtree at sf0.1).
+    With the cut in place the shingle expression lives entirely behind
+    the RDD boundary: no Filter (and no node at all) in the outer plan
+    may re-evaluate the transform."""
+    df = S.dd_jaccard_join(spark, sf_dir)
+    plan = _optimized(df)
+    assert "lambdafunction" not in plan, (
+        "shingle transform re-evaluated outside the lineage cut"
+    )
+    # and the cut is actually present (LogicalRDD boundary)
+    assert "LogicalRDD" in plan
+
+
+def test_local_clustering_guard_after_credit_explode(spark, sf_dir):
+    """Round-15 optimization pin: empty intersections are dropped AFTER
+    the credit explode (on the generated struct field), never by a
+    filter on the projected array_intersect column — the pushed
+    predicate re-evaluated the intersect per edge row (filter +
+    project). The intersect must appear in Project/Generate input, and
+    no Filter condition may contain it."""
+    from calp_cva_tracking_pipeline_spark.catalog.scale import _co_edges
+    from calp_cva_tracking_pipeline_spark.operators.graph import (
+        local_clustering_census,
+    )
+
+    df = local_clustering_census(_co_edges(spark, sf_dir))
+    plan = _optimized(df)
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "array_intersect" not in line, line
+
+
+def test_r15_session4_shared_subtree_cut_ceilings(spark, sf_dir):
+    """Round-15 session-4 cuts, pinned as static-plan scan ceilings —
+    a regression that re-duplicates a shared expensive subtree (the
+    assignment frame, digest sets, ground truth, codebook, decomposition
+    chain, waterfall key sets) blows its ceiling and fails here. Counts
+    are formatted-plan 'Scan parquet' node counts (each node prints
+    twice: tree + details)."""
+    ceilings = {
+        "dd_jaccard_join": 0,
+        "dd_semdedup_incr": 3,
+        "dd_bloom_prescreen": 0,
+        "ts_seasonal_anomaly": 0,
+        "ann_mrl_eval": 6,
+        "rt_eval_metrics": 3,
+        "ann_ivfpq_topk": 7,
+        "ann_pq_rerank": 4,
+        "dd_split_leakage": 2,
+        "j14_anti_waterfall": 3,
+    }
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name, ceil in ceilings.items():
+        plan = _formatted(qs[name](spark, sf_dir))
+        n = plan.count("Scan parquet") // 2
+        assert n <= ceil, f"{name}: {n} parquet scans (ceiling {ceil})"
