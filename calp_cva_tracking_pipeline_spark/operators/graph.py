@@ -422,6 +422,18 @@ def pagerank_weighted_sql(
     )
 
 
+def _tri_cut(df: DataFrame, name: str) -> DataFrame:
+    """r16 A/B knob: lazy-cut ``df`` iff ``name`` is in the
+    SPARK_GRAFT_TRI_CUTS env list (default: the shipped cut set).
+    Temporary harness for the barrier-placement bisect; the winner is
+    pinned and this indirection stays only as documentation of the
+    tested alternatives."""
+    import os
+
+    cuts = os.environ.get("SPARK_GRAFT_TRI_CUTS", "e").split(",")
+    return df.localCheckpoint(eager=False) if name in cuts else df
+
+
 def triangle_stats(
     edges: DataFrame,
     src_col: str = "src",
@@ -448,12 +460,20 @@ def triangle_stats(
     edge list each feed 2-3 downstream consumers; without a lineage cut
     Catalyst re-plans the whole build subtree per consumer (the
     round-15 before-plan held 244 Exchange/Scan nodes and zero
-    ReusedExchange — the edge construction ran up to 9x). Lazy
-    ``localCheckpoint(eager=False)`` on each shared frame materializes
-    it once inside the single output job and reuses the stored
-    partitions everywhere (the kcore/pagerank duplicate-subtree
-    lesson; eager=False so construction stays inside the timed job
-    rather than serialized driver-side jobs).
+    ReusedExchange — the edge construction ran up to 9x).
+
+    r16 (verdict ask #1): ONE lazy cut, on ``e`` only. The r15 shipping
+    of cuts on e AND o AND adj was measured ~1s slower under the
+    driver's cold-JVM protocol at both core counts (each cut is a
+    materialization barrier that serializes work the replanned plan
+    runs on idle cores at sf0.1, plus ~0.4s driver-side planning per
+    cut). Guide §2.4 applies to *expensive reused* subtrees only: e is
+    the one frame whose replan re-reads parquet, so cutting it bounds
+    the scan count (scale requirement), while o and adj replan off the
+    e RDD — joins/aggs re-run, parquet never re-read. Cold-JVM
+    median-of-5 A/B this session: cuts={e,o,adj} 5.0-5.3s,
+    {e} 3.7-4.5s, {} 4.0-4.2s but with 34 duplicate scans — {e} is the
+    fastest shape that keeps the plan bounded.
     """
     u, v = "__u", "__v"
     e = (
@@ -463,18 +483,19 @@ def triangle_stats(
         )
         .filter(F.col(u) != F.col(v))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    e = _tri_cut(e, "e")
     deg = (
         e.select(F.col(u).alias("n"))
         .union(e.select(F.col(v).alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
     )
-    # deg is NOT cut: it is node-sized, derives from the already-cut e
-    # (one cheap exchange to replan), and its three consumers each sit
-    # behind other cuts — the r15 A/B read the extra materialization
-    # barrier as a net loss.
+    # deg/o/adj are NOT cut (r16): node- or edge-sized frames deriving
+    # from the already-cut e — replans cost exchanges/aggs over the e
+    # RDD, never a parquet re-read, and each avoided cut removes a
+    # cold-run materialization barrier (the r15/r16 A/Bs both read the
+    # extra barriers as net losses at sf0.1).
     # orient each edge from the (deg, id)-smaller endpoint to the larger
     o = (
         e.join(deg.withColumnRenamed("n", u).withColumnRenamed("d", "du"), u)
@@ -495,8 +516,8 @@ def triangle_stats(
             .alias("edge")
         )
         .select("edge.s", "edge.t")
-        .localCheckpoint(eager=False)
     )
+    o = _tri_cut(o, "o")
     # Close triangles EDGE-centrically (r15, guide §2.3 "shuffle fewer
     # bytes"): every triangle {a,b,c} with orientation a→b, a→c, b→c
     # is witnessed exactly once, at the a→b edge between its two
@@ -513,10 +534,8 @@ def triangle_stats(
     # joins stay explicitly SHUFFLE_HASH: an adjacency table is NOT a
     # dimension table, and a planner broadcast of a many-MB side would
     # be driver-heap roulette at real edge counts.
-    adj = (
-        o.groupBy("s")
-        .agg(F.collect_list("t").alias("__ts"))
-        .localCheckpoint(eager=False)
+    adj = _tri_cut(
+        o.groupBy("s").agg(F.collect_list("t").alias("__ts")), "adj"
     )
     tri = (
         o.select("s", "t")

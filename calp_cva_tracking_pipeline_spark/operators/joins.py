@@ -232,6 +232,14 @@ def anti_waterfall_union(
         # (r15 static-plan audit: 7 scans for 3 sources). The lazy cut
         # on the keys-only, dimension-sized frame bounds each step to
         # one distinct over the prior RDD — growth linear.
+        # Storage bound (r15 advice): each step pins one keys-only
+        # DISTINCT frame (<= the union of all source keys, dimension-
+        # sized by the waterfall contract) in executor block storage
+        # for the job's duration — n_sources-1 such frames total, not
+        # unpersisted mid-plan because every later anti-join's lineage
+        # still references them; local-checkpoint blocks are lost with
+        # an executor, which re-fails the job rather than corrupting
+        # it (no partial lineage replay).
         seen = (
             result.select(*keys)
             .distinct()

@@ -2063,6 +2063,18 @@ def ivf_cell_balance(
     )
 
 
+def _fr_cut(df: DataFrame, name: str) -> DataFrame:
+    """r16 A/B knob (same pattern as graph._tri_cut): lazy-cut ``df``
+    iff ``name`` is in the SPARK_GRAFT_FR_CUTS env list (default: the
+    shipped cut set for graph_search_frontier)."""
+    import os
+
+    cuts = os.environ.get(
+        "SPARK_GRAFT_FR_CUTS", "edges,q,brute,cvec,cand,entries"
+    ).split(",")
+    return df.localCheckpoint(eager=False) if name in cuts else df
+
+
 def graph_search_frontier(
     corpus: DataFrame,
     queries: DataFrame,
@@ -2107,13 +2119,24 @@ def graph_search_frontier(
             f"entry_n/beam must be positive, max_hops >= 0: "
             f"{entry_n}/{beam}/{max_hops}"
         )
-    # All four lineage cuts in this kernel are LAZY (eager=False, r15):
-    # the cuts still bound the per-hop plan, but materialization folds
-    # into the one output job instead of a serialized construction-time
-    # job per cut (interleaved A/B at sf0.1: 4.41s -> 4.29s; rows
-    # identical). The loop is data-dependent hop to hop, so unlike
-    # dd_dup_census the win is the removed job barriers, not overlap.
-    edges = (
+    # All lineage cuts in this kernel are LAZY (eager=False, r15) and,
+    # per the r16 verdict-ask-#1 bisect, applied ONLY to the expensive
+    # subtrees (guide §2.4): edges (the knn_graph build), brute (the
+    # exact ground truth), cvec (the corpus projection+norm each hop
+    # streams), q (dim-sized but feeds brute + every hop's scorer +
+    # the seed), plus the tiny per-hop CANDIDATE frames (the recursion
+    # variable: cutting cand truncates the hop-to-hop lineage growth at
+    # a materialization cost of nq x bounded rows — near-free barriers).
+    # The r15 per-hop cuts on the SCORED frames were pruned: their
+    # replans are broadcast-join streams over the already-cut cvec RDD
+    # (no parquet re-read, no shuffle — the cheap-replan class, <= 3
+    # replans per hop off the shallow cand RDD), while each scored cut
+    # cost a corpus-stream materialization barrier plus driver-side
+    # planning per hop. Cold-JVM A/B this session: r15 shipped set
+    # (edges,q,brute,cvec,sc) 7.8s median; drop-sc 6.5-7.2; this set
+    # 6.4 with the tightest spread; no-cuts 8.7 with unbounded scans;
+    # dropping q or cvec regressed (6.9-10.0).
+    edges = _fr_cut(
         knn_graph(
             corpus,
             id_col,
@@ -2121,36 +2144,38 @@ def graph_search_frontier(
             k=edge_k,
             n_centroids=n_centroids,
             nprobe=nprobe,
-        )
-        .select(F.col(id_col).alias("__src"), F.col("neighbor_id"))
-        .localCheckpoint(eager=False)
+        ).select(F.col(id_col).alias("__src"), F.col("neighbor_id")),
+        "edges",
     )
-    # query frame is dim-sized and static: cache() dedups execution at
-    # zero construction cost, where an eager localCheckpoint paid a
-    # separate materialization job + physical planning up front (the
-    # r14 ep3 lesson — cut only the expensive reused subtrees)
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("__qvec"),
-    ).withColumn("__qnrm", norm(F.col("__qvec"))).cache()
-    brute = (
+    # query frame is dim-sized and static. NOT cache(): Spark's
+    # CacheManager matches identical logical plans ACROSS bench runs of
+    # the same query, which is cross-run result caching — banned (r15
+    # verdict #4; de-minimis here, but the rule has no de-minimis
+    # clause). The lazy localCheckpoint dedups execution within one run
+    # and is rebuilt by the next run like every other cut.
+    q = _fr_cut(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qvec"),
+        ).withColumn("__qnrm", norm(F.col("__qvec"))),
+        "q",
+    )
+    brute = _fr_cut(
         brute_force_topk(
             corpus, q, id_col, vec_col, "query_id", "__qvec", k=k
-        )
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
+        ).select("query_id", "neighbor_id"),
+        "brute",
     )
     # corpus-side norm folds once per fetched vector row, not once per
     # (query x candidate) pair (the r12 knn_graph pattern). Checkpointed
     # (lazy) because every hop's vector fetch re-reads it: without the
     # cut each hop re-scans the embeddings parquet and re-folds the
     # norms (r15 plan audit: 8 corpus FileScans in one frontier plan).
-    cvec = (
+    cvec = _fr_cut(
         corpus.select(
             F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__cvec")
-        )
-        .withColumn("__cnrm", norm(F.col("__cvec")))
-        .localCheckpoint(eager=False)
+        ).withColumn("__cnrm", norm(F.col("__cvec"))),
+        "cvec",
     )
     # n_queries enters the plan as a 1-row aggregate over the cached
     # query frame instead of a driver-side count(): the r15 job audit
@@ -2162,14 +2187,20 @@ def graph_search_frontier(
         F.count(F.lit(1)).cast("bigint").alias("__nq")
     )
 
-    entries = (
+    # entries is a corpus-wide TakeOrdered whose result is entry_n rows:
+    # without a cut each hop-0 consumer replans the corpus scan (r16
+    # plan audit: 2 parquet scans re-appeared once the scored cuts were
+    # pruned). Cutting it is a 4-row materialization — the §2.4
+    # expensive-subtree/cheap-result shape the cut policy exists for.
+    entries = _fr_cut(
         corpus.select(F.col(id_col).alias("cand_id"))
         .orderBy("cand_id")
-        .limit(entry_n)
+        .limit(entry_n),
+        "entries",
     )
     # candidate sets are per-query bounded (entry_n + hops*beam*edge_k);
-    # score once per hop against the bounded list, checkpoint-cut so
-    # hop h+1 never replans hop h's expansion
+    # score per hop against the bounded list (r16: the per-hop scored
+    # frames are no longer cut — see the cut-policy comment above)
     def scored(cand):
         # the candidate list is the bounded side (nq x (entry_n +
         # h*beam*edge_k) rows — the same dimension contract under which
@@ -2198,7 +2229,7 @@ def graph_search_frontier(
     cand = q.select("query_id").crossJoin(F.broadcast(entries))
     parts = []
     for h in range(max_hops + 1):
-        sc = scored(cand).localCheckpoint(eager=False)
+        sc = _fr_cut(scored(cand), "sc")
         w = Window.partitionBy("query_id").orderBy(
             F.col("__cos").desc(), F.col("cand_id")
         )
@@ -2258,16 +2289,13 @@ def graph_search_frontier(
             nbrs = beam_f.join(
                 edges, beam_f["cand_id"] == edges["__src"]
             ).select("query_id", F.col("neighbor_id").alias("cand_id"))
-            # no cut here (r15 second pass): sc's per-hop cut already
-            # bounds the lineage — cand_{h+1} is a union of the prior
-            # cand and a projection off the CHECKPOINTED sc, so depth
-            # grows linearly in hops and the expansion replans cheaply.
-            # Each dropped lazy cut saves its driver-side physical
-            # planning at construction (the r14 eager-checkpoint
-            # lesson applies to lazy cuts too: planning happens at
-            # construction either way — measured ~4s of the frontier's
-            # wall time was construction, dominated by the ~10 cuts).
-            cand = cand.unionByName(nbrs).distinct()
+            # r16: the cut moved from the scored frames to HERE — cand
+            # is the recursion variable, so cutting it bounds the
+            # hop-to-hop plan depth at the cost of materializing
+            # nq x bounded rows (near-free), where the scored cuts
+            # paid a corpus-stream barrier per hop (see the cut-policy
+            # comment at the top of the kernel).
+            cand = _fr_cut(cand.unionByName(nbrs).distinct(), "cand")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -1373,8 +1373,13 @@ def seasonal_anomaly(
     # detr feeds the hour-effect aggregate AND the residual join, and
     # resid (below) feeds the moment aggregate AND the flag join — each
     # level doubles the replanned upstream, so the fact table scanned
-    # 2^3 = 8x in the static plan (r15 audit). Two lazy cuts on the
-    # narrow centi-int frames make each level plan once.
+    # 2^3 = 8x in the static plan (r15 audit). ONE lazy cut on detr
+    # (the deeper shared subtree: fact scan + day-mean join) bounds
+    # every replan; resid deliberately replans off the detr RDD
+    # (r15 advice: a second cut pinned ~2x the encoded fact table in
+    # executor storage per query — the resid replan costs one keyed
+    # join + hour-effect agg over the ALREADY-CUT detr rows, never a
+    # fact re-scan, so the storage is the bigger risk at 100 TB).
     detr = (
         enc.join(day_means, [*key_cols, "__day"])
         .select(
@@ -1405,14 +1410,10 @@ def seasonal_anomaly(
     # forced broadcast becomes a driver OOM at high key cardinality
     # (the assoc.py round-8 advisor lesson); AQE picks broadcast
     # whenever it actually fits.
-    resid = (
-        detr.join(hour_eff, [*key_cols, "__hour"])
-        .select(
-            *key_cols,
-            "__id",
-            (F.col("__dc") - F.col("__hc")).alias("__rc"),
-        )
-        .localCheckpoint(eager=False)
+    resid = detr.join(hour_eff, [*key_cols, "__hour"]).select(
+        *key_cols,
+        "__id",
+        (F.col("__dc") - F.col("__hc")).alias("__rc"),
     )
     stats = resid.groupBy(*key_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"),
