@@ -520,11 +520,36 @@ def main() -> None:
         detail["perf_weak"] = perf_weak(timings, proxy)
     elif proxy_err:
         detail["proxy_error"] = proxy_err
+    # Box-speed calibration (r15 verdict ask #7 / advice #4): single-core
+    # md5 loop time, taken AFTER the timed suite so it cannot perturb the
+    # measurements. Compare across rounds to separate box drift from plan
+    # changes; the floor annotations' baselines are recorded against it
+    # in plans/r16/floor_baselines.json.
+    detail["calibration_md5_s"] = box_calibration()
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(json.dumps(detail, indent=1))
     print(f"# full detail (runs/scaling/proxy): {detail_path}", file=sys.stderr)
 
     print(format_stdout_line(timings, sf, detail.get("vs_proxy_suite")))
+
+
+def box_calibration(n_rounds: int = 40000) -> float:
+    """Fixed single-core calibration loop (r15 verdict ask #7): seconds
+    to md5 a 4 KiB buffer ``n_rounds`` times, single-threaded. The
+    sandbox's hosts vary ~2-2.5x in single-core speed session to
+    session (r15: 38 of 66 "regressions" were box drift the round's
+    comparisons could only rescue with an ad-hoc 8-core rerun); this
+    number, emitted into BENCH_DETAIL.json each run, lets any two
+    benches be normalized to the same box before a per-query delta is
+    read as a plan change. Pure function — the contract test runs it
+    without Spark."""
+    import hashlib
+
+    buf = bytes(range(256)) * 16  # 4 KiB, deterministic
+    t0 = time.time()
+    for _ in range(n_rounds):
+        buf = hashlib.md5(buf).digest() * 256  # 4 KiB again
+    return round(time.time() - t0, 4)
 
 
 WEAK_WARM_S = 2.0

@@ -9,6 +9,8 @@ fails CI instead of surfacing as a cluster bill.
 
 from __future__ import annotations
 
+import re
+
 import calp_cva_tracking_pipeline_spark.catalog.relational as R
 import calp_cva_tracking_pipeline_spark.catalog.scale as S
 
@@ -1061,8 +1063,8 @@ def test_r15_session4_shared_subtree_cut_ceilings(spark, sf_dir):
     a regression that re-duplicates a shared expensive subtree (the
     assignment frame, digest sets, ground truth, codebook, decomposition
     chain, waterfall key sets) blows its ceiling and fails here. Counts
-    are formatted-plan 'Scan parquet' node counts (each node prints
-    twice: tree + details)."""
+    are the numbered detail headers of formatted plans — format-stable,
+    unlike halving the raw substring count (r15 advice)."""
     ceilings = {
         "dd_jaccard_join": 0,
         "dd_semdedup_incr": 3,
@@ -1080,5 +1082,5 @@ def test_r15_session4_shared_subtree_cut_ceilings(spark, sf_dir):
     qs = entrymod.queries()
     for name, ceil in ceilings.items():
         plan = _formatted(qs[name](spark, sf_dir))
-        n = plan.count("Scan parquet") // 2
+        n = len(re.findall(r"\(\d+\) Scan parquet", plan))
         assert n <= ceil, f"{name}: {n} parquet scans (ceiling {ceil})"
