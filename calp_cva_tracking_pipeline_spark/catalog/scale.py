@@ -4191,12 +4191,23 @@ def pf_cms(spark, sf_dir):
     toks = d.select(
         F.explode(word_tokens(F.col("text"))).alias("token")
     )
-    sk = cms_sketch(toks, "token")
-    probes = toks.select("token").distinct()
-    est = cms_estimate(sk, probes, "token")
-    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    # r16 (guide §2.3/§2.4): aggregate the corpus to (token, exact_n)
+    # ONCE — sketch, probe list and exact side previously each replanned
+    # the tokenize+explode (3 corpus passes; groupBy frames never fire
+    # exchange reuse) and the sketch fanned RAW token rows ×depth
+    # through its exchange. Sketching the count table (weight_col) is
+    # bit-identical (bucket sums are additive), the fan-out moves to
+    # vocab-sized rows, and the lazy cut bounds the whole query to one
+    # corpus pass.
+    tok_counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .localCheckpoint(eager=False)
+    )
+    sk = cms_sketch(tok_counts, "token", weight_col="exact_n")
+    est = cms_estimate(sk, tok_counts.select("token"), "token")
     return (
-        exact.join(est, "token")
+        tok_counts.join(est, "token")
         .select(
             "token",
             "exact_n",
@@ -5308,7 +5319,7 @@ def mm_phash_neardup(spark, sf_dir):
     )
     from calp_cva_tracking_pipeline_spark.operators.phash import (
         image_phash_pairs,
-        synthesize_bmp_payloads,
+        synthesize_and_cell_sums,
     )
 
     d = spread_small_input(T(spark, sf_dir, "documents").select("doc_id"))
@@ -5349,9 +5360,16 @@ def mm_phash_neardup(spark, sf_dir):
                        ({vb}) % 256) AS INT))"""
         ).alias("px"),
     )
-    imgs = synthesize_bmp_payloads(synth, "doc_id", "px", PHASH_W, PHASH_H)
+    # r16 (guide §4): encode + decode run FUSED in one Python stage —
+    # the chained synthesize→cell_sums spelling held two live Python
+    # workers per task (the r15 driver's 32-core 0.46x anti-scaling);
+    # the real BMP encode→decode roundtrip is unchanged byte-for-byte.
+    cells = synthesize_and_cell_sums(
+        synth, "doc_id", "px", PHASH_W, PHASH_H, grid=8
+    )
     return image_phash_pairs(
-        imgs, "doc_id", "payload", grid=8, max_hamming=PHASH_MAXH
+        None, "doc_id", "payload", grid=8, max_hamming=PHASH_MAXH,
+        cells=cells,
     )
 
 

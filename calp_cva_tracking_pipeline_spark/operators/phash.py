@@ -173,6 +173,57 @@ def synthesize_bmp_payloads(
     return df.select(id_col, pixels_col).mapInPandas(run, SYNTH_SCHEMA)
 
 
+def synthesize_and_cell_sums(
+    df: DataFrame,
+    id_col: str,
+    pixels_col: str,
+    width: int,
+    height: int,
+    grid: int = 8,
+) -> DataFrame:
+    """Fused synth→decode: encode each grey pixel array to a REAL 24-bpp
+    BMP (encode_bmp) and immediately run the REAL stdlib decode + luma
+    cell sums (luma_cell_sums) on those bytes inside the SAME Python
+    task, yielding CELLS_SCHEMA.
+
+    r16 (guide §4 — minimize the JVM↔Python boundary): composing
+    ``synthesize_bmp_payloads`` then ``image_cell_sums`` chains two
+    mapInPandas nodes in one stage, so every task holds TWO live Python
+    workers and the payload crosses JVM→Py→JVM→Py→JVM. On a 32-slot
+    local session that is 64 concurrent Python workers beside 32 JVM
+    task threads — the r15 driver box ran this query 2x SLOWER at 32
+    cores than at 8 (scaling ratio 0.46). The fusion halves the worker
+    population and removes one full payload round-trip; the encode →
+    decode roundtrip still runs through the real codec byte-for-byte,
+    so the oracle's pixel-identity proof is unchanged.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from calp_cva_tracking_pipeline_spark.operators.bmp_stdlib import (
+            encode_bmp,
+        )
+
+        for pdf in batches:
+            ids, cells, oks = [], [], []
+            for mid, px in zip(pdf[id_col], pdf[pixels_col]):
+                rgb = bytearray()
+                for v in px:
+                    rgb += bytes((int(v), int(v), int(v)))
+                payload = encode_bmp(width, height, bytes(rgb))
+                ids.append(mid)
+                try:
+                    cells.append(luma_cell_sums(payload, grid))
+                    oks.append("ok_stdlib")
+                except Exception:
+                    cells.append(None)
+                    oks.append("error")
+            yield pd.DataFrame(
+                {"__id": ids, "__cells": cells, "decode_ok": oks}
+            )
+
+    return df.select(id_col, pixels_col).mapInPandas(run, CELLS_SCHEMA)
+
+
 def image_phash_pairs(
     df: DataFrame,
     id_col: str,
@@ -180,6 +231,7 @@ def image_phash_pairs(
     grid: int = 8,
     max_hamming: int = 3,
     max_bucket_docs: int | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """aHash near-dup pairs (id_a < id_b, hamming) over an image column.
 
@@ -193,6 +245,12 @@ def image_phash_pairs(
     ``max_bucket_docs`` caps any single band bucket (identical-image
     floods), trading recall inside the flood for bounded pair volume —
     same guard contract as simhash_candidates.
+
+    ``cells`` — optionally a precomputed CELLS_SCHEMA frame (e.g. from
+    ``synthesize_and_cell_sums``); the decode stage is skipped and
+    ``df``/``payload_col`` are ignored. Callers that already run a
+    Python stage to PRODUCE the payloads should fuse it with the decode
+    (guide §4) rather than chain two mapInPandas nodes in one task.
     """
     nbits = grid * grid
     # pigeonhole needs >= max_hamming+1 bands; the ceil(nbits/63) floor
@@ -207,9 +265,9 @@ def image_phash_pairs(
         for i in range(nblocks)
     ]
     offs = [sum(sizes[:i]) for i in range(nblocks)]
-    cells = image_cell_sums(df, id_col, payload_col, grid).filter(
-        F.col("decode_ok") == "ok_stdlib"
-    )
+    if cells is None:
+        cells = image_cell_sums(df, id_col, payload_col, grid)
+    cells = cells.filter(F.col("decode_ok") == "ok_stdlib")
     # bands[b] = Σ_i bit(offs[b]+i) << i — bands are <= 63 bits by the
     # nblocks floor above, so no value touches the 64-bit sign bit.
     band_exprs = ", ".join(

@@ -300,7 +300,10 @@ def _cms_bucket(r: int, val) -> "F.Column":
 
 
 def cms_sketch(
-    df: DataFrame, key_col: str, depth: int = CMS_DEPTH
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-Min sketch (Cormode–Muthukrishnan 2005) of ``key_col``'s
     frequency distribution: rows (r, bucket, cnt) — the depth × width
@@ -319,13 +322,28 @@ def cms_sketch(
     (hash collisions only ever inflate), with P[err > εN] ≤ (1/2)^depth
     at width = e/ε. Deterministic: the salted md5 hash family is fixed,
     so sketch AND estimates are exactly recomputable by the SQL oracle.
+
+    ``weight_col`` (r16, guide §2.3 "aggregate before you shuffle"):
+    sketch a PRE-AGGREGATED (key, count) table instead of raw rows —
+    counters sum the weights, which is bit-identical to per-row
+    increments (bucket sums are additive over any partition of the
+    rows). Callers that also need exact counts or a probe key list can
+    then compute the key aggregation ONCE and feed every consumer
+    vocab-sized data, instead of fanning raw rows ×depth through the
+    sketch exchange (pf_cms: 3 corpus tokenize passes → 1).
     """
     v = F.col(key_col).cast("string")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
     rows = df.select(
         F.explode(
             F.array(*[F.lit(r) for r in range(depth)])
         ).alias("r"),
         v.alias("__v"),
+        w.alias("__w"),
     ).filter(F.col("__v").isNotNull())
     bucket = None
     for r in range(depth):
@@ -338,7 +356,7 @@ def cms_sketch(
     return (
         rows.withColumn("bucket", bucket)
         .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__w").alias("cnt"))
     )
 
 

@@ -157,3 +157,31 @@ def test_audio_fingerprint_groups_cluster_and_noise_robust(spark):
     assert len(groups) == 1
     g = groups[0]
     assert g.n_media == 2 and g.rep_media == 1  # {1,2} cluster; 3 apart
+
+
+def test_fused_synth_cell_sums_matches_chained_path(spark):
+    """r16 fusion (guide §4): synthesize_and_cell_sums must yield the
+    exact rows of synthesize_bmp_payloads → image_cell_sums — the same
+    real encode→decode roundtrip, one Python stage instead of two
+    chained mapInPandas nodes (each holding its own worker per task)."""
+    from calp_cva_tracking_pipeline_spark.operators.phash import (
+        image_cell_sums,
+        synthesize_and_cell_sums,
+        synthesize_bmp_payloads,
+    )
+
+    w = h = 8
+    rows = [
+        (i, [((i * 37 + p * 11) % 256) for p in range(w * h)])
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, px array<int>")
+    chained = image_cell_sums(
+        synthesize_bmp_payloads(df, "doc_id", "px", w, h),
+        "doc_id", "payload", grid=4,
+    )
+    fused = synthesize_and_cell_sums(df, "doc_id", "px", w, h, grid=4)
+    a = sorted(map(tuple, chained.collect()))
+    b = sorted(map(tuple, fused.collect()))
+    assert a == b and len(a) == 6
+    assert all(r[2] == "ok_stdlib" for r in a)
