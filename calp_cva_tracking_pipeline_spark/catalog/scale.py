@@ -11027,7 +11027,19 @@ def pf_release_report(spark, sf_dir):
         )
         .cast("bigint")
         .alias("__sh"),
-    )
+    # r16 (verdict ask #8): the three cells consumers (card, lang
+    # entropy, per-source profile) plan full copies of the
+    # md5 + token_count + length text pass; AQE ReusedExchange dedups
+    # SOME copies at runtime, but only when the subplans stay
+    # byte-identical after per-branch pruning — a fragile condition
+    # this composition has already lost once (the tx_jsd isnotnull
+    # lesson). The lazy cut makes single execution STRUCTURAL: it
+    # materializes the digest-cardinality NARROW frame (counters only,
+    # never text) once. The divergence/leakage corners keep their own
+    # single text passes (ReadSchemas verified pruned — text is
+    # semantically required per corner, so a shared text-sized cut
+    # would pin the corpus in block storage and was rejected).
+    ).localCheckpoint(eager=False)
     n_text = F.sum(
         F.when(F.col("__dig").isNotNull(), F.col("__n")).otherwise(0)
     ).cast("bigint")
@@ -11270,10 +11282,15 @@ def dd_dup_census(spark, sf_dir):
     the MinHash tier, the winnow tier and the final readout into three
     back-to-back jobs at construction time; fully lazy, all three
     kernels now run as parallel stages of the one timed job
-    (interleaved A/B at sf0.1: 4.41s → 2.83s, rows identical). The
-    sources²-bounded cell frames this removes were the only checkpoint
-    consumers, so no lineage is ever replanned twice at runtime — AQE
-    exchange reuse covers the shared digest-cell subtree as before."""
+    (interleaved A/B at sf0.1: 4.41s → 2.83s, rows identical).
+
+    r16: the digest-cell aggregation carries ONE lazy cut. AQE
+    exchange reuse covered it only PARTIALLY at runtime (2 reuse nodes
+    over 3+ planned copies of the double-md5 text pass; reuse requires
+    byte-identical subplans after per-branch pruning — fragile). The
+    cut makes single execution structural; the cut frame is
+    digest-cardinality and narrow (no text), so the barrier is
+    cells-sized while the saved replan is a full corpus pass."""
     from calp_cva_tracking_pipeline_spark.functions.text import (
         ASCII_PUNCT_CLASS,
     )
@@ -11299,6 +11316,10 @@ def dd_dup_census(spark, sf_dir):
         "\\s+",
         " ",
     )
+    # r16: same fix as pf_release_report — one lazy cut on the NARROW
+    # digest-cardinality frame (source + two digests + a counter,
+    # never text); see the docstring's r16 note for the AQE-reuse
+    # fragility this replaces.
     cells = (
         d.select(
             "source",
@@ -11307,6 +11328,7 @@ def dd_dup_census(spark, sf_dir):
         )
         .groupBy("source", "__raw", "__norm")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+        .localCheckpoint(eager=False)
     )
 
     def corners(grouped):

@@ -37,6 +37,10 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+# r16: catalog-wide sweep / historical-pin tier — excluded from the
+# driver's default run (see pytest.ini); run with -m exhaustive.
+pytestmark = pytest.mark.exhaustive
+
 
 # ---------------------------------------------------------------------------
 # 1. phash bands stay sign-bit-free at grid=16 and recall stays exact.

@@ -30,7 +30,14 @@ Round-10 advisor findings (ADVICE.md):
 
 from __future__ import annotations
 
+import pytest
+
+# r16: catalog-wide sweep / historical-pin tier — excluded from the
+# driver's default run (see pytest.ini); run with -m exhaustive.
+pytestmark = pytest.mark.exhaustive
+
 from pyspark.sql import functions as F
+
 
 
 # ---------------------------------------------------------------------------

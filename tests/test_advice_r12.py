@@ -35,6 +35,10 @@ import re
 import pytest
 from pyspark.sql import functions as F
 
+# r16: catalog-wide sweep / historical-pin tier — excluded from the
+# driver's default run (see pytest.ini); run with -m exhaustive.
+pytestmark = pytest.mark.exhaustive
+
 
 # ---------------------------------------------------------------------------
 # 1. dp_noisy_counts: real randomness by default, replay only on opt-in.

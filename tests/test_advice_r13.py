@@ -10,6 +10,10 @@ from pyspark.sql import functions as F
 
 import calp_cva_tracking_pipeline_spark.catalog.scale as S
 
+# r16: catalog-wide sweep / historical-pin tier — excluded from the
+# driver's default run (see pytest.ini); run with -m exhaustive.
+pytestmark = pytest.mark.exhaustive
+
 
 def _executed(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()

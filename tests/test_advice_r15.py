@@ -27,6 +27,11 @@ from itertools import accumulate
 import duckdb
 import pandas as pd
 
+import pytest
+# r16: catalog-wide sweep / historical-pin tier — excluded from the
+# driver's default run (see pytest.ini); run with -m exhaustive.
+pytestmark = pytest.mark.exhaustive
+
 
 def _binseg_reference(vals: list[float]):
     """Plain-Python replica of the documented depth-2 binseg integer

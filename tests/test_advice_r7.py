@@ -10,6 +10,12 @@ inside windows, products wide enough for double ulp to bite).
 
 from __future__ import annotations
 
+import pytest
+
+# r16: catalog-wide sweep / historical-pin tier — excluded from the
+# driver's default run (see pytest.ini); run with -m exhaustive.
+pytestmark = pytest.mark.exhaustive
+
 import datetime as dt
 
 import duckdb
@@ -24,6 +30,7 @@ from calp_cva_tracking_pipeline_spark.catalog.scale import (
 from calp_cva_tracking_pipeline_spark.operators.profiling import group_ols
 from calp_cva_tracking_pipeline_spark.operators.rollup import ohlc_downsample
 from calp_cva_tracking_pipeline_spark.operators.temporal import (
+
     ewma_smooth,
     rolling_anomaly,
 )

@@ -9,6 +9,12 @@ on the adversarial inputs the shipped testdata never exercises.
 
 from __future__ import annotations
 
+import pytest
+
+# r16: catalog-wide sweep / historical-pin tier — excluded from the
+# driver's default run (see pytest.ini); run with -m exhaustive.
+pytestmark = pytest.mark.exhaustive
+
 import datetime as dt
 import math
 from collections import Counter
@@ -31,6 +37,7 @@ from calp_cva_tracking_pipeline_spark.operators.temporal import (
     ewma_smooth_chunked,
 )
 from calp_cva_tracking_pipeline_spark.operators.textops import (
+
     pmi_collocations,
 )
 

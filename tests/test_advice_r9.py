@@ -28,6 +28,11 @@ from calp_cva_tracking_pipeline_spark.operators.assoc import (
 )
 from calp_cva_tracking_pipeline_spark.operators.profiling import dq_checks
 
+import pytest
+# r16: catalog-wide sweep / historical-pin tier — excluded from the
+# driver's default run (see pytest.ini); run with -m exhaustive.
+pytestmark = pytest.mark.exhaustive
+
 
 def _duck_on(frames: dict[str, pd.DataFrame]) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()

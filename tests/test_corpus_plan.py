@@ -2,9 +2,16 @@
 
 from __future__ import annotations
 
+import pytest
+
+# r16: catalog-wide sweep / historical-pin tier — excluded from the
+# driver's default run (see pytest.ini); run with -m exhaustive.
+pytestmark = pytest.mark.exhaustive
+
 from pyspark.sql import functions as F
 
 from calp_cva_tracking_pipeline_spark.plans.corpus import (
+
     curate_corpus,
     near_dup_drop_set,
     write_training_shards,

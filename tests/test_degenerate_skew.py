@@ -23,6 +23,10 @@ import pytest
 
 import __spark_entry__ as entrymod
 
+# r16: catalog-wide sweep / historical-pin tier — excluded from the
+# driver's default run (see pytest.ini); run with -m exhaustive.
+pytestmark = pytest.mark.exhaustive
+
 _ONE_TEXT = (
     "the same document body repeated everywhere with several words to "
     "shingle properly across the corpus"

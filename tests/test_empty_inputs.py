@@ -16,6 +16,10 @@ import pytest
 
 import __spark_entry__ as entrymod
 
+# r16: catalog-wide sweep / historical-pin tier — excluded from the
+# driver's default run (see pytest.ini); run with -m exhaustive.
+pytestmark = pytest.mark.exhaustive
+
 
 @pytest.fixture(scope="module")
 def empty_dir(spark, sf_dir, tmp_path_factory):

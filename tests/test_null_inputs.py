@@ -17,6 +17,10 @@ from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 
+# r16: catalog-wide sweep / historical-pin tier — excluded from the
+# driver's default run (see pytest.ini); run with -m exhaustive.
+pytestmark = pytest.mark.exhaustive
+
 _KEYS = {
     "r_regionkey", "n_nationkey", "c_custkey", "s_suppkey", "p_partkey",
     "o_orderkey", "l_orderkey", "l_linenumber", "event_id", "doc_id",

@@ -14,6 +14,11 @@ import re
 import calp_cva_tracking_pipeline_spark.catalog.relational as R
 import calp_cva_tracking_pipeline_spark.catalog.scale as S
 
+import pytest
+# r16: catalog-wide sweep / historical-pin tier — excluded from the
+# driver's default run (see pytest.ini); run with -m exhaustive.
+pytestmark = pytest.mark.exhaustive
+
 
 def _executed(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()

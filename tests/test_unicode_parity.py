@@ -20,6 +20,10 @@ import pytest
 
 from tests.test_oracle_parity import ORACLES, QUERIES, _duck, _normalize
 
+# r16: catalog-wide sweep / historical-pin tier — excluded from the
+# driver's default run (see pytest.ini); run with -m exhaustive.
+pytestmark = pytest.mark.exhaustive
+
 TEXTS = [
     "hello world plain ascii text for baseline behavior here",
     "emoji \U0001F600\U0001F389\U0001F680 inside a sentence with words",
